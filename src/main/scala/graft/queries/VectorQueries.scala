@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.Metric
+import graft.search.Knn
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries over the precomputed `embeddings` table — the
+  * reference's similarity_search semantics (SURVEY.md §2 rows 11-16)
+  * without the nondeterministic embedding step (FIXTURES.md oracle notes).
+  * Scores are dropped from projections; ranking is tie-broken by pk so the
+  * DuckDB hash compare is stable.
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** Driver-side fetch of one stored vector to serve as the query literal —
+    * mirrors the reference's driver-side query embedding
+    * (reference src/databricks/query_endpoint.py:92-110). */
+  def queryVector(s: SparkSession, dir: String, vecId: Long): Seq[Float] = {
+    val row = emb(s, dir).filter(col("vec_id") === vecId)
+      .select("embedding").head()
+    row.getSeq[Float](0)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_cosine_single" -> ((s, dir) => {
+      val qv = queryVector(s, dir, 0L)
+      Knn.singleQuery(emb(s, dir).filter(col("vec_id") =!= 0L),
+          "embedding", "vec_id", qv, k = 5, Metric.Cosine)
+        .select(col("rank").cast("long").as("rnk"), col("vec_id"))
+        .orderBy("rnk")
+    }),
+    "knn_l2_single" -> ((s, dir) => {
+      val qv = queryVector(s, dir, 0L)
+      Knn.singleQuery(emb(s, dir).filter(col("vec_id") =!= 0L),
+          "embedding", "vec_id", qv, k = 5, Metric.L2)
+        .select(col("rank").cast("long").as("rnk"), col("vec_id"))
+        .orderBy("rnk")
+    }),
+    "knn_batch_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Knn.batchQuery(
+          corpus = e.filter(col("vec_id") >= 5L),
+          queries = e.filter(col("vec_id") < 5L),
+          corpusVecCol = "embedding", corpusPkCol = "vec_id",
+          queryVecCol = "embedding", queryIdCol = "vec_id",
+          k = 3, Metric.Cosine)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // Exact near-duplicate pairs by embedding cosine — the brute-force
+    // ground truth the ANN/LSH path approximates (SURVEY.md §7.2 phase 6).
+    "near_dup_pairs" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val a = e.toDF("a_id", "a_vec")
+      val b = e.toDF("b_id", "b_vec")
+      import graft.functions.{VectorFunctions => VF}
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("score", VF.cosine(col("a_vec"), col("b_vec")))
+        .filter(col("score") > 0.4)
+        .select(col("a_id"), col("b_id"))
+        .orderBy("a_id", "b_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "knn_cosine_single" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT CAST(row_number() OVER (
+        |         ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC,
+        |                  e.vec_id) AS BIGINT) AS rnk,
+        |       e.vec_id
+        |FROM embeddings e, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY rnk LIMIT 5""".stripMargin,
+    "knn_l2_single" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT CAST(row_number() OVER (
+        |         ORDER BY list_distance(e.embedding, q.qe) ASC,
+        |                  e.vec_id) AS BIGINT) AS rnk,
+        |       e.vec_id
+        |FROM embeddings e, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY rnk LIMIT 5""".stripMargin,
+    "knn_batch_topk" ->
+      """SELECT * FROM (
+        |  SELECT q.vec_id AS query_id,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |                    c.vec_id) AS BIGINT) AS rnk,
+        |         c.vec_id
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 5 AND c.vec_id >= 5)
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+    "near_dup_pairs" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) > 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+  )
+}
