@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.{Metric, VectorDistance}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration: exposes the engine's native expressions to
+  * `spark.sql(...)` users via SparkSessionExtensions —
+  * `vector_cosine(a, b)`, `vector_dot(a, b)`, `vector_l2(a, b)`.
+  *
+  * Usage: `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`. Also installable on a
+  * live session via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[VectorDistance].getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  private def two(name: String, args: Seq[Expression]): (Expression, Expression) =
+    args match {
+      case Seq(a, b) => (a, b)
+      case _ => throw new IllegalArgumentException(
+        s"$name expects exactly 2 arguments, got ${args.length}")
+    }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vector_cosine" -> { args: Seq[Expression] =>
+      val (a, b) = two("vector_cosine", args); VectorDistance(a, b, Metric.Cosine) },
+    "vector_dot" -> { args: Seq[Expression] =>
+      val (a, b) = two("vector_dot", args); VectorDistance(a, b, Metric.Dot) },
+    "vector_l2" -> { args: Seq[Expression] =>
+      val (a, b) = two("vector_l2", args); VectorDistance(a, b, Metric.L2) },
+  )
+
+  /** Register on an already-built session (temp functions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

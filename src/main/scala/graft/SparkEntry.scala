@@ -18,11 +18,21 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorQueries.queries ++
-    RelationalQueries.queries
+    RelationalQueries.queries ++
+    TextQueries.queries ++
+    RagQueries.queries ++
+    EventQueries.queries ++
+    DedupQueries.queries ++
+    InfraQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     VectorQueries.oracleSql ++
-    RelationalQueries.oracleSql
+    RelationalQueries.oracleSql ++
+    TextQueries.oracleSql ++
+    RagQueries.oracleSql ++
+    EventQueries.oracleSql ++
+    DedupQueries.oracleSql ++
+    InfraQueries.oracleSql
 }

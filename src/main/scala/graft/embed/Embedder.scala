@@ -1,0 +1,84 @@
+package graft.embed
+
+import org.apache.spark.ml.feature.{HashingTF, IDF, Normalizer, RegexTokenizer}
+import org.apache.spark.ml.linalg.{Vector => MlVector}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text → `array<float>` embedding seam.
+  *
+  * The reference embeds with a Hugging Face transformer inside an
+  * Arrow-batched pandas_udf (mean pooling over token embeddings,
+  * reference src/databricks/syntetic_data.py:135-169); heavy models are an
+  * environment adapter, so the engine ships deterministic featurizers with
+  * the same contract: add `embedding: array<float>` (nullable on failure)
+  * + `timestamp` to a corpus DataFrame. Everything is a distributed
+  * column transform — no driver-side loops, no Python boundary.
+  */
+trait Embedder {
+  def dim: Int
+  /** Adds `embedding array<float>` and `timestamp` columns. Null/empty
+    * text rows get a null embedding (excluded later at index build —
+    * reference returns None rows on failure, syntetic_data.py:140,169). */
+  def embed(corpus: DataFrame, textCol: String): DataFrame
+}
+
+/** MLlib HashingTF+IDF pipeline embedder: tokenizer → hashed term
+  * frequencies → inverse-document-frequency weighting → L2 normalize →
+  * dense `array<float>`. Deterministic given the corpus; scales as two
+  * passes (IDF fit is one treeAggregate) + one map. */
+final class HashingTfIdfEmbedder(override val dim: Int = 64) extends Embedder {
+
+  override def embed(corpus: DataFrame, textCol: String): DataFrame = {
+    val withId = corpus
+    val tok = new RegexTokenizer().setInputCol(textCol).setOutputCol("__tokens")
+      .setPattern("\\s+")
+    val tf = new HashingTF().setInputCol("__tokens").setOutputCol("__tf")
+      .setNumFeatures(dim)
+    val tokenized = tf.transform(tok.transform(
+      withId.withColumn(textCol, coalesce(col(textCol), lit("")))))
+    val idf = new IDF().setInputCol("__tf").setOutputCol("__idf")
+      .fit(tokenized)
+    val norm = new Normalizer().setInputCol("__idf").setOutputCol("__vec")
+      .setP(2.0)
+    val out = norm.transform(idf.transform(tokenized))
+    toFloatArray(out, "__vec", "embedding")
+      .withColumn("embedding",
+        when(col(textCol).isNull || col(textCol) === "", lit(null))
+          .otherwise(col("embedding")))
+      .withColumn("timestamp", current_timestamp())
+      .drop("__tokens", "__tf", "__idf", "__vec")
+  }
+
+  /** MLlib Vector → array<float> at the operator boundary (SURVEY.md §1.2). */
+  private def toFloatArray(df: DataFrame, in: String, out: String): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    df.withColumn(out, vector_to_array(col(in), "float32"))
+  }
+}
+
+/** Deterministic hash-projection embedder with zero fitted state: token →
+  * xxhash64(token, seed d) → signed contribution to dimension d. Pure
+  * column expressions (codegen'd), single pass, fully streaming-safe —
+  * the embedding path used when an index must be buildable in one scan
+  * at 100 TB. */
+final class HashProjectionEmbedder(override val dim: Int = 64) extends Embedder {
+
+  def embeddingCol(textCol: Column): Column = {
+    val toks = split(trim(textCol), "\\s+")
+    val raw = array((0 until dim).map { d =>
+      aggregate(toks, lit(0.0),
+        (acc, t) => acc +
+          when(xxhash64(t, lit(d)).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0) *
+            (pmod(xxhash64(t, lit(d + 7919)), lit(97L)).cast("double") / 97.0))
+    }: _*)
+    val nrm = sqrt(aggregate(raw, lit(0.0), (a, x) => a + x * x))
+    when(textCol.isNull || textCol === "", lit(null).cast("array<float>"))
+      .otherwise(transform(raw, x =>
+        (x / when(nrm === 0.0, 1.0).otherwise(nrm)).cast("float")))
+  }
+
+  override def embed(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.withColumn("embedding", embeddingCol(col(textCol)))
+      .withColumn("timestamp", current_timestamp())
+}

@@ -60,11 +60,13 @@ case class VectorDistance(left: Expression, right: Expression, metric: Metric)
     }
   }
 
+  @transient private lazy val af = elemIsFloat(left)
+  @transient private lazy val bf = elemIsFloat(right)
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
-    val af = elemIsFloat(left); val bf = elemIsFloat(right)
     var i = 0
     metric match {
       case Metric.Dot =>
@@ -94,31 +96,40 @@ case class VectorDistance(left: Expression, right: Expression, metric: Metric)
     }
   }
 
+  // All locals use ctx.freshName: several VectorDistance instances can be
+  // fused into ONE generated class by whole-stage codegen, and fixed names
+  // would collide (janino "redefinition of local variable") — which
+  // silently degrades the whole plan to interpreted mode.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val getA = if (elemIsFloat(left)) s"(double) $a.getFloat(i)"
-                 else s"$a.getDouble(i)"
-      val getB = if (elemIsFloat(right)) s"(double) $b.getFloat(i)"
-                 else s"$b.getDouble(i)"
+      val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val getA = if (af) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (bf) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       val body = metric match {
         case Metric.Dot =>
-          s"""double dot = 0.0;
-             |for (int i = 0; i < $n; i++) { dot += ($getA) * ($getB); }
-             |${ev.value} = dot;""".stripMargin
+          val dot = ctx.freshName("dot")
+          s"""double $dot = 0.0;
+             |for (int $i = 0; $i < $n; $i++) { $dot += ($getA) * ($getB); }
+             |${ev.value} = $dot;""".stripMargin
         case Metric.Cosine =>
-          s"""double dot = 0.0, na = 0.0, nb = 0.0;
-             |for (int i = 0; i < $n; i++) {
-             |  double x = $getA; double y = $getB;
-             |  dot += x * y; na += x * x; nb += y * y;
+          val (dot, na, nb) = (ctx.freshName("dot"), ctx.freshName("na"),
+            ctx.freshName("nb"))
+          val (x, y) = (ctx.freshName("x"), ctx.freshName("y"))
+          s"""double $dot = 0.0, $na = 0.0, $nb = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double $x = $getA; double $y = $getB;
+             |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
              |}
-             |${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));""".stripMargin
+             |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));""".stripMargin
         case Metric.L2 =>
-          s"""double s = 0.0;
-             |for (int i = 0; i < $n; i++) {
-             |  double d = ($getA) - ($getB); s += d * d;
+          val s = ctx.freshName("s")
+          val d = ctx.freshName("d")
+          s"""double $s = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double $d = ($getA) - ($getB); $s += $d * $d;
              |}
-             |${ev.value} = Math.sqrt(s);""".stripMargin
+             |${ev.value} = Math.sqrt($s);""".stripMargin
       }
       s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |$body""".stripMargin

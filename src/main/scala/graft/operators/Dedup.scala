@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Corpus-scale deduplication operators: exact, n-gram Jaccard,
+  * MinHash+LSH and SimHash. Embedding-cosine near-dup lives in
+  * graft.search (it shares the KNN kernels).
+  *
+  * Design for 100 TB: exact dedup is one hash-partitioned groupBy;
+  * MinHash/LSH turns the quadratic pair search into an equi-join on
+  * band buckets (shuffle on bucket id, candidates only); brute-force
+  * Jaccard is kept for ground truth / small blocks only.
+  */
+object Dedup {
+
+  /** First-wins exact dedup: keep the lowest `orderCol` row per key
+    * group. One shuffle on the key columns. */
+  def exactFirstWins(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingles, distinct, as an array column. Empty when the
+    * text has fewer than n tokens. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val toks = split(trim(c), "\\s+")
+    val count = size(toks)
+    val grams = transform(
+      sequence(lit(1), count - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+    array_distinct(when(count >= n, grams).otherwise(array()))
+  }
+
+  /** Exact Jaccard over two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(filter(a, x => array_contains(b, x))).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Brute-force near-duplicate pairs by n-gram Jaccard within an
+    * optional blocking column (ground truth; quadratic per block). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+    val a = sh.toDF("a_id", "a_sh")
+    val b = sh.toDF("b_id", "b_sh")
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature: for each of `k` seeded hash functions, the min
+    * xxhash64 over the shingle set. Pure column expressions. */
+  def minhashSignature(shCol: Column, k: Int = 16): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shCol, s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** MinHash+LSH candidate pairs: band the signature, explode to
+    * (band, bucket) keys, equi-join on the bucket — the scale path that
+    * replaces the quadratic pair search with a shuffle on bucket id.
+    * Candidates are then verified with exact Jaccard (refine step).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
+    val rowsPerBand = k / bands
+    val sh = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = sh.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "bucket")))
+    val a = banded.toDF("a_id", "a_sh", "band", "bucket")
+    val b = banded.toDF("b_id", "b_sh", "band", "bucket")
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
+    cand.withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over word tokens: per bit, sum +1/-1 across token
+    * hashes, sign gives the bit. Expressed with column functions only —
+    * per-bit popcount via shiftright/mask. */
+  def simhash64(textCol: Column, bits: Int = 64): Column = {
+    val toks = split(trim(textCol), "\\s+")
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until bits).foldLeft(lit(0L)) { (acc, bit) =>
+      val votes = aggregate(hashes, lit(0),
+        (v, h) => v + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1)
+          .otherwise(-1))
+      acc.bitwiseOR(when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L)))
+    }
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

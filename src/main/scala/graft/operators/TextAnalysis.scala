@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All are pure column expressions (codegen'd,
+  * shuffle-free, scale linearly with the corpus) — no UDFs.
+  *
+  * The reference's corpus is the `(id, text)` table it embeds and indexes
+  * (reference src/databricks/syntetic_data.py:55-66); these operators are
+  * the preprocessing stage 100 TB corpora need before embedding.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer — the BPE-ish regex split. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in")
+
+  /** Count of stopword tokens (lowercased exact match). */
+  def stopwordCount(c: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    size(filter(split(lower(trim(c)), "\\s+"),
+      t => t.isInCollection(stopwords)))
+
+  /** Count of punctuation characters. */
+  def punctCount(c: Column): Column = regexp_count(c, lit("[.!?,;:]"))
+
+  /** Heuristic language ID: stopword-hit ratio over tokens — 'en' when
+    * enough English function words appear, else 'other'. (An n-gram
+    * model would slot in the same way; the operator shape is what the
+    * pipeline needs: a pure projection, no shuffle.) */
+  def langIdHeuristic(c: Column, minHits: Int = 3): Column =
+    when(stopwordCount(c) >= minHits, lit("en")).otherwise(lit("other"))
+
+  /** Quality score in [0,1]: blend of length band, punctuation ratio and
+    * stopword ratio — the usual cheap junk filter before training. */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val lenOk = when(nTok.between(10, 1000), 1.0).otherwise(0.3)
+    val punctRatio = punctCount(c).cast("double") / greatest(nTok, lit(1.0))
+    val punctOk = when(punctRatio <= 0.2, 1.0).otherwise(0.5)
+    val swRatio = stopwordCount(c).cast("double") / greatest(nTok, lit(1.0))
+    val swOk = when(swRatio.between(0.01, 0.5), 1.0).otherwise(0.6)
+    round((lenOk * 0.4) + (punctOk * 0.3) + (swOk * 0.3), 4)
+  }
+
+  /** Deterministic document fingerprint: polynomial rolling hash of the
+    * first `maxLen` characters, mod 1e9+7 (stays in BIGINT range on both
+    * Spark and the DuckDB oracle). */
+  def fingerprint(c: Column, maxLen: Int = 64): Column =
+    aggregate(
+      transform(split(substring(c, 1, maxLen), ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, code) => (acc * 31L + code) % 1000000007L)
+}

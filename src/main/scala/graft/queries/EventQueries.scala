@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Event-stream coverage over the `events` table (the stand-in for the
+  * reference's change stream, SURVEY.md §2 rows 4/23): time-bucketed
+  * aggregation, gap-based sessionization, JSON extraction. Batch
+  * semantics here; the Structured Streaming path reuses the same
+  * expressions (graft.streaming). */
+object EventQueries {
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read natively; read it as long and truncate to microseconds — the
+    * same floor-truncation DuckDB applies, so oracle timestamps agree. */
+  private def ev(s: SparkSession, dir: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.load(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour windows: the batch shape of a streaming windowed agg.
+    "ev_hourly_agg" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+    // Sessionization: a new session starts after a >30-minute silence.
+    "ev_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc,
+        col("event_id").asc)
+      ev(s, dir)
+        .withColumn("gap_s",
+          col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+        .groupBy("user_id")
+        .agg(sum(when(col("gap_s").isNull || col("gap_s") > 1800, 1L)
+          .otherwise(0L)).as("sessions"))
+        .orderBy("user_id")
+    }),
+    // JSON extraction from the props payload column.
+    "ev_json_extract" -> ((s, dir) => {
+      ev(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(round(avg("k"), 4).as("avg_k"), min("k").as("min_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ev_hourly_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "ev_sessionize" ->
+      """SELECT user_id, CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS sessions
+        |FROM (SELECT user_id,
+        |        epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id)) AS gap_s
+        |      FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_json_extract" ->
+      """SELECT event_type, round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+        |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-analysis coverage over the `documents` corpus table: token
+  * counting, quality scoring, language-ID heuristic, fingerprinting,
+  * string functions. All pure projections/aggregations — shuffle only at
+  * the final groupBy. */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+          round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_tokens"))
+        .orderBy("lang")
+    }),
+    "text_quality_by_source" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .groupBy("source")
+        .agg(round(avg("q"), 4).as("avg_q"),
+          round(min("q"), 4).as("min_q"),
+          round(max("q"), 4).as("max_q"))
+        .orderBy("source")
+    }),
+    "text_lang_confusion" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("predicted", TextAnalysis.langIdHeuristic(col("text")))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+    "text_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    "text_string_funcs" -> ((s, dir) => {
+      docs(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(
+          col("doc_id"),
+          upper(col("lang")).as("lang_u"),
+          substring(col("text"), 1, 12).as("prefix"),
+          concat_ws("|", col("lang"), col("source")).as("tag"),
+          regexp_replace(col("text"), "\\s+", "_").as("snake"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS sum_tokens,
+        |  round(avg(len(string_split_regex(trim(text), '\s+'))), 4)
+        |    AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality_by_source" ->
+      """WITH scored AS (
+        |  SELECT source, round(
+        |    (CASE WHEN len(string_split_regex(trim(text),'\s+'))
+        |            BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) * 0.4
+        |  + (CASE WHEN CAST(len(regexp_extract_all(text,'[.!?,;:]')) AS DOUBLE)
+        |            / greatest(CAST(len(string_split_regex(trim(text),'\s+'))
+        |                AS DOUBLE), 1.0) <= 0.2
+        |          THEN 1.0 ELSE 0.5 END) * 0.3
+        |  + (CASE WHEN CAST(len(list_filter(string_split_regex(lower(trim(text)),'\s+'),
+        |              x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |            / greatest(CAST(len(string_split_regex(trim(text),'\s+'))
+        |                AS DOUBLE), 1.0) BETWEEN 0.01 AND 0.5
+        |          THEN 1.0 ELSE 0.6 END) * 0.3, 4) AS q
+        |  FROM documents)
+        |SELECT source, round(avg(q), 4) AS avg_q, round(min(q), 4) AS min_q,
+        |       round(max(q), 4) AS max_q
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin,
+    "text_lang_confusion" ->
+      """SELECT lang,
+        |  CASE WHEN len(list_filter(string_split_regex(lower(trim(text)),'\s+'),
+        |         x -> x IN ('the','a','of','and','to','in'))) >= 3
+        |       THEN 'en' ELSE 'other' END AS predicted,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(substr(text, 1, 64), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+    "text_string_funcs" ->
+      """SELECT doc_id, upper(lang) AS lang_u, substr(text, 1, 12) AS prefix,
+        |  concat_ws('|', lang, source) AS tag,
+        |  regexp_replace(text, '\s+', '_', 'g') AS snake
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,118 @@
+package graft.search
+
+import graft.functions.{Metric, VectorFunctions => VF}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Approximate nearest-neighbor retrieval — the open-primitive stand-in
+  * for the managed service's HNSW (reference queries delegate ANN to
+  * Databricks Vector Search, src/databricks/query_endpoint.py:126-146).
+  *
+  * Two scale paths, both turning the similarity join into an equi-join on
+  * a bucket id (SURVEY.md §4.3 — a logical rewrite done in library code,
+  * where index metadata lives, not in a Catalyst rule):
+  *
+  *  - IVF: KMeans centroids (fit once at build, seed pinned); corpus rows
+  *    carry their centroid id (ideally as a partition column). A query
+  *    probes its `nProbe` nearest centroids → equi-join on centroid id →
+  *    exact re-score (refine, mirroring the reference's commented
+  *    reranker hook QE:130) → top-k. Scan cost drops to nProbe/k of the
+  *    corpus.
+  *  - LSH: MLlib BucketedRandomProjectionLSH; candidates from
+  *    approxSimilarityJoin, refined by exact distance.
+  */
+object Ann {
+
+  // ---------------- IVF (KMeans centroid pruning) ----------------
+
+  final case class IvfIndex(corpusWithCell: DataFrame, centroids: DataFrame)
+
+  /** Build: assign every corpus row its nearest-centroid id. `centroids`
+    * is tiny (k rows) — always broadcastable. */
+  def buildIvf(corpus: DataFrame, vecCol: String, k: Int,
+      seed: Long = 42L): IvfIndex = {
+    val withVec = corpus.filter(col(vecCol).isNotNull)
+      .withColumn("__mlvec", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__mlvec")
+      .setPredictionCol("__cell").fit(withVec)
+    val assigned = model.transform(withVec).drop("__mlvec")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("__cell", "__centroid")
+    IvfIndex(assigned, cents)
+  }
+
+  /** Batch query with centroid pruning + exact refine. One equi-join
+    * shuffle on the probed cell ids instead of a full cross join. */
+  def queryIvf(index: IvfIndex, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, corpusPkCol: String, corpusVecCol: String,
+      k: Int, nProbe: Int, metric: Metric = Metric.Cosine): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qvec"))
+    // probe: nProbe nearest centroids per query (queries × k centroids —
+    // both small; broadcast the centroids)
+    val probed = q.crossJoin(broadcast(index.centroids))
+      .withColumn("__cdist", VF.l2(col("__qvec"), col("__centroid")))
+      .withColumn("__cr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__cdist").asc,
+          col("__cell").asc)))
+      .filter(col("__cr") <= nProbe)
+      .select(col("query_id"), col("__qvec"), col("__cell"))
+    // candidates: equi-join on cell id, then exact score + top-k refine
+    val cand = index.corpusWithCell.join(broadcast(probed), Seq("__cell"))
+    val scored = cand.withColumn("score",
+      VF.distance(col(corpusVecCol), col("__qvec"), metric))
+    val w = Window.partitionBy("query_id")
+      .orderBy(Knn.scoreOrder(col("score"), metric), col(corpusPkCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(corpusPkCol), col("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  // ---------------- LSH (random projection buckets) ----------------
+
+  final case class LshIndex(model: BucketedRandomProjectionLSHModel,
+      corpusHashed: DataFrame)
+
+  type BucketedRandomProjectionLSHModel =
+    org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel
+
+  def buildLsh(corpus: DataFrame, vecCol: String, bucketLength: Double,
+      numTables: Int = 4, seed: Long = 42L): LshIndex = {
+    val withVec = corpus.filter(col(vecCol).isNotNull)
+      .withColumn("__mlvec", array_to_vector(col(vecCol)))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("__mlvec").setOutputCol("__hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numTables)
+      .setSeed(seed)
+    val model = lsh.fit(withVec)
+    LshIndex(model, model.transform(withVec))
+  }
+
+  /** Batch ANN via LSH similarity join (L2 candidates within
+    * `maxDistance`), refined to exact top-k per query. */
+  def queryLsh(index: LshIndex, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, corpusPkCol: String, k: Int,
+      maxDistance: Double): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      array_to_vector(col(queryVecCol)).as("__mlvec"))
+    val joined = index.model.approxSimilarityJoin(
+      index.corpusHashed, q, maxDistance, "score")
+    val flat = joined.select(
+      col("datasetB.query_id").as("query_id"),
+      col(s"datasetA.$corpusPkCol").as(corpusPkCol),
+      col("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").asc, col(corpusPkCol).asc)
+    flat.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+}

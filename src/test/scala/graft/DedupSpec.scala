@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+
+  test("shingles: n tokens yield n-2 distinct-capped trigrams") {
+    val df = Seq("a b c d e", "x y", "").toDF("text")
+      .select(size(Dedup.shingles(col("text"), 3)).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(3, 0, 0))
+  }
+
+  test("jaccard: hand-computed value") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
+      .toDF("x", "y").select(Dedup.jaccard(col("x"), col("y")).as("j"))
+    assert(math.abs(df.head().getDouble(0) - 0.5) < 1e-12)
+  }
+
+  test("minhash LSH finds every brute-force pair at threshold 0.5") {
+    val block = docs.filter($"doc_id" < 200)
+    val exact = Dedup.jaccardPairs(block, "doc_id", "text", 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(block, "doc_id", "text", 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dups")
+    // LSH candidates are verified with exact jaccard, so lsh ⊆ exact;
+    // with 16 hashes / 4 bands recall on >=0.5 pairs should be total here.
+    assert(lsh === exact)
+  }
+
+  test("identical texts give simhash hamming distance 0") {
+    val df = Seq(("a b c d", "a b c d"), ("a b c d", "totally different words"))
+      .toDF("t1", "t2")
+      .select(Dedup.hamming64(Dedup.simhash64(col("t1")),
+        Dedup.simhash64(col("t2"))).as("h"))
+    val hs = df.collect().map(_.getInt(0))
+    assert(hs(0) === 0)
+    assert(hs(1) > 0)
+  }
+
+  test("exact first-wins keeps the lowest-order row per key") {
+    val df = Seq((1L, "k1"), (2L, "k1"), (3L, "k2")).toDF("id", "k")
+    val kept = Dedup.exactFirstWins(df, Seq("k"), "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
+}

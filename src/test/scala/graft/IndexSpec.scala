@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.Metric
+import graft.index.{ChangeLog, IndexMeta, VectorIndex}
+import graft.streaming.IndexSync
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  private def newIndex(name: String): VectorIndex = {
+    val dir = Files.createTempDirectory(s"graft_$name").toString
+    new VectorIndex(IndexMeta(name, "vec_id", "embedding", 64,
+      Metric.Cosine, s"$dir/idx"))
+  }
+
+  test("build excludes null and wrong-dimension vectors") {
+    val source = emb.limit(20).select($"vec_id", $"embedding", $"label")
+      .union(Seq((9000L, null.asInstanceOf[Seq[Float]], 0),
+        (9001L, Seq(1f, 2f), 0)).toDF("vec_id", "embedding", "label"))
+    val idx = newIndex("nulls")
+    idx.rebuild(source)
+    val ids = idx.read(spark).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(9000L) && !ids.contains(9001L) && ids.size === 20)
+  }
+
+  test("build normalizes vectors and keeps the original norm") {
+    val idx = newIndex("norms")
+    idx.rebuild(emb.limit(50))
+    val r = idx.read(spark).select(
+      graft.functions.VectorFunctions.norm(col("embedding")).as("unit"),
+      col("__norm")).collect()
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(0) - 1.0) < 1e-5)
+      assert(row.getDouble(1) > 0.0)
+    }
+  }
+
+  test("sync(changes) is equivalent to rebuild(source+changes)") {
+    val source = emb.filter($"vec_id" < 300)
+    val idxSync = newIndex("sync")
+    idxSync.rebuild(source)
+    // changes: update 0-4 (vectors of 300-304), insert 500x (vector of 305),
+    // delete 5-9, and a later duplicate change for pk 0 (last-write-wins)
+    val upd = emb.filter($"vec_id".between(300, 304))
+      .select(($"vec_id" - 300).as("vec_id"), $"embedding", $"label",
+        lit(ChangeLog.OpUpdate).as("__op"), $"vec_id".as("__seq"))
+    val ins = emb.filter($"vec_id" === 305)
+      .select(lit(77777L).as("vec_id"), $"embedding", $"label",
+        lit(ChangeLog.OpInsert).as("__op"), lit(400L).as("__seq"))
+    val del = emb.filter($"vec_id".between(5, 9))
+      .select($"vec_id", $"embedding", $"label",
+        lit(ChangeLog.OpDelete).as("__op"), ($"vec_id" + 500).as("__seq"))
+    val dupLater = emb.filter($"vec_id" === 306)
+      .select(lit(0L).as("vec_id"), $"embedding", $"label",
+        lit(ChangeLog.OpUpdate).as("__op"), lit(9999L).as("__seq"))
+    val changes = upd.unionByName(ins).unionByName(del).unionByName(dupLater)
+    idxSync.sync(spark, changes)
+
+    // rebuild reference: apply the same semantics relationally
+    val expected = ChangeLog.applyBatch(
+      source.select($"vec_id", $"embedding", $"label"), changes, "vec_id")
+    val idxRebuild = newIndex("rebuild")
+    idxRebuild.rebuild(expected)
+
+    def snapshot(i: VectorIndex): Set[(Long, Double)] =
+      i.read(spark).select($"vec_id", round($"__norm", 6).as("n"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(snapshot(idxSync) === snapshot(idxRebuild))
+    // pk 0 must carry the vector of 306 (seq 9999 beats seq 300)
+    val v0 = idxSync.read(spark).filter($"vec_id" === 0)
+      .select(round($"__norm", 6)).head().getDouble(0)
+    val v306 = idxRebuild.read(spark).filter($"vec_id" === 0)
+      .select(round($"__norm", 6)).head().getDouble(0)
+    assert(v0 === v306)
+  }
+
+  test("streaming triggered sync drains a journal directory") {
+    val source = emb.filter($"vec_id" < 100)
+    val idx = newIndex("stream")
+    idx.rebuild(source)
+    val journalDir = Files.createTempDirectory("graft_journal").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    // journal batch: delete 0-4, upsert 100-104 as new rows
+    val del = emb.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding", $"label",
+        lit(ChangeLog.OpDelete).as("__op"), $"vec_id".as("__seq"))
+    val ins = emb.filter($"vec_id".between(100, 104))
+      .select($"vec_id", $"embedding", $"label",
+        lit(ChangeLog.OpInsert).as("__op"), $"vec_id".as("__seq"))
+    del.unionByName(ins).write.mode("append").parquet(journalDir)
+    val schema = spark.read.parquet(journalDir).schema
+    IndexSync.syncOnce(spark, idx, journalDir, schema, ckpt)
+    val ids = idx.read(spark).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((0L until 5L).forall(!ids.contains(_)))
+    assert((100L to 104L).forall(ids.contains))
+    assert(ids.size === 100)
+  }
+}
