@@ -64,21 +64,15 @@ final class HashingTfIdfEmbedder(override val dim: Int = 64) extends Embedder {
   * at 100 TB. */
 final class HashProjectionEmbedder(override val dim: Int = 64) extends Embedder {
 
-  def embeddingCol(textCol: Column): Column = {
-    val toks = split(trim(textCol), "\\s+")
-    val raw = array((0 until dim).map { d =>
-      aggregate(toks, lit(0.0),
-        (acc, t) => acc +
-          when(xxhash64(t, lit(d)).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0) *
-            (pmod(xxhash64(t, lit(d + 7919)), lit(97L)).cast("double") / 97.0))
-    }: _*)
-    val nrm = sqrt(aggregate(raw, lit(0.0), (a, x) => a + x * x))
-    when(textCol.isNull || textCol === "", lit(null).cast("array<float>"))
-      .otherwise(transform(raw, x =>
-        (x / when(nrm === 0.0, 1.0).otherwise(nrm)).cast("float")))
-  }
-
+  /** The whole embed is ONE Catalyst expression
+    * (graft.functions.TextHashEmbed): a HOF composition of the same math
+    * gets inlined per downstream reference and re-evaluates inner
+    * aggregates per array element — a measured ~30x blowup at bench
+    * time. A single opaque node evaluates once per reference with a
+    * tight loop inside. */
   override def embed(corpus: DataFrame, textCol: String): DataFrame =
-    corpus.withColumn("embedding", embeddingCol(col(textCol)))
+    corpus
+      .withColumn("embedding",
+        graft.functions.TextExpressions.textHashEmbed(col(textCol), dim))
       .withColumn("timestamp", current_timestamp())
 }

@@ -24,15 +24,16 @@ object Dedup {
   }
 
   /** Word n-gram shingles, distinct, as an array column. Empty when the
-    * text has fewer than n tokens. */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val toks = split(trim(c), "\\s+")
-    val count = size(toks)
-    val grams = transform(
-      sequence(lit(1), count - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
-    array_distinct(when(count >= n, grams).otherwise(array()))
-  }
+    * text has fewer than n tokens. Single Catalyst expression
+    * (graft.functions.WordShingles) — a HOF composition here gets
+    * inlined per downstream reference and re-splits the text per gram. */
+  def shingles(c: Column, n: Int = 3): Column =
+    graft.functions.TextExpressions.wordShingles(c, n)
+
+  /** Stage `(id, shingle-set)` as its own projection. */
+  def withShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
 
   /** Exact Jaccard over two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -40,26 +41,31 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** Brute-force near-duplicate pairs by n-gram Jaccard within an
-    * optional blocking column (ground truth; quadratic per block). */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
-    val a = sh.toDF("a_id", "a_sh")
-    val b = sh.toDF("b_id", "b_sh")
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+  /** Jaccard from a pre-staged intersection-size column (avoids computing
+    * the set intersection twice — numerator and denominator). */
+  private def jaccardStaged(df: DataFrame, threshold: Double): DataFrame =
+    df.withColumn("__inter",
+        size(filter(col("a_sh"), x => array_contains(col("b_sh"), x)))
+          .cast("double"))
+      .withColumn("jaccard",
+        col("__inter") / (size(col("a_sh")) + size(col("b_sh")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+
+  /** Brute-force near-duplicate pairs by n-gram Jaccard (ground truth;
+    * quadratic — keep for small blocks, LSH is the scale path). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val sh = withShingles(docs, idCol, textCol, n)
+    val a = sh.toDF("a_id", "a_sh")
+    val b = sh.toDF("b_id", "b_sh")
+    jaccardStaged(a.join(b, col("a_id") < col("b_id")), threshold)
   }
 
   /** MinHash signature: for each of `k` seeded hash functions, the min
-    * xxhash64 over the shingle set. Pure column expressions. */
+    * xxhash64 over the shingle set. Single expression, one pass. */
   def minhashSignature(shCol: Column, k: Int = 16): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shCol, s => xxhash64(s, lit(seed))))
-    }: _*)
+    graft.functions.TextExpressions.minhashSig(shCol, k)
 
   /** MinHash+LSH candidate pairs: band the signature, explode to
     * (band, bucket) keys, equi-join on the bucket — the scale path that
@@ -69,22 +75,24 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
     val rowsPerBand = k / bands
-    val sh = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sh = withShingles(docs, idCol, textCol, n)
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = sh.select(col("id"), col("sh"),
+    // bucket keys only — keep the (large) shingle arrays out of the
+    // candidate shuffle and distinct; re-join them for the refine step
+    val banded = sh.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as(Seq("band", "bucket")))
-    val a = banded.toDF("a_id", "a_sh", "band", "bucket")
-    val b = banded.toDF("b_id", "b_sh", "band", "bucket")
+    val a = banded.toDF("a_id", "band", "bucket")
+    val b = banded.toDF("b_id", "band", "bucket")
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
-    cand.withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+      .select("a_id", "b_id").distinct()
+    val withSh = cand
+      .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+    jaccardStaged(withSh, threshold)
   }
 
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 across token

@@ -37,8 +37,11 @@ object Ann {
       seed: Long = 42L): IvfIndex = {
     val withVec = corpus.filter(col(vecCol).isNotNull)
       .withColumn("__mlvec", array_to_vector(col(vecCol)))
+    // random init + few iterations: centroids only place buckets, they
+    // don't need convergence; k-means|| init alone costs several passes
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__mlvec")
-      .setPredictionCol("__cell").fit(withVec)
+      .setPredictionCol("__cell").setInitMode("random").setMaxIter(5)
+      .fit(withVec)
     val assigned = model.transform(withVec).drop("__mlvec")
     val spark = corpus.sparkSession
     import spark.implicits._
