@@ -23,7 +23,8 @@ object SparkEntry {
     RagQueries.queries ++
     EventQueries.queries ++
     DedupQueries.queries ++
-    InfraQueries.queries
+    InfraQueries.queries ++
+    MiscQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
     RagQueries.oracleSql ++
     EventQueries.oracleSql ++
     DedupQueries.oracleSql ++
-    InfraQueries.oracleSql
+    InfraQueries.oracleSql ++
+    MiscQueries.oracleSql
 }

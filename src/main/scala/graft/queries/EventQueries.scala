@@ -15,6 +15,8 @@ object EventQueries {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
     * read natively; read it as long and truncate to microseconds — the
     * same floor-truncation DuckDB applies, so oracle timestamps agree. */
+  private[queries] def load(s: SparkSession, dir: String) = ev(s, dir)
+
   private def ev(s: SparkSession, dir: String) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.load(s, dir, "events")

@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Remaining §2 surface: the DataSourceV2 paginated feed (ingest path),
+  * JSON serialization, date/time and math scalar functions, and CUBE
+  * grouping. */
+object MiscQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DataSourceV2 ingest: 1000 docs in 4 page-partitions, aggregated.
+    // The oracle regenerates identical rows from range() — the source is
+    // deterministic by construction.
+    "feed_ingest" -> ((s, _) => {
+      s.read.format("graft_feed")
+        .option("total", 1000).option("pageSize", 250).load()
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"), min("id").as("min_id"),
+          max("published").as("max_pub"))
+        .orderBy("category")
+    }),
+    // JSON serialization of result rows (reference serializes responses
+    // via json.dumps, query_endpoint.py:132).
+    "json_roundtrip" -> ((s, dir) => {
+      EventQueries.load(s, dir)
+        .filter(col("event_id") < 50)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"))).as("js"))
+        .orderBy("event_id")
+    }),
+    // Date/time scalar functions over the orders dates.
+    "date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          min(dayofmonth(col("o_orderdate"))).as("min_day"),
+          max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("max_date"))
+        .orderBy("y", "m")
+    }),
+    // Math scalar functions folded into one aggregate.
+    "math_funcs" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .agg(round(sum(sqrt(col("l_quantity")) + pow(col("l_discount"), 2)
+          + log(col("l_extendedprice")) + abs(col("l_tax") - 0.05)), 2)
+          .as("v"),
+          round(min(ceil(col("l_extendedprice")).cast("double")), 2).as("mn"),
+          round(max(floor(col("l_extendedprice")).cast("double")), 2).as("mx"))
+    }),
+    // CUBE: all grouping combinations (rollup already covered).
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "feed_ingest" ->
+      """WITH feed AS (
+        |  SELECT 'arxiv:' || i AS id,
+        |    'cs.' || CASE WHEN i % 4 = 0 THEN 'DB' WHEN i % 4 = 1 THEN 'LG'
+        |                  WHEN i % 4 = 2 THEN 'IR' ELSE 'DC' END AS category,
+        |    CAST(DATE '2020-01-01' + CAST(i % 365 AS INT) AS VARCHAR)
+        |      AS published
+        |  FROM range(0, 1000) t(i))
+        |SELECT category, count(*) AS n, min(id) AS min_id,
+        |       max(published) AS max_pub
+        |FROM feed GROUP BY category ORDER BY category""".stripMargin,
+    "json_roundtrip" ->
+      """SELECT event_id,
+        |  to_json(struct_pack(event_id := event_id,
+        |                      event_type := event_type)) AS js
+        |FROM events WHERE event_id < 50 ORDER BY event_id""".stripMargin,
+    "date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m, count(*) AS n,
+        |  CAST(min(day(o_orderdate)) AS INT) AS min_day,
+        |  max(strftime(o_orderdate, '%Y-%m-%d')) AS max_date
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+    "math_funcs" ->
+      """SELECT round(sum(sqrt(l_quantity) + pow(l_discount, 2)
+        |  + ln(l_extendedprice) + abs(l_tax - 0.05)), 2) AS v,
+        |  round(min(ceil(l_extendedprice)), 2) AS mn,
+        |  round(max(floor(l_extendedprice)), 2) AS mx
+        |FROM lineitem""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+  )
+}
