@@ -1,0 +1,125 @@
+package graft
+
+import graft.embed.Embedder
+import graft.functions.Metric
+import graft.index.{IndexCatalog, IndexMeta, VectorIndex}
+import graft.search.{Ann, Knn}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Drop-in façade with the reference client's ergonomics, so a user of
+  * `VectorSearchClient` can switch call-for-call:
+  *
+  *   reference (src/databricks/syntetic_data.py:84-107,195-211;
+  *   query_endpoint.py:122-147)             | graft
+  *   ----------------------------------------|---------------------------
+  *   `VectorSearchClient()`                  | `VectorSearch(spark, root)`
+  *   `create_endpoint(name, type)`           | `createEndpoint(name)`
+  *   `create_delta_sync_index(endpoint,      | `createDeltaSyncIndex(...)`
+  *      source_table, index_name, TRIGGERED, |   (managed mode embeds with
+  *      pk, embedding_{source|vector}_column)|   the engine's Embedder;
+  *                                           |   self-managed indexes the
+  *                                           |   precomputed vector col)
+  *   `get_index(endpoint, name)`             | `getIndex(name)`
+  *   `index.sync()`                          | `Index.sync(changes)`
+  *   `index.similarity_search(columns,       | `Index.similaritySearch(...)`
+  *      query_text | query_vector,           |   → rows of requested cols
+  *      num_results)`                        |   + trailing score
+  *
+  * Everything executes as Spark plans — no service, no driver-side loops.
+  */
+final class VectorSearch(spark: SparkSession, root: String) {
+
+  private val catalog = new IndexCatalog(root)
+  private val endpoints = scala.collection.mutable.Set[String]()
+  private val sources = scala.collection.mutable.Map[String, DataFrame]()
+  // managed-embedding indexes remember (embedder, text column) so sync
+  // can re-embed changed rows, as the reference's delta-sync service does
+  private val embedders =
+    scala.collection.mutable.Map[String, (Embedder, String)]()
+
+  /** Endpoints are a namespace in the reference; idempotent here. */
+  def createEndpoint(name: String): this.type = { endpoints += name; this }
+  def getEndpoint(name: String): Boolean = endpoints.contains(name)
+
+  /** Managed-embedding mode ("client"): the engine embeds `textCol`
+    * itself at build/sync/query time. */
+  def createDeltaSyncIndex(endpoint: String, source: DataFrame,
+      indexName: String, primaryKey: String, embeddingSourceColumn: String,
+      embedder: Embedder): Index = {
+    require(getEndpoint(endpoint), s"endpoint $endpoint does not exist")
+    val embedded = embedder.embed(source, embeddingSourceColumn)
+    val idx = catalog.create(indexName, primaryKey, "embedding",
+      embedder.dim, Metric.Cosine)
+    idx.rebuild(embedded)
+    sources(indexName) = source
+    embedders(indexName) = (embedder, embeddingSourceColumn)
+    new Index(spark, idx, Some((embedder, embeddingSourceColumn)))
+  }
+
+  /** Self-managed-vectors mode ("custom"): index a precomputed
+    * `array<float>` column. */
+  def createDeltaSyncIndex(endpoint: String, source: DataFrame,
+      indexName: String, primaryKey: String, embeddingVectorColumn: String,
+      embeddingDimension: Int): Index = {
+    require(getEndpoint(endpoint), s"endpoint $endpoint does not exist")
+    val idx = catalog.create(indexName, primaryKey, embeddingVectorColumn,
+      embeddingDimension, Metric.Cosine)
+    idx.rebuild(source)
+    sources(indexName) = source
+    new Index(spark, idx, None)
+  }
+
+  def getIndex(name: String): Option[Index] =
+    catalog.get(name).map(i => new Index(spark, i, embedders.get(name)))
+
+  def deleteIndex(name: String): Unit = catalog.drop(spark, name)
+}
+
+/** Handle mirroring the reference's index object. */
+final class Index(spark: SparkSession, underlying: VectorIndex,
+    embedder: Option[(Embedder, String)]) {
+
+  def meta: IndexMeta = underlying.meta
+
+  /** similarity_search with a precomputed query vector (QE:142-146). */
+  def similaritySearch(columns: Seq[String], queryVector: Seq[Float],
+      numResults: Int): DataFrame =
+    Knn.singleQuery(underlying.read(spark), meta.vecCol, meta.pkCol,
+      normalized(queryVector), numResults, Metric.Cosine, columns)
+      .drop("rank")
+
+  /** similarity_search with query text — embeds the query through the
+    * index's embedder, then searches (QE:126-131; both reference paths
+    * collapse to the same plan here). */
+  def similaritySearch(columns: Seq[String], queryText: String,
+      numResults: Int): DataFrame = {
+    val (e, _) = embedder.getOrElse(throw new IllegalStateException(
+      "index has self-managed vectors; embed the query yourself " +
+        "(reference custom mode sends query_vector)"))
+    import spark.implicits._
+    val qdf = e.embed(Seq(Tuple1(queryText)).toDF("__qtext"), "__qtext")
+    val qv = qdf.select("embedding").head().getSeq[Float](0)
+    similaritySearch(columns, qv, numResults)
+  }
+
+  /** Incremental sync from a change batch (delta-sync TRIGGERED). A
+    * managed-embedding index embeds the changed rows first — the change
+    * feed carries source rows, not vectors. */
+  def sync(changes: DataFrame): Unit = {
+    val prepared = embedder match {
+      case Some((e, textCol)) => e.embed(changes, textCol)
+      case None => changes
+    }
+    underlying.sync(spark, prepared)
+  }
+
+  def describe: DataFrame = underlying.stats(spark)
+
+  /** Index vectors are L2-normalized at build; normalize the query too
+    * so reported cosine scores stay in [-1, 1]. */
+  private def normalized(v: Seq[Float]): Seq[Float] = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (n == 0.0) v else v.map(x => (x / n).toFloat)
+  }
+}

@@ -52,9 +52,64 @@ object EventQueries {
           max("k").as("max_k"))
         .orderBy("event_type")
     }),
+    // As-of join: attribute each click to the most recent purchase at or
+    // before it (backward as-of per user), then aggregate.
+    "asof_attribution" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      val purchases = graft.operators.Dedup.exactFirstWins(
+        e.filter(col("event_type") === "purchase")
+          .withColumn("__neg", -col("event_id")),
+        Seq("user_id", "ts"), "__neg")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_id"),
+          col("value").as("p_value"))
+      val joined = graft.operators.AsOfJoin.backward(
+        clicks, purchases, keyCols = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        leftCols = Seq("event_id", "value"),
+        rightCols = Seq("p_id", "p_value"), tieBreak = "p_id")
+      joined.groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("p_id")).as("n_attributed"),
+          round(coalesce(sum(col("p_value")), lit(0.0)), 2)
+            .as("attributed_value"))
+        .orderBy("user_id")
+    }),
+    // Statistical aggregates: exact percentiles, stddev, correlation.
+    "ev_stats" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy("event_type")
+        .agg(round(percentile(col("value"), lit(0.5)), 4).as("med"),
+          round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+          round(stddev_samp(col("value")), 4).as("sd"),
+          round(corr(col("value"), col("user_id").cast("double")), 6)
+            .as("cor"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "asof_attribution" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, ts, max(event_id) AS p_id,
+        |         max_by(value, event_id) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.user_id, count(*) AS n_clicks,
+        |       count(p.p_id) AS n_attributed,
+        |       round(coalesce(sum(p.p_value), 0), 2) AS attributed_value
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    "ev_stats" ->
+      """SELECT event_type, round(median(value), 4) AS med,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(stddev_samp(value), 4) AS sd,
+        |  round(corr(value, CAST(user_id AS DOUBLE)), 6) AS cor
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value

@@ -1,0 +1,54 @@
+package graft.tools
+
+import graft.VectorSearch
+import graft.embed.HashProjectionEmbedder
+import graft.index.ChangeLog
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end walkthrough of the reference notebook flow on the public
+  * API: endpoint → managed-embedding delta-sync index over the
+  * `documents` corpus → similarity_search by text → incremental sync →
+  * search again. Run: `sbt "runMain graft.tools.Demo /root/testdata/sf0.001"`. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = java.nio.file.Files.createTempDirectory("graft_demo").toString
+    val vs = new VectorSearch(spark, root)
+    vs.createEndpoint("vector-search-endpoint")
+
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val index = vs.createDeltaSyncIndex("vector-search-endpoint", corpus,
+      "demo_idx", primaryKey = "id", embeddingSourceColumn = "text",
+      embedder = new HashProjectionEmbedder(64))
+
+    println("== similarity_search(columns=[id,text], query_text=..., k=3)")
+    index.similaritySearch(Seq("id", "text"),
+        queryText = "spark query join window hash", numResults = 3)
+      .show(20, 60)
+
+    println("== index stats")
+    index.describe.show()
+
+    println("== sync: delete the previous top hit, search again")
+    val top = index.similaritySearch(Seq("id"),
+      queryText = "spark query join window hash", numResults = 1)
+      .head().getAs[Long]("id")
+    val del = corpus.filter(col("id") === top)
+      .withColumn("__op", lit(ChangeLog.OpDelete))
+      .withColumn("__seq", lit(1L))
+    index.sync(del)
+    index.similaritySearch(Seq("id", "text"),
+        queryText = "spark query join window hash", numResults = 3)
+      .show(20, 60)
+    println(s"(doc $top deleted — must be absent above)")
+    spark.stop()
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.embed.HashProjectionEmbedder
+import graft.index.ChangeLog
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Drives the façade through the reference notebook's exact flow:
+  * endpoint → delta-sync index (managed + self-managed modes) →
+  * similarity_search (text + vector) → sync (reference
+  * src/databricks/syntetic_data.py + query_endpoint.py). */
+class VectorSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root = Files.createTempDirectory("graft_vs").toString
+
+  test("managed-embedding index: ingest → search by query text") {
+    val vs = new VectorSearch(spark, root)
+    vs.createEndpoint("vector-search-endpoint")
+    // the reference's 5-row synthetic corpus shape (id, text)
+    val corpus = Seq(
+      (1L, "spark is a distributed query engine"),
+      (2L, "vector search retrieves nearest neighbors"),
+      (3L, "dense embeddings encode text meaning"),
+      (4L, "the cat sat on the mat"),
+      (5L, "spark executes distributed dataframe queries")
+    ).toDF("id", "text")
+    val index = vs.createDeltaSyncIndex("vector-search-endpoint", corpus,
+      "managed_idx", primaryKey = "id", embeddingSourceColumn = "text",
+      embedder = new HashProjectionEmbedder(64))
+    val hits = index.similaritySearch(Seq("id", "text"),
+      queryText = "distributed spark query engine", numResults = 2)
+    val rows = hits.collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[Long]("id")).toSet.subsetOf(Set(1L, 5L)),
+      "similar docs should be the spark/query ones")
+    assert(hits.columns.toSeq === Seq("id", "text", "score"))
+  }
+
+  test("self-managed vectors index: search by query vector + sync") {
+    val vs = new VectorSearch(spark, root)
+    vs.createEndpoint("ep2")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val index = vs.createDeltaSyncIndex("ep2", emb.filter($"vec_id" < 100),
+      "custom_idx", primaryKey = "vec_id",
+      embeddingVectorColumn = "embedding", embeddingDimension = 64)
+    val qv = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val hits = index.similaritySearch(Seq("vec_id"), qv, numResults = 3)
+    assert(hits.collect().head.getAs[Long]("vec_id") === 0L,
+      "self-match ranks first")
+    // sync: delete 0, search again — 0 must vanish
+    val del = emb.filter($"vec_id" === 0)
+      .select($"vec_id", $"embedding", $"label",
+        lit(ChangeLog.OpDelete).as("__op"), lit(1L).as("__seq"))
+    index.sync(del)
+    val after = index.similaritySearch(Seq("vec_id"), qv, numResults = 3)
+    assert(!after.collect().map(_.getAs[Long]("vec_id")).contains(0L))
+  }
+
+  test("text search on a self-managed index fails with guidance") {
+    val vs = new VectorSearch(spark, root)
+    vs.createEndpoint("ep3")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(10)
+    val index = vs.createDeltaSyncIndex("ep3", emb, "custom_idx2",
+      "vec_id", "embedding", 64)
+    val err = intercept[IllegalStateException] {
+      index.similaritySearch(Seq("vec_id"), queryText = "hi", numResults = 1)
+    }
+    assert(err.getMessage.contains("self-managed"))
+  }
+
+  test("endpoint must exist before index creation") {
+    val vs = new VectorSearch(spark, root)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(5)
+    intercept[IllegalArgumentException] {
+      vs.createDeltaSyncIndex("missing", emb, "idx", "vec_id",
+        "embedding", 64)
+    }
+  }
+}
