@@ -69,9 +69,39 @@ object RagQueries {
           "\n\n")).as("context"))
       assembled.select(Context.withFallback(col("context")).as("context"))
     }),
+    // Full RAG chain with the mock extractive generator: retrieval →
+    // context → prompt → grounded answer (generation itself is the
+    // pluggable seam; the extractive default is deterministic).
+    "rag_generate" -> ((s, dir) => {
+      val ctx = queries("rag_context")(s, dir)
+        .withColumn("question", lit("what is this corpus about?"))
+      graft.rag.ExtractiveGenerator.generate(ctx, "context", "question")
+        .select(col("query_id"), col("answer"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rag_generate" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |corpus AS (
+        |  SELECT d.doc_id, e.embedding, d.text
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        |topk AS (
+        |  SELECT c.doc_id, c.text,
+        |         row_number() OVER (
+        |           ORDER BY list_cosine_similarity(c.embedding, q.qe) DESC,
+        |                    c.doc_id) AS rnk
+        |  FROM corpus c, q WHERE c.doc_id <> 0
+        |  ORDER BY rnk LIMIT 3),
+        |ctx AS (
+        |  SELECT CAST(0 AS BIGINT) AS query_id,
+        |    trim(string_agg('[' || doc_id || '] ' || text,
+        |         chr(10) || chr(10) ORDER BY rnk)) AS context
+        |  FROM topk)
+        |SELECT query_id,
+        |  regexp_replace(split_part(context, chr(10) || chr(10), 1),
+        |                 '^\[[^\]]*\] ', '') AS answer
+        |FROM ctx""".stripMargin,
     "rag_topk_dedup" ->
       """WITH corpus AS (
         |  SELECT d.doc_id, e.embedding, d.text, d.lang

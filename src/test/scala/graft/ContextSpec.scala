@@ -37,6 +37,18 @@ class ContextSpec extends SparkSpec {
       Seq("No relevant context found.", "real context"))
   }
 
+  test("extractive generator answers from the first block, refuses on empty") {
+    import graft.rag.ExtractiveGenerator
+    val df = Seq(
+      ("[10] first doc\n\n[20] second doc", "q1"),
+      ("No relevant context found.", "q2"))
+      .toDF("context", "question")
+    val out = ExtractiveGenerator.generate(df, "context", "question")
+      .select("answer").collect().map(_.getString(0))
+    assert(out(0) === "first doc")
+    assert(out(1) === "No relevant context found.")
+  }
+
   test("prompt template embeds context and question") {
     val p = Seq(("ctx here", "why?")).toDF("c", "q")
       .select(Context.prompt(col("c"), col("q")).as("p"))

@@ -1,0 +1,69 @@
+package graft
+
+/** Plan-shape assertions: correctness gates say WHAT each query returns;
+  * these pin HOW — the physical plans that survive a 100 TB scale-up.
+  * A regression here (lost pushdown, a surprise sort-merge join, an
+  * extra shuffle) is a performance bug even while results stay right. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1: filter and column pruning reach the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate filter must push into the scan")
+    assert(p.contains("ReadSchema") && !p.contains("l_partkey"),
+      "unused columns must be pruned from the scan")
+  }
+
+  test("q3/q5: dimension joins broadcast, never sort-merge") {
+    Seq("q3_revenue_topn", "q5_revenue_by_nation").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q should broadcast dims")
+      assert(!p.contains("SortMergeJoin"), s"$q must not SMJ small dims")
+    }
+  }
+
+  test("q2: global top-N is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q2_top_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("single-query knn: one scan, no data-sized shuffle") {
+    val p = plan("knn_cosine_single")
+    // the rank window runs on <= k rows post-limit; the corpus itself is
+    // never exchanged — only TakeOrdered's singlePartition gather
+    val exchanges = "Exchange (?!SinglePartition)".r
+      .findAllIn(p.replaceAll("Exchange SinglePartition", "Exchange-OK"))
+      .size
+    assert(!p.contains("Exchange hashpartitioning"),
+      "corpus must not be hash-repartitioned for a single query")
+  }
+
+  test("near-dup theta join is a broadcast NLJ, and the distance kernel " +
+    "appears as the native expression") {
+    val p = plan("near_dup_pairs")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.toLowerCase.contains("vector_cosine"),
+      "scoring must be the codegen VectorDistance, not a UDF")
+  }
+
+  test("semi/anti joins plan as semi/anti, not inner + distinct") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("feed source: column pruning reaches the DSv2 reader") {
+    val p = SparkEntry.queries("feed_ingest")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("summary") && !p.contains("authors"),
+      "unused feed columns must not be read")
+  }
+
+  test("batch knn: exactly one shuffle (the per-query window)") {
+    val p = plan("knn_batch_topk")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"expected <=1 hash exchange, got $shuffles:\n$p")
+  }
+}
