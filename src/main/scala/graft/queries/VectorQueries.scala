@@ -65,9 +65,30 @@ object VectorQueries {
         .select(col("a_id"), col("b_id"))
         .orderBy("a_id", "b_id")
     }),
+    // Custom UDAF: per-label centroid of the embedding vectors (partial
+    // aggregation map-side, like builtin aggs). First two components
+    // oracle-checked against DuckDB's per-dimension averages.
+    "vec_centroid_by_label" -> ((s, dir) => {
+      import graft.functions.VectorCentroid
+      emb(s, dir)
+        .groupBy("label")
+        .agg(VectorCentroid.centroid(col("embedding")).as("c"),
+          count(lit(1)).as("n"))
+        .select(col("label"),
+          round(element_at(col("c"), 1), 6).as("c0"),
+          round(element_at(col("c"), 2), 6).as("c1"),
+          col("n"))
+        .orderBy("label")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "vec_centroid_by_label" ->
+      """SELECT label,
+        |  round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS c0,
+        |  round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS c1,
+        |  count(*) AS n
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "knn_cosine_single" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT CAST(row_number() OVER (

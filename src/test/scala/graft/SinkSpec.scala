@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** File-format sinks/sources round-trips (csv, json, orc alongside the
+  * parquet used everywhere else) with overwrite semantics — the
+  * reference writes with mode("overwrite") + overwriteSchema
+  * (syntetic_data_arxiv.py:131). */
+class SinkSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select("doc_id", "lang", "n_chars").limit(100).cache()
+
+  private def roundTrip(fmt: String): Unit = {
+    val dir = Files.createTempDirectory(s"graft_sink_$fmt").toString + "/out"
+    docs.write.format(fmt).mode("overwrite")
+      .option("header", "true").save(dir)
+    val back = spark.read.format(fmt)
+      .option("header", "true").option("inferSchema", "true").load(dir)
+    assert(back.count() === 100, s"$fmt round-trip row count")
+    val sums = back.agg(sum(col("n_chars").cast("long"))).head().getLong(0)
+    val want = docs.agg(sum(col("n_chars"))).head().getLong(0)
+    assert(sums === want, s"$fmt round-trip content")
+  }
+
+  test("csv round-trip")(roundTrip("csv"))
+  test("json round-trip")(roundTrip("json"))
+  test("orc round-trip")(roundTrip("orc"))
+
+  test("overwrite replaces prior content (reference overwrite semantics)") {
+    val dir = Files.createTempDirectory("graft_sink_ow").toString + "/out"
+    docs.limit(10).write.mode("overwrite").parquet(dir)
+    docs.limit(3).write.mode("overwrite").parquet(dir)
+    assert(spark.read.parquet(dir).count() === 3)
+  }
+
+  test("schema evolution on overwrite (overwriteSchema analog)") {
+    val dir = Files.createTempDirectory("graft_sink_sev").toString + "/out"
+    docs.write.mode("overwrite").parquet(dir)
+    docs.withColumn("extra", lit(1)).write.mode("overwrite").parquet(dir)
+    assert(spark.read.parquet(dir).columns.contains("extra"))
+  }
+}
