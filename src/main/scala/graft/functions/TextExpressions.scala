@@ -47,7 +47,9 @@ case class WordShingles(child: Expression, n: Int)
   override def nullSafeEval(input: Any): Any = {
     val toks = TextHash.tokenize(input.asInstanceOf[UTF8String])
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    // sorted set output: lets pairwise consumers intersect by linear
+    // merge (SortedIntersectSize) instead of quadratic contains-scans
+    val seen = new java.util.TreeSet[UTF8String]()
     var i = 0
     val sp = UTF8String.fromString(" ")
     while (i <= toks.length - n) {
@@ -65,6 +67,36 @@ case class WordShingles(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `(array<string>, array<string>) → int`: intersection size of two
+  * SORTED string arrays by linear merge — O(m+n) instead of the O(m·n)
+  * of `size(filter(a, x => array_contains(b, x)))`. WordShingles emits
+  * sorted arrays precisely so pairwise Jaccard refinement (the inner
+  * loop of dedup) can use this. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0
+    val na = a.numElements(); val nb = b.numElements()
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { n += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `array<string> → array<long>`: k-seed MinHash signature. Empty input
@@ -144,6 +176,9 @@ case class TextHashEmbed(child: Expression, dim: Int)
 object TextExpressions {
   def wordShingles(c: Column, n: Int = 3): Column =
     Bridge.column(WordShingles(Bridge.expression(c), n))
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectSize(Bridge.expression(a),
+      Bridge.expression(b)))
   def minhashSig(c: Column, k: Int = 16): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), k))
   def textHashEmbed(c: Column, dim: Int = 64): Column =

@@ -42,11 +42,13 @@ object Dedup {
   }
 
   /** Jaccard from a pre-staged intersection-size column (avoids computing
-    * the set intersection twice — numerator and denominator). */
+    * the set intersection twice — numerator and denominator). Shingle
+    * arrays from WordShingles are sorted, so the intersection is a
+    * linear merge, not a quadratic contains-scan. */
   private def jaccardStaged(df: DataFrame, threshold: Double): DataFrame =
     df.withColumn("__inter",
-        size(filter(col("a_sh"), x => array_contains(col("b_sh"), x)))
-          .cast("double"))
+        graft.functions.TextExpressions
+          .sortedIntersectSize(col("a_sh"), col("b_sh")).cast("double"))
       .withColumn("jaccard",
         col("__inter") / (size(col("a_sh")) + size(col("b_sh")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
