@@ -40,9 +40,12 @@ object VectorQueries {
         .select(col("rank").cast("long").as("rnk"), col("vec_id"))
         .orderBy("rnk")
     }),
+    // Batch KNN on the bounded-heap aggregation path: partial top-k per
+    // map partition, only k rows per query per partition shuffle
+    // (the window path is equivalence-tested against it in KnnSpec).
     "knn_batch_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      Knn.batchQuery(
+      Knn.batchQueryAgg(
           corpus = e.filter(col("vec_id") >= 5L),
           queries = e.filter(col("vec_id") < 5L),
           corpusVecCol = "embedding", corpusPkCol = "vec_id",

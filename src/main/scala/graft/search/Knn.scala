@@ -86,4 +86,47 @@ object Knn {
     ranked.select((Seq("query_id", "rank") ++ cols).map(col): _*)
       .orderBy(col("query_id").asc, col("rank").asc)
   }
+
+  /** Batch top-k via bounded-heap aggregation — the scale path. The
+    * window formulation above shuffles every scored candidate
+    * (|corpus| × |queries| rows); this one partially aggregates per map
+    * partition (TopKAggregator), so only k rows per query per partition
+    * reach the exchange. Requires a long pk. Returns
+    * `(query_id, rank, <pk col>, score)` identical to [[batchQuery]].
+    */
+  def batchQueryAgg(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusVecCol: String,
+      corpusPkCol: String,
+      queryVecCol: String,
+      queryIdCol: String,
+      k: Int,
+      metric: Metric = Metric.Cosine): DataFrame = {
+    import graft.functions.TopKAgg
+    val q = broadcast(
+      queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qvec")))
+    // the aggregator keeps highest-score-first; negate L2 so smaller
+    // distances rank first, undo on output
+    val sgn = metric match {
+      case Metric.L2 => -1.0
+      case _ => 1.0
+    }
+    val scored = corpus
+      .filter(col(corpusVecCol).isNotNull)
+      .crossJoin(q)
+      .select(col("query_id"),
+        (VF.distance(col(corpusVecCol), col("__qvec"), metric) * sgn)
+          .as("score"),
+        col(corpusPkCol).cast("long").as("id"))
+    scored.groupBy("query_id")
+      .agg(TopKAgg.topk(k)(col("score"), col("id")).as("top"))
+      .select(col("query_id"),
+        posexplode(col("top")).as(Seq("pos", "cand")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("cand.id").as(corpusPkCol),
+        (col("cand.score") * sgn).as("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
 }

@@ -38,6 +38,33 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("bounded-heap batch path returns exactly the window path's rows") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("vec_id"))).toSet
+    val corpus = emb.filter($"vec_id" >= 5)
+    val queries = emb.filter($"vec_id" < 5)
+    Seq(Metric.Cosine, Metric.L2).foreach { m =>
+      val window = rows(Knn.batchQuery(corpus, queries, "embedding",
+        "vec_id", "embedding", "vec_id", 4, m))
+      val agg = rows(Knn.batchQueryAgg(corpus, queries, "embedding",
+        "vec_id", "embedding", "vec_id", 4, m))
+      assert(agg === window, s"metric $m")
+    }
+  }
+
+  test("bounded-heap path partially aggregates before the exchange") {
+    val p = Knn.batchQueryAgg(emb.filter($"vec_id" >= 5),
+      emb.filter($"vec_id" < 5), "embedding", "vec_id", "embedding",
+      "vec_id", 3, Metric.Cosine)
+      .queryExecution.executedPlan.toString
+    // partial ObjectHashAggregate/SortAggregate must appear below the
+    // shuffle: only k rows per query per partition cross the wire
+    assert(p.contains("partial_topkaggregator") ||
+      p.toLowerCase.contains("partial"), p)
+  }
+
   test("top-k of a union is contained in union of top-ks") {
     val corpusA = emb.filter($"vec_id" >= 5 && $"vec_id" < 250)
     val corpusB = emb.filter($"vec_id" >= 250)
