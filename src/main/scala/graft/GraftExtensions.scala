@@ -37,6 +37,15 @@ object GraftExtensions {
       val (a, b) = two("vector_dot", args); VectorDistance(a, b, Metric.Dot) },
     "vector_l2" -> { args: Seq[Expression] =>
       val (a, b) = two("vector_l2", args); VectorDistance(a, b, Metric.L2) },
+    "word_shingles" -> { args: Seq[Expression] =>
+      graft.functions.WordShingles(args.head, 3) },
+    "minhash_sig" -> { args: Seq[Expression] =>
+      graft.functions.MinHashSig(args.head, 16) },
+    "text_hash_embed" -> { args: Seq[Expression] =>
+      graft.functions.TextHashEmbed(args.head, 64) },
+    "sorted_intersect_size" -> { args: Seq[Expression] =>
+      val (a, b) = two("sorted_intersect_size", args)
+      graft.functions.SortedIntersectSize(a, b) },
   )
 
   /** Register on an already-built session (temp functions). */

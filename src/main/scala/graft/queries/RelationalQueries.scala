@@ -146,6 +146,20 @@ object RelationalQueries {
             .as("revenue"))
         .orderBy("o_orderpriority")
     }),
+    // Navigation + distribution window functions: lag, lead, ntile.
+    "q_window_funcs" -> ((s, dir) => {
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val byPrice = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(lag(col("o_totalprice"), 1).over(byDate), 2).as("prev_t"),
+          round(lead(col("o_totalprice"), 1).over(byDate), 2).as("next_t"),
+          ntile(4).over(byPrice).as("price_quartile"))
+        .orderBy("o_orderkey")
+    }),
     // GROUPING SETS through the SQL surface (incl. grouping() marker).
     "q_grouping_sets" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("graft_li_gs")
@@ -167,6 +181,17 @@ object RelationalQueries {
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC), 2) AS prev_t,
+        |  round(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC), 2) AS next_t,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT)
+        |    AS price_quartile
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_orderkey""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(grouping(l_returnflag) AS INT) AS g_rf

@@ -79,6 +79,53 @@ object Ann {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** Persist an IVF index partitioned BY CELL: each centroid cell is its
+    * own parquet directory, so a probe turns into partition pruning —
+    * `IN (probed cells)` prunes at the file listing, and a 1000-executor
+    * cluster reads only nProbe/k of the bytes. This is the on-disk form
+    * `queryIvf` approximates in memory. */
+  def persistIvf(index: IvfIndex, path: String): Unit = {
+    index.corpusWithCell.write.mode("overwrite")
+      .partitionBy("__cell").parquet(path)
+    index.centroids.write.mode("overwrite").parquet(path + "_centroids")
+  }
+
+  final case class PersistedIvf(path: String)
+
+  /** Query a persisted IVF index. The cell filter is a partition filter:
+    * check `.explain` for `PartitionFilters: [__cell IN (...)]` with no
+    * data-column filter — unprobed cells are never opened. */
+  def queryPersistedIvf(spark: SparkSession, idx: PersistedIvf,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      corpusPkCol: String, corpusVecCol: String, k: Int, nProbe: Int,
+      metric: Metric = Metric.Cosine): DataFrame = {
+    val centroids = spark.read.parquet(idx.path + "_centroids")
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qvec"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("__cdist", VF.l2(col("__qvec"), col("__centroid")))
+      .withColumn("__cr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__cdist").asc,
+          col("__cell").asc)))
+      .filter(col("__cr") <= nProbe)
+      .select(col("query_id"), col("__qvec"), col("__cell"))
+    // collect the (small) probed cell set → literal IN list → partition
+    // pruning at the scan; the per-query refine joins on cell id
+    val cells = probed.select("__cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(idx.path)
+      .filter(col("__cell").isin(cells: _*))
+    val cand = corpus.join(broadcast(probed), Seq("__cell"))
+    val scored = cand.withColumn("score",
+      VF.distance(col(corpusVecCol), col("__qvec"), metric))
+    val w = Window.partitionBy("query_id")
+      .orderBy(Knn.scoreOrder(col("score"), metric), col(corpusPkCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(corpusPkCol), col("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   // ---------------- LSH (random projection buckets) ----------------
 
   final case class LshIndex(model: BucketedRandomProjectionLSHModel,

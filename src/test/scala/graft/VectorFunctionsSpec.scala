@@ -59,6 +59,18 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 11.0 && r.getDouble(2) === 5.0)
   }
 
+  test("SQL surface: text expressions registered via extensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT size(word_shingles('a b c d')) ns, " +
+      "size(minhash_sig(word_shingles('a b c d'))) k, " +
+      "size(text_hash_embed('hello world')) dim, " +
+      "sorted_intersect_size(array('a','b','c'), array('b','c','d')) i")
+      .head()
+    assert(r.getInt(0) === 2 && r.getInt(1) === 16 &&
+      r.getInt(2) === 64 && r.getInt(3) === 2)
+  }
+
   test("normalize produces unit vectors; zero vector unchanged") {
     val df = Seq(Seq(3f, 4f), Seq(0f, 0f)).toDF("v")
       .select(VF.norm(VF.normalize(col("v"))).as("n"))
