@@ -97,6 +97,38 @@ object Dedup {
     jaccardStaged(withSh, threshold)
   }
 
+  /** Embedding-cosine near-duplicate pairs at scale: LSH self-join on
+    * the vector column prunes candidates, exact cosine refines. The
+    * brute-force variant (a_id < b_id cross join + cosine filter) is the
+    * oracle ground truth; this path replaces the quadratic join with
+    * bucket collisions. Vectors should be L2-normalized so the cosine
+    * threshold maps to an L2 radius: ||a-b||² = 2(1-cos). */
+  def embeddingNearDupLsh(vectors: DataFrame, idCol: String, vecCol: String,
+      cosineThreshold: Double, bucketLength: Double = 1.0,
+      numTables: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    import graft.functions.{VectorFunctions => VF}
+    val l2Radius = math.sqrt(2.0 * (1.0 - cosineThreshold))
+    val withVec = vectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("__mlvec", array_to_vector(col("v")))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("__mlvec").setOutputCol("__hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numTables)
+      .setSeed(seed)
+    val model = lsh.fit(withVec)
+    val joined = model.approxSimilarityJoin(withVec, withVec, l2Radius,
+      "l2dist")
+    joined
+      .select(col("datasetA.id").as("a_id"), col("datasetA.v").as("a_v"),
+        col("datasetB.id").as("b_id"), col("datasetB.v").as("b_v"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("score", VF.cosine(col("a_v"), col("b_v")))
+      .filter(col("score") > cosineThreshold)
+      .select(col("a_id"), col("b_id"), round(col("score"), 4).as("score"))
+  }
+
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 across token
     * hashes, sign gives the bit. Expressed with column functions only —
     * per-bit popcount via shiftright/mask. */

@@ -68,6 +68,18 @@ object VectorQueries {
         .select(col("a_id"), col("b_id"))
         .orderBy("a_id", "b_id")
     }),
+    // Scale path of near_dup_pairs: LSH self-join candidates + exact
+    // cosine refine. Rows-only (LSH hashes are JVM-side); DedupSpec
+    // asserts subset-of-brute-force and recall >= 0.8.
+    "near_dup_lsh" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => VF}
+      val e = emb(s, dir)
+        .select(col("vec_id"), VF.normalize(col("embedding")).as("embedding"))
+      graft.operators.Dedup.embeddingNearDupLsh(e, "vec_id", "embedding",
+          cosineThreshold = 0.4)
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+    }),
     // Custom UDAF: per-label centroid of the embedding vectors (partial
     // aggregation map-side, like builtin aggs). First two components
     // oracle-checked against DuckDB's per-dimension averages.

@@ -32,6 +32,29 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("LSH embedding near-dup finds the brute-force pairs on " +
+    "normalized vectors") {
+    import graft.functions.{VectorFunctions => VF}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", VF.normalize($"embedding").as("embedding"))
+    val brute = {
+      val a = emb.toDF("a_id", "a_v")
+      val b = emb.toDF("b_id", "b_v")
+      a.join(b, $"a_id" < $"b_id")
+        .filter(VF.cosine($"a_v", $"b_v") > 0.4)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val lsh = graft.operators.Dedup.embeddingNearDupLsh(
+      emb, "vec_id", "embedding", cosineThreshold = 0.4)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(lsh.subsetOf(brute), "refine must keep only true pairs")
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low (${lsh.size}/${brute.size})")
+  }
+
   test("identical texts give simhash hamming distance 0") {
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "totally different words"))
       .toDF("t1", "t2")

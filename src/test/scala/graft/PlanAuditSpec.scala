@@ -6,8 +6,12 @@ package graft
   * extra shuffle) is a performance bug even while results stay right. */
 class PlanAuditSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // other suites cache full-table reads of the same parquet paths;
+    // cached InMemoryRelations would replace the scans under audit
+    spark.sharedState.cacheManager.clearCache()
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
 
   test("q1: filter and column pruning reach the parquet scan") {
     val p = plan("q1_pricing_summary")
