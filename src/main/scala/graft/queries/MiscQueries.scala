@@ -51,6 +51,21 @@ object MiscQueries {
           round(min(ceil(col("l_extendedprice")).cast("double")), 2).as("mn"),
           round(max(floor(col("l_extendedprice")).cast("double")), 2).as("mx"))
     }),
+    // Multi-source corpus union: documents table + DSv2 feed summaries
+    // into one corpus shape, counted per origin (the union path a
+    // multi-source ingest pipeline takes before dedup/embedding).
+    "q_union_corpus" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(lit("documents").as("origin"), col("text"))
+      val feed = s.read.format("graft_feed")
+        .option("total", 1000).option("pageSize", 250).load()
+        .select(lit("feed").as("origin"), col("summary").as("text"))
+      docs.unionByName(feed)
+        .groupBy("origin")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .orderBy("origin")
+    }),
     // CUBE: all grouping combinations (rollup already covered).
     "q_cube" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -91,6 +106,18 @@ object MiscQueries {
         |  round(min(ceil(l_extendedprice)), 2) AS mn,
         |  round(max(floor(l_extendedprice)), 2) AS mx
         |FROM lineitem""".stripMargin,
+    "q_union_corpus" ->
+      """WITH feed AS (
+        |  SELECT 'Deterministic abstract number ' ||
+        |         CAST((i * 2654435761) % 1000 AS VARCHAR) AS text
+        |  FROM range(0, 1000) t(i)),
+        |unioned AS (
+        |  SELECT 'documents' AS origin, text FROM documents
+        |  UNION ALL
+        |  SELECT 'feed' AS origin, text FROM feed)
+        |SELECT origin, count(*) AS n,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM unioned GROUP BY origin ORDER BY origin""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS sum_price
