@@ -1,0 +1,72 @@
+package graft
+
+import graft.embed.Embedder
+import graft.functions.Metric
+import graft.index.{IndexMeta, VectorIndex}
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end corpus preparation: the composition a training-data
+  * pipeline runs at 100 TB, built from the engine's operators —
+  *
+  *   raw corpus → falsy/quality filter → exact dedup → near-dup removal
+  *   (MinHash+LSH, keep lowest id per duplicate cluster) → embed →
+  *   vector index
+  *
+  * Every stage is a DataFrame transform: filters are codegen'd
+  * projections, exact dedup is one key shuffle, near-dup removal
+  * shuffles bucket ids only, embedding is a single expression, and the
+  * index build is one write. Nothing collects to the driver.
+  */
+final case class PipelineReport(
+    input: Long, afterQuality: Long, afterExact: Long, afterNearDup: Long)
+
+final class CorpusPipeline(
+    minQuality: Double = 0.5,
+    nearDupJaccard: Double = 0.8,
+    shingleSize: Int = 3) {
+
+  /** Quality gate: drop null/empty and low-quality docs. */
+  def qualityFilter(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+
+  /** Exact dedup first-wins on the full text (one hash shuffle; catches
+    * byte-identical copies before the expensive near-dup pass). A
+    * prefix fingerprint is NOT a safe key here — near-dup corpora
+    * routinely share long prefixes and would be over-deduped. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.exactFirstWins(docs, Seq(textCol), idCol)
+
+  /** Near-dup removal: every LSH-confirmed duplicate pair drops its
+    * higher id — connected near-dup clusters keep their lowest member
+    * (transitively: anything paired with a smaller id leaves). */
+  def nearDupRemoval(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val losers = Dedup.minhashLshPairs(docs, idCol, textCol,
+        nearDupJaccard, n = shingleSize)
+      .select(col("b_id").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Full run: returns the cleaned, embedded corpus and stage counts;
+    * optionally persists a vector index of the result. */
+  def run(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, embedder: Embedder,
+      indexPath: Option[String] = None): (DataFrame, PipelineReport) = {
+    val input = docs.count()
+    val q = qualityFilter(docs, textCol)
+    val nQ = q.count()
+    val e = exactDedup(q, idCol, textCol)
+    val nE = e.count()
+    val nd = nearDupRemoval(e, idCol, textCol)
+    val nNd = nd.count()
+    val embedded = embedder.embed(nd, textCol)
+    indexPath.foreach { p =>
+      val idx = new VectorIndex(IndexMeta("pipeline_idx", idCol,
+        "embedding", embedder.dim, Metric.Cosine, p))
+      idx.rebuild(embedded)
+    }
+    (embedded, PipelineReport(input, nQ, nE, nNd))
+  }
+}

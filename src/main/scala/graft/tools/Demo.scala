@@ -49,6 +49,14 @@ object Demo {
         queryText = "spark query join window hash", numResults = 3)
       .show(20, 60)
     println(s"(doc $top deleted — must be absent above)")
+
+    println("== corpus pipeline: quality -> dedup -> near-dup -> embed -> index")
+    val (_, report) = new graft.CorpusPipeline(minQuality = 0.5,
+      nearDupJaccard = 0.8)
+      .run(spark, corpus.withColumnRenamed("id", "doc_id"), "doc_id", "text",
+        new HashProjectionEmbedder(64), Some(s"$root/pipeline_idx"))
+    println(s"   input=${report.input} afterQuality=${report.afterQuality} " +
+      s"afterExactDedup=${report.afterExact} afterNearDup=${report.afterNearDup}")
     spark.stop()
   }
 }
