@@ -30,6 +30,22 @@ object GraftExtensions {
         s"$name expects exactly 2 arguments, got ${args.length}")
     }
 
+  /** `f(text)` or `f(text, <int literal>)` — anything else is an error
+    * (silently dropping extra args would run with the wrong parameter). */
+  private def textAndOptInt(name: String, args: Seq[Expression],
+      default: Int): (Expression, Int) = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    args match {
+      case Seq(t) => (t, default)
+      case Seq(t, Literal(v: Int, org.apache.spark.sql.types.IntegerType)) =>
+        (t, v)
+      case Seq(_, other) => throw new IllegalArgumentException(
+        s"$name: second argument must be an integer literal, got $other")
+      case _ => throw new IllegalArgumentException(
+        s"$name expects 1 or 2 arguments, got ${args.length}")
+    }
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vector_cosine" -> { args: Seq[Expression] =>
       val (a, b) = two("vector_cosine", args); VectorDistance(a, b, Metric.Cosine) },
@@ -38,11 +54,14 @@ object GraftExtensions {
     "vector_l2" -> { args: Seq[Expression] =>
       val (a, b) = two("vector_l2", args); VectorDistance(a, b, Metric.L2) },
     "word_shingles" -> { args: Seq[Expression] =>
-      graft.functions.WordShingles(args.head, 3) },
+      val (t, n) = textAndOptInt("word_shingles", args, default = 3)
+      graft.functions.WordShingles(t, n) },
     "minhash_sig" -> { args: Seq[Expression] =>
-      graft.functions.MinHashSig(args.head, 16) },
+      val (t, k) = textAndOptInt("minhash_sig", args, default = 16)
+      graft.functions.MinHashSig(t, k) },
     "text_hash_embed" -> { args: Seq[Expression] =>
-      graft.functions.TextHashEmbed(args.head, 64) },
+      val (t, d) = textAndOptInt("text_hash_embed", args, default = 64)
+      graft.functions.TextHashEmbed(t, d) },
     "sorted_intersect_size" -> { args: Seq[Expression] =>
       val (a, b) = two("sorted_intersect_size", args)
       graft.functions.SortedIntersectSize(a, b) },

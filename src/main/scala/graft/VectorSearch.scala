@@ -1,6 +1,6 @@
 package graft
 
-import graft.embed.Embedder
+import graft.embed.{Embedder, FittedEmbedder}
 import graft.functions.Metric
 import graft.index.{IndexCatalog, IndexMeta, VectorIndex}
 import graft.search.{Ann, Knn}
@@ -33,10 +33,12 @@ final class VectorSearch(spark: SparkSession, root: String) {
   private val catalog = new IndexCatalog(root)
   private val endpoints = scala.collection.mutable.Set[String]()
   private val sources = scala.collection.mutable.Map[String, DataFrame]()
-  // managed-embedding indexes remember (embedder, text column) so sync
-  // can re-embed changed rows, as the reference's delta-sync service does
+  // managed-embedding indexes remember (FITTED embedder, text column) so
+  // sync/query re-embed in the build-time weighting space — re-fitting a
+  // corpus-dependent embedder (TF-IDF) on a tiny change batch would put
+  // synced rows in a different space and corrupt rankings
   private val embedders =
-    scala.collection.mutable.Map[String, (Embedder, String)]()
+    scala.collection.mutable.Map[String, (FittedEmbedder, String)]()
 
   /** Endpoints are a namespace in the reference; idempotent here. */
   def createEndpoint(name: String): this.type = { endpoints += name; this }
@@ -48,13 +50,14 @@ final class VectorSearch(spark: SparkSession, root: String) {
       indexName: String, primaryKey: String, embeddingSourceColumn: String,
       embedder: Embedder): Index = {
     require(getEndpoint(endpoint), s"endpoint $endpoint does not exist")
-    val embedded = embedder.embed(source, embeddingSourceColumn)
+    val fitted = embedder.fit(source, embeddingSourceColumn)
+    val embedded = fitted.transform(source, embeddingSourceColumn)
     val idx = catalog.create(indexName, primaryKey, "embedding",
       embedder.dim, Metric.Cosine)
     idx.rebuild(embedded)
     sources(indexName) = source
-    embedders(indexName) = (embedder, embeddingSourceColumn)
-    new Index(spark, idx, Some((embedder, embeddingSourceColumn)))
+    embedders(indexName) = (fitted, embeddingSourceColumn)
+    new Index(spark, idx, Some((fitted, embeddingSourceColumn)))
   }
 
   /** Self-managed-vectors mode ("custom"): index a precomputed
@@ -78,7 +81,7 @@ final class VectorSearch(spark: SparkSession, root: String) {
 
 /** Handle mirroring the reference's index object. */
 final class Index(spark: SparkSession, underlying: VectorIndex,
-    embedder: Option[(Embedder, String)]) {
+    embedder: Option[(FittedEmbedder, String)]) {
 
   def meta: IndexMeta = underlying.meta
 
@@ -98,17 +101,19 @@ final class Index(spark: SparkSession, underlying: VectorIndex,
       "index has self-managed vectors; embed the query yourself " +
         "(reference custom mode sends query_vector)"))
     import spark.implicits._
-    val qdf = e.embed(Seq(Tuple1(queryText)).toDF("__qtext"), "__qtext")
+    val qdf = e.transform(Seq(Tuple1(queryText)).toDF("__qtext"), "__qtext")
     val qv = qdf.select("embedding").head().getSeq[Float](0)
     similaritySearch(columns, qv, numResults)
   }
 
   /** Incremental sync from a change batch (delta-sync TRIGGERED). A
     * managed-embedding index embeds the changed rows first — the change
-    * feed carries source rows, not vectors. */
+    * feed carries source rows, not vectors — through the BUILD-TIME
+    * fitted embedder, so delta vectors live in the same weighting space
+    * as the indexed corpus (sync≡rebuild holds for fitted embedders). */
   def sync(changes: DataFrame): Unit = {
     val prepared = embedder match {
-      case Some((e, textCol)) => e.embed(changes, textCol)
+      case Some((e, textCol)) => e.transform(changes, textCol)
       case None => changes
     }
     underlying.sync(spark, prepared)

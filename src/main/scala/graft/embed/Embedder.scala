@@ -1,9 +1,8 @@
 package graft.embed
 
-import org.apache.spark.ml.feature.{HashingTF, IDF, Normalizer, RegexTokenizer}
-import org.apache.spark.ml.linalg.{Vector => MlVector}
+import org.apache.spark.ml.feature.{HashingTF, IDF, IDFModel, Normalizer, RegexTokenizer}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 
 /** Text → `array<float>` embedding seam.
   *
@@ -14,46 +13,78 @@ import org.apache.spark.sql.{Column, DataFrame}
   * the same contract: add `embedding: array<float>` (nullable on failure)
   * + `timestamp` to a corpus DataFrame. Everything is a distributed
   * column transform — no driver-side loops, no Python boundary.
+  *
+  * Fit/transform split: an `Embedder` may learn corpus-level state (IDF
+  * weights). `fit` captures that state once, at index build, into a
+  * [[FittedEmbedder]]; incremental sync and query-text embedding MUST go
+  * through the fitted instance so a small change batch (or a single query
+  * string) is embedded in the SAME weighting space as the indexed corpus.
+  * Re-fitting on the delta would silently produce incomparable cosine
+  * scores.
   */
 trait Embedder {
+  def dim: Int
+
+  /** Learn any corpus-level state and return the transform to apply. */
+  def fit(corpus: DataFrame, textCol: String): FittedEmbedder
+
+  /** One-shot convenience: fit on `corpus` and embed it. */
+  final def embed(corpus: DataFrame, textCol: String): DataFrame =
+    fit(corpus, textCol).transform(corpus, textCol)
+}
+
+/** The frozen transform: applies build-time state to any batch. */
+trait FittedEmbedder extends Serializable {
   def dim: Int
   /** Adds `embedding array<float>` and `timestamp` columns. Null/empty
     * text rows get a null embedding (excluded later at index build —
     * reference returns None rows on failure, syntetic_data.py:140,169). */
-  def embed(corpus: DataFrame, textCol: String): DataFrame
+  def transform(df: DataFrame, textCol: String): DataFrame
 }
 
 /** MLlib HashingTF+IDF pipeline embedder: tokenizer → hashed term
   * frequencies → inverse-document-frequency weighting → L2 normalize →
   * dense `array<float>`. Deterministic given the corpus; scales as two
-  * passes (IDF fit is one treeAggregate) + one map. */
+  * passes (IDF fit is one treeAggregate) + one map. The fitted instance
+  * carries the `IDFModel` so deltas/queries reuse build-time weights. */
 final class HashingTfIdfEmbedder(override val dim: Int = 64) extends Embedder {
 
-  override def embed(corpus: DataFrame, textCol: String): DataFrame = {
-    val withId = corpus
+  override def fit(corpus: DataFrame, textCol: String): FittedEmbedder = {
+    val tokenized = FittedTfIdf.featurize(corpus, textCol, dim)
+    val model = new IDF().setInputCol("__tf").setOutputCol("__idf")
+      .fit(tokenized)
+    new FittedTfIdf(dim, model)
+  }
+}
+
+private object FittedTfIdf {
+  def featurize(df: DataFrame, textCol: String, dim: Int): DataFrame = {
     val tok = new RegexTokenizer().setInputCol(textCol).setOutputCol("__tokens")
       .setPattern("\\s+")
     val tf = new HashingTF().setInputCol("__tokens").setOutputCol("__tf")
       .setNumFeatures(dim)
-    val tokenized = tf.transform(tok.transform(
-      withId.withColumn(textCol, coalesce(col(textCol), lit("")))))
-    val idf = new IDF().setInputCol("__tf").setOutputCol("__idf")
-      .fit(tokenized)
+    tf.transform(tok.transform(
+      df.withColumn(textCol, coalesce(col(textCol), lit("")))))
+  }
+}
+
+private final class FittedTfIdf(
+    override val dim: Int,
+    model: IDFModel) extends FittedEmbedder {
+
+  override def transform(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
     val norm = new Normalizer().setInputCol("__idf").setOutputCol("__vec")
       .setP(2.0)
-    val out = norm.transform(idf.transform(tokenized))
-    toFloatArray(out, "__vec", "embedding")
+    val out = norm.transform(model.transform(
+      FittedTfIdf.featurize(df, textCol, dim)))
+    out
+      .withColumn("embedding", vector_to_array(col("__vec"), "float32"))
       .withColumn("embedding",
         when(col(textCol).isNull || col(textCol) === "", lit(null))
           .otherwise(col("embedding")))
       .withColumn("timestamp", current_timestamp())
       .drop("__tokens", "__tf", "__idf", "__vec")
-  }
-
-  /** MLlib Vector → array<float> at the operator boundary (SURVEY.md §1.2). */
-  private def toFloatArray(df: DataFrame, in: String, out: String): DataFrame = {
-    import org.apache.spark.ml.functions.vector_to_array
-    df.withColumn(out, vector_to_array(col(in), "float32"))
   }
 }
 
@@ -61,8 +92,11 @@ final class HashingTfIdfEmbedder(override val dim: Int = 64) extends Embedder {
   * xxhash64(token, seed d) → signed contribution to dimension d. Pure
   * column expressions (codegen'd), single pass, fully streaming-safe —
   * the embedding path used when an index must be buildable in one scan
-  * at 100 TB. */
-final class HashProjectionEmbedder(override val dim: Int = 64) extends Embedder {
+  * at 100 TB. Stateless ⇒ it is its own fitted form. */
+final class HashProjectionEmbedder(override val dim: Int = 64)
+    extends Embedder with FittedEmbedder {
+
+  override def fit(corpus: DataFrame, textCol: String): FittedEmbedder = this
 
   /** The whole embed is ONE Catalyst expression
     * (graft.functions.TextHashEmbed): a HOF composition of the same math
@@ -70,7 +104,7 @@ final class HashProjectionEmbedder(override val dim: Int = 64) extends Embedder 
     * aggregates per array element — a measured ~30x blowup at bench
     * time. A single opaque node evaluates once per reference with a
     * tight loop inside. */
-  override def embed(corpus: DataFrame, textCol: String): DataFrame =
+  override def transform(corpus: DataFrame, textCol: String): DataFrame =
     corpus
       .withColumn("embedding",
         graft.functions.TextExpressions.textHashEmbed(col(textCol), dim))

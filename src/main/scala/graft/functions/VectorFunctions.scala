@@ -66,7 +66,13 @@ case class VectorDistance(left: Expression, right: Expression, metric: Metric)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // Dimension mismatch is malformed input: error loudly (matches the
+    // DuckDB oracle's list_cosine_similarity/list_distance semantics)
+    // instead of silently truncating to a plausible-but-wrong score.
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
     var i = 0
     metric match {
       case Metric.Dot =>
@@ -84,7 +90,11 @@ case class VectorDistance(left: Expression, right: Expression, metric: Metric)
           val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
           dot += x * y; na += x * x; nb += y * y; i += 1
         }
-        dot / (math.sqrt(na) * math.sqrt(nb))
+        // Zero-norm guard: 0/0 = NaN, and Spark sorts NaN ABOVE every
+        // double, so a zero embedding would rank #1 in every score-DESC
+        // top-k. Define cosine(0, ·) = 0 (no similarity) instead.
+        if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
       case Metric.L2 =>
         var s = 0.0
         while (i < n) {
@@ -121,7 +131,8 @@ case class VectorDistance(left: Expression, right: Expression, metric: Metric)
              |  double $x = $getA; double $y = $getB;
              |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
              |}
-             |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));""".stripMargin
+             |${ev.value} = ($na == 0.0 || $nb == 0.0)
+             |  ? 0.0 : $dot / (Math.sqrt($na) * Math.sqrt($nb));""".stripMargin
         case Metric.L2 =>
           val s = ctx.freshName("s")
           val d = ctx.freshName("d")
@@ -131,7 +142,12 @@ case class VectorDistance(left: Expression, right: Expression, metric: Metric)
              |}
              |${ev.value} = Math.sqrt($s);""".stripMargin
       }
-      s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      s"""if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: dimension mismatch " + $a.numElements() + " vs " +
+         |    $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |$body""".stripMargin
     })
 

@@ -28,12 +28,16 @@ final case class IndexMeta(
 
 final class VectorIndex(val meta: IndexMeta) {
 
-  /** Normalize + filter the source into index shape. */
+  /** Normalize + filter the source into index shape. Zero-norm vectors are
+    * excluded along with nulls and wrong dims: they carry no direction, so
+    * no metric can rank them meaningfully, and keeping them would put a
+    * constant-0 score row in every result set. */
   def prepare(source: DataFrame): DataFrame = {
     val valid = source.filter(col(meta.vecCol).isNotNull &&
       size(col(meta.vecCol)) === meta.dim)
     valid
       .withColumn("__norm", VF.norm(col(meta.vecCol)))
+      .filter(col("__norm") > 0.0)
       .withColumn(meta.vecCol, VF.normalize(col(meta.vecCol)))
   }
 
@@ -51,8 +55,15 @@ final class VectorIndex(val meta: IndexMeta) {
 
   /** Incremental sync: apply a change-log batch (last-write-wins by PK,
     * deletes honored, rows whose new vector is null leave the index) and
-    * atomically swap the persisted artifact. Equivalent to rebuild over
-    * source+log — asserted by the sync≡rebuild property test. */
+    * swap the persisted artifact. Equivalent to rebuild over source+log —
+    * asserted by the sync≡rebuild property test.
+    *
+    * Swap protocol: rename dst aside, rename tmp into place, then delete
+    * the old copy — a crash at any step leaves either the old or the new
+    * index present under some name, never a window with no index at all
+    * (unlike delete-then-rename). The FileSystem is resolved FROM the
+    * index path, so an s3a:// index works even when the default FS is
+    * HDFS/local. */
   def sync(spark: SparkSession, changes: DataFrame): Unit = {
     val current = read(spark)
     val latest = ChangeLog.latestPerPk(changes, meta.pkCol)
@@ -62,13 +73,15 @@ final class VectorIndex(val meta: IndexMeta) {
     val merged = current.join(changedPks, Seq(meta.pkCol), "left_anti")
       .unionByName(upserts)
     // write via temp path: parquet overwrite of a path being read is unsafe
-    val tmp = meta.path + "__tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(meta.path + "__tmp")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val dst = new org.apache.hadoop.fs.Path(meta.path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val old = new org.apache.hadoop.fs.Path(meta.path + "__old")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(old, true) // clear leftover from a previous crashed swap
+    fs.rename(dst, old)
+    fs.rename(tmp, dst)
+    fs.delete(old, true)
   }
 
   /** Index statistics — the observability a catalog needs. */
@@ -97,9 +110,9 @@ final class IndexCatalog(root: String) {
   def get(name: String): Option[VectorIndex] = indexes.get(name)
   def drop(spark: SparkSession, name: String): Unit = {
     indexes.remove(name).foreach { idx =>
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(idx.meta.path), true)
+      val p = new org.apache.hadoop.fs.Path(idx.meta.path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
     }
   }
 }

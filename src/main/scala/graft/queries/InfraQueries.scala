@@ -118,14 +118,19 @@ object InfraQueries {
         |  round(avg(sqrt(list_dot_product(embedding, embedding))), 4)
         |    AS avg_norm
         |FROM embeddings
-        |WHERE embedding IS NOT NULL AND len(embedding) = 64""".stripMargin,
+        |WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |  AND list_dot_product(embedding, embedding) > 0""".stripMargin,
     "index_sync_incremental" ->
       """WITH kept AS (
         |  SELECT vec_id, embedding FROM embeddings
-        |  WHERE vec_id < 400 AND vec_id NOT BETWEEN 0 AND 9),
+        |  WHERE vec_id < 400 AND vec_id NOT BETWEEN 0 AND 9
+        |    AND embedding IS NOT NULL AND len(embedding) = 64
+        |    AND list_dot_product(embedding, embedding) > 0),
         |ups AS (
         |  SELECT vec_id - 400 AS vec_id, embedding FROM embeddings
-        |  WHERE vec_id BETWEEN 400 AND 404),
+        |  WHERE vec_id BETWEEN 400 AND 404
+        |    AND embedding IS NOT NULL AND len(embedding) = 64
+        |    AND list_dot_product(embedding, embedding) > 0),
         |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ups)
         |SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(vec_id) AS BIGINT) AS sum_pk,

@@ -52,6 +52,28 @@ class EmbedderSpec extends SparkSpec {
     assert(cos(vecs(1L), vecs(2L)) > cos(vecs(1L), vecs(3L)))
   }
 
+  test("fitted tfidf embeds a delta batch in the build-time IDF space") {
+    val e = new HashingTfIdfEmbedder(64)
+    val corpus = Seq(
+      (1L, "spark query engine with vectors and joins"),
+      (2L, "spark query engine with vectors and aggregates"),
+      (3L, "completely unrelated cooking recipe about bread"),
+      (4L, "another doc about spark joins and shuffles")
+    ).toDF("doc_id", "text")
+    val fitted = e.fit(corpus, "text")
+    val full = fitted.transform(corpus, "text")
+      .select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // re-embedding doc 2 alone through the FITTED transform must produce
+    // the exact build-time vector; Embedder.embed (re-fit on the 1-row
+    // batch) would not — that was the sync-corruption bug
+    val delta = Seq((2L, "spark query engine with vectors and aggregates"))
+      .toDF("doc_id", "text")
+    val deltaVec = fitted.transform(delta, "text")
+      .select("embedding").head().getSeq[Float](0)
+    assert(deltaVec === full(2L))
+  }
+
   test("embedded corpus flows into index + knn end-to-end") {
     val e = new HashProjectionEmbedder(32)
     val corpus = e.embed(docs, "text")

@@ -79,6 +79,44 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(ns(1) === 0.0)
   }
 
+  test("cosine with a zero-norm vector is 0, never NaN (codegen + interp)") {
+    // NaN would sort ABOVE every double and rank #1 in score-DESC top-k
+    val codegen = eval(Metric.Cosine, Seq(0f, 0f, 0f), Seq(1f, 2f, 3f))
+    assert(codegen === 0.0 && !codegen.isNaN)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val expr = graft.functions.VectorDistance(
+      Literal.create(Array(0f, 0f)), Literal.create(Array(1f, 2f)),
+      Metric.Cosine)
+    val interp = expr.nullSafeEval(
+      ArrayData.toArrayData(Array(0f, 0f)),
+      ArrayData.toArrayData(Array(1f, 2f))).asInstanceOf[Double]
+    assert(interp === 0.0 && !interp.isNaN)
+  }
+
+  test("dimension mismatch throws, matching oracle error semantics") {
+    val ex = intercept[Exception] {
+      Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+        .select(VF.cosine(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("dimension mismatch")))
+  }
+
+  test("SQL surface: optional int-literal parameter and arity errors") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT size(word_shingles('a b c d', 2)) ns, " +
+      "size(minhash_sig(word_shingles('a b c'), 8)) k, " +
+      "size(text_hash_embed('hello', 32)) dim").head()
+    assert(r.getInt(0) === 3 && r.getInt(1) === 8 && r.getInt(2) === 32)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b', 2, 99)").collect()
+    }
+    assert(ex.getMessage.contains("1 or 2 arguments"))
+  }
+
   test("property: d(x,x)=0 for l2; cosine within [-1,1]; symmetry") {
     val rnd = new scala.util.Random(42)
     def vec(): Seq[Float] = Seq.fill(8)(rnd.nextFloat() * 20f - 10f)
