@@ -112,6 +112,16 @@ object InfraQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the embedder's aggregate shape is SQL-expressible even though the
+    // vectors aren't: every non-null non-empty text embeds to exactly
+    // `dim` floats, null/empty to NULL
+    "embed_tfidf_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN text IS NOT NULL AND text <> ''
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_embedded,
+        |  CAST(64 * sum(CASE WHEN text IS NOT NULL AND text <> ''
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS sum_dims
+        |FROM documents""".stripMargin,
     "index_build_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(DISTINCT vec_id) AS BIGINT) AS n_pk,

@@ -55,6 +55,27 @@ object VectorQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // Batch KNN through the custom whole-operator stack: TopKPerGroup
+    // LogicalPlan -> TopKStrategy -> TopKPartialExec/TopKFinalExec with
+    // the hash exchange between them (graft.plans). Same result contract
+    // as knn_batch_topk; the physical plan shape is asserted in
+    // TopKPlanSpec.
+    "knn_topk_operator" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => VF}
+      val e = emb(s, dir)
+      val q = broadcast(e.filter(col("vec_id") < 5L)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qvec")))
+      val scored = e.filter(col("vec_id") >= 5L)
+        .filter(col("embedding").isNotNull)
+        .crossJoin(q)
+        .select(col("query_id"),
+          VF.cosine(col("embedding"), col("__qvec")).as("score"),
+          col("vec_id"))
+      graft.plans.TopK.perGroup(scored, "query_id", "score", "vec_id", k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // Exact near-duplicate pairs by embedding cosine — the brute-force
     // ground truth the ANN/LSH path approximates (SURVEY.md §7.2 phase 6).
     "near_dup_pairs" -> ((s, dir) => {
@@ -123,6 +144,18 @@ object VectorQueries {
         |WHERE e.vec_id <> 0
         |ORDER BY rnk LIMIT 5""".stripMargin,
     "knn_batch_topk" ->
+      """SELECT * FROM (
+        |  SELECT q.vec_id AS query_id,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |                    c.vec_id) AS BIGINT) AS rnk,
+        |         c.vec_id
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 5 AND c.vec_id >= 5)
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+    "knn_topk_operator" ->
       """SELECT * FROM (
         |  SELECT q.vec_id AS query_id,
         |         CAST(row_number() OVER (

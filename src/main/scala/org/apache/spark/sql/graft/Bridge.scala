@@ -1,15 +1,36 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.SparkStrategy
 
 /** Minimal bridge into `private[sql]` API: wrap a Catalyst Expression as a
   * user-facing Column (Spark 4.x removed the public `new Column(expr)`
-  * constructor in favor of ColumnNode). Lives under org.apache.spark.sql
-  * solely to satisfy the access modifier; no Spark internals are modified.
+  * constructor in favor of ColumnNode), build a DataFrame from a custom
+  * LogicalPlan, and install planner strategies on a live session. Lives
+  * under org.apache.spark.sql solely to satisfy the access modifier; no
+  * Spark internals are modified.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  private def classic(spark: SparkSession): org.apache.spark.sql.classic.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+      .queryExecution.analyzed
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(classic(spark), plan)
+
+  /** Idempotently append a planner strategy to the live session. */
+  def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
+    val exp = classic(spark).experimental
+    if (!exp.extraStrategies.contains(s))
+      exp.extraStrategies = exp.extraStrategies :+ s
+  }
 }
