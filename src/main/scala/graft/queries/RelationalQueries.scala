@@ -160,6 +160,48 @@ object RelationalQueries {
           ntile(4).over(byPrice).as("price_quartile"))
         .orderBy("o_orderkey")
     }),
+    // RANGE-frame windows: value-based frames (vs the row-based frames
+    // above). A numeric band frame (orders within ±10000 of this order's
+    // price, same customer) and a trailing 30-day event-time frame —
+    // frame membership depends on the ORDER BY value, so results are
+    // deterministic under ties.
+    "q_window_range" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_ord_wr")
+      s.sql(
+        """SELECT o_orderkey, o_custkey,
+          |  count(*) OVER band AS band_n,
+          |  round(sum(o_totalprice) OVER band, 2) AS band_sum,
+          |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+          |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+          |    AS trail30_n
+          |FROM graft_ord_wr WHERE o_custkey < 100
+          |WINDOW band AS (PARTITION BY o_custkey ORDER BY o_totalprice
+          |  RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+    // Approximate sketches (HLL++ count-distinct, quantile digest) — the
+    // 100 TB path where exact distinct/percentile would shuffle every
+    // value. Oracle strategy: the query emits EXACT values plus booleans
+    // asserting the sketch landed within tolerance; the oracle computes
+    // the exact values and literal TRUEs, so a sketch drifting out of
+    // bounds fails the hash compare.
+    "q_approx_sketch" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_exact"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("n_approx"),
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_exact"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+            .as("p50_approx"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("acd_ok"),
+          col("p50_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) <=
+            col("p50_exact") * 0.05).as("pct_ok"))
+        .orderBy("l_returnflag")
+    }),
     // GROUPING SETS through the SQL surface (incl. grouping() marker).
     "q_grouping_sets" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("graft_li_gs")
@@ -192,6 +234,25 @@ object RelationalQueries {
         |    AS price_quartile
         |FROM orders WHERE o_custkey < 50
         |ORDER BY o_orderkey""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(count(*) OVER band AS BIGINT) AS band_n,
+        |  round(sum(o_totalprice) OVER band, 2) AS band_sum,
+        |  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS trail30_n
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW band AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |  RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_approx_sketch" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+        |  TRUE AS acd_ok,
+        |  round(quantile_cont(l_quantity, 0.5), 2) AS p50_exact,
+        |  TRUE AS pct_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(grouping(l_returnflag) AS INT) AS g_rf
