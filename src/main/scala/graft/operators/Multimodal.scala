@@ -76,7 +76,10 @@ object Multimodal {
 
   /** Synthesize a deterministic media table from the documents corpus
     * (payload = utf-8 bytes of the text) so the multimodal path has real
-    * rows to flow through in tests and rows-only queries. */
+    * rows to flow through in tests and oracle-checked queries. Metadata
+    * is a pure function of the text so a SQL oracle can reproduce it:
+    * images get a text-length-derived geometry, audio/video a
+    * 10 ms-per-character duration. */
   def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).cast("long").as("media_id"),
@@ -85,7 +88,48 @@ object Multimodal {
         .otherwise("video").as("kind"),
       encode(col(textCol), "UTF-8").as("content"),
       lit("application/octet-stream").as("mime"),
-      lit(null).cast("int").as("width"),
-      lit(null).cast("int").as("height"),
-      lit(null).cast("long").as("duration_ms"))
+      when(pmod(col(idCol), lit(3)) === 0,
+        (lit(16) + pmod(length(col(textCol)), lit(64))).cast("int"))
+        .otherwise(lit(null)).as("width"),
+      when(pmod(col(idCol), lit(3)) === 0,
+        (lit(16) + pmod(length(col(textCol)), lit(48))).cast("int"))
+        .otherwise(lit(null)).as("height"),
+      when(pmod(col(idCol), lit(3)) =!= 0,
+        (length(col(textCol)) * 10L).cast("long"))
+        .otherwise(lit(null)).as("duration_ms"))
+
+  /** Frame sampling: one frame every `everyMs` over `[0, duration_ms]`,
+    * endpoints inclusive — video rows explode to
+    * `(media_id, frame_idx, ts_ms, frame)`. The explosion is pure
+    * Catalyst (`sequence` + `explode`, codegen'd, fully distributed);
+    * only the frame DECODE is stubbed (a deterministic byte slice —
+    * a real impl would seek the container format and decode the frame
+    * at ts_ms here, per partition). */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
+    media
+      .filter(col("kind") === "video" && col("content").isNotNull &&
+        col("duration_ms").isNotNull)
+      .withColumn("ts_ms",
+        explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))))
+      .withColumn("frame_idx", (col("ts_ms") / everyMs).cast("long"))
+      // STUB decode: slice of the payload at a ts-dependent offset
+      .withColumn("frame",
+        expr("substring(content, cast(ts_ms % 64 AS int) + 1, 64)"))
+      .select("media_id", "frame_idx", "ts_ms", "frame")
+  }
+
+  /** Resize: image rows get `w x h` geometry and a payload bounded by
+    * the raw RGB budget `w*h*3`; non-images pass through untouched.
+    * STUB: real resampling would decode+scale per partition — the
+    * byte-budget truncation keeps the metadata/size contract honest. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val isImage = col("kind") === "image" && col("content").isNotNull
+    media
+      .withColumn("content",
+        when(isImage, expr(s"substring(content, 1, ${w * h * 3})"))
+          .otherwise(col("content")))
+      .withColumn("width", when(isImage, lit(w)).otherwise(col("width")))
+      .withColumn("height", when(isImage, lit(h)).otherwise(col("height")))
+  }
 }

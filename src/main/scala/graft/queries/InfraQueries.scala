@@ -99,6 +99,26 @@ object InfraQueries {
             .as("n_embedded"),
           sum(size(col("embedding"))).as("sum_dims"))
     }),
+    // Multimodal frame sampling: video rows explode to one row per
+    // 250 ms frame via sequence+explode; the oracle reproduces the
+    // frame grid with generate_series.
+    "mm_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(
+        docs(s, dir).filter(col("doc_id") < 60), "doc_id", "text")
+      Multimodal.sampleFrames(media, everyMs = 250L)
+        .select(col("media_id"), col("frame_idx"), col("ts_ms"))
+        .orderBy("media_id", "frame_idx")
+    }),
+    // Multimodal resize: geometry + byte-budget contract on image rows.
+    "mm_resize" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(
+        docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text")
+      Multimodal.resize(media, 64, 64)
+        .filter(col("kind") === "image" && col("content").isNotNull)
+        .select(col("media_id"), col("width"), col("height"),
+          length(col("content")).cast("long").as("n_bytes"))
+        .orderBy("media_id")
+    }),
     // Multimodal: binary payload column → partition-batched feature
     // extraction; metadata path oracle-checked, feature values ScalaTest'd.
     "multimodal_features" -> ((s, dir) => {
@@ -147,6 +167,24 @@ object InfraQueries {
         |  round(avg(sqrt(list_dot_product(embedding, embedding))), 4)
         |    AS avg_norm
         |FROM merged""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    unnest(generate_series(0, CAST(10 * length(text) AS BIGINT),
+        |      250)) AS ts
+        |  FROM documents
+        |  WHERE doc_id < 60 AND doc_id % 3 = 2 AND text IS NOT NULL)
+        |SELECT media_id, CAST(ts // 250 AS BIGINT) AS frame_idx,
+        |  CAST(ts AS BIGINT) AS ts_ms
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+        |  CAST(least(octet_length(encode(text)), 64*64*3) AS BIGINT)
+        |    AS n_bytes
+        |FROM documents
+        |WHERE doc_id < 100 AND doc_id % 3 = 0 AND text IS NOT NULL
+        |ORDER BY media_id""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -37,6 +37,42 @@ class MultimodalSpec extends SparkSpec {
     assert(f.n_bytes === 0L && f.feature.forall(_ === 0f))
   }
 
+  test("frame sampling explodes videos on the inclusive 250ms grid") {
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, everyMs = 250L)
+    val byId = frames.groupBy("media_id").agg(
+      count(lit(1)).as("n"), max("ts_ms").as("last_ts"),
+      max("frame_idx").as("last_idx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val durations = media.filter($"kind" === "video" && $"duration_ms".isNotNull)
+      .select("media_id", "duration_ms")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.keySet === durations.keySet)
+    durations.foreach { case (id, dur) =>
+      val (n, lastTs, lastIdx) = byId(id)
+      assert(n === dur / 250 + 1, s"media $id duration $dur")
+      assert(lastTs === (dur / 250) * 250 && lastIdx === dur / 250)
+    }
+    // frames carry a bounded stub payload
+    val maxLen = frames.agg(max(length($"frame"))).head().getInt(0)
+    assert(maxLen <= 64)
+  }
+
+  test("resize sets geometry and bounds payload; non-images untouched") {
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val resized = Multimodal.resize(media, 8, 8)
+    val img = resized.filter($"kind" === "image" && $"content".isNotNull)
+    assert(img.filter($"width" =!= 8 || $"height" =!= 8).count() === 0)
+    assert(img.filter(length($"content") > 8 * 8 * 3).count() === 0)
+    val audioBefore = media.filter($"kind" === "audio")
+      .select("media_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val audioAfter = resized.filter($"kind" === "audio")
+      .select("media_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(audioAfter === audioBefore)
+  }
+
   test("features feed the near-dup operator end-to-end") {
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media, 32).toDF()
