@@ -70,4 +70,38 @@ class PlanAuditSpec extends SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(shuffles <= 1, s"expected <=1 hash exchange, got $shuffles:\n$p")
   }
+
+  test("topk operator: partial below the exchange, final above, " +
+    "queries broadcast") {
+    val p = plan("knn_topk_operator")
+    assert(p.contains("TopKPartial") && p.contains("TopKFinal"),
+      s"custom exec nodes missing:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query side must broadcast, corpus must not shuffle")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"expected <=1 hash exchange, got $shuffles:\n$p")
+    // order within the plan string: final ... exchange ... partial
+    val (fi, ei, pi) = (p.indexOf("TopKFinal"),
+      p.indexOf("Exchange hashpartitioning"), p.indexOf("TopKPartial"))
+    assert(fi >= 0 && fi < ei && ei < pi,
+      s"exchange must sit between final and partial:\n$p")
+  }
+
+  test("frame sampling: doc filter pushed to the scan, explode is " +
+    "native Generate") {
+    val p = plan("mm_frame_sample")
+    assert(p.contains("PushedFilters") && p.contains("LessThan(doc_id,60"),
+      s"doc_id predicate must reach the parquet scan:\n$p")
+    assert(p.contains("Generate explode"),
+      "frame grid must be a codegen explode, not a UDF")
+  }
+
+  test("approx sketch: partial+final aggregation, one shuffle") {
+    val p = plan("q_approx_sketch")
+    assert(p.toLowerCase.contains("partial_approx_count_distinct") ||
+      p.contains("partial_"),
+      s"sketch agg must be map-side partial:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"expected <=2 hash exchanges, got $shuffles:\n$p")
+  }
 }
