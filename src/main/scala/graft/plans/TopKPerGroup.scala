@@ -65,6 +65,10 @@ object TopKStrategy extends SparkStrategy {
       val partial = TopKPartialExec(t.groupKey, t.score, t.payload, t.k,
         t.descending, partialOut, planLater(t.child))
       TopKFinalExec(t.output, t.k, t.descending, partial) :: Nil
+    case w: WindowTopK =>
+      WindowTopKFinalExec(w.partitionSpec, w.orderSpec, w.k, w.rankAttr,
+        WindowTopKPartialExec(w.partitionSpec, w.orderSpec, w.k,
+          planLater(w.child))) :: Nil
     case _ => Nil
   }
 }

@@ -202,6 +202,21 @@ object RelationalQueries {
             col("p50_exact") * 0.05).as("pct_ok"))
         .orderBy("l_returnflag")
     }),
+    // The WindowTopKRewrite optimizer rule end-to-end: the user writes
+    // the DECLARATIVE row_number window + filter; the rule swaps in the
+    // partial/final heap operator (no sort, pruned shuffle). The oracle
+    // runs the same SQL in DuckDB — proving rewrite ≡ window semantics.
+    "q_window_topk_rewrite" -> ((s, dir) => {
+      graft.plans.WindowTopK.enable(s)
+      t(s, dir, "orders").createOrReplaceTempView("graft_ord_tk")
+      s.sql(
+        """SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey
+          |FROM (SELECT o_custkey, o_orderkey,
+          |        row_number() OVER (PARTITION BY o_custkey
+          |          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          |      FROM graft_ord_tk WHERE o_custkey < 200)
+          |WHERE rnk <= 2 ORDER BY o_custkey, rnk""".stripMargin)
+    }),
     // GROUPING SETS through the SQL surface (incl. grouping() marker).
     "q_grouping_sets" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("graft_li_gs")
@@ -245,6 +260,13 @@ object RelationalQueries {
         |WINDOW band AS (PARTITION BY o_custkey ORDER BY o_totalprice
         |  RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_window_topk_rewrite" ->
+      """SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey
+        |FROM (SELECT o_custkey, o_orderkey,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders WHERE o_custkey < 200)
+        |WHERE rnk <= 2 ORDER BY o_custkey, rnk""".stripMargin,
     "q_approx_sketch" ->
       """SELECT l_returnflag,
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
