@@ -35,10 +35,13 @@ case class WindowTopK(
   *
   *   Filter(rank <= k, Window(row_number() AS rank, part, order, child))
   *
-  * into [[WindowTopK]]. Spark's own InferWindowGroupLimit only inserts
-  * a pre-window limit (the sort and full shuffle remain); this rewrite
-  * removes both — each map partition forwards at most k rows per group
-  * and nothing is ever sorted. The rank attribute keeps its exprId, so
+  * into [[WindowTopK]]. Spark's own InferWindowGroupLimit already
+  * prunes the shuffle (partial WindowGroupLimit before the exchange)
+  * but FULLY SORTS every map partition first and sorts again after the
+  * exchange; this rewrite replaces both sorts with O(n log k) bounded
+  * heaps whose memory is O(groups * k) rows — nothing to spill, and
+  * ~20% faster warm at 5M rows / 50k groups / k=3 on local[4]
+  * (tools.TopKBench). The rank attribute keeps its exprId, so
   * downstream references resolve unchanged.
   *
   * Strictly guarded: single row_number window expression, non-empty

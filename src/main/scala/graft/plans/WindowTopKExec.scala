@@ -3,29 +3,45 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.expressions.{Ascending, NullsFirst, NullsLast}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, NullsFirst}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 
 /** Bounded-heap kernel over whole rows with an arbitrary SortOrder
-  * ordering — the executor-side of [[WindowTopK]]. Entries keep the
-  * evaluated (copied) sort keys plus a copy of the full row; groups key
-  * a hash map by the copied partition values (Vector equality gives
-  * value semantics for UTF8String etc.). */
-private[plans] final class RowGroupHeaps(k: Int, order: Seq[SortOrder]) {
+  * ordering — the executor side of [[WindowTopK]].
+  *
+  * Hot-loop discipline: rows that do NOT enter a heap (the overwhelming
+  * majority once heaps fill) allocate nothing but boxed eval results —
+  * sort keys are evaluated into a reused scratch array and compared
+  * against the heap head in place; the group lookup uses the transient
+  * (uncopied) value, valid for the duration of the call. Only inserted
+  * rows pay the copies (group value on first sight, keys + full row on
+  * insert). Memory is O(groups * k) rows — no sort buffer, nothing to
+  * spill, unlike the sort-based WindowGroupLimit path this replaces.
+  */
+private[plans] final class RowGroupHeaps(
+    k: Int,
+    order: Seq[SortOrder],
+    part: Seq[Expression],
+    input: Seq[Attribute]) {
 
   final class Entry(val keys: Array[Any], val row: InternalRow)
 
-  private val ords = order.map(s => TypeUtils.getInterpretedOrdering(s.child.dataType)).toArray
+  private val partB = part.map(BindReferences.bindReference(_, input)).toArray
+  private val keyB =
+    order.map(s => BindReferences.bindReference(s.child, input)).toArray
+  private val ords =
+    order.map(s => TypeUtils.getInterpretedOrdering(s.child.dataType)).toArray
   private val desc = order.map(_.direction != Ascending).toArray
   private val nullsFirst = order.map(_.nullOrdering == NullsFirst).toArray
+  private val scratch = new Array[Any](keyB.length)
 
   /** negative = a sorts earlier (ranks better), per the full SortOrder. */
   private def cmpKeys(a: Array[Any], b: Array[Any]): Int = {
     var i = 0
     while (i < ords.length) {
-      val (x, y) = (a(i), b(i))
+      val x = a(i); val y = b(i)
       val c =
         if (x == null && y == null) 0
         else if (x == null) { if (nullsFirst(i)) -1 else 1 }
@@ -45,17 +61,43 @@ private[plans] final class RowGroupHeaps(k: Int, order: Seq[SortOrder]) {
     override def compare(x: Entry, y: Entry): Int = cmpKeys(y.keys, x.keys)
   }
 
-  private val heaps = new java.util.HashMap[Vector[Any], java.util.PriorityQueue[Entry]]()
+  private val heaps = new java.util.HashMap[Any, java.util.PriorityQueue[Entry]]()
 
-  def offer(group: Vector[Any], keys: Array[Any], row: InternalRow): Unit = {
-    var heap = heaps.get(group)
+  private def copied(src: Array[Any]): Array[Any] = {
+    val out = new Array[Any](src.length)
+    var i = 0
+    while (i < src.length) { out(i) = InternalRow.copyValue(src(i)); i += 1 }
+    out
+  }
+
+  def offer(row: InternalRow): Unit = {
+    // transient group value: content-valid during this call; copied only
+    // when it first keys a heap
+    val gRaw: Any =
+      if (partB.length == 1) partB(0).eval(row)
+      else {
+        val a = new Array[Any](partB.length)
+        var i = 0
+        while (i < partB.length) { a(i) = partB(i).eval(row); i += 1 }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+      }
+    var heap = heaps.get(gRaw)
     if (heap == null) {
       heap = new java.util.PriorityQueue[Entry](k + 1, cmp)
-      heaps.put(group, heap)
+      val gSafe =
+        if (partB.length == 1) InternalRow.copyValue(gRaw)
+        else scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          copied(gRaw.asInstanceOf[scala.collection.immutable.ArraySeq[Any]]
+            .unsafeArray.asInstanceOf[Array[Any]]))
+      heaps.put(gSafe, heap)
     }
-    if (heap.size < k) heap.add(new Entry(keys, row))
-    else if (cmpKeys(keys, heap.peek().keys) < 0) {
-      heap.poll(); heap.add(new Entry(keys, row))
+    var i = 0
+    while (i < keyB.length) { scratch(i) = keyB(i).eval(row); i += 1 }
+    if (heap.size < k) {
+      heap.add(new Entry(copied(scratch), row.copy()))
+    } else if (cmpKeys(scratch, heap.peek().keys) < 0) {
+      heap.poll()
+      heap.add(new Entry(copied(scratch), row.copy()))
     }
   }
 
@@ -68,33 +110,6 @@ private[plans] final class RowGroupHeaps(k: Int, order: Seq[SortOrder]) {
       while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
       arr
     }
-  }
-}
-
-private[plans] object RowGroupHeaps {
-  /** Evaluators bound to `input`; group values and sort keys are copied
-    * out of the (reused) input row buffers. */
-  def bind(part: Seq[Expression], order: Seq[SortOrder],
-      input: Seq[Attribute]): (InternalRow => Vector[Any], InternalRow => Array[Any]) = {
-    val partB = part.map(BindReferences.bindReference(_, input)).toArray
-    val keyB = order.map(s => BindReferences.bindReference(s.child, input)).toArray
-    val groupOf = (row: InternalRow) => {
-      val b = Vector.newBuilder[Any]
-      var i = 0
-      while (i < partB.length) {
-        b += InternalRow.copyValue(partB(i).eval(row)); i += 1
-      }
-      b.result()
-    }
-    val keysOf = (row: InternalRow) => {
-      val ks = new Array[Any](keyB.length)
-      var i = 0
-      while (i < keyB.length) {
-        ks(i) = InternalRow.copyValue(keyB(i).eval(row)); i += 1
-      }
-      ks
-    }
-    (groupOf, keysOf)
   }
 }
 
@@ -113,11 +128,8 @@ case class WindowTopKPartialExec(
     val (part, order, kk) = (partitionSpec, orderSpec, k)
     val input = child.output
     child.execute().mapPartitions({ iter =>
-      val (groupOf, keysOf) = RowGroupHeaps.bind(part, order, input)
-      val heaps = new RowGroupHeaps(kk, order)
-      iter.foreach { row =>
-        heaps.offer(groupOf(row), keysOf(row), row.copy())
-      }
+      val heaps = new RowGroupHeaps(kk, order, part, input)
+      iter.foreach(heaps.offer)
       heaps.drain().flatMap(_.iterator.map(_.row))
     }, preservesPartitioning = true)
   }
@@ -146,11 +158,8 @@ case class WindowTopKFinalExec(
     val input = child.output
     val outTypes = output.map(_.dataType).toArray
     child.execute().mapPartitions({ iter =>
-      val (groupOf, keysOf) = RowGroupHeaps.bind(part, order, input)
-      val heaps = new RowGroupHeaps(kk, order)
-      iter.foreach { row =>
-        heaps.offer(groupOf(row), keysOf(row), row.copy())
-      }
+      val heaps = new RowGroupHeaps(kk, order, part, input)
+      iter.foreach(heaps.offer)
       val proj = UnsafeProjection.create(outTypes)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
