@@ -202,6 +202,29 @@ object RelationalQueries {
             col("p50_exact") * 0.05).as("pct_ok"))
         .orderBy("l_returnflag")
     }),
+    // PIVOT: long-to-wide reshape with an explicit value list (explicit
+    // values keep the plan a single pass — no distinct-collect job).
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum("l_quantity"), 2))
+        .orderBy("l_linestatus")
+    }),
+    // Rank-family window functions: rank / dense_rank / percent_rank /
+    // cume_dist (all deterministic under ties, unlike row_number).
+    "q_window_rank_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 30)
+        .select(col("o_orderkey"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          round(percent_rank().over(w), 4).as("prnk"),
+          round(cume_dist().over(w), 4).as("cdist"))
+        .orderBy("o_orderkey")
+    }),
     // The WindowTopKRewrite optimizer rule end-to-end: the user writes
     // the DECLARATIVE row_number window + filter; the rule swaps in the
     // partial/final heap operator (no sort, pruned shuffle). The oracle
@@ -259,6 +282,22 @@ object RelationalQueries {
         |FROM orders WHERE o_custkey < 100
         |WINDOW band AS (PARTITION BY o_custkey ORDER BY o_totalprice
         |  RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+        |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "q_window_rank_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER w, 4) AS prnk,
+        |  round(cume_dist() OVER w, 4) AS cdist
+        |FROM orders WHERE o_custkey < 30
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC)
         |ORDER BY o_orderkey""".stripMargin,
     "q_window_topk_rewrite" ->
       """SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey
