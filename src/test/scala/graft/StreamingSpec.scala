@@ -37,6 +37,81 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding-window aggregation assigns events to overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window($"ts", "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("slide_agg").start()
+    try {
+      input.addData((ts(7), 1.0))
+      q.processAllAvailable()
+      val starts = spark.table("slide_agg")
+        .select($"window.start").collect().map(_.getTimestamp(0)).toSet
+      // an event at 10:07 belongs to [10:00,10:10) and [10:05,10:15)
+      assert(starts === Set(ts(0), ts(5)))
+    } finally q.stop()
+  }
+
+  test("session windows close after the gap; separate bursts separate") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "user")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window($"ts", "5 minutes"), $"user")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_agg").start()
+    try {
+      input.addData((ts(0), "u1"), (ts(1), "u1"), (ts(2), "u1"),
+        (ts(20), "u1"), (ts(21), "u1"))
+      q.processAllAvailable()
+      // advance the watermark past both sessions so Append emits them
+      input.addData((ts(55), "u2"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_agg")
+        .where($"user" === "u1")
+        .select($"session_window.start", $"session_window.end", $"n")
+        .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1),
+          r.getLong(2))).sortBy(_._1.getTime)
+      assert(rows.length === 2)
+      // first burst: 10:00-10:02 -> session [10:00, 10:07), 3 events
+      assert(rows(0) === ((ts(0), ts(7), 3L)))
+      // second burst: 10:20-10:21 -> session [10:20, 10:26), 2 events
+      assert(rows(1) === ((ts(20), ts(26), 2L)))
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped, not double-counted") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_agg").start()
+    try {
+      input.addData((ts(0), 1.0), (ts(1), 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past the first window...
+      input.addData((ts(40), 1.0))
+      q.processAllAvailable()
+      // ...then replay an event into the closed window: must be dropped
+      input.addData((ts(2), 99.0))
+      q.processAllAvailable()
+      input.addData((ts(59), 1.0))
+      q.processAllAvailable()
+      val first = spark.table("late_agg")
+        .select($"window.start", $"n").collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(first(ts(0)) === 2L, "late event must not reopen the window")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
