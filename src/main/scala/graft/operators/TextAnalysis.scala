@@ -14,10 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenizer — the BPE-ish regex split. */
+  /** Whitespace tokenizer. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
   def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword segmentation (GPT-2-style pretokenizer, kept
+    * lookaround-free so the same pattern runs under java.util.regex and
+    * RE2): contraction suffixes, space-prefixed letter runs, digit
+    * runs, punctuation runs. Subword counts approximate LLM token
+    * budgets far better than whitespace counts on punctuation-heavy or
+    * agglutinative text. */
+  val subwordPattern: String =
+    "'[a-zA-Z]{1,2}| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def subwordCount(c: Column): Column =
+    regexp_count(c, lit(subwordPattern))
 
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in")

@@ -20,7 +20,8 @@ object TextQueries {
         .agg(
           count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("sum_tokens"),
-          round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_tokens"))
+          round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_tokens"),
+          sum(TextAnalysis.subwordCount(col("text"))).as("sum_subtok"))
         .orderBy("lang")
     }),
     "text_quality_by_source" -> ((s, dir) => {
@@ -64,7 +65,10 @@ object TextQueries {
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
         |    AS sum_tokens,
         |  round(avg(len(string_split_regex(trim(text), '\s+'))), 4)
-        |    AS avg_tokens
+        |    AS avg_tokens,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '''[a-zA-Z]{1,2}| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')))
+        |    AS BIGINT) AS sum_subtok
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "text_quality_by_source" ->
       """WITH scored AS (
