@@ -76,6 +76,55 @@ object EventQueries {
             .as("attributed_value"))
         .orderBy("user_id")
     }),
+    // Forward as-of: each click attributed to the NEXT purchase at or
+    // after it (same one-shuffle union+window composition, descending
+    // scan).
+    "asof_forward" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      val purchases = graft.operators.Dedup.exactFirstWins(
+        e.filter(col("event_type") === "purchase")
+          .withColumn("__neg", -col("event_id")),
+        Seq("user_id", "ts"), "__neg")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_id"),
+          col("value").as("p_value"))
+      graft.operators.AsOfJoin.forward(
+          clicks, purchases, keyCols = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts",
+          leftCols = Seq("event_id", "value"),
+          rightCols = Seq("p_id", "p_value"), tieBreak = "p_id")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("p_id")).as("n_attributed"),
+          round(coalesce(sum(col("p_value")), lit(0.0)), 2)
+            .as("attributed_value"))
+        .orderBy("user_id")
+    }),
+    // Nearest as-of: closer of the two directions, ties backward
+    // (pandas merge_asof parity); both scans share one shuffle.
+    "asof_nearest" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      val purchases = graft.operators.Dedup.exactFirstWins(
+        e.filter(col("event_type") === "purchase")
+          .withColumn("__neg", -col("event_id")),
+        Seq("user_id", "ts"), "__neg")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_id"),
+          col("value").as("p_value"))
+      graft.operators.AsOfJoin.nearest(
+          clicks, purchases, keyCols = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts",
+          leftCols = Seq("event_id", "value"),
+          rightCols = Seq("p_id", "p_value"), tieBreak = "p_id")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("p_id")).as("n_attributed"),
+          round(coalesce(sum(col("p_value")), lit(0.0)), 2)
+            .as("attributed_value"))
+        .orderBy("user_id")
+    }),
     // Statistical aggregates: exact percentiles, stddev, correlation.
     "ev_stats" -> ((s, dir) => {
       ev(s, dir)
@@ -104,6 +153,55 @@ object EventQueries {
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    "asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, ts, max(event_id) AS p_id,
+        |         max_by(value, event_id) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.user_id, count(*) AS n_clicks,
+        |       count(p.p_id) AS n_attributed,
+        |       round(coalesce(sum(p.p_value), 0), 2) AS attributed_value
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    "asof_nearest" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, ts, max(event_id) AS p_id,
+        |         max_by(value, event_id) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |b AS (
+        |  SELECT c.event_id, c.user_id, c.ts,
+        |         p.ts AS b_ts, p.p_id AS b_id, p.p_value AS b_value
+        |  FROM clicks c ASOF LEFT JOIN purch p
+        |    ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |f AS (
+        |  SELECT c.event_id,
+        |         p.ts AS f_ts, p.p_id AS f_id, p.p_value AS f_value
+        |  FROM clicks c ASOF LEFT JOIN purch p
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts),
+        |pick AS (
+        |  SELECT b.user_id,
+        |    CASE WHEN f.f_id IS NULL THEN b.b_id
+        |         WHEN b.b_id IS NULL THEN f.f_id
+        |         WHEN abs(epoch(f.f_ts) - epoch(b.ts))
+        |              < abs(epoch(b.ts) - epoch(b.b_ts)) THEN f.f_id
+        |         ELSE b.b_id END AS p_id,
+        |    CASE WHEN f.f_id IS NULL THEN b.b_value
+        |         WHEN b.b_id IS NULL THEN f.f_value
+        |         WHEN abs(epoch(f.f_ts) - epoch(b.ts))
+        |              < abs(epoch(b.ts) - epoch(b.b_ts)) THEN f.f_value
+        |         ELSE b.b_value END AS p_value
+        |  FROM b JOIN f ON b.event_id = f.event_id)
+        |SELECT user_id, count(*) AS n_clicks,
+        |       count(p_id) AS n_attributed,
+        |       round(coalesce(sum(p_value), 0), 2) AS attributed_value
+        |FROM pick GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ev_stats" ->
       """SELECT event_type, round(median(value), 4) AS med,
         |  round(quantile_cont(value, 0.9), 4) AS p90,
