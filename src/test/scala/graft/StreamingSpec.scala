@@ -112,6 +112,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits zero-or-more rows per group " +
+    "(threshold alerts)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val alerts = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Double)],
+         state: GroupState[Double]) =>
+          val before = state.getOption.getOrElse(0.0)
+          val total = before + rows.map(_._2).sum
+          state.update(total)
+          // emit only on crossing the threshold — zero rows otherwise
+          if (before < 10.0 && total >= 10.0) Iterator((key, total))
+          else Iterator.empty
+      }
+    val q = alerts.toDF("k", "total").writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("alerts").start()
+    try {
+      input.addData(("a", 6.0), ("b", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("alerts").count() === 0)
+      input.addData(("a", 5.0), ("b", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("alerts").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(rows === Map("a" -> 11.0)) // only a crossed 10
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
