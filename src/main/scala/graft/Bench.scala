@@ -10,6 +10,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+    graft.plans.WindowTopK.enable(spark)
     // Untimed warmup: JIT, whole-stage-codegen compiler, parquet footer/
     // codec init, and the first-read path otherwise land on whichever
     // query happens to run first (~5 s of constant cost unrelated to any

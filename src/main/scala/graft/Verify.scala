@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the engine's standard session setup: SQL function surface + the
+    // window-top-k rewrite (strictly guarded; every affected query is
+    // oracle-checked, so the rewrite itself is under test here)
+    GraftExtensions.register(spark)
+    graft.plans.WindowTopK.enable(spark)
     new java.io.File(outDir).mkdirs()
     // Run queries concurrently: Spark's scheduler interleaves independent
     // jobs from multiple submitter threads (FIFO pools), overlapping each
