@@ -58,6 +58,55 @@ class VectorSearchSpec extends SparkSpec {
     assert(!after.collect().map(_.getAs[Long]("vec_id")).contains(0L))
   }
 
+  test("fitted-embedder (TF-IDF) managed sync keeps scores in the " +
+    "build-time space: sync ≡ rebuild") {
+    import graft.embed.HashingTfIdfEmbedder
+    val corpus = Seq(
+      (1L, "spark is a distributed query engine"),
+      (2L, "vector search retrieves nearest neighbors"),
+      (3L, "dense embeddings encode text meaning"),
+      (4L, "the cat sat on the mat"),
+      (5L, "spark executes distributed dataframe queries")
+    ).toDF("id", "text")
+    val update = Seq((4L, "spark query planning with catalyst"))
+      .toDF("id", "text")
+
+    // sync path: build on corpus, then upsert row 4 through the index
+    val vs = new VectorSearch(spark, root)
+    vs.createEndpoint("ep_tfidf")
+    val idx = vs.createDeltaSyncIndex("ep_tfidf", corpus, "tfidf_idx",
+      primaryKey = "id", embeddingSourceColumn = "text",
+      embedder = new HashingTfIdfEmbedder(64))
+    idx.sync(update
+      .withColumn("__op", lit(ChangeLog.OpUpdate))
+      .withColumn("__seq", lit(1L)))
+    val synced = idx.similaritySearch(Seq("id"),
+      queryText = "distributed spark query engine", numResults = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+
+    // rebuild path: embed the UPDATED corpus with the ORIGINAL fitted
+    // model (the semantics delta-sync promises: same weighting space)
+    val fitted = new HashingTfIdfEmbedder(64).fit(corpus, "text")
+    val rebuilt = fitted.transform(
+      corpus.filter($"id" =!= 4L).unionByName(update), "text")
+    val vs2 = new VectorSearch(spark, root + "_rb")
+    vs2.createEndpoint("ep_rb")
+    val idx2 = vs2.createDeltaSyncIndex("ep_rb", rebuilt, "tfidf_rb",
+      primaryKey = "id", embeddingVectorColumn = "embedding",
+      embeddingDimension = 64)
+    val qv = fitted.transform(
+      Seq(Tuple1("distributed spark query engine")).toDF("q"), "q")
+      .select("embedding").head().getSeq[Float](0)
+    val rebuiltHits = idx2.similaritySearch(Seq("id"), qv, numResults = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+
+    assert(synced.map(_._1).toSeq === rebuiltHits.map(_._1).toSeq,
+      "rankings must agree between sync and fitted rebuild")
+    synced.zip(rebuiltHits).foreach { case ((_, s1), (_, s2)) =>
+      assert(math.abs(s1 - s2) < 1e-6, "scores must be comparable")
+    }
+  }
+
   test("text search on a self-managed index fails with guidance") {
     val vs = new VectorSearch(spark, root)
     vs.createEndpoint("ep3")
