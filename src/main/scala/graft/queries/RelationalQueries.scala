@@ -202,6 +202,34 @@ object RelationalQueries {
             col("p50_exact") * 0.05).as("pct_ok"))
         .orderBy("l_returnflag")
     }),
+    // Higher-order array functions over the embedding column: transform /
+    // filter / aggregate run as codegen'd lambdas, never UDFs.
+    "q_array_hof" -> ((s, dir) => {
+      Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 50 && col("embedding").isNotNull)
+        .select(col("vec_id"),
+          size(filter(col("embedding"), x => x > 0f)).as("n_pos"),
+          round(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")), 4).as("sum_all"),
+          round(aggregate(transform(col("embedding"),
+              x => x.cast("double") * x.cast("double")), lit(0.0d),
+            (acc, x) => acc + x), 4).as("sum_sq"))
+        .orderBy("vec_id")
+    }),
+    // Navigation window functions over a whole-partition frame:
+    // first_value / last_value / nth_value.
+    "q_window_nav" -> ((s, dir) => {
+      val whole = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 40)
+        .select(col("o_orderkey"), col("o_custkey"),
+          first(col("o_orderkey")).over(whole).as("first_ok"),
+          last(col("o_orderkey")).over(whole).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(whole).as("second_ok"))
+        .orderBy("o_orderkey")
+    }),
     // PIVOT: long-to-wide reshape with an explicit value list (explicit
     // values keep the plan a single pass — no distinct-collect job).
     "q_pivot" -> ((s, dir) => {
@@ -282,6 +310,26 @@ object RelationalQueries {
         |FROM orders WHERE o_custkey < 100
         |WINDOW band AS (PARTITION BY o_custkey ORDER BY o_totalprice
         |  RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_array_hof" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |  round(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE))), 4) AS sum_all,
+        |  round(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sum_sq
+        |FROM embeddings
+        |WHERE vec_id < 50 AND embedding IS NOT NULL
+        |ORDER BY vec_id""".stripMargin,
+    "q_window_nav" ->
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER w AS last_ok,
+        |  nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders WHERE o_custkey < 40
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
     "q_pivot" ->
       """SELECT l_linestatus,
