@@ -202,6 +202,35 @@ object RelationalQueries {
             col("p50_exact") * 0.05).as("pct_ok"))
         .orderBy("l_returnflag")
     }),
+    // Null-safe equality join (<=>): null keys match each other, unlike
+    // plain = which drops them.
+    "q_null_safe_join" -> ((s, dir) => {
+      val a = t(s, dir, "nation").select(
+        when(col("n_nationkey") % 5 === 0, lit(null))
+          .otherwise(col("n_regionkey")).as("k"),
+        col("n_nationkey"))
+      val b = t(s, dir, "region").select(
+        when(col("r_regionkey") % 3 === 0, lit(null))
+          .otherwise(col("r_regionkey")).as("k"),
+        col("r_name"))
+      a.join(b, a("k") <=> b("k"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).cast("long")
+          .as("sum_nk"))
+        .orderBy(col("r_name").asc_nulls_first)
+    }),
+    // Correlated EXISTS subquery through the SQL surface (plans as a
+    // semi join — the DataFrame variant is q_semi_join).
+    "q_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("graft_cust_ex")
+      t(s, dir, "orders").createOrReplaceTempView("graft_ord_ex")
+      s.sql(
+        """SELECT c_custkey, c_name FROM graft_cust_ex c
+          |WHERE EXISTS (SELECT 1 FROM graft_ord_ex o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
     // Higher-order array functions over the embedding column: transform /
     // filter / aggregate run as codegen'd lambdas, never UDFs.
     "q_array_hof" -> ((s, dir) => {
@@ -311,6 +340,25 @@ object RelationalQueries {
         |WINDOW band AS (PARTITION BY o_custkey ORDER BY o_totalprice
         |  RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_null_safe_join" ->
+      """WITH a AS (
+        |  SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+        |              ELSE n_regionkey END AS k, n_nationkey
+        |  FROM nation),
+        |b AS (
+        |  SELECT CASE WHEN r_regionkey % 3 = 0 THEN NULL
+        |              ELSE r_regionkey END AS k, r_name
+        |  FROM region)
+        |SELECT b.r_name, count(*) AS n,
+        |  CAST(sum(a.n_nationkey) AS BIGINT) AS sum_nk
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |GROUP BY b.r_name ORDER BY b.r_name NULLS FIRST""".stripMargin,
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
     "q_array_hof" ->
       """SELECT vec_id,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
