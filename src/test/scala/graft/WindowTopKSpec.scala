@@ -69,6 +69,31 @@ class WindowTopKSpec extends SparkSpec {
     assert(cast.count() === 30)
   }
 
+  test("null sort keys honor the SortOrder null ordering") {
+    WindowTopK.enable(spark)
+    val df = Seq(
+      (1L, Some(5.0), 1L), (1L, None, 2L), (1L, Some(9.0), 3L),
+      (2L, None, 4L), (2L, None, 5L), (2L, Some(1.0), 6L))
+      .toDF("grp", "score", "pk")
+    // desc => NULLS LAST: nulls only surface when real scores run out
+    val wDesc = Window.partitionBy("grp")
+      .orderBy(col("score").desc, col("pk").asc)
+    val topDesc = df.withColumn("rnk", row_number().over(wDesc))
+      .filter(col("rnk") <= 2)
+    assert(physical(topDesc).contains("WindowTopKFinal"), physical(topDesc))
+    val gotDesc = topDesc.select("grp", "rnk", "pk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq
+    assert(gotDesc === Seq((1L, 1, 3L), (1L, 2, 1L), (2L, 1, 6L), (2L, 2, 4L)))
+    // asc => NULLS FIRST: nulls rank ahead of every real score
+    val wAsc = Window.partitionBy("grp")
+      .orderBy(col("score").asc, col("pk").asc)
+    val topAsc = df.withColumn("rnk", row_number().over(wAsc))
+      .filter(col("rnk") <= 2)
+    val gotAsc = topAsc.select("grp", "rnk", "pk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq
+    assert(gotAsc === Seq((1L, 1, 2L), (1L, 2, 1L), (2L, 1, 4L), (2L, 2, 5L)))
+  }
+
   test("rewrite does NOT fire on rank/dense_rank or non-literal bounds") {
     WindowTopK.enable(spark)
     val df = data
