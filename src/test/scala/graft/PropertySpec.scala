@@ -1,0 +1,96 @@
+package graft
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based checks of the engine's custom kernels against
+  * straightforward Scala reference implementations — randomized inputs
+  * catch the edge shapes fixed fixtures miss (tiny dims, repeated
+  * values, ties, single-row groups). Raw scalacheck driven through
+  * Test.check (no scalatest bridge in the offline cache). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(label: String, prop: Prop, n: Int = 15): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(n).withWorkers(1), prop)
+    assert(res.passed, s"$label: $res")
+  }
+
+  private val vecPair = for {
+    n <- Gen.choose(1, 24)
+    a <- Gen.listOfN(n, Gen.choose(-100f, 100f))
+    b <- Gen.listOfN(n, Gen.choose(-100f, 100f))
+  } yield (a, b)
+
+  test("property: VectorDistance matches a plain-Scala fold") {
+    check("distance", Prop.forAll(Gen.listOfN(8, vecPair)) { pairs =>
+      pairs.isEmpty || {
+        val rows = pairs.toDF("a", "b").select(
+          VF.dot(col("a"), col("b")),
+          VF.cosine(col("a"), col("b")),
+          VF.l2(col("a"), col("b"))).collect()
+        pairs.zip(rows).forall { case ((a, b), r) =>
+          val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+            s + x.toDouble * y.toDouble }
+          val na = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+          val nb = math.sqrt(b.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+          val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
+          val l2 = math.sqrt(a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+            val d = x.toDouble - y.toDouble; s + d * d })
+          math.abs(r.getDouble(0) - dot) <= 1e-6 * math.max(1, math.abs(dot)) &&
+          math.abs(r.getDouble(1) - cos) <= 1e-9 &&
+          math.abs(r.getDouble(2) - l2) <= 1e-9 * math.max(1, l2)
+        }
+      }
+    })
+  }
+
+  private val topkData = for {
+    nGroups <- Gen.choose(1, 6)
+    n <- Gen.choose(1, 120)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.choose(0, nGroups - 1)
+      s <- Gen.oneOf(Gen.choose(-10.0, 10.0), Gen.oneOf(1.0, 2.0)) // ties
+      p <- Gen.choose(0L, 1000000L)
+    } yield (g.toLong, s, p))
+    k <- Gen.choose(1, 5)
+  } yield (rows.distinct, k)
+
+  test("property: TopK.perGroup equals sort-take-k per group") {
+    check("topk", Prop.forAll(topkData) { case (rows, k) =>
+      rows.isEmpty || {
+        val df = rows.toDF("grp", "score", "pk")
+        val got = graft.plans.TopK.perGroup(df, "grp", "score", "pk", k)
+          .select("grp", "rank", "pk").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._2)).toSeq
+        val expect = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+          rs.sortBy(r => (-r._2, r._3)).take(k).zipWithIndex
+            .map { case (r, i) => (g, i + 1, r._3) }
+        }.sortBy(t => (t._1, t._2))
+        got == expect
+      }
+    }, n = 10)
+  }
+
+  test("property: subword count is positive iff text has non-space chars") {
+    val texts = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.const(""), Gen.const("   "),
+      Gen.const("don't stop!"), Gen.const("a1b2 c3"),
+      Gen.const("... !!! ???")))
+    check("subword", Prop.forAll(texts) { ts =>
+      ts.isEmpty || {
+        val out = ts.zipWithIndex.map(_.swap).toDF("id", "t")
+          .select(col("id"),
+            graft.operators.TextAnalysis.subwordCount(col("t")).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+        ts.zipWithIndex.forall { case (t, i) =>
+          (out(i) > 0) == t.exists(!_.isWhitespace)
+        }
+      }
+    })
+  }
+}
