@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, NullsFirst}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Bounded-heap kernel over whole rows with an arbitrary SortOrder
   * ordering — the executor side of [[WindowTopK]].
@@ -124,13 +125,22 @@ case class WindowTopKPartialExec(
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"),
+    "prunedRows" -> SQLMetrics.createMetric(sparkContext,
+      "rows pruned before shuffle"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val (part, order, kk) = (partitionSpec, orderSpec, k)
     val input = child.output
+    val outRows = longMetric("numOutputRows")
+    val pruned = longMetric("prunedRows")
     child.execute().mapPartitions({ iter =>
       val heaps = new RowGroupHeaps(kk, order, part, input)
-      iter.foreach(heaps.offer)
-      heaps.drain().flatMap(_.iterator.map(_.row))
+      iter.foreach { r => pruned.add(1); heaps.offer(r) }
+      heaps.drain().flatMap(_.iterator.map { e =>
+        outRows.add(1); pruned.add(-1); e.row
+      })
     }, preservesPartitioning = true)
   }
 
@@ -153,10 +163,14 @@ case class WindowTopKFinalExec(
     ClusteredDistribution(partitionSpec) :: Nil
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val (part, order, kk) = (partitionSpec, orderSpec, k)
     val input = child.output
     val outTypes = output.map(_.dataType).toArray
+    val outRows = longMetric("numOutputRows")
     child.execute().mapPartitions({ iter =>
       val heaps = new RowGroupHeaps(kk, order, part, input)
       iter.foreach(heaps.offer)
@@ -166,6 +180,7 @@ case class WindowTopKFinalExec(
       heaps.drain().flatMap { entries =>
         entries.iterator.zipWithIndex.map { case (e, i) =>
           rankRow.update(0, i + 1)
+          outRows.add(1)
           proj(joined(e.row, rankRow))
         }
       }

@@ -84,6 +84,16 @@ class TopKPlanSpec extends SparkSpec {
     assert(df.count() === 20L * 3)
   }
 
+  test("empty input yields empty output, no crash") {
+    val empty = Seq.empty[(Long, Double, Long)].toDF("grp", "score", "pk")
+    assert(TopK.perGroup(empty, "grp", "score", "pk", k = 3).count() === 0)
+    graft.plans.WindowTopK.enable(spark)
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("pk").asc)
+    val viaRule = empty.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+    assert(viaRule.count() === 0)
+  }
+
   test("k larger than group size returns the whole group ranked") {
     val df = Seq((1L, 1.0, 1L), (1L, 2.0, 2L)).toDF("grp", "score", "pk")
     val out = TopK.perGroup(df, "grp", "score", "pk", k = 10)
