@@ -23,6 +23,37 @@ object MiscQueries {
           max("published").as("max_pub"))
         .orderBy("category")
     }),
+    // Non-parquet READ paths under the correctness gate: the same sample
+    // written as csv (header), json lines, and orc, read back through
+    // each reader, and aggregated identically. The oracle computes the
+    // expected numbers once from parquet and cross-joins the format list.
+    "fmt_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val base = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_fmt/" +
+        dir.replaceAll("[^0-9.]", "")
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_returnflag", StringType),
+        StructField("l_quantity", DoubleType)))
+      base.write.mode("overwrite").option("header", "true").csv(s"$root/csv")
+      base.write.mode("overwrite").json(s"$root/json")
+      base.write.mode("overwrite").orc(s"$root/orc")
+      val perFmt = Seq(
+        "csv" -> s.read.schema(schema).option("header", "true")
+          .csv(s"$root/csv"),
+        "json" -> s.read.schema(schema).json(s"$root/json"),
+        "orc" -> s.read.orc(s"$root/orc"))
+      perFmt.map { case (fmt, df) =>
+        df.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+          .withColumn("fmt", lit(fmt))
+      }.reduce(_ unionByName _)
+        .select("fmt", "l_returnflag", "n", "sum_qty")
+        .orderBy("fmt", "l_returnflag")
+    }),
     // JSON serialization of result rows (reference serializes responses
     // via json.dumps, query_endpoint.py:132).
     "json_roundtrip" -> ((s, dir) => {
@@ -78,6 +109,15 @@ object MiscQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "fmt_roundtrip" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         round(sum(l_quantity), 2) AS sum_qty
+        |  FROM lineitem WHERE l_orderkey < 1000 GROUP BY l_returnflag)
+        |SELECT f.fmt, a.l_returnflag, a.n, a.sum_qty
+        |FROM (VALUES ('csv'), ('json'), ('orc')) f(fmt)
+        |CROSS JOIN agg a
+        |ORDER BY fmt, l_returnflag""".stripMargin,
     "feed_ingest" ->
       """WITH feed AS (
         |  SELECT 'arxiv:' || i AS id,
