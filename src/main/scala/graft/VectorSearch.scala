@@ -30,7 +30,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class VectorSearch(spark: SparkSession, root: String) {
 
-  private val catalog = new IndexCatalog(root)
+  // re-opens any indexes persisted under this root by earlier sessions
+  // (self-managed ones are fully usable; managed ones need their fitted
+  // embedder re-supplied for query-text search)
+  private val catalog = IndexCatalog.open(spark, root)
   private val endpoints = scala.collection.mutable.Set[String]()
   private val sources = scala.collection.mutable.Map[String, DataFrame]()
   // managed-embedding indexes remember (FITTED embedder, text column) so
@@ -55,6 +58,7 @@ final class VectorSearch(spark: SparkSession, root: String) {
     val idx = catalog.create(indexName, primaryKey, "embedding",
       embedder.dim, Metric.Cosine)
     idx.rebuild(embedded)
+    catalog.save(spark, indexName)
     sources(indexName) = source
     embedders(indexName) = (fitted, embeddingSourceColumn)
     new Index(spark, idx, Some((fitted, embeddingSourceColumn)))
@@ -69,6 +73,7 @@ final class VectorSearch(spark: SparkSession, root: String) {
     val idx = catalog.create(indexName, primaryKey, embeddingVectorColumn,
       embeddingDimension, Metric.Cosine)
     idx.rebuild(source)
+    catalog.save(spark, indexName)
     sources(indexName) = source
     new Index(spark, idx, None)
   }

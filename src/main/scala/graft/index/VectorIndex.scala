@@ -94,9 +94,20 @@ final class VectorIndex(val meta: IndexMeta) {
 
 /** Catalog of index metadata — create/get/drop with IF-NOT-EXISTS
   * semantics mirroring the reference's try/delete/create dance
-  * (syntetic_data.py:195-201). */
+  * (syntetic_data.py:195-201). Metadata persists as
+  * `<root>/<name>__meta.json` so a fresh catalog instance (new session,
+  * new JVM) can [[IndexCatalog.open]] the root and serve `get` for
+  * indexes built earlier — the durability the reference gets from its
+  * managed service. */
 final class IndexCatalog(root: String) {
   private val indexes = scala.collection.mutable.Map[String, VectorIndex]()
+
+  private def metaPath(name: String) =
+    new org.apache.hadoop.fs.Path(s"$root/${name}__meta.json")
+
+  private def fs(spark: SparkSession) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def create(name: String, pkCol: String, vecCol: String, dim: Int,
       metric: Metric, overwrite: Boolean = true): VectorIndex = {
@@ -107,12 +118,57 @@ final class IndexCatalog(root: String) {
     indexes(name) = idx
     idx
   }
+
+  /** Persist metadata (call after the index artifact is built). */
+  def save(spark: SparkSession, name: String): Unit =
+    indexes.get(name).foreach { idx =>
+      val m = idx.meta
+      def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val json = s"""{"name":${q(m.name)},"pkCol":${q(m.pkCol)},""" +
+        s""""vecCol":${q(m.vecCol)},"dim":${m.dim},""" +
+        s""""metric":${q(m.metric.name)},"path":${q(m.path)}}"""
+      val out = fs(spark).create(metaPath(name), true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+    }
+
   def get(name: String): Option[VectorIndex] = indexes.get(name)
+
   def drop(spark: SparkSession, name: String): Unit = {
     indexes.remove(name).foreach { idx =>
       val p = new org.apache.hadoop.fs.Path(idx.meta.path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(p, true)
+      f.delete(metaPath(name), false)
     }
+  }
+}
+
+object IndexCatalog {
+  /** Re-open a catalog root: loads every persisted `*__meta.json`. */
+  def open(spark: SparkSession, root: String): IndexCatalog = {
+    val cat = new IndexCatalog(root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(rootPath)) {
+      f.listStatus(rootPath).filter(_.getPath.getName.endsWith("__meta.json"))
+        .foreach { st =>
+          val in = f.open(st.getPath)
+          val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          def field(k: String): String = {
+            val m = ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
+              .findFirstMatchIn(json)
+            m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+              .getOrElse(throw new IllegalStateException(
+                s"bad index meta ${st.getPath}: missing $k"))
+          }
+          val dim = "\"dim\":(\\d+)".r.findFirstMatchIn(json)
+            .map(_.group(1).toInt).getOrElse(0)
+          val meta = IndexMeta(field("name"), field("pkCol"),
+            field("vecCol"), dim, Metric.of(field("metric")), field("path"))
+          cat.indexes(meta.name) = new VectorIndex(meta)
+        }
+    }
+    cat
   }
 }

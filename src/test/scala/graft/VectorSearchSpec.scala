@@ -119,6 +119,25 @@ class VectorSearchSpec extends SparkSpec {
     assert(err.getMessage.contains("self-managed"))
   }
 
+  test("persisted catalog: a fresh VectorSearch re-opens built indexes") {
+    val croot = Files.createTempDirectory("graft_cat").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val vs1 = new VectorSearch(spark, croot)
+    vs1.createEndpoint("ep_persist")
+    vs1.createDeltaSyncIndex("ep_persist", emb.filter($"vec_id" < 50),
+      "persisted_idx", "vec_id", "embedding", 64)
+    // a brand-new façade over the same root (fresh session state)
+    val vs2 = new VectorSearch(spark, croot)
+    val reopened = vs2.getIndex("persisted_idx")
+    assert(reopened.isDefined, "index metadata must survive the catalog")
+    val qv = emb.filter($"vec_id" === 1).select("embedding")
+      .head().getSeq[Float](0)
+    val hits = reopened.get.similaritySearch(Seq("vec_id"), qv, 3).collect()
+    assert(hits.head.getAs[Long]("vec_id") === 1L)
+    assert(reopened.get.meta.dim === 64 &&
+      reopened.get.meta.metric === graft.functions.Metric.Cosine)
+  }
+
   test("endpoint must exist before index creation") {
     val vs = new VectorSearch(spark, root)
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(5)
