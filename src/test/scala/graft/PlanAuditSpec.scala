@@ -96,6 +96,24 @@ class PlanAuditSpec extends SparkSpec {
       "frame grid must be a codegen explode, not a UDF")
   }
 
+  test("pivot: two-phase agg + pivotfirst, values list stays explicit") {
+    val p = plan("q_pivot")
+    // Spark's pivot = (group, pivot) pre-agg then pivotfirst re-agg: at
+    // most two hash exchanges, and the explicit value list means no
+    // values-discovery collect job ran before planning
+    assert(p.contains("pivotfirst"), s"expected pivotfirst agg:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"expected <=2 hash exchanges:\n$p")
+  }
+
+  test("null-safe join stays a hash join, never a nested loop") {
+    val p = plan("q_null_safe_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"),
+      s"<=> must keep an equi-join strategy:\n$p")
+    assert(!p.contains("NestedLoop"), s"must not degrade to NLJ:\n$p")
+  }
+
   test("approx sketch: partial+final aggregation, one shuffle") {
     val p = plan("q_approx_sketch")
     assert(p.toLowerCase.contains("partial_approx_count_distinct") ||
