@@ -1,6 +1,6 @@
 package graft
 
-import graft.embed.{Embedder, FittedEmbedder}
+import graft.embed.{Embedder, FittedEmbedder, FittedEmbedders}
 import graft.functions.Metric
 import graft.index.{IndexCatalog, IndexMeta, VectorIndex}
 import graft.search.{Ann, Knn}
@@ -30,9 +30,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class VectorSearch(spark: SparkSession, root: String) {
 
-  // re-opens any indexes persisted under this root by earlier sessions
-  // (self-managed ones are fully usable; managed ones need their fitted
-  // embedder re-supplied for query-text search)
+  // re-opens any indexes persisted under this root by earlier sessions;
+  // managed indexes reload their fitted embedder lazily in getIndex, so
+  // query-text search works across sessions in the build-time space
   private val catalog = IndexCatalog.open(spark, root)
   private val endpoints = scala.collection.mutable.Set[String]()
   private val sources = scala.collection.mutable.Map[String, DataFrame]()
@@ -59,6 +59,10 @@ final class VectorSearch(spark: SparkSession, root: String) {
       embedder.dim, Metric.Cosine)
     idx.rebuild(embedded)
     catalog.save(spark, indexName)
+    // persist the FITTED transform too, so reopening sessions keep
+    // embedding queries/deltas in the build-time weighting space
+    FittedEmbedders.save(spark, fitted, embeddingSourceColumn,
+      s"$root/${indexName}__embedder")
     sources(indexName) = source
     embedders(indexName) = (fitted, embeddingSourceColumn)
     new Index(spark, idx, Some((fitted, embeddingSourceColumn)))
@@ -79,9 +83,21 @@ final class VectorSearch(spark: SparkSession, root: String) {
   }
 
   def getIndex(name: String): Option[Index] =
-    catalog.get(name).map(i => new Index(spark, i, embedders.get(name)))
+    catalog.get(name).map { i =>
+      val fitted = embedders.get(name).orElse {
+        val loaded = FittedEmbedders.load(spark, s"$root/${name}__embedder")
+        loaded.foreach(embedders(name) = _)
+        loaded
+      }
+      new Index(spark, i, fitted)
+    }
 
-  def deleteIndex(name: String): Unit = catalog.drop(spark, name)
+  def deleteIndex(name: String): Unit = {
+    catalog.drop(spark, name)
+    embedders.remove(name)
+    val p = new org.apache.hadoop.fs.Path(s"$root/${name}__embedder")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 }
 
 /** Handle mirroring the reference's index object. */

@@ -68,9 +68,9 @@ private object FittedTfIdf {
   }
 }
 
-private final class FittedTfIdf(
+private[embed] final class FittedTfIdf(
     override val dim: Int,
-    model: IDFModel) extends FittedEmbedder {
+    private[embed] val model: IDFModel) extends FittedEmbedder {
 
   override def transform(df: DataFrame, textCol: String): DataFrame = {
     import org.apache.spark.ml.functions.vector_to_array
@@ -86,6 +86,69 @@ private final class FittedTfIdf(
       .withColumn("timestamp", current_timestamp())
       .drop("__tokens", "__tf", "__idf", "__vec")
   }
+}
+
+/** Persistence for fitted embedders: a managed index saves its fitted
+  * transform beside the index artifact so a fresh session can reopen
+  * the index AND keep embedding queries/deltas in the build-time
+  * weighting space. The IDF model rides MLlib's own writer; stateless
+  * embedders persist as a marker. */
+object FittedEmbedders {
+
+  private def fs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeString(spark: org.apache.spark.sql.SparkSession,
+      path: String, s: String): Unit = {
+    val out = fs(spark, path).create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readString(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  def save(spark: org.apache.spark.sql.SparkSession, fitted: FittedEmbedder,
+      textCol: String, path: String): Unit = fitted match {
+    case t: FittedTfIdf =>
+      t.model.write.overwrite().save(s"$path/model")
+      writeString(spark, s"$path/embedder.json",
+        s"""{"kind":"tfidf","dim":${t.dim},"textCol":"$textCol"}""")
+    case h: HashProjectionEmbedder =>
+      writeString(spark, s"$path/embedder.json",
+        s"""{"kind":"hashproj","dim":${h.dim},"textCol":"$textCol"}""")
+    case other =>
+      throw new IllegalArgumentException(
+        s"cannot persist embedder ${other.getClass.getName}")
+  }
+
+  /** Returns (fitted embedder, text column) if one was saved here. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(FittedEmbedder, String)] =
+    readString(spark, s"$path/embedder.json").map { json =>
+      def str(k: String) = ("\"" + k + "\":\"([^\"]*)\"").r
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse(
+          throw new IllegalStateException(s"bad embedder meta: $json"))
+      val dim = "\"dim\":(\\d+)".r.findFirstMatchIn(json)
+        .map(_.group(1).toInt).getOrElse(64)
+      val fitted: FittedEmbedder = str("kind") match {
+        case "tfidf" =>
+          new FittedTfIdf(dim, IDFModel.load(s"$path/model"))
+        case "hashproj" => new HashProjectionEmbedder(dim)
+        case other =>
+          throw new IllegalStateException(s"unknown embedder kind $other")
+      }
+      (fitted, str("textCol"))
+    }
 }
 
 /** Deterministic hash-projection embedder with zero fitted state: token →

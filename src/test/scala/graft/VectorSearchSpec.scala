@@ -138,6 +138,35 @@ class VectorSearchSpec extends SparkSpec {
       reopened.get.meta.metric === graft.functions.Metric.Cosine)
   }
 
+  test("managed TF-IDF index reopened in a new session keeps its " +
+    "fitted embedder") {
+    import graft.embed.HashingTfIdfEmbedder
+    val croot = Files.createTempDirectory("graft_cat2").toString
+    val corpus = Seq(
+      (1L, "spark is a distributed query engine"),
+      (2L, "vector search retrieves nearest neighbors"),
+      (3L, "the cat sat on the mat")
+    ).toDF("id", "text")
+    val vs1 = new VectorSearch(spark, croot)
+    vs1.createEndpoint("ep_m")
+    val built = vs1.createDeltaSyncIndex("ep_m", corpus, "m_idx",
+      primaryKey = "id", embeddingSourceColumn = "text",
+      embedder = new HashingTfIdfEmbedder(32))
+    val orig = built.similaritySearch(Seq("id"),
+      queryText = "distributed spark query", numResults = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // new façade over the same root: embedder loads from disk
+    val vs2 = new VectorSearch(spark, croot)
+    val reopened = vs2.getIndex("m_idx")
+    assert(reopened.isDefined)
+    val again = reopened.get.similaritySearch(Seq("id"),
+      queryText = "distributed spark query", numResults = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(again.map(_._1) === orig.map(_._1))
+    orig.zip(again).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-9) }
+  }
+
   test("endpoint must exist before index creation") {
     val vs = new VectorSearch(spark, root)
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(5)
