@@ -15,6 +15,16 @@ run / fork := true
 // logger: Bench's one-line JSON contract must reach stdout RAW (an
 // "[info] " prefix breaks the driver's json parse of the bench line).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's "[success] Total time: ..." epilogue on stdout: the
+// driver parses the LAST stdout line of `runMain graft.Bench` as JSON,
+// and the banner printing after Bench's JSON line breaks that parse
+// (BENCH_r01/r02 both show "parsed": null with the banner as the final
+// line of the captured tail).
+Global / showSuccess := false
+Global / showTiming := false
+// sbt lint flags these as unused (they're read by the command engine,
+// not by tasks), but the suppression is real — keep lint quiet.
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
