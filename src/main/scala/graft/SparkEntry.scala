@@ -24,7 +24,8 @@ object SparkEntry {
     EventQueries.queries ++
     DedupQueries.queries ++
     InfraQueries.queries ++
-    MiscQueries.queries
+    MiscQueries.queries ++
+    QualityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
     EventQueries.oracleSql ++
     DedupQueries.oracleSql ++
     InfraQueries.oracleSql ++
-    MiscQueries.oracleSql
+    MiscQueries.oracleSql ++
+    QualityQueries.oracleSql
 }

@@ -129,6 +129,35 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Chunk-level first-wins dedup (C4-style paragraph dedup at token-chunk
+    * granularity): split each doc's tokens into fixed-size non-overlapping
+    * chunks, then keep only the first occurrence of each chunk text across
+    * the corpus (ordered by doc id, then position). Returns one row per
+    * chunk: `(id, pos, chunk, kept)` — callers aggregate survival
+    * fractions or reassemble kept chunks.
+    *
+    * Scale shape: one explode (no driver collect), one shuffle on the
+    * chunk text for the global first-wins window. At 100 TB the window key
+    * should be `xxhash64(chunk)` to keep the exchange narrow; the raw text
+    * is kept here because the oracle compares chunk strings. */
+  def chunkFirstWins(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, carryCols: Seq[String] = Nil): DataFrame = {
+    require(chunkTokens >= 1)
+    val toks = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("id") +: carryCols.map(col) :+
+        split(trim(col(textCol)), "\\s+").as("t"): _*)
+    val nChunks = ceil(size(col("t")).cast("double") / chunkTokens).cast("long")
+    val chunks = toks.select(col("id") +: carryCols.map(col) :+
+      posexplode(transform(sequence(lit(0L), nChunks - 1),
+        i => concat_ws(" ",
+          slice(col("t"), (i * chunkTokens + 1).cast("int"), lit(chunkTokens)))))
+        .as(Seq("pos", "chunk")): _*)
+    val w = Window.partitionBy("chunk").orderBy(col("id").asc, col("pos").asc)
+    chunks.withColumn("kept",
+      (row_number().over(w) === 1).cast("int"))
+  }
+
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 across token
     * hashes, sign gives the bit. Expressed with column functions only —
     * per-bit popcount via shiftright/mask. */

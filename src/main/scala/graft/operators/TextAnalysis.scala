@@ -69,4 +69,41 @@ object TextAnalysis {
       transform(split(substring(c, 1, maxLen), ""), ch => ascii(ch).cast("long")),
       lit(0L),
       (acc, code) => (acc * 31L + code) % 1000000007L)
+
+  // ---- repetition signals (the Gopher-style junk filters: highly
+  // repetitive documents are low-value training data) ----
+
+  /** Non-distinct word n-grams over a pre-split token array column.
+    * Returns one space-joined gram per window position (unlike
+    * WordShingles, which dedups for set semantics). Intended to be
+    * exploded and counted relationally — the count lives in a groupBy,
+    * never in a nested HOF aggregate (the measured 30x inlining trap). */
+  def wordNgrams(tokensCol: Column, n: Int): Column =
+    transform(sequence(lit(0L), (size(tokensCol) - n).cast("long")),
+      i => concat_ws(" ", slice(tokensCol, (i + 1).cast("int"), lit(n))))
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * 1 - distinct/total over a pre-split token array column. */
+  def dupTokenFraction(tokensCol: Column): Column =
+    lit(1.0) - size(array_distinct(tokensCol)).cast("double") /
+      size(tokensCol).cast("double")
+
+  // ---- PII redaction (C4-style scrubbing before training) ----
+  // Patterns are lookaround-free so the same regex runs identically under
+  // java.util.regex (Spark) and RE2 (DuckDB oracle).
+
+  val emailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern: String = "https?://[^\\s]+"
+
+  def emailCount(c: Column): Column = regexp_count(c, lit(emailPattern))
+  def urlCount(c: Column): Column = regexp_count(c, lit(urlPattern))
+
+  /** Redact URLs then emails (URLs first: a URL never contains an email
+    * once replaced, while an email-looking substring inside a URL path
+    * must not survive as a half-redacted fragment). */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, urlPattern, "<URL>"),
+      emailPattern, "<EMAIL>")
 }

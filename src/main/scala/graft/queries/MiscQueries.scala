@@ -38,9 +38,15 @@ object MiscQueries {
         StructField("l_orderkey", LongType),
         StructField("l_returnflag", StringType),
         StructField("l_quantity", DoubleType)))
-      base.write.mode("overwrite").option("header", "true").csv(s"$root/csv")
-      base.write.mode("overwrite").json(s"$root/json")
-      base.write.mode("overwrite").orc(s"$root/orc")
+      // ~1k rows after the filter: one output file per format. Without the
+      // coalesce each write fans out one task (and one tiny file) per scan
+      // partition — pure scheduler overhead here, and exactly the
+      // small-files pattern a 100 TB pipeline has to avoid on its small
+      // dimension/sideband tables.
+      val one = base.coalesce(1)
+      one.write.mode("overwrite").option("header", "true").csv(s"$root/csv")
+      one.write.mode("overwrite").json(s"$root/json")
+      one.write.mode("overwrite").orc(s"$root/orc")
       val perFmt = Seq(
         "csv" -> s.read.schema(schema).option("header", "true")
           .csv(s"$root/csv"),

@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-data quality signals beyond the basic token/quality stats:
+  * Gopher-style repetition fractions, C4-style PII scrubbing, chunk-level
+  * corpus dedup, and map-typed token histograms. All oracle-checked.
+  *
+  * Scale notes: repetition and chunk dedup are explode → groupBy/window
+  * shapes (shuffle keys are (doc, gram) / chunk text — at 100 TB the
+  * chunk key becomes its hash); scrubbing is a pure projection; the map
+  * histogram shuffles once on (source, word) then once on source.
+  */
+object QualityQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-language repetition profile: average top-2-gram fraction (how
+    // much of the doc the single most frequent bigram occupies) and
+    // average duplicate-token fraction. Counting happens relationally
+    // (explode → groupBy), never in a nested HOF aggregate.
+    "text_repetition" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          split(trim(col("text")), "\\s+").as("t"))
+        .filter(size(col("t")) >= 2)
+      val grams = toks.select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.wordNgrams(col("t"), 2)).as("gram"))
+      val counts = grams.groupBy("doc_id", "lang", "gram")
+        .agg(count(lit(1)).as("c"))
+      val perDoc = counts.groupBy("doc_id", "lang")
+        .agg((max("c") / sum("c")).as("top2"))
+      val dupf = toks.select(col("doc_id"),
+        TextAnalysis.dupTokenFraction(col("t")).as("dupf"))
+      perDoc.join(dupf, Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("top2"), 4).as("avg_top2"),
+          round(avg("dupf"), 4).as("avg_dupf"))
+        .orderBy("lang")
+    }),
+    // PII scrub: deterministic synthetic contact block appended to each
+    // doc, then URL/email redaction + counts. The redacted string itself
+    // is part of the oracle compare.
+    "text_scrub" -> ((s, dir) => {
+      val raw = docs(s, dir)
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com via http://example.com/doc/"), col("doc_id"),
+            lit(" thanks")).as("raw"))
+      raw.select(col("doc_id"),
+          TextAnalysis.emailCount(col("raw")).cast("long").as("n_email"),
+          TextAnalysis.urlCount(col("raw")).cast("long").as("n_url"),
+          TextAnalysis.redactPii(col("raw")).as("clean"))
+        .orderBy("doc_id")
+    }),
+    // Chunk-level first-wins dedup across the corpus: per source, how
+    // many 8-token chunks survive (C4 paragraph dedup at chunk
+    // granularity; the synthetic corpus's tiny vocabulary makes chunk
+    // collisions real).
+    "dedup_chunks" -> ((s, dir) => {
+      Dedup.chunkFirstWins(docs(s, dir), "doc_id", "text",
+          chunkTokens = 8, carryCols = Seq("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("kept").cast("long").as("n_kept"),
+          round(sum("kept").cast("double") / count(lit(1)), 4)
+            .as("kept_frac"))
+        .orderBy("source")
+    }),
+    // Map-typed token histogram per source: map_from_entries over the
+    // grouped counts, probed with element_at / map_filter /
+    // transform_values+map_values — the map-function surface over real
+    // aggregation output.
+    "q_map_funcs" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val counts = words.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      counts.groupBy("source")
+        .agg(map_from_entries(collect_list(struct(col("w"), col("c"))))
+          .as("m"))
+        .select(col("source"),
+          size(col("m")).cast("long").as("n_words"),
+          coalesce(element_at(col("m"), "the"), lit(0L)).as("n_the"),
+          size(map_filter(col("m"), (_, v) => v >= 50)).cast("long")
+            .as("n_common"),
+          array_max(map_values(transform_values(col("m"),
+            (_, v) => v * 2L))).as("max2x"))
+        .orderBy("source")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+        |grams AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1])) AS gram
+        |  FROM toks),
+        |counts AS (
+        |  SELECT doc_id, lang, gram, count(*) AS c
+        |  FROM grams GROUP BY 1, 2, 3),
+        |per_doc AS (
+        |  SELECT doc_id, lang, CAST(max(c) AS DOUBLE) / sum(c) AS top2
+        |  FROM counts GROUP BY 1, 2),
+        |dupf AS (
+        |  SELECT doc_id,
+        |    1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dupf
+        |  FROM toks)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(top2), 4) AS avg_top2,
+        |  round(avg(dupf), 4) AS avg_dupf
+        |FROM per_doc JOIN dupf USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_scrub" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id ||
+        |    '@example.com via http://example.com/doc/' || doc_id ||
+        |    ' thanks' AS raw
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(raw, 'https?://[^\s]+')) AS BIGINT)
+        |    AS n_url,
+        |  regexp_replace(
+        |    regexp_replace(raw, 'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        |    AS clean
+        |FROM raw ORDER BY doc_id""".stripMargin,
+    "dedup_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |sel AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(
+        |      range(0, CAST(ceil(CAST(len(t) AS DOUBLE) / 8) AS BIGINT)),
+        |      i -> struct_pack(pos := i,
+        |        chunk := array_to_string(
+        |          list_slice(t, CAST(i*8+1 AS BIGINT),
+        |            CAST(least((i+1)*8, len(t)) AS BIGINT)), ' ')))) AS pc
+        |  FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, source, pc.pos AS pos, pc.chunk AS chunk FROM sel),
+        |kept AS (
+        |  SELECT source,
+        |    CASE WHEN row_number() OVER (
+        |      PARTITION BY chunk ORDER BY doc_id, pos) = 1
+        |    THEN 1 ELSE 0 END AS k
+        |  FROM chunks)
+        |SELECT source, count(*) AS n_chunks,
+        |  CAST(sum(k) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(k) AS DOUBLE) / count(*), 4) AS kept_frac
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    "q_map_funcs" ->
+      """WITH words AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |counts AS (
+        |  SELECT source, w, count(*) AS c
+        |  FROM words WHERE w <> '' GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(coalesce(max(CASE WHEN w = 'the' THEN c END), 0) AS BIGINT)
+        |    AS n_the,
+        |  CAST(sum(CASE WHEN c >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_common,
+        |  CAST(max(c) * 2 AS BIGINT) AS max2x
+        |FROM counts GROUP BY source ORDER BY source""".stripMargin,
+  )
+}

@@ -38,9 +38,11 @@ object Ann {
     val withVec = corpus.filter(col(vecCol).isNotNull)
       .withColumn("__mlvec", array_to_vector(col(vecCol)))
     // random init + few iterations: centroids only place buckets, they
-    // don't need convergence; k-means|| init alone costs several passes
+    // don't need convergence; k-means|| init alone costs several passes.
+    // 3 iterations: each one is a full corpus pass, and bucket recall is
+    // governed by nProbe at query time, not centroid convergence.
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__mlvec")
-      .setPredictionCol("__cell").setInitMode("random").setMaxIter(5)
+      .setPredictionCol("__cell").setInitMode("random").setMaxIter(3)
       .fit(withVec)
     val assigned = model.transform(withVec).drop("__mlvec")
     val spark = corpus.sparkSession

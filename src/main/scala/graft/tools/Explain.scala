@@ -23,12 +23,16 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    if (showPlan) fn(spark, sfDir).explain("formatted")
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[explain] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    // Comma-separated names share one warm JVM/session (JIT + codegen
+    // cache), which is the only way to compare queries on a noisy host.
+    name.split(',').map(_.trim).filter(_.nonEmpty).foreach { q =>
+      val fn = SparkEntry.queries(q)
+      if (showPlan) fn(spark, sfDir).explain("formatted")
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[explain] $q rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      }
     }
     spark.stop()
   }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the Gopher/C4-style quality operators: n-gram generation,
+  * repetition fractions, PII redaction, chunk-level first-wins dedup. */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(c: org.apache.spark.sql.Column) = split(trim(c), "\\s+")
+
+  test("wordNgrams: every window position, duplicates preserved") {
+    val df = Seq("a b a b a").toDF("text")
+      .select(TextAnalysis.wordNgrams(toks(col("text")), 2).as("g"))
+    assert(df.head().getSeq[String](0) === Seq("a b", "b a", "a b", "b a"))
+  }
+
+  test("dupTokenFraction: hand-computed") {
+    val df = Seq("a a b c", "a b c d").toDF("text")
+      .select(TextAnalysis.dupTokenFraction(toks(col("text"))).as("f"))
+    assert(df.collect().map(_.getDouble(0)).toSeq === Seq(0.25, 0.0))
+  }
+
+  test("redactPii replaces urls then emails; counts match") {
+    val s = "see http://x.io/a?b=1 or mail bob.smith+x@ex-ample.co.uk now"
+    val df = Seq(s).toDF("t").select(
+      TextAnalysis.redactPii(col("t")).as("clean"),
+      TextAnalysis.emailCount(col("t")).as("ne"),
+      TextAnalysis.urlCount(col("t")).as("nu"))
+    val r = df.head()
+    assert(r.getString(0) === "see <URL> or mail <EMAIL> now")
+    assert(r.getInt(1) === 1 && r.getInt(2) === 1)
+  }
+
+  test("chunkFirstWins: first occurrence wins globally, later repeats drop") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),        // one chunk, first
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 tail"),   // chunk 0 repeats doc 1, "tail" new
+      (3L, "tail")                            // repeats doc 2's chunk 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkFirstWins(docs, "doc_id", "text", chunkTokens = 8)
+      .select("id", "pos", "kept").orderBy("id", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out === Array((1L, 0, 1), (2L, 0, 0), (2L, 1, 1), (3L, 0, 0)))
+  }
+
+  test("chunkFirstWins: short tail chunk covers remaining tokens exactly") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val out = Dedup.chunkFirstWins(docs, "doc_id", "text", chunkTokens = 2)
+      .orderBy("pos").select("chunk").as[String].collect()
+    assert(out === Array("a b", "c d", "e"))
+  }
+
+  test("chunkFirstWins drops null/blank docs") {
+    val docs = Seq((1L, null: String), (2L, "  "), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkFirstWins(docs, "doc_id", "text", chunkTokens = 4)
+    assert(out.select("id").as[Long].collect() === Array(3L))
+  }
+}
