@@ -10,27 +10,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** End-to-end corpus preparation: the composition a training-data
   * pipeline runs at 100 TB, built from the engine's operators —
   *
-  *   raw corpus → falsy/quality filter → exact dedup → near-dup removal
-  *   (MinHash+LSH, keep lowest id per duplicate cluster) → embed →
-  *   vector index
+  *   raw corpus → falsy/quality filter → repetition filter → exact dedup
+  *   → near-dup removal (MinHash+LSH, keep lowest id per duplicate
+  *   cluster) → per-source balancing (top-k by quality, heap operator)
+  *   → embed → vector index
   *
   * Every stage is a DataFrame transform: filters are codegen'd
   * projections, exact dedup is one key shuffle, near-dup removal
-  * shuffles bucket ids only, embedding is a single expression, and the
-  * index build is one write. Nothing collects to the driver.
+  * shuffles bucket ids only, balancing is the TopKPerGroup physical
+  * operator (map-side heaps, k rows per group per partition on the
+  * wire), embedding is a single expression, and the index build is one
+  * write. Nothing collects to the driver.
   */
 final case class PipelineReport(
-    input: Long, afterQuality: Long, afterExact: Long, afterNearDup: Long)
+    input: Long, afterQuality: Long, afterRepetition: Long,
+    afterExact: Long, afterNearDup: Long, afterBalance: Long)
 
 final class CorpusPipeline(
     minQuality: Double = 0.5,
     nearDupJaccard: Double = 0.8,
-    shingleSize: Int = 3) {
+    shingleSize: Int = 3,
+    maxDupTokenFraction: Double = 1.0,
+    perSourceCap: Int = 0) {
 
   /** Quality gate: drop null/empty and low-quality docs. */
   def qualityFilter(docs: DataFrame, textCol: String): DataFrame =
     docs.filter(col(textCol).isNotNull && col(textCol) =!= "")
       .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+
+  /** Repetition gate (Gopher-style): drop docs whose duplicate-token
+    * fraction exceeds the cap. Disabled at the default cap of 1.0. */
+  def repetitionFilter(docs: DataFrame, textCol: String): DataFrame =
+    if (maxDupTokenFraction >= 1.0) docs
+    else docs.filter(
+      TextAnalysis.dupTokenFraction(TextAnalysis.tokens(col(textCol)))
+        <= maxDupTokenFraction)
 
   /** Exact dedup first-wins on the full text (one hash shuffle; catches
     * byte-identical copies before the expensive near-dup pass). A
@@ -49,24 +63,48 @@ final class CorpusPipeline(
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Per-source balancing: keep the `perSourceCap` highest-quality docs
+    * per source via the heap-based TopKPerGroup operator (partial top-k
+    * before the exchange — the shuffle carries at most k rows per source
+    * per input partition, not the corpus). Disabled at cap 0. */
+  def balance(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame =
+    if (perSourceCap <= 0) docs
+    else {
+      val scored = docs.select(col(sourceCol),
+        TextAnalysis.qualityScore(col(textCol)).cast("double").as("__q"),
+        col(idCol))
+      val kept = graft.plans.TopK
+        .perGroup(scored, sourceCol, "__q", idCol, perSourceCap)
+        .select(col(idCol))
+      docs.join(kept, Seq(idCol), "left_semi")
+    }
+
   /** Full run: returns the cleaned, embedded corpus and stage counts;
-    * optionally persists a vector index of the result. */
+    * optionally persists a vector index of the result. `sourceCol`
+    * enables the balancing stage when `perSourceCap` > 0. */
   def run(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, embedder: Embedder,
-      indexPath: Option[String] = None): (DataFrame, PipelineReport) = {
+      indexPath: Option[String] = None,
+      sourceCol: Option[String] = None): (DataFrame, PipelineReport) = {
     val input = docs.count()
     val q = qualityFilter(docs, textCol)
     val nQ = q.count()
-    val e = exactDedup(q, idCol, textCol)
+    val r = repetitionFilter(q, textCol)
+    val nR = r.count()
+    val e = exactDedup(r, idCol, textCol)
     val nE = e.count()
     val nd = nearDupRemoval(e, idCol, textCol)
     val nNd = nd.count()
-    val embedded = embedder.embed(nd, textCol)
+    val bal = sourceCol.map(sc => balance(nd, idCol, textCol, sc))
+      .getOrElse(nd)
+    val nBal = bal.count()
+    val embedded = embedder.embed(bal, textCol)
     indexPath.foreach { p =>
       val idx = new VectorIndex(IndexMeta("pipeline_idx", idCol,
         "embedding", embedder.dim, Metric.Cosine, p))
       idx.rebuild(embedded)
     }
-    (embedded, PipelineReport(input, nQ, nE, nNd))
+    (embedded, PipelineReport(input, nQ, nR, nE, nNd, nBal))
   }
 }

@@ -22,7 +22,9 @@ class PipelineSpec extends SparkSpec {
 
     assert(report.input === 502)
     assert(report.afterQuality < report.input, "empty/low-quality dropped")
-    assert(report.afterExact === report.afterQuality - 1,
+    assert(report.afterRepetition === report.afterQuality,
+      "repetition gate disabled at default cap")
+    assert(report.afterExact === report.afterRepetition - 1,
       "exactly the planted byte-identical copy is removed")
     assert(report.afterNearDup <= report.afterExact,
       "near-dup pass only removes")
@@ -35,5 +37,31 @@ class PipelineSpec extends SparkSpec {
     assert(idx.count() === report.afterNearDup)
     assert(idx.schema.fieldNames.contains("embedding") &&
       idx.schema.fieldNames.contains("__norm"))
+  }
+
+  test("repetition gate drops the pathological doc, keeps normal text") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the river bank"),
+      (2L, ("spam " * 40).trim)
+    ).toDF("doc_id", "text")
+    val p = new CorpusPipeline(minQuality = 0.0, maxDupTokenFraction = 0.9)
+    val kept = p.repetitionFilter(docs, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
+  test("per-source balancing caps each source via the heap operator") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text", $"source")
+    val p = new CorpusPipeline(minQuality = 0.0, perSourceCap = 3)
+    val out = p.balance(docs, "doc_id", "text", "source")
+    val bySource = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.nonEmpty && bySource.values.forall(_ <= 3))
+    // full run with balancing enabled threads the count through
+    val (_, report) = p.run(spark, docs, "doc_id", "text",
+      new HashProjectionEmbedder(16), None, Some("source"))
+    assert(report.afterBalance <= report.afterNearDup)
+    assert(report.afterBalance <= bySource.keySet.size.toLong * 3)
   }
 }

@@ -85,6 +85,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup: dropDuplicatesWithinWatermark keeps the " +
+    "first arrival of each doc id") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = input.toDF().toDF("ts", "doc_id", "text")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("doc_id")
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_dedup").start()
+    try {
+      input.addData((ts(0), 1L, "first copy"), (ts(1), 2L, "other doc"))
+      q.processAllAvailable()
+      // duplicate of doc 1 arriving later inside the watermark window
+      input.addData((ts(2), 1L, "second copy"), (ts(3), 3L, "third doc"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_dedup")
+        .select($"doc_id", $"text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows === Map(1L -> "first copy", 2L -> "other doc",
+        3L -> "third doc"))
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped, not double-counted") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Double)]
