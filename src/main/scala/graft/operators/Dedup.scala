@@ -77,9 +77,14 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
     val rowsPerBand = k / bands
+    // The shingle+signature projection feeds three consumers (banding and
+    // both sides of the refine join): persist it once instead of running
+    // WordShingles/MinHash over the corpus four times. At 100 TB this is
+    // the projection you'd checkpoint to storage between stages.
     val sh = withShingles(docs, idCol, textCol, n)
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket keys only — keep the (large) shingle arrays out of the
     // candidate shuffle and distinct; re-join them for the refine step
     val banded = sh.select(col("id"),
@@ -110,9 +115,12 @@ object Dedup {
     import org.apache.spark.ml.functions.array_to_vector
     import graft.functions.{VectorFunctions => VF}
     val l2Radius = math.sqrt(2.0 * (1.0 - cosineThreshold))
+    // fit + both sides of the self-join consume this projection: persist
+    // once (same multi-consumer pattern as minhashLshPairs)
     val withVec = vectors.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("__mlvec", array_to_vector(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("__mlvec").setOutputCol("__hashes")
       .setBucketLength(bucketLength).setNumHashTables(numTables)

@@ -122,4 +122,32 @@ class PlanAuditSpec extends SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(shuffles <= 2, s"expected <=2 hash exchanges, got $shuffles:\n$p")
   }
+
+  test("chunk dedup: column pruning at the scan, window shuffles on " +
+    "the chunk key only") {
+    val p = plan("dedup_chunks")
+    assert(p.contains("ReadSchema") && !p.contains("n_chars") &&
+      !p.contains("lang"),
+      s"only doc_id/source/text should be read:\n$p")
+    // one exchange for the chunk window, one for the source agg; the
+    // explode itself must not force an extra shuffle
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"expected <=2 hash exchanges, got $shuffles:\n$p")
+  }
+
+  test("scrub: pure projection — no shuffle at all before the sort") {
+    val p = plan("text_scrub")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"redaction is a projection; no hash exchange expected:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,40)]")
+      || p.contains("LessThan(doc_id,40)"),
+      s"doc_id<40 must push into the scan:\n$p")
+  }
+
+  test("repetition: gram counting is partial+final, dup fraction " +
+    "joins without a sort-merge on the small side") {
+    val p = plan("text_repetition")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"gram counts must combine map-side:\n$p")
+  }
 }
