@@ -68,6 +68,19 @@ object InfraQueries {
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("vec_id"))
     }),
+    // IVF at full probe (nProbe = #cells) degrades to exact KNN by
+    // construction — which makes THIS ann path oracle-checkable: the
+    // DuckDB oracle is the plain batch-KNN SQL. Proves the
+    // cell-join + refine machinery loses nothing when nothing is pruned.
+    "ann_ivf_fullprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val index = Ann.buildIvf(e.filter(col("vec_id") >= 5), "embedding", 16)
+      Ann.queryIvf(index, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, nProbe = 16)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // LSH ANN — rows-only; recall asserted in ScalaTest.
     "ann_lsh_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -132,6 +145,20 @@ object InfraQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical to the exact batch-KNN oracle: at full probe the IVF
+    // candidate set is the whole corpus
+    "ann_ivf_fullprobe" ->
+      """SELECT * FROM (
+        |  SELECT q.vec_id AS query_id,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |                    c.vec_id) AS BIGINT) AS rnk,
+        |         c.vec_id
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 5 AND c.vec_id >= 5)
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
     // the embedder's aggregate shape is SQL-expressible even though the
     // vectors aren't: every non-null non-empty text embeds to exactly
     // `dim` floats, null/empty to NULL

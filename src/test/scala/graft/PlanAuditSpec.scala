@@ -150,4 +150,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("Partial"),
       s"gram counts must combine map-side:\n$p")
   }
+
+  test("runtime bloom filter injects on a selective shuffle join " +
+    "(the 100 TB fact-scan pruner)") {
+    import org.apache.spark.sql.functions._
+    spark.sharedState.cacheManager.clearCache()
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // force the shuffle-join + tiny-threshold regime so injection
+      // triggers at test scale; at real scale the defaults (10MB/10GB)
+      // pick the same plan for a selective dim filter over a huge fact
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .agg(sum("l_quantity"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_might_contain") ||
+        p.toLowerCase.contains("bloomfilter"),
+        s"expected a runtime bloom filter on the fact side:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

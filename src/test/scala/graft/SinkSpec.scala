@@ -41,4 +41,17 @@ class SinkSpec extends SparkSpec {
     docs.withColumn("extra", lit(1)).write.mode("overwrite").parquet(dir)
     assert(spark.read.parquet(dir).columns.contains("extra"))
   }
+
+  test("compaction: many small files become few, content identical, " +
+    "no shuffle") {
+    import graft.operators.Maintenance
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    docs.repartition(32).write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted
+    val report = Maintenance.compactParquet(spark, dir,
+      targetFileBytes = 1L << 30)
+    assert(report.filesBefore === 32 && report.filesAfter === 1)
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(after === before, "compaction must not change content")
+  }
 }

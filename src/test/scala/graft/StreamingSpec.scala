@@ -108,6 +108,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: click attributes to the impression " +
+    "within the window, state expires via watermarks") {
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val imp = impressions.toDF().toDF("imp_ts", "ad_id")
+      .withWatermark("imp_ts", "20 minutes")
+    val clk = clicks.toDF().toDF("clk_ts", "c_ad_id")
+      .withWatermark("clk_ts", "20 minutes")
+    // click must land within 10 minutes AFTER its impression
+    val joined = imp.join(clk,
+      expr("""ad_id = c_ad_id AND
+              clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 10 minutes"""))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attrib").start()
+    try {
+      impressions.addData((ts(0), 7L), (ts(0), 8L))
+      clicks.addData((ts(5), 7L))   // in window for ad 7
+      clicks.addData((ts(15), 8L))  // 15 min after: outside the window
+      q.processAllAvailable()
+      val rows = spark.table("attrib").select($"ad_id").collect()
+        .map(_.getLong(0)).toSeq
+      assert(rows === Seq(7L), "only the in-window click joins")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped, not double-counted") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Double)]
