@@ -68,6 +68,24 @@ object GraftExtensions {
     "sorted_intersect_size" -> { args: Seq[Expression] =>
       val (a, b) = two("sorted_intersect_size", args)
       graft.functions.SortedIntersectSize(a, b) },
+    "simhash64" -> { args: Seq[Expression] =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      args match {
+        case Seq(t) => graft.functions.SimHash64(t, "xx")
+        case Seq(t, Literal(a: org.apache.spark.unsafe.types.UTF8String,
+            org.apache.spark.sql.types.StringType)) =>
+          graft.functions.SimHash64(t, a.toString)
+        case Seq(_, other) => throw new IllegalArgumentException(
+          s"simhash64: second argument must be a string literal ('xx'|'md5'), got $other")
+        case _ => throw new IllegalArgumentException(
+          s"simhash64 expects 1 or 2 arguments, got ${args.length}")
+      } },
+    "minhash_sig_md5" -> { args: Seq[Expression] =>
+      val (t, k) = textAndOptInt("minhash_sig_md5", args, default = 16)
+      graft.functions.MinHashSigMd5(t, k) },
+    "md5_feature_embed" -> { args: Seq[Expression] =>
+      val (t, d) = textAndOptInt("md5_feature_embed", args, default = 64)
+      graft.functions.Md5FeatureHashEmbed(t, d) },
   )
 
   /** Register on an already-built session (temp functions). */

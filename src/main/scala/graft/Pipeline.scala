@@ -82,22 +82,47 @@ final class CorpusPipeline(
 
   /** Full run: returns the cleaned, embedded corpus and stage counts;
     * optionally persists a vector index of the result. `sourceCol`
-    * enables the balancing stage when `perSourceCap` > 0. */
+    * enables the balancing stage when `perSourceCap` > 0.
+    *
+    * Single-pass discipline (the 100 TB constraint): every stage
+    * boundary is persisted before it is counted, so each stage's work
+    * executes exactly ONCE — the count materializes the stage from its
+    * cached parent, and every later consumer (the next stage, the
+    * multi-consumer self-joins inside near-dup removal and balancing,
+    * the final embed + index build) reads the cache. The raw input is
+    * scanned once: its count rides the quality pass as a
+    * `Dataset.observe` metric instead of a separate action. (The naive
+    * formulation — eager counts on unpersisted frames — re-ran the
+    * whole upstream chain per stage, ~6 full corpus passes.) Interior
+    * caches are dropped on exit; the last stage stays cached for the
+    * caller's follow-up actions on the returned frame. */
   def run(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, embedder: Embedder,
       indexPath: Option[String] = None,
       sourceCol: Option[String] = None): (DataFrame, PipelineReport) = {
-    val input = docs.count()
-    val q = qualityFilter(docs, textCol)
-    val nQ = q.count()
-    val r = repetitionFilter(q, textCol)
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.storage.StorageLevel
+    val persisted = scala.collection.mutable.ListBuffer[DataFrame]()
+    def stage(df: DataFrame): DataFrame = {
+      persisted += df.persist(StorageLevel.MEMORY_AND_DISK)
+      persisted.last
+    }
+    val obsIn = Observation()
+    val q = stage(qualityFilter(
+      docs.observe(obsIn, count(lit(1)).as("n")), textCol))
+    val nQ = q.count() // the one raw-corpus scan; fires obsIn
+    val input = obsIn.get("n").asInstanceOf[Long]
+    // disabled stages pass through un-persisted (df eq parent): their
+    // count re-reads the parent's cache, no extra pass
+    val r0 = repetitionFilter(q, textCol)
+    val r = if (r0 eq q) q else stage(r0)
     val nR = r.count()
-    val e = exactDedup(r, idCol, textCol)
+    val e = stage(exactDedup(r, idCol, textCol))
     val nE = e.count()
-    val nd = nearDupRemoval(e, idCol, textCol)
+    val nd = stage(nearDupRemoval(e, idCol, textCol))
     val nNd = nd.count()
-    val bal = sourceCol.map(sc => balance(nd, idCol, textCol, sc))
-      .getOrElse(nd)
+    val bal = sourceCol.filter(_ => perSourceCap > 0)
+      .map(sc => stage(balance(nd, idCol, textCol, sc))).getOrElse(nd)
     val nBal = bal.count()
     val embedded = embedder.embed(bal, textCol)
     indexPath.foreach { p =>
@@ -105,6 +130,8 @@ final class CorpusPipeline(
         "embedding", embedder.dim, Metric.Cosine, p))
       idx.rebuild(embedded)
     }
+    // release interior stages; keep the final one hot for the caller
+    persisted.filter(_ ne bal).foreach(_.unpersist(blocking = false))
     (embedded, PipelineReport(input, nQ, nR, nE, nNd, nBal))
   }
 }

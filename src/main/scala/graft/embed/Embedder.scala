@@ -126,6 +126,9 @@ object FittedEmbedders {
     case h: HashProjectionEmbedder =>
       writeString(spark, s"$path/embedder.json",
         s"""{"kind":"hashproj","dim":${h.dim},"textCol":"$textCol"}""")
+    case m: Md5FeatureEmbedder =>
+      writeString(spark, s"$path/embedder.json",
+        s"""{"kind":"md5feat","dim":${m.dim},"textCol":"$textCol"}""")
     case other =>
       throw new IllegalArgumentException(
         s"cannot persist embedder ${other.getClass.getName}")
@@ -144,6 +147,7 @@ object FittedEmbedders {
         case "tfidf" =>
           new FittedTfIdf(dim, IDFModel.load(s"$path/model"))
         case "hashproj" => new HashProjectionEmbedder(dim)
+        case "md5feat" => new Md5FeatureEmbedder(dim)
         case other =>
           throw new IllegalStateException(s"unknown embedder kind $other")
       }
@@ -171,5 +175,24 @@ final class HashProjectionEmbedder(override val dim: Int = 64)
     corpus
       .withColumn("embedding",
         graft.functions.TextExpressions.textHashEmbed(col(textCol), dim))
+      .withColumn("timestamp", current_timestamp())
+}
+
+/** MD5 feature-hashing embedder (stateless): token → md5 digest → byte 7
+  * picks the dimension, bit 6 the sign (graft.functions
+  * .Md5FeatureHashEmbed). Components are small exact integers and MD5 is
+  * a published cross-engine standard, so downstream cosine rankings are
+  * bit-reproducible by ANY engine with `md5()` — the auditable embedding
+  * path (a 100 TB index build can be spot-verified row-for-row in SQL).
+  * xx-hash [[HashProjectionEmbedder]] stays the throughput default. */
+final class Md5FeatureEmbedder(override val dim: Int = 64)
+    extends Embedder with FittedEmbedder {
+
+  override def fit(corpus: DataFrame, textCol: String): FittedEmbedder = this
+
+  override def transform(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .withColumn("embedding",
+        graft.functions.TextExpressions.md5FeatureEmbed(col(textCol), dim))
       .withColumn("timestamp", current_timestamp())
 }

@@ -73,23 +73,38 @@ object Dedup {
     * (band, bucket) keys, equi-join on the bucket — the scale path that
     * replaces the quadratic pair search with a shuffle on bucket id.
     * Candidates are then verified with exact Jaccard (refine step).
+    *
+    * `algo = "md5"` switches the signature to MD5-hex minhashes
+    * (graft.functions.MinHashSigMd5): slower per shingle but every
+    * signature value — and therefore the candidate set itself — is
+    * reproducible as plain SQL on any engine, so the LSH stage is
+    * DuckDB-oracle-checkable, not just spec-trusted. "xx" (xxhash64)
+    * remains the 100 TB default.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
+      threshold: Double, k: Int = 16, bands: Int = 4, n: Int = 3,
+      algo: String = "xx"): DataFrame = {
     val rowsPerBand = k / bands
     // The shingle+signature projection feeds three consumers (banding and
     // both sides of the refine join): persist it once instead of running
     // WordShingles/MinHash over the corpus four times. At 100 TB this is
     // the projection you'd checkpoint to storage between stages.
+    val sig =
+      if (algo == "md5") graft.functions.TextExpressions.minhashSigMd5(col("sh"), k)
+      else minhashSignature(col("sh"), k)
     val sh = withShingles(docs, idCol, textCol, n)
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("sig", sig)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket keys only — keep the (large) shingle arrays out of the
-    // candidate shuffle and distinct; re-join them for the refine step
+    // candidate shuffle and distinct; re-join them for the refine step.
+    // md5 signatures band by the joined slice VALUES (strings — the form
+    // a SQL oracle reproduces); xx signatures band by hash of the slice.
+    val bucketOf: Column => Column =
+      if (algo == "md5") sl => concat_ws("|", sl) else sl => hash(sl).cast("string")
     val banded = sh.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        b => bucketOf(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as(Seq("band", "bucket")))
     val a = banded.toDF("a_id", "band", "bucket")
     val b = banded.toDF("b_id", "band", "bucket")
@@ -107,14 +122,24 @@ object Dedup {
     * brute-force variant (a_id < b_id cross join + cosine filter) is the
     * oracle ground truth; this path replaces the quadratic join with
     * bucket collisions. Vectors should be L2-normalized so the cosine
-    * threshold maps to an L2 radius: ||a-b||² = 2(1-cos). */
+    * threshold maps to an L2 radius: ||a-b||² = 2(1-cos).
+    *
+    * `l2RadiusOverride` decouples the candidate radius from the cosine
+    * threshold (needed for un-normalized vectors, where no radius maps to
+    * a cosine bound). With a large override AND a large `bucketLength`
+    * every pair becomes a candidate, so the output degenerates to exactly
+    * the brute-force pair set — the degeneracy that lets the DuckDB
+    * oracle hash-check this whole path (candidates ⊇ all pairs ⇒ output ≡
+    * cosine filter alone). */
   def embeddingNearDupLsh(vectors: DataFrame, idCol: String, vecCol: String,
       cosineThreshold: Double, bucketLength: Double = 1.0,
-      numTables: Int = 4, seed: Long = 42L): DataFrame = {
+      numTables: Int = 4, seed: Long = 42L,
+      l2RadiusOverride: Option[Double] = None): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
     import org.apache.spark.ml.functions.array_to_vector
     import graft.functions.{VectorFunctions => VF}
-    val l2Radius = math.sqrt(2.0 * (1.0 - cosineThreshold))
+    val l2Radius = l2RadiusOverride.getOrElse(
+      math.sqrt(2.0 * (1.0 - cosineThreshold)))
     // fit + both sides of the self-join consume this projection: persist
     // once (same multi-consumer pattern as minhashLshPairs)
     val withVec = vectors.filter(col(vecCol).isNotNull)
@@ -167,18 +192,14 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 across token
-    * hashes, sign gives the bit. Expressed with column functions only —
-    * per-bit popcount via shiftright/mask. */
-  def simhash64(textCol: Column, bits: Int = 64): Column = {
-    val toks = split(trim(textCol), "\\s+")
-    val hashes = transform(toks, t => xxhash64(t))
-    (0 until bits).foldLeft(lit(0L)) { (acc, bit) =>
-      val votes = aggregate(hashes, lit(0),
-        (v, h) => v + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1)
-          .otherwise(-1))
-      acc.bitwiseOR(when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L)))
-    }
-  }
+    * hashes, sign gives the bit. ONE custom-Expression pass
+    * (graft.functions.SimHash64) — the previous 64x `aggregate()` HOF
+    * foldLeft re-traversed every token hash once per bit (the
+    * nested-HOF re-evaluation trap, measured 30x+ on kernels this
+    * shape). `algo = "md5"` makes the signature reproducible in any SQL
+    * engine (DuckDB-oracle-checkable); "xx" is the faster scale default. */
+  def simhash64(textCol: Column, algo: String = "xx"): Column =
+    graft.functions.TextExpressions.simhash64(textCol, algo)
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

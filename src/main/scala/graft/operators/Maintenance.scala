@@ -26,24 +26,45 @@ object Maintenance {
     }
   }
 
+  /** Compact a parquet directory. PARTITION-AWARE: a `partitionBy`
+    * layout (subdirectories named `key=value`, e.g. an IVF index
+    * persisted by cell) is compacted per leaf directory, preserving the
+    * exact directory structure partition pruning depends on — flattening
+    * it through one top-level coalesce would silently destroy the
+    * pruning. Leaves compact independently (each is its own small Spark
+    * job — at scale, run them concurrently or only for leaves whose file
+    * count exceeds a threshold). Temp/old directories are HIDDEN
+    * siblings (`.name__compact_*`), so a concurrent reader's partition
+    * discovery never lists a half-written leaf. */
   def compactParquet(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): CompactionReport = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val before = dataFiles(spark, dir)
-    val bytes = before.map(_.getLen).sum
-    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.parquet(path)
-    val tmp = new Path(path + "__compact_tmp")
-    val old = new Path(path + "__compact_old")
-    // coalesce, not repartition: compaction must not pay a shuffle — it
-    // only narrows the file count (nOut <= current partitions in the
-    // small-file case this exists for)
-    df.coalesce(nOut).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(old, true)
-    fs.rename(dir, old)
-    fs.rename(tmp, dir)
-    fs.delete(old, true)
-    CompactionReport(before.length, dataFiles(spark, dir).length, bytes)
+    val partDirs = fs.listStatus(dir).filter { st =>
+      st.isDirectory && st.getPath.getName.contains("=")
+    }
+    if (partDirs.nonEmpty) {
+      // hive-partitioned layout (possibly multi-level): recurse per leaf
+      val reports = partDirs.map(st =>
+        compactParquet(spark, st.getPath.toString, targetFileBytes))
+      CompactionReport(reports.map(_.filesBefore).sum,
+        reports.map(_.filesAfter).sum, reports.map(_.bytes).sum)
+    } else {
+      val before = dataFiles(spark, dir)
+      val bytes = before.map(_.getLen).sum
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val df = spark.read.parquet(path)
+      val tmp = new Path(dir.getParent, s".${dir.getName}__compact_tmp")
+      val old = new Path(dir.getParent, s".${dir.getName}__compact_old")
+      // coalesce, not repartition: compaction must not pay a shuffle — it
+      // only narrows the file count (nOut <= current partitions in the
+      // small-file case this exists for)
+      df.coalesce(nOut).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(old, true)
+      fs.rename(dir, old)
+      fs.rename(tmp, dir)
+      fs.delete(old, true)
+      CompactionReport(before.length, dataFiles(spark, dir).length, bytes)
+    }
   }
 }

@@ -26,17 +26,25 @@ object DedupQueries {
           "doc_id", "text", threshold = 0.5)
         .orderBy("a_id", "b_id")
     }),
-    // MinHash+LSH candidate generation + exact refine. Rows-only check
-    // (Spark xxhash64 has no DuckDB twin); ScalaTest asserts it finds
-    // exactly the brute-force pairs at the same threshold.
+    // MinHash+LSH candidate generation + exact refine, in md5 mode: the
+    // signatures (min over shingles of md5(seed || shingle), hex) and the
+    // band buckets are reproducible as plain SQL, so the FULL LSH path —
+    // banding, bucket equi-join, Jaccard refine — is hash-checked against
+    // the DuckDB oracle at realistic parameters (k=16, 4 bands). The
+    // xxhash64 mode (scale default) is equivalence-tested in DedupSpec.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", threshold = 0.5,
+          algo = "md5")
         .orderBy("a_id", "b_id")
     }),
-    // SimHash near-dup pairs at Hamming distance <= 6 on a bounded block.
+    // SimHash near-dup pairs at Hamming distance <= 6 on a bounded block,
+    // in md5 mode: the oracle rebuilds identical 64-bit signatures from
+    // md5() hex and compares per-bit votes — the simhash operator itself
+    // is hash-checked, not just spec-trusted.
     "dedup_simhash" -> ((s, dir) => {
       val withSig = docs(s, dir).filter(col("doc_id") < 200)
-        .select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"), Dedup.simhash64(col("text"), "md5").as("sig"))
       val a = withSig.toDF("a_id", "a_sig")
       val b = withSig.toDF("b_id", "b_sig")
       a.join(b, col("a_id") < col("b_id"))
@@ -72,5 +80,77 @@ object DedupQueries {
         |    / (len(a.g) + len(b.g)
         |       - len(list_filter(a.g, x -> list_contains(b.g, x)))) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // Full LSH-path oracle: identical md5 minhash signatures -> band
+    // buckets (4 bands x 4 rows, bucket = the joined slice values) ->
+    // candidate equi-join -> exact Jaccard refine. Mirrors
+    // Dedup.minhashLshPairs(algo = "md5") stage by stage.
+    "dedup_minhash_lsh" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM d),
+        |mh AS (
+        |  SELECT doc_id, dd.d AS d,
+        |    min(md5(CAST(dd.d AS VARCHAR) || ' ' || s)) AS m
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS d) dd
+        |  GROUP BY doc_id, dd.d),
+        |bands AS (
+        |  SELECT doc_id, CAST(d // 4 AS INT) AS band,
+        |    string_agg(m, '|' ORDER BY d) AS bucket
+        |  FROM mh GROUP BY doc_id, d // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.doc_id < b.doc_id),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM d),
+        |j AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+        |      AS DOUBLE) AS inter,
+        |    len(ga.g) AS na, len(gb.g) AS nb
+        |  FROM cand c
+        |  JOIN g ga ON ga.doc_id = c.a_id
+        |  JOIN g gb ON gb.doc_id = c.b_id)
+        |SELECT a_id, b_id, round(inter / (na + nb - inter), 4) AS jaccard
+        |FROM j WHERE inter / (na + nb - inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    // Per-bit simhash reconstruction: token -> md5 hex -> bit b of the
+    // big-endian first-8-byte value via hex-nibble arithmetic (hex char
+    // 16 - b/4, bit b%4 within the nibble); votes sum +1/-1 per token,
+    // sign sets the signature bit; Hamming distance = count of differing
+    // bits. Exactly graft.functions.SimHash64(algo = "md5").
+    "dedup_simhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(text) AS t FROM documents
+        |  WHERE doc_id < 200 AND text IS NOT NULL AND trim(text) <> ''),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tk FROM d),
+        |th AS (SELECT doc_id, md5(tk) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, bb.b AS b,
+        |    CASE WHEN ((strpos('0123456789abcdef',
+        |                  substr(h, CAST(16 - bb.b // 4 AS INT), 1)) - 1)
+        |               >> CAST(bb.b % 4 AS INT)) & 1 = 1
+        |      THEN 1 ELSE -1 END AS vote
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb),
+        |sig AS (
+        |  SELECT doc_id, b, (sum(vote) > 0) AS bit
+        |  FROM bits GROUP BY doc_id, b),
+        |ham AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS ham
+        |  FROM sig a JOIN sig b ON a.b = b.b AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(ham AS BIGINT) AS ham
+        |FROM ham WHERE ham <= 6 ORDER BY a_id, b_id""".stripMargin,
   )
 }

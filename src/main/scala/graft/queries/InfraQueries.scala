@@ -58,15 +58,21 @@ object InfraQueries {
         sum(col("vec_id")).as("sum_pk"),
         round(avg("__norm"), 4).as("avg_norm"))
     }),
-    // IVF ANN with centroid pruning (nProbe=4 of 16) — rows-only;
-    // recall vs exact asserted in ScalaTest.
+    // IVF ANN with REAL centroid pruning (nProbe=4 of 16), deterministic
+    // centroids (first 16 corpus vectors by id) — the assignment, probe
+    // and refine are all pure functions of the corpus, so the DuckDB
+    // oracle replays the ENTIRE pruned path stage by stage and
+    // hash-checks it. KMeans-centroid IVF (quality path) keeps its
+    // recall assertions in AnnSpec.
     "ann_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      val index = Ann.buildIvf(e.filter(col("vec_id") >= 5), "embedding", 16)
+      val index = Ann.buildIvfDeterministic(e.filter(col("vec_id") >= 5),
+        "embedding", "vec_id", 16)
       Ann.queryIvf(index, e.filter(col("vec_id") < 5), "vec_id", "embedding",
           "vec_id", "embedding", k = 3, nProbe = 4)
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("vec_id"))
+        .orderBy("query_id", "rnk")
     }),
     // IVF at full probe (nProbe = #cells) degrades to exact KNN by
     // construction — which makes THIS ann path oracle-checkable: the
@@ -91,10 +97,32 @@ object InfraQueries {
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("vec_id"))
     }),
-    // Deterministic hash-projection embedder → self-similarity top-5 for
-    // doc 0 — rows-only (xxhash64 has no DuckDB twin).
+    // LSH at FULL COVER: radius ⊇ every pair, and bucketLength so large
+    // that each table's hash collapses to the SIGN of the random
+    // projection — a pair can only be missed by disagreeing in all
+    // numTables signs, P ≈ (θ/π)^32 ≈ 0 for any L2-close pair (and
+    // deterministic under the pinned seed). Candidates ⊇ all relevant
+    // pairs ⇒ output ≡ exact L2 batch-KNN, hash-checked against the
+    // plain batch-KNN oracle. Same degeneracy template as
+    // ann_ivf_fullprobe.
+    "ann_lsh_fullcover" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val index = Ann.buildLsh(e.filter(col("vec_id") >= 5), "embedding",
+        bucketLength = 1e9, numTables = 32)
+      Ann.queryLsh(index, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", k = 3, maxDistance = 1e9)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // End-to-end embed→search in the MD5 featurizer's auditable space:
+    // the oracle rebuilds every doc's sparse integer vector from md5()
+    // hex (byte 7 → dimension, bit 6 → sign), computes the same exact
+    // integer dot/norms, and replays the cosine top-5 — so the full
+    // embed∘knn composition is hash-checked. The xx-hash embedder path
+    // keeps its parity assertions in EmbedderSpec.
     "embed_knn" -> ((s, dir) => {
-      val embedder = new HashProjectionEmbedder(64)
+      val embedder = new graft.embed.Md5FeatureEmbedder(64)
       val corpus = embedder.embed(docs(s, dir).filter(col("doc_id") < 200),
         "text")
       val qv = corpus.filter(col("doc_id") === 0)
@@ -102,6 +130,7 @@ object InfraQueries {
       Knn.singleQuery(corpus.filter(col("doc_id") =!= 0), "embedding",
           "doc_id", qv, k = 5, Metric.Cosine)
         .select(col("rank").cast("long").as("rnk"), col("doc_id"))
+        .orderBy("rnk")
     }),
     // TF-IDF pipeline embedder smoke — rows-only (IDF fit is corpus-wide).
     "embed_tfidf_stats" -> ((s, dir) => {
@@ -145,6 +174,96 @@ object InfraQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Deterministic-centroid IVF, REAL pruning (nProbe=4 of 16): the
+    // oracle replays build (centroids = first 16 corpus vectors by id,
+    // assignment = argmin L2 with cell-id tie-break), probe (4 nearest
+    // centroids per query) and refine (cosine top-3) stage by stage.
+    "ann_ivf_topk" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+        |cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |           AS cell,
+        |         embedding AS cvec
+        |  FROM (SELECT vec_id, embedding FROM corpus
+        |        ORDER BY vec_id LIMIT 16)),
+        |asg AS (
+        |  SELECT c.vec_id, c.embedding, t.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_distance(c.embedding, t.cvec), t.cell) AS rn
+        |  FROM corpus c CROSS JOIN cents t),
+        |cells AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1),
+        |qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |probe AS (
+        |  SELECT q.query_id, q.qv, t.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_distance(q.qv, t.cvec), t.cell) AS pr
+        |  FROM qs q CROSS JOIN cents t),
+        |cand AS (
+        |  SELECT p.query_id, p.qv, c.vec_id, c.embedding
+        |  FROM (SELECT query_id, qv, cell FROM probe WHERE pr <= 4) p
+        |  JOIN cells c USING (cell)),
+        |ranked AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id)
+        |      AS rnk
+        |  FROM cand)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // full-cover LSH ≡ exact L2 batch KNN
+    "ann_lsh_fullcover" ->
+      """SELECT * FROM (
+        |  SELECT q.vec_id AS query_id,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY list_distance(c.embedding, q.embedding) ASC,
+        |                    c.vec_id) AS BIGINT) AS rnk,
+        |         c.vec_id
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 5 AND c.vec_id >= 5)
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+    // MD5 feature-hash embed → cosine top-5 for doc 0: rebuild each
+    // doc's sparse integer vector from md5() hex (byte 7 = hex chars
+    // 15-16 → dimension via % 64, bit 6 → ±1), then exact integer
+    // dot/norm cosine, ranked with doc_id tie-break. Zero-norm docs
+    // score 0 (the engine's cosine(0,·) = 0 convention).
+    "embed_knn" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(text) AS t FROM documents
+        |  WHERE doc_id < 200 AND text IS NOT NULL AND trim(text) <> ''),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tk
+        |  FROM d),
+        |b7 AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(tk), 15, 1)) - 1) * 16
+        |    + strpos('0123456789abcdef', substr(md5(tk), 16, 1)) - 1 AS v
+        |  FROM tok),
+        |sp AS (
+        |  SELECT doc_id, v % 64 AS dim,
+        |    sum(CASE WHEN (v >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS x
+        |  FROM b7 GROUP BY doc_id, v % 64),
+        |nrm AS (SELECT doc_id, sum(x * x) AS n2 FROM sp GROUP BY doc_id),
+        |q AS (SELECT dim, x FROM sp WHERE doc_id = 0),
+        |qn AS (SELECT n2 FROM nrm WHERE doc_id = 0),
+        |dots AS (
+        |  SELECT s.doc_id, sum(s.x * q.x) AS dot
+        |  FROM sp s JOIN q USING (dim)
+        |  WHERE s.doc_id <> 0 GROUP BY s.doc_id),
+        |scored AS (
+        |  SELECT n.doc_id,
+        |    CASE WHEN n.n2 = 0 OR qn.n2 = 0 THEN 0.0
+        |         ELSE coalesce(d.dot, 0) / (sqrt(n.n2) * sqrt(qn.n2))
+        |    END AS cos
+        |  FROM nrm n LEFT JOIN dots d ON d.doc_id = n.doc_id CROSS JOIN qn
+        |  WHERE n.doc_id <> 0)
+        |SELECT CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+        |         AS BIGINT) AS rnk, doc_id
+        |FROM scored ORDER BY cos DESC, doc_id LIMIT 5""".stripMargin,
     // identical to the exact batch-KNN oracle: at full probe the IVF
     // candidate set is the whole corpus
     "ann_ivf_fullprobe" ->

@@ -90,14 +90,19 @@ object VectorQueries {
         .orderBy("a_id", "b_id")
     }),
     // Scale path of near_dup_pairs: LSH self-join candidates + exact
-    // cosine refine. Rows-only (LSH hashes are JVM-side); DedupSpec
-    // asserts subset-of-brute-force and recall >= 0.8.
+    // cosine refine — run FULL-COVER: radius ⊇ all pairs, bucketLength
+    // so large each hash collapses to the projection's sign, and 32
+    // tables so a qualifying pair (cos > 0.4 ⇒ angle < 66°) can only be
+    // missed by disagreeing in all 32 signs, P ≈ (0.37)^32 ≈ 0 —
+    // deterministic under the pinned seed. Candidates ⊇ all qualifying
+    // pairs ⇒ output ≡ the brute-force pair set, so the whole LSH
+    // machinery (hashing, bucket self-join, dedup, refine) is
+    // hash-checked against the near_dup_pairs oracle. Realistic pruning
+    // parameters (recall vs brute force) are asserted in DedupSpec.
     "near_dup_lsh" -> ((s, dir) => {
-      import graft.functions.{VectorFunctions => VF}
-      val e = emb(s, dir)
-        .select(col("vec_id"), VF.normalize(col("embedding")).as("embedding"))
-      graft.operators.Dedup.embeddingNearDupLsh(e, "vec_id", "embedding",
-          cosineThreshold = 0.4)
+      graft.operators.Dedup.embeddingNearDupLsh(emb(s, dir), "vec_id",
+          "embedding", cosineThreshold = 0.4, bucketLength = 1e9,
+          numTables = 32, l2RadiusOverride = Some(1e9))
         .select("a_id", "b_id")
         .orderBy("a_id", "b_id")
     }),
@@ -168,6 +173,13 @@ object VectorQueries {
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
     "near_dup_pairs" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) > 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+    // full-cover LSH ≡ brute force: same oracle as near_dup_pairs
+    "near_dup_lsh" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id

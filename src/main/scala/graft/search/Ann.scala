@@ -53,6 +53,38 @@ object Ann {
     IvfIndex(assigned, cents)
   }
 
+  /** Build with DETERMINISTIC centroids: the first `k` corpus vectors in
+    * `idCol` order seed the cells (cell id = rank in that order). Where
+    * KMeans trades reproducibility for centroid quality, this build is a
+    * pure function of the corpus — the same assignment on any engine —
+    * which makes even the PRUNED query path (nProbe < k) expressible as
+    * plain SQL and hash-checkable by the DuckDB oracle. Recall is
+    * governed by nProbe exactly as with KMeans centroids.
+    *
+    * Scale shape: centroid pick is a k-row limit (tiny); assignment is
+    * one broadcast cross-join (corpus × k) reduced by a map-side-partial
+    * min_by groupBy on the pk — one narrow shuffle of corpus-count rows,
+    * no iteration (vs KMeans' maxIter full passes). Ties on distance
+    * break by cell id ascending. */
+  def buildIvfDeterministic(corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int): IvfIndex = {
+    val valid = corpus.filter(col(vecCol).isNotNull)
+    val cents = valid.orderBy(col(idCol).asc).limit(k)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__centroid"))
+      .withColumn("__cell",
+        (row_number().over(Window.orderBy(col("__cid").asc)) - 1).cast("int"))
+      .select(col("__cell"), col("__centroid"))
+    val carry = valid.columns.filter(_ != idCol)
+    val assigned = valid.crossJoin(broadcast(cents))
+      .withColumn("__cdist", VF.l2(col(vecCol), col("__centroid")))
+      .groupBy(col(idCol))
+      .agg(
+        min_by(col("__cell"), struct(col("__cdist"), col("__cell")))
+          .as("__cell"),
+        carry.map(c => first(col(c)).as(c)): _*)
+    IvfIndex(assigned, cents)
+  }
+
   /** Batch query with centroid pruning + exact refine. One equi-join
     * shuffle on the probed cell ids instead of a full cross join. */
   def queryIvf(index: IvfIndex, queries: DataFrame, queryIdCol: String,
@@ -81,14 +113,58 @@ object Ann {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** Per-cell occupancy — the observability a straggler guard needs.
+    * k rows (one per cell): always driver-small. */
+  def cellStats(index: IvfIndex): DataFrame =
+    index.corpusWithCell.groupBy("__cell")
+      .agg(count(lit(1)).as("n")).orderBy("__cell")
+
+  /** One-row skew summary for `describe`-style surfaces. */
+  def cellSkew(index: IvfIndex): DataFrame =
+    cellStats(index).agg(
+      count(lit(1)).as("n_cells"), sum("n").as("rows"),
+      min("n").as("min_cell"), max("n").as("max_cell"),
+      round(max("n") / avg("n"), 4).as("skew"))
+
+  /** Straggler guard: KMeans (especially `initMode=random, maxIter=3`)
+    * can leave hot cells holding many× the mean — at 100 TB one hot
+    * cell is one task that runs for hours. Split every cell above
+    * `maxSkew` × mean into equal-probability hash sub-cells
+    * (`__subcell`). PURELY PHYSICAL: `queryIvf` still joins on
+    * `__cell` (semantics and recall unchanged); `persistIvf` partitions
+    * by (cell, subcell) so the hot cell becomes several files → several
+    * parallel tasks, all still pruned together by the `__cell` filter.
+    * The split map is k entries — driver-small by construction. */
+  def balanceCells(index: IvfIndex, idCol: String,
+      maxSkew: Double = 2.0): IvfIndex = {
+    val stats = cellStats(index).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mean = stats.values.sum.toDouble / math.max(1, stats.size)
+    val cap = maxSkew * mean
+    val splits: Map[Int, Int] = stats.map { case (cell, n) =>
+      cell -> math.max(1, math.ceil(n / cap).toInt)
+    }
+    val splitCol = element_at(
+      typedlit(splits), col("__cell"))
+    val withSub = index.corpusWithCell.withColumn("__subcell",
+      pmod(xxhash64(col(idCol)), splitCol.cast("long")).cast("int"))
+    IvfIndex(withSub, index.centroids)
+  }
+
   /** Persist an IVF index partitioned BY CELL: each centroid cell is its
     * own parquet directory, so a probe turns into partition pruning —
     * `IN (probed cells)` prunes at the file listing, and a 1000-executor
     * cluster reads only nProbe/k of the bytes. This is the on-disk form
-    * `queryIvf` approximates in memory. */
+    * `queryIvf` approximates in memory. A [[balanceCells]]-split index
+    * additionally partitions by `__subcell`, so hot cells land as
+    * several files (parallel tasks) under the same prunable cell dir. */
   def persistIvf(index: IvfIndex, path: String): Unit = {
+    val partCols =
+      if (index.corpusWithCell.columns.contains("__subcell"))
+        Seq("__cell", "__subcell")
+      else Seq("__cell")
     index.corpusWithCell.write.mode("overwrite")
-      .partitionBy("__cell").parquet(path)
+      .partitionBy(partCols: _*).parquet(path)
     index.centroids.write.mode("overwrite").parquet(path + "_centroids")
   }
 

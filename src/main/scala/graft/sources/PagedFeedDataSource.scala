@@ -36,7 +36,14 @@ class PagedFeedDataSource extends TableProvider with DataSourceRegister {
     val total = Option(properties.get("total")).map(_.toLong).getOrElse(1000L)
     val pageSize = Option(properties.get("pagesize")).map(_.toInt)
       .orElse(Option(properties.get("pageSize")).map(_.toInt)).getOrElse(500)
-    new PagedFeedTable(total, pageSize)
+    // option("url", ...) switches from the deterministic fixture to the
+    // LIVE paginated-HTTP fetch path (graft.sources.HttpPagedFetcher):
+    // same page windows, each fetched with per-host politeness pacing
+    val url = Option(properties.get("url"))
+    val politenessMs = Option(properties.get("politenessms"))
+      .orElse(Option(properties.get("politenessMs")))
+      .map(_.toLong).getOrElse(1000L)
+    new PagedFeedTable(total, pageSize, url, politenessMs)
   }
 }
 
@@ -67,38 +74,47 @@ object PagedFeed {
     })
 }
 
-class PagedFeedTable(total: Long, pageSize: Int) extends Table with SupportsRead {
+class PagedFeedTable(total: Long, pageSize: Int,
+    url: Option[String] = None, politenessMs: Long = 1000L)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_feed(total=$total, pageSize=$pageSize)"
   override def schema(): StructType = PagedFeed.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedFeedScanBuilder(total, pageSize)
+    new PagedFeedScanBuilder(total, pageSize, url, politenessMs)
 }
 
-class PagedFeedScanBuilder(total: Long, pageSize: Int)
+class PagedFeedScanBuilder(total: Long, pageSize: Int,
+    url: Option[String], politenessMs: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = PagedFeed.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new PagedFeedScan(total, pageSize, required)
+  override def build(): Scan =
+    new PagedFeedScan(total, pageSize, required, url, politenessMs)
 }
 
-class PagedFeedScan(total: Long, pageSize: Int, required: StructType)
-    extends Scan with Batch {
+class PagedFeedScan(total: Long, pageSize: Int, required: StructType,
+    url: Option[String], politenessMs: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   /** One partition per page window — the unit a real HTTP fetcher would
-    * rate-limit independently. */
+    * rate-limit independently. `total` doubles as the reference's
+    * target_total truncation cap in HTTP mode. */
   override def planInputPartitions(): Array[InputPartition] =
     (0L until total by pageSize.toLong)
       .map(start => PagePartition(start, math.min(start + pageSize, total)))
       .toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedFeedReaderFactory(required.fieldNames)
+    url match {
+      case Some(u) =>
+        new HttpPagedFeedReaderFactory(required.fieldNames, u, politenessMs)
+      case None => new PagedFeedReaderFactory(required.fieldNames)
+    }
 }
 
 case class PagePartition(start: Long, end: Long) extends InputPartition
@@ -112,6 +128,42 @@ class PagedFeedReaderFactory(cols: Array[String])
       override def next(): Boolean = { i += 1; i < page.end }
       override def get(): InternalRow =
         InternalRow.fromSeq(cols.toSeq.map(c => PagedFeed.fieldValue(c, i)))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Live-HTTP partition reader: fetches this partition's page window from
+  * the feed with per-host politeness pacing, applies the reference's
+  * Atom field transforms, truncates to the window (target_total tail).
+  * Malformed/failed pages yield no rows — the distributed analog of the
+  * reference's stop-with-partial-results. Column pruning applies: only
+  * requested fields are projected into rows. */
+class HttpPagedFeedReaderFactory(cols: Array[String], baseUrl: String,
+    politenessMs: Long) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val page = p.asInstanceOf[PagePartition]
+    new PartitionReader[InternalRow] {
+      private lazy val entries: Seq[FeedEntry] =
+        HttpPagedFetcher.fetchPage(baseUrl, page.start,
+          page.end - page.start, politenessMs)
+          .take((page.end - page.start).toInt)
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < entries.length }
+      override def get(): InternalRow = {
+        val e = entries(i)
+        InternalRow.fromSeq(cols.toSeq.map { c =>
+          UTF8String.fromString(c match {
+            case "id" => e.id
+            case "title" => e.title
+            case "summary" => e.summary
+            case "authors" => e.authors
+            case "category" => e.category
+            case "published" => e.published
+            case "link" => e.link
+          })
+        })
+      }
       override def close(): Unit = ()
     }
   }

@@ -43,6 +43,56 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall $mean too low")
   }
 
+  test("deterministic-centroid IVF at full probe equals exact top-k") {
+    val idx = Ann.buildIvfDeterministic(corpus, "embedding", "vec_id", k = 8)
+    val r = Ann.queryIvf(idx, queries, "vec_id", "embedding", "vec_id",
+      "embedding", k = 3, nProbe = 8, Metric.Cosine)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq)
+      .toMap
+    assert(r === exactTop3)
+  }
+
+  test("cell-balance guard splits hot cells below the skew cap") {
+    // plant a pathological corpus: 200 near-identical vectors (one hot
+    // KMeans cell) + the real corpus
+    val hot = corpus.limit(1)
+      .crossJoin(spark.range(200).select($"id".as("copy")))
+      .select(($"vec_id" * 1000 + $"copy").as("vec_id"), $"embedding")
+    val skewed = corpus.select($"vec_id", $"embedding").union(hot)
+    val idx = Ann.buildIvf(skewed, "embedding", k = 8)
+    val maxBefore = Ann.cellStats(idx).agg(max("n")).head().getLong(0)
+    val mean = Ann.cellStats(idx).agg(avg("n")).head().getDouble(0)
+    // calibrate the skew cap to the fixture so the hottest cell is
+    // guaranteed over it (KMeans cell occupancy varies run to run):
+    // cap = half the hottest cell -> it must split in >= 2
+    val maxSkew = maxBefore / mean / 2.0
+    val balanced = Ann.balanceCells(idx, "vec_id", maxSkew = maxSkew)
+    val n = balanced.corpusWithCell.count()
+    assert(n === skewed.count(), "balancing must not drop rows")
+    // physical task sizes now bounded: every (cell, subcell) group is
+    // within the per-subcell target (hash split is probabilistic, allow
+    // 1.6x slack), and strictly better than the unbalanced max
+    val stats = balanced.corpusWithCell
+      .groupBy("__cell", "__subcell").count().collect()
+    val cap = maxSkew * mean * 1.6
+    val maxAfter = stats.map(_.getAs[Long]("count")).max
+    assert(maxAfter <= cap, s"subcell max $maxAfter exceeds cap $cap")
+    assert(maxAfter < maxBefore, "hot cell must actually split")
+    // semantics unchanged: the balanced index answers queries
+    // identically to the unbalanced one (subcell is physical only)
+    def ans(i: Ann.IvfIndex) =
+      Ann.queryIvf(i, queries, "vec_id", "embedding", "vec_id",
+        "embedding", k = 3, nProbe = 4, Metric.Cosine)
+        .select("query_id", "rank", "vec_id")
+        .collect().map(_.toString).sorted
+    assert(ans(balanced) === ans(idx))
+    // skew summary surfaced for describe-style observability
+    val skewRow = Ann.cellSkew(idx).head()
+    assert(skewRow.getAs[Long]("max_cell") === maxBefore &&
+      skewRow.getAs[Double]("skew") > 1.0)
+  }
+
   test("LSH candidates refine to high recall within distance budget") {
     val idx = Ann.buildLsh(corpus, "embedding", bucketLength = 2.0,
       numTables = 4)

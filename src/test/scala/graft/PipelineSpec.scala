@@ -39,6 +39,25 @@ class PipelineSpec extends SparkSpec {
       idx.schema.fieldNames.contains("__norm"))
   }
 
+  test("run() scans the raw input exactly once (single-pass stage counts)") {
+    // count how many times raw-input partitions are computed: if any
+    // stage count re-ran the upstream chain from the source (the 6x
+    // recompute bug), the accumulator exceeds the partition count
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").repartition(4)
+    val scans = spark.sparkContext.longAccumulator("rawScans")
+    val instrumented = raw.mapPartitions { it =>
+      scans.add(1); it
+    }(org.apache.spark.sql.Encoders.row(raw.schema))
+    val (_, report) = new CorpusPipeline(minQuality = 0.5,
+      nearDupJaccard = 0.8)
+      .run(spark, instrumented, "doc_id", "text",
+        new HashProjectionEmbedder(16), None)
+    assert(report.input > 0)
+    assert(scans.value === 4L,
+      s"raw input computed ${scans.value / 4.0}x, expected exactly 1x")
+  }
+
   test("repetition gate drops the pathological doc, keeps normal text") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over a lazy dog near the river bank"),

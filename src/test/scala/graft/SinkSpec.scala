@@ -54,4 +54,31 @@ class SinkSpec extends SparkSpec {
     val after = spark.read.parquet(dir).collect().map(_.toString).sorted
     assert(after === before, "compaction must not change content")
   }
+
+  test("compaction preserves a partitionBy layout and its pruning") {
+    import graft.operators.Maintenance
+    import graft.search.Ann
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = Ann.buildIvf(emb.filter(col("vec_id") >= 5), "embedding", 8)
+    val dir = Files.createTempDirectory("graft_compact_part").toString + "/ivf"
+    Ann.persistIvf(idx, dir)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted
+    val report = Maintenance.compactParquet(spark, dir,
+      targetFileBytes = 1L << 30)
+    assert(report.filesAfter <= report.filesBefore)
+    // layout intact: still one __cell=N dir per cell, content identical
+    val back = spark.read.parquet(dir)
+    assert(back.collect().map(_.toString).sorted === before,
+      "partitioned compaction must not change content")
+    assert(back.columns.contains("__cell"),
+      "partition column must survive compaction")
+    // pruning still works: a cell filter must reach PartitionFilters,
+    // and unselected cell directories are never opened
+    spark.sharedState.cacheManager.clearCache()
+    val plan = back.filter(col("__cell") === 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ").contains("__cell"),
+      s"expected partition pruning on __cell, plan:\n$plan")
+  }
 }
