@@ -127,6 +127,26 @@ final class Index(spark: SparkSession, underlying: VectorIndex,
     similaritySearch(columns, qv, numResults)
   }
 
+  /** Batch similarity_search over a DataFrame of query texts: embeds
+    * ALL queries through the build-time fitted embedder and retrieves
+    * per-query top-k in ONE distributed plan — multi-query RAG without
+    * the per-query driver `.head()` hop of the single-text overload.
+    * Returns `(query_id, rank, <columns...>, score)`. */
+  def similaritySearchBatch(columns: Seq[String], queryTexts: DataFrame,
+      textCol: String, queryIdCol: String, numResults: Int): DataFrame = {
+    val (e, _) = embedder.getOrElse(throw new IllegalStateException(
+      "index has self-managed vectors; embed the queries yourself " +
+        "(reference custom mode sends query_vector)"))
+    import graft.functions.{VectorFunctions => VF}
+    // normalize like the single-query path: index vectors are unit
+    // length, so scores stay comparable cosines in [-1, 1]
+    val q = e.transform(queryTexts, textCol)
+      .filter(col("embedding").isNotNull)
+      .select(col(queryIdCol), VF.normalize(col("embedding")).as("__qvec"))
+    Knn.batchQuery(underlying.read(spark), q, meta.vecCol, meta.pkCol,
+      "__qvec", queryIdCol, numResults, Metric.Cosine, columns)
+  }
+
   /** Incremental sync from a change batch (delta-sync TRIGGERED). A
     * managed-embedding index embeds the changed rows first — the change
     * feed carries source rows, not vectors — through the BUILD-TIME

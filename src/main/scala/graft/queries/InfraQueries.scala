@@ -141,6 +141,23 @@ object InfraQueries {
             .as("n_embedded"),
           sum(size(col("embedding"))).as("sum_dims"))
     }),
+    // Two-stage rerank at REALISTIC parameters (coarse 8-dim prefix
+    // scan -> k*c=12 candidates -> exact re-score -> top 3): both
+    // stages are pure functions of the corpus, so the oracle replays
+    // them stage by stage — the reference's commented reranker hook
+    // (query_endpoint.py:130) as a hash-checked operator.
+    "rerank_truncated" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.search.Rerank.truncated(
+          corpus = e.filter(col("vec_id") >= 5),
+          queries = e.filter(col("vec_id") < 5),
+          corpusVecCol = "embedding", corpusPkCol = "vec_id",
+          queryVecCol = "embedding", queryIdCol = "vec_id",
+          k = 3, c = 4, coarseDims = 8, metric = Metric.Cosine)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // Multimodal frame sampling: video rows explode to one row per
     // 250 ms frame via sequence+explode; the oracle reproduces the
     // frame grid with generate_series.
@@ -264,6 +281,40 @@ object InfraQueries {
         |SELECT CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
         |         AS BIGINT) AS rnk, doc_id
         |FROM scored ORDER BY cos DESC, doc_id LIMIT 5""".stripMargin,
+    // Replays both rerank stages. DOUBLE[] casts force DuckDB to
+    // accumulate dot products in double like the engine's
+    // VectorDistance (FLOAT[] list_dot_product accumulates in float and
+    // diverges ~1e-8); cosine spelled as dot/(sqrt*sqrt) with the
+    // zero-norm -> 0 convention to match exactly.
+    "rerank_truncated" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id >= 5),
+        |coarse AS (
+        |  SELECT q.query_id, q.qv, c.vec_id, c.v,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      CASE WHEN list_dot_product(c.v[1:8], c.v[1:8]) = 0
+        |             OR list_dot_product(q.qv[1:8], q.qv[1:8]) = 0 THEN 0
+        |           ELSE list_dot_product(c.v[1:8], q.qv[1:8])
+        |                / (sqrt(list_dot_product(c.v[1:8], c.v[1:8]))
+        |                   * sqrt(list_dot_product(q.qv[1:8], q.qv[1:8])))
+        |      END DESC, c.vec_id) AS cr
+        |  FROM c CROSS JOIN q),
+        |fin AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      CASE WHEN list_dot_product(v, v) = 0
+        |             OR list_dot_product(qv, qv) = 0 THEN 0
+        |           ELSE list_dot_product(v, qv)
+        |                / (sqrt(list_dot_product(v, v))
+        |                   * sqrt(list_dot_product(qv, qv)))
+        |      END DESC, vec_id) AS rnk
+        |  FROM coarse WHERE cr <= 12)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM fin WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     // identical to the exact batch-KNN oracle: at full probe the IVF
     // candidate set is the whole corpus
     "ann_ivf_fullprobe" ->

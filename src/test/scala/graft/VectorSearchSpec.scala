@@ -107,6 +107,46 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("batch query-text search: one plan, same results as the " +
+    "per-query loop") {
+    val vs = new VectorSearch(spark, root)
+    vs.createEndpoint("ep_batch")
+    val corpus = Seq(
+      (1L, "spark is a distributed query engine"),
+      (2L, "vector search retrieves nearest neighbors"),
+      (3L, "dense embeddings encode text meaning"),
+      (4L, "the cat sat on the mat"),
+      (5L, "spark executes distributed dataframe queries")
+    ).toDF("id", "text")
+    val index = vs.createDeltaSyncIndex("ep_batch", corpus, "batch_idx",
+      primaryKey = "id", embeddingSourceColumn = "text",
+      embedder = new HashProjectionEmbedder(64))
+    val queryTexts = Seq(
+      (10L, "distributed spark query engine"),
+      (11L, "nearest neighbor retrieval"),
+      (12L, "a cat on a mat")
+    ).toDF("qid", "qtext")
+    val batch = index.similaritySearchBatch(Seq("id"), queryTexts,
+      textCol = "qtext", queryIdCol = "qid", numResults = 2)
+    val got = batch.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq)
+      .toMap
+    assert(got.keySet === Set(10L, 11L, 12L))
+    // parity with the single-text path, scores included
+    queryTexts.collect().foreach { qr =>
+      val single = index.similaritySearch(Seq("id"),
+        queryText = qr.getString(1), numResults = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = got(qr.getLong(0))
+      assert(b.map(_._1) === single.map(_._1),
+        s"ranking mismatch for query ${qr.getLong(0)}")
+      b.zip(single).foreach { case ((_, s1), (_, s2)) =>
+        assert(math.abs(s1 - s2) < 1e-9) }
+    }
+  }
+
   test("text search on a self-managed index fails with guidance") {
     val vs = new VectorSearch(spark, root)
     vs.createEndpoint("ep3")
