@@ -89,20 +89,23 @@ object VectorQueries {
         .select(col("a_id"), col("b_id"))
         .orderBy("a_id", "b_id")
     }),
-    // Scale path of near_dup_pairs: LSH self-join candidates + exact
-    // cosine refine — run FULL-COVER: radius ⊇ all pairs, bucketLength
-    // so large each hash collapses to the projection's sign, and 32
-    // tables so a qualifying pair (cos > 0.4 ⇒ angle < 66°) can only be
-    // missed by disagreeing in all 32 signs, P ≈ (0.37)^32 ≈ 0 —
-    // deterministic under the pinned seed. Candidates ⊇ all qualifying
-    // pairs ⇒ output ≡ the brute-force pair set, so the whole LSH
-    // machinery (hashing, bucket self-join, dedup, refine) is
-    // hash-checked against the near_dup_pairs oracle. Realistic pruning
-    // parameters (recall vs brute force) are asserted in DedupSpec.
+    // LSH near-dup run FULL-COVER as a correctness harness: radius ⊇
+    // all pairs, bucketLength so large each hash collapses to the
+    // projection's sign, 16 tables so a qualifying pair (cos > 0.4 ⇒
+    // angle < 66° ⇒ per-table sign-disagreement p ≤ 0.37) is missed
+    // only with P ≤ 0.37^16 ≈ 1e-7 — deterministic under the pinned
+    // seed. Candidates ⊇ all qualifying pairs ⇒ output ≡ the
+    // brute-force pair set, so the whole LSH machinery (hashing,
+    // bucket self-join, dedup, refine) is hash-checked against the
+    // near_dup_pairs SQL. Full cover is Ω(tables × pairs) — strictly a
+    // proof harness, bounded to a block like the other ground-truth
+    // queries; the SCALE configuration (fine buckets, realistic
+    // radius) is equivalence/recall-tested in DedupSpec.
     "near_dup_lsh" -> ((s, dir) => {
-      graft.operators.Dedup.embeddingNearDupLsh(emb(s, dir), "vec_id",
+      graft.operators.Dedup.embeddingNearDupLsh(
+          emb(s, dir).filter(col("vec_id") < 1000), "vec_id",
           "embedding", cosineThreshold = 0.4, bucketLength = 1e9,
-          numTables = 32, l2RadiusOverride = Some(1e9))
+          numTables = 16, l2RadiusOverride = Some(1e9))
         .select("a_id", "b_id")
         .orderBy("a_id", "b_id")
     }),
@@ -178,11 +181,11 @@ object VectorQueries {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) > 0.4
         |ORDER BY a_id, b_id""".stripMargin,
-    // full-cover LSH ≡ brute force: same oracle as near_dup_pairs
+    // full-cover LSH ≡ brute force on the same bounded block
     "near_dup_lsh" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |FROM embeddings a, embeddings b
-        |WHERE a.vec_id < b.vec_id
+        |WHERE a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
         |  AND list_cosine_similarity(a.embedding, b.embedding) > 0.4
         |ORDER BY a_id, b_id""".stripMargin,
   )
