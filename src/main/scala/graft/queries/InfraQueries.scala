@@ -141,6 +141,38 @@ object InfraQueries {
             .as("n_embedded"),
           sum(size(col("embedding"))).as("sum_dims"))
     }),
+    // Native deterministic sign-LSH ANN at REALISTIC parameters
+    // (8 tables x 4-bit Rademacher hyperplane codes, no degeneracy):
+    // codes are integer-exact functions of the vector, so the oracle
+    // recomputes the identical buckets from md5() bits and replays the
+    // candidate join + refine — the engine-owned answer to MLlib's
+    // uncheckable random projections.
+    "ann_signlsh_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val index = Ann.buildSignLsh(e.filter(col("vec_id") >= 5),
+        "embedding", tables = 8, bits = 4)
+      Ann.querySignLsh(index, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // SQ8 quantized retrieve-then-rerank at REALISTIC parameters:
+    // per-dim min/max fit on the corpus, byte codes, coarse top-12 by
+    // exact INTEGER code dot (the 4x-cheaper scan), cosine refine on
+    // survivors. Every stage is exact arithmetic, so the oracle
+    // replays fit -> encode -> coarse -> refine with no degeneracy.
+    "ann_sq8_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val stats = graft.search.Sq8.fit(corpus, "embedding")
+      graft.search.Sq8.rerank(corpus, e.filter(col("vec_id") < 5),
+          "embedding", "vec_id", "embedding", "vec_id",
+          k = 3, c = 4, stats)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // Two-stage rerank at REALISTIC parameters (coarse 8-dim prefix
     // scan -> k*c=12 candidates -> exact re-score -> top 3): both
     // stages are pure functions of the corpus, so the oracle replays
@@ -281,6 +313,93 @@ object InfraQueries {
         |SELECT CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
         |         AS BIGINT) AS rnk, doc_id
         |FROM scored ORDER BY cos DESC, doc_id LIMIT 5""".stripMargin,
+    // Replays SQ8 end to end: corpus-only min/max per dimension,
+    // clamped affine byte encode (floor(.. * 255 + 0.5) - 128, constant
+    // dims -> -128), integer code-dot coarse ranking, cosine refine.
+    "ann_sq8_rerank" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |comp AS (
+        |  SELECT v.vec_id, dd.d,
+        |    CAST(v.embedding[dd.d + 1] AS DOUBLE) AS x
+        |  FROM embeddings v, dims dd),
+        |stats AS (
+        |  SELECT d, min(x) AS mn, max(x) AS mx
+        |  FROM comp WHERE vec_id >= 5 GROUP BY d),
+        |codes AS (
+        |  SELECT c.vec_id, c.d,
+        |    CASE WHEN s.mx = s.mn THEN -128
+        |         ELSE CAST(least(greatest(
+        |             floor((c.x - s.mn) / (s.mx - s.mn) * 255 + 0.5),
+        |             0), 255) AS INT) - 128
+        |    END AS b
+        |  FROM comp c JOIN stats s USING (d)),
+        |cdot AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id, sum(q.b * c.b) AS cscore
+        |  FROM codes q JOIN codes c USING (d)
+        |  WHERE q.vec_id < 5 AND c.vec_id >= 5
+        |  GROUP BY q.vec_id, c.vec_id),
+        |cand AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cscore DESC, vec_id) AS cr
+        |  FROM cdot),
+        |fin AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    row_number() OVER (PARTITION BY cand.query_id
+        |      ORDER BY list_cosine_similarity(ce.embedding, qe.embedding)
+        |        DESC, cand.vec_id) AS rnk
+        |  FROM cand
+        |  JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |  WHERE cand.cr <= 12)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM fin WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // Replays the native sign-LSH end to end: ±1 planes from md5 bit 0
+    // (hex char 16), exact integer projection (floor(x * 2^20)),
+    // per-table 4-bit bucket codes, candidate equi-join, cosine top-3
+    // refine. Integer arithmetic makes every stage bit-identical
+    // across engines.
+    "ann_signlsh_topk" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |tb AS (
+        |  SELECT t.t, b.b
+        |  FROM (SELECT unnest(range(0, 8)) AS t) t,
+        |       (SELECT unnest(range(0, 4)) AS b) b),
+        |signs AS (
+        |  SELECT tb.t, tb.b, dims.d,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5(CAST(tb.t AS VARCHAR) || ' ' ||
+        |                   CAST(tb.b AS VARCHAR) || ' ' ||
+        |                   CAST(dims.d AS VARCHAR)), 16, 1)) - 1) & 1 = 1
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM tb, dims),
+        |comp AS (
+        |  SELECT v.vec_id, dd.d,
+        |    CAST(floor(CAST(v.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS y
+        |  FROM embeddings v, dims dd),
+        |proj AS (
+        |  SELECT c.vec_id, s.t, s.b, sum(s.s * c.y) AS acc
+        |  FROM comp c JOIN signs s ON s.d = c.d
+        |  GROUP BY c.vec_id, s.t, s.b),
+        |codes AS (
+        |  SELECT vec_id, t,
+        |    sum(CASE WHEN acc > 0 THEN 1 << b ELSE 0 END) AS code
+        |  FROM proj GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+        |  FROM codes q JOIN codes c ON q.t = c.t AND q.code = c.code
+        |  WHERE q.vec_id < 5 AND c.vec_id >= 5),
+        |ranked AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    row_number() OVER (PARTITION BY cand.query_id
+        |      ORDER BY list_cosine_similarity(ce.embedding, qe.embedding)
+        |        DESC, cand.vec_id) AS rnk
+        |  FROM cand
+        |  JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = cand.query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     // Replays both rerank stages. DOUBLE[] casts force DuckDB to
     // accumulate dot products in double like the engine's
     // VectorDistance (FLOAT[] list_dot_product accumulates in float and

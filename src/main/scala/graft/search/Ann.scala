@@ -204,6 +204,56 @@ object Ann {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  // ------- Native sign-LSH (deterministic, engine-owned) -------
+
+  final case class SignLshIndex(corpusCoded: DataFrame, tables: Int,
+      bits: Int)
+
+  /** Hash every corpus row to one bucket code per table with the
+    * deterministic Rademacher sign-LSH
+    * (graft.functions.SignLshCodes). Unlike the MLlib path, the codes
+    * are a pure function of the vector — the same on any engine — so
+    * the realistic pruned query below is DuckDB-oracle-checkable, and
+    * an index persisted by (table, code) gets genuine partition
+    * pruning like persistIvf. */
+  def buildSignLsh(corpus: DataFrame, vecCol: String, tables: Int = 8,
+      bits: Int = 4): SignLshIndex = {
+    val coded = corpus.filter(col(vecCol).isNotNull)
+      .withColumn("__codes", graft.functions.SignLshFunctions
+        .signLshCodes(col(vecCol), tables, bits))
+    SignLshIndex(coded, tables, bits)
+  }
+
+  /** Batch ANN via the native sign-LSH: explode (table, code) on both
+    * sides, equi-join on the bucket (the only shuffle — on code ids,
+    * never on vectors × vectors), dedupe pairs found by several
+    * tables, exact top-k refine. A query can return < k rows when its
+    * buckets hold < k candidates — standard ANN semantics. */
+  def querySignLsh(index: SignLshIndex, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, corpusPkCol: String,
+      corpusVecCol: String, k: Int,
+      metric: Metric = Metric.Cosine): DataFrame = {
+    val c = index.corpusCoded
+      .select(col(corpusPkCol), col(corpusVecCol),
+        posexplode(col("__codes")).as(Seq("__t", "__code")))
+    val q = queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qvec"),
+        posexplode(graft.functions.SignLshFunctions
+          .signLshCodes(col(queryVecCol), index.tables, index.bits))
+          .as(Seq("__t", "__code")))
+    val cand = c.join(broadcast(q), Seq("__t", "__code"))
+      .dropDuplicates("query_id", corpusPkCol)
+    val scored = cand.withColumn("score",
+      VF.distance(col(corpusVecCol), col("__qvec"), metric))
+    val w = Window.partitionBy("query_id")
+      .orderBy(Knn.scoreOrder(col("score"), metric), col(corpusPkCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(corpusPkCol), col("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   // ---------------- LSH (random projection buckets) ----------------
 
   final case class LshIndex(model: BucketedRandomProjectionLSHModel,

@@ -93,6 +93,31 @@ class AnnSpec extends SparkSpec {
       skewRow.getAs[Double]("skew") > 1.0)
   }
 
+  test("native sign-LSH: deterministic codes, ranked-by-cosine output, " +
+    "useful recall") {
+    val idx = Ann.buildSignLsh(corpus, "embedding", tables = 8, bits = 4)
+    def run() = Ann.querySignLsh(idx, queries, "vec_id", "embedding",
+      "vec_id", "embedding", k = 3).collect()
+    val r1 = run()
+    // pure function of the data: identical across runs (no seed state)
+    assert(r1.map(_.toString).sorted === run().map(_.toString).sorted)
+    // output is truly cosine-ranked within each query
+    r1.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      val scores = byRank.map(_.getAs[Double]("score"))
+      assert(scores.sameElements(scores.sorted.reverse))
+    }
+    // candidate pruning keeps enough of the true top-k to be useful
+    val got = r1.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recalls = exactTop3.map { case (q, exact) =>
+      got.get(q).map(f => exact.count(f.contains).toDouble / exact.size)
+        .getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean recall $mean too low (8 tables x 4 bits)")
+  }
+
   test("LSH candidates refine to high recall within distance budget") {
     val idx = Ann.buildLsh(corpus, "embedding", bucketLength = 2.0,
       numTables = 4)

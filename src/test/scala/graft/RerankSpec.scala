@@ -38,6 +38,32 @@ class RerankSpec extends SparkSpec {
     assert(r === exact)
   }
 
+  test("SQ8 quantized rerank: byte storage, degenerate c equals exact, " +
+    "high recall at realistic c") {
+    import graft.search.Sq8
+    val stats = Sq8.fit(corpus, "embedding")
+    // storage form really is one byte per dimension (the 4x scan win)
+    val enc = corpus.select(Sq8.encode(col("embedding"), stats).as("c"))
+    assert(enc.schema("c").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false))
+    assert(enc.limit(5).collect().forall(_.getSeq[Byte](0).length === 64))
+    // c spanning the corpus degenerates to exact KNN
+    val n = corpus.count().toInt
+    val degen = collectTopK(Sq8.rerank(corpus, queries, "embedding",
+      "vec_id", "embedding", "vec_id", k = 3, c = n / 3 + 1, stats))
+    assert(degen === exact)
+    // realistic candidate multiplier: full-width 8-bit codes carry far
+    // more of the cosine than a dims-prefix, so recall should be high
+    val r = collectTopK(Sq8.rerank(corpus, queries, "embedding",
+      "vec_id", "embedding", "vec_id", k = 3, c = 4, stats))
+    val recalls = exact.map { case (q, ex) =>
+      ex.count(r(q).contains).toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall $mean too low for SQ8 coarse stage")
+  }
+
   test("realistic rerank keeps k rows per query with high recall") {
     // half-dimension coarse stage: on near-isotropic synthetic vectors a
     // short prefix carries little of the full cosine, so recall is
