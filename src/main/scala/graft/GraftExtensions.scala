@@ -86,6 +86,23 @@ object GraftExtensions {
     "md5_feature_embed" -> { args: Seq[Expression] =>
       val (t, d) = textAndOptInt("md5_feature_embed", args, default = 64)
       graft.functions.Md5FeatureHashEmbed(t, d) },
+    "sign_lsh_codes" -> { args: Seq[Expression] =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.IntegerType
+      args match {
+        case Seq(v) => graft.functions.SignLshCodes(v, 8, 4)
+        case Seq(v, Literal(t: Int, IntegerType)) =>
+          graft.functions.SignLshCodes(v, t, 4)
+        case Seq(v, Literal(t: Int, IntegerType),
+            Literal(b: Int, IntegerType)) =>
+          graft.functions.SignLshCodes(v, t, b)
+        case _ => throw new IllegalArgumentException(
+          "sign_lsh_codes expects (vector[, tables-literal[, bits-literal]])," +
+            s" got ${args.length} args")
+      } },
+    "sq8_dot" -> { args: Seq[Expression] =>
+      val (a, b) = two("sq8_dot", args)
+      graft.search.Sq8Dot(a, b) },
   )
 
   /** Register on an already-built session (temp functions). */

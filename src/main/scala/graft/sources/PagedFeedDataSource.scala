@@ -43,7 +43,10 @@ class PagedFeedDataSource extends TableProvider with DataSourceRegister {
     val politenessMs = Option(properties.get("politenessms"))
       .orElse(Option(properties.get("politenessMs")))
       .map(_.toLong).getOrElse(1000L)
-    new PagedFeedTable(total, pageSize, url, politenessMs)
+    val maxRowsPerBatch = Option(properties.get("maxrowsperbatch"))
+      .orElse(Option(properties.get("maxRowsPerBatch")))
+      .map(_.toLong).getOrElse(0L)
+    new PagedFeedTable(total, pageSize, url, politenessMs, maxRowsPerBatch)
   }
 }
 
@@ -75,29 +78,34 @@ object PagedFeed {
 }
 
 class PagedFeedTable(total: Long, pageSize: Int,
-    url: Option[String] = None, politenessMs: Long = 1000L)
+    url: Option[String] = None, politenessMs: Long = 1000L,
+    maxRowsPerBatch: Long = 0L)
     extends Table with SupportsRead {
   override def name(): String = s"graft_feed(total=$total, pageSize=$pageSize)"
   override def schema(): StructType = PagedFeed.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedFeedScanBuilder(total, pageSize, url, politenessMs)
+    new PagedFeedScanBuilder(total, pageSize, url, politenessMs,
+      maxRowsPerBatch)
 }
 
 class PagedFeedScanBuilder(total: Long, pageSize: Int,
-    url: Option[String], politenessMs: Long)
+    url: Option[String], politenessMs: Long, maxRowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = PagedFeed.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new PagedFeedScan(total, pageSize, required, url, politenessMs)
+    new PagedFeedScan(total, pageSize, required, url, politenessMs,
+      maxRowsPerBatch)
 }
 
 class PagedFeedScan(total: Long, pageSize: Int, required: StructType,
-    url: Option[String], politenessMs: Long) extends Scan with Batch {
+    url: Option[String], politenessMs: Long, maxRowsPerBatch: Long)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -105,16 +113,91 @@ class PagedFeedScan(total: Long, pageSize: Int, required: StructType,
     * rate-limit independently. `total` doubles as the reference's
     * target_total truncation cap in HTTP mode. */
   override def planInputPartitions(): Array[InputPartition] =
-    (0L until total by pageSize.toLong)
-      .map(start => PagePartition(start, math.min(start + pageSize, total)))
-      .toArray[InputPartition]
+    PagedFeedScan.pages(0L, total, pageSize)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    url match {
-      case Some(u) =>
-        new HttpPagedFeedReaderFactory(required.fieldNames, u, politenessMs)
-      case None => new PagedFeedReaderFactory(required.fieldNames)
+    PagedFeedScan.readerFactory(required, url, politenessMs)
+
+  /** Streaming form: the feed as a micro-batch source — incremental
+    * ingest with resumable offsets (row positions), the
+    * Structured-Streaming leg of the ingestion story (drives
+    * graft.streaming.IndexSync end-to-end from a feed). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PagedFeedMicroBatch(total, pageSize, required, url, politenessMs,
+      maxRowsPerBatch)
+}
+
+object PagedFeedScan {
+  def pages(from: Long, until: Long, pageSize: Int): Array[InputPartition] =
+    (from until until by pageSize.toLong)
+      .map(start => PagePartition(start, math.min(start + pageSize, until)))
+      .toArray[InputPartition]
+
+  def readerFactory(required: StructType, url: Option[String],
+      politenessMs: Long): PartitionReaderFactory = url match {
+    case Some(u) =>
+      new HttpPagedFeedReaderFactory(required.fieldNames, u, politenessMs)
+    case None => new PagedFeedReaderFactory(required.fieldNames)
+  }
+}
+
+/** Micro-batch stream over the paged feed. Offsets are ROW positions
+  * (page-aligned); `maxRowsPerBatch` > 0 bounds each micro-batch via
+  * admission control — the streaming analog of the fetch loop's
+  * politeness pacing (don't drain the upstream feed in one giant
+  * batch). Restart-safe: Spark replays from the committed offset. */
+class PagedFeedMicroBatch(total: Long, pageSize: Int,
+    required: StructType, url: Option[String], politenessMs: Long,
+    maxRowsPerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
+
+  private case class RowOffset(rows: Long) extends Offset {
+    override def json(): String = rows.toString
+  }
+
+  override def initialOffset(): Offset = RowOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    RowOffset(json.toLong)
+
+  override def latestOffset(): Offset = RowOffset(total)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRowsPerBatch > 0) ReadLimit.maxRows(maxRowsPerBatch)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[RowOffset].rows
+    val cap = limit match {
+      case m: ReadMaxRows =>
+        // page-align the admission cap (at least one page per batch)
+        val pages = math.max(1L, m.maxRows() / pageSize)
+        from + pages * pageSize
+      case _ => total
     }
+    RowOffset(math.min(cap, total))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] =
+    PagedFeedScan.pages(start.asInstanceOf[RowOffset].rows,
+      end.asInstanceOf[RowOffset].rows, pageSize)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    PagedFeedScan.readerFactory(required, url, politenessMs)
+
+  // Trigger.AvailableNow: the end of the feed is static (`total`), so
+  // there is nothing to snapshot — declaring support is what lets the
+  // trigger honor maxRowsPerBatch across several batches instead of
+  // falling back to one giant Trigger.Once batch.
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def reportLatestOffset(): Offset = RowOffset(total)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class PagePartition(start: Long, end: Long) extends InputPartition

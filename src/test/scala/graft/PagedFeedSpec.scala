@@ -87,6 +87,25 @@ class PagedFeedSpec extends SparkSpec {
     assert(feed(10, 3).schema === graft.sources.PagedFeed.schema)
   }
 
+  test("streaming micro-batch read: admission control pages the feed, " +
+    "every row arrives exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = spark.readStream.format("graft_feed")
+      .option("total", 1000).option("pageSize", 100)
+      .option("maxRowsPerBatch", 300).load()
+      .writeStream.format("memory").queryName("feed_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("feed_stream").count() === 1000)
+    assert(spark.table("feed_stream").select("id").distinct().count()
+      === 1000, "exactly-once: no duplicated pages across micro-batches")
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3,
+      s"admission control must page the feed (got ${batches.length} batches)")
+    assert(batches.forall(_.numInputRows <= 300),
+      "each micro-batch must respect maxRowsPerBatch")
+  }
+
   // ---- live-HTTP fetch loop (reference syntetic_data_arxiv.py:75-127) ----
 
   test("fetchAll paginates, truncates to target_total, applies the " +
