@@ -5,7 +5,7 @@ import graft.embed.{HashProjectionEmbedder, HashingTfIdfEmbedder}
 import graft.functions.Metric
 import graft.index.{ChangeLog, IndexMeta, VectorIndex}
 import graft.operators.Multimodal
-import graft.search.{Ann, Knn}
+import graft.search.{Ann, GraphAnn, Knn}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -169,6 +169,26 @@ object InfraQueries {
       graft.search.Sq8.rerank(corpus, e.filter(col("vec_id") < 5),
           "embedding", "vec_id", "embedding", "vec_id",
           k = 3, c = 4, stats)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // Graph ANN (the HNSW stand-in) at REALISTIC parameters: exact
+    // 6-NN graph on a bounded corpus block, then 3 hops of beam-4
+    // search from 4 fixed entry points — REAL graph pruning, not a
+    // degeneracy. Every stage (graph edges, entry points, per-hop
+    // frontier, final top-3) is a pure function of the corpus, so the
+    // DuckDB oracle replays the build and every hop and hash-checks
+    // the pruned result. The sign-LSH-built graph (the 100 TB build
+    // path) keeps its recall assertions in GraphAnnSpec.
+    "ann_graph_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 2000)
+      val graph = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id",
+        m = 6)
+      GraphAnn.queryGraph(graph, corpus, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 3, entries = 4, beam = 4, hops = 3, metric = Metric.L2)
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("vec_id"))
         .orderBy("query_id", "rnk")
@@ -398,6 +418,79 @@ object InfraQueries {
         |  FROM cand
         |  JOIN embeddings ce ON ce.vec_id = cand.vec_id
         |  JOIN embeddings qe ON qe.vec_id = cand.query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // Replays the graph-ANN search end to end: exact 6-NN graph
+    // (L2, id tie-break) on the bounded corpus block, entry points =
+    // 4 lowest ids, then the three beam-4 hops unrolled as CTEs
+    // (cN = candidate set after hop N, fN = its top-beam frontier),
+    // final exact top-3. DOUBLE[] casts keep distance accumulation
+    // bit-identical with the engine's VectorDistance.
+    "ann_graph_topk" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id >= 5 AND vec_id < 2000),
+        |qs AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vec_id AS src, b.vec_id AS dst,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_distance(a.v, b.v), b.vec_id) AS rn
+        |    FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id)
+        |  WHERE rn <= 6),
+        |entry AS (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT 4),
+        |c0 AS (
+        |  SELECT q.query_id, e.vec_id FROM qs q CROSS JOIN entry e),
+        |f0 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+        |    FROM c0 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id)
+        |  WHERE r <= 4),
+        |c1 AS (
+        |  SELECT DISTINCT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id FROM c0
+        |    UNION ALL
+        |    SELECT f.query_id, g.dst AS vec_id
+        |    FROM f0 f JOIN edges g ON g.src = f.vec_id)),
+        |f1 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+        |    FROM c1 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id)
+        |  WHERE r <= 4),
+        |c2 AS (
+        |  SELECT DISTINCT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id FROM c1
+        |    UNION ALL
+        |    SELECT f.query_id, g.dst AS vec_id
+        |    FROM f1 f JOIN edges g ON g.src = f.vec_id)),
+        |f2 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+        |    FROM c2 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id)
+        |  WHERE r <= 4),
+        |c3 AS (
+        |  SELECT DISTINCT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id FROM c2
+        |    UNION ALL
+        |    SELECT f.query_id, g.dst AS vec_id
+        |    FROM f2 f JOIN edges g ON g.src = f.vec_id)),
+        |ranked AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_distance(v.v, q.qv), c.vec_id) AS rnk
+        |  FROM c3 c JOIN corpus v ON v.vec_id = c.vec_id
+        |  JOIN qs q ON q.query_id = c.query_id)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     // Replays both rerank stages. DOUBLE[] casts force DuckDB to

@@ -1,0 +1,139 @@
+package graft.search
+
+import graft.functions.{Metric, SignLshFunctions, VectorFunctions => VF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-based ANN — the engine's answer to the managed service's HNSW
+  * (SURVEY §4.1; the reference delegates ANN entirely to the service,
+  * /root/reference/src/databricks/query_endpoint.py:126-146).
+  *
+  * HNSW itself is a pointer-chasing, driver-hostile structure; the
+  * Spark-first re-expression keeps its two ingredients — a neighbor
+  * graph and greedy beam search — but stores the graph as a plain
+  * `(src, dst)` edge TABLE and runs the search as a fixed number of
+  * relational hops:
+  *
+  *   C_0   = deterministic entry points (lowest `entries` node ids)
+  *   hop h = score C_h, take the `beam` best per query, join them with
+  *           the edge table, union the neighbors in, dedupe
+  *   answer = exact top-k of C_H
+  *
+  * Every hop is one equi-join of a TINY frontier (queries × beam rows,
+  * always broadcast) against the big edge/corpus tables — no O(n²)
+  * pair scan at query time, no driver-side traversal. Candidate-set
+  * size is bounded by entries + hops·beam·m per query, so memory is
+  * constant in corpus size: exactly the property that lets the same
+  * plan run against a 100 TB corpus where the edge table is just
+  * another partitioned parquet table (partition by `__src` bucket →
+  * each hop prunes to the frontier's buckets).
+  *
+  * Two graph builds:
+  *  - [[buildGraphExact]]: true m-NN graph via self-join — O(n²),
+  *    the bounded-block / ground-truth / oracle path (every stage is a
+  *    pure function of the corpus, so DuckDB can replay build + all
+  *    hops and hash-check the pruned result).
+  *  - [[buildGraphLsh]]: edges from native sign-LSH bucket-mates —
+  *    the 100 TB path (one equi-join on bucket codes, never n²);
+  *    recall vs the exact graph is spec-checked in GraphAnnSpec.
+  */
+object GraphAnn {
+
+  /** Neighbor graph: `edges` holds (`__src`, `__dst`), m rows per src. */
+  final case class KnnGraph(edges: DataFrame, m: Int)
+
+  /** Exact m-NN graph (L2, ties by id): each node's m nearest others.
+    * O(n²) self-join — bound the corpus block when n is large; the
+    * scale build is [[buildGraphLsh]]. */
+  def buildGraphExact(corpus: DataFrame, vecCol: String, idCol: String,
+      m: Int): KnnGraph = {
+    val nodes = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__src"), col(vecCol).as("__svec"))
+    val others = nodes
+      .select(col("__src").as("__dst"), col("__svec").as("__dvec"))
+    val w = Window.partitionBy("__src")
+      .orderBy(col("__d").asc, col("__dst").asc)
+    val edges = nodes.join(others, col("__src") =!= col("__dst"))
+      .withColumn("__d", VF.l2(col("__svec"), col("__dvec")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= m)
+      .select("__src", "__dst")
+    KnnGraph(edges, m)
+  }
+
+  /** Approximate m-NN graph from sign-LSH bucket-mates: candidates are
+    * pairs sharing a (table, code) bucket — one equi-join on integer
+    * codes instead of the n² cross join — then exact top-m per src.
+    * The graph loses only edges whose endpoints collide in no table;
+    * beam search tolerates that (recall spec'd, not assumed). */
+  def buildGraphLsh(corpus: DataFrame, vecCol: String, idCol: String,
+      m: Int, tables: Int = 8, bits: Int = 4): KnnGraph = {
+    val coded = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__src"), col(vecCol).as("__svec"),
+        SignLshFunctions.signLshCodes(col(vecCol), tables, bits)
+          .as("__codes"))
+    val a = coded.select(col("__src"), col("__svec"),
+      posexplode(col("__codes")).as(Seq("__t", "__code")))
+    val b = a.select(col("__src").as("__dst"), col("__svec").as("__dvec"),
+      col("__t"), col("__code"))
+    val cand = a.join(b, Seq("__t", "__code"))
+      .filter(col("__src") =!= col("__dst"))
+      .dropDuplicates("__src", "__dst")
+    val w = Window.partitionBy("__src")
+      .orderBy(col("__d").asc, col("__dst").asc)
+    val edges = cand
+      .withColumn("__d", VF.l2(col("__svec"), col("__dvec")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= m)
+      .select("__src", "__dst")
+    KnnGraph(edges, m)
+  }
+
+  /** Deterministic beam search over the graph. Entry points are the
+    * `entries` lowest node ids (a pure function of the corpus — what
+    * makes the whole search DuckDB-replayable); each hop expands the
+    * `beam` best candidates per query through the edge table and
+    * accumulates. Returns (query_id, rank, <pk>, score) top-k rows;
+    * a query can return < k rows when the reachable set is smaller —
+    * standard ANN semantics. */
+  def queryGraph(graph: KnnGraph, corpus: DataFrame, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, corpusPkCol: String,
+      corpusVecCol: String, k: Int, entries: Int, beam: Int, hops: Int,
+      metric: Metric = Metric.L2): DataFrame = {
+    val c = corpus.filter(col(corpusVecCol).isNotNull)
+      .select(col(corpusPkCol).as("__nid"), col(corpusVecCol).as("__nvec"))
+    val q = queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qvec"))
+    val entry = c.orderBy(col("__nid").asc).limit(entries)
+    var cand = q.crossJoin(broadcast(entry))
+      .withColumn("__score", VF.distance(col("__nvec"), col("__qvec"), metric))
+    for (_ <- 1 to hops) {
+      val w = Window.partitionBy("query_id")
+        .orderBy(Knn.scoreOrder(col("__score"), metric), col("__nid").asc)
+      val frontier = cand.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= beam)
+        .select("query_id", "__qvec", "__nid")
+      // frontier is queries × beam rows — broadcast it against the big
+      // edge table, then against the corpus for vectors + scores
+      val nbrs = graph.edges.join(broadcast(frontier),
+          graph.edges("__src") === frontier("__nid"))
+        .select(col("query_id"), col("__qvec"), col("__dst").as("__nid"))
+      val grown = c.join(broadcast(nbrs), "__nid")
+        .withColumn("__score",
+          VF.distance(col("__nvec"), col("__qvec"), metric))
+        .select("query_id", "__qvec", "__nid", "__nvec", "__score")
+      cand = cand.select("query_id", "__qvec", "__nid", "__nvec", "__score")
+        .unionByName(grown)
+        .dropDuplicates("query_id", "__nid")
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(Knn.scoreOrder(col("__score"), metric), col("__nid").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("__nid").as(corpusPkCol),
+        col("__score").as("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.Metric
+import graft.search.{GraphAnn, Knn}
+import org.apache.spark.sql.functions._
+
+class GraphAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+  private lazy val corpus = emb.filter($"vec_id" >= 10)
+  private lazy val queries = emb.filter($"vec_id" < 10)
+
+  private lazy val exactTop3: Map[Long, Seq[Long]] =
+    Knn.batchQuery(corpus, queries, "embedding", "vec_id", "embedding",
+      "vec_id", k = 3, Metric.L2)
+      .select("query_id", "rank", "vec_id").collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("vec_id")).toSeq)
+      .toMap
+
+  private def topkMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("vec_id")).toSeq)
+      .toMap
+
+  test("exact graph has m rows per node, no self-loops") {
+    val g = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id", m = 6)
+    val perSrc = g.edges.groupBy("__src").count().select("count")
+      .as[Long].collect()
+    assert(perSrc.nonEmpty && perSrc.forall(_ == 6L))
+    assert(g.edges.filter($"__src" === $"__dst").count() === 0L)
+  }
+
+  test("beam search with a generous beam reaches recall >= 0.9") {
+    val g = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id", m = 8)
+    val r = GraphAnn.queryGraph(g, corpus, queries, "vec_id", "embedding",
+      "vec_id", "embedding", k = 3, entries = 8, beam = 8, hops = 5,
+      Metric.L2)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recalls = exactTop3.map { case (q, exact) =>
+      r.get(q).map(f => exact.count(f.contains).toDouble / exact.size)
+        .getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall $mean too low")
+  }
+
+  test("beam search is deterministic run to run") {
+    val g = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id", m = 6)
+    def run() = topkMap(GraphAnn.queryGraph(g, corpus, queries, "vec_id",
+      "embedding", "vec_id", "embedding", k = 3, entries = 4, beam = 4,
+      hops = 3, Metric.L2))
+    assert(run() === run())
+  }
+
+  test("LSH-built graph edges overlap the exact graph (recall >= 0.5)") {
+    val exact = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id",
+      m = 6).edges.as[(Long, Long)].collect().toSet
+    val lsh = GraphAnn.buildGraphLsh(corpus, "embedding", "vec_id",
+      m = 6, tables = 8, bits = 4).edges.as[(Long, Long)].collect().toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"edge recall $recall too low")
+  }
+
+  test("LSH-built graph beam search still finds near neighbors") {
+    val g = GraphAnn.buildGraphLsh(corpus, "embedding", "vec_id", m = 8,
+      tables = 8, bits = 4)
+    val r = GraphAnn.queryGraph(g, corpus, queries, "vec_id", "embedding",
+      "vec_id", "embedding", k = 3, entries = 8, beam = 8, hops = 5,
+      Metric.L2)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recalls = exactTop3.map { case (q, exact) =>
+      r.get(q).map(f => exact.count(f.contains).toDouble / exact.size)
+        .getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall $mean too low")
+  }
+
+  test("search cost is bounded: candidate set <= entries + hops*beam*m") {
+    val m = 6; val entries = 4; val beam = 4; val hops = 3
+    val g = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id", m)
+    // k large enough to return the whole candidate set
+    val all = GraphAnn.queryGraph(g, corpus, queries, "vec_id", "embedding",
+      "vec_id", "embedding", k = 100000, entries = entries, beam = beam,
+      hops = hops, Metric.L2)
+    val maxCand = all.groupBy("query_id").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxCand <= entries + hops * beam * m,
+      s"candidate set $maxCand exceeds bound")
+  }
+}
