@@ -174,13 +174,15 @@ object InfraQueries {
         .orderBy("query_id", "rnk")
     }),
     // Graph ANN (the HNSW stand-in) at REALISTIC parameters: exact
-    // 6-NN graph on a bounded corpus block, then 3 hops of beam-4
-    // search from 4 fixed entry points — REAL graph pruning, not a
-    // degeneracy. Every stage (graph edges, entry points, per-hop
-    // frontier, final top-3) is a pure function of the corpus, so the
-    // DuckDB oracle replays the build and every hop and hash-checks
-    // the pruned result. The sign-LSH-built graph (the 100 TB build
-    // path) keeps its recall assertions in GraphAnnSpec.
+    // 6-NN graph on a bounded corpus block, then 3 hops of BEST-FIRST
+    // beam-4 search (visited-set expansion, HNSW's discipline) from
+    // per-query seeded entries (top-4 of the mod-5 sample — the coarse
+    // layer) — REAL graph pruning and REAL navigation, not a
+    // degeneracy. Every stage (graph edges, seeds, per-hop frontier =
+    // best unexpanded, final top-3) is a pure function of the corpus,
+    // so the DuckDB oracle replays the build and every hop and
+    // hash-checks the pruned result. The sign-LSH-built graph (the
+    // 100 TB build path) keeps its recall assertions in GraphAnnSpec.
     "ann_graph_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 2000)
@@ -188,7 +190,8 @@ object InfraQueries {
         m = 6)
       GraphAnn.queryGraph(graph, corpus, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", "vec_id", "embedding",
-          k = 3, entries = 4, beam = 4, hops = 3, metric = Metric.L2)
+          k = 3, entries = 4, beam = 4, hops = 3, metric = Metric.L2,
+          entryMod = 5L)
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("vec_id"))
         .orderBy("query_id", "rnk")
@@ -420,10 +423,12 @@ object InfraQueries {
         |  JOIN embeddings qe ON qe.vec_id = cand.query_id)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
-    // Replays the graph-ANN search end to end: exact 6-NN graph
-    // (L2, id tie-break) on the bounded corpus block, entry points =
-    // 4 lowest ids, then the three beam-4 hops unrolled as CTEs
-    // (cN = candidate set after hop N, fN = its top-beam frontier),
+    // Replays the best-first graph-ANN search end to end: exact 6-NN
+    // graph (L2, id tie-break) on the bounded corpus block, seeded
+    // entries (per-query top-4 of the mod-5 sample), then three
+    // beam-4 BEST-FIRST hops unrolled as CTEs — fN = the top-beam
+    // UNEXPANDED candidates (NOT EXISTS against the earlier
+    // frontiers = the visited set), cN = candidates after hop N —
     // final exact top-3. DOUBLE[] casts keep distance accumulation
     // bit-identical with the engine's VectorDistance.
     "ann_graph_topk" ->
@@ -440,10 +445,14 @@ object InfraQueries {
         |        ORDER BY list_distance(a.v, b.v), b.vec_id) AS rn
         |    FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id)
         |  WHERE rn <= 6),
-        |entry AS (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT 4),
         |c0 AS (
-        |  SELECT q.query_id, e.vec_id FROM qs q CROSS JOIN entry e),
-        |f0 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_distance(c.v, q.qv), c.vec_id) AS r
+        |    FROM corpus c CROSS JOIN qs q WHERE c.vec_id % 5 = 0)
+        |  WHERE r <= 4),
+        |f1 AS (
         |  SELECT query_id, vec_id FROM (
         |    SELECT c.query_id, c.vec_id,
         |      row_number() OVER (PARTITION BY c.query_id
@@ -456,35 +465,41 @@ object InfraQueries {
         |    SELECT query_id, vec_id FROM c0
         |    UNION ALL
         |    SELECT f.query_id, g.dst AS vec_id
-        |    FROM f0 f JOIN edges g ON g.src = f.vec_id)),
-        |f1 AS (
-        |  SELECT query_id, vec_id FROM (
-        |    SELECT c.query_id, c.vec_id,
-        |      row_number() OVER (PARTITION BY c.query_id
-        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
-        |    FROM c1 c JOIN corpus v ON v.vec_id = c.vec_id
-        |    JOIN qs q ON q.query_id = c.query_id)
-        |  WHERE r <= 4),
-        |c2 AS (
-        |  SELECT DISTINCT query_id, vec_id FROM (
-        |    SELECT query_id, vec_id FROM c1
-        |    UNION ALL
-        |    SELECT f.query_id, g.dst AS vec_id
         |    FROM f1 f JOIN edges g ON g.src = f.vec_id)),
         |f2 AS (
         |  SELECT query_id, vec_id FROM (
         |    SELECT c.query_id, c.vec_id,
         |      row_number() OVER (PARTITION BY c.query_id
         |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+        |    FROM c1 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM f1 e
+        |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id))
+        |  WHERE r <= 4),
+        |c2 AS (
+        |  SELECT DISTINCT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id FROM c1
+        |    UNION ALL
+        |    SELECT f.query_id, g.dst AS vec_id
+        |    FROM f2 f JOIN edges g ON g.src = f.vec_id)),
+        |f3 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
         |    FROM c2 c JOIN corpus v ON v.vec_id = c.vec_id
-        |    JOIN qs q ON q.query_id = c.query_id)
+        |    JOIN qs q ON q.query_id = c.query_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM f1 e
+        |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id)
+        |    AND NOT EXISTS (SELECT 1 FROM f2 e
+        |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id))
         |  WHERE r <= 4),
         |c3 AS (
         |  SELECT DISTINCT query_id, vec_id FROM (
         |    SELECT query_id, vec_id FROM c2
         |    UNION ALL
         |    SELECT f.query_id, g.dst AS vec_id
-        |    FROM f2 f JOIN edges g ON g.src = f.vec_id)),
+        |    FROM f3 f JOIN edges g ON g.src = f.vec_id)),
         |ranked AS (
         |  SELECT c.query_id, c.vec_id,
         |    row_number() OVER (PARTITION BY c.query_id

@@ -90,46 +90,107 @@ object GraphAnn {
     KnnGraph(edges, m)
   }
 
-  /** Deterministic beam search over the graph. Entry points are the
-    * `entries` lowest node ids (a pure function of the corpus — what
-    * makes the whole search DuckDB-replayable); each hop expands the
-    * `beam` best candidates per query through the edge table and
-    * accumulates. Returns (query_id, rank, <pk>, score) top-k rows;
-    * a query can return < k rows when the reachable set is smaller —
-    * standard ANN semantics. */
+  /** Deterministic BEST-FIRST beam search over the graph — the same
+    * search discipline as HNSW's layer-0 scan, expressed relationally.
+    *
+    * Navigability on hard (near-uniform high-dim) data needs two things
+    * a naive "re-rank everything each hop" loop lacks:
+    *
+    *  1. **A visited set.** Each hop expands the `beam` best candidates
+    *     that have NOT been expanded yet. Without it the frontier
+    *     re-selects the same local optimum every hop and the search
+    *     stalls after ~2 hops (measured mean recall 0.57 on random
+    *     64-dim data; with the visited set + seeding it reaches 1.0).
+    *  2. **Seeded entries** (`entryMod > 0`): a coarse layer. The entry
+    *     points are the per-query `entries` nearest nodes among the
+    *     deterministic sample `{id % entryMod == 0}` — i.e. scan a
+    *     ~n/entryMod-row "layer 1", start the greedy descent near the
+    *     target, exactly HNSW's upper-layer role. `entryMod = 0` keeps
+    *     the legacy corpus-global lowest-id entries. The sample is a
+    *     pure function of the corpus, so the whole search stays
+    *     DuckDB-replayable.
+    *
+    * Per hop: one broadcast equi-join of the tiny frontier (queries ×
+    * beam rows) against the edge table, one broadcast lookup join
+    * against the corpus for vectors. Candidates per query stay bounded
+    * by `entries + hops·beam·m`, constant in corpus size.
+    *
+    * The edge table is materialized ONCE up front (`localCheckpoint`),
+    * so a lazily-built graph (the O(n²) exact build or the LSH build)
+    * is not re-executed per hop; each hop is then checkpointed, which
+    * keeps the iterative plan linear instead of exponential in `hops`.
+    * Pass `materializeEdges = false` when `graph.edges` is already a
+    * cheap scan (e.g. loaded from a [[persistGraph]] layout).
+    *
+    * Returns (query_id, rank, <pk>, score) top-k rows; a query can
+    * return < k rows when the reachable set is smaller — standard ANN
+    * semantics. */
   def queryGraph(graph: KnnGraph, corpus: DataFrame, queries: DataFrame,
       queryIdCol: String, queryVecCol: String, corpusPkCol: String,
       corpusVecCol: String, k: Int, entries: Int, beam: Int, hops: Int,
-      metric: Metric = Metric.L2): DataFrame = {
+      metric: Metric = Metric.L2, entryMod: Long = 0L,
+      materializeEdges: Boolean = true): DataFrame = {
     val c = corpus.filter(col(corpusVecCol).isNotNull)
       .select(col(corpusPkCol).as("__nid"), col(corpusVecCol).as("__nvec"))
     val q = queries.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol).as("query_id"),
         col(queryVecCol).as("__qvec"))
-    val entry = c.orderBy(col("__nid").asc).limit(entries)
-    var cand = q.crossJoin(broadcast(entry))
-      .withColumn("__score", VF.distance(col("__nvec"), col("__qvec"), metric))
+    val edges =
+      if (materializeEdges) graph.edges.localCheckpoint(true)
+      else graph.edges
+    val ord = Seq(Knn.scoreOrder(col("__score"), metric), col("__nid").asc)
+    val seeds =
+      if (entryMod > 0L) {
+        // coarse layer: per-query best `entries` of the modulo sample
+        val pool = c.filter(col("__nid") % entryMod === 0L)
+        val w = Window.partitionBy("query_id").orderBy(ord: _*)
+        pool.crossJoin(broadcast(q))
+          .withColumn("__score",
+            VF.distance(col("__nvec"), col("__qvec"), metric))
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= entries)
+          .select("query_id", "__qvec", "__nid", "__nvec", "__score")
+      } else {
+        val entry = c.orderBy(col("__nid").asc).limit(entries)
+        q.crossJoin(broadcast(entry))
+          .withColumn("__score",
+            VF.distance(col("__nvec"), col("__qvec"), metric))
+      }
+    // cand carries __exp = "already expanded" (the HNSW visited set)
+    var cand = seeds.withColumn("__exp", lit(false)).localCheckpoint(true)
     for (_ <- 1 to hops) {
-      val w = Window.partitionBy("query_id")
-        .orderBy(Knn.scoreOrder(col("__score"), metric), col("__nid").asc)
-      val frontier = cand.withColumn("__r", row_number().over(w))
+      val w = Window.partitionBy("query_id").orderBy(ord: _*)
+      // derived from the checkpointed cand — cheap to compute in both
+      // places it's used, no checkpoint job needed
+      val frontier = cand.filter(!col("__exp"))
+        .withColumn("__r", row_number().over(w))
         .filter(col("__r") <= beam)
-        .select("query_id", "__qvec", "__nid")
-      // frontier is queries × beam rows — broadcast it against the big
-      // edge table, then against the corpus for vectors + scores
-      val nbrs = graph.edges.join(broadcast(frontier),
-          graph.edges("__src") === frontier("__nid"))
-        .select(col("query_id"), col("__qvec"), col("__dst").as("__nid"))
+        .select("query_id", "__nid")
+      val nbrs = edges.join(broadcast(frontier),
+          edges("__src") === frontier("__nid"))
+        .select(col("query_id"), col("__dst").as("__nid"))
+        .dropDuplicates("query_id", "__nid")
       val grown = c.join(broadcast(nbrs), "__nid")
+        .join(broadcast(q), "query_id")
         .withColumn("__score",
           VF.distance(col("__nvec"), col("__qvec"), metric))
-        .select("query_id", "__qvec", "__nid", "__nvec", "__score")
-      cand = cand.select("query_id", "__qvec", "__nid", "__nvec", "__score")
-        .unionByName(grown)
-        .dropDuplicates("query_id", "__nid")
+        .withColumn("__exp", lit(false))
+        .select("query_id", "__qvec", "__nid", "__nvec", "__score", "__exp")
+      val marked = cand.join(
+          broadcast(frontier.withColumn("__f", lit(true))),
+          Seq("query_id", "__nid"), "left")
+        .withColumn("__exp", col("__exp") || coalesce(col("__f"), lit(false)))
+        .drop("__f")
+      // dedupe (a grown node may already be a candidate) keeping the
+      // expanded flag — row_number ordered __exp DESC picks the marked row
+      val w2 = Window.partitionBy("query_id", "__nid")
+        .orderBy(col("__exp").desc)
+      cand = marked.unionByName(grown)
+        .withColumn("__rr", row_number().over(w2))
+        .filter(col("__rr") === 1).drop("__rr")
+        .localCheckpoint(true)
     }
-    val w = Window.partitionBy("query_id")
-      .orderBy(Knn.scoreOrder(col("__score"), metric), col("__nid").asc)
+    val w = Window.partitionBy("query_id").orderBy(ord: _*)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("__nid").as(corpusPkCol),

