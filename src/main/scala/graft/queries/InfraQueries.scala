@@ -157,6 +157,25 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // The same sign-LSH search THROUGH the persisted (__t, __code)-
+    // partitioned layout: build, persist (each bucket its own parquet
+    // dir), query with partition pruning at the file listing. Results
+    // are identical to the in-memory path by construction (spec-
+    // asserted), so it shares ann_signlsh_topk's oracle SQL — what's
+    // exercised here is the 100 TB on-disk form.
+    "ann_signlsh_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val index = Ann.buildSignLsh(e.filter(col("vec_id") >= 5),
+        "embedding", tables = 8, bits = 4)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pslsh/" +
+        dir.replaceAll("[^0-9.]", "")
+      val persisted = Ann.persistSignLsh(index, "vec_id", "embedding", path)
+      Ann.queryPersistedSignLsh(s, persisted, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // SQ8 quantized retrieve-then-rerank at REALISTIC parameters:
     // per-dim min/max fit on the corpus, byte codes, coarse top-12 by
     // exact INTEGER code dot (the 4x-cheaper scan), cosine refine on
@@ -245,7 +264,7 @@ object InfraQueries {
     }),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     // Deterministic-centroid IVF, REAL pruning (nProbe=4 of 16): the
     // oracle replays build (centroids = first 16 corpus vectors by id,
     // assignment = argmin L2 with cell-id tie-break), probe (4 nearest
@@ -617,4 +636,11 @@ object InfraQueries {
         |  CAST(64 AS BIGINT) AS n_dims
         |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin,
   )
+
+  // the persisted sign-LSH layout returns the same rows as the
+  // in-memory search (PersistedLayoutSpec asserts disk == mem), so the
+  // query shares ann_signlsh_topk's oracle SQL verbatim
+  val oracleSql: Map[String, String] =
+    baseOracleSql + ("ann_signlsh_persisted" ->
+      baseOracleSql("ann_signlsh_topk"))
 }

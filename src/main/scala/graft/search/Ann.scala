@@ -254,6 +254,63 @@ object Ann {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** Handle to an index persisted by [[persistSignLsh]]. */
+  final case class PersistedSignLsh(path: String, tables: Int, bits: Int)
+
+  /** Persist the sign-LSH index in EXPLODED form partitioned by
+    * `(__t, __code)`: every (table, bucket-code) pair is its own
+    * parquet directory — `tables × 2^bits` directories, so this layout
+    * fits coarse codes (bits ≲ 8; beyond that, sub-bucket the code).
+    * A query's (table, code) pairs then prune at the file listing:
+    * only the queries' own buckets are ever opened, the on-disk
+    * mirror of [[querySignLsh]]'s equi-join — and the sign-LSH
+    * analogue of [[persistIvf]]. */
+  def persistSignLsh(index: SignLshIndex, pkCol: String, vecCol: String,
+      path: String): PersistedSignLsh = {
+    index.corpusCoded
+      .select(col(pkCol), col(vecCol),
+        posexplode(col("__codes")).as(Seq("__t", "__code")))
+      .write.mode("overwrite").partitionBy("__t", "__code").parquet(path)
+    PersistedSignLsh(path, index.tables, index.bits)
+  }
+
+  /** Batch ANN over a [[persistSignLsh]] layout. The queries' exact
+    * (table, code) pairs become an OR-of-conjunctions partition
+    * predicate — pruning happens at the file listing (check
+    * `.explain` for `PartitionFilters`), so the scan cost is
+    * O(queries' buckets), not O(index). Refine is exact top-k, same
+    * semantics as [[querySignLsh]]. */
+  def queryPersistedSignLsh(spark: SparkSession, idx: PersistedSignLsh,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      corpusPkCol: String, corpusVecCol: String, k: Int,
+      metric: Metric = Metric.Cosine): DataFrame = {
+    val q = queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qvec"),
+        posexplode(graft.functions.SignLshFunctions
+          .signLshCodes(col(queryVecCol), idx.tables, idx.bits))
+          .as(Seq("__t", "__code")))
+    // queries × tables pairs — tiny by contract; becomes the pruning
+    // predicate over the partition columns
+    val pairs = q.select("__t", "__code").distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val pred = pairs
+      .map { case (t, code) =>
+        col("__t") === lit(t) && col("__code") === lit(code) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val c = spark.read.parquet(idx.path).filter(pred)
+    val cand = c.join(broadcast(q), Seq("__t", "__code"))
+      .dropDuplicates("query_id", corpusPkCol)
+    val scored = cand.withColumn("score",
+      VF.distance(col(corpusVecCol), col("__qvec"), metric))
+    val w = Window.partitionBy("query_id")
+      .orderBy(Knn.scoreOrder(col("score"), metric), col(corpusPkCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(corpusPkCol), col("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   // ---------------- LSH (random projection buckets) ----------------
 
   final case class LshIndex(model: BucketedRandomProjectionLSHModel,

@@ -1,9 +1,9 @@
 package graft.search
 
 import graft.functions.{Metric, SignLshFunctions, VectorFunctions => VF}
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Graph-based ANN — the engine's answer to the managed service's HNSW
   * (SURVEY §4.1; the reference delegates ANN entirely to the service,
@@ -130,14 +130,27 @@ object GraphAnn {
       corpusVecCol: String, k: Int, entries: Int, beam: Int, hops: Int,
       metric: Metric = Metric.L2, entryMod: Long = 0L,
       materializeEdges: Boolean = true): DataFrame = {
+    val edges =
+      if (materializeEdges) graph.edges.localCheckpoint(true)
+      else graph.edges
+    beamSearch(corpus, queries, queryIdCol, queryVecCol, corpusPkCol,
+      corpusVecCol, _ => edges, k, entries, beam, hops, metric, entryMod)
+  }
+
+  /** The shared best-first loop. `edgesFor(frontier)` supplies the edge
+    * rows to expand a frontier through — the in-memory path ignores the
+    * frontier (whole edge table, one checkpointed DF); the persisted
+    * path prunes the edge scan to the frontier's `__src` buckets. */
+  private def beamSearch(corpus: DataFrame, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, corpusPkCol: String,
+      corpusVecCol: String, edgesFor: DataFrame => DataFrame,
+      k: Int, entries: Int, beam: Int, hops: Int,
+      metric: Metric, entryMod: Long): DataFrame = {
     val c = corpus.filter(col(corpusVecCol).isNotNull)
       .select(col(corpusPkCol).as("__nid"), col(corpusVecCol).as("__nvec"))
     val q = queries.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol).as("query_id"),
         col(queryVecCol).as("__qvec"))
-    val edges =
-      if (materializeEdges) graph.edges.localCheckpoint(true)
-      else graph.edges
     val ord = Seq(Knn.scoreOrder(col("__score"), metric), col("__nid").asc)
     val seeds =
       if (entryMod > 0L) {
@@ -166,6 +179,7 @@ object GraphAnn {
         .withColumn("__r", row_number().over(w))
         .filter(col("__r") <= beam)
         .select("query_id", "__nid")
+      val edges = edgesFor(frontier)
       val nbrs = edges.join(broadcast(frontier),
           edges("__src") === frontier("__nid"))
         .select(col("query_id"), col("__dst").as("__nid"))
@@ -196,5 +210,67 @@ object GraphAnn {
       .select(col("query_id"), col("rank"), col("__nid").as(corpusPkCol),
         col("__score").as("score"))
       .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  // ---------------- persisted, partition-pruned form ----------------
+
+  /** Handle to a graph persisted by [[persistGraph]]. */
+  final case class PersistedGraph(path: String, m: Int, buckets: Int)
+
+  /** Persist the edge table partitioned by `__srcbucket = src mod
+    * buckets`: each bucket is its own parquet directory, so a beam-
+    * search hop turns into partition pruning — the frontier's (tiny)
+    * src-id set maps to a bucket IN-list that prunes at the file
+    * listing, and a 1000-executor cluster reads only the frontier's
+    * buckets of a 100 TB edge table instead of rescanning all of it.
+    * Plain modulo (not a seeded hash) so the driver can compute a
+    * frontier's buckets without re-implementing a hash function;
+    * node ids are assumed roughly uniform mod `buckets`. */
+  def persistGraph(graph: KnnGraph, path: String,
+      buckets: Int = 64): PersistedGraph = {
+    graph.edges
+      .withColumn("__srcbucket",
+        pmod(col("__src"), lit(buckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("__srcbucket").parquet(path)
+    PersistedGraph(path, graph.m, buckets)
+  }
+
+  /** Reload a persisted graph as a plain (unpruned) edge table. */
+  def loadGraph(spark: SparkSession, pg: PersistedGraph): KnnGraph =
+    KnnGraph(spark.read.parquet(pg.path).select("__src", "__dst"), pg.m)
+
+  /** Edge rows for a specific src-id set, pruned at the partition level:
+    * `__srcbucket IN (buckets of ids)` never opens other buckets'
+    * files; the residual `__src IN ids` filter is pushed to parquet
+    * row groups. Exposed for plan assertions in specs. */
+  def prunedEdges(spark: SparkSession, pg: PersistedGraph,
+      srcIds: Seq[Long]): DataFrame = {
+    val bs = srcIds.map(id => (((id % pg.buckets) + pg.buckets)
+      % pg.buckets).toInt).distinct
+    spark.read.parquet(pg.path)
+      .filter(col("__srcbucket").isin(bs: _*)
+        && col("__src").isin(srcIds: _*))
+      .select("__src", "__dst")
+  }
+
+  /** Best-first search over a [[persistGraph]] layout. Identical
+    * semantics to [[queryGraph]]; each hop collects the (queries ×
+    * beam)-bounded frontier id set on the driver and scans ONLY those
+    * ids' edge buckets — the docstring's "each hop prunes to the
+    * frontier's buckets", realized. Node ids must be integral (the
+    * bucket is `id mod buckets`). */
+  def queryPersistedGraph(spark: SparkSession, pg: PersistedGraph,
+      corpus: DataFrame, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, corpusPkCol: String, corpusVecCol: String,
+      k: Int, entries: Int, beam: Int, hops: Int,
+      metric: Metric = Metric.L2, entryMod: Long = 0L): DataFrame = {
+    val edgesFor: DataFrame => DataFrame = { frontier =>
+      val ids = frontier.select("__nid").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      if (ids.isEmpty) loadGraph(spark, pg).edges.limit(0)
+      else prunedEdges(spark, pg, ids)
+    }
+    beamSearch(corpus, queries, queryIdCol, queryVecCol, corpusPkCol,
+      corpusVecCol, edgesFor, k, entries, beam, hops, metric, entryMod)
   }
 }

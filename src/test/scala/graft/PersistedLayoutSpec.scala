@@ -1,0 +1,117 @@
+package graft
+
+import graft.functions.{Metric, SignLshFunctions}
+import graft.search.{Ann, GraphAnn}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Persisted, partition-pruned on-disk forms for the graph-ANN edge
+  * table and the native sign-LSH index — the layouts that let a hop /
+  * probe read only its own buckets of a 100 TB index. Mirrors
+  * PersistedIvfSpec for the other two ANN legs. */
+class PersistedLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+  private lazy val corpus = emb.filter($"vec_id" >= 10)
+  private lazy val queries = emb.filter($"vec_id" < 3)
+
+  /** Files actually opened by the (executed) scan of `pathFrag` —
+    * `inputFiles` lists the relation pre-pruning, the scan's numFiles
+    * metric counts what partition pruning left. */
+  private def filesRead(df: org.apache.spark.sql.DataFrame,
+      pathFrag: String): Long = {
+    df.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString
+        .contains(pathFrag)))
+      .map(_.metrics("numFiles").value).sum
+  }
+
+  test("persisted graph: pruned edge scan opens only frontier buckets") {
+    val path = Files.createTempDirectory("graft_pgraph").toString + "/g"
+    val g = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id", m = 6)
+    val pg = GraphAnn.persistGraph(g, path, buckets = 16)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("__srcbucket=")).map(_.getName).toSet
+    assert(dirs.size === 16)
+
+    spark.sharedState.cacheManager.clearCache()
+    val pruned = GraphAnn.prunedEdges(spark, pg, Seq(10L, 11L, 26L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__srcbucket"),
+      s"edge scan must prune by partition:\n${plan.take(2000)}")
+    // ids 10,11,26 mod 16 -> buckets {10, 11}: 2 of 16 bucket dirs read
+    val total = spark.read.parquet(path).inputFiles.length
+    val read = filesRead(pruned, "graft_pgraph")
+    assert(read > 0 && read <= total * 2 / 16,
+      s"pruned scan read $read of $total files")
+    assert(pruned.select("__src").distinct().as[Long].collect().toSet
+      === Set(10L, 11L, 26L))
+  }
+
+  test("persisted graph search == in-memory graph search") {
+    val path = Files.createTempDirectory("graft_pgraph2").toString + "/g"
+    val g = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id", m = 6)
+    val pg = GraphAnn.persistGraph(g, path, buckets = 16)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val mem = key(GraphAnn.queryGraph(g, corpus, queries, "vec_id",
+      "embedding", "vec_id", "embedding", k = 3, entries = 4, beam = 4,
+      hops = 3, Metric.L2, entryMod = 5L))
+    val disk = key(GraphAnn.queryPersistedGraph(spark, pg, corpus, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, entries = 4,
+      beam = 4, hops = 3, Metric.L2, entryMod = 5L))
+    assert(disk === mem && disk.nonEmpty)
+  }
+
+  test("persisted sign-LSH probe prunes to the queries' buckets") {
+    val path = Files.createTempDirectory("graft_pslsh").toString + "/idx"
+    val built = Ann.buildSignLsh(corpus, "embedding", tables = 4, bits = 3)
+    val idx = Ann.persistSignLsh(built, "vec_id", "embedding", path)
+    // table dirs exist; each holds code subdirs
+    val tdirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("__t=")).map(_.getName).toSet
+    assert(tdirs.size === 4)
+
+    spark.sharedState.cacheManager.clearCache()
+    val out = Ann.queryPersistedSignLsh(spark, idx, queries, "vec_id",
+      "embedding", "vec_id", "embedding", k = 3, Metric.Cosine)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__code"),
+      s"probe must prune by partition:\n${plan.take(2000)}")
+    // only the queries' own (t, code) buckets are ever opened: the
+    // pruned scan reads at most queries x tables of the tables x 2^bits
+    // bucket dirs. Assert on a standalone scan with the same predicate
+    // (no exchanges -> the scan's numFiles metric is directly visible).
+    val pairs = queries
+      .select(posexplode(SignLshFunctions
+        .signLshCodes($"embedding", 4, 3)).as(Seq("__t", "__code")))
+      .distinct().as[(Int, Long)].collect().toSeq
+    val pred = pairs
+      .map { case (t, c) => col("__t") === t && col("__code") === c }
+      .reduce(_ || _)
+    val totalFiles = spark.read.parquet(path).inputFiles.length
+    val readFiles = filesRead(spark.read.parquet(path).filter(pred),
+      "graft_pslsh")
+    assert(readFiles > 0 && readFiles < totalFiles,
+      s"probe read $readFiles of $totalFiles files")
+    assert(readFiles <= totalFiles * (3 * 4) / (4 * 8),
+      s"probe read $readFiles of $totalFiles files — not pruned to buckets")
+
+    // matches the in-memory sign-LSH query exactly
+    val mem = Ann.querySignLsh(built, queries, "vec_id", "embedding",
+      "vec_id", "embedding", k = 3, Metric.Cosine)
+      .select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val disk = out.select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(disk === mem && disk.nonEmpty)
+  }
+}
