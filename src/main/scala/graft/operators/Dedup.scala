@@ -86,16 +86,20 @@ object Dedup {
       algo: String = "xx"): DataFrame = {
     val rowsPerBand = k / bands
     // The shingle+signature projection feeds three consumers (banding and
-    // both sides of the refine join): persist it once instead of running
-    // WordShingles/MinHash over the corpus four times. At 100 TB this is
-    // the projection you'd checkpoint to storage between stages.
+    // both sides of the refine join): materialize it once instead of
+    // running WordShingles/MinHash over the corpus four times. An eager
+    // localCheckpoint (not .persist) so the blocks are reclaimed when the
+    // result is garbage-collected — a plain persist here outlives the
+    // query with no unpersist hook, leaking executor memory across a
+    // long session. At 100 TB this is the projection you'd checkpoint
+    // to storage between stages.
     val sig =
       if (algo == "md5") graft.functions.TextExpressions.minhashSigMd5(col("sh"), k)
       else minhashSignature(col("sh"), k)
     val sh = withShingles(docs, idCol, textCol, n)
       .filter(size(col("sh")) > 0)
       .withColumn("sig", sig)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // bucket keys only — keep the (large) shingle arrays out of the
     // candidate shuffle and distinct; re-join them for the refine step.
     // md5 signatures band by the joined slice VALUES (strings — the form
@@ -140,12 +144,13 @@ object Dedup {
     import graft.functions.{VectorFunctions => VF}
     val l2Radius = l2RadiusOverride.getOrElse(
       math.sqrt(2.0 * (1.0 - cosineThreshold)))
-    // fit + both sides of the self-join consume this projection: persist
-    // once (same multi-consumer pattern as minhashLshPairs)
+    // fit + both sides of the self-join consume this projection:
+    // materialize once (same multi-consumer pattern — and same
+    // leak-free eager-checkpoint rationale — as minhashLshPairs)
     val withVec = vectors.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("__mlvec", array_to_vector(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("__mlvec").setOutputCol("__hashes")
       .setBucketLength(bucketLength).setNumHashTables(numTables)
