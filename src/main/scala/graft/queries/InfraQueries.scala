@@ -157,6 +157,35 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // The reference's whole ingest story as ONE streaming pipeline:
+    // readStream(graft_feed) → md5 embed → delta-sync per micro-batch
+    // (3 bounded batches via maxRowsPerBatch admission control) → query
+    // the resulting index. The oracle regenerates the deterministic
+    // feed, replays the md5 feature-hash embedding, applies the SAME
+    // zero-norm exclusion the index build applies, and aggregates —
+    // so exactly-once delivery (no dup/missing rows across batches)
+    // AND the embed-derived filter are both hash-checked. Ranking
+    // equivalence of the streamed index is Spark-asserted in
+    // FeedSyncSpec (stream ≡ batch rebuild, bit-identical vectors).
+    "feed_stream_index" -> ((s, _) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_feedidx"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh replay
+      val index = new VectorIndex(IndexMeta("feed_stream_q", "id",
+        "embedding", 64, Metric.Cosine, s"$root/idx"))
+      val embedder = new graft.embed.Md5FeatureEmbedder(64)
+      index.rebuild(embedder.transform(
+        s.read.format("graft_feed").option("total", 100).load().limit(0),
+        "summary"))
+      graft.streaming.IndexSync.feedSyncOnce(s, index, embedder, "summary",
+        Map("total" -> "300", "pageSize" -> "100",
+          "maxRowsPerBatch" -> "100"), s"$root/ckpt")
+      index.read(s).groupBy("category")
+        .agg(count(lit(1)).as("n"), min("id").as("min_id"),
+          max("id").as("max_id"))
+        .orderBy("category")
+    }),
     // The same sign-LSH search THROUGH the persisted (__t, __code)-
     // partitioned layout: build, persist (each bucket its own parquet
     // dir), query with partition pruning at the file listing. Results
@@ -527,6 +556,41 @@ object InfraQueries {
         |  JOIN qs q ON q.query_id = c.query_id)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // Regenerates the deterministic feed (same rows the streaming
+    // source emits), replays the md5 feature-hash embedding per
+    // summary, drops zero-norm rows exactly like the index build, and
+    // aggregates per category — hash-equal iff every one of the 300
+    // streamed rows landed in the index exactly once with the right
+    // embed-derived exclusions.
+    "feed_stream_index" ->
+      """WITH feed AS (
+        |  SELECT i, 'arxiv:' || i AS id,
+        |    'cs.' || CASE WHEN i % 4 = 0 THEN 'DB'
+        |                  WHEN i % 4 = 1 THEN 'LG'
+        |                  WHEN i % 4 = 2 THEN 'IR' ELSE 'DC' END
+        |      AS category,
+        |    'Deterministic abstract number ' ||
+        |      ((i * 2654435761) % 1000) AS summary
+        |  FROM range(0, 300) t(i)),
+        |tok AS (
+        |  SELECT i, unnest(string_split_regex(trim(summary), '\s+')) AS tk
+        |  FROM feed),
+        |b7 AS (
+        |  SELECT i,
+        |    (strpos('0123456789abcdef', substr(md5(tk), 15, 1)) - 1) * 16
+        |    + strpos('0123456789abcdef', substr(md5(tk), 16, 1)) - 1 AS v
+        |  FROM tok),
+        |sp AS (
+        |  SELECT i, v % 64 AS dim,
+        |    sum(CASE WHEN (v >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS x
+        |  FROM b7 GROUP BY i, v % 64),
+        |nrm AS (SELECT i, sum(x * x) AS n2 FROM sp GROUP BY i),
+        |kept AS (
+        |  SELECT f.id, f.category FROM feed f
+        |  JOIN nrm n ON n.i = f.i WHERE n.n2 > 0)
+        |SELECT category, count(*) AS n, min(id) AS min_id,
+        |       max(id) AS max_id
+        |FROM kept GROUP BY category ORDER BY category""".stripMargin,
     // Replays both rerank stages. DOUBLE[] casts force DuckDB to
     // accumulate dot products in double like the engine's
     // VectorDistance (FLOAT[] list_dot_product accumulates in float and

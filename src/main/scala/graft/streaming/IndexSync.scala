@@ -44,4 +44,50 @@ object IndexSync {
       checkpointDir)
     q.awaitTermination()
   }
+
+  /** The reference's whole ingest story as ONE streaming pipeline:
+    * paginated feed → embed → delta-sync into the index, micro-batch by
+    * micro-batch (reference src/databricks/syntetic_data_arxiv.py:75-129
+    * fetches pages, then syntetic_data.py:68-75,101 lets the CDF-driven
+    * TRIGGERED sync absorb them — here both legs are Spark-native and
+    * composed).
+    *
+    * The embedder must be a FITTED (frozen) transform so every batch is
+    * embedded in the same weighting space as the existing index — the
+    * fitted-embedder contract VectorSearch.Index.sync enforces. Each
+    * batch becomes an upsert change-set (`__op = 'U'`, `__seq` =
+    * batch id) merged last-write-wins by PK, so a page re-delivered by
+    * the source after a crash converges instead of duplicating — on top
+    * of the source's own offset-tracked exactly-once admission.
+    *
+    * `Trigger.AvailableNow` + the source's `maxRowsPerBatch` admission
+    * control drain the feed in bounded micro-batches (TRIGGERED
+    * semantics); swap the trigger for continuous ingest. */
+  def feedSync(spark: SparkSession, index: VectorIndex,
+      embedder: graft.embed.FittedEmbedder, textCol: String,
+      feedOptions: Map[String, String],
+      checkpointDir: String): StreamingQuery = {
+    val feed = spark.readStream.format("graft_feed")
+      .options(feedOptions).load()
+    feed.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val changes = embedder.transform(batch, textCol)
+            .withColumn("__op", org.apache.spark.sql.functions.lit(
+              ChangeLog.OpUpdate))
+            .withColumn("__seq", org.apache.spark.sql.functions.lit(batchId))
+          index.sync(spark, changes)
+        }
+      }
+      .start()
+  }
+
+  /** Synchronous [[feedSync]] drain: start, await completion. */
+  def feedSyncOnce(spark: SparkSession, index: VectorIndex,
+      embedder: graft.embed.FittedEmbedder, textCol: String,
+      feedOptions: Map[String, String], checkpointDir: String): Unit =
+    feedSync(spark, index, embedder, textCol, feedOptions, checkpointDir)
+      .awaitTermination()
 }
