@@ -221,6 +221,25 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // Product quantization retrieve-then-rerank at REALISTIC
+    // parameters: deterministic per-subspace codebooks (first 32
+    // corpus rows by id — the buildIvfDeterministic trick), 16
+    // subspaces x 4 dims, integer-quantized encode + ADC (floor(x*2^20)
+    // like sign-LSH, so argmins and sums are order-free exact integer
+    // math), coarse top-12 by ADC, cosine refine top-3. Every stage is
+    // a pure function of the corpus -> the oracle replays fit, encode,
+    // ADC and both rankings bit-exactly.
+    "ann_pq_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val cb = graft.search.Pq.fit(corpus, "embedding", "vec_id",
+        m = 16, k = 32)
+      graft.search.Pq.rerank(corpus, e.filter(col("vec_id") < 5),
+          "embedding", "vec_id", "embedding", "vec_id", k = 3, c = 4, cb)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // Graph ANN (the HNSW stand-in) at REALISTIC parameters: exact
     // 6-NN graph on a bounded corpus block, then 3 hops of BEST-FIRST
     // beam-4 search (visited-set expansion, HNSW's discipline) from
@@ -471,6 +490,75 @@ object InfraQueries {
         |  JOIN embeddings qe ON qe.vec_id = cand.query_id)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // Replays PQ end to end: integer quantization floor(x*2^20),
+    // codebooks = first-32 corpus rows' sub-vectors, per-(vec,subspace)
+    // argmin encode (ties -> lowest centroid), ADC = sum of the coded
+    // centroids' integer L2^2 to the query sub-vectors, coarse top-12,
+    // DOUBLE[]-cast cosine refine (zero-norm -> 0 convention).
+    "ann_pq_rerank" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |iq AS (
+        |  SELECT v.vec_id, dd.d,
+        |    CAST(floor(CAST(v.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS xi
+        |  FROM embeddings v, dims dd),
+        |cents AS (
+        |  SELECT vec_id, j FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        |    FROM embeddings
+        |    WHERE vec_id >= 5 AND embedding IS NOT NULL)
+        |  WHERE j < 32),
+        |cb AS (
+        |  SELECT (iq.d // 4) AS s, c.j, iq.d, iq.xi
+        |  FROM iq JOIN cents c USING (vec_id)),
+        |cdist AS (
+        |  SELECT iq.vec_id, cb.s, cb.j,
+        |    sum((iq.xi - cb.xi) * (iq.xi - cb.xi)) AS d2
+        |  FROM iq JOIN cb ON cb.d = iq.d
+        |  WHERE iq.vec_id >= 5
+        |  GROUP BY iq.vec_id, cb.s, cb.j),
+        |codes AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT vec_id, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d2, j) AS rn
+        |    FROM cdist) WHERE rn = 1),
+        |qtab AS (
+        |  SELECT iq.vec_id AS query_id, cb.s, cb.j,
+        |    sum((iq.xi - cb.xi) * (iq.xi - cb.xi)) AS d2
+        |  FROM iq JOIN cb ON cb.d = iq.d
+        |  WHERE iq.vec_id < 5
+        |  GROUP BY iq.vec_id, cb.s, cb.j),
+        |adc AS (
+        |  SELECT c.vec_id, q.query_id, sum(q.d2) AS dist
+        |  FROM codes c JOIN qtab q ON q.s = c.s AND q.j = c.j
+        |  GROUP BY c.vec_id, q.query_id),
+        |cand AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist, vec_id) AS cr
+        |  FROM adc),
+        |fin AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    row_number() OVER (PARTITION BY cand.query_id ORDER BY
+        |      CASE WHEN list_dot_product(ce.embedding::DOUBLE[],
+        |                                 ce.embedding::DOUBLE[]) = 0
+        |             OR list_dot_product(qe.embedding::DOUBLE[],
+        |                                 qe.embedding::DOUBLE[]) = 0
+        |           THEN 0
+        |           ELSE list_dot_product(ce.embedding::DOUBLE[],
+        |                                 qe.embedding::DOUBLE[])
+        |                / (sqrt(list_dot_product(ce.embedding::DOUBLE[],
+        |                                         ce.embedding::DOUBLE[]))
+        |                   * sqrt(list_dot_product(qe.embedding::DOUBLE[],
+        |                                           qe.embedding::DOUBLE[])))
+        |      END DESC, cand.vec_id) AS rnk
+        |  FROM cand
+        |  JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |  WHERE cand.cr <= 12)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM fin WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     // Replays the best-first graph-ANN search end to end: exact 6-NN
     // graph (L2, id tie-break) on the bounded corpus block, seeded
     // entries (per-query top-4 of the mod-5 sample), then three

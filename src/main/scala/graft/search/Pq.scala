@@ -1,0 +1,192 @@
+package graft.search
+
+import graft.functions.{Metric, VectorFunctions => VF}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Product quantization — the second compression leg next to [[Sq8]],
+  * and the codebook-based one real vector stores pair with IVF (the
+  * managed service behind the reference's `similarity_search`,
+  * /root/reference/src/databricks/query_endpoint.py:126-146, is an
+  * HNSW/quantization engine; PQ is the public-literature compression
+  * half, Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", IEEE TPAMI 2011).
+  *
+  * The D-dim space is split into `m` subspaces of `dsub = D/m` dims;
+  * each subspace gets a `k`-entry codebook, and a vector stores one
+  * centroid index per subspace — 64 floats become 8 small ints. Query
+  * scoring is ADC (asymmetric distance computation): per subspace,
+  * the distance from the query's sub-vector to each centroid is a
+  * k-entry lookup table, and the approximate distance of a corpus row
+  * is the sum of its codes' table entries.
+  *
+  * Two deliberate deviations from the textbook make every stage a pure
+  * function of the corpus — hence DuckDB-oracle-checkable — without
+  * changing the plan shape a KMeans-trained PQ would have:
+  *  - codebooks are DETERMINISTIC: subspace s's centroids are the
+  *    sub-vectors of the first `k` corpus rows by id (the same trick
+  *    as Ann.buildIvfDeterministic's centroids);
+  *  - all arithmetic is INTEGER: components are quantized to
+  *    floor(x · 2^20) (exactly like SignLsh's projections), so
+  *    encode argmins and ADC sums are order-free exact integer math,
+  *    bit-identical in any engine. The ~1e-6 quantization error is
+  *    far below the approximation error PQ itself introduces.
+  *
+  * Scale shape: `fit` collects k rows (driver-small, like KMeans
+  * centroids); encode is one codegen-friendly projection pass; the
+  * coarse ADC scan reads only the (m ints per row) code column — the
+  * same 100 TB story as SQ8's byte scan, ~32× smaller than floats —
+  * and only k·c survivors per query touch the full vectors for the
+  * exact refine.
+  */
+object Pq {
+
+  /** 2^20 — the integer quantization scale shared with the oracle. */
+  val Scale: Double = 1048576.0
+
+  /** Deterministic codebooks: `cb(s)(j)(d)` = integer component d of
+    * subspace s's centroid j. */
+  final case class Codebooks(m: Int, dsub: Int, k: Int,
+      cb: Array[Array[Array[Long]]]) extends Serializable
+
+  private def quant(x: Double): Long = math.floor(x * Scale).toLong
+
+  /** Codebooks from the first `k` corpus rows by id — driver-small
+    * (k × D longs), a pure function of the corpus. */
+  def fit(corpus: DataFrame, vecCol: String, idCol: String, m: Int,
+      k: Int): Codebooks = {
+    val rows = corpus.filter(col(vecCol).isNotNull)
+      .orderBy(col(idCol).asc).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(rows.nonEmpty, "PQ fit needs a non-empty corpus")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val cb = Array.tabulate(m, rows.length, dsub) { (s, j, d) =>
+      quant(rows(j)(s * dsub + d).toDouble)
+    }
+    Codebooks(m, dsub, rows.length, cb)
+  }
+
+  /** floor(x · 2^20) per component — the query-side quantization. */
+  def intQuant(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * lit(Scale)).cast("long"))
+
+  def encode(c: Column, cb: Codebooks): Column =
+    Bridge.column(PqEncode(Bridge.expression(c), cb))
+
+  def adc(codes: Column, queryInt: Column, cb: Codebooks): Column =
+    Bridge.column(PqAdc(Bridge.expression(codes),
+      Bridge.expression(queryInt), cb))
+
+  /** PQ retrieve-then-rerank: coarse top-k·c per query by ADC over the
+    * code column, exact metric on the survivors only. Returns
+    * `(query_id, rank, <pk>, score)`. */
+  def rerank(corpus: DataFrame, queries: DataFrame, corpusVecCol: String,
+      corpusPkCol: String, queryVecCol: String, queryIdCol: String,
+      k: Int, c: Int, cb: Codebooks,
+      metric: Metric = Metric.Cosine): DataFrame = {
+    val enc = corpus.filter(col(corpusVecCol).isNotNull)
+      .withColumn("__codes", encode(col(corpusVecCol), cb))
+    val q = broadcast(queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qvec"),
+        intQuant(col(queryVecCol)).as("__qint")))
+    val coarse = enc.crossJoin(q)
+      .withColumn("__adc", adc(col("__codes"), col("__qint"), cb))
+      .withColumn("__cr", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("__adc").asc, col(corpusPkCol).asc)))
+      .filter(col("__cr") <= k * c)
+    val scored = coarse.withColumn("score",
+      VF.distance(col(corpusVecCol), col("__qvec"), metric))
+    val w = Window.partitionBy("query_id")
+      .orderBy(Knn.scoreOrder(col("score"), metric), col(corpusPkCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(corpusPkCol), col("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+}
+
+/** Per-subspace argmin over the codebook: `codes(s)` = index of the
+  * nearest centroid (integer L2², ties → lowest index). */
+case class PqEncode(child: Expression, cb: Pq.Codebooks)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Int](cb.m)
+    var s = 0
+    while (s < cb.m) {
+      var bestJ = 0
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < cb.k) {
+        var d2 = 0L
+        var d = 0
+        while (d < cb.dsub) {
+          val idx = s * cb.dsub + d
+          val x =
+            if (isFloat) arr.getFloat(idx).toDouble else arr.getDouble(idx)
+          val diff = math.floor(x * Pq.Scale).toLong - cb.cb(s)(j)(d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD) { bestD = d2; bestJ = j }
+        j += 1
+      }
+      out(s) = bestJ
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
+}
+
+/** ADC distance: sum over subspaces of the integer L2² between the
+  * query's quantized sub-vector and the coded centroid. */
+case class PqAdc(left: Expression, right: Expression, cb: Pq.Codebooks)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(codesAny: Any, qAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val qi = qAny.asInstanceOf[ArrayData]
+    var acc = 0L
+    var s = 0
+    while (s < cb.m) {
+      val j = codes.getInt(s)
+      var d = 0
+      while (d < cb.dsub) {
+        val diff = qi.getLong(s * cb.dsub + d) - cb.cb(s)(j)(d)
+        acc += diff * diff
+        d += 1
+      }
+      s += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      nl: Expression, nr: Expression): Expression =
+    copy(left = nl, right = nr)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.Metric
+import graft.search.{Knn, Pq}
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+  private lazy val corpus = emb.filter($"vec_id" >= 10)
+  private lazy val queries = emb.filter($"vec_id" < 10)
+
+  private def key(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("codes are m entries in [0, k)") {
+    val cb = Pq.fit(corpus, "embedding", "vec_id", m = 8, k = 16)
+    assert(cb.m === 8 && cb.dsub === 8 && cb.k === 16)
+    val codes = corpus.select(Pq.encode($"embedding", cb).as("c"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
+  }
+
+  test("degenerate c (all candidates survive) == exact brute force") {
+    val cb = Pq.fit(corpus, "embedding", "vec_id", m = 8, k = 16)
+    val n = corpus.count().toInt
+    val pq = key(Pq.rerank(corpus, queries, "embedding", "vec_id",
+      "embedding", "vec_id", k = 3, c = n, cb, Metric.Cosine))
+    val exact = key(Knn.batchQuery(corpus, queries, "embedding", "vec_id",
+      "embedding", "vec_id", k = 3, Metric.Cosine))
+    assert(pq === exact)
+  }
+
+  test("realistic ADC pruning keeps useful recall") {
+    // random uniform data punishes coarse subspaces — dsub=4 with a
+    // 32-entry codebook measures 1.0 here (c=16 -> a ~10% coarse scan)
+    val cb = Pq.fit(corpus, "embedding", "vec_id", m = 16, k = 32)
+    val pq = Pq.rerank(corpus, queries, "embedding", "vec_id",
+      "embedding", "vec_id", k = 3, c = 16, cb, Metric.Cosine)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val exact = Knn.batchQuery(corpus, queries, "embedding", "vec_id",
+      "embedding", "vec_id", k = 3, Metric.Cosine)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recalls = exact.map { case (q, ex) =>
+      pq.get(q).map(f => ex.count(f.contains).toDouble / ex.size)
+        .getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"PQ m=16 k=32 c=16 mean recall: $mean")
+    assert(mean >= 0.9, s"mean recall $mean too low")
+  }
+
+  test("encode + rerank are deterministic run to run") {
+    val cb = Pq.fit(corpus, "embedding", "vec_id", m = 8, k = 16)
+    def run() = key(Pq.rerank(corpus, queries, "embedding", "vec_id",
+      "embedding", "vec_id", k = 3, c = 4, cb, Metric.Cosine))
+    assert(run() === run())
+  }
+}
