@@ -263,6 +263,23 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // The three-stage composition the Rerank docstring promises for
+    // 100 TB: IVF probe (4 of 16 deterministic cells) -> coarse 8-dim
+    // prefix rank over ONLY the probed cells' rows -> k*c=12 exact
+    // cosine refine. Every stage deterministic -> the oracle replays
+    // probe, prefix rank and refine end to end.
+    "ann_ivf_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val index = Ann.buildIvfDeterministic(e.filter(col("vec_id") >= 5),
+        "embedding", "vec_id", 16)
+      graft.search.Rerank.truncatedOverIvf(index,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, c = 4, coarseDims = 8,
+          nProbe = 4, metric = Metric.Cosine)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // Two-stage rerank at REALISTIC parameters (coarse 8-dim prefix
     // scan -> k*c=12 candidates -> exact re-score -> top 3): both
     // stages are pure functions of the corpus, so the oracle replays
@@ -679,6 +696,59 @@ object InfraQueries {
         |SELECT category, count(*) AS n, min(id) AS min_id,
         |       max(id) AS max_id
         |FROM kept GROUP BY category ORDER BY category""".stripMargin,
+    // Replays the IVF-fed rerank: deterministic centroids (first 16
+    // corpus ids), 4-cell probe, coarse 8-dim-prefix cosine over the
+    // probed cells' rows only, exact DOUBLE[]-cast cosine refine on
+    // the 12 survivors.
+    "ann_ivf_rerank" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id >= 5),
+        |cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |           AS cell,
+        |         v AS cvec
+        |  FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 16)),
+        |asg AS (
+        |  SELECT c.vec_id, c.v, t.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_distance(c.v, t.cvec), t.cell) AS rn
+        |  FROM corpus c CROSS JOIN cents t),
+        |cells AS (SELECT vec_id, v, cell FROM asg WHERE rn = 1),
+        |qs AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |probe AS (
+        |  SELECT q.query_id, q.qv, t.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_distance(q.qv, t.cvec), t.cell) AS pr
+        |  FROM qs q CROSS JOIN cents t),
+        |cand AS (
+        |  SELECT p.query_id, p.qv, c.vec_id, c.v
+        |  FROM (SELECT query_id, qv, cell FROM probe WHERE pr <= 4) p
+        |  JOIN cells c USING (cell)),
+        |coarse AS (
+        |  SELECT query_id, qv, vec_id, v,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      CASE WHEN list_dot_product(v[1:8], v[1:8]) = 0
+        |             OR list_dot_product(qv[1:8], qv[1:8]) = 0 THEN 0
+        |           ELSE list_dot_product(v[1:8], qv[1:8])
+        |                / (sqrt(list_dot_product(v[1:8], v[1:8]))
+        |                   * sqrt(list_dot_product(qv[1:8], qv[1:8])))
+        |      END DESC, vec_id) AS cr
+        |  FROM cand),
+        |fin AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      CASE WHEN list_dot_product(v, v) = 0
+        |             OR list_dot_product(qv, qv) = 0 THEN 0
+        |           ELSE list_dot_product(v, qv)
+        |                / (sqrt(list_dot_product(v, v))
+        |                   * sqrt(list_dot_product(qv, qv)))
+        |      END DESC, vec_id) AS rnk
+        |  FROM coarse WHERE cr <= 12)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM fin WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     // Replays both rerank stages. DOUBLE[] casts force DuckDB to
     // accumulate dot products in double like the engine's
     // VectorDistance (FLOAT[] list_dot_product accumulates in float and

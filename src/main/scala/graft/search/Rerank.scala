@@ -66,4 +66,50 @@ object Rerank {
       .select(col("query_id"), col("rank"), col(corpusPkCol), col("score"))
       .orderBy(col("query_id").asc, col("rank").asc)
   }
+
+  /** The documented 100 TB composition, realized: stage 1's full-corpus
+    * scan is replaced by an IVF candidate fetch — only the `nProbe`
+    * probed cells' rows are ever read (partition pruning on a
+    * [[Ann.persistIvf]] layout) — the coarse dims-prefix ranking runs
+    * over those candidates, and stage 2 re-scores the k·c survivors
+    * with the full metric. Three prunes compose: cells → prefix rank →
+    * exact refine; each stage is a pure deterministic function of the
+    * inputs, so the whole composition stays oracle-checkable.
+    * With `nProbe` = #cells this degenerates to [[truncated]] over the
+    * full corpus (RerankSpec asserts it). */
+  def truncatedOverIvf(index: Ann.IvfIndex, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, corpusPkCol: String,
+      corpusVecCol: String, k: Int, c: Int, coarseDims: Int, nProbe: Int,
+      metric: Metric = Metric.Cosine): DataFrame = {
+    require(k >= 1 && c >= 1 && coarseDims >= 1 && nProbe >= 1)
+    val q = queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qvec"))
+    val probed = q.crossJoin(broadcast(index.centroids))
+      .withColumn("__cdist", VF.l2(col("__qvec"), col("__centroid")))
+      .withColumn("__cr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__cdist").asc,
+          col("__cell").asc)))
+      .filter(col("__cr") <= nProbe)
+      .select(col("query_id"), col("__qvec"), col("__cell"))
+    val cand = index.corpusWithCell
+      .filter(col(corpusVecCol).isNotNull)
+      .join(broadcast(probed), Seq("__cell"))
+    val coarse = cand.withColumn("__cscore", VF.distance(
+      slice(col(corpusVecCol), 1, coarseDims),
+      slice(col("__qvec"), 1, coarseDims), metric))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(Knn.scoreOrder(col("__cscore"), metric),
+        col(corpusPkCol).asc)
+    val keep = coarse.withColumn("__crk", row_number().over(w1))
+      .filter(col("__crk") <= k * c)
+    val rescored = keep.withColumn("score",
+      VF.distance(col(corpusVecCol), col("__qvec"), metric))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(Knn.scoreOrder(col("score"), metric), col(corpusPkCol).asc)
+    rescored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(corpusPkCol), col("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
 }

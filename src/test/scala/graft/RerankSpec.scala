@@ -38,6 +38,36 @@ class RerankSpec extends SparkSpec {
     assert(r === exact)
   }
 
+  test("IVF-fed rerank with full probe equals full-corpus rerank") {
+    import graft.search.Ann
+    val index = Ann.buildIvfDeterministic(corpus, "embedding", "vec_id",
+      k = 8)
+    val full = collectTopK(Rerank.truncated(corpus, queries, "embedding",
+      "vec_id", "embedding", "vec_id", k = 3, c = 4, coarseDims = 8,
+      Metric.Cosine))
+    val ivf = collectTopK(Rerank.truncatedOverIvf(index, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, c = 4,
+      coarseDims = 8, nProbe = 8, Metric.Cosine))
+    assert(ivf === full)
+  }
+
+  test("IVF-fed rerank with real probe pruning still finds neighbors") {
+    import graft.search.Ann
+    val index = Ann.buildIvfDeterministic(corpus, "embedding", "vec_id",
+      k = 8)
+    val r = collectTopK(Rerank.truncatedOverIvf(index, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, c = 8,
+      coarseDims = 32, nProbe = 4, Metric.Cosine))
+    assert(r.nonEmpty)
+    val recalls = exact.map { case (q, ex) =>
+      r.get(q).map(f => ex.count(f.contains).toDouble / ex.size)
+        .getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"IVF(4/8 cells) + prefix-32 rerank mean recall: $mean")
+    assert(mean >= 0.3, s"mean recall $mean too low")
+  }
+
   test("SQ8 quantized rerank: byte storage, degenerate c equals exact, " +
     "high recall at realistic c") {
     import graft.search.Sq8
