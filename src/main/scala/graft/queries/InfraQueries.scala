@@ -280,6 +280,25 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // The 100 TB GRAPH BUILD PATH under the oracle: edges from native
+    // sign-LSH bucket-mates (one equi-join on integer codes, never n²)
+    // truncated to the 4 nearest per node, then the same best-first
+    // beam search. Codes are md5-reproducible integers, edge distances
+    // DOUBLE-exact, hops pure — so build AND search are hash-checked,
+    // upgrading buildGraphLsh from spec-trusted to oracled.
+    "ann_graph_lsh_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val graph = GraphAnn.buildGraphLsh(corpus, "embedding", "vec_id",
+        m = 4, tables = 4, bits = 4)
+      GraphAnn.queryGraph(graph, corpus, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 3, entries = 4, beam = 4, hops = 2, metric = Metric.L2,
+          entryMod = 5L)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // Two-stage rerank at REALISTIC parameters (coarse 8-dim prefix
     // scan -> k*c=12 candidates -> exact re-score -> top 3): both
     // stages are pure functions of the corpus, so the oracle replays
@@ -696,6 +715,103 @@ object InfraQueries {
         |SELECT category, count(*) AS n, min(id) AS min_id,
         |       max(id) AS max_id
         |FROM kept GROUP BY category ORDER BY category""".stripMargin,
+    // Replays the LSH-built graph end to end: md5 sign-LSH codes
+    // (4 tables x 4 bits), bucket-mate candidate pairs, top-4 edges
+    // per src by DOUBLE-exact L2 (dst tie-break), then the two
+    // best-first hops (visited set via NOT EXISTS) from mod-5 seeded
+    // entries, final exact top-3.
+    "ann_graph_lsh_topk" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |tb AS (
+        |  SELECT t.t, b.b
+        |  FROM (SELECT unnest(range(0, 4)) AS t) t,
+        |       (SELECT unnest(range(0, 4)) AS b) b),
+        |signs AS (
+        |  SELECT tb.t, tb.b, dims.d,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5(CAST(tb.t AS VARCHAR) || ' ' ||
+        |                   CAST(tb.b AS VARCHAR) || ' ' ||
+        |                   CAST(dims.d AS VARCHAR)), 16, 1)) - 1) & 1 = 1
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM tb, dims),
+        |comp AS (
+        |  SELECT v.vec_id, dd.d,
+        |    CAST(floor(CAST(v.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS y
+        |  FROM embeddings v, dims dd
+        |  WHERE v.vec_id >= 5),
+        |proj AS (
+        |  SELECT c.vec_id, s.t, s.b, sum(s.s * c.y) AS acc
+        |  FROM comp c JOIN signs s ON s.d = c.d
+        |  GROUP BY c.vec_id, s.t, s.b),
+        |codes AS (
+        |  SELECT vec_id, t,
+        |    sum(CASE WHEN acc > 0 THEN 1 << b ELSE 0 END) AS code
+        |  FROM proj GROUP BY vec_id, t),
+        |corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id >= 5),
+        |qs AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |ecand AS (
+        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        |  FROM codes a JOIN codes b ON a.t = b.t AND a.code = b.code
+        |  WHERE a.vec_id <> b.vec_id),
+        |edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT e.src, e.dst,
+        |      row_number() OVER (PARTITION BY e.src
+        |        ORDER BY list_distance(sv.v, dv.v), e.dst) AS rn
+        |    FROM ecand e
+        |    JOIN corpus sv ON sv.vec_id = e.src
+        |    JOIN corpus dv ON dv.vec_id = e.dst)
+        |  WHERE rn <= 4),
+        |c0 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_distance(c.v, q.qv), c.vec_id) AS r
+        |    FROM corpus c CROSS JOIN qs q WHERE c.vec_id % 5 = 0)
+        |  WHERE r <= 4),
+        |f1 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+        |    FROM c0 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id)
+        |  WHERE r <= 4),
+        |c1 AS (
+        |  SELECT DISTINCT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id FROM c0
+        |    UNION ALL
+        |    SELECT f.query_id, g.dst AS vec_id
+        |    FROM f1 f JOIN edges g ON g.src = f.vec_id)),
+        |f2 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+        |    FROM c1 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM f1 e
+        |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id))
+        |  WHERE r <= 4),
+        |c2 AS (
+        |  SELECT DISTINCT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id FROM c1
+        |    UNION ALL
+        |    SELECT f.query_id, g.dst AS vec_id
+        |    FROM f2 f JOIN edges g ON g.src = f.vec_id)),
+        |ranked AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_distance(v.v, q.qv), c.vec_id) AS rnk
+        |  FROM c2 c JOIN corpus v ON v.vec_id = c.vec_id
+        |  JOIN qs q ON q.query_id = c.query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     // Replays the IVF-fed rerank: deterministic centroids (first 16
     // corpus ids), 4-cell probe, coarse 8-dim-prefix cosine over the
     // probed cells' rows only, exact DOUBLE[]-cast cosine refine on
