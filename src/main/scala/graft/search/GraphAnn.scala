@@ -69,20 +69,29 @@ object GraphAnn {
     * beam search tolerates that (recall spec'd, not assumed). */
   def buildGraphLsh(corpus: DataFrame, vecCol: String, idCol: String,
       m: Int, tables: Int = 8, bits: Int = 4): KnnGraph = {
-    val coded = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("__src"), col(vecCol).as("__svec"),
-        SignLshFunctions.signLshCodes(col(vecCol), tables, bits)
-          .as("__codes"))
-    val a = coded.select(col("__src"), col("__svec"),
-      posexplode(col("__codes")).as(Seq("__t", "__code")))
-    val b = a.select(col("__src").as("__dst"), col("__svec").as("__dvec"),
-      col("__t"), col("__code"))
-    val cand = a.join(b, Seq("__t", "__code"))
+    val nodes = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__src"), col(vecCol).as("__svec"))
+    val coded = nodes.select(col("__src"),
+      posexplode(SignLshFunctions.signLshCodes(col("__svec"), tables,
+        bits)).as(Seq("__t", "__code")))
+    val b = coded.select(col("__src").as("__dst"), col("__t"),
+      col("__code"))
+    // dedupe BARE id pairs before touching vectors: the bucket join and
+    // the distinct shuffle then move 16-byte rows, not 2×64-float rows
+    // (the pair table is ×tables×bucket-mates larger than the corpus).
+    // Vectors are re-attached afterwards by two equi-joins against the
+    // node table — AQE broadcasts them when the corpus is small, and at
+    // 100 TB they are ordinary shuffle joins on the pk, which is still
+    // far cheaper than dragging vectors through the pair distinct.
+    val pairs = coded.join(b, Seq("__t", "__code"))
       .filter(col("__src") =!= col("__dst"))
-      .dropDuplicates("__src", "__dst")
+      .select("__src", "__dst").distinct()
     val w = Window.partitionBy("__src")
       .orderBy(col("__d").asc, col("__dst").asc)
-    val edges = cand
+    val edges = pairs
+      .join(nodes, "__src")
+      .join(nodes.select(col("__src").as("__dst"),
+        col("__svec").as("__dvec")), "__dst")
       .withColumn("__d", VF.l2(col("__svec"), col("__dvec")))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= m)
