@@ -157,6 +157,49 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // The graph search THROUGH the persisted bucket-partitioned edge
+    // layout: build, persistGraph (src mod 16 buckets), then
+    // queryPersistedGraph — each hop collects its tiny frontier and
+    // scans only those buckets' files. Results are identical to the
+    // in-memory search by construction (PersistedLayoutSpec), so it
+    // shares ann_graph_topk's oracle; what's exercised is the on-disk
+    // pruned form.
+    "ann_graph_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 2000)
+      val graph = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id",
+        m = 6)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pgraph/" +
+        dir.replaceAll("[^0-9.]", "")
+      val pg = GraphAnn.persistGraph(graph, root, buckets = 16)
+      GraphAnn.queryPersistedGraph(s, pg, corpus,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, entries = 4, beam = 4, hops = 3,
+          metric = Metric.L2, entryMod = 5L)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // SQ8 rerank THROUGH the persisted two-file layout: the coarse
+    // stage scans the byte-code file only (1 byte/dim — the 4x scan
+    // win, on disk), vectors are joined back for the k*c survivors.
+    // Identical results to the in-memory path (spec-asserted) -> shares
+    // ann_sq8_rerank's oracle.
+    "ann_sq8_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val stats = graft.search.Sq8.fit(corpus, "embedding")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_psq8/" +
+        dir.replaceAll("[^0-9.]", "")
+      val idx = graft.search.Sq8.persist(corpus, "embedding", "vec_id",
+        root, stats)
+      graft.search.Sq8.rerankPersisted(s, idx,
+          e.filter(col("vec_id") < 5), "embedding", "vec_id",
+          "vec_id", "embedding", k = 3, c = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // The reference's whole ingest story as ONE streaming pipeline:
     // readStream(graft_feed) → md5 embed → delta-sync per micro-batch
     // (3 bounded batches via maxRowsPerBatch admission control) → query
@@ -975,10 +1018,12 @@ object InfraQueries {
         |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin,
   )
 
-  // the persisted sign-LSH layout returns the same rows as the
-  // in-memory search (PersistedLayoutSpec asserts disk == mem), so the
-  // query shares ann_signlsh_topk's oracle SQL verbatim
+  // persisted layouts return the same rows as their in-memory searches
+  // (PersistedLayoutSpec asserts disk == mem for each), so the *_persisted
+  // queries share the in-memory paths' oracle SQL verbatim
   val oracleSql: Map[String, String] =
-    baseOracleSql + ("ann_signlsh_persisted" ->
-      baseOracleSql("ann_signlsh_topk"))
+    baseOracleSql +
+      ("ann_signlsh_persisted" -> baseOracleSql("ann_signlsh_topk")) +
+      ("ann_graph_persisted" -> baseOracleSql("ann_graph_topk")) +
+      ("ann_sq8_persisted" -> baseOracleSql("ann_sq8_rerank"))
 }

@@ -137,4 +137,57 @@ object Sq8 {
       .select(col("query_id"), col("rank"), col(corpusPkCol), col("score"))
       .orderBy(col("query_id").asc, col("rank").asc)
   }
+
+  // ------------- persisted two-file layout (codes | vectors) -------------
+
+  /** Handle to a [[persist]] layout. */
+  final case class PersistedSq8(path: String, stats: Stats)
+
+  /** Persist the honest on-disk form of the "4× cheaper scan" story:
+    * a CODES file `(pk, __code array<byte>)` — what the coarse stage
+    * scans, 1 byte/dim instead of 4 — and the full-vector file beside
+    * it, touched only by the k·c refine lookups. At 100 TB the coarse
+    * stage reads ~25 TB instead of 100; the refine reads a bounded
+    * per-query row set. */
+  def persist(corpus: DataFrame, vecCol: String, pkCol: String,
+      path: String, stats: Stats): PersistedSq8 = {
+    val valid = corpus.filter(col(vecCol).isNotNull)
+    valid.select(col(pkCol), encode(col(vecCol), stats).as("__code"))
+      .write.mode("overwrite").parquet(path + "_codes")
+    valid.write.mode("overwrite").parquet(path)
+    PersistedSq8(path, stats)
+  }
+
+  /** [[rerank]] over a [[persist]] layout: identical semantics, but the
+    * coarse scan touches ONLY the byte-code file (check `.explain`:
+    * its ReadSchema has no vector column) and the full vectors are
+    * joined back by pk for just the k·c survivors. */
+  def rerankPersisted(spark: org.apache.spark.sql.SparkSession,
+      idx: PersistedSq8, queries: DataFrame, queryVecCol: String,
+      queryIdCol: String, corpusPkCol: String, corpusVecCol: String,
+      k: Int, c: Int, metric: Metric = Metric.Cosine): DataFrame = {
+    val q = broadcast(queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qvec"),
+        encode(col(queryVecCol), idx.stats).as("__qcode")))
+    val coarse = spark.read.parquet(idx.path + "_codes")
+      .crossJoin(q)
+      .withColumn("__cscore", dot(col("__code"), col("__qcode")))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("__cscore").desc, col(corpusPkCol).asc)
+    val cand = coarse.withColumn("__cr", row_number().over(w1))
+      .filter(col("__cr") <= k * c)
+      .select(col("query_id"), col("__qvec"), col(corpusPkCol))
+    val full = spark.read.parquet(idx.path)
+      .select(col(corpusPkCol), col(corpusVecCol))
+    val rescored = cand.join(full, Seq(corpusPkCol))
+      .withColumn("score",
+        VF.distance(col(corpusVecCol), col("__qvec"), metric))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(Knn.scoreOrder(col("score"), metric), col(corpusPkCol).asc)
+    rescored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(corpusPkCol), col("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
 }

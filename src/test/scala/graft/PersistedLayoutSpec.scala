@@ -71,6 +71,31 @@ class PersistedLayoutSpec extends SparkSpec {
     assert(disk === mem && disk.nonEmpty)
   }
 
+  test("persisted SQ8: coarse scan reads codes only, disk == mem") {
+    import graft.search.Sq8
+    val path = Files.createTempDirectory("graft_psq8").toString + "/idx"
+    val stats = Sq8.fit(corpus, "embedding")
+    val idx = Sq8.persist(corpus, "embedding", "vec_id", path, stats)
+
+    spark.sharedState.cacheManager.clearCache()
+    val out = Sq8.rerankPersisted(spark, idx, queries, "embedding",
+      "vec_id", "vec_id", "embedding", k = 3, c = 4)
+    // the coarse stage's scan of the codes file must not read vectors —
+    // assert via the scan's ReadSchema (the 4x-cheaper scan, on disk)
+    val codesScans = out.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("_codes")).mkString("\n")
+    assert(codesScans.nonEmpty && !codesScans.contains("embedding"),
+      s"codes scan must not touch the vector column:\n$codesScans")
+
+    val mem = Sq8.rerank(corpus, queries, "embedding", "vec_id",
+      "embedding", "vec_id", k = 3, c = 4, stats)
+      .select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val disk = out.select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(disk === mem && disk.nonEmpty)
+  }
+
   test("persisted sign-LSH probe prunes to the queries' buckets") {
     val path = Files.createTempDirectory("graft_pslsh").toString + "/idx"
     val built = Ann.buildSignLsh(corpus, "embedding", tables = 4, bits = 3)
