@@ -166,7 +166,7 @@ object InfraQueries {
     // pruned form.
     "ann_graph_persisted" -> ((s, dir) => {
       val e = emb(s, dir)
-      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 2000)
+      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 1000)
       val graph = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id",
         m = 6)
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_pgraph/" +
@@ -283,6 +283,27 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // IVF-PQ — the canonical two-level vector-store composition (the
+    // FAISS IVFPQ architecture) at REALISTIC parameters: probe 4 of 16
+    // deterministic cells, ADC-rank only the probed cells' PQ codes
+    // (16 subspaces x 32-entry deterministic codebooks, integer
+    // arithmetic), exact cosine refine on the top-12. Cell assignment,
+    // probe, codebooks, encode and ADC are all pure functions of the
+    // corpus -> the oracle replays the full three-prune pipeline.
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val index = Ann.buildIvfDeterministic(corpus, "embedding",
+        "vec_id", 16)
+      val cb = graft.search.Pq.fit(corpus, "embedding", "vec_id",
+        m = 16, k = 32)
+      graft.search.Pq.rerankOverIvf(index, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", k = 3, c = 4,
+          cb, nProbe = 4, metric = Metric.Cosine)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // Graph ANN (the HNSW stand-in) at REALISTIC parameters: exact
     // 6-NN graph on a bounded corpus block, then 3 hops of BEST-FIRST
     // beam-4 search (visited-set expansion, HNSW's discipline) from
@@ -295,7 +316,7 @@ object InfraQueries {
     // 100 TB build path) keeps its recall assertions in GraphAnnSpec.
     "ann_graph_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 2000)
+      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 1000)
       val graph = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id",
         m = 6)
       GraphAnn.queryGraph(graph, corpus, e.filter(col("vec_id") < 5),
@@ -569,6 +590,97 @@ object InfraQueries {
         |  JOIN embeddings qe ON qe.vec_id = cand.query_id)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // Replays IVF-PQ end to end: deterministic IVF centroids (first 16
+    // corpus ids, DOUBLE L2 assignment + probe), PQ codebooks/encode/
+    // ADC in exact integer arithmetic restricted to the probed cells'
+    // rows, coarse top-12, DOUBLE[]-cast cosine refine.
+    "ann_ivfpq_topk" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |iq AS (
+        |  SELECT v.vec_id, dd.d,
+        |    CAST(floor(CAST(v.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS xi
+        |  FROM embeddings v, dims dd),
+        |pcents AS (
+        |  SELECT vec_id, j FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        |    FROM embeddings
+        |    WHERE vec_id >= 5 AND embedding IS NOT NULL)
+        |  WHERE j < 32),
+        |cb AS (
+        |  SELECT (iq.d // 4) AS s, c.j, iq.d, iq.xi
+        |  FROM iq JOIN pcents c USING (vec_id)),
+        |cdist AS (
+        |  SELECT iq.vec_id, cb.s, cb.j,
+        |    sum((iq.xi - cb.xi) * (iq.xi - cb.xi)) AS d2
+        |  FROM iq JOIN cb ON cb.d = iq.d
+        |  WHERE iq.vec_id >= 5
+        |  GROUP BY iq.vec_id, cb.s, cb.j),
+        |codes AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT vec_id, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d2, j) AS rn
+        |    FROM cdist) WHERE rn = 1),
+        |qtab AS (
+        |  SELECT iq.vec_id AS query_id, cb.s, cb.j,
+        |    sum((iq.xi - cb.xi) * (iq.xi - cb.xi)) AS d2
+        |  FROM iq JOIN cb ON cb.d = iq.d
+        |  WHERE iq.vec_id < 5
+        |  GROUP BY iq.vec_id, cb.s, cb.j),
+        |dcorpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id >= 5),
+        |icents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |           AS cell,
+        |         v AS cvec
+        |  FROM (SELECT vec_id, v FROM dcorpus ORDER BY vec_id LIMIT 16)),
+        |asg AS (
+        |  SELECT c.vec_id, t.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_distance(c.v, t.cvec), t.cell) AS rn
+        |  FROM dcorpus c CROSS JOIN icents t),
+        |cells AS (SELECT vec_id, cell FROM asg WHERE rn = 1),
+        |qs AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |probe AS (
+        |  SELECT q.query_id, t.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_distance(q.qv, t.cvec), t.cell) AS pr
+        |  FROM qs q CROSS JOIN icents t),
+        |cpair AS (
+        |  SELECT p.query_id, c.vec_id
+        |  FROM (SELECT query_id, cell FROM probe WHERE pr <= 4) p
+        |  JOIN cells c USING (cell)),
+        |adc AS (
+        |  SELECT cp.query_id, cp.vec_id, sum(q.d2) AS dist
+        |  FROM cpair cp
+        |  JOIN codes co ON co.vec_id = cp.vec_id
+        |  JOIN qtab q ON q.query_id = cp.query_id
+        |    AND q.s = co.s AND q.j = co.j
+        |  GROUP BY cp.query_id, cp.vec_id),
+        |cand AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist, vec_id) AS cr
+        |  FROM adc),
+        |fin AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    row_number() OVER (PARTITION BY cand.query_id ORDER BY
+        |      CASE WHEN list_dot_product(ce.v, ce.v) = 0
+        |             OR list_dot_product(qe.qv, qe.qv) = 0 THEN 0
+        |           ELSE list_dot_product(ce.v, qe.qv)
+        |                / (sqrt(list_dot_product(ce.v, ce.v))
+        |                   * sqrt(list_dot_product(qe.qv, qe.qv)))
+        |      END DESC, cand.vec_id) AS rnk
+        |  FROM cand
+        |  JOIN dcorpus ce ON ce.vec_id = cand.vec_id
+        |  JOIN qs qe ON qe.query_id = cand.query_id
+        |  WHERE cand.cr <= 12)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM fin WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     // Replays PQ end to end: integer quantization floor(x*2^20),
     // codebooks = first-32 corpus rows' sub-vectors, per-(vec,subspace)
     // argmin encode (ties -> lowest centroid), ADC = sum of the coded
@@ -649,7 +761,7 @@ object InfraQueries {
     "ann_graph_topk" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |  WHERE vec_id >= 5 AND vec_id < 2000),
+        |  WHERE vec_id >= 5 AND vec_id < 1000),
         |qs AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |  FROM embeddings WHERE vec_id < 5),

@@ -86,6 +86,49 @@ object Pq {
     Bridge.column(PqAdc(Bridge.expression(codes),
       Bridge.expression(queryInt), cb))
 
+  /** IVF-PQ — the canonical two-level vector-store composition (FAISS
+    * IVFPQ, Jégou et al. 2011 §V): probe `nProbe` cells, ADC-rank ONLY
+    * the probed cells' code vectors, exact refine on the k·c
+    * survivors. Three prunes stack: cell partition pruning (on a
+    * [[Ann.persistIvf]] layout the unprobed cells are never read) →
+    * 32×-smaller ADC scan over the survivors → full vectors touched
+    * only k·c times per query. Every stage is a pure function of the
+    * corpus (deterministic centroids AND codebooks), so the whole
+    * composition is oracle-checkable. */
+  def rerankOverIvf(index: Ann.IvfIndex, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, corpusPkCol: String,
+      corpusVecCol: String, k: Int, c: Int, cb: Codebooks, nProbe: Int,
+      metric: Metric = Metric.Cosine): DataFrame = {
+    val q = queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qvec"),
+        intQuant(col(queryVecCol)).as("__qint"))
+    val probed = q.crossJoin(broadcast(index.centroids))
+      .withColumn("__cdist", VF.l2(col("__qvec"), col("__centroid")))
+      .withColumn("__cr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__cdist").asc,
+          col("__cell").asc)))
+      .filter(col("__cr") <= nProbe)
+      .select(col("query_id"), col("__qvec"), col("__qint"), col("__cell"))
+    val coded = index.corpusWithCell
+      .filter(col(corpusVecCol).isNotNull)
+      .withColumn("__codes", encode(col(corpusVecCol), cb))
+    val coarse = coded.join(broadcast(probed), Seq("__cell"))
+      .withColumn("__adc", adc(col("__codes"), col("__qint"), cb))
+      .withColumn("__crk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("__adc").asc, col(corpusPkCol).asc)))
+      .filter(col("__crk") <= k * c)
+    val scored = coarse.withColumn("score",
+      VF.distance(col(corpusVecCol), col("__qvec"), metric))
+    val w = Window.partitionBy("query_id")
+      .orderBy(Knn.scoreOrder(col("score"), metric), col(corpusPkCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(corpusPkCol), col("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** PQ retrieve-then-rerank: coarse top-k·c per query by ADC over the
     * code column, exact metric on the survivors only. Returns
     * `(query_id, rank, <pk>, score)`. */

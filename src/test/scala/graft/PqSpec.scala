@@ -54,6 +54,42 @@ class PqSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean recall $mean too low")
   }
 
+  test("IVF-PQ at full probe equals flat PQ rerank") {
+    import graft.search.Ann
+    val cb = Pq.fit(corpus, "embedding", "vec_id", m = 16, k = 32)
+    val index = Ann.buildIvfDeterministic(corpus, "embedding", "vec_id",
+      k = 8)
+    val flat = key(Pq.rerank(corpus, queries, "embedding", "vec_id",
+      "embedding", "vec_id", k = 3, c = 4, cb, Metric.Cosine))
+    val ivfpq = key(Pq.rerankOverIvf(index, queries, "vec_id",
+      "embedding", "vec_id", "embedding", k = 3, c = 4, cb, nProbe = 8,
+      Metric.Cosine))
+    assert(ivfpq === flat)
+  }
+
+  test("IVF-PQ with real probe pruning still finds neighbors") {
+    import graft.search.Ann
+    val cb = Pq.fit(corpus, "embedding", "vec_id", m = 16, k = 32)
+    val index = Ann.buildIvfDeterministic(corpus, "embedding", "vec_id",
+      k = 8)
+    val r = Pq.rerankOverIvf(index, queries, "vec_id", "embedding",
+      "vec_id", "embedding", k = 3, c = 16, cb, nProbe = 4,
+      Metric.Cosine)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val exact = Knn.batchQuery(corpus, queries, "embedding", "vec_id",
+      "embedding", "vec_id", k = 3, Metric.Cosine)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recalls = exact.map { case (q, ex) =>
+      r.get(q).map(f => ex.count(f.contains).toDouble / ex.size)
+        .getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"IVF-PQ nProbe=4/8 c=16 mean recall: $mean")
+    assert(mean >= 0.3, s"mean recall $mean too low")
+  }
+
   test("encode + rerank are deterministic run to run") {
     val cb = Pq.fit(corpus, "embedding", "vec_id", m = 8, k = 16)
     def run() = key(Pq.rerank(corpus, queries, "embedding", "vec_id",
