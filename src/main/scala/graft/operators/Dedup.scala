@@ -54,6 +54,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
 
+  /** Benchmark decontamination — the training-pipeline step that flags
+    * corpus documents overlapping an evaluation set (the n-gram
+    * collision recipe GPT-3/Gopher-style pipelines apply before
+    * training): a corpus doc is contaminated when it shares at least
+    * `minHits` distinct n-gram shingles with a benchmark doc.
+    *
+    * Relational shape: explode both sides' (distinct, sorted) shingle
+    * sets and equi-join on the shingle STRING — one shuffle keyed by
+    * shingle, never corpus × benchmarks. The benchmark side is tiny by
+    * nature (eval sets), so at 100 TB the join broadcasts it and the
+    * corpus side stays a single codegen pass. Returns
+    * `(<corpusIdCol>, <benchIdCol>, hits)` for flagged pairs; anti-join
+    * the result's ids to actually drop them. */
+  def decontaminate(corpus: DataFrame, corpusIdCol: String,
+      corpusTextCol: String, benchmarks: DataFrame, benchIdCol: String,
+      benchTextCol: String, n: Int = 8, minHits: Int = 1): DataFrame = {
+    val cEx = withShingles(corpus, corpusIdCol, corpusTextCol, n)
+      .select(col("id").as("__doc"), explode(col("sh")).as("__g"))
+    val bEx = withShingles(benchmarks, benchIdCol, benchTextCol, n)
+      .select(col("id").as("__bench"), explode(col("sh")).as("__g"))
+    cEx.join(bEx, "__g")
+      .groupBy("__doc", "__bench")
+      .agg(count(lit(1)).as("hits")) // shingle sets are distinct per doc
+      .filter(col("hits") >= minHits)
+      .select(col("__doc").as(corpusIdCol), col("__bench").as(benchIdCol),
+        col("hits"))
+  }
+
   /** Brute-force near-duplicate pairs by n-gram Jaccard (ground truth;
     * quadratic — keep for small blocks, LSH is the scale path). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -26,6 +26,22 @@ object DedupQueries {
           "doc_id", "text", threshold = 0.5)
         .orderBy("a_id", "b_id")
     }),
+    // Benchmark decontamination: corpus docs sharing >= 2 distinct
+    // 3-gram shingles with the "benchmark" block are flagged with
+    // their hit counts — the shingle equi-join shape (one shuffle on
+    // shingle keys, never corpus x benchmarks). Oracle replays the
+    // shingle sets and the collision counts.
+    "dedup_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(
+          d.filter(col("doc_id") < 200)
+            .withColumnRenamed("doc_id", "corpus_id"),
+          "corpus_id", "text",
+          d.filter(col("doc_id") >= 200 && col("doc_id") < 260)
+            .withColumnRenamed("doc_id", "bench_id"),
+          "bench_id", "text", n = 3, minHits = 2)
+        .orderBy("corpus_id", "bench_id")
+    }),
     // MinHash+LSH candidate generation + exact refine, in md5 mode: the
     // signatures (min over shingles of md5(seed || shingle), hex) and the
     // band buckets are reproducible as plain SQL, so the FULL LSH path —
@@ -80,6 +96,30 @@ object DedupQueries {
         |    / (len(a.g) + len(b.g)
         |       - len(list_filter(a.g, x -> list_contains(b.g, x)))) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // Replays decontamination: distinct 3-gram shingle sets on both
+    // blocks, collision counts per (corpus, bench) pair, >= 2 hits.
+    "dedup_decontaminate" ->
+      """WITH csh AS (
+        |  SELECT doc_id AS corpus_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+        |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+2])) AS g
+        |  FROM documents WHERE doc_id < 200),
+        |bsh AS (
+        |  SELECT doc_id AS bench_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+        |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+2])) AS g
+        |  FROM documents WHERE doc_id >= 200 AND doc_id < 260),
+        |ce AS (SELECT corpus_id, unnest(g) AS g FROM csh),
+        |be AS (SELECT bench_id, unnest(g) AS g FROM bsh)
+        |SELECT ce.corpus_id, be.bench_id, count(*) AS hits
+        |FROM ce JOIN be USING (g)
+        |GROUP BY ce.corpus_id, be.bench_id
+        |HAVING count(*) >= 2
+        |ORDER BY corpus_id, bench_id""".stripMargin,
     // Full LSH-path oracle: identical md5 minhash signatures -> band
     // buckets (4 bands x 4 rows, bucket = the joined slice values) ->
     // candidate equi-join -> exact Jaccard refine. Mirrors

@@ -55,6 +55,29 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall too low (${lsh.size}/${brute.size})")
   }
 
+  test("decontaminate flags n-gram collisions with the benchmark set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely different words about nothing shared"),
+      (3L, "quick brown fox appears here too")).toDF("cid", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps high")).toDF("bid", "text")
+    val hits = Dedup.decontaminate(corpus, "cid", "text",
+      bench, "bid", "text", n = 3, minHits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // doc 1 shares "the quick brown", "quick brown fox" (+"brown fox
+    // jumps"); doc 3 shares "quick brown fox"; doc 2 shares nothing
+    assert(hits.map(_._1) === Set(1L, 3L))
+    assert(hits.find(_._1 == 1L).get._3 === 3L)
+    assert(hits.find(_._1 == 3L).get._3 === 1L)
+    // a doc equal to a benchmark doc is flagged with its full set
+    val self = Dedup.decontaminate(bench.toDF("cid", "text"), "cid",
+      "text", bench, "bid", "text", n = 3, minHits = 1)
+      .head()
+    assert(self.getLong(2) === 4L) // 6 tokens -> 4 trigrams
+  }
+
   test("identical texts give simhash hamming distance 0") {
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "totally different words"))
       .toDF("t1", "t2")
