@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic, engine-portable sampling — the data-mixing primitive a
+  * training pipeline needs that `df.sample` cannot give it: `sample`
+  * draws from a per-partition seeded RNG, so the selected rows change
+  * with partitioning, cluster size and Spark version. Here the
+  * keep/drop decision is a pure function of the row's id (md5), so the
+  * same rows are kept on any engine, any cluster, any repartitioning —
+  * reproducible mixtures, diffable across pipeline versions, and
+  * DuckDB-oracle-checkable.
+  *
+  * Scale shape: a codegen-friendly filter — no shuffle, no state; at
+  * 100 TB it fuses into the scan it follows. (The reference has no
+  * sampling; this extends the training-data toolkit like Dedup /
+  * TextAnalysis do.)
+  */
+object Sampling {
+
+  /** Uniform hash fraction in [0, 1): the first 8 md5 hex chars of the
+    * id rendered as a 32-bit integer over 2^32. Exact in double, and
+    * reproducible as SQL on any engine with md5(). */
+  def hashFraction(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)
+
+  /** Keep each row iff hashFraction(id) < rate. Deterministic: the same
+    * id set survives every run, everywhere. */
+  def deterministicSample(df: DataFrame, idCol: String,
+      rate: Double): DataFrame =
+    df.filter(hashFraction(col(idCol)) < rate)
+
+  /** Per-stratum rates (data mixing): a row in stratum s survives iff
+    * hashFraction(id) < rates(s), `default` for unlisted strata. The
+    * rate map is driver-small by nature (one entry per source). */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], default: Double = 0.0): DataFrame = {
+    val rateCol = coalesce(
+      element_at(typedlit(rates), col(strataCol).cast("string")),
+      lit(default))
+    df.filter(hashFraction(col(idCol)) < rateCol)
+  }
+}

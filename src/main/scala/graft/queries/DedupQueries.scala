@@ -26,6 +26,20 @@ object DedupQueries {
           "doc_id", "text", threshold = 0.5)
         .orderBy("a_id", "b_id")
     }),
+    // Deterministic stratified sampling (data mixing): keep fraction
+    // governed per source by md5-hash of the id — a pure function of
+    // the row, so the mixture is reproducible on any engine/cluster
+    // (df.sample's per-partition RNG is not). Oracle recomputes the
+    // identical md5 fractions and per-source aggregates.
+    "sample_mix" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedSample(docs(s, dir), "doc_id",
+          "source", Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25),
+          default = 0.1)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("source")
+    }),
     // Benchmark decontamination: corpus docs sharing >= 2 distinct
     // 3-gram shingles with the "benchmark" block are flagged with
     // their hit counts — the shingle equi-join shape (one shuffle on
@@ -96,6 +110,23 @@ object DedupQueries {
         |    / (len(a.g) + len(b.g)
         |       - len(list_filter(a.g, x -> list_contains(b.g, x)))) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // Replays the md5-fraction sampling: first 8 md5 hex chars of the
+    // id as a 32-bit value over 2^32, per-source rate thresholds,
+    // per-source aggregates (sum cast BIGINT — DuckDB sums to HUGEINT).
+    "sample_mix" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |           AS BIGINT) AS DOUBLE) / 4294967296.0 AS frac
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, source FROM f
+        |  WHERE frac < CASE source
+        |    WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
+        |    WHEN 'src2' THEN 0.25 ELSE 0.1 END)
+        |SELECT source, count(*) AS n, min(doc_id) AS min_id,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
     // Replays decontamination: distinct 3-gram shingle sets on both
     // blocks, collision counts per (corpus, bench) pair, >= 2 hits.
     "dedup_decontaminate" ->
