@@ -152,8 +152,8 @@ object DedupQueries {
         |HAVING count(*) >= 2
         |ORDER BY corpus_id, bench_id""".stripMargin,
     // Full LSH-path oracle: identical md5 minhash signatures -> band
-    // buckets (4 bands x 4 rows, bucket = the joined slice values) ->
-    // candidate equi-join -> exact Jaccard refine. Mirrors
+    // buckets (4 bands x 4 rows, bucket = md5 of the joined slice
+    // values) -> candidate equi-join -> exact Jaccard refine. Mirrors
     // Dedup.minhashLshPairs(algo = "md5") stage by stage.
     "dedup_minhash_lsh" ->
       """WITH d AS (
@@ -171,7 +171,7 @@ object DedupQueries {
         |  GROUP BY doc_id, dd.d),
         |bands AS (
         |  SELECT doc_id, CAST(d // 4 AS INT) AS band,
-        |    string_agg(m, '|' ORDER BY d) AS bucket
+        |    md5(string_agg(m, '|' ORDER BY d)) AS bucket
         |  FROM mh GROUP BY doc_id, d // 4),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
