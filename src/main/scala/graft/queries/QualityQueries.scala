@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, LangModel, Packing, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -95,6 +95,28 @@ object QualityQueries {
             (_, v) => v * 2L))).as("max2x"))
         .orderBy("source")
     }),
+    // GPT-style sequence packing: concat docs per bucket in id order,
+    // split the token stream at 128-token boundaries; each doc's
+    // placement (first/last sequence + offset) is pure window cumsum.
+    "pack_concat" -> ((s, dir) => {
+      Packing.concatPack(docs(s, dir), "doc_id", "text",
+          capacity = 128, buckets = 8)
+        .orderBy("bucket", "id")
+    }),
+    // No-straddle next-fit packing: sequential fill state per bucket —
+    // Spark runs it as a secondary-sort mapPartitions pass, the oracle
+    // replays the same recurrence as a recursive CTE.
+    "pack_nextfit" -> ((s, dir) => {
+      Packing.nextFitPack(docs(s, dir), "doc_id", "text",
+          capacity = 128, buckets = 8)
+        .orderBy("bucket", "id")
+    }),
+    // CCNet-style LM quality scoring: corpus-trained bigram model, each
+    // doc scored by mean -ln p(w2|w1) — counts and joins only.
+    "lm_bigram_xent" -> ((s, dir) => {
+      LangModel.bigramCrossEntropy(docs(s, dir), "doc_id", "text")
+        .orderBy("id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -180,5 +202,64 @@ object QualityQueries {
         |    AS n_common,
         |  CAST(max(c) * 2 AS BIGINT) AS max2x
         |FROM counts GROUP BY source ORDER BY source""".stripMargin,
+    "pack_concat" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id % 8 AS INT) AS bucket, doc_id AS id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |c AS (
+        |  SELECT bucket, id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM d)
+        |SELECT bucket, id, n_tokens,
+        |  cum_before // 128 AS seq_first,
+        |  (cum_before + n_tokens - 1) // 128 AS seq_last,
+        |  cum_before % 128 AS start_offset
+        |FROM c ORDER BY bucket, id""".stripMargin,
+    "pack_nextfit" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(doc_id % 8 AS INT) AS bucket, doc_id AS id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |t AS (
+        |  SELECT bucket, id, n_tokens,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY id) AS rn
+        |  FROM d),
+        |p AS (
+        |  SELECT bucket, id, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS seq, n_tokens AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.bucket, t.id, t.n_tokens, t.rn,
+        |    CASE WHEN p.fill + t.n_tokens <= 128
+        |      THEN p.seq ELSE p.seq + 1 END,
+        |    CASE WHEN p.fill + t.n_tokens <= 128
+        |      THEN p.fill + t.n_tokens ELSE t.n_tokens END
+        |  FROM t JOIN p ON t.bucket = p.bucket AND t.rn = p.rn + 1)
+        |SELECT bucket, id, n_tokens, seq FROM p
+        |ORDER BY bucket, id""".stripMargin,
+    "lm_bigram_xent" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |bg AS (
+        |  SELECT id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS b
+        |  FROM d WHERE len(w) >= 2),
+        |c2 AS (SELECT b, count(*) AS n2 FROM bg GROUP BY b),
+        |c1 AS (
+        |  SELECT split_part(b, ' ', 1) AS w1, count(*) AS n1
+        |  FROM bg GROUP BY 1),
+        |s AS (
+        |  SELECT bg.id, ln(CAST(c1.n1 AS DOUBLE) / c2.n2) AS nll
+        |  FROM bg JOIN c2 USING (b)
+        |  JOIN c1 ON split_part(bg.b, ' ', 1) = c1.w1)
+        |SELECT id, count(*) AS n_bigrams, round(avg(nll), 4) AS xent
+        |FROM s GROUP BY id ORDER BY id""".stripMargin,
   )
 }
