@@ -52,12 +52,15 @@ object GraphAnn {
       .select(col(idCol).as("__src"), col(vecCol).as("__svec"))
     val others = nodes
       .select(col("__src").as("__dst"), col("__svec").as("__dvec"))
-    val w = Window.partitionBy("__src")
-      .orderBy(col("__d").asc, col("__dst").asc)
-    val edges = nodes.join(others, col("__src") =!= col("__dst"))
-      .withColumn("__d", VF.l2(col("__svec"), col("__dvec")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= m)
+    // per-src m-NN via the bounded-heap operator: the n² pair stream is
+    // reduced map-side (O(pairs·log m), never sorted), only groups×m
+    // rows cross the exchange — the same result contract as
+    // row_number() OVER (ORDER BY __d, __dst) <= m (TopKPlanSpec).
+    val scored = nodes.join(others, col("__src") =!= col("__dst"))
+      .select(col("__src"), col("__dst"),
+        VF.l2(col("__svec"), col("__dvec")).as("__d"))
+    val edges = graft.plans.TopK
+      .perGroup(scored, "__src", "__d", "__dst", m, descending = false)
       .select("__src", "__dst")
     KnnGraph(edges, m)
   }
@@ -86,15 +89,17 @@ object GraphAnn {
     val pairs = coded.join(b, Seq("__t", "__code"))
       .filter(col("__src") =!= col("__dst"))
       .select("__src", "__dst").distinct()
-    val w = Window.partitionBy("__src")
-      .orderBy(col("__d").asc, col("__dst").asc)
-    val edges = pairs
+    // bounded-heap top-m per src (see buildGraphExact) — bucket-mate
+    // pair lists are skewed by construction, exactly where a full
+    // window sort hurts most
+    val scored = pairs
       .join(nodes, "__src")
       .join(nodes.select(col("__src").as("__dst"),
         col("__svec").as("__dvec")), "__dst")
-      .withColumn("__d", VF.l2(col("__svec"), col("__dvec")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= m)
+      .select(col("__src"), col("__dst"),
+        VF.l2(col("__svec"), col("__dvec")).as("__d"))
+    val edges = graft.plans.TopK
+      .perGroup(scored, "__src", "__d", "__dst", m, descending = false)
       .select("__src", "__dst")
     KnnGraph(edges, m)
   }
@@ -138,29 +143,65 @@ object GraphAnn {
       queryIdCol: String, queryVecCol: String, corpusPkCol: String,
       corpusVecCol: String, k: Int, entries: Int, beam: Int, hops: Int,
       metric: Metric = Metric.L2, entryMod: Long = 0L,
-      materializeEdges: Boolean = true): DataFrame = {
+      materializeEdges: Boolean = true,
+      statePartitions: Int = 4,
+      materializeCorpus: Boolean = true): DataFrame = {
     val edges =
       if (materializeEdges) graph.edges.localCheckpoint(true)
       else graph.edges
     beamSearch(corpus, queries, queryIdCol, queryVecCol, corpusPkCol,
-      corpusVecCol, _ => edges, k, entries, beam, hops, metric, entryMod)
+      corpusVecCol, _ => edges, k, entries, beam, hops, metric, entryMod,
+      statePartitions, materializeCorpus)
   }
 
   /** The shared best-first loop. `edgesFor(frontier)` supplies the edge
     * rows to expand a frontier through — the in-memory path ignores the
     * frontier (whole edge table, one checkpointed DF); the persisted
     * path prunes the edge scan to the frontier's `__src` buckets. */
+  /** `statePartitions` bounds the partition count of the ITERATIVE state
+    * (the per-query candidate frame). That frame is `entries +
+    * hops·beam·m` rows per query — constant in corpus size — so pushing
+    * it through `spark.sql.shuffle.partitions`-wide exchanges buys no
+    * parallelism and costs a mostly-empty task wave per window per hop.
+    * Hash-partitioning the state on `query_id` once per hop lets every
+    * subsequent window REUSE that layout (ClusteredDistribution accepts
+    * any partition count), collapsing each hop to one small exchange.
+    * Size it to the query batch (≈ queries/1k), never to the corpus;
+    * 0 inherits the session's shuffle parallelism. */
   private def beamSearch(corpus: DataFrame, queries: DataFrame,
       queryIdCol: String, queryVecCol: String, corpusPkCol: String,
       corpusVecCol: String, edgesFor: DataFrame => DataFrame,
       k: Int, entries: Int, beam: Int, hops: Int,
-      metric: Metric, entryMod: Long): DataFrame = {
-    val c = corpus.filter(col(corpusVecCol).isNotNull)
+      metric: Metric, entryMod: Long,
+      statePartitions: Int = 4,
+      materializeCorpus: Boolean = true): DataFrame = {
+    def bounded(df: DataFrame): DataFrame =
+      if (statePartitions > 0) df.repartition(statePartitions, col("query_id"))
+      else df
+    // Both sides are re-joined every hop. The query side is tiny by
+    // contract — always materialize it. The corpus side is materialized
+    // only when the caller says it fits (`materializeCorpus`): right for
+    // the bounded blocks and for any corpus that fits cluster storage,
+    // wrong at 100 TB — there, leave it false and the per-hop vector
+    // lookup stays a lazy columnar scan (pushed filters + broadcast
+    // semi-pruning), or better, a pk-partitioned persisted layout.
+    val c0 = corpus.filter(col(corpusVecCol).isNotNull)
       .select(col(corpusPkCol).as("__nid"), col(corpusVecCol).as("__nvec"))
+    val c = if (materializeCorpus) c0.localCheckpoint(true) else c0
     val q = queries.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol).as("query_id"),
         col(queryVecCol).as("__qvec"))
+      .localCheckpoint(true)
     val ord = Seq(Knn.scoreOrder(col("__score"), metric), col("__nid").asc)
+    // __r ranks each query's candidates UNEXPANDED-FIRST by score: the
+    // hop frontier is then a plain filter (!__exp && __r <= beam) on the
+    // checkpointed state — no window, no join, no extra job per hop. The
+    // rank is computed once per hop, fused into the state checkpoint.
+    def ranked(df: DataFrame): DataFrame = {
+      val wr = Window.partitionBy("query_id")
+        .orderBy((col("__exp").asc +: ord): _*)
+      df.withColumn("__r", row_number().over(wr))
+    }
     val seeds =
       if (entryMod > 0L) {
         // coarse layer: per-query best `entries` of the modulo sample
@@ -169,8 +210,8 @@ object GraphAnn {
         pool.crossJoin(broadcast(q))
           .withColumn("__score",
             VF.distance(col("__nvec"), col("__qvec"), metric))
-          .withColumn("__r", row_number().over(w))
-          .filter(col("__r") <= entries)
+          .withColumn("__rs", row_number().over(w))
+          .filter(col("__rs") <= entries).drop("__rs")
           .select("query_id", "__qvec", "__nid", "__nvec", "__score")
       } else {
         val entry = c.orderBy(col("__nid").asc).limit(entries)
@@ -179,14 +220,10 @@ object GraphAnn {
             VF.distance(col("__nvec"), col("__qvec"), metric))
       }
     // cand carries __exp = "already expanded" (the HNSW visited set)
-    var cand = seeds.withColumn("__exp", lit(false)).localCheckpoint(true)
+    var cand = ranked(bounded(seeds.withColumn("__exp", lit(false))))
+      .localCheckpoint(true)
     for (_ <- 1 to hops) {
-      val w = Window.partitionBy("query_id").orderBy(ord: _*)
-      // derived from the checkpointed cand — cheap to compute in both
-      // places it's used, no checkpoint job needed
-      val frontier = cand.filter(!col("__exp"))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= beam)
+      val frontier = cand.filter(!col("__exp") && col("__r") <= beam)
         .select("query_id", "__nid")
       val edges = edgesFor(frontier)
       val nbrs = edges.join(broadcast(frontier),
@@ -199,18 +236,20 @@ object GraphAnn {
           VF.distance(col("__nvec"), col("__qvec"), metric))
         .withColumn("__exp", lit(false))
         .select("query_id", "__qvec", "__nid", "__nvec", "__score", "__exp")
-      val marked = cand.join(
-          broadcast(frontier.withColumn("__f", lit(true))),
-          Seq("query_id", "__nid"), "left")
-        .withColumn("__exp", col("__exp") || coalesce(col("__f"), lit(false)))
-        .drop("__f")
+      // expanded rows have __exp true already, so `|| __r <= beam` only
+      // flips exactly the frontier — the visited-set mark needs no join
+      val marked = cand
+        .withColumn("__exp", col("__exp") || col("__r") <= beam)
+        .drop("__r")
       // dedupe (a grown node may already be a candidate) keeping the
-      // expanded flag — row_number ordered __exp DESC picks the marked row
+      // expanded flag — row_number ordered __exp DESC picks the marked
+      // row. Both this window and `ranked`'s reuse the `bounded` layout
+      // (query_id clustering satisfies both), so a hop is ONE exchange.
       val w2 = Window.partitionBy("query_id", "__nid")
         .orderBy(col("__exp").desc)
-      cand = marked.unionByName(grown)
-        .withColumn("__rr", row_number().over(w2))
-        .filter(col("__rr") === 1).drop("__rr")
+      cand = ranked(bounded(marked.unionByName(grown))
+          .withColumn("__rr", row_number().over(w2))
+          .filter(col("__rr") === 1).drop("__rr"))
         .localCheckpoint(true)
     }
     val w = Window.partitionBy("query_id").orderBy(ord: _*)
@@ -253,10 +292,17 @@ object GraphAnn {
     * files; the residual `__src IN ids` filter is pushed to parquet
     * row groups. Exposed for plan assertions in specs. */
   def prunedEdges(spark: SparkSession, pg: PersistedGraph,
+      srcIds: Seq[Long]): DataFrame =
+    prunedEdges(spark.read.parquet(pg.path), pg, srcIds)
+
+  /** Same pruning against a pre-loaded edge relation — reusing one
+    * relation across hops shares its file index, so repeated hops don't
+    * re-list the partition directories or re-infer the schema. */
+  def prunedEdges(loaded: DataFrame, pg: PersistedGraph,
       srcIds: Seq[Long]): DataFrame = {
     val bs = srcIds.map(id => (((id % pg.buckets) + pg.buckets)
       % pg.buckets).toInt).distinct
-    spark.read.parquet(pg.path)
+    loaded
       .filter(col("__srcbucket").isin(bs: _*)
         && col("__src").isin(srcIds: _*))
       .select("__src", "__dst")
@@ -272,14 +318,20 @@ object GraphAnn {
       corpus: DataFrame, queries: DataFrame, queryIdCol: String,
       queryVecCol: String, corpusPkCol: String, corpusVecCol: String,
       k: Int, entries: Int, beam: Int, hops: Int,
-      metric: Metric = Metric.L2, entryMod: Long = 0L): DataFrame = {
+      metric: Metric = Metric.L2, entryMod: Long = 0L,
+      statePartitions: Int = 4,
+      materializeCorpus: Boolean = true): DataFrame = {
+    // one relation for all hops: the file listing and schema are
+    // resolved once; each hop only re-applies its partition filter
+    val loaded = spark.read.parquet(pg.path)
     val edgesFor: DataFrame => DataFrame = { frontier =>
       val ids = frontier.select("__nid").distinct()
         .collect().map(_.getLong(0)).toSeq
-      if (ids.isEmpty) loadGraph(spark, pg).edges.limit(0)
-      else prunedEdges(spark, pg, ids)
+      if (ids.isEmpty) loaded.limit(0).select("__src", "__dst")
+      else prunedEdges(loaded, pg, ids)
     }
     beamSearch(corpus, queries, queryIdCol, queryVecCol, corpusPkCol,
-      corpusVecCol, edgesFor, k, entries, beam, hops, metric, entryMod)
+      corpusVecCol, edgesFor, k, entries, beam, hops, metric, entryMod,
+      statePartitions, materializeCorpus)
   }
 }
