@@ -136,9 +136,40 @@ object EventQueries {
             .as("cor"))
         .orderBy("event_type")
     }),
+    // Misra–Gries heavy hitters over user_id (150 distinct keys forced
+    // through 8 counters — real evictions, real merges). Like
+    // q_approx_sketch, what's pinned is the GUARANTEE, not the sketch
+    // content: est ≤ true, true − est ≤ n/(cap+1), and every key hot
+    // above that line must be present; `ok` folds all three per key.
+    "sketch_heavy_hitters" -> ((s, dir) => {
+      val cap = 8
+      val e = ev(s, dir).select(col("user_id").cast("string").as("u"))
+      val sk = e.agg(
+          graft.functions.MisraGries.frequentItems(col("u"), cap).as("m"),
+          count(lit(1)).as("n"))
+      val exact = ev(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      exact.crossJoin(broadcast(sk))
+        .withColumn("est", element_at(col("m"),
+          col("user_id").cast("string")))
+        .select(col("user_id"), col("cnt"),
+          (col("cnt") > col("n") / (cap + 1)).as("hot"),
+          (when(col("est").isNull, col("cnt") <= col("n") / (cap + 1))
+            .otherwise(col("est") <= col("cnt") &&
+              col("cnt") - col("est") <= col("n") / (cap + 1))).as("ok"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sketch_heavy_hitters" ->
+      """WITH t AS (SELECT count(*) AS n FROM events),
+        |e AS (SELECT user_id, count(*) AS cnt FROM events
+        |      GROUP BY user_id)
+        |SELECT user_id, cnt,
+        |  cnt > CAST(n AS DOUBLE) / 9 AS hot,
+        |  TRUE AS ok
+        |FROM e CROSS JOIN t ORDER BY user_id""".stripMargin,
     "asof_attribution" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, event_id, value FROM events
