@@ -42,4 +42,31 @@ object Sampling {
       lit(default))
     df.filter(hashFraction(col(idCol)) < rateCol)
   }
+
+  /** Temperature mixing — the multilingual-pretraining rebalance where
+    * source s is drawn with probability ∝ n_s^alpha (alpha < 1 flattens
+    * the source distribution toward small sources; alpha = 1 is plain
+    * uniform thinning). A source's keep rate is
+    *
+    *   r_s = min(1, budget · N / Σ_t n_t^alpha · n_s^(alpha−1))
+    *
+    * so ~budget·N rows survive overall with the temperature-shaped mix
+    * (rates clamp at 1 — a filter cannot upsample; the budget then
+    * undershoots, the standard behavior). Rates are computed on the
+    * cluster (one tiny per-source agg, broadcast back); the keep
+    * decision stays the shuffle-free md5 predicate, so the selected id
+    * set is deterministic and replayable on any engine. */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+      alpha: Double, budget: Double): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__ns"))
+    val totals = counts.agg(sum("__ns").as("__n"),
+      sum(pow(col("__ns"), alpha)).as("__z"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col(strataCol),
+        least(lit(1.0), lit(budget) * col("__n") / col("__z") *
+          pow(col("__ns"), alpha - 1)).as("__rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(hashFraction(col(idCol)) < col("__rate"))
+      .drop("__rate")
+  }
 }

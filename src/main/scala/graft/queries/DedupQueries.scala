@@ -40,6 +40,18 @@ object DedupQueries {
           sum("doc_id").as("sum_id"))
         .orderBy("source")
     }),
+    // Temperature mixing at alpha=0.5, budget=0.5: per-source keep
+    // rates derived from the corpus itself (r_s ∝ n_s^(alpha-1),
+    // normalized to the budget), then the same md5 keep predicate.
+    // The oracle recomputes rates AND replays the id selection.
+    "sample_temperature" -> ((s, dir) => {
+      graft.operators.Sampling.temperatureMix(docs(s, dir), "doc_id",
+          "source", alpha = 0.5, budget = 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("source")
+    }),
     // Benchmark decontamination: corpus docs sharing >= 2 distinct
     // 3-gram shingles with the "benchmark" block are flagged with
     // their hit counts — the shingle equi-join shape (one shuffle on
@@ -124,6 +136,27 @@ object DedupQueries {
         |  WHERE frac < CASE source
         |    WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
         |    WHEN 'src2' THEN 0.25 ELSE 0.1 END)
+        |SELECT source, count(*) AS n, min(doc_id) AS min_id,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS ns FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT CAST(sum(ns) AS DOUBLE) AS n,
+        |         sum(pow(ns, 0.5)) AS z FROM c),
+        |r AS (
+        |  SELECT source,
+        |    least(1.0, 0.5 * n / z * pow(ns, -0.5)) AS rate
+        |  FROM c CROSS JOIN t),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |           AS BIGINT) AS DOUBLE) / 4294967296.0 AS frac
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, f.source FROM f JOIN r USING (source)
+        |  WHERE frac < rate)
         |SELECT source, count(*) AS n, min(doc_id) AS min_id,
         |       CAST(sum(doc_id) AS BIGINT) AS sum_id
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,

@@ -57,6 +57,30 @@ object TextQueries {
           regexp_replace(col("text"), "\\s+", "_").as("snake"))
         .orderBy("doc_id")
     }),
+    // Vocabulary coverage curve: per lang, the smallest
+    // frequency-ranked vocabulary covering ≥90% of token mass — the
+    // stat behind tokenizer vocab sizing and OOV-rate estimates.
+    // One (lang, word) count shuffle + one window per lang.
+    "vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = docs(s, dir)
+        .select(col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val counts = words.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      val byFreq = Window.partitionBy("lang")
+        .orderBy(col("c").desc, col("w").asc)
+      val ranked = counts
+        .withColumn("r", row_number().over(byFreq))
+        .withColumn("cum", sum("c").over(
+          byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum("c").over(Window.partitionBy("lang")))
+      ranked.groupBy("lang")
+        .agg(count(lit(1)).as("vocab"),
+          max("total").as("total_tokens"),
+          min(when(col("cum") >= col("total") * 0.9, col("r"))).as("v90"))
+        .orderBy("lang")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -107,5 +131,25 @@ object TextQueries {
         |  concat_ws('|', lang, source) AS tag,
         |  regexp_replace(text, '\s+', '_', 'g') AS snake
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+    "vocab_coverage" ->
+      """WITH words AS (
+        |  SELECT lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |counts AS (
+        |  SELECT lang, w, count(*) AS c
+        |  FROM words WHERE w <> '' GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT lang, c,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY lang ORDER BY c DESC, w) AS INT) AS r,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY c DESC, w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS total
+        |  FROM counts)
+        |SELECT lang, count(*) AS vocab,
+        |  CAST(max(total) AS BIGINT) AS total_tokens,
+        |  min(CASE WHEN cum >= total * 0.9 THEN r END) AS v90
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -40,4 +40,30 @@ class SamplingSpec extends SparkSpec {
     assert(bySrc("src0") === all("src0"), "rate-1.0 stratum keeps all")
     assert(!bySrc.contains("src1"), "rate-0.0 stratum keeps none")
   }
+
+  test("temperatureMix flattens toward small sources and meets the budget") {
+    // A: 900 rows, B: 100. alpha=0.5 → K = 0.5·1000/(30+10) = 12.5,
+    // r_A = 12.5/30 ≈ 0.4167, r_B = 12.5/10 = 1.25 → clamped to 1
+    val df = ((0 until 900).map(i => (i.toLong, "A")) ++
+      (900 until 1000).map(i => (i.toLong, "B"))).toDF("id", "src")
+    val out = Sampling.temperatureMix(df, "id", "src", alpha = 0.5,
+      budget = 0.5)
+    val by = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by("B") === 100L, "clamped-rate source keeps everything")
+    assert(math.abs(by("A") / 900.0 - 0.4167) < 0.1,
+      s"large source kept ${by("A") / 900.0}, want ≈0.4167")
+    assert(by("B") / 100.0 > by("A") / 900.0, "alpha<1 favors small source")
+  }
+
+  test("temperatureMix alpha=1 is uniform thinning at the budget rate") {
+    val out = Sampling.temperatureMix(docs, "doc_id", "source",
+      alpha = 1.0, budget = 0.5)
+    // every source's rate is exactly `budget`, so the kept set must
+    // equal the plain deterministic sample
+    val a = out.select("doc_id").as[Long].collect().toSet
+    val b = Sampling.deterministicSample(docs, "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+  }
 }
