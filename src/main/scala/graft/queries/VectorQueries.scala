@@ -25,7 +25,33 @@ object VectorQueries {
     row.getSeq[Float](0)
   }
 
+  /** `documents ⋈ embeddings` on the shared id space — the corpus shape
+    * hybrid retrieval needs (text AND vector per row). */
+  private def hybridCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val e = emb(s, dir)
+    d.join(e, d("doc_id") === e("vec_id"))
+      .select(d("doc_id"), col("text"), col("embedding"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hybrid retrieval: BM25 keyword leg (inverted-index term join,
+    // term-ordered contribution fold) + exact cosine leg, top-10 each,
+    // fused by reciprocal-rank fusion (1/(60+rank)), exact top-5. The
+    // oracle replays BOTH legs and the fusion end to end — ranks, leg
+    // membership booleans and all.
+    "hybrid_rrf_topk" -> ((s, dir) => {
+      val all = hybridCorpus(s, dir)
+      val corpus = all.filter(col("doc_id") >= 3)
+      val q = all.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"),
+          col("embedding").as("qvec"))
+      graft.search.Hybrid.hybridTopK(corpus, q, "qid", "qtext", "qvec",
+          "doc_id", "text", "embedding", n = 10, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("doc_id"), col("in_vec"), col("in_kw"))
+        .orderBy("query_id", "rnk")
+    }),
     "knn_cosine_single" -> ((s, dir) => {
       val qv = queryVector(s, dir, 0L)
       Knn.singleQuery(emb(s, dir).filter(col("vec_id") =!= 0L),
@@ -127,6 +153,69 @@ object VectorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "hybrid_rrf_topk" ->
+      """WITH allrows AS (
+        |  SELECT d.doc_id, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |corpus AS (SELECT * FROM allrows WHERE doc_id >= 3),
+        |q AS (SELECT doc_id AS query_id, text, embedding
+        |      FROM allrows WHERE doc_id < 3),
+        |vec AS (
+        |  SELECT * FROM (
+        |    SELECT q.query_id, c.doc_id AS did,
+        |      CAST(row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(c.embedding, q.embedding)
+        |          DESC, c.doc_id) AS BIGINT) AS rv
+        |    FROM corpus c CROSS JOIN q)
+        |  WHERE rv <= 10),
+        |dterms AS (
+        |  SELECT doc_id AS did,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM corpus),
+        |tf AS (SELECT did, t, count(*) AS tf FROM dterms
+        |       WHERE t <> '' GROUP BY 1, 2),
+        |dl AS (SELECT did, count(*) AS dl FROM dterms
+        |       WHERE t <> '' GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |qt AS (
+        |  SELECT DISTINCT query_id, t FROM (
+        |    SELECT query_id,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM q) WHERE t <> ''),
+        |m AS (
+        |  SELECT qt.query_id, tf.did, tf.t,
+        |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS contrib
+        |  FROM tf JOIN dft USING (t) JOIN dl USING (did)
+        |  JOIN qt USING (t) CROSS JOIN stats),
+        |bm AS (
+        |  SELECT query_id, did,
+        |    list_reduce(list_prepend(0.0, list(contrib ORDER BY t)),
+        |      (a, x) -> a + x) AS bm25
+        |  FROM m GROUP BY 1, 2),
+        |kw AS (
+        |  SELECT * FROM (
+        |    SELECT query_id, did,
+        |      CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY bm25 DESC, did) AS BIGINT) AS rb
+        |    FROM bm)
+        |  WHERE rb <= 10),
+        |fused AS (
+        |  SELECT coalesce(v.query_id, k.query_id) AS query_id,
+        |    coalesce(v.did, k.did) AS did,
+        |    coalesce(1.0 / (60 + rv), 0.0) +
+        |      coalesce(1.0 / (60 + rb), 0.0) AS rrf,
+        |    v.rv IS NOT NULL AS in_vec, k.rb IS NOT NULL AS in_kw
+        |  FROM vec v FULL JOIN kw k
+        |    ON v.query_id = k.query_id AND v.did = k.did)
+        |SELECT query_id, rnk, did AS doc_id, in_vec, in_kw FROM (
+        |  SELECT query_id, did,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf DESC, did) AS BIGINT) AS rnk,
+        |    in_vec, in_kw
+        |  FROM fused)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "vec_centroid_by_label" ->
       """SELECT label,
         |  round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS c0,

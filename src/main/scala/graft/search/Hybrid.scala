@@ -1,0 +1,122 @@
+package graft.search
+
+import graft.functions.{Metric, VectorFunctions => VF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid (keyword + vector) retrieval — the flagship feature of
+  * production vector stores (the reference's managed service exposes it
+  * as `query_type="HYBRID"` per public Databricks docs; the POC itself
+  * only calls the ANN leg, /root/reference/src/databricks/query_endpoint.py:126-146).
+  *
+  * Both legs and the fusion are plain relational algebra:
+  *
+  *  - **Keyword leg = BM25 over an inverted-index join.** Postings are
+  *    `(term, doc, tf)` rows; scoring a query batch is ONE equi-join of
+  *    the postings table with the (tiny, broadcast) query-term list —
+  *    never a scan of all docs per query. At 100 TB the postings table
+  *    is the inverted index, shuffled once on the term key when built,
+  *    and each query batch probes it by key.
+  *  - **Vector leg** = the exact/ANN top-n machinery ([[Knn]]; swap in
+  *    an [[Ann]] probe for scale — same contract).
+  *  - **Fusion = reciprocal-rank fusion** (Cormack et al., SIGIR'09):
+  *    rrf(d) = Σ_legs 1/(rrfK + rank_leg(d)) — rank-based, so the two
+  *    legs' incomparable score scales never need calibration.
+  *
+  * Determinism: BM25 per-term contributions are folded in TERM ORDER
+  * (sorted array fold, not a float `sum()`), so the per-doc score — and
+  * therefore every rank and the fused output — is bit-reproducible on
+  * any engine and partitioning; the DuckDB oracle replays both legs and
+  * the fusion end to end.
+  */
+object Hybrid {
+
+  /** BM25 scores for every (query, doc) pair sharing at least one term.
+    * Output: (query_id, <docIdCol>, bm25). Standard Robertson/Lucene
+    * parameters k1 (tf saturation) and b (length normalization);
+    * idf = ln(1 + (N − df + ½)/(df + ½)) ≥ 0. */
+  def bm25(corpus: DataFrame, queries: DataFrame,
+      queryIdCol: String, queryTextCol: String,
+      docIdCol: String, docTextCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dterms = corpus
+      .select(col(docIdCol).as("__did"),
+        explode(split(lower(trim(col(docTextCol))), "\\s+")).as("__t"))
+      .filter(col("__t") =!= "")
+    val tf = dterms.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
+    val dl = dterms.groupBy("__did").agg(count(lit(1)).as("__dl"))
+    // doc lengths are integers, so the double sum behind avg() is exact
+    // (< 2^53) on every partitioning — avgdl is engine-reproducible
+    val stats = dl.agg(count(lit(1)).as("__n"), avg("__dl").as("__avgdl"))
+    val dft = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val qterms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(
+          split(lower(trim(col(queryTextCol))), "\\s+"))).as("__t"))
+      .filter(col("__t") =!= "")
+    // postings ⋈ df on the term key (corpus-side, one shuffle), then the
+    // broadcast query-term probe — the inverted-index access path
+    val matched = tf.join(dft, "__t").join(dl, "__did")
+      .join(broadcast(qterms), "__t")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5))))
+      .withColumn("__contrib",
+        col("__idf") * col("__tf") * (lit(k1) + lit(1.0)) /
+          (col("__tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))))
+    // fold contributions in term order: bit-identical on any engine,
+    // unlike sum() whose float accumulation order is partition-dependent
+    matched.groupBy(col("query_id"), col("__did"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__t"), col("__contrib")))),
+        lit(0.0), (acc, x) => acc + x("__contrib")).as("bm25"))
+      .withColumnRenamed("__did", docIdCol)
+  }
+
+  /** Hybrid top-k: vector top-n ∪ BM25 top-n per query, fused by RRF,
+    * exact top-k of the fused score. Output
+    * (query_id, rank, <docIdCol>, in_vec, in_kw) — the booleans say
+    * which leg(s) retrieved the doc, standard hybrid-search telemetry.
+    * A doc missing from a leg contributes 0 from that leg (classic RRF;
+    * no score calibration anywhere). */
+  def hybridTopK(corpus: DataFrame, queries: DataFrame,
+      queryIdCol: String, queryTextCol: String, queryVecCol: String,
+      docIdCol: String, docTextCol: String, docVecCol: String,
+      n: Int, k: Int, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75,
+      metric: Metric = Metric.Cosine): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(queryTextCol).as("__qtext"), col(queryVecCol).as("__qvec"))
+    val wv = Window.partitionBy("query_id")
+      .orderBy(Knn.scoreOrder(col("__score"), metric), col("__did").asc)
+    val vec = corpus.filter(col(docVecCol).isNotNull)
+      .select(col(docIdCol).as("__did"), col(docVecCol).as("__dvec"))
+      .crossJoin(broadcast(q.select("query_id", "__qvec")))
+      .withColumn("__score", VF.distance(col("__dvec"), col("__qvec"), metric))
+      .withColumn("__rv", row_number().over(wv))
+      .filter(col("__rv") <= n)
+      .select("query_id", "__did", "__rv")
+    val wb = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("__did").asc)
+    val kw = bm25(corpus, q, "query_id", "__qtext", docIdCol, docTextCol,
+        k1, b)
+      .withColumnRenamed(docIdCol, "__did")
+      .withColumn("__rb", row_number().over(wb))
+      .filter(col("__rb") <= n)
+      .select("query_id", "__did", "__rb")
+    val fused = vec.join(kw, Seq("query_id", "__did"), "full_outer")
+      .withColumn("__rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("__rv")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("__rb")), lit(0.0)))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("__rrf").desc, col("__did").asc)
+    fused.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("__did").as(docIdCol),
+        col("__rv").isNotNull.as("in_vec"), col("__rb").isNotNull.as("in_kw"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+}

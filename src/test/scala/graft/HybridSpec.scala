@@ -1,0 +1,69 @@
+package graft
+
+import graft.search.Hybrid
+import org.apache.spark.sql.functions._
+
+class HybridSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny corpus with both text and (1-D, trivially cosine-orderable)
+  // "embeddings": the spec pins fusion arithmetic, not vector math
+  private def corpus = Seq(
+    (10L, "spark shuffles data between stages", Seq(1.0f, 0.0f)),
+    (11L, "spark caches hot data in memory",    Seq(0.9f, 0.1f)),
+    (12L, "ducks swim on the quiet lake",       Seq(0.0f, 1.0f)),
+    (13L, "the lake reflects the quiet sky",    Seq(0.1f, 0.9f))
+  ).toDF("doc_id", "text", "embedding")
+
+  test("bm25: repeated rare term outranks common-term match") {
+    val q = Seq((0L, "lake spark")).toDF("qid", "qtext")
+    val scores = Hybrid.bm25(corpus, q, "qid", "qtext", "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // docs 12/13 match "lake", 10/11 match "spark" — same df(=2) each;
+    // all four score positive, non-matching pairs absent
+    assert(scores.keySet === Set(10L, 11L, 12L, 13L))
+    assert(scores.values.forall(_ > 0.0))
+  }
+
+  test("bm25: doc matching MORE query terms scores higher") {
+    val q = Seq((0L, "quiet lake")).toDF("qid", "qtext")
+    val scores = Hybrid.bm25(corpus, q, "qid", "qtext", "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(scores(12L) > scores.getOrElse(10L, 0.0),
+      "two-term match beats no-match")
+    assert(!scores.contains(10L) && !scores.contains(11L),
+      "docs sharing no term are absent")
+  }
+
+  test("rrf: a doc retrieved by both legs outranks single-leg winners") {
+    // query text matches docs 12/13 ("lake"), query vector points at
+    // doc 12's direction → doc 12 is in both legs and must fuse first
+    val q = Seq((0L, "lake", Seq(0.0f, 1.0f))).toDF("qid", "qtext", "qvec")
+    val out = Hybrid.hybridTopK(corpus, q, "qid", "qtext", "qvec",
+        "doc_id", "text", "embedding", n = 2, k = 4)
+      .collect()
+    assert(out.head.getLong(2) === 12L, "both-legs doc fuses to rank 1")
+    val r12 = out.find(_.getLong(2) == 12L).get
+    assert(r12.getBoolean(3) && r12.getBoolean(4), "in_vec AND in_kw")
+  }
+
+  test("no shared terms: hybrid degenerates to the vector ranking") {
+    val q = Seq((0L, "zzz qqq", Seq(1.0f, 0.0f))).toDF("qid", "qtext", "qvec")
+    val out = Hybrid.hybridTopK(corpus, q, "qid", "qtext", "qvec",
+        "doc_id", "text", "embedding", n = 4, k = 4)
+      .collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(10L, 11L, 13L, 12L),
+      "pure cosine order")
+    assert(out.forall(!_.getBoolean(4)), "no keyword hits anywhere")
+  }
+
+  test("fused output is deterministic under repartitioning") {
+    val q = Seq((0L, "spark lake", Seq(0.5f, 0.5f)))
+      .toDF("qid", "qtext", "qvec")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Hybrid.hybridTopK(c, q, "qid", "qtext", "qvec",
+        "doc_id", "text", "embedding", n = 3, k = 4)
+        .collect().map(_.toSeq).toSeq
+    assert(run(corpus) === run(corpus.repartition(7)))
+  }
+}
