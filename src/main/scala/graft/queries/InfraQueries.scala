@@ -74,6 +74,37 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // Incremental IVF maintenance THROUGH the persisted layout: build
+    // on a reduced corpus (vec_id >= 15), persist by cell, then sync a
+    // change batch (insert 5..14, delete 20) — only the touched cell
+    // dirs are rewritten (FAISS-style frozen centroids). The query that
+    // follows runs on the synced on-disk index; the oracle rebuilds the
+    // same frozen-centroid assignment over source+batch and replays the
+    // nProbe query, so the whole delta path is hash-checked.
+    "ann_ivf_synced" -> ((s, dir) => {
+      import graft.index.ChangeLog
+      val e = emb(s, dir)
+      val initial = e.filter(col("vec_id") >= 15)
+      val built = Ann.buildIvfDeterministic(initial, "embedding",
+        "vec_id", 16)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pivfsync/" +
+        dir.replaceAll("[^0-9.]", "")
+      Ann.persistIvf(built, root)
+      val changes = e.filter(col("vec_id") >= 5 && col("vec_id") < 15)
+        .withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(1L))
+        .unionByName(e.filter(col("vec_id") === 20)
+          .withColumn("__op", lit(ChangeLog.OpDelete))
+          .withColumn("__seq", lit(2L)))
+      Ann.syncPersistedIvf(s, Ann.PersistedIvf(root), changes,
+        "vec_id", "embedding")
+      Ann.queryPersistedIvf(s, Ann.PersistedIvf(root),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, nProbe = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // IVF at full probe (nProbe = #cells) degrades to exact KNN by
     // construction — which makes THIS ann path oracle-checkable: the
     // DuckDB oracle is the plain batch-KNN SQL. Proves the
@@ -426,6 +457,47 @@ object InfraQueries {
         |         embedding AS cvec
         |  FROM (SELECT vec_id, embedding FROM corpus
         |        ORDER BY vec_id LIMIT 16)),
+        |asg AS (
+        |  SELECT c.vec_id, c.embedding, t.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_distance(c.embedding, t.cvec), t.cell) AS rn
+        |  FROM corpus c CROSS JOIN cents t),
+        |cells AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1),
+        |qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |probe AS (
+        |  SELECT q.query_id, q.qv, t.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_distance(q.qv, t.cvec), t.cell) AS pr
+        |  FROM qs q CROSS JOIN cents t),
+        |cand AS (
+        |  SELECT p.query_id, p.qv, c.vec_id, c.embedding
+        |  FROM (SELECT query_id, qv, cell FROM probe WHERE pr <= 4) p
+        |  JOIN cells c USING (cell)),
+        |ranked AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id)
+        |      AS rnk
+        |  FROM cand)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // Frozen centroids from the INITIAL corpus (vec_id >= 15); the
+    // synced corpus is source + inserts − deletes, assigned to those
+    // same centroids — the delta-maintenance contract replayed in SQL.
+    "ann_ivf_synced" ->
+      """WITH initial AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 15),
+        |cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |           AS cell,
+        |         embedding AS cvec
+        |  FROM (SELECT vec_id, embedding FROM initial
+        |        ORDER BY vec_id LIMIT 16)),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id >= 5 AND vec_id <> 20),
         |asg AS (
         |  SELECT c.vec_id, c.embedding, t.cell,
         |    row_number() OVER (PARTITION BY c.vec_id

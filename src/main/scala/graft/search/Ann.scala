@@ -204,6 +204,60 @@ object Ann {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** Incremental maintenance of a [[persistIvf]] layout — FAISS's IVF
+    * `add`/`remove` for the on-disk form. Centroids stay FROZEN (the
+    * FAISS contract: adding vectors never re-centers; rebuild to
+    * re-train), so the change batch is assigned to cells with the
+    * persisted centroids and ONLY the touched cell directories are
+    * rewritten (dynamic partition overwrite) — at 100 TB a delta batch
+    * touches a handful of cells, not the whole index.
+    *
+    * Change semantics mirror [[graft.index.VectorIndex.sync]]
+    * (ChangeLog rows: `__op`/`__seq`, last-write-wins per pk, deletes
+    * and null-vector upserts leave the index). Affected cells = cells
+    * that currently HOLD a changed pk (an updated vector may migrate
+    * cells, so its old row must go) ∪ cells receiving new rows. The
+    * old-cell lookup is a pk semi-join against the layout — pushed to
+    * parquet row groups; co-partition the layout by pk inside cells if
+    * batches are pk-clustered. Plain `__cell` layouts only (rebuild
+    * balanced/sub-celled indexes). */
+  def syncPersistedIvf(spark: SparkSession, idx: PersistedIvf,
+      changes: DataFrame, pkCol: String, vecCol: String): Unit = {
+    import graft.index.ChangeLog
+    val layout = spark.read.parquet(idx.path)
+    require(!layout.columns.contains("__subcell"),
+      "syncPersistedIvf supports plain __cell layouts; rebuild sub-celled ones")
+    val cents = spark.read.parquet(idx.path + "_centroids")
+    val latest = ChangeLog.latestPerPk(changes, pkCol)
+    val upserts = latest.filter(col("__op") =!= ChangeLog.OpDelete)
+      .drop("__op", "__seq")
+      .filter(col(vecCol).isNotNull)
+    val carry = upserts.columns.filter(_ != pkCol)
+    val assigned = upserts.crossJoin(broadcast(cents))
+      .withColumn("__cdist", VF.l2(col(vecCol), col("__centroid")))
+      .groupBy(col(pkCol))
+      .agg(
+        min_by(col("__cell"), struct(col("__cdist"), col("__cell")))
+          .as("__cell"),
+        carry.map(c => first(col(c)).as(c)): _*)
+    val changedPks = latest.select(col(pkCol))
+    val affected = layout.join(broadcast(changedPks), Seq(pkCol))
+      .select("__cell")
+      .union(assigned.select("__cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (affected.isEmpty) return
+    // merge only the affected cells' rows; materialize BEFORE the write
+    // (a dynamic overwrite of a path being lazily read is a self-read)
+    val current = layout.filter(col("__cell").isin(affected: _*))
+    val merged = current
+      .join(broadcast(changedPks), Seq(pkCol), "left_anti")
+      .unionByName(assigned.select(current.columns.map(col): _*))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__cell").parquet(idx.path)
+  }
+
   // ------- Native sign-LSH (deterministic, engine-owned) -------
 
   final case class SignLshIndex(corpusCoded: DataFrame, tables: Int,

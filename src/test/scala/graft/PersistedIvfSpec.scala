@@ -38,4 +38,69 @@ class PersistedIvfSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(disk === mem)
   }
+
+  test("syncPersistedIvf: delta merge == rebuild, untouched cells not rewritten") {
+    import graft.index.ChangeLog
+    val path = Files.createTempDirectory("graft_pivf_sync").toString + "/idx"
+    val initial = corpus.filter($"vec_id" >= 20) // rows 10..19 arrive later
+    val built = Ann.buildIvfDeterministic(initial, "embedding", "vec_id", 8)
+    Ann.persistIvf(built, path)
+
+    // change batch: insert 10..14, update 25's vector to 13's (may move
+    // cells), delete 30; null-vector upsert on 31 leaves the index
+    val v13 = emb.filter($"vec_id" === 13).select("embedding")
+      .head().getSeq[Float](0)
+    val inserts = emb.filter($"vec_id" >= 10 && $"vec_id" < 15)
+      .withColumn("__op", lit(ChangeLog.OpInsert))
+      .withColumn("__seq", lit(1L))
+    val update = emb.filter($"vec_id" === 25)
+      .withColumn("embedding", typedlit(v13))
+      .withColumn("__op", lit(ChangeLog.OpUpdate))
+      .withColumn("__seq", lit(2L))
+    val dels = emb.filter($"vec_id" === 30)
+      .withColumn("__op", lit(ChangeLog.OpDelete))
+      .withColumn("__seq", lit(3L))
+      .unionByName(emb.filter($"vec_id" === 31)
+        .withColumn("embedding", typedlit(null.asInstanceOf[Seq[Float]]))
+        .withColumn("__op", lit(ChangeLog.OpUpdate))
+        .withColumn("__seq", lit(4L)))
+    val changes = inserts.unionByName(update).unionByName(dels)
+
+    // snapshot per-cell file listings before the sync
+    def cellFiles(): Map[String, Set[String]] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("__cell=")).map { d =>
+          d.getName -> d.listFiles().map(f =>
+            f.getName + ":" + f.lastModified()).toSet
+        }.toMap
+    val before = cellFiles()
+
+    Ann.syncPersistedIvf(spark, Ann.PersistedIvf(path), changes,
+      "vec_id", "embedding")
+
+    // equivalence: synced layout == rebuild over source + applied batch,
+    // with the SAME frozen centroids (assignment is centroid-pure)
+    val appliedSource = ChangeLog.applyBatch(initial, changes, "vec_id")
+      .filter($"embedding".isNotNull)
+    val expected = appliedSource.crossJoin(broadcast(built.centroids))
+      .withColumn("__cdist", graft.functions.VectorFunctions.l2(
+        $"embedding", $"__centroid"))
+      .groupBy($"vec_id")
+      .agg(min_by($"__cell", struct($"__cdist", $"__cell")).as("__cell"))
+      .select($"vec_id", $"__cell".cast("int").as("__cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = spark.read.parquet(path).select("vec_id", "__cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === expected)
+    assert(!got.exists(_._1 == 30L) && !got.exists(_._1 == 31L),
+      "delete and null-vector upsert leave the index")
+    assert(got.exists(_._1 == 10L) && got.exists(_._1 == 25L))
+
+    // cells whose contents didn't change keep their exact files
+    val after = cellFiles()
+    val touched = before.keySet.filter(k => before(k) != after.getOrElse(k, Set()))
+    val untouched = before.keySet -- touched
+    assert(untouched.nonEmpty, "sync must leave some cells untouched")
+    untouched.foreach(k => assert(before(k) === after(k)))
+  }
 }
