@@ -163,9 +163,15 @@ object Ann {
       if (index.corpusWithCell.columns.contains("__subcell"))
         Seq("__cell", "__subcell")
       else Seq("__cell")
-    index.corpusWithCell.write.mode("overwrite")
+    // one writer per cell (or sub-cell) dir — without this every task
+    // writes a sliver into every cell it touches (cells×parallelism
+    // small files); sub-cells keep hot cells on multiple writers
+    index.corpusWithCell
+      .repartition(partCols.map(col): _*)
+      .write.mode("overwrite")
       .partitionBy(partCols: _*).parquet(path)
-    index.centroids.write.mode("overwrite").parquet(path + "_centroids")
+    index.centroids.coalesce(1)
+      .write.mode("overwrite").parquet(path + "_centroids")
   }
 
   final case class PersistedIvf(path: String)
@@ -253,7 +259,9 @@ object Ann {
       .join(broadcast(changedPks), Seq(pkCol), "left_anti")
       .unionByName(assigned.select(current.columns.map(col): _*))
       .localCheckpoint(true)
-    merged.write.mode("overwrite")
+    merged
+      .repartition(col("__cell")) // one writer per rewritten cell dir
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__cell").parquet(idx.path)
   }
@@ -324,6 +332,11 @@ object Ann {
     index.corpusCoded
       .select(col(pkCol), col(vecCol),
         posexplode(col("__codes")).as(Seq("__t", "__code")))
+      // cluster rows by their target partition first: one writer per
+      // (table, code) dir instead of every task spraying a file into
+      // every dir it touches — tables×2^bits×parallelism tiny files
+      // otherwise, the classic partitioned-write mistake at scale
+      .repartition(col("__t"), col("__code"))
       .write.mode("overwrite").partitionBy("__t", "__code").parquet(path)
     PersistedSignLsh(path, index.tables, index.bits)
   }

@@ -279,6 +279,9 @@ object GraphAnn {
     graph.edges
       .withColumn("__srcbucket",
         pmod(col("__src"), lit(buckets.toLong)).cast("int"))
+      // one writer per bucket dir (see Ann.persistSignLsh) — buckets ≫
+      // executors keeps the write parallel without file spray
+      .repartition(col("__srcbucket"))
       .write.mode("overwrite").partitionBy("__srcbucket").parquet(path)
     PersistedGraph(path, graph.m, buckets)
   }
