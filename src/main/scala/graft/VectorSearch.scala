@@ -113,6 +113,24 @@ final class Index(spark: SparkSession, underlying: VectorIndex,
       normalized(queryVector), numResults, Metric.Cosine, columns)
       .drop("rank")
 
+  /** Filtered similarity_search — the production vector-store `filters`
+    * parameter (conjunctive equality on metadata columns, the managed
+    * API's filter shape). PRE-filter semantics: the predicate applies
+    * BEFORE top-k, so the caller always gets `numResults` matching rows
+    * when they exist (post-filtering would silently under-fill).
+    * Relationally the filter lands in the index scan — pushed to
+    * parquet, pruning partitions when the index is laid out on the
+    * filter column. */
+  def similaritySearch(columns: Seq[String], queryVector: Seq[Float],
+      numResults: Int, filters: Map[String, Any]): DataFrame = {
+    val pred = filters.map { case (c, v) => col(c) === lit(v) }
+      .reduceOption(_ && _).getOrElse(lit(true))
+    Knn.singleQuery(underlying.read(spark).filter(pred), meta.vecCol,
+      meta.pkCol, normalized(queryVector), numResults, Metric.Cosine,
+      columns)
+      .drop("rank")
+  }
+
   /** similarity_search with query text — embeds the query through the
     * index's embedder, then searches (QE:126-131; both reference paths
     * collapse to the same plan here). */

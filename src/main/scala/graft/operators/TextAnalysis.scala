@@ -106,4 +106,32 @@ object TextAnalysis {
     regexp_replace(
       regexp_replace(c, urlPattern, "<URL>"),
       emailPattern, "<EMAIL>")
+
+  /** Sliding-window chunking — RAG ingestion's shape (overlapping
+    * windows keep sentence context across chunk boundaries, unlike
+    * Dedup.chunkFirstWins's disjoint C4 chunks). Windows start every
+    * `stride` tokens while any token remains: starts 0, stride, …,
+    * the last window may be short. One explode, no shuffle; one row
+    * per chunk `(id, <carry…>, chunk_idx, chunk, n_tokens)`. */
+  def chunkSliding(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, size: Int, stride: Int,
+      carryCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    require(size >= 1 && stride >= 1, s"size=$size stride=$stride")
+    val toks = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("id") +: carryCols.map(col) :+
+        split(trim(col(textCol)), "\\s+").as("__t"): _*)
+    // number of windows = ceil(n / stride) except windows that would
+    // start past the end: floor((n - 1) / stride) + 1
+    val nWin = (floor((org.apache.spark.sql.functions.size(col("__t")) -
+      lit(1)).cast("double") / stride) + lit(1)).cast("long")
+    toks.select(col("id") +: carryCols.map(col) :+
+      posexplode(transform(sequence(lit(0L), nWin - 1), i =>
+        slice(col("__t"), (i * stride + 1).cast("int"), lit(size))))
+        .as(Seq("chunk_idx", "__w")): _*)
+      .withColumn("chunk", concat_ws(" ", col("__w")))
+      .withColumn("n_tokens",
+        org.apache.spark.sql.functions.size(col("__w")).cast("long"))
+      .drop("__w")
+  }
 }

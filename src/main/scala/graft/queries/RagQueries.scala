@@ -78,9 +78,40 @@ object RagQueries {
       graft.rag.ExtractiveGenerator.generate(ctx, "context", "question")
         .select(col("query_id"), col("answer"))
     }),
+    // RAG ingestion chunking: overlapping 8-token windows every 4
+    // tokens (context preserved across boundaries) — one explode, no
+    // shuffle; the oracle replays window starts, slices and lengths.
+    "rag_chunk_sliding" -> ((s, dir) => {
+      graft.operators.TextAnalysis.chunkSliding(
+          Tables.load(s, dir, "documents").filter(col("doc_id") < 20),
+          "doc_id", "text", size = 8, stride = 4)
+        .select(col("id").as("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"), col("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rag_chunk_sliding" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |  WHERE doc_id < 20 AND text IS NOT NULL AND trim(text) <> ''),
+        |win AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0,
+        |      CAST(floor(CAST(len(t) - 1 AS DOUBLE) / 4) AS BIGINT) + 1))
+        |      AS chunk_idx
+        |  FROM toks)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(list_slice(t,
+        |    CAST(chunk_idx * 4 + 1 AS BIGINT),
+        |    CAST(least(chunk_idx * 4 + 8, len(t)) AS BIGINT)), ' ')
+        |    AS chunk,
+        |  CAST(least(chunk_idx * 4 + 8, len(t)) - chunk_idx * 4 AS BIGINT)
+        |    AS n_tokens
+        |FROM win ORDER BY doc_id, chunk_idx""".stripMargin,
     "rag_generate" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |corpus AS (

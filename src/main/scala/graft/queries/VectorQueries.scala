@@ -81,6 +81,23 @@ object VectorQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // Filtered vector search (the vector-store `filters` parameter):
+    // metadata predicate applies BEFORE top-k (pre-filter semantics —
+    // k matching rows whenever they exist, never a silently under-
+    // filled post-filter), landing in the corpus scan as a pushed
+    // parquet filter.
+    "knn_filtered" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Knn.batchQueryAgg(
+          corpus = e.filter(col("vec_id") >= 5L && col("label") === 1),
+          queries = e.filter(col("vec_id") < 5L),
+          corpusVecCol = "embedding", corpusPkCol = "vec_id",
+          queryVecCol = "embedding", queryIdCol = "vec_id",
+          k = 3, Metric.Cosine)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // Batch KNN through the custom whole-operator stack: TopKPerGroup
     // LogicalPlan -> TopKStrategy -> TopKPartialExec/TopKFinalExec with
     // the hash exchange between them (graft.plans). Same result contract
@@ -240,6 +257,18 @@ object VectorQueries {
         |FROM embeddings e, q
         |WHERE e.vec_id <> 0
         |ORDER BY rnk LIMIT 5""".stripMargin,
+    "knn_filtered" ->
+      """SELECT * FROM (
+        |  SELECT q.vec_id AS query_id,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |                    c.vec_id) AS BIGINT) AS rnk,
+        |         c.vec_id
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 5 AND c.vec_id >= 5 AND c.label = 1)
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
     "knn_batch_topk" ->
       """SELECT * FROM (
         |  SELECT q.vec_id AS query_id,

@@ -52,6 +52,25 @@ class QualitySpec extends SparkSpec {
     assert(out === Array("a b", "c d", "e"))
   }
 
+  test("chunkSliding: stride overlap, full coverage, short tail") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkSliding(df, "doc_id", "text",
+      size = 4, stride = 2).orderBy("chunk_idx").collect()
+    // windows: [a..d] [c..f] [e..h] [g..j] [i j]
+    assert(out.map(_.getAs[String]("chunk")).toSeq === Seq(
+      "a b c d", "c d e f", "e f g h", "g h i j", "i j"))
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq ===
+      Seq(4L, 4L, 4L, 4L, 2L))
+    // consecutive windows overlap by size - stride tokens
+    out.sliding(2).foreach { case Array(a, b) =>
+      val at = a.getAs[String]("chunk").split(" ")
+      val bt = b.getAs[String]("chunk").split(" ")
+      assert(at.takeRight(math.min(2, bt.length)).sameElements(
+        bt.take(math.min(2, at.length))) || at.length < 4)
+    }
+  }
+
   test("chunkFirstWins drops null/blank docs") {
     val docs = Seq((1L, null: String), (2L, "  "), (3L, "x"))
       .toDF("doc_id", "text")

@@ -58,6 +58,31 @@ class VectorSearchSpec extends SparkSpec {
     assert(!after.collect().map(_.getAs[Long]("vec_id")).contains(0L))
   }
 
+  test("filtered similarity_search: pre-filter semantics, k matching rows") {
+    val vs = new VectorSearch(spark, root)
+    vs.createEndpoint("ep_filt")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" < 100)
+    val index = vs.createDeltaSyncIndex("ep_filt", emb, "filt_idx",
+      primaryKey = "vec_id", embeddingVectorColumn = "embedding",
+      embeddingDimension = 64)
+    val qv = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val hits = index.similaritySearch(Seq("vec_id", "label"), qv,
+      numResults = 3, filters = Map("label" -> 1)).collect()
+    assert(hits.length === 3, "pre-filtering still fills k")
+    assert(hits.forall(_.getAs[Int]("label") === 1), "every hit matches")
+    // consistency: cosine is scale-invariant, so filtering the raw
+    // corpus before an exact search must give the same ranking
+    val expect = graft.search.Knn.singleQuery(
+        spark.read.parquet(s"$sf/embeddings.parquet")
+          .filter($"vec_id" < 100 && $"label" === 1),
+        "embedding", "vec_id", qv, 3,
+        graft.functions.Metric.Cosine, Seq("vec_id"))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(hits.map(_.getAs[Long]("vec_id")).toSeq === expect)
+  }
+
   test("fitted-embedder (TF-IDF) managed sync keeps scores in the " +
     "build-time space: sync ≡ rebuild") {
     import graft.embed.HashingTfIdfEmbedder
