@@ -52,6 +52,36 @@ object VectorQueries {
           col("doc_id"), col("in_vec"), col("in_kw"))
         .orderBy("query_id", "rnk")
     }),
+    // Hybrid AT SCALE: the vector leg comes from the deterministic-IVF
+    // probe (nProbe=4 of 16 cells) instead of the exact cross join, the
+    // keyword leg stays the inverted-index BM25, and Hybrid.rrfFuse
+    // composes them — the three-prune hybrid story. Oracle replays IVF
+    // assignment + probe, BM25, and the fusion in one SQL.
+    "hybrid_ivf_rrf" -> ((s, dir) => {
+      import graft.search.{Ann, Hybrid}
+      import org.apache.spark.sql.expressions.Window
+      val all = hybridCorpus(s, dir)
+      val corpus = all.filter(col("doc_id") >= 3)
+      val q = all.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"),
+          col("embedding").as("qvec"))
+      val index = Ann.buildIvfDeterministic(corpus, "embedding",
+        "doc_id", 16)
+      val vecLeg = Ann.queryIvf(index, q, "qid", "qvec",
+          "doc_id", "embedding", k = 10, nProbe = 4, Metric.Cosine)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val kwLeg = Hybrid.bm25(corpus, q, "qid", "qtext",
+          "doc_id", "text")
+        .withColumn("rank", row_number().over(Window
+          .partitionBy("query_id")
+          .orderBy(col("bm25").desc, col("doc_id").asc)))
+        .filter(col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+      Hybrid.rrfFuse(Seq(vecLeg, kwLeg), "doc_id", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("doc_id"))
+        .orderBy("query_id", "rnk")
+    }),
     "knn_cosine_single" -> ((s, dir) => {
       val qv = queryVector(s, dir, 0L)
       Knn.singleQuery(emb(s, dir).filter(col("vec_id") =!= 0L),
@@ -170,6 +200,86 @@ object VectorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "hybrid_ivf_rrf" ->
+      """WITH allrows AS (
+        |  SELECT d.doc_id, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |corpus AS (SELECT * FROM allrows WHERE doc_id >= 3),
+        |q AS (SELECT doc_id AS query_id, text, embedding
+        |      FROM allrows WHERE doc_id < 3),
+        |cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INT)
+        |           AS cell,
+        |         embedding AS cvec
+        |  FROM (SELECT doc_id, embedding FROM corpus
+        |        ORDER BY doc_id LIMIT 16)),
+        |asg AS (
+        |  SELECT c.doc_id, c.embedding, t.cell,
+        |    row_number() OVER (PARTITION BY c.doc_id
+        |      ORDER BY list_distance(c.embedding, t.cvec), t.cell) AS rn
+        |  FROM corpus c CROSS JOIN cents t),
+        |cells AS (SELECT doc_id, embedding, cell FROM asg WHERE rn = 1),
+        |probe AS (
+        |  SELECT p.query_id, p.qv, p.cell FROM (
+        |    SELECT q.query_id, q.embedding AS qv, t.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_distance(q.embedding, t.cvec), t.cell) AS pr
+        |    FROM q CROSS JOIN cents t) p
+        |  WHERE p.pr <= 4),
+        |vec AS (
+        |  SELECT * FROM (
+        |    SELECT p.query_id, c.doc_id AS did,
+        |      CAST(row_number() OVER (PARTITION BY p.query_id
+        |        ORDER BY list_cosine_similarity(c.embedding, p.qv) DESC,
+        |          c.doc_id) AS BIGINT) AS rv
+        |    FROM probe p JOIN cells c USING (cell))
+        |  WHERE rv <= 10),
+        |dterms AS (
+        |  SELECT doc_id AS did,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM corpus),
+        |tf AS (SELECT did, t, count(*) AS tf FROM dterms
+        |       WHERE t <> '' GROUP BY 1, 2),
+        |dl AS (SELECT did, count(*) AS dl FROM dterms
+        |       WHERE t <> '' GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |qt AS (
+        |  SELECT DISTINCT query_id, t FROM (
+        |    SELECT query_id,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM q) WHERE t <> ''),
+        |m AS (
+        |  SELECT qt.query_id, tf.did, tf.t,
+        |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS contrib
+        |  FROM tf JOIN dft USING (t) JOIN dl USING (did)
+        |  JOIN qt USING (t) CROSS JOIN stats),
+        |bm AS (
+        |  SELECT query_id, did,
+        |    list_reduce(list_prepend(0.0, list(contrib ORDER BY t)),
+        |      (a, x) -> a + x) AS bm25
+        |  FROM m GROUP BY 1, 2),
+        |kw AS (
+        |  SELECT * FROM (
+        |    SELECT query_id, did,
+        |      CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY bm25 DESC, did) AS BIGINT) AS rb
+        |    FROM bm)
+        |  WHERE rb <= 10),
+        |fused AS (
+        |  SELECT coalesce(v.query_id, k.query_id) AS query_id,
+        |    coalesce(v.did, k.did) AS did,
+        |    coalesce(1.0 / (60 + rv), 0.0) +
+        |      coalesce(1.0 / (60 + rb), 0.0) AS rrf
+        |  FROM vec v FULL JOIN kw k
+        |    ON v.query_id = k.query_id AND v.did = k.did)
+        |SELECT query_id, rnk, did AS doc_id FROM (
+        |  SELECT query_id, did,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf DESC, did) AS BIGINT) AS rnk
+        |  FROM fused)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "hybrid_rrf_topk" ->
       """WITH allrows AS (
         |  SELECT d.doc_id, d.text, e.embedding

@@ -76,6 +76,32 @@ object Hybrid {
       .withColumnRenamed("__did", docIdCol)
   }
 
+  /** Generic RRF fusion of ANY per-query rankings — each leg a DataFrame
+    * of (query_id, <idCol>, rank). This is how ANN legs plug into hybrid
+    * retrieval: feed [[Ann.queryIvf]] / [[GraphAnn.queryGraph]] output as
+    * the vector leg next to a [[bm25]] ranking (or a third recency leg —
+    * RRF composes any number). Docs absent from a leg contribute 0. */
+  def rrfFuse(legs: Seq[DataFrame], idCol: String, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "at least one leg")
+    val contribs = legs.zipWithIndex.map { case (l, i) =>
+      l.select(col("query_id"), col(idCol),
+        (lit(1.0) / (lit(rrfK) + col("rank"))).as(s"__c$i"))
+    }
+    val joined = contribs.reduce((a, b) =>
+      a.join(b, Seq("query_id", idCol), "full_outer"))
+    val total = contribs.indices
+      .map(i => coalesce(col(s"__c$i"), lit(0.0)))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__rrf").desc, col(idCol).asc)
+    joined.withColumn("__rrf", total)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** Hybrid top-k: vector top-n ∪ BM25 top-n per query, fused by RRF,
     * exact top-k of the fused score. Output
     * (query_id, rank, <docIdCol>, in_vec, in_kw) — the booleans say

@@ -57,6 +57,18 @@ class HybridSpec extends SparkSpec {
     assert(out.forall(!_.getBoolean(4)), "no keyword hits anywhere")
   }
 
+  test("rrfFuse: generic legs compose — an ANN ranking plugs in directly") {
+    // two hand-built legs; doc 5 is mid-rank in both, doc 9 tops one
+    val legA = Seq((0L, 9L, 1), (0L, 5L, 2), (0L, 7L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val legB = Seq((0L, 5L, 1), (0L, 8L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Hybrid.rrfFuse(Seq(legA, legB), "doc_id", k = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    // 5: 1/62+1/61 ≈ .0325 beats 9: 1/61 ≈ .0164
+    assert(out.toSeq === Seq((1, 5L), (2, 9L), (3, 8L), (4, 7L)))
+  }
+
   test("fused output is deterministic under repartitioning") {
     val q = Seq((0L, "spark lake", Seq(0.5f, 0.5f)))
       .toDF("qid", "qtext", "qvec")

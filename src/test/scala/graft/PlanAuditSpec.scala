@@ -184,4 +184,19 @@ class PlanAuditSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("filtered knn: the metadata predicate reaches the parquet scan") {
+    val p = plan("knn_filtered")
+    assert(p.contains("EqualTo(label,1)"),
+      s"label filter must push into the scan, not evaluate post-read:\n$p")
+  }
+
+  test("hybrid: keyword leg probes postings via the term key, " +
+    "query side broadcast") {
+    val p = plan("hybrid_rrf_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "query-term probe must broadcast the tiny side")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"no unbounded cartesian anywhere in the hybrid plan:\n${p.take(1500)}")
+  }
 }
