@@ -1,0 +1,60 @@
+package graft.embed
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Content-addressed embedding reuse — the recompute-avoidance layer a
+  * re-run 100 TB pipeline needs: embedding dominates cost, yet between
+  * pipeline runs most documents are unchanged. The cache is a plain
+  * parquet table `(__key, embedding)` keyed by `xxhash64(text)`; a run
+  * embeds ONLY texts whose key is absent and appends them, so run N+1
+  * pays for the delta, not the corpus.
+  *
+  * Plan shape: one key join against the cache for hits, one anti-join
+  * for misses (both plain shuffles on the 8-byte key), the embedder
+  * runs over distinct missing TEXTS only, and one append write. A
+  * single tiny driver action (`isEmpty`) decides whether the embed
+  * stage runs at all — a no-change re-run never invokes the embedder.
+  *
+  * Correctness contract: the embedder must be deterministic per text
+  * (all graft embedders are — hashing/TF-IDF with a frozen model), and
+  * the caller must key the cache per embedder (`cachePath` per model
+  * tag) — reusing one cache across different embedders returns wrong
+  * vectors by construction. 64-bit content keys collide with
+  * probability ~n²/2⁶⁵; pair the key with a length column or switch to
+  * md5 if that risk matters at your scale. */
+object EmbedCache {
+
+  /** `docs` + an `embedding` column, cache-backed. Appends new
+    * `(key, embedding)` rows to `cachePath` as a side effect. */
+  def embedWithCache(spark: SparkSession, docs: DataFrame, textCol: String,
+      embedder: FittedEmbedder, cachePath: String): DataFrame = {
+    val keyed = docs.withColumn("__key", xxhash64(col(textCol)))
+    val cached = readCache(spark, cachePath)
+    val missTexts = keyed
+      .join(cached.select("__key"), Seq("__key"), "left_anti")
+      .select(col("__key"), col(textCol))
+      .dropDuplicates("__key")
+    if (!missTexts.isEmpty) {
+      embedder.transform(missTexts, textCol)
+        .filter(col("embedding").isNotNull)
+        .select(col("__key"), col("embedding"))
+        .write.mode(SaveMode.Append).parquet(cachePath)
+    }
+    keyed.join(readCache(spark, cachePath), Seq("__key"), "left")
+      .drop("__key")
+  }
+
+  /** Rows currently in the cache (0 when it doesn't exist yet). */
+  def readCache(spark: SparkSession, cachePath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(cachePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(cachePath)
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("__key", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+    }
+  }
+}
