@@ -94,4 +94,24 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 3L))
   }
+
+  test("repeated dedup calls do not accumulate cached blocks") {
+    // the internal multi-consumer projections are eager localCheckpoints
+    // (never bare .persist): their blocks are reclaimed by the
+    // ContextCleaner once the result is unreachable, so a long session
+    // running dedup in a loop must not grow executor storage unboundedly
+    val sc = spark.sparkContext
+    def persisted = sc.getPersistentRDDs.size
+    val base = persisted
+    for (_ <- 1 to 3) {
+      Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5).count()
+    }
+    val deadline = System.currentTimeMillis + 30000
+    var cur = persisted
+    while (cur > base + 1 && System.currentTimeMillis < deadline) {
+      System.gc(); Thread.sleep(500); cur = persisted
+    }
+    assert(cur <= base + 1,
+      s"persistent RDDs grew $base -> $cur across repeated dedup calls")
+  }
 }
