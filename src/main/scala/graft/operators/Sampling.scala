@@ -56,6 +56,18 @@ object Sampling {
     * cluster (one tiny per-source agg, broadcast back); the keep
     * decision stays the shuffle-free md5 predicate, so the selected id
     * set is deterministic and replayable on any engine. */
+  /** Leakage-free train/holdout split: the keep decision hashes the
+    * GROUP key, so every row of a group (all chunks of a document, all
+    * documents of a domain) lands in the same split — the property that
+    * prevents near-duplicate leakage across train/eval that row-level
+    * `randomSplit` silently violates. Deterministic and shuffle-free
+    * like every Sampling decision. */
+  def groupSplit(df: DataFrame, groupCol: String, trainFrac: Double,
+      splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol,
+      when(hashFraction(col(groupCol)) < trainFrac, lit("train"))
+        .otherwise(lit("holdout")))
+
   def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
       alpha: Double, budget: Double): DataFrame = {
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__ns"))

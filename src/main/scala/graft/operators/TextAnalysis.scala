@@ -107,6 +107,17 @@ object TextAnalysis {
       regexp_replace(c, urlPattern, "<URL>"),
       emailPattern, "<EMAIL>")
 
+  /** Canonical text form for dedup/fingerprinting robustness: lowercase,
+    * punctuation → space, whitespace collapsed, trimmed. Exact dedup on
+    * the canonical form catches case/punctuation-only near-duplicates at
+    * exact-dedup cost (one hash shuffle) — the cheap tier below MinHash.
+    * Unicode classes L/N keep the transform language-agnostic, and the
+    * pattern is lookaround-free so java.util.regex and RE2 agree. */
+  def canonicalText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^\\p{L}\\p{N}\\s]", " "),
+      "\\s+", " "))
+
   /** Sliding-window chunking — RAG ingestion's shape (overlapping
     * windows keep sentence context across chunk boundaries, unlike
     * Dedup.chunkFirstWins's disjoint C4 chunks). Windows start every

@@ -40,6 +40,28 @@ object DedupQueries {
           sum("doc_id").as("sum_id"))
         .orderBy("source")
     }),
+    // Leakage-free split: the hash decision is on SOURCE, so every doc
+    // of a source lands in one split — row-level randomSplit would leak
+    // near-duplicates across train/eval. Oracle replays the md5 split.
+    "sample_group_split" -> ((s, dir) => {
+      graft.operators.Sampling.groupSplit(docs(s, dir), "source",
+          trainFrac = 0.6)
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
+        .orderBy("source", "split")
+    }),
+    // Canonical-form dedup: case/punctuation-normalized text, exact
+    // first-wins on the canonical key — the cheap tier below MinHash.
+    "text_canonical" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = docs(s, dir).filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.canonicalText(col("text"))
+            .as("canon"))
+      val w = Window.partitionBy("canon").orderBy("doc_id")
+      c.withColumn("first_wins", row_number().over(w) === 1)
+        .orderBy("doc_id")
+    }),
     // Temperature mixing at alpha=0.5, budget=0.5: per-source keep
     // rates derived from the corpus itself (r_s ∝ n_s^(alpha-1),
     // normalized to the budget), then the same md5 keep predicate.
@@ -139,6 +161,25 @@ object DedupQueries {
         |SELECT source, count(*) AS n, min(doc_id) AS min_id,
         |       CAST(sum(doc_id) AS BIGINT) AS sum_id
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    "sample_group_split" ->
+      """WITH f AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN CAST(CAST('0x' || substr(md5(source), 1, 8)
+        |        AS BIGINT) AS DOUBLE) / 4294967296.0 < 0.6
+        |      THEN 'train' ELSE 'holdout' END AS split
+        |  FROM documents)
+        |SELECT source, split, count(*) AS n, min(doc_id) AS min_id
+        |FROM f GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+    "text_canonical" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS canon
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT doc_id, canon,
+        |  row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1
+        |    AS first_wins
+        |FROM c ORDER BY doc_id""".stripMargin,
     "sample_temperature" ->
       """WITH c AS (
         |  SELECT source, count(*) AS ns FROM documents GROUP BY source),

@@ -52,6 +52,21 @@ class QualitySpec extends SparkSpec {
     assert(out === Array("a b", "c d", "e"))
   }
 
+  test("canonicalText: case, punctuation and whitespace collapse") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "Hello,   World!!"),
+      (2L, "hello world"),
+      (3L, "Héllo wörld — ok")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.canonicalText(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "hello world")
+    assert(out(1L) === out(2L), "case/punct variants collapse to one key")
+    assert(out(3L) === "héllo wörld ok", "unicode letters survive")
+  }
+
   test("chunkSliding: stride overlap, full coverage, short tail") {
     import graft.operators.TextAnalysis
     val df = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")

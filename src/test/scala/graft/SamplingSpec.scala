@@ -56,6 +56,20 @@ class SamplingSpec extends SparkSpec {
     assert(by("B") / 100.0 > by("A") / 900.0, "alpha<1 favors small source")
   }
 
+  test("groupSplit: every group lands wholly in one split") {
+    val out = Sampling.groupSplit(docs, "source", trainFrac = 0.6)
+    val mixed = out.groupBy("source")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1)
+    assert(mixed.count() === 0L, "no source straddles the split")
+    val splits = out.select("split").distinct().as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "holdout")) && splits.nonEmpty)
+    // deterministic: repartitioning changes nothing
+    val a = out.select("doc_id", "split").collect().map(_.toSeq).toSet
+    val b = Sampling.groupSplit(docs.repartition(9), "source", 0.6)
+      .select("doc_id", "split").collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("temperatureMix alpha=1 is uniform thinning at the budget rate") {
     val out = Sampling.temperatureMix(docs, "doc_id", "source",
       alpha = 1.0, budget = 0.5)
