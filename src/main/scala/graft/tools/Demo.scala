@@ -57,6 +57,26 @@ object Demo {
         new HashProjectionEmbedder(64), Some(s"$root/pipeline_idx"))
     println(s"   input=${report.input} afterQuality=${report.afterQuality} " +
       s"afterExactDedup=${report.afterExact} afterNearDup=${report.afterNearDup}")
+
+    println("== hybrid search: BM25 + vector, RRF-fused")
+    val emb = new HashProjectionEmbedder(64)
+    val corpusVec = emb.embed(corpus.withColumnRenamed("id", "doc_id"), "text")
+    val qdf = emb.embed(
+      spark.createDataFrame(Seq(Tuple1("spark query join window hash")))
+        .toDF("text"), "text")
+      .select(lit(0L).as("qid"), col("text").as("qtext"),
+        col("embedding").as("qvec"))
+    graft.search.Hybrid.hybridTopK(corpusVec, qdf, "qid", "qtext", "qvec",
+        "doc_id", "text", "embedding", n = 10, k = 3)
+      .show(5, 60)
+
+    println("== trainer feed: pack the corpus into 512-token sequences")
+    graft.operators.Packing.nextFitPack(
+        corpus.withColumnRenamed("id", "doc_id"), "doc_id", "text",
+        capacity = 512, buckets = 4)
+      .groupBy("bucket", "seq").agg(count(lit(1)).as("docs"),
+        sum("n_tokens").as("tokens"))
+      .orderBy("bucket", "seq").show(8)
     spark.stop()
   }
 }
