@@ -106,7 +106,9 @@ class DedupSpec extends SparkSpec {
     for (_ <- 1 to 3) {
       Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5).count()
     }
-    val deadline = System.currentTimeMillis + 30000
+    // ContextCleaner reclamation is async and GC-driven: poll generously
+    // (a loaded host can take tens of seconds to run the reference queue)
+    val deadline = System.currentTimeMillis + 90000
     var cur = persisted
     while (cur > base + 1 && System.currentTimeMillis < deadline) {
       System.gc(); Thread.sleep(500); cur = persisted
