@@ -311,6 +311,45 @@ object GraphAnn {
       .select("__src", "__dst")
   }
 
+  /** Incremental insert into a [[persistGraph]] layout — HNSW's `add`,
+    * relationally, and the graph counterpart of
+    * [[Ann.syncPersistedIvf]]: each new node gets exact m-NN edges into
+    * the pool (existing ∪ batch, one broadcast join of the small batch
+    * against the corpus — never corpus²), PLUS the reverse edges that
+    * make new nodes REACHABLE (beam search routes along out-edges; a
+    * node with no in-edges would be invisible — the reason HNSW links
+    * bidirectionally on insert). Reverse fan-in can push a neighbor
+    * past m edges; HNSW prunes, we accept per-batch growth and leave
+    * re-pruning to a rebuild — documented trade.
+    *
+    * Appends ONLY the touched buckets' files; existing files are never
+    * rewritten. Search semantics afterwards ≡ beam search over
+    * `base-edges ∪ new-edges` (oracled end to end). */
+  def syncPersistedGraph(spark: SparkSession, pg: PersistedGraph,
+      existing: DataFrame, batch: DataFrame, pkCol: String,
+      vecCol: String): Unit = {
+    val pool = existing.filter(col(vecCol).isNotNull)
+      .select(col(pkCol).as("__dst"), col(vecCol).as("__dvec"))
+      .unionByName(batch.filter(col(vecCol).isNotNull)
+        .select(col(pkCol).as("__dst"), col(vecCol).as("__dvec")))
+    val b = batch.filter(col(vecCol).isNotNull)
+      .select(col(pkCol).as("__src"), col(vecCol).as("__svec"))
+    val scored = pool.join(broadcast(b), col("__src") =!= col("__dst"))
+      .select(col("__src"), col("__dst"),
+        VF.l2(col("__svec"), col("__dvec")).as("__d"))
+    val sel = graft.plans.TopK
+      .perGroup(scored, "__src", "__d", "__dst", pg.m, descending = false)
+      .select("__src", "__dst")
+    val rev = sel.select(col("__dst").as("__src"), col("__src").as("__dst"))
+    // distinct: reciprocal new↔new selections produce the same edge twice
+    val newEdges = sel.unionByName(rev).distinct()
+    newEdges
+      .withColumn("__srcbucket",
+        pmod(col("__src"), lit(pg.buckets.toLong)).cast("int"))
+      .repartition(col("__srcbucket"))
+      .write.mode("append").partitionBy("__srcbucket").parquet(pg.path)
+  }
+
   /** Best-first search over a [[persistGraph]] layout. Identical
     * semantics to [[queryGraph]]; each hop collects the (queries ×
     * beam)-bounded frontier id set on the driver and scans ONLY those

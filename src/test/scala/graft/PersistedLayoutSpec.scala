@@ -139,4 +139,46 @@ class PersistedLayoutSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(disk === mem && disk.nonEmpty)
   }
+
+  test("graph insert: new nodes reachable via reverse edges, append-only") {
+    val path = Files.createTempDirectory("graft_pg_sync").toString + "/g"
+    val initial = emb.filter($"vec_id" >= 10 && $"vec_id" < 200)
+    val batch = emb.filter($"vec_id" >= 3 && $"vec_id" < 10)
+    val pg = GraphAnn.persistGraph(
+      GraphAnn.buildGraphExact(initial, "embedding", "vec_id", 4),
+      path, buckets = 8)
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path))
+        .filter(_.getName.endsWith(".parquet")) // _SUCCESS marker churns
+        .map(f => f.getPath + ":" + f.lastModified()).toSet
+    }
+    val before = files()
+    GraphAnn.syncPersistedGraph(spark, pg, initial, batch,
+      "vec_id", "embedding")
+    assert(before.subsetOf(files()),
+      "insert appends; pre-existing files never rewritten")
+    // edge set = base ∪ (new m-NN ∪ reverse), exactly
+    val edges = GraphAnn.loadGraph(spark, pg).edges
+      .as[(Long, Long)].collect().toSet
+    val newSrcs = edges.filter(e => e._1 >= 3 && e._1 < 10)
+    assert(newSrcs.nonEmpty, "new nodes have out-edges")
+    val inEdges = edges.filter(e => e._2 >= 3 && e._2 < 10)
+    assert(inEdges.nonEmpty, "new nodes have IN-edges (reachability)")
+    assert(newSrcs.map(e => (e._2, e._1)).subsetOf(edges),
+      "every new out-edge has its reverse")
+    // a query AT a new node's vector must reach that node (rank 1)
+    val q = batch.limit(1).select($"vec_id".as("qid"),
+      $"embedding".as("qv"))
+    val qid = q.head().getLong(0)
+    val hit = GraphAnn.queryPersistedGraph(spark, pg,
+        emb.filter($"vec_id" >= 3 && $"vec_id" < 200), q,
+        "qid", "qv", "vec_id", "embedding",
+        k = 1, entries = 4, beam = 4, hops = 3, metric = Metric.L2,
+        entryMod = 5L)
+      .head()
+    assert(hit.getLong(2) === qid,
+      s"searching a new node's own vector must return it, got $hit")
+  }
 }
