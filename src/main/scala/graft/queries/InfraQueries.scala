@@ -366,9 +366,12 @@ object InfraQueries {
     // edges (incl. reverse), and all 3 best-first hops.
     "ann_graph_synced" -> ((s, dir) => {
       val e = emb(s, dir)
-      val initial = e.filter(col("vec_id") >= 15 && col("vec_id") < 1000)
+      // smaller block than ann_graph_topk: what's under test is the
+      // INSERT machinery, not build scale — the O(n²) base build is
+      // already exercised (and timed) by the other graph queries
+      val initial = e.filter(col("vec_id") >= 15 && col("vec_id") < 600)
       val batch = e.filter(col("vec_id") >= 5 && col("vec_id") < 15)
-      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 1000)
+      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 600)
       val graph = GraphAnn.buildGraphExact(initial, "embedding", "vec_id",
         m = 6)
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_pgsync/" +
@@ -859,7 +862,7 @@ object InfraQueries {
     "ann_graph_synced" ->
       """WITH initial AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |  WHERE vec_id >= 15 AND vec_id < 1000),
+        |  WHERE vec_id >= 15 AND vec_id < 600),
         |newb AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |  WHERE vec_id >= 5 AND vec_id < 15),

@@ -246,8 +246,11 @@ object Ann {
         min_by(col("__cell"), struct(col("__cdist"), col("__cell")))
           .as("__cell"),
         carry.map(c => first(col(c)).as(c)): _*)
+    // no broadcast hint on the pk joins: a delta batch is usually tiny
+    // (AQE broadcasts it on its own) but can legitimately be huge, and a
+    // forced broadcast of an unbounded side is a driver OOM at scale
     val changedPks = latest.select(col(pkCol))
-    val affected = layout.join(broadcast(changedPks), Seq(pkCol))
+    val affected = layout.join(changedPks, Seq(pkCol))
       .select("__cell")
       .union(assigned.select("__cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -256,7 +259,7 @@ object Ann {
     // (a dynamic overwrite of a path being lazily read is a self-read)
     val current = layout.filter(col("__cell").isin(affected: _*))
     val merged = current
-      .join(broadcast(changedPks), Seq(pkCol), "left_anti")
+      .join(changedPks, Seq(pkCol), "left_anti")
       .unionByName(assigned.select(current.columns.map(col): _*))
       .localCheckpoint(true)
     merged
