@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   * tag) — reusing one cache across different embedders returns wrong
   * vectors by construction. 64-bit content keys collide with
   * probability ~n²/2⁶⁵; pair the key with a length column or switch to
-  * md5 if that risk matters at your scale. */
+  * md5 if that risk matters at your scale. One writer at a time:
+  * concurrent appends can double-insert a key, and duplicate keys
+  * multiply rows through the hit join — serialize cache maintenance
+  * the way you would any upsert target. */
 object EmbedCache {
 
   /** `docs` + an `embedding` column, cache-backed. Appends new
