@@ -210,8 +210,8 @@ object QualityQueries {
         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
         |c AS (
         |  SELECT bucket, id, n_tokens,
-        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |      AS cum_before
         |  FROM d)
         |SELECT bucket, id, n_tokens,
