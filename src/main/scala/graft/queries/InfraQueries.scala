@@ -387,6 +387,41 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // DELETE semantics through the persisted graph layout — the other
+    // half of the CDF contract ann_graph_synced exercises for inserts:
+    // one change batch inserts [5,15) AND deletes [15,25); tombstones
+    // beside the edge buckets must keep deleted nodes out of every read
+    // path even though the corpus snapshot handed to the query is
+    // deliberately STALE (still holds the deleted rows). The oracle
+    // replays base build, live-edge filter, insert edges (m-NN into the
+    // post-change pool + reverse) and all 3 best-first hops over the
+    // post-change corpus.
+    "ann_graph_sync_delete" -> ((s, dir) => {
+      import graft.index.ChangeLog
+      val e = emb(s, dir)
+      val initial = e.filter(col("vec_id") >= 15 && col("vec_id") < 400)
+      val changes = e.filter(col("vec_id") >= 5 && col("vec_id") < 15)
+        .withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(1L))
+        .unionByName(e.filter(col("vec_id") >= 15 && col("vec_id") < 25)
+          .withColumn("__op", lit(ChangeLog.OpDelete))
+          .withColumn("__seq", lit(2L)))
+      val graph = GraphAnn.buildGraphExact(initial, "embedding", "vec_id",
+        m = 6)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pgdel/" +
+        dir.replaceAll("[^0-9.]", "")
+      val pg = GraphAnn.persistGraph(graph, root, buckets = 16)
+      GraphAnn.syncPersistedGraphChanges(s, pg, initial, changes, "vec_id",
+        "embedding")
+      GraphAnn.queryPersistedGraph(s, pg,
+          e.filter(col("vec_id") >= 5 && col("vec_id") < 400),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, entries = 4, beam = 4, hops = 3,
+          metric = Metric.L2, entryMod = 5L)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // The three-stage composition the Rerank docstring promises for
     // 100 TB: IVF probe (4 of 16 deterministic cells) -> coarse 8-dim
     // prefix rank over ONLY the probed cells' rows -> k*c=12 exact
@@ -887,6 +922,116 @@ object InfraQueries {
         |  WHERE rn <= 6),
         |edges AS (
         |  SELECT src, dst FROM base_edges
+        |  UNION ALL
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst FROM new_sel
+        |    UNION
+        |    SELECT dst AS src, src AS dst FROM new_sel)),
+        |c0 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_distance(c.v, q.qv), c.vec_id) AS r
+        |    FROM corpus c CROSS JOIN qs q WHERE c.vec_id % 5 = 0)
+        |  WHERE r <= 4),
+        |f1 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+        |    FROM c0 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id)
+        |  WHERE r <= 4),
+        |c1 AS (
+        |  SELECT DISTINCT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id FROM c0
+        |    UNION ALL
+        |    SELECT f.query_id, g.dst AS vec_id
+        |    FROM f1 f JOIN edges g ON g.src = f.vec_id)),
+        |f2 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+        |    FROM c1 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM f1 e
+        |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id))
+        |  WHERE r <= 4),
+        |c2 AS (
+        |  SELECT DISTINCT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id FROM c1
+        |    UNION ALL
+        |    SELECT f.query_id, g.dst AS vec_id
+        |    FROM f2 f JOIN edges g ON g.src = f.vec_id)),
+        |f3 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+        |    FROM c2 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM f1 e
+        |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id)
+        |    AND NOT EXISTS (SELECT 1 FROM f2 e
+        |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id))
+        |  WHERE r <= 4),
+        |c3 AS (
+        |  SELECT DISTINCT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id FROM c2
+        |    UNION ALL
+        |    SELECT f.query_id, g.dst AS vec_id
+        |    FROM f3 f JOIN edges g ON g.src = f.vec_id)),
+        |ranked AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_distance(v.v, q.qv), c.vec_id) AS rnk
+        |  FROM c3 c JOIN corpus v ON v.vec_id = c.vec_id
+        |  JOIN qs q ON q.query_id = c.query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // ann_graph_synced's replay plus delete semantics: base edges
+    // touching a deleted node are filtered out (the tombstone
+    // anti-join), insert edges target the post-change pool only, and
+    // the search corpus excludes deleted rows — exactly what the
+    // engine's stale-corpus query must reconstruct from the layout.
+    "ann_graph_sync_delete" ->
+      """WITH initial AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id >= 15 AND vec_id < 400),
+        |dels AS (
+        |  SELECT vec_id FROM embeddings
+        |  WHERE vec_id >= 15 AND vec_id < 25),
+        |newb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id >= 5 AND vec_id < 15),
+        |corpus AS (
+        |  SELECT * FROM initial
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM dels)
+        |  UNION ALL SELECT * FROM newb),
+        |qs AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |base_edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vec_id AS src, b.vec_id AS dst,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_distance(a.v, b.v), b.vec_id) AS rn
+        |    FROM initial a JOIN initial b ON a.vec_id <> b.vec_id)
+        |  WHERE rn <= 6),
+        |live_base AS (
+        |  SELECT src, dst FROM base_edges
+        |  WHERE src NOT IN (SELECT vec_id FROM dels)
+        |    AND dst NOT IN (SELECT vec_id FROM dels)),
+        |new_sel AS (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vec_id AS src, b.vec_id AS dst,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_distance(a.v, b.v), b.vec_id) AS rn
+        |    FROM newb a JOIN corpus b ON a.vec_id <> b.vec_id)
+        |  WHERE rn <= 6),
+        |edges AS (
+        |  SELECT src, dst FROM live_base
         |  UNION ALL
         |  SELECT src, dst FROM (
         |    SELECT src, dst FROM new_sel

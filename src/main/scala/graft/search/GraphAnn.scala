@@ -286,9 +286,50 @@ object GraphAnn {
     PersistedGraph(path, graph.m, buckets)
   }
 
-  /** Reload a persisted graph as a plain (unpruned) edge table. */
+  /** Reload a persisted graph as a plain (unpruned) edge table, with
+    * tombstoned nodes' edges removed. */
   def loadGraph(spark: SparkSession, pg: PersistedGraph): KnnGraph =
-    KnnGraph(spark.read.parquet(pg.path).select("__src", "__dst"), pg.m)
+    KnnGraph(dropTombstoned(spark.read.parquet(pg.path)
+      .select("__src", "__dst"), loadTombstones(spark, pg)), pg.m)
+
+  // ---------------- deletes (tombstones) ----------------
+
+  private def tombstonePath(pg: PersistedGraph): String =
+    pg.path + "_tombstones"
+
+  /** Dead node ids recorded by [[syncPersistedGraphChanges]] — `None`
+    * until the first delete, so delete-free layouts keep their original
+    * (filter-free) plans bit-identical. The table is bounded by LIVE
+    * deletes, not history: an id is removed again on re-insert, and
+    * [[repruneBuckets]] compacts tombstoned edges physically out of the
+    * buckets. */
+  def loadTombstones(spark: SparkSession,
+      pg: PersistedGraph): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombstonePath(pg))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(tombstonePath(pg)))
+    else None
+  }
+
+  /** Edges minus those touching a tombstoned node (either endpoint).
+    * Two anti-joins on the (small, delete-bounded) tombstone table —
+    * AQE broadcasts it; no hint so a pathological tombstone backlog
+    * degrades to a shuffle join instead of a driver OOM. */
+  private def dropTombstoned(edges: DataFrame,
+      tombs: Option[DataFrame]): DataFrame =
+    tombs.fold(edges) { t =>
+      edges.join(t, edges("__src") === t("__id"), "left_anti")
+        .join(t, edges("__dst") === t("__id"), "left_anti")
+    }
+
+  /** Corpus rows minus tombstoned pks — keeps entry seeding and vector
+    * lookups from resurrecting deleted nodes even when the caller hands
+    * in a stale corpus snapshot. */
+  private def dropTombstonedNodes(corpus: DataFrame, pkCol: String,
+      tombs: Option[DataFrame]): DataFrame =
+    tombs.fold(corpus) { t =>
+      corpus.join(t, corpus(pkCol) === t("__id"), "left_anti")
+    }
 
   /** Edge rows for a specific src-id set, pruned at the partition level:
     * `__srcbucket IN (buckets of ids)` never opens other buckets'
@@ -327,13 +368,49 @@ object GraphAnn {
     * `base-edges ∪ new-edges` (oracled end to end). */
   def syncPersistedGraph(spark: SparkSession, pg: PersistedGraph,
       existing: DataFrame, batch: DataFrame, pkCol: String,
+      vecCol: String): Unit =
+    syncPersistedGraphChanges(spark, pg, existing,
+      batch.withColumn("__op", lit(graft.index.ChangeLog.OpInsert))
+        .withColumn("__seq", lit(0L)),
+      pkCol, vecCol)
+
+  /** Full CDF-batch maintenance of a persisted graph — the graph
+    * counterpart of [[Ann.syncPersistedIvf]] and the missing half of the
+    * reference's delta-sync contract, which consumes row-level deletes
+    * (/root/reference/src/databricks/syntetic_data.py:68-75).
+    *
+    * ChangeLog semantics (`__op`/`__seq`, last-write-wins per pk):
+    *  - upserts get m-NN out-edges into the POST-change pool plus the
+    *    reverse edges that make them reachable, appended to touched
+    *    buckets only (never a rewrite);
+    *  - deletes — and null-vector upserts, matching
+    *    [[graft.index.VectorIndex.sync]] — are recorded in a tombstone
+    *    table beside the buckets and anti-joined out of every read path
+    *    ([[loadGraph]] / [[queryPersistedGraph]]), so a deleted document
+    *    can neither be returned nor routed through;
+    *  - an id deleted earlier and upserted again leaves the tombstone
+    *    table (re-insert works without a rebuild).
+    *
+    * An UPDATED node keeps its old out-edges alongside the new ones —
+    * both point at live nodes and exact scores always come from the
+    * corpus vectors, so extra edges cost navigation work, not
+    * correctness; [[repruneBuckets]] trims the fan back to m. */
+  def syncPersistedGraphChanges(spark: SparkSession, pg: PersistedGraph,
+      existing: DataFrame, changes: DataFrame, pkCol: String,
       vecCol: String): Unit = {
+    import graft.index.ChangeLog
+    val latest = ChangeLog.latestPerPk(changes, pkCol)
+    val upserts = latest.filter(col("__op") =!= ChangeLog.OpDelete)
+      .drop("__op", "__seq").filter(col(vecCol).isNotNull)
+    val changedPks = latest.select(col(pkCol))
+    // pool = the post-change corpus: new edges must not target rows the
+    // same batch is deleting
     val pool = existing.filter(col(vecCol).isNotNull)
+      .join(changedPks, Seq(pkCol), "left_anti")
       .select(col(pkCol).as("__dst"), col(vecCol).as("__dvec"))
-      .unionByName(batch.filter(col(vecCol).isNotNull)
+      .unionByName(upserts
         .select(col(pkCol).as("__dst"), col(vecCol).as("__dvec")))
-    val b = batch.filter(col(vecCol).isNotNull)
-      .select(col(pkCol).as("__src"), col(vecCol).as("__svec"))
+    val b = upserts.select(col(pkCol).as("__src"), col(vecCol).as("__svec"))
     val scored = pool.join(broadcast(b), col("__src") =!= col("__dst"))
       .select(col("__src"), col("__dst"),
         VF.l2(col("__svec"), col("__dvec")).as("__d"))
@@ -348,6 +425,22 @@ object GraphAnn {
         pmod(col("__src"), lit(pg.buckets.toLong)).cast("int"))
       .repartition(col("__srcbucket"))
       .write.mode("append").partitionBy("__srcbucket").parquet(pg.path)
+    // tombstones: + deletes and null-vec upserts, − re-inserted ids.
+    // Skipped entirely on the pure-insert path so delete-free layouts
+    // never grow a tombstone dir (and never pay its read).
+    val dead = latest
+      .filter(col("__op") === ChangeLog.OpDelete || col(vecCol).isNull)
+      .select(col(pkCol).as("__id"))
+    val old = loadTombstones(spark, pg)
+    if (old.isDefined || !dead.isEmpty) {
+      val merged = old.getOrElse(dead.limit(0))
+        .unionByName(dead).distinct()
+        .join(upserts.select(col(pkCol).as("__id")), Seq("__id"),
+          "left_anti")
+        .localCheckpoint(true) // materialize before overwriting the source
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(tombstonePath(pg))
+    }
   }
 
   /** Best-first search over a [[persistGraph]] layout. Identical
@@ -364,15 +457,20 @@ object GraphAnn {
       statePartitions: Int = 4,
       materializeCorpus: Boolean = true): DataFrame = {
     // one relation for all hops: the file listing and schema are
-    // resolved once; each hop only re-applies its partition filter
+    // resolved once; each hop only re-applies its partition filter.
+    // Tombstones load once too — deleted nodes are neither seeded from
+    // the corpus nor routed through via edges, whatever snapshot the
+    // caller hands in.
     val loaded = spark.read.parquet(pg.path)
+    val tombs = loadTombstones(spark, pg)
     val edgesFor: DataFrame => DataFrame = { frontier =>
       val ids = frontier.select("__nid").distinct()
         .collect().map(_.getLong(0)).toSeq
       if (ids.isEmpty) loaded.limit(0).select("__src", "__dst")
-      else prunedEdges(loaded, pg, ids)
+      else dropTombstoned(prunedEdges(loaded, pg, ids), tombs)
     }
-    beamSearch(corpus, queries, queryIdCol, queryVecCol, corpusPkCol,
+    beamSearch(dropTombstonedNodes(corpus, corpusPkCol, tombs), queries,
+      queryIdCol, queryVecCol, corpusPkCol,
       corpusVecCol, edgesFor, k, entries, beam, hops, metric, entryMod,
       statePartitions, materializeCorpus)
   }

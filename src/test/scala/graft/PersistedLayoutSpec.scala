@@ -181,4 +181,52 @@ class PersistedLayoutSpec extends SparkSpec {
     assert(hit.getLong(2) === qid,
       s"searching a new node's own vector must return it, got $hit")
   }
+
+  test("graph delete: tombstoned node leaves results, edges and seeds") {
+    import graft.index.ChangeLog
+    val path = Files.createTempDirectory("graft_pg_del").toString + "/g"
+    val initial = emb.filter($"vec_id" >= 10 && $"vec_id" < 200)
+    val pg = GraphAnn.persistGraph(
+      GraphAnn.buildGraphExact(initial, "embedding", "vec_id", 4),
+      path, buckets = 8)
+    def search() = GraphAnn.queryPersistedGraph(spark, pg, initial,
+        queries, "vec_id", "embedding", "vec_id", "embedding",
+        k = 3, entries = 4, beam = 4, hops = 3, metric = Metric.L2,
+        entryMod = 5L)
+      .select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // delete each query's CURRENT rank-1 hit — a node guaranteed to be
+    // returned if the tombstone were ignored
+    val victims = search().filter(_._2 == 1).map(_._3).distinct.toSeq
+    val changes = initial.filter($"vec_id".isin(victims: _*))
+      .withColumn("__op", lit(ChangeLog.OpDelete))
+      .withColumn("__seq", lit(1L))
+    GraphAnn.syncPersistedGraphChanges(spark, pg, initial, changes,
+      "vec_id", "embedding")
+    // note: `initial` passed STALE on purpose — the layout must filter
+    val after = search()
+    assert(after.nonEmpty &&
+      after.map(_._3).toSet.intersect(victims.toSet).isEmpty,
+      s"deleted ids $victims still returned: ${after.mkString(",")}")
+    val edges = GraphAnn.loadGraph(spark, pg).edges
+      .as[(Long, Long)].collect()
+    assert(!edges.exists(e =>
+        victims.contains(e._1) || victims.contains(e._2)),
+      "loadGraph must anti-join tombstoned endpoints")
+    // re-insert one victim: tombstone clears, node is findable again
+    val back = victims.head
+    GraphAnn.syncPersistedGraphChanges(spark, pg, initial,
+      initial.filter($"vec_id" === back)
+        .withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(2L)),
+      "vec_id", "embedding")
+    val q = initial.filter($"vec_id" === back)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val hit = GraphAnn.queryPersistedGraph(spark, pg, initial, q,
+        "qid", "qv", "vec_id", "embedding", k = 1, entries = 4,
+        beam = 4, hops = 3, metric = Metric.L2, entryMod = 5L)
+      .head()
+    assert(hit.getLong(2) === back,
+      s"re-inserted node must be findable again, got $hit")
+  }
 }
