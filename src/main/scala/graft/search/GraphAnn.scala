@@ -178,8 +178,7 @@ object GraphAnn {
     def bounded(df: DataFrame): DataFrame =
       if (statePartitions > 0) df.repartition(statePartitions, col("query_id"))
       else df
-    // Both sides are re-joined every hop. The query side is tiny by
-    // contract — always materialize it. The corpus side is materialized
+    // The corpus side is re-joined every hop. It is materialized
     // only when the caller says it fits (`materializeCorpus`): right for
     // the bounded blocks and for any corpus that fits cluster storage,
     // wrong at 100 TB — there, leave it false and the per-hop vector
@@ -188,10 +187,12 @@ object GraphAnn {
     val c0 = corpus.filter(col(corpusVecCol).isNotNull)
       .select(col(corpusPkCol).as("__nid"), col(corpusVecCol).as("__nvec"))
     val c = if (materializeCorpus) c0.localCheckpoint(true) else c0
+    // no checkpoint: the state rows carry __qvec from the seeds on, so
+    // `q` is consumed exactly once (seed scoring) — materializing it
+    // would be one extra job for a relation read once
     val q = queries.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol).as("query_id"),
         col(queryVecCol).as("__qvec"))
-      .localCheckpoint(true)
     val ord = Seq(Knn.scoreOrder(col("__score"), metric), col("__nid").asc)
     // __r ranks each query's candidates UNEXPANDED-FIRST by score: the
     // hop frontier is then a plain filter (!__exp && __r <= beam) on the
@@ -222,16 +223,19 @@ object GraphAnn {
     // cand carries __exp = "already expanded" (the HNSW visited set)
     var cand = ranked(bounded(seeds.withColumn("__exp", lit(false))))
       .localCheckpoint(true)
-    for (_ <- 1 to hops) {
+    for (h <- 1 to hops) {
+      // the frontier CARRIES its query vector: the grown side then needs
+      // no per-hop join (and broadcast stage) against `q` — one fewer
+      // small job per hop, and the vector payload is only queries × beam
+      // (later × m) rows wide, still trivially broadcastable
       val frontier = cand.filter(!col("__exp") && col("__r") <= beam)
-        .select("query_id", "__nid")
-      val edges = edgesFor(frontier)
+        .select("query_id", "__qvec", "__nid")
+      val edges = edgesFor(frontier.select("query_id", "__nid"))
       val nbrs = edges.join(broadcast(frontier),
           edges("__src") === frontier("__nid"))
-        .select(col("query_id"), col("__dst").as("__nid"))
+        .select(col("query_id"), col("__qvec"), col("__dst").as("__nid"))
         .dropDuplicates("query_id", "__nid")
       val grown = c.join(broadcast(nbrs), "__nid")
-        .join(broadcast(q), "query_id")
         .withColumn("__score",
           VF.distance(col("__nvec"), col("__qvec"), metric))
         .withColumn("__exp", lit(false))
@@ -247,10 +251,15 @@ object GraphAnn {
       // (query_id clustering satisfies both), so a hop is ONE exchange.
       val w2 = Window.partitionBy("query_id", "__nid")
         .orderBy(col("__exp").desc)
-      cand = ranked(bounded(marked.unionByName(grown))
-          .withColumn("__rr", row_number().over(w2))
-          .filter(col("__rr") === 1).drop("__rr"))
-        .localCheckpoint(true)
+      val next = ranked(bounded(marked.unionByName(grown))
+        .withColumn("__rr", row_number().over(w2))
+        .filter(col("__rr") === 1).drop("__rr"))
+      // the state must be materialized while another hop will both
+      // collect a frontier from it and extend it (two consumers, and an
+      // unchecked iterative plan grows superlinearly) — but the LAST
+      // hop's state feeds exactly one consumer, the final top-k window,
+      // so checkpointing it would be a pure extra materialization job
+      cand = if (h < hops) next.localCheckpoint(true) else next
     }
     val w = Window.partitionBy("query_id").orderBy(ord: _*)
     cand.withColumn("rank", row_number().over(w))
@@ -360,8 +369,8 @@ object GraphAnn {
     * make new nodes REACHABLE (beam search routes along out-edges; a
     * node with no in-edges would be invisible — the reason HNSW links
     * bidirectionally on insert). Reverse fan-in can push a neighbor
-    * past m edges; HNSW prunes, we accept per-batch growth and leave
-    * re-pruning to a rebuild — documented trade.
+    * past m edges; HNSW prunes inline, we accept per-batch growth and
+    * bound it with the idempotent [[repruneBuckets]] maintenance pass.
     *
     * Appends ONLY the touched buckets' files; existing files are never
     * rewritten. Search semantics afterwards ≡ beam search over
@@ -369,10 +378,10 @@ object GraphAnn {
   def syncPersistedGraph(spark: SparkSession, pg: PersistedGraph,
       existing: DataFrame, batch: DataFrame, pkCol: String,
       vecCol: String): Unit =
-    syncPersistedGraphChanges(spark, pg, existing,
+    syncImpl(spark, pg, existing,
       batch.withColumn("__op", lit(graft.index.ChangeLog.OpInsert))
         .withColumn("__seq", lit(0L)),
-      pkCol, vecCol)
+      pkCol, vecCol, insertOnly = true)
 
   /** Full CDF-batch maintenance of a persisted graph — the graph
     * counterpart of [[Ann.syncPersistedIvf]] and the missing half of the
@@ -397,7 +406,18 @@ object GraphAnn {
     * correctness; [[repruneBuckets]] trims the fan back to m. */
   def syncPersistedGraphChanges(spark: SparkSession, pg: PersistedGraph,
       existing: DataFrame, changes: DataFrame, pkCol: String,
-      vecCol: String): Unit = {
+      vecCol: String): Unit =
+    syncImpl(spark, pg, existing, changes, pkCol, vecCol,
+      insertOnly = false)
+
+  /** `insertOnly` marks a batch statically known to hold only inserts
+    * (the [[syncPersistedGraph]] wrapper): the tombstone emptiness
+    * check — a driver action — is skipped, so the common pure-insert
+    * path costs zero extra jobs. Re-insert-after-delete still clears
+    * its tombstone (the merge runs whenever a tombstone table exists). */
+  private def syncImpl(spark: SparkSession, pg: PersistedGraph,
+      existing: DataFrame, changes: DataFrame, pkCol: String,
+      vecCol: String, insertOnly: Boolean): Unit = {
     import graft.index.ChangeLog
     val latest = ChangeLog.latestPerPk(changes, pkCol)
     val upserts = latest.filter(col("__op") =!= ChangeLog.OpDelete)
@@ -428,11 +448,13 @@ object GraphAnn {
     // tombstones: + deletes and null-vec upserts, − re-inserted ids.
     // Skipped entirely on the pure-insert path so delete-free layouts
     // never grow a tombstone dir (and never pay its read).
-    val dead = latest
-      .filter(col("__op") === ChangeLog.OpDelete || col(vecCol).isNull)
-      .select(col(pkCol).as("__id"))
+    val dead =
+      if (insertOnly) latest.limit(0).select(col(pkCol).as("__id"))
+      else latest
+        .filter(col("__op") === ChangeLog.OpDelete || col(vecCol).isNull)
+        .select(col(pkCol).as("__id"))
     val old = loadTombstones(spark, pg)
-    if (old.isDefined || !dead.isEmpty) {
+    if (old.isDefined || (!insertOnly && !dead.isEmpty)) {
       val merged = old.getOrElse(dead.limit(0))
         .unionByName(dead).distinct()
         .join(upserts.select(col(pkCol).as("__id")), Seq("__id"),
@@ -441,6 +463,86 @@ object GraphAnn {
       merged.coalesce(1).write.mode("overwrite")
         .parquet(tombstonePath(pg))
     }
+  }
+
+  /** Maintenance re-prune — bounds the reverse-edge degree growth
+    * [[syncPersistedGraphChanges]] accepts per batch (HNSW prunes on
+    * insert; we defer pruning to an idempotent maintenance pass, the
+    * dynamic-partition-overwrite pattern of [[Ann.syncPersistedIvf]]):
+    *
+    *  - buckets holding a src with more than `m + slack` stored edges
+    *    are rewritten with every src's edges recomputed to the exact
+    *    top-m by L2 over the live corpus (srcs already at ≤ m keep
+    *    their edge set — top-m of ≤ m rows is the identity);
+    *  - buckets still holding edges of tombstoned nodes are compacted
+    *    (the physical delete the read-path anti-join stands in for),
+    *    after which the tombstone table is dropped — the layout then
+    *    carries no trace of deleted nodes, same as a rebuild;
+    *  - every other bucket directory is left byte-identical.
+    *
+    * `corpus` must be the full LIVE (post-change) corpus: it supplies
+    * both the re-scoring vectors and edge-endpoint liveness (an edge
+    * whose endpoint has no corpus row is compacted away). Scale shape:
+    * one degree count over the edge table, then joins and the bounded-
+    * heap top-m restricted to the affected buckets' rows only.
+    * Returns the number of bucket directories rewritten. */
+  def repruneBuckets(spark: SparkSession, pg: PersistedGraph,
+      corpus: DataFrame, pkCol: String, vecCol: String,
+      slack: Int = 0): Int = {
+    val layout = spark.read.parquet(pg.path) // __src, __dst, __srcbucket
+    val tombs = loadTombstones(spark, pg)
+    val overBuckets = layout.groupBy("__src")
+      .agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") > pg.m + slack)
+      .select(pmod(col("__src"), lit(pg.buckets.toLong)).cast("int")
+        .as("__srcbucket"))
+    // two equi semi-joins (broadcast-able), not one OR-condition join
+    // (which would plan as a nested-loop scan)
+    val deadBuckets = tombs.map { t =>
+      layout.join(t, layout("__src") === t("__id"), "left_semi")
+        .select(col("__srcbucket"))
+        .unionByName(
+          layout.join(t, layout("__dst") === t("__id"), "left_semi")
+            .select(col("__srcbucket")))
+    }.getOrElse(overBuckets.limit(0))
+    // distinct bucket ids — bounded by pg.buckets, driver-small
+    val affected = overBuckets.unionByName(deadBuckets).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (affected.nonEmpty) {
+      val nodes = corpus.filter(col(vecCol).isNotNull)
+        .select(col(pkCol).as("__pk"), col(vecCol).as("__v"))
+      // dropDuplicates: an update batch can append an edge that already
+      // exists; liveness is enforced by the inner joins against the
+      // live corpus (tombstoned endpoints simply find no vector row)
+      val cur = layout.filter(col("__srcbucket").isin(affected: _*))
+        .select("__src", "__dst").dropDuplicates("__src", "__dst")
+      val scored = cur
+        .join(nodes.select(col("__pk").as("__src"),
+          col("__v").as("__svec")), "__src")
+        .join(nodes.select(col("__pk").as("__dst"),
+          col("__v").as("__dvec")), "__dst")
+        .select(col("__src"), col("__dst"),
+          VF.l2(col("__svec"), col("__dvec")).as("__d"))
+      val pruned = graft.plans.TopK
+        .perGroup(scored, "__src", "__d", "__dst", pg.m,
+          descending = false)
+        .select("__src", "__dst")
+        .withColumn("__srcbucket",
+          pmod(col("__src"), lit(pg.buckets.toLong)).cast("int"))
+        .localCheckpoint(true) // materialize before overwriting the source
+      pruned
+        .repartition(col("__srcbucket")) // one writer per rewritten dir
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__srcbucket").parquet(pg.path)
+    }
+    // tombstoned edges are physically gone from every bucket now
+    tombs.foreach { _ =>
+      val p = new org.apache.hadoop.fs.Path(tombstonePath(pg))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    affected.size
   }
 
   /** Best-first search over a [[persistGraph]] layout. Identical

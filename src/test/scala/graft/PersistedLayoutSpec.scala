@@ -229,4 +229,79 @@ class PersistedLayoutSpec extends SparkSpec {
     assert(hit.getLong(2) === back,
       s"re-inserted node must be findable again, got $hit")
   }
+
+  test("graph reprune: degree bounded, untouched buckets byte-identical") {
+    import graft.index.ChangeLog
+    val path = Files.createTempDirectory("graft_pg_rp").toString + "/g"
+    val initial = emb.filter($"vec_id" >= 30 && $"vec_id" < 200)
+    val pg = GraphAnn.persistGraph(
+      GraphAnn.buildGraphExact(initial, "embedding", "vec_id", 4),
+      path, buckets = 32)
+    var live = initial
+    for ((lo, hi) <- Seq((25, 30), (20, 25), (15, 20))) {
+      val batch = emb.filter($"vec_id" >= lo && $"vec_id" < hi)
+      GraphAnn.syncPersistedGraph(spark, pg, live, batch,
+        "vec_id", "embedding")
+      live = live.unionByName(batch)
+    }
+    def maxDegree(): Long = spark.read.parquet(path)
+      .groupBy("__src").count().agg(max("count")).head().getLong(0)
+    assert(maxDegree() > 4,
+      "reverse fan-in over 3 batches should push some src past m")
+    // per-file content digests, keyed by bucket dir
+    def digests(): Map[String, Map[String, String]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("__srcbucket=")).map { d =>
+          d.getName -> walk(d).filter(_.getName.endsWith(".parquet"))
+            .map { f =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              f.getPath -> md.digest(Files.readAllBytes(f.toPath))
+                .map("%02x".format(_)).mkString
+            }.toMap
+        }.toMap
+    }
+    val overBuckets = spark.read.parquet(path).groupBy("__src").count()
+      .filter($"count" > 4)
+      .select(pmod($"__src", lit(32L)).cast("int")).distinct()
+      .as[Int].collect().toSet
+    assert(overBuckets.size < 32, "need at least one untouched bucket")
+    val before = digests()
+    val rewritten = GraphAnn.repruneBuckets(spark, pg, live,
+      "vec_id", "embedding")
+    assert(rewritten === overBuckets.size)
+    assert(maxDegree() <= 4, s"reprune must bound degree, got ${maxDegree()}")
+    val after = digests()
+    for (b <- 0 until 32; name = s"__srcbucket=$b"
+         if !overBuckets.contains(b))
+      assert(after(name) === before(name),
+        s"untouched bucket $name must stay byte-identical")
+    // reprune after a delete compacts the tombstone away physically
+    val victim = live.filter($"vec_id" >= 15).select(min("vec_id"))
+      .head().getLong(0)
+    GraphAnn.syncPersistedGraphChanges(spark, pg, live,
+      live.filter($"vec_id" === victim)
+        .withColumn("__op", lit(ChangeLog.OpDelete))
+        .withColumn("__seq", lit(9L)),
+      "vec_id", "embedding")
+    assert(GraphAnn.loadTombstones(spark, pg).isDefined)
+    live = live.filter($"vec_id" =!= victim)
+    GraphAnn.repruneBuckets(spark, pg, live, "vec_id", "embedding")
+    assert(GraphAnn.loadTombstones(spark, pg).isEmpty,
+      "reprune must drop the compacted tombstone table")
+    val edges = spark.read.parquet(path).select("__src", "__dst")
+      .as[(Long, Long)].collect()
+    assert(!edges.exists(e => e._1 == victim || e._2 == victim),
+      "compaction must physically remove the deleted node's edges")
+    assert(maxDegree() <= 4)
+    // the layout still answers: a query at a live node finds itself
+    val probe = live.filter($"vec_id" === 17)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val hit = GraphAnn.queryPersistedGraph(spark, pg, live, probe,
+        "qid", "qv", "vec_id", "embedding", k = 1, entries = 4,
+        beam = 4, hops = 3, metric = Metric.L2, entryMod = 5L)
+      .head()
+    assert(hit.getLong(2) === 17L)
+  }
 }
