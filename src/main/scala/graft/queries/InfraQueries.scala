@@ -105,6 +105,37 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // The same delta path THROUGH a balanceCells-split layout: hot
+    // cells persist as (cell, subcell) dirs, the split map beside the
+    // centroids re-derives delta sub-cells, and only touched sub-dirs
+    // rewrite. Balancing is purely physical, so results are identical
+    // to ann_ivf_synced and share its oracle — the hash check proves
+    // the skew guard and incremental maintenance compose losslessly.
+    "ann_ivf_synced_balanced" -> ((s, dir) => {
+      import graft.index.ChangeLog
+      val e = emb(s, dir)
+      val initial = e.filter(col("vec_id") >= 15)
+      val built = Ann.buildIvfDeterministic(initial, "embedding",
+        "vec_id", 16)
+      val balanced = Ann.balanceCells(built, "vec_id", maxSkew = 1.0)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pivfbal/" +
+        dir.replaceAll("[^0-9.]", "")
+      Ann.persistIvf(balanced, root)
+      val changes = e.filter(col("vec_id") >= 5 && col("vec_id") < 15)
+        .withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(1L))
+        .unionByName(e.filter(col("vec_id") === 20)
+          .withColumn("__op", lit(ChangeLog.OpDelete))
+          .withColumn("__seq", lit(2L)))
+      Ann.syncPersistedIvf(s, Ann.PersistedIvf(root), changes,
+        "vec_id", "embedding")
+      Ann.queryPersistedIvf(s, Ann.PersistedIvf(root),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, nProbe = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // IVF at full probe (nProbe = #cells) degrades to exact KNN by
     // construction — which makes THIS ann path oracle-checkable: the
     // DuckDB oracle is the plain batch-KNN SQL. Proves the
@@ -1479,5 +1510,6 @@ object InfraQueries {
     baseOracleSql +
       ("ann_signlsh_persisted" -> baseOracleSql("ann_signlsh_topk")) +
       ("ann_graph_persisted" -> baseOracleSql("ann_graph_topk")) +
-      ("ann_sq8_persisted" -> baseOracleSql("ann_sq8_rerank"))
+      ("ann_sq8_persisted" -> baseOracleSql("ann_sq8_rerank")) +
+      ("ann_ivf_synced_balanced" -> baseOracleSql("ann_ivf_synced"))
 }

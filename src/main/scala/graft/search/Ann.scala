@@ -29,7 +29,12 @@ object Ann {
 
   // ---------------- IVF (KMeans centroid pruning) ----------------
 
-  final case class IvfIndex(corpusWithCell: DataFrame, centroids: DataFrame)
+  /** `splits` (cell → sub-cell count) is non-empty only for a
+    * [[balanceCells]]-split index; it is what [[persistIvf]] writes
+    * beside the centroids so [[syncPersistedIvf]] can re-derive the
+    * same sub-cell assignment for delta rows. */
+  final case class IvfIndex(corpusWithCell: DataFrame,
+      centroids: DataFrame, splits: Map[Int, Int] = Map.empty)
 
   /** Build: assign every corpus row its nearest-centroid id. `centroids`
     * is tiny (k rows) — always broadcastable. */
@@ -148,7 +153,7 @@ object Ann {
       typedlit(splits), col("__cell"))
     val withSub = index.corpusWithCell.withColumn("__subcell",
       pmod(xxhash64(col(idCol)), splitCol.cast("long")).cast("int"))
-    IvfIndex(withSub, index.centroids)
+    IvfIndex(withSub, index.centroids, splits)
   }
 
   /** Persist an IVF index partitioned BY CELL: each centroid cell is its
@@ -172,6 +177,15 @@ object Ann {
       .partitionBy(partCols: _*).parquet(path)
     index.centroids.coalesce(1)
       .write.mode("overwrite").parquet(path + "_centroids")
+    // a split index also persists its (cell → sub-cell count) map: the
+    // metadata syncPersistedIvf needs to assign delta rows the same
+    // sub-cell a full build would (same hash, same modulus)
+    if (index.splits.nonEmpty) {
+      val spark = index.corpusWithCell.sparkSession
+      import spark.implicits._
+      index.splits.toSeq.sorted.toDF("__cell", "__nsplit").coalesce(1)
+        .write.mode("overwrite").parquet(path + "_splits")
+    }
   }
 
   final case class PersistedIvf(path: String)
@@ -225,48 +239,86 @@ object Ann {
     * cells, so its old row must go) ∪ cells receiving new rows. The
     * old-cell lookup is a pk semi-join against the layout — pushed to
     * parquet row groups; co-partition the layout by pk inside cells if
-    * batches are pk-clustered. Plain `__cell` layouts only (rebuild
-    * balanced/sub-celled indexes). */
+    * batches are pk-clustered.
+    *
+    * [[balanceCells]]-split (sub-celled) layouts sync too: the split
+    * map persisted beside the centroids re-derives each delta row's
+    * `__subcell` (same hash, same modulus → the assignment a full
+    * rebuild would give), and only the touched (cell, sub-cell) dirs
+    * are rewritten — the skew guard and incremental maintenance
+    * compose instead of excluding each other. */
   def syncPersistedIvf(spark: SparkSession, idx: PersistedIvf,
       changes: DataFrame, pkCol: String, vecCol: String): Unit = {
     import graft.index.ChangeLog
     val layout = spark.read.parquet(idx.path)
-    require(!layout.columns.contains("__subcell"),
-      "syncPersistedIvf supports plain __cell layouts; rebuild sub-celled ones")
+    val hasSub = layout.columns.contains("__subcell")
+    val partCols = if (hasSub) Seq("__cell", "__subcell") else Seq("__cell")
     val cents = spark.read.parquet(idx.path + "_centroids")
     val latest = ChangeLog.latestPerPk(changes, pkCol)
     val upserts = latest.filter(col("__op") =!= ChangeLog.OpDelete)
       .drop("__op", "__seq")
       .filter(col(vecCol).isNotNull)
     val carry = upserts.columns.filter(_ != pkCol)
-    val assigned = upserts.crossJoin(broadcast(cents))
+    val assignedCell = upserts.crossJoin(broadcast(cents))
       .withColumn("__cdist", VF.l2(col(vecCol), col("__centroid")))
       .groupBy(col(pkCol))
       .agg(
         min_by(col("__cell"), struct(col("__cdist"), col("__cell")))
           .as("__cell"),
         carry.map(c => first(col(c)).as(c)): _*)
+    val assigned =
+      if (!hasSub) assignedCell
+      else {
+        // k entries, driver-small by construction (mirrors balanceCells)
+        val splits = spark.read.parquet(idx.path + "_splits")
+          .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+        assignedCell.withColumn("__subcell",
+          pmod(xxhash64(col(pkCol)),
+            element_at(typedlit(splits), col("__cell")).cast("long"))
+            .cast("int"))
+      }
     // no broadcast hint on the pk joins: a delta batch is usually tiny
     // (AQE broadcasts it on its own) but can legitimately be huge, and a
     // forced broadcast of an unbounded side is a driver OOM at scale
     val changedPks = latest.select(col(pkCol))
     val affected = layout.join(changedPks, Seq(pkCol))
-      .select("__cell")
-      .union(assigned.select("__cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+      .select(partCols.map(col): _*)
+      .union(assigned.select(partCols.map(col): _*)).distinct()
+      .collect().map(r => partCols.indices.map(r.getInt))
     if (affected.isEmpty) return
-    // merge only the affected cells' rows; materialize BEFORE the write
+    // OR-of-conjunctions over the partition columns — prunes at the
+    // file listing exactly like the single-column IN list
+    val pred = affected.map { key =>
+      partCols.zip(key).map { case (c, v) => col(c) === lit(v) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    // merge only the affected dirs' rows; materialize BEFORE the write
     // (a dynamic overwrite of a path being lazily read is a self-read)
-    val current = layout.filter(col("__cell").isin(affected: _*))
+    val current = layout.filter(pred)
     val merged = current
       .join(changedPks, Seq(pkCol), "left_anti")
       .unionByName(assigned.select(current.columns.map(col): _*))
       .localCheckpoint(true)
     merged
-      .repartition(col("__cell")) // one writer per rewritten cell dir
+      .repartition(partCols.map(col): _*) // one writer per rewritten dir
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__cell").parquet(idx.path)
+      .partitionBy(partCols: _*).parquet(idx.path)
+    // dynamic overwrite only rewrites partitions PRESENT in `merged`: an
+    // affected dir whose rows were all deleted never appears there and
+    // would keep its stale files — drop those dirs explicitly
+    val left = merged.select(partCols.map(col): _*).distinct()
+      .collect().map(r => partCols.indices.map(r.getInt)).toSet
+    val emptied = affected.filterNot(left)
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(idx.path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { key =>
+        val dir = partCols.zip(key)
+          .map { case (c, v) => s"$c=$v" }.mkString("/")
+        fs.delete(new org.apache.hadoop.fs.Path(s"${idx.path}/$dir"), true)
+      }
+    }
   }
 
   // ------- Native sign-LSH (deterministic, engine-owned) -------

@@ -103,4 +103,72 @@ class PersistedIvfSpec extends SparkSpec {
     assert(untouched.nonEmpty, "sync must leave some cells untouched")
     untouched.foreach(k => assert(before(k) === after(k)))
   }
+
+  test("syncPersistedIvf on a balanced (sub-celled) layout == rebuild") {
+    import graft.index.ChangeLog
+    val path = Files.createTempDirectory("graft_pivf_bal").toString + "/idx"
+    val initial = corpus.filter($"vec_id" >= 20)
+    val built = Ann.buildIvfDeterministic(initial, "embedding", "vec_id", 8)
+    // maxSkew = 1.0: every above-mean cell splits — guarantees sub-cells
+    val balanced = Ann.balanceCells(built, "vec_id", maxSkew = 1.0)
+    assert(balanced.splits.exists(_._2 > 1), "need at least one split cell")
+    Ann.persistIvf(balanced, path)
+    val subDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("__cell=")).flatMap(_.listFiles())
+      .filter(_.getName.startsWith("__subcell="))
+    assert(subDirs.nonEmpty, "balanced layout persists sub-cell dirs")
+
+    val inserts = emb.filter($"vec_id" >= 10 && $"vec_id" < 15)
+      .withColumn("__op", lit(ChangeLog.OpInsert))
+      .withColumn("__seq", lit(1L))
+    val dels = emb.filter($"vec_id" === 30)
+      .withColumn("__op", lit(ChangeLog.OpDelete))
+      .withColumn("__seq", lit(2L))
+    val changes = inserts.unionByName(dels)
+
+    def dirFiles(): Map[String, Set[String]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path))
+        .filter(_.getName.endsWith(".parquet"))
+        .groupBy(_.getParentFile.getPath.stripPrefix(path))
+        .map { case (d, fs) =>
+          d -> fs.map(f => f.getName + ":" + f.lastModified()).toSet }
+    }
+    val before = dirFiles()
+    Ann.syncPersistedIvf(spark, Ann.PersistedIvf(path), changes,
+      "vec_id", "embedding")
+
+    // (pk, cell, subcell) set == a rebuild over source + applied batch
+    // with the same frozen centroids and the same persisted split map
+    val appliedSource = ChangeLog.applyBatch(initial, changes, "vec_id")
+      .filter($"embedding".isNotNull)
+    val splits = balanced.splits
+    val expected = appliedSource.crossJoin(broadcast(built.centroids))
+      .withColumn("__cdist", graft.functions.VectorFunctions.l2(
+        $"embedding", $"__centroid"))
+      .groupBy($"vec_id")
+      .agg(min_by($"__cell", struct($"__cdist", $"__cell")).as("__cell"))
+      .withColumn("__subcell",
+        pmod(xxhash64($"vec_id"),
+          element_at(typedlit(splits), $"__cell").cast("long")).cast("int"))
+      .select($"vec_id", $"__cell".cast("int"), $"__subcell")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val got = spark.read.parquet(path)
+      .select("vec_id", "__cell", "__subcell")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got === expected)
+    assert(!got.exists(_._1 == 30L), "delete leaves the index")
+
+    // untouched (cell, subcell) dirs keep their exact files
+    val after = dirFiles()
+    val untouched = before.keySet
+      .filter(k => after.getOrElse(k, Set()) == before(k))
+    assert(untouched.nonEmpty, "sync must leave some sub-cell dirs alone")
+
+    // probing still prunes partitions and matches the in-memory answer
+    val out = Ann.queryPersistedIvf(spark, Ann.PersistedIvf(path), queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, nProbe = 8)
+    assert(out.count() === queries.count() * 3)
+  }
 }
