@@ -149,6 +149,23 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // Recall telemetry on a deliberately DEGRADED index (nProbe=1 of
+    // 16): recallAtK samples queries by id parity, runs exact cosine
+    // top-5 on the sample only (bounded-heap batch KNN) and scores the
+    // IVF answers against it — the production observability probe for
+    // a drifting index, hash-checked end to end because both the index
+    // replay and the exact side are pure functions of the corpus.
+    "ann_recall_probe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 10)
+      val queries = e.filter(col("vec_id") < 10)
+      val index = Ann.buildIvfDeterministic(corpus, "embedding",
+        "vec_id", 16)
+      val answers = Ann.queryIvf(index, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, nProbe = 1)
+      Ann.recallAtK(answers, corpus, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, sampleMod = 2L)
+    }),
     // LSH ANN — rows-only; recall asserted in ScalaTest.
     "ann_lsh_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -578,6 +595,62 @@ object InfraQueries {
         |  FROM cand)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // Replays the degraded IVF (nProbe=1) answers AND the exact cosine
+    // top-5 on the parity-sampled queries, then scores one against the
+    // other — the recall probe as pure SQL.
+    "ann_recall_probe" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+        |cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |           AS cell,
+        |         embedding AS cvec
+        |  FROM (SELECT vec_id, embedding FROM corpus
+        |        ORDER BY vec_id LIMIT 16)),
+        |asg AS (
+        |  SELECT c.vec_id, c.embedding, t.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_distance(c.embedding, t.cvec), t.cell) AS rn
+        |  FROM corpus c CROSS JOIN cents t),
+        |cells AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1),
+        |qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |probe AS (
+        |  SELECT q.query_id, q.qv, t.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_distance(q.qv, t.cvec), t.cell) AS pr
+        |  FROM qs q CROSS JOIN cents t),
+        |cand AS (
+        |  SELECT p.query_id, p.qv, c.vec_id, c.embedding
+        |  FROM (SELECT query_id, qv, cell FROM probe WHERE pr <= 1) p
+        |  JOIN cells c USING (cell)),
+        |ans AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY list_cosine_similarity(embedding, qv) DESC,
+        |          vec_id) AS rnk
+        |    FROM cand)
+        |  WHERE rnk <= 5),
+        |sq AS (SELECT query_id, qv FROM qs WHERE query_id % 2 = 0),
+        |exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT s.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY s.query_id
+        |        ORDER BY list_cosine_similarity(c.embedding, s.qv) DESC,
+        |          c.vec_id) AS rnk
+        |    FROM corpus c CROSS JOIN sq s)
+        |  WHERE rnk <= 5)
+        |SELECT e.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 4) AS recall
+        |FROM exact e LEFT JOIN ans a
+        |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     // Frozen centroids from the INITIAL corpus (vec_id >= 15); the
     // synced corpus is source + inserts − deletes, assigned to those
     // same centroids — the delta-maintenance contract replayed in SQL.

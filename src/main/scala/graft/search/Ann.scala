@@ -131,6 +131,44 @@ object Ann {
       min("n").as("min_cell"), max("n").as("max_cell"),
       round(max("n") / avg("n"), 4).as("skew"))
 
+  /** Recall@k telemetry for a drifting production index — the
+    * observability counterpart of [[cellStats]]/[[cellSkew]]: measure
+    * what an approximate leg loses vs EXACT KNN on a deterministic
+    * sample of the query set, paying the exact scan only for the
+    * sample.
+    *
+    * `answers` is the index's own output for the query set —
+    * `(query_id, rank, <pk>)` from any leg ([[queryIvf]],
+    * [[querySignLsh]], [[GraphAnn.queryPersistedGraph]], …). Queries
+    * with `query_id % sampleMod == 0` are sampled (a pure function of
+    * ids, so the oracle replays it); exact top-k runs sample × corpus
+    * through the bounded-heap [[Knn.batchQueryAgg]] (map-side reduced,
+    * no full candidate sort), and each sampled query reports
+    * `|answers ∩ exact| / |exact|`. Returns
+    * `(query_id, n_exact, n_hit, recall)`. Scale: the exact pass is
+    * the only corpus-sized work and covers 1/sampleMod of the query
+    * load; everything downstream is sample-sized equi-joins. */
+  def recallAtK(answers: DataFrame, corpus: DataFrame, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, corpusPkCol: String,
+      corpusVecCol: String, k: Int, sampleMod: Long,
+      metric: Metric = Metric.Cosine): DataFrame = {
+    val sample = queries.filter(col(queryIdCol) % sampleMod === 0)
+    val exact = Knn.batchQueryAgg(corpus, sample, corpusVecCol,
+      corpusPkCol, queryVecCol, queryIdCol, k, metric)
+      .select(col("query_id"), col(corpusPkCol))
+    val got = answers
+      .filter(col("rank") <= k && col("query_id") % sampleMod === 0)
+      .select(col("query_id"), col(corpusPkCol))
+      .withColumn("__hit", lit(1))
+    exact.join(got, Seq("query_id", corpusPkCol), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
+      .orderBy("query_id")
+  }
+
   /** Straggler guard: KMeans (especially `initMode=random, maxIter=3`)
     * can leave hot cells holding many× the mean — at 100 TB one hot
     * cell is one task that runs for hours. Split every cell above

@@ -137,4 +137,31 @@ class AnnSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, s"mean recall $mean too low")
   }
+
+  test("recallAtK: perfect answers score 1.0, degraded index below 1.0") {
+    // perfect: score the exact answers against themselves
+    val exact = Knn.batchQueryAgg(corpus, queries, "embedding", "vec_id",
+      "embedding", "vec_id", k = 5)
+    val perfect = Ann.recallAtK(exact, corpus, queries, "vec_id",
+      "embedding", "vec_id", "embedding", k = 5, sampleMod = 2L)
+      .collect()
+    assert(perfect.nonEmpty)
+    assert(perfect.forall(_.getAs[Double]("recall") == 1.0),
+      s"exact answers must score recall 1.0: ${perfect.mkString(",")}")
+    assert(perfect.forall(r => r.getAs[Long]("query_id") % 2 == 0),
+      "only parity-sampled queries are scored")
+    // degraded: an index whose corpus lost every sampled query's true
+    // rank-1 neighbor can hit at most (k-1)/k of the exact set
+    val top1 = exact.filter(col("rank") === 1 && col("query_id") % 2 === 0)
+      .select("vec_id").distinct().as[Long].collect().toSeq
+    val crippled = Knn.batchQueryAgg(
+      corpus.filter(!$"vec_id".isin(top1: _*)), queries, "embedding",
+      "vec_id", "embedding", "vec_id", k = 5)
+    val degraded = Ann.recallAtK(crippled, corpus, queries, "vec_id",
+      "embedding", "vec_id", "embedding", k = 5, sampleMod = 2L)
+      .collect()
+    assert(degraded.forall(_.getAs[Double]("recall") <= 0.8),
+      s"degraded index must lose its top-1 hit: ${degraded.mkString(",")}")
+    assert(degraded.forall(r => r.getAs[Long]("n_exact") == 5L))
+  }
 }
