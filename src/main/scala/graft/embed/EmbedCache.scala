@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
   * vectors by construction. 64-bit content keys collide with
   * probability ~n²/2⁶⁵; pair the key with a length column or switch to
   * md5 if that risk matters at your scale. One writer at a time:
-  * concurrent appends can double-insert a key, and duplicate keys
-  * multiply rows through the hit join — serialize cache maintenance
-  * the way you would any upsert target. */
+  * concurrent appends can double-insert a key — serialize cache
+  * maintenance the way you would any upsert target. As defense in
+  * depth, [[readCache]] dedupes keys (embedders are deterministic, so
+  * duplicate rows are identical and any survivor is correct — a slipped
+  * double-insert degrades performance, never correctness), and
+  * [[compact]] removes the duplicates physically while narrowing the
+  * append-accreted file count. */
 object EmbedCache {
 
   /** `docs` + an `embedding` column, cache-backed. Appends new
@@ -48,16 +52,56 @@ object EmbedCache {
       .drop("__key")
   }
 
-  /** Rows currently in the cache (0 when it doesn't exist yet). */
+  /** Rows currently in the cache, one per key (0 when it doesn't exist
+    * yet). The key dedupe is one map-side-partial aggregation on the
+    * 8-byte key — a no-op-priced guard on a healthy cache, and the
+    * thing that keeps a slipped concurrent double-insert from
+    * multiplying rows through the hit join. */
   def readCache(spark: SparkSession, cachePath: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(cachePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(cachePath)
+    if (fs.exists(p)) spark.read.parquet(cachePath).dropDuplicates("__key")
     else {
       import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("__key", LongType),
           StructField("embedding", ArrayType(FloatType)))))
     }
+  }
+
+  /** Physical cache maintenance: dedupe keys AND narrow the
+    * append-accreted file count in one pass, swapped in with the same
+    * hidden-sibling rename protocol as
+    * [[graft.operators.Maintenance.compactParquet]] (no window where
+    * the cache is missing; a concurrent reader lists either the old or
+    * the new copy). Unlike plain compaction this pays one shuffle on
+    * the 8-byte key — that IS the dedupe. After it, [[readCache]]'s
+    * guard aggregates nothing. */
+  def compact(spark: SparkSession, cachePath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024)
+      : graft.operators.CompactionReport = {
+    val dir = new org.apache.hadoop.fs.Path(cachePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return graft.operators.CompactionReport(0, 0, 0L)
+    def dataFiles() = fs.listStatus(dir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val before = dataFiles()
+    val bytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir.getParent,
+      s".${dir.getName}__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir.getParent,
+      s".${dir.getName}__compact_old")
+    spark.read.parquet(cachePath).dropDuplicates("__key")
+      .coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(old, true)
+    fs.rename(dir, old)
+    fs.rename(tmp, dir)
+    fs.delete(old, true)
+    graft.operators.CompactionReport(before.length, dataFiles().length,
+      bytes)
   }
 }

@@ -62,4 +62,43 @@ class EmbedCacheSpec extends SparkSpec {
       .collect().toMap
     assert(got === direct)
   }
+
+  test("duplicate keys in the cache never multiply output rows") {
+    val path = freshPath()
+    EmbedCache.embedWithCache(spark, docs, "text", embedder, path)
+    // simulate the documented failure mode: a concurrent double-insert
+    // (append the cache's own rows back onto itself)
+    val raw = spark.read.parquet(path).localCheckpoint(true)
+    raw.write.mode("append").parquet(path)
+    assert(spark.read.parquet(path).count() === raw.count() * 2)
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(EmbedCache.readCache(spark, path).count() === distinctTexts,
+      "readCache must collapse duplicate keys")
+    // full hit: one output row per input row, embedder never invoked
+    val out = EmbedCache.embedWithCache(spark, docs, "text",
+      ThrowingEmbedder, path)
+    assert(out.count() === docs.count(),
+      "duplicate cache keys must not fan out the hit join")
+  }
+
+  test("compact dedupes physically and shrinks the file count") {
+    val path = freshPath()
+    EmbedCache.embedWithCache(spark, docs, "text", embedder, path)
+    val raw = spark.read.parquet(path).localCheckpoint(true)
+    raw.write.mode("append").parquet(path)
+    val contentBefore = EmbedCache.readCache(spark, path)
+      .as[(Long, Seq[Float])].collect().toMap
+    def parquetFiles() = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val filesBefore = parquetFiles()
+    val report = EmbedCache.compact(spark, path)
+    assert(report.filesBefore === filesBefore)
+    assert(parquetFiles() < filesBefore,
+      s"compaction must shrink files: $filesBefore -> ${parquetFiles()}")
+    // physical rows == distinct keys now; content unchanged
+    assert(spark.read.parquet(path).count() === contentBefore.size)
+    val contentAfter = EmbedCache.readCache(spark, path)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(contentAfter === contentBefore)
+  }
 }
