@@ -424,7 +424,7 @@ object InfraQueries {
         m = 6)
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_pgsync/" +
         dir.replaceAll("[^0-9.]", "")
-      val pg = GraphAnn.persistGraph(graph, root, buckets = 16)
+      val pg = GraphAnn.persistGraph(graph, root, buckets = 8)
       GraphAnn.syncPersistedGraph(s, pg, initial, batch, "vec_id",
         "embedding")
       GraphAnn.queryPersistedGraph(s, pg, corpus,
@@ -458,7 +458,7 @@ object InfraQueries {
         m = 6)
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_pgdel/" +
         dir.replaceAll("[^0-9.]", "")
-      val pg = GraphAnn.persistGraph(graph, root, buckets = 16)
+      val pg = GraphAnn.persistGraph(graph, root, buckets = 8)
       GraphAnn.syncPersistedGraphChanges(s, pg, initial, changes, "vec_id",
         "embedding")
       GraphAnn.queryPersistedGraph(s, pg,
