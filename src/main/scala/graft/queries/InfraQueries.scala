@@ -406,6 +406,29 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // TWO-LAYER entry descent (HNSW's hierarchy): the coarse scan drops
+    // from the mod-5 sample (~n/5 rows) to the mod-25 pool (~n/25 —
+    // 5x cheaper), then a 2-hop beam-3 walk over the layer-1 edge graph
+    // (4-NN among the mod-5 pool) descends to the 4 seeds that start
+    // the layer-0 search. Both layers' graphs, the descent and all
+    // layer-0 hops are pure functions of the corpus — the oracle
+    // replays the full hierarchy.
+    "ann_graph_layered_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 1000)
+      val graph = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id",
+        m = 6)
+      val entry = GraphAnn.buildEntryGraphExact(corpus, "embedding",
+        "vec_id", entryMod = 5L, m1 = 4)
+      GraphAnn.queryGraphLayered(graph, entry, corpus,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, entries = 4, beam = 4, hops = 3,
+          entryMod = 5L, metric = Metric.L2,
+          l2Entries = 2, l1Beam = 3, l1Hops = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // Incremental graph maintenance THROUGH the persisted layout —
     // HNSW's add: build on [15,1000), persist by src bucket, insert
     // [5,15) (m-NN edges + the reverse edges that make new nodes
@@ -1224,6 +1247,133 @@ object InfraQueries {
         |      row_number() OVER (PARTITION BY q.query_id
         |        ORDER BY list_distance(c.v, q.qv), c.vec_id) AS r
         |    FROM corpus c CROSS JOIN qs q WHERE c.vec_id % 5 = 0)
+        |  WHERE r <= 4),
+        |f1 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+        |    FROM c0 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id)
+        |  WHERE r <= 4),
+        |c1 AS (
+        |  SELECT DISTINCT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id FROM c0
+        |    UNION ALL
+        |    SELECT f.query_id, g.dst AS vec_id
+        |    FROM f1 f JOIN edges g ON g.src = f.vec_id)),
+        |f2 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+        |    FROM c1 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM f1 e
+        |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id))
+        |  WHERE r <= 4),
+        |c2 AS (
+        |  SELECT DISTINCT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id FROM c1
+        |    UNION ALL
+        |    SELECT f.query_id, g.dst AS vec_id
+        |    FROM f2 f JOIN edges g ON g.src = f.vec_id)),
+        |f3 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+        |    FROM c2 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM f1 e
+        |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id)
+        |    AND NOT EXISTS (SELECT 1 FROM f2 e
+        |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id))
+        |  WHERE r <= 4),
+        |c3 AS (
+        |  SELECT DISTINCT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id FROM c2
+        |    UNION ALL
+        |    SELECT f.query_id, g.dst AS vec_id
+        |    FROM f3 f JOIN edges g ON g.src = f.vec_id)),
+        |ranked AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_distance(v.v, q.qv), c.vec_id) AS rnk
+        |  FROM c3 c JOIN corpus v ON v.vec_id = c.vec_id
+        |  JOIN qs q ON q.query_id = c.query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // ann_graph_topk's replay with the ENTRY replaced by the two-layer
+    // descent: e0 = top-2 of the mod-25 pool, g1/d1/g2/d2 = two beam-3
+    // best-first hops over the layer-1 4-NN edge graph (mod-5 pool),
+    // c0 = the descent's top-4 — then the same three layer-0 hops.
+    "ann_graph_layered_topk" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id >= 5 AND vec_id < 1000),
+        |qs AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vec_id AS src, b.vec_id AS dst,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_distance(a.v, b.v), b.vec_id) AS rn
+        |    FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id)
+        |  WHERE rn <= 6),
+        |l1 AS (SELECT vec_id, v FROM corpus WHERE vec_id % 5 = 0),
+        |l1_edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vec_id AS src, b.vec_id AS dst,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_distance(a.v, b.v), b.vec_id) AS rn
+        |    FROM l1 a JOIN l1 b ON a.vec_id <> b.vec_id)
+        |  WHERE rn <= 4),
+        |e0 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_distance(c.v, q.qv), c.vec_id) AS r
+        |    FROM l1 c CROSS JOIN qs q WHERE c.vec_id % 25 = 0)
+        |  WHERE r <= 2),
+        |g1 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+        |    FROM e0 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id)
+        |  WHERE r <= 3),
+        |d1 AS (
+        |  SELECT DISTINCT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id FROM e0
+        |    UNION ALL
+        |    SELECT f.query_id, g.dst AS vec_id
+        |    FROM g1 f JOIN l1_edges g ON g.src = f.vec_id)),
+        |g2 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+        |    FROM d1 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM g1 e
+        |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id))
+        |  WHERE r <= 3),
+        |d2 AS (
+        |  SELECT DISTINCT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id FROM d1
+        |    UNION ALL
+        |    SELECT f.query_id, g.dst AS vec_id
+        |    FROM g2 f JOIN l1_edges g ON g.src = f.vec_id)),
+        |c0 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+        |    FROM d2 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id)
         |  WHERE r <= 4),
         |f1 AS (
         |  SELECT query_id, vec_id FROM (

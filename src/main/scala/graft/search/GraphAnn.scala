@@ -154,6 +154,53 @@ object GraphAnn {
       statePartitions, materializeCorpus)
   }
 
+  /** Entry graph for [[queryGraphLayered]]: an exact m1-NN graph over
+    * the `id % entryMod == 0` sample — HNSW's layer 1 as its own edge
+    * table. O((n/entryMod)²) pairs through the bounded-heap top-m; at
+    * 100 TB build it with [[buildGraphLsh]] over the same pool
+    * instead. */
+  def buildEntryGraphExact(corpus: DataFrame, vecCol: String,
+      idCol: String, entryMod: Long, m1: Int): KnnGraph =
+    buildGraphExact(corpus.filter(col(idCol) % entryMod === 0), vecCol,
+      idCol, m1)
+
+  /** Two-layer entry descent — HNSW's hierarchy, relationally. The
+    * single-layer coarse entry ([[queryGraph]] with `entryMod`) scans
+    * n/entryMod sample rows per query batch; here the scan drops to the
+    * `id % entryMod² == 0` pool (n/entryMod² rows — entryMod× cheaper)
+    * and a SHORT beam search over `entryGraph` (layer-1 edges among the
+    * `% entryMod` pool) walks from those coarse winners to the best
+    * `entries` layer-1 nodes, which seed the layer-0 search. Every
+    * stage stays a pure function of the corpus — the whole descent is
+    * DuckDB-replayable, unlike HNSW's randomized level draws.
+    *
+    * Layer-1 knobs: `l2Entries` coarse winners start the descent,
+    * `l1Beam`/`l1Hops` bound its walk; candidate state stays
+    * O(queries × (l2Entries + l1Hops·l1Beam·m1)) — constant in corpus
+    * size, same argument as layer 0. */
+  def queryGraphLayered(graph: KnnGraph, entryGraph: KnnGraph,
+      corpus: DataFrame, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, corpusPkCol: String, corpusVecCol: String,
+      k: Int, entries: Int, beam: Int, hops: Int, entryMod: Long,
+      metric: Metric = Metric.L2,
+      l2Entries: Int = 2, l1Beam: Int = 3, l1Hops: Int = 2,
+      statePartitions: Int = 4,
+      materializeCorpus: Boolean = true): DataFrame = {
+    val l1pool = corpus.filter(col(corpusPkCol) % entryMod === 0)
+    val seeds = queryGraph(entryGraph, l1pool, queries, queryIdCol,
+        queryVecCol, corpusPkCol, corpusVecCol, k = entries,
+        entries = l2Entries, beam = l1Beam, hops = l1Hops, metric,
+        entryMod = entryMod * entryMod,
+        statePartitions = statePartitions,
+        materializeCorpus = materializeCorpus)
+      .select(col("query_id"), col(corpusPkCol).as("__nid"))
+    val edges = graph.edges.localCheckpoint(true)
+    beamSearch(corpus, queries, queryIdCol, queryVecCol, corpusPkCol,
+      corpusVecCol, _ => edges, k, entries, beam, hops, metric,
+      entryMod = 0L, statePartitions, materializeCorpus,
+      seedIds = Some(seeds))
+  }
+
   /** The shared best-first loop. `edgesFor(frontier)` supplies the edge
     * rows to expand a frontier through — the in-memory path ignores the
     * frontier (whole edge table, one checkpointed DF); the persisted
@@ -174,7 +221,8 @@ object GraphAnn {
       k: Int, entries: Int, beam: Int, hops: Int,
       metric: Metric, entryMod: Long,
       statePartitions: Int = 4,
-      materializeCorpus: Boolean = true): DataFrame = {
+      materializeCorpus: Boolean = true,
+      seedIds: Option[DataFrame] = None): DataFrame = {
     def bounded(df: DataFrame): DataFrame =
       if (statePartitions > 0) df.repartition(statePartitions, col("query_id"))
       else df
@@ -203,8 +251,18 @@ object GraphAnn {
         .orderBy((col("__exp").asc +: ord): _*)
       df.withColumn("__r", row_number().over(wr))
     }
+    def seeds0(ids: DataFrame): DataFrame =
+      c.join(broadcast(ids), "__nid")
+        .join(broadcast(q), "query_id")
+        .withColumn("__score",
+          VF.distance(col("__nvec"), col("__qvec"), metric))
+        .select("query_id", "__qvec", "__nid", "__nvec", "__score")
     val seeds =
-      if (entryMod > 0L) {
+      if (seedIds.isDefined) {
+        // explicit (query_id, __nid) entry points — supplied by a
+        // coarser search layer (queryGraphLayered's descent)
+        seeds0(seedIds.get)
+      } else if (entryMod > 0L) {
         // coarse layer: per-query best `entries` of the modulo sample
         val pool = c.filter(col("__nid") % entryMod === 0L)
         val w = Window.partitionBy("query_id").orderBy(ord: _*)

@@ -51,6 +51,41 @@ class GraphAnnSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean recall $mean too low")
   }
 
+  test("layered entry holds the recall bar at a mod-squared entry scan") {
+    // same layer-0 search as the generous-beam test, but the entry
+    // descends mod-25 pool -> layer-1 graph walk -> seeds, instead of
+    // scanning the whole mod-5 sample: entry scan cost cut ~5x
+    val g = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id", m = 8)
+    val entry = GraphAnn.buildEntryGraphExact(corpus, "embedding",
+      "vec_id", entryMod = 5L, m1 = 4)
+    val l1Count = corpus.filter($"vec_id" % 5 === 0).count()
+    val l2Count = corpus.filter($"vec_id" % 25 === 0).count()
+    assert(l2Count * 3 < l1Count,
+      s"mod-squared pool ($l2Count) must be well under the mod pool ($l1Count)")
+    val r = GraphAnn.queryGraphLayered(g, entry, corpus, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, entries = 8,
+      beam = 8, hops = 8, entryMod = 5L, Metric.L2,
+      l2Entries = 2, l1Beam = 4, l1Hops = 2)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recalls = exactTop3.map { case (q, exact) =>
+      r.get(q).map(f => exact.count(f.contains).toDouble / exact.size)
+        .getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean layered recall $mean too low")
+  }
+
+  test("layered entry is deterministic run to run") {
+    val g = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id", m = 6)
+    val entry = GraphAnn.buildEntryGraphExact(corpus, "embedding",
+      "vec_id", entryMod = 5L, m1 = 4)
+    def run() = topkMap(GraphAnn.queryGraphLayered(g, entry, corpus,
+      queries, "vec_id", "embedding", "vec_id", "embedding", k = 3,
+      entries = 4, beam = 4, hops = 3, entryMod = 5L, Metric.L2))
+    assert(run() === run())
+  }
+
   test("beam search is deterministic run to run") {
     val g = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id", m = 6)
     def run() = topkMap(GraphAnn.queryGraph(g, corpus, queries, "vec_id",
