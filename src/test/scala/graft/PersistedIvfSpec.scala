@@ -166,9 +166,15 @@ class PersistedIvfSpec extends SparkSpec {
       .filter(k => after.getOrElse(k, Set()) == before(k))
     assert(untouched.nonEmpty, "sync must leave some sub-cell dirs alone")
 
-    // probing still prunes partitions and matches the in-memory answer
+    // a probe of the sub-celled layout still prunes at the cell level:
+    // the __cell filter alone must reach PartitionFilters (sub-dirs of
+    // unprobed cells are never listed)
+    spark.sharedState.cacheManager.clearCache()
     val out = Ann.queryPersistedIvf(spark, Ann.PersistedIvf(path), queries,
-      "vec_id", "embedding", "vec_id", "embedding", k = 3, nProbe = 8)
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, nProbe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__cell"),
+      s"balanced probe must prune by cell partition:\n${plan.take(2000)}")
     assert(out.count() === queries.count() * 3)
   }
 }
