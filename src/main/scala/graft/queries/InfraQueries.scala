@@ -429,6 +429,32 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // The SAME two-layer descent with both layers on disk: main edges
+    // and the layer-1 entry graph each persisted as bucket-partitioned
+    // layouts, every hop of both layers pruning to its frontier's
+    // buckets. Results are identical to the in-memory hierarchy by
+    // construction (PersistedLayoutSpec) -> shares its oracle; what's
+    // exercised is the on-disk pruned form of the full hierarchy.
+    "ann_graph_layered_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 1000)
+      val graph = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id",
+        m = 6)
+      val entry = GraphAnn.buildEntryGraphExact(corpus, "embedding",
+        "vec_id", entryMod = 5L, m1 = 4)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pglay/" +
+        dir.replaceAll("[^0-9.]", "")
+      val pg = GraphAnn.persistGraph(graph, root, buckets = 8)
+      val epg = GraphAnn.persistGraph(entry, root + "_entry", buckets = 4)
+      GraphAnn.queryPersistedGraphLayered(s, pg, epg, corpus,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, entries = 4, beam = 4, hops = 3,
+          entryMod = 5L, metric = Metric.L2,
+          l2Entries = 2, l1Beam = 3, l1Hops = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // Incremental graph maintenance THROUGH the persisted layout —
     // HNSW's add: build on [15,1000), persist by src bucket, insert
     // [5,15) (m-NN edges + the reverse edges that make new nodes
@@ -1734,5 +1760,7 @@ object InfraQueries {
       ("ann_signlsh_persisted" -> baseOracleSql("ann_signlsh_topk")) +
       ("ann_graph_persisted" -> baseOracleSql("ann_graph_topk")) +
       ("ann_sq8_persisted" -> baseOracleSql("ann_sq8_rerank")) +
-      ("ann_ivf_synced_balanced" -> baseOracleSql("ann_ivf_synced"))
+      ("ann_ivf_synced_balanced" -> baseOracleSql("ann_ivf_synced")) +
+      ("ann_graph_layered_persisted" ->
+        baseOracleSql("ann_graph_layered_topk"))
 }

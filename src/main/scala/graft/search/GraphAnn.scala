@@ -615,7 +615,8 @@ object GraphAnn {
       k: Int, entries: Int, beam: Int, hops: Int,
       metric: Metric = Metric.L2, entryMod: Long = 0L,
       statePartitions: Int = 4,
-      materializeCorpus: Boolean = true): DataFrame = {
+      materializeCorpus: Boolean = true,
+      seedIds: Option[DataFrame] = None): DataFrame = {
     // one relation for all hops: the file listing and schema are
     // resolved once; each hop only re-applies its partition filter.
     // Tombstones load once too — deleted nodes are neither seeded from
@@ -632,6 +633,35 @@ object GraphAnn {
     beamSearch(dropTombstonedNodes(corpus, corpusPkCol, tombs), queries,
       queryIdCol, queryVecCol, corpusPkCol,
       corpusVecCol, edgesFor, k, entries, beam, hops, metric, entryMod,
-      statePartitions, materializeCorpus)
+      statePartitions, materializeCorpus, seedIds)
+  }
+
+  /** [[queryGraphLayered]] with BOTH layers on disk — the 100 TB form:
+    * at scale the layer-1 entry graph (n/entryMod nodes) is itself too
+    * big to rebuild per query batch, so it lives as its own
+    * [[persistGraph]] layout beside the main one and the descent's hops
+    * prune to their buckets exactly like layer 0's. The coarse scan
+    * still touches only the mod-squared pool, and each layer keeps its
+    * own tombstones. */
+  def queryPersistedGraphLayered(spark: SparkSession, pg: PersistedGraph,
+      entryPg: PersistedGraph, corpus: DataFrame, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, corpusPkCol: String,
+      corpusVecCol: String, k: Int, entries: Int, beam: Int, hops: Int,
+      entryMod: Long, metric: Metric = Metric.L2,
+      l2Entries: Int = 2, l1Beam: Int = 3, l1Hops: Int = 2,
+      statePartitions: Int = 4,
+      materializeCorpus: Boolean = true): DataFrame = {
+    val l1pool = corpus.filter(col(corpusPkCol) % entryMod === 0)
+    val seeds = queryPersistedGraph(spark, entryPg, l1pool, queries,
+        queryIdCol, queryVecCol, corpusPkCol, corpusVecCol,
+        k = entries, entries = l2Entries, beam = l1Beam, hops = l1Hops,
+        metric, entryMod = entryMod * entryMod,
+        statePartitions = statePartitions,
+        materializeCorpus = materializeCorpus)
+      .select(col("query_id"), col(corpusPkCol).as("__nid"))
+    queryPersistedGraph(spark, pg, corpus, queries, queryIdCol,
+      queryVecCol, corpusPkCol, corpusVecCol, k, entries, beam, hops,
+      metric, entryMod = 0L, statePartitions, materializeCorpus,
+      seedIds = Some(seeds))
   }
 }

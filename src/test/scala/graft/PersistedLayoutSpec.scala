@@ -71,6 +71,25 @@ class PersistedLayoutSpec extends SparkSpec {
     assert(disk === mem && disk.nonEmpty)
   }
 
+  test("persisted layered search == in-memory layered search") {
+    val path = Files.createTempDirectory("graft_pglay").toString + "/g"
+    val g = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id", m = 6)
+    val entry = GraphAnn.buildEntryGraphExact(corpus, "embedding",
+      "vec_id", entryMod = 5L, m1 = 4)
+    val pg = GraphAnn.persistGraph(g, path, buckets = 8)
+    val epg = GraphAnn.persistGraph(entry, path + "_entry", buckets = 4)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val mem = key(GraphAnn.queryGraphLayered(g, entry, corpus, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, entries = 4,
+      beam = 4, hops = 3, entryMod = 5L, Metric.L2))
+    val disk = key(GraphAnn.queryPersistedGraphLayered(spark, pg, epg,
+      corpus, queries, "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, entries = 4, beam = 4, hops = 3, entryMod = 5L, Metric.L2))
+    assert(disk === mem && disk.nonEmpty)
+  }
+
   test("persisted SQ8: coarse scan reads codes only, disk == mem") {
     import graft.search.Sq8
     val path = Files.createTempDirectory("graft_psq8").toString + "/idx"
