@@ -523,6 +523,22 @@ object GraphAnn {
     }
   }
 
+  /** CDF-batch maintenance for a two-layer hierarchy: apply the change
+    * batch to the main layout, then the `pk % entryMod == 0` slice of
+    * it to the entry layout (whose pool and edges live over that
+    * sample, so its pool is the existing corpus's sample and a layer-1
+    * node's delete tombstones BOTH layers). Keeps
+    * [[queryPersistedGraphLayered]] consistent across syncs without a
+    * hierarchy rebuild. */
+  def syncPersistedGraphLayered(spark: SparkSession, pg: PersistedGraph,
+      entryPg: PersistedGraph, existing: DataFrame, changes: DataFrame,
+      pkCol: String, vecCol: String, entryMod: Long): Unit = {
+    syncPersistedGraphChanges(spark, pg, existing, changes, pkCol, vecCol)
+    syncPersistedGraphChanges(spark, entryPg,
+      existing.filter(col(pkCol) % entryMod === 0),
+      changes.filter(col(pkCol) % entryMod === 0), pkCol, vecCol)
+  }
+
   /** Maintenance re-prune — bounds the reverse-edge degree growth
     * [[syncPersistedGraphChanges]] accepts per batch (HNSW prunes on
     * insert; we defer pruning to an idempotent maintenance pass, the

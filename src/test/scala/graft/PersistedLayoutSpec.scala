@@ -90,6 +90,50 @@ class PersistedLayoutSpec extends SparkSpec {
     assert(disk === mem && disk.nonEmpty)
   }
 
+  test("layered sync: a layer-1 delete tombstones both layers") {
+    import graft.index.ChangeLog
+    val path = Files.createTempDirectory("graft_pglay_sync").toString + "/g"
+    val initial = emb.filter($"vec_id" >= 10 && $"vec_id" < 300)
+    val pg = GraphAnn.persistGraph(
+      GraphAnn.buildGraphExact(initial, "embedding", "vec_id", 6),
+      path, buckets = 8)
+    val epg = GraphAnn.persistGraph(
+      GraphAnn.buildEntryGraphExact(initial, "embedding", "vec_id",
+        entryMod = 5L, m1 = 4),
+      path + "_entry", buckets = 4)
+    val victim = 20L // layer-1 member: 20 % 5 == 0
+    val changes = emb.filter($"vec_id" >= 3 && $"vec_id" < 10)
+      .withColumn("__op", lit(ChangeLog.OpInsert))
+      .withColumn("__seq", lit(1L))
+      .unionByName(initial.filter($"vec_id" === victim)
+        .withColumn("__op", lit(ChangeLog.OpDelete))
+        .withColumn("__seq", lit(2L)))
+    GraphAnn.syncPersistedGraphLayered(spark, pg, epg, initial, changes,
+      "vec_id", "embedding", entryMod = 5L)
+    assert(GraphAnn.loadTombstones(spark, epg).get
+      .as[Long].collect().toSet === Set(victim),
+      "the layer-1 slice of the batch must tombstone the entry layout")
+    assert(GraphAnn.loadTombstones(spark, pg).get
+      .as[Long].collect().toSet === Set(victim))
+    val live = initial.filter($"vec_id" =!= victim)
+      .unionByName(emb.filter($"vec_id" >= 3 && $"vec_id" < 10))
+    val out = GraphAnn.queryPersistedGraphLayered(spark, pg, epg, live,
+        queries, "vec_id", "embedding", "vec_id", "embedding", k = 3,
+        entries = 4, beam = 4, hops = 3, entryMod = 5L, Metric.L2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out.nonEmpty && !out.contains(victim))
+    // an inserted layer-1 node (5 % 5 == 0) is reachable through the
+    // synced hierarchy: a query at its own vector returns it
+    val q = emb.filter($"vec_id" === 5L)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val hit = GraphAnn.queryPersistedGraphLayered(spark, pg, epg, live, q,
+        "qid", "qv", "vec_id", "embedding", k = 1, entries = 4, beam = 4,
+        hops = 3, entryMod = 5L, Metric.L2)
+      .head()
+    assert(hit.getLong(2) === 5L,
+      s"inserted layer-1 node must be findable, got $hit")
+  }
+
   test("persisted SQ8: coarse scan reads codes only, disk == mem") {
     import graft.search.Sq8
     val path = Files.createTempDirectory("graft_psq8").toString + "/idx"
