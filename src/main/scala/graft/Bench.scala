@@ -25,6 +25,22 @@ object Bench {
       }
       SparkEntry.queries.get("knn_cosine_single")
         .foreach(fn => fn(spark, sfDir).count())
+      // window + bounded-heap top-k + localCheckpoint + parquet WRITE
+      // committer: the index-maintenance chains (graph/IVF
+      // build+persist+sync) hit these paths first otherwise, and
+      // whichever of them the map orders first absorbs ~2 s of
+      // one-time compiler/committer cost
+      val warm = spark.range(0, 10000L)
+        .selectExpr("id % 7 AS g", "CAST(id AS DOUBLE) AS s", "id AS p")
+      graft.plans.TopK.perGroup(warm, "g", "s", "p", 3,
+        descending = false).count()
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      val w = Window.partitionBy("g").orderBy("s")
+      warm.withColumn("r", row_number().over(w)).filter("r <= 3")
+        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(
+          s"${System.getProperty("java.io.tmpdir")}/graft_bench_warm")
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
