@@ -52,6 +52,28 @@ object VectorQueries {
           col("doc_id"), col("in_vec"), col("in_kw"))
         .orderBy("query_id", "rnk")
     }),
+    // The keyword leg THROUGH the persisted term-bucketed inverted
+    // index: postings persist denormalized with frozen df/dl/avgdl
+    // stats (the persistIvf freeze discipline), the query batch's
+    // terms prune the posting scan to their hash buckets, and the
+    // shared scoring fold makes BM25 bit-identical to the in-memory
+    // leg — so results equal hybrid_rrf_topk and share its oracle.
+    "hybrid_rrf_persisted" -> ((s, dir) => {
+      val all = hybridCorpus(s, dir)
+      val corpus = all.filter(col("doc_id") >= 3)
+      val q = all.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"),
+          col("embedding").as("qvec"))
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ppost/" +
+        dir.replaceAll("[^0-9.]", "")
+      val idx = graft.search.Hybrid.persistPostings(corpus, "doc_id",
+        "text", root, buckets = 32)
+      graft.search.Hybrid.hybridTopKPersistedKw(s, idx, corpus, q,
+          "qid", "qtext", "qvec", "doc_id", "embedding", n = 10, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("doc_id"), col("in_vec"), col("in_kw"))
+        .orderBy("query_id", "rnk")
+    }),
     // Hybrid AT SCALE: the vector leg comes from the deterministic-IVF
     // probe (nProbe=4 of 16 cells) instead of the exact cross join, the
     // keyword leg stays the inverted-index BM25, and Hybrid.rrfFuse
@@ -199,7 +221,7 @@ object VectorQueries {
     }),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     "hybrid_ivf_rrf" ->
       """WITH allrows AS (
         |  SELECT d.doc_id, d.text, e.embedding
@@ -417,4 +439,11 @@ object VectorQueries {
         |  AND list_cosine_similarity(a.embedding, b.embedding) > 0.4
         |ORDER BY a_id, b_id""".stripMargin,
   )
+
+  // hybrid_rrf_persisted serves the keyword leg from the persisted
+  // inverted index; results are identical by construction, so it shares
+  // the in-memory query's oracle.
+  val oracleSql: Map[String, String] =
+    baseOracleSql +
+      ("hybrid_rrf_persisted" -> baseOracleSql("hybrid_rrf_topk"))
 }

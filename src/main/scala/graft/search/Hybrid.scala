@@ -1,7 +1,7 @@
 package graft.search
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -60,6 +60,18 @@ object Hybrid {
     val matched = tf.join(dft, "__t").join(dl, "__did")
       .join(broadcast(qterms), "__t")
       .crossJoin(broadcast(stats))
+    scoreMatched(matched, docIdCol, k1, b)
+  }
+
+  /** BM25 scoring of matched (query, term, doc) rows carrying
+    * `__tf`/`__df`/`__dl`/`__n`/`__avgdl` — shared by the in-memory and
+    * persisted access paths so their scores are bit-identical by
+    * construction. Contributions fold in TERM ORDER (sorted array fold,
+    * not a float `sum()`), so the per-doc score is reproducible on any
+    * engine and partitioning. */
+  private def scoreMatched(matched: DataFrame, docIdCol: String,
+      k1: Double, b: Double): DataFrame =
+    matched
       .withColumn("__idf",
         log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
           (col("__df") + lit(0.5))))
@@ -67,13 +79,72 @@ object Hybrid {
         col("__idf") * col("__tf") * (lit(k1) + lit(1.0)) /
           (col("__tf") + lit(k1) *
             (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))))
-    // fold contributions in term order: bit-identical on any engine,
-    // unlike sum() whose float accumulation order is partition-dependent
-    matched.groupBy(col("query_id"), col("__did"))
+      .groupBy(col("query_id"), col("__did"))
       .agg(aggregate(
         array_sort(collect_list(struct(col("__t"), col("__contrib")))),
         lit(0.0), (acc, x) => acc + x("__contrib")).as("bm25"))
       .withColumnRenamed("__did", docIdCol)
+
+  // ---------------- persisted inverted index ----------------
+
+  /** Handle to a layout persisted by [[persistPostings]]. */
+  final case class PersistedPostings(path: String, buckets: Int)
+
+  /** Persist the BM25 inverted index: postings `(term, doc, tf)`
+    * denormalized with their term's df and their doc's dl (those joins
+    * happen once at build, not per query) and partitioned by term-hash
+    * bucket; corpus-level stats (N, avgdl) go to a one-row side file,
+    * FREEZING the scoring statistics the way [[Ann.persistIvf]] freezes
+    * centroids. A query batch's terms then prune at the file listing —
+    * the on-disk inverted-index access path: a query opens only its own
+    * terms' posting buckets of a 100 TB index. */
+  def persistPostings(corpus: DataFrame, docIdCol: String,
+      docTextCol: String, path: String,
+      buckets: Int = 64): PersistedPostings = {
+    val dterms = corpus
+      .select(col(docIdCol).as("__did"),
+        explode(split(lower(trim(col(docTextCol))), "\\s+")).as("__t"))
+      .filter(col("__t") =!= "")
+    val tf = dterms.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
+    val dl = dterms.groupBy("__did").agg(count(lit(1)).as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), avg("__dl").as("__avgdl"))
+    val dft = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    tf.join(dft, "__t").join(dl, "__did")
+      .withColumn("__tbucket",
+        pmod(xxhash64(col("__t")), lit(buckets.toLong)).cast("int"))
+      // one writer per bucket dir (the persistSignLsh discipline)
+      .repartition(col("__tbucket"))
+      .write.mode("overwrite").partitionBy("__tbucket").parquet(path)
+    stats.coalesce(1).write.mode("overwrite").parquet(path + "_stats")
+    PersistedPostings(path, buckets)
+  }
+
+  /** BM25 over a [[persistPostings]] layout — same output contract and
+    * bit-identical scores as [[bm25]] (shared [[scoreMatched]], frozen
+    * build-time stats). The query batch's distinct (term, bucket) pairs
+    * are collected (tiny by contract: queries × short query texts) and
+    * become the partition IN-list + pushed term filter that prune the
+    * posting scan to the queries' own buckets. */
+  def bm25Persisted(spark: SparkSession, idx: PersistedPostings,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      docIdCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(
+          split(lower(trim(col(queryTextCol))), "\\s+"))).as("__t"))
+      .filter(col("__t") =!= "")
+    val tw = qterms
+      .select(col("__t"), pmod(xxhash64(col("__t")),
+        lit(idx.buckets.toLong)).cast("int").as("__tbucket"))
+      .distinct().collect()
+    val terms = tw.map(_.getString(0)).toSeq
+    val bs = tw.map(_.getInt(1)).distinct.toSeq
+    val stats = spark.read.parquet(idx.path + "_stats")
+    val postings = spark.read.parquet(idx.path)
+      .filter(col("__tbucket").isin(bs: _*) && col("__t").isin(terms: _*))
+    val matched = postings.join(broadcast(qterms), "__t")
+      .crossJoin(broadcast(stats))
+    scoreMatched(matched, docIdCol, k1, b)
   }
 
   /** Generic RRF fusion of ANY per-query rankings — each leg a DataFrame
@@ -116,23 +187,58 @@ object Hybrid {
       metric: Metric = Metric.Cosine): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(queryTextCol).as("__qtext"), col(queryVecCol).as("__qvec"))
+    val kw = bm25(corpus, q, "query_id", "__qtext", docIdCol, docTextCol,
+      k1, b)
+    fuseVecKw(vectorLeg(corpus, q, docIdCol, docVecCol, n, metric),
+      kwLeg(kw, docIdCol, n), docIdCol, k, rrfK)
+  }
+
+  /** [[hybridTopK]] with the keyword leg served from a
+    * [[persistPostings]] layout — identical output by construction
+    * (shared legs + fusion, bit-identical BM25), but the keyword side
+    * reads only the query terms' posting buckets instead of rebuilding
+    * the inverted index per batch. */
+  def hybridTopKPersistedKw(spark: SparkSession, idx: PersistedPostings,
+      corpus: DataFrame, queries: DataFrame,
+      queryIdCol: String, queryTextCol: String, queryVecCol: String,
+      docIdCol: String, docVecCol: String,
+      n: Int, k: Int, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75,
+      metric: Metric = Metric.Cosine): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(queryTextCol).as("__qtext"), col(queryVecCol).as("__qvec"))
+    val kw = bm25Persisted(spark, idx, q, "query_id", "__qtext",
+      docIdCol, k1, b)
+    fuseVecKw(vectorLeg(corpus, q, docIdCol, docVecCol, n, metric),
+      kwLeg(kw, docIdCol, n), docIdCol, k, rrfK)
+  }
+
+  /** Exact vector top-n per query (swap in an [[Ann]] probe at scale). */
+  private def vectorLeg(corpus: DataFrame, q: DataFrame, docIdCol: String,
+      docVecCol: String, n: Int, metric: Metric): DataFrame = {
     val wv = Window.partitionBy("query_id")
       .orderBy(Knn.scoreOrder(col("__score"), metric), col("__did").asc)
-    val vec = corpus.filter(col(docVecCol).isNotNull)
+    corpus.filter(col(docVecCol).isNotNull)
       .select(col(docIdCol).as("__did"), col(docVecCol).as("__dvec"))
       .crossJoin(broadcast(q.select("query_id", "__qvec")))
       .withColumn("__score", VF.distance(col("__dvec"), col("__qvec"), metric))
       .withColumn("__rv", row_number().over(wv))
       .filter(col("__rv") <= n)
       .select("query_id", "__did", "__rv")
+  }
+
+  private def kwLeg(bm25Scores: DataFrame, docIdCol: String,
+      n: Int): DataFrame = {
     val wb = Window.partitionBy("query_id")
       .orderBy(col("bm25").desc, col("__did").asc)
-    val kw = bm25(corpus, q, "query_id", "__qtext", docIdCol, docTextCol,
-        k1, b)
-      .withColumnRenamed(docIdCol, "__did")
+    bm25Scores.withColumnRenamed(docIdCol, "__did")
       .withColumn("__rb", row_number().over(wb))
       .filter(col("__rb") <= n)
       .select("query_id", "__did", "__rb")
+  }
+
+  private def fuseVecKw(vec: DataFrame, kw: DataFrame, docIdCol: String,
+      k: Int, rrfK: Int): DataFrame = {
     val fused = vec.join(kw, Seq("query_id", "__did"), "full_outer")
       .withColumn("__rrf",
         coalesce(lit(1.0) / (lit(rrfK) + col("__rv")), lit(0.0)) +

@@ -69,6 +69,32 @@ class HybridSpec extends SparkSpec {
     assert(out.toSeq === Seq((1, 5L), (2, 9L), (3, 8L), (4, 7L)))
   }
 
+  test("persisted postings: bm25 bit-identical, scan pruned to query terms") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" >= 3 && $"doc_id" < 200)
+      .select("doc_id", "text")
+    val q = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" < 3).select($"doc_id".as("qid"), $"text".as("qtext"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ppost")
+      .toString + "/idx"
+    val idx = Hybrid.persistPostings(docs, "doc_id", "text", path,
+      buckets = 32)
+    val mem = Hybrid.bm25(docs, q, "qid", "qtext", "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    spark.sharedState.cacheManager.clearCache()
+    val onDisk = Hybrid.bm25Persisted(spark, idx, q, "qid", "qtext",
+      "doc_id")
+    val disk = onDisk.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(disk === mem && disk.nonEmpty,
+      "persisted BM25 must be bit-identical to the in-memory leg")
+    // the posting scan prunes to the query terms' hash buckets
+    val plan = onDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__tbucket"),
+      s"posting scan must prune by term bucket:\n${plan.take(2000)}")
+  }
+
   test("fused output is deterministic under repartitioning") {
     val q = Seq((0L, "spark lake", Seq(0.5f, 0.5f)))
       .toDF("qid", "qtext", "qvec")

@@ -353,6 +353,9 @@ class PersistedLayoutSpec extends SparkSpec {
     GraphAnn.repruneBuckets(spark, pg, live, "vec_id", "embedding")
     assert(GraphAnn.loadTombstones(spark, pg).isEmpty,
       "reprune must drop the compacted tombstone table")
+    assert(GraphAnn.repruneBuckets(spark, pg, live, "vec_id",
+        "embedding") === 0,
+      "a repruned layout has nothing left to rewrite — idempotent")
     val edges = spark.read.parquet(path).select("__src", "__dst")
       .as[(Long, Long)].collect()
     assert(!edges.exists(e => e._1 == victim || e._2 == victim),
