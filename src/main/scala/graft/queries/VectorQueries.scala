@@ -74,6 +74,52 @@ object VectorQueries {
           col("doc_id"), col("in_vec"), col("in_kw"))
         .orderBy("query_id", "rnk")
     }),
+    // CDF maintenance of the persisted inverted index: one change batch
+    // inserts docs [3,10), deletes 20 and rewrites 30's text; scoring
+    // stats stay FROZEN (build-time df/N/avgdl, the frozen-centroid
+    // contract), new postings take their term's frozen df (0 when
+    // unseen at build), and every bucket holding a changed doc's old
+    // postings is rewritten without them. The oracle rebuilds frozen
+    // stats from the initial corpus and replays post-change BM25
+    // rankings end to end.
+    "hybrid_kw_synced" -> ((s, dir) => {
+      import graft.index.ChangeLog
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+      val initial = d.filter(col("doc_id") >= 10 && col("doc_id") < 200)
+        .select("doc_id", "text")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ppsync/" +
+        dir.replaceAll("[^0-9.]", "")
+      val idx = graft.search.Hybrid.persistPostings(initial, "doc_id",
+        "text", root, buckets = 32)
+      // driver-side text literal for the update — the queryVector pattern
+      val newText = d.filter(col("doc_id") === 3)
+        .select("text").head().getString(0)
+      val changes = d.filter(col("doc_id") >= 3 && col("doc_id") < 10)
+        .select("doc_id", "text")
+        .withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(1L))
+        .unionByName(d.filter(col("doc_id") === 20)
+          .select("doc_id", "text")
+          .withColumn("__op", lit(ChangeLog.OpDelete))
+          .withColumn("__seq", lit(2L)))
+        .unionByName(d.filter(col("doc_id") === 30)
+          .select(col("doc_id"), lit(newText).as("text"))
+          .withColumn("__op", lit(ChangeLog.OpUpdate))
+          .withColumn("__seq", lit(3L)))
+      graft.search.Hybrid.syncPersistedPostings(s, idx, changes,
+        "doc_id", "text")
+      val q = d.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      graft.search.Hybrid.bm25Persisted(s, idx, q, "qid", "qtext",
+          "doc_id")
+        .withColumn("rnk", row_number().over(Window
+          .partitionBy("query_id")
+          .orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select("query_id", "rnk", "doc_id")
+        .orderBy("query_id", "rnk")
+    }),
     // Hybrid AT SCALE: the vector leg comes from the deterministic-IVF
     // probe (nProbe=4 of 16 cells) instead of the exact cross join, the
     // keyword leg stays the inverted-index BM25, and Hybrid.rrfFuse
@@ -222,6 +268,67 @@ object VectorQueries {
   )
 
   private val baseOracleSql: Map[String, String] = Map(
+    // Frozen build-time stats (df/N/avgdl from the initial corpus),
+    // post-change posting set (initial minus changed docs, plus
+    // new/updated docs' postings at frozen df — COALESCE 0 for terms
+    // unseen at build), then the standard ordered-fold BM25 replay.
+    "hybrid_kw_synced" ->
+      """WITH initial AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id >= 10 AND doc_id < 200),
+        |itok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM initial),
+        |itf AS (SELECT doc_id, t, count(*) AS tf FROM itok
+        |        WHERE t <> '' GROUP BY 1, 2),
+        |idl AS (SELECT doc_id, count(*) AS dl FROM itok
+        |        WHERE t <> '' GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM idl),
+        |fdf AS (SELECT t, count(*) AS df FROM itf GROUP BY t),
+        |newdocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id >= 3 AND doc_id < 10
+        |  UNION ALL
+        |  SELECT 30 AS doc_id,
+        |    (SELECT text FROM documents WHERE doc_id = 3) AS text),
+        |ntok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM newdocs),
+        |ntf AS (SELECT doc_id, t, count(*) AS tf FROM ntok
+        |        WHERE t <> '' GROUP BY 1, 2),
+        |ndl AS (SELECT doc_id, count(*) AS dl FROM ntok
+        |        WHERE t <> '' GROUP BY 1),
+        |post AS (
+        |  SELECT i.doc_id, i.t, i.tf, f.df, l.dl
+        |  FROM itf i JOIN fdf f USING (t) JOIN idl l USING (doc_id)
+        |  WHERE i.doc_id NOT IN (20, 30)
+        |  UNION ALL
+        |  SELECT n.doc_id, n.t, n.tf, COALESCE(f.df, 0) AS df, l.dl
+        |  FROM ntf n LEFT JOIN fdf f USING (t)
+        |  JOIN ndl l USING (doc_id)),
+        |qt AS (
+        |  SELECT DISTINCT doc_id AS query_id, t FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM documents WHERE doc_id < 3) WHERE t <> ''),
+        |m AS (
+        |  SELECT qt.query_id, p.doc_id AS did, p.t,
+        |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS contrib
+        |  FROM post p JOIN qt USING (t) CROSS JOIN stats),
+        |bm AS (
+        |  SELECT query_id, did,
+        |    list_reduce(list_prepend(0.0, list(contrib ORDER BY t)),
+        |      (a, x) -> a + x) AS bm25
+        |  FROM m GROUP BY 1, 2)
+        |SELECT query_id, rnk, did AS doc_id FROM (
+        |  SELECT query_id, did,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25 DESC, did) AS BIGINT) AS rnk
+        |  FROM bm)
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "hybrid_ivf_rrf" ->
       """WITH allrows AS (
         |  SELECT d.doc_id, d.text, e.embedding

@@ -119,6 +119,72 @@ object Hybrid {
     PersistedPostings(path, buckets)
   }
 
+  /** CDF-batch maintenance of a [[persistPostings]] layout — the
+    * keyword leg's [[Ann.syncPersistedIvf]]. Scoring statistics stay
+    * FROZEN (build-time df/N/avgdl — the frozen-centroid contract:
+    * adding docs never re-weights terms, rebuild to re-train); a new or
+    * updated doc's postings take their term's frozen df (0 for terms
+    * unseen at build), and every bucket holding a changed doc's old
+    * postings is rewritten without them — updates and deletes leave no
+    * stale scoring rows, no tombstones needed. Only touched term-bucket
+    * dirs rewrite (dynamic partition overwrite); a delta batch touches
+    * the buckets of its own docs' terms, not the whole index. */
+  def syncPersistedPostings(spark: SparkSession, idx: PersistedPostings,
+      changes: DataFrame, docIdCol: String, docTextCol: String): Unit = {
+    import graft.index.ChangeLog
+    val layout = spark.read.parquet(idx.path)
+    val latest = ChangeLog.latestPerPk(changes, docIdCol)
+    val upserts = latest.filter(col("__op") =!= ChangeLog.OpDelete)
+      .drop("__op", "__seq").filter(col(docTextCol).isNotNull)
+    val changedPks = latest.select(col(docIdCol).as("__did"))
+    val dterms = upserts
+      .select(col(docIdCol).as("__did"),
+        explode(split(lower(trim(col(docTextCol))), "\\s+")).as("__t"))
+      .filter(col("__t") =!= "")
+    val tf = dterms.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
+    val dl = dterms.groupBy("__did").agg(count(lit(1)).as("__dl"))
+    // frozen per-term df from the layout itself (denormalized there);
+    // terms unseen at build take df = 0
+    val frozenDf = layout.select("__t", "__df").distinct()
+    val newPost = tf.join(dl, "__did")
+      .join(frozenDf, Seq("__t"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(0L)))
+      .withColumn("__tbucket",
+        pmod(xxhash64(col("__t")), lit(idx.buckets.toLong)).cast("int"))
+    // affected buckets: any holding a changed doc's OLD postings, plus
+    // every bucket receiving new rows — driver-small (≤ buckets)
+    val affected = layout.join(changedPks, layout("__did") === changedPks("__did"),
+        "left_semi")
+      .select("__tbucket")
+      .union(newPost.select("__tbucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (affected.isEmpty) return
+    val current = layout.filter(col("__tbucket").isin(affected: _*))
+    val merged = current
+      .join(changedPks, current("__did") === changedPks("__did"),
+        "left_anti")
+      .unionByName(newPost.select(current.columns.map(col): _*))
+      .localCheckpoint(true) // materialize before overwriting the source
+    merged
+      .repartition(col("__tbucket")) // one writer per rewritten dir
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__tbucket").parquet(idx.path)
+    // drop affected dirs whose rows all went away (dynamic overwrite
+    // would leave them stale)
+    val left = merged.select("__tbucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val emptied = affected.filterNot(left)
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(idx.path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${idx.path}/__tbucket=$b"), true)
+      }
+    }
+  }
+
   /** BM25 over a [[persistPostings]] layout — same output contract and
     * bit-identical scores as [[bm25]] (shared [[scoreMatched]], frozen
     * build-time stats). The query batch's distinct (term, bucket) pairs

@@ -95,6 +95,52 @@ class HybridSpec extends SparkSpec {
       s"posting scan must prune by term bucket:\n${plan.take(2000)}")
   }
 
+  test("postings sync: frozen df, changed docs replaced, deletes gone") {
+    import graft.index.ChangeLog
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val initial = d.filter($"doc_id" >= 10 && $"doc_id" < 200)
+      .select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_ppsync")
+      .toString + "/idx"
+    val idx = Hybrid.persistPostings(initial, "doc_id", "text", path,
+      buckets = 32)
+    val frozen = spark.read.parquet(path).select("__t", "__df")
+      .distinct().as[(String, Long)].collect().toMap
+    val statsBefore = spark.read.parquet(path + "_stats").head()
+    val newText = d.filter($"doc_id" === 3).select("text")
+      .head().getString(0)
+    val changes = d.filter($"doc_id" >= 3 && $"doc_id" < 10)
+      .select("doc_id", "text")
+      .withColumn("__op", lit(ChangeLog.OpInsert))
+      .withColumn("__seq", lit(1L))
+      .unionByName(d.filter($"doc_id" === 20).select("doc_id", "text")
+        .withColumn("__op", lit(ChangeLog.OpDelete))
+        .withColumn("__seq", lit(2L)))
+      .unionByName(d.filter($"doc_id" === 30)
+        .select($"doc_id", lit(newText).as("text"))
+        .withColumn("__op", lit(ChangeLog.OpUpdate))
+        .withColumn("__seq", lit(3L)))
+    Hybrid.syncPersistedPostings(spark, idx, changes, "doc_id", "text")
+    val after = spark.read.parquet(path)
+      .select($"__did", $"__t", $"__tf", $"__df")
+      .as[(Long, String, Long, Long)].collect()
+    assert(!after.exists(_._1 == 20L), "deleted doc's postings gone")
+    assert((3L to 9L).forall(i => after.exists(_._1 == i)),
+      "inserted docs have postings")
+    // the updated doc's postings are its NEW text's — identical (t, tf)
+    // set to doc 3, which was inserted with the same text
+    val d3 = after.filter(_._1 == 3L).map(r => (r._2, r._3)).toSet
+    val d30 = after.filter(_._1 == 30L).map(r => (r._2, r._3)).toSet
+    assert(d30 === d3 && d30.nonEmpty,
+      "update must replace old postings with the new text's")
+    // every new posting carries its term's FROZEN df (0 if unseen)
+    for ((did, t, _, df) <- after if did < 10 || did == 30L)
+      assert(df === frozen.getOrElse(t, 0L),
+        s"doc $did term '$t': df $df != frozen ${frozen.get(t)}")
+    assert(spark.read.parquet(path + "_stats").head() === statsBefore,
+      "corpus stats stay frozen across syncs")
+  }
+
   test("fused output is deterministic under repartitioning") {
     val q = Seq((0L, "spark lake", Seq(0.5f, 0.5f)))
       .toDF("qid", "qtext", "qvec")
