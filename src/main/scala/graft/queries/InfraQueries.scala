@@ -383,6 +383,69 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // IVF-PQ THROUGH the persisted cell-partitioned layout: one parquet
+    // layout holds (pk, vector, codes); the coarse ADC stage's scan
+    // reads ONLY the code column of the probed cell dirs (columnar
+    // pruning x partition pruning — the two 100 TB wins composed) and
+    // the refine joins the vector column back for the k*c survivors.
+    // Identical results to rerankOverIvf by construction (spec-
+    // asserted) -> shares ann_ivfpq_topk's oracle.
+    "ann_ivfpq_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val index = Ann.buildIvfDeterministic(corpus, "embedding",
+        "vec_id", 16)
+      val cb = graft.search.Pq.fit(corpus, "embedding", "vec_id",
+        m = 16, k = 32)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pivfpq/" +
+        dir.replaceAll("[^0-9.]", "")
+      val idx = graft.search.Pq.persistIvfPq(index, cb, "embedding", root)
+      graft.search.Pq.queryPersistedIvfPq(s, idx,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, c = 4, nProbe = 4,
+          metric = Metric.Cosine)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // CDF maintenance of the persisted IVF-PQ layout under the frozen
+    // centroid + codebook contract: delete ten docs (their cell dirs
+    // rewrite without them), then re-insert them from the source in a
+    // second batch (encoded with the PERSISTED codebooks, assigned
+    // with the PERSISTED centroids). The final index must be
+    // bit-identical to the never-touched build -> shares
+    // ann_ivfpq_topk's oracle; the hash check proves delete + insert
+    // round-trip losslessly through the delta path. True delete
+    // semantics (rows physically gone between batches) are asserted in
+    // PersistedIvfSpec.
+    "ann_ivfpq_synced" -> ((s, dir) => {
+      import graft.index.ChangeLog
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val index = Ann.buildIvfDeterministic(corpus, "embedding",
+        "vec_id", 16)
+      val cb = graft.search.Pq.fit(corpus, "embedding", "vec_id",
+        m = 16, k = 32)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pivfpqs/" +
+        dir.replaceAll("[^0-9.]", "")
+      val idx = graft.search.Pq.persistIvfPq(index, cb, "embedding", root)
+      val victims = corpus.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+      graft.search.Pq.syncPersistedIvfPq(s, idx,
+        victims.withColumn("__op", lit(ChangeLog.OpDelete))
+          .withColumn("__seq", lit(1L)),
+        "vec_id", "embedding")
+      graft.search.Pq.syncPersistedIvfPq(s, idx,
+        victims.withColumn("__op", lit(ChangeLog.OpInsert))
+          .withColumn("__seq", lit(2L)),
+        "vec_id", "embedding")
+      graft.search.Pq.queryPersistedIvfPq(s, idx,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, c = 4, nProbe = 4,
+          metric = Metric.Cosine)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // Graph ANN (the HNSW stand-in) at REALISTIC parameters: exact
     // 6-NN graph on a bounded corpus block, then 3 hops of BEST-FIRST
     // beam-4 search (visited-set expansion, HNSW's discipline) from
@@ -1760,6 +1823,8 @@ object InfraQueries {
       ("ann_signlsh_persisted" -> baseOracleSql("ann_signlsh_topk")) +
       ("ann_graph_persisted" -> baseOracleSql("ann_graph_topk")) +
       ("ann_sq8_persisted" -> baseOracleSql("ann_sq8_rerank")) +
+      ("ann_ivfpq_persisted" -> baseOracleSql("ann_ivfpq_topk")) +
+      ("ann_ivfpq_synced" -> baseOracleSql("ann_ivfpq_topk")) +
       ("ann_ivf_synced_balanced" -> baseOracleSql("ann_ivf_synced")) +
       ("ann_graph_layered_persisted" ->
         baseOracleSql("ann_graph_layered_topk"))

@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Product quantization — the second compression leg next to [[Sq8]],
   * and the codebook-based one real vector stores pair with IVF (the
@@ -127,6 +127,120 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(corpusPkCol), col("score"))
       .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  // ------- persisted cell-partitioned layout (FAISS IVFPQ on disk) -------
+
+  /** Handle to a [[persistIvfPq]] layout. */
+  final case class PersistedIvfPq(path: String)
+
+  /** Persist the IVF-PQ index as ONE cell-partitioned layout holding
+    * `(pk, vector, __codes)` — the on-disk form of the FAISS IVFPQ
+    * composition. Parquet is columnar, so the two stages of
+    * [[queryPersistedIvfPq]] read disjoint bytes of the same files:
+    * the coarse ADC stage scans only the m-int code column (~32×
+    * smaller than the floats) and the refine reads the vector column
+    * for just the k·c survivors — while unprobed cell DIRECTORIES are
+    * pruned for both at the file listing, exactly like
+    * [[Ann.persistIvf]]. Codebooks are persisted beside the centroids
+    * (`path + "_codebooks"`) so the layout is self-contained: queries
+    * and [[syncPersistedIvfPq]] reload them instead of refitting —
+    * the frozen-codebook contract. A [[Ann.balanceCells]]-split index
+    * persists (cell, subcell) dirs like the plain IVF layout. */
+  def persistIvfPq(index: Ann.IvfIndex, cb: Codebooks, vecCol: String,
+      path: String): PersistedIvfPq = {
+    val withCodes = index.corpusWithCell
+      .withColumn("__codes", encode(col(vecCol), cb))
+    Ann.persistIvf(Ann.IvfIndex(withCodes, index.centroids, index.splits),
+      path)
+    val spark = index.corpusWithCell.sparkSession
+    import spark.implicits._
+    val rows = for { s <- 0 until cb.m; j <- 0 until cb.k }
+      yield (s, j, cb.cb(s)(j).toSeq)
+    rows.toDF("__s", "__j", "__comps").coalesce(1)
+      .write.mode("overwrite").parquet(path + "_codebooks")
+    PersistedIvfPq(path)
+  }
+
+  /** Reload persisted codebooks — m·k rows, driver-small like the
+    * centroid side file. */
+  def loadCodebooks(spark: SparkSession, path: String): Codebooks = {
+    val rows = spark.read.parquet(path + "_codebooks")
+      .select("__s", "__j", "__comps").collect()
+    require(rows.nonEmpty, s"no codebooks at ${path}_codebooks")
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val dsub = rows.head.getSeq[Long](2).length
+    val cb = Array.ofDim[Long](m, k, dsub)
+    rows.foreach { r =>
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray
+    }
+    Codebooks(m, dsub, k, cb)
+  }
+
+  /** [[rerankOverIvf]] over a [[persistIvfPq]] layout — identical
+    * semantics, three physical prunes composed on disk: probe →
+    * partition pruning (unprobed cell dirs never opened) → coarse ADC
+    * scan whose ReadSchema carries only the code column → exact refine
+    * joining the vector column back for the k·c survivors (broadcast:
+    * the survivor set is bounded by queries × k·c). */
+  def queryPersistedIvfPq(spark: SparkSession, idx: PersistedIvfPq,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      corpusPkCol: String, corpusVecCol: String, k: Int, c: Int,
+      nProbe: Int, metric: Metric = Metric.Cosine): DataFrame = {
+    val cb = loadCodebooks(spark, idx.path)
+    val cents = spark.read.parquet(idx.path + "_centroids")
+    val q = queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qvec"),
+        intQuant(col(queryVecCol)).as("__qint"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("__cdist", VF.l2(col("__qvec"), col("__centroid")))
+      .withColumn("__cr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__cdist").asc,
+          col("__cell").asc)))
+      .filter(col("__cr") <= nProbe)
+      .select(col("query_id"), col("__qvec"), col("__qint"), col("__cell"))
+    val cells = probed.select("__cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val codes = spark.read.parquet(idx.path)
+      .filter(col("__cell").isin(cells: _*))
+      .select(col("__cell"), col(corpusPkCol), col("__codes"))
+    val coarse = codes.join(broadcast(probed), Seq("__cell"))
+      .withColumn("__adc", adc(col("__codes"), col("__qint"), cb))
+      .withColumn("__crk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("__adc").asc, col(corpusPkCol).asc)))
+      .filter(col("__crk") <= k * c)
+      .select(col("query_id"), col("__qvec"), col("__cell"),
+        col(corpusPkCol))
+    val full = spark.read.parquet(idx.path)
+      .filter(col("__cell").isin(cells: _*))
+      .select(col("__cell"), col(corpusPkCol), col(corpusVecCol))
+    val scored = full.join(broadcast(coarse), Seq("__cell", corpusPkCol))
+      .withColumn("score",
+        VF.distance(col(corpusVecCol), col("__qvec"), metric))
+    val w = Window.partitionBy("query_id")
+      .orderBy(Knn.scoreOrder(col("score"), metric), col(corpusPkCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(corpusPkCol), col("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** CDF maintenance of a [[persistIvfPq]] layout: centroids AND
+    * codebooks stay FROZEN (the FAISS contract — adding vectors never
+    * re-trains; rebuild to re-train), the delta batch is encoded with
+    * the persisted codebooks and handed to [[Ann.syncPersistedIvf]],
+    * which assigns cells with the persisted centroids and rewrites
+    * only the touched cell dirs (deletes, updates and cell migration
+    * included). */
+  def syncPersistedIvfPq(spark: SparkSession, idx: PersistedIvfPq,
+      changes: DataFrame, pkCol: String, vecCol: String): Unit = {
+    val cb = loadCodebooks(spark, idx.path)
+    Ann.syncPersistedIvf(spark, Ann.PersistedIvf(idx.path),
+      changes.withColumn("__codes", encode(col(vecCol), cb)),
+      pkCol, vecCol)
   }
 
   /** PQ retrieve-then-rerank: coarse top-k·c per query by ADC over the

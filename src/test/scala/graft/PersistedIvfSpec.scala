@@ -104,6 +104,70 @@ class PersistedIvfSpec extends SparkSpec {
     untouched.foreach(k => assert(before(k) === after(k)))
   }
 
+  test("persisted IVF-PQ: codes-only coarse scan, disk == mem, " +
+      "delete+reinsert round-trips") {
+    import graft.index.ChangeLog
+    import graft.search.Pq
+    val path = Files.createTempDirectory("graft_pivfpq_t").toString + "/idx"
+    val built = Ann.buildIvfDeterministic(corpus, "embedding", "vec_id", 8)
+    val cb = Pq.fit(corpus, "embedding", "vec_id", m = 16, k = 16)
+    val idx = Pq.persistIvfPq(built, cb, "embedding", path)
+
+    // codebooks round-trip through the side file
+    val loaded = Pq.loadCodebooks(spark, path)
+    assert(loaded.m === cb.m && loaded.dsub === cb.dsub &&
+      loaded.k === cb.k)
+    assert(loaded.cb.flatten.flatten.toSeq === cb.cb.flatten.flatten.toSeq)
+
+    spark.sharedState.cacheManager.clearCache()
+    val out = Pq.queryPersistedIvfPq(spark, idx, queries, "vec_id",
+      "embedding", "vec_id", "embedding", k = 3, c = 4, nProbe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__cell"),
+      s"probe must prune by partition:\n${plan.take(2000)}")
+    // the coarse ADC scan reads the code column, never the vectors —
+    // the 32x columnar win, on disk
+    val codeScans = plan.linesIterator
+      .filter(l => l.contains("__codes") && l.contains("ReadSchema"))
+      .mkString("\n")
+    assert(codeScans.nonEmpty && !codeScans.contains("embedding"),
+      s"coarse scan must not touch the vector column:\n$codeScans")
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val mem = key(Pq.rerankOverIvf(built, queries, "vec_id", "embedding",
+      "vec_id", "embedding", k = 3, c = 4, cb, nProbe = 2))
+    assert(key(out) === mem && mem.nonEmpty)
+
+    // delete-only sync physically removes the rows from the cell dirs…
+    val snapshot = spark.read.parquet(path)
+      .select($"vec_id", $"__cell", $"__codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2))).toSet
+    val victims = corpus.filter($"vec_id" >= 20 && $"vec_id" < 25)
+    Pq.syncPersistedIvfPq(spark, idx,
+      victims.withColumn("__op", lit(ChangeLog.OpDelete))
+        .withColumn("__seq", lit(1L)),
+      "vec_id", "embedding")
+    val afterDel = spark.read.parquet(path).select("vec_id")
+      .as[Long].collect().toSet
+    assert((20L until 25L).forall(v => !afterDel.contains(v)),
+      "deleted pks must leave the layout")
+    // …and re-inserting them from source restores the exact build:
+    // same cells (frozen centroids), same codes (frozen codebooks)
+    Pq.syncPersistedIvfPq(spark, idx,
+      victims.withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(2L)),
+      "vec_id", "embedding")
+    val restored = spark.read.parquet(path)
+      .select($"vec_id", $"__cell", $"__codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2))).toSet
+    assert(restored === snapshot,
+      "delete + re-insert must round-trip to the original layout")
+  }
+
   test("syncPersistedIvf on a balanced (sub-celled) layout == rebuild") {
     import graft.index.ChangeLog
     val path = Files.createTempDirectory("graft_pivf_bal").toString + "/idx"
