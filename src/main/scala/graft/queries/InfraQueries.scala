@@ -136,6 +136,47 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // The persisted-IVF delta path driven by Structured Streaming: the
+    // change journal is an append-only parquet dir drained with
+    // Trigger.AvailableNow in bounded micro-batches (maxFilesPerTrigger
+    // = 1), each handed to syncPersistedIvf — the reference's TRIGGERED
+    // CDF pipeline, here targeting the on-disk ANN index directly. The
+    // two journal files carry disjoint pks (insert 5..14 | delete 20),
+    // so the final layout is batch-order-independent and identical to
+    // the one-shot sync -> shares ann_ivf_synced's oracle.
+    "ann_ivf_stream_synced" -> ((s, dir) => {
+      import graft.index.ChangeLog
+      val e = emb(s, dir)
+      val initial = e.filter(col("vec_id") >= 15)
+      val built = Ann.buildIvfDeterministic(initial, "embedding",
+        "vec_id", 16)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pivfstr/" +
+        dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh replay
+      Ann.persistIvf(built, s"$root/idx")
+      val inserts = e.filter(col("vec_id") >= 5 && col("vec_id") < 15)
+        .withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(1L))
+      val dels = e.filter(col("vec_id") === 20)
+        .withColumn("__op", lit(ChangeLog.OpDelete))
+        .withColumn("__seq", lit(2L))
+      inserts.coalesce(1).write.mode("append").parquet(s"$root/journal")
+      dels.coalesce(1).write.mode("append").parquet(s"$root/journal")
+      graft.streaming.IndexSync.layoutSyncOnce(s, s"$root/journal",
+        inserts.schema, s"$root/ckpt",
+        Map("maxFilesPerTrigger" -> "1")) { batch =>
+        Ann.syncPersistedIvf(s, Ann.PersistedIvf(s"$root/idx"), batch,
+          "vec_id", "embedding")
+      }
+      Ann.queryPersistedIvf(s, Ann.PersistedIvf(s"$root/idx"),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, nProbe = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // IVF at full probe (nProbe = #cells) degrades to exact KNN by
     // construction — which makes THIS ann path oracle-checkable: the
     // DuckDB oracle is the plain batch-KNN SQL. Proves the
@@ -1826,6 +1867,7 @@ object InfraQueries {
       ("ann_ivfpq_persisted" -> baseOracleSql("ann_ivfpq_topk")) +
       ("ann_ivfpq_synced" -> baseOracleSql("ann_ivfpq_topk")) +
       ("ann_ivf_synced_balanced" -> baseOracleSql("ann_ivf_synced")) +
+      ("ann_ivf_stream_synced" -> baseOracleSql("ann_ivf_synced")) +
       ("ann_graph_layered_persisted" ->
         baseOracleSql("ann_graph_layered_topk"))
 }

@@ -45,6 +45,42 @@ object IndexSync {
     q.awaitTermination()
   }
 
+  /** TRIGGERED-style maintenance for any persisted layout — the
+    * streaming driver behind [[graft.search.Ann.syncPersistedIvf]],
+    * [[graft.search.Pq.syncPersistedIvfPq]],
+    * [[graft.search.GraphAnn.syncPersistedGraph]] and
+    * [[graft.search.Hybrid.syncPersistedPostings]]: the journal dir
+    * streams ChangeLog rows and each micro-batch is handed to the
+    * layout's own sync, so the frozen-artifact contract (centroids,
+    * codebooks, df stats, graph edges) is preserved batch by batch and
+    * only touched partition dirs rewrite per trigger. `readerOptions`
+    * passes file-source admission control (e.g. `maxFilesPerTrigger`)
+    * for bounded micro-batches. */
+  def layoutSync(spark: SparkSession, journalDir: String,
+      journalSchema: StructType, checkpointDir: String,
+      readerOptions: Map[String, String] = Map.empty)
+      (applyBatch: DataFrame => Unit): StreamingQuery = {
+    val changes = spark.readStream
+      .schema(journalSchema)
+      .options(readerOptions)
+      .parquet(journalDir)
+    changes.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) applyBatch(batch)
+      }
+      .start()
+  }
+
+  /** Synchronous [[layoutSync]] drain: start, await completion. */
+  def layoutSyncOnce(spark: SparkSession, journalDir: String,
+      journalSchema: StructType, checkpointDir: String,
+      readerOptions: Map[String, String] = Map.empty)
+      (applyBatch: DataFrame => Unit): Unit =
+    layoutSync(spark, journalDir, journalSchema, checkpointDir,
+      readerOptions)(applyBatch).awaitTermination()
+
   /** The reference's whole ingest story as ONE streaming pipeline:
     * paginated feed → embed → delta-sync into the index, micro-batch by
     * micro-batch (reference src/databricks/syntetic_data_arxiv.py:75-129

@@ -168,6 +168,45 @@ class PersistedIvfSpec extends SparkSpec {
       "delete + re-insert must round-trip to the original layout")
   }
 
+  test("layoutSync streams the journal into the persisted layout " +
+      "in bounded micro-batches, exactly once") {
+    import graft.index.ChangeLog
+    import graft.streaming.IndexSync
+    val base = Files.createTempDirectory("graft_pivf_stream").toString
+    val initial = corpus.filter($"vec_id" >= 20)
+    val built = Ann.buildIvfDeterministic(initial, "embedding",
+      "vec_id", 8)
+    Ann.persistIvf(built, s"$base/idx")
+    val inserts = emb.filter($"vec_id" >= 10 && $"vec_id" < 15)
+      .withColumn("__op", lit(ChangeLog.OpInsert))
+      .withColumn("__seq", lit(1L))
+    val dels = emb.filter($"vec_id" === 30)
+      .withColumn("__op", lit(ChangeLog.OpDelete))
+      .withColumn("__seq", lit(2L))
+    inserts.coalesce(1).write.mode("append").parquet(s"$base/journal")
+    dels.coalesce(1).write.mode("append").parquet(s"$base/journal")
+    var batches = 0
+    IndexSync.layoutSyncOnce(spark, s"$base/journal", inserts.schema,
+      s"$base/ckpt", Map("maxFilesPerTrigger" -> "1")) { b =>
+      batches += 1
+      Ann.syncPersistedIvf(spark, Ann.PersistedIvf(s"$base/idx"), b,
+        "vec_id", "embedding")
+    }
+    assert(batches === 2,
+      "admission control must split the journal into per-file batches")
+    val ids = spark.read.parquet(s"$base/idx").select("vec_id")
+      .as[Long].collect().toSet
+    assert((10L until 15L).forall(ids.contains), "streamed inserts land")
+    assert(!ids.contains(30L), "streamed delete leaves the layout")
+    // same checkpoint, no new journal files: a re-drain delivers nothing
+    var redelivered = 0
+    IndexSync.layoutSyncOnce(spark, s"$base/journal", inserts.schema,
+      s"$base/ckpt", Map("maxFilesPerTrigger" -> "1")) { _ =>
+      redelivered += 1
+    }
+    assert(redelivered === 0, "re-drain must be a no-op (exactly-once)")
+  }
+
   test("syncPersistedIvf on a balanced (sub-celled) layout == rebuild") {
     import graft.index.ChangeLog
     val path = Files.createTempDirectory("graft_pivf_bal").toString + "/idx"
