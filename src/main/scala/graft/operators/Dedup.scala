@@ -228,6 +228,62 @@ object Dedup {
       (row_number().over(w) === 1).cast("int"))
   }
 
+  /** Connected components over an undirected pair set — the clustering
+    * stage that turns near-dup PAIRS into dedup GROUPS (keep one doc
+    * per component; the reference's dedup story stops at pairs, this
+    * is the operational completion). Distributed min-label propagation
+    * with POINTER JUMPING: each round every node takes the min label
+    * over itself and its neighbors (one hash shuffle on node id), then
+    * labels are compressed through themselves (`comp(comp(id))`),
+    * which collapses chains in O(log diameter) rounds instead of
+    * O(diameter) — the property that keeps pathological chain
+    * components from serializing a 100 TB run. No driver-side graph
+    * state: the only driver values are the per-round convergence
+    * checksums (count + label hash-sum); rounds are
+    * localCheckpoint-truncated so the plan doesn't grow with the
+    * iteration count. Returns `(id, component)` for every id
+    * appearing in `pairs`, component = min reachable id. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .union(pairs.select(col(bCol).cast("long").as("u"),
+        col(aCol).cast("long").as("v")))
+      .distinct().localCheckpoint(true)
+    var comp = edges.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u").as("id"), least(col("u"), col("mv")).as("c"))
+      .localCheckpoint(true)
+    def checksum(df: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: an order-free combiner that cannot overflow
+      // under ANSI arithmetic
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(id, c))"), lit(0L)).as("h"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = checksum(comp)
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val nbr = edges.join(comp.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id")).agg(min(col("c")).as("nc"))
+      val prop = comp.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
+      // pointer jumping: map each label through its own current label
+      val jumped = prop.join(prop.toDF("c", "cc"), Seq("c"), "left")
+        .select(col("id"),
+          least(col("c"), coalesce(col("cc"), col("c"))).as("c"))
+        .localCheckpoint(true)
+      comp = jumped
+      val cur = checksum(comp)
+      done = cur == prev
+      prev = cur
+      it += 1
+    }
+    comp.select(col("id"), col("c").as("component"))
+  }
+
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 across token
     * hashes, sign gives the bit. ONE custom-Expression pass
     * (graft.functions.SimHash64) — the previous 64x `aggregate()` HOF

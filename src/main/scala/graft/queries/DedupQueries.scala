@@ -101,6 +101,21 @@ object DedupQueries {
           algo = "md5")
         .orderBy("a_id", "b_id")
     }),
+    // Pairs -> GROUPS: connected components over the MinHash-LSH pair
+    // graph (min-label propagation + pointer jumping), then canonical
+    // keep = min doc per component — the full dedup decision, not just
+    // candidate pairs. The oracle recomputes the same pair set and
+    // closes it with a recursive CTE (component = min reachable id),
+    // so the distributed iteration is hash-checked against a
+    // transitive-closure ground truth.
+    "dedup_groups" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        threshold = 0.5, algo = "md5")
+      Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .select(col("id").as("doc_id"), col("component"),
+          (col("id") === col("component")).as("keep"))
+        .orderBy("doc_id")
+    }),
     // SimHash near-dup pairs at Hamming distance <= 6 on a bounded block,
     // in md5 mode: the oracle rebuilds identical 64-bit signatures from
     // md5() hex and compares per-bit votes — the simhash operator itself
@@ -268,6 +283,58 @@ object DedupQueries {
         |SELECT a_id, b_id, round(inter / (na + nb - inter), 4) AS jaccard
         |FROM j WHERE inter / (na + nb - inter) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // The dedup_minhash_lsh pair pipeline, closed into components with
+    // a recursive CTE: reach(id, r) = ids reachable over the symmetric
+    // pair edges, component = min(r) (self included via the seed rows).
+    "dedup_groups" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM d),
+        |mh AS (
+        |  SELECT doc_id, dd.d AS d,
+        |    min(md5(CAST(dd.d AS VARCHAR) || ' ' || s)) AS m
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS d) dd
+        |  GROUP BY doc_id, dd.d),
+        |bands AS (
+        |  SELECT doc_id, CAST(d // 4 AS INT) AS band,
+        |    md5(string_agg(m, '|' ORDER BY d)) AS bucket
+        |  FROM mh GROUP BY doc_id, d // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.doc_id < b.doc_id),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM d),
+        |j AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+        |      AS DOUBLE) AS inter,
+        |    len(ga.g) AS na, len(gb.g) AS nb
+        |  FROM cand c
+        |  JOIN g ga ON ga.doc_id = c.a_id
+        |  JOIN g gb ON gb.doc_id = c.b_id),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM j
+        |  WHERE inter / (na + nb - inter) >= 0.5),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
+        |SELECT id AS doc_id, min(r) AS component,
+        |  (id = min(r)) AS keep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // Per-bit simhash reconstruction: token -> md5 hex -> bit b of the
     // big-endian first-8-byte value via hex-nibble arithmetic (hex char
     // 16 - b/4, bit b%4 within the nibble); votes sum +1/-1 per token,

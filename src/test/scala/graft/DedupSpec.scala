@@ -88,6 +88,23 @@ class DedupSpec extends SparkSpec {
     assert(hs(1) > 0)
   }
 
+  test("connected components: chains collapse, singleton pairs stay apart") {
+    // a 30-node chain (worst case for naive propagation), a triangle
+    // with a chord, and an isolated pair — all in one edge list
+    val chain = (100L until 129L).map(i => (i, i + 1))
+    val tri = Seq((5L, 7L), (7L, 9L), (5L, 9L), (9L, 11L))
+    val pair = Seq((500L, 501L))
+    val pairs = spark.createDataFrame(chain ++ tri ++ pair)
+      .toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (100L to 129L).foreach(i => assert(comp(i) === 100L,
+      s"chain node $i must resolve to 100"))
+    Seq(5L, 7L, 9L, 11L).foreach(i => assert(comp(i) === 5L))
+    assert(comp(500L) === 500L && comp(501L) === 500L)
+    assert(comp.size === 30 + 4 + 2, "every pair node gets a component")
+  }
+
   test("exact first-wins keeps the lowest-order row per key") {
     val df = Seq((1L, "k1"), (2L, "k1"), (3L, "k2")).toDF("id", "k")
     val kept = Dedup.exactFirstWins(df, Seq("k"), "id")
