@@ -118,6 +118,38 @@ object TextAnalysis {
       regexp_replace(lower(c), "[^\\p{L}\\p{N}\\s]", " "),
       "\\s+", " "))
 
+  /** Per-document top-k keywords by TF-IDF — the classic document
+    * feature/tagging op (Sparck Jones 1972). Lower-cased whitespace
+    * tokens; idf = ln((N+1)/(df+1)) + 1 (smoothed, never negative or
+    * division-by-zero); score = tf · idf; deterministic tie-break by
+    * term. Shape at scale: one tf groupBy (shuffle on (doc, term)),
+    * one df groupBy (shuffle on term — vocabulary-sized, tiny vs the
+    * corpus), an equi-join of tf against the df table on term, and
+    * one per-doc window for the top-k. Returns
+    * `(id, rnk, term, score)`. */
+  def topTfidfTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol)).distinct().count()
+    val scored = tf.join(df, "term")
+      .withColumn("score", col("tf") *
+        (log((lit(n) + 1.0) / (col("df") + lit(1.0))) + lit(1.0)))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("rnk"), col("term"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Sliding-window chunking — RAG ingestion's shape (overlapping
     * windows keep sentence context across chunk boundaries, unlike
     * Dedup.chunkFirstWins's disjoint C4 chunks). Windows start every

@@ -40,6 +40,19 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "predicted")
     }),
+    // Per-doc top-3 TF-IDF keywords on a bounded block: smoothed idf
+    // (ln((N+1)/(df+1)) + 1), tf·idf score, deterministic term
+    // tie-break. The oracle replays tokenize → tf → df → join →
+    // window rank; ranking compares the UNROUNDED double on both
+    // engines (ln is bit-stable libm on both — the same contract the
+    // BM25 oracles rely on), output rounds to 4 dp.
+    "text_keywords" -> ((s, dir) => {
+      TextAnalysis.topTfidfTerms(
+          docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text", 3)
+        .select(col("id").as("doc_id"), col("rnk"), col("term"),
+          col("score"))
+        .orderBy("doc_id", "rnk")
+    }),
     "text_fingerprint" -> ((s, dir) => {
       docs(s, dir)
         .filter(col("doc_id") < 50)
@@ -119,6 +132,27 @@ object TextQueries {
         |       THEN 'en' ELSE 'other' END AS predicted,
         |  count(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "text_keywords" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(trim(text)) AS t FROM documents
+        |  WHERE doc_id < 200 AND text IS NOT NULL AND trim(text) <> ''),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS term
+        |  FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM d),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, rnk, term, round(score, 4) AS score FROM (
+        |  SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS BIGINT) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, list_reduce(
         |    list_prepend(CAST(0 AS BIGINT),

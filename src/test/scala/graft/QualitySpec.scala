@@ -86,6 +86,24 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("topTfidfTerms: rare terms outrank common ones, ties by term") {
+    import graft.operators.TextAnalysis
+    // "zebra" appears in 1 of 3 docs; "the" in all 3 — same tf within
+    // doc 1, so the rarer term must rank first
+    val docs = Seq(
+      (1L, "the zebra the zebra"),
+      (2L, "the cat sat"),
+      (3L, "the dog ran")).toDF("doc_id", "text")
+    val out = TextAnalysis.topTfidfTerms(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq.contains((1L, 1L, "zebra")),
+      s"zebra must be doc 1's top keyword, got ${out.toSeq}")
+    // doc 2: "cat" and "sat" tie on score (same tf, same df) ->
+    // lexicographic term order breaks the tie
+    val d2 = out.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq
+    assert(d2 === Seq("cat", "sat"), s"tie-break by term, got $d2")
+  }
+
   test("chunkFirstWins drops null/blank docs") {
     val docs = Seq((1L, null: String), (2L, "  "), (3L, "x"))
       .toDF("doc_id", "text")
