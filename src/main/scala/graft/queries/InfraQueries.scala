@@ -136,6 +136,27 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // FILTERED ANN through the persisted IVF layout — the vector-store
+    // `filters` parameter on the approximate path (the exact path is
+    // knn_filtered): the label predicate lands on the cell-pruned scan
+    // (row-group pushdown on top of partition pruning) and only
+    // matching rows are ranked. The oracle replays the deterministic
+    // probe with the same candidate-side filter.
+    "ann_ivf_filtered" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val built = Ann.buildIvfDeterministic(e.filter(col("vec_id") >= 5),
+        "embedding", "vec_id", 16)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pivffil/" +
+        dir.replaceAll("[^0-9.]", "")
+      Ann.persistIvf(built, root)
+      Ann.queryPersistedIvf(s, Ann.PersistedIvf(root),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, nProbe = 4,
+          rowFilter = Some(col("label") === 1))
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // The persisted-IVF delta path driven by Structured Streaming: the
     // change journal is an append-only parquet dir drained with
     // Trigger.AvailableNow in bounded micro-batches (maxFilesPerTrigger
@@ -740,6 +761,46 @@ object InfraQueries {
         |  SELECT p.query_id, p.qv, c.vec_id, c.embedding
         |  FROM (SELECT query_id, qv, cell FROM probe WHERE pr <= 4) p
         |  JOIN cells c USING (cell)),
+        |ranked AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id)
+        |      AS rnk
+        |  FROM cand)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // ann_ivf_topk's replay with the label predicate applied to the
+    // candidate side only (the index itself is built unfiltered).
+    "ann_ivf_filtered" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE vec_id >= 5),
+        |cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |           AS cell,
+        |         embedding AS cvec
+        |  FROM (SELECT vec_id, embedding FROM corpus
+        |        ORDER BY vec_id LIMIT 16)),
+        |asg AS (
+        |  SELECT c.vec_id, c.embedding, c.label, t.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_distance(c.embedding, t.cvec), t.cell) AS rn
+        |  FROM corpus c CROSS JOIN cents t),
+        |cells AS (SELECT vec_id, embedding, label, cell FROM asg
+        |          WHERE rn = 1),
+        |qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |probe AS (
+        |  SELECT q.query_id, q.qv, t.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_distance(q.qv, t.cvec), t.cell) AS pr
+        |  FROM qs q CROSS JOIN cents t),
+        |cand AS (
+        |  SELECT p.query_id, p.qv, c.vec_id, c.embedding
+        |  FROM (SELECT query_id, qv, cell FROM probe WHERE pr <= 4) p
+        |  JOIN cells c USING (cell)
+        |  WHERE c.label = 1),
         |ranked AS (
         |  SELECT query_id, vec_id,
         |    row_number() OVER (PARTITION BY query_id

@@ -6,7 +6,7 @@ import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Approximate nearest-neighbor retrieval — the open-primitive stand-in
   * for the managed service's HNSW (reference queries delegate ANN to
@@ -230,11 +230,21 @@ object Ann {
 
   /** Query a persisted IVF index. The cell filter is a partition filter:
     * check `.explain` for `PartitionFilters: [__cell IN (...)]` with no
-    * data-column filter — unprobed cells are never opened. */
+    * data-column filter — unprobed cells are never opened.
+    *
+    * `rowFilter` is the vector-store `filters` parameter on the ANN
+    * path (the exact path has it via `Index.similaritySearch`):
+    * PRE-rank semantics — the metadata predicate lands on the pruned
+    * layout scan (parquet row-group pushdown, on TOP of the cell
+    * partition pruning), and the top-k ranks only matching rows. A
+    * probed cell holding < k matches under-fills — standard
+    * filtered-ANN behavior; raise nProbe to trade scan width for
+    * filtered recall. */
   def queryPersistedIvf(spark: SparkSession, idx: PersistedIvf,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       corpusPkCol: String, corpusVecCol: String, k: Int, nProbe: Int,
-      metric: Metric = Metric.Cosine): DataFrame = {
+      metric: Metric = Metric.Cosine,
+      rowFilter: Option[Column] = None): DataFrame = {
     val centroids = spark.read.parquet(idx.path + "_centroids")
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).as("__qvec"))
@@ -249,8 +259,9 @@ object Ann {
     // pruning at the scan; the per-query refine joins on cell id
     val cells = probed.select("__cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val corpus = spark.read.parquet(idx.path)
+    val pruned = spark.read.parquet(idx.path)
       .filter(col("__cell").isin(cells: _*))
+    val corpus = rowFilter.map(pruned.filter).getOrElse(pruned)
     val cand = corpus.join(broadcast(probed), Seq("__cell"))
     val scored = cand.withColumn("score",
       VF.distance(col(corpusVecCol), col("__qvec"), metric))

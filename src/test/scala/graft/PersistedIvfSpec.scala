@@ -104,6 +104,25 @@ class PersistedIvfSpec extends SparkSpec {
     untouched.foreach(k => assert(before(k) === after(k)))
   }
 
+  test("filtered ANN: predicate pushed beneath the probe, only matches rank") {
+    val path = Files.createTempDirectory("graft_pivf_fil").toString + "/idx"
+    val built = Ann.buildIvfDeterministic(corpus, "embedding", "vec_id", 8)
+    Ann.persistIvf(built, path)
+    spark.sharedState.cacheManager.clearCache()
+    val out = Ann.queryPersistedIvf(spark, Ann.PersistedIvf(path), queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, nProbe = 3,
+      rowFilter = Some(col("label") === 1))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__cell"),
+      s"cell pruning must survive the filter:\n${plan.take(2000)}")
+    assert(plan.contains("PushedFilters: [") && plan.contains("label"),
+      s"label predicate must reach the parquet scan:\n${plan.take(2000)}")
+    val rows = out.join(emb.select($"vec_id", $"label"), "vec_id")
+      .select("label").as[Int].collect()
+    assert(rows.nonEmpty && rows.forall(_ === 1),
+      "every ranked row must match the filter")
+  }
+
   test("persisted IVF-PQ: codes-only coarse scan, disk == mem, " +
       "delete+reinsert round-trips") {
     import graft.index.ChangeLog
