@@ -184,10 +184,15 @@ object Pq {
     * scan whose ReadSchema carries only the code column → exact refine
     * joining the vector column back for the k·c survivors (broadcast:
     * the survivor set is bounded by queries × k·c). */
+  /** `rowFilter` mirrors [[Ann.queryPersistedIvf]]'s filtered-ANN
+    * contract: the predicate lands on the coarse codes scan (its
+    * ReadSchema grows by the filter columns, still no vectors), and
+    * the refine inherits it through the survivor pk join. */
   def queryPersistedIvfPq(spark: SparkSession, idx: PersistedIvfPq,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       corpusPkCol: String, corpusVecCol: String, k: Int, c: Int,
-      nProbe: Int, metric: Metric = Metric.Cosine): DataFrame = {
+      nProbe: Int, metric: Metric = Metric.Cosine,
+      rowFilter: Option[Column] = None): DataFrame = {
     val cb = loadCodebooks(spark, idx.path)
     val cents = spark.read.parquet(idx.path + "_centroids")
     val q = queries.filter(col(queryVecCol).isNotNull)
@@ -203,8 +208,9 @@ object Pq {
       .select(col("query_id"), col("__qvec"), col("__qint"), col("__cell"))
     val cells = probed.select("__cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val codes = spark.read.parquet(idx.path)
+    val prunedScan = spark.read.parquet(idx.path)
       .filter(col("__cell").isin(cells: _*))
+    val codes = rowFilter.map(prunedScan.filter).getOrElse(prunedScan)
       .select(col("__cell"), col(corpusPkCol), col("__codes"))
     val coarse = codes.join(broadcast(probed), Seq("__cell"))
       .withColumn("__adc", adc(col("__codes"), col("__qint"), cb))

@@ -121,6 +121,21 @@ class PersistedIvfSpec extends SparkSpec {
       .select("label").as[Int].collect()
     assert(rows.nonEmpty && rows.forall(_ === 1),
       "every ranked row must match the filter")
+
+    // the same contract on the IVF-PQ leg: predicate on the codes scan,
+    // refine inherits through the pk join
+    import graft.search.Pq
+    val cb = Pq.fit(corpus, "embedding", "vec_id", m = 16, k = 16)
+    val pqPath = Files.createTempDirectory("graft_pivfpq_fil")
+      .toString + "/idx"
+    val pqIdx = Pq.persistIvfPq(built, cb, "embedding", pqPath)
+    val pqOut = Pq.queryPersistedIvfPq(spark, pqIdx, queries, "vec_id",
+      "embedding", "vec_id", "embedding", k = 3, c = 4, nProbe = 3,
+      rowFilter = Some(col("label") === 1))
+    val pqRows = pqOut.join(emb.select($"vec_id", $"label"), "vec_id")
+      .select("label").as[Int].collect()
+    assert(pqRows.nonEmpty && pqRows.forall(_ === 1),
+      "every IVF-PQ ranked row must match the filter")
   }
 
   test("persisted IVF-PQ: codes-only coarse scan, disk == mem, " +
