@@ -72,11 +72,16 @@ object EmbedCache {
   /** Physical cache maintenance: dedupe keys AND narrow the
     * append-accreted file count in one pass, swapped in with the same
     * hidden-sibling rename protocol as
-    * [[graft.operators.Maintenance.compactParquet]] (no window where
-    * the cache is missing; a concurrent reader lists either the old or
-    * the new copy). Unlike plain compaction this pays one shuffle on
-    * the 8-byte key — that IS the dedupe. After it, [[readCache]]'s
-    * guard aggregates nothing. */
+    * [[graft.operators.Maintenance.compactParquet]]. Crash-safe (the
+    * full copy survives any single failure: old is renamed aside
+    * before new moves in), but NOT concurrency-safe — between the two
+    * renames the cache path briefly does not exist, and a concurrent
+    * [[embedWithCache]] run that reads-then-appends in that window can
+    * re-embed rows or collide with the swap. Run it under the same
+    * single-writer contract as the appends (quiesce readers too).
+    * Unlike plain compaction this pays one shuffle on the 8-byte key —
+    * that IS the dedupe. After it, [[readCache]]'s guard aggregates
+    * nothing. */
   def compact(spark: SparkSession, cachePath: String,
       targetFileBytes: Long = 128L * 1024 * 1024)
       : graft.operators.CompactionReport = {

@@ -137,11 +137,14 @@ object TextAnalysis {
       .filter(col("term") =!= "")
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
-      .select(col(idCol)).distinct().count()
-    val scored = tf.join(df, "term")
+    // N as a one-row broadcast (the Hybrid.bm25 stats pattern), not a
+    // driver-side count(): keeps the operator one lazy pass — a
+    // non-empty text always yields >= 1 token, so distinct ids in tf
+    // equal the filtered doc count
+    val n = tf.select("id").distinct().agg(count(lit(1)).as("__n"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("score", col("tf") *
-        (log((lit(n) + 1.0) / (col("df") + lit(1.0))) + lit(1.0)))
+        (log((col("__n") + 1.0) / (col("df") + lit(1.0))) + lit(1.0)))
     val w = Window.partitionBy("id")
       .orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))

@@ -321,9 +321,15 @@ object Ann {
         // k entries, driver-small by construction (mirrors balanceCells)
         val splits = spark.read.parquet(idx.path + "_splits")
           .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+        // coalesce to 1 sub-cell: a cell that was EMPTY at build time
+        // has no cellStats row, so it is absent from the splits map —
+        // a delta row landing there must not null-propagate into the
+        // partition key (NPE at the affected-dir collect / a
+        // __HIVE_DEFAULT_PARTITION__ dir no probe would read)
         assignedCell.withColumn("__subcell",
           pmod(xxhash64(col(pkCol)),
-            element_at(typedlit(splits), col("__cell")).cast("long"))
+            coalesce(element_at(typedlit(splits), col("__cell")), lit(1))
+              .cast("long"))
             .cast("int"))
       }
     // no broadcast hint on the pk joins: a delta batch is usually tiny
@@ -335,12 +341,19 @@ object Ann {
       .union(assigned.select(partCols.map(col): _*)).distinct()
       .collect().map(r => partCols.indices.map(r.getInt))
     if (affected.isEmpty) return
-    // OR-of-conjunctions over the partition columns — prunes at the
-    // file listing exactly like the single-column IN list
-    val pred = affected.map { key =>
-      partCols.zip(key).map { case (c, v) => col(c) === lit(v) }
-        .reduce(_ && _)
-    }.reduce(_ || _)
+    // partition predicate that prunes at the file listing. Depth
+    // matters: a per-DIR OR-of-conjunctions grows a left-deep boolean
+    // tree with the touched-dir count (thousands of Or nodes on a big
+    // delta = Catalyst stack blowups, and Or chains never get the
+    // InSet treatment). Plain layouts keep the single isin; sub-celled
+    // layouts group by cell — depth bounded by the centroid count, not
+    // by touched (cell, subcell) pairs.
+    val pred =
+      if (!hasSub) col("__cell").isin(affected.map(_.head): _*)
+      else affected.groupBy(_.head).map { case (cell, keys) =>
+        col("__cell") === lit(cell) &&
+          col("__subcell").isin(keys.map(_(1)).toSeq: _*)
+      }.reduce(_ || _)
     // merge only the affected dirs' rows; materialize BEFORE the write
     // (a dynamic overwrite of a path being lazily read is a self-read)
     val current = layout.filter(pred)

@@ -350,6 +350,12 @@ object GraphAnn {
       // executors keeps the write parallel without file spray
       .repartition(col("__srcbucket"))
       .write.mode("overwrite").partitionBy("__srcbucket").parquet(path)
+    // a rebuild must not inherit a prior incarnation's tombstones: the
+    // fresh graph IS the truth, and a stale tombstone would silently
+    // anti-join a re-added node out of every read path forever
+    val spark = graph.edges.sparkSession
+    val tp = new org.apache.hadoop.fs.Path(path + "_tombstones")
+    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
     PersistedGraph(path, graph.m, buckets)
   }
 
@@ -609,6 +615,23 @@ object GraphAnn {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__srcbucket").parquet(pg.path)
+      // dynamic overwrite only rewrites partitions PRESENT in `pruned`:
+      // an affected bucket whose every edge died (all srcs deleted, or
+      // every dst dead) never appears there and would keep its stale
+      // files — drop those dirs explicitly (syncPersistedIvf's
+      // emptied-dir rule). Only then is dropping the tombstones safe;
+      // skipping this resurrected deleted nodes' edges.
+      val left = pruned.select("__srcbucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val emptied = affected.filterNot(left)
+      if (emptied.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(pg.path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"${pg.path}/__srcbucket=$b"), true)
+        }
+      }
     }
     // tombstoned edges are physically gone from every bucket now
     tombs.foreach { _ =>

@@ -116,6 +116,13 @@ object Hybrid {
       .repartition(col("__tbucket"))
       .write.mode("overwrite").partitionBy("__tbucket").parquet(path)
     stats.coalesce(1).write.mode("overwrite").parquet(path + "_stats")
+    // the frozen per-term df as its OWN side file: the authority
+    // syncPersistedPostings scores new postings with. Recovering df
+    // from the layout instead would lose a term's frozen value the
+    // moment a sync deletes its last posting — a later insert of that
+    // term would then score with df=0, making results batch-order-
+    // dependent (vocabulary-sized, like the layout's own df column)
+    dft.write.mode("overwrite").parquet(path + "_df")
     PersistedPostings(path, buckets)
   }
 
@@ -143,9 +150,11 @@ object Hybrid {
       .filter(col("__t") =!= "")
     val tf = dterms.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
     val dl = dterms.groupBy("__did").agg(count(lit(1)).as("__dl"))
-    // frozen per-term df from the layout itself (denormalized there);
-    // terms unseen at build take df = 0
-    val frozenDf = layout.select("__t", "__df").distinct()
+    // frozen per-term df from the build-time side file (NOT recovered
+    // from the layout: a term whose last posting was deleted by an
+    // earlier sync is gone from the layout but keeps its frozen df
+    // here); terms unseen at build take df = 0
+    val frozenDf = spark.read.parquet(idx.path + "_df")
     val newPost = tf.join(dl, "__did")
       .join(frozenDf, Seq("__t"), "left")
       .withColumn("__df", coalesce(col("__df"), lit(0L)))

@@ -55,7 +55,18 @@ object IndexSync {
     * codebooks, df stats, graph edges) is preserved batch by batch and
     * only touched partition dirs rewrite per trigger. `readerOptions`
     * passes file-source admission control (e.g. `maxFilesPerTrigger`)
-    * for bounded micro-batches. */
+    * for bounded micro-batches.
+    *
+    * Delivery: the checkpoint makes journal consumption exactly-once
+    * ACROSS CLEAN runs, but `foreachBatch` itself is at-least-once — a
+    * crash between applyBatch and the batch commit re-delivers that
+    * batch on restart. The IVF / IVF-PQ / postings syncs are
+    * idempotent under replay (anti-join by pk, then re-add: applying
+    * the same batch twice converges), so the composition is effectively
+    * exactly-once for them. The graph sync's insert path appends edge
+    * files — a replayed batch duplicates edges (degree inflation until
+    * the next reprune); pair it with an idempotency guard or accept
+    * reprune as the repair. */
   def layoutSync(spark: SparkSession, journalDir: String,
       journalSchema: StructType, checkpointDir: String,
       readerOptions: Map[String, String] = Map.empty)
