@@ -293,6 +293,54 @@ class PersistedLayoutSpec extends SparkSpec {
       s"re-inserted node must be findable again, got $hit")
   }
 
+  test("graph rebuild clears stale tombstones; reprune drops " +
+      "fully-dead buckets before dropping tombstones") {
+    import graft.index.ChangeLog
+    val path = Files.createTempDirectory("graft_pg_reb").toString + "/g"
+    val initial = emb.filter($"vec_id" >= 10 && $"vec_id" < 200)
+    val pg = GraphAnn.persistGraph(
+      GraphAnn.buildGraphExact(initial, "embedding", "vec_id", 4),
+      path, buckets = 4)
+    // delete a node -> tombstone exists
+    GraphAnn.syncPersistedGraphChanges(spark, pg, initial,
+      initial.filter($"vec_id" === 20L)
+        .withColumn("__op", lit(ChangeLog.OpDelete))
+        .withColumn("__seq", lit(1L)),
+      "vec_id", "embedding")
+    assert(GraphAnn.loadTombstones(spark, pg).isDefined)
+    // a full rebuild to the same path must NOT inherit the tombstone —
+    // otherwise the re-added node is filtered out of every query forever
+    val pg2 = GraphAnn.persistGraph(
+      GraphAnn.buildGraphExact(initial, "embedding", "vec_id", 4),
+      path, buckets = 4)
+    assert(GraphAnn.loadTombstones(spark, pg2).isEmpty,
+      "rebuild must clear stale tombstones")
+
+    // now delete EVERY node in one bucket (ids ≡ 1 mod 4): after
+    // reprune, that bucket dir must be gone — dynamic overwrite never
+    // touches a bucket none of whose edges survive, so without the
+    // explicit drop its stale files would outlive the tombstones
+    val dead = initial.filter($"vec_id" % 4 === 1)
+    GraphAnn.syncPersistedGraphChanges(spark, pg2, initial,
+      dead.withColumn("__op", lit(ChangeLog.OpDelete))
+        .withColumn("__seq", lit(2L)),
+      "vec_id", "embedding")
+    GraphAnn.repruneBuckets(spark, pg2,
+      initial.join(dead.select("vec_id"), Seq("vec_id"), "left_anti"),
+      "vec_id", "embedding")
+    assert(GraphAnn.loadTombstones(spark, pg2).isEmpty,
+      "reprune compacts tombstones away")
+    val b1 = new java.io.File(path, "__srcbucket=1")
+    assert(!b1.exists(),
+      "a bucket whose every edge died must be dropped, not left stale")
+    val deadIds = dead.select("vec_id").as[Long].collect().toSet
+    val edges = spark.read.parquet(path).select("__src", "__dst")
+      .as[(Long, Long)].collect()
+    assert(edges.nonEmpty && !edges.exists(e =>
+        deadIds.contains(e._1) || deadIds.contains(e._2)),
+      "no surviving edge may touch a deleted node after reprune")
+  }
+
   test("graph reprune: degree bounded, untouched buckets byte-identical") {
     import graft.index.ChangeLog
     val path = Files.createTempDirectory("graft_pg_rp").toString + "/g"
