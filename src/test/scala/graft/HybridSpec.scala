@@ -141,6 +141,32 @@ class HybridSpec extends SparkSpec {
       "corpus stats stay frozen across syncs")
   }
 
+  test("syncPersistedPostings is idempotent under batch replay") {
+    import graft.index.ChangeLog
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val initial = d.filter($"doc_id" >= 10 && $"doc_id" < 200)
+      .select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_pp_replay")
+      .toString + "/idx"
+    val idx = Hybrid.persistPostings(initial, "doc_id", "text", path,
+      buckets = 16)
+    val batch = d.filter($"doc_id" >= 3 && $"doc_id" < 8)
+      .select("doc_id", "text")
+      .withColumn("__op", lit(ChangeLog.OpInsert))
+      .withColumn("__seq", lit(1L))
+      .unionByName(d.filter($"doc_id" === 20).select("doc_id", "text")
+        .withColumn("__op", lit(ChangeLog.OpDelete))
+        .withColumn("__seq", lit(2L)))
+    def snapshot() = spark.read.parquet(path)
+      .select($"__did", $"__t", $"__tf", $"__df")
+      .as[(Long, String, Long, Long)].collect().toSet
+    Hybrid.syncPersistedPostings(spark, idx, batch, "doc_id", "text")
+    val once = snapshot()
+    Hybrid.syncPersistedPostings(spark, idx, batch, "doc_id", "text")
+    assert(snapshot() === once && once.nonEmpty,
+      "replaying a batch must be a no-op")
+  }
+
   test("fused output is deterministic under repartitioning") {
     val q = Seq((0L, "spark lake", Seq(0.5f, 0.5f)))
       .toDF("qid", "qtext", "qvec")

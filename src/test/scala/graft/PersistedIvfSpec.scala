@@ -202,6 +202,33 @@ class PersistedIvfSpec extends SparkSpec {
       "delete + re-insert must round-trip to the original layout")
   }
 
+  test("syncPersistedIvf is idempotent under batch replay") {
+    import graft.index.ChangeLog
+    val path = Files.createTempDirectory("graft_pivf_replay").toString +
+      "/idx"
+    val initial = corpus.filter($"vec_id" >= 20)
+    Ann.persistIvf(
+      Ann.buildIvfDeterministic(initial, "embedding", "vec_id", 8), path)
+    val batch = emb.filter($"vec_id" >= 10 && $"vec_id" < 15)
+      .withColumn("__op", lit(ChangeLog.OpInsert))
+      .withColumn("__seq", lit(1L))
+      .unionByName(emb.filter($"vec_id" === 30)
+        .withColumn("__op", lit(ChangeLog.OpDelete))
+        .withColumn("__seq", lit(2L)))
+    def snapshot() = spark.read.parquet(path)
+      .select($"vec_id", $"__cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    Ann.syncPersistedIvf(spark, Ann.PersistedIvf(path), batch,
+      "vec_id", "embedding")
+    val once = snapshot()
+    // the at-least-once crash-replay case: the SAME batch re-applied
+    // must converge to the same layout (anti-join by pk, then re-add)
+    Ann.syncPersistedIvf(spark, Ann.PersistedIvf(path), batch,
+      "vec_id", "embedding")
+    assert(snapshot() === once && once.nonEmpty,
+      "replaying a batch must be a no-op")
+  }
+
   test("layoutSync streams the journal into the persisted layout " +
       "in bounded micro-batches, exactly once") {
     import graft.index.ChangeLog
