@@ -150,6 +150,29 @@ object VectorQueries {
           col("doc_id"))
         .orderBy("query_id", "rnk")
     }),
+    // MMR diversification of a retrieved candidate set (RAG context
+    // assembly's diversity stage): exact cosine top-12 per query, then
+    // greedy lambda=0.7 selection of 5 — each pick is
+    // argmax 0.7*rel - (1-0.7)*max cos to the already-selected. The
+    // oracle replays the greedy loop with a recursive CTE carrying the
+    // selected vectors as a list column; ties resolve
+    // (mmr desc, rel desc, pk) on both engines.
+    "rag_mmr_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val top = Knn.batchQueryAgg(corpus, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", "embedding", "vec_id", k = 12,
+        Metric.Cosine)
+      val cand = top.join(corpus.select(col("vec_id"), col("embedding")),
+        "vec_id")
+      // score dropped from the projection (house rule: float kernels
+      // agree on ORDER, not always on low bits across engines)
+      graft.search.Rerank.mmr(cand, "query_id", "vec_id", "score",
+          "embedding", k = 5, lambda = 0.7)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     "knn_cosine_single" -> ((s, dir) => {
       val qv = queryVector(s, dir, 0L)
       Knn.singleQuery(emb(s, dir).filter(col("vec_id") =!= 0L),
@@ -268,6 +291,51 @@ object VectorQueries {
   )
 
   private val baseOracleSql: Map[String, String] = Map(
+    // Greedy MMR replayed with a recursive CTE: one row per
+    // (query, step) carries the selected pk and vector lists; each
+    // step's LATERAL picks the argmax of
+    // 0.7*rel - (1.0-0.7)*max(cos to selected). (1.0 - 0.7), not 0.3:
+    // the engine computes (1.0 - lambda) in IEEE doubles and 0.3 is a
+    // different double.
+    "rag_mmr_topk" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+        |qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT query_id, vec_id, rel, vec FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      list_cosine_similarity(c.embedding, q.qv) AS rel,
+        |      c.embedding AS vec,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(c.embedding, q.qv) DESC,
+        |          c.vec_id) AS rk
+        |    FROM corpus c CROSS JOIN qs q)
+        |  WHERE rk <= 12),
+        |sel AS (
+        |  SELECT query_id, 1 AS rank, vec_id, 0.7 * rel AS mmr,
+        |    [vec] AS selvecs, [vec_id] AS selids
+        |  FROM (SELECT query_id, vec_id, rel, vec,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY rel DESC, vec_id) AS rk
+        |        FROM cand) WHERE rk = 1
+        |  UNION ALL
+        |  SELECT s.query_id, s.rank + 1, p.vec_id, p.mmr,
+        |    list_append(s.selvecs, p.vec), list_append(s.selids, p.vec_id)
+        |  FROM sel s, LATERAL (
+        |    SELECT c.vec_id, c.vec,
+        |      0.7 * c.rel - (1.0 - 0.7) *
+        |        list_max(list_transform(s.selvecs,
+        |          sv -> list_cosine_similarity(c.vec, sv))) AS mmr
+        |    FROM cand c
+        |    WHERE c.query_id = s.query_id
+        |      AND NOT list_contains(s.selids, c.vec_id)
+        |    ORDER BY mmr DESC, c.rel DESC, c.vec_id
+        |    LIMIT 1) p
+        |  WHERE s.rank < 5)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rnk, vec_id
+        |FROM sel ORDER BY query_id, rnk""".stripMargin,
     // Frozen build-time stats (df/N/avgdl from the initial corpus),
     // post-change posting set (initial minus changed docs, plus
     // new/updated docs' postings at frozen df — COALESCE 0 for terms

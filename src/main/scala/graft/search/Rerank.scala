@@ -112,4 +112,82 @@ object Rerank {
       .select(col("query_id"), col("rank"), col(corpusPkCol), col("score"))
       .orderBy(col("query_id").asc, col("rank").asc)
   }
+
+  /** Maximal Marginal Relevance diversification (Carbonell & Goldstein,
+    * SIGIR 1998) — re-rank a retrieved candidate set so results are
+    * relevant AND mutually diverse: greedily pick
+    * `argmax λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s)` (first pick =
+    * max relevance; ties by pk). The RAG answer-context use case: top-k
+    * near-duplicate passages waste the prompt budget, MMR spends it on
+    * coverage.
+    *
+    * Greedy selection is genuinely NON-associative state (each pick
+    * changes every remaining score), so this is the documented
+    * `flatMapGroups` case (like `Packing.nextFitPack`), not a window:
+    * candidates group per query and each group is the caller's BOUNDED
+    * retrieval output (top-n, n in the tens/hundreds) — state never
+    * scales with the corpus, queries parallelize across the cluster.
+    * Cosine accumulates in the exact order of the codegen
+    * `VectorDistance` kernel, so scores — and the oracle's ranking —
+    * are bit-identical to the rest of the engine.
+    *
+    * Input: `(query_id long, pk long, rel double, vec array<float>)`
+    * columns named by the caller. Returns
+    * `(query_id, rank, <pkCol>, mmr)` with `mmr` rounded to 4 dp. */
+  def mmr(candidates: DataFrame, queryIdCol: String, pkCol: String,
+      relCol: String, vecCol: String, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && lambda >= 0.0 && lambda <= 1.0)
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    candidates
+      .select(col(queryIdCol).cast("long"), col(pkCol).cast("long"),
+        col(relCol).cast("double"), col(vecCol))
+      .as[(Long, Long, Double, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // deterministic scan order: rel desc, pk asc
+        val remaining = scala.collection.mutable.ArrayBuffer(
+          it.toArray.sortBy(c => (-c._3, c._2)): _*)
+        val selected = scala.collection.mutable.ArrayBuffer
+          .empty[Seq[Float]]
+        val out = Seq.newBuilder[(Long, Int, Long, Double)]
+        var rank = 1
+        while (rank <= k && remaining.nonEmpty) {
+          var bestIdx = 0
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < remaining.length) {
+            val c = remaining(i)
+            val maxSim =
+              if (selected.isEmpty) 0.0
+              else selected.iterator.map(s => cos(c._4, s)).max
+            val s = lambda * c._3 - (1.0 - lambda) * maxSim
+            // strictly-greater keeps the first (lowest-pk) on ties —
+            // remaining is sorted rel desc, pk asc
+            if (s > bestScore) { bestScore = s; bestIdx = i }
+            i += 1
+          }
+          val pick = remaining.remove(bestIdx)
+          selected += pick._4
+          out += ((qid, rank, pick._2,
+            BigDecimal(bestScore) // HALF_UP: same rule as SQL round()
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          rank += 1
+        }
+        out.result()
+      }
+      .toDF("query_id", "rank", pkCol, "mmr")
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
 }

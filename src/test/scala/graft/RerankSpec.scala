@@ -110,4 +110,25 @@ class RerankSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, s"mean recall $mean too low for k*c=24 coarse pass")
   }
+
+  test("mmr: lambda=1 is plain relevance order; a duplicate of the top " +
+      "pick is deferred at lower lambda") {
+    // candidates for one query: doc 1 and doc 2 are IDENTICAL vectors
+    // (rel 0.99/0.98), doc 3 is orthogonal-ish with lower rel
+    val cand = Seq(
+      (7L, 1L, 0.99, Seq(1.0f, 0.0f)),
+      (7L, 2L, 0.98, Seq(1.0f, 0.0f)),
+      (7L, 3L, 0.50, Seq(0.0f, 1.0f)))
+      .toDF("query_id", "pk", "rel", "vec")
+    def picks(lambda: Double) =
+      Rerank.mmr(cand, "query_id", "pk", "rel", "vec", k = 3, lambda)
+        .orderBy("rank").select("pk").as[Long].collect().toSeq
+    // pure relevance: 1, 2, 3
+    assert(picks(1.0) === Seq(1L, 2L, 3L))
+    // diversity-weighted at lambda=0.5: doc 2 duplicates doc 1
+    // (cos=1) so its mmr = 0.5*0.98 - 0.5*1 = -0.01, while orthogonal
+    // doc 3 scores 0.5*0.5 - 0.5*0 = 0.25 and jumps ahead
+    assert(picks(0.5) === Seq(1L, 3L, 2L),
+      "the near-duplicate must be deferred behind the diverse doc")
+  }
 }
