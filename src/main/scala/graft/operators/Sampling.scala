@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -67,6 +68,71 @@ object Sampling {
     df.withColumn(splitCol,
       when(hashFraction(col(groupCol)) < trainFrac, lit("train"))
         .otherwise(lit("holdout")))
+
+  /** Token-budget mixing — "give me ~B tokens per source": within each
+    * stratum, documents are taken in deterministic md5-fraction order
+    * (ties broken by id) until the stratum's token budget is reached; a
+    * document is kept iff the tokens BEFORE it are still under budget,
+    * so the budget-crossing document is included and the mix replays
+    * identically on any engine.
+    *
+    * Scale shape: the textbook form is one running-sum window per
+    * stratum — a total sort of the corpus over a handful of stratum
+    * partitions, the worst skew shape there is at 100 TB. This computes
+    * the EXACT same selection in two phases instead: (1) a bucketed
+    * token histogram (stratum × `buckets` md5-range buckets → one
+    * partial-agg shuffle whose result is tiny), cumulated per stratum
+    * with a window over that tiny table to classify every bucket as
+    * fully-kept / fully-dropped / boundary; (2) fully-kept buckets pass
+    * as a broadcast-join + filter (no sort), and only the single
+    * boundary bucket per stratum (~1/`buckets` of the data) pays the
+    * exact running-sum window. Bucket id is monotonic in the fraction,
+    * so (bucket, frac, id) order ≡ (frac, id) order and the result is
+    * bit-identical to the single-window form — which is exactly what
+    * the DuckDB oracle runs. */
+  def tokenBudget(df: DataFrame, idCol: String, strataCol: String,
+      tokensCol: String, budgets: Map[String, Long],
+      default: Long = 0L, buckets: Int = 4096): DataFrame = {
+    val frac = hashFraction(col(idCol))
+    val base = df.withColumn("__frac", frac)
+      .withColumn("__bkt", floor(col("__frac") * buckets).cast("int"))
+    val budgetCol = coalesce(
+      element_at(typedlit(budgets), col(strataCol).cast("string")),
+      lit(default))
+    // Phase 1: per-(stratum, bucket) token sums — tiny (strata × buckets).
+    val hist = base.groupBy(col(strataCol), col("__bkt"))
+      .agg(sum(col(tokensCol).cast("long")).as("__tok"))
+    val wh = Window.partitionBy(strataCol).orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // keep: __before + __tok < budget guarantees every row's
+    // preceding-sum stays under budget (even for zero-token rows at the
+    // bucket's end); drop: at/over budget before the bucket starts;
+    // boundary: the budget line crosses inside this bucket — only these
+    // rows pay the exact per-row window in phase 2.
+    val cls = hist
+      .withColumn("__before", coalesce(sum("__tok").over(wh), lit(0L)))
+      .withColumn("__budget", budgetCol)
+      .withColumn("__class",
+        when(col("__before") >= col("__budget"), lit("drop"))
+          .when(col("__before") + col("__tok") < col("__budget"), lit("keep"))
+          .otherwise(lit("boundary")))
+      .select(col(strataCol), col("__bkt"), col("__before"), col("__budget"),
+        col("__class"))
+    val joined = base.join(broadcast(cls), Seq(strataCol, "__bkt"))
+      .filter(col("__class") =!= "drop")
+    val full = joined.filter(col("__class") === "keep")
+    // Phase 2: exact window over boundary-bucket rows only.
+    val wb = Window.partitionBy(col(strataCol), col("__bkt"))
+      .orderBy(col("__frac"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bnd = joined.filter(col("__class") === "boundary")
+      .withColumn("__in",
+        coalesce(sum(col(tokensCol).cast("long")).over(wb), lit(0L)))
+      .filter(col("__before") + col("__in") < col("__budget"))
+      .drop("__in")
+    full.unionByName(bnd)
+      .drop("__frac", "__bkt", "__before", "__budget", "__class")
+  }
 
   def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
       alpha: Double, budget: Double): DataFrame = {

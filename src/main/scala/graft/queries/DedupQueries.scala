@@ -74,6 +74,55 @@ object DedupQueries {
           sum("doc_id").as("sum_id"))
         .orderBy("source")
     }),
+    // Streaming cross-batch dedup: the documents table replayed as an
+    // id-ordered three-file journal, deduplicated on (lang, source)
+    // with one-file micro-batches and forever-suppression state. The
+    // oracle is the BATCH first-wins SQL — stream replay must equal the
+    // batch dedup exactly (the min-id row per key survives no matter
+    // which micro-batch its duplicates arrive in).
+    "dedup_stream_firstwins" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val d = docs(s, dir).select("doc_id", "lang", "source")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_dedupstr/" +
+        dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh replay
+      // id-ordered journal files -> micro-batches arrive in id order,
+      // so stream-arrival order == batch orderCol order
+      d.filter(col("doc_id") < 100).coalesce(1)
+        .write.mode("append").parquet(s"$root/journal")
+      d.filter(col("doc_id") >= 100 && col("doc_id") < 300).coalesce(1)
+        .write.mode("append").parquet(s"$root/journal")
+      d.filter(col("doc_id") >= 300).coalesce(1)
+        .write.mode("append").parquet(s"$root/journal")
+      val stream = s.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/journal")
+      graft.streaming.DedupStream
+        .firstWins(stream, Seq("lang", "source"), "doc_id")
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .format("parquet").option("path", s"$root/out")
+        .start().awaitTermination()
+      s.read.parquet(s"$root/out")
+        .select(col("lang"), col("source"), col("doc_id").as("keep_id"))
+        .orderBy("lang", "source")
+    }),
+    // Token-budget mixing: per source, take documents in deterministic
+    // md5-fraction order until the source's token budget is crossed.
+    // The engine runs the two-phase bucketed form (histogram + boundary
+    // bucket window — no full sort per source); the oracle runs the
+    // textbook single window. They must agree bit-for-bit.
+    "sample_token_budget" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .withColumn("n_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+      graft.operators.Sampling.tokenBudget(d, "doc_id", "source",
+          "n_tokens", Map("src0" -> 800L, "src1" -> 500L), default = 600L)
+        .select(col("source"), col("doc_id"), col("n_tokens"))
+        .orderBy("source", "doc_id")
+    }),
     // Benchmark decontamination: corpus docs sharing >= 2 distinct
     // 3-gram shingles with the "benchmark" block are flagged with
     // their hit counts — the shingle equi-join shape (one shuffle on
@@ -216,6 +265,34 @@ object DedupQueries {
         |SELECT source, count(*) AS n, min(doc_id) AS min_id,
         |       CAST(sum(doc_id) AS BIGINT) AS sum_id
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    // Stream replay must land exactly on the batch first-wins result.
+    "dedup_stream_firstwins" ->
+      """SELECT lang, source, min(doc_id) AS keep_id
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+    // The textbook form of token-budget selection: one running-sum
+    // window per source over (md5-frac, doc_id) order; keep while the
+    // preceding sum is under the source's budget. The engine's bucketed
+    // two-phase plan must reproduce this exactly.
+    "sample_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |           AS BIGINT) AS DOUBLE) / 4294967296.0 AS frac
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY frac, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM d)
+        |SELECT source, doc_id, n_tokens FROM c
+        |WHERE cb < CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
+        |  ELSE 600 END
+        |ORDER BY source, doc_id""".stripMargin,
     // Replays decontamination: distinct 3-gram shingle sets on both
     // blocks, collision counts per (corpus, bench) pair, >= 2 hits.
     "dedup_decontaminate" ->

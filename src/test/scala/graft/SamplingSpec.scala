@@ -70,6 +70,61 @@ class SamplingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // The naive single-window form of token-budget selection — the spec's
+  // ground truth for the two-phase bucketed implementation.
+  private def naiveTokenBudget(df: org.apache.spark.sql.DataFrame,
+      idCol: String, strataCol: String, tokensCol: String,
+      budgets: Map[String, Long], default: Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol)
+      .orderBy(Sampling.hashFraction(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budgetCol = coalesce(
+      element_at(typedlit(budgets), col(strataCol).cast("string")),
+      lit(default))
+    df.withColumn("__cb", coalesce(sum(col(tokensCol).cast("long")).over(w),
+        lit(0L)))
+      .filter(col("__cb") < budgetCol)
+      .drop("__cb")
+  }
+
+  test("tokenBudget: two-phase bucketed form equals the naive window") {
+    val d = docs.filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+"))
+        .cast("long"))
+    val budgets = Map("src0" -> 800L, "src1" -> 500L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val fast = Sampling.tokenBudget(d, "doc_id", "source", "n_tokens",
+      budgets, default = 600L)
+    val slow = naiveTokenBudget(d, "doc_id", "source", "n_tokens",
+      budgets, default = 600L)
+    assert(ids(fast) === ids(slow) && ids(fast).nonEmpty)
+    // few buckets → many boundary collisions: still exact
+    val coarse = Sampling.tokenBudget(d, "doc_id", "source", "n_tokens",
+      budgets, default = 600L, buckets = 4)
+    assert(ids(coarse) === ids(slow))
+  }
+
+  test("tokenBudget edge cases: zero-token rows, exact-budget boundary") {
+    // tokens 5 each, budget 10: rows kept while cum_before < 10 → the
+    // first 2 in hash order; a zero-token row exactly AT the budget
+    // line has cum_before == budget and must be dropped.
+    val d = (0L until 40L).map(i => (i, "s", if (i % 7 == 0) 0L else 5L))
+      .toDF("id", "src", "tok")
+    val budgets = Map("s" -> 10L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().toSet
+    val fast = Sampling.tokenBudget(d, "id", "src", "tok", budgets,
+      buckets = 8)
+    val slow = naiveTokenBudget(d, "id", "src", "tok", budgets, 0L)
+    assert(ids(fast) === ids(slow))
+    // unlisted stratum with default 0 keeps nothing
+    val none = Sampling.tokenBudget(d.withColumn("src", lit("other")),
+      "id", "src", "tok", budgets)
+    assert(none.count() === 0L)
+  }
+
   test("temperatureMix alpha=1 is uniform thinning at the budget rate") {
     val out = Sampling.temperatureMix(docs, "doc_id", "source",
       alpha = 1.0, budget = 0.5)

@@ -219,4 +219,44 @@ class StreamingSpec extends SparkSpec {
       assert(last("a") === 7.0 && last("b") === 5.0)
     } finally q.stop()
   }
+
+  test("DedupStream.firstWins suppresses keys across micro-batches and " +
+      "picks the min-order row within a batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val out = graft.streaming.DedupStream.firstWins(
+      input.toDF().toDF("id", "k", "payload"), Seq("k"), "id")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      // batch 1: key a twice (id 7 then 3 — min wins), key b once
+      input.addData((7L, "a", "a7"), (3L, "a", "a3"), (9L, "b", "b9"))
+      q.processAllAvailable()
+      // batch 2: key a again (suppressed), new key c; null key rows too
+      input.addData((1L, "a", "a1"), (5L, "c", "c5"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream")
+        .select($"id", $"k").as[(Long, String)].collect().toSet
+      assert(rows === Set((3L, "a"), (9L, "b"), (5L, "c")),
+        s"got $rows: min-of-batch wins, later batches suppressed")
+    } finally q.stop()
+  }
+
+  test("DedupStream.firstWins: null and composite keys are distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Option[String], String)]
+    val out = graft.streaming.DedupStream.firstWins(
+      input.toDF().toDF("id", "k1", "k2"), Seq("k1", "k2"), "id")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_stream_nulls").start()
+    try {
+      // (null, "x") vs ("null", "x") must be different keys
+      input.addData((1L, None, "x"), (2L, Some("null"), "x"),
+        (3L, None, "x"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream_nulls")
+        .select($"id").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L))
+    } finally q.stop()
+  }
 }
