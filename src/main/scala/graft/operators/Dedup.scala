@@ -82,6 +82,39 @@ object Dedup {
         col("hits"))
   }
 
+  /** Per-document contamination SCORE — the fraction of a corpus doc's
+    * distinct n-gram shingles that occur anywhere in the benchmark set
+    * (the overlap metric decontamination thresholds are stated in:
+    * "drop documents with > X% n-gram overlap with any eval set").
+    * [[decontaminate]] answers "which (doc, benchmark) pairs collide";
+    * this answers "how contaminated is each doc", including clean docs
+    * at score 0 — the column a pipeline filters or audits on.
+    *
+    * Relational shape: the benchmark side collapses to its DISTINCT
+    * shingle set (tiny — eval suites), broadcast against the exploded
+    * corpus shingles; hits and totals aggregate per doc in one partial+
+    * final agg. One shuffle keyed by doc id, never corpus × benchmarks,
+    * and the corpus is read once. Returns
+    * `(<corpusIdCol>, n_shingles, n_hits, score)` for every corpus doc
+    * with at least one shingle. */
+  def contaminationScore(corpus: DataFrame, corpusIdCol: String,
+      corpusTextCol: String, benchmarks: DataFrame, benchTextCol: String,
+      n: Int = 8): DataFrame = {
+    val cEx = withShingles(corpus, corpusIdCol, corpusTextCol, n)
+      .select(col("id").as("__doc"), explode(col("sh")).as("__g"))
+    val bSet = benchmarks
+      .select(explode(shingles(col(benchTextCol), n)).as("__g"))
+      .distinct()
+    cEx.join(broadcast(bSet.withColumn("__hit", lit(1))), Seq("__g"), "left")
+      .groupBy("__doc")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum("__hit"), lit(0L)).as("n_hits"))
+      .select(col("__doc").as(corpusIdCol), col("n_shingles"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_shingles"), 4)
+          .as("score"))
+  }
+
   /** Brute-force near-duplicate pairs by n-gram Jaccard (ground truth;
     * quadratic — keep for small blocks, LSH is the scale path). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,

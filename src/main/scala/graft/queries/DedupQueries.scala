@@ -139,6 +139,20 @@ object DedupQueries {
           "bench_id", "text", n = 3, minHits = 2)
         .orderBy("corpus_id", "bench_id")
     }),
+    // Per-document contamination score: fraction of each corpus doc's
+    // distinct 3-gram shingles present anywhere in the "benchmark"
+    // block — every doc scored, clean docs at 0. Broadcast benchmark
+    // shingle set, one agg by doc. Oracle replays the same left join.
+    "decontaminate_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationScore(
+          d.filter(col("doc_id") < 200)
+            .withColumnRenamed("doc_id", "corpus_id"),
+          "corpus_id", "text",
+          d.filter(col("doc_id") >= 200 && col("doc_id") < 260),
+          "text", n = 3)
+        .orderBy("corpus_id")
+    }),
     // MinHash+LSH candidate generation + exact refine, in md5 mode: the
     // signatures (min over shingles of md5(seed || shingle), hex) and the
     // band buckets are reproducible as plain SQL, so the FULL LSH path —
@@ -317,6 +331,33 @@ object DedupQueries {
         |GROUP BY ce.corpus_id, be.bench_id
         |HAVING count(*) >= 2
         |ORDER BY corpus_id, bench_id""".stripMargin,
+    // Contamination score replay: distinct corpus shingles per doc,
+    // distinct benchmark shingle SET, left join + per-doc hit fraction.
+    "decontaminate_score" ->
+      """WITH csh AS (
+        |  SELECT doc_id AS corpus_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+        |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+2])) AS g
+        |  FROM documents WHERE doc_id < 200),
+        |bsh AS (
+        |  SELECT list_distinct(list_transform(
+        |    range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+        |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+2])) AS g
+        |  FROM documents WHERE doc_id >= 200 AND doc_id < 260),
+        |ce AS (SELECT corpus_id, unnest(g) AS g FROM csh),
+        |bset AS (SELECT DISTINCT unnest(g) AS g FROM bsh),
+        |h AS (
+        |  SELECT ce.corpus_id, count(*) AS n_shingles,
+        |    count(b.g) AS n_hits
+        |  FROM ce LEFT JOIN bset b ON ce.g = b.g
+        |  GROUP BY ce.corpus_id)
+        |SELECT corpus_id, n_shingles, n_hits,
+        |  round(CAST(n_hits AS DOUBLE) / n_shingles, 4) AS score
+        |FROM h ORDER BY corpus_id""".stripMargin,
     // Full LSH-path oracle: identical md5 minhash signatures -> band
     // buckets (4 bands x 4 rows, bucket = md5 of the joined slice
     // values) -> candidate equi-join -> exact Jaccard refine. Mirrors

@@ -78,6 +78,25 @@ class DedupSpec extends SparkSpec {
     assert(self.getLong(2) === 4L) // 6 tokens -> 4 trigrams
   }
 
+  test("contaminationScore: per-doc overlap fraction, clean docs at 0") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely different words about nothing shared"),
+      (3L, "the quick brown fox jumps high")).toDF("cid", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps high")).toDF("bid", "text")
+    val by = Dedup.contaminationScore(corpus, "cid", "text", bench,
+        "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // doc 1: 7 distinct trigrams, 3 in bench ("the quick brown",
+    // "quick brown fox", "brown fox jumps")
+    assert(by(1L) === ((7L, 3L, 0.4286)))
+    assert(by(2L) === ((4L, 0L, 0.0)), "clean doc present at score 0")
+    assert(by(3L) === ((4L, 4L, 1.0)), "doc equal to a benchmark maxes out")
+  }
+
   test("identical texts give simhash hamming distance 0") {
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "totally different words"))
       .toDF("t1", "t2")
