@@ -45,7 +45,8 @@ object Dedup {
     * the set intersection twice — numerator and denominator). Shingle
     * arrays from WordShingles are sorted, so the intersection is a
     * linear merge, not a quadratic contains-scan. */
-  private def jaccardStaged(df: DataFrame, threshold: Double): DataFrame =
+  private[operators] def jaccardStaged(df: DataFrame,
+      threshold: Double): DataFrame =
     df.withColumn("__inter",
         graft.functions.TextExpressions
           .sortedIntersectSize(col("a_sh"), col("b_sh")).cast("double"))

@@ -1,0 +1,209 @@
+package graft.operators
+
+import graft.functions.TextExpressions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Handle to a [[NearDupIndex.persist]] layout. The LSH parameters are
+  * part of the layout's identity: a probe MUST hash with the exact
+  * build-time (k, bands, n, algo) or its bucket keys miss every
+  * posting, so they persist in `_meta` and load back with the handle. */
+final case class PersistedNearDup(path: String, k: Int, bands: Int,
+    n: Int, algo: String, buckets: Int)
+
+/** Persisted MinHash-LSH near-duplicate index — the INCREMENTAL form of
+  * [[Dedup.minhashLshPairs]]: that operator answers "dedup this corpus
+  * once"; this one answers the shape a production ingest actually has —
+  * "here is today's batch; which documents are near-dups of the
+  * 100 TB corpus we already hold?" — without rescanning the corpus.
+  *
+  * Layout (mirrors [[graft.search.Ann.persistIvf]]'s discipline):
+  *   - `path`        — band-bucket postings `(band, bucket, id)`,
+  *     partitioned by `__bkt` = hash(band, bucket) % buckets, so a
+  *     delta's bucket keys prune at the FILE LISTING: a batch opens
+  *     the handful of posting dirs its own shingles hash into, never
+  *     the whole index.
+  *   - `path_docs`   — per-doc distinct shingle sets `(id, sh)`
+  *     partitioned by id-hash (`__dbkt`), the refine side and the
+  *     authority for locating a changed doc's old postings at sync.
+  *   - `path_meta`   — one row of LSH parameters.
+  *
+  * The delta probe is: band the batch (in memory), prune the posting
+  * scan to the batch's `__bkt` dirs (driver-bounded: ≤ `buckets`
+  * values), equi-join on (band, bucket), then exact-Jaccard refine
+  * against `_docs` — one bounded-pruned scan + two equi-join shuffles,
+  * never batch × corpus. With `algo = "md5"` every stage is plain-SQL
+  * reproducible, so the whole persisted path is DuckDB-oracle-checked;
+  * "xx" (xxhash64) stays the 100 TB default. */
+object NearDupIndex {
+
+  private def sigCol(algo: String, k: Int): Column =
+    if (algo == "md5") TextExpressions.minhashSigMd5(col("sh"), k)
+    else TextExpressions.minhashSig(col("sh"), k)
+
+  private def bucketOf(algo: String): Column => Column =
+    if (algo == "md5") sl => md5(concat_ws("|", sl))
+    else sl => hash(sl).cast("string")
+
+  /** `(id, sh)` → `(id, band, bucket, __bkt)` with the index's exact
+    * banding (identical to [[Dedup.minhashLshPairs]]'s stages). */
+  private def banded(sh: DataFrame, k: Int, bands: Int, algo: String,
+      buckets: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    sh.withColumn("sig", sigCol(algo, k))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => bucketOf(algo)(
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "bucket")))
+      .withColumn("__bkt",
+        pmod(xxhash64(col("band"), col("bucket")), lit(buckets.toLong))
+          .cast("int"))
+  }
+
+  /** Build and persist the index over `docs`. */
+  def persist(docs: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 16, bands: Int = 4, n: Int = 3,
+      algo: String = "xx", buckets: Int = 32): PersistedNearDup = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = Dedup.withShingles(docs, idCol, textCol, n)
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true) // feeds postings AND _docs: compute once
+    banded(sh, k, bands, algo, buckets)
+      .repartition(col("__bkt")) // one writer per posting dir
+      .write.mode("overwrite").partitionBy("__bkt").parquet(path)
+    sh.withColumn("__dbkt",
+        pmod(xxhash64(col("id")), lit(buckets.toLong)).cast("int"))
+      .repartition(col("__dbkt"))
+      .write.mode("overwrite").partitionBy("__dbkt").parquet(path + "_docs")
+    Seq((k, bands, n, algo, buckets))
+      .toDF("k", "bands", "n", "algo", "buckets").coalesce(1)
+      .write.mode("overwrite").parquet(path + "_meta")
+    PersistedNearDup(path, k, bands, n, algo, buckets)
+  }
+
+  /** Re-open a persisted index by path (parameters from `_meta`). */
+  def load(spark: SparkSession, path: String): PersistedNearDup = {
+    val m = spark.read.parquet(path + "_meta").head()
+    PersistedNearDup(path, m.getAs[Int]("k"), m.getAs[Int]("bands"),
+      m.getAs[Int]("n"), m.getAs[String]("algo"), m.getAs[Int]("buckets"))
+  }
+
+  /** Near-duplicate pairs between `delta` and the persisted corpus:
+    * `(corpus_id, delta_id, jaccard)` for exact Jaccard ≥ `threshold`
+    * among band-bucket collisions. A doc present on both sides (a
+    * re-ingest) never pairs with itself. Anti-join `delta` on
+    * `delta_id` to keep only novel documents. */
+  def nearDupsAgainst(spark: SparkSession, idx: PersistedNearDup,
+      delta: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sh = Dedup.withShingles(delta, idCol, textCol, idx.n)
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true) // banding + refine both consume it
+    val dBanded = banded(sh, idx.k, idx.bands, idx.algo, idx.buckets)
+      .withColumnRenamed("id", "delta_id")
+    // the batch's posting dirs — driver-bounded by `buckets`
+    val bks = dBanded.select("__bkt").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val postings = spark.read.parquet(idx.path)
+      .filter(col("__bkt").isin(bks: _*)) // partition pruning
+    val cand = postings.join(dBanded, Seq("band", "bucket", "__bkt"))
+      .filter(col("id") =!= col("delta_id"))
+      .select(col("id").as("corpus_id"), col("delta_id")).distinct()
+    val refined = cand
+      .join(spark.read.parquet(idx.path + "_docs")
+        .select(col("id").as("corpus_id"), col("sh").as("a_sh")),
+        Seq("corpus_id"))
+      .join(sh.select(col("id").as("delta_id"), col("sh").as("b_sh")),
+        Seq("delta_id"))
+    Dedup.jaccardStaged(
+        refined.select(col("corpus_id").as("a_id"),
+          col("delta_id").as("b_id"), col("a_sh"), col("b_sh")),
+        threshold)
+      .select(col("a_id").as("corpus_id"), col("b_id").as("delta_id"),
+        col("jaccard"))
+  }
+
+  /** CDF-batch maintenance — the dedup index's
+    * [[graft.search.Ann.syncPersistedIvf]]: last-write-wins per pk,
+    * deletes and null/shingle-less upserts leave the index. A changed
+    * doc's OLD postings are located by re-banding its stored shingle
+    * set from `_docs` (a pk lookup pruned to the batch's id-hash dirs),
+    * so only touched posting dirs rewrite. Idempotent under replay
+    * (anti-join by id, then re-add), which makes
+    * [[graft.streaming.IndexSync.layoutSync]] effectively exactly-once
+    * over it. */
+  def sync(spark: SparkSession, idx: PersistedNearDup, changes: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    import graft.index.ChangeLog
+    val latest = ChangeLog.latestPerPk(changes, idCol)
+    val changedPks = latest.select(col(idCol).as("id"))
+    val upserts = latest.filter(col("__op") =!= ChangeLog.OpDelete)
+      .drop("__op", "__seq").filter(col(textCol).isNotNull)
+    val newSh = Dedup.withShingles(upserts, idCol, textCol, idx.n)
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true) // postings + _docs + dir sets all consume it
+    val newPost = banded(newSh, idx.k, idx.bands, idx.algo, idx.buckets)
+    // locate old postings: changed ids' stored shingles, re-banded.
+    // The _docs scan prunes to the batch's id-hash dirs (≤ buckets).
+    val dbks = changedPks
+      .select(pmod(xxhash64(col("id")), lit(idx.buckets.toLong))
+        .cast("int").as("__dbkt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val docsTable = spark.read.parquet(idx.path + "_docs")
+    val oldSh = docsTable.filter(col("__dbkt").isin(dbks: _*))
+      .join(changedPks, Seq("id"), "left_semi")
+      .select("id", "sh")
+    val oldPost = banded(oldSh, idx.k, idx.bands, idx.algo, idx.buckets)
+    // ---- postings: rewrite touched __bkt dirs (≤ buckets values) ----
+    val affected = oldPost.select("__bkt").union(newPost.select("__bkt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (affected.nonEmpty) {
+      val layout = spark.read.parquet(idx.path)
+      val current = layout.filter(col("__bkt").isin(affected: _*))
+      val merged = current.join(changedPks, Seq("id"), "left_anti")
+        .unionByName(newPost.select(current.columns.map(col): _*))
+        .localCheckpoint(true) // materialize before overwriting source
+      merged.repartition(col("__bkt"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bkt").parquet(idx.path)
+      dropEmptied(spark, idx.path, "__bkt", affected,
+        merged.select("__bkt").distinct().collect().map(_.getInt(0)).toSet)
+    }
+    // ---- _docs: same merge keyed by id-hash dirs ----
+    val newDocs = newSh.withColumn("__dbkt",
+      pmod(xxhash64(col("id")), lit(idx.buckets.toLong)).cast("int"))
+    val dAffected = (dbks ++ newDocs.select("__dbkt").distinct().collect()
+      .map(_.getInt(0))).distinct
+    if (dAffected.nonEmpty) {
+      val current = docsTable.filter(col("__dbkt").isin(dAffected: _*))
+      val merged = current.join(changedPks, Seq("id"), "left_anti")
+        .unionByName(newDocs.select(current.columns.map(col): _*))
+        .localCheckpoint(true)
+      merged.repartition(col("__dbkt"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__dbkt").parquet(idx.path + "_docs")
+      dropEmptied(spark, idx.path + "_docs", "__dbkt", dAffected,
+        merged.select("__dbkt").distinct().collect().map(_.getInt(0)).toSet)
+    }
+  }
+
+  /** Dynamic overwrite only rewrites partitions present in the merged
+    * result — an affected dir whose rows all went away keeps stale
+    * files; drop those dirs explicitly (the syncPersistedIvf rule). */
+  private def dropEmptied(spark: SparkSession, path: String,
+      partCol: String, affected: Seq[Int], left: Set[Int]): Unit = {
+    val emptied = affected.filterNot(left)
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$b"), true)
+      }
+    }
+  }
+}

@@ -164,6 +164,54 @@ object DedupQueries {
           algo = "md5")
         .orderBy("a_id", "b_id")
     }),
+    // Persisted near-dup index, delta probe: the corpus block's LSH
+    // postings persist bucket-partitioned; the delta block is banded in
+    // memory and probes ONLY its own posting dirs (partition-pruned),
+    // then exact-Jaccard refines against the stored shingle sets. In
+    // md5 mode the whole persisted path replays as SQL: the oracle
+    // computes both sides' signatures and restricts candidates to
+    // cross-block band collisions.
+    "near_dup_delta" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ndidx/" +
+        dir.replaceAll("[^0-9.]", "")
+      val idx = graft.operators.NearDupIndex.persist(
+        d.filter(col("doc_id") >= 60), "doc_id", "text", root,
+        algo = "md5")
+      graft.operators.NearDupIndex.nearDupsAgainst(s, idx,
+          d.filter(col("doc_id") < 60), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy("corpus_id", "delta_id")
+    }),
+    // The same persisted index MAINTAINED through a change batch before
+    // probing: docs [130,200) arrive as inserts, corpus doc 245 (a
+    // known near-dup partner of delta doc 8) is deleted. The synced
+    // layout must answer exactly like an index built fresh on the
+    // post-change corpus — the oracle replays that rebuilt corpus, so
+    // the (8,245) pair is gone and pairs into [130,200) appear.
+    "near_dup_delta_synced" -> ((s, dir) => {
+      import graft.index.ChangeLog
+      val d = docs(s, dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ndsync/" +
+        dir.replaceAll("[^0-9.]", "")
+      val idx = graft.operators.NearDupIndex.persist(
+        d.filter(col("doc_id") >= 200), "doc_id", "text", root,
+        algo = "md5")
+      val changes = d.filter(col("doc_id") >= 130 && col("doc_id") < 200)
+        .select("doc_id", "text")
+        .withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(1L))
+        .unionByName(d.filter(col("doc_id") === 245)
+          .select("doc_id", "text")
+          .withColumn("__op", lit(ChangeLog.OpDelete))
+          .withColumn("__seq", lit(2L)))
+      graft.operators.NearDupIndex.sync(s, idx, changes, "doc_id", "text")
+      graft.operators.NearDupIndex.nearDupsAgainst(s,
+          graft.operators.NearDupIndex.load(s, root),
+          d.filter(col("doc_id") < 60), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy("corpus_id", "delta_id")
+    }),
     // Pairs -> GROUPS: connected components over the MinHash-LSH pair
     // graph (min-label propagation + pointer jumping), then canonical
     // keep = min doc per component — the full dedup decision, not just
@@ -401,6 +449,92 @@ object DedupQueries {
         |SELECT a_id, b_id, round(inter / (na + nb - inter), 4) AS jaccard
         |FROM j WHERE inter / (na + nb - inter) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // Persisted-path replay: identical md5 signatures and band buckets
+    // on both blocks; candidates restricted to corpus-side × delta-side
+    // collisions; exact Jaccard refine. The partition-pruned posting
+    // probe must lose nothing vs this full candidate join.
+    "near_dup_delta" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM d),
+        |mh AS (
+        |  SELECT doc_id, dd.d AS d,
+        |    min(md5(CAST(dd.d AS VARCHAR) || ' ' || s)) AS m
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS d) dd
+        |  GROUP BY doc_id, dd.d),
+        |bands AS (
+        |  SELECT doc_id, CAST(d // 4 AS INT) AS band,
+        |    md5(string_agg(m, '|' ORDER BY d)) AS bucket
+        |  FROM mh GROUP BY doc_id, d // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.doc_id >= 60 AND b.doc_id < 60),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM d),
+        |j AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+        |      AS DOUBLE) AS inter,
+        |    len(ga.g) AS na, len(gb.g) AS nb
+        |  FROM cand c
+        |  JOIN g ga ON ga.doc_id = c.a_id
+        |  JOIN g gb ON gb.doc_id = c.b_id)
+        |SELECT a_id AS corpus_id, b_id AS delta_id,
+        |  round(inter / (na + nb - inter), 4) AS jaccard
+        |FROM j WHERE inter / (na + nb - inter) >= 0.5
+        |ORDER BY corpus_id, delta_id""".stripMargin,
+    // Synced layout ≡ fresh build on the post-change corpus: inserts
+    // [130,200) present, deleted 245 absent.
+    "near_dup_delta_synced" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM d),
+        |mh AS (
+        |  SELECT doc_id, dd.d AS d,
+        |    min(md5(CAST(dd.d AS VARCHAR) || ' ' || s)) AS m
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS d) dd
+        |  GROUP BY doc_id, dd.d),
+        |bands AS (
+        |  SELECT doc_id, CAST(d // 4 AS INT) AS band,
+        |    md5(string_agg(m, '|' ORDER BY d)) AS bucket
+        |  FROM mh GROUP BY doc_id, d // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.doc_id >= 130 AND a.doc_id <> 245 AND b.doc_id < 60),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM d),
+        |j AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+        |      AS DOUBLE) AS inter,
+        |    len(ga.g) AS na, len(gb.g) AS nb
+        |  FROM cand c
+        |  JOIN g ga ON ga.doc_id = c.a_id
+        |  JOIN g gb ON gb.doc_id = c.b_id)
+        |SELECT a_id AS corpus_id, b_id AS delta_id,
+        |  round(inter / (na + nb - inter), 4) AS jaccard
+        |FROM j WHERE inter / (na + nb - inter) >= 0.5
+        |ORDER BY corpus_id, delta_id""".stripMargin,
     // The dedup_minhash_lsh pair pipeline, closed into components with
     // a recursive CTE: reach(id, r) = ids reachable over the symmetric
     // pair edges, component = min(r) (self included via the seed rows).
