@@ -138,7 +138,12 @@ object NearDupIndex {
   def sync(spark: SparkSession, idx: PersistedNearDup, changes: DataFrame,
       idCol: String, textCol: String): Unit = {
     import graft.index.ChangeLog
-    val latest = ChangeLog.latestPerPk(changes, idCol)
+    // materialize the change batch BEFORE touching the layout: a caller
+    // may derive `changes` from a probe of THIS index (the DedupIngest
+    // admission filter does), and a lazy plan holding the pre-write
+    // file listing would re-execute against deleted files once the
+    // postings dirs are overwritten below
+    val latest = ChangeLog.latestPerPk(changes, idCol).localCheckpoint(true)
     val changedPks = latest.select(col(idCol).as("id"))
     val upserts = latest.filter(col("__op") =!= ChangeLog.OpDelete)
       .drop("__op", "__seq").filter(col(textCol).isNotNull)
