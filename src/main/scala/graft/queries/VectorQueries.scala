@@ -273,6 +273,26 @@ object VectorQueries {
         .select("a_id", "b_id")
         .orderBy("a_id", "b_id")
     }),
+    // Vector-side delta near-dup: the batch (vec_id < 15) probes the
+    // persisted sign-LSH corpus layout (vec_id >= 15) for cosine >= 0.3
+    // near-duplicates — candidates only from (table, code) bucket
+    // collisions, scan pruned to the batch's own codes. Deterministic
+    // md5-derived hyperplanes make the WHOLE pruned path SQL-
+    // replayable: the oracle rebuilds identical codes and restricts the
+    // refine to the same collisions.
+    "near_dup_vec_delta" -> ((s, dir) => {
+      import graft.search.Ann
+      val e = emb(s, dir)
+      val index = Ann.buildSignLsh(e.filter(col("vec_id") >= 15),
+        "embedding", tables = 8, bits = 4)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ndvec/" +
+        dir.replaceAll("[^0-9.]", "")
+      val persisted = Ann.persistSignLsh(index, "vec_id", "embedding", path)
+      Ann.nearDupsAgainstSignLsh(s, persisted,
+          e.filter(col("vec_id") < 15), "vec_id", "embedding",
+          "vec_id", "embedding", cosineThreshold = 0.3)
+        .orderBy("corpus_id", "delta_id")
+    }),
     // Custom UDAF: per-label centroid of the embedding vectors (partial
     // aggregation map-side, like builtin aggs). First two components
     // oracle-checked against DuckDB's per-dimension averages.
@@ -613,6 +633,46 @@ object VectorQueries {
         |WHERE a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
         |  AND list_cosine_similarity(a.embedding, b.embedding) > 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+    // Replays the sign-LSH delta probe: identical md5-derived Rademacher
+    // codes (8 tables x 4 bits, fixed-point vector components), cross-
+    // block bucket collisions only, exact-cosine refine at 0.3.
+    "near_dup_vec_delta" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |tb AS (
+        |  SELECT t.t, b.b
+        |  FROM (SELECT unnest(range(0, 8)) AS t) t,
+        |       (SELECT unnest(range(0, 4)) AS b) b),
+        |signs AS (
+        |  SELECT tb.t, tb.b, dims.d,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5(CAST(tb.t AS VARCHAR) || ' ' ||
+        |                   CAST(tb.b AS VARCHAR) || ' ' ||
+        |                   CAST(dims.d AS VARCHAR)), 16, 1)) - 1) & 1 = 1
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM tb, dims),
+        |comp AS (
+        |  SELECT v.vec_id, dd.d,
+        |    CAST(floor(CAST(v.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS y
+        |  FROM embeddings v, dims dd),
+        |proj AS (
+        |  SELECT c.vec_id, s.t, s.b, sum(s.s * c.y) AS acc
+        |  FROM comp c JOIN signs s ON s.d = c.d
+        |  GROUP BY c.vec_id, s.t, s.b),
+        |codes AS (
+        |  SELECT vec_id, t,
+        |    sum(CASE WHEN acc > 0 THEN 1 << b ELSE 0 END) AS code
+        |  FROM proj GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT c.vec_id AS corpus_id, q.vec_id AS delta_id
+        |  FROM codes q JOIN codes c ON q.t = c.t AND q.code = c.code
+        |  WHERE q.vec_id < 15 AND c.vec_id >= 15)
+        |SELECT cand.corpus_id, cand.delta_id
+        |FROM cand
+        |JOIN embeddings ce ON ce.vec_id = cand.corpus_id
+        |JOIN embeddings qe ON qe.vec_id = cand.delta_id
+        |WHERE list_cosine_similarity(ce.embedding, qe.embedding) >= 0.3
+        |ORDER BY corpus_id, delta_id""".stripMargin,
   )
 
   // hybrid_rrf_persisted serves the keyword leg from the persisted

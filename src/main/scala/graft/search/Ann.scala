@@ -495,6 +495,46 @@ object Ann {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** Embedding near-duplicates of a batch AGAINST a persisted sign-LSH
+    * corpus layout — the vector-side analog of
+    * [[graft.operators.NearDupIndex.nearDupsAgainst]]: "which of
+    * today's vectors already live (to within cosine ≥ threshold) in
+    * the corpus index?" without rescanning or self-joining the corpus.
+    * Candidates are (table, code) bucket collisions with the scan
+    * pruned AT THE FILE LISTING to the batch's own codes — the
+    * collected predicate is bounded by the CODE SPACE
+    * (tables × 2^bits), not the batch size — refined by exact cosine.
+    * Returns distinct `(corpus_id, delta_id)` pairs; anti-join the
+    * batch on `delta_id` to keep only novel vectors. Recall follows
+    * sign-LSH bucketing (candidates OR across tables — raise `tables`
+    * at build for higher recall). */
+  def nearDupsAgainstSignLsh(spark: SparkSession, idx: PersistedSignLsh,
+      delta: DataFrame, deltaIdCol: String, deltaVecCol: String,
+      corpusPkCol: String, corpusVecCol: String,
+      cosineThreshold: Double): DataFrame = {
+    val q = delta.filter(col(deltaVecCol).isNotNull)
+      .select(col(deltaIdCol).as("delta_id"),
+        col(deltaVecCol).as("__dvec"),
+        posexplode(graft.functions.SignLshFunctions
+          .signLshCodes(col(deltaVecCol), idx.tables, idx.bits))
+          .as(Seq("__t", "__code")))
+    val pairs = q.select("__t", "__code").distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val pred = pairs
+      .map { case (t, code) =>
+        col("__t") === lit(t) && col("__code") === lit(code) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    // no broadcast hint on the batch side: a delta can legitimately be
+    // huge; AQE broadcasts small ones on its own
+    val c = spark.read.parquet(idx.path).filter(pred)
+    c.join(q, Seq("__t", "__code"))
+      .filter(col(corpusPkCol) =!= col("delta_id"))
+      .dropDuplicates("delta_id", corpusPkCol)
+      .withColumn("__cos", VF.cosine(col(corpusVecCol), col("__dvec")))
+      .filter(col("__cos") >= cosineThreshold)
+      .select(col(corpusPkCol).as("corpus_id"), col("delta_id"))
+  }
+
   // ---------------- LSH (random projection buckets) ----------------
 
   final case class LshIndex(model: BucketedRandomProjectionLSHModel,

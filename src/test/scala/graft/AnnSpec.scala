@@ -164,4 +164,37 @@ class AnnSpec extends SparkSpec {
       s"degraded index must lose its top-1 hit: ${degraded.mkString(",")}")
     assert(degraded.forall(r => r.getAs[Long]("n_exact") == 5L))
   }
+
+  test("nearDupsAgainstSignLsh equals the in-memory bucket-collision set") {
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("graft_ndvec").toString + "/idx"
+    val index = Ann.buildSignLsh(corpus, "embedding", tables = 8, bits = 4)
+    val persisted = Ann.persistSignLsh(index, "vec_id", "embedding", path)
+    val got = Ann.nearDupsAgainstSignLsh(spark, persisted, queries,
+        "vec_id", "embedding", "vec_id", "embedding", 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: same codes computed in memory, same collision rule
+    import graft.functions.{SignLshFunctions, VectorFunctions => VF}
+    val codesOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select($"vec_id", posexplode(SignLshFunctions
+        .signLshCodes($"embedding", 8, 4)).as(Seq("t", "code")))
+    val want = codesOf(corpus).toDF("c_id", "t", "code")
+      .join(codesOf(queries).toDF("d_id", "t", "code"), Seq("t", "code"))
+      .select("c_id", "d_id").distinct()
+      .join(corpus.select($"vec_id".as("c_id"), $"embedding".as("cv")),
+        Seq("c_id"))
+      .join(queries.select($"vec_id".as("d_id"), $"embedding".as("dv")),
+        Seq("d_id"))
+      .filter(VF.cosine($"cv", $"dv") >= 0.25)
+      .select("c_id", "d_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want && got.nonEmpty,
+      s"got ${got.size} pairs, want ${want.size}")
+    // the probe's partition predicate is bounded by the code space
+    val plan = Ann.nearDupsAgainstSignLsh(spark, persisted, queries,
+      "vec_id", "embedding", "vec_id", "embedding", 0.25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"),
+      s"delta probe must prune bucket dirs:\n${plan.take(2000)}")
+  }
 }
