@@ -111,6 +111,37 @@ class NearDupIndexSpec extends SparkSpec {
       "re-applied batch must not duplicate postings")
   }
 
+  test("Maintenance.compactParquet is safe over the synced layout: " +
+      "probe results unchanged, per-dir file invariant kept") {
+    val root = tmp("compact")
+    val idx = NearDupIndex.persist(docs.filter(col("doc_id") >= 300),
+      "doc_id", "text", root)
+    // two sync batches fragment the touched dirs with extra files
+    Seq((200L, 250L), (250L, 300L)).foreach { case (lo, hi) =>
+      NearDupIndex.sync(spark, idx,
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .withColumn("__op", lit(ChangeLog.OpInsert))
+          .withColumn("__seq", lit(1L)),
+        "doc_id", "text")
+    }
+    val delta = docs.filter(col("doc_id") < 60)
+    val before = pairs(NearDupIndex.nearDupsAgainst(spark, idx, delta,
+      "doc_id", "text", 0.5))
+    val rep = graft.operators.Maintenance.compactParquet(spark, root)
+    val repDocs = graft.operators.Maintenance
+      .compactParquet(spark, root + "_docs")
+    // sync's repartition-by-dir + dynamic overwrite keeps ONE file per
+    // bucket dir, so there is nothing to narrow — compaction must
+    // recognize the hive layout, keep the dirs (pruning depends on
+    // them), and change nothing
+    assert(rep.filesAfter <= rep.filesBefore, s"postings: $rep")
+    assert(repDocs.filesAfter <= repDocs.filesBefore, s"docs: $repDocs")
+    spark.sharedState.cacheManager.clearCache()
+    val after = pairs(NearDupIndex.nearDupsAgainst(spark, idx, delta,
+      "doc_id", "text", 0.5))
+    assert(after === before && after.nonEmpty)
+  }
+
   test("load round-trips the build parameters") {
     val idx = NearDupIndex.persist(docs.limit(50), "doc_id", "text",
       tmp("meta"), k = 8, bands = 2, n = 4, algo = "md5", buckets = 16)
