@@ -143,9 +143,18 @@ object Dedup {
     * DuckDB-oracle-checkable, not just spec-trusted. "xx" (xxhash64)
     * remains the 100 TB default.
     */
+  /** `maxBucket` is the hot-bucket guard for corpus-scale runs: a viral
+    * near-duplicate cluster (templated spam, boilerplate) shares every
+    * band, so ONE bucket goes quadratic in the candidate join — at
+    * 100 TB that is the task that never finishes. Buckets holding more
+    * than `maxBucket` docs are excluded from candidate generation (an
+    * EXPLICIT recall trade, the standard production guard; run
+    * [[exactFirstWins]] on canonical text first so identical clusters
+    * collapse before they ever form a hot bucket). `None` (default)
+    * keeps exact LSH semantics — the oracle-checked configuration. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 16, bands: Int = 4, n: Int = 3,
-      algo: String = "xx"): DataFrame = {
+      algo: String = "xx", maxBucket: Option[Int] = None): DataFrame = {
     val rowsPerBand = k / bands
     // The shingle+signature projection feeds three consumers (banding and
     // both sides of the refine join): materialize it once instead of
@@ -176,8 +185,22 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => bucketOf(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as(Seq("band", "bucket")))
-    val a = banded.toDF("a_id", "band", "bucket")
-    val b = banded.toDF("b_id", "band", "bucket")
+    val capped = maxBucket match {
+      case None => banded
+      case Some(cap) =>
+        // one small agg keyed like the join itself; hot buckets are by
+        // definition few, so the keep-set join stays a broadcast
+        val sizes = banded.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bn"))
+        banded.join(broadcast(sizes.filter(col("__bn") > cap)
+            .select("band", "bucket")),
+          Seq("band", "bucket"), "left_anti")
+          // the using-join puts its keys first; the positional toDF
+          // renames below need the original (id, band, bucket) order
+          .select("id", "band", "bucket")
+    }
+    val a = capped.toDF("a_id", "band", "bucket")
+    val b = capped.toDF("b_id", "band", "bucket")
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()

@@ -96,9 +96,13 @@ object NearDupIndex {
     * among band-bucket collisions. A doc present on both sides (a
     * re-ingest) never pairs with itself. Anti-join `delta` on
     * `delta_id` to keep only novel documents. */
+  /** `maxBucket` mirrors [[Dedup.minhashLshPairs]]'s hot-bucket guard:
+    * posting buckets holding more than `maxBucket` corpus docs are
+    * skipped during candidate generation (explicit recall trade for
+    * viral-duplicate clusters; `None` keeps exact semantics). */
   def nearDupsAgainst(spark: SparkSession, idx: PersistedNearDup,
       delta: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBucket: Option[Int] = None): DataFrame = {
     val sh = Dedup.withShingles(delta, idCol, textCol, idx.n)
       .filter(size(col("sh")) > 0)
       .localCheckpoint(true) // banding + refine both consume it
@@ -107,8 +111,16 @@ object NearDupIndex {
     // the batch's posting dirs — driver-bounded by `buckets`
     val bks = dBanded.select("__bkt").distinct().collect()
       .map(_.getInt(0)).toSeq
-    val postings = spark.read.parquet(idx.path)
+    val pruned = spark.read.parquet(idx.path)
       .filter(col("__bkt").isin(bks: _*)) // partition pruning
+    val postings = maxBucket match {
+      case None => pruned
+      case Some(cap) =>
+        val hot = pruned.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > cap).select("band", "bucket")
+        pruned.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    }
     val cand = postings.join(dBanded, Seq("band", "bucket", "__bkt"))
       .filter(col("id") =!= col("delta_id"))
       .select(col("id").as("corpus_id"), col("delta_id")).distinct()

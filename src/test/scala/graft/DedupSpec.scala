@@ -131,6 +131,29 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 3L))
   }
 
+  test("maxBucket guard drops viral-cluster candidates, keeps the rest") {
+    // a 40-doc near-identical "viral" cluster (shared shingles dominate
+    // every band) + one small honest near-dup pair elsewhere
+    val viral = (0L until 40L).map(i =>
+      (i, s"breaking news template shared body text copy number $i"))
+    val pair = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "the quick brown fox jumps over the lazy dog tonight"))
+    val df = (viral ++ pair).toDF("id", "text")
+    val uncapped = Dedup.minhashLshPairs(df, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashLshPairs(df, "id", "text", threshold = 0.5,
+        maxBucket = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((100L, 101L)) && capped.contains((100L, 101L)),
+      "the honest pair survives the cap")
+    assert(uncapped.exists(p => p._1 < 40L && p._2 < 40L),
+      "precondition: the viral cluster produces pairs uncapped")
+    assert(!capped.exists(p => p._1 < 40L && p._2 < 40L),
+      "capped run skips the hot buckets")
+    assert(capped.subsetOf(uncapped), "the cap only removes candidates")
+  }
+
   test("repeated dedup calls do not accumulate cached blocks") {
     // the internal multi-consumer projections are eager localCheckpoints
     // (never bare .persist): their blocks are reclaimed by the
