@@ -12,8 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *   raw corpus → falsy/quality filter → repetition filter → exact dedup
   *   → near-dup removal (MinHash+LSH, keep lowest id per duplicate
-  *   cluster) → per-source balancing (top-k by quality, heap operator)
-  *   → embed → vector index
+  *   cluster, optional hot-bucket guard) → benchmark decontamination
+  *   (optional, n-gram overlap fraction) → per-source balancing (top-k
+  *   by quality, heap operator) → embed → vector index
   *
   * Every stage is a DataFrame transform: filters are codegen'd
   * projections, exact dedup is one key shuffle, near-dup removal
@@ -24,14 +25,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class PipelineReport(
     input: Long, afterQuality: Long, afterRepetition: Long,
-    afterExact: Long, afterNearDup: Long, afterBalance: Long)
+    afterExact: Long, afterNearDup: Long, afterDecontam: Long,
+    afterBalance: Long)
 
 final class CorpusPipeline(
     minQuality: Double = 0.5,
     nearDupJaccard: Double = 0.8,
     shingleSize: Int = 3,
     maxDupTokenFraction: Double = 1.0,
-    perSourceCap: Int = 0) {
+    perSourceCap: Int = 0,
+    maxBucket: Option[Int] = None,
+    maxContamination: Double = 1.0) {
 
   /** Quality gate: drop null/empty and low-quality docs. */
   def qualityFilter(docs: DataFrame, textCol: String): DataFrame =
@@ -58,9 +62,23 @@ final class CorpusPipeline(
     * (transitively: anything paired with a smaller id leaves). */
   def nearDupRemoval(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val losers = Dedup.minhashLshPairs(docs, idCol, textCol,
-        nearDupJaccard, n = shingleSize)
+        nearDupJaccard, n = shingleSize, maxBucket = maxBucket)
       .select(col("b_id").as(idCol)).distinct()
     docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Benchmark decontamination gate: drop docs whose n-gram overlap
+    * fraction with the eval set reaches `maxContamination` (disabled at
+    * the default 1.0 unless a doc fully overlaps). Docs too short to
+    * shingle pass — they cannot leak an eval answer. */
+  def decontaminationFilter(docs: DataFrame, idCol: String,
+      textCol: String, benchmarks: DataFrame,
+      benchTextCol: String): DataFrame = {
+    val hot = Dedup.contaminationScore(docs, idCol, textCol,
+        benchmarks, benchTextCol, n = shingleSize)
+      .filter(col("score") >= maxContamination)
+      .select(col(idCol))
+    docs.join(hot, Seq(idCol), "left_anti")
   }
 
   /** Per-source balancing: keep the `perSourceCap` highest-quality docs
@@ -99,7 +117,9 @@ final class CorpusPipeline(
   def run(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, embedder: Embedder,
       indexPath: Option[String] = None,
-      sourceCol: Option[String] = None): (DataFrame, PipelineReport) = {
+      sourceCol: Option[String] = None,
+      benchmarks: Option[DataFrame] = None,
+      benchTextCol: String = "text"): (DataFrame, PipelineReport) = {
     import org.apache.spark.sql.Observation
     import org.apache.spark.storage.StorageLevel
     val persisted = scala.collection.mutable.ListBuffer[DataFrame]()
@@ -121,8 +141,12 @@ final class CorpusPipeline(
     val nE = e.count()
     val nd = stage(nearDupRemoval(e, idCol, textCol))
     val nNd = nd.count()
+    val dc = benchmarks
+      .map(b => stage(decontaminationFilter(nd, idCol, textCol, b,
+        benchTextCol))).getOrElse(nd)
+    val nDc = dc.count()
     val bal = sourceCol.filter(_ => perSourceCap > 0)
-      .map(sc => stage(balance(nd, idCol, textCol, sc))).getOrElse(nd)
+      .map(sc => stage(balance(dc, idCol, textCol, sc))).getOrElse(dc)
     val nBal = bal.count()
     val embedded = embedder.embed(bal, textCol)
     indexPath.foreach { p =>
@@ -132,6 +156,6 @@ final class CorpusPipeline(
     }
     // release interior stages; keep the final one hot for the caller
     persisted.filter(_ ne bal).foreach(_.unpersist(blocking = false))
-    (embedded, PipelineReport(input, nQ, nR, nE, nNd, nBal))
+    (embedded, PipelineReport(input, nQ, nR, nE, nNd, nDc, nBal))
   }
 }

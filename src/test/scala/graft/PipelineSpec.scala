@@ -83,4 +83,24 @@ class PipelineSpec extends SparkSpec {
     assert(report.afterBalance <= report.afterNearDup)
     assert(report.afterBalance <= bySource.keySet.size.toLong * 3)
   }
+
+  test("decontamination stage drops docs overlapping the eval set") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+      .filter($"text".isNotNull && trim($"text") =!= "")
+    // the "benchmark" is a block of the corpus itself: those docs fully
+    // overlap it (score 1.0) and must leave; everything else stays
+    val bench = docs.filter($"doc_id" >= 400 && $"doc_id" < 420)
+    val p = new CorpusPipeline(minQuality = 0.0, nearDupJaccard = 0.99,
+      maxContamination = 0.8)
+    val (embedded, report) = p.run(spark, docs, "doc_id", "text",
+      new HashProjectionEmbedder(16), None, None, Some(bench))
+    assert(report.afterDecontam < report.afterNearDup,
+      s"contaminated docs must drop: $report")
+    val ids = embedded.select("doc_id").as[Long].collect().toSet
+    val benchIds = bench.select("doc_id").as[Long].collect().toSet
+    val survivingBench = benchIds.intersect(ids)
+    assert(survivingBench.isEmpty,
+      s"benchmark-identical docs survived: $survivingBench")
+  }
 }
