@@ -92,10 +92,34 @@ object Sampling {
     * the DuckDB oracle runs. */
   def tokenBudget(df: DataFrame, idCol: String, strataCol: String,
       tokensCol: String, budgets: Map[String, Long],
-      default: Long = 0L, buckets: Int = 4096): DataFrame = {
-    val frac = hashFraction(col(idCol))
-    val base = df.withColumn("__frac", frac)
-      .withColumn("__bkt", floor(col("__frac") * buckets).cast("int"))
+      default: Long = 0L, buckets: Int = 4096): DataFrame =
+    tokenBudgetByKey(df, idCol, strataCol, tokensCol,
+      hashFraction(col(idCol)), budgets, default, buckets)
+
+  /** Priority-ordered token budget — the CURRICULUM form: "the best B
+    * tokens per source". `priorityCol` must be a double in [0, 1]
+    * (e.g. [[TextAnalysis.qualityScore]]); within each stratum the
+    * HIGHEST-priority documents are taken first (ties by id) until the
+    * budget is crossed. Same two-phase exact plan as [[tokenBudget]] —
+    * the bucketed histogram keys on the priority itself, so no stratum
+    * ever pays a full sort here either. */
+  def tokenBudgetBy(df: DataFrame, idCol: String, strataCol: String,
+      tokensCol: String, priorityCol: Column, budgets: Map[String, Long],
+      default: Long = 0L, buckets: Int = 4096): DataFrame =
+    tokenBudgetByKey(df, idCol, strataCol, tokensCol,
+      lit(1.0) - priorityCol, budgets, default, buckets)
+
+  /** Shared two-phase exact selection in ascending `key` order (key in
+    * [0, 1]; ties broken by id). See [[tokenBudget]] for the plan. */
+  private def tokenBudgetByKey(df: DataFrame, idCol: String,
+      strataCol: String, tokensCol: String, key: Column,
+      budgets: Map[String, Long], default: Long,
+      buckets: Int): DataFrame = {
+    val base = df.withColumn("__frac", key)
+      // clamp: key = 1.0 exactly (priority 0) must land in the last
+      // bucket, not one past it
+      .withColumn("__bkt", least(floor(col("__frac") * buckets),
+        lit(buckets - 1)).cast("int"))
     val budgetCol = coalesce(
       element_at(typedlit(budgets), col(strataCol).cast("string")),
       lit(default))

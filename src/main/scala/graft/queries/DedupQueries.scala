@@ -123,6 +123,23 @@ object DedupQueries {
         .select(col("source"), col("doc_id"), col("n_tokens"))
         .orderBy("source", "doc_id")
     }),
+    // Curriculum form of the token budget: per source, the HIGHEST-
+    // quality documents are taken first (ties by id) until the token
+    // budget is crossed — same two-phase exact engine plan, priority
+    // key instead of the md5 fraction. Oracle: single window ordered
+    // by quality DESC, id.
+    "sample_quality_budget" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .withColumn("n_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+      graft.operators.Sampling.tokenBudgetBy(d, "doc_id", "source",
+          "n_tokens",
+          graft.operators.TextAnalysis.qualityScore(col("text")),
+          Map("src0" -> 800L), default = 600L)
+        .select(col("source"), col("doc_id"), col("n_tokens"))
+        .orderBy("source", "doc_id")
+    }),
     // Benchmark decontamination: corpus docs sharing >= 2 distinct
     // 3-gram shingles with the "benchmark" block are flagged with
     // their hit counts — the shingle equi-join shape (one shuffle on
@@ -410,6 +427,36 @@ object DedupQueries {
         |GROUP BY ce.corpus_id, be.bench_id
         |HAVING count(*) >= 2
         |ORDER BY corpus_id, bench_id""".stripMargin,
+    // Quality-ordered budget replay: the proven qualityScore SQL as the
+    // priority, one running-sum window per source over (q DESC, id).
+    "sample_quality_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    round(
+        |    (CASE WHEN len(string_split_regex(trim(text),'\s+'))
+        |            BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) * 0.4
+        |  + (CASE WHEN CAST(len(regexp_extract_all(text,'[.!?,;:]')) AS DOUBLE)
+        |            / greatest(CAST(len(string_split_regex(trim(text),'\s+'))
+        |                AS DOUBLE), 1.0) <= 0.2
+        |          THEN 1.0 ELSE 0.5 END) * 0.3
+        |  + (CASE WHEN CAST(len(list_filter(string_split_regex(lower(trim(text)),'\s+'),
+        |              x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |            / greatest(CAST(len(string_split_regex(trim(text),'\s+'))
+        |                AS DOUBLE), 1.0) BETWEEN 0.01 AND 0.5
+        |          THEN 1.0 ELSE 0.6 END) * 0.3, 4) AS q
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY q DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM d)
+        |SELECT source, doc_id, n_tokens FROM c
+        |WHERE cb < CASE source WHEN 'src0' THEN 800 ELSE 600 END
+        |ORDER BY source, doc_id""".stripMargin,
     // Contamination score replay: distinct corpus shingles per doc,
     // distinct benchmark shingle SET, left join + per-doc hit fraction.
     "decontaminate_score" ->

@@ -106,6 +106,36 @@ class SamplingSpec extends SparkSpec {
     assert(ids(coarse) === ids(slow))
   }
 
+  test("tokenBudgetBy: quality-first selection equals the naive " +
+      "priority window") {
+    import org.apache.spark.sql.expressions.Window
+    val q = graft.operators.TextAnalysis.qualityScore(col("text"))
+    val d = docs.filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+"))
+        .cast("long"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val fast = Sampling.tokenBudgetBy(d, "doc_id", "source", "n_tokens",
+      q, Map("src0" -> 800L), default = 600L, buckets = 16)
+    val w = Window.partitionBy("source").orderBy(q.desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val slow = d
+      .withColumn("__cb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("__cb") < when(col("source") === "src0", 800L)
+        .otherwise(600L))
+    assert(ids(fast) === ids(slow) && ids(fast).nonEmpty)
+    // kept docs are at least as good as dropped docs within a stratum
+    val kept = fast.groupBy("source").agg(min(q).as("worst_kept"))
+    val dropped = d.join(fast.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(max(q).as("best_dropped"))
+    // a prefix in (q desc, id) order: every kept doc's quality is >=
+    // every dropped doc's within its stratum (ties allowed)
+    val cmp = kept.join(dropped, "source").collect()
+    assert(cmp.nonEmpty && cmp.forall(r =>
+      r.getAs[Double]("worst_kept")
+        >= r.getAs[Double]("best_dropped") - 1e-9))
+  }
+
   test("tokenBudget edge cases: zero-token rows, exact-budget boundary") {
     // tokens 5 each, budget 10: rows kept while cum_before < 10 → the
     // first 2 in hash order; a zero-token row exactly AT the budget
