@@ -41,6 +41,22 @@ object Bench {
         .localCheckpoint(true)
         .write.mode("overwrite").parquet(
           s"${System.getProperty("java.io.tmpdir")}/graft_bench_warm")
+      // MicroBatchExecution + checkpoint-log + file-source init: the
+      // streaming chains (feed/journal syncs, stateful dedup, ingest)
+      // otherwise charge ~1-2 s of one-time engine setup to whichever
+      // of them the map orders first
+      val sroot = s"${System.getProperty("java.io.tmpdir")}/graft_bench_swarm"
+      val sfs = new org.apache.hadoop.fs.Path(sroot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      sfs.delete(new org.apache.hadoop.fs.Path(sroot), true)
+      val one = spark.range(1L).selectExpr("id")
+      one.write.mode("overwrite").parquet(s"$sroot/journal")
+      spark.readStream.schema(one.schema).parquet(s"$sroot/journal")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$sroot/ckpt")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start().awaitTermination()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
