@@ -228,6 +228,25 @@ object InfraQueries {
       Ann.recallAtK(answers, corpus, queries, "vec_id", "embedding",
         "vec_id", "embedding", k = 5, sampleMod = 2L)
     }),
+    // Recall telemetry THROUGH the graph leg: the same recallAtK
+    // operator composed over the most complex ANN path — graph
+    // beam-search answers vs exact KNN on the deterministic query
+    // sample. The oracle replays the full graph build + 3 hops (the
+    // ann_graph_topk machinery) AND the exact sample side, then the
+    // recall join — drift observability, hash-checked end to end.
+    "ann_recall_graph" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 1000)
+      val queries = e.filter(col("vec_id") < 5)
+      val graph = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id",
+        m = 6)
+      val answers = GraphAnn.queryGraph(graph, corpus, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 3, entries = 4, beam = 4, hops = 3, metric = Metric.L2,
+        entryMod = 5L)
+      Ann.recallAtK(answers, corpus, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 3, sampleMod = 2L, metric = Metric.L2)
+    }),
     // LSH ANN — rows-only; recall asserted in ScalaTest.
     "ann_lsh_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -1495,6 +1514,103 @@ object InfraQueries {
         |  JOIN qs q ON q.query_id = c.query_id)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // The ann_graph_topk replay (build + entries + 3 hops) as the
+    // answers side, exact L2 top-3 on the mod-2 query sample as the
+    // truth side, recall join on top — recallAtK over the graph leg.
+    "ann_recall_graph" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id >= 5 AND vec_id < 1000),
+        |qs AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vec_id AS src, b.vec_id AS dst,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_distance(a.v, b.v), b.vec_id) AS rn
+        |    FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id)
+        |  WHERE rn <= 6),
+        |c0 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_distance(c.v, q.qv), c.vec_id) AS r
+        |    FROM corpus c CROSS JOIN qs q WHERE c.vec_id % 5 = 0)
+        |  WHERE r <= 4),
+        |f1 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+        |    FROM c0 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id)
+        |  WHERE r <= 4),
+        |c1 AS (
+        |  SELECT DISTINCT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id FROM c0
+        |    UNION ALL
+        |    SELECT f.query_id, g.dst AS vec_id
+        |    FROM f1 f JOIN edges g ON g.src = f.vec_id)),
+        |f2 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+        |    FROM c1 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM f1 e
+        |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id))
+        |  WHERE r <= 4),
+        |c2 AS (
+        |  SELECT DISTINCT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id FROM c1
+        |    UNION ALL
+        |    SELECT f.query_id, g.dst AS vec_id
+        |    FROM f2 f JOIN edges g ON g.src = f.vec_id)),
+        |f3 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+        |    FROM c2 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM f1 e
+        |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id)
+        |    AND NOT EXISTS (SELECT 1 FROM f2 e
+        |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id))
+        |  WHERE r <= 4),
+        |c3 AS (
+        |  SELECT DISTINCT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id FROM c2
+        |    UNION ALL
+        |    SELECT f.query_id, g.dst AS vec_id
+        |    FROM f3 f JOIN edges g ON g.src = f.vec_id)),
+        |ans AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS rnk
+        |    FROM c3 c JOIN corpus v ON v.vec_id = c.vec_id
+        |    JOIN qs q ON q.query_id = c.query_id)
+        |  WHERE rnk <= 3),
+        |sq AS (SELECT query_id, qv FROM qs WHERE query_id % 2 = 0),
+        |exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT s.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY s.query_id
+        |        ORDER BY list_distance(c.v, s.qv), c.vec_id) AS rnk
+        |    FROM corpus c CROSS JOIN sq s)
+        |  WHERE rnk <= 3)
+        |SELECT e.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 4) AS recall
+        |FROM exact e LEFT JOIN ans a
+        |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     // ann_graph_topk's replay with the ENTRY replaced by the two-layer
     // descent: e0 = top-2 of the mod-25 pool, g1/d1/g2/d2 = two beam-3
     // best-first hops over the layer-1 4-NN edge graph (mod-5 pool),
