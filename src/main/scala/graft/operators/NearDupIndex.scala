@@ -209,6 +209,20 @@ object NearDupIndex {
     }
   }
 
+  /** Bucket-occupancy telemetry — the observability
+    * [[nearDupsAgainst]]'s `maxBucket` guard needs: you cannot pick a
+    * cap you cannot see. One count shuffle over the postings; returns
+    * `(band, bucket, n)` for buckets holding at least `minSize` docs,
+    * largest first — the hot-bucket watch list (the
+    * [[graft.search.Ann.cellStats]] of the dedup index). */
+  def bucketStats(spark: SparkSession, idx: PersistedNearDup,
+      minSize: Long = 2L): DataFrame =
+    spark.read.parquet(idx.path)
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSize)
+      .orderBy(col("n").desc, col("band"), col("bucket"))
+
   /** Dynamic overwrite only rewrites partitions present in the merged
     * result — an affected dir whose rows all went away keeps stale
     * files; drop those dirs explicitly (the syncPersistedIvf rule). */

@@ -200,6 +200,19 @@ object DedupQueries {
           threshold = 0.5)
         .orderBy("corpus_id", "delta_id")
     }),
+    // Hot-bucket telemetry over the persisted index: per-(band, bucket)
+    // posting counts, largest first — how a maxBucket cap gets chosen.
+    // In md5 mode the bucket keys replay as SQL, so the stats are
+    // hash-checked too.
+    "near_dup_bucket_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ndstats/" +
+        dir.replaceAll("[^0-9.]", "")
+      val idx = graft.operators.NearDupIndex.persist(
+        d.filter(col("doc_id") >= 60), "doc_id", "text", root,
+        algo = "md5")
+      graft.operators.NearDupIndex.bucketStats(s, idx, minSize = 2L)
+    }),
     // The same persisted index MAINTAINED through a change batch before
     // probing: docs [130,200) arrive as inserts, corpus doc 245 (a
     // known near-dup partner of delta doc 8) is deleted. The synced
@@ -571,6 +584,31 @@ object DedupQueries {
         |  round(inter / (na + nb - inter), 4) AS jaccard
         |FROM j WHERE inter / (na + nb - inter) >= 0.5
         |ORDER BY corpus_id, delta_id""".stripMargin,
+    // Bucket-stats replay: same md5 signatures/bands over the corpus
+    // block, counts per (band, bucket) at minSize 2, largest first.
+    "near_dup_bucket_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents
+        |  WHERE doc_id >= 60 AND text IS NOT NULL AND trim(text) <> ''),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM d),
+        |mh AS (
+        |  SELECT doc_id, dd.d AS d,
+        |    min(md5(CAST(dd.d AS VARCHAR) || ' ' || s)) AS m
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS d) dd
+        |  GROUP BY doc_id, dd.d),
+        |bands AS (
+        |  SELECT doc_id, CAST(d // 4 AS INT) AS band,
+        |    md5(string_agg(m, '|' ORDER BY d)) AS bucket
+        |  FROM mh GROUP BY doc_id, d // 4)
+        |SELECT band, bucket, count(*) AS n
+        |FROM bands GROUP BY band, bucket
+        |HAVING count(*) >= 2
+        |ORDER BY n DESC, band, bucket""".stripMargin,
     // Synced layout ≡ fresh build on the post-change corpus: inserts
     // [130,200) present, deleted 245 absent.
     "near_dup_delta_synced" ->
