@@ -99,7 +99,85 @@ object SignLshCodes {
     })
 }
 
+/** Native bucketed random-projection LSH for EUCLIDEAN locality — the
+  * deterministic, engine-owned analog of MLlib's
+  * `BucketedRandomProjectionLSH` (Datar et al. p-stable LSH), with
+  * RADEMACHER (±1) projections derived from MD5 bits so the bucket id
+  * is a pure function of the vector, reproducible in any engine with
+  * `md5()` (where MLlib's Gaussian projections are JVM-internal and
+  * uncheckable outside degenerate parameters):
+  *
+  *   sign(t, d)  = ±1 from bit 0 of md5("brp t d")
+  *   y_d         = floor(x_d · 2^20)          (exact integer quantization)
+  *   acc(t)      = Σ_d sign(t,d) · y_d        (exact integer)
+  *   bucket(t)   = floorDiv(acc(t), L)        (L = floor(bucketLength·2^20))
+  *
+  * Everything after quantization is integer arithmetic — order-free and
+  * bit-identical between the engine and a SQL oracle. Near points in L2
+  * project near each other, so they share (or neighbor) buckets; recall
+  * is OR-across-tables exactly as in MLlib's model.
+  */
+case class BrpLshBuckets(child: Expression, tables: Int, bucketLenInt: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(tables >= 1 && bucketLenInt >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "brp_lsh_buckets"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val y = new Array[Long](dim)
+    var d = 0
+    while (d < dim) {
+      val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      y(d) = math.floor(x * SignLshCodes.Scale).toLong
+      d += 1
+    }
+    val signs = BrpLshBuckets.signMatrix(tables, dim)
+    val buckets = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      val row = signs(t)
+      var acc = 0L
+      d = 0
+      while (d < dim) { acc += row(d) * y(d); d += 1 }
+      buckets(t) = Math.floorDiv(acc, bucketLenInt)
+      t += 1
+    }
+    new GenericArrayData(buckets)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object BrpLshBuckets {
+  private val cache = new ConcurrentHashMap[(Int, Int), Array[Array[Byte]]]()
+
+  /** ±1 projection matrix, one row per table, md5-derived with the
+    * "brp" salt so it never collides with [[SignLshCodes.signMatrix]]
+    * planes: bit 0 of the 64-bit value of md5("brp t d"). */
+  def signMatrix(tables: Int, dim: Int): Array[Array[Byte]] =
+    cache.computeIfAbsent((tables, dim), { _ =>
+      Array.tabulate(tables) { t =>
+        Array.tabulate(dim) { d =>
+          val h = Md5Hash.hash64(UTF8String.fromString(s"brp $t $d"))
+          if ((h & 1L) == 1L) 1.toByte else (-1).toByte
+        }
+      }
+    })
+}
+
 object SignLshFunctions {
   def signLshCodes(c: Column, tables: Int = 8, bits: Int = 4): Column =
     Bridge.column(SignLshCodes(Bridge.expression(c), tables, bits))
+
+  /** `bucketLength` is in vector units; quantized to the same 2^20 grid
+    * as the coordinates so the floor-division replays exactly in SQL. */
+  def brpLshBuckets(c: Column, tables: Int, bucketLength: Double): Column =
+    Bridge.column(BrpLshBuckets(Bridge.expression(c), tables,
+      math.floor(bucketLength * SignLshCodes.Scale).toLong))
 }

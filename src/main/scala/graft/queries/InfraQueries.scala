@@ -247,15 +247,24 @@ object InfraQueries {
       Ann.recallAtK(answers, corpus, queries, "vec_id", "embedding",
         "vec_id", "embedding", k = 3, sampleMod = 2L, metric = Metric.L2)
     }),
-    // LSH ANN — rows-only; recall asserted in ScalaTest.
+    // Euclidean bucketed-projection LSH at REALISTIC parameters
+    // (4 tables, bucketLength 0.5), re-expressed with the NATIVE
+    // deterministic Rademacher projection (BrpLshBuckets) so the
+    // bucket ids — floorDiv of an exact integer projection — replay
+    // from md5() bits in SQL and the full candidate-join + refine path
+    // is hash-checked. This retires the last no_oracle cell: the MLlib
+    // BucketedRandomProjectionLSH leg (JVM-internal Gaussian
+    // projections) stays covered by ann_lsh_fullcover (degenerate
+    // parameters ≡ exact, hash-checked) and its recall ScalaTest.
     "ann_lsh_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      val index = Ann.buildLsh(e.filter(col("vec_id") >= 5), "embedding",
-        bucketLength = 2.0)
-      Ann.queryLsh(index, e.filter(col("vec_id") < 5), "vec_id", "embedding",
-          "vec_id", k = 3, maxDistance = 2.0)
+      val index = Ann.buildBrpLsh(e.filter(col("vec_id") >= 5), "embedding",
+        tables = 4, bucketLength = 0.5)
+      Ann.queryBrpLsh(index, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", "vec_id", "embedding", k = 3)
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("vec_id"))
+        .orderBy("query_id", "rnk")
     }),
     // LSH at FULL COVER: radius ⊇ every pair, and bucketLength so large
     // that each table's hash collapses to the SIGN of the random
@@ -923,6 +932,49 @@ object InfraQueries {
         |      ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id)
         |      AS rnk
         |  FROM cand)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // Replays the native BRP-LSH end to end: ±1 projections from
+    // md5("brp t d") bit 0, exact 2^20 integer quantization, floored
+    // bucket division (exact via floorMod subtraction — DuckDB "/"
+    // would float-divide, "//" truncates toward zero), bucket
+    // equi-join OR-across-tables, exact L2 refine top-3.
+    "ann_lsh_topk" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |ts AS (SELECT unnest(range(0, 4)) AS t),
+        |signs AS (
+        |  SELECT ts.t, dims.d,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5('brp ' || CAST(ts.t AS VARCHAR) || ' ' ||
+        |                   CAST(dims.d AS VARCHAR)), 16, 1)) - 1) & 1 = 1
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM ts, dims),
+        |comp AS (
+        |  SELECT v.vec_id, dd.d,
+        |    CAST(floor(CAST(v.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS y
+        |  FROM embeddings v, dims dd),
+        |proj AS (
+        |  SELECT c.vec_id, s.t, sum(s.s * c.y) AS acc
+        |  FROM comp c JOIN signs s ON s.d = c.d
+        |  GROUP BY c.vec_id, s.t),
+        |buckets AS (
+        |  SELECT vec_id, t, CAST(
+        |    (acc - ((acc % 524288) + 524288) % 524288) / 524288
+        |    AS BIGINT) AS bucket
+        |  FROM proj),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+        |  FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 5 AND c.vec_id >= 5),
+        |ranked AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    row_number() OVER (PARTITION BY cand.query_id
+        |      ORDER BY list_distance(ce.embedding, qe.embedding) ASC,
+        |        cand.vec_id) AS rnk
+        |  FROM cand
+        |  JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = cand.query_id)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     // full-cover LSH ≡ exact L2 batch KNN

@@ -535,6 +535,59 @@ object Ann {
       .select(col(corpusPkCol).as("corpus_id"), col("delta_id"))
   }
 
+  // ------- Native bucketed random-projection LSH (Euclidean) -------
+
+  final case class BrpLshIndex(corpusBucketed: DataFrame, tables: Int,
+      bucketLength: Double)
+
+  /** Hash every corpus row to one EUCLIDEAN bucket per table with the
+    * deterministic Rademacher projection
+    * ([[graft.functions.BrpLshBuckets]]) — the engine-owned analog of
+    * MLlib's `BucketedRandomProjectionLSH` whose buckets, being a pure
+    * integer function of the vector, replay in any SQL engine (the
+    * MLlib model's Gaussian projections are JVM-internal, checkable
+    * only at degenerate parameters — see `ann_lsh_fullcover`). */
+  def buildBrpLsh(corpus: DataFrame, vecCol: String, tables: Int = 4,
+      bucketLength: Double = 0.5): BrpLshIndex = {
+    val bucketed = corpus.filter(col(vecCol).isNotNull)
+      .withColumn("__buckets", graft.functions.SignLshFunctions
+        .brpLshBuckets(col(vecCol), tables, bucketLength))
+    BrpLshIndex(bucketed, tables, bucketLength)
+  }
+
+  /** Batch ANN via the native BRP-LSH: explode (table, bucket) on both
+    * sides, equi-join on the bucket id (the only shuffle — on integer
+    * bucket ids, never vectors × vectors), dedupe pairs found by
+    * several tables, exact top-k refine. Same plan shape as
+    * [[querySignLsh]] with Euclidean buckets instead of hyperplane
+    * sign codes; a query whose buckets hold < k candidates under-fills
+    * — standard ANN semantics. */
+  def queryBrpLsh(index: BrpLshIndex, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, corpusPkCol: String,
+      corpusVecCol: String, k: Int,
+      metric: Metric = Metric.L2): DataFrame = {
+    val c = index.corpusBucketed
+      .select(col(corpusPkCol), col(corpusVecCol),
+        posexplode(col("__buckets")).as(Seq("__t", "__bucket")))
+    val q = queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qvec"),
+        posexplode(graft.functions.SignLshFunctions
+          .brpLshBuckets(col(queryVecCol), index.tables,
+            index.bucketLength))
+          .as(Seq("__t", "__bucket")))
+    val cand = c.join(broadcast(q), Seq("__t", "__bucket"))
+      .dropDuplicates("query_id", corpusPkCol)
+    val scored = cand.withColumn("score",
+      VF.distance(col(corpusVecCol), col("__qvec"), metric))
+    val w = Window.partitionBy("query_id")
+      .orderBy(Knn.scoreOrder(col("score"), metric), col(corpusPkCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(corpusPkCol), col("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   // ---------------- LSH (random projection buckets) ----------------
 
   final case class LshIndex(model: BucketedRandomProjectionLSHModel,

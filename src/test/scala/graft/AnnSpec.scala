@@ -118,6 +118,46 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.2, s"mean recall $mean too low (8 tables x 4 bits)")
   }
 
+  test("native BRP-LSH: deterministic buckets, L2-ranked output, " +
+    "useful recall, near points co-bucket") {
+    val idx = Ann.buildBrpLsh(corpus, "embedding", tables = 4,
+      bucketLength = 0.5)
+    def run() = Ann.queryBrpLsh(idx, queries, "vec_id", "embedding",
+      "vec_id", "embedding", k = 3).collect()
+    val r1 = run()
+    // pure function of the data: identical across runs (no seed state)
+    assert(r1.map(_.toString).sorted === run().map(_.toString).sorted)
+    // output is truly L2-ranked within each query
+    r1.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val scores = rows.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Double]("score"))
+      assert(scores.sameElements(scores.sorted))
+    }
+    // candidate pruning keeps enough of the true L2 top-k to be useful
+    val got = r1.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val exactL2 = Knn.batchQuery(corpus, queries, "embedding", "vec_id",
+      "embedding", "vec_id", k = 3, Metric.L2)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recalls = exactL2.map { case (q, exact) =>
+      got.get(q).map(f => exact.count(f.contains).toDouble / exact.size)
+        .getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean recall $mean too low (4 tables, L=0.5)")
+    // locality: a vector trivially close to a corpus row shares at
+    // least one bucket with it (projection difference << bucketLength)
+    val probe = corpus.limit(1)
+      .select($"vec_id", transform($"embedding", x => x + lit(1e-4f))
+        .as("embedding"))
+    val hit = Ann.queryBrpLsh(idx, probe, "vec_id", "embedding",
+      "vec_id", "embedding", k = 1).collect()
+    assert(hit.length === 1 &&
+      hit.head.getAs[Long]("vec_id") === hit.head.getAs[Long]("query_id"),
+      "an epsilon-perturbed corpus vector must find itself")
+  }
+
   test("LSH candidates refine to high recall within distance budget") {
     val idx = Ann.buildLsh(corpus, "embedding", bucketLength = 2.0,
       numTables = 4)
