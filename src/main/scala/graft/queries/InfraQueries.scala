@@ -247,6 +247,89 @@ object InfraQueries {
       Ann.recallAtK(answers, corpus, queries, "vec_id", "embedding",
         "vec_id", "embedding", k = 3, sampleMod = 2L, metric = Metric.L2)
     }),
+    // Recall telemetry for the PQ leg — AND the measurement that makes
+    // quantizer training evaluable: the SAME recallAtK probe over
+    // first-k-rows codebooks ('firstk') and sampled-k-means codebooks
+    // ('trained'), side by side in one result. The oracle replays both
+    // codebook constructions (incl. the two unrolled Lloyd
+    // iterations), both ADC pipelines and the exact side — quantizer
+    // quality observability, hash-checked end to end.
+    "ann_recall_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 10)
+      val queries = e.filter(col("vec_id") < 10)
+      val cbF = graft.search.Pq.fit(corpus, "embedding", "vec_id",
+        m = 16, k = 32)
+      val cbT = graft.search.Pq.fitTrained(corpus, "embedding", "vec_id",
+        m = 16, k = 32, iters = 2, sampleN = 128)
+      def probe(cb: graft.search.Pq.Codebooks, v: String) = {
+        val ans = graft.search.Pq.rerank(corpus, queries, "embedding",
+          "vec_id", "embedding", "vec_id", k = 5, c = 2, cb)
+        Ann.recallAtK(ans, corpus, queries, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, sampleMod = 2L)
+          .withColumn("variant", lit(v))
+      }
+      probe(cbF, "firstk").unionByName(probe(cbT, "trained"))
+        .select(col("variant"), col("query_id"), col("n_exact"),
+          col("n_hit"), col("recall"))
+        .orderBy("variant", "query_id")
+    }),
+    // Quantizer-training effectiveness, measured on the training
+    // objective itself: total/mean PQ assignment distortion (sum over
+    // subspaces of the chosen centroid's integer L2^2) across the
+    // WHOLE corpus, for first-k vs trained codebooks. k-means
+    // minimizes exactly this; unlike per-query recall on a 5-query
+    // sample, the corpus-wide objective is a high-signal gauge —
+    // AnnSpec asserts trained < firstk on it. Hash-checked: the
+    // oracle replays both codebooks and the per-row min-distance
+    // assignment.
+    "ann_pq_distortion" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 10)
+      val cbF = graft.search.Pq.fit(corpus, "embedding", "vec_id",
+        m = 16, k = 32)
+      val cbT = graft.search.Pq.fitTrained(corpus, "embedding", "vec_id",
+        m = 16, k = 32, iters = 2, sampleN = 128)
+      def distortion(cb: graft.search.Pq.Codebooks, v: String) = corpus
+        .withColumn("__dist", graft.search.Pq.adc(
+          graft.search.Pq.encode(col("embedding"), cb),
+          graft.search.Pq.intQuant(col("embedding")), cb))
+        .agg(count(lit(1)).as("n"), sum("__dist").as("total_d2"),
+          round(avg("__dist"), 2).as("avg_d2"))
+        .withColumn("variant", lit(v))
+      distortion(cbF, "firstk").unionByName(distortion(cbT, "trained"))
+        .select(col("variant"), col("n"), col("total_d2"), col("avg_d2"))
+        .orderBy("variant")
+    }),
+    // Recall telemetry for the SQ8 leg: byte-quantization loses
+    // precision per dimension, so its coarse ranking drifts from exact
+    // — this probe is the drift gauge, same recallAtK contract as the
+    // IVF/graph probes.
+    "ann_recall_sq8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 10)
+      val queries = e.filter(col("vec_id") < 10)
+      val stats = graft.search.Sq8.fit(corpus, "embedding")
+      val ans = graft.search.Sq8.rerank(corpus, queries, "embedding",
+        "vec_id", "embedding", "vec_id", k = 5, c = 2, stats)
+      Ann.recallAtK(ans, corpus, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, sampleMod = 2L)
+    }),
+    // Recall telemetry for the sign-LSH leg: bucket collisions bound
+    // the candidate set, so queries can under-fill below k — recall
+    // here measures exactly that loss (the tables×bits trade), not
+    // refine quality.
+    "ann_recall_signlsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 10)
+      val queries = e.filter(col("vec_id") < 10)
+      val index = Ann.buildSignLsh(corpus, "embedding", tables = 8,
+        bits = 4)
+      val ans = Ann.querySignLsh(index, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5)
+      Ann.recallAtK(ans, corpus, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, sampleMod = 2L)
+    }),
     // Euclidean bucketed-projection LSH at REALISTIC parameters
     // (4 tables, bucketLength 0.5), re-expressed with the NATIVE
     // deterministic Rademacher projection (BrpLshBuckets) so the
@@ -448,6 +531,40 @@ object InfraQueries {
         m = 16, k = 32)
       graft.search.Pq.rerank(corpus, e.filter(col("vec_id") < 5),
           "embedding", "vec_id", "embedding", "vec_id", k = 3, c = 4, cb)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // PQ with TRAINED codebooks: deterministic sampled k-means
+    // (md5-ordered 128-row sample, 2 unrolled integer-Lloyd
+    // iterations, floorDiv means) replaces the first-32-rows
+    // codebooks — the quality path whose recall survives 100x scale.
+    // Training is still a pure function of the corpus, so the oracle
+    // replays the sample, BOTH Lloyd iterations, encode, ADC and the
+    // refine bit-exactly.
+    "ann_pq_trained_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val cb = graft.search.Pq.fitTrained(corpus, "embedding", "vec_id",
+        m = 16, k = 32, iters = 2, sampleN = 128)
+      graft.search.Pq.rerank(corpus, e.filter(col("vec_id") < 5),
+          "embedding", "vec_id", "embedding", "vec_id", k = 3, c = 4, cb)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // IVF with TRAINED centroids: the same deterministic sampled
+    // k-means over full vectors seeds the cells (16 centroids, 2
+    // iterations); trained integer centroids are y/2^20 — exact in
+    // Float32 — so the float centroid side the index carries replays
+    // in double SQL arithmetic with no drift. Probe + refine as in
+    // ann_ivf_topk.
+    "ann_ivf_trained_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val index = Ann.buildIvfTrained(e.filter(col("vec_id") >= 5),
+        "embedding", "vec_id", 16, iters = 2, sampleN = 128)
+      Ann.queryIvf(index, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", "vec_id", "embedding", k = 3, nProbe = 4)
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("vec_id"))
         .orderBy("query_id", "rnk")
@@ -893,6 +1010,369 @@ object InfraQueries {
         |FROM exact e LEFT JOIN ans a
         |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+    // Replays BOTH PQ codebook constructions — 'firstk' (first 32
+    // corpus rows by id) and 'trained' (md5 sample + two unrolled
+    // integer-Lloyd iterations) — then both ADC pipelines, the exact
+    // cosine side on the sampled queries, and the recall join, with a
+    // variant column carried through every stage.
+    "ann_recall_pq" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |iq AS (
+        |  SELECT v.vec_id, dd.d,
+        |    CAST(floor(CAST(v.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS xi
+        |  FROM embeddings v, dims dd),
+        |pcents AS (
+        |  SELECT vec_id, j FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        |    FROM embeddings
+        |    WHERE vec_id >= 10 AND embedding IS NOT NULL)
+        |  WHERE j < 32),
+        |cbf AS (
+        |  SELECT (iq.d // 4) AS s, c.j, iq.d, iq.xi
+        |  FROM iq JOIN pcents c USING (vec_id)),
+        |samp AS (
+        |  SELECT r, embedding FROM (
+        |    SELECT embedding,
+        |      row_number() OVER (
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS r
+        |    FROM embeddings WHERE vec_id >= 10 AND embedding IS NOT NULL)
+        |  WHERE r < 128),
+        |sp AS (
+        |  SELECT s.r, dd.d,
+        |    CAST(floor(CAST(s.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS y
+        |  FROM samp s, dims dd),
+        |c0 AS (SELECT (d // 4) AS s, r AS j, d, y FROM sp WHERE r < 32),
+        |d1 AS (
+        |  SELECT p.r, c.s, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+        |  FROM sp p JOIN c0 c ON c.d = p.d
+        |  GROUP BY p.r, c.s, c.j),
+        |m1 AS (SELECT r, s, j FROM (
+        |  SELECT r, s, j,
+        |    row_number() OVER (PARTITION BY r, s ORDER BY d2, j) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |g1 AS (
+        |  SELECT m.s, m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM m1 m JOIN sp p ON p.r = m.r AND (p.d // 4) = m.s
+        |  GROUP BY m.s, m.j, p.d),
+        |c1 AS (
+        |  SELECT c0.s, c0.j, c0.d,
+        |    COALESCE(CAST((g1.sy - (((g1.sy % g1.c) + g1.c) % g1.c))
+        |      / g1.c AS BIGINT), c0.y) AS y
+        |  FROM c0 LEFT JOIN g1
+        |    ON g1.s = c0.s AND g1.j = c0.j AND g1.d = c0.d),
+        |d2i AS (
+        |  SELECT p.r, c.s, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+        |  FROM sp p JOIN c1 c ON c.d = p.d
+        |  GROUP BY p.r, c.s, c.j),
+        |m2 AS (SELECT r, s, j FROM (
+        |  SELECT r, s, j,
+        |    row_number() OVER (PARTITION BY r, s ORDER BY d2, j) AS rn
+        |  FROM d2i) WHERE rn = 1),
+        |g2 AS (
+        |  SELECT m.s, m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM m2 m JOIN sp p ON p.r = m.r AND (p.d // 4) = m.s
+        |  GROUP BY m.s, m.j, p.d),
+        |cbt AS (
+        |  SELECT c1.s, c1.j, c1.d,
+        |    COALESCE(CAST((g2.sy - (((g2.sy % g2.c) + g2.c) % g2.c))
+        |      / g2.c AS BIGINT), c1.y) AS xi
+        |  FROM c1 LEFT JOIN g2
+        |    ON g2.s = c1.s AND g2.j = c1.j AND g2.d = c1.d),
+        |cball AS (
+        |  SELECT 'firstk' AS variant, s, j, d, xi FROM cbf
+        |  UNION ALL SELECT 'trained' AS variant, s, j, d, xi FROM cbt),
+        |cdist AS (
+        |  SELECT b.variant, iq.vec_id, b.s, b.j,
+        |    sum((iq.xi - b.xi) * (iq.xi - b.xi)) AS d2
+        |  FROM iq JOIN cball b ON b.d = iq.d
+        |  WHERE iq.vec_id >= 10
+        |  GROUP BY b.variant, iq.vec_id, b.s, b.j),
+        |codes AS (
+        |  SELECT variant, vec_id, s, j FROM (
+        |    SELECT variant, vec_id, s, j,
+        |      row_number() OVER (PARTITION BY variant, vec_id, s
+        |        ORDER BY d2, j) AS rn
+        |    FROM cdist) WHERE rn = 1),
+        |qtab AS (
+        |  SELECT b.variant, iq.vec_id AS query_id, b.s, b.j,
+        |    sum((iq.xi - b.xi) * (iq.xi - b.xi)) AS d2
+        |  FROM iq JOIN cball b ON b.d = iq.d
+        |  WHERE iq.vec_id < 10
+        |  GROUP BY b.variant, iq.vec_id, b.s, b.j),
+        |adc AS (
+        |  SELECT c.variant, c.vec_id, q.query_id, sum(q.d2) AS dist
+        |  FROM codes c JOIN qtab q
+        |    ON q.variant = c.variant AND q.s = c.s AND q.j = c.j
+        |  GROUP BY c.variant, c.vec_id, q.query_id),
+        |cand AS (
+        |  SELECT variant, query_id, vec_id,
+        |    row_number() OVER (PARTITION BY variant, query_id
+        |      ORDER BY dist, vec_id) AS cr
+        |  FROM adc),
+        |ans AS (
+        |  SELECT variant, query_id, vec_id FROM (
+        |    SELECT cand.variant, cand.query_id, cand.vec_id,
+        |      row_number() OVER (PARTITION BY cand.variant, cand.query_id
+        |        ORDER BY
+        |        CASE WHEN list_dot_product(ce.embedding::DOUBLE[],
+        |                                   ce.embedding::DOUBLE[]) = 0
+        |               OR list_dot_product(qe.embedding::DOUBLE[],
+        |                                   qe.embedding::DOUBLE[]) = 0
+        |             THEN 0
+        |             ELSE list_dot_product(ce.embedding::DOUBLE[],
+        |                                   qe.embedding::DOUBLE[])
+        |                / (sqrt(list_dot_product(ce.embedding::DOUBLE[],
+        |                                         ce.embedding::DOUBLE[]))
+        |                   * sqrt(list_dot_product(qe.embedding::DOUBLE[],
+        |                                         qe.embedding::DOUBLE[])))
+        |        END DESC, cand.vec_id) AS rnk
+        |    FROM cand
+        |    JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        |    JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |    WHERE cand.cr <= 10)
+        |  WHERE rnk <= 5),
+        |sq AS (SELECT vec_id AS query_id, embedding AS qv
+        |       FROM embeddings WHERE vec_id < 10 AND vec_id % 2 = 0),
+        |exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT s.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY s.query_id
+        |        ORDER BY list_cosine_similarity(c.embedding, s.qv) DESC,
+        |          c.vec_id) AS rnk
+        |    FROM embeddings c CROSS JOIN sq s WHERE c.vec_id >= 10)
+        |  WHERE rnk <= 5),
+        |ev AS (
+        |  SELECT v.variant, e.query_id, e.vec_id
+        |  FROM exact e CROSS JOIN
+        |    (SELECT 'firstk' AS variant UNION ALL SELECT 'trained') v)
+        |SELECT ev.variant, ev.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 4) AS recall
+        |FROM ev LEFT JOIN ans a
+        |  ON a.variant = ev.variant AND a.query_id = ev.query_id
+        |  AND a.vec_id = ev.vec_id
+        |GROUP BY ev.variant, ev.query_id
+        |ORDER BY ev.variant, ev.query_id""".stripMargin,
+    // Replays both codebooks (same CTEs as ann_recall_pq) and scores
+    // every corpus row's per-subspace min distance — the assignment
+    // distortion totals per variant.
+    "ann_pq_distortion" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |iq AS (
+        |  SELECT v.vec_id, dd.d,
+        |    CAST(floor(CAST(v.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS xi
+        |  FROM embeddings v, dims dd),
+        |pcents AS (
+        |  SELECT vec_id, j FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        |    FROM embeddings
+        |    WHERE vec_id >= 10 AND embedding IS NOT NULL)
+        |  WHERE j < 32),
+        |cbf AS (
+        |  SELECT (iq.d // 4) AS s, c.j, iq.d, iq.xi
+        |  FROM iq JOIN pcents c USING (vec_id)),
+        |samp AS (
+        |  SELECT r, embedding FROM (
+        |    SELECT embedding,
+        |      row_number() OVER (
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS r
+        |    FROM embeddings WHERE vec_id >= 10 AND embedding IS NOT NULL)
+        |  WHERE r < 128),
+        |sp AS (
+        |  SELECT s.r, dd.d,
+        |    CAST(floor(CAST(s.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS y
+        |  FROM samp s, dims dd),
+        |c0 AS (SELECT (d // 4) AS s, r AS j, d, y FROM sp WHERE r < 32),
+        |d1 AS (
+        |  SELECT p.r, c.s, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+        |  FROM sp p JOIN c0 c ON c.d = p.d
+        |  GROUP BY p.r, c.s, c.j),
+        |m1 AS (SELECT r, s, j FROM (
+        |  SELECT r, s, j,
+        |    row_number() OVER (PARTITION BY r, s ORDER BY d2, j) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |g1 AS (
+        |  SELECT m.s, m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM m1 m JOIN sp p ON p.r = m.r AND (p.d // 4) = m.s
+        |  GROUP BY m.s, m.j, p.d),
+        |c1 AS (
+        |  SELECT c0.s, c0.j, c0.d,
+        |    COALESCE(CAST((g1.sy - (((g1.sy % g1.c) + g1.c) % g1.c))
+        |      / g1.c AS BIGINT), c0.y) AS y
+        |  FROM c0 LEFT JOIN g1
+        |    ON g1.s = c0.s AND g1.j = c0.j AND g1.d = c0.d),
+        |d2i AS (
+        |  SELECT p.r, c.s, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+        |  FROM sp p JOIN c1 c ON c.d = p.d
+        |  GROUP BY p.r, c.s, c.j),
+        |m2 AS (SELECT r, s, j FROM (
+        |  SELECT r, s, j,
+        |    row_number() OVER (PARTITION BY r, s ORDER BY d2, j) AS rn
+        |  FROM d2i) WHERE rn = 1),
+        |g2 AS (
+        |  SELECT m.s, m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM m2 m JOIN sp p ON p.r = m.r AND (p.d // 4) = m.s
+        |  GROUP BY m.s, m.j, p.d),
+        |cbt AS (
+        |  SELECT c1.s, c1.j, c1.d,
+        |    COALESCE(CAST((g2.sy - (((g2.sy % g2.c) + g2.c) % g2.c))
+        |      / g2.c AS BIGINT), c1.y) AS xi
+        |  FROM c1 LEFT JOIN g2
+        |    ON g2.s = c1.s AND g2.j = c1.j AND g2.d = c1.d),
+        |cball AS (
+        |  SELECT 'firstk' AS variant, s, j, d, xi FROM cbf
+        |  UNION ALL SELECT 'trained' AS variant, s, j, d, xi FROM cbt),
+        |cdist AS (
+        |  SELECT b.variant, iq.vec_id, b.s, b.j,
+        |    sum((iq.xi - b.xi) * (iq.xi - b.xi)) AS d2
+        |  FROM iq JOIN cball b ON b.d = iq.d
+        |  WHERE iq.vec_id >= 10
+        |  GROUP BY b.variant, iq.vec_id, b.s, b.j),
+        |mind AS (
+        |  SELECT variant, vec_id, s, min(d2) AS md
+        |  FROM cdist GROUP BY variant, vec_id, s),
+        |perrow AS (
+        |  SELECT variant, vec_id, CAST(sum(md) AS BIGINT) AS dist
+        |  FROM mind GROUP BY variant, vec_id)
+        |SELECT variant,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(dist) AS BIGINT) AS total_d2,
+        |  round(avg(dist), 2) AS avg_d2
+        |FROM perrow GROUP BY variant ORDER BY variant""".stripMargin,
+    // SQ8 recall probe: the ann_sq8_rerank replay at (k=5, c=2) over
+    // the vec_id>=10 corpus, then the standard recall join on the
+    // mod-2 query sample.
+    "ann_recall_sq8" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |comp AS (
+        |  SELECT v.vec_id, dd.d,
+        |    CAST(v.embedding[dd.d + 1] AS DOUBLE) AS x
+        |  FROM embeddings v, dims dd),
+        |stats AS (
+        |  SELECT d, min(x) AS mn, max(x) AS mx
+        |  FROM comp WHERE vec_id >= 10 GROUP BY d),
+        |codes AS (
+        |  SELECT c.vec_id, c.d,
+        |    CASE WHEN s.mx = s.mn THEN -128
+        |         ELSE CAST(least(greatest(
+        |             floor((c.x - s.mn) / (s.mx - s.mn) * 255 + 0.5),
+        |             0), 255) AS INT) - 128
+        |    END AS b
+        |  FROM comp c JOIN stats s USING (d)),
+        |cdot AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id, sum(q.b * c.b) AS cscore
+        |  FROM codes q JOIN codes c USING (d)
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10
+        |  GROUP BY q.vec_id, c.vec_id),
+        |cand AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cscore DESC, vec_id) AS cr
+        |  FROM cdot),
+        |ans AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT cand.query_id, cand.vec_id,
+        |      row_number() OVER (PARTITION BY cand.query_id
+        |        ORDER BY list_cosine_similarity(ce.embedding,
+        |          qe.embedding) DESC, cand.vec_id) AS rnk
+        |    FROM cand
+        |    JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        |    JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |    WHERE cand.cr <= 10)
+        |  WHERE rnk <= 5),
+        |sq AS (SELECT vec_id AS query_id, embedding AS qv
+        |       FROM embeddings WHERE vec_id < 10 AND vec_id % 2 = 0),
+        |exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT s.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY s.query_id
+        |        ORDER BY list_cosine_similarity(c.embedding, s.qv) DESC,
+        |          c.vec_id) AS rnk
+        |    FROM embeddings c CROSS JOIN sq s WHERE c.vec_id >= 10)
+        |  WHERE rnk <= 5)
+        |SELECT e.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 4) AS recall
+        |FROM exact e LEFT JOIN ans a
+        |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+    // Sign-LSH recall probe: the ann_signlsh_topk bucket replay over
+    // the vec_id>=10 corpus at k=5, then the recall join — queries
+    // whose buckets under-fill simply score the misses.
+    "ann_recall_signlsh" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |tb AS (
+        |  SELECT t.t, b.b
+        |  FROM (SELECT unnest(range(0, 8)) AS t) t,
+        |       (SELECT unnest(range(0, 4)) AS b) b),
+        |signs AS (
+        |  SELECT tb.t, tb.b, dims.d,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5(CAST(tb.t AS VARCHAR) || ' ' ||
+        |                   CAST(tb.b AS VARCHAR) || ' ' ||
+        |                   CAST(dims.d AS VARCHAR)), 16, 1)) - 1) & 1 = 1
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM tb, dims),
+        |comp AS (
+        |  SELECT v.vec_id, dd.d,
+        |    CAST(floor(CAST(v.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS y
+        |  FROM embeddings v, dims dd),
+        |proj AS (
+        |  SELECT c.vec_id, s.t, s.b, sum(s.s * c.y) AS acc
+        |  FROM comp c JOIN signs s ON s.d = c.d
+        |  GROUP BY c.vec_id, s.t, s.b),
+        |bcodes AS (
+        |  SELECT vec_id, t,
+        |    sum(CASE WHEN acc > 0 THEN 1 << b ELSE 0 END) AS code
+        |  FROM proj GROUP BY vec_id, t),
+        |cpair AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+        |  FROM bcodes q JOIN bcodes c ON q.t = c.t AND q.code = c.code
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |ans AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT cpair.query_id, cpair.vec_id,
+        |      row_number() OVER (PARTITION BY cpair.query_id
+        |        ORDER BY list_cosine_similarity(ce.embedding,
+        |          qe.embedding) DESC, cpair.vec_id) AS rnk
+        |    FROM cpair
+        |    JOIN embeddings ce ON ce.vec_id = cpair.vec_id
+        |    JOIN embeddings qe ON qe.vec_id = cpair.query_id)
+        |  WHERE rnk <= 5),
+        |sq AS (SELECT vec_id AS query_id, embedding AS qv
+        |       FROM embeddings WHERE vec_id < 10 AND vec_id % 2 = 0),
+        |exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT s.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY s.query_id
+        |        ORDER BY list_cosine_similarity(c.embedding, s.qv) DESC,
+        |          c.vec_id) AS rnk
+        |    FROM embeddings c CROSS JOIN sq s WHERE c.vec_id >= 10)
+        |  WHERE rnk <= 5)
+        |SELECT e.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 4) AS recall
+        |FROM exact e LEFT JOIN ans a
+        |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     // Frozen centroids from the INITIAL corpus (vec_id >= 15); the
     // synced corpus is source + inserts − deletes, assigned to those
     // same centroids — the delta-maintenance contract replayed in SQL.
@@ -1275,6 +1755,207 @@ object InfraQueries {
         |  WHERE cand.cr <= 12)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
         |FROM fin WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // Replays PQ with TRAINED codebooks: md5-ordered 128-row sample,
+    // init = first 32 sample sub-vectors per subspace, then TWO
+    // unrolled integer-Lloyd iterations (exact integer L2^2 argmin,
+    // ties -> lowest index; means = floorDiv via floorMod subtraction
+    // -- DuckDB "/" float-divides, "//" truncates toward zero; empty
+    // cluster keeps its previous centroid via COALESCE), then the
+    // standard encode/ADC/refine replay of ann_pq_rerank over the
+    // trained codebook.
+    "ann_pq_trained_rerank" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |iq AS (
+        |  SELECT v.vec_id, dd.d,
+        |    CAST(floor(CAST(v.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS xi
+        |  FROM embeddings v, dims dd),
+        |samp AS (
+        |  SELECT r, embedding FROM (
+        |    SELECT embedding,
+        |      row_number() OVER (
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS r
+        |    FROM embeddings WHERE vec_id >= 5 AND embedding IS NOT NULL)
+        |  WHERE r < 128),
+        |sp AS (
+        |  SELECT s.r, dd.d,
+        |    CAST(floor(CAST(s.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS y
+        |  FROM samp s, dims dd),
+        |c0 AS (SELECT (d // 4) AS s, r AS j, d, y FROM sp WHERE r < 32),
+        |d1 AS (
+        |  SELECT p.r, c.s, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+        |  FROM sp p JOIN c0 c ON c.d = p.d
+        |  GROUP BY p.r, c.s, c.j),
+        |m1 AS (SELECT r, s, j FROM (
+        |  SELECT r, s, j,
+        |    row_number() OVER (PARTITION BY r, s ORDER BY d2, j) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |g1 AS (
+        |  SELECT m.s, m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM m1 m JOIN sp p ON p.r = m.r AND (p.d // 4) = m.s
+        |  GROUP BY m.s, m.j, p.d),
+        |c1 AS (
+        |  SELECT c0.s, c0.j, c0.d,
+        |    COALESCE(CAST((g1.sy - (((g1.sy % g1.c) + g1.c) % g1.c))
+        |      / g1.c AS BIGINT), c0.y) AS y
+        |  FROM c0 LEFT JOIN g1
+        |    ON g1.s = c0.s AND g1.j = c0.j AND g1.d = c0.d),
+        |d2i AS (
+        |  SELECT p.r, c.s, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+        |  FROM sp p JOIN c1 c ON c.d = p.d
+        |  GROUP BY p.r, c.s, c.j),
+        |m2 AS (SELECT r, s, j FROM (
+        |  SELECT r, s, j,
+        |    row_number() OVER (PARTITION BY r, s ORDER BY d2, j) AS rn
+        |  FROM d2i) WHERE rn = 1),
+        |g2 AS (
+        |  SELECT m.s, m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM m2 m JOIN sp p ON p.r = m.r AND (p.d // 4) = m.s
+        |  GROUP BY m.s, m.j, p.d),
+        |cb AS (
+        |  SELECT c1.s, c1.j, c1.d,
+        |    COALESCE(CAST((g2.sy - (((g2.sy % g2.c) + g2.c) % g2.c))
+        |      / g2.c AS BIGINT), c1.y) AS xi
+        |  FROM c1 LEFT JOIN g2
+        |    ON g2.s = c1.s AND g2.j = c1.j AND g2.d = c1.d),
+        |cdist AS (
+        |  SELECT iq.vec_id, cb.s, cb.j,
+        |    sum((iq.xi - cb.xi) * (iq.xi - cb.xi)) AS d2
+        |  FROM iq JOIN cb ON cb.d = iq.d
+        |  WHERE iq.vec_id >= 5
+        |  GROUP BY iq.vec_id, cb.s, cb.j),
+        |codes AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT vec_id, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d2, j) AS rn
+        |    FROM cdist) WHERE rn = 1),
+        |qtab AS (
+        |  SELECT iq.vec_id AS query_id, cb.s, cb.j,
+        |    sum((iq.xi - cb.xi) * (iq.xi - cb.xi)) AS d2
+        |  FROM iq JOIN cb ON cb.d = iq.d
+        |  WHERE iq.vec_id < 5
+        |  GROUP BY iq.vec_id, cb.s, cb.j),
+        |adc AS (
+        |  SELECT c.vec_id, q.query_id, sum(q.d2) AS dist
+        |  FROM codes c JOIN qtab q ON q.s = c.s AND q.j = c.j
+        |  GROUP BY c.vec_id, q.query_id),
+        |cand AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist, vec_id) AS cr
+        |  FROM adc),
+        |fin AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    row_number() OVER (PARTITION BY cand.query_id ORDER BY
+        |      CASE WHEN list_dot_product(ce.embedding::DOUBLE[],
+        |                                 ce.embedding::DOUBLE[]) = 0
+        |             OR list_dot_product(qe.embedding::DOUBLE[],
+        |                                 qe.embedding::DOUBLE[]) = 0
+        |           THEN 0
+        |           ELSE list_dot_product(ce.embedding::DOUBLE[],
+        |                                 qe.embedding::DOUBLE[])
+        |                / (sqrt(list_dot_product(ce.embedding::DOUBLE[],
+        |                                         ce.embedding::DOUBLE[]))
+        |                   * sqrt(list_dot_product(qe.embedding::DOUBLE[],
+        |                                           qe.embedding::DOUBLE[])))
+        |      END DESC, cand.vec_id) AS rnk
+        |  FROM cand
+        |  JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |  WHERE cand.cr <= 12)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM fin WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // Replays TRAINED-centroid IVF: the same md5-ordered sample and
+    // two unrolled integer-Lloyd iterations over FULL 64-dim vectors
+    // (init = first 16 sample rows), trained centroids re-scaled to
+    // y/2^20 doubles (exact in Float32, so the engine's float centroid
+    // side loses nothing), then ann_ivf_topk's assignment, probe and
+    // cosine refine over them.
+    "ann_ivf_trained_topk" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |samp AS (
+        |  SELECT r, embedding FROM (
+        |    SELECT embedding,
+        |      row_number() OVER (
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS r
+        |    FROM embeddings WHERE vec_id >= 5 AND embedding IS NOT NULL)
+        |  WHERE r < 128),
+        |sp AS (
+        |  SELECT s.r, dd.d,
+        |    CAST(floor(CAST(s.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS y
+        |  FROM samp s, dims dd),
+        |c0 AS (SELECT r AS j, d, y FROM sp WHERE r < 16),
+        |d1 AS (
+        |  SELECT p.r, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+        |  FROM sp p JOIN c0 c ON c.d = p.d
+        |  GROUP BY p.r, c.j),
+        |m1 AS (SELECT r, j FROM (
+        |  SELECT r, j, row_number() OVER (PARTITION BY r ORDER BY d2, j)
+        |    AS rn FROM d1) WHERE rn = 1),
+        |g1 AS (
+        |  SELECT m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM m1 m JOIN sp p ON p.r = m.r
+        |  GROUP BY m.j, p.d),
+        |c1 AS (
+        |  SELECT c0.j, c0.d,
+        |    COALESCE(CAST((g1.sy - (((g1.sy % g1.c) + g1.c) % g1.c))
+        |      / g1.c AS BIGINT), c0.y) AS y
+        |  FROM c0 LEFT JOIN g1 ON g1.j = c0.j AND g1.d = c0.d),
+        |d2i AS (
+        |  SELECT p.r, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+        |  FROM sp p JOIN c1 c ON c.d = p.d
+        |  GROUP BY p.r, c.j),
+        |m2 AS (SELECT r, j FROM (
+        |  SELECT r, j, row_number() OVER (PARTITION BY r ORDER BY d2, j)
+        |    AS rn FROM d2i) WHERE rn = 1),
+        |g2 AS (
+        |  SELECT m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM m2 m JOIN sp p ON p.r = m.r
+        |  GROUP BY m.j, p.d),
+        |c2 AS (
+        |  SELECT c1.j, c1.d,
+        |    COALESCE(CAST((g2.sy - (((g2.sy % g2.c) + g2.c) % g2.c))
+        |      / g2.c AS BIGINT), c1.y) AS y
+        |  FROM c1 LEFT JOIN g2 ON g2.j = c1.j AND g2.d = c1.d),
+        |cents AS (
+        |  SELECT CAST(j AS INT) AS cell,
+        |    list(y / 1048576.0 ORDER BY d) AS cvec
+        |  FROM c2 GROUP BY j),
+        |corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id >= 5 AND embedding IS NOT NULL),
+        |asg AS (
+        |  SELECT c.vec_id, c.v, t.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_distance(c.v, t.cvec), t.cell) AS rn
+        |  FROM corpus c CROSS JOIN cents t),
+        |cells AS (SELECT vec_id, v, cell FROM asg WHERE rn = 1),
+        |qs AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |probe AS (
+        |  SELECT q.query_id, q.qv, t.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_distance(q.qv, t.cvec), t.cell) AS pr
+        |  FROM qs q CROSS JOIN cents t),
+        |cand AS (
+        |  SELECT p.query_id, p.qv, c.vec_id, c.v
+        |  FROM (SELECT query_id, qv, cell FROM probe WHERE pr <= 4) p
+        |  JOIN cells c USING (cell)),
+        |ranked AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(v, qv) DESC, vec_id) AS rnk
+        |  FROM cand)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     // Replays the best-first graph-ANN search end to end: exact 6-NN
     // graph (L2, id tie-break) on the bounded corpus block, seeded
     // entries (per-query top-4 of the mod-5 sample), then three

@@ -52,6 +52,23 @@ object VectorQueries {
           col("doc_id"), col("in_vec"), col("in_kw"))
         .orderBy("query_id", "rnk")
     }),
+    // Recall telemetry for the HYBRID leg: hybrid answers scored
+    // against exact cosine KNN on the query sample — measuring how far
+    // keyword fusion pulls the fused ranking from the pure vector
+    // truth (the drift a production RRF weighting review needs). The
+    // oracle replays BOTH legs, the fusion, the exact side and the
+    // recall join.
+    "ann_recall_hybrid" -> ((s, dir) => {
+      val all = hybridCorpus(s, dir)
+      val corpus = all.filter(col("doc_id") >= 3)
+      val q = all.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"),
+          col("embedding").as("qvec"))
+      val ans = graft.search.Hybrid.hybridTopK(corpus, q, "qid", "qtext",
+        "qvec", "doc_id", "text", "embedding", n = 10, k = 5)
+      graft.search.Ann.recallAtK(ans, corpus, q, "qid", "qvec",
+        "doc_id", "embedding", k = 5, sampleMod = 2L)
+    }),
     // The keyword leg THROUGH the persisted term-bucketed inverted
     // index: postings persist denormalized with frozen df/dl/avgdl
     // stats (the persistIvf freeze discipline), the query batch's
@@ -560,6 +577,89 @@ object VectorQueries {
         |    in_vec, in_kw
         |  FROM fused)
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // hybrid_rrf_topk's two-leg + fusion replay, then the exact cosine
+    // side on the mod-2 query sample and the recall join.
+    "ann_recall_hybrid" ->
+      """WITH allrows AS (
+        |  SELECT d.doc_id, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |corpus AS (SELECT * FROM allrows WHERE doc_id >= 3),
+        |q AS (SELECT doc_id AS query_id, text, embedding
+        |      FROM allrows WHERE doc_id < 3),
+        |vec AS (
+        |  SELECT * FROM (
+        |    SELECT q.query_id, c.doc_id AS did,
+        |      CAST(row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(c.embedding, q.embedding)
+        |          DESC, c.doc_id) AS BIGINT) AS rv
+        |    FROM corpus c CROSS JOIN q)
+        |  WHERE rv <= 10),
+        |dterms AS (
+        |  SELECT doc_id AS did,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM corpus),
+        |tf AS (SELECT did, t, count(*) AS tf FROM dterms
+        |       WHERE t <> '' GROUP BY 1, 2),
+        |dl AS (SELECT did, count(*) AS dl FROM dterms
+        |       WHERE t <> '' GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |qt AS (
+        |  SELECT DISTINCT query_id, t FROM (
+        |    SELECT query_id,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM q) WHERE t <> ''),
+        |m AS (
+        |  SELECT qt.query_id, tf.did, tf.t,
+        |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS contrib
+        |  FROM tf JOIN dft USING (t) JOIN dl USING (did)
+        |  JOIN qt USING (t) CROSS JOIN stats),
+        |bm AS (
+        |  SELECT query_id, did,
+        |    list_reduce(list_prepend(0.0, list(contrib ORDER BY t)),
+        |      (a, x) -> a + x) AS bm25
+        |  FROM m GROUP BY 1, 2),
+        |kw AS (
+        |  SELECT * FROM (
+        |    SELECT query_id, did,
+        |      CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY bm25 DESC, did) AS BIGINT) AS rb
+        |    FROM bm)
+        |  WHERE rb <= 10),
+        |fused AS (
+        |  SELECT coalesce(v.query_id, k.query_id) AS query_id,
+        |    coalesce(v.did, k.did) AS did,
+        |    coalesce(1.0 / (60 + rv), 0.0) +
+        |      coalesce(1.0 / (60 + rb), 0.0) AS rrf
+        |  FROM vec v FULL JOIN kw k
+        |    ON v.query_id = k.query_id AND v.did = k.did),
+        |ans AS (
+        |  SELECT query_id, did FROM (
+        |    SELECT query_id, did,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rrf DESC, did) AS rnk
+        |    FROM fused)
+        |  WHERE rnk <= 5),
+        |sq AS (SELECT query_id, embedding AS qv FROM q
+        |       WHERE query_id % 2 = 0),
+        |exact AS (
+        |  SELECT query_id, did FROM (
+        |    SELECT s.query_id, c.doc_id AS did,
+        |      row_number() OVER (PARTITION BY s.query_id
+        |        ORDER BY list_cosine_similarity(c.embedding, s.qv) DESC,
+        |          c.doc_id) AS rnk
+        |    FROM corpus c CROSS JOIN sq s)
+        |  WHERE rnk <= 5)
+        |SELECT e.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN a.did IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN a.did IS NOT NULL THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 4) AS recall
+        |FROM exact e LEFT JOIN ans a
+        |  ON a.query_id = e.query_id AND a.did = e.did
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     "vec_centroid_by_label" ->
       """SELECT label,
         |  round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS c0,

@@ -79,15 +79,46 @@ object Ann {
       .withColumn("__cell",
         (row_number().over(Window.orderBy(col("__cid").asc)) - 1).cast("int"))
       .select(col("__cell"), col("__centroid"))
+    IvfIndex(assignCells(valid, vecCol, idCol, cents), cents)
+  }
+
+  /** Nearest-centroid assignment shared by the deterministic and
+    * trained builds: one broadcast cross-join (corpus × k) reduced by a
+    * map-side-partial `min_by` groupBy on the pk — one narrow shuffle,
+    * no iteration. Ties on distance break by cell id ascending. */
+  private def assignCells(valid: DataFrame, vecCol: String, idCol: String,
+      cents: DataFrame): DataFrame = {
     val carry = valid.columns.filter(_ != idCol)
-    val assigned = valid.crossJoin(broadcast(cents))
+    valid.crossJoin(broadcast(cents))
       .withColumn("__cdist", VF.l2(col(vecCol), col("__centroid")))
       .groupBy(col(idCol))
       .agg(
         min_by(col("__cell"), struct(col("__cdist"), col("__cell")))
           .as("__cell"),
         carry.map(c => first(col(c)).as(c)): _*)
-    IvfIndex(assigned, cents)
+  }
+
+  /** Build with TRAINED centroids: deterministic sampled k-means
+    * ([[Kmeans]] — md5-ordered sample, fixed-iteration integer Lloyd)
+    * instead of [[buildIvfDeterministic]]'s arbitrary first-k rows.
+    * The quality path for corpora with real cluster structure, still a
+    * pure function of the corpus: the oracle replays the sample, the
+    * unrolled iterations, and the assignment in SQL
+    * (`ann_ivf_trained_topk`). Centroid components are `y / 2^20` with
+    * `|y| < 2^24`, hence exact in Float32 — the float centroids the
+    * index carries (and [[persistIvf]] writes) lose nothing, so the
+    * double-arithmetic assignment replay stays bit-exact. */
+  def buildIvfTrained(corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int = 2, sampleN: Int = 128): IvfIndex = {
+    val valid = corpus.filter(col(vecCol).isNotNull)
+    val trained = Kmeans.lloyd(
+      Kmeans.sampleQuantized(valid, vecCol, idCol, sampleN), k, iters)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trained.zipWithIndex
+      .map { case (c, i) => (i, c.map(y => (y.toDouble / Pq.Scale).toFloat)) }
+      .toSeq.toDF("__cell", "__centroid")
+    IvfIndex(assignCells(valid, vecCol, idCol, cents), cents)
   }
 
   /** Batch query with centroid pruning + exact refine. One equi-join

@@ -75,6 +75,30 @@ object Pq {
     Codebooks(m, dsub, rows.length, cb)
   }
 
+  /** TRAINED codebooks: deterministic sampled k-means per subspace
+    * ([[Kmeans]]) — the quality path for 100×-scale corpora where
+    * [[fit]]'s arbitrary first-k rows quantize poorly. Same integer
+    * grid, same driver-small footprint (sample of `sampleN` rows), and
+    * still a pure function of the corpus: the oracle replays the
+    * md5-ordered sample and the unrolled Lloyd iterations in SQL
+    * (`ann_pq_trained_rerank`). Codebook entries feed the identical
+    * [[encode]]/[[adc]] path, so the persisted-layout contract
+    * ([[persistIvfPq]] side files, frozen-codebook sync) is unchanged. */
+  def fitTrained(corpus: DataFrame, vecCol: String, idCol: String, m: Int,
+      k: Int, iters: Int = 2, sampleN: Int = 128): Codebooks = {
+    val sample = Kmeans.sampleQuantized(corpus, vecCol, idCol, sampleN)
+    require(sample.nonEmpty, "PQ fitTrained needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val cb = Array.tabulate(m) { s =>
+      val pts = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      Kmeans.lloyd(pts, k, iters)
+    }
+    Codebooks(m, dsub, math.min(k, sample.length), cb)
+  }
+
   /** floor(x · 2^20) per component — the query-side quantization. */
   def intQuant(c: Column): Column =
     transform(c, x => floor(x.cast("double") * lit(Scale)).cast("long"))
