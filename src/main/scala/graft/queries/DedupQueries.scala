@@ -245,16 +245,63 @@ object DedupQueries {
     // The deduplicated-ingest pipeline end to end: corpus index on
     // docs >= 300; three journal batches ([0,100), [100,200),
     // [200,300)) drain through exact-dedup -> near-dup-vs-index ->
-    // admit. Cross-batch suppression is live (doc 8 admitted in batch 1
-    // rejects its near-dup 245 in batch 3); same-batch near-dup pairs
-    // are both admitted by contract. Output = the final index corpus;
-    // the oracle replays all three admission rounds in staged SQL.
+    // intra-batch sweep -> admit. Cross-batch suppression is live (doc
+    // 8 admitted in batch 1 rejects its near-dup 245 in batch 3), and
+    // so is the same-batch sweep (the (152,178) pair lands together in
+    // batch 2 at sf0.01 — only min-id 152 is admitted). Output = the
+    // final index corpus; the oracle replays all three admission
+    // rounds in staged SQL, closing each round's intra-batch pair
+    // graph with a recursive CTE. Journal file mtimes are pinned to
+    // strictly increasing values so maxFilesPerTrigger=1 replays them
+    // in write order on any filesystem.
     "ingest_neardup_pipeline" -> ((s, dir) => {
       val d = docs(s, dir)
         .filter(col("text").isNotNull && trim(col("text")) =!= "")
         .select("doc_id", "text")
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_ndingest/" +
         dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh replay
+      graft.operators.NearDupIndex.persist(
+        d.filter(col("doc_id") >= 300), "doc_id", "text", s"$root/idx",
+        algo = "md5")
+      def appendStamped(batch: org.apache.spark.sql.DataFrame,
+          ts: Long): Unit = {
+        batch.coalesce(1).write.mode("append").parquet(s"$root/journal")
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/journal"))
+          .foreach { st =>
+            if (st.getPath.getName.startsWith("part-") &&
+                st.getModificationTime > ts)
+              fs.setTimes(st.getPath, ts, -1)
+          }
+      }
+      appendStamped(d.filter(col("doc_id") < 100), 10000L)
+      appendStamped(
+        d.filter(col("doc_id") >= 100 && col("doc_id") < 200), 20000L)
+      appendStamped(
+        d.filter(col("doc_id") >= 200 && col("doc_id") < 300), 30000L)
+      graft.streaming.DedupIngest.run(s, s"$root/idx", s"$root/journal",
+        d.schema, s"$root/ckpt", "doc_id", "text", threshold = 0.5,
+        Map("maxFilesPerTrigger" -> "1"))
+      s.read.parquet(s"$root/idx_docs")
+        .select(col("id").as("doc_id")).orderBy("doc_id")
+    }),
+    // The SAME journal drained as ONE multi-file micro-batch (no
+    // maxFilesPerTrigger): every cross-batch rejection above becomes an
+    // intra-batch sweep decision here — the pair graph over all 300
+    // journal docs closes in one recursive pass. Distinct entry, not a
+    // rerun: single-batch and three-batch admission are different
+    // semantics (sequential admission keeps a doc whose only near-dup
+    // partner was itself rejected; component-min sweeps it), so each
+    // gets its own staged-SQL oracle.
+    "ingest_neardup_multifile" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select("doc_id", "text")
+      val root =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ndingest_mf/" +
+          dir.replaceAll("[^0-9.]", "")
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh replay
@@ -268,8 +315,7 @@ object DedupQueries {
       d.filter(col("doc_id") >= 200 && col("doc_id") < 300).coalesce(1)
         .write.mode("append").parquet(s"$root/journal")
       graft.streaming.DedupIngest.run(s, s"$root/idx", s"$root/journal",
-        d.schema, s"$root/ckpt", "doc_id", "text", threshold = 0.5,
-        Map("maxFilesPerTrigger" -> "1"))
+        d.schema, s"$root/ckpt", "doc_id", "text", threshold = 0.5)
       s.read.parquet(s"$root/idx_docs")
         .select(col("id").as("doc_id")).orderBy("doc_id")
     }),
@@ -655,10 +701,12 @@ object DedupQueries {
     // near-dup relation `nd` (md5 LSH bands -> exact Jaccard >= 0.5)
     // is computed once; each round exact-dedups its batch (first-wins
     // by md5(text)), rejects members near-dup'ing the CURRENT corpus,
-    // and the survivors join the corpus for the next round. Shingle-
-    // less docs never enter the index (len(g) > 0 guard).
+    // closes the pair graph among the survivors with a recursive CTE
+    // (intra-batch sweep: only each component's min id is admitted),
+    // and the admitted set joins the corpus for the next round.
+    // Shingle-less docs never enter the index (len(g) > 0 guard).
     "ingest_neardup_pipeline" ->
-      """WITH d AS (
+      """WITH RECURSIVE d AS (
         |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
         |gd AS (
@@ -704,7 +752,13 @@ object DedupQueries {
         |    SELECT b_id FROM nd
         |    WHERE a_id IN (SELECT doc_id FROM c0)
         |      AND b_id IN (SELECT doc_id FROM b1))),
-        |c1 AS (SELECT doc_id FROM c0 UNION SELECT doc_id FROM k1),
+        |r1 AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM k1
+        |  UNION
+        |  SELECT r1.id, n.b_id FROM r1 JOIN nd n ON n.a_id = r1.r
+        |  WHERE n.b_id IN (SELECT doc_id FROM k1)),
+        |a1 AS (SELECT id AS doc_id FROM r1 GROUP BY id HAVING min(r) = id),
+        |c1 AS (SELECT doc_id FROM c0 UNION SELECT doc_id FROM a1),
         |b2 AS (
         |  SELECT doc_id FROM gd WHERE doc_id >= 100 AND doc_id < 200
         |  QUALIFY row_number() OVER (PARTITION BY md5(text)
@@ -714,7 +768,13 @@ object DedupQueries {
         |    SELECT b_id FROM nd
         |    WHERE a_id IN (SELECT doc_id FROM c1)
         |      AND b_id IN (SELECT doc_id FROM b2))),
-        |c2 AS (SELECT doc_id FROM c1 UNION SELECT doc_id FROM k2),
+        |r2 AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM k2
+        |  UNION
+        |  SELECT r2.id, n.b_id FROM r2 JOIN nd n ON n.a_id = r2.r
+        |  WHERE n.b_id IN (SELECT doc_id FROM k2)),
+        |a2 AS (SELECT id AS doc_id FROM r2 GROUP BY id HAVING min(r) = id),
+        |c2 AS (SELECT doc_id FROM c1 UNION SELECT doc_id FROM a2),
         |b3 AS (
         |  SELECT doc_id FROM gd WHERE doc_id >= 200 AND doc_id < 300
         |  QUALIFY row_number() OVER (PARTITION BY md5(text)
@@ -723,9 +783,74 @@ object DedupQueries {
         |  SELECT doc_id FROM b3 WHERE doc_id NOT IN (
         |    SELECT b_id FROM nd
         |    WHERE a_id IN (SELECT doc_id FROM c2)
-        |      AND b_id IN (SELECT doc_id FROM b3)))
+        |      AND b_id IN (SELECT doc_id FROM b3))),
+        |r3 AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM k3
+        |  UNION
+        |  SELECT r3.id, n.b_id FROM r3 JOIN nd n ON n.a_id = r3.r
+        |  WHERE n.b_id IN (SELECT doc_id FROM k3)),
+        |a3 AS (SELECT id AS doc_id FROM r3 GROUP BY id HAVING min(r) = id)
         |SELECT doc_id FROM c2
-        |UNION SELECT doc_id FROM k3
+        |UNION SELECT doc_id FROM a3
+        |ORDER BY doc_id""".stripMargin,
+    // Single-round replay of the multi-file batch: one exact-dedup
+    // over all 300 journal docs, one rejection pass against the seed
+    // corpus, one recursive closure of the survivors' pair graph.
+    "ingest_neardup_multifile" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |gd AS (
+        |  SELECT doc_id, text, list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM d
+        |  WHERE len(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) > 0),
+        |sh AS (SELECT doc_id, unnest(g) AS s FROM gd),
+        |mh AS (
+        |  SELECT doc_id, dd.d AS d,
+        |    min(md5(CAST(dd.d AS VARCHAR) || ' ' || s)) AS m
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS d) dd
+        |  GROUP BY doc_id, dd.d),
+        |bands AS (
+        |  SELECT doc_id, CAST(d // 4 AS INT) AS band,
+        |    md5(string_agg(m, '|' ORDER BY d)) AS bucket
+        |  FROM mh GROUP BY doc_id, d // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.doc_id <> b.doc_id),
+        |nd AS (
+        |  SELECT c.a_id, c.b_id
+        |  FROM cand c
+        |  JOIN gd ga ON ga.doc_id = c.a_id
+        |  JOIN gd gb ON gb.doc_id = c.b_id
+        |  WHERE CAST(len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+        |      AS DOUBLE)
+        |    / (len(ga.g) + len(gb.g)
+        |       - len(list_filter(ga.g, x -> list_contains(gb.g, x))))
+        |    >= 0.5),
+        |c0 AS (SELECT doc_id FROM gd WHERE doc_id >= 300),
+        |b1 AS (
+        |  SELECT doc_id FROM gd WHERE doc_id < 300
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY doc_id) = 1),
+        |k1 AS (
+        |  SELECT doc_id FROM b1 WHERE doc_id NOT IN (
+        |    SELECT b_id FROM nd
+        |    WHERE a_id IN (SELECT doc_id FROM c0)
+        |      AND b_id IN (SELECT doc_id FROM b1))),
+        |r1 AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM k1
+        |  UNION
+        |  SELECT r1.id, n.b_id FROM r1 JOIN nd n ON n.a_id = r1.r
+        |  WHERE n.b_id IN (SELECT doc_id FROM k1)),
+        |a1 AS (SELECT id AS doc_id FROM r1 GROUP BY id HAVING min(r) = id)
+        |SELECT doc_id FROM c0
+        |UNION SELECT doc_id FROM a1
         |ORDER BY doc_id""".stripMargin,
     // The dedup_minhash_lsh pair pipeline, closed into components with
     // a recursive CTE: reach(id, r) = ids reachable over the symmetric

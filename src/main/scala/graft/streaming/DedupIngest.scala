@@ -10,38 +10,48 @@ import org.apache.spark.sql.types.StructType
   * micro-batch, and each batch is (1) exact-deduplicated WITHIN itself
   * (first-wins by content hash), (2) near-dup-filtered AGAINST the
   * persisted corpus index (partition-pruned LSH probe — never a corpus
-  * rescan), and (3) its surviving documents are admitted INTO that same
-  * index via CDF sync, so batch k+1 is filtered against everything
-  * batch k admitted. This is the loop a 100 TB corpus actually grows
-  * by; the reference's ingest (reference
-  * src/databricks/syntetic_data_arxiv.py:75-129) re-fetches overlapping
-  * pages and leaves admission to the managed service.
+  * rescan), (3) near-dup-swept WITHIN itself (LSH pairs → connected
+  * components → min-id member per group survives), and (4) its
+  * surviving documents are admitted INTO that same index via CDF sync,
+  * so batch k+1 is filtered against everything batch k admitted. This
+  * is the loop a 100 TB corpus actually grows by; the reference's
+  * ingest (reference src/databricks/syntetic_data_arxiv.py:75-129)
+  * re-fetches overlapping pages and leaves admission to the managed
+  * service.
   *
   * Semantics (deterministic, oracle-replayable): within a batch, the
   * min-id row of each exact content-hash group survives; a batch row is
   * rejected iff it is a near-dup (exact Jaccard ≥ threshold among LSH
-  * band collisions) of a document ALREADY IN THE INDEX — two novel
-  * near-dups arriving in the SAME batch are both admitted (they were
-  * checked against the same index state; run [[Dedup.minhashLshPairs]]
-  * periodically as the intra-batch sweep). Documents too short to
-  * shingle pass the filter but never enter the index.
+  * band collisions) of a document ALREADY IN THE INDEX; among the rows
+  * that survive both stages, each intra-batch near-dup GROUP (connected
+  * component of the pair graph, the [[Dedup.connectedComponents]]
+  * closure) admits only its min-id member — so a near-dup pair arriving
+  * in one micro-batch resolves exactly like the same pair split across
+  * two. Documents too short to shingle pass every filter but never
+  * enter the index.
   *
-  * Scale: per batch, one bounded-pruned posting probe + the
+  * Scale: per batch, one bounded-pruned posting probe + one LSH
+  * self-join over the BATCH only (never batch × corpus) + the
   * [[NearDupIndex.sync]] touched-dir rewrite; state lives entirely in
   * the persisted layout, so the stream itself is stateless and a crash
   * replays idempotently (sync's anti-join-then-add contract). */
 object DedupIngest {
 
   /** Drain `journalDir` (AvailableNow) into the [[NearDupIndex]] at
-    * `indexPath`, admitting only novel documents. */
+    * `indexPath`, admitting only novel documents. `intraBatch = false`
+    * skips stage (3) and restores the round-7 contract (same-batch
+    * near-dups both admitted). */
   def run(spark: SparkSession, indexPath: String, journalDir: String,
       journalSchema: StructType, checkpointDir: String, idCol: String,
       textCol: String, threshold: Double,
-      readerOptions: Map[String, String] = Map.empty): Unit = {
+      readerOptions: Map[String, String] = Map.empty,
+      intraBatch: Boolean = true): Unit = {
     import graft.index.ChangeLog
+    // the handle is frozen LSH parameters — sync never rewrites _meta,
+    // so one load serves every micro-batch
+    val idx = NearDupIndex.load(spark, indexPath)
     IndexSync.layoutSyncOnce(spark, journalDir, journalSchema,
       checkpointDir, readerOptions) { batch =>
-      val idx = NearDupIndex.load(spark, indexPath)
       // (1) exact first-wins within the batch, by content hash
       val exact = Dedup.exactFirstWins(
           batch.withColumn("__xh", md5(col(textCol))), Seq("__xh"), idCol)
@@ -52,9 +62,20 @@ object DedupIngest {
           idCol, textCol, threshold)
         .select(col("delta_id").as(idCol)).distinct()
       val kept = exact.join(flagged, Seq(idCol), "left_anti")
-      // (3) admit survivors — visible to the NEXT batch's probe
+      // (3) intra-batch sweep: near-dup groups among the survivors
+      // collapse to their min-id member (same banding as the index)
+      val admitted = if (!intraBatch) kept else {
+        val kc = kept.localCheckpoint(true) // pair join + anti-join
+        val pairs = Dedup.minhashLshPairs(kc, idCol, textCol, threshold,
+          k = idx.k, bands = idx.bands, n = idx.n, algo = idx.algo)
+        val losers = Dedup.connectedComponents(pairs, "a_id", "b_id")
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as(idCol))
+        kc.join(losers, Seq(idCol), "left_anti")
+      }
+      // (4) admit survivors — visible to the NEXT batch's probe
       NearDupIndex.sync(spark, idx,
-        kept.withColumn("__op", lit(ChangeLog.OpInsert))
+        admitted.withColumn("__op", lit(ChangeLog.OpInsert))
           .withColumn("__seq", lit(0L)),
         idCol, textCol)
     }
