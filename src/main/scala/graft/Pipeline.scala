@@ -144,10 +144,12 @@ final class CorpusPipeline(
     val dc = benchmarks
       .map(b => stage(decontaminationFilter(nd, idCol, textCol, b,
         benchTextCol))).getOrElse(nd)
-    val nDc = dc.count()
+    // no decontamination stage -> dc IS nd; reuse its count instead of
+    // re-running an action over the same cached frame
+    val nDc = if (dc eq nd) nNd else dc.count()
     val bal = sourceCol.filter(_ => perSourceCap > 0)
       .map(sc => stage(balance(dc, idCol, textCol, sc))).getOrElse(dc)
-    val nBal = bal.count()
+    val nBal = if (bal eq dc) nDc else bal.count()
     val embedded = embedder.embed(bal, textCol)
     indexPath.foreach { p =>
       val idx = new VectorIndex(IndexMeta("pipeline_idx", idCol,

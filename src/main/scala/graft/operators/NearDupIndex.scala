@@ -146,7 +146,16 @@ object NearDupIndex {
     * so only touched posting dirs rewrite. Idempotent under replay
     * (anti-join by id, then re-add), which makes
     * [[graft.streaming.IndexSync.layoutSync]] effectively exactly-once
-    * over it. */
+    * over it.
+    *
+    * Crash contract: the postings dirs and the `_docs` dirs are
+    * rewritten as two separate jobs, NOT atomically. A crash between
+    * them leaves postings without their refine rows; the layout
+    * self-repairs only when the SAME batch is replayed (the anti-join
+    * re-merge). Under [[graft.streaming.IndexSync.layoutSync]]'s
+    * checkpointed at-least-once delivery that replay is guaranteed; a
+    * one-shot batch caller must re-run sync with the same `changes` on
+    * failure or accept an inconsistent layout. */
   def sync(spark: SparkSession, idx: PersistedNearDup, changes: DataFrame,
       idCol: String, textCol: String): Unit = {
     import graft.index.ChangeLog

@@ -13,6 +13,19 @@ object DedupQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  /** Append one journal file and pin its mtime to `ts` so the file
+    * stream source (which orders files by modification time) replays
+    * journal batches in write order even on coarse-mtime filesystems. */
+  private def appendStamped(fs: org.apache.hadoop.fs.FileSystem,
+      batch: DataFrame, dir: String, ts: Long): Unit = {
+    batch.coalesce(1).write.mode("append").parquet(dir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
+      if (st.getPath.getName.startsWith("part-") &&
+          st.getModificationTime > ts)
+        fs.setTimes(st.getPath, ts, -1)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_firstwins" -> ((s, dir) => {
       Dedup.exactFirstWins(docs(s, dir), Seq("lang", "source"), "doc_id")
@@ -88,14 +101,16 @@ object DedupQueries {
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh replay
-      // id-ordered journal files -> micro-batches arrive in id order,
-      // so stream-arrival order == batch orderCol order
-      d.filter(col("doc_id") < 100).coalesce(1)
-        .write.mode("append").parquet(s"$root/journal")
-      d.filter(col("doc_id") >= 100 && col("doc_id") < 300).coalesce(1)
-        .write.mode("append").parquet(s"$root/journal")
-      d.filter(col("doc_id") >= 300).coalesce(1)
-        .write.mode("append").parquet(s"$root/journal")
+      // id-ordered journal files with pinned increasing mtimes ->
+      // micro-batches arrive in id order on any filesystem, so
+      // stream-arrival order == batch orderCol order
+      appendStamped(fs, d.filter(col("doc_id") < 100),
+        s"$root/journal", 10000L)
+      appendStamped(fs,
+        d.filter(col("doc_id") >= 100 && col("doc_id") < 300),
+        s"$root/journal", 20000L)
+      appendStamped(fs, d.filter(col("doc_id") >= 300),
+        s"$root/journal", 30000L)
       val stream = s.readStream.schema(d.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$root/journal")
       graft.streaming.DedupStream
@@ -266,21 +281,14 @@ object DedupQueries {
       graft.operators.NearDupIndex.persist(
         d.filter(col("doc_id") >= 300), "doc_id", "text", s"$root/idx",
         algo = "md5")
-      def appendStamped(batch: org.apache.spark.sql.DataFrame,
-          ts: Long): Unit = {
-        batch.coalesce(1).write.mode("append").parquet(s"$root/journal")
-        fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/journal"))
-          .foreach { st =>
-            if (st.getPath.getName.startsWith("part-") &&
-                st.getModificationTime > ts)
-              fs.setTimes(st.getPath, ts, -1)
-          }
-      }
-      appendStamped(d.filter(col("doc_id") < 100), 10000L)
-      appendStamped(
-        d.filter(col("doc_id") >= 100 && col("doc_id") < 200), 20000L)
-      appendStamped(
-        d.filter(col("doc_id") >= 200 && col("doc_id") < 300), 30000L)
+      appendStamped(fs, d.filter(col("doc_id") < 100),
+        s"$root/journal", 10000L)
+      appendStamped(fs,
+        d.filter(col("doc_id") >= 100 && col("doc_id") < 200),
+        s"$root/journal", 20000L)
+      appendStamped(fs,
+        d.filter(col("doc_id") >= 200 && col("doc_id") < 300),
+        s"$root/journal", 30000L)
       graft.streaming.DedupIngest.run(s, s"$root/idx", s"$root/journal",
         d.schema, s"$root/ckpt", "doc_id", "text", threshold = 0.5,
         Map("maxFilesPerTrigger" -> "1"))

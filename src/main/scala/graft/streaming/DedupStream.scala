@@ -31,8 +31,10 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
 object DedupStream {
 
   /** Cross-batch exact first-wins dedup of `stream` on `keyCols`,
-    * ties within a batch broken by minimum numeric `orderCol`. Returns
-    * a streaming DataFrame with the input schema (append mode). */
+    * ties within a batch broken by minimum numeric `orderCol` (rows
+    * with a NULL order sort last, matching `ORDER BY ... NULLS LAST`).
+    * Returns a streaming DataFrame with the input schema (append
+    * mode). */
   def firstWins(stream: DataFrame, keyCols: Seq[String],
       orderCol: String): DataFrame = {
     val rowEnc = Encoders.row(stream.schema)
@@ -48,7 +50,9 @@ object DedupStream {
         if (seen.exists) Iterator.empty
         else {
           seen.update(true)
-          Iterator.single(rows.minBy(_.getAs[Number](orderCol).longValue()))
+          Iterator.single(rows.minBy(r =>
+            Option(r.getAs[Number](orderCol)).map(_.longValue())
+              .getOrElse(Long.MaxValue)))
         }
     }(Encoders.scalaBoolean, rowEnc).toDF()
   }

@@ -1,0 +1,240 @@
+package graft.tools
+
+import graft.functions.Metric
+import graft.operators.{Dedup, NearDupIndex}
+import graft.search.{Ann, Knn}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scale rehearsal — the 100-TB story proven with data instead of a
+  * design argument. Blows the sf fixtures up by a deterministic factor
+  * (no fixture change: copies get fresh ids and hash-jittered vectors /
+  * suffixed texts), rebuilds the persisted IVF and near-dup layouts at
+  * 1× and N×, and measures what each access path actually OPENS:
+  *
+  *   - an index probe (IVF cell probe, near-dup posting probe) must
+  *     open O(probed buckets) files — a count that does NOT grow with
+  *     the corpus, because partition pruning drops unprobed dirs at the
+  *     file listing;
+  *   - the brute-force alternative (exact KNN scan, full-corpus LSH
+  *     pair sweep) opens the whole corpus — a count that grows
+  *     linearly with the blow-up factor.
+  *
+  * `run` returns the measurement table; [[check]] turns it into the
+  * scale assertions (shared by the ScalaTest spec and the CLI, which
+  * exits non-zero on violation). File counts come from the executed
+  * scan's `numFiles` metric — `inputFiles` lists the relation
+  * PRE-pruning and would hide exactly the effect under test. */
+object ScaleRehearsal {
+
+  /** One measured access path at one scale. `filesRead`/`rowsRead` are
+    * the executed scan's numFiles/numOutputRows over `totalFiles` in
+    * the scanned location; `sec` is wall time of the action. */
+  final case class Measure(leg: String, scale: Int, corpusRows: Long,
+      totalFiles: Long, filesRead: Long, rowsRead: Long, sec: Double)
+
+  /** Executed-plan file/row metrics for scans rooted under `pathFrag`
+    * (descends through AQE wrappers; run after the action). */
+  private def scanMetrics(df: DataFrame, pathFrag: String): (Long, Long) = {
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan) // AQE stages hide subtrees
+      case f: FileSourceScanExec => Seq(f)
+      case other =>
+        other.children.flatMap(scans) ++
+          other.subqueries.flatMap(scans)
+    }
+    // exact-dir match (path or a child of it): a bare `contains` would
+    // let `nd` also swallow the sibling `nd_docs` layout's scans
+    val hit = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists { p =>
+        val s = p.toUri.getPath
+        s == pathFrag || s.startsWith(pathFrag + "/")
+      })
+    (hit.map(_.metrics("numFiles").value).sum,
+      hit.map(_.metrics("numOutputRows").value).sum)
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** `factor` deterministic copies of the embeddings: copy i shifts ids
+    * by i·stride and jitters every vector component by a tiny
+    * hash-derived delta (pure function of (id, component, copy) — same
+    * blow-up on every run/cluster), so copies are near their original
+    * but not identical. Copy 0 is the fixture itself. */
+  def blowUpEmbeddings(emb: DataFrame, factor: Int): DataFrame = {
+    val stride = emb.agg(max("vec_id")).head().getLong(0) + 1L
+    (0 until factor).map { i =>
+      if (i == 0) emb
+      else emb
+        .withColumn("vec_id", col("vec_id") + lit(i * stride))
+        .withColumn("embedding", transform(col("embedding"), (x, j) =>
+          (x + pmod(xxhash64(col("vec_id"), j, lit(i)), lit(1000L))
+            .cast("float") / lit(1e6f))))
+    }.reduce(_ unionByName _)
+  }
+
+  /** `factor` deterministic copies of the documents: copy i shifts ids
+    * and appends a copy-specific token, so copies are near-dups of
+    * their original (a realistic crawl-recrawl corpus) but exact-dedup
+    * survivors. */
+  def blowUpDocs(docs: DataFrame, factor: Int): DataFrame = {
+    val stride = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    (0 until factor).map { i =>
+      if (i == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(i * stride))
+        .withColumn("text", concat(col("text"), lit(s" rehearsal$i")))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Measure the four access paths at 1× and `factor`×. Writes scaled
+    * corpora and layouts under `workDir` (wiped per scale). */
+  def run(spark: SparkSession, sfDir: String, factor: Int,
+      workDir: String): Seq[Measure] = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .select("doc_id", "text")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    Seq(1, factor).flatMap { scale =>
+      val base = s"$workDir/x$scale"
+      val corpusPath = s"$base/embeddings"
+      val docsPath = s"$base/documents"
+      // write the scaled corpora: union of per-copy plans → file count
+      // grows with the data, the shape a growing lake actually has
+      blowUpEmbeddings(emb, scale).write.mode("overwrite")
+        .parquet(corpusPath)
+      blowUpDocs(docs, scale).write.mode("overwrite").parquet(docsPath)
+      val corpus = spark.read.parquet(corpusPath)
+      val docsN = spark.read.parquet(docsPath)
+      val corpusRows = corpus.count()
+
+      // --- ANN: persisted IVF probe vs exact brute-force scan ---
+      Ann.persistIvf(
+        Ann.buildIvfDeterministic(corpus, "embedding", "vec_id", k = 32),
+        s"$base/ivf")
+      spark.sharedState.cacheManager.clearCache()
+      val (probe, probeSec) = timed {
+        val df = Ann.queryPersistedIvf(spark, Ann.PersistedIvf(s"$base/ivf"),
+          queries, "qid", "qvec", "vec_id", "embedding", k = 5, nProbe = 2)
+        df.collect(); df
+      }
+      val (pf, pr) = scanMetrics(probe, s"$base/ivf")
+      val (brute, bruteSec) = timed {
+        val df = Knn.batchQuery(corpus, queries, "embedding", "vec_id",
+          "qvec", "qid", k = 5)
+        df.collect(); df
+      }
+      val (bf, br) = scanMetrics(brute, corpusPath)
+
+      // --- near-dup: persisted posting probe vs full LSH pair sweep ---
+      val idx = NearDupIndex.persist(docsN, "doc_id", "text", s"$base/nd")
+      // small delta: 3 docs × 4 bands probe ≤ 12 of the 32 posting dirs
+      val delta = docs.filter(col("doc_id") < 3)
+        .withColumn("doc_id", col("doc_id") + lit(10_000_000L))
+      val (ndProbe, ndProbeSec) = timed {
+        val df = NearDupIndex.nearDupsAgainst(spark, idx, delta,
+          "doc_id", "text", threshold = 0.5)
+        df.collect(); df
+      }
+      val (npf, npr) = scanMetrics(ndProbe, s"$base/nd")
+      val (_, sweepSec) = timed {
+        Dedup.minhashLshPairs(docsN, "doc_id", "text",
+          threshold = 0.5).collect()
+      }
+      // the sweep's corpus scan hides behind its internal checkpoint —
+      // measure the identical mandatory input projection directly
+      val sweepScan = Dedup.withShingles(docsN, "doc_id", "text", 3)
+        .filter(size(col("sh")) > 0).select("id")
+      sweepScan.collect()
+      val (swf, swr) = scanMetrics(sweepScan, docsPath)
+
+      val ivfFiles = spark.read.parquet(s"$base/ivf").inputFiles.length
+      val ndFiles = spark.read.parquet(s"$base/nd").inputFiles.length
+      val corpusFiles = corpus.inputFiles.length
+      val docFiles = docsN.inputFiles.length
+      Seq(
+        Measure("ivf_probe", scale, corpusRows, ivfFiles, pf, pr, probeSec),
+        Measure("knn_brute", scale, corpusRows, corpusFiles, bf, br,
+          bruteSec),
+        Measure("neardup_probe", scale, corpusRows, ndFiles, npf, npr,
+          ndProbeSec),
+        Measure("lsh_sweep", scale, corpusRows, docFiles, swf, swr,
+          sweepSec))
+    }
+  }
+
+  /** The scale assertions over a [[run]] table: probes stay
+    * O(probed buckets) while brute-force legs grow with the corpus.
+    * Returns human-readable violations (empty = rehearsal passed). */
+  def check(rows: Seq[Measure], factor: Int): Seq[String] = {
+    def at(leg: String, scale: Int) =
+      rows.find(r => r.leg == leg && r.scale == scale).get
+    val v = scala.collection.mutable.ListBuffer[String]()
+    for (leg <- Seq("ivf_probe", "neardup_probe")) {
+      val (one, big) = (at(leg, 1), at(leg, factor))
+      // pruning holds: the probe opens the same bucket dirs no matter
+      // how large the corpus grew (sub-cell splits allow a small slack)
+      if (big.filesRead > one.filesRead * 2)
+        v += s"$leg files grew ${one.filesRead} -> ${big.filesRead} " +
+          s"at ${factor}x (pruning lost)"
+      if (big.filesRead * 3 > big.totalFiles * 2)
+        v += s"$leg opened ${big.filesRead} of ${big.totalFiles} files " +
+          s"at ${factor}x (probe reads most of the layout)"
+    }
+    for (leg <- Seq("knn_brute", "lsh_sweep")) {
+      val (one, big) = (at(leg, 1), at(leg, factor))
+      if (big.rowsRead < one.rowsRead * (factor - 1))
+        v += s"$leg rows ${one.rowsRead} -> ${big.rowsRead}: brute " +
+          s"leg did not scan the ${factor}x corpus (bad baseline)"
+      if (big.filesRead < one.filesRead * factor / 2)
+        v += s"$leg files ${one.filesRead} -> ${big.filesRead}: " +
+          s"brute file count did not grow with the corpus"
+    }
+    v.toSeq
+  }
+
+  def render(rows: Seq[Measure]): String = {
+    val hdr = f"${"leg"}%-14s ${"scale"}%5s ${"corpus"}%8s " +
+      f"${"files"}%6s ${"read"}%6s ${"rows_read"}%10s ${"sec"}%7s"
+    (hdr +: rows.map(r =>
+      f"${r.leg}%-14s ${r.scale}%5d ${r.corpusRows}%8d ${r.totalFiles}%6d " +
+        f"${r.filesRead}%6d ${r.rowsRead}%10d ${r.sec}%7.2f"))
+      .mkString("\n")
+  }
+
+  /** Usage: runMain graft.tools.ScaleRehearsal [sfDir] [factor] */
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_rehearsal").toString
+    val rows = run(spark, sfDir, factor, work)
+    println(render(rows))
+    val violations = check(rows, factor)
+    violations.foreach(v => println(s"[rehearsal] VIOLATION: $v"))
+    println(if (violations.isEmpty)
+      s"[rehearsal] PASS: probes stay O(probed buckets) at ${factor}x; " +
+        "brute-force legs grow with the corpus"
+    else s"[rehearsal] FAIL: ${violations.size} violation(s)")
+    spark.stop()
+    if (violations.nonEmpty) sys.exit(1)
+  }
+}
