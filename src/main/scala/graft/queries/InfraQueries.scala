@@ -432,6 +432,30 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // FILTERED graph ANN — the metadata-filter parameter on the graph
+    // leg, completing the set (exact KNN, IVF, IVF-PQ already have
+    // it). Standard filtered-HNSW contract: the beam WALK is
+    // unfiltered (restricting traversal disconnects the graph under
+    // selective predicates), only candidates matching the predicate
+    // are ranked. The oracle replays the identical walk and applies
+    // the label predicate at the final rank only.
+    "ann_graph_filtered" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 1000)
+      val graph = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id",
+        m = 6)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pgraphfil/" +
+        dir.replaceAll("[^0-9.]", "")
+      val pg = GraphAnn.persistGraph(graph, root, buckets = 16)
+      GraphAnn.queryPersistedGraph(s, pg, corpus,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, entries = 4, beam = 4, hops = 3,
+          metric = Metric.L2, entryMod = 5L,
+          rowFilter = Some(col("label") === 1))
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // SQ8 rerank THROUGH the persisted two-file layout: the coarse
     // stage scans the byte-code file only (1 byte/dim — the 4x scan
     // win, on disk), vectors are joined back for the k*c survivors.
@@ -496,6 +520,25 @@ object InfraQueries {
       val persisted = Ann.persistSignLsh(index, "vec_id", "embedding", path)
       Ann.queryPersistedSignLsh(s, persisted, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // FILTERED sign-LSH through the persisted layout: the label
+    // predicate lands ON the (table, code)-pruned scan (the layout now
+    // carries metadata columns, the persistIvf discipline) and only
+    // matching candidates are ranked — PRE-rank filtered-ANN
+    // semantics, same contract as ann_ivf_filtered.
+    "ann_signlsh_filtered" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val index = Ann.buildSignLsh(e.filter(col("vec_id") >= 5),
+        "embedding", tables = 8, bits = 4)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pslshfil/" +
+        dir.replaceAll("[^0-9.]", "")
+      val persisted = Ann.persistSignLsh(index, "vec_id", "embedding", path)
+      Ann.queryPersistedSignLsh(s, persisted, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", k = 3,
+          rowFilter = Some(col("label") === 1))
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("vec_id"))
         .orderBy("query_id", "rnk")
@@ -1593,6 +1636,51 @@ object InfraQueries {
         |  FROM cand
         |  JOIN embeddings ce ON ce.vec_id = cand.vec_id
         |  JOIN embeddings qe ON qe.vec_id = cand.query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // ann_signlsh_topk's replay with the label predicate applied to
+    // the candidate side before ranking (PRE-rank filtered ANN; the
+    // bucketing itself is unfiltered).
+    "ann_signlsh_filtered" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |tb AS (
+        |  SELECT t.t, b.b
+        |  FROM (SELECT unnest(range(0, 8)) AS t) t,
+        |       (SELECT unnest(range(0, 4)) AS b) b),
+        |signs AS (
+        |  SELECT tb.t, tb.b, dims.d,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5(CAST(tb.t AS VARCHAR) || ' ' ||
+        |                   CAST(tb.b AS VARCHAR) || ' ' ||
+        |                   CAST(dims.d AS VARCHAR)), 16, 1)) - 1) & 1 = 1
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM tb, dims),
+        |comp AS (
+        |  SELECT v.vec_id, dd.d,
+        |    CAST(floor(CAST(v.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS y
+        |  FROM embeddings v, dims dd),
+        |proj AS (
+        |  SELECT c.vec_id, s.t, s.b, sum(s.s * c.y) AS acc
+        |  FROM comp c JOIN signs s ON s.d = c.d
+        |  GROUP BY c.vec_id, s.t, s.b),
+        |codes AS (
+        |  SELECT vec_id, t,
+        |    sum(CASE WHEN acc > 0 THEN 1 << b ELSE 0 END) AS code
+        |  FROM proj GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+        |  FROM codes q JOIN codes c ON q.t = c.t AND q.code = c.code
+        |  WHERE q.vec_id < 5 AND c.vec_id >= 5),
+        |ranked AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    row_number() OVER (PARTITION BY cand.query_id
+        |      ORDER BY list_cosine_similarity(ce.embedding, qe.embedding)
+        |        DESC, cand.vec_id) AS rnk
+        |  FROM cand
+        |  JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |  WHERE ce.label = 1)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     // Replays IVF-PQ end to end: deterministic IVF centroids (first 16
@@ -2766,6 +2854,24 @@ object InfraQueries {
         |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin,
   )
 
+  // ann_graph_topk's replay with the label predicate applied at the
+  // FINAL rank only — the walk itself is unfiltered, matching
+  // queryPersistedGraph's filtered-HNSW contract. Derived textually
+  // from the base replay so the two traversals can never drift; the
+  // require guards the anchor (a silent no-op rewrite would produce
+  // the unfiltered SQL and fail the hash gate confusingly).
+  private val graphFilteredSql: String = {
+    val anchor = "  FROM c3 c JOIN corpus v ON v.vec_id = c.vec_id\n" +
+      "  JOIN qs q ON q.query_id = c.query_id)"
+    val base = baseOracleSql("ann_graph_topk")
+    require(base.contains(anchor), "ann_graph_topk ranked-CTE anchor moved")
+    base.replace(anchor,
+      "  FROM c3 c JOIN corpus v ON v.vec_id = c.vec_id\n" +
+        "  JOIN qs q ON q.query_id = c.query_id\n" +
+        "  JOIN embeddings le ON le.vec_id = c.vec_id\n" +
+        "  WHERE le.label = 1)")
+  }
+
   // persisted layouts return the same rows as their in-memory searches
   // (PersistedLayoutSpec asserts disk == mem for each), so the *_persisted
   // queries share the in-memory paths' oracle SQL verbatim
@@ -2773,6 +2879,7 @@ object InfraQueries {
     baseOracleSql +
       ("ann_signlsh_persisted" -> baseOracleSql("ann_signlsh_topk")) +
       ("ann_graph_persisted" -> baseOracleSql("ann_graph_topk")) +
+      ("ann_graph_filtered" -> graphFilteredSql) +
       ("ann_sq8_persisted" -> baseOracleSql("ann_sq8_rerank")) +
       ("ann_ivfpq_persisted" -> baseOracleSql("ann_ivfpq_topk")) +
       ("ann_ivfpq_synced" -> baseOracleSql("ann_ivfpq_topk")) +

@@ -31,7 +31,7 @@ object VectorQueries {
     val d = Tables.load(s, dir, "documents")
     val e = emb(s, dir)
     d.join(e, d("doc_id") === e("vec_id"))
-      .select(d("doc_id"), col("text"), col("embedding"))
+      .select(d("doc_id"), col("text"), col("lang"), col("embedding"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -87,6 +87,30 @@ object VectorQueries {
         "text", root, buckets = 32)
       graft.search.Hybrid.hybridTopKPersistedKw(s, idx, corpus, q,
           "qid", "qtext", "qvec", "doc_id", "embedding", n = 10, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("doc_id"), col("in_vec"), col("in_kw"))
+        .orderBy("query_id", "rnk")
+    }),
+    // FILTERED hybrid retrieval — the metadata-filter parameter on the
+    // fused path: the lang predicate restricts BOTH legs BEFORE their
+    // per-leg top-n (vector leg filter pushed into the corpus scan;
+    // keyword-leg BM25 scores from the FROZEN persisted postings
+    // semi-joined to eligible ids before ranking), so every fused rank
+    // is computed among matching docs only. The oracle replays both
+    // filtered legs and the fusion with stats kept unfiltered.
+    "hybrid_rrf_filtered" -> ((s, dir) => {
+      val all = hybridCorpus(s, dir)
+      val corpus = all.filter(col("doc_id") >= 3)
+      val q = all.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"),
+          col("embedding").as("qvec"))
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ppostfil/" +
+        dir.replaceAll("[^0-9.]", "")
+      val idx = graft.search.Hybrid.persistPostings(corpus, "doc_id",
+        "text", root, buckets = 32)
+      graft.search.Hybrid.hybridTopKPersistedKw(s, idx, corpus, q,
+          "qid", "qtext", "qvec", "doc_id", "embedding", n = 10, k = 5,
+          rowFilter = Some(col("lang") === "en"))
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("doc_id"), col("in_vec"), col("in_kw"))
         .orderBy("query_id", "rnk")
@@ -561,6 +585,75 @@ object VectorQueries {
         |      CAST(row_number() OVER (PARTITION BY query_id
         |        ORDER BY bm25 DESC, did) AS BIGINT) AS rb
         |    FROM bm)
+        |  WHERE rb <= 10),
+        |fused AS (
+        |  SELECT coalesce(v.query_id, k.query_id) AS query_id,
+        |    coalesce(v.did, k.did) AS did,
+        |    coalesce(1.0 / (60 + rv), 0.0) +
+        |      coalesce(1.0 / (60 + rb), 0.0) AS rrf,
+        |    v.rv IS NOT NULL AS in_vec, k.rb IS NOT NULL AS in_kw
+        |  FROM vec v FULL JOIN kw k
+        |    ON v.query_id = k.query_id AND v.did = k.did)
+        |SELECT query_id, rnk, did AS doc_id, in_vec, in_kw FROM (
+        |  SELECT query_id, did,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf DESC, did) AS BIGINT) AS rnk,
+        |    in_vec, in_kw
+        |  FROM fused)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // hybrid_rrf_topk's replay with the lang predicate restricting
+    // BOTH legs BEFORE their per-leg top-n; BM25 stats (tf/df/dl/
+    // avgdl/N) stay computed over the FULL corpus — the frozen
+    // build-time-stats contract of the persisted postings.
+    "hybrid_rrf_filtered" ->
+      """WITH allrows AS (
+        |  SELECT d.doc_id, d.text, d.lang, e.embedding
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |corpus AS (SELECT * FROM allrows WHERE doc_id >= 3),
+        |corpusf AS (SELECT * FROM corpus WHERE lang = 'en'),
+        |q AS (SELECT doc_id AS query_id, text, embedding
+        |      FROM allrows WHERE doc_id < 3),
+        |vec AS (
+        |  SELECT * FROM (
+        |    SELECT q.query_id, c.doc_id AS did,
+        |      CAST(row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(c.embedding, q.embedding)
+        |          DESC, c.doc_id) AS BIGINT) AS rv
+        |    FROM corpusf c CROSS JOIN q)
+        |  WHERE rv <= 10),
+        |dterms AS (
+        |  SELECT doc_id AS did,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM corpus),
+        |tf AS (SELECT did, t, count(*) AS tf FROM dterms
+        |       WHERE t <> '' GROUP BY 1, 2),
+        |dl AS (SELECT did, count(*) AS dl FROM dterms
+        |       WHERE t <> '' GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |qt AS (
+        |  SELECT DISTINCT query_id, t FROM (
+        |    SELECT query_id,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM q) WHERE t <> ''),
+        |m AS (
+        |  SELECT qt.query_id, tf.did, tf.t,
+        |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS contrib
+        |  FROM tf JOIN dft USING (t) JOIN dl USING (did)
+        |  JOIN qt USING (t) CROSS JOIN stats),
+        |bm AS (
+        |  SELECT query_id, did,
+        |    list_reduce(list_prepend(0.0, list(contrib ORDER BY t)),
+        |      (a, x) -> a + x) AS bm25
+        |  FROM m GROUP BY 1, 2),
+        |kw AS (
+        |  SELECT * FROM (
+        |    SELECT query_id, did,
+        |      CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY bm25 DESC, did) AS BIGINT) AS rb
+        |    FROM bm
+        |    WHERE did IN (SELECT doc_id FROM corpusf))
         |  WHERE rb <= 10),
         |fused AS (
         |  SELECT coalesce(v.query_id, k.query_id) AS query_id,

@@ -477,9 +477,13 @@ object Ann {
     * analogue of [[persistIvf]]. */
   def persistSignLsh(index: SignLshIndex, pkCol: String, vecCol: String,
       path: String): PersistedSignLsh = {
+    // carry every corpus column (metadata included), like persistIvf:
+    // that is what lets a rowFilter land on the pruned layout scan
+    val carry = index.corpusCoded.columns.filterNot(_ == "__codes")
+      .map(col).toSeq
     index.corpusCoded
-      .select(col(pkCol), col(vecCol),
-        posexplode(col("__codes")).as(Seq("__t", "__code")))
+      .select(carry :+
+        posexplode(col("__codes")).as(Seq("__t", "__code")): _*)
       // cluster rows by their target partition first: one writer per
       // (table, code) dir instead of every task spraying a file into
       // every dir it touches — tables×2^bits×parallelism tiny files
@@ -494,11 +498,19 @@ object Ann {
     * predicate — pruning happens at the file listing (check
     * `.explain` for `PartitionFilters`), so the scan cost is
     * O(queries' buckets), not O(index). Refine is exact top-k, same
-    * semantics as [[querySignLsh]]. */
+    * semantics as [[querySignLsh]].
+    *
+    * `rowFilter` is the metadata-filter parameter with the same
+    * PRE-rank semantics as [[queryPersistedIvf]]: the predicate lands
+    * on the bucket-pruned layout scan (row-group pushdown on top of
+    * the (table, code) dir pruning) and only matching rows are ranked;
+    * sparse buckets under-fill — raise `tables` at build time to trade
+    * scan width for filtered recall. */
   def queryPersistedSignLsh(spark: SparkSession, idx: PersistedSignLsh,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       corpusPkCol: String, corpusVecCol: String, k: Int,
-      metric: Metric = Metric.Cosine): DataFrame = {
+      metric: Metric = Metric.Cosine,
+      rowFilter: Option[Column] = None): DataFrame = {
     val q = queries.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol).as("query_id"),
         col(queryVecCol).as("__qvec"),
@@ -513,7 +525,8 @@ object Ann {
       .map { case (t, code) =>
         col("__t") === lit(t) && col("__code") === lit(code) }
       .reduceOption(_ || _).getOrElse(lit(false))
-    val c = spark.read.parquet(idx.path).filter(pred)
+    val pruned = spark.read.parquet(idx.path).filter(pred)
+    val c = rowFilter.map(pruned.filter).getOrElse(pruned)
     val cand = c.join(broadcast(q), Seq("__t", "__code"))
       .dropDuplicates("query_id", corpusPkCol)
     val scored = cand.withColumn("score",

@@ -3,7 +3,7 @@ package graft.search
 import graft.functions.{Metric, SignLshFunctions, VectorFunctions => VF}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Graph-based ANN — the engine's answer to the managed service's HNSW
   * (SURVEY §4.1; the reference delegates ANN entirely to the service,
@@ -222,7 +222,8 @@ object GraphAnn {
       metric: Metric, entryMod: Long,
       statePartitions: Int = 4,
       materializeCorpus: Boolean = true,
-      seedIds: Option[DataFrame] = None): DataFrame = {
+      seedIds: Option[DataFrame] = None,
+      rowFilter: Option[Column] = None): DataFrame = {
     def bounded(df: DataFrame): DataFrame =
       if (statePartitions > 0) df.repartition(statePartitions, col("query_id"))
       else df
@@ -319,8 +320,21 @@ object GraphAnn {
       // so checkpointing it would be a pure extra materialization job
       cand = if (h < hops) next.localCheckpoint(true) else next
     }
+    // filtered graph search (the standard filtered-HNSW contract): the
+    // WALK routes through any node — restricting traversal would
+    // disconnect the graph under selective predicates — but only
+    // candidates matching the metadata predicate are RANKED. The
+    // predicate pushes into the corpus scan; the bounded candidate
+    // state is the broadcast side.
+    val finalCand = rowFilter match {
+      case None => cand
+      case Some(f) =>
+        val keep = corpus.filter(col(corpusVecCol).isNotNull).filter(f)
+          .select(col(corpusPkCol).as("__nid"))
+        keep.join(broadcast(cand), "__nid")
+    }
     val w = Window.partitionBy("query_id").orderBy(ord: _*)
-    cand.withColumn("rank", row_number().over(w))
+    finalCand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("__nid").as(corpusPkCol),
         col("__score").as("score"))
@@ -655,7 +669,8 @@ object GraphAnn {
       metric: Metric = Metric.L2, entryMod: Long = 0L,
       statePartitions: Int = 4,
       materializeCorpus: Boolean = true,
-      seedIds: Option[DataFrame] = None): DataFrame = {
+      seedIds: Option[DataFrame] = None,
+      rowFilter: Option[Column] = None): DataFrame = {
     // one relation for all hops: the file listing and schema are
     // resolved once; each hop only re-applies its partition filter.
     // Tombstones load once too — deleted nodes are neither seeded from
@@ -672,7 +687,7 @@ object GraphAnn {
     beamSearch(dropTombstonedNodes(corpus, corpusPkCol, tombs), queries,
       queryIdCol, queryVecCol, corpusPkCol,
       corpusVecCol, edgesFor, k, entries, beam, hops, metric, entryMod,
-      statePartitions, materializeCorpus, seedIds)
+      statePartitions, materializeCorpus, seedIds, rowFilter)
   }
 
   /** [[queryGraphLayered]] with BOTH layers on disk — the 100 TB form:

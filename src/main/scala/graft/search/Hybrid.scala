@@ -1,7 +1,7 @@
 package graft.search
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -273,18 +273,33 @@ object Hybrid {
     * (shared legs + fusion, bit-identical BM25), but the keyword side
     * reads only the query terms' posting buckets instead of rebuilding
     * the inverted index per batch. */
+  /** `rowFilter` is the metadata-filter parameter with the PRE-rank
+    * semantics of [[graft.search.Ann.queryPersistedIvf]]: the predicate
+    * restricts BOTH legs BEFORE their per-leg top-n (vector leg — the
+    * filter pushes into the corpus scan; keyword leg — BM25 scores from
+    * the frozen postings are semi-joined to the eligible ids before
+    * ranking), so every fused rank is computed among matching docs
+    * only. Scoring stats stay frozen at build time, unfiltered — the
+    * same contract as filtered search over any pre-built index. */
   def hybridTopKPersistedKw(spark: SparkSession, idx: PersistedPostings,
       corpus: DataFrame, queries: DataFrame,
       queryIdCol: String, queryTextCol: String, queryVecCol: String,
       docIdCol: String, docVecCol: String,
       n: Int, k: Int, rrfK: Int = 60,
       k1: Double = 1.2, b: Double = 0.75,
-      metric: Metric = Metric.Cosine): DataFrame = {
+      metric: Metric = Metric.Cosine,
+      rowFilter: Option[Column] = None): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(queryTextCol).as("__qtext"), col(queryVecCol).as("__qvec"))
-    val kw = bm25Persisted(spark, idx, q, "query_id", "__qtext",
+    val eligible = rowFilter.map(corpus.filter)
+    val vCorpus = eligible.getOrElse(corpus)
+    val kwAll = bm25Persisted(spark, idx, q, "query_id", "__qtext",
       docIdCol, k1, b)
-    fuseVecKw(vectorLeg(corpus, q, docIdCol, docVecCol, n, metric),
+    val kw = eligible
+      .map(e => kwAll.join(e.select(col(docIdCol)), Seq(docIdCol),
+        "left_semi"))
+      .getOrElse(kwAll)
+    fuseVecKw(vectorLeg(vCorpus, q, docIdCol, docVecCol, n, metric),
       kwLeg(kw, docIdCol, n), docIdCol, k, rrfK)
   }
 
