@@ -138,6 +138,91 @@ object NearDupIndex {
         col("jaccard"))
   }
 
+  /** The full admission decision for one ingest batch — the per-batch
+    * body of [[graft.streaming.DedupIngest]], fused so the batch is
+    * shingled ONCE and banded ONCE for all three stages (the separate
+    * probe + sweep calls each re-ran both): (1) exact first-wins by
+    * content hash, (2) reject near-dups of the CURRENT index contents
+    * (partition-pruned posting probe), (3) optional intra-batch sweep —
+    * LSH pair self-join over the survivors' ALREADY-COMPUTED bands,
+    * connected components, min-id member per group admitted. The sweep
+    * skips the component closure entirely when the batch has no pairs
+    * (the common case), saving its iterative jobs. Returns the admitted
+    * rows of `batch` (original columns). */
+  def admitBatch(spark: SparkSession, idx: PersistedNearDup,
+      batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double, intraBatch: Boolean = true,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val exact = Dedup.exactFirstWins(
+        batch.withColumn("__xh", md5(col(textCol))), Seq("__xh"), idCol)
+      .drop("__xh")
+      .localCheckpoint(true) // probe anti-join + sweep + result consume it
+    val sh = Dedup.withShingles(exact, idCol, textCol, idx.n)
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true) // banding + both refine legs consume it
+    val dBanded = banded(sh, idx.k, idx.bands, idx.algo, idx.buckets)
+      .withColumnRenamed("id", "delta_id")
+      .localCheckpoint(true) // bucket list + probe join + self-join ×2
+    val bks = dBanded.select("__bkt").distinct().collect()
+      .map(_.getInt(0)).toSeq // driver-bounded by `buckets`
+    val pruned = spark.read.parquet(idx.path)
+      .filter(col("__bkt").isin(bks: _*)) // partition pruning
+    val postings = maxBucket match {
+      case None => pruned
+      case Some(cap) =>
+        val hot = pruned.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > cap).select("band", "bucket")
+        pruned.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    }
+    val cand = postings.join(dBanded, Seq("band", "bucket", "__bkt"))
+      .filter(col("id") =!= col("delta_id"))
+      .select(col("id").as("corpus_id"), col("delta_id")).distinct()
+    val refined = cand
+      .join(spark.read.parquet(idx.path + "_docs")
+        .select(col("id").as("corpus_id"), col("sh").as("a_sh")),
+        Seq("corpus_id"))
+      .join(sh.select(col("id").as("delta_id"), col("sh").as("b_sh")),
+        Seq("delta_id"))
+    val flagged = Dedup.jaccardStaged(
+        refined.select(col("corpus_id").as("a_id"),
+          col("delta_id").as("b_id"), col("a_sh"), col("b_sh")),
+        threshold)
+      .select(col("b_id").as(idCol)).distinct()
+    val kept = exact.join(flagged, Seq(idCol), "left_anti")
+    if (!intraBatch) kept
+    else {
+      val kc = kept.localCheckpoint(true) // pair join + anti-join
+      val kIds = kc.select(col(idCol).as("delta_id"))
+      // intra-batch candidates from the SAME banding the probe used —
+      // a (band, bucket) self-join over the survivors' bands, identical
+      // to a fresh Dedup.minhashLshPairs over the survivors
+      val kb = dBanded.join(kIds, Seq("delta_id"), "left_semi")
+      val pairCand = kb
+        .select(col("band"), col("bucket"), col("delta_id").as("a_id"))
+        .join(kb.select(col("band"), col("bucket"),
+          col("delta_id").as("b_id")), Seq("band", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val pairs = Dedup.jaccardStaged(
+          pairCand
+            .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")),
+              Seq("a_id"))
+            .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")),
+              Seq("b_id"))
+            .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")),
+          threshold)
+        .localCheckpoint(true)
+      if (pairs.isEmpty) kc
+      else {
+        val losers = Dedup.connectedComponents(pairs, "a_id", "b_id")
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as(idCol))
+        kc.join(losers, Seq(idCol), "left_anti")
+      }
+    }
+  }
+
   /** CDF-batch maintenance — the dedup index's
     * [[graft.search.Ann.syncPersistedIvf]]: last-write-wins per pk,
     * deletes and null/shingle-less upserts leave the index. A changed

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{Dedup, NearDupIndex}
+import graft.operators.NearDupIndex
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -32,8 +32,10 @@ import org.apache.spark.sql.types.StructType
   *
   * Scale: per batch, one bounded-pruned posting probe + one LSH
   * self-join over the BATCH only (never batch × corpus) + the
-  * [[NearDupIndex.sync]] touched-dir rewrite; state lives entirely in
-  * the persisted layout, so the stream itself is stateless and a crash
+  * [[NearDupIndex.sync]] touched-dir rewrite; the batch is shingled
+  * and banded exactly once for all stages
+  * ([[NearDupIndex.admitBatch]]); state lives entirely in the
+  * persisted layout, so the stream itself is stateless and a crash
   * replays idempotently (sync's anti-join-then-add contract). */
 object DedupIngest {
 
@@ -52,28 +54,9 @@ object DedupIngest {
     val idx = NearDupIndex.load(spark, indexPath)
     IndexSync.layoutSyncOnce(spark, journalDir, journalSchema,
       checkpointDir, readerOptions) { batch =>
-      // (1) exact first-wins within the batch, by content hash
-      val exact = Dedup.exactFirstWins(
-          batch.withColumn("__xh", md5(col(textCol))), Seq("__xh"), idCol)
-        .drop("__xh")
-        .localCheckpoint(true) // probe, anti-join and sync all consume it
-      // (2) reject near-dups of the CURRENT index contents
-      val flagged = NearDupIndex.nearDupsAgainst(spark, idx, exact,
-          idCol, textCol, threshold)
-        .select(col("delta_id").as(idCol)).distinct()
-      val kept = exact.join(flagged, Seq(idCol), "left_anti")
-      // (3) intra-batch sweep: near-dup groups among the survivors
-      // collapse to their min-id member (same banding as the index)
-      val admitted = if (!intraBatch) kept else {
-        val kc = kept.localCheckpoint(true) // pair join + anti-join
-        val pairs = Dedup.minhashLshPairs(kc, idCol, textCol, threshold,
-          k = idx.k, bands = idx.bands, n = idx.n, algo = idx.algo)
-        val losers = Dedup.connectedComponents(pairs, "a_id", "b_id")
-          .filter(col("id") =!= col("component"))
-          .select(col("id").as(idCol))
-        kc.join(losers, Seq(idCol), "left_anti")
-      }
-      // (4) admit survivors — visible to the NEXT batch's probe
+      val admitted = NearDupIndex.admitBatch(spark, idx, batch, idCol,
+        textCol, threshold, intraBatch)
+      // admit survivors — visible to the NEXT batch's probe
       NearDupIndex.sync(spark, idx,
         admitted.withColumn("__op", lit(ChangeLog.OpInsert))
           .withColumn("__seq", lit(0L)),
