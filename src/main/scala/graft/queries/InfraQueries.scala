@@ -476,6 +476,27 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // FILTERED SQ8 rerank through the persisted layout: the label
+    // predicate restricts candidates BEFORE the coarse k·c cut (a
+    // post-coarse filter would starve the refine under selective
+    // predicates) — the codes scan semi-joins eligible pks from the
+    // vector file's filtered, column-pruned scan.
+    "ann_sq8_filtered" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val stats = graft.search.Sq8.fit(corpus, "embedding")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_psq8fil/" +
+        dir.replaceAll("[^0-9.]", "")
+      val idx = graft.search.Sq8.persist(corpus, "embedding", "vec_id",
+        root, stats)
+      graft.search.Sq8.rerankPersisted(s, idx,
+          e.filter(col("vec_id") < 5), "embedding", "vec_id",
+          "vec_id", "embedding", k = 3, c = 4,
+          rowFilter = Some(col("label") === 1))
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // The reference's whole ingest story as ONE streaming pipeline:
     // readStream(graft_feed) → md5 embed → delta-sync per micro-batch
     // (3 bounded batches via maxRowsPerBatch admission control) → query
@@ -764,6 +785,31 @@ object InfraQueries {
           "vec_id", "embedding", k = 3, entries = 4, beam = 4, hops = 3,
           entryMod = 5L, metric = Metric.L2,
           l2Entries = 2, l1Beam = 3, l1Hops = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // FILTERED layered graph search: the two-layer descent picks entry
+    // points UNFILTERED (layer 1 only routes), the label predicate
+    // applies at the layer-0 rank — the walk-unfiltered/rank-filtered
+    // contract of ann_graph_filtered through the full hierarchy.
+    "ann_graph_layered_filtered" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 1000)
+      val graph = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id",
+        m = 6)
+      val entry = GraphAnn.buildEntryGraphExact(corpus, "embedding",
+        "vec_id", entryMod = 5L, m1 = 4)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pglayfil/" +
+        dir.replaceAll("[^0-9.]", "")
+      val pg = GraphAnn.persistGraph(graph, root, buckets = 8)
+      val epg = GraphAnn.persistGraph(entry, root + "_entry", buckets = 4)
+      GraphAnn.queryPersistedGraphLayered(s, pg, epg, corpus,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, entries = 4, beam = 4, hops = 3,
+          entryMod = 5L, metric = Metric.L2,
+          l2Entries = 2, l1Beam = 3, l1Hops = 2,
+          rowFilter = Some(col("label") === 1))
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("vec_id"))
         .orderBy("query_id", "rnk")
@@ -1575,6 +1621,48 @@ object InfraQueries {
         |  SELECT q.vec_id AS query_id, c.vec_id, sum(q.b * c.b) AS cscore
         |  FROM codes q JOIN codes c USING (d)
         |  WHERE q.vec_id < 5 AND c.vec_id >= 5
+        |  GROUP BY q.vec_id, c.vec_id),
+        |cand AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cscore DESC, vec_id) AS cr
+        |  FROM cdot),
+        |fin AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    row_number() OVER (PARTITION BY cand.query_id
+        |      ORDER BY list_cosine_similarity(ce.embedding, qe.embedding)
+        |        DESC, cand.vec_id) AS rnk
+        |  FROM cand
+        |  JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |  WHERE cand.cr <= 12)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM fin WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // ann_sq8_rerank's replay with the label predicate restricting
+    // candidates BEFORE the coarse k·c rank (quantization stats stay
+    // fit on the FULL corpus — build-time freeze).
+    "ann_sq8_filtered" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |comp AS (
+        |  SELECT v.vec_id, dd.d,
+        |    CAST(v.embedding[dd.d + 1] AS DOUBLE) AS x
+        |  FROM embeddings v, dims dd),
+        |stats AS (
+        |  SELECT d, min(x) AS mn, max(x) AS mx
+        |  FROM comp WHERE vec_id >= 5 GROUP BY d),
+        |codes AS (
+        |  SELECT c.vec_id, c.d,
+        |    CASE WHEN s.mx = s.mn THEN -128
+        |         ELSE CAST(least(greatest(
+        |             floor((c.x - s.mn) / (s.mx - s.mn) * 255 + 0.5),
+        |             0), 255) AS INT) - 128
+        |    END AS b
+        |  FROM comp c JOIN stats s USING (d)),
+        |cdot AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id, sum(q.b * c.b) AS cscore
+        |  FROM codes q JOIN codes c USING (d)
+        |  WHERE q.vec_id < 5 AND c.vec_id >= 5
+        |    AND c.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 1)
         |  GROUP BY q.vec_id, c.vec_id),
         |cand AS (
         |  SELECT query_id, vec_id,
@@ -2854,18 +2942,18 @@ object InfraQueries {
         |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin,
   )
 
-  // ann_graph_topk's replay with the label predicate applied at the
-  // FINAL rank only — the walk itself is unfiltered, matching
+  // A graph replay with the label predicate applied at the FINAL rank
+  // only — the walk itself is unfiltered, matching
   // queryPersistedGraph's filtered-HNSW contract. Derived textually
   // from the base replay so the two traversals can never drift; the
   // require guards the anchor (a silent no-op rewrite would produce
   // the unfiltered SQL and fail the hash gate confusingly).
-  private val graphFilteredSql: String = {
+  private def filteredGraphSql(base: String): String = {
     val anchor = "  FROM c3 c JOIN corpus v ON v.vec_id = c.vec_id\n" +
       "  JOIN qs q ON q.query_id = c.query_id)"
-    val base = baseOracleSql("ann_graph_topk")
-    require(base.contains(anchor), "ann_graph_topk ranked-CTE anchor moved")
-    base.replace(anchor,
+    val sql = baseOracleSql(base)
+    require(sql.contains(anchor), s"$base ranked-CTE anchor moved")
+    sql.replace(anchor,
       "  FROM c3 c JOIN corpus v ON v.vec_id = c.vec_id\n" +
         "  JOIN qs q ON q.query_id = c.query_id\n" +
         "  JOIN embeddings le ON le.vec_id = c.vec_id\n" +
@@ -2879,7 +2967,9 @@ object InfraQueries {
     baseOracleSql +
       ("ann_signlsh_persisted" -> baseOracleSql("ann_signlsh_topk")) +
       ("ann_graph_persisted" -> baseOracleSql("ann_graph_topk")) +
-      ("ann_graph_filtered" -> graphFilteredSql) +
+      ("ann_graph_filtered" -> filteredGraphSql("ann_graph_topk")) +
+      ("ann_graph_layered_filtered" ->
+        filteredGraphSql("ann_graph_layered_topk")) +
       ("ann_sq8_persisted" -> baseOracleSql("ann_sq8_rerank")) +
       ("ann_ivfpq_persisted" -> baseOracleSql("ann_ivfpq_topk")) +
       ("ann_ivfpq_synced" -> baseOracleSql("ann_ivfpq_topk")) +

@@ -704,8 +704,12 @@ object GraphAnn {
       entryMod: Long, metric: Metric = Metric.L2,
       l2Entries: Int = 2, l1Beam: Int = 3, l1Hops: Int = 2,
       statePartitions: Int = 4,
-      materializeCorpus: Boolean = true): DataFrame = {
+      materializeCorpus: Boolean = true,
+      rowFilter: Option[Column] = None): DataFrame = {
     val l1pool = corpus.filter(col(corpusPkCol) % entryMod === 0)
+    // NOTE: the layer-1 descent stays UNFILTERED — it only picks entry
+    // points; the metadata predicate applies at the layer-0 rank (the
+    // same walk-unfiltered/rank-filtered contract as the flat search)
     val seeds = queryPersistedGraph(spark, entryPg, l1pool, queries,
         queryIdCol, queryVecCol, corpusPkCol, corpusVecCol,
         k = entries, entries = l2Entries, beam = l1Beam, hops = l1Hops,
@@ -716,6 +720,6 @@ object GraphAnn {
     queryPersistedGraph(spark, pg, corpus, queries, queryIdCol,
       queryVecCol, corpusPkCol, corpusVecCol, k, entries, beam, hops,
       metric, entryMod = 0L, statePartitions, materializeCorpus,
-      seedIds = Some(seeds))
+      seedIds = Some(seeds), rowFilter = rowFilter)
   }
 }

@@ -161,16 +161,30 @@ object Sq8 {
   /** [[rerank]] over a [[persist]] layout: identical semantics, but the
     * coarse scan touches ONLY the byte-code file (check `.explain`:
     * its ReadSchema has no vector column) and the full vectors are
-    * joined back by pk for just the k·c survivors. */
+    * joined back by pk for just the k·c survivors.
+    *
+    * `rowFilter` is the metadata-filter parameter (PRE-rank, the
+    * [[graft.search.Ann.queryPersistedIvf]] contract) applied BEFORE
+    * the coarse k·c cut — a post-coarse filter would starve the refine
+    * under selective predicates. The predicate lands on the
+    * full-vector file's scan (column-pruned to pk + filter columns);
+    * the codes scan semi-joins the eligible pks. */
   def rerankPersisted(spark: org.apache.spark.sql.SparkSession,
       idx: PersistedSq8, queries: DataFrame, queryVecCol: String,
       queryIdCol: String, corpusPkCol: String, corpusVecCol: String,
-      k: Int, c: Int, metric: Metric = Metric.Cosine): DataFrame = {
+      k: Int, c: Int, metric: Metric = Metric.Cosine,
+      rowFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val q = broadcast(queries.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol).as("query_id"),
         col(queryVecCol).as("__qvec"),
         encode(col(queryVecCol), idx.stats).as("__qcode")))
-    val coarse = spark.read.parquet(idx.path + "_codes")
+    val codes0 = spark.read.parquet(idx.path + "_codes")
+    val codes = rowFilter.map { f =>
+      val keep = spark.read.parquet(idx.path).filter(f)
+        .select(col(corpusPkCol))
+      codes0.join(keep, Seq(corpusPkCol), "left_semi")
+    }.getOrElse(codes0)
+    val coarse = codes
       .crossJoin(q)
       .withColumn("__cscore", dot(col("__code"), col("__qcode")))
     val w1 = Window.partitionBy("query_id")
