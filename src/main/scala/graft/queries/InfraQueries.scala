@@ -476,6 +476,36 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // CDF maintenance of the persisted SQ8 layout: quantization stats
+    // FROZEN at build on [15,∞) (the frozen-centroid contract — new
+    // vectors encode on the build-time grid), insert [5,15), delete
+    // 20, rerank through the synced two-file layout. The oracle fits
+    // stats on the INITIAL corpus only and replays encode → coarse →
+    // refine over the live id set.
+    "ann_sq8_synced" -> ((s, dir) => {
+      import graft.index.ChangeLog
+      val e = emb(s, dir)
+      val initial = e.filter(col("vec_id") >= 15)
+      val stats = graft.search.Sq8.fit(initial, "embedding")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_psq8sync/" +
+        dir.replaceAll("[^0-9.]", "")
+      val idx = graft.search.Sq8.persist(initial, "embedding", "vec_id",
+        root, stats)
+      val changes = e.filter(col("vec_id") >= 5 && col("vec_id") < 15)
+        .withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(1L))
+        .unionByName(initial.filter(col("vec_id") === 20)
+          .withColumn("__op", lit(ChangeLog.OpDelete))
+          .withColumn("__seq", lit(2L)))
+      graft.search.Sq8.syncPersistedSq8(s, idx, changes, "vec_id",
+        "embedding")
+      graft.search.Sq8.rerankPersisted(s, idx,
+          e.filter(col("vec_id") < 5), "embedding", "vec_id",
+          "vec_id", "embedding", k = 3, c = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // FILTERED SQ8 rerank through the persisted layout: the label
     // predicate restricts candidates BEFORE the coarse k·c cut (a
     // post-coarse filter would starve the refine under selective
@@ -539,6 +569,35 @@ object InfraQueries {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_pslsh/" +
         dir.replaceAll("[^0-9.]", "")
       val persisted = Ann.persistSignLsh(index, "vec_id", "embedding", path)
+      Ann.queryPersistedSignLsh(s, persisted, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // CDF maintenance of the persisted sign-LSH layout: build on
+    // [15,∞), insert [5,15), delete 20, query the synced layout.
+    // Bucket codes are a pure per-row function (no trained state), so
+    // the synced layout ≡ a fresh build over the live corpus — the
+    // oracle replays the plain sign-LSH search on the post-change id
+    // set. Old bucket rows are located via the pk-hash _docs table;
+    // only touched (table, code) dirs rewrite.
+    "ann_signlsh_synced" -> ((s, dir) => {
+      import graft.index.ChangeLog
+      val e = emb(s, dir)
+      val initial = e.filter(col("vec_id") >= 15)
+      val index = Ann.buildSignLsh(initial, "embedding", tables = 8,
+        bits = 4)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pslsync/" +
+        dir.replaceAll("[^0-9.]", "")
+      val persisted = Ann.persistSignLsh(index, "vec_id", "embedding", path)
+      val changes = e.filter(col("vec_id") >= 5 && col("vec_id") < 15)
+        .withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(1L))
+        .unionByName(initial.filter(col("vec_id") === 20)
+          .withColumn("__op", lit(ChangeLog.OpDelete))
+          .withColumn("__seq", lit(2L)))
+      Ann.syncPersistedSignLsh(s, persisted, changes, "vec_id", "embedding")
       Ann.queryPersistedSignLsh(s, persisted, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", "vec_id", "embedding", k = 3)
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
@@ -2942,6 +3001,16 @@ object InfraQueries {
         |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin,
   )
 
+  // Textual derivation of an oracle from a base replay (anchored
+  // replace + require guard): the derived query's semantics differ
+  // from the base's by exactly the edits, so the two replays can
+  // never drift apart.
+  private def derivedSql(base: String, edits: (String, String)*): String =
+    edits.foldLeft(baseOracleSql(base)) { case (sql, (anchor, repl)) =>
+      require(sql.contains(anchor), s"$base anchor '$anchor' moved")
+      sql.replace(anchor, repl)
+    }
+
   // A graph replay with the label predicate applied at the FINAL rank
   // only — the walk itself is unfiltered, matching
   // queryPersistedGraph's filtered-HNSW contract. Derived textually
@@ -2970,6 +3039,18 @@ object InfraQueries {
       ("ann_graph_filtered" -> filteredGraphSql("ann_graph_topk")) +
       ("ann_graph_layered_filtered" ->
         filteredGraphSql("ann_graph_layered_topk")) +
+      // synced sign-LSH ≡ fresh build over the live ids (codes are a
+      // pure per-row function): base replay on the post-change id set
+      ("ann_signlsh_synced" -> derivedSql("ann_signlsh_topk",
+        "WHERE q.vec_id < 5 AND c.vec_id >= 5)" ->
+          "WHERE q.vec_id < 5 AND c.vec_id >= 5 AND c.vec_id <> 20)")) +
+      // synced SQ8: stats frozen on the INITIAL corpus [15,∞), coarse +
+      // refine over the live id set
+      ("ann_sq8_synced" -> derivedSql("ann_sq8_rerank",
+        "FROM comp WHERE vec_id >= 5 GROUP BY d)" ->
+          "FROM comp WHERE vec_id >= 15 GROUP BY d)",
+        "WHERE q.vec_id < 5 AND c.vec_id >= 5" ->
+          "WHERE q.vec_id < 5 AND c.vec_id >= 5 AND c.vec_id <> 20")) +
       ("ann_sq8_persisted" -> baseOracleSql("ann_sq8_rerank")) +
       ("ann_ivfpq_persisted" -> baseOracleSql("ann_ivfpq_topk")) +
       ("ann_ivfpq_synced" -> baseOracleSql("ann_ivfpq_topk")) +

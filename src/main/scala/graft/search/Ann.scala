@@ -475,6 +475,12 @@ object Ann {
     * only the queries' own buckets are ever opened, the on-disk
     * mirror of [[querySignLsh]]'s equi-join — and the sign-LSH
     * analogue of [[persistIvf]]. */
+  /** pk-hash dir count of the `_docs` side table `persistSignLsh`
+    * writes — the table that lets [[syncPersistedSignLsh]] locate a
+    * changed pk's OLD bucket rows with a pruned scan instead of a full
+    * layout sweep (the [[graft.operators.NearDupIndex]] discipline). */
+  private val SignLshDocBuckets = 32
+
   def persistSignLsh(index: SignLshIndex, pkCol: String, vecCol: String,
       path: String): PersistedSignLsh = {
     // carry every corpus column (metadata included), like persistIvf:
@@ -490,7 +496,112 @@ object Ann {
       // otherwise, the classic partitioned-write mistake at scale
       .repartition(col("__t"), col("__code"))
       .write.mode("overwrite").partitionBy("__t", "__code").parquet(path)
+    // pk-hash-bucketed row table: sync's pk lookups prune to ≤ batch
+    // dirs of it (codes are recomputable from the stored vector, so no
+    // separate code column is persisted here)
+    index.corpusCoded.drop("__codes")
+      .withColumn("__dbkt",
+        pmod(xxhash64(col(pkCol)), lit(SignLshDocBuckets.toLong))
+          .cast("int"))
+      .repartition(col("__dbkt"))
+      .write.mode("overwrite").partitionBy("__dbkt").parquet(path + "_docs")
     PersistedSignLsh(path, index.tables, index.bits)
+  }
+
+  /** CDF-batch maintenance of a [[persistSignLsh]] layout — the
+    * sign-LSH leg's [[syncPersistedIvf]]: last-write-wins per pk,
+    * deletes and null-vector upserts leave the index. Bucket codes are
+    * a pure per-row function of the vector (no trained state), so a
+    * synced layout is IDENTICAL to a fresh build over the live corpus
+    * — the strongest sync contract of any leg. A changed pk's OLD
+    * bucket rows are located by re-coding its stored vector from
+    * `_docs` (a lookup pruned to the batch's pk-hash dirs); only
+    * touched `(table, code)` dirs rewrite, and the touched-dir set is
+    * driver-bounded by the CODE SPACE (tables × 2^bits), never by the
+    * batch. Idempotent under replay (anti-join by pk, then re-add). */
+  def syncPersistedSignLsh(spark: SparkSession, idx: PersistedSignLsh,
+      changes: DataFrame, pkCol: String, vecCol: String): Unit = {
+    import graft.index.ChangeLog
+    val latest = ChangeLog.latestPerPk(changes, pkCol).localCheckpoint(true)
+    val changedPks = latest.select(col(pkCol))
+    val newCoded = latest.filter(col("__op") =!= ChangeLog.OpDelete)
+      .drop("__op", "__seq").filter(col(vecCol).isNotNull)
+      .withColumn("__codes", graft.functions.SignLshFunctions
+        .signLshCodes(col(vecCol), idx.tables, idx.bits))
+      .localCheckpoint(true) // pairs + layout merge + _docs merge
+    val dbks = changedPks
+      .select(pmod(xxhash64(col(pkCol)), lit(SignLshDocBuckets.toLong))
+        .cast("int").as("__dbkt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val docsTable = spark.read.parquet(idx.path + "_docs")
+    val oldCoded = docsTable.filter(col("__dbkt").isin(dbks: _*))
+      .join(changedPks, Seq(pkCol), "left_semi")
+      .withColumn("__codes", graft.functions.SignLshFunctions
+        .signLshCodes(col(vecCol), idx.tables, idx.bits))
+    def pairsOf(df: DataFrame): DataFrame = df
+      .select(posexplode(col("__codes")).as(Seq("__t", "__code")))
+      .select("__t", "__code").distinct()
+    // ---- codes layout: rewrite touched (t, code) dirs ----
+    val affected = pairsOf(oldCoded).union(pairsOf(newCoded)).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    if (affected.nonEmpty) {
+      val pred = affected
+        .map { case (t, c) => col("__t") === t && col("__code") === c }
+        .reduce(_ || _)
+      val current = spark.read.parquet(idx.path).filter(pred)
+      val carry = current.columns.filterNot(c => c == "__t" || c == "__code")
+      val newRows = newCoded
+        .select(carry.map(col) :+
+          posexplode(col("__codes")).as(Seq("__t", "__code")): _*)
+      val merged = current.join(changedPks, Seq(pkCol), "left_anti")
+        .unionByName(newRows.select(current.columns.map(col): _*))
+        .localCheckpoint(true) // materialize before overwriting source
+      merged.repartition(col("__t"), col("__code"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__t", "__code").parquet(idx.path)
+      // dynamic overwrite leaves a dir whose rows all died untouched —
+      // drop those (t, code) dirs explicitly
+      val left = merged.select("__t", "__code").distinct()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      val emptied = affected.filterNot(left)
+      if (emptied.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(idx.path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { case (t, c) =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"${idx.path}/__t=$t/__code=$c"), true)
+        }
+      }
+    }
+    // ---- _docs: same merge keyed by pk-hash dirs ----
+    val newDocs = newCoded.drop("__codes")
+      .withColumn("__dbkt",
+        pmod(xxhash64(col(pkCol)), lit(SignLshDocBuckets.toLong))
+          .cast("int"))
+    val dAffected = (dbks ++ newDocs.select("__dbkt").distinct().collect()
+      .map(_.getInt(0))).distinct
+    if (dAffected.nonEmpty) {
+      val current = docsTable.filter(col("__dbkt").isin(dAffected: _*))
+      val merged = current.join(changedPks, Seq(pkCol), "left_anti")
+        .unionByName(newDocs.select(current.columns.map(col): _*))
+        .localCheckpoint(true)
+      merged.repartition(col("__dbkt"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__dbkt").parquet(idx.path + "_docs")
+      val left = merged.select("__dbkt").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val emptied = dAffected.filterNot(left)
+      if (emptied.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(idx.path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"${idx.path}_docs/__dbkt=$b"), true)
+        }
+      }
+    }
   }
 
   /** Batch ANN over a [[persistSignLsh]] layout. The queries' exact

@@ -143,19 +143,76 @@ object Sq8 {
   /** Handle to a [[persist]] layout. */
   final case class PersistedSq8(path: String, stats: Stats)
 
+  /** pk-hash dir count of both files — what lets [[syncPersistedSq8]]
+    * rewrite only the dirs holding changed pks. */
+  private val DocBuckets = 32
+
+  private def withBucket(df: DataFrame, pkCol: String): DataFrame =
+    df.withColumn("__dbkt",
+      pmod(xxhash64(col(pkCol)), lit(DocBuckets.toLong)).cast("int"))
+
   /** Persist the honest on-disk form of the "4× cheaper scan" story:
     * a CODES file `(pk, __code array<byte>)` — what the coarse stage
     * scans, 1 byte/dim instead of 4 — and the full-vector file beside
     * it, touched only by the k·c refine lookups. At 100 TB the coarse
     * stage reads ~25 TB instead of 100; the refine reads a bounded
-    * per-query row set. */
+    * per-query row set. Both files are pk-hash-bucketed so
+    * [[syncPersistedSq8]] rewrites only touched dirs. */
   def persist(corpus: DataFrame, vecCol: String, pkCol: String,
       path: String, stats: Stats): PersistedSq8 = {
     val valid = corpus.filter(col(vecCol).isNotNull)
-    valid.select(col(pkCol), encode(col(vecCol), stats).as("__code"))
-      .write.mode("overwrite").parquet(path + "_codes")
-    valid.write.mode("overwrite").parquet(path)
+    withBucket(valid.select(col(pkCol),
+        encode(col(vecCol), stats).as("__code")), pkCol)
+      .repartition(col("__dbkt"))
+      .write.mode("overwrite").partitionBy("__dbkt").parquet(path + "_codes")
+    withBucket(valid, pkCol)
+      .repartition(col("__dbkt"))
+      .write.mode("overwrite").partitionBy("__dbkt").parquet(path)
     PersistedSq8(path, stats)
+  }
+
+  /** CDF-batch maintenance of a [[persist]] layout — the SQ8 leg's
+    * [[graft.search.Ann.syncPersistedIvf]]: last-write-wins per pk,
+    * deletes and null-vector upserts leave the index. Quantization
+    * stats stay FROZEN at build (the frozen-centroid contract — new
+    * vectors encode on the build-time grid; re-fit via rebuild), so a
+    * change batch is one encode projection plus a merge of the ≤ batch
+    * pk-hash dirs it touches in each file. Idempotent under replay. */
+  def syncPersistedSq8(spark: org.apache.spark.sql.SparkSession,
+      idx: PersistedSq8, changes: DataFrame, pkCol: String,
+      vecCol: String): Unit = {
+    import graft.index.ChangeLog
+    val latest = ChangeLog.latestPerPk(changes, pkCol).localCheckpoint(true)
+    val changedPks = latest.select(col(pkCol))
+    val upserts = latest.filter(col("__op") =!= ChangeLog.OpDelete)
+      .drop("__op", "__seq").filter(col(vecCol).isNotNull)
+      .localCheckpoint(true) // codes + vectors merges both consume it
+    val dbks = withBucket(changedPks, pkCol)
+      .select("__dbkt").distinct().collect().map(_.getInt(0)).toSeq
+    def mergeInto(path: String, newRows: DataFrame): Unit = {
+      val table = spark.read.parquet(path)
+      val current = table.filter(col("__dbkt").isin(dbks: _*))
+      val merged = current.join(changedPks, Seq(pkCol), "left_anti")
+        .unionByName(withBucket(newRows, pkCol)
+          .select(current.columns.map(col): _*))
+        .localCheckpoint(true) // materialize before overwriting source
+      merged.repartition(col("__dbkt"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__dbkt").parquet(path)
+      val left = merged.select("__dbkt").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val emptied = dbks.filterNot(left)
+      if (emptied.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach(b => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$path/__dbkt=$b"), true))
+      }
+    }
+    mergeInto(idx.path + "_codes",
+      upserts.select(col(pkCol), encode(col(vecCol), idx.stats).as("__code")))
+    mergeInto(idx.path, upserts)
   }
 
   /** [[rerank]] over a [[persist]] layout: identical semantics, but the

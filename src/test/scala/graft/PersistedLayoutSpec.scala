@@ -203,6 +203,96 @@ class PersistedLayoutSpec extends SparkSpec {
     assert(disk === mem && disk.nonEmpty)
   }
 
+  test("sign-LSH sync: synced layout row-identical to a fresh build " +
+      "on the live corpus; delete leaves every table") {
+    import graft.index.ChangeLog
+    val base = Files.createTempDirectory("graft_pslsh_sync").toString
+    val initial = emb.filter($"vec_id" >= 15)
+    val idx = Ann.persistSignLsh(
+      Ann.buildSignLsh(initial, "embedding", tables = 4, bits = 3),
+      "vec_id", "embedding", s"$base/idx")
+    val victim = 20L
+    val changes = emb.filter($"vec_id" >= 3 && $"vec_id" < 15)
+      .withColumn("__op", lit(ChangeLog.OpInsert))
+      .withColumn("__seq", lit(1L))
+      .unionByName(initial.filter($"vec_id" === victim)
+        .withColumn("__op", lit(ChangeLog.OpDelete))
+        .withColumn("__seq", lit(2L)))
+    Ann.syncPersistedSignLsh(spark, idx, changes, "vec_id", "embedding")
+    // codes are a pure per-row function -> synced ≡ rebuild, exactly
+    val live = emb.filter($"vec_id" >= 3 && $"vec_id" =!= victim)
+    Ann.persistSignLsh(
+      Ann.buildSignLsh(live, "embedding", tables = 4, bits = 3),
+      "vec_id", "embedding", s"$base/rebuilt")
+    def rows(p: String): Set[(Long, Int, Long)] =
+      spark.read.parquet(p).select("vec_id", "__t", "__code")
+        .as[(Long, Int, Long)].collect().toSet
+    val synced = rows(s"$base/idx")
+    assert(synced === rows(s"$base/rebuilt") && synced.nonEmpty)
+    assert(!synced.exists(_._1 == victim))
+    // the _docs side table merged identically (pk set = live set)
+    assert(spark.read.parquet(s"$base/idx_docs").select("vec_id")
+      .as[Long].collect().toSet ===
+      live.select("vec_id").as[Long].collect().toSet)
+    // replaying the same batch is a no-op (anti-join-then-add)
+    Ann.syncPersistedSignLsh(spark, idx, changes, "vec_id", "embedding")
+    assert(rows(s"$base/idx") === synced)
+  }
+
+  test("SQ8 sync: frozen-stats encode, synced rerank ≡ rebuild-with-" +
+      "frozen-stats, untouched dirs byte-identical") {
+    import graft.index.ChangeLog
+    import graft.search.Sq8
+    val base = Files.createTempDirectory("graft_psq8_sync").toString
+    val initial = emb.filter($"vec_id" >= 15)
+    val stats = Sq8.fit(initial, "embedding")
+    val idx = Sq8.persist(initial, "embedding", "vec_id", s"$base/idx",
+      stats)
+    // per-file digests before the sync, keyed by bucket dir
+    def digests(p: String): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          f.getPath -> md.digest(Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = digests(s"$base/idx_codes")
+    val victim = 20L
+    val changes = emb.filter($"vec_id" >= 3 && $"vec_id" < 15)
+      .withColumn("__op", lit(ChangeLog.OpInsert))
+      .withColumn("__seq", lit(1L))
+      .unionByName(initial.filter($"vec_id" === victim)
+        .withColumn("__op", lit(ChangeLog.OpDelete))
+        .withColumn("__seq", lit(2L)))
+    Sq8.syncPersistedSq8(spark, idx, changes, "vec_id", "embedding")
+    // untouched pk-hash dirs stay byte-identical
+    val touched = changes.select(
+        pmod(xxhash64($"vec_id"), lit(32L)).cast("int")).distinct()
+      .as[Int].collect().toSet
+    val after = digests(s"$base/idx_codes")
+    for ((path, d) <- before
+         if !touched.exists(b => path.contains(s"__dbkt=$b")))
+      assert(after.get(path).contains(d),
+        s"untouched file $path must stay byte-identical")
+    // synced rerank ≡ rebuild over the live corpus with the SAME
+    // frozen stats (stats never re-fit on sync)
+    val live = emb.filter($"vec_id" >= 3 && $"vec_id" =!= victim)
+    val rebuilt = Sq8.persist(live, "embedding", "vec_id",
+      s"$base/rebuilt", stats)
+    val queries = emb.filter($"vec_id" < 3)
+    def key(i: Sq8.PersistedSq8): Set[(Long, Int, Long)] =
+      Sq8.rerankPersisted(spark, i, queries, "embedding", "vec_id",
+        "vec_id", "embedding", k = 3, c = 4)
+        .select("query_id", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val synced = key(idx)
+    assert(synced === key(rebuilt) && synced.nonEmpty)
+    assert(!synced.exists(_._3 == victim))
+  }
+
   test("graph insert: new nodes reachable via reverse edges, append-only") {
     val path = Files.createTempDirectory("graft_pg_sync").toString + "/g"
     val initial = emb.filter($"vec_id" >= 10 && $"vec_id" < 200)
