@@ -16,7 +16,7 @@ object DedupQueries {
   /** Append one journal file and pin its mtime to `ts` so the file
     * stream source (which orders files by modification time) replays
     * journal batches in write order even on coarse-mtime filesystems. */
-  private def appendStamped(fs: org.apache.hadoop.fs.FileSystem,
+  private[queries] def appendStamped(fs: org.apache.hadoop.fs.FileSystem,
       batch: DataFrame, dir: String, ts: Long): Unit = {
     batch.coalesce(1).write.mode("append").parquet(dir)
     fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>

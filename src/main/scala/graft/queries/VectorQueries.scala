@@ -334,6 +334,43 @@ object VectorQueries {
           "vec_id", "embedding", cosineThreshold = 0.3)
         .orderBy("corpus_id", "delta_id")
     }),
+    // The deduplicated-ingest pipeline for EMBEDDINGS end to end — the
+    // vector-side twin of ingest_neardup_pipeline: sign-LSH index on
+    // vectors >= 300; three journal batches ([0,100), [100,200),
+    // [200,300)) drain through near-dup-vs-index (bucket-pruned probe
+    // + cosine >= 0.3 refine) -> intra-batch sweep (bucket self-join,
+    // cosine refine, component-min admission) -> syncPersistedSignLsh
+    // admit. Cross-batch suppression is live (an admitted vector
+    // rejects its later near-dups), and so is the same-batch sweep.
+    // Output = the final index corpus; the oracle replays all three
+    // admission rounds in staged SQL over the same sign-LSH codes.
+    "ingest_vec_pipeline" -> ((s, dir) => {
+      import graft.search.Ann
+      val e = emb(s, dir)
+      val root =
+        s"${System.getProperty("java.io.tmpdir")}/graft_vecingest/" +
+          dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh replay
+      val idx = Ann.persistSignLsh(
+        Ann.buildSignLsh(e.filter(col("vec_id") >= 300), "embedding",
+          tables = 8, bits = 4),
+        "vec_id", "embedding", s"$root/idx")
+      DedupQueries.appendStamped(fs, e.filter(col("vec_id") < 100),
+        s"$root/journal", 10000L)
+      DedupQueries.appendStamped(fs,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 200),
+        s"$root/journal", 20000L)
+      DedupQueries.appendStamped(fs,
+        e.filter(col("vec_id") >= 200 && col("vec_id") < 300),
+        s"$root/journal", 30000L)
+      graft.streaming.VecDedupIngest.run(s, idx, s"$root/journal",
+        e.schema, s"$root/ckpt", "vec_id", "embedding", threshold = 0.3,
+        Map("maxFilesPerTrigger" -> "1"))
+      s.read.parquet(s"$root/idx_docs")
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
     // Custom UDAF: per-label centroid of the embedding vectors (partial
     // aggregation map-side, like builtin aggs). First two components
     // oracle-checked against DuckDB's per-dimension averages.
@@ -866,6 +903,95 @@ object VectorQueries {
         |JOIN embeddings qe ON qe.vec_id = cand.delta_id
         |WHERE list_cosine_similarity(ce.embedding, qe.embedding) >= 0.3
         |ORDER BY corpus_id, delta_id""".stripMargin,
+    // Staged replay of the vector-side deduplicated ingest: the
+    // symmetric near-dup relation `nd` (shared (t, code) bucket +
+    // cosine >= 0.3) is computed once over the sign-LSH code replay;
+    // each round rejects batch members near-dup'ing the CURRENT
+    // corpus, closes the survivors' pair graph with a recursive CTE
+    // (only each component's min id is admitted), and the admitted
+    // set joins the corpus for the next round.
+    "ingest_vec_pipeline" ->
+      """WITH RECURSIVE dims AS (SELECT unnest(range(0, 64)) AS d),
+        |tb AS (
+        |  SELECT t.t, b.b
+        |  FROM (SELECT unnest(range(0, 8)) AS t) t,
+        |       (SELECT unnest(range(0, 4)) AS b) b),
+        |signs AS (
+        |  SELECT tb.t, tb.b, dims.d,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5(CAST(tb.t AS VARCHAR) || ' ' ||
+        |                   CAST(tb.b AS VARCHAR) || ' ' ||
+        |                   CAST(dims.d AS VARCHAR)), 16, 1)) - 1) & 1 = 1
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM tb, dims),
+        |comp AS (
+        |  SELECT v.vec_id, dd.d,
+        |    CAST(floor(CAST(v.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS y
+        |  FROM embeddings v, dims dd),
+        |proj AS (
+        |  SELECT c.vec_id, s.t, s.b, sum(s.s * c.y) AS acc
+        |  FROM comp c JOIN signs s ON s.d = c.d
+        |  GROUP BY c.vec_id, s.t, s.b),
+        |codes AS (
+        |  SELECT vec_id, t,
+        |    sum(CASE WHEN acc > 0 THEN 1 << b ELSE 0 END) AS code
+        |  FROM proj GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM codes a JOIN codes b ON a.t = b.t AND a.code = b.code
+        |  WHERE a.vec_id <> b.vec_id),
+        |nd AS (
+        |  SELECT c.a_id, c.b_id
+        |  FROM cand c
+        |  JOIN embeddings va ON va.vec_id = c.a_id
+        |  JOIN embeddings vb ON vb.vec_id = c.b_id
+        |  WHERE list_cosine_similarity(va.embedding, vb.embedding)
+        |    >= 0.3),
+        |c0 AS (SELECT vec_id FROM embeddings WHERE vec_id >= 300),
+        |b1 AS (SELECT vec_id FROM embeddings WHERE vec_id < 100),
+        |k1 AS (
+        |  SELECT vec_id FROM b1 WHERE vec_id NOT IN (
+        |    SELECT b_id FROM nd
+        |    WHERE a_id IN (SELECT vec_id FROM c0)
+        |      AND b_id IN (SELECT vec_id FROM b1))),
+        |r1 AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM k1
+        |  UNION
+        |  SELECT r1.id, n.b_id FROM r1 JOIN nd n ON n.a_id = r1.r
+        |  WHERE n.b_id IN (SELECT vec_id FROM k1)),
+        |a1 AS (SELECT id AS vec_id FROM r1 GROUP BY id HAVING min(r) = id),
+        |c1 AS (SELECT vec_id FROM c0 UNION SELECT vec_id FROM a1),
+        |b2 AS (SELECT vec_id FROM embeddings
+        |       WHERE vec_id >= 100 AND vec_id < 200),
+        |k2 AS (
+        |  SELECT vec_id FROM b2 WHERE vec_id NOT IN (
+        |    SELECT b_id FROM nd
+        |    WHERE a_id IN (SELECT vec_id FROM c1)
+        |      AND b_id IN (SELECT vec_id FROM b2))),
+        |r2 AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM k2
+        |  UNION
+        |  SELECT r2.id, n.b_id FROM r2 JOIN nd n ON n.a_id = r2.r
+        |  WHERE n.b_id IN (SELECT vec_id FROM k2)),
+        |a2 AS (SELECT id AS vec_id FROM r2 GROUP BY id HAVING min(r) = id),
+        |c2 AS (SELECT vec_id FROM c1 UNION SELECT vec_id FROM a2),
+        |b3 AS (SELECT vec_id FROM embeddings
+        |       WHERE vec_id >= 200 AND vec_id < 300),
+        |k3 AS (
+        |  SELECT vec_id FROM b3 WHERE vec_id NOT IN (
+        |    SELECT b_id FROM nd
+        |    WHERE a_id IN (SELECT vec_id FROM c2)
+        |      AND b_id IN (SELECT vec_id FROM b3))),
+        |r3 AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM k3
+        |  UNION
+        |  SELECT r3.id, n.b_id FROM r3 JOIN nd n ON n.a_id = r3.r
+        |  WHERE n.b_id IN (SELECT vec_id FROM k3)),
+        |a3 AS (SELECT id AS vec_id FROM r3 GROUP BY id HAVING min(r) = id)
+        |SELECT vec_id FROM c2
+        |UNION SELECT vec_id FROM a3
+        |ORDER BY vec_id""".stripMargin,
   )
 
   // hybrid_rrf_persisted serves the keyword leg from the persisted

@@ -1,0 +1,79 @@
+package graft
+
+import graft.search.Ann
+import graft.streaming.VecDedupIngest
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+
+/** The embedding-side deduplicated ingest: probe-vs-index rejection,
+  * intra-batch sweep, cross-batch suppression through the synced
+  * sign-LSH layout. Positive scalings share sign-LSH codes (signs are
+  * scale-invariant) and have cosine 1, so the test vectors collide
+  * deterministically. */
+class VecDedupIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(scale: Float, dims: Int*): Array[Float] = {
+    val v = Array.fill(64)(0f)
+    dims.foreach(d => v(d) = scale)
+    v
+  }
+
+  private def appendStamped(df: org.apache.spark.sql.DataFrame,
+      dir: String, ts: Long): Unit = {
+    df.coalesce(1).write.mode("append").parquet(dir)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).foreach { st =>
+      if (st.getPath.getName.startsWith("part-") &&
+          st.getModificationTime > ts)
+        fs.setTimes(st.getPath, ts, -1)
+    }
+  }
+
+  test("vector ingest: rejects near-dups of the index, sweeps " +
+      "same-batch pairs to the min id, suppresses across batches") {
+    val root = Files.createTempDirectory("graft_vingest").toString
+    val corpus = Seq((100L, vec(1f, 0, 1))).toDF("vec_id", "embedding")
+    val idx = Ann.persistSignLsh(
+      Ann.buildSignLsh(corpus, "embedding", tables = 4, bits = 3),
+      "vec_id", "embedding", s"$root/idx")
+    // batch 1: 1 ~ corpus (rejected); 2 novel; 4 ~ 2 IN THE SAME BATCH
+    // (swept — only min id 2 admitted)
+    val b1 = Seq((1L, vec(2f, 0, 1)), (2L, vec(1f, 2, 3)),
+      (4L, vec(3f, 2, 3))).toDF("vec_id", "embedding")
+    // batch 2: 5 ~ 2 admitted by batch 1 (rejected); 6 novel
+    val b2 = Seq((5L, vec(0.5f, 2, 3)), (6L, vec(1f, 4)))
+      .toDF("vec_id", "embedding")
+    appendStamped(b1, s"$root/journal", 10000L)
+    appendStamped(b2, s"$root/journal", 20000L)
+    VecDedupIngest.run(spark, idx, s"$root/journal", b1.schema,
+      s"$root/ckpt", "vec_id", "embedding", threshold = 0.9,
+      Map("maxFilesPerTrigger" -> "1"))
+    val ids = spark.read.parquet(s"$root/idx_docs")
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids === Set(100L, 2L, 6L))
+    // the admitted vector is probe-able through the synced layout
+    val redo = Seq((7L, vec(4f, 2, 3))).toDF("vec_id", "embedding")
+    val pairs = Ann.nearDupsAgainstSignLsh(spark, idx, redo,
+        "vec_id", "embedding", "vec_id", "embedding", 0.9)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(pairs === Set(2L))
+  }
+
+  test("intraBatch = false restores both-admitted for same-batch pairs") {
+    val root = Files.createTempDirectory("graft_vingest_ns").toString
+    val corpus = Seq((100L, vec(1f, 0, 1))).toDF("vec_id", "embedding")
+    val idx = Ann.persistSignLsh(
+      Ann.buildSignLsh(corpus, "embedding", tables = 4, bits = 3),
+      "vec_id", "embedding", s"$root/idx")
+    val b1 = Seq((2L, vec(1f, 2, 3)), (4L, vec(3f, 2, 3)))
+      .toDF("vec_id", "embedding")
+    appendStamped(b1, s"$root/journal", 10000L)
+    VecDedupIngest.run(spark, idx, s"$root/journal", b1.schema,
+      s"$root/ckpt", "vec_id", "embedding", threshold = 0.9,
+      intraBatch = false)
+    assert(spark.read.parquet(s"$root/idx_docs")
+      .select("vec_id").as[Long].collect().toSet === Set(100L, 2L, 4L))
+  }
+}
