@@ -136,6 +136,19 @@ object ScaleRehearsal {
       }
       val (bf, br) = scanMetrics(brute, corpusPath)
 
+      // --- ANN: persisted sign-LSH probe (same flat-vs-linear story
+      // through the (table, code) layout) ---
+      val slshIdx = Ann.persistSignLsh(
+        Ann.buildSignLsh(corpus, "embedding", tables = 4, bits = 3),
+        "vec_id", "embedding", s"$base/slsh")
+      spark.sharedState.cacheManager.clearCache()
+      val (slshProbe, slshSec) = timed {
+        val df = Ann.queryPersistedSignLsh(spark, slshIdx, queries,
+          "qid", "qvec", "vec_id", "embedding", k = 5)
+        df.collect(); df
+      }
+      val (slf, slr) = scanMetrics(slshProbe, s"$base/slsh")
+
       // --- near-dup: persisted posting probe vs full LSH pair sweep ---
       val idx = NearDupIndex.persist(docsN, "doc_id", "text", s"$base/nd")
       // small delta: 3 docs × 4 bands probe ≤ 12 of the 32 posting dirs
@@ -159,11 +172,14 @@ object ScaleRehearsal {
       val (swf, swr) = scanMetrics(sweepScan, docsPath)
 
       val ivfFiles = spark.read.parquet(s"$base/ivf").inputFiles.length
+      val slshFiles = spark.read.parquet(s"$base/slsh").inputFiles.length
       val ndFiles = spark.read.parquet(s"$base/nd").inputFiles.length
       val corpusFiles = corpus.inputFiles.length
       val docFiles = docsN.inputFiles.length
       Seq(
         Measure("ivf_probe", scale, corpusRows, ivfFiles, pf, pr, probeSec),
+        Measure("signlsh_probe", scale, corpusRows, slshFiles, slf, slr,
+          slshSec),
         Measure("knn_brute", scale, corpusRows, corpusFiles, bf, br,
           bruteSec),
         Measure("neardup_probe", scale, corpusRows, ndFiles, npf, npr,
@@ -180,7 +196,7 @@ object ScaleRehearsal {
     def at(leg: String, scale: Int) =
       rows.find(r => r.leg == leg && r.scale == scale).get
     val v = scala.collection.mutable.ListBuffer[String]()
-    for (leg <- Seq("ivf_probe", "neardup_probe")) {
+    for (leg <- Seq("ivf_probe", "signlsh_probe", "neardup_probe")) {
       val (one, big) = (at(leg, 1), at(leg, factor))
       // pruning holds: the probe opens the same bucket dirs no matter
       // how large the corpus grew (sub-cell splits allow a small slack)

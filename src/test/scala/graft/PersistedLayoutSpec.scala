@@ -201,6 +201,24 @@ class PersistedLayoutSpec extends SparkSpec {
     val disk = out.select("query_id", "rank", "vec_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(disk === mem && disk.nonEmpty)
+
+    // a metadata rowFilter keeps BOTH pruning layers: the (t, code)
+    // partition filter AND the label predicate pushed to the scan —
+    // and every hit matches the predicate
+    spark.sharedState.cacheManager.clearCache()
+    val filtered = Ann.queryPersistedSignLsh(spark, idx, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3,
+      Metric.Cosine, rowFilter = Some(col("label") === 1))
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(fplan.contains("PartitionFilters") && fplan.contains("__code"),
+      s"filtered probe must keep partition pruning:\n${fplan.take(2000)}")
+    assert(fplan.contains("PushedFilters") && fplan.contains("label"),
+      s"label predicate must push to the pruned scan:\n${fplan.take(2000)}")
+    val hits = filtered.select("vec_id").as[Long].collect().toSet
+    val labels = corpus.filter($"label" === 1).select("vec_id")
+      .as[Long].collect().toSet
+    assert(hits.nonEmpty && hits.subsetOf(labels),
+      "every filtered hit must match the predicate")
   }
 
   test("sign-LSH sync: synced layout row-identical to a fresh build " +

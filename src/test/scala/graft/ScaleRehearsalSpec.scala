@@ -17,7 +17,7 @@ class ScaleRehearsalSpec extends SparkSpec {
     val work = Files.createTempDirectory("graft_rehearsal_spec").toString
     val rows = ScaleRehearsal.run(spark, sf, factor = 4, work)
     info("\n" + ScaleRehearsal.render(rows))
-    assert(rows.size === 8, "4 legs x 2 scales")
+    assert(rows.size === 10, "5 legs x 2 scales")
     val violations = ScaleRehearsal.check(rows, factor = 4)
     assert(violations.isEmpty, violations.mkString("; "))
     // the probes answered, and the blow-up actually scaled the corpus
