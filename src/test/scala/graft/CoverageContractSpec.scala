@@ -1,0 +1,47 @@
+package graft
+
+/** The declared-vs-checked contract the driver's correctness run rests
+  * on: every query in [[SparkEntry.queries]] must carry a DuckDB oracle
+  * in [[SparkEntry.oracleSql]] (the driver hash-compares exactly the
+  * intersection; a query without an oracle silently degrades to a
+  * rows-only check, and an oracle without a query is dead SQL). Round 8
+  * showed why this needs to be an assertion and not a convention: 9
+  * declared-and-oracled queries were absent from the driver's
+  * correctness window, and nothing in the repo made that visible. This
+  * spec pins the full declared set so any drift between the query map
+  * and the oracle map fails the build, and the count below documents
+  * what "all green" must mean.
+  */
+class CoverageContractSpec extends SparkSpec {
+
+  test("every declared query has an oracle and every oracle a query") {
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    val noOracle = queries -- oracles
+    val orphaned = oracles -- queries
+    assert(orphaned.isEmpty,
+      s"oracle SQL with no query entry: ${orphaned.toSeq.sorted}")
+    assert(noOracle.isEmpty,
+      s"queries with only a rows-only check: ${noOracle.toSeq.sorted}")
+  }
+
+  test("declared query count matches the documented coverage board") {
+    // COVERAGE.md and the per-round correctness JSON must account for
+    // exactly this many rows. Update BOTH when adding a query.
+    assert(SparkEntry.queries.size >= 139,
+      s"query count shrank to ${SparkEntry.queries.size} — a domain map " +
+        "was probably dropped from SparkEntry.queries")
+  }
+
+  test("event/as-of/misc queries stay declared and oracled") {
+    // the 9 rows absent from CORRECTNESS_r08 — they must never silently
+    // drop out of the declared set again
+    val required = Set("asof_attribution", "asof_forward", "asof_nearest",
+      "ev_hourly_agg", "ev_json_extract", "ev_sessionize", "ev_stats",
+      "json_roundtrip", "sketch_heavy_hitters")
+    val missing = required -- SparkEntry.queries.keySet
+    val unoracled = required -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"dropped queries: ${missing.toSeq.sorted}")
+    assert(unoracled.isEmpty, s"lost oracles: ${unoracled.toSeq.sorted}")
+  }
+}
