@@ -12,15 +12,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * expressions (graft.streaming). */
 object EventQueries {
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively; read it as long and truncate to microseconds — the
-    * same floor-truncation DuckDB applies, so oracle timestamps agree. */
+  /** `events.ts` is parquet TIMESTAMP(NANOS). Convert it to a
+    * microsecond TIMESTAMP from whatever shape THIS session read it in:
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set at session build,
+    * as the test session does) yields a nanos LONG we floor-divide;
+    * without it Spark 4.1 reads TIMESTAMP_NTZ, already floor-truncated
+    * to µs, which casts to the identical instant under the UTC session
+    * timezone. Both paths match DuckDB's floor truncation, so oracle
+    * timestamps agree either way. Dispatching on the observed schema —
+    * not on session conf — is the round-8 lesson: a runtime `conf.set`
+    * no longer reaches the parquet schema converter, and all 9
+    * events-table queries silently fell out of the correctness run. */
   private[queries] def load(s: SparkSession, dir: String) = ev(s, dir)
 
   private def ev(s: SparkSession, dir: String) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.load(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = Tables.load(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
