@@ -1,0 +1,86 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** The ONE incremental-maintenance skeleton every persisted
+  * partition-pruned layout shares — IVF cells ([[graft.search.Ann]]),
+  * sign-LSH (table, code) dirs, SQ8 and near-dup pk-hash dirs
+  * ([[graft.search.Sq8]], [[graft.operators.NearDupIndex]]), BM25 term
+  * buckets ([[graft.search.Hybrid]]): anti-join the changed keys out of
+  * the touched dirs' current rows, add the re-derived rows, rewrite
+  * ONLY those dirs, and drop any touched dir whose rows all went away.
+  * Factored here so the contract — and the next sync bug — lives in one
+  * place instead of six.
+  *
+  * Scale shape (inherited by every caller): `affected` is a
+  * driver-collected key list BOUNDED BY THE LAYOUT'S KEY SPACE (cells,
+  * tables × 2^bits, hash-bucket count), never by corpus or batch size;
+  * the rewrite moves only the touched dirs' bytes; the merge result is
+  * materialized (localCheckpoint) BEFORE the overwrite because its plan
+  * reads the very files the write replaces.
+  */
+object PartitionedLayout {
+
+  /** Partition-pruning predicate for a touched-key set, prunable at the
+    * file listing. Depth matters at scale: a per-key OR-of-conjunctions
+    * grows a left-deep boolean tree with the touched-key count
+    * (thousands of Or nodes = Catalyst stack blowups, and Or chains
+    * never get the InSet treatment). Single-column layouts get one
+    * `isin`; two-column layouts group by the first column — depth
+    * bounded by ITS cardinality (e.g. the table count), never by the
+    * touched-pair count. */
+  def touchedPred(partCols: Seq[String], affected: Seq[Seq[Any]]): Column = {
+    require(partCols.nonEmpty && partCols.size <= 2,
+      s"unsupported partition arity ${partCols.size}")
+    if (affected.isEmpty) lit(false)
+    else if (partCols.size == 1)
+      col(partCols.head).isin(affected.map(_.head): _*)
+    else affected.groupBy(_.head).toSeq.sortBy(_._1.toString)
+      .map { case (h, keys) =>
+        col(partCols.head) === lit(h) &&
+          col(partCols(1)).isin(keys.map(_(1)): _*)
+      }.reduce(_ || _)
+  }
+
+  /** Merge-overwrite the touched dirs of a partitioned parquet layout.
+    *
+    * `current` must be the layout's rows in exactly the `affected` dirs
+    * (filter with [[touchedPred]] so the read is partition-pruned);
+    * `changedKeys` the changed pk values (columns = `joinKeys`);
+    * `newRows` the re-derived replacement rows (schema ⊇ `current`'s
+    * columns). Rewrites use dynamic partition overwrite with one writer
+    * per dir; a touched dir absent from the merge result is deleted
+    * explicitly — dynamic overwrite only rewrites partitions PRESENT in
+    * the result, so a dir whose rows all died would otherwise keep its
+    * stale files. Idempotent under replay (anti-join by key, then
+    * re-add). */
+  def mergeOverwrite(spark: SparkSession, path: String,
+      partCols: Seq[String], affected: Seq[Seq[Any]],
+      current: DataFrame, joinKeys: Seq[String], changedKeys: DataFrame,
+      newRows: DataFrame): Unit = {
+    if (affected.isEmpty) return
+    val merged = current.join(changedKeys, joinKeys, "left_anti")
+      .unionByName(newRows.select(current.columns.map(col): _*))
+      .localCheckpoint(true) // materialize before overwriting the source
+    merged.repartition(partCols.map(col): _*) // one writer per dir
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*).parquet(path)
+    val left: Set[List[String]] = merged.select(partCols.map(col): _*)
+      .distinct()
+      .collect()
+      .map(r => partCols.indices.map(i => r.get(i).toString).toList)
+      .toSet
+    val emptied = affected.map(_.map(_.toString).toList).filterNot(left)
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { key =>
+        val dir = partCols.zip(key)
+          .map { case (c, v) => s"$c=$v" }.mkString("/")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$dir"), true)
+      }
+    }
+  }
+}

@@ -268,39 +268,26 @@ object NearDupIndex {
       .join(changedPks, Seq("id"), "left_semi")
       .select("id", "sh")
     val oldPost = banded(oldSh, idx.k, idx.bands, idx.algo, idx.buckets)
-    // ---- postings: rewrite touched __bkt dirs (≤ buckets values) ----
-    val affected = oldPost.select("__bkt").union(newPost.select("__bkt"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    if (affected.nonEmpty) {
-      val layout = spark.read.parquet(idx.path)
-      val current = layout.filter(col("__bkt").isin(affected: _*))
-      val merged = current.join(changedPks, Seq("id"), "left_anti")
-        .unionByName(newPost.select(current.columns.map(col): _*))
-        .localCheckpoint(true) // materialize before overwriting source
-      merged.repartition(col("__bkt"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__bkt").parquet(idx.path)
-      dropEmptied(spark, idx.path, "__bkt", affected,
-        merged.select("__bkt").distinct().collect().map(_.getInt(0)).toSet)
-    }
-    // ---- _docs: same merge keyed by id-hash dirs ----
+    // ---- postings: rewrite touched __bkt dirs (≤ buckets values),
+    // via the shared merge-overwrite skeleton (PartitionedLayout) ----
+    import graft.index.PartitionedLayout
+    val affected: Seq[Seq[Any]] = oldPost.select("__bkt")
+      .union(newPost.select("__bkt"))
+      .distinct().collect().map(r => Seq[Any](r.getInt(0)))
+    val layout = spark.read.parquet(idx.path)
+    PartitionedLayout.mergeOverwrite(spark, idx.path, Seq("__bkt"),
+      affected,
+      layout.filter(PartitionedLayout.touchedPred(Seq("__bkt"), affected)),
+      Seq("id"), changedPks, newPost)
+    // ---- _docs: same merge keyed by id-hash dirs. New docs' ids are a
+    // subset of the changed ids, so their dirs are a subset of `dbks` —
+    // no separate touched-dir collect needed. ----
     val newDocs = newSh.withColumn("__dbkt",
       pmod(xxhash64(col("id")), lit(idx.buckets.toLong)).cast("int"))
-    val dAffected = (dbks ++ newDocs.select("__dbkt").distinct().collect()
-      .map(_.getInt(0))).distinct
-    if (dAffected.nonEmpty) {
-      val current = docsTable.filter(col("__dbkt").isin(dAffected: _*))
-      val merged = current.join(changedPks, Seq("id"), "left_anti")
-        .unionByName(newDocs.select(current.columns.map(col): _*))
-        .localCheckpoint(true)
-      merged.repartition(col("__dbkt"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__dbkt").parquet(idx.path + "_docs")
-      dropEmptied(spark, idx.path + "_docs", "__dbkt", dAffected,
-        merged.select("__dbkt").distinct().collect().map(_.getInt(0)).toSet)
-    }
+    PartitionedLayout.mergeOverwrite(spark, idx.path + "_docs",
+      Seq("__dbkt"), dbks.map(Seq[Any](_)),
+      docsTable.filter(col("__dbkt").isin(dbks: _*)),
+      Seq("id"), changedPks, newDocs)
   }
 
   /** Bucket-occupancy telemetry — the observability
@@ -317,18 +304,4 @@ object NearDupIndex {
       .filter(col("n") >= minSize)
       .orderBy(col("n").desc, col("band"), col("bucket"))
 
-  /** Dynamic overwrite only rewrites partitions present in the merged
-    * result — an affected dir whose rows all went away keeps stale
-    * files; drop those dirs explicitly (the syncPersistedIvf rule). */
-  private def dropEmptied(spark: SparkSession, path: String,
-      partCol: String, affected: Seq[Int], left: Set[Int]): Unit = {
-    val emptied = affected.filterNot(left)
-    if (emptied.nonEmpty) {
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$b"), true)
-      }
-    }
-  }
 }

@@ -367,51 +367,17 @@ object Ann {
     // (AQE broadcasts it on its own) but can legitimately be huge, and a
     // forced broadcast of an unbounded side is a driver OOM at scale
     val changedPks = latest.select(col(pkCol))
-    val affected = layout.join(changedPks, Seq(pkCol))
+    val affected: Seq[Seq[Any]] = layout.join(changedPks, Seq(pkCol))
       .select(partCols.map(col): _*)
       .union(assigned.select(partCols.map(col): _*)).distinct()
       .collect().map(r => partCols.indices.map(r.getInt))
-    if (affected.isEmpty) return
-    // partition predicate that prunes at the file listing. Depth
-    // matters: a per-DIR OR-of-conjunctions grows a left-deep boolean
-    // tree with the touched-dir count (thousands of Or nodes on a big
-    // delta = Catalyst stack blowups, and Or chains never get the
-    // InSet treatment). Plain layouts keep the single isin; sub-celled
-    // layouts group by cell — depth bounded by the centroid count, not
-    // by touched (cell, subcell) pairs.
-    val pred =
-      if (!hasSub) col("__cell").isin(affected.map(_.head): _*)
-      else affected.groupBy(_.head).map { case (cell, keys) =>
-        col("__cell") === lit(cell) &&
-          col("__subcell").isin(keys.map(_(1)).toSeq: _*)
-      }.reduce(_ || _)
-    // merge only the affected dirs' rows; materialize BEFORE the write
-    // (a dynamic overwrite of a path being lazily read is a self-read)
-    val current = layout.filter(pred)
-    val merged = current
-      .join(changedPks, Seq(pkCol), "left_anti")
-      .unionByName(assigned.select(current.columns.map(col): _*))
-      .localCheckpoint(true)
-    merged
-      .repartition(partCols.map(col): _*) // one writer per rewritten dir
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCols: _*).parquet(idx.path)
-    // dynamic overwrite only rewrites partitions PRESENT in `merged`: an
-    // affected dir whose rows were all deleted never appears there and
-    // would keep its stale files — drop those dirs explicitly
-    val left = merged.select(partCols.map(col): _*).distinct()
-      .collect().map(r => partCols.indices.map(r.getInt)).toSet
-    val emptied = affected.filterNot(left)
-    if (emptied.nonEmpty) {
-      val fs = new org.apache.hadoop.fs.Path(idx.path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach { key =>
-        val dir = partCols.zip(key)
-          .map { case (c, v) => s"$c=$v" }.mkString("/")
-        fs.delete(new org.apache.hadoop.fs.Path(s"${idx.path}/$dir"), true)
-      }
-    }
+    // merge only the affected dirs' rows (partition-pruned read),
+    // rewrite only those dirs, drop any dir whose rows all died — the
+    // shared skeleton, graft.index.PartitionedLayout
+    import graft.index.PartitionedLayout
+    PartitionedLayout.mergeOverwrite(spark, idx.path, partCols, affected,
+      layout.filter(PartitionedLayout.touchedPred(partCols, affected)),
+      Seq(pkCol), changedPks, assigned)
   }
 
   // ------- Native sign-LSH (deterministic, engine-owned) -------
@@ -541,68 +507,49 @@ object Ann {
     def pairsOf(df: DataFrame): DataFrame = df
       .select(posexplode(col("__codes")).as(Seq("__t", "__code")))
       .select("__t", "__code").distinct()
+    import graft.index.PartitionedLayout
     // ---- codes layout: rewrite touched (t, code) dirs ----
-    val affected = pairsOf(oldCoded).union(pairsOf(newCoded)).distinct()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val affected: Seq[Seq[Any]] = pairsOf(oldCoded).union(pairsOf(newCoded))
+      .distinct()
+      .collect().map(r => Seq[Any](r.getInt(0), r.getLong(1)))
     if (affected.nonEmpty) {
-      val pred = affected
-        .map { case (t, c) => col("__t") === t && col("__code") === c }
-        .reduce(_ || _)
-      val current = spark.read.parquet(idx.path).filter(pred)
+      val current = spark.read.parquet(idx.path)
+        .filter(PartitionedLayout.touchedPred(Seq("__t", "__code"),
+          affected))
       val carry = current.columns.filterNot(c => c == "__t" || c == "__code")
       val newRows = newCoded
         .select(carry.map(col) :+
           posexplode(col("__codes")).as(Seq("__t", "__code")): _*)
-      val merged = current.join(changedPks, Seq(pkCol), "left_anti")
-        .unionByName(newRows.select(current.columns.map(col): _*))
-        .localCheckpoint(true) // materialize before overwriting source
-      merged.repartition(col("__t"), col("__code"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__t", "__code").parquet(idx.path)
-      // dynamic overwrite leaves a dir whose rows all died untouched —
-      // drop those (t, code) dirs explicitly
-      val left = merged.select("__t", "__code").distinct()
-        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
-      val emptied = affected.filterNot(left)
-      if (emptied.nonEmpty) {
-        val fs = new org.apache.hadoop.fs.Path(idx.path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        emptied.foreach { case (t, c) =>
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"${idx.path}/__t=$t/__code=$c"), true)
-        }
-      }
+      PartitionedLayout.mergeOverwrite(spark, idx.path,
+        Seq("__t", "__code"), affected, current, Seq(pkCol), changedPks,
+        newRows)
     }
-    // ---- _docs: same merge keyed by pk-hash dirs ----
+    // ---- _docs: same merge keyed by pk-hash dirs. New rows' pks are a
+    // subset of the changed pks, so their dirs are a subset of `dbks` —
+    // no separate touched-dir collect needed. ----
     val newDocs = newCoded.drop("__codes")
       .withColumn("__dbkt",
         pmod(xxhash64(col(pkCol)), lit(SignLshDocBuckets.toLong))
           .cast("int"))
-    val dAffected = (dbks ++ newDocs.select("__dbkt").distinct().collect()
-      .map(_.getInt(0))).distinct
-    if (dAffected.nonEmpty) {
-      val current = docsTable.filter(col("__dbkt").isin(dAffected: _*))
-      val merged = current.join(changedPks, Seq(pkCol), "left_anti")
-        .unionByName(newDocs.select(current.columns.map(col): _*))
-        .localCheckpoint(true)
-      merged.repartition(col("__dbkt"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__dbkt").parquet(idx.path + "_docs")
-      val left = merged.select("__dbkt").distinct()
-        .collect().map(_.getInt(0)).toSet
-      val emptied = dAffected.filterNot(left)
-      if (emptied.nonEmpty) {
-        val fs = new org.apache.hadoop.fs.Path(idx.path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        emptied.foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"${idx.path}_docs/__dbkt=$b"), true)
-        }
-      }
-    }
+    PartitionedLayout.mergeOverwrite(spark, idx.path + "_docs",
+      Seq("__dbkt"), dbks.map(Seq[Any](_)),
+      docsTable.filter(col("__dbkt").isin(dbks: _*)),
+      Seq(pkCol), changedPks, newDocs)
   }
+
+  /** Bucket-occupancy telemetry for a [[persistSignLsh]] layout — the
+    * observability a [[graft.streaming.VecDedupIngest]] `maxBucket`
+    * guard needs (the [[graft.operators.NearDupIndex.bucketStats]] of
+    * the sign-LSH index): you cannot pick a cap you cannot see. One
+    * count shuffle over the codes layout; returns `(__t, __code, n)`
+    * for buckets holding at least `minSize` vectors, largest first. */
+  def signLshBucketStats(spark: SparkSession, idx: PersistedSignLsh,
+      minSize: Long = 2L): DataFrame =
+    spark.read.parquet(idx.path)
+      .groupBy("__t", "__code")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSize)
+      .orderBy(col("n").desc, col("__t"), col("__code"))
 
   /** Batch ANN over a [[persistSignLsh]] layout. The queries' exact
     * (table, code) pairs become an OR-of-conjunctions partition
@@ -629,14 +576,13 @@ object Ann {
           .signLshCodes(col(queryVecCol), idx.tables, idx.bits))
           .as(Seq("__t", "__code")))
     // queries × tables pairs — tiny by contract; becomes the pruning
-    // predicate over the partition columns
-    val pairs = q.select("__t", "__code").distinct().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).toSeq
-    val pred = pairs
-      .map { case (t, code) =>
-        col("__t") === lit(t) && col("__code") === lit(code) }
-      .reduceOption(_ || _).getOrElse(lit(false))
-    val pruned = spark.read.parquet(idx.path).filter(pred)
+    // predicate over the partition columns (grouped per table, so the
+    // expression depth is bounded by the table count)
+    val pairs: Seq[Seq[Any]] = q.select("__t", "__code").distinct()
+      .collect().map(r => Seq[Any](r.getInt(0), r.getLong(1)))
+    val pruned = spark.read.parquet(idx.path)
+      .filter(graft.index.PartitionedLayout
+        .touchedPred(Seq("__t", "__code"), pairs))
     val c = rowFilter.map(pruned.filter).getOrElse(pruned)
     val cand = c.join(broadcast(q), Seq("__t", "__code"))
       .dropDuplicates("query_id", corpusPkCol)
@@ -673,15 +619,13 @@ object Ann {
         posexplode(graft.functions.SignLshFunctions
           .signLshCodes(col(deltaVecCol), idx.tables, idx.bits))
           .as(Seq("__t", "__code")))
-    val pairs = q.select("__t", "__code").distinct().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).toSeq
-    val pred = pairs
-      .map { case (t, code) =>
-        col("__t") === lit(t) && col("__code") === lit(code) }
-      .reduceOption(_ || _).getOrElse(lit(false))
+    val pairs: Seq[Seq[Any]] = q.select("__t", "__code").distinct()
+      .collect().map(r => Seq[Any](r.getInt(0), r.getLong(1)))
     // no broadcast hint on the batch side: a delta can legitimately be
     // huge; AQE broadcasts small ones on its own
-    val c = spark.read.parquet(idx.path).filter(pred)
+    val c = spark.read.parquet(idx.path)
+      .filter(graft.index.PartitionedLayout
+        .touchedPred(Seq("__t", "__code"), pairs))
     c.join(q, Seq("__t", "__code"))
       .filter(col(corpusPkCol) =!= col("delta_id"))
       .dropDuplicates("delta_id", corpusPkCol)

@@ -162,36 +162,18 @@ object Hybrid {
         pmod(xxhash64(col("__t")), lit(idx.buckets.toLong)).cast("int"))
     // affected buckets: any holding a changed doc's OLD postings, plus
     // every bucket receiving new rows — driver-small (≤ buckets)
-    val affected = layout.join(changedPks, layout("__did") === changedPks("__did"),
+    val affected: Seq[Seq[Any]] = layout
+      .join(changedPks, layout("__did") === changedPks("__did"),
         "left_semi")
       .select("__tbucket")
       .union(newPost.select("__tbucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    if (affected.isEmpty) return
-    val current = layout.filter(col("__tbucket").isin(affected: _*))
-    val merged = current
-      .join(changedPks, current("__did") === changedPks("__did"),
-        "left_anti")
-      .unionByName(newPost.select(current.columns.map(col): _*))
-      .localCheckpoint(true) // materialize before overwriting the source
-    merged
-      .repartition(col("__tbucket")) // one writer per rewritten dir
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__tbucket").parquet(idx.path)
-    // drop affected dirs whose rows all went away (dynamic overwrite
-    // would leave them stale)
-    val left = merged.select("__tbucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    val emptied = affected.filterNot(left)
-    if (emptied.nonEmpty) {
-      val fs = new org.apache.hadoop.fs.Path(idx.path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"${idx.path}/__tbucket=$b"), true)
-      }
-    }
+      .collect().map(r => Seq[Any](r.getInt(0)))
+    // shared merge-overwrite skeleton — graft.index.PartitionedLayout
+    graft.index.PartitionedLayout.mergeOverwrite(spark, idx.path,
+      Seq("__tbucket"), affected,
+      layout.filter(graft.index.PartitionedLayout
+        .touchedPred(Seq("__tbucket"), affected)),
+      Seq("__did"), changedPks, newPost)
   }
 
   /** BM25 over a [[persistPostings]] layout — same output contract and

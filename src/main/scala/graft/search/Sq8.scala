@@ -189,27 +189,12 @@ object Sq8 {
       .localCheckpoint(true) // codes + vectors merges both consume it
     val dbks = withBucket(changedPks, pkCol)
       .select("__dbkt").distinct().collect().map(_.getInt(0)).toSeq
-    def mergeInto(path: String, newRows: DataFrame): Unit = {
-      val table = spark.read.parquet(path)
-      val current = table.filter(col("__dbkt").isin(dbks: _*))
-      val merged = current.join(changedPks, Seq(pkCol), "left_anti")
-        .unionByName(withBucket(newRows, pkCol)
-          .select(current.columns.map(col): _*))
-        .localCheckpoint(true) // materialize before overwriting source
-      merged.repartition(col("__dbkt"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__dbkt").parquet(path)
-      val left = merged.select("__dbkt").distinct()
-        .collect().map(_.getInt(0)).toSet
-      val emptied = dbks.filterNot(left)
-      if (emptied.nonEmpty) {
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        emptied.foreach(b => fs.delete(
-          new org.apache.hadoop.fs.Path(s"$path/__dbkt=$b"), true))
-      }
-    }
+    // shared merge-overwrite skeleton — graft.index.PartitionedLayout
+    def mergeInto(path: String, newRows: DataFrame): Unit =
+      graft.index.PartitionedLayout.mergeOverwrite(spark, path,
+        Seq("__dbkt"), dbks.map(Seq[Any](_)),
+        spark.read.parquet(path).filter(col("__dbkt").isin(dbks: _*)),
+        Seq(pkCol), changedPks, withBucket(newRows, pkCol))
     mergeInto(idx.path + "_codes",
       upserts.select(col(pkCol), encode(col(vecCol), idx.stats).as("__code")))
     mergeInto(idx.path, upserts)

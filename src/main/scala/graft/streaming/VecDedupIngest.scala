@@ -35,10 +35,23 @@ object VecDedupIngest {
 
   /** One admission decision for an embedding batch (the per-batch body
     * of [[run]], usable standalone for a one-shot batch): returns the
-    * admitted rows of `batch`. `intraBatch = false` skips the sweep. */
+    * admitted rows of `batch`. `intraBatch = false` skips the sweep.
+    *
+    * `maxBucket` is the intra-batch hot-bucket guard (the vector-side
+    * mirror of [[graft.operators.NearDupIndex.admitBatch]]'s cap): the
+    * sweep self-joins the batch on `(table, code)`, so a degenerate
+    * batch of near-identical vectors — every row in the same bucket of
+    * every table — goes quadratic in the bucket size. Buckets holding
+    * more than `maxBucket` batch rows are skipped during candidate
+    * generation: an explicit recall trade (members of a skipped bucket
+    * that collide in NO other bucket are all admitted) that bounds the
+    * worst batch at `maxBucket²` pairs per bucket. `None` keeps exact
+    * semantics. Occupancy telemetry to pick the cap:
+    * [[Ann.signLshBucketStats]]. */
   def admitBatch(spark: SparkSession, idx: Ann.PersistedSignLsh,
       batch: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, intraBatch: Boolean = true): DataFrame = {
+      threshold: Double, intraBatch: Boolean = true,
+      maxBucket: Option[Int] = None): DataFrame = {
     val valid = batch.filter(col(vecCol).isNotNull).localCheckpoint(true)
     // (1) reject near-dups of the CURRENT index contents
     val flagged = Ann.nearDupsAgainstSignLsh(spark, idx, valid,
@@ -53,10 +66,18 @@ object VecDedupIngest {
       // over the bounded batch — cheap enough to not warrant the
       // shingle-sharing fusion the text pipeline needs.
       val kc = kept.localCheckpoint(true) // self-join + anti-join
-      val coded = kc.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      val coded0 = kc.select(col(idCol).as("__id"), col(vecCol).as("__v"),
         posexplode(graft.functions.SignLshFunctions
           .signLshCodes(col(vecCol), idx.tables, idx.bits))
           .as(Seq("__t", "__code")))
+      val coded = maxBucket match {
+        case None => coded0
+        case Some(cap) =>
+          val hot = coded0.groupBy("__t", "__code")
+            .agg(count(lit(1)).as("__bn"))
+            .filter(col("__bn") > cap).select("__t", "__code")
+          coded0.join(broadcast(hot), Seq("__t", "__code"), "left_anti")
+      }
       val cand = coded.select(col("__t"), col("__code"),
           col("__id").as("a_id"))
         .join(coded.select(col("__t"), col("__code"),
@@ -90,12 +111,13 @@ object VecDedupIngest {
       checkpointDir: String, idCol: String, vecCol: String,
       threshold: Double,
       readerOptions: Map[String, String] = Map.empty,
-      intraBatch: Boolean = true): Unit = {
+      intraBatch: Boolean = true,
+      maxBucket: Option[Int] = None): Unit = {
     import graft.index.ChangeLog
     IndexSync.layoutSyncOnce(spark, journalDir, journalSchema,
       checkpointDir, readerOptions) { batch =>
       val admitted = admitBatch(spark, idx, batch, idCol, vecCol,
-        threshold, intraBatch)
+        threshold, intraBatch, maxBucket)
       Ann.syncPersistedSignLsh(spark, idx,
         admitted.withColumn("__op", lit(ChangeLog.OpInsert))
           .withColumn("__seq", lit(0L)),

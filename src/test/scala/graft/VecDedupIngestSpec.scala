@@ -61,6 +61,38 @@ class VecDedupIngestSpec extends SparkSpec {
     assert(pairs === Set(2L))
   }
 
+  test("maxBucket caps an adversarial same-vector batch: the sweep " +
+      "completes, skipped-bucket members are admitted (recall trade), " +
+      "and a generous cap changes nothing") {
+    val root = Files.createTempDirectory("graft_vingest_cap").toString
+    val corpus = Seq((100L, vec(1f, 0, 1))).toDF("vec_id", "embedding")
+    val idx = Ann.persistSignLsh(
+      Ann.buildSignLsh(corpus, "embedding", tables = 4, bits = 3),
+      "vec_id", "embedding", s"$root/idx")
+    // degenerate batch: 50 positive scalings of one vector — identical
+    // sign-LSH codes in EVERY table, so the uncapped self-join is the
+    // full 50×50 bucket square in all 4 tables
+    val clones = (1L to 50L).map(i => (i, vec(i.toFloat, 2, 3)))
+      .toDF("vec_id", "embedding")
+    // cap below the bucket size: every bucket is hot and skipped, no
+    // pairs form, ALL clones are admitted — the documented recall trade
+    val capped = VecDedupIngest.admitBatch(spark, idx, clones,
+      "vec_id", "embedding", threshold = 0.9, maxBucket = Some(10))
+    assert(capped.count() === 50L)
+    // cap above the bucket size: identical to the uncapped sweep —
+    // one component, min id 1 admitted
+    val generous = VecDedupIngest.admitBatch(spark, idx, clones,
+      "vec_id", "embedding", threshold = 0.9, maxBucket = Some(64))
+    assert(generous.select("vec_id").as[Long].collect().toSet === Set(1L))
+    val uncapped = VecDedupIngest.admitBatch(spark, idx, clones,
+      "vec_id", "embedding", threshold = 0.9)
+    assert(uncapped.select("vec_id").as[Long].collect().toSet === Set(1L))
+    // telemetry: the persisted layout's occupancy is visible (the
+    // corpus vector occupies its 4 buckets once each)
+    val stats = Ann.signLshBucketStats(spark, idx, minSize = 1L)
+    assert(stats.count() === 4L)
+  }
+
   test("intraBatch = false restores both-admitted for same-batch pairs") {
     val root = Files.createTempDirectory("graft_vingest_ns").toString
     val corpus = Seq((100L, vec(1f, 0, 1))).toDF("vec_id", "embedding")
