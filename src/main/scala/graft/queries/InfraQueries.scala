@@ -692,6 +692,85 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // TRAINED centroids through the PERSISTED layout's full delta path:
+    // train on the initial corpus [15,∞), persist by cell (persistIvf
+    // writes the trained centroids as the layout's frozen side file),
+    // sync a change batch (insert [5,15), delete 20 — delta rows
+    // assigned with the FROZEN trained centroids), query the synced
+    // on-disk index. This is the deployment shape of the trained
+    // quantizer: the oracle re-trains on the initial id set in SQL and
+    // replays the frozen-centroid assignment over the live rows.
+    "ann_ivf_trained_synced" -> ((s, dir) => {
+      import graft.index.ChangeLog
+      val e = emb(s, dir)
+      val built = Ann.buildIvfTrained(e.filter(col("vec_id") >= 15),
+        "embedding", "vec_id", 16, iters = 2, sampleN = 128)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pivftr/" +
+        dir.replaceAll("[^0-9.]", "")
+      Ann.persistIvf(built, root)
+      val changes = e.filter(col("vec_id") >= 5 && col("vec_id") < 15)
+        .withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(1L))
+        .unionByName(e.filter(col("vec_id") === 20)
+          .withColumn("__op", lit(ChangeLog.OpDelete))
+          .withColumn("__seq", lit(2L)))
+      Ann.syncPersistedIvf(s, Ann.PersistedIvf(root), changes,
+        "vec_id", "embedding")
+      Ann.queryPersistedIvf(s, Ann.PersistedIvf(root),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, nProbe = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // TRAINED coarse centroids AND trained PQ codebooks through the
+    // persisted IVF-PQ layout — the quality configuration a 100×-scale
+    // deployment would actually persist (both quantizers k-means-
+    // trained, both frozen in the layout's side files). The oracle
+    // replays BOTH trainings (shared md5 sample, full-dim Lloyd for
+    // the centroids, per-subspace Lloyd for the codebooks), the cell
+    // assignment, the pruned ADC over probed cells only, and the
+    // exact refine.
+    "ann_ivfpq_trained_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val index = Ann.buildIvfTrained(corpus, "embedding", "vec_id", 16,
+        iters = 2, sampleN = 128)
+      val cb = graft.search.Pq.fitTrained(corpus, "embedding", "vec_id",
+        m = 16, k = 32, iters = 2, sampleN = 128)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pivfpqtr/" +
+        dir.replaceAll("[^0-9.]", "")
+      val idx = graft.search.Pq.persistIvfPq(index, cb, "embedding", root)
+      graft.search.Pq.queryPersistedIvfPq(s, idx,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, c = 4, nProbe = 4,
+          metric = Metric.Cosine)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // Recall telemetry for the TRAINED persisted IVF at the same
+    // degraded setting as ann_recall_probe (nProbe=1 of 16, k=5,
+    // query sample by id parity) — the head-to-head that shows what
+    // k-means centroids buy over the deterministic first-k codebooks
+    // at equal probe budget (AnnSpec asserts trained ≥ deterministic
+    // on the same data). Runs THROUGH the persisted layout, so the
+    // wiring under test is the deployable one.
+    "ann_recall_ivf_trained" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 10)
+      val queries = e.filter(col("vec_id") < 10)
+      val built = Ann.buildIvfTrained(corpus, "embedding", "vec_id", 16,
+        iters = 2, sampleN = 128)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pivfrtr/" +
+        dir.replaceAll("[^0-9.]", "")
+      Ann.persistIvf(built, root)
+      val answers = Ann.queryPersistedIvf(s, Ann.PersistedIvf(root),
+        queries, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nProbe = 1)
+      Ann.recallAtK(answers, corpus, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, sampleMod = 2L)
+    }),
     // IVF-PQ — the canonical two-level vector-store composition (the
     // FAISS IVFPQ architecture) at REALISTIC parameters: probe 4 of 16
     // deterministic cells, ADC-rank only the probed cells' PQ codes
@@ -2191,6 +2270,282 @@ object InfraQueries {
         |  FROM cand)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // Replays BOTH trainings off one shared md5 sample — full-dim
+    // Lloyd for the 16 coarse centroids, per-subspace Lloyd for the
+    // 16×32 PQ codebooks — then the persisted IVF-PQ pipeline: cell
+    // assignment with the trained centroids, nProbe=4 probe, ADC over
+    // the PROBED cells' codes only, exact cosine refine of the top-12.
+    "ann_ivfpq_trained_persisted" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |iq AS (
+        |  SELECT v.vec_id, dd.d,
+        |    CAST(floor(CAST(v.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS xi
+        |  FROM embeddings v, dims dd),
+        |samp AS (
+        |  SELECT r, embedding FROM (
+        |    SELECT embedding,
+        |      row_number() OVER (
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS r
+        |    FROM embeddings WHERE vec_id >= 5 AND embedding IS NOT NULL)
+        |  WHERE r < 128),
+        |sp AS (
+        |  SELECT s.r, dd.d,
+        |    CAST(floor(CAST(s.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS y
+        |  FROM samp s, dims dd),
+        |pc0 AS (SELECT (d // 4) AS s, r AS j, d, y FROM sp WHERE r < 32),
+        |pd1 AS (
+        |  SELECT p.r, c.s, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+        |  FROM sp p JOIN pc0 c ON c.d = p.d
+        |  GROUP BY p.r, c.s, c.j),
+        |pm1 AS (SELECT r, s, j FROM (
+        |  SELECT r, s, j,
+        |    row_number() OVER (PARTITION BY r, s ORDER BY d2, j) AS rn
+        |  FROM pd1) WHERE rn = 1),
+        |pg1 AS (
+        |  SELECT m.s, m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM pm1 m JOIN sp p ON p.r = m.r AND (p.d // 4) = m.s
+        |  GROUP BY m.s, m.j, p.d),
+        |pc1 AS (
+        |  SELECT pc0.s, pc0.j, pc0.d,
+        |    COALESCE(CAST((pg1.sy - (((pg1.sy % pg1.c) + pg1.c) % pg1.c))
+        |      / pg1.c AS BIGINT), pc0.y) AS y
+        |  FROM pc0 LEFT JOIN pg1
+        |    ON pg1.s = pc0.s AND pg1.j = pc0.j AND pg1.d = pc0.d),
+        |pd2 AS (
+        |  SELECT p.r, c.s, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+        |  FROM sp p JOIN pc1 c ON c.d = p.d
+        |  GROUP BY p.r, c.s, c.j),
+        |pm2 AS (SELECT r, s, j FROM (
+        |  SELECT r, s, j,
+        |    row_number() OVER (PARTITION BY r, s ORDER BY d2, j) AS rn
+        |  FROM pd2) WHERE rn = 1),
+        |pg2 AS (
+        |  SELECT m.s, m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM pm2 m JOIN sp p ON p.r = m.r AND (p.d // 4) = m.s
+        |  GROUP BY m.s, m.j, p.d),
+        |cb AS (
+        |  SELECT pc1.s, pc1.j, pc1.d,
+        |    COALESCE(CAST((pg2.sy - (((pg2.sy % pg2.c) + pg2.c) % pg2.c))
+        |      / pg2.c AS BIGINT), pc1.y) AS xi
+        |  FROM pc1 LEFT JOIN pg2
+        |    ON pg2.s = pc1.s AND pg2.j = pc1.j AND pg2.d = pc1.d),
+        |ic0 AS (SELECT r AS j, d, y FROM sp WHERE r < 16),
+        |id1 AS (
+        |  SELECT p.r, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+        |  FROM sp p JOIN ic0 c ON c.d = p.d
+        |  GROUP BY p.r, c.j),
+        |im1 AS (SELECT r, j FROM (
+        |  SELECT r, j, row_number() OVER (PARTITION BY r ORDER BY d2, j)
+        |    AS rn FROM id1) WHERE rn = 1),
+        |ig1 AS (
+        |  SELECT m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM im1 m JOIN sp p ON p.r = m.r
+        |  GROUP BY m.j, p.d),
+        |ic1 AS (
+        |  SELECT ic0.j, ic0.d,
+        |    COALESCE(CAST((ig1.sy - (((ig1.sy % ig1.c) + ig1.c) % ig1.c))
+        |      / ig1.c AS BIGINT), ic0.y) AS y
+        |  FROM ic0 LEFT JOIN ig1 ON ig1.j = ic0.j AND ig1.d = ic0.d),
+        |id2 AS (
+        |  SELECT p.r, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+        |  FROM sp p JOIN ic1 c ON c.d = p.d
+        |  GROUP BY p.r, c.j),
+        |im2 AS (SELECT r, j FROM (
+        |  SELECT r, j, row_number() OVER (PARTITION BY r ORDER BY d2, j)
+        |    AS rn FROM id2) WHERE rn = 1),
+        |ig2 AS (
+        |  SELECT m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM im2 m JOIN sp p ON p.r = m.r
+        |  GROUP BY m.j, p.d),
+        |ic2 AS (
+        |  SELECT ic1.j, ic1.d,
+        |    COALESCE(CAST((ig2.sy - (((ig2.sy % ig2.c) + ig2.c) % ig2.c))
+        |      / ig2.c AS BIGINT), ic1.y) AS y
+        |  FROM ic1 LEFT JOIN ig2 ON ig2.j = ic1.j AND ig2.d = ic1.d),
+        |cents AS (
+        |  SELECT CAST(j AS INT) AS cell,
+        |    list(y / 1048576.0 ORDER BY d) AS cvec
+        |  FROM ic2 GROUP BY j),
+        |corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id >= 5 AND embedding IS NOT NULL),
+        |asg AS (
+        |  SELECT c.vec_id, t.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_distance(c.v, t.cvec), t.cell) AS rn
+        |  FROM corpus c CROSS JOIN cents t),
+        |cells AS (SELECT vec_id, cell FROM asg WHERE rn = 1),
+        |qs AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |probe AS (
+        |  SELECT q.query_id, t.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_distance(q.qv, t.cvec), t.cell) AS pr
+        |  FROM qs q CROSS JOIN cents t),
+        |pcells AS (SELECT query_id, cell FROM probe WHERE pr <= 4),
+        |cdist AS (
+        |  SELECT iq.vec_id, cb.s, cb.j,
+        |    sum((iq.xi - cb.xi) * (iq.xi - cb.xi)) AS d2
+        |  FROM iq JOIN cb ON cb.d = iq.d
+        |  WHERE iq.vec_id >= 5
+        |  GROUP BY iq.vec_id, cb.s, cb.j),
+        |codes AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT vec_id, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d2, j) AS rn
+        |    FROM cdist) WHERE rn = 1),
+        |qtab AS (
+        |  SELECT iq.vec_id AS query_id, cb.s, cb.j,
+        |    sum((iq.xi - cb.xi) * (iq.xi - cb.xi)) AS d2
+        |  FROM iq JOIN cb ON cb.d = iq.d
+        |  WHERE iq.vec_id < 5
+        |  GROUP BY iq.vec_id, cb.s, cb.j),
+        |adc AS (
+        |  SELECT c.vec_id, p.query_id, sum(q.d2) AS dist
+        |  FROM codes c
+        |  JOIN cells l ON l.vec_id = c.vec_id
+        |  JOIN pcells p ON p.cell = l.cell
+        |  JOIN qtab q ON q.query_id = p.query_id
+        |    AND q.s = c.s AND q.j = c.j
+        |  GROUP BY c.vec_id, p.query_id),
+        |cand AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist, vec_id) AS cr
+        |  FROM adc),
+        |fin AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    row_number() OVER (PARTITION BY cand.query_id ORDER BY
+        |      CASE WHEN list_dot_product(ce.embedding::DOUBLE[],
+        |                                 ce.embedding::DOUBLE[]) = 0
+        |             OR list_dot_product(qe.embedding::DOUBLE[],
+        |                                 qe.embedding::DOUBLE[]) = 0
+        |           THEN 0
+        |           ELSE list_dot_product(ce.embedding::DOUBLE[],
+        |                                 qe.embedding::DOUBLE[])
+        |                / (sqrt(list_dot_product(ce.embedding::DOUBLE[],
+        |                                         ce.embedding::DOUBLE[]))
+        |                   * sqrt(list_dot_product(qe.embedding::DOUBLE[],
+        |                                           qe.embedding::DOUBLE[])))
+        |      END DESC, cand.vec_id) AS rnk
+        |  FROM cand
+        |  JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |  WHERE cand.cr <= 12)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM fin WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // The trained-IVF recall probe: re-trains the 16 centroids on the
+    // vec_id >= 10 corpus (same md5 sample + two unrolled Lloyd
+    // iterations), replays the degraded nProbe=1 search at k=5, the
+    // exact cosine side on the parity-sampled queries, and the recall
+    // join — ann_recall_probe with trained centroids.
+    "ann_recall_ivf_trained" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |samp AS (
+        |  SELECT r, embedding FROM (
+        |    SELECT embedding,
+        |      row_number() OVER (
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS r
+        |    FROM embeddings WHERE vec_id >= 10 AND embedding IS NOT NULL)
+        |  WHERE r < 128),
+        |sp AS (
+        |  SELECT s.r, dd.d,
+        |    CAST(floor(CAST(s.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS y
+        |  FROM samp s, dims dd),
+        |c0 AS (SELECT r AS j, d, y FROM sp WHERE r < 16),
+        |d1 AS (
+        |  SELECT p.r, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+        |  FROM sp p JOIN c0 c ON c.d = p.d
+        |  GROUP BY p.r, c.j),
+        |m1 AS (SELECT r, j FROM (
+        |  SELECT r, j, row_number() OVER (PARTITION BY r ORDER BY d2, j)
+        |    AS rn FROM d1) WHERE rn = 1),
+        |g1 AS (
+        |  SELECT m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM m1 m JOIN sp p ON p.r = m.r
+        |  GROUP BY m.j, p.d),
+        |c1 AS (
+        |  SELECT c0.j, c0.d,
+        |    COALESCE(CAST((g1.sy - (((g1.sy % g1.c) + g1.c) % g1.c))
+        |      / g1.c AS BIGINT), c0.y) AS y
+        |  FROM c0 LEFT JOIN g1 ON g1.j = c0.j AND g1.d = c0.d),
+        |d2i AS (
+        |  SELECT p.r, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+        |  FROM sp p JOIN c1 c ON c.d = p.d
+        |  GROUP BY p.r, c.j),
+        |m2 AS (SELECT r, j FROM (
+        |  SELECT r, j, row_number() OVER (PARTITION BY r ORDER BY d2, j)
+        |    AS rn FROM d2i) WHERE rn = 1),
+        |g2 AS (
+        |  SELECT m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM m2 m JOIN sp p ON p.r = m.r
+        |  GROUP BY m.j, p.d),
+        |c2 AS (
+        |  SELECT c1.j, c1.d,
+        |    COALESCE(CAST((g2.sy - (((g2.sy % g2.c) + g2.c) % g2.c))
+        |      / g2.c AS BIGINT), c1.y) AS y
+        |  FROM c1 LEFT JOIN g2 ON g2.j = c1.j AND g2.d = c1.d),
+        |cents AS (
+        |  SELECT CAST(j AS INT) AS cell,
+        |    list(y / 1048576.0 ORDER BY d) AS cvec
+        |  FROM c2 GROUP BY j),
+        |corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id >= 10 AND embedding IS NOT NULL),
+        |asg AS (
+        |  SELECT c.vec_id, c.v, t.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_distance(c.v, t.cvec), t.cell) AS rn
+        |  FROM corpus c CROSS JOIN cents t),
+        |cells AS (SELECT vec_id, v, cell FROM asg WHERE rn = 1),
+        |qs AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |probe AS (
+        |  SELECT q.query_id, q.qv, t.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_distance(q.qv, t.cvec), t.cell) AS pr
+        |  FROM qs q CROSS JOIN cents t),
+        |cand AS (
+        |  SELECT p.query_id, p.qv, c.vec_id, c.v
+        |  FROM (SELECT query_id, qv, cell FROM probe WHERE pr <= 1) p
+        |  JOIN cells c USING (cell)),
+        |ans AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id) AS rnk
+        |    FROM cand)
+        |  WHERE rnk <= 5),
+        |sq AS (SELECT query_id, qv FROM qs WHERE query_id % 2 = 0),
+        |exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT s.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY s.query_id
+        |        ORDER BY list_cosine_similarity(c.v, s.qv) DESC,
+        |          c.vec_id) AS rnk
+        |    FROM corpus c CROSS JOIN sq s)
+        |  WHERE rnk <= 5)
+        |SELECT e.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 4) AS recall
+        |FROM exact e LEFT JOIN ans a
+        |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     // Replays the best-first graph-ANN search end to end: exact 6-NN
     // graph (L2, id tie-break) on the bounded corpus block, seeded
     // entries (per-query top-4 of the mod-5 sample), then three
@@ -3056,6 +3411,15 @@ object InfraQueries {
       ("ann_ivfpq_synced" -> baseOracleSql("ann_ivfpq_topk")) +
       ("ann_ivf_synced_balanced" -> baseOracleSql("ann_ivf_synced")) +
       ("ann_ivf_stream_synced" -> baseOracleSql("ann_ivf_synced")) +
+      // trained centroids + persisted delta path: re-train on the
+      // INITIAL corpus [15,∞) (the sample and both Lloyd iterations),
+      // then frozen-centroid assignment over the post-change live set
+      ("ann_ivf_trained_synced" -> derivedSql("ann_ivf_trained_topk",
+        "FROM embeddings WHERE vec_id >= 5 AND embedding IS NOT NULL)" ->
+          "FROM embeddings WHERE vec_id >= 15 AND embedding IS NOT NULL)",
+        "FROM embeddings\n  WHERE vec_id >= 5 AND embedding IS NOT NULL)" ->
+          ("FROM embeddings\n  WHERE vec_id >= 5 AND vec_id <> 20 " +
+            "AND embedding IS NOT NULL)"))) +
       ("ann_graph_layered_persisted" ->
         baseOracleSql("ann_graph_layered_topk"))
 }
