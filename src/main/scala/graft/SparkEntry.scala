@@ -25,7 +25,8 @@ object SparkEntry {
     DedupQueries.queries ++
     InfraQueries.queries ++
     MiscQueries.queries ++
-    QualityQueries.queries
+    QualityQueries.queries ++
+    FacadeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
     DedupQueries.oracleSql ++
     InfraQueries.oracleSql ++
     MiscQueries.oracleSql ++
-    QualityQueries.oracleSql
+    QualityQueries.oracleSql ++
+    FacadeQueries.oracleSql
 }

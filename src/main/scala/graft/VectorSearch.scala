@@ -2,10 +2,10 @@ package graft
 
 import graft.embed.{Embedder, FittedEmbedder, FittedEmbedders}
 import graft.functions.Metric
-import graft.index.{IndexCatalog, IndexMeta, VectorIndex}
-import graft.search.{Ann, Knn}
+import graft.index.{IndexCatalog, IndexKinds, IndexMeta, VectorIndex}
+import graft.search.Knn
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Drop-in façade with the reference client's ergonomics, so a user of
   * `VectorSearchClient` can switch call-for-call:
@@ -72,11 +72,29 @@ final class VectorSearch(spark: SparkSession, root: String) {
     * `array<float>` column. */
   def createDeltaSyncIndex(endpoint: String, source: DataFrame,
       indexName: String, primaryKey: String, embeddingVectorColumn: String,
-      embeddingDimension: Int): Index = {
+      embeddingDimension: Int): Index =
+    createDeltaSyncIndex(endpoint, source, indexName, primaryKey,
+      embeddingVectorColumn, embeddingDimension, IndexKinds.Exact)
+
+  /** Self-managed mode with an engine-side index `kind` — the
+    * reference user picks an index TYPE at creation and the service
+    * routes every later `similarity_search` accordingly; here the kind
+    * ("exact" | "ivf" | "signlsh" | "graph" | "hybrid") plus its
+    * `options` (frozen into the metadata) select which persisted
+    * layout is built now and searched/synced later
+    * ([[graft.index.IndexKinds]]). */
+  def createDeltaSyncIndex(endpoint: String, source: DataFrame,
+      indexName: String, primaryKey: String, embeddingVectorColumn: String,
+      embeddingDimension: Int, indexKind: String,
+      options: Map[String, String] = Map.empty): Index = {
     require(getEndpoint(endpoint), s"endpoint $endpoint does not exist")
+    require(IndexKinds.All.contains(indexKind),
+      s"unknown index kind '$indexKind' (one of ${IndexKinds.All})")
     val idx = catalog.create(indexName, primaryKey, embeddingVectorColumn,
-      embeddingDimension, Metric.Cosine)
+      embeddingDimension, Metric.Cosine, kind = indexKind,
+      options = options)
     idx.rebuild(source)
+    IndexKinds.build(spark, idx.meta, source)
     catalog.save(spark, indexName)
     sources(indexName) = source
     new Index(spark, idx, None)
@@ -106,12 +124,26 @@ final class Index(spark: SparkSession, underlying: VectorIndex,
 
   def meta: IndexMeta = underlying.meta
 
+  /** Routed BATCH search — the one entry point across every index
+    * kind: brute-force KNN for `"exact"`, the cell-pruned persisted
+    * IVF probe for `"ivf"`, bucket-pruned sign-LSH, the persisted beam
+    * search for `"graph"`, BM25+RRF fusion for `"hybrid"` — with
+    * metadata `filters` (conjunctive equality, the managed API's
+    * filter shape) passed through to every leg with PRE-rank
+    * semantics. Returns `(query_id, rank, <pk>, score)` (hybrid:
+    * `(query_id, rank, <pk>, in_vec, in_kw)`). ANN kinds search the
+    * raw build-time vector space; queries go in as given. */
+  def search(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      numResults: Int, filters: Map[String, Any] = Map.empty,
+      queryTextCol: Option[String] = None): DataFrame =
+    IndexKinds.search(spark, meta, queries, queryIdCol, queryVecCol,
+      numResults, filterPred(filters), queryTextCol)
+
   /** similarity_search with a precomputed query vector (QE:142-146). */
   def similaritySearch(columns: Seq[String], queryVector: Seq[Float],
       numResults: Int): DataFrame =
-    Knn.singleQuery(underlying.read(spark), meta.vecCol, meta.pkCol,
-      normalized(queryVector), numResults, Metric.Cosine, columns)
-      .drop("rank")
+    similaritySearch(columns, queryVector, numResults,
+      Map.empty[String, Any])
 
   /** Filtered similarity_search — the production vector-store `filters`
     * parameter (conjunctive equality on metadata columns, the managed
@@ -120,16 +152,31 @@ final class Index(spark: SparkSession, underlying: VectorIndex,
     * when they exist (post-filtering would silently under-fill).
     * Relationally the filter lands in the index scan — pushed to
     * parquet, pruning partitions when the index is laid out on the
-    * filter column. */
+    * filter column. A non-exact index routes through its persisted ANN
+    * layout ([[graft.index.IndexKinds]]) — same call, pruned plan. */
   def similaritySearch(columns: Seq[String], queryVector: Seq[Float],
-      numResults: Int, filters: Map[String, Any]): DataFrame = {
-    val pred = filters.map { case (c, v) => col(c) === lit(v) }
-      .reduceOption(_ && _).getOrElse(lit(true))
-    Knn.singleQuery(underlying.read(spark).filter(pred), meta.vecCol,
-      meta.pkCol, normalized(queryVector), numResults, Metric.Cosine,
-      columns)
-      .drop("rank")
-  }
+      numResults: Int, filters: Map[String, Any]): DataFrame =
+    if (meta.kind == IndexKinds.Exact)
+      Knn.singleQuery(
+        filterPred(filters).map(underlying.read(spark).filter)
+          .getOrElse(underlying.read(spark)),
+        meta.vecCol, meta.pkCol, normalized(queryVector), numResults,
+        Metric.Cosine, columns)
+        .drop("rank")
+    else {
+      // route through the kind's layout; join the requested columns
+      // back by pk (the ranked set is ≤ numResults rows — broadcast)
+      import spark.implicits._
+      val q = Seq(Tuple2(0L, queryVector)).toDF("__qid", "__qvec")
+      val ranked = search(q, "__qid", "__qvec", numResults, filters)
+      val scoreCols = ranked.columns
+        .filterNot(c => c == "__qid" || c == "query_id" ||
+          c == "rank" || c == meta.pkCol)
+      val corpus = IndexKinds.corpusTable(spark, meta)
+      ranked.join(corpus, Seq(meta.pkCol))
+        .orderBy(col("rank").asc)
+        .select((columns ++ scoreCols).map(col): _*)
+    }
 
   /** similarity_search with query text — embeds the query through the
     * index's embedder, then searches (QE:126-131; both reference paths
@@ -176,9 +223,17 @@ final class Index(spark: SparkSession, underlying: VectorIndex,
       case None => changes
     }
     underlying.sync(spark, prepared)
+    // a kinded index maintains its persisted ANN layout from the same
+    // batch (raw vectors — the layout's space), so the façade's routed
+    // search stays consistent with the exact artifact after every sync
+    IndexKinds.sync(spark, meta, prepared)
   }
 
   def describe: DataFrame = underlying.stats(spark)
+
+  private def filterPred(filters: Map[String, Any]): Option[Column] =
+    filters.map { case (c, v) => col(c) === lit(v) }
+      .reduceOption(_ && _)
 
   /** Index vectors are L2-normalized at build; normalize the query too
     * so reported cosine scores stay in [-1, 1]. */

@@ -18,13 +18,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * build so cosine queries run as dot products; rows with null vectors
   * are excluded, never crash the build (SURVEY.md §1.2).
   */
+/** `kind` selects the engine-side index layout the façade's
+  * `similarity_search` routes to — the reference's single entry point
+  * dispatches on the SERVICE-side index type the same way
+  * (/root/reference/src/databricks/query_endpoint.py:126-146): "exact"
+  * (the normalized artifact, brute-force scored), "ivf", "signlsh",
+  * "graph", or "hybrid" ([[graft.index.IndexKinds]]). `options` are the
+  * kind's build/query parameters (cells, nProbe, tables, bits, …),
+  * frozen at creation and persisted with the metadata so a reopened
+  * catalog routes identically. */
 final case class IndexMeta(
     name: String,
     pkCol: String,
     vecCol: String,
     dim: Int,
     metric: Metric,
-    path: String)
+    path: String,
+    kind: String = "exact",
+    options: Map[String, String] = Map.empty)
 
 final class VectorIndex(val meta: IndexMeta) {
 
@@ -110,11 +121,12 @@ final class IndexCatalog(root: String) {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def create(name: String, pkCol: String, vecCol: String, dim: Int,
-      metric: Metric, overwrite: Boolean = true): VectorIndex = {
+      metric: Metric, overwrite: Boolean = true, kind: String = "exact",
+      options: Map[String, String] = Map.empty): VectorIndex = {
     if (!overwrite && indexes.contains(name))
       throw new IllegalStateException(s"index $name exists")
     val idx = new VectorIndex(IndexMeta(name, pkCol, vecCol, dim, metric,
-      s"$root/$name"))
+      s"$root/$name", kind, options))
     indexes(name) = idx
     idx
   }
@@ -124,9 +136,12 @@ final class IndexCatalog(root: String) {
     indexes.get(name).foreach { idx =>
       val m = idx.meta
       def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val opts = m.options.toSeq.sorted
+        .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
       val json = s"""{"name":${q(m.name)},"pkCol":${q(m.pkCol)},""" +
         s""""vecCol":${q(m.vecCol)},"dim":${m.dim},""" +
-        s""""metric":${q(m.metric.name)},"path":${q(m.path)}}"""
+        s""""metric":${q(m.metric.name)},"path":${q(m.path)},""" +
+        s""""kind":${q(m.kind)},"options":$opts}"""
       val out = fs(spark).create(metaPath(name), true)
       try out.write(json.getBytes("UTF-8")) finally out.close()
     }
@@ -155,17 +170,27 @@ object IndexCatalog {
           val in = f.open(st.getPath)
           val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
-          def field(k: String): String = {
-            val m = ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
+          def fieldOpt(k: String): Option[String] =
+            ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
               .findFirstMatchIn(json)
-            m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-              .getOrElse(throw new IllegalStateException(
-                s"bad index meta ${st.getPath}: missing $k"))
-          }
+              .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+          def field(k: String): String = fieldOpt(k)
+            .getOrElse(throw new IllegalStateException(
+              s"bad index meta ${st.getPath}: missing $k"))
           val dim = "\"dim\":(\\d+)".r.findFirstMatchIn(json)
             .map(_.group(1).toInt).getOrElse(0)
+          // kind/options absent in pre-kind metadata → exact, no options
+          val options = "\"options\":\\{([^}]*)\\}".r
+            .findFirstMatchIn(json).map(_.group(1)) match {
+            case Some(body) if body.nonEmpty =>
+              "\"((?:[^\"\\\\]|\\\\.)*)\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+                .findAllMatchIn(body)
+                .map(m => m.group(1) -> m.group(2)).toMap
+            case _ => Map.empty[String, String]
+          }
           val meta = IndexMeta(field("name"), field("pkCol"),
-            field("vecCol"), dim, Metric.of(field("metric")), field("path"))
+            field("vecCol"), dim, Metric.of(field("metric")), field("path"),
+            fieldOpt("kind").getOrElse("exact"), options)
           cat.indexes(meta.name) = new VectorIndex(meta)
         }
     }

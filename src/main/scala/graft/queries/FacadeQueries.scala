@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.VectorSearch
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The façade's index-kind ROUTING under the correctness gate: each
+  * entry creates a [[graft.VectorSearch]] index of one kind and issues
+  * the SAME routed `Index.search` call; the result must hash-match the
+  * corresponding direct library leg (whose oracle it reuses verbatim) —
+  * proving the one-entry-point dispatch the reference exposes
+  * (query_endpoint.py:126-146) loses nothing over calling the legs
+  * directly. Plan-shape assertions (the routed ivf call actually reads
+  * the cell-pruned layout, etc.) live in FacadeRouteSpec. */
+object FacadeQueries {
+
+  private def emb(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "embeddings")
+
+  private def root(name: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_facade_$name/" +
+      dir.replaceAll("[^0-9.]", "")
+
+  /** documents ⋈ embeddings — the hybrid corpus shape (text + vector +
+    * metadata), mirroring VectorQueries.hybridCorpus. */
+  private def hybridCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val e = emb(s, dir)
+    d.join(e, d("doc_id") === e("vec_id"))
+      .select(d("doc_id"), col("text"), col("lang"), col("embedding"))
+  }
+
+  private def rankCols(df: DataFrame): DataFrame = df
+    .select(col("query_id"), col("rank").cast("long").as("rnk"),
+      col("vec_id"))
+    .orderBy("query_id", "rnk")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact kind: the routed batch search over the normalized artifact
+    // — same ranking as the direct bounded-heap batch KNN (cosine is
+    // scale-invariant, so the normalized space reorders nothing)
+    "facade_route_exact" -> ((s, dir) => {
+      val vs = new VectorSearch(s, root("exact", dir))
+      vs.createEndpoint("ep")
+      val idx = vs.createDeltaSyncIndex("ep",
+        emb(s, dir).filter(col("vec_id") >= 5), "facade_exact",
+        "vec_id", "embedding", 64, "exact")
+      rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3))
+    }),
+    // ivf kind: the SAME search call routes to the cell-partitioned
+    // persisted IVF layout (nProbe=4 of 16) — hash-equal to the direct
+    // Ann.queryIvf leg
+    "facade_route_ivf" -> ((s, dir) => {
+      val vs = new VectorSearch(s, root("ivf", dir))
+      vs.createEndpoint("ep")
+      val idx = vs.createDeltaSyncIndex("ep",
+        emb(s, dir).filter(col("vec_id") >= 5), "facade_ivf",
+        "vec_id", "embedding", 64, "ivf",
+        Map("cells" -> "16", "nProbe" -> "4"))
+      rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3))
+    }),
+    // ivf kind + metadata filters: the managed API's `filters`
+    // parameter through the routed path — pre-rank semantics on the
+    // cell-pruned scan, hash-equal to the direct filtered leg
+    "facade_route_filtered" -> ((s, dir) => {
+      val vs = new VectorSearch(s, root("fil", dir))
+      vs.createEndpoint("ep")
+      val idx = vs.createDeltaSyncIndex("ep",
+        emb(s, dir).filter(col("vec_id") >= 5), "facade_fil",
+        "vec_id", "embedding", 64, "ivf",
+        Map("cells" -> "16", "nProbe" -> "4"))
+      rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3, filters = Map("label" -> 1)))
+    }),
+    // signlsh kind: routes to the (table, code)-partitioned layout
+    "facade_route_signlsh" -> ((s, dir) => {
+      val vs = new VectorSearch(s, root("slsh", dir))
+      vs.createEndpoint("ep")
+      val idx = vs.createDeltaSyncIndex("ep",
+        emb(s, dir).filter(col("vec_id") >= 5), "facade_slsh",
+        "vec_id", "embedding", 64, "signlsh",
+        Map("tables" -> "8", "bits" -> "4"))
+      rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3))
+    }),
+    // graph kind: routes to the bucket-partitioned beam search
+    "facade_route_graph" -> ((s, dir) => {
+      val vs = new VectorSearch(s, root("graph", dir))
+      vs.createEndpoint("ep")
+      val idx = vs.createDeltaSyncIndex("ep",
+        emb(s, dir).filter(col("vec_id") >= 5 && col("vec_id") < 1000),
+        "facade_graph", "vec_id", "embedding", 64, "graph",
+        Map("m" -> "6", "buckets" -> "16", "entries" -> "4",
+          "beam" -> "4", "hops" -> "3", "entryMod" -> "5",
+          "metric" -> "l2"))
+      rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3))
+    }),
+    // hybrid kind: one index carries the term-bucketed postings AND
+    // the vector corpus; the routed call fuses both legs by RRF
+    "facade_route_hybrid" -> ((s, dir) => {
+      val vs = new VectorSearch(s, root("hyb", dir))
+      vs.createEndpoint("ep")
+      val all = hybridCorpus(s, dir)
+      val idx = vs.createDeltaSyncIndex("ep",
+        all.filter(col("doc_id") >= 3), "facade_hyb",
+        "doc_id", "embedding", 64, "hybrid",
+        Map("textCol" -> "text", "buckets" -> "32", "n" -> "10"))
+      val q = all.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"),
+          col("embedding").as("qvec"))
+      idx.search(q, "qid", "qvec", 5, queryTextCol = Some("qtext"))
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("doc_id"), col("in_vec"), col("in_kw"))
+        .orderBy("query_id", "rnk")
+    }))
+
+  /** Routed results are hash-equal to the direct legs by construction,
+    * so every entry reuses the direct leg's oracle verbatim. */
+  val oracleSql: Map[String, String] = Map(
+    "facade_route_exact" -> VectorQueries.oracleSql("knn_batch_topk"),
+    "facade_route_ivf" -> InfraQueries.oracleSql("ann_ivf_topk"),
+    "facade_route_filtered" -> InfraQueries.oracleSql("ann_ivf_filtered"),
+    "facade_route_signlsh" -> InfraQueries.oracleSql("ann_signlsh_topk"),
+    "facade_route_graph" -> InfraQueries.oracleSql("ann_graph_topk"),
+    "facade_route_hybrid" -> VectorQueries.oracleSql("hybrid_rrf_topk"))
+}

@@ -1,0 +1,141 @@
+package graft
+
+import graft.index.IndexKinds
+import org.apache.spark.sql.functions._
+
+/** The façade's index-kind routing: one `similarity_search` entry
+  * point, engine-side dispatch to the kind's persisted layout — plan
+  * shape, column contract, metadata round-trip, and sync consistency.
+  * Result correctness vs the direct legs is the FacadeQueries oracle
+  * gate; this spec asserts the things a hash can't see. */
+class FacadeRouteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+  private def corpus = emb.filter($"vec_id" >= 5)
+  private def queries = emb.filter($"vec_id" < 5)
+
+  private def mkIndex(name: String, kind: String,
+      options: Map[String, String] = Map.empty): Index = {
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_facade_$name").toString
+    val vs = new VectorSearch(spark, root)
+    vs.createEndpoint("ep")
+    vs.createDeltaSyncIndex("ep", corpus, name, "vec_id", "embedding",
+      64, kind, options)
+  }
+
+  test("ivf kind: the routed search executes against the cell-pruned " +
+      "persisted layout, not a corpus scan") {
+    spark.sharedState.cacheManager.clearCache()
+    val idx = mkIndex("plan_ivf", "ivf",
+      Map("cells" -> "16", "nProbe" -> "4"))
+    val df = idx.search(queries, "vec_id", "embedding", 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__ivf"),
+      s"routed plan must read the ivf layout:\n${plan.take(1500)}")
+    assert(plan.contains("PartitionFilters: [__cell"),
+      s"routed plan must prune cells at the listing:\n${plan.take(1500)}")
+  }
+
+  test("signlsh kind routes to the (table, code)-partitioned layout") {
+    spark.sharedState.cacheManager.clearCache()
+    val idx = mkIndex("plan_slsh", "signlsh",
+      Map("tables" -> "4", "bits" -> "3"))
+    val df = idx.search(queries, "vec_id", "embedding", 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__signlsh") && plan.contains("PartitionFilters"),
+      s"routed plan must prune bucket dirs:\n${plan.take(1500)}")
+  }
+
+  test("similaritySearch returns the requested columns plus score on " +
+      "a routed kind, ranked like the exact kind") {
+    val ivf = mkIndex("cols_ivf", "ivf",
+      Map("cells" -> "4", "nProbe" -> "4"))
+    val qv = queries.orderBy("vec_id").select("embedding")
+      .head().getSeq[Float](0)
+    val rows = ivf.similaritySearch(Seq("vec_id", "label"), qv, 3)
+    assert(rows.columns.toSeq === Seq("vec_id", "label", "score"))
+    assert(rows.count() === 3)
+    // nProbe = cells → no pruning loss: the routed top-k ids equal the
+    // exact kind's for the same query
+    val exact = mkIndex("cols_exact", "exact")
+    val want = exact.similaritySearch(Seq("vec_id"), qv, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(rows.select("vec_id").as[Long].collect().toSeq === want)
+  }
+
+  test("kind and options survive a catalog reopen (fresh session " +
+      "object, same root)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_facade_reopen").toString
+    val vs = new VectorSearch(spark, root)
+    vs.createEndpoint("ep")
+    vs.createDeltaSyncIndex("ep", corpus, "ridx", "vec_id", "embedding",
+      64, "signlsh", Map("tables" -> "4", "bits" -> "3"))
+    val reopened = new VectorSearch(spark, root).getIndex("ridx").get
+    assert(reopened.meta.kind === "signlsh")
+    assert(reopened.meta.options ===
+      Map("tables" -> "4", "bits" -> "3"))
+    // and it still routes: the reopened handle searches the layout
+    assert(reopened.search(queries, "vec_id", "embedding", 3)
+      .count() > 0)
+  }
+
+  test("sync maintains the routed layout: an upserted row becomes " +
+      "retrievable, a deleted row disappears") {
+    import graft.index.ChangeLog
+    val idx = mkIndex("sync_ivf", "ivf",
+      Map("cells" -> "4", "nProbe" -> "4"))
+    // insert query-row 0 (absent from the >= 5 corpus) via CDF
+    val ins = queries.filter($"vec_id" === 0)
+      .withColumn("__op", lit(ChangeLog.OpInsert))
+      .withColumn("__seq", lit(1L))
+    idx.sync(ins)
+    val qv0 = queries.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val got = idx.similaritySearch(Seq("vec_id"), qv0, 1)
+      .as[(Long, Double)].collect().head
+    assert(got._1 === 0L, s"synced row must be its own nearest: $got")
+    // delete it again — it must leave the routed results
+    val del = queries.filter($"vec_id" === 0)
+      .withColumn("__op", lit(ChangeLog.OpDelete))
+      .withColumn("__seq", lit(2L))
+    idx.sync(del)
+    val after = idx.similaritySearch(Seq("vec_id"), qv0, 1)
+      .as[(Long, Double)].collect().head
+    assert(after._1 !== 0L, s"deleted row resurfaced: $after")
+  }
+
+  test("hybrid kind demands query text; unknown kinds are rejected " +
+      "at creation") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_facade_err").toString
+    val vs = new VectorSearch(spark, root)
+    vs.createEndpoint("ep")
+    intercept[IllegalArgumentException] {
+      vs.createDeltaSyncIndex("ep", corpus, "bad", "vec_id",
+        "embedding", 64, "hnswlib")
+    }
+    val docs = corpus.withColumn("text",
+      concat_ws(" ", lit("doc"), $"vec_id"))
+    val hyb = vs.createDeltaSyncIndex("ep", docs, "hyb", "vec_id",
+      "embedding", 64, "hybrid", Map("textCol" -> "text"))
+    intercept[IllegalArgumentException] {
+      hyb.search(queries, "vec_id", "embedding", 3).collect()
+    }
+  }
+
+  test("exact kind keeps the original façade behavior byte-for-byte") {
+    val idx = mkIndex("exact_compat", "exact")
+    assert(idx.meta.kind === IndexKinds.Exact)
+    val qv = queries.orderBy("vec_id").select("embedding")
+      .head().getSeq[Float](0)
+    val rows = idx.similaritySearch(Seq("vec_id"), qv, 5)
+    assert(rows.columns.toSeq === Seq("vec_id", "score"))
+    assert(rows.count() === 5)
+  }
+}
