@@ -55,6 +55,24 @@ object PartitionedLayout {
     * the result, so a dir whose rows all died would otherwise keep its
     * stale files. Idempotent under replay (anti-join by key, then
     * re-add). */
+  /** Insert-only fast path of [[mergeOverwrite]]: when none of the new
+    * rows' keys already live in the layout (a fresh ingest batch — the
+    * caller must have established this), the anti-join is a no-op and
+    * no touched dir can empty, so both the changed-key join and the
+    * post-write emptied-dir collect are skipped. `current` must still
+    * be the touched dirs' rows (dynamic overwrite replaces whole
+    * dirs). */
+  def insertOverwrite(path: String, partCols: Seq[String],
+      current: DataFrame, newRows: DataFrame): Unit = {
+    val merged = current
+      .unionByName(newRows.select(current.columns.map(col): _*))
+      .localCheckpoint(true) // materialize before overwriting the source
+    merged.repartition(partCols.map(col): _*) // one writer per dir
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*).parquet(path)
+  }
+
   def mergeOverwrite(spark: SparkSession, path: String,
       partCols: Seq[String], affected: Seq[Seq[Any]],
       current: DataFrame, joinKeys: Seq[String], changedKeys: DataFrame,

@@ -341,6 +341,44 @@ object Dedup {
     comp.select(col("id"), col("c").as("component"))
   }
 
+  /** [[connectedComponents]] with a driver fast path for SMALL pair
+    * sets: up to `cap` pairs are collected and closed with local
+    * union-find (union-by-min, so every root is its component's min
+    * id — the same contract). An ingest micro-batch's intra-sweep pair
+    * graph is typically a handful of edges, and the distributed
+    * closure costs several fixed-latency shuffle rounds regardless of
+    * size; above the cap the pointer-jumping path runs unchanged, so
+    * the 100 TB story is untouched. Returns `(id, component)`. */
+  def componentsAuto(pairs: DataFrame, aCol: String, bCol: String,
+      cap: Int = 100000): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val sample = pairs
+      .select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .limit(cap + 1).collect()
+    if (sample.length > cap) connectedComponents(pairs, aCol, bCol)
+    else {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      sample.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "component")
+    }
+  }
+
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 across token
     * hashes, sign gives the bit. ONE custom-Expression pass
     * (graft.functions.SimHash64) — the previous 64x `aggregate()` HOF

@@ -223,6 +223,161 @@ object NearDupIndex {
     }
   }
 
+  /** Fused admission + layout merge for one INSERT-ONLY ingest batch —
+    * the per-batch body of [[graft.streaming.DedupIngest]]. Semantics
+    * are exactly [[admitBatch]] followed by [[sync]] over the admitted
+    * rows (the `ingest_neardup_pipeline`/`_multifile` oracles gate it);
+    * what differs is the per-batch FIXED cost, the term that dominates
+    * a micro-batch stream:
+    *
+    *  - the batch is shingled and banded ONCE for admission AND merge
+    *    (the unfused sync re-shingled and re-banded the admitted rows
+    *    from scratch, checkpoints included);
+    *  - duplicate ids in a batch collapse deterministically up front
+    *    (min content hash wins) instead of via `latestPerPk` at merge
+    *    time, and the batch's intra-sweep pair graph closes with a
+    *    driver union-find below a cap ([[Dedup.componentsAuto]])
+    *    instead of the fixed-latency pointer-jumping rounds;
+    *  - a FRESH batch (no admitted id present in either table — a
+    *    one-probe check reusing the admission's pruned scans) APPENDS
+    *    its rows as new files in the touched dirs: no current-rows
+    *    read, no pre-write checkpoint, no whole-dir rewrite. A batch
+    *    whose ids already exist (crash replay, or a re-ingest of a
+    *    live id) takes the full anti-join merge-overwrite, preserving
+    *    the self-repair contract. Appended files accumulate one per
+    *    touched dir per batch; a periodic [[sync]] (or rebuild) is the
+    *    compaction pass, same as any LSM-ish ingest layout.
+    *
+    * Returns the admitted rows of `batch`. */
+  def admitAndSync(spark: SparkSession, idx: PersistedNearDup,
+      batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double, intraBatch: Boolean = true,
+      maxBucket: Option[Int] = None): DataFrame = {
+    import graft.index.PartitionedLayout
+    val exact = Dedup.exactFirstWins(
+        Dedup.exactFirstWins(
+          batch.withColumn("__xh", md5(col(textCol))), Seq("__xh"), idCol),
+        Seq(idCol), "__xh") // duplicate ids collapse: min content hash
+      .drop("__xh")
+      .localCheckpoint(true) // probe anti-join + sweep + result consume it
+    val sh = Dedup.withShingles(exact, idCol, textCol, idx.n)
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true) // banding + refine legs + merge consume it
+    val dBanded = banded(sh, idx.k, idx.bands, idx.algo, idx.buckets)
+      .withColumnRenamed("id", "delta_id")
+      .localCheckpoint(true) // bucket list + probe + self-join + merge
+    val bks = dBanded.select("__bkt").distinct().collect()
+      .map(_.getInt(0)).toSeq // bounded by `buckets`
+    val pruned = spark.read.parquet(idx.path)
+      .filter(col("__bkt").isin(bks: _*)) // partition pruning
+    val postings = maxBucket match {
+      case None => pruned
+      case Some(cap) =>
+        val hot = pruned.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > cap).select("band", "bucket")
+        pruned.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    }
+    val docsTable = spark.read.parquet(idx.path + "_docs")
+    val cand = postings.join(dBanded, Seq("band", "bucket", "__bkt"))
+      .filter(col("id") =!= col("delta_id"))
+      .select(col("id").as("corpus_id"), col("delta_id")).distinct()
+    val refined = cand
+      .join(docsTable
+        .select(col("id").as("corpus_id"), col("sh").as("a_sh")),
+        Seq("corpus_id"))
+      .join(sh.select(col("id").as("delta_id"), col("sh").as("b_sh")),
+        Seq("delta_id"))
+    val flagged = Dedup.jaccardStaged(
+        refined.select(col("corpus_id").as("a_id"),
+          col("delta_id").as("b_id"), col("a_sh"), col("b_sh")),
+        threshold)
+      .select(col("b_id").as(idCol)).distinct()
+    val kept = exact.join(flagged, Seq(idCol), "left_anti")
+    val admitted0 =
+      if (!intraBatch) kept
+      else {
+        val kIds = kept.select(col(idCol).as("delta_id"))
+        val kb = dBanded.join(kIds, Seq("delta_id"), "left_semi")
+        val pairCand = kb
+          .select(col("band"), col("bucket"), col("delta_id").as("a_id"))
+          .join(kb.select(col("band"), col("bucket"),
+            col("delta_id").as("b_id")), Seq("band", "bucket"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val pairs = Dedup.jaccardStaged(
+            pairCand
+              .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")),
+                Seq("a_id"))
+              .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")),
+                Seq("b_id"))
+              .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")),
+            threshold)
+        // driver union-find below the cap — one collect instead of the
+        // pointer-jumping rounds, which dominate a micro-batch's cost
+        val losers = Dedup.componentsAuto(pairs, "a_id", "b_id")
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as(idCol))
+        kept.join(losers, Seq(idCol), "left_anti")
+      }
+    // the admission read the layout (probe): pin the result before the
+    // merge overwrites the very dirs it read
+    val admitted = admitted0.localCheckpoint(true)
+    val admittedIds = admitted.select(col(idCol).as("id"))
+    val newSh = sh.join(admittedIds, Seq("id"), "left_semi")
+    val newPost = dBanded
+      .join(admittedIds.select(col("id").as("delta_id")), Seq("delta_id"),
+        "left_semi")
+      .withColumnRenamed("delta_id", "id")
+    val dbks = admittedIds
+      .select(pmod(xxhash64(col("id")), lit(idx.buckets.toLong))
+        .cast("int").as("__dbkt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val newDocs = newSh.withColumn("__dbkt",
+      pmod(xxhash64(col("id")), lit(idx.buckets.toLong)).cast("int"))
+    if (dbks.nonEmpty) {
+      // one existence probe over the already-pruned scans answers "is
+      // any admitted id present in either table" — old _docs rows, OR
+      // postings orphaned by a crash between the two table writes
+      val docsHit = docsTable.filter(col("__dbkt").isin(dbks: _*))
+        .join(admittedIds, Seq("id"), "left_semi")
+      val replay = docsHit.select(lit(1).as("x")).limit(1)
+        .union(pruned.join(admittedIds, Seq("id"), "left_semi")
+          .select(lit(1).as("x")).limit(1))
+        .collect().nonEmpty
+      if (!replay) {
+        // fresh batch: append new files into the touched dirs — no
+        // current-rows read, no pre-write checkpoint, no dir rewrite
+        newPost.repartition(col("__bkt"))
+          .write.mode("append").partitionBy("__bkt").parquet(idx.path)
+        newDocs.repartition(col("__dbkt"))
+          .write.mode("append").partitionBy("__dbkt")
+          .parquet(idx.path + "_docs")
+      } else {
+        // replay / live-id re-ingest: full anti-join merge of the
+        // touched dirs (idempotent — the self-repair contract)
+        val oldPost = banded(docsHit.select("id", "sh"),
+          idx.k, idx.bands, idx.algo, idx.buckets)
+        val tagged = oldPost.select(col("__bkt"))
+          .union(pruned.join(admittedIds, Seq("id"), "left_semi")
+            .select(col("__bkt")))
+          .union(newPost.select(col("__bkt")))
+          .distinct().collect()
+        val affected: Seq[Seq[Any]] =
+          tagged.map(_.getInt(0)).distinct.map(Seq[Any](_))
+        val current = spark.read.parquet(idx.path)
+          .filter(PartitionedLayout.touchedPred(Seq("__bkt"), affected))
+        PartitionedLayout.mergeOverwrite(spark, idx.path, Seq("__bkt"),
+          affected, current, Seq("id"), admittedIds, newPost)
+        val dcur = docsTable.filter(col("__dbkt").isin(dbks: _*))
+        PartitionedLayout.mergeOverwrite(spark, idx.path + "_docs",
+          Seq("__dbkt"), dbks.map(Seq[Any](_)), dcur, Seq("id"),
+          admittedIds, newDocs)
+      }
+    }
+    admitted
+  }
+
   /** CDF-batch maintenance — the dedup index's
     * [[graft.search.Ann.syncPersistedIvf]]: last-write-wins per pk,
     * deletes and null/shingle-less upserts leave the index. A changed

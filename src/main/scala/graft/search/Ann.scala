@@ -445,7 +445,8 @@ object Ann {
     * writes — the table that lets [[syncPersistedSignLsh]] locate a
     * changed pk's OLD bucket rows with a pruned scan instead of a full
     * layout sweep (the [[graft.operators.NearDupIndex]] discipline). */
-  private val SignLshDocBuckets = 32
+  private[graft] val signLshDocBuckets = 32
+  private def SignLshDocBuckets = signLshDocBuckets
 
   def persistSignLsh(index: SignLshIndex, pkCol: String, vecCol: String,
       path: String): PersistedSignLsh = {

@@ -104,6 +104,151 @@ object VecDedupIngest {
     }
   }
 
+  /** Fused admission + layout merge for one INSERT-ONLY embedding
+    * batch — the vector twin of
+    * [[graft.operators.NearDupIndex.admitAndSync]], with the same
+    * cost discipline: the code projections stay lazy (batch-only),
+    * only layout-reading plans materialize (the admitted set, the
+    * merge inputs — pinned before their dirs are overwritten), and a
+    * fresh batch (no admitted id present in either table; orphaned
+    * codes from a crash between the two writes count as present)
+    * skips the anti-join and emptied-dir bookkeeping. Semantics
+    * identical to [[admitBatch]] + [[Ann.syncPersistedSignLsh]] — the
+    * `ingest_vec_pipeline` oracle gates it. Returns the admitted
+    * rows. */
+  def admitAndSync(spark: SparkSession, idx: Ann.PersistedSignLsh,
+      batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, intraBatch: Boolean = true,
+      maxBucket: Option[Int] = None): DataFrame = {
+    import graft.index.PartitionedLayout
+    import graft.functions.{SignLshFunctions, VectorFunctions}
+    // duplicate ids in a batch collapse deterministically (min vector
+    // hash wins) — the merge below assumes one row per id
+    val valid = Dedup.exactFirstWins(
+        batch.filter(col(vecCol).isNotNull)
+          .withColumn("__vh", xxhash64(col(vecCol))),
+        Seq(idCol), "__vh")
+      .drop("__vh")
+      .localCheckpoint(true) // probe + anti-join + sweep consume it
+    def codesOf(c: org.apache.spark.sql.Column) =
+      SignLshFunctions.signLshCodes(c, idx.tables, idx.bits)
+    // (1) probe the persisted corpus, pruned to the batch's own codes
+    val q = valid.select(col(idCol).as("delta_id"),
+      col(vecCol).as("__dvec"),
+      posexplode(codesOf(col(vecCol))).as(Seq("__t", "__code")))
+    val qpairs: Seq[Seq[Any]] = q.select("__t", "__code").distinct()
+      .collect().map(r => Seq[Any](r.getInt(0), r.getLong(1)))
+    val pruned = spark.read.parquet(idx.path)
+      .filter(PartitionedLayout.touchedPred(Seq("__t", "__code"), qpairs))
+    val flagged = pruned.join(q, Seq("__t", "__code"))
+      .filter(col(idCol) =!= col("delta_id"))
+      .dropDuplicates("delta_id", idCol)
+      .filter(VectorFunctions.cosine(col(vecCol), col("__dvec"))
+        >= threshold)
+      .select(col("delta_id").as(idCol)).distinct()
+    val kept0 = valid.join(flagged, Seq(idCol), "left_anti")
+    // (2) intra-batch sweep (bucket self-join, capped hot buckets)
+    val admitted0 =
+      if (!intraBatch) kept0
+      else {
+        val kept = kept0.localCheckpoint(true) // self-join ×2 + anti-join
+        val coded0 = kept.select(col(idCol).as("__id"),
+          col(vecCol).as("__v"),
+          posexplode(codesOf(col(vecCol))).as(Seq("__t", "__code")))
+        val coded = maxBucket match {
+          case None => coded0
+          case Some(cap) =>
+            val hot = coded0.groupBy("__t", "__code")
+              .agg(count(lit(1)).as("__bn"))
+              .filter(col("__bn") > cap).select("__t", "__code")
+            coded0.join(broadcast(hot), Seq("__t", "__code"), "left_anti")
+        }
+        val cand = coded.select(col("__t"), col("__code"),
+            col("__id").as("a_id"))
+          .join(coded.select(col("__t"), col("__code"),
+            col("__id").as("b_id")), Seq("__t", "__code"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val vecs = kept.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+        val pairs = cand
+          .join(vecs.select(col("__id").as("a_id"), col("__v").as("__va")),
+            Seq("a_id"))
+          .join(vecs.select(col("__id").as("b_id"), col("__v").as("__vb")),
+            Seq("b_id"))
+          .filter(VectorFunctions.cosine(col("__va"), col("__vb"))
+            >= threshold)
+          .select("a_id", "b_id")
+        // driver union-find below the cap — one collect instead of the
+        // pointer-jumping rounds, which dominate a micro-batch's cost
+        val losers = Dedup.componentsAuto(pairs, "a_id", "b_id")
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as(idCol))
+        kept.join(losers, Seq(idCol), "left_anti")
+      }
+    // admission read the layout: pin before the merge rewrites it
+    val admitted = admitted0.localCheckpoint(true)
+    // (3) merge into both tables — append fast path for fresh batches
+    val ids = admitted.select(col(idCol))
+    val newCoded = admitted.withColumn("__codes", codesOf(col(vecCol)))
+    val dbks = ids
+      .select(pmod(xxhash64(col(idCol)), lit(Ann.signLshDocBuckets.toLong))
+        .cast("int").as("__dbkt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val docsTable = spark.read.parquet(idx.path + "_docs")
+    val newDocs = admitted.withColumn("__dbkt",
+      pmod(xxhash64(col(idCol)), lit(Ann.signLshDocBuckets.toLong))
+        .cast("int"))
+    if (dbks.nonEmpty) {
+      val docsHit = docsTable.filter(col("__dbkt").isin(dbks: _*))
+        .join(ids, Seq(idCol), "left_semi")
+      // one existence probe: admitted id present in _docs, or codes
+      // orphaned by a crash between the two table writes
+      val replay = docsHit.select(lit(1).as("x")).limit(1)
+        .union(pruned.join(ids, Seq(idCol), "left_semi")
+          .select(lit(1).as("x")).limit(1))
+        .collect().nonEmpty
+      val carry = admitted.columns
+      def codeRows(df: DataFrame) = df.select(carry.map(col) :+
+        posexplode(col("__codes")).as(Seq("__t", "__code")): _*)
+      if (!replay) {
+        // fresh batch: append new files into the touched dirs — no
+        // current-rows read, no pre-write checkpoint, no dir rewrite
+        codeRows(newCoded).repartition(col("__t"), col("__code"))
+          .write.mode("append").partitionBy("__t", "__code")
+          .parquet(idx.path)
+        newDocs.repartition(col("__dbkt"))
+          .write.mode("append").partitionBy("__dbkt")
+          .parquet(idx.path + "_docs")
+      } else {
+        // replay / live-id re-ingest: full anti-join merge of the
+        // touched dirs (idempotent — the self-repair contract)
+        val oldCoded = docsHit.withColumn("__codes", codesOf(col(vecCol)))
+        def pairsOf(df: DataFrame) = df
+          .select(posexplode(col("__codes")).as(Seq("__t", "__code")))
+          .select(col("__t"), col("__code")).distinct()
+        val tagged = pairsOf(oldCoded)
+          .union(pruned.join(ids, Seq(idCol), "left_semi")
+            .select("__t", "__code").distinct())
+          .union(pairsOf(newCoded))
+          .distinct().collect()
+        val affected: Seq[Seq[Any]] = tagged
+          .map(r => (r.getInt(0), r.getLong(1))).distinct
+          .map { case (t, c) => Seq[Any](t, c) }
+        val current = spark.read.parquet(idx.path)
+          .filter(PartitionedLayout.touchedPred(Seq("__t", "__code"),
+            affected))
+        PartitionedLayout.mergeOverwrite(spark, idx.path,
+          Seq("__t", "__code"), affected, current,
+          Seq(idCol), ids, codeRows(newCoded))
+        val dcur = docsTable.filter(col("__dbkt").isin(dbks: _*))
+        PartitionedLayout.mergeOverwrite(spark, idx.path + "_docs",
+          Seq("__dbkt"), dbks.map(Seq[Any](_)), dcur, Seq(idCol), ids,
+          newDocs)
+      }
+    }
+    admitted
+  }
+
   /** Drain `journalDir` (AvailableNow) into the sign-LSH layout at
     * `idx`, admitting only novel embeddings. */
   def run(spark: SparkSession, idx: Ann.PersistedSignLsh,
@@ -113,15 +258,13 @@ object VecDedupIngest {
       readerOptions: Map[String, String] = Map.empty,
       intraBatch: Boolean = true,
       maxBucket: Option[Int] = None): Unit = {
-    import graft.index.ChangeLog
     IndexSync.layoutSyncOnce(spark, journalDir, journalSchema,
       checkpointDir, readerOptions) { batch =>
-      val admitted = admitBatch(spark, idx, batch, idCol, vecCol,
-        threshold, intraBatch, maxBucket)
-      Ann.syncPersistedSignLsh(spark, idx,
-        admitted.withColumn("__op", lit(ChangeLog.OpInsert))
-          .withColumn("__seq", lit(0L)),
-        idCol, vecCol)
+      // fused admission + merge — half the per-batch driver actions of
+      // admitBatch-then-sync; survivors are visible to the next batch
+      admitAndSync(spark, idx, batch, idCol, vecCol, threshold,
+        intraBatch, maxBucket)
+      ()
     }
   }
 }

@@ -55,6 +55,62 @@ object IngestProfile {
           "doc_id", "text")
       }
     }
+    // fused path on a fresh index — same batches, one call each
+    t("persist seed (fused run)") {
+      NearDupIndex.persist(d.filter(col("doc_id") >= 300), "doc_id",
+        "text", s"$root/idx2", algo = "md5")
+    }
+    val idx2 = NearDupIndex.load(spark, s"$root/idx2")
+    // per-job wall times inside each fused call
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(e.jobId, System.nanoTime())
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = starts.remove(e.jobId)
+          if (s != 0L) jobs.add((e.jobId, System.nanoTime() - s))
+        }
+      })
+    for ((lo, hi) <- Seq((0, 100), (100, 200), (200, 300))) {
+      val batch = d.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      jobs.clear()
+      t(s"admitAndSync [$lo,$hi)") {
+        NearDupIndex.admitAndSync(spark, idx2, batch, "doc_id",
+          "text", 0.5)
+      }
+      Thread.sleep(300)
+      val snap = jobs.toArray(Array.empty[(Int, Long)])
+      println(s"[profile]   jobs=${snap.length}  " + snap.sortBy(-_._2)
+        .take(8).map(j => f"#${j._1}:${j._2 / 1e9}%.2fs").mkString(" "))
+    }
+    // end-to-end replica of the ingest_neardup_pipeline entry with
+    // per-phase wall times
+    val r3 = java.nio.file.Files.createTempDirectory("graft_ingprof_e2e")
+      .toString
+    t("e2e persist seed") {
+      NearDupIndex.persist(d.filter(col("doc_id") >= 300), "doc_id",
+        "text", s"$r3/idx", algo = "md5")
+    }
+    t("e2e journal writes") {
+      d.filter(col("doc_id") < 100).coalesce(1)
+        .write.mode("append").parquet(s"$r3/journal")
+      d.filter(col("doc_id") >= 100 && col("doc_id") < 200).coalesce(1)
+        .write.mode("append").parquet(s"$r3/journal")
+      d.filter(col("doc_id") >= 200 && col("doc_id") < 300).coalesce(1)
+        .write.mode("append").parquet(s"$r3/journal")
+    }
+    t("e2e streaming run (3 batches)") {
+      graft.streaming.DedupIngest.run(spark, s"$r3/idx", s"$r3/journal",
+        d.schema, s"$r3/ckpt", "doc_id", "text", threshold = 0.5,
+        Map("maxFilesPerTrigger" -> "1"))
+    }
+    t("e2e final read") {
+      spark.read.parquet(s"$r3/idx_docs").count()
+    }
     spark.stop()
   }
 }
