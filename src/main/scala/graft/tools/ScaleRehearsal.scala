@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.functions.Metric
 import graft.operators.{Dedup, NearDupIndex}
-import graft.search.{Ann, Knn}
+import graft.search.{Ann, GraphAnn, Hybrid, Knn}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.functions._
@@ -171,9 +171,46 @@ object ScaleRehearsal {
       sweepScan.collect()
       val (swf, swr) = scanMetrics(sweepScan, docsPath)
 
+      // --- graph: one representative beam-search hop over the
+      // bucket-partitioned edge layout. The frontier's src ids prune
+      // to their buckets at the file listing AND the pushed `__src IN`
+      // filter cuts the scan's output to the frontier's own edges, so
+      // BOTH counts must stay flat while the edge table grows N× ---
+      val pg = GraphAnn.persistGraph(
+        GraphAnn.buildGraphLsh(corpus, "embedding", "vec_id", m = 4,
+          tables = 4, bits = 3),
+        s"$base/graph", buckets = 16)
+      spark.sharedState.cacheManager.clearCache()
+      val (hop, hopSec) = timed {
+        val df = GraphAnn.prunedEdges(spark, pg, Seq(5L, 6L, 7L, 8L))
+        df.collect(); df
+      }
+      val (gf, gr) = scanMetrics(hop, s"$base/graph")
+
+      // --- hybrid keyword leg: BM25 over the term-bucketed persisted
+      // postings. The query terms' buckets prune at the listing; the
+      // pushed term filter keeps the scan's output to the query
+      // terms' own postings ---
+      val pp = Hybrid.persistPostings(docsN, "doc_id", "text",
+        s"$base/post", buckets = 32)
+      // short query texts (first 3 words) → a handful of term buckets
+      val kwQueries = docs.filter(col("doc_id") < 2)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"),
+            1, 3)).as("qtext"))
+      spark.sharedState.cacheManager.clearCache()
+      val (kw, kwSec) = timed {
+        val df = Hybrid.bm25Persisted(spark, pp, kwQueries, "qid",
+          "qtext", "doc_id")
+        df.collect(); df
+      }
+      val (kf, kr) = scanMetrics(kw, s"$base/post")
+
       val ivfFiles = spark.read.parquet(s"$base/ivf").inputFiles.length
       val slshFiles = spark.read.parquet(s"$base/slsh").inputFiles.length
       val ndFiles = spark.read.parquet(s"$base/nd").inputFiles.length
+      val graphFiles = spark.read.parquet(s"$base/graph").inputFiles.length
+      val postFiles = spark.read.parquet(s"$base/post").inputFiles.length
       val corpusFiles = corpus.inputFiles.length
       val docFiles = docsN.inputFiles.length
       Seq(
@@ -185,7 +222,11 @@ object ScaleRehearsal {
         Measure("neardup_probe", scale, corpusRows, ndFiles, npf, npr,
           ndProbeSec),
         Measure("lsh_sweep", scale, corpusRows, docFiles, swf, swr,
-          sweepSec))
+          sweepSec),
+        Measure("graph_hop", scale, corpusRows, graphFiles, gf, gr,
+          hopSec),
+        Measure("bm25_probe", scale, corpusRows, postFiles, kf, kr,
+          kwSec))
     }
   }
 
@@ -206,6 +247,31 @@ object ScaleRehearsal {
       if (big.filesRead * 3 > big.totalFiles * 2)
         v += s"$leg opened ${big.filesRead} of ${big.totalFiles} files " +
           s"at ${factor}x (probe reads most of the layout)"
+    }
+    // graph hop: the frontier opens only its own buckets' files, a
+    // count that stays flat while the edge table grows N×. (The
+    // residual `__src IN` filter prunes at row-group granularity — on
+    // these one-row-group test files the scan still emits its bucket's
+    // rows, so the LISTING-level count is the assertable guarantee.)
+    locally {
+      val (one, big) = (at("graph_hop", 1), at("graph_hop", factor))
+      if (big.filesRead > one.filesRead * 2)
+        v += s"graph_hop files grew ${one.filesRead} -> " +
+          s"${big.filesRead} at ${factor}x (bucket pruning lost)"
+      if (big.filesRead * 3 > big.totalFiles * 2)
+        v += s"graph_hop opened ${big.filesRead} of ${big.totalFiles} " +
+          s"files at ${factor}x (hop reads most of the edge layout)"
+    }
+    // BM25 probe: the query terms' buckets stay a strict minority of
+    // the posting dirs, and the probed dir count does not grow
+    locally {
+      val (one, big) = (at("bm25_probe", 1), at("bm25_probe", factor))
+      if (big.filesRead > one.filesRead * 2)
+        v += s"bm25_probe files grew ${one.filesRead} -> " +
+          s"${big.filesRead} at ${factor}x (term-bucket pruning lost)"
+      if (big.filesRead * 3 > big.totalFiles * 2)
+        v += s"bm25_probe opened ${big.filesRead} of ${big.totalFiles} " +
+          s"files at ${factor}x (probe reads most of the layout)"
     }
     for (leg <- Seq("knn_brute", "lsh_sweep")) {
       val (one, big) = (at(leg, 1), at(leg, factor))
