@@ -51,13 +51,34 @@ final class VectorSearch(spark: SparkSession, root: String) {
     * itself at build/sync/query time. */
   def createDeltaSyncIndex(endpoint: String, source: DataFrame,
       indexName: String, primaryKey: String, embeddingSourceColumn: String,
-      embedder: Embedder): Index = {
+      embedder: Embedder): Index =
+    createDeltaSyncIndex(endpoint, source, indexName, primaryKey,
+      embeddingSourceColumn, embedder, IndexKinds.Exact, Map.empty)
+
+  /** Managed-embedding mode with an engine-side index `kind`: the
+    * engine embeds at build/sync/query time AND builds the kind's
+    * persisted ANN layout over its own embeddings — the full managed
+    * story (the reference user never sees vectors OR the service's
+    * index type; both live behind `similarity_search`). The hybrid
+    * kind keys its keyword leg on the embedding source column unless
+    * `options("textCol")` overrides it. */
+  def createDeltaSyncIndex(endpoint: String, source: DataFrame,
+      indexName: String, primaryKey: String, embeddingSourceColumn: String,
+      embedder: Embedder, indexKind: String,
+      options: Map[String, String]): Index = {
     require(getEndpoint(endpoint), s"endpoint $endpoint does not exist")
+    require(IndexKinds.All.contains(indexKind),
+      s"unknown index kind '$indexKind' (one of ${IndexKinds.All})")
     val fitted = embedder.fit(source, embeddingSourceColumn)
     val embedded = fitted.transform(source, embeddingSourceColumn)
+    val opts =
+      if (indexKind == IndexKinds.HybridKind && !options.contains("textCol"))
+        options + ("textCol" -> embeddingSourceColumn)
+      else options
     val idx = catalog.create(indexName, primaryKey, "embedding",
-      embedder.dim, Metric.Cosine)
+      embedder.dim, Metric.Cosine, kind = indexKind, options = opts)
     idx.rebuild(embedded)
+    IndexKinds.build(spark, idx.meta, embedded)
     catalog.save(spark, indexName)
     // persist the FITTED transform too, so reopening sessions keep
     // embedding queries/deltas in the build-time weighting space
@@ -180,16 +201,32 @@ final class Index(spark: SparkSession, underlying: VectorIndex,
 
   /** similarity_search with query text — embeds the query through the
     * index's embedder, then searches (QE:126-131; both reference paths
-    * collapse to the same plan here). */
+    * collapse to the same plan here). A hybrid-kind index fuses the
+    * text itself (keyword leg) with its embedding (vector leg) — the
+    * managed `query_type=HYBRID` call shape. */
   def similaritySearch(columns: Seq[String], queryText: String,
       numResults: Int): DataFrame = {
     val (e, _) = embedder.getOrElse(throw new IllegalStateException(
       "index has self-managed vectors; embed the query yourself " +
         "(reference custom mode sends query_vector)"))
     import spark.implicits._
-    val qdf = e.transform(Seq(Tuple1(queryText)).toDF("__qtext"), "__qtext")
-    val qv = qdf.select("embedding").head().getSeq[Float](0)
-    similaritySearch(columns, qv, numResults)
+    if (meta.kind == IndexKinds.HybridKind) {
+      val q = e.transform(
+          Seq(Tuple2(0L, queryText)).toDF("__qid", "__qtext"), "__qtext")
+        .select(col("__qid"), col("__qtext"),
+          col("embedding").as("__qvec"))
+      val ranked = search(q, "__qid", "__qvec", numResults,
+        queryTextCol = Some("__qtext"))
+      val corpus = IndexKinds.corpusTable(spark, meta)
+      ranked.join(corpus, Seq(meta.pkCol))
+        .orderBy(col("rank").asc)
+        .select((columns :+ "rank").map(col): _*)
+    } else {
+      val qdf = e.transform(Seq(Tuple1(queryText)).toDF("__qtext"),
+        "__qtext")
+      val qv = qdf.select("embedding").head().getSeq[Float](0)
+      similaritySearch(columns, qv, numResults)
+    }
   }
 
   /** Batch similarity_search over a DataFrame of query texts: embeds

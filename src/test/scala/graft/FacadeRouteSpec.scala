@@ -129,6 +129,47 @@ class FacadeRouteSpec extends SparkSpec {
     }
   }
 
+  test("managed-embedding mode composes with index kinds: the engine " +
+      "embeds, builds the routed layout over its own embeddings, and " +
+      "serves text queries through it") {
+    import graft.embed.HashProjectionEmbedder
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_facade_managed").toString
+    val vs = new VectorSearch(spark, root)
+    vs.createEndpoint("ep")
+    val docs = Seq(
+      (1L, "spark catalyst optimizer rules"),
+      (2L, "parquet columnar storage format"),
+      (3L, "spark catalyst optimizer rules engine"),
+      (4L, "streaming watermark state store"),
+      (5L, "vector search embedding index")
+    ).toDF("doc_id", "text")
+    // managed + ivf: the engine embeds and the routed layout indexes
+    // ITS embeddings; a text query lands on the pruned ivf plan
+    spark.sharedState.cacheManager.clearCache()
+    val ivf = vs.createDeltaSyncIndex("ep", docs, "m_ivf", "doc_id",
+      "text", new HashProjectionEmbedder(16), "ivf",
+      Map("cells" -> "2", "nProbe" -> "2"))
+    val hits = ivf.similaritySearch(Seq("doc_id"),
+      "spark catalyst optimizer rules", 2)
+    assert(hits.columns.toSeq === Seq("doc_id", "score"))
+    assert(hits.select("doc_id").as[Long].collect().head === 1L ||
+      hits.select("doc_id").as[Long].collect().head === 3L)
+    // managed + hybrid: ONE text call fuses the keyword leg (postings
+    // over the source text) with the vector leg (engine embeddings)
+    val hyb = vs.createDeltaSyncIndex("ep", docs, "m_hyb", "doc_id",
+      "text", new HashProjectionEmbedder(16), "hybrid",
+      Map("n" -> "4", "buckets" -> "8"))
+    assert(hyb.meta.options("textCol") === "text")
+    val fused = hyb.similaritySearch(Seq("doc_id", "text"),
+      "catalyst optimizer", 3)
+    assert(fused.columns.toSeq === Seq("doc_id", "text", "rank"))
+    val top = fused.select("doc_id").as[Long].collect()
+    assert(top.nonEmpty && Set(1L, 3L).contains(top.head),
+      s"keyword+vector fusion should surface a catalyst doc first: " +
+        top.mkString(","))
+  }
+
   test("exact kind keeps the original façade behavior byte-for-byte") {
     val idx = mkIndex("exact_compat", "exact")
     assert(idx.meta.kind === IndexKinds.Exact)
