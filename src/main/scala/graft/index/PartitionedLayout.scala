@@ -55,6 +55,59 @@ object PartitionedLayout {
     * the result, so a dir whose rows all died would otherwise keep its
     * stale files. Idempotent under replay (anti-join by key, then
     * re-add). */
+  /** Compaction for layouts grown by [[insertOverwrite]]-style appends
+    * (the ingest pipelines add one file per touched dir per batch —
+    * LSM behavior): every partition dir holding more than
+    * `maxFilesPerDir` files is rewritten as one file, rows unchanged;
+    * every other dir is left byte-identical. The dir listing is
+    * driver-side but bounded by the layout's KEY SPACE (buckets,
+    * tables × 2^bits), like every touched-key collect here. Returns
+    * the number of dirs compacted. Idempotent; run it on the
+    * maintenance cadence a production ingest already has (the
+    * [[graft.search.GraphAnn.repruneBuckets]] slot). */
+  def compact(spark: SparkSession, path: String, partCols: Seq[String],
+      maxFilesPerDir: Int = 1): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    // descend partCols.size levels of partition dirs
+    def dirs(p: org.apache.hadoop.fs.Path, depth: Int)
+        : Seq[org.apache.hadoop.fs.Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).filter(_.isDirectory)
+        .flatMap(s => dirs(s.getPath, depth - 1)).toSeq
+    val over = dirs(root, partCols.size).filter { d =>
+      fs.listStatus(d).count(s =>
+        s.isFile && s.getPath.getName.startsWith("part-")) > maxFilesPerDir
+    }
+    if (over.isEmpty) return 0
+    // partition keys of the oversized dirs, parsed from the dir names
+    val affected: Seq[Seq[Any]] = over.map { d =>
+      // path is .../<c1>=<v1>/<c2>=<v2>; take the last partCols segments
+      val segs = d.toUri.getPath.split('/').takeRight(partCols.size)
+      segs.map(_.split("=", 2)(1)).toSeq
+    }
+    // values compare as strings against the layout's own partition
+    // schema (evaluated on partition values at the listing — still
+    // pruning); same depth discipline as touchedPred
+    val layout = spark.read.parquet(path)
+    val pred =
+      if (partCols.size == 1)
+        col(partCols.head).cast("string")
+          .isin(affected.map(_.head): _*)
+      else affected.groupBy(_.head).toSeq.sortBy(_._1.toString)
+        .map { case (h, keys) =>
+          col(partCols.head).cast("string") === lit(h) &&
+            col(partCols(1)).cast("string").isin(keys.map(_(1)): _*)
+        }.reduce(_ || _)
+    val rows = layout.filter(pred).localCheckpoint(true)
+    rows.repartition(partCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*).parquet(path)
+    over.size
+  }
+
   /** Insert-only fast path of [[mergeOverwrite]]: when none of the new
     * rows' keys already live in the layout (a fresh ingest batch — the
     * caller must have established this), the anti-join is a no-op and

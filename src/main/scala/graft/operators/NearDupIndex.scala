@@ -445,6 +445,21 @@ object NearDupIndex {
       Seq("id"), changedPks, newDocs)
   }
 
+  /** Compact the append-grown layout ([[admitAndSync]]'s fast path
+    * adds one file per touched dir per fresh batch): rewrite every
+    * posting / `_docs` dir holding more than `maxFilesPerDir` files as
+    * one file each, rows unchanged — the LSM-style maintenance pass
+    * that bounds file-count growth under continuous ingest. Returns
+    * the number of dirs compacted. */
+  def compact(spark: SparkSession, idx: PersistedNearDup,
+      maxFilesPerDir: Int = 1): Int = {
+    import graft.index.PartitionedLayout
+    PartitionedLayout.compact(spark, idx.path, Seq("__bkt"),
+      maxFilesPerDir) +
+      PartitionedLayout.compact(spark, idx.path + "_docs", Seq("__dbkt"),
+        maxFilesPerDir)
+  }
+
   /** Bucket-occupancy telemetry — the observability
     * [[nearDupsAgainst]]'s `maxBucket` guard needs: you cannot pick a
     * cap you cannot see. One count shuffle over the postings; returns

@@ -538,6 +538,20 @@ object Ann {
       Seq(pkCol), changedPks, newDocs)
   }
 
+  /** Compact an append-grown sign-LSH layout
+    * ([[graft.streaming.VecDedupIngest.admitAndSync]]'s fast path adds
+    * one file per touched `(table, code)` dir per fresh batch):
+    * rewrite oversized dirs as one file each, rows unchanged. Returns
+    * the number of dirs compacted. */
+  def compactPersistedSignLsh(spark: SparkSession, idx: PersistedSignLsh,
+      maxFilesPerDir: Int = 1): Int = {
+    import graft.index.PartitionedLayout
+    PartitionedLayout.compact(spark, idx.path, Seq("__t", "__code"),
+      maxFilesPerDir) +
+      PartitionedLayout.compact(spark, idx.path + "_docs", Seq("__dbkt"),
+        maxFilesPerDir)
+  }
+
   /** Bucket-occupancy telemetry for a [[persistSignLsh]] layout — the
     * observability a [[graft.streaming.VecDedupIngest]] `maxBucket`
     * guard needs (the [[graft.operators.NearDupIndex.bucketStats]] of

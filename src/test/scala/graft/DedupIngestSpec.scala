@@ -92,4 +92,47 @@ class DedupIngestSpec extends SparkSpec {
     assert(runOnce("sweep", intra = true) === Set(200L, 11L))
     assert(runOnce("nosweep", intra = false) === Set(200L, 11L, 12L, 13L))
   }
+
+  test("compaction folds append-grown dirs back to one file each " +
+      "without changing the probe's answers") {
+    val root = Files.createTempDirectory("graft_ingest_cpt").toString
+    val seed = (300L to 320L)
+      .map(i => (i, s"seed document number $i about topic ${i % 3} " +
+        s"with body text ${i * 7}"))
+      .toDF("doc_id", "text")
+    val idx = NearDupIndex.persist(seed, "doc_id", "text", s"$root/idx")
+    // several fresh insert batches -> the append fast path stacks one
+    // file per touched dir per batch
+    for (b <- 0 until 3) {
+      val batch = (0 until 10)
+        .map(i => (b * 100L + i,
+          s"novel batch $b doc $i content ${b * 31 + i} unique words"))
+        .toDF("doc_id", "text")
+      NearDupIndex.admitAndSync(spark, idx, batch, "doc_id", "text", 0.5)
+    }
+    val fs = new Path(s"$root/idx")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def maxFilesPerDir(path: String): Int =
+      fs.listStatus(new Path(path)).filter(_.isDirectory).map { d =>
+        fs.listStatus(d.getPath)
+          .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      }.max
+    assert(maxFilesPerDir(s"$root/idx") > 1,
+      "appends should have stacked files")
+    val probeDocs = seed.select(($"doc_id" + 1000L).as("doc_id"), $"text")
+      .limit(3)
+    val before = NearDupIndex.nearDupsAgainst(spark, idx, probeDocs,
+        "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = NearDupIndex.compact(spark, idx)
+    assert(n > 0, "compaction should rewrite the stacked dirs")
+    assert(maxFilesPerDir(s"$root/idx") === 1)
+    assert(maxFilesPerDir(s"$root/idx_docs") === 1)
+    val after = NearDupIndex.nearDupsAgainst(spark, idx, probeDocs,
+        "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before && after.nonEmpty)
+    // idempotent: a second pass finds nothing to do
+    assert(NearDupIndex.compact(spark, idx) === 0)
+  }
 }

@@ -59,6 +59,24 @@ class VecDedupIngestSpec extends SparkSpec {
         "vec_id", "embedding", "vec_id", "embedding", 0.9)
       .select("corpus_id").as[Long].collect().toSet
     assert(pairs === Set(2L))
+    // compaction folds the append-grown (table, code) dirs back to one
+    // file each and leaves the probe's answers unchanged
+    Ann.compactPersistedSignLsh(spark, idx)
+    val fs = new Path(s"$root/idx")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def deepDirs(p: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).filter(_.isDirectory)
+        .flatMap(s => deepDirs(s.getPath, depth - 1)).toSeq
+    val worst = deepDirs(new Path(s"$root/idx"), 2).map { d =>
+      fs.listStatus(d)
+        .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    }.max
+    assert(worst === 1, s"compaction left a dir with $worst files")
+    val again = Ann.nearDupsAgainstSignLsh(spark, idx, redo,
+        "vec_id", "embedding", "vec_id", "embedding", 0.9)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(again === Set(2L))
   }
 
   test("maxBucket caps an adversarial same-vector batch: the sweep " +
