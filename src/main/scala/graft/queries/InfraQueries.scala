@@ -228,6 +228,22 @@ object InfraQueries {
       Ann.recallAtK(answers, corpus, queries, "vec_id", "embedding",
         "vec_id", "embedding", k = 5, sampleMod = 2L)
     }),
+    // Rank-AWARE telemetry next to the recall probe: nDCG@5 of the
+    // nProbe=2 IVF answers against the exact ordering (positional
+    // gains k+1−r, log2 discounts, rank-sorted folds) — recall says
+    // whether the right set came back, this says whether it came back
+    // in order. Hash-checked end to end like ann_recall_probe.
+    "ann_ndcg_probe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 10)
+      val queries = e.filter(col("vec_id") < 10)
+      val index = Ann.buildIvfDeterministic(corpus, "embedding",
+        "vec_id", 16)
+      val answers = Ann.queryIvf(index, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      Ann.ndcgAtK(answers, corpus, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, sampleMod = 2L)
+    }),
     // Recall telemetry THROUGH the graph leg: the same recallAtK
     // operator composed over the most complex ANN path — graph
     // beam-search answers vs exact KNN on the deterministic query
@@ -1237,6 +1253,72 @@ object InfraQueries {
         |FROM exact e LEFT JOIN ans a
         |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+    // Replays the nDCG probe: deterministic-centroid IVF at nProbe=2,
+    // exact cosine side on the parity-sampled queries, positional
+    // gains 6−rnk, log2 discounts, DCG folds in rank order.
+    "ann_ndcg_probe" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+        |cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |           AS cell,
+        |         embedding AS cvec
+        |  FROM (SELECT vec_id, embedding FROM corpus
+        |        ORDER BY vec_id LIMIT 16)),
+        |asg AS (
+        |  SELECT c.vec_id, c.embedding, t.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_distance(c.embedding, t.cvec), t.cell) AS rn
+        |  FROM corpus c CROSS JOIN cents t),
+        |cells AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1),
+        |qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |probe AS (
+        |  SELECT q.query_id, q.qv, t.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_distance(q.qv, t.cvec), t.cell) AS pr
+        |  FROM qs q CROSS JOIN cents t),
+        |cand AS (
+        |  SELECT p.query_id, p.qv, c.vec_id, c.embedding
+        |  FROM (SELECT query_id, qv, cell FROM probe WHERE pr <= 2) p
+        |  JOIN cells c USING (cell)),
+        |ann AS (
+        |  SELECT query_id, vec_id, rnk AS arnk FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY list_cosine_similarity(embedding, qv) DESC,
+        |          vec_id) AS rnk
+        |    FROM cand)
+        |  WHERE rnk <= 5),
+        |sq AS (SELECT query_id, qv FROM qs WHERE query_id % 2 = 0),
+        |exact AS (
+        |  SELECT query_id, vec_id, rnk FROM (
+        |    SELECT s.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY s.query_id
+        |        ORDER BY list_cosine_similarity(c.embedding, s.qv) DESC,
+        |          c.vec_id) AS rnk
+        |    FROM corpus c CROSS JOIN sq s)
+        |  WHERE rnk <= 5),
+        |gains AS (
+        |  SELECT query_id, vec_id, rnk, CAST(6 - rnk AS DOUBLE) AS g
+        |  FROM exact),
+        |sann AS (SELECT * FROM ann WHERE query_id % 2 = 0),
+        |dcg AS (
+        |  SELECT a.query_id,
+        |    list_sum(list(COALESCE(g.g, 0) / log2(a.arnk + 1)
+        |      ORDER BY a.arnk)) AS dcg
+        |  FROM sann a LEFT JOIN gains g
+        |    ON g.query_id = a.query_id AND g.vec_id = a.vec_id
+        |  GROUP BY a.query_id),
+        |idcg AS (
+        |  SELECT query_id,
+        |    list_sum(list(g / log2(rnk + 1) ORDER BY rnk)) AS idcg
+        |  FROM gains GROUP BY query_id)
+        |SELECT i.query_id,
+        |  round(COALESCE(d.dcg, 0) / i.idcg, 4) AS ndcg
+        |FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
+        |ORDER BY i.query_id""".stripMargin,
     // Replays BOTH PQ codebook constructions — 'firstk' (first 32
     // corpus rows by id) and 'trained' (md5 sample + two unrolled
     // integer-Lloyd iterations) — then both ADC pipelines, the exact

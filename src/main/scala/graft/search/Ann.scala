@@ -200,6 +200,56 @@ object Ann {
       .orderBy("query_id")
   }
 
+  /** nDCG@k telemetry — [[recallAtK]]'s rank-aware sibling: recall
+    * says WHETHER the exact top-k came back, nDCG says whether it came
+    * back IN ORDER (a leg that returns the right set reversed scores
+    * recall 1.0 but low nDCG — the drift a reranker review needs).
+    * Graded relevance is positional: the exact rank-r neighbor carries
+    * gain k+1−r, anything outside the exact top-k gains 0; discounts
+    * are the standard 1/log2(rank+1). Both DCG folds run over
+    * rank-sorted arrays (the BM25 determinism trick), so the score is
+    * reproducible on any partitioning and replayable in SQL. Same
+    * sampling and scale shape as [[recallAtK]]: the exact pass covers
+    * 1/sampleMod of the query load, everything else is sample-sized.
+    * Returns `(query_id, ndcg)`. */
+  def ndcgAtK(answers: DataFrame, corpus: DataFrame, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, corpusPkCol: String,
+      corpusVecCol: String, k: Int, sampleMod: Long,
+      metric: Metric = Metric.Cosine): DataFrame = {
+    val sample = queries.filter(col(queryIdCol) % sampleMod === 0)
+    val exact = Knn.batchQueryAgg(corpus, sample, corpusVecCol,
+      corpusPkCol, queryVecCol, queryIdCol, k, metric)
+      .select(col("query_id"), col(corpusPkCol),
+        col("rank").cast("int").as("__ernk"))
+    val gains = exact.withColumn("__gain",
+      (lit(k + 1) - col("__ernk")).cast("double"))
+    val got = answers
+      .filter(col("rank") <= k && col("query_id") % sampleMod === 0)
+      .select(col("query_id"), col(corpusPkCol),
+        col("rank").cast("int").as("__arnk"))
+    val dcg = got
+      .join(gains.select(col("query_id"), col(corpusPkCol),
+        col("__gain")), Seq("query_id", corpusPkCol), "left")
+      .withColumn("__g", coalesce(col("__gain"), lit(0.0)))
+      .groupBy("query_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__arnk"), col("__g")))),
+        lit(0.0),
+        (acc, x) => acc + x("__g") / log2(x("__arnk") + lit(1.0)))
+        .as("__dcg"))
+    val idcg = gains.groupBy("query_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__ernk"), col("__gain")))),
+        lit(0.0),
+        (acc, x) => acc + x("__gain") / log2(x("__ernk") + lit(1.0)))
+        .as("__idcg"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .withColumn("ndcg",
+        round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 4))
+      .select(col("query_id"), col("ndcg"))
+      .orderBy("query_id")
+  }
+
   /** Straggler guard: KMeans (especially `initMode=random, maxIter=3`)
     * can leave hot cells holding many× the mean — at 100 TB one hot
     * cell is one task that runs for hours. Split every cell above
