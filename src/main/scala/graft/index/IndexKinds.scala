@@ -25,7 +25,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *
   * Per-kind options (all frozen at creation, persisted in the meta
   * JSON): ivf `cells`/`nProbe`; signlsh `tables`/`bits`; graph
-  * `m`/`buckets`/`entries`/`beam`/`hops`/`entryMod`/`metric`; hybrid
+  * `m`/`buckets`/`entries`/`beam`/`hops`/`entryMod`/`metric`, plus
+  * `layered=true` with `m1`/`entryBuckets`/`l2Entries`/`l1Beam`/
+  * `l1Hops` for the two-layer hierarchy (a coarse entry graph over
+  * the `pk % entryMod` sample persisted beside the main layout —
+  * HNSW's upper layers, searched and synced together); hybrid
   * `textCol`/`buckets`/`n`.
   */
 object IndexKinds {
@@ -52,6 +56,11 @@ object IndexKinds {
   private def graphHandle(meta: IndexMeta): GraphAnn.PersistedGraph =
     GraphAnn.PersistedGraph(layoutPath(meta), m = opt(meta, "m", 6),
       buckets = opt(meta, "buckets", 16))
+  private def entryHandle(meta: IndexMeta): GraphAnn.PersistedGraph =
+    GraphAnn.PersistedGraph(layoutPath(meta) + "_entry",
+      m = opt(meta, "m1", 4), buckets = opt(meta, "entryBuckets", 4))
+  private def layered(meta: IndexMeta): Boolean =
+    meta.options.get("layered").contains("true")
 
   /** The layout's own raw-corpus relation — the graph walk's scoring
     * side, the hybrid vector leg, and the column join-back of
@@ -87,6 +96,16 @@ object IndexKinds {
         GraphAnn.buildGraphExact(source, meta.vecCol, meta.pkCol,
           m = opt(meta, "m", 6)),
         layoutPath(meta), buckets = opt(meta, "buckets", 16))
+      // layered = the 100 TB configuration: a coarse entry graph over
+      // the pk % entryMod sample persists beside the main layout and
+      // the search descends through it (HNSW's upper layers)
+      if (layered(meta))
+        GraphAnn.persistGraph(
+          GraphAnn.buildEntryGraphExact(source, meta.vecCol, meta.pkCol,
+            entryMod = optL(meta, "entryMod", 5L),
+            m1 = opt(meta, "m1", 4)),
+          layoutPath(meta) + "_entry",
+          buckets = opt(meta, "entryBuckets", 4))
       source.write.mode("overwrite").parquet(layoutPath(meta) + "_corpus")
     case HybridKind =>
       Hybrid.persistPostings(source, meta.pkCol, textColOf(meta),
@@ -119,6 +138,16 @@ object IndexKinds {
           opt(meta, "bits", 4)),
         queries, queryIdCol, queryVecCol, meta.pkCol, meta.vecCol, k,
         metricOf(meta), rowFilter)
+    case Graph if layered(meta) =>
+      GraphAnn.queryPersistedGraphLayered(spark, graphHandle(meta),
+        entryHandle(meta), corpusTable(spark, meta), queries,
+        queryIdCol, queryVecCol, meta.pkCol, meta.vecCol, k,
+        entries = opt(meta, "entries", 4), beam = opt(meta, "beam", 4),
+        hops = opt(meta, "hops", 3),
+        entryMod = optL(meta, "entryMod", 5L), metric = metricOf(meta),
+        l2Entries = opt(meta, "l2Entries", 2),
+        l1Beam = opt(meta, "l1Beam", 3), l1Hops = opt(meta, "l1Hops", 2),
+        rowFilter = rowFilter)
     case Graph =>
       GraphAnn.queryPersistedGraph(spark, graphHandle(meta),
         corpusTable(spark, meta), queries, queryIdCol, queryVecCol,
@@ -156,8 +185,13 @@ object IndexKinds {
     case Graph =>
       // edge sync reads the PRE-change corpus (its pool), so it runs
       // before the corpus merge rewrites the side table
-      GraphAnn.syncPersistedGraphChanges(spark, graphHandle(meta),
-        corpusTable(spark, meta), changes, meta.pkCol, meta.vecCol)
+      if (layered(meta))
+        GraphAnn.syncPersistedGraphLayered(spark, graphHandle(meta),
+          entryHandle(meta), corpusTable(spark, meta), changes,
+          meta.pkCol, meta.vecCol, optL(meta, "entryMod", 5L))
+      else
+        GraphAnn.syncPersistedGraphChanges(spark, graphHandle(meta),
+          corpusTable(spark, meta), changes, meta.pkCol, meta.vecCol)
       mergeCorpus(spark, layoutPath(meta) + "_corpus", changes, meta)
     case HybridKind =>
       Hybrid.syncPersistedPostings(spark,

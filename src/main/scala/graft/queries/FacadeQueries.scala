@@ -99,6 +99,23 @@ object FacadeQueries {
       rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
         "vec_id", "embedding", 3))
     }),
+    // graph kind, LAYERED: one index carries the main edge layout AND
+    // the coarse entry graph; the routed call descends through both —
+    // the full HNSW-shaped hierarchy behind the single entry point
+    "facade_route_graph_layered" -> ((s, dir) => {
+      val vs = new VectorSearch(s, root("glay", dir))
+      vs.createEndpoint("ep")
+      val idx = vs.createDeltaSyncIndex("ep",
+        emb(s, dir).filter(col("vec_id") >= 5 && col("vec_id") < 1000),
+        "facade_glay", "vec_id", "embedding", 64, "graph",
+        Map("layered" -> "true", "m" -> "6", "buckets" -> "8",
+          "m1" -> "4", "entryBuckets" -> "4", "entries" -> "4",
+          "beam" -> "4", "hops" -> "3", "entryMod" -> "5",
+          "l2Entries" -> "2", "l1Beam" -> "3", "l1Hops" -> "2",
+          "metric" -> "l2"))
+      rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3))
+    }),
     // hybrid kind: one index carries the term-bucketed postings AND
     // the vector corpus; the routed call fuses both legs by RRF
     "facade_route_hybrid" -> ((s, dir) => {
@@ -126,5 +143,7 @@ object FacadeQueries {
     "facade_route_filtered" -> InfraQueries.oracleSql("ann_ivf_filtered"),
     "facade_route_signlsh" -> InfraQueries.oracleSql("ann_signlsh_topk"),
     "facade_route_graph" -> InfraQueries.oracleSql("ann_graph_topk"),
+    "facade_route_graph_layered" ->
+      InfraQueries.oracleSql("ann_graph_layered_persisted"),
     "facade_route_hybrid" -> VectorQueries.oracleSql("hybrid_rrf_topk"))
 }
