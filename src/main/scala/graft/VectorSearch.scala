@@ -266,6 +266,16 @@ final class Index(spark: SparkSession, underlying: VectorIndex,
     IndexKinds.sync(spark, meta, prepared)
   }
 
+  /** Per-kind maintenance — the compaction cadence a production
+    * ingest runs between syncs ([[graft.index.IndexKinds.optimize]]):
+    * squashes append-grown partition dirs back to one file each.
+    * Answers are identical before and after. `reprune = true` also
+    * restores the graph kind's degree bound (HNSW edge pruning —
+    * perturbs approximate results, hence opt-in). Returns per-layout
+    * touched-dir counts. */
+  def optimize(reprune: Boolean = false): Map[String, Int] =
+    IndexKinds.optimize(spark, meta, reprune = reprune)
+
   def describe: DataFrame = underlying.stats(spark)
 
   private def filterPred(filters: Map[String, Any]): Option[Column] =

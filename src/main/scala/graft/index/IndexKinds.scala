@@ -1,7 +1,7 @@
 package graft.index
 
-import graft.functions.Metric
-import graft.search.{Ann, GraphAnn, Hybrid, Knn}
+import graft.functions.{Metric, VectorFunctions => VF}
+import graft.search.{Ann, GraphAnn, Hybrid, Knn, Pq, Sq8}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -24,13 +24,19 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * the `"exact"` kind itself.
   *
   * Per-kind options (all frozen at creation, persisted in the meta
-  * JSON): ivf `cells`/`nProbe`; signlsh `tables`/`bits`; graph
+  * JSON): ivf `cells`/`nProbe` (+`trained=true` with `iters`/`sampleN`
+  * for k-means centroids); signlsh `tables`/`bits`; graph
   * `m`/`buckets`/`entries`/`beam`/`hops`/`entryMod`/`metric`, plus
   * `layered=true` with `m1`/`entryBuckets`/`l2Entries`/`l1Beam`/
   * `l1Hops` for the two-layer hierarchy (a coarse entry graph over
   * the `pk % entryMod` sample persisted beside the main layout —
   * HNSW's upper layers, searched and synced together); hybrid
-  * `textCol`/`buckets`/`n`.
+  * `textCol`/`buckets`/`n`; sq8 `c` (refine multiplier); pq/ivfpq
+  * `m`/`codebookK`/`c` (+ivfpq `cells`/`nProbe`, both kinds
+  * `trained=true` for k-means codebooks — ivfpq trains centroids
+  * too). The graph/hybrid `_corpus` side table is pk-hash-bucketed
+  * (`corpusBuckets`, default 32) so CDF syncs rewrite only touched
+  * dirs, never the whole corpus.
   */
 object IndexKinds {
 
@@ -39,7 +45,11 @@ object IndexKinds {
   val SignLsh = "signlsh"
   val Graph = "graph"
   val HybridKind = "hybrid"
-  val All: Set[String] = Set(Exact, Ivf, SignLsh, Graph, HybridKind)
+  val Sq8Kind = "sq8"
+  val PqKind = "pq"
+  val IvfPqKind = "ivfpq"
+  val All: Set[String] =
+    Set(Exact, Ivf, SignLsh, Graph, HybridKind, Sq8Kind, PqKind, IvfPqKind)
 
   def layoutPath(meta: IndexMeta): String = s"${meta.path}__${meta.kind}"
 
@@ -61,6 +71,28 @@ object IndexKinds {
       m = opt(meta, "m1", 4), buckets = opt(meta, "entryBuckets", 4))
   private def layered(meta: IndexMeta): Boolean =
     meta.options.get("layered").contains("true")
+  private def isTrained(meta: IndexMeta): Boolean =
+    meta.options.get("trained").contains("true")
+
+  // ---- graph/hybrid `_corpus` side table: pk-hash-bucketed layout ----
+
+  /** Bucket count of the `_corpus` dirs — the layout's KEY SPACE, what
+    * bounds a sync's touched-dir collect (PartitionedLayout contract). */
+  private def corpusBucketCount(meta: IndexMeta): Int =
+    opt(meta, "corpusBuckets", 32)
+
+  private def corpusBucketCol(meta: IndexMeta): Column =
+    pmod(xxhash64(col(meta.pkCol)),
+      lit(corpusBucketCount(meta).toLong)).cast("int")
+
+  /** Write the `_corpus` side table pk-hash-bucketed (one writer per
+    * dir — the persistIvf discipline), so [[mergeCorpus]] can rewrite
+    * only the dirs a CDF batch touches. */
+  private def writeCorpus(source: DataFrame, meta: IndexMeta): Unit =
+    source.withColumn("__cbkt", corpusBucketCol(meta))
+      .repartition(col("__cbkt"))
+      .write.mode("overwrite").partitionBy("__cbkt")
+      .parquet(layoutPath(meta) + "_corpus")
 
   /** The layout's own raw-corpus relation — the graph walk's scoring
     * side, the hybrid vector leg, and the column join-back of
@@ -75,7 +107,12 @@ object IndexKinds {
       case SignLsh =>
         spark.read.parquet(layoutPath(meta) + "_docs").drop("__dbkt")
       case Graph | HybridKind =>
-        spark.read.parquet(layoutPath(meta) + "_corpus")
+        spark.read.parquet(layoutPath(meta) + "_corpus").drop("__cbkt")
+      case Sq8Kind =>
+        spark.read.parquet(layoutPath(meta)).drop("__dbkt")
+      case PqKind | IvfPqKind =>
+        val t = spark.read.parquet(layoutPath(meta))
+        t.drop(t.columns.filter(Set("__cell", "__subcell", "__codes")): _*)
       case _ => spark.read.parquet(meta.path)
     }
 
@@ -85,8 +122,40 @@ object IndexKinds {
       source: DataFrame): Unit = meta.kind match {
     case Exact => ()
     case Ivf =>
-      Ann.persistIvf(Ann.buildIvfDeterministic(source, meta.vecCol,
-        meta.pkCol, opt(meta, "cells", 16)), layoutPath(meta))
+      // trained=true routes through the k-means quantizer — the
+      // recall-grade codebooks a 100×-scale deployment would persist
+      val built =
+        if (isTrained(meta))
+          Ann.buildIvfTrained(source, meta.vecCol, meta.pkCol,
+            opt(meta, "cells", 16), iters = opt(meta, "iters", 2),
+            sampleN = opt(meta, "sampleN", 128))
+        else Ann.buildIvfDeterministic(source, meta.vecCol, meta.pkCol,
+          opt(meta, "cells", 16))
+      Ann.persistIvf(built, layoutPath(meta))
+    case Sq8Kind =>
+      val stats = Sq8.fit(source, meta.vecCol)
+      Sq8.persist(source, meta.vecCol, meta.pkCol, layoutPath(meta), stats)
+      Sq8.persistStats(spark, stats, layoutPath(meta))
+    case PqKind | IvfPqKind =>
+      // pq = flat ADC scan: IVF degenerates to ONE cell (FAISS's
+      // IndexPQ), so the same persisted layout serves both kinds
+      val cells = if (meta.kind == PqKind) 1 else opt(meta, "cells", 16)
+      val ivf =
+        if (meta.kind == IvfPqKind && isTrained(meta))
+          Ann.buildIvfTrained(source, meta.vecCol, meta.pkCol, cells,
+            iters = opt(meta, "iters", 2),
+            sampleN = opt(meta, "sampleN", 128))
+        else Ann.buildIvfDeterministic(source, meta.vecCol, meta.pkCol,
+          cells)
+      val cb =
+        if (isTrained(meta))
+          Pq.fitTrained(source, meta.vecCol, meta.pkCol,
+            m = opt(meta, "m", 16), k = opt(meta, "codebookK", 32),
+            iters = opt(meta, "iters", 2),
+            sampleN = opt(meta, "sampleN", 128))
+        else Pq.fit(source, meta.vecCol, meta.pkCol,
+          m = opt(meta, "m", 16), k = opt(meta, "codebookK", 32))
+      Pq.persistIvfPq(ivf, cb, meta.vecCol, layoutPath(meta))
     case SignLsh =>
       Ann.persistSignLsh(Ann.buildSignLsh(source, meta.vecCol,
         opt(meta, "tables", 8), opt(meta, "bits", 4)),
@@ -106,11 +175,11 @@ object IndexKinds {
             m1 = opt(meta, "m1", 4)),
           layoutPath(meta) + "_entry",
           buckets = opt(meta, "entryBuckets", 4))
-      source.write.mode("overwrite").parquet(layoutPath(meta) + "_corpus")
+      writeCorpus(source, meta)
     case HybridKind =>
       Hybrid.persistPostings(source, meta.pkCol, textColOf(meta),
         layoutPath(meta), buckets = opt(meta, "buckets", 32))
-      source.write.mode("overwrite").parquet(layoutPath(meta) + "_corpus")
+      writeCorpus(source, meta)
     case other =>
       throw new IllegalArgumentException(s"unknown index kind '$other'")
   }
@@ -132,6 +201,19 @@ object IndexKinds {
       Ann.queryPersistedIvf(spark, Ann.PersistedIvf(layoutPath(meta)),
         queries, queryIdCol, queryVecCol, meta.pkCol, meta.vecCol, k,
         nProbe = opt(meta, "nProbe", 4), metricOf(meta), rowFilter)
+    case Sq8Kind =>
+      Sq8.rerankPersisted(spark,
+        Sq8.PersistedSq8(layoutPath(meta),
+          Sq8.loadStats(spark, layoutPath(meta))),
+        queries, queryVecCol, queryIdCol, meta.pkCol, meta.vecCol, k,
+        c = opt(meta, "c", 4), metricOf(meta), rowFilter)
+    case PqKind | IvfPqKind =>
+      // pq scans its single cell = the flat ADC pass over all codes
+      Pq.queryPersistedIvfPq(spark, Pq.PersistedIvfPq(layoutPath(meta)),
+        queries, queryIdCol, queryVecCol, meta.pkCol, meta.vecCol, k,
+        c = opt(meta, "c", 4),
+        nProbe = if (meta.kind == PqKind) 1 else opt(meta, "nProbe", 4),
+        metricOf(meta), rowFilter)
     case SignLsh =>
       Ann.queryPersistedSignLsh(spark,
         Ann.PersistedSignLsh(layoutPath(meta), opt(meta, "tables", 8),
@@ -177,6 +259,18 @@ object IndexKinds {
     case Ivf =>
       Ann.syncPersistedIvf(spark, Ann.PersistedIvf(layoutPath(meta)),
         changes, meta.pkCol, meta.vecCol)
+    case Sq8Kind =>
+      // stats stay FROZEN at build (reloaded from the side file) —
+      // the frozen-centroid contract shared by every quantized layout
+      Sq8.syncPersistedSq8(spark,
+        Sq8.PersistedSq8(layoutPath(meta),
+          Sq8.loadStats(spark, layoutPath(meta))),
+        changes, meta.pkCol, meta.vecCol)
+    case PqKind | IvfPqKind =>
+      // centroids AND codebooks frozen; delta rows encode/assign with
+      // the persisted side files (Pq.syncPersistedIvfPq contract)
+      Pq.syncPersistedIvfPq(spark, Pq.PersistedIvfPq(layoutPath(meta)),
+        changes, meta.pkCol, meta.vecCol)
     case SignLsh =>
       Ann.syncPersistedSignLsh(spark,
         Ann.PersistedSignLsh(layoutPath(meta), opt(meta, "tables", 8),
@@ -202,27 +296,114 @@ object IndexKinds {
       throw new IllegalArgumentException(s"unknown index kind '$other'")
   }
 
-  /** LWW merge of a CDF batch into an unpartitioned `_corpus` side
-    * table (deletes and null-vector upserts leave it, matching
-    * [[VectorIndex.sync]]), swapped in via the crash-safe
-    * rename-aside protocol. */
+  /** LWW merge of a CDF batch into the pk-hash-bucketed `_corpus` side
+    * table, touched-dir-only via [[PartitionedLayout.mergeOverwrite]] —
+    * bytes moved scale with the CHANGE SET's bucket dirs, never the
+    * corpus (the dir collect is bounded by `corpusBuckets`, the
+    * layout's key space). Upserts pass the same validity predicate as
+    * [[VectorIndex.prepare]] (deletes, null/wrong-dim and zero-norm
+    * vectors all leave the corpus), so the side table never diverges
+    * from the exact artifact. A pre-bucketing corpus (or one stranded
+    * in `__old` by a crashed legacy swap) is recovered/migrated once,
+    * then synced touched-dir forever. */
   private def mergeCorpus(spark: SparkSession, path: String,
       changes: DataFrame, meta: IndexMeta): Unit = {
-    val current = spark.read.parquet(path)
-    val latest = ChangeLog.latestPerPk(changes, meta.pkCol)
-    val upserts = latest.filter(col("__op") =!= ChangeLog.OpDelete)
-      .drop("__op", "__seq").filter(col(meta.vecCol).isNotNull)
-    val merged = current
-      .join(latest.select(col(meta.pkCol)), Seq(meta.pkCol), "left_anti")
-      .unionByName(upserts.select(current.columns.map(col): _*))
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
     val dst = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(path + "__old")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(old, true)
-    fs.rename(dst, old)
-    fs.rename(tmp, dst)
-    fs.delete(old, true)
+    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+    if (!spark.read.parquet(path).columns.contains("__cbkt")) {
+      // one-time migration: rewrite bucketed via the crash-safe
+      // rename-aside swap (old or new always present under some name)
+      val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+      spark.read.parquet(path)
+        .withColumn("__cbkt", corpusBucketCol(meta))
+        .repartition(col("__cbkt"))
+        .write.mode("overwrite").partitionBy("__cbkt").parquet(tmp.toString)
+      fs.delete(old, true)
+      fs.rename(dst, old)
+      fs.rename(tmp, dst)
+      fs.delete(old, true)
+    }
+    val latest = ChangeLog.latestPerPk(changes, meta.pkCol)
+    val dimOk =
+      if (meta.dim > 0) size(col(meta.vecCol)) === meta.dim else lit(true)
+    val upserts = latest.filter(col("__op") =!= ChangeLog.OpDelete)
+      .drop("__op", "__seq")
+      .filter(col(meta.vecCol).isNotNull && dimOk &&
+        VF.norm(col(meta.vecCol)) > 0.0)
+    val changedPks = latest.select(col(meta.pkCol))
+    val bkts = changedPks.withColumn("__cbkt", corpusBucketCol(meta))
+      .select("__cbkt").distinct().collect().map(_.getInt(0)).toSeq
+    PartitionedLayout.mergeOverwrite(spark, path, Seq("__cbkt"),
+      bkts.map(Seq[Any](_)),
+      spark.read.parquet(path).filter(col("__cbkt").isin(bkts: _*)),
+      Seq(meta.pkCol), changedPks,
+      upserts.withColumn("__cbkt", corpusBucketCol(meta)))
+  }
+
+  /** Per-kind maintenance — the façade's `Index.optimize()` routing:
+    * [[PartitionedLayout.compact]] squashes the append-grown partition
+    * dirs every layout accumulates under CDF syncs (LSM behavior — one
+    * file per touched dir per batch). Compaction rewrites rows
+    * UNCHANGED, so answers are identical pre/post and untouched dirs
+    * stay byte-identical (FacadeOptimizeSpec + the per-layout specs).
+    * `reprune = true` additionally runs [[GraphAnn.repruneBuckets]] on
+    * the graph kind: it restores the build-time degree bound (and
+    * physically compacts tombstones) but — like any HNSW edge pruning
+    * — may perturb the approximate walk's results, so it is opt-in
+    * rather than part of the answer-preserving default. Returns
+    * per-layout touched-dir counts. */
+  def optimize(spark: SparkSession, meta: IndexMeta,
+      maxFilesPerDir: Int = 1, reprune: Boolean = false): Map[String, Int] = {
+    val path = layoutPath(meta)
+    def cellCols: Seq[String] =
+      if (spark.read.parquet(path).columns.contains("__subcell"))
+        Seq("__cell", "__subcell")
+      else Seq("__cell")
+    meta.kind match {
+      case Exact => Map.empty
+      case Ivf | PqKind | IvfPqKind =>
+        Map("layout" ->
+          PartitionedLayout.compact(spark, path, cellCols, maxFilesPerDir))
+      case SignLsh => Map(
+        "layout" -> PartitionedLayout.compact(spark, path,
+          Seq("__t", "__code"), maxFilesPerDir),
+        "docs" -> PartitionedLayout.compact(spark, path + "_docs",
+          Seq("__dbkt"), maxFilesPerDir))
+      case Sq8Kind => Map(
+        "codes" -> PartitionedLayout.compact(spark, path + "_codes",
+          Seq("__dbkt"), maxFilesPerDir),
+        "vectors" -> PartitionedLayout.compact(spark, path,
+          Seq("__dbkt"), maxFilesPerDir))
+      case Graph =>
+        val pruned =
+          if (!reprune) Map.empty[String, Int]
+          else {
+            val corpus = corpusTable(spark, meta)
+            val entry =
+              if (layered(meta))
+                Map("entryPruned" -> GraphAnn.repruneBuckets(spark,
+                  entryHandle(meta),
+                  corpus.filter(
+                    col(meta.pkCol) % optL(meta, "entryMod", 5L) === 0),
+                  meta.pkCol, meta.vecCol))
+              else Map.empty[String, Int]
+            entry + ("pruned" -> GraphAnn.repruneBuckets(spark,
+              graphHandle(meta), corpus, meta.pkCol, meta.vecCol))
+          }
+        pruned ++ Map(
+          "edges" -> PartitionedLayout.compact(spark, path,
+            Seq("__srcbucket"), maxFilesPerDir),
+          "corpus" -> PartitionedLayout.compact(spark, path + "_corpus",
+            Seq("__cbkt"), maxFilesPerDir))
+      case HybridKind => Map(
+        "postings" -> PartitionedLayout.compact(spark, path,
+          Seq("__tbucket"), maxFilesPerDir),
+        "corpus" -> PartitionedLayout.compact(spark, path + "_corpus",
+          Seq("__cbkt"), maxFilesPerDir))
+      case other =>
+        throw new IllegalArgumentException(s"unknown index kind '$other'")
+    }
   }
 }

@@ -22,6 +22,26 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object PartitionedLayout {
 
+  /** Inverse of Spark's partition-dir name escaping (%xx hex pairs —
+    * ExternalCatalogUtils.unescapePathName's contract; malformed pairs
+    * pass through verbatim). */
+  private[index] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code =
+          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Partition-pruning predicate for a touched-key set, prunable at the
     * file listing. Depth matters at scale: a per-key OR-of-conjunctions
     * grows a left-deep boolean tree with the touched-key count
@@ -70,26 +90,35 @@ object PartitionedLayout {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
-    // descend partCols.size levels of partition dirs
+    // descend partCols.size levels of partition dirs; only `k=v` dirs
+    // are partition dirs (checkpoint/_temporary dirs would otherwise
+    // crash the key parse below)
     def dirs(p: org.apache.hadoop.fs.Path, depth: Int)
         : Seq[org.apache.hadoop.fs.Path] =
       if (depth == 0) Seq(p)
-      else fs.listStatus(p).filter(_.isDirectory)
+      else fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
         .flatMap(s => dirs(s.getPath, depth - 1)).toSeq
     val over = dirs(root, partCols.size).filter { d =>
       fs.listStatus(d).count(s =>
         s.isFile && s.getPath.getName.startsWith("part-")) > maxFilesPerDir
     }
     if (over.isEmpty) return 0
-    // partition keys of the oversized dirs, parsed from the dir names
+    // partition keys of the oversized dirs, parsed from the dir names.
+    // Spark %xx-escapes special chars in partition dir names
+    // (ExternalCatalogUtils.escapePathName), so un-escape before
+    // comparing against the cast-to-string partition VALUES
     val affected: Seq[Seq[Any]] = over.map { d =>
       // path is .../<c1>=<v1>/<c2>=<v2>; take the last partCols segments
       val segs = d.toUri.getPath.split('/').takeRight(partCols.size)
-      segs.map(_.split("=", 2)(1)).toSeq
+      segs.map(s => unescapePathName(s.split("=", 2)(1))).toSeq
     }
     // values compare as strings against the layout's own partition
     // schema (evaluated on partition values at the listing — still
-    // pruning); same depth discipline as touchedPred
+    // pruning); same depth discipline as touchedPred. Null partition
+    // values (__HIVE_DEFAULT_PARTITION__) never match a cast-to-string
+    // predicate — none of the layouts here produce them (all keys are
+    // derived hashes/codes)
     val layout = spark.read.parquet(path)
     val pred =
       if (partCols.size == 1)

@@ -76,6 +76,12 @@ final class VectorIndex(val meta: IndexMeta) {
     * index path, so an s3a:// index works even when the default FS is
     * HDFS/local. */
   def sync(spark: SparkSession, changes: DataFrame): Unit = {
+    // recover a crash between the swap's two renames (index present
+    // only under __old): restore it before reading
+    val dst0 = new org.apache.hadoop.fs.Path(meta.path)
+    val old0 = new org.apache.hadoop.fs.Path(meta.path + "__old")
+    val fs0 = dst0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs0.exists(dst0) && fs0.exists(old0)) fs0.rename(old0, dst0)
     val current = read(spark)
     val latest = ChangeLog.latestPerPk(changes, meta.pkCol)
     val upserts = prepare(latest.filter(col("__op") =!= ChangeLog.OpDelete)

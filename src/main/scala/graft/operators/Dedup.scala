@@ -348,7 +348,12 @@ object Dedup {
     * graph is typically a handful of edges, and the distributed
     * closure costs several fixed-latency shuffle rounds regardless of
     * size; above the cap the pointer-jumping path runs unchanged, so
-    * the 100 TB story is untouched. Returns `(id, component)`. */
+    * the 100 TB story is untouched. Returns `(id, component)`.
+    *
+    * Id contract (shared with [[connectedComponents]], made explicit
+    * here): ids must be non-null and long-castable — the driver path
+    * asserts it loudly where the distributed closure would only
+    * degrade silently. */
   def componentsAuto(pairs: DataFrame, aCol: String, bCol: String,
       cap: Int = 100000): DataFrame = {
     val spark = pairs.sparkSession
@@ -367,6 +372,9 @@ object Dedup {
         r
       }
       sample.foreach { row =>
+        require(!row.isNullAt(0) && !row.isNullAt(1),
+          s"componentsAuto needs non-null long-castable ids " +
+            s"($aCol, $bCol) — the connectedComponents id contract")
         val a = row.getLong(0); val b = row.getLong(1)
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val ra = find(a); val rb = find(b)

@@ -30,7 +30,17 @@ object EventQueries {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ =>
+        // TIMESTAMP_NTZ wall clock → the same wall clock AS a UTC
+        // instant, independent of the caller session's timezone: a
+        // bare cast("timestamp") interprets the NTZ value in the
+        // SESSION zone, silently shifting every event for any non-UTC
+        // caller (the replaced nanos-long path was tz-independent).
+        // cast = wall@sessionTz → instant; from_utc_timestamp adds the
+        // zone offset back, landing on wall@UTC for any session zone.
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        raw.withColumn("ts",
+          from_utc_timestamp(col("ts").cast("timestamp"), tz))
     }
   }
 

@@ -116,6 +116,97 @@ object FacadeQueries {
       rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
         "vec_id", "embedding", 3))
     }),
+    // graph kind SYNCED: create on the initial block, apply a CDF
+    // insert batch through the routed sync — which now merges the
+    // pk-hash-BUCKETED `_corpus` side table touched-dir-only
+    // (IndexKinds.mergeCorpus via PartitionedLayout) — then search.
+    // Hash-equal to the direct syncPersistedGraph leg, so the
+    // corpus-bucketing refactor is correctness-gated end to end.
+    "facade_route_graph_synced" -> ((s, dir) => {
+      import graft.index.ChangeLog
+      val e = emb(s, dir)
+      val vs = new VectorSearch(s, root("gsync", dir))
+      vs.createEndpoint("ep")
+      val idx = vs.createDeltaSyncIndex("ep",
+        e.filter(col("vec_id") >= 15 && col("vec_id") < 600),
+        "facade_gsync", "vec_id", "embedding", 64, "graph",
+        Map("m" -> "6", "buckets" -> "8", "entries" -> "4",
+          "beam" -> "4", "hops" -> "3", "entryMod" -> "5",
+          "metric" -> "l2"))
+      idx.sync(e.filter(col("vec_id") >= 5 && col("vec_id") < 15)
+        .withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(1L)))
+      rankCols(idx.search(e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3))
+    }),
+    // sq8 kind: the routed call scans the persisted byte-code file and
+    // refines the k·c survivors on the full vectors — hash-equal to
+    // the direct Sq8.rerankPersisted leg (frozen stats reloaded from
+    // the layout's _stats side file)
+    "facade_route_sq8" -> ((s, dir) => {
+      val vs = new VectorSearch(s, root("sq8", dir))
+      vs.createEndpoint("ep")
+      val idx = vs.createDeltaSyncIndex("ep",
+        emb(s, dir).filter(col("vec_id") >= 5), "facade_sq8",
+        "vec_id", "embedding", 64, "sq8", Map("c" -> "4"))
+      rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3))
+    }),
+    // pq kind: flat ADC over the persisted code column (IVF degenerate
+    // to one cell — FAISS IndexPQ), exact refine on survivors —
+    // hash-equal to the direct Pq.rerank leg
+    "facade_route_pq" -> ((s, dir) => {
+      val vs = new VectorSearch(s, root("pq", dir))
+      vs.createEndpoint("ep")
+      val idx = vs.createDeltaSyncIndex("ep",
+        emb(s, dir).filter(col("vec_id") >= 5), "facade_pq",
+        "vec_id", "embedding", 64, "pq",
+        Map("m" -> "16", "codebookK" -> "32", "c" -> "4"))
+      rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3))
+    }),
+    // ivfpq kind: the full FAISS IVFPQ composition behind the façade —
+    // cell pruning × code-column ADC × exact refine
+    "facade_route_ivfpq" -> ((s, dir) => {
+      val vs = new VectorSearch(s, root("ivfpq", dir))
+      vs.createEndpoint("ep")
+      val idx = vs.createDeltaSyncIndex("ep",
+        emb(s, dir).filter(col("vec_id") >= 5), "facade_ivfpq",
+        "vec_id", "embedding", 64, "ivfpq",
+        Map("cells" -> "16", "nProbe" -> "4", "m" -> "16",
+          "codebookK" -> "32", "c" -> "4"))
+      rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3))
+    }),
+    // ivf kind with trained=true: the routed build trains k-means
+    // centroids (buildIvfTrained) instead of the deterministic
+    // first-k — the recall-grade codebooks from the same façade call
+    "facade_route_ivf_trained" -> ((s, dir) => {
+      val vs = new VectorSearch(s, root("ivftr", dir))
+      vs.createEndpoint("ep")
+      val idx = vs.createDeltaSyncIndex("ep",
+        emb(s, dir).filter(col("vec_id") >= 5), "facade_ivftr",
+        "vec_id", "embedding", 64, "ivf",
+        Map("cells" -> "16", "nProbe" -> "4", "trained" -> "true",
+          "iters" -> "2", "sampleN" -> "128"))
+      rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3))
+    }),
+    // ivfpq kind with trained=true: BOTH quantizers k-means-trained
+    // (centroids and codebooks) — the 100×-scale quality configuration
+    // through the one entry point
+    "facade_route_ivfpq_trained" -> ((s, dir) => {
+      val vs = new VectorSearch(s, root("ivfpqtr", dir))
+      vs.createEndpoint("ep")
+      val idx = vs.createDeltaSyncIndex("ep",
+        emb(s, dir).filter(col("vec_id") >= 5), "facade_ivfpqtr",
+        "vec_id", "embedding", 64, "ivfpq",
+        Map("cells" -> "16", "nProbe" -> "4", "m" -> "16",
+          "codebookK" -> "32", "c" -> "4", "trained" -> "true",
+          "iters" -> "2", "sampleN" -> "128"))
+      rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3))
+    }),
     // hybrid kind: one index carries the term-bucketed postings AND
     // the vector corpus; the routed call fuses both legs by RRF
     "facade_route_hybrid" -> ((s, dir) => {
@@ -145,5 +236,13 @@ object FacadeQueries {
     "facade_route_graph" -> InfraQueries.oracleSql("ann_graph_topk"),
     "facade_route_graph_layered" ->
       InfraQueries.oracleSql("ann_graph_layered_persisted"),
+    "facade_route_graph_synced" -> InfraQueries.oracleSql("ann_graph_synced"),
+    "facade_route_sq8" -> InfraQueries.oracleSql("ann_sq8_rerank"),
+    "facade_route_pq" -> InfraQueries.oracleSql("ann_pq_rerank"),
+    "facade_route_ivfpq" -> InfraQueries.oracleSql("ann_ivfpq_topk"),
+    "facade_route_ivf_trained" ->
+      InfraQueries.oracleSql("ann_ivf_trained_topk"),
+    "facade_route_ivfpq_trained" ->
+      InfraQueries.oracleSql("ann_ivfpq_trained_persisted"),
     "facade_route_hybrid" -> VectorQueries.oracleSql("hybrid_rrf_topk"))
 }

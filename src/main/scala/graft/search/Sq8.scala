@@ -102,6 +102,33 @@ object Sq8 {
     Stats(mins, maxs)
   }
 
+  /** Persist fit stats beside a [[persist]] layout (`path + "_stats"`,
+    * dim rows — driver-small like Pq's `_codebooks` side file) so the
+    * layout is self-contained: a reopened catalog reloads the frozen
+    * quantization grid instead of refitting. */
+  def persistStats(spark: org.apache.spark.sql.SparkSession, stats: Stats,
+      path: String): Unit = {
+    import spark.implicits._
+    stats.mins.indices.map(d => (d, stats.mins(d), stats.maxs(d)))
+      .toDF("__d", "__mn", "__mx").coalesce(1)
+      .write.mode("overwrite").parquet(path + "_stats")
+  }
+
+  /** Reload persisted [[persistStats]] stats — dim rows, driver-small. */
+  def loadStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): Stats = {
+    val rows = spark.read.parquet(path + "_stats")
+      .select("__d", "__mn", "__mx").collect()
+    require(rows.nonEmpty, s"no SQ8 stats at ${path}_stats")
+    val dim = rows.map(_.getInt(0)).max + 1
+    val mins = new Array[Double](dim)
+    val maxs = new Array[Double](dim)
+    rows.foreach { r =>
+      mins(r.getInt(0)) = r.getDouble(1); maxs(r.getInt(0)) = r.getDouble(2)
+    }
+    Stats(mins, maxs)
+  }
+
   def encode(c: Column, stats: Stats): Column =
     Bridge.column(Sq8Encode(Bridge.expression(c), stats.mins, stats.maxs))
 

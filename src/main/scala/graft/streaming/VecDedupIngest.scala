@@ -198,6 +198,9 @@ object VecDedupIngest {
     val newDocs = admitted.withColumn("__dbkt",
       pmod(xxhash64(col(idCol)), lit(Ann.signLshDocBuckets.toLong))
         .cast("int"))
+      // project onto the docs layout's column set — a journal carrying
+      // extra metadata columns must not leave file-dependent schemas
+      .select(docsTable.columns.map(col): _*)
     if (dbks.nonEmpty) {
       val docsHit = docsTable.filter(col("__dbkt").isin(dbks: _*))
         .join(ids, Seq(idCol), "left_semi")
@@ -207,7 +210,12 @@ object VecDedupIngest {
         .union(pruned.join(ids, Seq(idCol), "left_semi")
           .select(lit(1).as("x")).limit(1))
         .collect().nonEmpty
-      val carry = admitted.columns
+      // carry = the persisted layout's own non-partition columns (from
+      // the already-listed pruned scan — no extra read), matching the
+      // merge path's newRows.select(current.columns) contract: the
+      // append fast path must not write batch-dependent schemas
+      val carry = pruned.columns
+        .filterNot(Set("__t", "__code").contains)
       def codeRows(df: DataFrame) = df.select(carry.map(col) :+
         posexplode(col("__codes")).as(Seq("__t", "__code")): _*)
       if (!replay) {

@@ -51,6 +51,56 @@ class FacadeRouteSpec extends SparkSpec {
       s"routed plan must prune bucket dirs:\n${plan.take(1500)}")
   }
 
+  test("sq8 kind: the routed coarse stage scans the byte-code file, " +
+      "not the vectors") {
+    spark.sharedState.cacheManager.clearCache()
+    val idx = mkIndex("plan_sq8", "sq8", Map("c" -> "4"))
+    val df = idx.search(queries, "vec_id", "embedding", 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__sq8_codes"),
+      s"routed plan must read the codes file:\n${plan.take(1500)}")
+  }
+
+  test("ivfpq kind: the routed scan prunes cells and reads the code " +
+      "column") {
+    spark.sharedState.cacheManager.clearCache()
+    val idx = mkIndex("plan_ivfpq", "ivfpq",
+      Map("cells" -> "8", "nProbe" -> "2", "m" -> "16",
+        "codebookK" -> "16", "c" -> "4"))
+    val df = idx.search(queries, "vec_id", "embedding", 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__ivfpq"),
+      s"routed plan must read the ivfpq layout:\n${plan.take(1500)}")
+    assert(plan.contains("PartitionFilters: [__cell"),
+      s"routed plan must prune cells at the listing:\n${plan.take(1500)}")
+    assert(plan.contains("__codes"),
+      s"coarse stage must scan the code column:\n${plan.take(1500)}")
+  }
+
+  test("trained ivf kind persists k-means centroids (different from " +
+      "the deterministic first-k) and routes through them") {
+    val det = mkIndex("tr_det", "ivf", Map("cells" -> "8", "nProbe" -> "8"))
+    val tr = mkIndex("tr_kmeans", "ivf",
+      Map("cells" -> "8", "nProbe" -> "8", "trained" -> "true",
+        "iters" -> "2", "sampleN" -> "64"))
+    def cents(idx: Index): Set[Seq[Float]] =
+      spark.read.parquet(
+          graft.index.IndexKinds.layoutPath(idx.meta) + "_centroids")
+        .select("__centroid").as[Seq[Float]].collect().toSet
+    assert(cents(det) !== cents(tr),
+      "trained=true must persist k-means centroids, not the first-k rows")
+    // full-probe search over both still agrees with exact top-k: at
+    // nProbe = cells there is no pruning loss on either centroid set
+    val qv = queries.orderBy("vec_id").select("embedding")
+      .head().getSeq[Float](0)
+    assert(tr.similaritySearch(Seq("vec_id"), qv, 3)
+      .select("vec_id").as[Long].collect().toSeq ===
+      det.similaritySearch(Seq("vec_id"), qv, 3)
+        .select("vec_id").as[Long].collect().toSeq)
+  }
+
   test("similaritySearch returns the requested columns plus score on " +
       "a routed kind, ranked like the exact kind") {
     val ivf = mkIndex("cols_ivf", "ivf",
@@ -108,6 +158,48 @@ class FacadeRouteSpec extends SparkSpec {
     val after = idx.similaritySearch(Seq("vec_id"), qv0, 1)
       .as[(Long, Double)].collect().head
     assert(after._1 !== 0L, s"deleted row resurfaced: $after")
+  }
+
+  test("graph corpus sync is touched-dir-only: untouched pk-hash " +
+      "bucket dirs stay byte-identical") {
+    import graft.index.{ChangeLog, IndexKinds}
+    val idx = mkIndex("corp_bkt", "graph",
+      Map("m" -> "4", "buckets" -> "4", "entries" -> "2", "beam" -> "3",
+        "hops" -> "2", "metric" -> "l2"))
+    val corpusPath = IndexKinds.layoutPath(idx.meta) + "_corpus"
+    // the side table is pk-hash-bucketed on disk (but the routed reads
+    // never see the bucket column)
+    assert(new java.io.File(corpusPath).listFiles()
+      .exists(_.getName.startsWith("__cbkt=")),
+      "corpus side table must be partitioned by __cbkt")
+    assert(!IndexKinds.corpusTable(spark, idx.meta)
+      .columns.contains("__cbkt"))
+    def snapshot(): Map[String, Seq[(String, Long)]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      new java.io.File(corpusPath).listFiles()
+        .filter(_.getName.startsWith("__cbkt=")).map { d =>
+          d.getName -> walk(d).filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified())).sorted
+        }.toMap
+    }
+    val before = snapshot()
+    idx.sync(queries.filter($"vec_id" === 0)
+      .withColumn("__op", lit(ChangeLog.OpInsert))
+      .withColumn("__seq", lit(1L)))
+    val after = snapshot()
+    val touched = spark.range(1)
+      .select(pmod(xxhash64(lit(0L)), lit(32L)).cast("int"))
+      .head().getInt(0)
+    val touchedDir = s"__cbkt=$touched"
+    assert(after.contains(touchedDir),
+      s"the synced pk's bucket dir must exist after sync")
+    for ((dir, files) <- before if dir != touchedDir)
+      assert(after(dir) === files,
+        s"untouched corpus bucket $dir must stay byte-identical")
+    // and the synced row is served by the routed corpus relation
+    assert(IndexKinds.corpusTable(spark, idx.meta)
+      .filter($"vec_id" === 0).count() === 1)
   }
 
   test("hybrid kind demands query text; unknown kinds are rejected " +
