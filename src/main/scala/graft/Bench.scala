@@ -66,7 +66,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // build-vs-query split for the bench-heavy cells (runs after the
+    // timed sweep; not part of `total`). Placed at the END of the line:
+    // the driver archives a tail-truncated copy, and the tail survives.
+    val phases = SparkEntry.phases.map { case (name, fn) =>
+      val m = try fn(spark, sfDir) catch { case _: Throwable => Map.empty[String, Double] }
+      s"\"" + name + "\":" +
+        m.map { case (p, v) => s"\"" + p + "\":" + v }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","phases":$phases}""")
     spark.stop()
   }
 }

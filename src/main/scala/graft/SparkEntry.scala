@@ -28,6 +28,11 @@ object SparkEntry {
     QualityQueries.queries ++
     FacadeQueries.queries
 
+  /** Build-vs-query phase splits for the bench-heavy cells (emitted by
+    * Bench.scala as the JSON line's trailing `"phases"` map). */
+  def phases: Map[String, (SparkSession, String) => Map[String, Double]] =
+    FacadeQueries.phases
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -22,6 +22,23 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object PartitionedLayout {
 
+  /** Run two independent write/merge jobs concurrently — the two-table
+    * layouts (near-dup postings + `_docs`, sign-LSH codes + `_docs`,
+    * SQ8 codes + vectors) pay max() instead of sum() of two
+    * fixed-latency jobs per micro-batch. Safe whenever the two jobs
+    * touch DISJOINT paths (Spark schedules concurrent jobs from
+    * separate threads freely); both are awaited, the first failure
+    * propagates. */
+  def inParallel(a: => Unit, b: => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fa = Future(a)
+    val fb = Future(b)
+    Await.result(fa, Duration.Inf)
+    Await.result(fb, Duration.Inf)
+  }
+
   /** Inverse of Spark's partition-dir name escaping (%xx hex pairs —
     * ExternalCatalogUtils.unescapePathName's contract; malformed pairs
     * pass through verbatim). */

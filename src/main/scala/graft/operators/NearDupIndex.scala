@@ -71,13 +71,17 @@ object NearDupIndex {
     val sh = Dedup.withShingles(docs, idCol, textCol, n)
       .filter(size(col("sh")) > 0)
       .localCheckpoint(true) // feeds postings AND _docs: compute once
-    banded(sh, k, bands, algo, buckets)
-      .repartition(col("__bkt")) // one writer per posting dir
-      .write.mode("overwrite").partitionBy("__bkt").parquet(path)
-    sh.withColumn("__dbkt",
-        pmod(xxhash64(col("id")), lit(buckets.toLong)).cast("int"))
-      .repartition(col("__dbkt"))
-      .write.mode("overwrite").partitionBy("__dbkt").parquet(path + "_docs")
+    // the two tables land on disjoint paths — write them concurrently
+    // (max instead of sum of the two write jobs)
+    graft.index.PartitionedLayout.inParallel(
+      banded(sh, k, bands, algo, buckets)
+        .repartition(col("__bkt")) // one writer per posting dir
+        .write.mode("overwrite").partitionBy("__bkt").parquet(path),
+      sh.withColumn("__dbkt",
+          pmod(xxhash64(col("id")), lit(buckets.toLong)).cast("int"))
+        .repartition(col("__dbkt"))
+        .write.mode("overwrite").partitionBy("__dbkt")
+        .parquet(path + "_docs"))
     Seq((k, bands, n, algo, buckets))
       .toDF("k", "bands", "n", "algo", "buckets").coalesce(1)
       .write.mode("overwrite").parquet(path + "_meta")
@@ -254,15 +258,20 @@ object NearDupIndex {
       threshold: Double, intraBatch: Boolean = true,
       maxBucket: Option[Int] = None): DataFrame = {
     import graft.index.PartitionedLayout
-    val exact = Dedup.exactFirstWins(
+    // ONE materialization carries the exact-dedup rows AND their
+    // shingle sets (previously two chained checkpoints — a full
+    // fixed-latency action saved per micro-batch); `exact` and `sh`
+    // are lazy projections of it
+    val withSh = Dedup.exactFirstWins(
         Dedup.exactFirstWins(
           batch.withColumn("__xh", md5(col(textCol))), Seq("__xh"), idCol),
         Seq(idCol), "__xh") // duplicate ids collapse: min content hash
       .drop("__xh")
-      .localCheckpoint(true) // probe anti-join + sweep + result consume it
-    val sh = Dedup.withShingles(exact, idCol, textCol, idx.n)
+      .withColumn("__sh", Dedup.shingles(col(textCol), idx.n))
+      .localCheckpoint(true)
+    val exact = withSh.drop("__sh")
+    val sh = withSh.select(col(idCol).as("id"), col("__sh").as("sh"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint(true) // banding + refine legs + merge consume it
     val dBanded = banded(sh, idx.k, idx.bands, idx.algo, idx.buckets)
       .withColumnRenamed("id", "delta_id")
       .localCheckpoint(true) // bucket list + probe + self-join + merge
@@ -347,12 +356,14 @@ object NearDupIndex {
         .collect().nonEmpty
       if (!replay) {
         // fresh batch: append new files into the touched dirs — no
-        // current-rows read, no pre-write checkpoint, no dir rewrite
-        newPost.repartition(col("__bkt"))
-          .write.mode("append").partitionBy("__bkt").parquet(idx.path)
-        newDocs.repartition(col("__dbkt"))
-          .write.mode("append").partitionBy("__dbkt")
-          .parquet(idx.path + "_docs")
+        // current-rows read, no pre-write checkpoint, no dir rewrite;
+        // the two tables' appends run concurrently (disjoint paths)
+        graft.index.PartitionedLayout.inParallel(
+          newPost.repartition(col("__bkt"))
+            .write.mode("append").partitionBy("__bkt").parquet(idx.path),
+          newDocs.repartition(col("__dbkt"))
+            .write.mode("append").partitionBy("__dbkt")
+            .parquet(idx.path + "_docs"))
       } else {
         // replay / live-id re-ingest: full anti-join merge of the
         // touched dirs (idempotent — the self-repair contract)

@@ -13,6 +13,18 @@ object DedupQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  /** Shared read-only near-dup index over `doc_id >= 60` (md5 mode) —
+    * the delta-probe and bucket-stats queries build it once per JVM
+    * ([[BuildCache]] contract; the sync query keeps a private copy). */
+  private def sharedNearDupIdx(s: SparkSession,
+      dir: String): graft.operators.PersistedNearDup =
+    BuildCache.memo(s"ndidx:ge60:md5:$dir") {
+      graft.operators.NearDupIndex.persist(
+        docs(s, dir).filter(col("doc_id") >= 60), "doc_id", "text",
+        s"${System.getProperty("java.io.tmpdir")}/graft_shared_ndidx/" +
+          dir.replaceAll("[^0-9.]", ""), algo = "md5")
+    }
+
   /** Append one journal file and pin its mtime to `ts` so the file
     * stream source (which orders files by modification time) replays
     * journal batches in write order even on coarse-mtime filesystems. */
@@ -205,11 +217,7 @@ object DedupQueries {
     // cross-block band collisions.
     "near_dup_delta" -> ((s, dir) => {
       val d = docs(s, dir)
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ndidx/" +
-        dir.replaceAll("[^0-9.]", "")
-      val idx = graft.operators.NearDupIndex.persist(
-        d.filter(col("doc_id") >= 60), "doc_id", "text", root,
-        algo = "md5")
+      val idx = sharedNearDupIdx(s, dir)
       graft.operators.NearDupIndex.nearDupsAgainst(s, idx,
           d.filter(col("doc_id") < 60), "doc_id", "text",
           threshold = 0.5)
@@ -220,13 +228,8 @@ object DedupQueries {
     // In md5 mode the bucket keys replay as SQL, so the stats are
     // hash-checked too.
     "near_dup_bucket_stats" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ndstats/" +
-        dir.replaceAll("[^0-9.]", "")
-      val idx = graft.operators.NearDupIndex.persist(
-        d.filter(col("doc_id") >= 60), "doc_id", "text", root,
-        algo = "md5")
-      graft.operators.NearDupIndex.bucketStats(s, idx, minSize = 2L)
+      graft.operators.NearDupIndex.bucketStats(s,
+        sharedNearDupIdx(s, dir), minSize = 2L)
     }),
     // The same persisted index MAINTAINED through a change batch before
     // probing: docs [130,200) arrive as inserts, corpus doc 245 (a

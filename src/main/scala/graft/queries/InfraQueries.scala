@@ -23,6 +23,77 @@ object InfraQueries {
   private def tmpPath(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_idx/$name"
 
+  // ---- shared read-only builds ([[BuildCache]] contract: keys carry
+  // every build parameter; sync-style queries never use these) ----
+
+  private def graphCorpus(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") >= 5 && col("vec_id") < 1000)
+
+  /** The [5,1000) exact m=6 graph the whole graph family walks — the
+    * O(n²) edge build materializes once per JVM instead of once per
+    * query. */
+  private def sharedGraphExact(s: SparkSession,
+      dir: String): GraphAnn.KnnGraph =
+    BuildCache.memo(s"gexact:m6:$dir") {
+      val g = GraphAnn.buildGraphExact(graphCorpus(s, dir), "embedding",
+        "vec_id", m = 6)
+      GraphAnn.KnnGraph(g.edges.localCheckpoint(true), g.m)
+    }
+
+  private def sharedEntryGraph(s: SparkSession,
+      dir: String): GraphAnn.KnnGraph =
+    BuildCache.memo(s"gentry:mod5:m1_4:$dir") {
+      val g = GraphAnn.buildEntryGraphExact(graphCorpus(s, dir),
+        "embedding", "vec_id", entryMod = 5L, m1 = 4)
+      GraphAnn.KnnGraph(g.edges.localCheckpoint(true), g.m)
+    }
+
+  private def sharedPersistedGraph(s: SparkSession,
+      dir: String): GraphAnn.PersistedGraph =
+    BuildCache.memo(s"pgraph:b16:$dir") {
+      GraphAnn.persistGraph(sharedGraphExact(s, dir),
+        s"${System.getProperty("java.io.tmpdir")}/graft_shared_pgraph/" +
+          dir.replaceAll("[^0-9.]", ""), buckets = 16)
+    }
+
+  private def sharedPersistedLayered(s: SparkSession, dir: String)
+      : (GraphAnn.PersistedGraph, GraphAnn.PersistedGraph) =
+    BuildCache.memo(s"pglay:b8_4:$dir") {
+      val root =
+        s"${System.getProperty("java.io.tmpdir")}/graft_shared_pglay/" +
+          dir.replaceAll("[^0-9.]", "")
+      (GraphAnn.persistGraph(sharedGraphExact(s, dir), root, buckets = 8),
+        GraphAnn.persistGraph(sharedEntryGraph(s, dir), root + "_entry",
+          buckets = 4))
+    }
+
+  private def sharedSq8Stats(s: SparkSession,
+      dir: String): graft.search.Sq8.Stats =
+    BuildCache.memo(s"sq8stats:ge5:$dir") {
+      graft.search.Sq8.fit(emb(s, dir).filter(col("vec_id") >= 5),
+        "embedding")
+    }
+
+  private def sharedPersistedSq8(s: SparkSession,
+      dir: String): graft.search.Sq8.PersistedSq8 =
+    BuildCache.memo(s"psq8:ge5:$dir") {
+      graft.search.Sq8.persist(emb(s, dir).filter(col("vec_id") >= 5),
+        "embedding", "vec_id",
+        s"${System.getProperty("java.io.tmpdir")}/graft_shared_psq8/" +
+          dir.replaceAll("[^0-9.]", ""), sharedSq8Stats(s, dir))
+    }
+
+  private def sharedPersistedSignLsh(s: SparkSession,
+      dir: String): Ann.PersistedSignLsh =
+    BuildCache.memo(s"pslsh:t8b4:ge5:$dir") {
+      Ann.persistSignLsh(
+        Ann.buildSignLsh(emb(s, dir).filter(col("vec_id") >= 5),
+          "embedding", tables = 8, bits = 4),
+        "vec_id", "embedding",
+        s"${System.getProperty("java.io.tmpdir")}/graft_shared_pslsh/" +
+          dir.replaceAll("[^0-9.]", ""))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Build a vector index (normalize + norm column + persist) and report
     // its stats — oracle checks rows/pks/avg pre-normalization norm.
@@ -434,12 +505,8 @@ object InfraQueries {
     // pruned form.
     "ann_graph_persisted" -> ((s, dir) => {
       val e = emb(s, dir)
-      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 1000)
-      val graph = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id",
-        m = 6)
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pgraph/" +
-        dir.replaceAll("[^0-9.]", "")
-      val pg = GraphAnn.persistGraph(graph, root, buckets = 16)
+      val corpus = graphCorpus(s, dir)
+      val pg = sharedPersistedGraph(s, dir)
       GraphAnn.queryPersistedGraph(s, pg, corpus,
           e.filter(col("vec_id") < 5), "vec_id", "embedding",
           "vec_id", "embedding", k = 3, entries = 4, beam = 4, hops = 3,
@@ -457,12 +524,8 @@ object InfraQueries {
     // the label predicate at the final rank only.
     "ann_graph_filtered" -> ((s, dir) => {
       val e = emb(s, dir)
-      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 1000)
-      val graph = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id",
-        m = 6)
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pgraphfil/" +
-        dir.replaceAll("[^0-9.]", "")
-      val pg = GraphAnn.persistGraph(graph, root, buckets = 16)
+      val corpus = graphCorpus(s, dir)
+      val pg = sharedPersistedGraph(s, dir)
       GraphAnn.queryPersistedGraph(s, pg, corpus,
           e.filter(col("vec_id") < 5), "vec_id", "embedding",
           "vec_id", "embedding", k = 3, entries = 4, beam = 4, hops = 3,
@@ -479,12 +542,7 @@ object InfraQueries {
     // ann_sq8_rerank's oracle.
     "ann_sq8_persisted" -> ((s, dir) => {
       val e = emb(s, dir)
-      val corpus = e.filter(col("vec_id") >= 5)
-      val stats = graft.search.Sq8.fit(corpus, "embedding")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_psq8/" +
-        dir.replaceAll("[^0-9.]", "")
-      val idx = graft.search.Sq8.persist(corpus, "embedding", "vec_id",
-        root, stats)
+      val idx = sharedPersistedSq8(s, dir)
       graft.search.Sq8.rerankPersisted(s, idx,
           e.filter(col("vec_id") < 5), "embedding", "vec_id",
           "vec_id", "embedding", k = 3, c = 4)
@@ -529,12 +587,7 @@ object InfraQueries {
     // vector file's filtered, column-pruned scan.
     "ann_sq8_filtered" -> ((s, dir) => {
       val e = emb(s, dir)
-      val corpus = e.filter(col("vec_id") >= 5)
-      val stats = graft.search.Sq8.fit(corpus, "embedding")
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_psq8fil/" +
-        dir.replaceAll("[^0-9.]", "")
-      val idx = graft.search.Sq8.persist(corpus, "embedding", "vec_id",
-        root, stats)
+      val idx = sharedPersistedSq8(s, dir)
       graft.search.Sq8.rerankPersisted(s, idx,
           e.filter(col("vec_id") < 5), "embedding", "vec_id",
           "vec_id", "embedding", k = 3, c = 4,
@@ -580,11 +633,7 @@ object InfraQueries {
     // exercised here is the 100 TB on-disk form.
     "ann_signlsh_persisted" -> ((s, dir) => {
       val e = emb(s, dir)
-      val index = Ann.buildSignLsh(e.filter(col("vec_id") >= 5),
-        "embedding", tables = 8, bits = 4)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pslsh/" +
-        dir.replaceAll("[^0-9.]", "")
-      val persisted = Ann.persistSignLsh(index, "vec_id", "embedding", path)
+      val persisted = sharedPersistedSignLsh(s, dir)
       Ann.queryPersistedSignLsh(s, persisted, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", "vec_id", "embedding", k = 3)
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
@@ -627,11 +676,7 @@ object InfraQueries {
     // semantics, same contract as ann_ivf_filtered.
     "ann_signlsh_filtered" -> ((s, dir) => {
       val e = emb(s, dir)
-      val index = Ann.buildSignLsh(e.filter(col("vec_id") >= 5),
-        "embedding", tables = 8, bits = 4)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pslshfil/" +
-        dir.replaceAll("[^0-9.]", "")
-      val persisted = Ann.persistSignLsh(index, "vec_id", "embedding", path)
+      val persisted = sharedPersistedSignLsh(s, dir)
       Ann.queryPersistedSignLsh(s, persisted, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", "vec_id", "embedding", k = 3,
           rowFilter = Some(col("label") === 1))
@@ -647,7 +692,7 @@ object InfraQueries {
     "ann_sq8_rerank" -> ((s, dir) => {
       val e = emb(s, dir)
       val corpus = e.filter(col("vec_id") >= 5)
-      val stats = graft.search.Sq8.fit(corpus, "embedding")
+      val stats = sharedSq8Stats(s, dir)
       graft.search.Sq8.rerank(corpus, e.filter(col("vec_id") < 5),
           "embedding", "vec_id", "embedding", "vec_id",
           k = 3, c = 4, stats)
@@ -883,9 +928,8 @@ object InfraQueries {
     // 100 TB build path) keeps its recall assertions in GraphAnnSpec.
     "ann_graph_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 1000)
-      val graph = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id",
-        m = 6)
+      val corpus = graphCorpus(s, dir)
+      val graph = sharedGraphExact(s, dir)
       GraphAnn.queryGraph(graph, corpus, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", "vec_id", "embedding",
           k = 3, entries = 4, beam = 4, hops = 3, metric = Metric.L2,
@@ -903,11 +947,9 @@ object InfraQueries {
     // replays the full hierarchy.
     "ann_graph_layered_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 1000)
-      val graph = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id",
-        m = 6)
-      val entry = GraphAnn.buildEntryGraphExact(corpus, "embedding",
-        "vec_id", entryMod = 5L, m1 = 4)
+      val corpus = graphCorpus(s, dir)
+      val graph = sharedGraphExact(s, dir)
+      val entry = sharedEntryGraph(s, dir)
       GraphAnn.queryGraphLayered(graph, entry, corpus,
           e.filter(col("vec_id") < 5), "vec_id", "embedding",
           "vec_id", "embedding", k = 3, entries = 4, beam = 4, hops = 3,
@@ -925,15 +967,8 @@ object InfraQueries {
     // exercised is the on-disk pruned form of the full hierarchy.
     "ann_graph_layered_persisted" -> ((s, dir) => {
       val e = emb(s, dir)
-      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 1000)
-      val graph = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id",
-        m = 6)
-      val entry = GraphAnn.buildEntryGraphExact(corpus, "embedding",
-        "vec_id", entryMod = 5L, m1 = 4)
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pglay/" +
-        dir.replaceAll("[^0-9.]", "")
-      val pg = GraphAnn.persistGraph(graph, root, buckets = 8)
-      val epg = GraphAnn.persistGraph(entry, root + "_entry", buckets = 4)
+      val corpus = graphCorpus(s, dir)
+      val (pg, epg) = sharedPersistedLayered(s, dir)
       GraphAnn.queryPersistedGraphLayered(s, pg, epg, corpus,
           e.filter(col("vec_id") < 5), "vec_id", "embedding",
           "vec_id", "embedding", k = 3, entries = 4, beam = 4, hops = 3,
@@ -949,15 +984,8 @@ object InfraQueries {
     // contract of ann_graph_filtered through the full hierarchy.
     "ann_graph_layered_filtered" -> ((s, dir) => {
       val e = emb(s, dir)
-      val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 1000)
-      val graph = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id",
-        m = 6)
-      val entry = GraphAnn.buildEntryGraphExact(corpus, "embedding",
-        "vec_id", entryMod = 5L, m1 = 4)
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pglayfil/" +
-        dir.replaceAll("[^0-9.]", "")
-      val pg = GraphAnn.persistGraph(graph, root, buckets = 8)
-      val epg = GraphAnn.persistGraph(entry, root + "_entry", buckets = 4)
+      val corpus = graphCorpus(s, dir)
+      val (pg, epg) = sharedPersistedLayered(s, dir)
       GraphAnn.queryPersistedGraphLayered(s, pg, epg, corpus,
           e.filter(col("vec_id") < 5), "vec_id", "embedding",
           "vec_id", "embedding", k = 3, entries = 4, beam = 4, hops = 3,

@@ -27,6 +27,17 @@ object VectorQueries {
 
   /** `documents ⋈ embeddings` on the shared id space — the corpus shape
     * hybrid retrieval needs (text AND vector per row). */
+  /** Shared read-only BM25 postings over the `doc_id >= 3` hybrid
+    * corpus ([[BuildCache]] contract) — the persisted+filtered pair
+    * builds it once per JVM. */
+  private def sharedPostings(s: SparkSession, dir: String,
+      corpus: DataFrame): graft.search.Hybrid.PersistedPostings =
+    BuildCache.memo(s"ppost:b32:ge3:$dir") {
+      graft.search.Hybrid.persistPostings(corpus, "doc_id", "text",
+        s"${System.getProperty("java.io.tmpdir")}/graft_shared_ppost/" +
+          dir.replaceAll("[^0-9.]", ""), buckets = 32)
+    }
+
   private def hybridCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
     val e = emb(s, dir)
@@ -81,10 +92,7 @@ object VectorQueries {
       val q = all.filter(col("doc_id") < 3)
         .select(col("doc_id").as("qid"), col("text").as("qtext"),
           col("embedding").as("qvec"))
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ppost/" +
-        dir.replaceAll("[^0-9.]", "")
-      val idx = graft.search.Hybrid.persistPostings(corpus, "doc_id",
-        "text", root, buckets = 32)
+      val idx = sharedPostings(s, dir, corpus)
       graft.search.Hybrid.hybridTopKPersistedKw(s, idx, corpus, q,
           "qid", "qtext", "qvec", "doc_id", "embedding", n = 10, k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
@@ -104,10 +112,7 @@ object VectorQueries {
       val q = all.filter(col("doc_id") < 3)
         .select(col("doc_id").as("qid"), col("text").as("qtext"),
           col("embedding").as("qvec"))
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ppostfil/" +
-        dir.replaceAll("[^0-9.]", "")
-      val idx = graft.search.Hybrid.persistPostings(corpus, "doc_id",
-        "text", root, buckets = 32)
+      val idx = sharedPostings(s, dir, corpus)
       graft.search.Hybrid.hybridTopKPersistedKw(s, idx, corpus, q,
           "qid", "qtext", "qvec", "doc_id", "embedding", n = 10, k = 5,
           rowFilter = Some(col("lang") === "en"))

@@ -289,13 +289,15 @@ object Ann {
       else Seq("__cell")
     // one writer per cell (or sub-cell) dir — without this every task
     // writes a sliver into every cell it touches (cells×parallelism
-    // small files); sub-cells keep hot cells on multiple writers
-    index.corpusWithCell
-      .repartition(partCols.map(col): _*)
-      .write.mode("overwrite")
-      .partitionBy(partCols: _*).parquet(path)
-    index.centroids.coalesce(1)
-      .write.mode("overwrite").parquet(path + "_centroids")
+    // small files); sub-cells keep hot cells on multiple writers.
+    // Layout and centroid side file land on disjoint paths → concurrent
+    graft.index.PartitionedLayout.inParallel(
+      index.corpusWithCell
+        .repartition(partCols.map(col): _*)
+        .write.mode("overwrite")
+        .partitionBy(partCols: _*).parquet(path),
+      index.centroids.coalesce(1)
+        .write.mode("overwrite").parquet(path + "_centroids"))
     // a split index also persists its (cell → sub-cell count) map: the
     // metadata syncPersistedIvf needs to assign delta rows the same
     // sub-cell a full build would (same hash, same modulus)
@@ -504,24 +506,27 @@ object Ann {
     // that is what lets a rowFilter land on the pruned layout scan
     val carry = index.corpusCoded.columns.filterNot(_ == "__codes")
       .map(col).toSeq
-    index.corpusCoded
-      .select(carry :+
-        posexplode(col("__codes")).as(Seq("__t", "__code")): _*)
-      // cluster rows by their target partition first: one writer per
-      // (table, code) dir instead of every task spraying a file into
-      // every dir it touches — tables×2^bits×parallelism tiny files
-      // otherwise, the classic partitioned-write mistake at scale
-      .repartition(col("__t"), col("__code"))
-      .write.mode("overwrite").partitionBy("__t", "__code").parquet(path)
-    // pk-hash-bucketed row table: sync's pk lookups prune to ≤ batch
-    // dirs of it (codes are recomputable from the stored vector, so no
-    // separate code column is persisted here)
-    index.corpusCoded.drop("__codes")
-      .withColumn("__dbkt",
-        pmod(xxhash64(col(pkCol)), lit(SignLshDocBuckets.toLong))
-          .cast("int"))
-      .repartition(col("__dbkt"))
-      .write.mode("overwrite").partitionBy("__dbkt").parquet(path + "_docs")
+    // the two tables land on disjoint paths — write them concurrently
+    graft.index.PartitionedLayout.inParallel(
+      index.corpusCoded
+        .select(carry :+
+          posexplode(col("__codes")).as(Seq("__t", "__code")): _*)
+        // cluster rows by their target partition first: one writer per
+        // (table, code) dir instead of every task spraying a file into
+        // every dir it touches — tables×2^bits×parallelism tiny files
+        // otherwise, the classic partitioned-write mistake at scale
+        .repartition(col("__t"), col("__code"))
+        .write.mode("overwrite").partitionBy("__t", "__code").parquet(path),
+      // pk-hash-bucketed row table: sync's pk lookups prune to ≤ batch
+      // dirs of it (codes are recomputable from the stored vector, so no
+      // separate code column is persisted here)
+      index.corpusCoded.drop("__codes")
+        .withColumn("__dbkt",
+          pmod(xxhash64(col(pkCol)), lit(SignLshDocBuckets.toLong))
+            .cast("int"))
+        .repartition(col("__dbkt"))
+        .write.mode("overwrite").partitionBy("__dbkt")
+        .parquet(path + "_docs"))
     PersistedSignLsh(path, index.tables, index.bits)
   }
 

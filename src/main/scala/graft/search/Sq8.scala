@@ -188,13 +188,16 @@ object Sq8 {
   def persist(corpus: DataFrame, vecCol: String, pkCol: String,
       path: String, stats: Stats): PersistedSq8 = {
     val valid = corpus.filter(col(vecCol).isNotNull)
-    withBucket(valid.select(col(pkCol),
-        encode(col(vecCol), stats).as("__code")), pkCol)
-      .repartition(col("__dbkt"))
-      .write.mode("overwrite").partitionBy("__dbkt").parquet(path + "_codes")
-    withBucket(valid, pkCol)
-      .repartition(col("__dbkt"))
-      .write.mode("overwrite").partitionBy("__dbkt").parquet(path)
+    // disjoint paths — the codes and vector files write concurrently
+    graft.index.PartitionedLayout.inParallel(
+      withBucket(valid.select(col(pkCol),
+          encode(col(vecCol), stats).as("__code")), pkCol)
+        .repartition(col("__dbkt"))
+        .write.mode("overwrite").partitionBy("__dbkt")
+        .parquet(path + "_codes"),
+      withBucket(valid, pkCol)
+        .repartition(col("__dbkt"))
+        .write.mode("overwrite").partitionBy("__dbkt").parquet(path))
     PersistedSq8(path, stats)
   }
 

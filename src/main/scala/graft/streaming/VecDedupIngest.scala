@@ -220,13 +220,15 @@ object VecDedupIngest {
         posexplode(col("__codes")).as(Seq("__t", "__code")): _*)
       if (!replay) {
         // fresh batch: append new files into the touched dirs — no
-        // current-rows read, no pre-write checkpoint, no dir rewrite
-        codeRows(newCoded).repartition(col("__t"), col("__code"))
-          .write.mode("append").partitionBy("__t", "__code")
-          .parquet(idx.path)
-        newDocs.repartition(col("__dbkt"))
-          .write.mode("append").partitionBy("__dbkt")
-          .parquet(idx.path + "_docs")
+        // current-rows read, no pre-write checkpoint, no dir rewrite;
+        // the two tables' appends run concurrently (disjoint paths)
+        PartitionedLayout.inParallel(
+          codeRows(newCoded).repartition(col("__t"), col("__code"))
+            .write.mode("append").partitionBy("__t", "__code")
+            .parquet(idx.path),
+          newDocs.repartition(col("__dbkt"))
+            .write.mode("append").partitionBy("__dbkt")
+            .parquet(idx.path + "_docs"))
       } else {
         // replay / live-id re-ingest: full anti-join merge of the
         // touched dirs (idempotent — the self-repair contract)

@@ -31,12 +31,35 @@ object ScaleRehearsal {
 
   /** One measured access path at one scale. `filesRead`/`rowsRead` are
     * the executed scan's numFiles/numOutputRows over `totalFiles` in
-    * the scanned location; `sec` is wall time of the action. */
+    * the scanned location; `bytesAdmitted` is the scan's filesSize
+    * metric (bytes the PRUNED listing admits — the quantized layouts'
+    * compression story measured on disk); `sec` is wall time. */
   final case class Measure(leg: String, scale: Int, corpusRows: Long,
-      totalFiles: Long, filesRead: Long, rowsRead: Long, sec: Double)
+      totalFiles: Long, filesRead: Long, rowsRead: Long, sec: Double,
+      bytesAdmitted: Long = 0L)
 
-  /** Executed-plan file/row metrics for scans rooted under `pathFrag`
-    * (descends through AQE wrappers; run after the action). */
+  /** Executed-plan file/row/byte metrics for scans rooted under
+    * `pathFrag` (descends through AQE wrappers; run after the
+    * action). */
+  private def scanMetrics3(df: DataFrame,
+      pathFrag: String): (Long, Long, Long) = {
+    val (f, r) = scanMetrics(df, pathFrag)
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case fs: FileSourceScanExec => Seq(fs)
+      case other =>
+        other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    val bytes = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists { p =>
+        val s = p.toUri.getPath
+        s == pathFrag || s.startsWith(pathFrag + "/")
+      })
+      .map(_.metrics.get("filesSize").map(_.value).getOrElse(0L)).sum
+    (f, r, bytes)
+  }
+
   private def scanMetrics(df: DataFrame, pathFrag: String): (Long, Long) = {
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
       case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
@@ -74,9 +97,12 @@ object ScaleRehearsal {
       if (i == 0) emb
       else emb
         .withColumn("vec_id", col("vec_id") + lit(i * stride))
+        // keep the fixture's array<float> dtype: SQL float arithmetic
+        // widens to double, and a widened copy would silently retype
+        // the whole unioned corpus (quantizer fits collect floats)
         .withColumn("embedding", transform(col("embedding"), (x, j) =>
           (x + pmod(xxhash64(col("vec_id"), j, lit(i)), lit(1000L))
-            .cast("float") / lit(1e6f))))
+            .cast("float") / lit(1e6f)).cast("float")))
     }.reduce(_ unionByName _)
   }
 
@@ -206,6 +232,40 @@ object ScaleRehearsal {
       }
       val (kf, kr) = scanMetrics(kw, s"$base/post")
 
+      // --- SQ8: the coarse stage scans the byte-code FILE, the refine
+      // joins the float vectors back. No dir pruning exists here by
+      // design (the coarse stage is a full scan); the scale claim is
+      // COMPRESSION — the bytes the coarse scan admits stay a fraction
+      // of the float file's at every scale (1 B/dim vs 4 B/dim) ---
+      val sq8Stats = graft.search.Sq8.fit(corpus, "embedding")
+      val sq8Idx = graft.search.Sq8.persist(corpus, "embedding",
+        "vec_id", s"$base/sq8", sq8Stats)
+      spark.sharedState.cacheManager.clearCache()
+      val (sq8Df, sq8Sec) = timed {
+        val df = graft.search.Sq8.rerankPersisted(spark, sq8Idx, queries,
+          "qvec", "qid", "vec_id", "embedding", k = 5, c = 2)
+        df.collect(); df
+      }
+      val (s8cf, s8cr, s8cb) = scanMetrics3(sq8Df, s"$base/sq8_codes")
+      val (s8vf, s8vr, s8vb) = scanMetrics3(sq8Df, s"$base/sq8")
+
+      // --- IVF-PQ: cell partition pruning composed with the code
+      // column scan — the probed cells' files stay flat while the
+      // layout grows N× (the quantized family's pruning, metric-
+      // asserted like the plain IVF probe) ---
+      val ivfpqIdx = graft.search.Pq.persistIvfPq(
+        Ann.buildIvfDeterministic(corpus, "embedding", "vec_id", k = 32),
+        graft.search.Pq.fit(corpus, "embedding", "vec_id", m = 16, k = 16),
+        "embedding", s"$base/ivfpq")
+      spark.sharedState.cacheManager.clearCache()
+      val (ivfpqDf, ivfpqSec) = timed {
+        val df = graft.search.Pq.queryPersistedIvfPq(spark, ivfpqIdx,
+          queries, "qid", "qvec", "vec_id", "embedding", k = 5, c = 2,
+          nProbe = 2)
+        df.collect(); df
+      }
+      val (pqf, pqr, pqb) = scanMetrics3(ivfpqDf, s"$base/ivfpq")
+
       val ivfFiles = spark.read.parquet(s"$base/ivf").inputFiles.length
       val slshFiles = spark.read.parquet(s"$base/slsh").inputFiles.length
       val ndFiles = spark.read.parquet(s"$base/nd").inputFiles.length
@@ -226,7 +286,16 @@ object ScaleRehearsal {
         Measure("graph_hop", scale, corpusRows, graphFiles, gf, gr,
           hopSec),
         Measure("bm25_probe", scale, corpusRows, postFiles, kf, kr,
-          kwSec))
+          kwSec),
+        Measure("sq8_codes_scan", scale, corpusRows,
+          spark.read.parquet(s"$base/sq8_codes").inputFiles.length,
+          s8cf, s8cr, sq8Sec, s8cb),
+        Measure("sq8_vec_refine", scale, corpusRows,
+          spark.read.parquet(s"$base/sq8").inputFiles.length,
+          s8vf, s8vr, sq8Sec, s8vb),
+        Measure("ivfpq_probe", scale, corpusRows,
+          spark.read.parquet(s"$base/ivfpq").inputFiles.length,
+          pqf, pqr, ivfpqSec, pqb))
     }
   }
 
@@ -237,7 +306,10 @@ object ScaleRehearsal {
     def at(leg: String, scale: Int) =
       rows.find(r => r.leg == leg && r.scale == scale).get
     val v = scala.collection.mutable.ListBuffer[String]()
-    for (leg <- Seq("ivf_probe", "signlsh_probe", "neardup_probe")) {
+    // IVF-PQ: the quantized family's cell pruning, asserted like the
+    // plain IVF probe — probed-cell files flat while the layout grows
+    for (leg <- Seq("ivf_probe", "signlsh_probe", "neardup_probe",
+        "ivfpq_probe")) {
       val (one, big) = (at(leg, 1), at(leg, factor))
       // pruning holds: the probe opens the same bucket dirs no matter
       // how large the corpus grew (sub-cell splits allow a small slack)
@@ -273,6 +345,24 @@ object ScaleRehearsal {
         v += s"bm25_probe opened ${big.filesRead} of ${big.totalFiles} " +
           s"files at ${factor}x (probe reads most of the layout)"
     }
+    // SQ8: no dir pruning by design (the coarse stage is a full scan);
+    // the on-disk claim is compression — at the BLOWN-UP scale the
+    // codes scan admits a strict fraction of the float file's bytes
+    // (1 B/dim codes vs 4 B/dim floats; asserted at 2× not the
+    // nominal 4× because parquet encoding narrows the gap, and only
+    // at N× because per-file footer overhead dominates the tiny 1×
+    // dirs — the ratio IMPROVES with scale, which is the point)
+    locally {
+      val codes = at("sq8_codes_scan", factor)
+      val vecs = at("sq8_vec_refine", factor)
+      if (codes.bytesAdmitted <= 0 || vecs.bytesAdmitted <= 0)
+        v += s"sq8 byte metrics missing at ${factor}x " +
+          s"(${codes.bytesAdmitted}/${vecs.bytesAdmitted})"
+      else if (codes.bytesAdmitted * 2 > vecs.bytesAdmitted)
+        v += s"sq8 codes scan admits ${codes.bytesAdmitted} B vs " +
+          s"${vecs.bytesAdmitted} B of floats at ${factor}x " +
+          "(compression story lost)"
+    }
     for (leg <- Seq("knn_brute", "lsh_sweep")) {
       val (one, big) = (at(leg, 1), at(leg, factor))
       if (big.rowsRead < one.rowsRead * (factor - 1))
@@ -286,11 +376,13 @@ object ScaleRehearsal {
   }
 
   def render(rows: Seq[Measure]): String = {
-    val hdr = f"${"leg"}%-14s ${"scale"}%5s ${"corpus"}%8s " +
-      f"${"files"}%6s ${"read"}%6s ${"rows_read"}%10s ${"sec"}%7s"
+    val hdr = f"${"leg"}%-15s ${"scale"}%5s ${"corpus"}%8s " +
+      f"${"files"}%6s ${"read"}%6s ${"rows_read"}%10s ${"sec"}%7s " +
+      f"${"bytes"}%10s"
     (hdr +: rows.map(r =>
-      f"${r.leg}%-14s ${r.scale}%5d ${r.corpusRows}%8d ${r.totalFiles}%6d " +
-        f"${r.filesRead}%6d ${r.rowsRead}%10d ${r.sec}%7.2f"))
+      f"${r.leg}%-15s ${r.scale}%5d ${r.corpusRows}%8d ${r.totalFiles}%6d " +
+        f"${r.filesRead}%6d ${r.rowsRead}%10d ${r.sec}%7.2f " +
+        f"${r.bytesAdmitted}%10d"))
       .mkString("\n")
   }
 

@@ -28,9 +28,21 @@ class CoverageContractSpec extends SparkSpec {
   test("declared query count matches the documented coverage board") {
     // COVERAGE.md and the per-round correctness JSON must account for
     // exactly this many rows. Update BOTH when adding a query.
-    assert(SparkEntry.queries.size >= 150,
+    assert(SparkEntry.queries.size >= 156,
       s"query count shrank to ${SparkEntry.queries.size} — a domain map " +
         "was probably dropped from SparkEntry.queries")
+  }
+
+  test("the round-10 facade kinds stay declared and oracled") {
+    // quantized kinds + trained quantizers + the bucketed-corpus sync
+    // behind the one entry point — the round-10 closure of the facade
+    val required = Set("facade_route_sq8", "facade_route_pq",
+      "facade_route_ivfpq", "facade_route_ivf_trained",
+      "facade_route_ivfpq_trained", "facade_route_graph_synced")
+    val missing = required -- SparkEntry.queries.keySet
+    val unoracled = required -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"dropped queries: ${missing.toSeq.sorted}")
+    assert(unoracled.isEmpty, s"lost oracles: ${unoracled.toSeq.sorted}")
   }
 
   test("event/as-of/misc queries stay declared and oracled") {
