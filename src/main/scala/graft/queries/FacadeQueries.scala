@@ -152,6 +152,29 @@ object FacadeQueries {
       rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
         "vec_id", "embedding", 3))
     }),
+    // sq8 kind SYNCED: create on [15,∞) (stats FROZEN there), route a
+    // CDF batch with an insert block and a delete through the façade
+    // sync — the quantized layouts' frozen-stats delta contract behind
+    // the one entry point. Hash-equal to the direct
+    // Sq8.syncPersistedSq8 leg, whose oracle fits stats on the initial
+    // corpus only and replays encode → coarse → refine live.
+    "facade_route_sq8_synced" -> ((s, dir) => {
+      import graft.index.ChangeLog
+      val e = emb(s, dir)
+      val vs = new VectorSearch(s, root("sq8sync", dir))
+      vs.createEndpoint("ep")
+      val idx = vs.createDeltaSyncIndex("ep",
+        e.filter(col("vec_id") >= 15), "facade_sq8sync",
+        "vec_id", "embedding", 64, "sq8", Map("c" -> "4"))
+      idx.sync(e.filter(col("vec_id") >= 5 && col("vec_id") < 15)
+        .withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(1L))
+        .unionByName(e.filter(col("vec_id") === 20)
+          .withColumn("__op", lit(ChangeLog.OpDelete))
+          .withColumn("__seq", lit(2L))))
+      rankCols(idx.search(e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3))
+    }),
     // pq kind: flat ADC over the persisted code column (IVF degenerate
     // to one cell — FAISS IndexPQ), exact refine on survivors —
     // hash-equal to the direct Pq.rerank leg
@@ -176,6 +199,30 @@ object FacadeQueries {
         Map("cells" -> "16", "nProbe" -> "4", "m" -> "16",
           "codebookK" -> "32", "c" -> "4"))
       rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3))
+    }),
+    // ivf kind SYNCED + OPTIMIZED: route a CDF batch through the
+    // façade sync, run the maintenance entry (compaction), then
+    // search — the optimize() answer-preservation contract proven
+    // under the driver's hash gate, not just a spec. Hash-equal to
+    // the direct Ann.syncPersistedIvf leg's oracle.
+    "facade_route_ivf_optimized" -> ((s, dir) => {
+      import graft.index.ChangeLog
+      val e = emb(s, dir)
+      val vs = new VectorSearch(s, root("ivfopt", dir))
+      vs.createEndpoint("ep")
+      val idx = vs.createDeltaSyncIndex("ep",
+        e.filter(col("vec_id") >= 15), "facade_ivfopt",
+        "vec_id", "embedding", 64, "ivf",
+        Map("cells" -> "16", "nProbe" -> "4"))
+      idx.sync(e.filter(col("vec_id") >= 5 && col("vec_id") < 15)
+        .withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(1L))
+        .unionByName(e.filter(col("vec_id") === 20)
+          .withColumn("__op", lit(ChangeLog.OpDelete))
+          .withColumn("__seq", lit(2L))))
+      idx.optimize()
+      rankCols(idx.search(e.filter(col("vec_id") < 5),
         "vec_id", "embedding", 3))
     }),
     // ivf kind with trained=true: the routed build trains k-means
@@ -272,6 +319,8 @@ object FacadeQueries {
       InfraQueries.oracleSql("ann_graph_layered_persisted"),
     "facade_route_graph_synced" -> InfraQueries.oracleSql("ann_graph_synced"),
     "facade_route_sq8" -> InfraQueries.oracleSql("ann_sq8_rerank"),
+    "facade_route_sq8_synced" -> InfraQueries.oracleSql("ann_sq8_synced"),
+    "facade_route_ivf_optimized" -> InfraQueries.oracleSql("ann_ivf_synced"),
     "facade_route_pq" -> InfraQueries.oracleSql("ann_pq_rerank"),
     "facade_route_ivfpq" -> InfraQueries.oracleSql("ann_ivfpq_topk"),
     "facade_route_ivf_trained" ->

@@ -38,7 +38,8 @@ class CoverageContractSpec extends SparkSpec {
     // behind the one entry point — the round-10 closure of the facade
     val required = Set("facade_route_sq8", "facade_route_pq",
       "facade_route_ivfpq", "facade_route_ivf_trained",
-      "facade_route_ivfpq_trained", "facade_route_graph_synced")
+      "facade_route_ivfpq_trained", "facade_route_graph_synced",
+      "facade_route_sq8_synced", "facade_route_ivf_optimized")
     val missing = required -- SparkEntry.queries.keySet
     val unoracled = required -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"dropped queries: ${missing.toSeq.sorted}")
