@@ -140,13 +140,23 @@ object IndexKinds {
       // pq = flat ADC scan: IVF degenerates to ONE cell (FAISS's
       // IndexPQ), so the same persisted layout serves both kinds
       val cells = if (meta.kind == PqKind) 1 else opt(meta, "cells", 16)
-      val ivf =
+      val ivf0 =
         if (meta.kind == IvfPqKind && isTrained(meta))
           Ann.buildIvfTrained(source, meta.vecCol, meta.pkCol, cells,
             iters = opt(meta, "iters", 2),
             sampleN = opt(meta, "sampleN", 128))
         else Ann.buildIvfDeterministic(source, meta.vecCol, meta.pkCol,
           cells)
+      // the flat kind's single cell would otherwise persist as ONE dir
+      // with ONE writer — split it into `writers` equal-probability
+      // hash sub-cells (purely physical: the ADC scan reads them all,
+      // results unchanged, but a 100-TB build writes in parallel and
+      // the scan fans out across tasks)
+      val ivf =
+        if (meta.kind == PqKind && opt(meta, "writers", 8) > 1)
+          Ann.balanceCells(ivf0, meta.pkCol,
+            maxSkew = 1.0 / opt(meta, "writers", 8))
+        else ivf0
       val cb =
         if (isTrained(meta))
           Pq.fitTrained(source, meta.vecCol, meta.pkCol,

@@ -79,6 +79,22 @@ class FacadeRouteSpec extends SparkSpec {
       s"coarse stage must scan the code column:\n${plan.take(1500)}")
   }
 
+  test("pq kind splits its single cell into hash sub-cells — parallel " +
+      "writers for the flat layout, results unchanged") {
+    val idx = mkIndex("plan_pq", "pq",
+      Map("m" -> "16", "codebookK" -> "16", "writers" -> "4"))
+    val path = graft.index.IndexKinds.layoutPath(idx.meta)
+    val cellDir = new java.io.File(path, "__cell=0")
+    assert(cellDir.exists, "flat pq layout must keep its one cell dir")
+    val subs = cellDir.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__subcell="))
+    assert(subs.length === 4,
+      s"expected 4 sub-cell dirs under the flat cell, got ${subs.length}")
+    assert(idx.search(queries, "vec_id", "embedding", 3)
+      .groupBy("query_id").count().select(min("count"))
+      .head().getLong(0) === 3, "split layout must still answer top-k")
+  }
+
   test("trained ivf kind persists k-means centroids (different from " +
       "the deterministic first-k) and routes through them") {
     val det = mkIndex("tr_det", "ivf", Map("cells" -> "8", "nProbe" -> "8"))
