@@ -305,6 +305,37 @@ object FacadeQueries {
             "vec_id", "embedding", 3).count()
         }
         Map("build" -> build, "search" -> search)
+      }),
+      // the synced graph cell is build-dominated by ITS OWN private
+      // index (sync mutates, so it can never share a layout) — split
+      // build+sync from the search it claims to measure
+      "facade_route_graph_synced" -> ((s, dir) => {
+        import graft.index.ChangeLog
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val e = emb(s, dir)
+        val vs = new VectorSearch(s, root("gsync_ph", dir))
+        vs.createEndpoint("ep")
+        val (idx, build) = timed {
+          val i = vs.createDeltaSyncIndex("ep",
+            e.filter(col("vec_id") >= 15 && col("vec_id") < 600),
+            "facade_gsync_ph", "vec_id", "embedding", 64, "graph",
+            Map("m" -> "6", "buckets" -> "8", "entries" -> "4",
+              "beam" -> "4", "hops" -> "3", "entryMod" -> "5",
+              "metric" -> "l2"))
+          i.sync(e.filter(col("vec_id") >= 5 && col("vec_id") < 15)
+            .withColumn("__op", lit(ChangeLog.OpInsert))
+            .withColumn("__seq", lit(1L)))
+          i
+        }
+        val (_, search) = timed {
+          idx.search(e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", 3).count()
+        }
+        Map("buildAndSync" -> build, "search" -> search)
       }))
 
   /** Routed results are hash-equal to the direct legs by construction,
