@@ -218,6 +218,37 @@ class FacadeRouteSpec extends SparkSpec {
       .filter($"vec_id" === 0).count() === 1)
   }
 
+  test("a pre-bucketing corpus side table is migrated once on sync, " +
+      "then served and synced bucketed") {
+    import graft.index.{ChangeLog, IndexKinds}
+    val idx = mkIndex("corp_mig", "graph",
+      Map("m" -> "4", "buckets" -> "4", "entries" -> "2", "beam" -> "3",
+        "hops" -> "2", "metric" -> "l2"))
+    val corpusPath = IndexKinds.layoutPath(idx.meta) + "_corpus"
+    // regress the side table to the pre-r10 unpartitioned form
+    val flat = IndexKinds.corpusTable(spark, idx.meta).localCheckpoint(true)
+    val fs = new org.apache.hadoop.fs.Path(corpusPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(corpusPath), true)
+    flat.write.mode("overwrite").parquet(corpusPath)
+    assert(!spark.read.parquet(corpusPath).columns.contains("__cbkt"))
+    val before = flat.count()
+    // the next sync migrates once, then merges touched-dir-only
+    idx.sync(queries.filter($"vec_id" === 1)
+      .withColumn("__op", lit(ChangeLog.OpInsert))
+      .withColumn("__seq", lit(1L)))
+    assert(new java.io.File(corpusPath).listFiles()
+      .exists(_.getName.startsWith("__cbkt=")),
+      "sync must leave the corpus bucketed")
+    val served = IndexKinds.corpusTable(spark, idx.meta)
+    assert(served.count() === before + 1,
+      "migration must keep every row and add the synced one")
+    assert(served.filter($"vec_id" === 1).count() === 1)
+    // and the routed search still answers over the migrated corpus
+    assert(idx.search(queries, "vec_id", "embedding", 3)
+      .count() === 15)
+  }
+
   test("hybrid kind demands query text; unknown kinds are rejected " +
       "at creation") {
     val root = java.nio.file.Files
