@@ -336,6 +336,31 @@ object FacadeQueries {
             "vec_id", "embedding", 3).count()
         }
         Map("buildAndSync" -> build, "search" -> search)
+      }),
+      // the hybrid cell builds postings + bucketed corpus + the exact
+      // artifact inline — third of the build-heavy facade cells
+      "facade_route_hybrid" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val all = hybridCorpus(s, dir)
+        val vs = new VectorSearch(s, root("hyb_ph", dir))
+        vs.createEndpoint("ep")
+        val (idx, build) = timed {
+          vs.createDeltaSyncIndex("ep", all.filter(col("doc_id") >= 3),
+            "facade_hyb_ph", "doc_id", "embedding", 64, "hybrid",
+            Map("textCol" -> "text", "buckets" -> "32", "n" -> "10"))
+        }
+        val q = all.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"), col("text").as("qtext"),
+            col("embedding").as("qvec"))
+        val (_, search) = timed {
+          idx.search(q, "qid", "qvec", 5,
+            queryTextCol = Some("qtext")).count()
+        }
+        Map("build" -> build, "search" -> search)
       }))
 
   /** Routed results are hash-equal to the direct legs by construction,

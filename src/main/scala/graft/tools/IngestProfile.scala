@@ -111,6 +111,31 @@ object IngestProfile {
     t("e2e final read") {
       spark.read.parquet(s"$r3/idx_docs").count()
     }
+    // ---- vector-side twin (ingest_vec_pipeline's floor evidence) ----
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding")
+    val rv = java.nio.file.Files.createTempDirectory("graft_ingprof_vec")
+      .toString
+    t("vec persist seed") {
+      graft.search.Ann.persistSignLsh(
+        graft.search.Ann.buildSignLsh(e.filter(col("vec_id") >= 300),
+          "embedding", tables = 8, bits = 4),
+        "vec_id", "embedding", s"$rv/idx")
+    }
+    val vIdx = graft.search.Ann.PersistedSignLsh(s"$rv/idx", 8, 4)
+    for ((lo, hi) <- Seq((0, 100), (100, 200), (200, 300))) {
+      val batch = e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      jobs.clear()
+      t(s"vec admitAndSync [$lo,$hi)") {
+        graft.streaming.VecDedupIngest.admitAndSync(spark, vIdx, batch,
+          "vec_id", "embedding", threshold = 0.95)
+      }
+      Thread.sleep(300)
+      val snap = jobs.toArray(Array.empty[(Int, Long)])
+      println(s"[profile]   jobs=${snap.length}  " + snap.sortBy(-_._2)
+        .take(8).map(j => f"#${j._1}:${j._2 / 1e9}%.2fs").mkString(" "))
+    }
     spark.stop()
   }
 }
