@@ -273,8 +273,24 @@ final class Index(spark: SparkSession, underlying: VectorIndex,
     * restores the graph kind's degree bound (HNSW edge pruning —
     * perturbs approximate results, hence opt-in). Returns per-layout
     * touched-dir counts. */
-  def optimize(reprune: Boolean = false): Map[String, Int] =
-    IndexKinds.optimize(spark, meta, reprune = reprune)
+  def optimize(reprune: Boolean = false,
+      maxFilesPerDir: Int = 1): Map[String, Int] =
+    IndexKinds.optimize(spark, meta, maxFilesPerDir = maxFilesPerDir,
+      reprune = reprune)
+
+  /** [[sync]] with bounded write amplification: after the merge, any
+    * layout dir grown past `maxFilesPerDir` files squashes back to one
+    * (answer-preserving compaction) — the LSM discipline as ONE call.
+    * Each sync writes at most a batch's worth of files and the
+    * accumulated per-dir file count stays bounded, so probe-side task
+    * counts never creep across a long ingest. The check is a
+    * key-space-bounded dir listing — near-free when nothing exceeds
+    * the cap. Returns the compaction's touched-dir counts. */
+  def syncAndOptimize(changes: DataFrame,
+      maxFilesPerDir: Int = 4): Map[String, Int] = {
+    sync(changes)
+    IndexKinds.optimize(spark, meta, maxFilesPerDir = maxFilesPerDir)
+  }
 
   def describe: DataFrame = underlying.stats(spark)
 

@@ -154,6 +154,49 @@ object PartitionedLayout {
     over.size
   }
 
+  /** Move-merge N shard layout roots into `dest` by FILE RENAMES at
+    * `depth` partition-dir levels — zero bytes read or rewritten, pure
+    * filesystem metadata ops (the only merge that works when the
+    * shards total 100 TB). This is the physical half of every
+    * shard-parallel build: when a layout's partition key is a pure
+    * per-row function (IVF cell under shared centroids, sign-LSH
+    * (table, code), band buckets), N independently-built shard layouts
+    * partition the row space and their union IS the full build — so
+    * "merge" is moving each shard's part files into the matching dest
+    * dir. Semantic guards (matching quantizers / parameters across
+    * shards) are the CALLER's, per layout family. Shard roots are
+    * consumed. Returns the number of files moved. */
+  def moveMerge(spark: SparkSession, shardRoots: Seq[String],
+      dest: String, depth: Int): Int = {
+    import org.apache.hadoop.fs.Path
+    require(shardRoots.nonEmpty, "moveMerge needs >= 1 shard")
+    val fs = new Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dest), true)
+    fs.mkdirs(new Path(dest))
+    var moved = 0
+    shardRoots.zipWithIndex.foreach { case (root, i) =>
+      def walk(p: Path, rel: Seq[String], d: Int): Unit =
+        if (d == 0) {
+          val destDir = rel.foldLeft(new Path(dest))(new Path(_, _))
+          if (rel.nonEmpty && !fs.exists(destDir)) fs.mkdirs(destDir)
+          fs.listStatus(p)
+            .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+            .foreach { f =>
+              // shard-index prefix keeps colliding task-file names apart
+              fs.rename(f.getPath,
+                new Path(destDir, s"s$i-${f.getPath.getName}"))
+              moved += 1
+            }
+        } else fs.listStatus(p)
+          .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+          .foreach(s => walk(s.getPath, rel :+ s.getPath.getName, d - 1))
+      walk(new Path(root), Nil, depth)
+      fs.delete(new Path(root), true)
+    }
+    moved
+  }
+
   /** Insert-only fast path of [[mergeOverwrite]]: when none of the new
     * rows' keys already live in the layout (a fresh ingest batch — the
     * caller must have established this), the anti-join is a no-op and

@@ -399,4 +399,120 @@ object Dedup {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Cross-document duplicate SUBSTRING spans — the token-level exact
+    * dedup tier of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499), re-expressed
+    * relationally instead of via their suffix array: any n-token run
+    * appearing verbatim in >= `minDocs` distinct documents marks every
+    * token position it covers as duplicated, and overlapping/adjacent
+    * covered ranges merge into maximal spans (gaps-and-islands). Doc-
+    * and paragraph-level dedup miss these (boilerplate headers, license
+    * blocks, quoted passages embedded in otherwise-unique documents);
+    * span removal is what actually shrinks the memorization surface.
+    *
+    * Returns `(<idCol>, span_start, span_end)` — inclusive 0-based
+    * token positions of each maximal duplicated span.
+    *
+    * Scale shape: tokenize is one explode (corpus token count rows);
+    * gram construction is a per-doc window (lead), no shuffle beyond
+    * the doc partitioning; duplicate detection is ONE groupBy shuffle
+    * on the gram; the cover join is an equi-join on gram; the island
+    * merge is a per-doc window. Nothing is quadratic and nothing
+    * driver-side — a 100 TB corpus pays ~3 shuffles of token-count
+    * rows. (The suffix-array construction the paper uses is the
+    * single-node alternative; fixed-n grams trade detecting arbitrary-
+    * length matches [any match >= n tokens is still found — it is a
+    * run of matching n-grams] for pure relational operators.) */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val hits = dupGramHits(docs, idCol, textCol, n, minDocs)
+    val w = Window.partitionBy("__did").orderBy(col("__pos").asc)
+    // equal-length intervals sorted by start: a new island begins when
+    // this start clears the previous interval's coverage (prev + n)
+    val isl = hits
+      .withColumn("__prev", lag(col("__pos"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__pos") > col("__prev") + n, 1)
+          .otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy(col("__did"), col("__isl"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + n - 1).as("span_end"))
+      .select(col("__did").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Remove every duplicated span found by [[duplicateSpans]] from the
+    * corpus: tokens covered by a span are dropped, survivors rejoin in
+    * position order. Returns the full id set with
+    * `(<idCol>, n_tokens, n_kept, clean_text)` — documents without a
+    * span pass through with `clean_text` = the whitespace-normalized
+    * original. The cover anti-join is equi on the doc id with a range
+    * residual (spans per doc are few), never a cross join. */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, n, minDocs)
+      .select(col(idCol).as("__sid"), col("span_start"), col("span_end"))
+    val toks = tokenPositions(docs, idCol, textCol)
+    val kept = toks.join(spans,
+      toks("__did") === spans("__sid") &&
+        toks("__pos").between(col("span_start"), col("span_end")),
+      "left_anti")
+    // position-ordered reassembly without a sort shuffle: sort_array on
+    // the (pos, tok) structs collected per doc
+    toks.groupBy(col("__did"))
+      .agg(count(lit(1)).as("n_tokens"))
+      .join(
+        kept.groupBy(col("__did")).agg(
+          count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("__pos"), col("__tok")))),
+            s => s.getField("__tok"))).as("clean_text")),
+        Seq("__did"), "left")
+      .select(col("__did").as(idCol),
+        col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** `(doc, pos, token)` rows — split(trim, \s+) convention shared with
+    * TextAnalysis so oracles replay with string_split_regex. */
+  private def tokenPositions(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("__did"),
+        posexplode(split(trim(col(textCol)), "\\s+"))
+          .as(Seq("__pos", "__tok")))
+
+  /** Duplicated-gram cover positions: each `(doc, pos)` whose n-gram
+    * occurs in >= minDocs distinct docs. Shared by span detection and
+    * removal. */
+  private def dupGramHits(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    val toks = tokenPositions(docs, idCol, textCol)
+    val w = Window.partitionBy("__did").orderBy(col("__pos").asc)
+    val gramToks: Seq[Column] = (0 until n).map(i =>
+      if (i == 0) col("__tok") else lead(col("__tok"), i).over(w))
+    // null-out when fewer than n tokens remain (concat_ws alone would
+    // alias the short tail with a legitimate shorter gram elsewhere)
+    // shuffle 128 bits of gram identity (two independent xxhash64
+    // lanes), not the gram STRING — an n=8 gram averages ~50 bytes, so
+    // hashing cuts the dup-detection shuffle ~3-6x; two lanes push the
+    // birthday bound past any corpus size (one 64-bit lane collides
+    // around 2^32 distinct grams — real at 100 TB)
+    val grams = toks
+      .withColumn("__gram",
+        when(lead(col("__tok"), n - 1).over(w).isNotNull,
+          concat_ws(" ", gramToks: _*)))
+      .filter(col("__gram").isNotNull)
+      .select(col("__did"), col("__pos"),
+        xxhash64(lit(1), col("__gram")).as("__g1"),
+        xxhash64(lit(2), col("__gram")).as("__g2"))
+    val dup = grams.groupBy(col("__g1"), col("__g2"))
+      .agg(countDistinct(col("__did")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__g1", "__g2")
+    grams.join(dup, Seq("__g1", "__g2")).select(col("__did"), col("__pos"))
+  }
 }

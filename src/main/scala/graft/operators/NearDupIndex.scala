@@ -88,6 +88,46 @@ object NearDupIndex {
     PersistedNearDup(path, k, bands, n, algo, buckets)
   }
 
+  /** Merge N shard indexes (each a [[persist]] over one corpus shard,
+    * SAME parameters) into one index at `destPath` by FILE MOVES —
+    * postings and `_docs` dirs both, zero bytes rewritten
+    * ([[graft.index.PartitionedLayout.moveMerge]]). Every persisted
+    * column (shingles, signatures, band buckets, dir hashes) is a pure
+    * per-row function of (text, k, bands, n, algo, buckets), so shard
+    * layouts partition the row space and their union IS the full
+    * build. This is the 100-TB dedup BOOTSTRAP: the corpus fans out
+    * into independent shard builds (each one shingle+banding pass, no
+    * global shuffle), and the merge is O(files) metadata ops. Guard:
+    * every shard's persisted `_meta` must equal the first's — probing
+    * an index whose shards banded differently silently loses pairs.
+    * Shard roots are consumed. */
+  def mergeShards(spark: SparkSession, shardPaths: Seq[String],
+      destPath: String): PersistedNearDup = {
+    require(shardPaths.nonEmpty, "mergeShards needs >= 1 shard")
+    import graft.index.PartitionedLayout
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(destPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def metaOf(p: String) = spark.read.parquet(p + "_meta").head()
+    val ref = metaOf(shardPaths.head)
+    shardPaths.tail.foreach { p =>
+      require(metaOf(p) == ref,
+        s"shard $p was built with different parameters than " +
+          s"${shardPaths.head} (k/bands/n/algo/buckets must match)")
+    }
+    PartitionedLayout.inParallel(
+      PartitionedLayout.moveMerge(spark, shardPaths, destPath, depth = 1),
+      PartitionedLayout.moveMerge(spark, shardPaths.map(_ + "_docs"),
+        destPath + "_docs", depth = 1))
+    fs.delete(new Path(destPath + "_meta"), true)
+    fs.rename(new Path(shardPaths.head + "_meta"),
+      new Path(destPath + "_meta"))
+    shardPaths.tail.foreach(p => fs.delete(new Path(p + "_meta"), true))
+    PersistedNearDup(destPath, ref.getAs[Int]("k"),
+      ref.getAs[Int]("bands"), ref.getAs[Int]("n"),
+      ref.getAs[String]("algo"), ref.getAs[Int]("buckets"))
+  }
+
   /** Re-open a persisted index by path (parameters from `_meta`). */
   def load(spark: SparkSession, path: String): PersistedNearDup = {
     val m = spark.read.parquet(path + "_meta").head()

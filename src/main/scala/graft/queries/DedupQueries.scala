@@ -44,6 +44,32 @@ object DedupQueries {
         .select(col("lang"), col("source"), col("doc_id").as("keep_id"))
         .orderBy("lang", "source")
     }),
+    // Cross-document duplicate substring spans (Lee et al. 2022,
+    // arXiv:2107.06499 — the token-level exact dedup tier their suffix
+    // array computes, here as pure relational ops): every maximal run
+    // of tokens whose 8-grams each appear verbatim in >= 2 distinct
+    // docs. The oracle replays tokenize → 8-gram → cross-doc dup →
+    // gaps-and-islands merge stage by stage.
+    "dedup_substring_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(docs(s, dir), "doc_id", "text",
+          n = 8, minDocs = 2)
+        .select(col("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"))
+        .orderBy("doc_id", "span_start")
+    }),
+    // The removal pass: spans cut, survivors rejoined in position
+    // order. Projected to counts + a clean-text digest (md5 on both
+    // engines) so the oracle hash-checks the reassembled TEXT, not
+    // just the arithmetic.
+    "dedup_substring_scrub" -> ((s, dir) => {
+      Dedup.removeDuplicateSpans(docs(s, dir), "doc_id", "text",
+          n = 8, minDocs = 2)
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .filter(col("n_kept") < col("n_tokens"))
+        .orderBy("doc_id")
+    }),
     // Ground-truth n-gram Jaccard pairs on a bounded block (quadratic —
     // the oracle-checkable baseline the LSH path approximates).
     "dedup_jaccard_pairs" -> ((s, dir) => {
@@ -223,6 +249,30 @@ object DedupQueries {
           threshold = 0.5)
         .orderBy("corpus_id", "delta_id")
     }),
+    // Shard-parallel near-dup index build + file-move merge — the
+    // 100-TB dedup bootstrap: the corpus fans into two independently
+    // built+persisted shard indexes (same banding parameters), merged
+    // by renames (postings + _docs), then probed with the SAME delta
+    // block as near_dup_delta. Every persisted column is a pure
+    // per-row function, so the merged index ≡ a full build and the
+    // probe is hash-equal to near_dup_delta, whose oracle it reuses.
+    "near_dup_shard_merged" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ndshard/" +
+        dir.replaceAll("[^0-9.]", "")
+      // independent shard builds run concurrently, as a cluster would
+      val shardPaths = Seq(s"$root/shard0", s"$root/shard1")
+      def buildShard(p: Int): Unit = graft.operators.NearDupIndex.persist(
+        d.filter(col("doc_id") >= 60 && pmod(col("doc_id"), lit(2)) === p),
+        "doc_id", "text", shardPaths(p), algo = "md5")
+      graft.index.PartitionedLayout.inParallel(buildShard(0), buildShard(1))
+      val merged = graft.operators.NearDupIndex.mergeShards(s,
+        shardPaths, s"$root/merged")
+      graft.operators.NearDupIndex.nearDupsAgainst(s, merged,
+          d.filter(col("doc_id") < 60), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy("corpus_id", "delta_id")
+    }),
     // Hot-bucket telemetry over the persisted index: per-(band, bucket)
     // posting counts, largest first — how a maxBucket cap gets chosen.
     // In md5 mode the bucket keys replay as SQL, so the stats are
@@ -363,11 +413,92 @@ object DedupQueries {
     }),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     "dedup_exact_firstwins" ->
       """SELECT lang, source, min(doc_id) AS keep_id
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+    // Tokenize → 8-gram per position → grams in >= 2 distinct docs →
+    // covered positions → gaps-and-islands merge into maximal spans.
+    // (Spark shuffles two xxhash64 lanes of the gram instead of the
+    // string — injective in practice, so the string replay is exact.)
+    "dedup_substring_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS did, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |pos AS (
+        |  SELECT did, t, unnest(range(0, greatest(len(t) - 7, 0))) AS p
+        |  FROM toks),
+        |grams AS (
+        |  SELECT did, p, array_to_string(list_slice(t, p + 1, p + 8), ' ')
+        |    AS g
+        |  FROM pos),
+        |dup AS (
+        |  SELECT g FROM grams GROUP BY g
+        |  HAVING count(DISTINCT did) >= 2),
+        |hits AS (SELECT did, p FROM grams JOIN dup USING (g)),
+        |isl AS (
+        |  SELECT did, p,
+        |    CASE WHEN lag(p) OVER (PARTITION BY did ORDER BY p) IS NULL
+        |           OR p > lag(p) OVER (PARTITION BY did ORDER BY p) + 8
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM hits),
+        |isl2 AS (
+        |  SELECT did, p, sum(nw) OVER (PARTITION BY did ORDER BY p
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl)
+        |SELECT did AS doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        |  CAST(max(p) + 7 AS BIGINT) AS span_end
+        |FROM isl2 GROUP BY did, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // The removal pass: span-covered positions anti-joined out,
+    // survivors re-agg'd in position order; md5 over the reassembled
+    // text hash-checks the actual string, not just counts.
+    "dedup_substring_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS did, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |pos AS (
+        |  SELECT did, t, unnest(range(0, greatest(len(t) - 7, 0))) AS p
+        |  FROM toks),
+        |grams AS (
+        |  SELECT did, p, array_to_string(list_slice(t, p + 1, p + 8), ' ')
+        |    AS g
+        |  FROM pos),
+        |dup AS (
+        |  SELECT g FROM grams GROUP BY g
+        |  HAVING count(DISTINCT did) >= 2),
+        |hits AS (SELECT did, p FROM grams JOIN dup USING (g)),
+        |isl AS (
+        |  SELECT did, p,
+        |    CASE WHEN lag(p) OVER (PARTITION BY did ORDER BY p) IS NULL
+        |           OR p > lag(p) OVER (PARTITION BY did ORDER BY p) + 8
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM hits),
+        |isl2 AS (
+        |  SELECT did, p, sum(nw) OVER (PARTITION BY did ORDER BY p
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl),
+        |spans AS (
+        |  SELECT did, min(p) AS s, max(p) + 7 AS e
+        |  FROM isl2 GROUP BY did, island),
+        |allpos AS (
+        |  SELECT did, t, unnest(range(0, len(t))) AS p FROM toks),
+        |kept AS (
+        |  SELECT a.did, a.p, a.t[a.p + 1] AS tok
+        |  FROM allpos a
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM spans s
+        |    WHERE s.did = a.did AND a.p BETWEEN s.s AND s.e))
+        |SELECT a.did AS doc_id,
+        |  CAST(max(len(a.t)) AS BIGINT) AS n_tokens,
+        |  CAST(count(k.p) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.p), ''))
+        |    AS clean_md5
+        |FROM allpos a LEFT JOIN kept k ON k.did = a.did AND k.p = a.p
+        |GROUP BY a.did
+        |HAVING count(k.p) < max(len(a.t))
+        |ORDER BY doc_id""".stripMargin,
     "dedup_jaccard_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
@@ -945,4 +1076,11 @@ object DedupQueries {
         |SELECT a_id, b_id, CAST(ham AS BIGINT) AS ham
         |FROM ham WHERE ham <= 6 ORDER BY a_id, b_id""".stripMargin,
   )
+
+  /** The merged shard index holds exactly a full build's rows (every
+    * persisted column is a pure per-row function), so its probe reuses
+    * near_dup_delta's oracle verbatim. */
+  val oracleSql: Map[String, String] =
+    baseOracleSql +
+      ("near_dup_shard_merged" -> baseOracleSql("near_dup_delta"))
 }

@@ -145,6 +145,37 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // Shard-parallel build + file-move merge (FAISS merge_from for the
+    // on-disk IVF): centroids picked once from the full corpus, the
+    // corpus split into two pk-parity shards each built+persisted
+    // independently (no global shuffle), then merged into one layout by
+    // pure file renames — zero bytes rewritten. Cell assignment is a
+    // per-row function of the shared centroids, so the merged layout
+    // holds exactly the rows a single full build would and the query
+    // result is hash-equal to ann_ivf_topk, whose oracle it reuses —
+    // the 100-TB build path (train once, fan out shard builds, merge
+    // with O(files) metadata ops) correctness-gated end to end.
+    "ann_ivf_shard_merged" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val cents = Ann.buildIvfDeterministic(corpus, "embedding",
+        "vec_id", 16).centroids
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pivfshard/" +
+        dir.replaceAll("[^0-9.]", "")
+      // independent shard builds run concurrently, as a cluster would
+      val shardPaths = Seq(s"$root/shard0", s"$root/shard1")
+      def buildShard(p: Int): Unit = Ann.persistIvf(Ann.buildIvfShard(
+        corpus.filter(pmod(col("vec_id"), lit(2)) === p),
+        "embedding", "vec_id", cents), shardPaths(p))
+      graft.index.PartitionedLayout.inParallel(buildShard(0), buildShard(1))
+      Ann.mergeIvfShards(s, shardPaths, s"$root/merged")
+      Ann.queryPersistedIvf(s, Ann.PersistedIvf(s"$root/merged"),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, nProbe = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // Incremental IVF maintenance THROUGH the persisted layout: build
     // on a reduced corpus (vec_id >= 15), persist by cell, then sync a
     // change batch (insert 5..14, delete 20) — only the touched cell
@@ -635,6 +666,34 @@ object InfraQueries {
       val e = emb(s, dir)
       val persisted = sharedPersistedSignLsh(s, dir)
       Ann.queryPersistedSignLsh(s, persisted, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // Shard-parallel sign-LSH build + file-move merge: codes are a
+    // pure per-row function of (vector, tables, bits), so two
+    // pk-parity shards built+persisted independently union into
+    // exactly the full build's layout — merged by renames (posting
+    // dirs at depth 2, the _docs refine table at depth 1), zero bytes
+    // rewritten. Query results are hash-equal to the direct
+    // ann_signlsh_topk leg, whose oracle this reuses.
+    "ann_signlsh_shard_merged" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pslsh_shard/" +
+        dir.replaceAll("[^0-9.]", "")
+      // the two shard builds are independent by construction — run them
+      // concurrently, as a cluster would (each is its own code+write job)
+      val shardPaths = Seq(s"$root/shard0", s"$root/shard1")
+      def buildShard(p: Int): Unit = Ann.persistSignLsh(
+        Ann.buildSignLsh(corpus.filter(pmod(col("vec_id"), lit(2)) === p),
+          "embedding", tables = 8, bits = 4),
+        "vec_id", "embedding", shardPaths(p))
+      graft.index.PartitionedLayout.inParallel(buildShard(0), buildShard(1))
+      val merged = Ann.mergeSignLshShards(s, shardPaths, s"$root/merged",
+        tables = 8, bits = 4)
+      Ann.queryPersistedSignLsh(s, merged, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", "vec_id", "embedding", k = 3)
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("vec_id"))
@@ -3499,6 +3558,11 @@ object InfraQueries {
   // queries share the in-memory paths' oracle SQL verbatim
   val oracleSql: Map[String, String] =
     baseOracleSql +
+      // shard build + file-move merge holds exactly the full build's
+      // rows (shared frozen centroids), so the merged query replays as
+      // the direct IVF leg verbatim
+      ("ann_ivf_shard_merged" -> baseOracleSql("ann_ivf_topk")) +
+      ("ann_signlsh_shard_merged" -> baseOracleSql("ann_signlsh_topk")) +
       ("ann_signlsh_persisted" -> baseOracleSql("ann_signlsh_topk")) +
       ("ann_graph_persisted" -> baseOracleSql("ann_graph_topk")) +
       ("ann_graph_filtered" -> filteredGraphSql("ann_graph_topk")) +

@@ -432,6 +432,94 @@ object Ann {
       Seq(pkCol), changedPks, assigned)
   }
 
+  /** Shard-parallel IVF build: assign ONE corpus shard against shared,
+    * pre-computed centroids (from [[buildIvfDeterministic]],
+    * [[buildIvfTrained]], or a persisted layout's `_centroids` file).
+    * Because cell assignment is a pure per-row function of the
+    * centroids, N shards built this way hold exactly the rows a single
+    * full build would — which is what makes [[mergeIvfShards]] a pure
+    * file move. This is how a 100 TB index is actually built: train the
+    * quantizer once on a sample, fan the corpus out into independent
+    * shard builds (no global shuffle — each shard is one narrow
+    * assignment pass), then merge (FAISS's `merge_from` /
+    * `merge_ondisk` shape). */
+  def buildIvfShard(shard: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame): IvfIndex =
+    IvfIndex(assignCells(shard.filter(col(vecCol).isNotNull), vecCol,
+      idCol, centroids), centroids)
+
+  /** Merge N shard layouts (each from [[persistIvf]] of a
+    * [[buildIvfShard]] index) into one queryable layout at `destPath` —
+    * by FILE MOVES only. Shards sharing frozen centroids partition the
+    * row space, so the union of their cell dirs IS the full build's
+    * layout; no byte is read or rewritten, the merge is O(files)
+    * filesystem metadata operations (the only kind of "merge" that
+    * works when the shards total 100 TB). Guards: every shard's
+    * centroid side file must be bit-identical to the first's (merging
+    * mismatched quantizers silently corrupts assignment — fail loudly
+    * instead), and [[balanceCells]]-split shards are rejected (their
+    * per-shard sub-cell moduli don't compose; balance AFTER merging if
+    * needed). Shard roots are consumed (moved, then deleted). Returns
+    * the number of data files moved. */
+  def mergeIvfShards(spark: SparkSession, shardPaths: Seq[String],
+      destPath: String): Int = {
+    require(shardPaths.nonEmpty, "mergeIvfShards needs >= 1 shard")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(destPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def centroidRows(p: String): Seq[(Int, Seq[Float])] =
+      spark.read.parquet(p + "_centroids").orderBy("__cell").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1)).toSeq
+    val ref = centroidRows(shardPaths.head)
+    shardPaths.tail.foreach { p =>
+      require(centroidRows(p) == ref,
+        s"shard $p was built against different centroids than " +
+          s"${shardPaths.head} — refusing to merge mismatched quantizers")
+    }
+    shardPaths.foreach { p =>
+      require(!fs.exists(new Path(p + "_splits")),
+        s"shard $p is balanceCells-split; merge unsplit shards and " +
+          "balance the merged layout instead")
+    }
+    val moved = graft.index.PartitionedLayout.moveMerge(spark,
+      shardPaths, destPath, depth = 1)
+    // one centroid side file serves the merged layout (all were equal)
+    fs.delete(new Path(destPath + "_centroids"), true)
+    fs.rename(new Path(shardPaths.head + "_centroids"),
+      new Path(destPath + "_centroids"))
+    shardPaths.tail.foreach(p => fs.delete(new Path(p + "_centroids"), true))
+    moved
+  }
+
+  /** Sign-LSH twin of [[mergeIvfShards]]: codes are a pure per-row
+    * function of (vector, tables, bits), so N shard layouts built with
+    * the SAME parameters partition the row space and merge by file
+    * moves — both the (table, code) posting dirs and the pk-hash
+    * `_docs` refine table. Guard: a shard whose table dirs exceed
+    * `tables` was built with different parameters — fail loudly.
+    * Shard roots are consumed. Returns the merged handle. */
+  def mergeSignLshShards(spark: SparkSession, shardPaths: Seq[String],
+      destPath: String, tables: Int, bits: Int): PersistedSignLsh = {
+    import org.apache.hadoop.fs.Path
+    require(shardPaths.nonEmpty, "mergeSignLshShards needs >= 1 shard")
+    val fs = new Path(destPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    shardPaths.foreach { p =>
+      val ts = fs.listStatus(new Path(p))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("__t="))
+        .map(_.getPath.getName.stripPrefix("__t=").toInt)
+      require(ts.forall(t => t >= 0 && t < tables),
+        s"shard $p has table dirs outside [0, $tables) — built with " +
+          "different parameters than the merge target")
+    }
+    graft.index.PartitionedLayout.inParallel(
+      graft.index.PartitionedLayout.moveMerge(spark, shardPaths,
+        destPath, depth = 2),
+      graft.index.PartitionedLayout.moveMerge(spark,
+        shardPaths.map(_ + "_docs"), destPath + "_docs", depth = 1))
+    PersistedSignLsh(destPath, tables, bits)
+  }
+
   // ------- Native sign-LSH (deterministic, engine-owned) -------
 
   final case class SignLshIndex(corpusCoded: DataFrame, tables: Int,

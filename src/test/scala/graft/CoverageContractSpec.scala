@@ -46,6 +46,17 @@ class CoverageContractSpec extends SparkSpec {
     assert(unoracled.isEmpty, s"lost oracles: ${unoracled.toSeq.sorted}")
   }
 
+  test("the round-10 scale extensions stay declared and oracled") {
+    // shard-parallel build + file-move merge, substring span dedup
+    val required = Set("ann_ivf_shard_merged", "ann_signlsh_shard_merged",
+      "near_dup_shard_merged", "dedup_substring_spans",
+      "dedup_substring_scrub")
+    val missing = required -- SparkEntry.queries.keySet
+    val unoracled = required -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"dropped queries: ${missing.toSeq.sorted}")
+    assert(unoracled.isEmpty, s"lost oracles: ${unoracled.toSeq.sorted}")
+  }
+
   test("event/as-of/misc queries stay declared and oracled") {
     // the 9 rows absent from CORRECTNESS_r08 — they must never silently
     // drop out of the declared set again

@@ -175,4 +175,47 @@ class DedupSpec extends SparkSpec {
     assert(cur <= base + 1,
       s"persistent RDDs grew $base -> $cur across repeated dedup calls")
   }
+
+  test("duplicateSpans: hand-computed spans, overlaps merge, " +
+      "intra-doc repeats don't count") {
+    val d = Seq(
+      (1L, "p q r s t u"),       // shares "p q r"/"q r s" with doc 2
+      (2L, "z p q r s w"),
+      (3L, "m n o"),             // unique — no spans
+      (4L, "k l m k l m")        // 3-gram repeats INTRA-doc only
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", n = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc 1: grams at 0 and 1 overlap -> one span [0,3];
+    // doc 2: grams at 1 and 2 -> [1,4]; docs 3/4: none
+    assert(spans === Set((1L, 0, 3), (2L, 1, 4)))
+  }
+
+  test("removeDuplicateSpans: covered tokens cut, survivors rejoin " +
+      "in order, untouched docs pass through") {
+    val d = Seq(
+      (1L, "p q r s t u"),
+      (2L, "z p q r s w"),
+      (3L, "m  n   o")           // extra whitespace normalizes away
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(d, "doc_id", "text",
+        n = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((6L, 2L, "t u")))
+    assert(out(2L) === ((6L, 2L, "z w")))
+    assert(out(3L) === ((3L, 3L, "m n o")))
+  }
+
+  test("duplicateSpans: adjacent-but-disjoint gram runs stay one span " +
+      "and a whole-doc duplicate covers everything") {
+    // docs 10/11 identical: every position is covered -> one full span
+    val d = Seq(
+      (10L, "a b c d e f"),
+      (11L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", n = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans === Set((10L, 0, 5), (11L, 0, 5)))
+  }
 }

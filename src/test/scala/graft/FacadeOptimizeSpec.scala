@@ -129,4 +129,30 @@ class FacadeOptimizeSpec extends SparkSpec {
 
     assert(mkIndex("e", "exact").optimize() === Map.empty)
   }
+
+  test("syncAndOptimize: per-dir file count stays bounded across a " +
+      "long ingest and answers match plain sync") {
+    // two structurally identical sign-LSH indexes; one ingests via
+    // plain sync (files accumulate), the other via syncAndOptimize
+    // with a cap of 2 — the LSM discipline as one call
+    val plain = mkIndex("sl_plain", "signlsh",
+      Map("tables" -> "4", "bits" -> "3"))
+    val capped = mkIndex("sl_cap", "signlsh",
+      Map("tables" -> "4", "bits" -> "3"))
+    val batches = (0 until 4).map { b =>
+      emb.filter($"vec_id" >= 400 + b * 10 && $"vec_id" < 410 + b * 10)
+        .withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(b.toLong))
+    }
+    batches.foreach(plain.sync)
+    batches.foreach(capped.syncAndOptimize(_, maxFilesPerDir = 2))
+    val cappedPath = IndexKinds.layoutPath(capped.meta)
+    assert(maxFilesPerDir(cappedPath) <= 2,
+      s"cap violated: ${maxFilesPerDir(cappedPath)} files in a dir")
+    val a = plain.search(queries, "vec_id", "embedding", 3)
+      .collect().toSeq
+    val b = capped.search(queries, "vec_id", "embedding", 3)
+      .collect().toSeq
+    assert(b === a, "compaction during ingest must not change answers")
+  }
 }

@@ -147,4 +147,38 @@ class NearDupIndexSpec extends SparkSpec {
       tmp("meta"), k = 8, bands = 2, n = 4, algo = "md5", buckets = 16)
     assert(NearDupIndex.load(spark, tmp("meta")) === idx)
   }
+
+  test("mergeShards: shard builds + file-move merge probe == full " +
+      "build probe; parameter guard rejects mismatches") {
+    val corpus = docs.filter($"doc_id" >= 60)
+    val delta = docs.filter($"doc_id" < 60)
+    val full = NearDupIndex.persist(corpus, "doc_id", "text",
+      tmp("mrg_full"))
+    val shardPaths = (0 to 1).map { p =>
+      val sp = tmp(s"mrg_s$p")
+      NearDupIndex.persist(corpus.filter($"doc_id" % 2 === p),
+        "doc_id", "text", sp)
+      sp
+    }
+    val merged = NearDupIndex.mergeShards(spark, shardPaths,
+      tmp("mrg_dest"))
+    assert(merged.copy(path = full.path) === full,
+      "merged handle must carry the shards' parameters")
+    assert(shardPaths.forall(p => !new java.io.File(p).exists()))
+    val a = pairs(NearDupIndex.nearDupsAgainst(spark, merged, delta,
+      "doc_id", "text", threshold = 0.5))
+    val b = pairs(NearDupIndex.nearDupsAgainst(spark, full, delta,
+      "doc_id", "text", threshold = 0.5))
+    assert(a.nonEmpty && a === b)
+    // a shard banded differently is rejected before any file moves
+    NearDupIndex.persist(corpus.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", tmp("mrg_bad"), bands = 8)
+    NearDupIndex.persist(corpus.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", tmp("mrg_ok"))
+    val e = intercept[IllegalArgumentException] {
+      NearDupIndex.mergeShards(spark,
+        Seq(tmp("mrg_bad"), tmp("mrg_ok")), tmp("mrg_dest2"))
+    }
+    assert(e.getMessage.contains("different parameters"))
+  }
 }

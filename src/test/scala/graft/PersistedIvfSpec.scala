@@ -341,4 +341,73 @@ class PersistedIvfSpec extends SparkSpec {
       s"balanced probe must prune by cell partition:\n${plan.take(2000)}")
     assert(out.count() === queries.count() * 3)
   }
+
+  test("mergeIvfShards: shard builds + file-move merge == full build") {
+    val root = Files.createTempDirectory("graft_pivf_merge").toString
+    val cents = Ann.buildIvfDeterministic(corpus, "embedding", "vec_id", 8)
+      .centroids
+    // full build persisted for the equality baseline
+    Ann.persistIvf(Ann.buildIvfShard(corpus, "embedding", "vec_id", cents),
+      s"$root/full")
+    // three pk-parity shards, each assigned against the SHARED centroids
+    val shardPaths = (0 to 2).map { p =>
+      val sp = s"$root/shard$p"
+      Ann.persistIvf(Ann.buildIvfShard(
+        corpus.filter(pmod($"vec_id", lit(3)) === p),
+        "embedding", "vec_id", cents), sp)
+      sp
+    }
+    def partFiles(dir: String): Seq[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir))
+        .filter(f => f.getName.contains("part-") &&
+          f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length())
+    }
+    val shardSizes = shardPaths.flatMap(partFiles).map(_._2).sorted
+    val moved = Ann.mergeIvfShards(spark, shardPaths, s"$root/merged")
+    assert(moved === shardSizes.size)
+    // pure file moves: every shard data file survives byte-for-byte
+    // (size multiset equality — nothing was rewritten) and the shard
+    // roots are consumed
+    assert(partFiles(s"$root/merged").map(_._2).sorted === shardSizes)
+    assert(shardPaths.forall(p => !new java.io.File(p).exists()))
+    // merged layout holds exactly the full build's (pk, cell) rows
+    def rows(p: String) = spark.read.parquet(p)
+      .select("vec_id", "__cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows(s"$root/merged") === rows(s"$root/full"))
+    // and answers queries identically
+    def ans(p: String) = Ann.queryPersistedIvf(spark, Ann.PersistedIvf(p),
+      queries, "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, nProbe = 2)
+      .select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ans(s"$root/merged") === ans(s"$root/full"))
+  }
+
+  test("mergeIvfShards guards: mismatched centroids and split shards") {
+    val root = Files.createTempDirectory("graft_pivf_mguard").toString
+    val cents8 = Ann.buildIvfDeterministic(corpus, "embedding", "vec_id", 8)
+      .centroids
+    val cents4 = Ann.buildIvfDeterministic(corpus, "embedding", "vec_id", 4)
+      .centroids
+    Ann.persistIvf(Ann.buildIvfShard(corpus.filter($"vec_id" % 2 === 0),
+      "embedding", "vec_id", cents8), s"$root/a")
+    Ann.persistIvf(Ann.buildIvfShard(corpus.filter($"vec_id" % 2 === 1),
+      "embedding", "vec_id", cents4), s"$root/b")
+    val e = intercept[IllegalArgumentException] {
+      Ann.mergeIvfShards(spark, Seq(s"$root/a", s"$root/b"), s"$root/m")
+    }
+    assert(e.getMessage.contains("different centroids"))
+    val split = Ann.balanceCells(
+      Ann.buildIvfShard(corpus.filter($"vec_id" % 2 === 1),
+        "embedding", "vec_id", cents8), "vec_id", maxSkew = 1.0)
+    Ann.persistIvf(split, s"$root/c")
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.mergeIvfShards(spark, Seq(s"$root/a", s"$root/c"), s"$root/m")
+    }
+    assert(e2.getMessage.contains("split"))
+  }
 }

@@ -526,4 +526,54 @@ class PersistedLayoutSpec extends SparkSpec {
       .head()
     assert(hit.getLong(2) === 17L)
   }
+
+  test("mergeSignLshShards: shard builds + file-move merge == full " +
+      "build, both tables; parameter guard rejects mismatches") {
+    val root = Files.createTempDirectory("graft_pslsh_merge").toString
+    Ann.persistSignLsh(
+      Ann.buildSignLsh(corpus, "embedding", tables = 4, bits = 3),
+      "vec_id", "embedding", s"$root/full")
+    val shardPaths = (0 to 1).map { p =>
+      val sp = s"$root/shard$p"
+      Ann.persistSignLsh(
+        Ann.buildSignLsh(corpus.filter($"vec_id" % 2 === p),
+          "embedding", tables = 4, bits = 3),
+        "vec_id", "embedding", sp)
+      sp
+    }
+    def partFiles(dir: String): Seq[Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir))
+        .filter(f => f.getName.contains("part-") &&
+          f.getName.endsWith(".parquet")).map(_.length())
+    }
+    val shardSizes = shardPaths
+      .flatMap(p => partFiles(p) ++ partFiles(p + "_docs")).sorted
+    val merged = Ann.mergeSignLshShards(spark, shardPaths,
+      s"$root/merged", tables = 4, bits = 3)
+    // pure moves across BOTH tables (postings + _docs), roots consumed
+    assert((partFiles(s"$root/merged") ++
+      partFiles(s"$root/merged_docs")).sorted === shardSizes)
+    assert(shardPaths.forall(p => !new java.io.File(p).exists() &&
+      !new java.io.File(p + "_docs").exists()))
+    // merged answers == full-build answers
+    def ans(idx: Ann.PersistedSignLsh) =
+      Ann.queryPersistedSignLsh(spark, idx, queries, "vec_id",
+        "embedding", "vec_id", "embedding", k = 3, Metric.Cosine)
+        .select("query_id", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ans(merged) ===
+      ans(Ann.PersistedSignLsh(s"$root/full", 4, 3)))
+    // a shard built with MORE tables than the merge target is rejected
+    Ann.persistSignLsh(
+      Ann.buildSignLsh(corpus.filter($"vec_id" % 2 === 0),
+        "embedding", tables = 8, bits = 3),
+      "vec_id", "embedding", s"$root/bad")
+    val e = intercept[IllegalArgumentException] {
+      Ann.mergeSignLshShards(spark, Seq(s"$root/bad"), s"$root/m2",
+        tables = 4, bits = 3)
+    }
+    assert(e.getMessage.contains("different parameters"))
+  }
 }
