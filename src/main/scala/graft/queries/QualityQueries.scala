@@ -117,6 +117,24 @@ object QualityQueries {
       LangModel.bigramCrossEntropy(docs(s, dir), "doc_id", "text")
         .orderBy("id")
     }),
+    // Learned-filter tier: multinomial naive Bayes trained on the even
+    // half (lang as label, Laplace smoothing), scoring the odd half —
+    // the role fastText-style classifiers play in data pipelines, as
+    // pure relational ops. Per-class contributions fold in token order
+    // (bit-reproducible), so the oracle replays train AND score stage
+    // by stage and hash-checks prediction + score + correctness.
+    "lm_nb_classify" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = LangModel.naiveBayesTrain(
+        d.filter(col("doc_id") % 2 === 0), "text", "lang")
+      LangModel.naiveBayesScore(model,
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("predicted"),
+          round(col("score"), 4).as("score"),
+          (col("predicted") === col("lang")).as("correct"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -261,5 +279,62 @@ object QualityQueries {
         |  JOIN c1 ON split_part(bg.b, ' ', 1) = c1.w1)
         |SELECT id, count(*) AS n_bigrams, round(avg(nll), 4) AS xent
         |FROM s GROUP BY id ORDER BY id""".stripMargin,
+    // Full naive-Bayes replay: class token counts + totals + vocab on
+    // the even half, add-one log-likelihoods over vocab x classes,
+    // doc priors, token-ordered contribution fold on the odd half,
+    // argmax with class-name tie-break.
+    "lm_nb_classify" ->
+      """WITH train AS (
+        |  SELECT lang AS lab,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL AND trim(text) <> ''),
+        |ttok AS (
+        |  SELECT lab, t FROM (SELECT lab, unnest(w) AS t FROM train)
+        |  WHERE t <> ''),
+        |ctok AS (SELECT lab, t, count(*) AS c FROM ttok GROUP BY 1, 2),
+        |ctot AS (SELECT lab, count(*) AS tot FROM ttok GROUP BY 1),
+        |vocab AS (SELECT DISTINCT t FROM ttok),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |prior AS (
+        |  SELECT lab, ln(CAST(count(*) AS DOUBLE) /
+        |    (SELECT count(*) FROM train)) AS lp
+        |  FROM train GROUP BY lab),
+        |ll AS (
+        |  SELECT vo.t, ct.lab,
+        |    ln((coalesce(c.c, 0) + 1.0) / (ct.tot + vs.v)) AS ll
+        |  FROM vocab vo CROSS JOIN ctot ct
+        |  LEFT JOIN ctok c ON c.t = vo.t AND c.lab = ct.lab
+        |  CROSS JOIN vs),
+        |test AS (
+        |  SELECT doc_id AS id, lang,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |  WHERE doc_id % 2 = 1 AND text IS NOT NULL AND trim(text) <> ''),
+        |tf AS (
+        |  SELECT id, t, count(*) AS tf FROM (
+        |    SELECT id, unnest(w) AS t FROM test)
+        |  WHERE t <> '' GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT tf.id, ll.lab, tf.t, tf.tf * ll.ll AS contrib
+        |  FROM tf JOIN ll ON ll.t = tf.t),
+        |folded AS (
+        |  SELECT id, lab,
+        |    list_reduce(list_prepend(0.0, list(contrib ORDER BY t)),
+        |      (a, x) -> a + x) AS s
+        |  FROM contrib GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT i.id, p.lab, p.lp + coalesce(f.s, 0.0) AS score
+        |  FROM (SELECT DISTINCT id FROM test) i CROSS JOIN prior p
+        |  LEFT JOIN folded f ON f.id = i.id AND f.lab = p.lab),
+        |pred AS (
+        |  SELECT id, lab, score, row_number() OVER (
+        |    PARTITION BY id ORDER BY score DESC, lab) AS rn
+        |  FROM scored)
+        |SELECT p.id AS doc_id, p.lab AS predicted,
+        |  round(p.score, 4) AS score, p.lab = t.lang AS correct
+        |FROM pred p JOIN (SELECT DISTINCT id, lang FROM test) t
+        |  ON t.id = p.id
+        |WHERE p.rn = 1 ORDER BY doc_id""".stripMargin,
   )
 }

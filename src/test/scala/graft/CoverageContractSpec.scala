@@ -50,7 +50,7 @@ class CoverageContractSpec extends SparkSpec {
     // shard-parallel build + file-move merge, substring span dedup
     val required = Set("ann_ivf_shard_merged", "ann_signlsh_shard_merged",
       "near_dup_shard_merged", "dedup_substring_spans",
-      "dedup_substring_scrub")
+      "dedup_substring_scrub", "lm_nb_classify")
     val missing = required -- SparkEntry.queries.keySet
     val unoracled = required -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"dropped queries: ${missing.toSeq.sorted}")

@@ -110,4 +110,59 @@ class QualitySpec extends SparkSpec {
     val out = Dedup.chunkFirstWins(docs, "doc_id", "text", chunkTokens = 4)
     assert(out.select("id").as[Long].collect() === Array(3L))
   }
+
+  test("naive Bayes: hand-computed smoothed scores, OOV prior " +
+      "fallback with class-name tie-break") {
+    import graft.operators.LangModel
+    val train = Seq((0L, "a a b", "x"), (2L, "b b b", "y"))
+      .toDF("doc_id", "text", "lang")
+    val test = Seq((1L, "a a"), (3L, "b"), (5L, "z z"))
+      .toDF("doc_id", "text")
+    val model = LangModel.naiveBayesTrain(train, "text", "lang")
+    val out = LangModel.naiveBayesScore(model, test, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        r.getDouble(2)))).toMap
+    // vocab {a,b} V=2; x: a=2,b=1,tot=3; y: a=0,b=3,tot=3; priors ln(1/2)
+    // "a a": x = ln(1/2) + 2 ln(3/5); y = ln(1/2) + 2 ln(1/5)
+    assert(out(1L)._1 === "x")
+    assert(math.abs(out(1L)._2 -
+      (math.log(0.5) + 2 * math.log(3.0 / 5))) < 1e-12)
+    // "b": x = ln(1/2) + ln(2/5); y = ln(1/2) + ln(4/5)
+    assert(out(3L)._1 === "y")
+    assert(math.abs(out(3L)._2 -
+      (math.log(0.5) + math.log(4.0 / 5))) < 1e-12)
+    // "z z" is fully out-of-vocabulary: priors tie, class name breaks
+    assert(out(5L)._1 === "x")
+    assert(math.abs(out(5L)._2 - math.log(0.5)) < 1e-12)
+  }
+
+  test("naive Bayes: separable classes classify held-out docs " +
+      "perfectly despite shared tokens") {
+    // (the parquet fixture's lang/source labels are metadata noise —
+    // its text is one shared vocabulary — so learnability is asserted
+    // on a deterministic separable corpus instead; the oracle query
+    // gates the fixture MACHINERY, not fixture accuracy)
+    import graft.operators.LangModel
+    val rows = (0 until 40).map { i =>
+      val lab = if (i % 2 == 0) "p" else "q"
+      val own = if (lab == "p") Seq("alpha", "beta", "gamma")
+        else Seq("delta", "epsilon", "zeta")
+      // class-specific tokens plus a shared one, varying mixture
+      val text = (Seq.fill(3 + i % 3)(own(i % 3)) :+ "common")
+        .mkString(" ")
+      (i.toLong, text, lab)
+    }
+    val d = rows.toDF("doc_id", "text", "lang")
+    val model = LangModel.naiveBayesTrain(
+      d.filter($"doc_id" < 20), "text", "lang")
+    val scored = LangModel.naiveBayesScore(model,
+        d.filter($"doc_id" >= 20), "doc_id", "text")
+      .join(d.select($"doc_id", $"lang"), "doc_id")
+    val (hit, n) = scored
+      .agg(sum(when($"predicted" === $"lang", 1).otherwise(0)),
+        count(lit(1)))
+      .as[(Long, Long)].head()
+    assert(n === 20L && hit === n,
+      s"separable corpus must classify perfectly, got $hit/$n")
+  }
 }
