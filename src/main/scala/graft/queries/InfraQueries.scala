@@ -581,6 +581,32 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // Shard-parallel SQ8 build + file-move merge: the grid is fit ONCE
+    // on the full corpus, two pk-parity shards encode+persist
+    // independently, and the merge moves codes AND vector files by
+    // renames. Codes are pure per-row functions of (vector, grid), so
+    // the merged rerank is hash-equal to the direct SQ8 leg, whose
+    // oracle this reuses.
+    "ann_sq8_shard_merged" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val stats = sharedSq8Stats(s, dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_psq8_shard/" +
+        dir.replaceAll("[^0-9.]", "")
+      val shardPaths = Seq(s"$root/shard0", s"$root/shard1")
+      def buildShard(p: Int): Unit = graft.search.Sq8.persist(
+        corpus.filter(pmod(col("vec_id"), lit(2)) === p),
+        "embedding", "vec_id", shardPaths(p), stats)
+      graft.index.PartitionedLayout.inParallel(buildShard(0), buildShard(1))
+      val merged = graft.search.Sq8.mergeShards(s, shardPaths,
+        s"$root/merged", stats)
+      graft.search.Sq8.rerankPersisted(s, merged,
+          e.filter(col("vec_id") < 5), "embedding", "vec_id",
+          "vec_id", "embedding", k = 3, c = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // CDF maintenance of the persisted SQ8 layout: quantization stats
     // FROZEN at build on [15,∞) (the frozen-centroid contract — new
     // vectors encode on the build-time grid), insert [5,15), delete
@@ -930,6 +956,37 @@ object InfraQueries {
         dir.replaceAll("[^0-9.]", "")
       val idx = graft.search.Pq.persistIvfPq(index, cb, "embedding", root)
       graft.search.Pq.queryPersistedIvfPq(s, idx,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, c = 4, nProbe = 4,
+          metric = Metric.Cosine)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // Shard-parallel IVF-PQ build + file-move merge — the quantized
+    // completion of the shard family: centroids AND codebooks trained
+    // once on the full corpus, two pk-parity shards assigned+encoded
+    // independently, cell dirs merged by renames with centroid and
+    // codebook equality guards. Hash-equal to the direct IVF-PQ leg,
+    // whose oracle this reuses.
+    "ann_ivfpq_shard_merged" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val cents = Ann.buildIvfDeterministic(corpus, "embedding",
+        "vec_id", 16).centroids
+      val cb = graft.search.Pq.fit(corpus, "embedding", "vec_id",
+        m = 16, k = 32)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pivfpq_sh/" +
+        dir.replaceAll("[^0-9.]", "")
+      val shardPaths = Seq(s"$root/shard0", s"$root/shard1")
+      def buildShard(p: Int): Unit = graft.search.Pq.persistIvfPq(
+        Ann.buildIvfShard(corpus.filter(pmod(col("vec_id"), lit(2)) === p),
+          "embedding", "vec_id", cents),
+        cb, "embedding", shardPaths(p))
+      graft.index.PartitionedLayout.inParallel(buildShard(0), buildShard(1))
+      val merged = graft.search.Pq.mergeIvfPqShards(s, shardPaths,
+        s"$root/merged")
+      graft.search.Pq.queryPersistedIvfPq(s, merged,
           e.filter(col("vec_id") < 5), "vec_id", "embedding",
           "vec_id", "embedding", k = 3, c = 4, nProbe = 4,
           metric = Metric.Cosine)
@@ -3563,6 +3620,8 @@ object InfraQueries {
       // the direct IVF leg verbatim
       ("ann_ivf_shard_merged" -> baseOracleSql("ann_ivf_topk")) +
       ("ann_signlsh_shard_merged" -> baseOracleSql("ann_signlsh_topk")) +
+      ("ann_sq8_shard_merged" -> baseOracleSql("ann_sq8_rerank")) +
+      ("ann_ivfpq_shard_merged" -> baseOracleSql("ann_ivfpq_topk")) +
       ("ann_signlsh_persisted" -> baseOracleSql("ann_signlsh_topk")) +
       ("ann_graph_persisted" -> baseOracleSql("ann_graph_topk")) +
       ("ann_graph_filtered" -> filteredGraphSql("ann_graph_topk")) +

@@ -186,6 +186,42 @@ object Pq {
     PersistedIvfPq(path)
   }
 
+  /** Merge N shard layouts (each a [[persistIvfPq]] over one corpus
+    * shard built against the SAME centroids and codebooks) into one
+    * layout by FILE MOVES — the quantized completion of
+    * [[Ann.mergeIvfShards]] (which this delegates to for the cell
+    * dirs, the centroid guard and the split-shard guard). Codes are a
+    * pure per-row function of (vector, codebooks) and cells of
+    * (vector, centroids), so the merged layout IS a full build: train
+    * both quantizers once on a sample, fan the corpus into
+    * independent shard encodes, merge with O(files) metadata ops.
+    * Additional guard: every shard's `_codebooks` side file must be
+    * identical to the first's. Shard roots are consumed. */
+  def mergeIvfPqShards(spark: SparkSession, shardPaths: Seq[String],
+      destPath: String): PersistedIvfPq = {
+    require(shardPaths.nonEmpty, "mergeIvfPqShards needs >= 1 shard")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(destPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cbRows(p: String): Seq[(Int, Int, Seq[Long])] =
+      spark.read.parquet(p + "_codebooks").orderBy("__s", "__j")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+        .toSeq
+    val ref = cbRows(shardPaths.head)
+    shardPaths.tail.foreach { p =>
+      require(cbRows(p) == ref,
+        s"shard $p was encoded with different codebooks than " +
+          s"${shardPaths.head} — refusing to merge")
+    }
+    Ann.mergeIvfShards(spark, shardPaths, destPath)
+    fs.delete(new Path(destPath + "_codebooks"), true)
+    fs.rename(new Path(shardPaths.head + "_codebooks"),
+      new Path(destPath + "_codebooks"))
+    shardPaths.tail.foreach(p =>
+      fs.delete(new Path(p + "_codebooks"), true))
+    PersistedIvfPq(destPath)
+  }
+
   /** Reload persisted codebooks — m·k rows, driver-small like the
     * centroid side file. */
   def loadCodebooks(spark: SparkSession, path: String): Codebooks = {

@@ -201,6 +201,44 @@ object Sq8 {
     PersistedSq8(path, stats)
   }
 
+  /** Merge N shard layouts (each a [[persist]] over one corpus shard
+    * encoded on the SAME quantization grid) into one layout by FILE
+    * MOVES — codes and vector files both, zero bytes rewritten
+    * ([[graft.index.PartitionedLayout.moveMerge]]). Codes are a pure
+    * per-row function of (vector, stats), so shard layouts partition
+    * the row space and their union IS a full build: train the grid
+    * once (a sample suffices — [[fit]] is one pass), fan the corpus
+    * into independent shard encodes, merge with O(files) metadata
+    * ops. Guard: a shard carrying a `_stats` side file must match the
+    * shared grid exactly — merging mismatched grids silently corrupts
+    * every coarse distance. The merged layout persists the shared
+    * grid. Shard roots are consumed. */
+  def mergeShards(spark: org.apache.spark.sql.SparkSession,
+      shardPaths: Seq[String], destPath: String,
+      stats: Stats): PersistedSq8 = {
+    require(shardPaths.nonEmpty, "mergeShards needs >= 1 shard")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(destPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    shardPaths.foreach { p =>
+      if (fs.exists(new Path(p + "_stats"))) {
+        val st = loadStats(spark, p)
+        require(st.mins.sameElements(stats.mins) &&
+          st.maxs.sameElements(stats.maxs),
+          s"shard $p was encoded on a different quantization grid " +
+            "than the merge target — refusing to merge")
+      }
+    }
+    graft.index.PartitionedLayout.inParallel(
+      graft.index.PartitionedLayout.moveMerge(spark,
+        shardPaths.map(_ + "_codes"), destPath + "_codes", depth = 1),
+      graft.index.PartitionedLayout.moveMerge(spark, shardPaths,
+        destPath, depth = 1))
+    shardPaths.foreach(p => fs.delete(new Path(p + "_stats"), true))
+    persistStats(spark, stats, destPath)
+    PersistedSq8(destPath, stats)
+  }
+
   /** CDF-batch maintenance of a [[persist]] layout — the SQ8 leg's
     * [[graft.search.Ann.syncPersistedIvf]]: last-write-wins per pk,
     * deletes and null-vector upserts leave the index. Quantization

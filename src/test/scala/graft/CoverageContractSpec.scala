@@ -49,6 +49,7 @@ class CoverageContractSpec extends SparkSpec {
   test("the round-10 scale extensions stay declared and oracled") {
     // shard-parallel build + file-move merge, substring span dedup
     val required = Set("ann_ivf_shard_merged", "ann_signlsh_shard_merged",
+      "ann_sq8_shard_merged", "ann_ivfpq_shard_merged",
       "near_dup_shard_merged", "dedup_substring_spans",
       "dedup_substring_scrub", "lm_nb_classify")
     val missing = required -- SparkEntry.queries.keySet

@@ -387,6 +387,43 @@ class PersistedIvfSpec extends SparkSpec {
     assert(ans(s"$root/merged") === ans(s"$root/full"))
   }
 
+  test("mergeIvfPqShards: shared-quantizer shard encodes merge into a " +
+      "full build; mismatched codebooks are rejected") {
+    import graft.search.Pq
+    val root = Files.createTempDirectory("graft_pivfpq_merge").toString
+    val cents = Ann.buildIvfDeterministic(corpus, "embedding", "vec_id", 8)
+      .centroids
+    val cb = Pq.fit(corpus, "embedding", "vec_id", m = 16, k = 16)
+    Pq.persistIvfPq(Ann.buildIvfShard(corpus, "embedding", "vec_id", cents),
+      cb, "embedding", s"$root/full")
+    val shardPaths = (0 to 1).map { p =>
+      val sp = s"$root/shard$p"
+      Pq.persistIvfPq(Ann.buildIvfShard(
+        corpus.filter($"vec_id" % 2 === p), "embedding", "vec_id", cents),
+        cb, "embedding", sp)
+      sp
+    }
+    val merged = Pq.mergeIvfPqShards(spark, shardPaths, s"$root/merged")
+    def ans(idx: Pq.PersistedIvfPq) =
+      Pq.queryPersistedIvfPq(spark, idx, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 3, c = 4, nProbe = 2)
+        .select("query_id", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ans(merged) === ans(Pq.PersistedIvfPq(s"$root/full")))
+    // codebook side file survives the merge (self-contained layout)
+    assert(Pq.loadCodebooks(spark, s"$root/merged").m === 16)
+    // a shard encoded with different codebooks is rejected
+    val cb2 = Pq.fit(corpus, "embedding", "vec_id", m = 16, k = 8)
+    Pq.persistIvfPq(Ann.buildIvfShard(
+      corpus.filter($"vec_id" % 2 === 0), "embedding", "vec_id", cents),
+      cb2, "embedding", s"$root/bad")
+    val e = intercept[IllegalArgumentException] {
+      Pq.mergeIvfPqShards(spark,
+        Seq(s"$root/bad", s"$root/merged"), s"$root/m2")
+    }
+    assert(e.getMessage.contains("different codebooks"))
+  }
+
   test("mergeIvfShards guards: mismatched centroids and split shards") {
     val root = Files.createTempDirectory("graft_pivf_mguard").toString
     val cents8 = Ann.buildIvfDeterministic(corpus, "embedding", "vec_id", 8)

@@ -576,4 +576,39 @@ class PersistedLayoutSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("different parameters"))
   }
+
+  test("Sq8.mergeShards: shared-grid shard encodes merge into a full " +
+      "build; a mismatched grid is rejected") {
+    import graft.search.Sq8
+    val root = Files.createTempDirectory("graft_psq8_merge").toString
+    val stats = Sq8.fit(corpus, "embedding")
+    Sq8.persist(corpus, "embedding", "vec_id", s"$root/full", stats)
+    val shardPaths = (0 to 1).map { p =>
+      val sp = s"$root/shard$p"
+      Sq8.persist(corpus.filter($"vec_id" % 2 === p), "embedding",
+        "vec_id", sp, stats)
+      Sq8.persistStats(spark, stats, sp) // side file exercises the guard
+      sp
+    }
+    val merged = Sq8.mergeShards(spark, shardPaths, s"$root/merged", stats)
+    def ans(idx: Sq8.PersistedSq8) =
+      Sq8.rerankPersisted(spark, idx, queries, "embedding", "vec_id",
+        "vec_id", "embedding", k = 3, c = 4)
+        .select("query_id", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ans(merged) === ans(Sq8.PersistedSq8(s"$root/full", stats)))
+    // the merged layout persists the shared grid (self-contained)
+    val reloaded = Sq8.loadStats(spark, s"$root/merged")
+    assert(reloaded.mins.sameElements(stats.mins) &&
+      reloaded.maxs.sameElements(stats.maxs))
+    // a shard whose _stats differ from the merge grid is rejected
+    val other = Sq8.Stats(stats.mins.map(_ - 1.0), stats.maxs)
+    Sq8.persist(corpus.filter($"vec_id" % 2 === 0), "embedding",
+      "vec_id", s"$root/bad", other)
+    Sq8.persistStats(spark, other, s"$root/bad")
+    val e = intercept[IllegalArgumentException] {
+      Sq8.mergeShards(spark, Seq(s"$root/bad"), s"$root/m2", stats)
+    }
+    assert(e.getMessage.contains("quantization grid"))
+  }
 }
