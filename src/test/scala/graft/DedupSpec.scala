@@ -207,6 +207,25 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ((3L, 3L, "m n o")))
   }
 
+  test("span dedup plans: no cartesian, no unpartitioned window — " +
+      "every stage is doc-partitioned or an equi-join") {
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", n = 8)
+    val p1 = spans.queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct") &&
+      !p1.contains("BroadcastNestedLoop"),
+      s"span detection must stay equi-join shaped:\n${p1.take(1500)}")
+    // every window is partitioned (a global window would serialize the
+    // corpus through one task — the plan smell the 100 TB story dies on)
+    assert(!p1.contains("Window [")
+      || !p1.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      "unpartitioned window in span detection")
+    val scrub = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 8)
+    val p2 = scrub.queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoop"),
+      s"span removal must stay equi-join shaped:\n${p2.take(1500)}")
+  }
+
   test("duplicateSpans: adjacent-but-disjoint gram runs stay one span " +
       "and a whole-doc duplicate covers everything") {
     // docs 10/11 identical: every position is covered -> one full span
