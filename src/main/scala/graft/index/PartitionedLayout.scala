@@ -165,20 +165,33 @@ object PartitionedLayout {
     * "merge" is moving each shard's part files into the matching dest
     * dir. Semantic guards (matching quantizers / parameters across
     * shards) are the CALLER's, per layout family. Shard roots are
-    * consumed. Returns the number of files moved. */
+    * consumed. Returns the number of files moved this call.
+    *
+    * Crash contract (a merge over thousands of files WILL be
+    * interrupted sometimes): files move into a `dest__mvtmp` staging
+    * dir, and the tmp → dest rename is the single commit point. Every
+    * per-file rename is atomic, so at any crash each file lives in
+    * exactly one of {its shard dir, tmp} — re-running the SAME call
+    * walks the shards again, moves only what remains, and commits.
+    * After a committed merge a replay is a no-op (dest present, no
+    * shard roots, no tmp → return 0); dest is otherwise replaced. */
   def moveMerge(spark: SparkSession, shardRoots: Seq[String],
       dest: String, depth: Int): Int = {
     import org.apache.hadoop.fs.Path
     require(shardRoots.nonEmpty, "moveMerge needs >= 1 shard")
     val fs = new Path(dest)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(dest), true)
-    fs.mkdirs(new Path(dest))
+    val tmp = new Path(dest + "__mvtmp")
+    // committed-replay no-op: a prior call finished (shards consumed,
+    // staging gone) and the merged layout is already at dest
+    if (fs.exists(new Path(dest)) && !fs.exists(tmp) &&
+        shardRoots.forall(r => !fs.exists(new Path(r)))) return 0
+    if (!fs.exists(tmp)) fs.mkdirs(tmp) // resume keeps a crashed tmp
     var moved = 0
     shardRoots.zipWithIndex.foreach { case (root, i) =>
       def walk(p: Path, rel: Seq[String], d: Int): Unit =
         if (d == 0) {
-          val destDir = rel.foldLeft(new Path(dest))(new Path(_, _))
+          val destDir = rel.foldLeft(tmp)(new Path(_, _))
           if (rel.nonEmpty && !fs.exists(destDir)) fs.mkdirs(destDir)
           fs.listStatus(p)
             .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
@@ -191,9 +204,15 @@ object PartitionedLayout {
         } else fs.listStatus(p)
           .filter(s => s.isDirectory && s.getPath.getName.contains("="))
           .foreach(s => walk(s.getPath, rel :+ s.getPath.getName, d - 1))
-      walk(new Path(root), Nil, depth)
-      fs.delete(new Path(root), true)
+      // a resumed call may find this shard already fully drained
+      if (fs.exists(new Path(root))) {
+        walk(new Path(root), Nil, depth)
+        fs.delete(new Path(root), true)
+      }
     }
+    // commit: the staged tree becomes the layout in one rename
+    fs.delete(new Path(dest), true)
+    fs.rename(tmp, new Path(dest))
     moved
   }
 

@@ -577,6 +577,51 @@ class PersistedLayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("different parameters"))
   }
 
+  test("moveMerge crash contract: an interrupted merge resumes to the " +
+      "full layout; a committed merge replays as a no-op") {
+    import graft.index.PartitionedLayout
+    val root = Files.createTempDirectory("graft_mvmerge_crash").toString
+    val df = spark.range(0, 40)
+      .selectExpr("id", "CAST(id % 4 AS INT) AS __cell")
+    df.filter($"id" % 2 === 0).repartition($"__cell")
+      .write.partitionBy("__cell").parquet(s"$root/s0")
+    df.filter($"id" % 2 === 1).repartition($"__cell")
+      .write.partitionBy("__cell").parquet(s"$root/s1")
+    def files(dir: String): Seq[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir))
+        .filter(f => f.getName.startsWith("part-") ||
+          (f.getName.startsWith("s") && f.getName.contains("part-")))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length())
+    }
+    val total = (files(s"$root/s0") ++ files(s"$root/s1")).map(_._2).sorted
+    // simulate a crashed prior attempt: one file already staged in the
+    // __mvtmp dir (per-file renames are atomic, so this is the only
+    // intermediate state a crash can leave)
+    val cellDir = new java.io.File(s"$root/s0").listFiles()
+      .filter(_.getName.startsWith("__cell=")).head
+    val victim = cellDir.listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).head
+    val staged = new java.io.File(
+      s"$root/merged__mvtmp/${cellDir.getName}")
+    assert(staged.mkdirs())
+    assert(victim.renameTo(
+      new java.io.File(staged, s"s0-${victim.getName}")))
+    // the resumed call moves only what remains and commits
+    val moved = PartitionedLayout.moveMerge(spark,
+      Seq(s"$root/s0", s"$root/s1"), s"$root/merged", depth = 1)
+    assert(moved === total.size - 1)
+    assert(files(s"$root/merged").map(_._2).sorted === total)
+    assert(spark.read.parquet(s"$root/merged").count() === 40)
+    // committed replay: shards consumed, staging gone -> no-op
+    assert(PartitionedLayout.moveMerge(spark,
+      Seq(s"$root/s0", s"$root/s1"), s"$root/merged", depth = 1) === 0)
+    assert(files(s"$root/merged").map(_._2).sorted === total)
+  }
+
   test("Sq8.mergeShards: shared-grid shard encodes merge into a full " +
       "build; a mismatched grid is rejected") {
     import graft.search.Sq8
