@@ -515,4 +515,55 @@ object Dedup {
       .select("__g1", "__g2")
     grams.join(dup, Seq("__g1", "__g2")).select(col("__did"), col("__pos"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    * SEMANTIC dedup — near-duplicate meaning, not near-duplicate
+    * bytes, the tier above [[minhashLshPairs]]/[[embeddingNearDupLsh]]
+    * in a training-data pipeline. Cluster the corpus with frozen
+    * deterministic centroids (the IVF cell assignment,
+    * [[graft.search.Ann.buildIvfDeterministic]] — pure function of the
+    * corpus, so the whole operator is SQL-replayable), compare pairs
+    * ONLY within a cluster (cosine >= `tau`), close the pair graph,
+    * and keep the min-id row per semantic group.
+    *
+    * Scale shape: the quadratic work is bounded by the largest CELL,
+    * never the corpus — the within-cell self-join is one equi-join
+    * shuffle on the cell id, and `k` grows with the corpus to hold
+    * cell width constant (SemDeDup's own recipe: 50k clusters for
+    * LAION-scale). Cross-cell near-dups are missed by design — the
+    * paper's trade; raise `k` resolution or fall back to
+    * [[embeddingNearDupLsh]] when recall across cluster seams
+    * matters. The component closure is [[componentsAuto]]: driver
+    * union-find under `cap` pairs, pointer-jumping
+    * [[connectedComponents]] above it.
+    *
+    * Returns every corpus row with a non-null vector as
+    * `(id, component, keep)` — singletons are their own component and
+    * keep themselves; ids must be non-null and long-castable (the
+    * [[connectedComponents]] id contract). */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, tau: Double, cap: Int = 100000): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val cells = graft.search.Ann
+      .buildIvfDeterministic(corpus, vecCol, idCol, k).corpusWithCell
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+        col("__cell"))
+    // self-join on the cell id: both sides shuffle-partition on
+    // __cell identically, so the second exchange is reused, not
+    // recomputed (ReuseExchange); a<b halves the pair space
+    val pairs = cells
+      .select(col("__cell"), col("__id").as("a_id"), col("__v").as("__va"))
+      .join(cells.select(col("__cell"), col("__id").as("b_id"),
+        col("__v").as("__vb")), Seq("__cell"))
+      .filter(col("a_id") < col("b_id") &&
+        VF.cosine(col("__va"), col("__vb")) >= tau)
+      .select("a_id", "b_id")
+    val comp = componentsAuto(pairs, "a_id", "b_id", cap)
+      .withColumnRenamed("id", "__id")
+    cells.select(col("__id"))
+      .join(comp, Seq("__id"), "left")
+      .select(col("__id").as("id"),
+        coalesce(col("component"), col("__id")).as("component"))
+      .withColumn("keep", col("id") === col("component"))
+  }
 }

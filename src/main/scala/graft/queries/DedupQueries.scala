@@ -395,6 +395,20 @@ object DedupQueries {
           (col("id") === col("component")).as("keep"))
         .orderBy("doc_id")
     }),
+    // SemDeDup (arXiv:2303.09540): frozen deterministic IVF cells as
+    // the clusters, within-cell cosine pairs at the near_dup_pairs
+    // threshold (its cross-engine float boundary is already
+    // hash-proven on the SAME comparisons), recursive-CTE closure in
+    // the oracle vs componentsAuto here — the semantic-dedup keep
+    // decision end-to-end, quadratic only within a cell.
+    "dedup_semantic" -> ((s, dir) => {
+      Dedup.semanticDedup(
+          Tables.load(s, dir, "embeddings")
+            .filter(col("embedding").isNotNull),
+          "vec_id", "embedding", k = 16, tau = 0.4)
+        .select(col("id"), col("component"), col("keep"))
+        .orderBy("id")
+    }),
     // SimHash near-dup pairs at Hamming distance <= 6 on a bounded block,
     // in md5 mode: the oracle rebuilds identical 64-bit signatures from
     // md5() hex and compares per-bit votes — the simhash operator itself
@@ -1046,6 +1060,44 @@ object DedupQueries {
         |SELECT id AS doc_id, min(r) AS component,
         |  (id = min(r)) AS keep
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // SemDeDup replay: deterministic first-16 centroids, nearest-cell
+    // assignment (list_distance, cell-id tiebreak — the ann_ivf_topk
+    // pattern), within-cell cosine pairs, recursive-CTE transitive
+    // closure, keep = min id per component; singletons via LEFT JOIN.
+    "dedup_semantic" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |           AS cell,
+        |         embedding AS cvec
+        |  FROM (SELECT vec_id, embedding FROM corpus
+        |        ORDER BY vec_id LIMIT 16)),
+        |asg AS (
+        |  SELECT c.vec_id, c.embedding, t.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_distance(c.embedding, t.cvec), t.cell) AS rn
+        |  FROM corpus c CROSS JOIN cents t),
+        |cells AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT c.vec_id AS id,
+        |  coalesce(comp.component, c.vec_id) AS component,
+        |  (coalesce(comp.component, c.vec_id) = c.vec_id) AS keep
+        |FROM cells c LEFT JOIN comp ON comp.id = c.vec_id
+        |ORDER BY id""".stripMargin,
     // Per-bit simhash reconstruction: token -> md5 hex -> bit b of the
     // big-endian first-8-byte value via hex-nibble arithmetic (hex char
     // 16 - b/4, bit b%4 within the nibble); votes sum +1/-1 per token,

@@ -237,4 +237,45 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(spans === Set((10L, 0, 5), (11L, 0, 5)))
   }
+
+  test("semanticDedup: within-cell duplicate meaning collapses to the " +
+    "min id; singletons keep themselves") {
+    import graft.functions.{VectorFunctions => VF}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"embedding".isNotNull)
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      k = 16, tau = 0.4)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // every non-null-vector row comes back exactly once
+    assert(rows.map(_._1).toSet === emb.select("vec_id").collect()
+      .map(_.getLong(0)).toSet)
+    // keep ⟺ the row IS its component's min id; exactly one keeper
+    // per component
+    rows.foreach { case (id, comp, keep) =>
+      assert(comp <= id); assert(keep === (id === comp))
+    }
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      assert(members.count(_._3) === 1)
+      assert(members.map(_._1).min === comp)
+    }
+    // parity with brute force: recompute the same cells' pair graph
+    // exactly (same frozen centroids) and check the grouping matches
+    val cells = graft.search.Ann
+      .buildIvfDeterministic(emb, "embedding", "vec_id", 16)
+      .corpusWithCell
+      .select($"vec_id".as("id"), $"embedding".as("v"), $"__cell")
+    val brute = cells.toDF("a_id", "va", "ca")
+      .join(cells.toDF("b_id", "vb", "cb"), col("ca") === col("cb"))
+      .filter($"a_id" < $"b_id" && VF.cosine($"va", $"vb") >= 0.4)
+      .select("a_id", "b_id")
+    val bruteComp = Dedup.connectedComponents(brute, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, comp, _) =>
+      assert(bruteComp.getOrElse(id, id) === comp,
+        s"row $id: operator component $comp vs brute ${bruteComp.get(id)}")
+    }
+    assert(rows.exists(!_._3), "fixture should contain semantic dups")
+  }
 }
