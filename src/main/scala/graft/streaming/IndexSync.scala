@@ -32,7 +32,9 @@ object IndexSync {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) index.sync(spark, batch)
+        if (!batch.isEmpty)
+          withBoundedBatchTuning(spark, batch.sparkSession)(
+            index.sync(spark, batch))
       }
       .start()
   }
@@ -43,6 +45,38 @@ object IndexSync {
     val q = triggeredSync(spark, index, journalDir, journalSchema,
       checkpointDir)
     q.awaitTermination()
+  }
+
+  /** Run one admission-BOUNDED micro-batch's maintenance with AQE off,
+    * restoring the prior setting after. Spark itself disables AQE for
+    * stateful streaming workloads; the same economics hold for these
+    * foreachBatch maintenance bodies: every AQE stage materialization
+    * is its own scheduler job (~70-100 ms fixed latency at local[4],
+    * measured in BASELINE.md's ingest-floor analysis), and on a batch
+    * bounded by admission control (maxRowsPerBatch /
+    * maxFilesPerTrigger) the runtime re-planning can never pay for
+    * those jobs — the plans are already small and the join sides
+    * already known-tiny. Production-size unbounded batches do NOT come
+    * through here (they use the one-shot sync entry points, where AQE
+    * stays on for skew/broadcast re-planning). Conf scope is the
+    * SESSION: ad-hoc queries planned concurrently on the same session
+    * during a drain would also skip AQE — the drain-style pipelines
+    * here own their session for the drain's duration. */
+  private def withBoundedBatchTuning[A](sessions: SparkSession*)
+      (body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    // the micro-batch DF is bound to the stream's CLONED session
+    // (sparkSessionForStream), while layout reads inside the body come
+    // from the caller's session — a plan executes under whichever
+    // session owns its root DF, so BOTH need the toggle
+    val ss = sessions.distinct
+    val prev = ss.map(s => s -> s.conf.getOption(key))
+    ss.foreach(_.conf.set(key, "false"))
+    try body
+    finally prev.foreach {
+      case (s, Some(v)) => s.conf.set(key, v)
+      case (s, None) => s.conf.unset(key)
+    }
   }
 
   /** TRIGGERED-style maintenance for any persisted layout — the
@@ -67,6 +101,7 @@ object IndexSync {
     * files — a replayed batch duplicates edges (degree inflation until
     * the next reprune); pair it with an idempotency guard or accept
     * reprune as the repair. */
+
   def layoutSync(spark: SparkSession, journalDir: String,
       journalSchema: StructType, checkpointDir: String,
       readerOptions: Map[String, String] = Map.empty)
@@ -79,7 +114,9 @@ object IndexSync {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) applyBatch(batch)
+        if (!batch.isEmpty)
+          withBoundedBatchTuning(spark, batch.sparkSession)(
+            applyBatch(batch))
       }
       .start()
   }
@@ -120,7 +157,8 @@ object IndexSync {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty)
+        withBoundedBatchTuning(spark, batch.sparkSession) {
           val changes = embedder.transform(batch, textCol)
             .withColumn("__op", org.apache.spark.sql.functions.lit(
               ChangeLog.OpUpdate))

@@ -19,11 +19,16 @@ object QueryTime {
     val reps = if (args.length > 1) args(1).toInt else 2
     val names = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extra confs for A/B experiments: QT_CONF="k=v,k=v"
+    sys.env.get("QT_CONF").foreach(_.split(',').filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftExtensions.register(spark)
     graft.plans.WindowTopK.enable(spark)

@@ -259,4 +259,27 @@ class StreamingSpec extends SparkSpec {
       assert(ids === Set(1L, 2L))
     } finally q.stop()
   }
+
+  test("layoutSync's bounded-batch tuning turns AQE off inside the " +
+    "batch body and restores it after the drain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqe_tune")
+      .toString
+    val one = spark.range(1L).selectExpr("id")
+    one.write.mode("overwrite").parquet(s"$dir/journal")
+    val key = "spark.sql.adaptive.enabled"
+    val before = spark.conf.get(key)
+    @volatile var insideOuter: String = null
+    @volatile var insideBatch: String = null
+    graft.streaming.IndexSync.layoutSyncOnce(spark, s"$dir/journal",
+      one.schema, s"$dir/ckpt") { batch =>
+      insideOuter = spark.conf.get(key)
+      insideBatch = batch.sparkSession.conf.get(key)
+      batch.count()
+    }
+    assert(insideOuter === "false" && insideBatch === "false",
+      "both the caller session and the stream's cloned session must " +
+        "plan the batch body without AQE")
+    assert(spark.conf.get(key) === before,
+      "the drain must not leak the AQE toggle into the session")
+  }
 }
