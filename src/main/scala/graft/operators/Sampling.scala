@@ -158,6 +158,72 @@ object Sampling {
       .drop("__frac", "__bkt", "__before", "__budget", "__class")
   }
 
+  /** DSIR-style importance scoring (Xie et al. 2023,
+    * arXiv:2302.03169): score raw documents by how much more likely
+    * their hashed-token features are under a small TARGET corpus'
+    * distribution than under the raw corpus' own —
+    * `log w(doc) = Σ_tokens [log p̂_target(b(tok)) − log p̂_raw(b(tok))]`
+    * with `b` = the token's md5 bucket (`16^hexChars` buckets, the
+    * paper's hashed n-gram trick collapsing an open vocabulary to a
+    * fixed feature space) and add-one smoothing on both distributions.
+    * Downstream selection keeps the top-budget docs
+    * ([[dsirSelect]]) — "data selection with importance resampling"
+    * toward a quality/domain target, the tier between the pure-rate
+    * mixers above and a learned classifier
+    * ([[LangModel]]'s naive Bayes).
+    *
+    * Scale shape: two bounded aggregations (≤ B rows each), a
+    * broadcast join of the B-row log-ratio table onto the raw token
+    * stream, one groupBy doc — no all-pairs, no driver state, and the
+    * heavy shuffle keys on (doc id), never on the corpus pair.
+    * Deterministic and engine-portable like everything here: md5
+    * buckets, so the whole scoring replays as SQL.
+    *
+    * Returns `(idCol, log_weight)` for every raw doc with ≥ 1 token. */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, hexChars: Int = 3): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8, "hexChars in [1, 8]")
+    val b = math.pow(16, hexChars).toLong
+    def toks(df: DataFrame, cols: Column*) = df
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(cols :+ explode(split(trim(col(textCol)), "\\s+"))
+        .as("__tok"): _*)
+      .withColumn("__bkt",
+        conv(substring(md5(col("__tok")), 1, hexChars), 16, 10)
+          .cast("long"))
+    val rawToks = toks(raw, col(idCol))
+    val tgtCnt = toks(target).groupBy("__bkt").agg(count(lit(1)).as("__tc"))
+    val rawCnt = rawToks.groupBy("__bkt").agg(count(lit(1)).as("__rc"))
+    val tgtTot = tgtCnt.agg(sum("__tc").as("__tt"))
+    val rawTot = rawCnt.agg(sum("__rc").as("__rt"))
+    // ≤ B rows: raw buckets (the only ones ever looked up), target
+    // counts joined in with 0 default, totals broadcast-crossed
+    val ratio = rawCnt
+      .join(tgtCnt, Seq("__bkt"), "left")
+      .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
+      .select(col("__bkt"),
+        (log(coalesce(col("__tc"), lit(0L)) + lit(1.0)) -
+          log(col("__tt") + lit(b.toDouble)) -
+          log(col("__rc") + lit(1.0)) +
+          log(col("__rt") + lit(b.toDouble))).as("__lr"))
+    rawToks.join(broadcast(ratio), Seq("__bkt"))
+      .groupBy(col(idCol))
+      .agg(sum("__lr").as("log_weight"))
+  }
+
+  /** [[dsirLogWeights]] + deterministic selection: keep the `k` docs
+    * whose hashed-feature likelihood ratio most favors the target
+    * (ties by id). The paper resamples from Gumbel-perturbed weights;
+    * the deterministic top-k variant keeps the operator
+    * engine-portable and diffable across runs — seeded-noise
+    * resampling composes on top via [[hashFraction]] if spread is
+    * needed. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, hexChars: Int = 3): DataFrame =
+    dsirLogWeights(raw, target, idCol, textCol, hexChars)
+      .orderBy(col("log_weight").desc, col(idCol).asc)
+      .limit(k)
+
   def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
       alpha: Double, budget: Double): DataFrame = {
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__ns"))

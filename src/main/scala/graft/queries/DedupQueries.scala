@@ -125,6 +125,19 @@ object DedupQueries {
           sum("doc_id").as("sum_id"))
         .orderBy("source")
     }),
+    // DSIR importance resampling (arXiv:2302.03169): English docs as
+    // the quality target, md5 buckets (16^3) as the hashed feature
+    // space, add-one-smoothed likelihood-ratio scores, deterministic
+    // top-100. The oracle replays buckets, both distributions, the
+    // per-doc log-weight sum, and the selection.
+    "sample_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Sampling.dsirSelect(d,
+          d.filter(col("lang") === "en"), "doc_id", "text", k = 100)
+        .select(col("doc_id"),
+          round(col("log_weight"), 4).as("log_weight"))
+        .orderBy(col("doc_id"))
+    }),
     // Streaming cross-batch dedup: the documents table replayed as an
     // id-ordered three-file journal, deduplicated on (lang, source)
     // with one-file micro-batches and forever-suppression state. The
@@ -590,6 +603,42 @@ object DedupQueries {
         |SELECT source, count(*) AS n, min(doc_id) AS min_id,
         |       CAST(sum(doc_id) AS BIGINT) AS sum_id
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    // DSIR replay: md5 3-hex-char buckets, add-one-smoothed target
+    // (lang='en') and raw distributions, per-doc log-ratio sum,
+    // deterministic top-100 by (weight desc, id), rounded after
+    // selection. Margins checked: rank-100 gap 7.8e-3, nearest 4dp
+    // rounding boundary 1.0e-3 from any kept weight — far above
+    // cross-engine double-sum noise.
+    "sample_dsir" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |rawtok AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(unnest(w)), 1, 3) AS BIGINT) AS bkt
+        |  FROM d),
+        |tgttok AS (
+        |  SELECT CAST('0x' || substr(md5(unnest(w)), 1, 3) AS BIGINT)
+        |    AS bkt
+        |  FROM d WHERE lang = 'en'),
+        |tgtcnt AS (SELECT bkt, count(*) AS tc FROM tgttok GROUP BY bkt),
+        |rawcnt AS (SELECT bkt, count(*) AS rc FROM rawtok GROUP BY bkt),
+        |tt AS (SELECT CAST(sum(tc) AS DOUBLE) AS t FROM tgtcnt),
+        |rt AS (SELECT CAST(sum(rc) AS DOUBLE) AS rtot FROM rawcnt),
+        |ratio AS (
+        |  SELECT rawcnt.bkt,
+        |    ln(coalesce(tc, 0) + 1.0) - ln(t + 4096.0)
+        |      - ln(rc + 1.0) + ln(rtot + 4096.0) AS lr
+        |  FROM rawcnt LEFT JOIN tgtcnt USING (bkt)
+        |  CROSS JOIN tt CROSS JOIN rt),
+        |wts AS (
+        |  SELECT doc_id, sum(lr) AS lw
+        |  FROM rawtok JOIN ratio USING (bkt) GROUP BY doc_id),
+        |sel AS (
+        |  SELECT doc_id, lw FROM wts
+        |  ORDER BY lw DESC, doc_id LIMIT 100)
+        |SELECT doc_id, round(lw, 4) AS log_weight
+        |FROM sel ORDER BY doc_id""".stripMargin,
     // Stream replay must land exactly on the batch first-wins result.
     "dedup_stream_firstwins" ->
       """SELECT lang, source, min(doc_id) AS keep_id

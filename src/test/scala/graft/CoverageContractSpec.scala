@@ -51,7 +51,8 @@ class CoverageContractSpec extends SparkSpec {
     val required = Set("ann_ivf_shard_merged", "ann_signlsh_shard_merged",
       "ann_sq8_shard_merged", "ann_ivfpq_shard_merged",
       "near_dup_shard_merged", "dedup_substring_spans",
-      "dedup_substring_scrub", "lm_nb_classify", "dedup_semantic")
+      "dedup_substring_scrub", "lm_nb_classify", "dedup_semantic",
+      "sample_dsir")
     val missing = required -- SparkEntry.queries.keySet
     val unoracled = required -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"dropped queries: ${missing.toSeq.sorted}")

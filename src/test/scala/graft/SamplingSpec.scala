@@ -165,4 +165,36 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(a === b)
   }
+
+  test("dsir: target-like docs outscore off-target docs; selection is " +
+    "the weight-ordered prefix") {
+    // target favors token 'alpha'; doc 1 is pure target language,
+    // doc 2 shares nothing with the target
+    val raw = Seq((1L, "alpha alpha beta"), (2L, "gamma gamma delta"))
+      .toDF("doc_id", "text")
+    val target = Seq((10L, "alpha alpha alpha beta")).toDF("doc_id", "text")
+    val w = Sampling.dsirLogWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(1L) > w(2L),
+      s"doc 1 matches the target distribution and must outscore: $w")
+
+    // selection = top-k of the full weight ranking, ties by id
+    val all = Sampling.dsirLogWeights(docs, docs.filter($"lang" === "en"),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, lw) => (-lw, id) }
+    val sel = Sampling.dsirSelect(docs, docs.filter($"lang" === "en"),
+      "doc_id", "text", k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel === all.take(50).map(_._1).toSet)
+
+    // the point of DSIR: English docs are overrepresented in the
+    // selection relative to their share of the corpus
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val selEn = sel.count(langOf(_) == "en").toDouble / sel.size
+    val allEn = langOf.values.count(_ == "en").toDouble / langOf.size
+    assert(selEn > allEn,
+      s"selection en-share $selEn must exceed corpus share $allEn")
+  }
 }
