@@ -199,4 +199,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesianproduct"),
       s"no unbounded cartesian anywhere in the hybrid plan:\n${p.take(1500)}")
   }
+
+  test("semantic dedup: the pair stage is an equi-join on the cell id, " +
+    "never corpus-level all-pairs") {
+    import graft.functions.{VectorFunctions => VF}
+    import org.apache.spark.sql.functions._
+    spark.sharedState.cacheManager.clearCache()
+    // audit the pair stage directly (the full operator's component
+    // loop plans per-iteration): both sides key on __cell, so the
+    // quadratic work is bounded by the largest cell
+    val cells = graft.search.Ann.buildIvfDeterministic(
+        spark.read.parquet(s"$sf/embeddings.parquet")
+          .filter(col("embedding").isNotNull), "embedding", "vec_id", 16)
+      .corpusWithCell
+      .select(col("vec_id").as("id"), col("embedding").as("v"), col("__cell"))
+    val pairs = cells.toDF("a_id", "va", "ca")
+      .join(cells.toDF("b_id", "vb", "cb"), col("ca") === col("cb"))
+      .filter(col("a_id") < col("b_id") &&
+        VF.cosine(col("va"), col("vb")) >= 0.4)
+    val p = pairs.queryExecution.executedPlan.toString.toLowerCase
+    // the ONLY nested-loop allowed is the bounded k-row centroid
+    // broadcast inside the cell assignment; the pair join itself must
+    // key on the cell id
+    assert(p.contains("join [ca") && p.contains("], [cb"),
+      s"pair stage must equi-join on the cell id:\n${p.take(1500)}")
+    assert(!p.contains("cartesianproduct"),
+      s"no unbroadcast all-pairs anywhere:\n${p.take(1500)}")
+  }
+
+  test("dsir: the bounded ratio table broadcasts onto the token stream") {
+    val p = plan("sample_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=B-row log-ratio table must broadcast, not shuffle the " +
+        s"token stream twice:\n${p.take(1500)}")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"only the two 1-row totals may cross-join (broadcast):\n${p.take(1500)}")
+  }
 }
