@@ -61,6 +61,46 @@ object TextAnalysis {
     round((lenOk * 0.4) + (punctOk * 0.3) + (swOk * 0.3), 4)
   }
 
+  /** Gopher rule-based quality gate (Rae et al. 2021,
+    * arXiv:2112.11446, Appendix A): the published per-document
+    * keep/drop rules as ONE boolean projection — word-count band,
+    * mean-word-length band, symbol-to-word ratio, alphabetic-word
+    * ratio, and minimum stopword hits. Returns a struct of the five
+    * rule booleans plus the conjunction (`keep`), so a pipeline can
+    * both filter and report per-rule kill rates from one pass.
+    *
+    * Scale shape: a pure per-row projection over single-fold HOFs (no
+    * nested re-evaluating aggregates) — codegen-friendly,
+    * shuffle-free, fuses into the scan it follows at 100 TB. */
+  def gopherRules(c: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+      minStopwords: Int = 2,
+      stopwords: Seq[String] = gopherStopwords): Column = {
+    val toks = tokens(c)
+    val n = size(toks).cast("double")
+    val wcOk = n.between(minWords, maxWords)
+    val meanLen = aggregate(toks, lit(0L),
+      (acc, t) => acc + length(t)).cast("double") / greatest(n, lit(1.0))
+    val lenOk = meanLen.between(minMeanLen, maxMeanLen)
+    val symOk = (size(filter(toks,
+      t => t.contains("#") || t.contains("..."))).cast("double") /
+      greatest(n, lit(1.0))) <= maxSymbolRatio
+    val alphaOk = (size(filter(toks, t => t.rlike("[a-zA-Z]")))
+      .cast("double") / greatest(n, lit(1.0))) >= minAlphaRatio
+    val stopOk = size(filter(split(lower(trim(c)), "\\s+"),
+      t => t.isInCollection(stopwords))) >= minStopwords
+    struct(
+      wcOk.as("wc_ok"), lenOk.as("len_ok"), symOk.as("sym_ok"),
+      alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
+      (wcOk && lenOk && symOk && alphaOk && stopOk).as("keep"))
+  }
+
+  /** The Gopher paper's required-stopword list. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Deterministic document fingerprint: polynomial rolling hash of the
     * first `maxLen` characters, mod 1e9+7 (stays in BIGINT range on both
     * Spark and the DuckDB oracle). */

@@ -43,6 +43,22 @@ object QualityQueries {
           round(avg("dupf"), 4).as("avg_dupf"))
         .orderBy("lang")
     }),
+    // Gopher rule-based quality gate (arXiv:2112.11446 App. A) at the
+    // published thresholds: per-source doc counts, keeps, and per-rule
+    // pass counts — filter decision and kill-rate report from one
+    // shuffle-free projection pass.
+    "text_gopher_rules" -> ((s, dir) => {
+      docs(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .withColumn("__g", TextAnalysis.gopherRules(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("__g.keep").cast("long")).as("n_keep"),
+          sum(col("__g.wc_ok").cast("long")).as("n_wc"),
+          sum(col("__g.len_ok").cast("long")).as("n_len"),
+          sum(col("__g.stop_ok").cast("long")).as("n_stop"))
+        .orderBy("source")
+    }),
     // PII scrub: deterministic synthetic contact block appended to each
     // doc, then URL/email redaction + counts. The redacted string itself
     // is part of the oracle compare.
@@ -138,6 +154,40 @@ object QualityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Gopher-rule replay: identical tokenization, single-fold list
+    // arithmetic for each rule, BIGINT-cast counts.
+    "text_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS w,
+        |    lower(trim(text)) AS lt
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND trim(text) <> ''),
+        |r AS (
+        |  SELECT source,
+        |    len(w) BETWEEN 50 AND 100000 AS wc_ok,
+        |    (list_sum(list_transform(w, x -> CAST(len(x) AS BIGINT)))
+        |       / CAST(greatest(len(w), 1) AS DOUBLE))
+        |      BETWEEN 3.0 AND 10.0 AS len_ok,
+        |    (CAST(len(list_filter(w,
+        |        x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+        |       / greatest(len(w), 1)) <= 0.1 AS sym_ok,
+        |    (CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+        |        AS DOUBLE) / greatest(len(w), 1)) >= 0.8 AS alpha_ok,
+        |    len(list_filter(string_split_regex(lt, '\s+'),
+        |      x -> x IN ('the','be','to','of','and','that','have','with')))
+        |      >= 2 AS stop_ok
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN wc_ok AND len_ok AND sym_ok AND alpha_ok
+        |                     AND stop_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_keep,
+        |  CAST(sum(CASE WHEN wc_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_wc,
+        |  CAST(sum(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_len,
+        |  CAST(sum(CASE WHEN stop_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_stop
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t

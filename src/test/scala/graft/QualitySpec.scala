@@ -165,4 +165,27 @@ class QualitySpec extends SparkSpec {
     assert(n === 20L && hit === n,
       s"separable corpus must classify perfectly, got $hit/$n")
   }
+
+  test("gopherRules: each rule kills the doc built to violate it; a " +
+    "clean doc keeps") {
+    val clean = (Seq.fill(25)("the quick brown fox") :+ "ends here")
+      .mkString(" ")                       // 101 words, stopwords, alpha
+    val short = "the of tiny doc"          // fails word-count band
+    val symbols = (Seq.fill(30)("### the of") :+ "x").mkString(" ")
+    val numeric = (Seq.fill(60)("12345 the of") :+ "x").mkString(" ")
+    val noStops = Seq.fill(60)("alpha beta").mkString(" ")
+    val df = Seq((1L, clean), (2L, short), (3L, symbols), (4L, numeric),
+      (5L, noStops)).toDF("id", "text")
+      .withColumn("g", TextAnalysis.gopherRules($"text"))
+      .select($"id", $"g.wc_ok", $"g.sym_ok", $"g.alpha_ok",
+        $"g.stop_ok", $"g.keep")
+    val m = df.collect().map(r => r.getLong(0) ->
+      (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(m(1L) === ((true, true, true, true, true)))
+    assert(!m(2L)._1 && !m(2L)._5, "short doc fails the word-count band")
+    assert(!m(3L)._2 && !m(3L)._5, "symbol-heavy doc fails sym ratio")
+    assert(!m(4L)._3 && !m(4L)._5, "numeric doc fails the alpha ratio")
+    assert(!m(5L)._4 && !m(5L)._5, "stopword-free doc fails stop rule")
+  }
 }
