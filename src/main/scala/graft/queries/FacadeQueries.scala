@@ -361,7 +361,103 @@ object FacadeQueries {
             queryTextCol = Some("qtext")).count()
         }
         Map("build" -> build, "search" -> search)
+      }),
+      // the three library-level sync cells are build+sync-dominated the
+      // same way (each builds a private persisted layout, then syncs a
+      // change batch, then queries): split so the bench line shows
+      // which phase a drift lives in
+      "ann_signlsh_synced" -> ((s, dir) => {
+        import graft.index.ChangeLog
+        import graft.search.Ann
+        val e = emb(s, dir)
+        val initial = e.filter(col("vec_id") >= 15)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_pslsync_ph/" +
+          dir.replaceAll("[^0-9.]", "")
+        val (persisted, build) = timedPh {
+          Ann.persistSignLsh(Ann.buildSignLsh(initial, "embedding",
+            tables = 8, bits = 4), "vec_id", "embedding", path)
+        }
+        val changes = e.filter(col("vec_id") >= 5 && col("vec_id") < 15)
+          .withColumn("__op", lit(ChangeLog.OpInsert))
+          .withColumn("__seq", lit(1L))
+          .unionByName(initial.filter(col("vec_id") === 20)
+            .withColumn("__op", lit(ChangeLog.OpDelete))
+            .withColumn("__seq", lit(2L)))
+        val (_, sync) = timedPh {
+          Ann.syncPersistedSignLsh(s, persisted, changes, "vec_id",
+            "embedding")
+        }
+        val (_, search) = timedPh {
+          Ann.queryPersistedSignLsh(s, persisted,
+            e.filter(col("vec_id") < 5), "vec_id", "embedding",
+            "vec_id", "embedding", k = 3).count()
+        }
+        Map("build" -> build, "sync" -> sync, "search" -> search)
+      }),
+      "hybrid_kw_synced" -> ((s, dir) => {
+        import graft.index.ChangeLog
+        import graft.search.Hybrid
+        val d = graft.core.Tables.load(s, dir, "documents")
+        val initial = d.filter(col("doc_id") >= 10 && col("doc_id") < 200)
+          .select("doc_id", "text")
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ppsync_ph/" +
+          dir.replaceAll("[^0-9.]", "")
+        val (idx, build) = timedPh {
+          Hybrid.persistPostings(initial, "doc_id", "text", path,
+            buckets = 32)
+        }
+        val changes = d.filter(col("doc_id") >= 3 && col("doc_id") < 10)
+          .select("doc_id", "text")
+          .withColumn("__op", lit(ChangeLog.OpInsert))
+          .withColumn("__seq", lit(1L))
+          .unionByName(d.filter(col("doc_id") === 20)
+            .select("doc_id", "text")
+            .withColumn("__op", lit(ChangeLog.OpDelete))
+            .withColumn("__seq", lit(2L)))
+        val (_, sync) = timedPh {
+          Hybrid.syncPersistedPostings(s, idx, changes, "doc_id", "text")
+        }
+        val q = d.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"), col("text").as("qtext"))
+        val (_, search) = timedPh {
+          Hybrid.bm25Persisted(s, idx, q, "qid", "qtext", "doc_id").count()
+        }
+        Map("build" -> build, "sync" -> sync, "search" -> search)
+      }),
+      "near_dup_delta_synced" -> ((s, dir) => {
+        import graft.index.ChangeLog
+        import graft.operators.NearDupIndex
+        val d = graft.core.Tables.load(s, dir, "documents")
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ndsync_ph/" +
+          dir.replaceAll("[^0-9.]", "")
+        val (idx, build) = timedPh {
+          NearDupIndex.persist(d.filter(col("doc_id") >= 200),
+            "doc_id", "text", path, algo = "md5")
+        }
+        val changes = d.filter(col("doc_id") >= 130 && col("doc_id") < 200)
+          .select("doc_id", "text")
+          .withColumn("__op", lit(ChangeLog.OpInsert))
+          .withColumn("__seq", lit(1L))
+          .unionByName(d.filter(col("doc_id") === 245)
+            .select("doc_id", "text")
+            .withColumn("__op", lit(ChangeLog.OpDelete))
+            .withColumn("__seq", lit(2L)))
+        val (_, sync) = timedPh {
+          NearDupIndex.sync(s, idx, changes, "doc_id", "text")
+        }
+        val (_, probe) = timedPh {
+          NearDupIndex.nearDupsAgainst(s, NearDupIndex.load(s, path),
+            d.filter(col("doc_id") < 60), "doc_id", "text",
+            threshold = 0.5).count()
+        }
+        Map("build" -> build, "sync" -> sync, "probe" -> probe)
       }))
+
+  private def timedPh[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
 
   /** Routed results are hash-equal to the direct legs by construction,
     * so every entry reuses the direct leg's oracle verbatim. */
