@@ -48,6 +48,20 @@ object InfraQueries {
       GraphAnn.KnnGraph(g.edges.localCheckpoint(true), g.m)
     }
 
+  /** The read-only deterministic-IVF layout (corpus vec_id >= 5,
+    * k = 16) shared by the persisted-IVF query cells that never
+    * mutate it — build+persist once per JVM. */
+  private def sharedPersistedIvf(s: SparkSession,
+      dir: String): Ann.PersistedIvf =
+    BuildCache.memo(s"pivf:k16:ge5:$dir") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_shared_pivf/" +
+        dir.replaceAll("[^0-9.]", "")
+      Ann.persistIvf(Ann.buildIvfDeterministic(
+        emb(s, dir).filter(col("vec_id") >= 5), "embedding", "vec_id", 16),
+        root)
+      Ann.PersistedIvf(root)
+    }
+
   private def sharedPersistedGraph(s: SparkSession,
       dir: String): GraphAnn.PersistedGraph =
     BuildCache.memo(s"pgraph:b16:$dir") {
@@ -246,12 +260,7 @@ object InfraQueries {
     // probe with the same candidate-side filter.
     "ann_ivf_filtered" -> ((s, dir) => {
       val e = emb(s, dir)
-      val built = Ann.buildIvfDeterministic(e.filter(col("vec_id") >= 5),
-        "embedding", "vec_id", 16)
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pivffil/" +
-        dir.replaceAll("[^0-9.]", "")
-      Ann.persistIvf(built, root)
-      Ann.queryPersistedIvf(s, Ann.PersistedIvf(root),
+      Ann.queryPersistedIvf(s, sharedPersistedIvf(s, dir),
           e.filter(col("vec_id") < 5), "vec_id", "embedding",
           "vec_id", "embedding", k = 3, nProbe = 4,
           rowFilter = Some(col("label") === 1))
