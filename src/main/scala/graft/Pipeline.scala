@@ -10,11 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** End-to-end corpus preparation: the composition a training-data
   * pipeline runs at 100 TB, built from the engine's operators —
   *
-  *   raw corpus → falsy/quality filter → repetition filter → exact dedup
-  *   → near-dup removal (MinHash+LSH, keep lowest id per duplicate
-  *   cluster, optional hot-bucket guard) → benchmark decontamination
-  *   (optional, n-gram overlap fraction) → per-source balancing (top-k
-  *   by quality, heap operator) → embed → vector index
+  *   raw corpus → falsy/quality filter → Gopher rule gate (optional)
+  *   → repetition filter → exact dedup → near-dup removal
+  *   (MinHash+LSH, keep lowest id per duplicate cluster, optional
+  *   hot-bucket guard) → benchmark decontamination (optional, n-gram
+  *   overlap fraction) → per-source balancing (top-k by quality, heap
+  *   operator) → DSIR importance selection toward a target corpus
+  *   (optional) → embed → SemDeDup semantic dedup over the embeddings
+  *   (optional) → vector index
   *
   * Every stage is a DataFrame transform: filters are codegen'd
   * projections, exact dedup is one key shuffle, near-dup removal
@@ -26,7 +29,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class PipelineReport(
     input: Long, afterQuality: Long, afterRepetition: Long,
     afterExact: Long, afterNearDup: Long, afterDecontam: Long,
-    afterBalance: Long)
+    afterBalance: Long, afterGopher: Long = -1L, afterDsir: Long = -1L,
+    afterSemantic: Long = -1L)
 
 final class CorpusPipeline(
     minQuality: Double = 0.5,
@@ -35,15 +39,56 @@ final class CorpusPipeline(
     maxDupTokenFraction: Double = 1.0,
     perSourceCap: Int = 0,
     maxBucket: Option[Int] = None,
-    maxContamination: Double = 1.0) {
+    maxContamination: Double = 1.0,
+    useGopherRules: Boolean = false,
+    dsirKeep: Int = 0,
+    semanticDedupK: Int = 0,
+    semanticTau: Double = 0.95) {
 
   /** Quality gate: drop null/empty and low-quality docs. */
   def qualityFilter(docs: DataFrame, textCol: String): DataFrame =
     docs.filter(col(textCol).isNotNull && col(textCol) =!= "")
       .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
 
-  /** Repetition gate (Gopher-style): drop docs whose duplicate-token
-    * fraction exceeds the cap. Disabled at the default cap of 1.0. */
+  /** Gopher rule-based gate (arXiv:2112.11446 App. A): the published
+    * word-count / mean-length / symbol / alpha / stopword rules as one
+    * codegen projection. Disabled by default ([[useGopherRules]]). */
+  def gopherFilter(docs: DataFrame, textCol: String): DataFrame =
+    if (!useGopherRules) docs
+    else docs.filter(
+      TextAnalysis.gopherRules(col(textCol)).getField("keep"))
+
+  /** DSIR importance selection (arXiv:2302.03169): keep the `dsirKeep`
+    * docs whose hashed-feature likelihood ratio most favors `target`.
+    * Runs AFTER dedup (selecting before dedup re-admits duplicates of
+    * favored docs). Disabled at the default keep of 0. */
+  def dsirSelection(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame): DataFrame =
+    if (dsirKeep <= 0) docs
+    else docs.join(
+      graft.operators.Sampling.dsirSelect(docs, target, idCol, textCol,
+        dsirKeep).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** SemDeDup semantic dedup (arXiv:2303.09540) over the EMBEDDED
+    * corpus: within-cluster cosine groups keep their min-id member.
+    * Rows with a null embedding (embed failure) pass through — the
+    * quality gates own that decision, semantic grouping cannot judge
+    * them. Disabled at the default k of 0. */
+  def semanticFilter(embedded: DataFrame, idCol: String): DataFrame =
+    if (semanticDedupK <= 0) embedded
+    else {
+      val keepers = Dedup.semanticDedup(
+          embedded.filter(col("embedding").isNotNull), idCol,
+          "embedding", semanticDedupK, semanticTau)
+        .filter(col("keep")).select(col("id").as(idCol))
+      embedded.filter(col("embedding").isNull)
+        .unionByName(embedded.join(keepers, Seq(idCol), "left_semi"))
+    }
+
+  /** Repetition gate (Gopher dup-token form): drop docs whose
+    * duplicate-token fraction exceeds the cap. Disabled at the default
+    * cap of 1.0. */
   def repetitionFilter(docs: DataFrame, textCol: String): DataFrame =
     if (maxDupTokenFraction >= 1.0) docs
     else docs.filter(
@@ -119,7 +164,8 @@ final class CorpusPipeline(
       indexPath: Option[String] = None,
       sourceCol: Option[String] = None,
       benchmarks: Option[DataFrame] = None,
-      benchTextCol: String = "text"): (DataFrame, PipelineReport) = {
+      benchTextCol: String = "text",
+      dsirTarget: Option[DataFrame] = None): (DataFrame, PipelineReport) = {
     import org.apache.spark.sql.Observation
     import org.apache.spark.storage.StorageLevel
     val persisted = scala.collection.mutable.ListBuffer[DataFrame]()
@@ -134,9 +180,12 @@ final class CorpusPipeline(
     val input = obsIn.get("n").asInstanceOf[Long]
     // disabled stages pass through un-persisted (df eq parent): their
     // count re-reads the parent's cache, no extra pass
-    val r0 = repetitionFilter(q, textCol)
-    val r = if (r0 eq q) q else stage(r0)
-    val nR = r.count()
+    val g0 = gopherFilter(q, textCol)
+    val g = if (g0 eq q) q else stage(g0)
+    val nG = if (g eq q) nQ else g.count()
+    val r0 = repetitionFilter(g, textCol)
+    val r = if (r0 eq g) g else stage(r0)
+    val nR = if (r eq g) nG else r.count()
     val e = stage(exactDedup(r, idCol, textCol))
     val nE = e.count()
     val nd = stage(nearDupRemoval(e, idCol, textCol))
@@ -150,14 +199,25 @@ final class CorpusPipeline(
     val bal = sourceCol.filter(_ => perSourceCap > 0)
       .map(sc => stage(balance(dc, idCol, textCol, sc))).getOrElse(dc)
     val nBal = if (bal eq dc) nDc else bal.count()
-    val embedded = embedder.embed(bal, textCol)
+    val ds = dsirTarget.filter(_ => dsirKeep > 0)
+      .map(t => stage(dsirSelection(bal, idCol, textCol, t)))
+      .getOrElse(bal)
+    val nDs = if (ds eq bal) nBal else ds.count()
+    val emb0 = embedder.embed(ds, textCol)
+    val embedded =
+      if (semanticDedupK <= 0) emb0
+      else stage(semanticFilter(stage(emb0), idCol))
+    val nSem = if (embedded eq emb0) nDs else embedded.count()
     indexPath.foreach { p =>
       val idx = new VectorIndex(IndexMeta("pipeline_idx", idCol,
         "embedding", embedder.dim, Metric.Cosine, p))
       idx.rebuild(embedded)
     }
-    // release interior stages; keep the final one hot for the caller
-    persisted.filter(_ ne bal).foreach(_.unpersist(blocking = false))
-    (embedded, PipelineReport(input, nQ, nR, nE, nNd, nDc, nBal))
+    // release interior stages; keep the last staged frame hot — the
+    // returned (possibly unpersisted) embed projection reads from it
+    val hot = if (embedded eq emb0) ds else embedded
+    persisted.filter(_ ne hot).foreach(_.unpersist(blocking = false))
+    (embedded, PipelineReport(input, nQ, nR, nE, nNd, nDc, nBal,
+      afterGopher = nG, afterDsir = nDs, afterSemantic = nSem))
   }
 }

@@ -103,4 +103,40 @@ class PipelineSpec extends SparkSpec {
     assert(survivingBench.isEmpty,
       s"benchmark-identical docs survived: $survivingBench")
   }
+
+  test("gopher + dsir + semantic stages compose: each enabled stage " +
+    "only removes, counts land in the report, disabled ≡ absent") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+    val target = docs.filter($"lang" === "en").select($"doc_id", $"text")
+    val p = new CorpusPipeline(minQuality = 0.0, nearDupJaccard = 0.99,
+      useGopherRules = true, dsirKeep = 120, semanticDedupK = 16,
+      semanticTau = 0.4)
+    val (embedded, r) = p.run(spark, docs.select($"doc_id", $"text"),
+      "doc_id", "text", new HashProjectionEmbedder(16),
+      dsirTarget = Some(target))
+    assert(r.afterGopher < r.afterQuality,
+      s"fixture has docs failing the published Gopher rules: $r")
+    assert(r.afterDsir === 120L,
+      s"dsir keeps exactly the budget when enough docs survive: $r")
+    assert(r.afterSemantic <= r.afterDsir,
+      s"semantic dedup only removes: $r")
+    assert(embedded.count() === r.afterSemantic)
+    // stage monotonicity end to end
+    val chain = Seq(r.input, r.afterQuality, r.afterGopher,
+      r.afterRepetition, r.afterExact, r.afterNearDup, r.afterDecontam,
+      r.afterBalance, r.afterDsir, r.afterSemantic)
+    assert(chain.zip(chain.tail).forall { case (a, b) => b <= a },
+      s"stages must be monotone non-increasing: $chain")
+
+    // default-disabled run reports pass-through counts
+    val (_, r0) = new CorpusPipeline(minQuality = 0.0,
+      nearDupJaccard = 0.99)
+      .run(spark, docs.select($"doc_id", $"text"), "doc_id", "text",
+        new HashProjectionEmbedder(16))
+    assert(r0.afterGopher === r0.afterQuality &&
+      r0.afterDsir === r0.afterBalance &&
+      r0.afterSemantic === r0.afterDsir,
+      s"disabled stages must pass through: $r0")
+  }
 }
