@@ -1258,6 +1258,35 @@ object InfraQueries {
           length(col("content")).cast("long").as("n_bytes"))
         .orderBy("media_id")
     }),
+    // REAL image decode, hash-checked end to end: payloads are genuine
+    // binary P6 PPM files (pixel values a pure function of the id),
+    // ppmFeatures PARSES the bytes and averages the actual channels,
+    // and the oracle recomputes the same means from the generator
+    // formula — so a decoder bug (header parse, stride, channel order)
+    // breaks the hash. No codec libraries involved: PPM is raw RGB.
+    "mm_ppm_decode" -> ((s, dir) => {
+      Multimodal.ppmFeatures(Multimodal.syntheticPpmMedia(
+          docs(s, dir).filter(col("doc_id") < 100), "doc_id")).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy("media_id")
+    }),
+    // REAL nearest-neighbor resize: decode -> resample (sx = tx*w/tw,
+    // integer division) -> re-encode -> decode AGAIN -> channel means.
+    // The oracle replays the NN index map on the pixel formula, so the
+    // whole decode/resample/encode round-trip is hash-checked.
+    "mm_ppm_resize" -> ((s, dir) => {
+      val media = Multimodal.syntheticPpmMedia(
+        docs(s, dir).filter(col("doc_id") < 30), "doc_id")
+      Multimodal.ppmFeatures(Multimodal.ppmResize(media, 4, 4)).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy("media_id")
+    }),
     // Multimodal: binary payload column → partition-batched feature
     // extraction; metadata path oracle-checked, feature values ScalaTest'd.
     "multimodal_features" -> ((s, dir) => {
@@ -3564,6 +3593,47 @@ object InfraQueries {
         |  round(avg(sqrt(list_dot_product(embedding, embedding))), 4)
         |    AS avg_norm
         |FROM merged""".stripMargin,
+    // PPM decode replay: the generator's pixel formula over unnested
+    // pixel ranges — the Spark side parsed REAL image bytes to get the
+    // same means, so the hash proves the decoder.
+    "mm_ppm_decode" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+        |             WHERE doc_id < 100),
+        |g AS (SELECT id, CAST(8 + id % 9 AS INT) AS w,
+        |             CAST(8 + id % 7 AS INT) AS h
+        |      FROM ids),
+        |px AS (SELECT id, w, h, unnest(range(0, w * h)) AS p FROM g),
+        |v AS (SELECT id, w, h,
+        |        (7 * (p % w) + 13 * (p // w) + id) % 256 AS r,
+        |        (3 * (p % w) + 5 * (p // w) + 2 * id) % 256 AS gc,
+        |        ((p % w) + (p // w) + 3 * id) % 256 AS b
+        |      FROM px)
+        |SELECT id AS media_id, w AS width, h AS height,
+        |  round(avg(r), 4) AS mean_r, round(avg(gc), 4) AS mean_g,
+        |  round(avg(b), 4) AS mean_b
+        |FROM v GROUP BY id, w, h ORDER BY media_id""".stripMargin,
+    // PPM nearest-neighbor resize replay: the NN index map
+    // (sx = tx*w//4) applied to the pixel formula — the Spark side
+    // decoded, resampled, re-encoded and re-decoded real bytes.
+    "mm_ppm_resize" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+        |             WHERE doc_id < 30),
+        |g AS (SELECT id, CAST(8 + id % 9 AS INT) AS w,
+        |             CAST(8 + id % 7 AS INT) AS h
+        |      FROM ids),
+        |t AS (SELECT id, w, h, unnest(range(0, 16)) AS p FROM g),
+        |m AS (SELECT id, ((p % 4) * w) // 4 AS sx,
+        |             ((p // 4) * h) // 4 AS sy
+        |      FROM t),
+        |v AS (SELECT id, (7 * sx + 13 * sy + id) % 256 AS r,
+        |        (3 * sx + 5 * sy + 2 * id) % 256 AS gc,
+        |        (sx + sy + 3 * id) % 256 AS b
+        |      FROM m)
+        |SELECT id AS media_id, CAST(4 AS INT) AS width,
+        |  CAST(4 AS INT) AS height,
+        |  round(avg(r), 4) AS mean_r, round(avg(gc), 4) AS mean_g,
+        |  round(avg(b), 4) AS mean_b
+        |FROM v GROUP BY id ORDER BY media_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id AS media_id,

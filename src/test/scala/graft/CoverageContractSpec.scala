@@ -52,7 +52,8 @@ class CoverageContractSpec extends SparkSpec {
       "ann_sq8_shard_merged", "ann_ivfpq_shard_merged",
       "near_dup_shard_merged", "dedup_substring_spans",
       "dedup_substring_scrub", "lm_nb_classify", "dedup_semantic",
-      "sample_dsir", "text_gopher_rules")
+      "sample_dsir", "text_gopher_rules", "mm_ppm_decode",
+      "mm_ppm_resize")
     val missing = required -- SparkEntry.queries.keySet
     val unoracled = required -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"dropped queries: ${missing.toSeq.sorted}")

@@ -85,4 +85,47 @@ class MultimodalSpec extends SparkSpec {
     // identical payloads (duplicate texts) must surface as near-dups
     assert(pairs.count() >= 0) // smoke: plan executes distributed
   }
+
+  test("ppm: encode/decode round-trips; malformed payloads decode to " +
+    "None") {
+    val rgb = Array.tabulate(2 * 3 * 3)(i => (i * 11 % 256).toByte)
+    val bytes = Multimodal.ppmEncode(3, 2, rgb)
+    val Some((w, h, back)) = Multimodal.ppmDecode(bytes)
+    assert(w === 3 && h === 2 && back.toSeq === rgb.toSeq)
+    assert(Multimodal.ppmDecode(null) === None)
+    assert(Multimodal.ppmDecode("P5\n1 1\n255\nx".getBytes) === None,
+      "wrong magic")
+    assert(Multimodal.ppmDecode("P6\n2 2\n255\nab".getBytes) === None,
+      "truncated raster")
+    assert(Multimodal.ppmDecode("P6\n1 1\n999\nabc".getBytes) === None,
+      "unsupported maxval")
+  }
+
+  test("ppm: real decode features and NN resize match a local replay") {
+    val media = Multimodal.syntheticPpmMedia(
+      docs.filter($"doc_id" < 20), "doc_id")
+    // decode features vs a local recomputation of the pixel formula
+    val feats = Multimodal.ppmFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    (0L until 20L).foreach { id =>
+      val (w, h) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+      val rs = for (y <- 0 until h; x <- 0 until w)
+        yield (7 * x + 13 * y + id) % 256
+      val f = feats(id)
+      assert(f.width === w && f.height === h)
+      assert(math.abs(f.mean_r - rs.sum.toDouble / rs.size) < 1e-9,
+        s"decoded mean_r for image $id must equal the generator's")
+    }
+    // resize: 1x1 NN keeps exactly pixel (0,0)
+    val one = Multimodal.ppmFeatures(Multimodal.ppmResize(media, 1, 1))
+      .collect().map(f => f.media_id -> f).toMap
+    (0L until 20L).foreach { id =>
+      val f = one(id)
+      assert(f.width === 1 && f.height === 1)
+      assert(f.mean_r === (id % 256).toDouble &&
+        f.mean_g === ((2 * id) % 256).toDouble &&
+        f.mean_b === ((3 * id) % 256).toDouble,
+        s"1x1 NN resize of image $id must keep pixel (0,0)")
+    }
+  }
 }
