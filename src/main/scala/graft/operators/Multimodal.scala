@@ -243,6 +243,119 @@ object Multimodal {
       }
   }
 
+  // -- REAL audio decode, same story: canonical PCM16 mono WAV is a
+  // RIFF header + little-endian samples, parseable in pure JVM code.
+
+  /** Encode 16-bit mono PCM as a canonical 44-byte-header WAV. */
+  def wavEncode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Decode a PCM16 mono WAV by walking RIFF chunks: returns
+    * (sampleRate, samples) or None on anything malformed or any
+    * format other than 16-bit mono PCM. */
+  def wavDecode(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (bytes == null || bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    if (fourCC() != "RIFF") return None
+    bb.getInt // riff size (trust the chunk walk, not this)
+    if (fourCC() != "WAVE") return None
+    var rate = -1
+    var ok = false
+    var data: Array[Short] = null
+    while (data == null && bb.remaining() >= 8) {
+      val id = fourCC()
+      val size = bb.getInt
+      if (size < 0 || size > bb.remaining()) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val p = bb.position()
+          val fmt = bb.getShort; val ch = bb.getShort
+          rate = bb.getInt; bb.getInt; bb.getShort
+          val bits = bb.getShort
+          ok = fmt == 1 && ch == 1 && bits == 16
+          bb.position(p + size + (size & 1)) // chunks are word-aligned
+        case "data" =>
+          if (!ok || rate <= 0) return None
+          val n = size / 2
+          val out = new Array[Short](n)
+          var j = 0
+          while (j < n) { out(j) = bb.getShort; j += 1 }
+          data = out
+        case _ =>
+          bb.position(bb.position() + size + (size & 1))
+      }
+    }
+    if (data == null) None else Some((rate, data))
+  }
+
+  /** Deterministic REAL audio corpus: one PCM16 mono WAV per doc id,
+    * `n = 64 + id%129` samples at 8 kHz, sample formula
+    * `s_i = (i*(id+3) + 7*i*i) % 2003 - 1001` — a pure function of the
+    * id, SQL-replayable like the PPM generator. */
+  def syntheticWavMedia(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = (64 + id % 129).toInt
+        val s = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          s(i) = ((i * (id + 3) + 7L * i * i) % 2003 - 1001).toShort
+          i += 1
+        }
+        (id, "audio", wavEncode(8000, s))
+      }
+    }.toDF("media_id", "kind", "content")
+  }
+
+  final case class WavFeature(media_id: Long, sample_rate: Int,
+      n_samples: Long, duration_ms: Long, rms: Double,
+      zero_crossings: Long)
+
+  /** REAL decode + featurize: parse each WAV, compute duration from
+    * the actual header, RMS and sign-change count from the actual
+    * samples. Undecodable payloads drop (the corrupt-file contract). */
+  def wavFeatures(media: DataFrame): Dataset[WavFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          wavDecode(bytes).map { case (rate, s) =>
+            var sumSq = 0.0
+            var zc = 0L
+            var i = 0
+            while (i < s.length) {
+              sumSq += s(i).toDouble * s(i)
+              if (i > 0 && s(i).toInt * s(i - 1) < 0) zc += 1
+              i += 1
+            }
+            WavFeature(id, rate, s.length.toLong,
+              s.length.toLong * 1000L / rate,
+              if (s.isEmpty) 0.0 else math.sqrt(sumSq / s.length), zc)
+          }
+        }
+      }
+  }
+
   /** REAL nearest-neighbor resize: decode, resample
     * (`sx = tx*w / tw`, integer division — the standard NN index map),
     * re-encode as a valid PPM with updated geometry. Undecodable rows

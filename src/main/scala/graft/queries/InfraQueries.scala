@@ -1287,6 +1287,19 @@ object InfraQueries {
           round(col("mean_b"), 4).as("mean_b"))
         .orderBy("media_id")
     }),
+    // REAL audio decode: payloads are genuine PCM16 mono WAV files
+    // (RIFF-walked in pure JVM), features come from the ACTUAL header
+    // and samples (duration, RMS, zero crossings); the oracle replays
+    // the sample formula — a decoder bug (endianness, chunk walk,
+    // sample stride) breaks the hash.
+    "mm_wav_decode" -> ((s, dir) => {
+      Multimodal.wavFeatures(Multimodal.syntheticWavMedia(
+          docs(s, dir).filter(col("doc_id") < 60), "doc_id")).toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), round(col("rms"), 4).as("rms"),
+          col("zero_crossings"))
+        .orderBy("media_id")
+    }),
     // Multimodal: binary payload column → partition-batched feature
     // extraction; metadata path oracle-checked, feature values ScalaTest'd.
     "multimodal_features" -> ((s, dir) => {
@@ -3634,6 +3647,26 @@ object InfraQueries {
         |  round(avg(r), 4) AS mean_r, round(avg(gc), 4) AS mean_g,
         |  round(avg(b), 4) AS mean_b
         |FROM v GROUP BY id ORDER BY media_id""".stripMargin,
+    // WAV decode replay: the sample formula over unnested ranges with
+    // a lag window for sign changes — the Spark side RIFF-parsed real
+    // bytes to get the same numbers.
+    "mm_wav_decode" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+        |             WHERE doc_id < 60),
+        |g AS (SELECT id, CAST(64 + id % 129 AS INT) AS n FROM ids),
+        |s AS (SELECT id, n, unnest(range(0, n)) AS i FROM g),
+        |v AS (SELECT id, n, i,
+        |        (i * (id + 3) + 7 * i * i) % 2003 - 1001 AS smp FROM s),
+        |z AS (SELECT id, n, smp,
+        |        lag(smp) OVER (PARTITION BY id ORDER BY i) AS prev
+        |      FROM v)
+        |SELECT id AS media_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+        |  round(sqrt(avg(CAST(smp AS DOUBLE) * smp)), 4) AS rms,
+        |  CAST(sum(CASE WHEN smp * prev < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_crossings
+        |FROM z GROUP BY id, n ORDER BY media_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id AS media_id,

@@ -116,6 +116,29 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(f.mean_r - rs.sum.toDouble / rs.size) < 1e-9,
         s"decoded mean_r for image $id must equal the generator's")
     }
+    // audio: WAV round-trip + malformed payloads + real-decode replay
+    val smp = Array.tabulate(100)(i => ((i * 37) % 2003 - 1001).toShort)
+    val wav = Multimodal.wavEncode(8000, smp)
+    val Some((rate, back)) = Multimodal.wavDecode(wav)
+    assert(rate === 8000 && back.toSeq === smp.toSeq)
+    assert(Multimodal.wavDecode(null) === None)
+    assert(Multimodal.wavDecode("RIFFxxxxNOPE".getBytes) === None)
+    assert(Multimodal.wavDecode(
+      java.util.Arrays.copyOf(wav, 50)) === None, "truncated data chunk")
+    val wf = Multimodal.wavFeatures(Multimodal.syntheticWavMedia(
+      docs.filter($"doc_id" < 10), "doc_id")).collect()
+      .map(f => f.media_id -> f).toMap
+    (0L until 10L).foreach { id =>
+      val n = (64 + id % 129).toInt
+      val s = (0 until n).map(i => (i * (id + 3) + 7L * i * i) % 2003 - 1001)
+      val f = wf(id)
+      assert(f.n_samples === n.toLong && f.sample_rate === 8000)
+      assert(math.abs(f.rms -
+        math.sqrt(s.map(x => x.toDouble * x).sum / n)) < 1e-9)
+      assert(f.zero_crossings ===
+        (1 until n).count(i => s(i) * s(i - 1) < 0).toLong)
+    }
+
     // resize: 1x1 NN keeps exactly pixel (0,0)
     val one = Multimodal.ppmFeatures(Multimodal.ppmResize(media, 1, 1))
       .collect().map(f => f.media_id -> f).toMap
