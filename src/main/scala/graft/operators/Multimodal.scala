@@ -157,16 +157,17 @@ object Multimodal {
     out
   }
 
-  /** Decode a binary P6 PPM: returns (width, height, rgb) or None on
-    * any malformed input (wrong magic, maxval != 255, truncated
-    * payload) — decode failures surface as null features downstream,
-    * the same contract as a real JPEG decoder hitting a corrupt file. */
-  def ppmDecode(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    if (bytes == null || bytes.length < 11) return None
-    if (bytes(0) != 'P' || bytes(1) != '6') return None
+  /** Parse one P6 PPM starting at `off`: returns
+    * (width, height, rgb, offset-after-frame) or None on any malformed
+    * input (wrong magic, maxval != 255, truncated payload). The offset
+    * form is what lets a concatenated-frame "video" walk its frames. */
+  private def ppmDecodeAt(bytes: Array[Byte],
+      off: Int): Option[(Int, Int, Array[Byte], Int)] = {
+    if (bytes == null || bytes.length - off < 11) return None
+    if (bytes(off) != 'P' || bytes(off + 1) != '6') return None
     // parse 3 whitespace-separated ints after the magic (PPM comments
     // are rare and out of scope for the synthetic path; reject them)
-    var i = 2
+    var i = off + 2
     val vals = new Array[Int](3)
     var v = 0
     while (v < 3) {
@@ -184,8 +185,14 @@ object Multimodal {
     val (w, h, maxv) = (vals(0), vals(1), vals(2))
     if (maxv != 255 || w <= 0 || h <= 0) return None
     if (bytes.length - i < w * h * 3) return None
-    Some((w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3)))
+    Some((w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3),
+      i + w * h * 3))
   }
+
+  /** Decode a binary P6 PPM — decode failures surface as None, the
+    * same contract as a real JPEG decoder hitting a corrupt file. */
+  def ppmDecode(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    ppmDecodeAt(bytes, 0).map { case (w, h, rgb, _) => (w, h, rgb) }
 
   /** Deterministic REAL image corpus: one P6 PPM per doc id with
     * id-dependent geometry (`w = 8 + id%9`, `h = 8 + id%7`) and pixel
@@ -238,6 +245,96 @@ object Multimodal {
             }
             val n = (w * h).toDouble
             PpmFeature(id, w, h, sr / n, sg / n, sb / n)
+          }
+        }
+      }
+  }
+
+  // -- REAL video frame extraction over a codec-free container:
+  // "video" = concatenated P6 PPM frames at a fixed frame interval
+  // (an MJPEG-shaped stream with PPM in place of JPEG). Frame k is
+  // found by WALKING the stream — every earlier frame's header must
+  // parse and its raster must be skipped — so the extraction is a
+  // real demux, not an offset formula.
+
+  /** Deterministic REAL video corpus: `3 + id%5` concatenated PPM
+    * frames per doc id, 250 ms apart, geometry as in
+    * [[syntheticPpmMedia]], frame f's pixel formula adds `31*f` to
+    * every channel — SQL-replayable per (id, frame). */
+  def syntheticPpmVideoMedia(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        val nf = (3 + id % 5).toInt
+        val out = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < nf) {
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = (y * w + x) * 3
+              rgb(p) = ((7 * x + 13 * y + id + 31 * f) % 256).toByte
+              rgb(p + 1) = ((3 * x + 5 * y + 2 * id + 31 * f) % 256).toByte
+              rgb(p + 2) = ((x + y + 3 * id + 31 * f) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          out.write(ppmEncode(w, h, rgb))
+          f += 1
+        }
+        (id, "video", out.toByteArray, (nf - 1) * 250L)
+      }
+    }.toDF("media_id", "kind", "content", "duration_ms")
+  }
+
+  final case class FrameFeature(media_id: Long, frame_idx: Long,
+      ts_ms: Long, width: Int, height: Int, mean_r: Double,
+      mean_g: Double, mean_b: Double)
+
+  /** REAL frame sampling: one frame every `everyMs` over
+    * `[0, duration_ms]` (endpoints inclusive, the [[sampleFrames]]
+    * grid), but the frame itself is DEMUXED from the concatenated-PPM
+    * stream — walk to frame `ts/frameMs`, parse it, average its actual
+    * channels. Rows whose stream is malformed or too short drop. */
+  def samplePpmFrames(media: DataFrame, everyMs: Long,
+      frameMs: Long = 250L): Dataset[FrameFeature] = {
+    require(everyMs > 0 && frameMs > 0, "intervals must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video" && col("content").isNotNull &&
+        col("duration_ms").isNotNull)
+      .select("media_id", "content", "duration_ms")
+      .as[(Long, Array[Byte], Long)]
+      .flatMap { case (id, bytes, durMs) =>
+        (0L to durMs by everyMs).iterator.flatMap { ts =>
+          val want = (ts / frameMs).toInt
+          // demux: walk frames 0..want-1, then parse frame `want`
+          var off = 0
+          var f = 0
+          var ok = true
+          while (ok && f < want) {
+            ppmDecodeAt(bytes, off) match {
+              case Some((_, _, _, next)) => off = next; f += 1
+              case None => ok = false
+            }
+          }
+          if (!ok) None
+          else ppmDecodeAt(bytes, off).map { case (w, h, rgb, _) =>
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var p = 0
+            while (p < rgb.length) {
+              sr += rgb(p) & 0xff; sg += rgb(p + 1) & 0xff
+              sb += rgb(p + 2) & 0xff; p += 3
+            }
+            val n = (w * h).toDouble
+            FrameFeature(id, ts / everyMs, ts, w, h, sr / n, sg / n,
+              sb / n)
           }
         }
       }

@@ -1287,6 +1287,22 @@ object InfraQueries {
           round(col("mean_b"), 4).as("mean_b"))
         .orderBy("media_id")
     }),
+    // REAL video frame extraction: payloads are concatenated-PPM
+    // streams; frame k is DEMUXED by walking every earlier frame's
+    // header + raster, then parsed and channel-averaged. The oracle
+    // replays the per-frame pixel formula — a demux bug (stride, frame
+    // boundary, header walk) breaks the hash.
+    "mm_video_frames" -> ((s, dir) => {
+      Multimodal.samplePpmFrames(Multimodal.syntheticPpmVideoMedia(
+          docs(s, dir).filter(col("doc_id") < 40), "doc_id"),
+          everyMs = 250L).toDF()
+        .select(col("media_id"), col("frame_idx"), col("ts_ms"),
+          col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy("media_id", "frame_idx")
+    }),
     // REAL audio decode: payloads are genuine PCM16 mono WAV files
     // (RIFF-walked in pure JVM), features come from the ACTUAL header
     // and samples (duration, RMS, zero crossings); the oracle replays
@@ -3647,6 +3663,31 @@ object InfraQueries {
         |  round(avg(r), 4) AS mean_r, round(avg(gc), 4) AS mean_g,
         |  round(avg(b), 4) AS mean_b
         |FROM v GROUP BY id ORDER BY media_id""".stripMargin,
+    // Video demux replay: per-frame pixel formula over unnested
+    // (frame, pixel) ranges — the Spark side walked a real
+    // concatenated-PPM stream to land on each frame.
+    "mm_video_frames" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+        |             WHERE doc_id < 40),
+        |g AS (SELECT id, CAST(8 + id % 9 AS INT) AS w,
+        |             CAST(8 + id % 7 AS INT) AS h,
+        |             CAST(3 + id % 5 AS INT) AS nf
+        |      FROM ids),
+        |fr AS (SELECT id, w, h, unnest(range(0, nf)) AS f FROM g),
+        |px AS (SELECT id, w, h, f, unnest(range(0, w * h)) AS p
+        |       FROM fr),
+        |v AS (SELECT id, w, h, f,
+        |        (7 * (p % w) + 13 * (p // w) + id + 31 * f) % 256 AS r,
+        |        (3 * (p % w) + 5 * (p // w) + 2 * id + 31 * f) % 256
+        |          AS gc,
+        |        ((p % w) + (p // w) + 3 * id + 31 * f) % 256 AS b
+        |      FROM px)
+        |SELECT id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(f * 250 AS BIGINT) AS ts_ms, w AS width, h AS height,
+        |  round(avg(r), 4) AS mean_r, round(avg(gc), 4) AS mean_g,
+        |  round(avg(b), 4) AS mean_b
+        |FROM v GROUP BY id, f, w, h
+        |ORDER BY media_id, frame_idx""".stripMargin,
     // WAV decode replay: the sample formula over unnested ranges with
     // a lag window for sign changes — the Spark side RIFF-parsed real
     // bytes to get the same numbers.

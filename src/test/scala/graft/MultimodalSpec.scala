@@ -116,6 +116,26 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(f.mean_r - rs.sum.toDouble / rs.size) < 1e-9,
         s"decoded mean_r for image $id must equal the generator's")
     }
+    // video: the demux must land on the same frames a local walk finds
+    val vids = Multimodal.syntheticPpmVideoMedia(
+      docs.filter($"doc_id" < 6), "doc_id")
+    val frames = Multimodal.samplePpmFrames(vids, everyMs = 250L)
+      .collect().map(f => (f.media_id, f.frame_idx) -> f).toMap
+    (0L until 6L).foreach { id =>
+      val nf = (3 + id % 5).toInt
+      val (w, h) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+      (0 until nf).foreach { fidx =>
+        val f = frames((id, fidx.toLong))
+        val rs = for (y <- 0 until h; x <- 0 until w)
+          yield (7 * x + 13 * y + id + 31 * fidx) % 256
+        assert(f.width === w && f.height === h && f.ts_ms === fidx * 250L)
+        assert(math.abs(f.mean_r - rs.sum.toDouble / rs.size) < 1e-9,
+          s"demuxed frame ($id, $fidx) must carry its own pixels, " +
+            "not frame 0's")
+      }
+      assert(!frames.contains((id, nf.toLong)), "no frame past duration")
+    }
+
     // audio: WAV round-trip + malformed payloads + real-decode replay
     val smp = Array.tabulate(100)(i => ((i * 37) % 2003 - 1001).toShort)
     val wav = Multimodal.wavEncode(8000, smp)
