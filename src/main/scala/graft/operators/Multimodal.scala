@@ -340,6 +340,60 @@ object Multimodal {
       }
   }
 
+  // -- REAL compressed-blob handling: gzip ships with the JVM, so the
+  // compressed-text path a 100 TB corpus store actually uses (text
+  // stored as compressed binary, decompressed at read) needs no stub.
+
+  /** Gzip-compress bytes (JVM built-in Deflater). */
+  def gzipCompress(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  /** Gzip-decompress, or None on malformed input (the corrupt-blob
+    * contract, like the media decoders above). */
+  def gzipDecompress(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes == null) return None
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Compress a text column into a binary blob column (partition-
+    * batched; a real corpus store writes these blobs once and reads
+    * them many times). Null text → null blob. */
+  def compressText(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, if (t == null) null else gzipCompress(t.getBytes("UTF-8")))
+      }.toDF(idCol, "blob")
+  }
+
+  /** Decompress a blob column back to text. Malformed blobs → null
+    * text (surface, don't crash — the downstream falsy filter owns
+    * the drop decision). */
+  def decompressText(blobs: DataFrame, idCol: String): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col(idCol).cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, b) =>
+        (id, gzipDecompress(b).map(new String(_, "UTF-8")).orNull)
+      }.toDF(idCol, "text")
+  }
+
   // -- REAL audio decode, same story: canonical PCM16 mono WAV is a
   // RIFF header + little-endian samples, parseable in pure JVM code.
 

@@ -14,6 +14,25 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Compressed-blob round trip, hash-checked through downstream
+    // work: texts are gzip-compressed into REAL binary blobs
+    // (JVM Deflater), decompressed back, and token-counted; the
+    // oracle computes the same stats on the raw text, so any
+    // compress/decompress corruption breaks the hash. (The corpus is
+    // ASCII, so Spark's UTF-16 length == DuckDB's len char count.)
+    "text_gzip_blobs" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      val blobs = Multimodal.compressText(d, "doc_id", "text")
+      val back = Multimodal.decompressText(blobs, "doc_id")
+      back.join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("sum_tokens"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+        .orderBy("lang")
+    }),
     "text_token_stats" -> ((s, dir) => {
       docs(s, dir)
         .groupBy("lang")
@@ -97,6 +116,15 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // gzip round-trip replay: same stats straight off the raw text —
+    // equality proves decompress(compress(text)) == text for every doc
+    "text_gzip_blobs" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS sum_tokens,
+        |  CAST(sum(len(text)) AS BIGINT) AS sum_chars
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)

@@ -116,6 +116,21 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(f.mean_r - rs.sum.toDouble / rs.size) < 1e-9,
         s"decoded mean_r for image $id must equal the generator's")
     }
+    // gzip blobs: round-trip identity + malformed-blob null contract
+    assert(Multimodal.gzipDecompress(
+      Multimodal.gzipCompress("hello world".getBytes("UTF-8")))
+      .map(new String(_, "UTF-8")) === Some("hello world"))
+    assert(Multimodal.gzipDecompress("not gzip".getBytes) === None)
+    assert(Multimodal.gzipDecompress(null) === None)
+    val texts = docs.filter($"doc_id" < 10).select($"doc_id", $"text")
+    val rt = Multimodal.decompressText(
+        Multimodal.compressText(texts, "doc_id", "text"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.collect().foreach { r =>
+      assert(rt(r.getLong(0)) === r.getString(1),
+        "distributed compress/decompress must be the identity")
+    }
+
     // video: the demux must land on the same frames a local walk finds
     val vids = Multimodal.syntheticPpmVideoMedia(
       docs.filter($"doc_id" < 6), "doc_id")
