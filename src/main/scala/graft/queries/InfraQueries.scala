@@ -1287,6 +1287,37 @@ object InfraQueries {
           round(col("mean_b"), 4).as("mean_b"))
         .orderBy("media_id")
     }),
+    // Image similarity over REAL decoded pixels end to end: PPM decode
+    // -> channel-mean feature vectors -> cosine top-3. Means are exact
+    // rationals and the cosine formula is written identically in both
+    // engines, so the whole decode∘featurize∘knn composition
+    // hash-checks — the multimodal retrieval story with no stub in
+    // the chain.
+    "mm_ppm_knn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val feats = Multimodal.ppmFeatures(Multimodal.syntheticPpmMedia(
+        docs(s, dir).filter(col("doc_id") < 100), "doc_id")).toDF()
+      val q = feats.filter(col("media_id") < 3)
+        .select(col("media_id").as("query_id"),
+          col("mean_r").as("qr"), col("mean_g").as("qg"),
+          col("mean_b").as("qb"))
+      val c = feats.filter(col("media_id") >= 3)
+      val cos = (col("qr") * col("mean_r") + col("qg") * col("mean_g") +
+          col("qb") * col("mean_b")) /
+        (sqrt(col("qr") * col("qr") + col("qg") * col("qg") +
+          col("qb") * col("qb")) *
+         sqrt(col("mean_r") * col("mean_r") +
+           col("mean_g") * col("mean_g") +
+           col("mean_b") * col("mean_b")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("__cos").desc, col("media_id").asc)
+      q.crossJoin(c).withColumn("__cos", cos)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("rnk"), col("media_id"),
+          round(col("__cos"), 4).as("score"))
+        .orderBy("query_id", "rnk")
+    }),
     // REAL video frame extraction: payloads are concatenated-PPM
     // streams; frame k is DEMUXED by walking every earlier frame's
     // header + raster, then parsed and channel-averaged. The oracle
@@ -3663,6 +3694,35 @@ object InfraQueries {
         |  round(avg(r), 4) AS mean_r, round(avg(gc), 4) AS mean_g,
         |  round(avg(b), 4) AS mean_b
         |FROM v GROUP BY id ORDER BY media_id""".stripMargin,
+    // Decoded-image KNN replay: exact channel means from the pixel
+    // formula, the identical cosine expression, rank, round-after-rank.
+    "mm_ppm_knn" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+        |             WHERE doc_id < 100),
+        |g AS (SELECT id, CAST(8 + id % 9 AS INT) AS w,
+        |             CAST(8 + id % 7 AS INT) AS h
+        |      FROM ids),
+        |px AS (SELECT id, w, h, unnest(range(0, w * h)) AS p FROM g),
+        |v AS (SELECT id,
+        |        (7 * (p % w) + 13 * (p // w) + id) % 256 AS r,
+        |        (3 * (p % w) + 5 * (p // w) + 2 * id) % 256 AS gc,
+        |        ((p % w) + (p // w) + 3 * id) % 256 AS b
+        |      FROM px),
+        |f AS (SELECT id, avg(r) AS mr, avg(gc) AS mg, avg(b) AS mb
+        |      FROM v GROUP BY id),
+        |j AS (
+        |  SELECT q.id AS query_id, c.id AS media_id,
+        |    (q.mr * c.mr + q.mg * c.mg + q.mb * c.mb) /
+        |      (sqrt(q.mr * q.mr + q.mg * q.mg + q.mb * q.mb) *
+        |       sqrt(c.mr * c.mr + c.mg * c.mg + c.mb * c.mb)) AS cs
+        |  FROM (SELECT * FROM f WHERE id < 3) q,
+        |       (SELECT * FROM f WHERE id >= 3) c),
+        |r AS (SELECT query_id, media_id, cs,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cs DESC, media_id) AS BIGINT) AS rnk
+        |      FROM j)
+        |SELECT query_id, rnk, media_id, round(cs, 4) AS score
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     // Video demux replay: per-frame pixel formula over unnested
     // (frame, pixel) ranges — the Spark side walked a real
     // concatenated-PPM stream to land on each frame.
