@@ -93,4 +93,38 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("property: ppm and wav encode/decode round-trip for arbitrary " +
+    "geometry and samples; gzip round-trips arbitrary bytes") {
+    import graft.operators.Multimodal
+    val image = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      rgb <- Gen.listOfN(w * h * 3, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (w, h, rgb.toArray)
+    check("ppm", Prop.forAll(image) { case (w, h, rgb) =>
+      Multimodal.ppmDecode(Multimodal.ppmEncode(w, h, rgb)) match {
+        case Some((dw, dh, back)) =>
+          dw == w && dh == h && back.toSeq == rgb.toSeq
+        case None => false
+      }
+    }, n = 30)
+    val audio = for {
+      rate <- Gen.choose(1, 96000)
+      s <- Gen.listOfN(Gen.choose(0, 500).sample.getOrElse(100),
+        Gen.choose(Short.MinValue, Short.MaxValue))
+    } yield (rate, s.toArray)
+    check("wav", Prop.forAll(audio) { case (rate, s) =>
+      Multimodal.wavDecode(Multimodal.wavEncode(rate, s)) match {
+        case Some((r, back)) => r == rate && back.toSeq == s.toSeq
+        case None => false
+      }
+    }, n = 30)
+    val blobs = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    check("gzip", Prop.forAll(blobs) { b =>
+      Multimodal.gzipDecompress(Multimodal.gzipCompress(b))
+        .exists(_.toSeq == b.toSeq)
+    }, n = 30)
+  }
 }
