@@ -101,6 +101,69 @@ object TextAnalysis {
   val gopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Deterministic BPE merge training (Sennrich et al. 2016,
+    * arXiv:1508.07909): learn `nMerges` byte-pair merges from the
+    * corpus. Classic formulation — symbols start as characters, each
+    * round counts adjacent symbol pairs weighted by word frequency,
+    * merges the most frequent pair (ties: lexicographically smallest),
+    * and rewrites the vocabulary.
+    *
+    * The trick that keeps every step engine-portable: each merged pair
+    * becomes ONE fresh private-use-area character (U+E000+rank), so
+    * pair extraction stays `substring(w, i, 2)` and merge application
+    * is plain `replace(w, pair, sym)` — whose left-to-right
+    * non-overlapping semantics are exactly BPE's greedy application,
+    * and identical in Spark and any SQL engine.
+    *
+    * Scale shape: the corpus-sized work is ONE word-count aggregation;
+    * every merge round then runs on the VOCABULARY table (distinct
+    * words × frequencies — the same reduction HF's trainers use), one
+    * pair-count shuffle per round, one driver row per round (the
+    * argmax). Returns the merge table (rank, pair, count) and the
+    * final rewritten vocabulary. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): (Seq[(Int, String, Long)],
+        org.apache.spark.sql.DataFrame) = {
+    var words = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val best = words.filter(length(col("w")) >= 2)
+        .select(col("w"), col("n"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(expr("substring(w, i, 2)").as("pr"), col("n"))
+        .groupBy("pr").agg(sum("n").as("c"))
+        .orderBy(col("c").desc, col("pr").asc).limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val pr = best(0).getString(0)
+        val sym = (0xE000 + r).toChar.toString
+        merges += ((r, pr, best(0).getLong(1)))
+        words = words.select(
+            call_function("replace", col("w"), lit(pr), lit(sym)).as("w"),
+            col("n"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    (merges.result(), words)
+  }
+
+  /** Apply trained merges to a text column, rank order, greedy
+    * left-to-right (`replace` chain). Pairs never contain whitespace,
+    * so applying to the whole text is identical to per-word
+    * application — one pure codegen projection, no shuffle. */
+  def bpeApply(c: Column, merges: Seq[(Int, String, Long)]): Column =
+    merges.foldLeft(trim(c)) { case (acc, (rank, pr, _)) =>
+      call_function("replace", acc, lit(pr),
+        lit((0xE000 + rank).toChar.toString))
+    }
+
   /** Deterministic document fingerprint: polynomial rolling hash of the
     * first `maxLen` characters, mod 1e9+7 (stays in BIGINT range on both
     * Spark and the DuckDB oracle). */

@@ -33,6 +33,37 @@ object TextQueries {
           sum(length(col("text")).cast("long")).as("sum_chars"))
         .orderBy("lang")
     }),
+    // BPE training, hash-checked round by round: 6 merges learned from
+    // the English documents; the oracle unrolls the same 6 rounds in
+    // chained CTEs (pair counting via substr over position ranges,
+    // argmax with the lexicographic tiebreak, application via
+    // replace-to-PUA-char — bit-identical semantics in both engines).
+    "text_bpe_train" -> ((s, dir) => {
+      val (merges, _) = TextAnalysis.bpeTrain(
+        docs(s, dir).filter(col("lang") === "en"), "text", nMerges = 6)
+      import s.implicits._
+      merges.map { case (r, p, c) => (r.toLong, p, c) }
+        .toDF("rank", "pair", "cnt")
+        .orderBy("rank")
+    }),
+    // The fit/transform seam: merges trained on English, applied to
+    // EVERY doc as one replace-chain projection; per-lang encoded
+    // lengths prove the application end to end (English compresses
+    // most — the point of fitting on it).
+    "text_bpe_encode" -> ((s, dir) => {
+      val (merges, _) = TextAnalysis.bpeTrain(
+        docs(s, dir).filter(col("lang") === "en"), "text", nMerges = 6)
+      docs(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("lang"),
+          length(TextAnalysis.bpeApply(col("text"), merges))
+            .cast("long").as("len_enc"),
+          length(trim(col("text"))).cast("long").as("len_raw"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("len_enc").as("sum_enc"), sum("len_raw").as("sum_raw"))
+        .orderBy("lang")
+    }),
     "text_token_stats" -> ((s, dir) => {
       docs(s, dir)
         .groupBy("lang")
@@ -116,6 +147,115 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // BPE train replay: 6 unrolled merge rounds as chained CTEs —
+    // pair counts via substr over position ranges, argmax with the
+    // lexicographic tiebreak, replace-to-PUA-char application.
+    "text_bpe_train" ->
+      """WITH w0 AS (
+        |  SELECT word AS w, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |        FROM documents
+        |        WHERE lang = 'en' AND text IS NOT NULL AND trim(text) <> '')
+        |  GROUP BY word),
+        |p1 AS (SELECT substr(w, CAST(i AS INT), 2) AS pr,
+        |              CAST(sum(n) AS BIGINT) AS c
+        |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i
+        |             FROM w0 WHERE len(w) >= 2)
+        |       GROUP BY pr),
+        |b1 AS (SELECT pr, c FROM p1 ORDER BY c DESC, pr LIMIT 1),
+        |w1 AS (SELECT replace(w, (SELECT pr FROM b1), chr(57345)) AS w, n FROM w0),
+        |p2 AS (SELECT substr(w, CAST(i AS INT), 2) AS pr,
+        |              CAST(sum(n) AS BIGINT) AS c
+        |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i
+        |             FROM w1 WHERE len(w) >= 2)
+        |       GROUP BY pr),
+        |b2 AS (SELECT pr, c FROM p2 ORDER BY c DESC, pr LIMIT 1),
+        |w2 AS (SELECT replace(w, (SELECT pr FROM b2), chr(57346)) AS w, n FROM w1),
+        |p3 AS (SELECT substr(w, CAST(i AS INT), 2) AS pr,
+        |              CAST(sum(n) AS BIGINT) AS c
+        |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i
+        |             FROM w2 WHERE len(w) >= 2)
+        |       GROUP BY pr),
+        |b3 AS (SELECT pr, c FROM p3 ORDER BY c DESC, pr LIMIT 1),
+        |w3 AS (SELECT replace(w, (SELECT pr FROM b3), chr(57347)) AS w, n FROM w2),
+        |p4 AS (SELECT substr(w, CAST(i AS INT), 2) AS pr,
+        |              CAST(sum(n) AS BIGINT) AS c
+        |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i
+        |             FROM w3 WHERE len(w) >= 2)
+        |       GROUP BY pr),
+        |b4 AS (SELECT pr, c FROM p4 ORDER BY c DESC, pr LIMIT 1),
+        |w4 AS (SELECT replace(w, (SELECT pr FROM b4), chr(57348)) AS w, n FROM w3),
+        |p5 AS (SELECT substr(w, CAST(i AS INT), 2) AS pr,
+        |              CAST(sum(n) AS BIGINT) AS c
+        |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i
+        |             FROM w4 WHERE len(w) >= 2)
+        |       GROUP BY pr),
+        |b5 AS (SELECT pr, c FROM p5 ORDER BY c DESC, pr LIMIT 1),
+        |w5 AS (SELECT replace(w, (SELECT pr FROM b5), chr(57349)) AS w, n FROM w4),
+        |p6 AS (SELECT substr(w, CAST(i AS INT), 2) AS pr,
+        |              CAST(sum(n) AS BIGINT) AS c
+        |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i
+        |             FROM w5 WHERE len(w) >= 2)
+        |       GROUP BY pr),
+        |b6 AS (SELECT pr, c FROM p6 ORDER BY c DESC, pr LIMIT 1)
+        |SELECT CAST(rank AS BIGINT) AS rank, pr AS pair, c AS cnt
+        |FROM (SELECT 1 AS rank, pr, c FROM b1 UNION ALL SELECT 2 AS rank, pr, c FROM b2 UNION ALL SELECT 3 AS rank, pr, c FROM b3 UNION ALL SELECT 4 AS rank, pr, c FROM b4 UNION ALL SELECT 5 AS rank, pr, c FROM b5 UNION ALL SELECT 6 AS rank, pr, c FROM b6) ORDER BY rank""".stripMargin,
+    // BPE encode replay: the same trained chain applied to every doc
+    // as 6 nested replaces; per-lang encoded vs raw lengths.
+    "text_bpe_encode" ->
+      """WITH w0 AS (
+        |  SELECT word AS w, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |        FROM documents
+        |        WHERE lang = 'en' AND text IS NOT NULL AND trim(text) <> '')
+        |  GROUP BY word),
+        |p1 AS (SELECT substr(w, CAST(i AS INT), 2) AS pr,
+        |              CAST(sum(n) AS BIGINT) AS c
+        |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i
+        |             FROM w0 WHERE len(w) >= 2)
+        |       GROUP BY pr),
+        |b1 AS (SELECT pr, c FROM p1 ORDER BY c DESC, pr LIMIT 1),
+        |w1 AS (SELECT replace(w, (SELECT pr FROM b1), chr(57345)) AS w, n FROM w0),
+        |p2 AS (SELECT substr(w, CAST(i AS INT), 2) AS pr,
+        |              CAST(sum(n) AS BIGINT) AS c
+        |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i
+        |             FROM w1 WHERE len(w) >= 2)
+        |       GROUP BY pr),
+        |b2 AS (SELECT pr, c FROM p2 ORDER BY c DESC, pr LIMIT 1),
+        |w2 AS (SELECT replace(w, (SELECT pr FROM b2), chr(57346)) AS w, n FROM w1),
+        |p3 AS (SELECT substr(w, CAST(i AS INT), 2) AS pr,
+        |              CAST(sum(n) AS BIGINT) AS c
+        |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i
+        |             FROM w2 WHERE len(w) >= 2)
+        |       GROUP BY pr),
+        |b3 AS (SELECT pr, c FROM p3 ORDER BY c DESC, pr LIMIT 1),
+        |w3 AS (SELECT replace(w, (SELECT pr FROM b3), chr(57347)) AS w, n FROM w2),
+        |p4 AS (SELECT substr(w, CAST(i AS INT), 2) AS pr,
+        |              CAST(sum(n) AS BIGINT) AS c
+        |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i
+        |             FROM w3 WHERE len(w) >= 2)
+        |       GROUP BY pr),
+        |b4 AS (SELECT pr, c FROM p4 ORDER BY c DESC, pr LIMIT 1),
+        |w4 AS (SELECT replace(w, (SELECT pr FROM b4), chr(57348)) AS w, n FROM w3),
+        |p5 AS (SELECT substr(w, CAST(i AS INT), 2) AS pr,
+        |              CAST(sum(n) AS BIGINT) AS c
+        |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i
+        |             FROM w4 WHERE len(w) >= 2)
+        |       GROUP BY pr),
+        |b5 AS (SELECT pr, c FROM p5 ORDER BY c DESC, pr LIMIT 1),
+        |w5 AS (SELECT replace(w, (SELECT pr FROM b5), chr(57349)) AS w, n FROM w4),
+        |p6 AS (SELECT substr(w, CAST(i AS INT), 2) AS pr,
+        |              CAST(sum(n) AS BIGINT) AS c
+        |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i
+        |             FROM w5 WHERE len(w) >= 2)
+        |       GROUP BY pr),
+        |b6 AS (SELECT pr, c FROM p6 ORDER BY c DESC, pr LIMIT 1),
+        |d AS (SELECT lang, replace(replace(replace(replace(replace(replace(trim(text), (SELECT pr FROM b1), chr(57345)), (SELECT pr FROM b2), chr(57346)), (SELECT pr FROM b3), chr(57347)), (SELECT pr FROM b4), chr(57348)), (SELECT pr FROM b5), chr(57349)), (SELECT pr FROM b6), chr(57350)) AS et, trim(text) AS rt
+        |      FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(et)) AS BIGINT) AS sum_enc,
+        |  CAST(sum(len(rt)) AS BIGINT) AS sum_raw
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     // gzip round-trip replay: same stats straight off the raw text —
     // equality proves decompress(compress(text)) == text for every doc
     "text_gzip_blobs" ->

@@ -54,7 +54,8 @@ class CoverageContractSpec extends SparkSpec {
       "dedup_substring_scrub", "lm_nb_classify", "dedup_semantic",
       "sample_dsir", "text_gopher_rules", "mm_ppm_decode",
       "mm_ppm_resize", "mm_wav_decode", "mm_video_frames",
-      "text_gzip_blobs", "mm_ppm_knn")
+      "text_gzip_blobs", "mm_ppm_knn", "text_bpe_train",
+      "text_bpe_encode")
     val missing = required -- SparkEntry.queries.keySet
     val unoracled = required -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"dropped queries: ${missing.toSeq.sorted}")

@@ -166,6 +166,25 @@ class QualitySpec extends SparkSpec {
       s"separable corpus must classify perfectly, got $hit/$n")
   }
 
+  test("bpeTrain: hand-computed merges on the classic low/lower/lowest " +
+    "corpus; apply is the greedy replace chain") {
+    val corpus = Seq("low low low lower lowest").toDF("text")
+    val (merges, vocab) = TextAnalysis.bpeTrain(corpus, "text", 2)
+    // round 1: pairs lo:5 ow:5 we:2 er:1 es:1 st:1 — tie (lo, ow)
+    // breaks lexicographically to "lo" -> U+E001
+    // round 2: w:5 we:2 ... -> "w" -> U+E002
+    assert(merges === Seq((1, "lo", 5L), (2, "w", 5L)))
+    val words = vocab.collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(words === Map("" -> 3L, "er" -> 1L,
+      "est" -> 1L))
+    val applied = Seq("low lower slow").toDF("t")
+      .select(TextAnalysis.bpeApply(col("t"), merges).as("e"))
+      .head().getString(0)
+    assert(applied === " er s",
+      "application must be the same greedy left-to-right replace chain")
+  }
+
   test("gopherRules: each rule kills the doc built to violate it; a " +
     "clean doc keeps") {
     val clean = (Seq.fill(25)("the quick brown fox") :+ "ends here")
