@@ -166,6 +166,11 @@ final class CorpusPipeline(
       benchmarks: Option[DataFrame] = None,
       benchTextCol: String = "text",
       dsirTarget: Option[DataFrame] = None): (DataFrame, PipelineReport) = {
+    // a dsirKeep with no target would silently skip the stage and ship
+    // the unselected corpus with a pass-through count indistinguishable
+    // from "ran, removed nothing" — fail loudly instead
+    require(dsirKeep <= 0 || dsirTarget.nonEmpty,
+      s"dsirKeep=$dsirKeep but no dsirTarget corpus was supplied")
     import org.apache.spark.sql.Observation
     import org.apache.spark.storage.StorageLevel
     val persisted = scala.collection.mutable.ListBuffer[DataFrame]()

@@ -7,15 +7,28 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata, processed partition-batched.
   *
-  * The decode step itself is STUBBED (no image/audio libraries in this
-  * container — marked below); everything Spark-side is real: the schema,
-  * the partition-batched execution shape (`mapPartitions`, the Scala
-  * analog of the reference's Arrow-batched pandas_udf,
-  * reference src/databricks/syntetic_data.py:135-169), null handling,
-  * and deterministic fake features so downstream operators (dedup,
-  * similarity) are testable end-to-end.
+  * The DECODE layer is real: PNG and JPEG via `javax.imageio` (part of
+  * the JDK, works headless), P6 PPM / PCM16 WAV / concatenated-frame
+  * video / gzip blobs in pure JVM code. Only the heavy learned
+  * FEATURIZER (a vision/audio encoder network) stays a deterministic
+  * stand-in — that model is an environment adapter, like the
+  * reference's HF transformer inside its Arrow-batched pandas_udf
+  * (reference src/databricks/syntetic_data.py:135-169). The Spark shape
+  * everywhere is partition-batched `mapPartitions` with decode failures
+  * surfacing as dropped/None rows, never task crashes.
   */
 object Multimodal {
+
+  /** One-time ImageIO setup, executor-safe: force headless AWT before
+    * any codec touches the toolkit (no X11 in cluster containers), and
+    * disable the disk-backed stream cache — decode inputs are in-memory
+    * byte arrays, a per-call temp file would add IO and contend on
+    * spark.local.dir under 32 concurrent tasks. */
+  private lazy val imageIoReady: Unit = {
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
 
   /** A media row: the `binary` payload + typed metadata the pipeline
     * carries for pruning and batching decisions. */
@@ -31,13 +44,13 @@ object Multimodal {
   final case class MediaFeature(media_id: Long, kind: String,
       n_bytes: Long, feature: Array[Float])
 
-  /** Deterministic stand-in for a real decoder+featurizer.
-    *
-    * STUB: a real implementation would decode the payload (JPEG/PNG/WAV
-    * frame extraction) and run a vision/audio encoder per batch. The
-    * container has no such libraries, so features are a seeded hash
-    * projection of the bytes — deterministic, dimension-correct, and
-    * cheap, which keeps the distributed plumbing honest. */
+  /** Deterministic stand-in for a LEARNED featurizer (vision/audio
+    * encoder network — an environment adapter, like the reference's HF
+    * model). Real decode lives in [[imageFeatures]] (PNG/JPEG via
+    * ImageIO), [[ppmFeatures]], [[wavFeatures]], [[samplePpmFrames]];
+    * this hash projection of the raw bytes is the model seam's
+    * deterministic, dimension-correct, cheap placeholder, which keeps
+    * the distributed plumbing honest and testable. */
   private def fakeFeature(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (bytes == null) return out
@@ -136,15 +149,17 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
-  // REAL image decode, no external codecs: binary P6 PPM (netpbm).
-  // The container has no JPEG/PNG libraries (that decode stays an
-  // environment-blocked stub above), but PPM is a plain header +
-  // raw RGB bytes — decodable in pure JVM code. This block makes the
-  // decode → featurize → resize chain REAL for that format: payloads
-  // are genuine image files, the decoder parses them back, features
-  // come from actual pixels, and resize is true nearest-neighbor
-  // resampling re-encoded as a valid PPM. The Spark shape is the same
-  // partition-batched mapPartitions as extractFeatures.
+  // REAL image decode, no external codecs: binary P6 PPM (netpbm) —
+  // a plain header + raw RGB bytes, decodable in pure JVM code, which
+  // makes every stage of decode → featurize → resize byte-verifiable
+  // without trusting any codec. (The production formats, PNG/JPEG,
+  // are handled by the ImageIO block further down — this PPM path is
+  // the codec-free ground truth the oracles replay pixel by pixel.)
+  // Payloads are genuine image files, the decoder parses them back,
+  // features come from actual pixels, and resize is true
+  // nearest-neighbor resampling re-encoded as a valid PPM. The Spark
+  // shape is the same partition-batched mapPartitions as
+  // extractFeatures.
   // ---------------------------------------------------------------
 
   /** Encode raw RGB (row-major, 3 bytes/pixel) as a binary P6 PPM. */
@@ -176,6 +191,10 @@ object Multimodal {
       var x = 0
       while (i < bytes.length && bytes(i).toChar.isDigit) {
         x = x * 10 + (bytes(i) - '0'); i += 1
+        // bound during parse: an adversarial header (50000x50000)
+        // would overflow w*h*3 in Int and slip past the truncation
+        // check; no legitimate payload here exceeds 7 digits
+        if (x > 10000000) return None
       }
       vals(v) = x; v += 1
     }
@@ -184,7 +203,9 @@ object Multimodal {
     i += 1
     val (w, h, maxv) = (vals(0), vals(1), vals(2))
     if (maxv != 255 || w <= 0 || h <= 0) return None
-    if (bytes.length - i < w * h * 3) return None
+    // size check in Long: w*h*3 can exceed Int range even with the
+    // per-value bound, and a negative overflow would pass the check
+    if (bytes.length.toLong - i < w.toLong * h * 3) return None
     Some((w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3),
       i + w * h * 3))
   }
@@ -206,20 +227,7 @@ object Multimodal {
       ids.map { id =>
         val w = (8 + id % 9).toInt
         val h = (8 + id % 7).toInt
-        val rgb = new Array[Byte](w * h * 3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = (y * w + x) * 3
-            rgb(p) = ((7 * x + 13 * y + id) % 256).toByte
-            rgb(p + 1) = ((3 * x + 5 * y + 2 * id) % 256).toByte
-            rgb(p + 2) = ((x + y + 3 * id) % 256).toByte
-            x += 1
-          }
-          y += 1
-        }
-        (id, "image", ppmEncode(w, h, rgb))
+        (id, "image", ppmEncode(w, h, formulaRgb(id, w, h, 0)))
       }
     }.toDF("media_id", "kind", "content")
   }
@@ -237,14 +245,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           ppmDecode(bytes).map { case (w, h, rgb) =>
-            var (sr, sg, sb) = (0L, 0L, 0L)
-            var p = 0
-            while (p < rgb.length) {
-              sr += rgb(p) & 0xff; sg += rgb(p + 1) & 0xff
-              sb += rgb(p + 2) & 0xff; p += 3
-            }
-            val n = (w * h).toDouble
-            PpmFeature(id, w, h, sr / n, sg / n, sb / n)
+            channelMeans(id, w, h, rgb)
           }
         }
       }
@@ -272,20 +273,7 @@ object Multimodal {
         val out = new java.io.ByteArrayOutputStream()
         var f = 0
         while (f < nf) {
-          val rgb = new Array[Byte](w * h * 3)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = (y * w + x) * 3
-              rgb(p) = ((7 * x + 13 * y + id + 31 * f) % 256).toByte
-              rgb(p + 1) = ((3 * x + 5 * y + 2 * id + 31 * f) % 256).toByte
-              rgb(p + 2) = ((x + y + 3 * id + 31 * f) % 256).toByte
-              x += 1
-            }
-            y += 1
-          }
-          out.write(ppmEncode(w, h, rgb))
+          out.write(ppmEncode(w, h, formulaRgb(id, w, h, f)))
           f += 1
         }
         (id, "video", out.toByteArray, (nf - 1) * 250L)
@@ -441,7 +429,10 @@ object Multimodal {
           rate = bb.getInt; bb.getInt; bb.getShort
           val bits = bb.getShort
           ok = fmt == 1 && ch == 1 && bits == 16
-          bb.position(p + size + (size & 1)) // chunks are word-aligned
+          // chunks are word-aligned, but the pad byte of an odd-sized
+          // chunk ending exactly at the buffer is absent — clamp, don't
+          // throw on a crafted payload
+          bb.position(math.min(p + size + (size & 1), bb.limit()))
         case "data" =>
           if (!ok || rate <= 0) return None
           val n = size / 2
@@ -450,7 +441,8 @@ object Multimodal {
           while (j < n) { out(j) = bb.getShort; j += 1 }
           data = out
         case _ =>
-          bb.position(bb.position() + size + (size & 1))
+          bb.position(math.min(bb.position() + size + (size & 1),
+            bb.limit()))
       }
     }
     if (data == null) None else Some((rate, data))
@@ -507,10 +499,31 @@ object Multimodal {
       }
   }
 
-  /** REAL nearest-neighbor resize: decode, resample
-    * (`sx = tx*w / tw`, integer division — the standard NN index map),
-    * re-encode as a valid PPM with updated geometry. Undecodable rows
-    * are dropped. */
+  /** Nearest-neighbor raster resample (`sx = tx*w / tw`, integer
+    * division — the standard NN index map), shared by the PPM and
+    * PNG/JPEG resize paths. */
+  private def nnResample(w: Int, h: Int, rgb: Array[Byte], tw: Int,
+      th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th * 3)
+    var ty = 0
+    while (ty < th) {
+      val sy = ty * h / th
+      var tx = 0
+      while (tx < tw) {
+        val sx = tx * w / tw
+        val s = (sy * w + sx) * 3
+        val d = (ty * tw + tx) * 3
+        out(d) = rgb(s); out(d + 1) = rgb(s + 1)
+        out(d + 2) = rgb(s + 2)
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** REAL nearest-neighbor resize: decode, [[nnResample]], re-encode as
+    * a valid PPM with updated geometry. Undecodable rows are dropped. */
   def ppmResize(media: DataFrame, tw: Int, th: Int): DataFrame = {
     require(tw > 0 && th > 0, "target geometry must be positive")
     val spark = media.sparkSession
@@ -519,22 +532,154 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           ppmDecode(bytes).map { case (w, h, rgb) =>
-            val out = new Array[Byte](tw * th * 3)
-            var ty = 0
-            while (ty < th) {
-              val sy = ty * h / th
-              var tx = 0
-              while (tx < tw) {
-                val sx = tx * w / tw
-                val s = (sy * w + sx) * 3
-                val d = (ty * tw + tx) * 3
-                out(d) = rgb(s); out(d + 1) = rgb(s + 1)
-                out(d + 2) = rgb(s + 2)
-                tx += 1
-              }
-              ty += 1
-            }
-            (id, "image", ppmEncode(tw, th, out), tw, th)
+            (id, "image", ppmEncode(tw, th, nnResample(w, h, rgb, tw, th)),
+              tw, th)
+          }
+        }
+      }.toDF("media_id", "kind", "content", "width", "height")
+  }
+
+  // ---------------------------------------------------------------
+  // REAL PNG/JPEG decode via javax.imageio — part of the JDK, works
+  // headless, no external codec libraries needed. These ARE the
+  // formats a training corpus's image columns actually hold. PNG is
+  // lossless, so the formula-image oracle recipe from the PPM block
+  // carries over exactly (encode the formula pixels → decode the real
+  // PNG bytes → channel means hash-check against the SQL pixel
+  // replay); JPEG is lossy and is spec-tested with tolerance instead.
+  // Same partition-batched mapPartitions shape throughout.
+  // ---------------------------------------------------------------
+
+  /** Encode raw RGB (row-major, 3 bytes/pixel — the [[ppmEncode]]
+    * raster contract) as PNG (lossless) or JPEG (`format` = "png" |
+    * "jpg"). */
+  def imageEncode(w: Int, h: Int, rgb: Array[Byte],
+      format: String): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes")
+    imageIoReady
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var p = 0
+    while (p < px.length) {
+      px(p) = ((rgb(p * 3) & 0xff) << 16) | ((rgb(p * 3 + 1) & 0xff) << 8) |
+        (rgb(p * 3 + 2) & 0xff)
+      p += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, format, bos)
+    require(ok, s"no ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
+  /** Decode any ImageIO-readable payload (PNG, JPEG, GIF, BMP, …) to
+    * `(width, height, row-major RGB)` — None on corrupt or unreadable
+    * bytes, the same contract as [[ppmDecode]]. Alpha is dropped (RGB
+    * extraction via the ARGB int form, colorspace-converted by the
+    * codec if needed). */
+  def imageDecode(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length == 0) return None
+    imageIoReady
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None // no registered reader matched
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w <= 0 || h <= 0) return None
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val rgb = new Array[Byte](w * h * 3)
+      var p = 0
+      while (p < px.length) {
+        rgb(p * 3) = ((px(p) >> 16) & 0xff).toByte
+        rgb(p * 3 + 1) = ((px(p) >> 8) & 0xff).toByte
+        rgb(p * 3 + 2) = (px(p) & 0xff).toByte
+        p += 1
+      }
+      Some((w, h, rgb))
+    } catch {
+      case _: java.io.IOException => None
+      case _: RuntimeException => None // codec internals on crafted bytes
+    }
+  }
+
+  /** Deterministic REAL PNG corpus: the [[syntheticPpmMedia]] pixel
+    * formula (`w = 8 + id%9`, `h = 8 + id%7`,
+    * `r=(7x+13y+id)%256, g=(3x+5y+2id)%256, b=(x+y+3id)%256`) encoded
+    * as genuine PNG files — lossless, so a SQL oracle still reproduces
+    * every pixel without parsing any binary. */
+  def syntheticPngMedia(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        (id, "image", imageEncode(w, h, formulaRgb(id, w, h, 0), "png"))
+      }
+    }.toDF("media_id", "kind", "content")
+  }
+
+  /** The shared synthetic pixel formula (frame offset `31*f` for the
+    * video corpus; `f = 0` for stills). */
+  private def formulaRgb(id: Long, w: Int, h: Int, f: Int): Array[Byte] = {
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        rgb(p) = ((7 * x + 13 * y + id + 31 * f) % 256).toByte
+        rgb(p + 1) = ((3 * x + 5 * y + 2 * id + 31 * f) % 256).toByte
+        rgb(p + 2) = ((x + y + 3 * id + 31 * f) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
+  /** REAL PNG/JPEG decode + featurize: ImageIO-parse each payload,
+    * average the actual channel bytes. Undecodable payloads drop (the
+    * corrupt-file contract). Partition-batched like [[ppmFeatures]]. */
+  def imageFeatures(media: DataFrame): Dataset[PpmFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          imageDecode(bytes).map { case (w, h, rgb) => channelMeans(id, w, h, rgb) }
+        }
+      }
+  }
+
+  private def channelMeans(id: Long, w: Int, h: Int,
+      rgb: Array[Byte]): PpmFeature = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var p = 0
+    while (p < rgb.length) {
+      sr += rgb(p) & 0xff; sg += rgb(p + 1) & 0xff
+      sb += rgb(p + 2) & 0xff; p += 3
+    }
+    val n = (w * h).toDouble
+    PpmFeature(id, w, h, sr / n, sg / n, sb / n)
+  }
+
+  /** REAL PNG resize: ImageIO-decode, [[nnResample]], re-encode as a
+    * valid PNG with updated geometry — the lossless round-trip keeps
+    * the whole decode/resample/encode chain hash-checkable.
+    * Undecodable rows drop. */
+  def imageResize(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    require(tw > 0 && th > 0, "target geometry must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          imageDecode(bytes).map { case (w, h, rgb) =>
+            (id, "image",
+              imageEncode(tw, th, nnResample(w, h, rgb, tw, th), "png"),
+              tw, th)
           }
         }
       }.toDF("media_id", "kind", "content", "width", "height")

@@ -182,8 +182,16 @@ object Sampling {
     * Returns `(idCol, log_weight)` for every raw doc with ≥ 1 token. */
   def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, hexChars: Int = 3): DataFrame = {
-    require(hexChars >= 1 && hexChars <= 8, "hexChars in [1, 8]")
+    // 16^6 = 16.7M buckets is already far past DSIR's published feature
+    // space (the paper uses 10^4); beyond it the ratio table stops
+    // being broadcastable and the operator's "≤ B rows" framing breaks
+    require(hexChars >= 1 && hexChars <= 6, "hexChars in [1, 6]")
     val b = math.pow(16, hexChars).toLong
+    // broadcast the ratio table only while it is genuinely small; at
+    // 16^6 potential buckets fall back to a shuffle join rather than
+    // risk OOMing the driver on a high-cardinality corpus
+    val hintRatio: DataFrame => DataFrame =
+      if (b <= (1L << 20)) broadcast(_) else identity
     def toks(df: DataFrame, cols: Column*) = df
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(cols :+ explode(split(trim(col(textCol)), "\\s+"))
@@ -206,7 +214,7 @@ object Sampling {
           log(col("__tt") + lit(b.toDouble)) -
           log(col("__rc") + lit(1.0)) +
           log(col("__rt") + lit(b.toDouble))).as("__lr"))
-    rawToks.join(broadcast(ratio), Seq("__bkt"))
+    rawToks.join(hintRatio(ratio), Seq("__bkt"))
       .groupBy(col(idCol))
       .agg(sum("__lr").as("log_weight"))
   }

@@ -1347,6 +1347,63 @@ object InfraQueries {
           col("zero_crossings"))
         .orderBy("media_id")
     }),
+    // REAL PNG decode via javax.imageio (JDK codec, headless):
+    // payloads are genuine PNG files of the formula images; PNG is
+    // lossless, so imageFeatures' decoded channel means hash-check
+    // against the same SQL pixel replay as mm_ppm_decode — a codec
+    // wiring bug (channel order, row stride, colorspace) breaks the
+    // hash. This is the production image format, not the codec-free
+    // PPM ground-truth path.
+    "mm_png_decode" -> ((s, dir) => {
+      Multimodal.imageFeatures(Multimodal.syntheticPngMedia(
+          docs(s, dir).filter(col("doc_id") < 100), "doc_id")).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy("media_id")
+    }),
+    // PNG decode -> NN resample -> PNG re-encode -> decode AGAIN ->
+    // channel means: the whole ImageIO round-trip is lossless, so the
+    // mm_ppm_resize pixel replay carries over unchanged.
+    "mm_png_resize" -> ((s, dir) => {
+      val media = Multimodal.syntheticPngMedia(
+        docs(s, dir).filter(col("doc_id") < 30), "doc_id")
+      Multimodal.imageFeatures(Multimodal.imageResize(media, 4, 4)).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy("media_id")
+    }),
+    // Image similarity over REAL PNG-decoded pixels end to end:
+    // ImageIO decode -> channel-mean features -> cosine top-3 — the
+    // multimodal retrieval story on the production format.
+    "mm_png_knn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val feats = Multimodal.imageFeatures(Multimodal.syntheticPngMedia(
+        docs(s, dir).filter(col("doc_id") < 100), "doc_id")).toDF()
+      val q = feats.filter(col("media_id") < 3)
+        .select(col("media_id").as("query_id"),
+          col("mean_r").as("qr"), col("mean_g").as("qg"),
+          col("mean_b").as("qb"))
+      val c = feats.filter(col("media_id") >= 3)
+      val cos = (col("qr") * col("mean_r") + col("qg") * col("mean_g") +
+          col("qb") * col("mean_b")) /
+        (sqrt(col("qr") * col("qr") + col("qg") * col("qg") +
+          col("qb") * col("qb")) *
+         sqrt(col("mean_r") * col("mean_r") +
+           col("mean_g") * col("mean_g") +
+           col("mean_b") * col("mean_b")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("__cos").desc, col("media_id").asc)
+      q.crossJoin(c).withColumn("__cos", cos)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("rnk"), col("media_id"),
+          round(col("__cos"), 4).as("score"))
+        .orderBy("query_id", "rnk")
+    }),
     // Multimodal: binary payload column → partition-batched feature
     // extraction; metadata path oracle-checked, feature values ScalaTest'd.
     "multimodal_features" -> ((s, dir) => {
@@ -3867,5 +3924,12 @@ object InfraQueries {
           ("FROM embeddings\n  WHERE vec_id >= 5 AND vec_id <> 20 " +
             "AND embedding IS NOT NULL)"))) +
       ("ann_graph_layered_persisted" ->
-        baseOracleSql("ann_graph_layered_topk"))
+        baseOracleSql("ann_graph_layered_topk")) +
+      // PNG is lossless and the synthetic pixels are the SAME formula
+      // as the PPM corpus, so the ImageIO decode / resize / knn legs
+      // replay against the PPM oracles verbatim — what changes is only
+      // which REAL bytes the Spark side decoded to get there
+      ("mm_png_decode" -> baseOracleSql("mm_ppm_decode")) +
+      ("mm_png_resize" -> baseOracleSql("mm_ppm_resize")) +
+      ("mm_png_knn" -> baseOracleSql("mm_ppm_knn"))
 }

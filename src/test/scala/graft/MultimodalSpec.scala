@@ -186,4 +186,77 @@ class MultimodalSpec extends SparkSpec {
         s"1x1 NN resize of image $id must keep pixel (0,0)")
     }
   }
+
+  test("png: ImageIO encode/decode is a lossless pixel round-trip; " +
+    "corrupt payloads decode to None") {
+    val rgb = Array.tabulate(5 * 4 * 3)(i => (i * 53 % 256).toByte)
+    val png = Multimodal.imageEncode(5, 4, rgb, "png")
+    // genuine PNG bytes: magic header
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte &&
+      png(2) === 'N'.toByte && png(3) === 'G'.toByte)
+    val Some((w, h, back)) = Multimodal.imageDecode(png)
+    assert(w === 5 && h === 4 && back.toSeq === rgb.toSeq,
+      "PNG is lossless — every channel byte must survive the round-trip")
+    assert(Multimodal.imageDecode(null) === None)
+    assert(Multimodal.imageDecode(Array.emptyByteArray) === None)
+    assert(Multimodal.imageDecode("not an image at all".getBytes) === None)
+    // a PNG with its tail chopped off is corrupt, not a crash
+    assert(Multimodal.imageDecode(
+      java.util.Arrays.copyOf(png, png.length / 2)) === None)
+    // PPM is not an ImageIO format — falls through to None, and the
+    // PPM decoder conversely rejects PNG bytes
+    assert(Multimodal.imageDecode(
+      Multimodal.ppmEncode(1, 1, Array[Byte](1, 2, 3))) === None)
+    assert(Multimodal.ppmDecode(png) === None)
+  }
+
+  test("jpeg: ImageIO decode recovers a lossy-but-close raster") {
+    // smooth gradient (JPEG's friendly case): per-pixel error small
+    val (w, h) = (16, 16)
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      rgb(p) = (8 * x).toByte; rgb(p + 1) = (8 * y).toByte
+      rgb(p + 2) = (4 * (x + y)).toByte
+    }
+    val jpg = Multimodal.imageEncode(w, h, rgb, "jpg")
+    assert((jpg(0) & 0xff) === 0xff && (jpg(1) & 0xff) === 0xd8,
+      "JPEG SOI marker")
+    val Some((dw, dh, back)) = Multimodal.imageDecode(jpg)
+    assert(dw === w && dh === h)
+    val maxErr = rgb.indices
+      .map(i => math.abs((rgb(i) & 0xff) - (back(i) & 0xff))).max
+    assert(maxErr <= 24,
+      s"lossy decode should stay close on a smooth gradient, off by $maxErr")
+    assert(Multimodal.imageDecode(
+      java.util.Arrays.copyOf(jpg, 8)) === None, "truncated JPEG")
+  }
+
+  test("png: distributed decode features equal the PPM path on the " +
+    "same formula corpus") {
+    val ids = docs.filter($"doc_id" < 25)
+    val viaPng = Multimodal.imageFeatures(
+        Multimodal.syntheticPngMedia(ids, "doc_id")).collect()
+      .map(f => f.media_id -> f).toMap
+    val viaPpm = Multimodal.ppmFeatures(
+        Multimodal.syntheticPpmMedia(ids, "doc_id")).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(viaPng.keySet === viaPpm.keySet)
+    viaPpm.foreach { case (id, p) =>
+      val g = viaPng(id)
+      assert(g.width === p.width && g.height === p.height &&
+        g.mean_r === p.mean_r && g.mean_g === p.mean_g &&
+        g.mean_b === p.mean_b,
+        s"PNG and PPM decode the same formula image $id identically")
+    }
+    // PNG NN resize to 1x1 keeps pixel (0,0), like the PPM leg
+    val one = Multimodal.imageFeatures(Multimodal.imageResize(
+        Multimodal.syntheticPngMedia(ids, "doc_id"), 1, 1)).collect()
+      .map(f => f.media_id -> f).toMap
+    (0L until 25L).foreach { id =>
+      val f = one(id)
+      assert(f.width === 1 && f.height === 1 &&
+        f.mean_r === (id % 256).toDouble)
+    }
+  }
 }
