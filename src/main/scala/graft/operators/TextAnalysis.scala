@@ -101,6 +101,11 @@ object TextAnalysis {
   val gopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The PUA symbol budget: merge `r` becomes U+E000+r, and U+F8FF
+    * ends the BMP private-use area — past it merge symbols would
+    * collide with real CJK-compatibility characters. */
+  val MaxBpeMerges: Int = 0x18FF
+
   /** Deterministic BPE merge training (Sennrich et al. 2016,
     * arXiv:1508.07909): learn `nMerges` byte-pair merges from the
     * corpus. Classic formulation — symbols start as characters, each
@@ -113,17 +118,143 @@ object TextAnalysis {
     * pair extraction stays `substring(w, i, 2)` and merge application
     * is plain `replace(w, pair, sym)` — whose left-to-right
     * non-overlapping semantics are exactly BPE's greedy application,
-    * and identical in Spark and any SQL engine.
+    * and identical in Spark and any SQL engine. PRECONDITION: corpus
+    * text must not itself contain U+E000..U+F8FF characters (they
+    * would collide with merge symbols and silently corrupt pair
+    * counting); `nMerges` is capped at [[MaxBpeMerges]] for the same
+    * reason.
     *
-    * Scale shape: the corpus-sized work is ONE word-count aggregation;
-    * every merge round then runs on the VOCABULARY table (distinct
-    * words × frequencies — the same reduction HF's trainers use), one
-    * pair-count shuffle per round, one driver row per round (the
-    * argmax). Returns the merge table (rank, pair, count) and the
-    * final rewritten vocabulary. */
+    * Scale shape — the production trainer: the corpus-sized work is
+    * ONE word-count aggregation, which reduces 100 TB of text to a
+    * bounded VOCABULARY (distinct words × frequencies — the same
+    * reduction HF/SentencePiece trainers apply). That table is
+    * collected once (capped at the `maxVocab` most frequent words, a
+    * deterministic `TakeOrderedAndProject` spill guard) and the merge
+    * loop runs DRIVER-LOCAL over it with an incrementally-maintained
+    * pair index + lazy-deletion heap — O(affected-word length) per
+    * merge, no per-round Spark jobs. 30k merges is a driver-side
+    * second, not 30k sequential distributed rounds of scheduler
+    * latency ([[bpeTrainPerRound]] keeps that shape for the SQL
+    * replay). [[bpeApply]] stays fully distributed.
+    *
+    * Returns the merge table (rank, pair, count) and the final
+    * rewritten (capped) vocabulary. */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
-      nMerges: Int): (Seq[(Int, String, Long)],
+      nMerges: Int, maxVocab: Int = 1 << 20): (Seq[(Int, String, Long)],
         org.apache.spark.sql.DataFrame) = {
+    require(nMerges <= MaxBpeMerges,
+      s"nMerges=$nMerges exceeds the U+E000..U+F8FF symbol budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab: Array[(String, Long)] = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc).limit(maxVocab)
+      .as[(String, Long)].collect()
+    val (merges, words) = bpeMergeLoop(vocab, nMerges)
+    (merges, spark.createDataset(words.toSeq).toDF("w", "n"))
+  }
+
+  /** The driver-local merge loop behind [[bpeTrain]]: identical
+    * semantics to the distributed round loop (overlapping adjacent
+    * pairs weighted by word frequency; argmax with lexicographic
+    * tie-break; greedy left-to-right `replace` application), maintained
+    * incrementally — each merge touches only the words that contain the
+    * merged pair, and the argmax pops a lazy-deletion max-heap instead
+    * of rescanning all pair counts. */
+  private def bpeMergeLoop(vocab: Array[(String, Long)], nMerges: Int)
+      : (Seq[(Int, String, Long)], Array[(String, Long)]) = {
+    import scala.collection.mutable
+    val words = vocab.map(_._1)
+    val freqs = vocab.map(_._2)
+    // a pair of BMP chars packs into one Long whose numeric order IS
+    // the pair string's lexicographic order (unsigned 16-bit units) —
+    // so counts, the word index and the heap all avoid per-position
+    // substring allocation and String hashing
+    @inline def key(a: Char, b: Char): Long = (a.toLong << 16) | b.toLong
+    def keyStr(k: Long): String =
+      new String(Array(((k >> 16) & 0xffff).toChar, (k & 0xffff).toChar))
+    val pairCounts = mutable.LongMap.empty[Long]
+    val pairWords = mutable.LongMap.empty[mutable.Set[Int]]
+    val dirty = mutable.Set.empty[Long]
+    def bump(k: Long, delta: Long): Unit = {
+      val c = pairCounts.getOrElse(k, 0L) + delta
+      if (c <= 0L) pairCounts.remove(k) else pairCounts.update(k, c)
+      dirty += k
+    }
+    def index(i: Int, add: Boolean): Unit = {
+      val w = words(i)
+      var j = 0
+      while (j < w.length - 1) {
+        val k = key(w.charAt(j), w.charAt(j + 1))
+        if (add) {
+          bump(k, freqs(i))
+          pairWords.getOrElseUpdate(k, mutable.Set.empty) += i
+        } else {
+          bump(k, -freqs(i))
+          pairWords.get(k).foreach(_ -= i)
+        }
+        j += 1
+      }
+    }
+    words.indices.foreach(index(_, add = true))
+    // heap of (count, pairKey) snapshots, refreshed ONCE per merge
+    // round from the pairs that round touched (not once per position —
+    // the difference between millions and billions of pushes); stale
+    // snapshots are skipped at pop time. Max = highest count, ties to
+    // the lexicographically smallest pair — the distributed tie-break.
+    val ord: Ordering[(Long, Long)] = Ordering.by[(Long, Long), Long](_._1)
+      .orElse(Ordering.by[(Long, Long), Long](_._2).reverse)
+    val heap = mutable.PriorityQueue.empty[(Long, Long)](ord)
+    def flushDirty(): Unit = {
+      dirty.foreach { k =>
+        pairCounts.get(k).foreach(c => heap.enqueue((c, k)))
+      }
+      dirty.clear()
+    }
+    flushDirty()
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      // pop stale snapshots until a live (count, pair) surfaces
+      var top: (Long, Long) = null
+      while (top == null && heap.nonEmpty) {
+        val (c, k) = heap.dequeue()
+        if (pairCounts.get(k).contains(c)) top = (c, k)
+      }
+      if (top == null) done = true
+      else {
+        val (c, k) = top
+        val pr = keyStr(k)
+        val sym = (0xE000 + r).toChar.toString
+        merges += ((r, pr, c))
+        val affected = pairWords.getOrElse(k, mutable.Set.empty).toArray
+        affected.foreach { i =>
+          index(i, add = false)
+          words(i) = words(i).replace(pr, sym)
+          index(i, add = true)
+        }
+        flushDirty()
+        r += 1
+      }
+    }
+    (merges.result(), words.zip(freqs))
+  }
+
+  /** The per-round DISTRIBUTED formulation of [[bpeTrain]] — one
+    * pair-count shuffle + driver argmax + vocabulary rewrite per merge.
+    * This is the shape the `text_bpe_train` oracle unrolls as chained
+    * SQL CTEs, and the equivalence witness for the driver-local loop
+    * (TextAnalysisSpec proves both produce identical merges); at real
+    * merge counts (30k) its per-round scheduler latency makes it
+    * unusable — train with [[bpeTrain]]. */
+  def bpeTrainPerRound(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, nMerges: Int): (Seq[(Int, String, Long)],
+        org.apache.spark.sql.DataFrame) = {
+    require(nMerges <= MaxBpeMerges,
+      s"nMerges=$nMerges exceeds the U+E000..U+F8FF symbol budget")
     var words = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))

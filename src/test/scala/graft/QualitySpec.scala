@@ -185,6 +185,29 @@ class QualitySpec extends SparkSpec {
       "application must be the same greedy left-to-right replace chain")
   }
 
+  test("bpeTrain: the driver-local incremental loop produces exactly " +
+    "the distributed per-round loop's merges") {
+    val corpus = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"lang" === "en")
+    val (local, _) = TextAnalysis.bpeTrain(corpus, "text", nMerges = 6)
+    val (dist, _) = TextAnalysis.bpeTrainPerRound(corpus, "text",
+      nMerges = 6)
+    assert(local === dist,
+      "incremental pair maintenance + lazy heap must replay the " +
+        "recount-per-round argmax exactly (counts, ties and all)")
+    // and at a merge count the per-round loop could never reach: the
+    // trained ranks stay strictly consistent (every merge's recorded
+    // count is positive and the pair exists when merged)
+    val (deep, _) = TextAnalysis.bpeTrain(corpus, "text", nMerges = 500)
+    assert(deep.size <= 500 && deep.map(_._1) === (1 to deep.size))
+    assert(deep.forall(_._3 > 0L))
+    // PUA budget guard
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrain(corpus, "text", nMerges = 0x1900)
+    }
+  }
+
   test("gopherRules: each rule kills the doc built to violate it; a " +
     "clean doc keeps") {
     val clean = (Seq.fill(25)("the quick brown fox") :+ "ends here")
