@@ -43,7 +43,8 @@ final class CorpusPipeline(
     useGopherRules: Boolean = false,
     dsirKeep: Int = 0,
     semanticDedupK: Int = 0,
-    semanticTau: Double = 0.95) {
+    semanticTau: Double = 0.95,
+    semanticTrained: Boolean = false) {
 
   /** Quality gate: drop null/empty and low-quality docs. */
   def qualityFilter(docs: DataFrame, textCol: String): DataFrame =
@@ -80,7 +81,8 @@ final class CorpusPipeline(
     else {
       val keepers = Dedup.semanticDedup(
           embedded.filter(col("embedding").isNotNull), idCol,
-          "embedding", semanticDedupK, semanticTau)
+          "embedding", semanticDedupK, semanticTau,
+          trained = semanticTrained)
         .filter(col("keep")).select(col("id").as(idCol))
       embedded.filter(col("embedding").isNull)
         .unionByName(embedded.join(keepers, Seq(idCol), "left_semi"))

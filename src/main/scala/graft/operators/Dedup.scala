@@ -537,15 +537,30 @@ object Dedup {
     * union-find under `cap` pairs, pointer-jumping
     * [[connectedComponents]] above it.
     *
+    * `trained=true` swaps the frozen first-k centroids for
+    * [[graft.search.Ann.buildIvfTrained]]'s deterministic sampled
+    * k-means — the paper's own clustering. SemDeDup clusters with
+    * k-means precisely because BALANCED cells bound the within-cell
+    * O(cell²): on a skewed real corpus the first-k centroids can
+    * degenerate (all k seeds inside one dense blob → one giant cell
+    * re-quadratizing the join), where trained centroids spread with
+    * the data (DedupSpec measures the max-cell-width drop). Still a
+    * pure function of the corpus — the trained replay is the
+    * `ann_ivf_trained_topk` SQL recipe.
+    *
     * Returns every corpus row with a non-null vector as
     * `(id, component, keep)` — singletons are their own component and
     * keep themselves; ids must be non-null and long-castable (the
     * [[connectedComponents]] id contract). */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, tau: Double, cap: Int = 100000): DataFrame = {
+      k: Int, tau: Double, cap: Int = 100000, trained: Boolean = false,
+      iters: Int = 2, sampleN: Int = 128): DataFrame = {
     import graft.functions.{VectorFunctions => VF}
-    val cells = graft.search.Ann
-      .buildIvfDeterministic(corpus, vecCol, idCol, k).corpusWithCell
+    val index =
+      if (trained) graft.search.Ann
+        .buildIvfTrained(corpus, vecCol, idCol, k, iters, sampleN)
+      else graft.search.Ann.buildIvfDeterministic(corpus, vecCol, idCol, k)
+    val cells = index.corpusWithCell
       .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
         col("__cell"))
     // self-join on the cell id: both sides shuffle-partition on

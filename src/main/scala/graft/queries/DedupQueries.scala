@@ -422,6 +422,19 @@ object DedupQueries {
         .select(col("id"), col("component"), col("keep"))
         .orderBy("id")
     }),
+    // SemDeDup with TRAINED clustering (the paper's own k-means): the
+    // oracle replays the md5-sampled 2-iteration integer Lloyd
+    // training (the ann_ivf_trained_topk recipe), the frozen-centroid
+    // assignment, the within-cell cosine pairs and the recursive-CTE
+    // closure — the skew-robust configuration end to end.
+    "dedup_semantic_trained" -> ((s, dir) => {
+      Dedup.semanticDedup(
+          Tables.load(s, dir, "embeddings")
+            .filter(col("embedding").isNotNull),
+          "vec_id", "embedding", k = 16, tau = 0.4, trained = true)
+        .select(col("id"), col("component"), col("keep"))
+        .orderBy("id")
+    }),
     // SimHash near-dup pairs at Hamming distance <= 6 on a bounded block,
     // in md5 mode: the oracle rebuilds identical 64-bit signatures from
     // md5() hex and compares per-bit votes — the simhash operator itself
@@ -1127,6 +1140,92 @@ object DedupQueries {
         |  SELECT c.vec_id, c.embedding, t.cell,
         |    row_number() OVER (PARTITION BY c.vec_id
         |      ORDER BY list_distance(c.embedding, t.cvec), t.cell) AS rn
+        |  FROM corpus c CROSS JOIN cents t),
+        |cells AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT c.vec_id AS id,
+        |  coalesce(comp.component, c.vec_id) AS component,
+        |  (coalesce(comp.component, c.vec_id) = c.vec_id) AS keep
+        |FROM cells c LEFT JOIN comp ON comp.id = c.vec_id
+        |ORDER BY id""".stripMargin,
+    // Trained SemDeDup replay: the ann_ivf_trained_topk training
+    // recipe (md5-ordered 128-sample, 2^20 integer grid, two unrolled
+    // integer-Lloyd iterations with floorDiv means and lowest-index
+    // ties) over the WHOLE non-null corpus, frozen-centroid
+    // assignment, then the dedup_semantic within-cell pair + closure
+    // machinery unchanged.
+    "dedup_semantic_trained" ->
+      """WITH RECURSIVE dims AS (SELECT unnest(range(0, 64)) AS d),
+        |samp AS (
+        |  SELECT r, embedding FROM (
+        |    SELECT embedding,
+        |      row_number() OVER (
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS r
+        |    FROM embeddings WHERE embedding IS NOT NULL)
+        |  WHERE r < 128),
+        |sp AS (
+        |  SELECT s.r, dd.d,
+        |    CAST(floor(CAST(s.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS y
+        |  FROM samp s, dims dd),
+        |c0 AS (SELECT r AS j, d, y FROM sp WHERE r < 16),
+        |d1 AS (
+        |  SELECT p.r, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+        |  FROM sp p JOIN c0 c ON c.d = p.d
+        |  GROUP BY p.r, c.j),
+        |m1 AS (SELECT r, j FROM (
+        |  SELECT r, j, row_number() OVER (PARTITION BY r ORDER BY d2, j)
+        |    AS rn FROM d1) WHERE rn = 1),
+        |g1 AS (
+        |  SELECT m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM m1 m JOIN sp p ON p.r = m.r
+        |  GROUP BY m.j, p.d),
+        |c1 AS (
+        |  SELECT c0.j, c0.d,
+        |    COALESCE(CAST((g1.sy - (((g1.sy % g1.c) + g1.c) % g1.c))
+        |      / g1.c AS BIGINT), c0.y) AS y
+        |  FROM c0 LEFT JOIN g1 ON g1.j = c0.j AND g1.d = c0.d),
+        |d2i AS (
+        |  SELECT p.r, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+        |  FROM sp p JOIN c1 c ON c.d = p.d
+        |  GROUP BY p.r, c.j),
+        |m2 AS (SELECT r, j FROM (
+        |  SELECT r, j, row_number() OVER (PARTITION BY r ORDER BY d2, j)
+        |    AS rn FROM d2i) WHERE rn = 1),
+        |g2 AS (
+        |  SELECT m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM m2 m JOIN sp p ON p.r = m.r
+        |  GROUP BY m.j, p.d),
+        |c2 AS (
+        |  SELECT c1.j, c1.d,
+        |    COALESCE(CAST((g2.sy - (((g2.sy % g2.c) + g2.c) % g2.c))
+        |      / g2.c AS BIGINT), c1.y) AS y
+        |  FROM c1 LEFT JOIN g2 ON g2.j = c1.j AND g2.d = c1.d),
+        |cents AS (
+        |  SELECT CAST(j AS INT) AS cell,
+        |    list(y / 1048576.0 ORDER BY d) AS cvec
+        |  FROM c2 GROUP BY j),
+        |corpus AS (
+        |  SELECT vec_id, embedding, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |asg AS (
+        |  SELECT c.vec_id, c.embedding, t.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_distance(c.v, t.cvec), t.cell) AS rn
         |  FROM corpus c CROSS JOIN cents t),
         |cells AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1),
         |pairs AS (
