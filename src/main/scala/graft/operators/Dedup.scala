@@ -555,24 +555,9 @@ object Dedup {
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, tau: Double, cap: Int = 100000, trained: Boolean = false,
       iters: Int = 2, sampleN: Int = 128): DataFrame = {
-    import graft.functions.{VectorFunctions => VF}
-    val index =
-      if (trained) graft.search.Ann
-        .buildIvfTrained(corpus, vecCol, idCol, k, iters, sampleN)
-      else graft.search.Ann.buildIvfDeterministic(corpus, vecCol, idCol, k)
-    val cells = index.corpusWithCell
-      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
-        col("__cell"))
-    // self-join on the cell id: both sides shuffle-partition on
-    // __cell identically, so the second exchange is reused, not
-    // recomputed (ReuseExchange); a<b halves the pair space
-    val pairs = cells
-      .select(col("__cell"), col("__id").as("a_id"), col("__v").as("__va"))
-      .join(cells.select(col("__cell"), col("__id").as("b_id"),
-        col("__v").as("__vb")), Seq("__cell"))
-      .filter(col("a_id") < col("b_id") &&
-        VF.cosine(col("__va"), col("__vb")) >= tau)
-      .select("a_id", "b_id")
+    val cells = semanticCells(corpus, idCol, vecCol, k, trained, iters,
+      sampleN)
+    val pairs = cellPairs(cells, tau)
     val comp = componentsAuto(pairs, "a_id", "b_id", cap)
       .withColumnRenamed("id", "__id")
     cells.select(col("__id"))
@@ -580,5 +565,71 @@ object Dedup {
       .select(col("__id").as("id"),
         coalesce(col("component"), col("__id")).as("component"))
       .withColumn("keep", col("id") === col("component"))
+  }
+
+  /** The cell assignment behind [[semanticDedup]] —
+    * `(__id, __v, __cell)` for every non-null-vector row. */
+  private def semanticCells(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, trained: Boolean, iters: Int,
+      sampleN: Int): DataFrame = {
+    val index =
+      if (trained) graft.search.Ann
+        .buildIvfTrained(corpus, vecCol, idCol, k, iters, sampleN)
+      else graft.search.Ann.buildIvfDeterministic(corpus, vecCol, idCol, k)
+    index.corpusWithCell
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+        col("__cell"))
+  }
+
+  /** Within-cell near-dup pairs at `tau`. Self-join on the cell id:
+    * both sides shuffle-partition on `__cell` identically, so the
+    * second exchange is reused, not recomputed (ReuseExchange); a<b
+    * halves the pair space. */
+  private def cellPairs(cells: DataFrame, tau: Double): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    cells
+      .select(col("__cell"), col("__id").as("a_id"), col("__v").as("__va"))
+      .join(cells.select(col("__cell"), col("__id").as("b_id"),
+        col("__v").as("__vb")), Seq("__cell"))
+      .filter(col("a_id") < col("b_id") &&
+        VF.cosine(col("__va"), col("__vb")) >= tau)
+      .select("a_id", "b_id")
+  }
+
+  /** SemDeDup pair-recall telemetry — quantifies the cell-seam trade
+    * the operator documents: pairs at cosine >= `tau` that fall in
+    * DIFFERENT cells are invisible to [[semanticDedup]] by design.
+    * Scores the within-cell pair set against the EXACT all-pairs
+    * ground truth and returns one row
+    * `(n_true, n_found, n_cross_cell, recall)`.
+    *
+    * Scale: the exact all-pairs leg is O(n²) — run it on a bounded
+    * corpus slice or a deterministic sample (the `ann_recall_probe`
+    * pattern); production telemetry samples, it never sweeps. Every
+    * within-cell pair passes the same cosine test as the truth side,
+    * so `n_found <= n_true` and recall = found/true exactly measures
+    * the seam loss. */
+  def semanticDedupRecall(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, tau: Double, trained: Boolean = false,
+      iters: Int = 2, sampleN: Int = 128): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val valid = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+    val truth = valid.select(col("__id").as("a_id"), col("__v").as("__va"))
+      .crossJoin(valid.select(col("__id").as("b_id"),
+        col("__v").as("__vb")))
+      .filter(col("a_id") < col("b_id") &&
+        VF.cosine(col("__va"), col("__vb")) >= tau)
+      .select("a_id", "b_id")
+    val found = cellPairs(
+      semanticCells(corpus, idCol, vecCol, k, trained, iters, sampleN),
+      tau)
+    truth.join(found.withColumn("__hit", lit(1)), Seq("a_id", "b_id"),
+        "left")
+      .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
+      .select(col("n_true"), col("n_found"),
+        (col("n_true") - col("n_found")).as("n_cross_cell"),
+        round(col("n_found").cast("double") /
+          greatest(col("n_true"), lit(1L)).cast("double"), 4).as("recall"))
   }
 }

@@ -435,6 +435,17 @@ object DedupQueries {
         .select(col("id"), col("component"), col("keep"))
         .orderBy("id")
     }),
+    // SemDeDup seam telemetry: within-cell pairs vs the EXACT
+    // all-pairs ground truth at the same tau — n_cross_cell is the
+    // pair count the cell-seam trade loses by design, and the oracle
+    // replays BOTH legs (deterministic cells + exact cross join), so
+    // the measured recall itself is hash-checked.
+    "dedup_semantic_recall" -> ((s, dir) => {
+      Dedup.semanticDedupRecall(
+          Tables.load(s, dir, "embeddings")
+            .filter(col("embedding").isNotNull),
+          "vec_id", "embedding", k = 16, tau = 0.4)
+    }),
     // SimHash near-dup pairs at Hamming distance <= 6 on a bounded block,
     // in md5 mode: the oracle rebuilds identical 64-bit signatures from
     // md5() hex and compares per-bit votes — the simhash operator itself
@@ -1160,6 +1171,43 @@ object DedupQueries {
         |  (coalesce(comp.component, c.vec_id) = c.vec_id) AS keep
         |FROM cells c LEFT JOIN comp ON comp.id = c.vec_id
         |ORDER BY id""".stripMargin,
+    // SemDeDup recall replay: deterministic cells + within-cell pairs
+    // (the dedup_semantic machinery) counted against the exact
+    // all-pairs truth at the same threshold.
+    "dedup_semantic_recall" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |           AS cell,
+        |         embedding AS cvec
+        |  FROM (SELECT vec_id, embedding FROM corpus
+        |        ORDER BY vec_id LIMIT 16)),
+        |asg AS (
+        |  SELECT c.vec_id, c.embedding, t.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_distance(c.embedding, t.cvec), t.cell) AS rn
+        |  FROM corpus c CROSS JOIN cents t),
+        |cells AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1),
+        |truth AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+        |found AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_true,
+        |    CAST(count(f.a_id) AS BIGINT) AS n_found
+        |  FROM truth t LEFT JOIN found f
+        |    ON t.a_id = f.a_id AND t.b_id = f.b_id)
+        |SELECT n_true, n_found, n_true - n_found AS n_cross_cell,
+        |  round(CAST(n_found AS DOUBLE) /
+        |    greatest(n_true, 1), 4) AS recall
+        |FROM agg""".stripMargin,
     // Trained SemDeDup replay: the ann_ivf_trained_topk training
     // recipe (md5-ordered 128-sample, 2^20 integer grid, two unrolled
     // integer-Lloyd iterations with floorDiv means and lowest-index
