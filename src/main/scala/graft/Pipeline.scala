@@ -44,7 +44,8 @@ final class CorpusPipeline(
     dsirKeep: Int = 0,
     semanticDedupK: Int = 0,
     semanticTau: Double = 0.95,
-    semanticTrained: Boolean = false) {
+    semanticTrained: Boolean = false,
+    nearDupAlgo: String = "xx") {
 
   /** Quality gate: drop null/empty and low-quality docs. */
   def qualityFilter(docs: DataFrame, textCol: String): DataFrame =
@@ -109,7 +110,8 @@ final class CorpusPipeline(
     * (transitively: anything paired with a smaller id leaves). */
   def nearDupRemoval(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val losers = Dedup.minhashLshPairs(docs, idCol, textCol,
-        nearDupJaccard, n = shingleSize, maxBucket = maxBucket)
+        nearDupJaccard, n = shingleSize, algo = nearDupAlgo,
+        maxBucket = maxBucket)
       .select(col("b_id").as(idCol)).distinct()
     docs.join(losers, Seq(idCol), "left_anti")
   }

@@ -26,7 +26,8 @@ object SparkEntry {
     InfraQueries.queries ++
     MiscQueries.queries ++
     QualityQueries.queries ++
-    FacadeQueries.queries
+    FacadeQueries.queries ++
+    PipelineQueries.queries
 
   /** Build-vs-query phase splits for the bench-heavy cells (emitted by
     * Bench.scala as the JSON line's trailing `"phases"` map). */
@@ -45,5 +46,6 @@ object SparkEntry {
     InfraQueries.oracleSql ++
     MiscQueries.oracleSql ++
     QualityQueries.oracleSql ++
-    FacadeQueries.oracleSql
+    FacadeQueries.oracleSql ++
+    PipelineQueries.oracleSql
 }

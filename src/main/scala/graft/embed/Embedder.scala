@@ -196,3 +196,30 @@ final class Md5FeatureEmbedder(override val dim: Int = 64)
         graft.functions.TextExpressions.md5FeatureEmbed(col(textCol), dim))
       .withColumn("timestamp", current_timestamp())
 }
+
+/** Precomputed-embedding lookup "embedder": vectors computed upstream by
+  * an external model service or batch job, joined in by primary key —
+  * how a production pipeline actually attaches embeddings when the model
+  * is too heavy to run inline (the reference's own corpus carries its
+  * vectors in a table for exactly this reason). Implements the Embedder
+  * contract so the pipeline's embed seam is interchangeable between
+  * compute-inline and join-precomputed.
+  *
+  * Scale shape: ONE equi-join on the pk (broadcast when the vector table
+  * is small, shuffle-hash otherwise — Catalyst's call); docs with no
+  * vector row get a null embedding, the standard embed-failure contract
+  * downstream stages already honor. */
+final class PrecomputedEmbedder(table: DataFrame, tableIdCol: String,
+    tableVecCol: String, docIdCol: String, override val dim: Int)
+    extends Embedder with FittedEmbedder {
+
+  override def fit(corpus: DataFrame, textCol: String): FittedEmbedder =
+    this
+
+  override def transform(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.join(
+        table.select(col(tableIdCol).as(docIdCol),
+          col(tableVecCol).as("embedding")),
+        Seq(docIdCol), "left")
+      .withColumn("timestamp", current_timestamp())
+}

@@ -1,0 +1,275 @@
+package graft.queries
+
+import graft.CorpusPipeline
+import graft.core.Tables
+import graft.embed.PrecomputedEmbedder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The end-to-end corpus-preparation composition, oracled: every stage
+  * of [[graft.CorpusPipeline]] chained over `documents` + `embeddings`
+  * with a fixed configuration in which (almost) every stage bites, and
+  * the oracle replaying the stages' existing SQL recipes as ONE chained
+  * query. The output is the per-stage survivor ledger —
+  * `(stage_idx, stage, n_docs, id_sum)` — so a hash match pins each
+  * stage's surviving SET (count + id checksum), not just the final
+  * frame: a drop in the wrong stage, or the right count with the wrong
+  * members, breaks the hash. PipelineSpec additionally asserts
+  * `CorpusPipeline.run`'s report equals this composed ledger, closing
+  * the loop between the orchestration path and the oracle.
+  */
+object PipelineQueries {
+
+  /** The pinned configuration (chosen so every stage with material to
+    * act on does: quality drops the 0.88-scored docs, Gopher more than
+    * halves, repetition cuts the dup-heavy tail, near-dup at 0.5
+    * removes LSH-confirmed pairs, DSIR keeps the 60 most
+    * target-favored, SemDeDup collapses tau-0.3 semantic groups; exact
+    * dedup is pass-through only because the fixture has no
+    * byte-identical texts — the stage still runs and replays). */
+  private def pipeline = new CorpusPipeline(
+    minQuality = 0.9,
+    nearDupJaccard = 0.5,
+    shingleSize = 3,
+    maxDupTokenFraction = 0.65,
+    useGopherRules = true,
+    dsirKeep = 60,
+    semanticDedupK = 16,
+    semanticTau = 0.3,
+    nearDupAlgo = "md5")
+
+  /** The composed per-stage frames, shared by the query and
+    * PipelineSpec's run-vs-ledger assertion. */
+  def stageFrames(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val d = Tables.load(s, dir, "documents")
+    val em = Tables.load(s, dir, "embeddings")
+    val p = pipeline
+    val q = p.qualityFilter(d, "text")
+    val g = p.gopherFilter(q, "text")
+    val r = p.repetitionFilter(g, "text")
+    val e = p.exactDedup(r, "doc_id", "text")
+    val nd = p.nearDupRemoval(e, "doc_id", "text")
+    val ds = p.dsirSelection(nd, "doc_id", "text",
+      d.filter(col("lang") === "en"))
+    val embedder = new PrecomputedEmbedder(em, "vec_id", "embedding",
+      "doc_id", 64)
+    val fin = p.semanticFilter(embedder.embed(ds, "text"), "doc_id")
+    Seq("input" -> d, "quality" -> q, "gopher" -> g, "repetition" -> r,
+      "exact" -> e, "neardup" -> nd, "dsir" -> ds, "semantic" -> fin)
+  }
+
+  /** Run [[graft.CorpusPipeline.run]] itself at the pinned config —
+    * PipelineSpec compares its report against the ledger. */
+  def runReport(s: SparkSession, dir: String): graft.PipelineReport = {
+    val d = Tables.load(s, dir, "documents")
+    val em = Tables.load(s, dir, "embeddings")
+    pipeline.run(s, d, "doc_id", "text",
+      new PrecomputedEmbedder(em, "vec_id", "embedding", "doc_id", 64),
+      dsirTarget = Some(d.filter(col("lang") === "en")))._2
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_pipeline" -> ((s, dir) => {
+      stageFrames(s, dir).zipWithIndex
+        .map { case ((name, df), i) =>
+          df.agg(count(lit(1)).cast("long").as("n_docs"),
+              sum(col("doc_id")).cast("long").as("id_sum"))
+            .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+              col("n_docs"), col("id_sum"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy("stage_idx")
+    }))
+
+  /** One chained replay of the stages' proven recipes: quality score ≥
+    * 0.9 (text_quality_by_source's formula), the five Gopher rules
+    * (text_gopher_rules), dup-token fraction ≤ 0.65 (text_repetition's
+    * dupf), first-wins on full text, the md5 MinHash/band/Jaccard
+    * near-dup machinery ON the stage-4 survivors (dedup_minhash_lsh),
+    * DSIR hashed-bucket log-weights of the stage-5 survivors against
+    * the full-corpus English target with top-60 selection
+    * (sample_dsir), a pk-join of precomputed embeddings, and the
+    * SemDeDup cells/pairs/recursive-closure keep decision over the
+    * embedded survivors (dedup_semantic) — aggregated to the per-stage
+    * (count, id-sum) ledger. */
+  val oracleSql: Map[String, String] = Map(
+    "corpus_pipeline" ->
+      """WITH RECURSIVE
+        |raw AS (SELECT doc_id, text, lang, source FROM documents),
+        |q AS (
+        |  SELECT * FROM raw
+        |  WHERE text IS NOT NULL AND text <> ''
+        |    AND round(
+        |      (CASE WHEN len(string_split_regex(trim(text),'\s+'))
+        |              BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) * 0.4
+        |    + (CASE WHEN CAST(len(regexp_extract_all(text,'[.!?,;:]'))
+        |              AS DOUBLE)
+        |              / greatest(CAST(len(string_split_regex(trim(text),
+        |                  '\s+')) AS DOUBLE), 1.0) <= 0.2
+        |            THEN 1.0 ELSE 0.5 END) * 0.3
+        |    + (CASE WHEN CAST(len(list_filter(
+        |                string_split_regex(lower(trim(text)),'\s+'),
+        |                x -> x IN ('the','a','of','and','to','in')))
+        |              AS DOUBLE)
+        |              / greatest(CAST(len(string_split_regex(trim(text),
+        |                  '\s+')) AS DOUBLE), 1.0) BETWEEN 0.01 AND 0.5
+        |            THEN 1.0 ELSE 0.6 END) * 0.3, 4) >= 0.9),
+        |g AS (
+        |  SELECT q.* FROM q, LATERAL (
+        |    SELECT string_split_regex(trim(q.text),'\s+') AS w,
+        |           lower(trim(q.text)) AS lt) x
+        |  WHERE len(x.w) BETWEEN 50 AND 100000
+        |    AND (list_sum(list_transform(x.w,
+        |           t -> CAST(len(t) AS BIGINT)))
+        |         / CAST(greatest(len(x.w), 1) AS DOUBLE))
+        |        BETWEEN 3.0 AND 10.0
+        |    AND (CAST(len(list_filter(x.w,
+        |           t -> contains(t, '#') OR contains(t, '...')))
+        |          AS DOUBLE) / greatest(len(x.w), 1)) <= 0.1
+        |    AND (CAST(len(list_filter(x.w,
+        |           t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+        |         / greatest(len(x.w), 1)) >= 0.8
+        |    AND len(list_filter(string_split_regex(x.lt,'\s+'),
+        |          t -> t IN ('the','be','to','of','and','that','have',
+        |                     'with'))) >= 2),
+        |r AS (
+        |  SELECT g.* FROM g
+        |  WHERE 1.0 - CAST(len(list_distinct(
+        |        string_split_regex(trim(text),'\s+'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text),'\s+')) <= 0.65),
+        |e AS (
+        |  SELECT * FROM r
+        |  QUALIFY row_number() OVER (PARTITION BY text
+        |    ORDER BY doc_id) = 1),
+        |nd_d AS (
+        |  SELECT doc_id, string_split_regex(trim(text),'\s+') AS w
+        |  FROM e WHERE text IS NOT NULL AND trim(text) <> ''),
+        |nd_sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM nd_d),
+        |nd_mh AS (
+        |  SELECT doc_id, dd.d AS d,
+        |    min(md5(CAST(dd.d AS VARCHAR) || ' ' || s)) AS m
+        |  FROM nd_sh CROSS JOIN (SELECT unnest(range(0, 16)) AS d) dd
+        |  GROUP BY doc_id, dd.d),
+        |nd_bands AS (
+        |  SELECT doc_id, CAST(d // 4 AS INT) AS band,
+        |    md5(string_agg(m, '|' ORDER BY d)) AS bucket
+        |  FROM nd_mh GROUP BY doc_id, d // 4),
+        |nd_cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM nd_bands a JOIN nd_bands b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.doc_id < b.doc_id),
+        |nd_g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM nd_d),
+        |nd_losers AS (
+        |  SELECT DISTINCT c.b_id FROM nd_cand c
+        |  JOIN nd_g ga ON ga.doc_id = c.a_id
+        |  JOIN nd_g gb ON gb.doc_id = c.b_id
+        |  WHERE CAST(len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+        |        AS DOUBLE) /
+        |    (len(ga.g) + len(gb.g)
+        |      - len(list_filter(ga.g, x -> list_contains(gb.g, x))))
+        |    >= 0.5),
+        |nd AS (SELECT * FROM e
+        |       WHERE doc_id NOT IN (SELECT b_id FROM nd_losers)),
+        |ds_rawtok AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(unnest(
+        |      string_split_regex(trim(text),'\s+'))), 1, 3) AS BIGINT)
+        |      AS bkt
+        |  FROM nd WHERE text IS NOT NULL AND trim(text) <> ''),
+        |ds_tgttok AS (
+        |  SELECT CAST('0x' || substr(md5(unnest(
+        |    string_split_regex(trim(text),'\s+'))), 1, 3) AS BIGINT)
+        |    AS bkt
+        |  FROM raw
+        |  WHERE lang = 'en' AND text IS NOT NULL AND trim(text) <> ''),
+        |ds_tgtcnt AS (SELECT bkt, count(*) AS tc FROM ds_tgttok
+        |              GROUP BY bkt),
+        |ds_rawcnt AS (SELECT bkt, count(*) AS rc FROM ds_rawtok
+        |              GROUP BY bkt),
+        |ds_tt AS (SELECT CAST(sum(tc) AS DOUBLE) AS t FROM ds_tgtcnt),
+        |ds_rt AS (SELECT CAST(sum(rc) AS DOUBLE) AS rtot FROM ds_rawcnt),
+        |ds_ratio AS (
+        |  SELECT ds_rawcnt.bkt,
+        |    ln(coalesce(tc, 0) + 1.0) - ln(t + 4096.0)
+        |      - ln(rc + 1.0) + ln(rtot + 4096.0) AS lr
+        |  FROM ds_rawcnt LEFT JOIN ds_tgtcnt USING (bkt)
+        |  CROSS JOIN ds_tt CROSS JOIN ds_rt),
+        |ds_sel AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, sum(lr) AS lw
+        |    FROM ds_rawtok JOIN ds_ratio USING (bkt) GROUP BY doc_id)
+        |  ORDER BY lw DESC, doc_id LIMIT 60),
+        |ds AS (SELECT * FROM nd
+        |       WHERE doc_id IN (SELECT doc_id FROM ds_sel)),
+        |emb AS (
+        |  SELECT ds.doc_id, em.embedding FROM ds
+        |  LEFT JOIN embeddings em ON em.vec_id = ds.doc_id),
+        |sm_corpus AS (
+        |  SELECT doc_id AS vec_id, embedding FROM emb
+        |  WHERE embedding IS NOT NULL),
+        |sm_cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |           AS cell,
+        |         embedding AS cvec
+        |  FROM (SELECT vec_id, embedding FROM sm_corpus
+        |        ORDER BY vec_id LIMIT 16)),
+        |sm_asg AS (
+        |  SELECT c.vec_id, c.embedding, t.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_distance(c.embedding, t.cvec), t.cell) AS rn
+        |  FROM sm_corpus c CROSS JOIN sm_cents t),
+        |sm_cells AS (SELECT vec_id, embedding, cell FROM sm_asg
+        |             WHERE rn = 1),
+        |sm_pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM sm_cells a JOIN sm_cells b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding)
+        |    >= 0.3),
+        |sm_edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM sm_pairs
+        |  UNION SELECT b_id, a_id FROM sm_pairs),
+        |sm_reach AS (
+        |  SELECT u AS id, u AS r FROM sm_edges
+        |  UNION
+        |  SELECT sm_reach.id, e2.v FROM sm_reach JOIN sm_edges e2
+        |    ON e2.u = sm_reach.r),
+        |sm_comp AS (SELECT id, min(r) AS component FROM sm_reach
+        |            GROUP BY id),
+        |sm_keep AS (
+        |  SELECT c.vec_id AS doc_id FROM sm_cells c
+        |  LEFT JOIN sm_comp ON sm_comp.id = c.vec_id
+        |  WHERE coalesce(sm_comp.component, c.vec_id) = c.vec_id),
+        |fin AS (
+        |  SELECT doc_id FROM emb WHERE embedding IS NULL
+        |  UNION ALL SELECT doc_id FROM sm_keep)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum FROM raw
+        |  UNION ALL SELECT CAST(1 AS INT), 'quality',
+        |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM q
+        |  UNION ALL SELECT CAST(2 AS INT), 'gopher',
+        |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM g
+        |  UNION ALL SELECT CAST(3 AS INT), 'repetition',
+        |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM r
+        |  UNION ALL SELECT CAST(4 AS INT), 'exact',
+        |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM e
+        |  UNION ALL SELECT CAST(5 AS INT), 'neardup',
+        |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM nd
+        |  UNION ALL SELECT CAST(6 AS INT), 'dsir',
+        |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM ds
+        |  UNION ALL SELECT CAST(7 AS INT), 'semantic',
+        |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+        |  FROM fin)
+        |ORDER BY stage_idx""".stripMargin)
+}

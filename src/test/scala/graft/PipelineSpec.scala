@@ -139,4 +139,34 @@ class PipelineSpec extends SparkSpec {
       r0.afterSemantic === r0.afterDsir,
       s"disabled stages must pass through: $r0")
   }
+
+  test("run() reproduces the oracled corpus_pipeline stage ledger " +
+    "count for count") {
+    // the corpus_pipeline query composes the stage METHODS and is
+    // hash-checked against DuckDB; this closes the remaining gap by
+    // asserting the orchestrating run() lands on the same per-stage
+    // survivor counts at the same pinned config
+    val dir = "/root/testdata/sf0.001"
+    val ledger = graft.queries.PipelineQueries
+      .stageFrames(spark, dir)
+      .map { case (name, df) => name -> df.count() }.toMap
+    val r = graft.queries.PipelineQueries.runReport(spark, dir)
+    assert(r.input === ledger("input"))
+    assert(r.afterQuality === ledger("quality"))
+    assert(r.afterGopher === ledger("gopher"))
+    assert(r.afterRepetition === ledger("repetition"))
+    assert(r.afterExact === ledger("exact"))
+    assert(r.afterNearDup === ledger("neardup"))
+    assert(r.afterDsir === ledger("dsir"))
+    assert(r.afterSemantic === ledger("semantic"),
+      s"run() must compose the stages exactly as the oracle chains " +
+        s"them: $r vs $ledger")
+    // and the config genuinely exercises the composition: at least
+    // five stages strictly reduce the corpus at this fixture
+    val chain = Seq(ledger("input"), ledger("quality"), ledger("gopher"),
+      ledger("repetition"), ledger("exact"), ledger("neardup"),
+      ledger("dsir"), ledger("semantic"))
+    assert(chain.zip(chain.tail).count { case (a, b) => b < a } >= 5,
+      s"pinned config should make most stages bite: $chain")
+  }
 }
