@@ -30,9 +30,11 @@ object SparkEntry {
     PipelineQueries.queries
 
   /** Build-vs-query phase splits for the bench-heavy cells (emitted by
-    * Bench.scala as the JSON line's trailing `"phases"` map). */
+    * Bench.scala as the JSON line's trailing `"phases"` map) — every
+    * cell > ~3s at sf0.1 carries one, so drift triage reads phase maps
+    * instead of re-running. */
   def phases: Map[String, (SparkSession, String) => Map[String, Double]] =
-    FacadeQueries.phases
+    FacadeQueries.phases ++ InfraQueries.phases ++ DedupQueries.phases
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

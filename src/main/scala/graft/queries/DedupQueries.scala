@@ -1328,6 +1328,40 @@ object DedupQueries {
   /** The merged shard index holds exactly a full build's rows (every
     * persisted column is a pure per-row function), so its probe reuses
     * near_dup_delta's oracle verbatim. */
+  /** Phase split for the shard-merge cell (merged into
+    * SparkEntry.phases): two concurrent shard builds + the file-move
+    * merge dominate; the probe is the leg the cell claims to measure. */
+  val phases: Map[String, (SparkSession, String) => Map[String, Double]] =
+    Map(
+      "near_dup_shard_merged" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val d = docs(s, dir)
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_ndshard_ph/" +
+          dir.replaceAll("[^0-9.]", "")
+        val shardPaths = Seq(s"$root/shard0", s"$root/shard1")
+        def buildShard(p: Int): Unit = graft.operators.NearDupIndex.persist(
+          d.filter(col("doc_id") >= 60 && pmod(col("doc_id"), lit(2)) === p),
+          "doc_id", "text", shardPaths(p), algo = "md5")
+        val (_, build) = timed {
+          graft.index.PartitionedLayout.inParallel(buildShard(0),
+            buildShard(1))
+        }
+        val (merged, merge) = timed {
+          graft.operators.NearDupIndex.mergeShards(s, shardPaths,
+            s"$root/merged")
+        }
+        val (_, probe) = timed {
+          graft.operators.NearDupIndex.nearDupsAgainst(s, merged,
+            d.filter(col("doc_id") < 60), "doc_id", "text",
+            threshold = 0.5).count()
+        }
+        Map("build" -> build, "merge" -> merge, "probe" -> probe)
+      }))
+
   val oracleSql: Map[String, String] =
     baseOracleSql +
       ("near_dup_shard_merged" -> baseOracleSql("near_dup_delta"))

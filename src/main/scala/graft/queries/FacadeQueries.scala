@@ -424,6 +424,26 @@ object FacadeQueries {
         }
         Map("build" -> build, "sync" -> sync, "search" -> search)
       }),
+      // the trained ivfpq facade cell pays k-means training for BOTH
+      // quantizers plus codebook encoding inside "build" — split it
+      // from the probe+ADC+refine leg the cell actually measures
+      "facade_route_ivfpq_trained" -> ((s, dir) => {
+        val vs = new VectorSearch(s, root("ivfpqtr_ph", dir))
+        vs.createEndpoint("ep")
+        val (idx, build) = timedPh {
+          vs.createDeltaSyncIndex("ep",
+            emb(s, dir).filter(col("vec_id") >= 5), "facade_ivfpqtr_ph",
+            "vec_id", "embedding", 64, "ivfpq",
+            Map("cells" -> "16", "nProbe" -> "4", "m" -> "16",
+              "codebookK" -> "32", "c" -> "4", "trained" -> "true",
+              "iters" -> "2", "sampleN" -> "128"))
+        }
+        val (_, search) = timedPh {
+          idx.search(emb(s, dir).filter(col("vec_id") < 5),
+            "vec_id", "embedding", 3).count()
+        }
+        Map("build" -> build, "search" -> search)
+      }),
       "near_dup_delta_synced" -> ((s, dir) => {
         import graft.index.ChangeLog
         import graft.operators.NearDupIndex

@@ -3883,6 +3883,47 @@ object InfraQueries {
   // persisted layouts return the same rows as their in-memory searches
   // (PersistedLayoutSpec asserts disk == mem for each), so the *_persisted
   // queries share the in-memory paths' oracle SQL verbatim
+  /** Build/sync/search phase splits for this file's bench-heavy cells
+    * (merged into SparkEntry.phases; see FacadeQueries.phases for the
+    * rationale): the graph sync-delete cell is ~90% build+sync by
+    * design, so a drift triage should read the phase map first. */
+  val phases: Map[String, (SparkSession, String) => Map[String, Double]] =
+    Map(
+      "ann_graph_sync_delete" -> ((s, dir) => {
+        import graft.index.ChangeLog
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val e = emb(s, dir)
+        val initial = e.filter(col("vec_id") >= 15 && col("vec_id") < 400)
+        val changes = e.filter(col("vec_id") >= 5 && col("vec_id") < 15)
+          .withColumn("__op", lit(ChangeLog.OpInsert))
+          .withColumn("__seq", lit(1L))
+          .unionByName(e.filter(col("vec_id") >= 15 && col("vec_id") < 25)
+            .withColumn("__op", lit(ChangeLog.OpDelete))
+            .withColumn("__seq", lit(2L)))
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_pgdel_ph/" +
+          dir.replaceAll("[^0-9.]", "")
+        val (pg, build) = timed {
+          GraphAnn.persistGraph(GraphAnn.buildGraphExact(initial,
+            "embedding", "vec_id", m = 6), root, buckets = 8)
+        }
+        val (_, sync) = timed {
+          GraphAnn.syncPersistedGraphChanges(s, pg, initial, changes,
+            "vec_id", "embedding")
+        }
+        val (_, search) = timed {
+          GraphAnn.queryPersistedGraph(s, pg,
+            e.filter(col("vec_id") >= 5 && col("vec_id") < 400),
+            e.filter(col("vec_id") < 5), "vec_id", "embedding",
+            "vec_id", "embedding", k = 3, entries = 4, beam = 4,
+            hops = 3, metric = Metric.L2, entryMod = 5L).count()
+        }
+        Map("build" -> build, "sync" -> sync, "search" -> search)
+      }))
+
   val oracleSql: Map[String, String] =
     baseOracleSql +
       // shard build + file-move merge holds exactly the full build's
