@@ -363,28 +363,41 @@ object Dedup {
       .limit(cap + 1).collect()
     if (sample.length > cap) connectedComponents(pairs, aCol, bCol)
     else {
-      val parent = scala.collection.mutable.Map[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      sample.foreach { row =>
+      val rows = sample.map { row =>
         require(!row.isNullAt(0) && !row.isNullAt(1),
           s"componentsAuto needs non-null long-castable ids " +
             s"($aCol, $bCol) — the connectedComponents id contract")
-        val a = row.getLong(0); val b = row.getLong(1)
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) {
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
-        }
+        (row.getLong(0), row.getLong(1))
       }
-      parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      unionFindComponents(rows).toSeq.sortBy(_._1)
         .toDF("id", "component")
     }
+  }
+
+  /** Driver union-find (union-by-min, so every root is its
+    * component's min id — the [[connectedComponents]] contract) over an
+    * already-collected edge list. Shared by [[componentsAuto]]'s
+    * small-graph fast path and the fused ingest admission
+    * ([[NearDupIndex.admitAndSync]]'s single-collect sweep). Returns
+    * every node of the edge list with its component min. */
+  def unionFindComponents(edges: Iterable[(Long, Long)])
+      : Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.map(id => id -> find(id)).toMap
   }
 
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 across token

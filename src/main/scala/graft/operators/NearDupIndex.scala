@@ -341,16 +341,30 @@ object NearDupIndex {
         refined.select(col("corpus_id").as("a_id"),
           col("delta_id").as("b_id"), col("a_sh"), col("b_sh")),
         threshold)
-      .select(col("b_id").as(idCol)).distinct()
-    val kept = exact.join(flagged, Seq(idCol), "left_anti")
-    val admitted0 =
-      if (!intraBatch) kept
+      .select(col("b_id").cast("long").as("a"))
+      .distinct()
+    // ONE fused collect carries the cross-corpus rejections AND (when
+    // sweeping) the intra-batch candidate pairs; the pair graph closes
+    // driver-side and every later frame anti-joins the resulting LOCAL
+    // blocklist — a broadcast of driver data builds with NO job, so
+    // this replaces the old kept-twice materialization (probe chain
+    // re-run for the pair collect and again for the admitted
+    // checkpoint) and its per-join broadcast-build jobs. Driver state
+    // is O(rejections + candidate pairs) LONGS, bounded by the
+    // admission-controlled batch — the same economics as
+    // componentsAuto's capped fast path (unbounded one-shot batches
+    // use admitBatch + sync, which keep the distributed closure).
+    // Intra pairs are computed among ALL shingled batch survivors and
+    // filtered to unflagged endpoints driver-side — identical to
+    // pairing only the kept rows, without making the pair plan depend
+    // on (and re-run) the probe chain.
+    val collected: Array[org.apache.spark.sql.Row] =
+      if (!intraBatch)
+        flagged.withColumn("b", lit(null).cast("long")).collect()
       else {
-        val kIds = kept.select(col(idCol).as("delta_id"))
-        val kb = dBanded.join(kIds, Seq("delta_id"), "left_semi")
-        val pairCand = kb
+        val pairCand = dBanded
           .select(col("band"), col("bucket"), col("delta_id").as("a_id"))
-          .join(kb.select(col("band"), col("bucket"),
+          .join(dBanded.select(col("band"), col("bucket"),
             col("delta_id").as("b_id")), Seq("band", "bucket"))
           .filter(col("a_id") < col("b_id"))
           .select("a_id", "b_id").distinct()
@@ -362,21 +376,35 @@ object NearDupIndex {
                 Seq("b_id"))
               .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")),
             threshold)
-        // driver union-find below the cap — one collect instead of the
-        // pointer-jumping rounds, which dominate a micro-batch's cost
-        val losers = Dedup.componentsAuto(pairs, "a_id", "b_id")
-          .filter(col("id") =!= col("component"))
-          .select(col("id").as(idCol))
-        kept.join(losers, Seq(idCol), "left_anti")
+        flagged.withColumn("b", lit(null).cast("long"))
+          .unionByName(pairs.select(col("a_id").cast("long").as("a"),
+            col("b_id").cast("long").as("b")))
+          .collect()
       }
-    // the admission read the layout (probe): pin the result before the
-    // merge overwrites the very dirs it read
-    val admitted = admitted0.localCheckpoint(true)
+    val flaggedIds = collected.filter(_.isNullAt(1))
+      .map(_.getLong(0)).toSet
+    val edges = collected.filter(r => !r.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => !flaggedIds(a) && !flaggedIds(b) }
+    val losers = Dedup.unionFindComponents(edges)
+      .collect { case (id, comp) if id != comp => id }
+    val rejected = (flaggedIds ++ losers).toSeq.sorted
+    import spark.implicits._
+    val idType = exact.schema(idCol).dataType
+    val blocklist = broadcast(
+      rejected.toDF("__rid").select(col("__rid").cast(idType).as(idCol)))
+    // admitted no longer reads the layout (the blocklist is local), so
+    // no pre-write checkpoint is needed: the plan under it is the
+    // already-pinned withSh checkpoint
+    val admitted = exact.join(blocklist, Seq(idCol), "left_anti")
     val admittedIds = admitted.select(col(idCol).as("id"))
-    val newSh = sh.join(admittedIds, Seq("id"), "left_semi")
+    val newSh = sh.join(
+      broadcast(rejected.toDF("id").select(col("id").cast(idType).as("id"))),
+      Seq("id"), "left_anti")
     val newPost = dBanded
-      .join(admittedIds.select(col("id").as("delta_id")), Seq("delta_id"),
-        "left_semi")
+      .join(broadcast(rejected.toDF("delta_id")
+        .select(col("delta_id").cast(idType).as("delta_id"))),
+        Seq("delta_id"), "left_anti")
       .withColumnRenamed("delta_id", "id")
     val dbks = admittedIds
       .select(pmod(xxhash64(col("id")), lit(idx.buckets.toLong))

@@ -64,18 +64,33 @@ object IndexSync {
     * here own their session for the drain's duration. */
   private def withBoundedBatchTuning[A](sessions: SparkSession*)
       (body: => A): A = {
-    val key = "spark.sql.adaptive.enabled"
+    // Same economics for both toggles: on an admission-bounded batch,
+    // per-job scheduler latency dominates, so anything that multiplies
+    // JOB COUNT loses. (1) AQE: every stage materialization is its own
+    // job. (2) Incremental LIMIT execution: CollectLimitExec scans 1
+    // partition, then scaleUpFactor× more per ATTEMPT — each attempt a
+    // separate job, and a limit that finds NOTHING (the fresh-batch
+    // replay probe, the under-cap pair sample) walks every partition
+    // across ~log(n) jobs while recomputing its input plan each time.
+    // initialNumPartitions=1e6 makes every limit a single scan-all
+    // attempt: one job, and strictly less work whenever the limit
+    // would have come up short anyway. Production-size unbounded
+    // batches do NOT come through here (the one-shot sync entry points
+    // keep Spark's defaults).
+    val keys = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.limit.initialNumPartitions" -> "1000000")
     // the micro-batch DF is bound to the stream's CLONED session
     // (sparkSessionForStream), while layout reads inside the body come
     // from the caller's session — a plan executes under whichever
     // session owns its root DF, so BOTH need the toggle
     val ss = sessions.distinct
-    val prev = ss.map(s => s -> s.conf.getOption(key))
-    ss.foreach(_.conf.set(key, "false"))
+    val prev = for (s <- ss; (k, _) <- keys)
+      yield (s, k, s.conf.getOption(k))
+    for (s <- ss; (k, v) <- keys) s.conf.set(k, v)
     try body
     finally prev.foreach {
-      case (s, Some(v)) => s.conf.set(key, v)
-      case (s, None) => s.conf.unset(key)
+      case (s, k, Some(v)) => s.conf.set(k, v)
+      case (s, k, None) => s.conf.unset(k)
     }
   }
 
