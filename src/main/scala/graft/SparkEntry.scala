@@ -34,7 +34,8 @@ object SparkEntry {
     * cell > ~3s at sf0.1 carries one, so drift triage reads phase maps
     * instead of re-running. */
   def phases: Map[String, (SparkSession, String) => Map[String, Double]] =
-    FacadeQueries.phases ++ InfraQueries.phases ++ DedupQueries.phases
+    FacadeQueries.phases ++ InfraQueries.phases ++ DedupQueries.phases ++
+    PipelineQueries.phases
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -47,10 +47,14 @@ object PipelineQueries {
     val q = p.qualityFilter(d, "text")
     val g = p.gopherFilter(q, "text")
     val r = p.repetitionFilter(g, "text")
-    val e = p.exactDedup(r, "doc_id", "text")
-    val nd = p.nearDupRemoval(e, "doc_id", "text")
+    // pin the expensive stage boundaries (run()'s single-pass
+    // discipline): the ledger aggregates each stage AND feeds it to
+    // the next, and without a pinned boundary every later row would
+    // re-run the MinHash/DSIR chains from scratch
+    val e = p.exactDedup(r, "doc_id", "text").localCheckpoint(true)
+    val nd = p.nearDupRemoval(e, "doc_id", "text").localCheckpoint(true)
     val ds = p.dsirSelection(nd, "doc_id", "text",
-      d.filter(col("lang") === "en"))
+      d.filter(col("lang") === "en")).localCheckpoint(true)
     val embedder = new PrecomputedEmbedder(em, "vec_id", "embedding",
       "doc_id", 64)
     val fin = p.semanticFilter(embedder.embed(ds, "text"), "doc_id")
@@ -92,6 +96,42 @@ object PipelineQueries {
     * SemDeDup cells/pairs/recursive-closure keep decision over the
     * embedded survivors (dedup_semantic) — aggregated to the per-stage
     * (count, id-sum) ledger. */
+  /** Per-stage timing split (merged into SparkEntry.phases): the cell
+    * composes eight stages, so a drift should name the stage that
+    * moved. Cheap projections fold into the boundary that pins them
+    * (toExact = quality+gopher+repetition+exact). */
+  val phases: Map[String, (SparkSession, String) => Map[String, Double]] =
+    Map(
+      "corpus_pipeline" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val d = Tables.load(s, dir, "documents")
+        val em = Tables.load(s, dir, "embeddings")
+        val p = pipeline
+        val (e, toExact) = timed {
+          p.exactDedup(p.repetitionFilter(p.gopherFilter(
+            p.qualityFilter(d, "text"), "text"), "text"), "doc_id",
+            "text").localCheckpoint(true)
+        }
+        val (nd, nearDup) = timed {
+          p.nearDupRemoval(e, "doc_id", "text").localCheckpoint(true)
+        }
+        val (ds, dsir) = timed {
+          p.dsirSelection(nd, "doc_id", "text",
+            d.filter(col("lang") === "en")).localCheckpoint(true)
+        }
+        val (_, semantic) = timed {
+          p.semanticFilter(new PrecomputedEmbedder(em, "vec_id",
+            "embedding", "doc_id", 64).embed(ds, "text"), "doc_id")
+            .count()
+        }
+        Map("toExact" -> toExact, "nearDup" -> nearDup, "dsir" -> dsir,
+          "semantic" -> semantic)
+      }))
+
   val oracleSql: Map[String, String] = Map(
     "corpus_pipeline" ->
       """WITH RECURSIVE

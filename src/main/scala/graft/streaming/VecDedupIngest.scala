@@ -145,24 +145,33 @@ object VecDedupIngest {
       .dropDuplicates("delta_id", idCol)
       .filter(VectorFunctions.cosine(col(vecCol), col("__dvec"))
         >= threshold)
-      .select(col("delta_id").as(idCol)).distinct()
-    val kept0 = valid.join(flagged, Seq(idCol), "left_anti")
-    // (2) intra-batch sweep (bucket self-join, capped hot buckets)
-    val admitted0 =
-      if (!intraBatch) kept0
-      else {
-        val kept = kept0.localCheckpoint(true) // self-join ×2 + anti-join
+      .select(col("delta_id").cast("long").as("a")).distinct()
+    // (2) intra-batch sweep + (1)'s rejections in ONE fused collect —
+    // the NearDupIndex.admitAndSync discipline: pairs are generated
+    // among ALL valid batch rows, endpoint-filtered to unflagged rows
+    // driver-side (the same edge set as sweeping only the kept rows),
+    // the graph closes with the driver union-find, and admitted /
+    // merge frames anti-join the resulting LOCAL blocklist (broadcasts
+    // of driver data build with no job; the admitted plan stops
+    // reading the layout, so its pre-write checkpoint is gone).
+    // EXCEPTION: a hot-bucket cap counts occupancy among KEPT rows —
+    // that needs the kept set materialized first, so the capped sweep
+    // keeps the two-step shape.
+    val admitted =
+      if (intraBatch && maxBucket.isDefined) {
+        val kept = valid
+          .join(flagged.select(col("a").cast(valid.schema(idCol).dataType)
+            .as(idCol)), Seq(idCol), "left_anti")
+          .localCheckpoint(true) // self-join ×2 + anti-join
         val coded0 = kept.select(col(idCol).as("__id"),
           col(vecCol).as("__v"),
           posexplode(codesOf(col(vecCol))).as(Seq("__t", "__code")))
-        val coded = maxBucket match {
-          case None => coded0
-          case Some(cap) =>
-            val hot = coded0.groupBy("__t", "__code")
-              .agg(count(lit(1)).as("__bn"))
-              .filter(col("__bn") > cap).select("__t", "__code")
-            coded0.join(broadcast(hot), Seq("__t", "__code"), "left_anti")
-        }
+        val cap = maxBucket.get
+        val hot = coded0.groupBy("__t", "__code")
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > cap).select("__t", "__code")
+        val coded = coded0.join(broadcast(hot), Seq("__t", "__code"),
+          "left_anti")
         val cand = coded.select(col("__t"), col("__code"),
             col("__id").as("a_id"))
           .join(coded.select(col("__t"), col("__code"),
@@ -178,15 +187,55 @@ object VecDedupIngest {
           .filter(VectorFunctions.cosine(col("__va"), col("__vb"))
             >= threshold)
           .select("a_id", "b_id")
-        // driver union-find below the cap — one collect instead of the
-        // pointer-jumping rounds, which dominate a micro-batch's cost
         val losers = Dedup.componentsAuto(pairs, "a_id", "b_id")
           .filter(col("id") =!= col("component"))
           .select(col("id").as(idCol))
-        kept.join(losers, Seq(idCol), "left_anti")
+        // this plan read the layout (via kept's probe): pin before the
+        // merge rewrites the dirs it read
+        kept.join(losers, Seq(idCol), "left_anti").localCheckpoint(true)
+      } else {
+        val collected: Array[org.apache.spark.sql.Row] =
+          if (!intraBatch)
+            flagged.withColumn("b", lit(null).cast("long")).collect()
+          else {
+            val coded = valid.select(col(idCol).as("__id"),
+              col(vecCol).as("__v"),
+              posexplode(codesOf(col(vecCol))).as(Seq("__t", "__code")))
+            val cand = coded.select(col("__t"), col("__code"),
+                col("__id").as("a_id"))
+              .join(coded.select(col("__t"), col("__code"),
+                col("__id").as("b_id")), Seq("__t", "__code"))
+              .filter(col("a_id") < col("b_id"))
+              .select("a_id", "b_id").distinct()
+            val vecs = valid.select(col(idCol).as("__id"),
+              col(vecCol).as("__v"))
+            val pairs = cand
+              .join(vecs.select(col("__id").as("a_id"),
+                col("__v").as("__va")), Seq("a_id"))
+              .join(vecs.select(col("__id").as("b_id"),
+                col("__v").as("__vb")), Seq("b_id"))
+              .filter(VectorFunctions.cosine(col("__va"), col("__vb"))
+                >= threshold)
+              .select("a_id", "b_id")
+            flagged.withColumn("b", lit(null).cast("long"))
+              .unionByName(pairs.select(col("a_id").cast("long").as("a"),
+                col("b_id").cast("long").as("b")))
+              .collect()
+          }
+        val flaggedIds = collected.filter(_.isNullAt(1))
+          .map(_.getLong(0)).toSet
+        val edges = collected.filter(r => !r.isNullAt(1))
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .filter { case (a, b) => !flaggedIds(a) && !flaggedIds(b) }
+        val losers = Dedup.unionFindComponents(edges)
+          .collect { case (id, comp) if id != comp => id }
+        val rejected = (flaggedIds ++ losers).toSeq.sorted
+        import spark.implicits._
+        val idType = valid.schema(idCol).dataType
+        valid.join(broadcast(rejected.toDF("__rid")
+          .select(col("__rid").cast(idType).as(idCol))),
+          Seq(idCol), "left_anti")
       }
-    // admission read the layout: pin before the merge rewrites it
-    val admitted = admitted0.localCheckpoint(true)
     // (3) merge into both tables — append fast path for fresh batches
     val ids = admitted.select(col(idCol))
     val newCoded = admitted.withColumn("__codes", codesOf(col(vecCol)))
