@@ -603,22 +603,29 @@ object Multimodal {
     }
   }
 
-  /** Deterministic REAL PNG corpus: the [[syntheticPpmMedia]] pixel
-    * formula (`w = 8 + id%9`, `h = 8 + id%7`,
-    * `r=(7x+13y+id)%256, g=(3x+5y+2id)%256, b=(x+y+3id)%256`) encoded
-    * as genuine PNG files — lossless, so a SQL oracle still reproduces
-    * every pixel without parsing any binary. */
-  def syntheticPngMedia(docs: DataFrame, idCol: String): DataFrame = {
+  /** Deterministic REAL image corpus in any ImageIO-writable format:
+    * the [[syntheticPpmMedia]] pixel formula (`w = 8 + id%9`,
+    * `h = 8 + id%7`, `r=(7x+13y+id)%256, g=(3x+5y+2id)%256,
+    * b=(x+y+3id)%256`) encoded as genuine PNG / BMP (both lossless, so
+    * a SQL oracle reproduces every pixel without parsing any binary)
+    * or JPEG (lossy — only the geometry replays; pixel fidelity is
+    * spec-checked with tolerance). */
+  def syntheticImageMedia(docs: DataFrame, idCol: String,
+      format: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
       ids.map { id =>
         val w = (8 + id % 9).toInt
         val h = (8 + id % 7).toInt
-        (id, "image", imageEncode(w, h, formulaRgb(id, w, h, 0), "png"))
+        (id, "image", imageEncode(w, h, formulaRgb(id, w, h, 0), format))
       }
     }.toDF("media_id", "kind", "content")
   }
+
+  /** [[syntheticImageMedia]] as PNG. */
+  def syntheticPngMedia(docs: DataFrame, idCol: String): DataFrame =
+    syntheticImageMedia(docs, idCol, "png")
 
   /** The shared synthetic pixel formula (frame offset `31*f` for the
     * video corpus; `f = 0` for stills). */

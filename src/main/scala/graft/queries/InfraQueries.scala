@@ -1404,6 +1404,29 @@ object InfraQueries {
           round(col("__cos"), 4).as("score"))
         .orderBy("query_id", "rnk")
     }),
+    // BMP through the same ImageIO seam: 24-bit uncompressed BMP is
+    // lossless, so the full pixel replay carries over — proving the
+    // decode path is format-agnostic, not PNG-special-cased.
+    "mm_bmp_decode" -> ((s, dir) => {
+      Multimodal.imageFeatures(Multimodal.syntheticImageMedia(
+          docs(s, dir).filter(col("doc_id") < 100), "doc_id", "bmp")).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy("media_id")
+    }),
+    // JPEG is lossy, so only the decoded GEOMETRY is oracle-exact (the
+    // id-derived w/h formula); pixel fidelity is MultimodalSpec's
+    // tolerance check. The payloads are genuine JPEG files and the
+    // decode is the real codec — a wiring bug (dims swap, truncated
+    // decode dropping rows) still breaks this hash.
+    "mm_jpeg_decode" -> ((s, dir) => {
+      Multimodal.imageFeatures(Multimodal.syntheticImageMedia(
+          docs(s, dir).filter(col("doc_id") < 100), "doc_id", "jpg")).toDF()
+        .select(col("media_id"), col("width"), col("height"))
+        .orderBy("media_id")
+    }),
     // Multimodal: binary payload column → partition-batched feature
     // extraction; metadata path oracle-checked, feature values ScalaTest'd.
     "multimodal_features" -> ((s, dir) => {
@@ -3972,5 +3995,12 @@ object InfraQueries {
       // which REAL bytes the Spark side decoded to get there
       ("mm_png_decode" -> baseOracleSql("mm_ppm_decode")) +
       ("mm_png_resize" -> baseOracleSql("mm_ppm_resize")) +
-      ("mm_png_knn" -> baseOracleSql("mm_ppm_knn"))
+      ("mm_png_knn" -> baseOracleSql("mm_ppm_knn")) +
+      // BMP is equally lossless — same pixel replay
+      ("mm_bmp_decode" -> baseOracleSql("mm_ppm_decode")) +
+      // JPEG: geometry-only replay (id-derived w/h); pixels are lossy
+      ("mm_jpeg_decode" ->
+        """SELECT doc_id AS media_id, CAST(8 + doc_id % 9 AS INT) AS width,
+          |  CAST(8 + doc_id % 7 AS INT) AS height
+          |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin)
 }

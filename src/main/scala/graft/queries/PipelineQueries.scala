@@ -38,6 +38,25 @@ object PipelineQueries {
     semanticTau = 0.3,
     nearDupAlgo = "md5")
 
+  /** The ALL-stages configuration: the base pipeline plus benchmark
+    * decontamination (3-gram overlap ≥ 0.5 vs the `doc_id % 40 = 7`
+    * eval slice — the self-contaminated members score ~1.0 and drop)
+    * and per-source balancing (top-4 by quality per source, the
+    * TopKPerGroup heap operator), with the DSIR budget tightened to 40
+    * so selection still bites after balancing. */
+  private def pipelineFull = new CorpusPipeline(
+    minQuality = 0.9,
+    nearDupJaccard = 0.5,
+    shingleSize = 3,
+    maxDupTokenFraction = 0.65,
+    perSourceCap = 4,
+    maxContamination = 0.5,
+    useGopherRules = true,
+    dsirKeep = 40,
+    semanticDedupK = 16,
+    semanticTau = 0.3,
+    nearDupAlgo = "md5")
+
   /** The composed per-stage frames, shared by the query and
     * PipelineSpec's run-vs-ledger assertion. */
   def stageFrames(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
@@ -62,6 +81,34 @@ object PipelineQueries {
       "exact" -> e, "neardup" -> nd, "dsir" -> ds, "semantic" -> fin)
   }
 
+  /** The all-stages composition — the base chain with decontamination
+    * after near-dup and balancing after decontamination, the order
+    * [[graft.CorpusPipeline.run]] pins. */
+  def stageFramesFull(s: SparkSession,
+      dir: String): Seq[(String, DataFrame)] = {
+    val d = Tables.load(s, dir, "documents")
+    val em = Tables.load(s, dir, "embeddings")
+    val p = pipelineFull
+    val q = p.qualityFilter(d, "text")
+    val g = p.gopherFilter(q, "text")
+    val r = p.repetitionFilter(g, "text")
+    val e = p.exactDedup(r, "doc_id", "text").localCheckpoint(true)
+    val nd = p.nearDupRemoval(e, "doc_id", "text").localCheckpoint(true)
+    val dc = p.decontaminationFilter(nd, "doc_id", "text",
+      d.filter(pmod(col("doc_id"), lit(40)) === 7), "text")
+      .localCheckpoint(true)
+    val bal = p.balance(dc, "doc_id", "text", "source")
+      .localCheckpoint(true)
+    val ds = p.dsirSelection(bal, "doc_id", "text",
+      d.filter(col("lang") === "en")).localCheckpoint(true)
+    val embedder = new PrecomputedEmbedder(em, "vec_id", "embedding",
+      "doc_id", 64)
+    val fin = p.semanticFilter(embedder.embed(ds, "text"), "doc_id")
+    Seq("input" -> d, "quality" -> q, "gopher" -> g, "repetition" -> r,
+      "exact" -> e, "neardup" -> nd, "decontam" -> dc, "balance" -> bal,
+      "dsir" -> ds, "semantic" -> fin)
+  }
+
   /** Run [[graft.CorpusPipeline.run]] itself at the pinned config —
     * PipelineSpec compares its report against the ledger. */
   def runReport(s: SparkSession, dir: String): graft.PipelineReport = {
@@ -72,18 +119,33 @@ object PipelineQueries {
       dsirTarget = Some(d.filter(col("lang") === "en")))._2
   }
 
+  /** [[runReport]] at the all-stages config. */
+  def runReportFull(s: SparkSession, dir: String): graft.PipelineReport = {
+    val d = Tables.load(s, dir, "documents")
+    val em = Tables.load(s, dir, "embeddings")
+    pipelineFull.run(s, d, "doc_id", "text",
+      new PrecomputedEmbedder(em, "vec_id", "embedding", "doc_id", 64),
+      sourceCol = Some("source"),
+      benchmarks = Some(d.filter(pmod(col("doc_id"), lit(40)) === 7)),
+      dsirTarget = Some(d.filter(col("lang") === "en")))._2
+  }
+
+  private def ledger(frames: Seq[(String, DataFrame)]): DataFrame =
+    frames.zipWithIndex
+      .map { case ((name, df), i) =>
+        df.agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("id_sum"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("stage_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_pipeline" -> ((s, dir) => {
-      stageFrames(s, dir).zipWithIndex
-        .map { case ((name, df), i) =>
-          df.agg(count(lit(1)).cast("long").as("n_docs"),
-              sum(col("doc_id")).cast("long").as("id_sum"))
-            .select(lit(i).as("stage_idx"), lit(name).as("stage"),
-              col("n_docs"), col("id_sum"))
-        }
-        .reduce(_ unionByName _)
-        .orderBy("stage_idx")
-    }))
+    "corpus_pipeline" -> ((s, dir) => ledger(stageFrames(s, dir))),
+    // EVERY pipeline stage enabled — decontamination and balancing
+    // join the chain, each oracled in the same per-stage ledger
+    "corpus_pipeline_full" -> ((s, dir) => ledger(stageFramesFull(s, dir))))
 
   /** One chained replay of the stages' proven recipes: quality score ≥
     * 0.9 (text_quality_by_source's formula), the five Gopher rules
@@ -132,8 +194,87 @@ object PipelineQueries {
           "semantic" -> semantic)
       }))
 
-  val oracleSql: Map[String, String] = Map(
-    "corpus_pipeline" ->
+  /** DuckDB inlines a plain CTE once PER REFERENCE, and the ledger
+    * references the MinHash chain once per stage row below it — the
+    * chained-reference blowup turns a sub-second replay into minutes.
+    * Marking the heavy, multiply-referenced stage CTEs MATERIALIZED
+    * restores evaluate-once semantics (a no-op for correctness). */
+  private def materialized(sql: String): String =
+    Seq("raw", "q", "g", "r", "e", "nd_d", "nd_g", "nd_bands", "nd",
+      "dc", "bal", "ds", "emb", "sm_cells")
+      .foldLeft(sql)((s, n) =>
+        s.replace("\n" + n + " AS (", "\n" + n + " AS MATERIALIZED ("))
+
+  /** The all-stages oracle derives from the base replay: splice the
+    * decontamination + balancing CTEs between neardup and DSIR,
+    * retarget DSIR at the balanced set with the tightened budget, and
+    * extend the ledger — the two queries stay provably the same recipe
+    * wherever they overlap. */
+  private def fullOracle(base: String): String = {
+    val dcBal =
+      """dc_ex AS (
+        |  SELECT sg.doc_id, unnest(sg.g) AS g
+        |  FROM nd_g sg JOIN nd ON nd.doc_id = sg.doc_id),
+        |dc_bd AS (
+        |  SELECT string_split_regex(trim(text),'\s+') AS w FROM raw
+        |  WHERE doc_id % 40 = 7 AND text IS NOT NULL
+        |    AND trim(text) <> ''),
+        |dc_bench AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+        |  FROM dc_bd),
+        |dc_sc AS (
+        |  SELECT ex.doc_id,
+        |    CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*) AS score
+        |  FROM dc_ex ex LEFT JOIN dc_bench b ON ex.g = b.g
+        |  GROUP BY ex.doc_id),
+        |dc AS (
+        |  SELECT nd.* FROM nd LEFT JOIN dc_sc ON dc_sc.doc_id = nd.doc_id
+        |  WHERE dc_sc.score IS NULL OR dc_sc.score < 0.5),
+        |bal AS (
+        |  SELECT doc_id, text, lang, source FROM (
+        |    SELECT dc.*, row_number() OVER (PARTITION BY source ORDER BY
+        |      round(
+        |      (CASE WHEN len(string_split_regex(trim(text),'\s+'))
+        |              BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) * 0.4
+        |    + (CASE WHEN CAST(len(regexp_extract_all(text,'[.!?,;:]'))
+        |              AS DOUBLE)
+        |              / greatest(CAST(len(string_split_regex(trim(text),
+        |                  '\s+')) AS DOUBLE), 1.0) <= 0.2
+        |            THEN 1.0 ELSE 0.5 END) * 0.3
+        |    + (CASE WHEN CAST(len(list_filter(
+        |                string_split_regex(lower(trim(text)),'\s+'),
+        |                x -> x IN ('the','a','of','and','to','in')))
+        |              AS DOUBLE)
+        |              / greatest(CAST(len(string_split_regex(trim(text),
+        |                  '\s+')) AS DOUBLE), 1.0) BETWEEN 0.01 AND 0.5
+        |            THEN 1.0 ELSE 0.6 END) * 0.3, 4) DESC, doc_id)
+        |      AS rn
+        |    FROM dc)
+        |  WHERE rn <= 4),
+        |""".stripMargin
+    base
+      .replace("ds_rawtok AS (", dcBal + "ds_rawtok AS (")
+      .replace("FROM nd WHERE text IS NOT NULL AND trim(text) <> ''),",
+        "FROM bal WHERE text IS NOT NULL AND trim(text) <> ''),")
+      .replace("ds AS (SELECT * FROM nd", "ds AS (SELECT * FROM bal")
+      .replace("LIMIT 60", "LIMIT 40")
+      .replace(
+        """  UNION ALL SELECT CAST(6 AS INT), 'dsir',
+          |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM ds
+          |  UNION ALL SELECT CAST(7 AS INT), 'semantic',""".stripMargin,
+        """  UNION ALL SELECT CAST(6 AS INT), 'decontam',
+          |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM dc
+          |  UNION ALL SELECT CAST(7 AS INT), 'balance',
+          |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM bal
+          |  UNION ALL SELECT CAST(8 AS INT), 'dsir',
+          |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM ds
+          |  UNION ALL SELECT CAST(9 AS INT), 'semantic',""".stripMargin)
+  }
+
+  private val baseOracle: String =
       """WITH RECURSIVE
         |raw AS (SELECT doc_id, text, lang, source FROM documents),
         |q AS (
@@ -311,5 +452,9 @@ object PipelineQueries {
         |  UNION ALL SELECT CAST(7 AS INT), 'semantic',
         |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
         |  FROM fin)
-        |ORDER BY stage_idx""".stripMargin)
+        |ORDER BY stage_idx""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "corpus_pipeline" -> materialized(baseOracle),
+    "corpus_pipeline_full" -> materialized(fullOracle(baseOracle)))
 }

@@ -169,4 +169,28 @@ class PipelineSpec extends SparkSpec {
     assert(chain.zip(chain.tail).count { case (a, b) => b < a } >= 5,
       s"pinned config should make most stages bite: $chain")
   }
+
+  test("run() reproduces the ALL-stages corpus_pipeline_full ledger — " +
+    "decontamination and balancing included") {
+    val dir = "/root/testdata/sf0.001"
+    val ledger = graft.queries.PipelineQueries
+      .stageFramesFull(spark, dir)
+      .map { case (name, df) => name -> df.count() }.toMap
+    val r = graft.queries.PipelineQueries.runReportFull(spark, dir)
+    assert(r.input === ledger("input"))
+    assert(r.afterQuality === ledger("quality"))
+    assert(r.afterGopher === ledger("gopher"))
+    assert(r.afterRepetition === ledger("repetition"))
+    assert(r.afterExact === ledger("exact"))
+    assert(r.afterNearDup === ledger("neardup"))
+    assert(r.afterDecontam === ledger("decontam"))
+    assert(r.afterBalance === ledger("balance"))
+    assert(r.afterDsir === ledger("dsir"))
+    assert(r.afterSemantic === ledger("semantic"),
+      s"full run() vs full ledger: $r vs $ledger")
+    assert(ledger("decontam") < ledger("neardup"),
+      "decontamination must drop the self-contaminated eval members")
+    assert(ledger("balance") < ledger("decontam"),
+      "the per-source cap must bite")
+  }
 }
