@@ -672,6 +672,130 @@ object Multimodal {
     PpmFeature(id, w, h, sr / n, sg / n, sb / n)
   }
 
+  // -- REAL video through a real codec: multi-frame animated GIF.
+  // GIF is LZW-compressed but LOSSLESS for frames with ≤ 256 distinct
+  // colors (the synthetic formula frames have ≤ w·h ≤ 224), so the
+  // per-frame pixel replay hash-checks through an actual container
+  // format with palettes, LZW and frame sequencing — not a byte-offset
+  // walk. Demux = ImageIO's sequence reader.
+
+  /** Encode row-major RGB frames (all `w x h`) as one animated GIF. */
+  def gifEncodeFrames(w: Int, h: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    imageIoReady
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { rgb =>
+      require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes")
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](w * h)
+      var p = 0
+      while (p < px.length) {
+        px(p) = ((rgb(p * 3) & 0xff) << 16) |
+          ((rgb(p * 3 + 1) & 0xff) << 8) | (rgb(p * 3 + 2) & 0xff)
+        p += 1
+      }
+      img.setRGB(0, 0, w, h, px, 0, w)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Demux an animated GIF into `(width, height, rgb)` frames — None
+    * on corrupt or non-GIF bytes (the corrupt-file contract). */
+  def gifDecodeFrames(bytes: Array[Byte])
+      : Option[Seq[(Int, Int, Array[Byte])]] = {
+    if (bytes == null || bytes.length < 6) return None
+    imageIoReady
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      if (!reader.getFormatName.equalsIgnoreCase("gif")) return None
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      if (n <= 0) return None
+      val out = (0 until n).map { f =>
+        val img = reader.read(f)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val rgb = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < px.length) {
+          rgb(p * 3) = ((px(p) >> 16) & 0xff).toByte
+          rgb(p * 3 + 1) = ((px(p) >> 8) & 0xff).toByte
+          rgb(p * 3 + 2) = (px(p) & 0xff).toByte
+          p += 1
+        }
+        (w, h, rgb)
+      }
+      reader.dispose()
+      Some(out)
+    } catch {
+      case _: java.io.IOException => None
+      case _: RuntimeException => None
+    }
+  }
+
+  /** Deterministic REAL animated-GIF video corpus — the
+    * [[syntheticPpmVideoMedia]] geometry and per-frame pixel formula
+    * (`3 + id%5` frames, 250 ms apart, channel offset `31*f`) encoded
+    * as genuine multi-frame GIFs. */
+  def syntheticGifVideoMedia(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        val nf = (3 + id % 5).toInt
+        val frames = (0 until nf).map(f => formulaRgb(id, w, h, f))
+        (id, "video", gifEncodeFrames(w, h, frames), (nf - 1) * 250L)
+      }
+    }.toDF("media_id", "kind", "content", "duration_ms")
+  }
+
+  /** REAL frame sampling over animated GIF: the [[samplePpmFrames]]
+    * grid and output contract, but the frame is demuxed by the actual
+    * GIF codec. Rows whose payload is corrupt, or whose timestamp maps
+    * past the last frame, drop. */
+  def sampleGifFrames(media: DataFrame, everyMs: Long,
+      frameMs: Long = 250L): Dataset[FrameFeature] = {
+    require(everyMs > 0 && frameMs > 0, "intervals must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video" && col("content").isNotNull &&
+        col("duration_ms").isNotNull)
+      .select("media_id", "content", "duration_ms")
+      .as[(Long, Array[Byte], Long)]
+      .flatMap { case (id, bytes, durMs) =>
+        gifDecodeFrames(bytes).toSeq.flatMap { frames =>
+          (0L to durMs by everyMs).iterator.flatMap { ts =>
+            val want = (ts / frameMs).toInt
+            if (want >= frames.length) None
+            else {
+              val (w, h, rgb) = frames(want)
+              val f = channelMeans(id, w, h, rgb)
+              Some(FrameFeature(id, ts / everyMs, ts, w, h, f.mean_r,
+                f.mean_g, f.mean_b))
+            }
+          }
+        }
+      }
+  }
+
   /** REAL PNG resize: ImageIO-decode, [[nnResample]], re-encode as a
     * valid PNG with updated geometry — the lossless round-trip keeps
     * the whole decode/resample/encode chain hash-checkable.

@@ -1334,6 +1334,24 @@ object InfraQueries {
           round(col("mean_b"), 4).as("mean_b"))
         .orderBy("media_id", "frame_idx")
     }),
+    // REAL video demux through a REAL codec: payloads are genuine
+    // multi-frame animated GIFs (palettes + LZW + frame sequencing);
+    // the synthetic frames have <= 224 distinct colors, so GIF is
+    // lossless for them and the per-frame pixel replay hash-checks the
+    // whole encode -> demux -> featurize chain. Same oracle as the
+    // codec-free concatenated-PPM walk — what changed is only which
+    // real bytes carried the frames.
+    "mm_gif_video_frames" -> ((s, dir) => {
+      Multimodal.sampleGifFrames(Multimodal.syntheticGifVideoMedia(
+          docs(s, dir).filter(col("doc_id") < 40), "doc_id"),
+          everyMs = 250L).toDF()
+        .select(col("media_id"), col("frame_idx"), col("ts_ms"),
+          col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy("media_id", "frame_idx")
+    }),
     // REAL audio decode: payloads are genuine PCM16 mono WAV files
     // (RIFF-walked in pure JVM), features come from the ACTUAL header
     // and samples (duration, RMS, zero crossings); the oracle replays
@@ -3998,6 +4016,9 @@ object InfraQueries {
       ("mm_png_knn" -> baseOracleSql("mm_ppm_knn")) +
       // BMP is equally lossless — same pixel replay
       ("mm_bmp_decode" -> baseOracleSql("mm_ppm_decode")) +
+      // animated GIF is lossless under 256 colors/frame — the PPM
+      // video demux replay carries over
+      ("mm_gif_video_frames" -> baseOracleSql("mm_video_frames")) +
       // JPEG: geometry-only replay (id-derived w/h); pixels are lossy
       ("mm_jpeg_decode" ->
         """SELECT doc_id AS media_id, CAST(8 + doc_id % 9 AS INT) AS width,

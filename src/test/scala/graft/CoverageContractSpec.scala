@@ -28,7 +28,7 @@ class CoverageContractSpec extends SparkSpec {
   test("declared query count matches the documented coverage board") {
     // COVERAGE.md and the per-round correctness JSON must account for
     // exactly this many rows. Update BOTH when adding a query.
-    assert(SparkEntry.queries.size >= 186,
+    assert(SparkEntry.queries.size >= 187,
       s"query count shrank to ${SparkEntry.queries.size} — a domain map " +
         "was probably dropped from SparkEntry.queries")
   }
@@ -37,8 +37,9 @@ class CoverageContractSpec extends SparkSpec {
     // real ImageIO PNG decode/resize/knn, trained + recall SemDeDup,
     // the end-to-end pipeline ledger
     val required = Set("mm_png_decode", "mm_png_resize", "mm_png_knn",
-      "mm_bmp_decode", "mm_jpeg_decode", "dedup_semantic_trained",
-      "dedup_semantic_recall", "corpus_pipeline", "corpus_pipeline_full")
+      "mm_bmp_decode", "mm_jpeg_decode", "mm_gif_video_frames",
+      "dedup_semantic_trained", "dedup_semantic_recall",
+      "corpus_pipeline", "corpus_pipeline_full")
     val missing = required -- SparkEntry.queries.keySet
     val unoracled = required -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"dropped queries: ${missing.toSeq.sorted}")

@@ -232,6 +232,31 @@ class MultimodalSpec extends SparkSpec {
       java.util.Arrays.copyOf(jpg, 8)) === None, "truncated JPEG")
   }
 
+  test("gif: animated multi-frame round-trip is lossless under 256 " +
+    "colors/frame; corrupt payloads demux to None") {
+    val (w, h) = (6, 5)
+    val frames = (0 until 3).map(f =>
+      Array.tabulate(w * h * 3)(i => ((i * 7 + 31 * f) % 256).toByte))
+    val gif = Multimodal.gifEncodeFrames(w, h, frames)
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"),
+      "genuine GIF magic")
+    val Some(back) = Multimodal.gifDecodeFrames(gif)
+    assert(back.length === 3)
+    back.zip(frames).foreach { case ((dw, dh, rgb), want) =>
+      assert(dw === w && dh === h && rgb.toSeq === want.toSeq,
+        "GIF is lossless for <=256-color frames — every channel byte " +
+          "must survive palette + LZW")
+    }
+    assert(Multimodal.gifDecodeFrames(null) === None)
+    assert(Multimodal.gifDecodeFrames("nope".getBytes) === None)
+    // a PNG is ImageIO-readable but NOT a gif — the demux must refuse
+    assert(Multimodal.gifDecodeFrames(
+      Multimodal.imageEncode(2, 2, new Array[Byte](12), "png")) === None)
+    assert(Multimodal.gifDecodeFrames(
+      java.util.Arrays.copyOf(gif, gif.length / 3)) === None,
+      "truncated GIF stream")
+  }
+
   test("png: distributed decode features equal the PPM path on the " +
     "same formula corpus") {
     val ids = docs.filter($"doc_id" < 25)
