@@ -339,9 +339,95 @@ case class TextHashEmbed(child: Expression, dim: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `string → string`: apply a trained BPE merge table
+  * ([[graft.operators.TextAnalysis.bpeTrain]]) in ONE expression pass —
+  * the production apply path. The rank-order `replace` chain
+  * ([[graft.operators.TextAnalysis.bpeApply]]) is the semantics
+  * witness, but as an expression TREE it grows one node per merge: at
+  * a real tokenizer's 30k merges that is a 30k-deep Catalyst plan
+  * (analyzer/codegen blow-up long before execution). This node holds
+  * the merge table as DATA and encodes with the classic
+  * tokenizer algorithm — adjacent-pair linked list + lazy-deletion
+  * min-heap on (rank, position) — O(len · log len) per row,
+  * independent of merge count.
+  *
+  * Equivalence to the chain (QualitySpec asserts it): merging pair r
+  * only creates adjacencies involving the fresh symbol U+E000+r, which
+  * participates in LATER-rank pairs only — so no earlier-rank pair is
+  * ever (re)created, and "replace rank 1 everywhere, then rank 2, …"
+  * equals "repeatedly merge the lowest-rank pair present"; the
+  * (rank, position) heap order reproduces the chain's greedy
+  * left-to-right handling of overlaps ("aaa" → "Xa"). Precondition
+  * shared with training: BMP text without private-use chars. */
+case class BpeEncode(child: Expression, merges: Seq[(Int, String)])
+    extends UnaryExpression with CodegenFallback {
+  require(merges.forall { case (r, p) =>
+    r >= 1 && r <= 0x18FF && p.length == 2 },
+    "merges must be (rank in [1, 0x18FF], 2-char pair)")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val ranks: scala.collection.mutable.LongMap[Int] = {
+    val m = scala.collection.mutable.LongMap.empty[Int]
+    merges.foreach { case (r, p) =>
+      m.update((p.charAt(0).toLong << 16) | p.charAt(1).toLong, r)
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < 2 || ranks.isEmpty) return input
+    val chars = s.toCharArray
+    val next = Array.tabulate(n)(_ + 1)
+    val prev = Array.tabulate(n)(_ - 1)
+    val alive = Array.fill(n)(true)
+    val heap = new java.util.PriorityQueue[java.lang.Long]()
+    @inline def pairRank(i: Int): Int = {
+      val j = next(i)
+      if (j >= n) 0
+      else ranks.getOrElse(
+        (chars(i).toLong << 16) | chars(j).toLong, 0)
+    }
+    @inline def push(i: Int): Unit =
+      if (i >= 0 && i < n) {
+        val r = pairRank(i)
+        if (r > 0) heap.add((r.toLong << 32) | i.toLong)
+      }
+    var i = 0
+    while (i < n - 1) { push(i); i += 1 }
+    while (!heap.isEmpty) {
+      val e = heap.poll().longValue()
+      val r = (e >>> 32).toInt
+      val p = (e & 0xffffffffL).toInt
+      // stale-entry guard: the position must be live and still carry
+      // EXACTLY this rank (a changed pair re-enqueued its own entry)
+      if (alive(p) && pairRank(p) == r) {
+        val j = next(p)
+        chars(p) = (0xE000 + r).toChar
+        alive(j) = false
+        val k = next(j)
+        next(p) = k
+        if (k < n) prev(k) = p
+        push(prev(p))
+        push(p)
+      }
+    }
+    val sb = new java.lang.StringBuilder(n)
+    var c = 0
+    while (c < n) { if (alive(c)) sb.append(chars(c)); c += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextExpressions {
   def wordShingles(c: Column, n: Int = 3): Column =
     Bridge.column(WordShingles(Bridge.expression(c), n))
+  def bpeEncode(c: Column, merges: Seq[(Int, String)]): Column =
+    Bridge.column(BpeEncode(Bridge.expression(c), merges))
   def sortedIntersectSize(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectSize(Bridge.expression(a),
       Bridge.expression(b)))

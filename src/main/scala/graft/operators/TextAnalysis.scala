@@ -288,12 +288,26 @@ object TextAnalysis {
   /** Apply trained merges to a text column, rank order, greedy
     * left-to-right (`replace` chain). Pairs never contain whitespace,
     * so applying to the whole text is identical to per-word
-    * application — one pure codegen projection, no shuffle. */
+    * application — one pure codegen projection, no shuffle. This is
+    * the SEMANTICS WITNESS and the SQL-replayable form; as an
+    * expression tree it grows one `replace` node per merge, so at
+    * production merge counts use [[bpeApplyFast]] (identical output,
+    * one expression node regardless of merge count). */
   def bpeApply(c: Column, merges: Seq[(Int, String, Long)]): Column =
     merges.foldLeft(trim(c)) { case (acc, (rank, pr, _)) =>
       call_function("replace", acc, lit(pr),
         lit((0xE000 + rank).toChar.toString))
     }
+
+  /** [[bpeApply]] as ONE expression node — the production apply path:
+    * the merge table rides as data and each row encodes with the
+    * classic linked-list + heap tokenizer algorithm
+    * ([[graft.functions.BpeEncode]]), O(len·log len) per row
+    * independent of merge count. QualitySpec proves output identity
+    * with the replace chain. */
+  def bpeApplyFast(c: Column, merges: Seq[(Int, String, Long)]): Column =
+    graft.functions.TextExpressions.bpeEncode(trim(c),
+      merges.map { case (r, p, _) => (r, p) })
 
   /** Deterministic document fingerprint: polynomial rolling hash of the
     * first `maxLen` characters, mod 1e9+7 (stays in BIGINT range on both

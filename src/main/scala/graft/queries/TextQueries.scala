@@ -47,16 +47,18 @@ object TextQueries {
         .orderBy("rank")
     }),
     // The fit/transform seam: merges trained on English, applied to
-    // EVERY doc as one replace-chain projection; per-lang encoded
-    // lengths prove the application end to end (English compresses
-    // most — the point of fitting on it).
+    // EVERY doc through the PRODUCTION apply path (the single
+    // BpeEncode expression — QualitySpec proves it identical to the
+    // replace chain the oracle unrolls); per-lang encoded lengths
+    // prove the application end to end (English compresses most — the
+    // point of fitting on it).
     "text_bpe_encode" -> ((s, dir) => {
       val (merges, _) = TextAnalysis.bpeTrain(
         docs(s, dir).filter(col("lang") === "en"), "text", nMerges = 6)
       docs(s, dir)
         .filter(col("text").isNotNull && trim(col("text")) =!= "")
         .select(col("lang"),
-          length(TextAnalysis.bpeApply(col("text"), merges))
+          length(TextAnalysis.bpeApplyFast(col("text"), merges))
             .cast("long").as("len_enc"),
           length(trim(col("text"))).cast("long").as("len_raw"))
         .groupBy("lang")

@@ -208,6 +208,44 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("bpeApplyFast: the single-expression encoder is byte-identical " +
+    "to the replace chain") {
+    val corpus = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"lang" === "en")
+    val (merges, _) = TextAnalysis.bpeTrain(corpus, "text", nMerges = 6)
+    // whole-corpus identity at the oracle's merge depth
+    val diff = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"text".isNotNull && trim($"text") =!= "")
+      .select(TextAnalysis.bpeApply($"text", merges).as("chain"),
+        TextAnalysis.bpeApplyFast($"text", merges).as("fast"))
+      .filter($"chain" =!= $"fast").count()
+    assert(diff === 0L, "fast encode must equal the replace chain on " +
+      "every corpus row")
+    // adversarial overlap/recreation cases, hand-checked: greedy
+    // left-to-right on "aaa"; a merge symbol feeding a later merge
+    val m = Seq((1, "aa", 9L), (2, "a", 5L))
+    val tricky = Seq("aaa", "aaaa", "aaaaa", "baaab", "ab", "")
+      .toDF("t")
+      .select($"t", TextAnalysis.bpeApply($"t", m).as("chain"),
+        TextAnalysis.bpeApplyFast($"t", m).as("fast"))
+      .collect()
+    tricky.foreach { r =>
+      assert(r.getString(1) === r.getString(2),
+        s"mismatch on '${r.getString(0)}'")
+    }
+    // deep merge table: one expression node, applies without a
+    // 1000-deep plan (the replace chain would be unplannable here)
+    val (deep, _) = TextAnalysis.bpeTrain(corpus, "text", nMerges = 500)
+    val enc = corpus
+      .select(length(TextAnalysis.bpeApplyFast($"text", deep)).as("n"),
+        length(trim($"text")).as("raw"))
+      .agg(sum($"n"), sum($"raw")).head()
+    assert(enc.getLong(0) < enc.getLong(1),
+      "deep merges must compress the corpus it was trained on")
+  }
+
   test("gopherRules: each rule kills the doc built to violate it; a " +
     "clean doc keeps") {
     val clean = (Seq.fill(25)("the quick brown fox") :+ "ends here")
