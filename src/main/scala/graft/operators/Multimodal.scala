@@ -522,6 +522,34 @@ object Multimodal {
     out
   }
 
+  /** REAL audio resample: decode each WAV, nearest-sample rate
+    * conversion (`src_i = floor(j·srcRate / targetRate)`, the audio
+    * analog of [[nnResample]]'s integer index map — a real pipeline
+    * would low-pass first; NN keeps the arithmetic exact and
+    * SQL-replayable), re-encode as a valid WAV at `targetRate`.
+    * Output length `floor(n·targetRate/srcRate)`. Undecodable rows
+    * drop. */
+  def wavResample(media: DataFrame, targetRate: Int): DataFrame = {
+    require(targetRate > 0, "targetRate must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          wavDecode(bytes).map { case (rate, s) =>
+            val m = (s.length.toLong * targetRate / rate).toInt
+            val out = new Array[Short](m)
+            var j = 0
+            while (j < m) {
+              out(j) = s((j.toLong * rate / targetRate).toInt)
+              j += 1
+            }
+            (id, "audio", wavEncode(targetRate, out))
+          }
+        }
+      }.toDF("media_id", "kind", "content")
+  }
+
   /** REAL nearest-neighbor resize: decode, [[nnResample]], re-encode as
     * a valid PPM with updated geometry. Undecodable rows are dropped. */
   def ppmResize(media: DataFrame, tw: Int, th: Int): DataFrame = {

@@ -1445,6 +1445,21 @@ object InfraQueries {
         .select(col("media_id"), col("width"), col("height"))
         .orderBy("media_id")
     }),
+    // REAL audio resample: decode genuine WAV bytes, nearest-sample
+    // rate conversion to 3 kHz (integer index map), re-encode, decode
+    // AGAIN, feature the actual resampled samples. The oracle replays
+    // the sample formula through the same floor-index map — a
+    // resampler bug (off-by-one, rate header, length) breaks the hash.
+    "mm_wav_resample" -> ((s, dir) => {
+      Multimodal.wavFeatures(Multimodal.wavResample(
+          Multimodal.syntheticWavMedia(
+            docs(s, dir).filter(col("doc_id") < 60), "doc_id"),
+          targetRate = 3000)).toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), round(col("rms"), 4).as("rms"),
+          col("zero_crossings"))
+        .orderBy("media_id")
+    }),
     // Multimodal: binary payload column → partition-batched feature
     // extraction; metadata path oracle-checked, feature values ScalaTest'd.
     "multimodal_features" -> ((s, dir) => {
@@ -3866,6 +3881,29 @@ object InfraQueries {
         |  CAST(sum(CASE WHEN smp * prev < 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS zero_crossings
         |FROM z GROUP BY id, n ORDER BY media_id""".stripMargin,
+    // WAV resample replay: the sample formula composed with the
+    // floor-index rate map (i = j*8000//3000, m = n*3000//8000) — the
+    // Spark side decoded, resampled and re-encoded real bytes.
+    "mm_wav_resample" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+        |             WHERE doc_id < 60),
+        |g AS (SELECT id, CAST(64 + id % 129 AS INT) AS n FROM ids),
+        |g2 AS (SELECT id, CAST((n * 3000) // 8000 AS INT) AS m FROM g),
+        |s AS (SELECT id, m, unnest(range(0, m)) AS j FROM g2),
+        |v0 AS (SELECT id, m, j, (j * 8000) // 3000 AS i FROM s),
+        |v AS (SELECT id, m, j,
+        |        (i * (id + 3) + 7 * i * i) % 2003 - 1001 AS smp
+        |      FROM v0),
+        |z AS (SELECT id, m, smp,
+        |        lag(smp) OVER (PARTITION BY id ORDER BY j) AS prev
+        |      FROM v)
+        |SELECT id AS media_id, CAST(3000 AS INT) AS sample_rate,
+        |  CAST(m AS BIGINT) AS n_samples,
+        |  CAST((m * 1000) // 3000 AS BIGINT) AS duration_ms,
+        |  round(sqrt(avg(CAST(smp AS DOUBLE) * smp)), 4) AS rms,
+        |  CAST(sum(CASE WHEN smp * prev < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_crossings
+        |FROM z GROUP BY id, m ORDER BY media_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id AS media_id,

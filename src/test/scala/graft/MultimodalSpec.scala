@@ -232,6 +232,23 @@ class MultimodalSpec extends SparkSpec {
       java.util.Arrays.copyOf(jpg, 8)) === None, "truncated JPEG")
   }
 
+  test("wav: NN resample halves-and-maps samples exactly; re-encoded " +
+    "output is a decodable WAV at the target rate") {
+    val smp = Array.tabulate(101)(i => ((i * 37) % 2003 - 1001).toShort)
+    val media = Seq((1L, Multimodal.wavEncode(8000, smp)))
+      .toDF("media_id", "content")
+    val out = Multimodal.wavResample(media, 2000).collect()(0)
+    val Some((rate, back)) = Multimodal.wavDecode(
+      out.getAs[Array[Byte]]("content"))
+    assert(rate === 2000)
+    val m = (101L * 2000 / 8000).toInt
+    assert(back.length === m)
+    (0 until m).foreach { j =>
+      assert(back(j) === smp((j.toLong * 8000 / 2000).toInt),
+        s"resampled sample $j must be the floor-index source sample")
+    }
+  }
+
   test("gif: animated multi-frame round-trip is lossless under 256 " +
     "colors/frame; corrupt payloads demux to None") {
     val (w, h) = (6, 5)
