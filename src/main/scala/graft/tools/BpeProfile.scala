@@ -60,6 +60,20 @@ object BpeProfile {
       f""""nMerges":$nMerges,"mergesLearned":${m2.size},"vocab":$nV2,""" +
       f""""totalSec":$t2%.3f,"corpusPassSec":$p2%.3f,""" +
       f""""mergeLoopSec":${t2 - p2}%.3f}""")
+    // ENCODE throughput at the full trained depth through the
+    // single-node BpeEncode expression (the replace chain could not
+    // even plan at this depth): chars/sec over the synthetic corpus
+    import org.apache.spark.sql.functions.{length => flen, sum => fsum}
+    val (encStats, encSec) = timed {
+      synth.select(
+          flen(TextAnalysis.bpeApplyFast(col("text"), m2)).as("enc"),
+          flen(col("text")).as("raw"))
+        .agg(fsum(col("raw")), fsum(col("enc"))).head()
+    }
+    println(f"""{"tool":"BpeProfile","leg":"encode","nMerges":${m2.size},""" +
+      f""""rawChars":${encStats.getLong(0)},""" +
+      f""""encChars":${encStats.getLong(1)},"encodeSec":$encSec%.3f,""" +
+      f""""mcharsPerSec":${encStats.getLong(0) / encSec / 1e6}%.1f}""")
     spark.stop()
   }
 }
