@@ -208,7 +208,9 @@ final class Md5FeatureEmbedder(override val dim: Int = 64)
   * Scale shape: ONE equi-join on the pk (broadcast when the vector table
   * is small, shuffle-hash otherwise — Catalyst's call); docs with no
   * vector row get a null embedding, the standard embed-failure contract
-  * downstream stages already honor. */
+  * downstream stages already honor. Contract: `tableIdCol` must be
+  * unique in `table` (a pk) — a duplicate key would multiply corpus
+  * rows through the join. */
 final class PrecomputedEmbedder(table: DataFrame, tableIdCol: String,
     tableVecCol: String, docIdCol: String, override val dim: Int)
     extends Embedder with FittedEmbedder {
