@@ -364,6 +364,13 @@ case class BpeEncode(child: Expression, merges: Seq[(Int, String)])
   require(merges.forall { case (r, p) =>
     r >= 1 && r <= 0x18FF && p.length == 2 },
     "merges must be (rank in [1, 0x18FF], 2-char pair)")
+  // a trained table can never repeat a pair (merging removes every
+  // occurrence and fresh symbols only feed later-rank pairs), and the
+  // rank map below keys by pair — reject rather than silently keep one
+  require(merges.map(_._2).distinct.size == merges.size,
+    "duplicate pair in merge table")
+  require(merges.map(_._1).distinct.size == merges.size,
+    "duplicate rank in merge table")
   override def dataType: DataType = StringType
   override def prettyName: String = "bpe_encode"
 

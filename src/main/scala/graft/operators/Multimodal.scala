@@ -707,36 +707,124 @@ object Multimodal {
   // format with palettes, LZW and frame sequencing — not a byte-offset
   // walk. Demux = ImageIO's sequence reader.
 
-  /** Encode row-major RGB frames (all `w x h`) as one animated GIF. */
+  /** Encode row-major RGB frames (all `w x h`) as one animated GIF89a
+    * — hand-written container + LZW (the PPM/WAV pure-JVM encoder
+    * discipline): each frame carries a LOCAL color table built from
+    * its exact color set (≤ 256 required), so encoding is lossless by
+    * construction. The JDK's own GIF writer is NOT used: measured, it
+    * re-quantizes even explicitly indexed sub-256-color frames
+    * (PropertySpec's random palettes caught it); the JDK READER
+    * ([[gifDecodeFrames]]) decodes these bytes as the independent
+    * codec. */
   def gifEncodeFrames(w: Int, h: Int,
       frames: Seq[Array[Byte]]): Array[Byte] = {
     require(frames.nonEmpty, "need at least one frame")
-    imageIoReady
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    val writer = javax.imageio.ImageIO
-      .getImageWritersByFormatName("gif").next()
-    writer.setOutput(ios)
-    writer.prepareWriteSequence(null)
+    require(w > 0 && h > 0 && w < 65536 && h < 65536, "bad geometry")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    // logical screen descriptor, no global color table
+    u16(w); u16(h); out.write(0x00); out.write(0); out.write(0)
     frames.foreach { rgb =>
       require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes")
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val px = new Array[Int](w * h)
+      // exact per-frame palette (first-occurrence order)
+      val palette = new java.util.LinkedHashMap[Integer, Integer]()
+      val idx = new Array[Int](w * h)
       var p = 0
-      while (p < px.length) {
-        px(p) = ((rgb(p * 3) & 0xff) << 16) |
+      while (p < w * h) {
+        val c = ((rgb(p * 3) & 0xff) << 16) |
           ((rgb(p * 3 + 1) & 0xff) << 8) | (rgb(p * 3 + 2) & 0xff)
+        var i = palette.get(c)
+        if (i == null) {
+          i = palette.size()
+          require(i < 256,
+            "GIF frames are limited to 256 distinct colors")
+          palette.put(c, i)
+        }
+        idx(p) = i.intValue()
         p += 1
       }
-      img.setRGB(0, 0, w, h, px, 0, w)
-      writer.writeToSequence(
-        new javax.imageio.IIOImage(img, null, null), null)
+      // local color table size = 2^k >= palette size, k >= 1
+      var k = 1
+      while ((1 << k) < palette.size()) k += 1
+      // image descriptor: local color table flag + (k-1)
+      out.write(0x2C); u16(0); u16(0); u16(w); u16(h)
+      out.write(0x80 | (k - 1))
+      val table = new Array[Int](1 << k)
+      palette.forEach { (c, i) => table(i) = c }
+      table.foreach { c =>
+        out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff)
+        out.write(c & 0xff)
+      }
+      out.write(gifLzw(idx, math.max(2, k)))
     }
-    writer.endWriteSequence()
-    writer.dispose()
-    ios.close()
-    bos.toByteArray
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** GIF LZW: `minCodeSize` byte + 255-byte-max sub-blocks of the
+    * LSB-first variable-width code stream (clear, dictionary growth,
+    * width bumps at 2^curBits, reset at 4096, end-of-information). */
+  private def gifLzw(indices: Array[Int], minCodeSize: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(minCodeSize)
+    val block = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    def flushByte(): Unit = {
+      while (bitCnt >= 8) {
+        block.write((bitBuf & 0xff).toInt)
+        bitBuf >>>= 8; bitCnt -= 8
+        if (block.size() == 255) {
+          out.write(255); block.writeTo(out); block.reset()
+        }
+      }
+    }
+    var curBits = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += curBits
+      flushByte()
+    }
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    var dict = new java.util.HashMap[Long, Integer]()
+    var next = eoi + 1
+    emit(clear)
+    var wCode = indices(0)
+    var i = 1
+    while (i < indices.length) {
+      val kIdx = indices(i)
+      val key = (wCode.toLong << 16) | kIdx.toLong
+      val hit = dict.get(key)
+      if (hit != null) wCode = hit.intValue()
+      else {
+        emit(wCode)
+        dict.put(key, next)
+        next += 1
+        // decoder mirror with the one-step lag: the decoder derives
+        // entry m from emissions (m, m+1), so when this encoder has
+        // registered entries up to value next-1, the decoder reading
+        // the NEXT emission knows entries up to next-2 and has widened
+        // only once ITS count (next-1) filled the width
+        if (next - 1 == (1 << curBits) && curBits < 12) curBits += 1
+        if (next == 4096) {
+          emit(clear)
+          dict = new java.util.HashMap[Long, Integer]()
+          next = eoi + 1
+          curBits = minCodeSize + 1
+        }
+        wCode = kIdx
+      }
+      i += 1
+    }
+    emit(wCode)
+    emit(eoi)
+    // drain remaining bits
+    if (bitCnt > 0) { bitCnt = 8; flushByte() }
+    if (block.size() > 0) { out.write(block.size()); block.writeTo(out) }
+    out.write(0) // block terminator
+    out.toByteArray
   }
 
   /** Demux an animated GIF into `(width, height, rgb)` frames — None

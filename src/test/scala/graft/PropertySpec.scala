@@ -127,4 +127,103 @@ class PropertySpec extends SparkSpec {
         .exists(_.toSeq == b.toSeq)
     }, n = 30)
   }
+
+  test("property: ImageIO PNG/BMP round-trip arbitrary rasters; GIF " +
+    "round-trips <=256-color frame stacks; wav resample is the " +
+    "floor-index map") {
+    import graft.operators.Multimodal
+    val image = for {
+      w <- Gen.choose(1, 32)
+      h <- Gen.choose(1, 32)
+      rgb <- Gen.listOfN(w * h * 3, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (w, h, rgb.toArray)
+    Seq("png", "bmp").foreach { fmt =>
+      check(fmt, Prop.forAll(image) { case (w, h, rgb) =>
+        Multimodal.imageDecode(Multimodal.imageEncode(w, h, rgb, fmt)) match {
+          case Some((dw, dh, back)) =>
+            dw == w && dh == h && back.toSeq == rgb.toSeq
+          case None => false
+        }
+      }, n = 25)
+    }
+    // GIF: bound the color count per frame by drawing channel bytes
+    // from a tiny palette (<= 4^3 = 64 distinct colors)
+    val gif = for {
+      w <- Gen.choose(1, 16)
+      h <- Gen.choose(1, 16)
+      nf <- Gen.choose(1, 4)
+      frames <- Gen.listOfN(nf, Gen.listOfN(w * h * 3,
+        Gen.oneOf(Seq[Byte](0, 85, -86, -1))))
+    } yield (w, h, frames.map(_.toArray))
+    check("gif", Prop.forAll(gif) { case (w, h, frames) =>
+      Multimodal.gifDecodeFrames(
+        Multimodal.gifEncodeFrames(w, h, frames)) match {
+        case Some(back) => back.length == frames.length &&
+          back.zip(frames).forall { case ((dw, dh, rgb), want) =>
+            dw == w && dh == h && rgb.toSeq == want.toSeq }
+        case None => false
+      }
+    }, n = 25)
+    val resample = for {
+      rate <- Gen.choose(100, 48000)
+      target <- Gen.choose(100, 48000)
+      s <- Gen.choose(0, 300).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(Short.MinValue, Short.MaxValue)))
+    } yield (rate, target, s.toArray)
+    check("wavResample", Prop.forAll(resample) { case (rate, tgt, s) =>
+      val media = Seq((1L, Multimodal.wavEncode(rate, s)))
+        .toDF("media_id", "content")
+      val rows = Multimodal.wavResample(media, tgt).collect()
+      rows.length == 1 && {
+        Multimodal.wavDecode(rows(0).getAs[Array[Byte]]("content")) match {
+          case Some((r, back)) =>
+            val m = (s.length.toLong * tgt / rate).toInt
+            r == tgt && back.length == m &&
+              (0 until m).forall(j =>
+                back(j) == s((j.toLong * rate / tgt).toInt))
+          case None => false
+        }
+      }
+    }, n = 10)
+  }
+
+  test("property: BpeEncode equals the rank-order replace chain on " +
+    "adversarial small-alphabet text") {
+    import graft.functions.BpeEncode
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.unsafe.types.UTF8String
+    // tiny alphabet forces dense overlaps ("aaa", "abab", chained
+    // merges whose symbols feed later pairs)
+    val alpha = Gen.oneOf('a', 'b', 'c')
+    val gen = for {
+      text <- Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, alpha))
+        .map(_.mkString)
+      nM <- Gen.choose(1, 8)
+      // merge table: random pairs over the alphabet PLUS earlier merge
+      // symbols — mirrors what training produces
+      pairs <- Gen.sequence[Seq[(Int, String)], (Int, String)](
+        (1 to nM).map { r =>
+          val syms = ('a' to 'c') ++ (1 until r).map(i => (0xE000 + i).toChar)
+          for {
+            x <- Gen.oneOf(syms)
+            y <- Gen.oneOf(syms)
+          } yield (r, s"$x$y")
+        })
+    } yield (text, pairs)
+    check("bpe", Prop.forAll(gen) { case (text, raw) =>
+      // training can never emit a duplicate pair (BpeEncode rejects
+      // them); keep each pair's first rank — later-rank duplicates
+      // would be chain no-ops anyway
+      val seen = scala.collection.mutable.Set.empty[String]
+      val merges = raw.filter { case (_, p) => seen.add(p) }
+      // the chain, driver-side: rank order, String.replace greedy
+      val chain = merges.foldLeft(text) { case (acc, (r, p)) =>
+        acc.replace(p, (0xE000 + r).toChar.toString)
+      }
+      val expr = BpeEncode(
+        Bridge.expression(lit(text)), merges)
+      val fast = expr.nullSafeEval(UTF8String.fromString(text)).toString
+      fast == chain
+    }, n = 200)
+  }
 }
