@@ -235,4 +235,59 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesianproduct"),
       s"only the two 1-row totals may cross-join (broadcast):\n${p.take(1500)}")
   }
+
+  test("media decode: the featurize plan is one scan-side projection — " +
+    "no shuffle, no driver collect in the operator") {
+    import graft.operators.Multimodal
+    spark.sharedState.cacheManager.clearCache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 50)
+    val p = Multimodal.imageFeatures(
+        Multimodal.syntheticPngMedia(docs, "doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"decode+featurize must stay partition-local (mapPartitions " +
+        s"over the scan):\n${p.take(1200)}")
+    val pv = Multimodal.sampleGifFrames(
+        Multimodal.syntheticGifVideoMedia(docs, "doc_id"), 250L)
+      .queryExecution.executedPlan.toString
+    assert(!pv.contains("Exchange"),
+      s"GIF demux must stay partition-local:\n${pv.take(1200)}")
+  }
+
+  test("precomputed embedder: the pk lookup broadcasts the vector " +
+    "table, no corpus shuffle") {
+    spark.sharedState.cacheManager.clearCache()
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val em = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = new graft.embed.PrecomputedEmbedder(em, "vec_id",
+        "embedding", "doc_id", 64)
+      .embed(d, "text").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"small vector table must broadcast onto the corpus:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge for the pk lookup at this size:\n${p.take(1200)}")
+  }
+
+  test("bpe fast apply: one projection node, no shuffle, flat in " +
+    "merge count") {
+    import graft.operators.TextAnalysis
+    spark.sharedState.cacheManager.clearCache()
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = (1 to 500).map(r =>
+      (r, s"${('a' + r % 26).toChar}${('a' + (r / 26) % 26).toChar}", 1L))
+      .distinct.filter { case (_, p, _) => true }
+      .groupBy(_._2).map(_._2.head).toSeq.sortBy(_._1)
+    val p = d.select(TextAnalysis.bpeApplyFast(
+        org.apache.spark.sql.functions.col("text"), merges))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"encode is a pure projection:\n${p.take(1200)}")
+    assert(p.contains("bpe_encode"),
+      s"the single BpeEncode node must carry the table:\n${p.take(1200)}")
+    // the plan string must NOT blow up linearly in merges — the chain
+    // form would embed one replace() per merge
+    assert(p.length < 20000,
+      s"plan size must stay flat in merge count, got ${p.length}")
+  }
 }
