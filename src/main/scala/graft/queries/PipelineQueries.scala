@@ -192,6 +192,41 @@ object PipelineQueries {
         }
         Map("toExact" -> toExact, "nearDup" -> nearDup, "dsir" -> dsir,
           "semantic" -> semantic)
+      }),
+      "corpus_pipeline_full" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val d = Tables.load(s, dir, "documents")
+        val em = Tables.load(s, dir, "embeddings")
+        val p = pipelineFull
+        val (e, toExact) = timed {
+          p.exactDedup(p.repetitionFilter(p.gopherFilter(
+            p.qualityFilter(d, "text"), "text"), "text"), "doc_id",
+            "text").localCheckpoint(true)
+        }
+        val (nd, nearDup) = timed {
+          p.nearDupRemoval(e, "doc_id", "text").localCheckpoint(true)
+        }
+        val (bal, decontamBalance) = timed {
+          p.balance(p.decontaminationFilter(nd, "doc_id", "text",
+            d.filter(pmod(col("doc_id"), lit(40)) === 7), "text"),
+            "doc_id", "text", "source").localCheckpoint(true)
+        }
+        val (ds, dsir) = timed {
+          p.dsirSelection(bal, "doc_id", "text",
+            d.filter(col("lang") === "en")).localCheckpoint(true)
+        }
+        val (_, semantic) = timed {
+          p.semanticFilter(new PrecomputedEmbedder(em, "vec_id",
+            "embedding", "doc_id", 64).embed(ds, "text"), "doc_id")
+            .count()
+        }
+        Map("toExact" -> toExact, "nearDup" -> nearDup,
+          "decontamBalance" -> decontamBalance, "dsir" -> dsir,
+          "semantic" -> semantic)
       }))
 
   /** DuckDB inlines a plain CTE once PER REFERENCE, and the ledger
