@@ -1460,6 +1460,40 @@ object InfraQueries {
           col("zero_crossings"))
         .orderBy("media_id")
     }),
+    // The multimodal corpus story END TO END in one oracled query:
+    // genuine PNG bytes -> ImageIO decode -> channel-mean features ->
+    // near-dup removal over the DECODED features (exact cosine pairs
+    // on this bounded block — embeddingNearDupLsh is the scale path —
+    // closed to components, min-id survives) -> deterministic IVF
+    // index on the surviving vectors -> pruned 2-of-8-cell probe ->
+    // cosine top-3. Every stage replays in SQL from the pixel formula,
+    // so decode, dedup decision, cell assignment, probe pruning and
+    // final ranking are all hash-checked as one composition.
+    "mm_media_index_knn" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => VF}
+      val feats = Multimodal.imageFeatures(Multimodal.syntheticPngMedia(
+          docs(s, dir).filter(col("doc_id") < 120), "doc_id")).toDF()
+        .select(col("media_id"),
+          array(col("mean_r"), col("mean_g"), col("mean_b")).as("vec"))
+      val corpus = feats.filter(col("media_id") >= 3)
+      val pairs = corpus
+        .select(col("media_id").as("a_id"), col("vec").as("__va"))
+        .join(corpus.select(col("media_id").as("b_id"),
+          col("vec").as("__vb")), col("a_id") < col("b_id"))
+        .filter(VF.cosine(col("__va"), col("__vb")) >= 0.9999)
+        .select("a_id", "b_id")
+      val losers = graft.operators.Dedup
+        .componentsAuto(pairs, "a_id", "b_id")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("media_id"))
+      val keep = corpus.join(losers, Seq("media_id"), "left_anti")
+      val index = Ann.buildIvfDeterministic(keep, "vec", "media_id", 8)
+      Ann.queryIvf(index, feats.filter(col("media_id") < 3),
+          "media_id", "vec", "media_id", "vec", k = 3, nProbe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("media_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // Multimodal: binary payload column → partition-batched feature
     // extraction; metadata path oracle-checked, feature values ScalaTest'd.
     "multimodal_features" -> ((s, dir) => {
@@ -4057,6 +4091,72 @@ object InfraQueries {
       // animated GIF is lossless under 256 colors/frame — the PPM
       // video demux replay carries over
       ("mm_gif_video_frames" -> baseOracleSql("mm_video_frames")) +
+      // decode -> dedup -> index -> search, replayed stage by stage
+      // from the pixel formula
+      ("mm_media_index_knn" ->
+        """WITH RECURSIVE ids AS (
+          |  SELECT doc_id AS id FROM documents WHERE doc_id < 120),
+          |g AS (SELECT id, CAST(8 + id % 9 AS INT) AS w,
+          |             CAST(8 + id % 7 AS INT) AS h
+          |      FROM ids),
+          |px AS (SELECT id, w, h, unnest(range(0, w * h)) AS p FROM g),
+          |v AS (SELECT id, w, h,
+          |        (7 * (p % w) + 13 * (p // w) + id) % 256 AS r,
+          |        (3 * (p % w) + 5 * (p // w) + 2 * id) % 256 AS gc,
+          |        ((p % w) + (p // w) + 3 * id) % 256 AS b
+          |      FROM px),
+          |f AS MATERIALIZED (
+          |  SELECT id, [avg(r), avg(gc), avg(b)]::DOUBLE[] AS vec
+          |  FROM v GROUP BY id, w, h),
+          |corpus AS (SELECT id, vec FROM f WHERE id >= 3),
+          |pairs AS (
+          |  SELECT a.id AS a_id, b.id AS b_id
+          |  FROM corpus a JOIN corpus b ON a.id < b.id
+          |  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.9999),
+          |edges AS (
+          |  SELECT a_id AS u, b_id AS v2 FROM pairs
+          |  UNION SELECT b_id, a_id FROM pairs),
+          |reach AS (
+          |  SELECT u AS id, u AS r FROM edges
+          |  UNION
+          |  SELECT reach.id, e.v2 FROM reach JOIN edges e
+          |    ON e.u = reach.r),
+          |comp AS (SELECT id, min(r) AS component FROM reach
+          |         GROUP BY id),
+          |keep AS MATERIALIZED (
+          |  SELECT c.id, c.vec FROM corpus c
+          |  LEFT JOIN comp ON comp.id = c.id
+          |  WHERE coalesce(comp.component, c.id) = c.id),
+          |cents AS (
+          |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT)
+          |           AS cell,
+          |         vec AS cvec
+          |  FROM (SELECT id, vec FROM keep ORDER BY id LIMIT 8)),
+          |asg AS (
+          |  SELECT k.id, k.vec, t.cell,
+          |    row_number() OVER (PARTITION BY k.id
+          |      ORDER BY list_distance(k.vec, t.cvec), t.cell) AS rn
+          |  FROM keep k CROSS JOIN cents t),
+          |cells AS (SELECT id, vec, cell FROM asg WHERE rn = 1),
+          |qs AS (SELECT id AS query_id, vec AS qv FROM f WHERE id < 3),
+          |probe AS (
+          |  SELECT q.query_id, q.qv, t.cell,
+          |    row_number() OVER (PARTITION BY q.query_id
+          |      ORDER BY list_distance(q.qv, t.cvec), t.cell) AS pr
+          |  FROM qs q CROSS JOIN cents t),
+          |cand AS (
+          |  SELECT p.query_id, p.qv, c.id, c.vec
+          |  FROM (SELECT query_id, qv, cell FROM probe WHERE pr <= 2) p
+          |  JOIN cells c USING (cell)),
+          |ranked AS (
+          |  SELECT query_id, id,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY list_cosine_similarity(vec, qv) DESC, id)
+          |      AS rnk
+          |  FROM cand)
+          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, id AS media_id
+          |FROM ranked WHERE rnk <= 3
+          |ORDER BY query_id, rnk""".stripMargin) +
       // JPEG: geometry-only replay (id-derived w/h); pixels are lossy
       ("mm_jpeg_decode" ->
         """SELECT doc_id AS media_id, CAST(8 + doc_id % 9 AS INT) AS width,
