@@ -376,6 +376,45 @@ object VectorQueries {
       s.read.parquet(s"$root/idx_docs")
         .select(col("vec_id")).orderBy("vec_id")
     }),
+    // The MEDIA admission loop: the journal carries RAW PNG payloads
+    // (genuine ImageIO bytes), and each micro-batch is DECODED inside
+    // the loop before the vector admission machinery runs — sign-LSH
+    // index on decoded features of images >= 300, three payload
+    // batches drain through decode -> bucket-pruned probe -> cosine >=
+    // 0.9999 refine -> intra-batch sweep -> admit. The oracle replays
+    // decode (pixel formula -> channel means), quantization, the
+    // sign-LSH codes and all three admission rounds in staged SQL.
+    "ingest_media_pipeline" -> ((s, dir) => {
+      import graft.search.Ann
+      import graft.streaming.MediaDedupIngest
+      val media = graft.operators.Multimodal.syntheticPngMedia(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 600),
+        "doc_id")
+      val root =
+        s"${System.getProperty("java.io.tmpdir")}/graft_mediaingest/" +
+          dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh replay
+      val seed = MediaDedupIngest.decodeFeatures(
+        media.filter(col("media_id") >= 300), "media_id")
+      val idx = Ann.persistSignLsh(
+        Ann.buildSignLsh(seed, "embedding", tables = 8, bits = 4),
+        "media_id", "embedding", s"$root/idx")
+      DedupQueries.appendStamped(fs, media.filter(col("media_id") < 100),
+        s"$root/journal", 10000L)
+      DedupQueries.appendStamped(fs,
+        media.filter(col("media_id") >= 100 && col("media_id") < 200),
+        s"$root/journal", 20000L)
+      DedupQueries.appendStamped(fs,
+        media.filter(col("media_id") >= 200 && col("media_id") < 300),
+        s"$root/journal", 30000L)
+      MediaDedupIngest.run(s, idx, s"$root/journal", media.schema,
+        s"$root/ckpt", "media_id", threshold = 0.9999,
+        Map("maxFilesPerTrigger" -> "1"))
+      s.read.parquet(s"$root/idx_docs")
+        .select(col("media_id")).orderBy("media_id")
+    }),
     // Custom UDAF: per-label centroid of the embedding vectors (partial
     // aggregation map-side, like builtin aggs). First two components
     // oracle-checked against DuckDB's per-dimension averages.
@@ -997,11 +1036,151 @@ object VectorQueries {
         |SELECT vec_id FROM c2
         |UNION SELECT vec_id FROM a3
         |ORDER BY vec_id""".stripMargin,
+    // Decode -> quantize -> sign-LSH codes -> three staged admission
+    // rounds, replayed from the pixel formula: the media twin of
+    // ingest_vec_pipeline with the decoder inside the loop.
+    "ingest_media_pipeline" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents
+        |                       WHERE doc_id < 600),
+        |geo AS (SELECT id, CAST(8 + id % 9 AS INT) AS w,
+        |               CAST(8 + id % 7 AS INT) AS h FROM ids),
+        |px AS (SELECT id, w, h, unnest(range(0, w * h)) AS p FROM geo),
+        |vpx AS (SELECT id, w, h,
+        |         (7 * (p % w) + 13 * (p // w) + id) % 256 AS r,
+        |         (3 * (p % w) + 5 * (p // w) + 2 * id) % 256 AS gc,
+        |         ((p % w) + (p // w) + 3 * id) % 256 AS b
+        |       FROM px),
+        |feat AS MATERIALIZED (
+        |  SELECT id, [avg(r), avg(gc), avg(b)]::DOUBLE[] AS vec
+        |  FROM vpx GROUP BY id, w, h),
+        |dims AS (SELECT unnest(range(0, 3)) AS d),
+        |tb AS (
+        |  SELECT t.t, b.b
+        |  FROM (SELECT unnest(range(0, 8)) AS t) t,
+        |       (SELECT unnest(range(0, 4)) AS b) b),
+        |signs AS (
+        |  SELECT tb.t, tb.b, dims.d,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5(CAST(tb.t AS VARCHAR) || ' ' ||
+        |                   CAST(tb.b AS VARCHAR) || ' ' ||
+        |                   CAST(dims.d AS VARCHAR)), 16, 1)) - 1) & 1 = 1
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM tb, dims),
+        |comp AS (
+        |  SELECT f.id AS vec_id, dd.d,
+        |    CAST(floor(f.vec[dd.d + 1] * 1048576) AS BIGINT) AS y
+        |  FROM feat f, dims dd),
+        |proj AS (
+        |  SELECT c.vec_id, s.t, s.b, sum(s.s * c.y) AS acc
+        |  FROM comp c JOIN signs s ON s.d = c.d
+        |  GROUP BY c.vec_id, s.t, s.b),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id, t,
+        |    sum(CASE WHEN acc > 0 THEN 1 << b ELSE 0 END) AS code
+        |  FROM proj GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM codes a JOIN codes b ON a.t = b.t AND a.code = b.code
+        |  WHERE a.vec_id <> b.vec_id),
+        |nd AS MATERIALIZED (
+        |  SELECT c.a_id, c.b_id
+        |  FROM cand c
+        |  JOIN feat va ON va.id = c.a_id
+        |  JOIN feat vb ON vb.id = c.b_id
+        |  WHERE list_cosine_similarity(va.vec, vb.vec) >= 0.9999),
+        |c0 AS (SELECT id AS vec_id FROM ids WHERE id >= 300),
+        |b1 AS (SELECT id AS vec_id FROM ids WHERE id < 100),
+        |k1 AS (
+        |  SELECT vec_id FROM b1 WHERE vec_id NOT IN (
+        |    SELECT b_id FROM nd
+        |    WHERE a_id IN (SELECT vec_id FROM c0)
+        |      AND b_id IN (SELECT vec_id FROM b1))),
+        |r1 AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM k1
+        |  UNION
+        |  SELECT r1.id, n.b_id FROM r1 JOIN nd n ON n.a_id = r1.r
+        |  WHERE n.b_id IN (SELECT vec_id FROM k1)),
+        |a1 AS (SELECT id AS vec_id FROM r1 GROUP BY id HAVING min(r) = id),
+        |c1 AS (SELECT vec_id FROM c0 UNION SELECT vec_id FROM a1),
+        |b2 AS (SELECT id AS vec_id FROM ids WHERE id >= 100 AND id < 200),
+        |k2 AS (
+        |  SELECT vec_id FROM b2 WHERE vec_id NOT IN (
+        |    SELECT b_id FROM nd
+        |    WHERE a_id IN (SELECT vec_id FROM c1)
+        |      AND b_id IN (SELECT vec_id FROM b2))),
+        |r2 AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM k2
+        |  UNION
+        |  SELECT r2.id, n.b_id FROM r2 JOIN nd n ON n.a_id = r2.r
+        |  WHERE n.b_id IN (SELECT vec_id FROM k2)),
+        |a2 AS (SELECT id AS vec_id FROM r2 GROUP BY id HAVING min(r) = id),
+        |c2 AS (SELECT vec_id FROM c1 UNION SELECT vec_id FROM a2),
+        |b3 AS (SELECT id AS vec_id FROM ids WHERE id >= 200 AND id < 300),
+        |k3 AS (
+        |  SELECT vec_id FROM b3 WHERE vec_id NOT IN (
+        |    SELECT b_id FROM nd
+        |    WHERE a_id IN (SELECT vec_id FROM c2)
+        |      AND b_id IN (SELECT vec_id FROM b3))),
+        |r3 AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM k3
+        |  UNION
+        |  SELECT r3.id, n.b_id FROM r3 JOIN nd n ON n.a_id = r3.r
+        |  WHERE n.b_id IN (SELECT vec_id FROM k3)),
+        |a3 AS (SELECT id AS vec_id FROM r3 GROUP BY id HAVING min(r) = id)
+        |SELECT vec_id AS media_id FROM c2
+        |UNION SELECT vec_id FROM a3
+        |ORDER BY media_id""".stripMargin,
   )
 
   // hybrid_rrf_persisted serves the keyword leg from the persisted
   // inverted index; results are identical by construction, so it shares
   // the in-memory query's oracle.
+  /** Phase split for the media admission cell (merged into
+    * SparkEntry.phases): seed decode+index build vs the three-batch
+    * streaming drain — the drain is the micro-batch floor, the build
+    * is corpus-shaped. */
+  val phases: Map[String, (SparkSession, String) => Map[String, Double]] =
+    Map(
+      "ingest_media_pipeline" -> ((s, dir) => {
+        import graft.search.Ann
+        import graft.streaming.MediaDedupIngest
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val media = graft.operators.Multimodal.syntheticPngMedia(
+          Tables.load(s, dir, "documents").filter(col("doc_id") < 600),
+          "doc_id")
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft_mediaingest_ph/" +
+            dir.replaceAll("[^0-9.]", "")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val (idx, build) = timed {
+          Ann.persistSignLsh(
+            Ann.buildSignLsh(MediaDedupIngest.decodeFeatures(
+              media.filter(col("media_id") >= 300), "media_id"),
+              "embedding", tables = 8, bits = 4),
+            "media_id", "embedding", s"$root/idx")
+        }
+        DedupQueries.appendStamped(fs, media.filter(col("media_id") < 100),
+          s"$root/journal", 10000L)
+        DedupQueries.appendStamped(fs,
+          media.filter(col("media_id") >= 100 && col("media_id") < 200),
+          s"$root/journal", 20000L)
+        DedupQueries.appendStamped(fs,
+          media.filter(col("media_id") >= 200 && col("media_id") < 300),
+          s"$root/journal", 30000L)
+        val (_, drain) = timed {
+          MediaDedupIngest.run(s, idx, s"$root/journal", media.schema,
+            s"$root/ckpt", "media_id", threshold = 0.9999,
+            Map("maxFilesPerTrigger" -> "1"))
+        }
+        Map("build" -> build, "drain" -> drain)
+      }))
+
   val oracleSql: Map[String, String] =
     baseOracleSql +
       ("hybrid_rrf_persisted" -> baseOracleSql("hybrid_rrf_topk"))

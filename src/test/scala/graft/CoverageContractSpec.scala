@@ -28,7 +28,7 @@ class CoverageContractSpec extends SparkSpec {
   test("declared query count matches the documented coverage board") {
     // COVERAGE.md and the per-round correctness JSON must account for
     // exactly this many rows. Update BOTH when adding a query.
-    assert(SparkEntry.queries.size >= 189,
+    assert(SparkEntry.queries.size >= 190,
       s"query count shrank to ${SparkEntry.queries.size} — a domain map " +
         "was probably dropped from SparkEntry.queries")
   }
@@ -38,7 +38,7 @@ class CoverageContractSpec extends SparkSpec {
     // the end-to-end pipeline ledger
     val required = Set("mm_png_decode", "mm_png_resize", "mm_png_knn",
       "mm_bmp_decode", "mm_jpeg_decode", "mm_gif_video_frames",
-      "mm_wav_resample", "mm_media_index_knn",
+      "mm_wav_resample", "mm_media_index_knn", "ingest_media_pipeline",
       "dedup_semantic_trained", "dedup_semantic_recall",
       "corpus_pipeline", "corpus_pipeline_full")
     val missing = required -- SparkEntry.queries.keySet
