@@ -111,6 +111,46 @@ class VecDedupIngestSpec extends SparkSpec {
     assert(stats.count() === 4L)
   }
 
+  test("media ingest: decodes real PNG payloads inside the loop, drops " +
+    "corrupt bytes, suppresses decoded-feature near-dups across batches") {
+    import graft.operators.Multimodal
+    import graft.streaming.MediaDedupIngest
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_mingest").toString
+    def png(id: Long, r: Int, g: Int, b: Int): (Long, Array[Byte]) = {
+      val rgb = new Array[Byte](4 * 4 * 3)
+      (0 until 16).foreach { p =>
+        rgb(p * 3) = r.toByte; rgb(p * 3 + 1) = g.toByte
+        rgb(p * 3 + 2) = b.toByte
+      }
+      (id, Multimodal.imageEncode(4, 4, rgb, "png"))
+    }
+    // seed: one indexed image with feature direction (10, 20, 30)
+    val seed = MediaDedupIngest.decodeFeatures(
+      Seq(png(100L, 10, 20, 30)).toDF("media_id", "content"), "media_id")
+    val idx = Ann.persistSignLsh(
+      Ann.buildSignLsh(seed, "embedding", tables = 4, bits = 3),
+      "media_id", "embedding", s"$root/idx")
+    // batch 1: id 1 = scaled copy of the indexed image (cosine 1 ->
+    // reject), id 2 = novel direction (admit), id 3 = CORRUPT payload
+    // (drop at decode, never admitted)
+    val b1 = (Seq(png(1L, 20, 40, 60), png(2L, 60, 20, 5)) :+
+      (3L -> "not a png".getBytes)).toDF("media_id", "content")
+    appendStamped(b1, s"$root/journal", 10000L)
+    // batch 2: id 4 = near-dup of batch-1's ADMITTED id 2 (cross-batch
+    // suppression through the synced layout), id 5 = novel
+    val b2 = Seq(png(4L, 120, 40, 10), png(5L, 5, 60, 5))
+      .toDF("media_id", "content")
+    appendStamped(b2, s"$root/journal", 20000L)
+    MediaDedupIngest.run(spark, idx, s"$root/journal", b1.schema,
+      s"$root/ckpt", "media_id", threshold = 0.9999,
+      Map("maxFilesPerTrigger" -> "1"))
+    val admitted = spark.read.parquet(s"$root/idx_docs")
+      .select(col("media_id")).as[Long].collect().toSet
+    assert(admitted === Set(100L, 2L, 5L),
+      s"scaled copies and corrupt payloads must never enter: $admitted")
+  }
+
   test("intraBatch = false restores both-admitted for same-batch pairs") {
     val root = Files.createTempDirectory("graft_vingest_ns").toString
     val corpus = Seq((100L, vec(1f, 0, 1))).toDF("vec_id", "embedding")
