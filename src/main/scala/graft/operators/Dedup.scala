@@ -285,6 +285,53 @@ object Dedup {
       (row_number().over(w) === 1).cast("int"))
   }
 
+  /** Frequent-line boilerplate removal (the RefinedWeb / CCNet line
+    * dedup: arXiv:2306.01116 §3.3, arXiv:1911.00359 §3.1): a line
+    * whose normalized form (`lower(trim(..))`) appears in at least
+    * `minDocs` DISTINCT documents is boilerplate (nav bars, cookie
+    * banners, license headers — templated text that survives per-doc
+    * quality gates because every copy looks fine in isolation) and is
+    * struck from every document; surviving lines are re-joined in
+    * their original order. Distinct-doc counting — not raw occurrence
+    * counting — so a single doc repeating its own refrain is NOT
+    * boilerplate (that is [[Dedup.dupTokenFraction]]'s territory).
+    *
+    * Returns one row per input doc:
+    * `(idCol, <carryCols…>, n_lines, n_removed, textCol)` — a doc
+    * whose every line is boilerplate keeps its row with empty text,
+    * so downstream falsy filters own the drop decision.
+    *
+    * Scale shape: one explode, one distinct-count aggregation keyed
+    * on the normalized line (at 100 TB the shuffle key becomes the
+    * line's 128-bit hash, the [[chunkFirstWins]] convention), one
+    * join of the SMALL hot-line table (only lines crossing the
+    * threshold — broadcastable by construction, AQE picks that up),
+    * and one re-group by doc id. Never all-pairs, no driver state. */
+  def frequentLineDedup(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int, carryCols: Seq[String] = Nil): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs: below 2 every line is hot")
+    val lines = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol) +: carryCols.map(col) :+
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")): _*)
+      .withColumn("__key", lower(trim(col("__line"))))
+    val hot = lines.groupBy("__key")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__key"), lit(1).as("__hot"))
+    val keepCols = col(idCol) +: carryCols.map(col)
+    lines.join(hot, Seq("__key"), "left")
+      .groupBy(keepCols: _*)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        // ordered reassembly: nulls (hot lines) vanish from
+        // collect_list, survivors sort back into document order
+        array_join(transform(array_sort(collect_list(
+          when(col("__hot").isNull,
+            struct(col("__pos").as("p"), col("__line").as("l"))))),
+          x => x.getField("l")), "\n").as(textCol))
+  }
+
   /** Connected components over an undirected pair set — the clustering
     * stage that turns near-dup PAIRS into dedup GROUPS (keep one doc
     * per component; the reference's dedup story stops at pairs, this

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-trained bigram language model scoring — the relational form of
@@ -138,5 +138,138 @@ object LangModel {
       .filter(col("__rn") === 1)
       .select(col("__id").as(idCol), col("__lab").as("predicted"),
         col("score"))
+  }
+
+  // ---- fixed-point linear quality classifier (the GPT-3 pipeline's
+  // model-based filter tier: Brown et al. 2020, arXiv:2005.14165
+  // App. A trains a logistic-regression classifier over hashed
+  // document features and keeps docs the model scores as quality;
+  // LLaMA-descendant pipelines run fastText in the same seat) ----
+
+  /** A trained [[linearTrain]] model: `(dim+1)` weights in integer
+    * MICRO-units (1e-6) — the whole model is a few hundred longs, so
+    * it broadcasts into the scoring projection as a literal. */
+  final case class LinearModel(wMicro: Array[Long], dim: Int,
+      bias: Long, slopeDiv: Long, stepDiv: Long)
+
+  /** Truncate-toward-zero integer division as a Column. The double
+    * division is EXACT here: |a| stays far below 2^53 (longs are then
+    * exactly representable), IEEE division is correctly rounded, and
+    * a non-divisible quotient's fractional part is at least 1/d — many
+    * orders of magnitude above one ulp — so floor can never land on
+    * the wrong side. Truncation (not floor) because DuckDB's `//`,
+    * Spark SQL's `div` and Scala's `Long./` all truncate: one
+    * semantics on every engine that replays this. */
+  private def tdivCol(a: Column, d: Long): Column =
+    when(a >= 0, floor(a.cast("double") / d))
+      .otherwise(-floor(-a.cast("double") / d)).cast("long")
+
+  /** md5-hashed per-mille bag-of-words features + a constant bias
+    * term, all integers: `x(j) = ⌊1000 · count(tokens in bucket j) /
+    * n_tokens⌋` for j < dim, `x(dim) = bias`. Buckets come from the
+    * first two hex chars of `md5(token)` mod dim — the engine's
+    * cross-engine hashing convention ([[graft.functions.Md5Hash]]),
+    * so featurization replays bit-identically in SQL. Per-mille
+    * normalization keeps feature scales comparable across document
+    * lengths (raw counts condition gradient descent badly). */
+  def linearFeatures(textCol: Column, dim: Int, bias: Long): Column =
+    featuresFromBuckets(hashBuckets(textCol, dim), dim, bias)
+
+  /** Per-token md5 bucket array. Stage THIS as its own projection
+    * before [[featuresFromBuckets]]: handing the bucketization in as a
+    * plain attribute keeps Catalyst from inlining the md5-per-token
+    * array into each of the `dim` per-bucket count lambdas (the inline
+    * form hashed every token `dim` times — ~20 s of the original
+    * 26 s sf0.1 training cell was exactly that). */
+  def hashBuckets(textCol: Column, dim: Int): Column =
+    transform(split(trim(textCol), "\\s+"), t =>
+      conv(substring(md5(t), 1, 2), 16, 10).cast("long") % dim)
+
+  /** Per-mille feature vector from a precomputed bucket array. */
+  def featuresFromBuckets(bs: Column, dim: Int, bias: Long): Column =
+    concat(
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        floor(size(filter(bs, b => b === j.cast("long")))
+          .cast("double") * 1000.0 / size(bs)).cast("long")),
+      array(lit(bias)))
+
+  /** Full-batch gradient-descent training of a linear quality
+    * classifier — ENTIRELY in integer micro-units, so training is
+    * bit-reproducible on any engine, partitioning, or run: weights
+    * live in micro (1e-6) longs, the link is the hard sigmoid
+    * `p = clamp(1/2 + z/4, 0, 1)` (pure integer arithmetic — no
+    * transcendental whose last ulp differs across libm builds), and
+    * each step is `w ← w − ⌊Σ_docs (p − y)·x / stepDiv⌋` with exact
+    * long sums (order-invariant, unlike float accumulation).
+    *
+    * Scale shape: featurization is one codegen projection persisted
+    * once; each iteration is ONE map-side-combined aggregation of
+    * `(dim+1)` longs (tree of partial sums — no shuffle of doc rows),
+    * and the only driver state is the `(dim+1)`-long weight vector.
+    * Iteration count is the [[graft.search.Kmeans]] trade: `iters`
+    * sequential Spark jobs, fine at the tens-of-iterations this
+    * converges in, with cost independent of corpus size beyond the
+    * scan. */
+  def linearTrain(docs: DataFrame, textCol: String, labelCol: Column,
+      dim: Int = 64, iters: Int = 16, bias: Long = 250L,
+      slopeDiv: Long = 1000L, stepDiv: Long = 10000L): LinearModel = {
+    require(dim >= 2 && dim <= 4096, s"dim=$dim out of [2, 4096]")
+    require(iters >= 1 && iters <= 1000, s"iters=$iters out of [1, 1000]")
+    require(slopeDiv >= 1 && stepDiv >= 1, "divisors must be positive")
+    // localCheckpoint (not persist): the iteration loop re-analyzes its
+    // plan every step (the weight literal changes), so the featurization
+    // lineage must be TRUNCATED or each of the `iters` steps re-optimizes
+    // the full dim-wide HOF expression tree — that overhead, not the
+    // data, dominated the un-truncated form (~1.7 s/step at sf0.1)
+    val feat = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(labelCol.cast("long").as("__y"),
+        hashBuckets(col(textCol), dim).as("__bs"))
+      .select(col("__y"),
+        featuresFromBuckets(col("__bs"), dim, bias).as("__x"))
+      .localCheckpoint(true)
+    try {
+      var w = Array.fill(dim + 1)(0L)
+      for (_ <- 1 to iters) {
+        val wl = typedLit(w.toSeq)
+        val z = aggregate(zip_with(col("__x"), wl, (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v)
+        val p = least(greatest(lit(500000L) + tdivCol(z, slopeDiv),
+          lit(0L)), lit(1000000L))
+        // gradient as posexplode → 65-key groupBy, NOT (dim+1) separate
+        // scalar aggregates: the plan's expression count stays constant
+        // in dim, so per-iteration analysis/codegen is flat (the
+        // dim-wide agg cost ~1.7 s/step in planning alone) and the
+        // shuffle carries (dim+1) rows per partition
+        val g = feat
+          .select(col("__x"), (p - col("__y") * 1000000L).as("__e"))
+          .select(posexplode(transform(col("__x"),
+            xi => xi * col("__e"))).as(Seq("__j", "__c")))
+          .groupBy("__j").agg(sum("__c").as("__g"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        w = Array.tabulate(dim + 1)(j => w(j) - g(j) / stepDiv)
+      }
+      LinearModel(w, dim, bias, slopeDiv, stepDiv)
+    } finally feat.unpersist(false)
+  }
+
+  /** Score documents under a trained linear model: `(idCol,
+    * <carryCols…>, p_micro, pred)` — `p_micro` is the hard-sigmoid
+    * output in micro-units (0..1000000), `pred = p_micro ≥ 500000`.
+    * One shuffle-free codegen projection; the model rides in as an
+    * array literal. */
+  def linearScore(model: LinearModel, docs: DataFrame, idCol: String,
+      textCol: String, carryCols: Seq[String] = Nil): DataFrame = {
+    val wl = typedLit(model.wMicro.toSeq)
+    val x = featuresFromBuckets(col("__bs"), model.dim, model.bias)
+    val z = aggregate(zip_with(x, wl, (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val p = least(greatest(lit(500000L) + tdivCol(z, model.slopeDiv),
+      lit(0L)), lit(1000000L))
+    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol) +: carryCols.map(col) :+
+        hashBuckets(col(textCol), model.dim).as("__bs"): _*)
+      .select(col(idCol) +: carryCols.map(col) :+ p.as("p_micro"): _*)
+      .withColumn("pred", (col("p_micro") >= 500000L).cast("long"))
   }
 }

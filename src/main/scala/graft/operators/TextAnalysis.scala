@@ -428,4 +428,51 @@ object TextAnalysis {
         org.apache.spark.sql.functions.size(col("__w")).cast("long"))
       .drop("__w")
   }
+
+  // ---- C4 line/document cleaning (Raffel et al. 2020,
+  // arXiv:1910.10683 §2.2 — the published web-corpus cleanup every
+  // large pretraining set runs before the heavier dedup stages) ----
+
+  /** The C4 cleanup as ONE projection. Line rules (applied per
+    * `\n`-separated line, all three must hold to retain the line):
+    * ends in terminal punctuation (`.` `!` `?` `"`), has at least
+    * `minLineWords` words (the paper uses 5), and does not mention
+    * "javascript" (case-insensitive — the paper's warning-boilerplate
+    * rule). Document rules (the paper evaluates these on the raw
+    * page): at least `minSentences` sentences — counted here as
+    * terminal marks in the RETAINED text, the paper's "at least 3
+    * sentences" gate — no "lorem ipsum" placeholder text, and no `{`
+    * (curly braces mean code, which C4 drops wholesale).
+    *
+    * Returns a struct `(text, n_lines, n_kept, n_sentences, sent_ok,
+    * lorem_ok, brace_ok, keep)`: the cleaned text (retained lines
+    * re-joined with `\n`) plus the per-rule booleans, so one pass both
+    * filters and reports kill rates (the [[gopherRules]] shape).
+    *
+    * Scale shape: a pure per-row projection over single-pass HOFs —
+    * codegen-friendly, shuffle-free, fuses into the scan at 100 TB.
+    * The C4 stage that DOES need a shuffle (three-sentence-span dedup
+    * across pages) is [[Dedup.chunkFirstWins]] /
+    * [[Dedup.frequentLineDedup]]. */
+  def c4Clean(c: Column, minLineWords: Int = 5,
+      minSentences: Int = 3): Column = {
+    val lines = split(c, "\n")
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val cleaned = array_join(kept, "\n")
+    val nSent = regexp_count(cleaned, lit("[.!?]")).cast("long")
+    val sentOk = nSent >= minSentences
+    val loremOk = !lower(c).contains("lorem ipsum")
+    val braceOk = !c.contains("{")
+    struct(
+      cleaned.as("text"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      nSent.as("n_sentences"),
+      sentOk.as("sent_ok"), loremOk.as("lorem_ok"),
+      braceOk.as("brace_ok"),
+      (sentOk && loremOk && braceOk).as("keep"))
+  }
 }

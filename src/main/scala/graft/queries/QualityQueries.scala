@@ -18,6 +18,129 @@ object QualityQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  /** Deterministic MULTI-LINE corpus derived from `documents` (the
+    * fixture texts are single-line): tokens re-wrap into 7-word lines,
+    * ~2/3 of lines get a terminal period (doc_id+line parity), and
+    * boilerplate lines are injected by doc_id residue — a newsletter
+    * plea (~1/4 of docs), a javascript warning (~1/5), a license
+    * footer (~1/7), placeholder latin (~1/41) and a code fragment
+    * (~1/53). Gives the line-oriented operators (C4 cleanup,
+    * frequent-line dedup) real teeth; replayed exactly by
+    * [[mdocsCte]]. */
+  private def multilineDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+    val w = split(trim(col("text")), "\\s+")
+    val nLines = ceil(size(w).cast("double") / 7.0).cast("int")
+    val body = transform(sequence(lit(0), nLines - 1), i => {
+      val line = concat_ws(" ", slice(w, (i * 7 + 1).cast("int"), lit(7)))
+      when(pmod(col("doc_id") + i, lit(3)) =!= 0, concat(line, lit(".")))
+        .otherwise(line)
+    })
+    def inject(m: Int, r: Int, text: String) =
+      when(pmod(col("doc_id"), lit(m)) === r, array(lit(text)))
+        .otherwise(array().cast("array<string>"))
+    d.select(col("doc_id"), col("lang"), col("source"),
+      array_join(concat(
+        inject(4, 1, "subscribe to our newsletter today."),
+        body,
+        inject(5, 2, "click here to enable javascript."),
+        inject(7, 3, "all rights reserved."),
+        inject(41, 3, "lorem ipsum dolor sit amet."),
+        inject(53, 5, "function() { return 0; }")), "\n").as("text"))
+  }
+
+  /** DuckDB replay of [[multilineDocs]] — identical token wrap,
+    * period parity and injections. */
+  private val mdocsCte: String =
+    """mdocs AS MATERIALIZED (
+      |  SELECT doc_id, lang, source,
+      |    array_to_string(
+      |      CASE WHEN doc_id % 4 = 1
+      |        THEN ['subscribe to our newsletter today.'] ELSE [] END ||
+      |      list_transform(range(0, CAST(ceil(len(w) / 7.0) AS INT)),
+      |        i -> CASE WHEN (doc_id + i) % 3 <> 0
+      |             THEN array_to_string(w[(i*7+1):(i*7+7)], ' ') || '.'
+      |             ELSE array_to_string(w[(i*7+1):(i*7+7)], ' ') END) ||
+      |      CASE WHEN doc_id % 5 = 2
+      |        THEN ['click here to enable javascript.'] ELSE [] END ||
+      |      CASE WHEN doc_id % 7 = 3
+      |        THEN ['all rights reserved.'] ELSE [] END ||
+      |      CASE WHEN doc_id % 41 = 3
+      |        THEN ['lorem ipsum dolor sit amet.'] ELSE [] END ||
+      |      CASE WHEN doc_id % 53 = 5
+      |        THEN ['function() { return 0; }'] ELSE [] END,
+      |      chr(10)) AS text
+      |  FROM (SELECT doc_id, lang, source,
+      |          string_split_regex(trim(text), '\s+') AS w
+      |        FROM documents
+      |        WHERE text IS NOT NULL AND trim(text) <> ''))""".stripMargin
+
+  // Fixed-point linear classifier fixture + hyperparameters (shared by
+  // the Spark queries and the SQL replay): docs with doc_id % 3 = 0
+  // carry an appended spam marker and label 1 — the classifier must
+  // learn the marker's hashed buckets from gradient descent alone.
+  private val LinMarker =
+    " click buy click buy click click buy click buy click"
+  private val LinDim = 64
+  private val LinIters = 16
+
+  /** Deterministic spam-labeled corpus for the linear classifier. */
+  private def spamDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .select(col("doc_id"), col("source"),
+        (pmod(col("doc_id"), lit(3)) === 0).cast("long").as("y"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(LinMarker))
+            .otherwise(lit(""))).as("text"))
+
+  /** The training replay: hashed per-mille features, then `LinIters`
+    * exact integer gradient-descent steps as chained materialized
+    * CTEs — every arithmetic op (per-mille floor-div, hard-sigmoid
+    * clamp, truncating step division) is integer-for-integer the
+    * engine's, so the final weights hash-match exactly. */
+  private def linearTrainCtes: String = {
+    val feat =
+      s"""feat AS MATERIALIZED (
+         |  SELECT doc_id, source, y,
+         |    list_append(list_transform(range(0, $LinDim),
+         |      j -> (1000 * len(list_filter(bs, b -> b = j))) // len(bs)),
+         |      CAST(250 AS BIGINT)) AS x
+         |  FROM (SELECT doc_id, source,
+         |          CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y,
+         |          list_transform(w, t ->
+         |            CAST('0x' || substr(md5(t),1,2) AS BIGINT) % $LinDim)
+         |            AS bs
+         |        FROM (SELECT doc_id, source,
+         |                string_split_regex(trim(text) ||
+         |                  CASE WHEN doc_id % 3 = 0 THEN '$LinMarker'
+         |                       ELSE '' END, '\\s+') AS w
+         |              FROM documents
+         |              WHERE text IS NOT NULL AND trim(text) <> '')))"""
+        .stripMargin
+    val it0 = s"it0 AS (SELECT list_transform(range(0, ${LinDim + 1}), " +
+      "j -> CAST(0 AS BIGINT)) AS w)"
+    val iters = (1 to LinIters).map { t =>
+      s"""it$t AS MATERIALIZED (
+         |  SELECT list_transform(range(1, ${LinDim + 2}),
+         |      j -> it.w[j] - (g.g[j] // 10000)) AS w
+         |  FROM it${t - 1} it CROSS JOIN (
+         |    SELECT list(gj ORDER BY j) AS g FROM (
+         |      SELECT j, CAST(sum(c) AS BIGINT) AS gj FROM (
+         |        SELECT unnest(list_transform(s.x,
+         |                 xi -> (s.p - 1000000*s.y) * xi)) AS c,
+         |               unnest(range(1, len(s.x)+1)) AS j
+         |        FROM (SELECT f.y, f.x,
+         |                least(greatest(500000 +
+         |                  (CAST(list_dot_product(f.x, w0.w) AS BIGINT)
+         |                    // 1000), 0), 1000000) AS p
+         |              FROM feat f CROSS JOIN it${t - 1} w0) s)
+         |      GROUP BY j)) g)""".stripMargin
+    }
+    (Seq(feat, it0) ++ iters).mkString(",\n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-language repetition profile: average top-2-gram fraction (how
     // much of the doc the single most frequent bigram occupies) and
@@ -150,6 +273,74 @@ object QualityQueries {
           round(col("score"), 4).as("score"),
           (col("predicted") === col("lang")).as("correct"))
         .orderBy("doc_id")
+    }),
+    // C4 cleanup (arXiv:1910.10683 §2.2) per-doc detail over the
+    // synthetic multi-line corpus: the cleaned text ITSELF is part of
+    // the hash compare (line filters + doc gates, string-for-string).
+    "text_c4_filters" -> ((s, dir) => {
+      multilineDocs(s, dir)
+        .withColumn("__c", TextAnalysis.c4Clean(col("text")))
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("__c.text").as("clean"),
+          col("__c.n_lines"), col("__c.n_kept"), col("__c.n_sentences"),
+          col("__c.sent_ok"), col("__c.lorem_ok"), col("__c.brace_ok"),
+          col("__c.keep"))
+        .orderBy("doc_id")
+    }),
+    // C4 cleanup kill-rate report per source over the FULL corpus —
+    // the filter decision and its telemetry from one shuffle-free
+    // projection pass (the gopher_rules shape).
+    "text_c4_stats" -> ((s, dir) => {
+      multilineDocs(s, dir)
+        .withColumn("__c", TextAnalysis.c4Clean(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("__c.keep").cast("long")).as("n_keep"),
+          sum(col("__c.n_lines")).as("n_lines"),
+          sum(col("__c.n_kept")).as("n_kept"),
+          sum(col("__c.lorem_ok").cast("long")).as("n_lorem_ok"),
+          sum(col("__c.brace_ok").cast("long")).as("n_brace_ok"))
+        .orderBy("source")
+    }),
+    // RefinedWeb-style frequent-line boilerplate removal: lines in
+    // >= 10 distinct docs are struck everywhere; the reassembled text
+    // (original line order) is hash-compared. The injected newsletter/
+    // javascript/license lines cross the threshold at sf0.01; the rare
+    // code fragment (~1/53 of docs) must SURVIVE.
+    "text_line_dedup" -> ((s, dir) => {
+      Dedup.frequentLineDedup(multilineDocs(s, dir), "doc_id", "text",
+          minDocs = 10, carryCols = Seq("source"))
+        .filter(col("doc_id") < 60)
+        .orderBy("doc_id")
+    }),
+    // Fixed-point linear quality classifier, TRAINING: 16 full-batch
+    // integer gradient-descent steps over md5-hashed per-mille
+    // features; the final micro-unit weight vector is hash-compared
+    // exactly — the oracle replays every step as a chained CTE.
+    "lm_linear_train" -> ((s, dir) => {
+      import s.implicits._
+      val m = LangModel.linearTrain(spamDocs(s, dir), "text", col("y"),
+        dim = LinDim, iters = LinIters)
+      m.wMicro.toSeq.zipWithIndex
+        .map { case (w, j) => (j.toLong, w) }
+        .toDF("j", "w_micro").orderBy("j")
+    }),
+    // ...and SCORING: the trained model as an array-literal projection
+    // over the corpus, per-source prediction/accuracy counts (the
+    // GPT-3-style keep/drop quality gate, arXiv:2005.14165 App. A).
+    // On this fixture the learned model separates the spam label
+    // perfectly — n_correct = n per source.
+    "lm_linear_classify" -> ((s, dir) => {
+      val d = spamDocs(s, dir)
+      val m = LangModel.linearTrain(d, "text", col("y"),
+        dim = LinDim, iters = LinIters)
+      LangModel.linearScore(m, d, "doc_id", "text",
+          carryCols = Seq("source", "y"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+          sum("pred").as("n_pred_pos"),
+          sum((col("pred") === col("y")).cast("long")).as("n_correct"))
+        .orderBy("source")
     }),
   )
 
@@ -386,5 +577,103 @@ object QualityQueries {
         |FROM pred p JOIN (SELECT DISTINCT id, lang FROM test) t
         |  ON t.id = p.id
         |WHERE p.rn = 1 ORDER BY doc_id""".stripMargin,
+    // C4 replay: same line split, line filters as a list_filter
+    // lambda, doc gates on retained-text terminal marks + raw-text
+    // substrings.
+    "text_c4_filters" -> (s"WITH $mdocsCte,\n" +
+      """c AS (
+        |  SELECT doc_id, text,
+        |    string_split(text, chr(10)) AS ls,
+        |    list_filter(string_split(text, chr(10)), x ->
+        |      regexp_matches(trim(x), '[.!?"]$')
+        |      AND len(string_split_regex(trim(x), '\s+')) >= 5
+        |      AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM mdocs),
+        |r AS (
+        |  SELECT doc_id,
+        |    coalesce(array_to_string(kept, chr(10)), '') AS clean,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(kept) AS BIGINT) AS n_kept,
+        |    CAST(len(regexp_extract_all(
+        |      coalesce(array_to_string(kept, chr(10)), ''), '[.!?]'))
+        |      AS BIGINT) AS n_sentences,
+        |    NOT contains(lower(text), 'lorem ipsum') AS lorem_ok,
+        |    NOT contains(text, '{') AS brace_ok
+        |  FROM c)
+        |SELECT doc_id, clean, n_lines, n_kept, n_sentences,
+        |  n_sentences >= 3 AS sent_ok, lorem_ok, brace_ok,
+        |  (n_sentences >= 3) AND lorem_ok AND brace_ok AS keep
+        |FROM r WHERE doc_id < 60 ORDER BY doc_id""".stripMargin),
+    "text_c4_stats" -> (s"WITH $mdocsCte,\n" +
+      """c AS (
+        |  SELECT doc_id, source, text,
+        |    string_split(text, chr(10)) AS ls,
+        |    list_filter(string_split(text, chr(10)), x ->
+        |      regexp_matches(trim(x), '[.!?"]$')
+        |      AND len(string_split_regex(trim(x), '\s+')) >= 5
+        |      AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM mdocs),
+        |r AS (
+        |  SELECT doc_id, source, len(ls) AS n_lines, len(kept) AS n_kept,
+        |    len(regexp_extract_all(coalesce(
+        |      array_to_string(kept, chr(10)), ''), '[.!?]')) >= 3
+        |      AS sent_ok,
+        |    NOT contains(lower(text), 'lorem ipsum') AS lorem_ok,
+        |    NOT contains(text, '{') AS brace_ok
+        |  FROM c)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN sent_ok AND lorem_ok AND brace_ok
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(sum(n_lines) AS BIGINT) AS n_lines,
+        |  CAST(sum(n_kept) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN lorem_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lorem_ok,
+        |  CAST(sum(CASE WHEN brace_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_brace_ok
+        |FROM r GROUP BY source ORDER BY source""".stripMargin),
+    // Frequent-line dedup replay: zipped unnest keeps each line's
+    // position, distinct-doc counts pick the hot set, the ordered
+    // string_agg reassembles survivors.
+    "text_line_dedup" -> (s"WITH $mdocsCte,\n" +
+      """ls AS (
+        |  SELECT doc_id, source, unnest(arr) AS line,
+        |         unnest(range(1, len(arr)+1)) AS pos
+        |  FROM (SELECT doc_id, source,
+        |          string_split(text, chr(10)) AS arr FROM mdocs)),
+        |n AS (SELECT doc_id, source, pos, line,
+        |        lower(trim(line)) AS key FROM ls),
+        |hot AS (SELECT key FROM n GROUP BY key
+        |        HAVING count(DISTINCT doc_id) >= 10),
+        |f AS (SELECT n.doc_id, n.source, n.pos, n.line,
+        |             h.key IS NOT NULL AS ishot
+        |      FROM n LEFT JOIN hot h ON n.key = h.key)
+        |SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN ishot THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  coalesce(string_agg(CASE WHEN NOT ishot THEN line END,
+        |    chr(10) ORDER BY pos), '') AS text
+        |FROM f WHERE doc_id < 60
+        |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin),
+    // Exact integer GD replay: the final weight vector, element by
+    // element.
+    "lm_linear_train" -> (s"WITH $linearTrainCtes\n" +
+      s"""SELECT unnest(range(0, ${LinDim + 1})) AS j,
+         |  unnest(w) AS w_micro FROM it$LinIters ORDER BY j"""
+        .stripMargin),
+    // Score the corpus under the replayed final weights; per-source
+    // prediction and accuracy counts.
+    "lm_linear_classify" -> (s"WITH $linearTrainCtes\n" +
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST(sum(CASE WHEN p >= 500000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pred_pos,
+         |  CAST(sum(CASE WHEN (CASE WHEN p >= 500000 THEN 1 ELSE 0 END)
+         |    = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |FROM (SELECT f.source, f.y,
+         |        least(greatest(500000 +
+         |          (CAST(list_dot_product(f.x, it.w) AS BIGINT) // 1000),
+         |          0), 1000000) AS p
+         |      FROM feat f CROSS JOIN it$LinIters it) s
+         |GROUP BY source ORDER BY source""".stripMargin),
   )
 }

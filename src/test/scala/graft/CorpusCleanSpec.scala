@@ -1,0 +1,168 @@
+package graft
+
+import graft.operators.{Dedup, LangModel, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-11 corpus-cleanup additions: C4 line/document
+  * cleaning, frequent-line boilerplate removal, and the fixed-point
+  * linear quality classifier (distributed training proven equal to a
+  * driver-local integer reference loop).
+  */
+class CorpusCleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- C4 cleanup ----
+
+  private def clean(texts: String*) =
+    texts.toDF("text")
+      .select(TextAnalysis.c4Clean(col("text")).as("c"))
+      .select("c.text", "c.n_lines", "c.n_kept", "c.n_sentences",
+        "c.sent_ok", "c.lorem_ok", "c.brace_ok", "c.keep")
+      .collect()
+
+  test("c4Clean line rules: terminal punctuation, min words, javascript") {
+    val doc = Seq(
+      "this line has plenty of words and ends well.",  // kept
+      "no terminal punctuation on this long line",      // dropped: punct
+      "too short.",                                     // dropped: < 5 words
+      "please enable javascript to continue reading.",  // dropped: js
+      "a second proper sentence closes the document!"   // kept
+    ).mkString("\n")
+    val r = clean(doc).head
+    assert(r.getString(0) ===
+      "this line has plenty of words and ends well.\n" +
+        "a second proper sentence closes the document!")
+    assert(r.getLong(1) === 5L && r.getLong(2) === 2L)
+  }
+
+  test("c4Clean doc gates: sentences, lorem ipsum, braces") {
+    val good = Seq.fill(3)("a full sentence with enough words here.")
+      .mkString("\n")
+    val short = "a full sentence with enough words here."
+    val lorem = good + "\nsome Lorem Ipsum filler appeared in this doc."
+    val brace = good + "\nvar f = function() { return 1; }"
+    val Array(g, s0, l, b) = clean(good, short, lorem, brace)
+    assert(g.getBoolean(7), "3 sentences, clean -> keep")
+    assert(!s0.getBoolean(4) && !s0.getBoolean(7), "1 sentence -> drop")
+    assert(!l.getBoolean(5) && !l.getBoolean(7), "lorem ipsum -> drop")
+    assert(!b.getBoolean(6) && !b.getBoolean(7), "brace -> drop")
+    // the lorem line itself passes the LINE rules (proper sentence) —
+    // the doc still drops because the gates fire on the RAW text (the
+    // paper's page-level rules); the brace line fails line rules too
+    assert(l.getLong(3) === 4L && b.getLong(3) === 3L)
+  }
+
+  test("c4Clean: single-line doc and all-dropped doc") {
+    val Array(one, none) = clean(
+      "one single line that ends with terminal punctuation.",
+      "nothing here survives")
+    assert(one.getLong(1) === 1L && one.getLong(2) === 1L)
+    assert(none.getString(0) === "" && none.getLong(2) === 0L)
+    assert(!none.getBoolean(4) && !none.getBoolean(7))
+  }
+
+  // ---- frequent-line boilerplate removal ----
+
+  test("frequentLineDedup strikes hot lines everywhere, keeps order") {
+    val boiler = "subscribe to our newsletter"
+    val docs = Seq(
+      (1L, s"alpha\n$boiler\nbeta"),
+      (2L, s"$boiler\ngamma"),
+      (3L, s"delta\nepsilon\n$boiler"),
+      (4L, "zeta\neta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.frequentLineDedup(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out === Array(
+      (1L, 3L, 1L, "alpha\nbeta"),
+      (2L, 2L, 1L, "gamma"),
+      (3L, 3L, 1L, "delta\nepsilon"),
+      (4L, 2L, 0L, "zeta\neta")))
+  }
+
+  test("frequentLineDedup counts DISTINCT docs, not occurrences") {
+    val docs = Seq(
+      (1L, "refrain\nrefrain\nrefrain\nrefrain"), // one doc repeating
+      (2L, "other\nlines")
+    ).toDF("doc_id", "text")
+    val out = Dedup.frequentLineDedup(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) === 0L, "4 copies in ONE doc are not hot")
+    assert(out(0).getString(3) === "refrain\nrefrain\nrefrain\nrefrain")
+  }
+
+  test("frequentLineDedup: fully-boilerplate doc keeps an empty row") {
+    val docs = Seq(
+      (1L, "cookie banner"), (2L, "cookie banner"),
+      (3L, "cookie banner"), (4L, "real content")
+    ).toDF("doc_id", "text")
+    val out = Dedup.frequentLineDedup(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length === 4)
+    assert(out(0).getString(3) === "" && out(0).getLong(2) === 1L)
+    assert(out(3).getString(3) === "real content")
+    // normalization: case/whitespace variants of a hot line are hot too
+    val variants = Seq((1L, "Cookie Banner "), (2L, "cookie banner"))
+      .toDF("doc_id", "text")
+    val v = Dedup.frequentLineDedup(variants, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(v.forall(_.getLong(2) === 1L))
+  }
+
+  // ---- fixed-point linear classifier ----
+
+  test("linearTrain separates a separable corpus; scores clamp") {
+    val docs = (0 until 60).map { i =>
+      val spam = i % 3 == 0
+      val base = s"common words shared by all documents number $i"
+      (i.toLong, spam,
+        if (spam) s"$base spamtok spamtok spamtok spamtok spamtok" else base)
+    }.toDF("id", "y", "text")
+    val m = LangModel.linearTrain(docs, "text", col("y"),
+      dim = 64, iters = 16)
+    val scored = LangModel.linearScore(m, docs, "id", "text",
+      carryCols = Seq("y")).collect()
+    assert(scored.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= 1000000L))
+    val acc = scored.count(r =>
+      (r.getLong(3) === 1L) === r.getBoolean(1)).toDouble / scored.length
+    assert(acc === 1.0, s"separable corpus must classify perfectly, got $acc")
+  }
+
+  test("distributed training == driver-local integer reference loop") {
+    // same corpus the oracle uses: sf docs + spam marker on id % 3 == 0
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        (pmod(col("doc_id"), lit(3)) === 0).cast("long").as("y"),
+        concat(col("text"), when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" click buy click buy click")).otherwise(lit(""))).as("text"))
+    val (dim, iters, bias, slope, step) = (32, 8, 250L, 1000L, 10000L)
+    val m = LangModel.linearTrain(d, "text", col("y"), dim = dim,
+      iters = iters, bias = bias, slopeDiv = slope, stepDiv = step)
+    // reference: collect the featurized rows once, loop locally with
+    // the same integer semantics (Long ops truncate toward zero)
+    val rows = d.select(col("y"),
+        LangModel.linearFeatures(col("text"), dim, bias).as("x"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def tdiv(a: Long, b: Long): Long = a / b
+    var w = Array.fill(dim + 1)(0L)
+    for (_ <- 1 to iters) {
+      val g = Array.fill(dim + 1)(0L)
+      rows.foreach { case (y, x) =>
+        var z = 0L
+        var j = 0
+        while (j <= dim) { z += w(j) * x(j); j += 1 }
+        val p = math.min(math.max(500000L + tdiv(z, slope), 0L), 1000000L)
+        val e = p - y * 1000000L
+        j = 0
+        while (j <= dim) { g(j) += e * x(j); j += 1 }
+      }
+      w = Array.tabulate(dim + 1)(j => w(j) - tdiv(g(j), step))
+    }
+    assert(m.wMicro.toSeq === w.toSeq,
+      "distributed GD must be bit-identical to the local loop")
+    assert(w.exists(_ != 0L), "training must actually move the weights")
+  }
+}

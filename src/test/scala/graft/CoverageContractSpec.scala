@@ -28,9 +28,22 @@ class CoverageContractSpec extends SparkSpec {
   test("declared query count matches the documented coverage board") {
     // COVERAGE.md and the per-round correctness JSON must account for
     // exactly this many rows. Update BOTH when adding a query.
-    assert(SparkEntry.queries.size >= 190,
+    assert(SparkEntry.queries.size >= 195,
       s"query count shrank to ${SparkEntry.queries.size} — a domain map " +
         "was probably dropped from SparkEntry.queries")
+  }
+
+  test("the round-11 corpus-cleanup additions stay declared and oracled") {
+    // C4 line/doc cleaning, RefinedWeb frequent-line boilerplate
+    // removal, and the fixed-point linear quality classifier (exact
+    // integer GD — training weights hash-compared against a full SQL
+    // replay of every step)
+    val required = Set("text_c4_filters", "text_c4_stats",
+      "text_line_dedup", "lm_linear_train", "lm_linear_classify")
+    val missing = required -- SparkEntry.queries.keySet
+    val unoracled = required -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"dropped queries: ${missing.toSeq.sorted}")
+    assert(unoracled.isEmpty, s"lost oracles: ${unoracled.toSeq.sorted}")
   }
 
   test("the round-11 additions stay declared and oracled") {
