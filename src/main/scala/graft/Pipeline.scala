@@ -3,15 +3,18 @@ package graft
 import graft.embed.Embedder
 import graft.functions.Metric
 import graft.index.{IndexMeta, VectorIndex}
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, LangModel, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** End-to-end corpus preparation: the composition a training-data
   * pipeline runs at 100 TB, built from the engine's operators —
   *
-  *   raw corpus → falsy/quality filter → Gopher rule gate (optional)
-  *   → repetition filter → exact dedup → near-dup removal
+  *   raw corpus → frequent-line boilerplate strike (optional, rewrites
+  *   text) → C4 line rules + doc gates (optional, rewrites text)
+  *   → falsy/quality filter → Gopher rule gate (optional)
+  *   → repetition filter → learned-model quality gate (optional,
+  *   trained linear classifier) → exact dedup → near-dup removal
   *   (MinHash+LSH, keep lowest id per duplicate cluster, optional
   *   hot-bucket guard) → benchmark decontamination (optional, n-gram
   *   overlap fraction) → per-source balancing (top-k by quality, heap
@@ -30,7 +33,8 @@ final case class PipelineReport(
     input: Long, afterQuality: Long, afterRepetition: Long,
     afterExact: Long, afterNearDup: Long, afterDecontam: Long,
     afterBalance: Long, afterGopher: Long = -1L, afterDsir: Long = -1L,
-    afterSemantic: Long = -1L)
+    afterSemantic: Long = -1L, afterLineDedup: Long = -1L,
+    afterC4: Long = -1L, afterModel: Long = -1L)
 
 final class CorpusPipeline(
     minQuality: Double = 0.5,
@@ -45,7 +49,52 @@ final class CorpusPipeline(
     semanticDedupK: Int = 0,
     semanticTau: Double = 0.95,
     semanticTrained: Boolean = false,
-    nearDupAlgo: String = "xx") {
+    nearDupAlgo: String = "xx",
+    boilerplateMinDocs: Int = 0,
+    useC4Rules: Boolean = false,
+    qualityModel: Option[LangModel.LinearModel] = None,
+    modelMaxSpamMicro: Long = 500000L) {
+
+  /** Frequent-line boilerplate removal (RefinedWeb §3.3): lines in
+    * ≥ [[boilerplateMinDocs]] distinct docs are struck everywhere and
+    * the doc TEXT is rewritten — run FIRST, so every later gate judges
+    * the de-boilerplated content. Disabled at the default of 0. */
+  def boilerplateStage(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    if (boilerplateMinDocs <= 0) docs
+    else {
+      val carry = docs.columns.toSeq
+        .filterNot(c => c == idCol || c == textCol)
+      Dedup.frequentLineDedup(docs, idCol, textCol, boilerplateMinDocs,
+        carry).drop("n_lines", "n_removed")
+    }
+
+  /** C4 cleanup (arXiv:1910.10683 §2.2): line rules rewrite the text
+    * to the retained lines, document gates drop the doc outright.
+    * Disabled by default ([[useC4Rules]]). */
+  def c4Filter(docs: DataFrame, textCol: String): DataFrame =
+    if (!useC4Rules) docs
+    else docs
+      .withColumn("__c4", TextAnalysis.c4Clean(col(textCol)))
+      .filter(col("__c4.keep"))
+      .withColumn(textCol, col("__c4.text"))
+      .drop("__c4")
+
+  /** Model-based quality gate (the GPT-3 filter tier): drop docs the
+    * trained [[qualityModel]] scores at or above
+    * [[modelMaxSpamMicro]] (the model is trained to score JUNK high).
+    * Runs after the rule gates — the learned filter sees only text
+    * the cheap rules already admitted. Disabled at the default None. */
+  def modelFilter(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    qualityModel match {
+      case None => docs
+      case Some(m) =>
+        val junk = LangModel.linearScore(m, docs, idCol, textCol)
+          .filter(col("p_micro") >= modelMaxSpamMicro)
+          .select(col(idCol))
+        docs.join(junk, Seq(idCol), "left_anti")
+    }
 
   /** Quality gate: drop null/empty and low-quality docs. */
   def qualityFilter(docs: DataFrame, textCol: String): DataFrame =
@@ -183,10 +232,22 @@ final class CorpusPipeline(
       persisted.last
     }
     val obsIn = Observation()
-    val q = stage(qualityFilter(
-      docs.observe(obsIn, count(lit(1)).as("n")), textCol))
-    val nQ = q.count() // the one raw-corpus scan; fires obsIn
+    val raw = docs.observe(obsIn, count(lit(1)).as("n"))
+    // the text-REWRITING cleanups come first (boilerplate strike, C4
+    // line rules) so every later gate judges the cleaned content; when
+    // enabled, their count is the action that fires obsIn — `input`
+    // is read only after the first action over the raw lineage
+    val bp0 = boilerplateStage(raw, idCol, textCol)
+    val bp = if (bp0 eq raw) raw else stage(bp0)
+    val nBpOpt = if (bp eq raw) None else Some(bp.count())
+    val c40 = c4Filter(bp, textCol)
+    val c4 = if (c40 eq bp) bp else stage(c40)
+    val nC4Opt = if (c4 eq bp) nBpOpt else Some(c4.count())
+    val q = stage(qualityFilter(c4, textCol))
+    val nQ = q.count() // at most one raw-corpus scan total; fires obsIn
     val input = obsIn.get("n").asInstanceOf[Long]
+    val nBp = nBpOpt.getOrElse(input)
+    val nC4 = nC4Opt.getOrElse(nBp)
     // disabled stages pass through un-persisted (df eq parent): their
     // count re-reads the parent's cache, no extra pass
     val g0 = gopherFilter(q, textCol)
@@ -195,7 +256,10 @@ final class CorpusPipeline(
     val r0 = repetitionFilter(g, textCol)
     val r = if (r0 eq g) g else stage(r0)
     val nR = if (r eq g) nG else r.count()
-    val e = stage(exactDedup(r, idCol, textCol))
+    val m0 = modelFilter(r, idCol, textCol)
+    val m = if (m0 eq r) r else stage(m0)
+    val nM = if (m eq r) nR else m.count()
+    val e = stage(exactDedup(m, idCol, textCol))
     val nE = e.count()
     val nd = stage(nearDupRemoval(e, idCol, textCol))
     val nNd = nd.count()
@@ -227,6 +291,7 @@ final class CorpusPipeline(
     val hot = if (embedded eq emb0) ds else embedded
     persisted.filter(_ ne hot).foreach(_.unpersist(blocking = false))
     (embedded, PipelineReport(input, nQ, nR, nE, nNd, nDc, nBal,
-      afterGopher = nG, afterDsir = nDs, afterSemantic = nSem))
+      afterGopher = nG, afterDsir = nDs, afterSemantic = nSem,
+      afterLineDedup = nBp, afterC4 = nC4, afterModel = nM))
   }
 }

@@ -57,6 +57,39 @@ object PipelineQueries {
     semanticTau = 0.3,
     nearDupAlgo = "md5")
 
+  /** The CLEANING-front configuration: the text-rewriting stages over
+    * the deterministic multi-line corpus (the single-line base fixture
+    * gives line-oriented stages nothing to bite) — frequent-line
+    * boilerplate strike at 10 distinct docs, the C4 line rules + doc
+    * gates, then the quality gate at 0.9 (short-after-cleaning docs
+    * score 0.72 and drop) and exact dedup. */
+  private def pipelineClean = new CorpusPipeline(
+    minQuality = 0.9,
+    boilerplateMinDocs = 10,
+    useC4Rules = true)
+
+  /** The cleaning-front frames, [[stageFrames]]-shaped. */
+  def stageFramesClean(s: SparkSession,
+      dir: String): Seq[(String, DataFrame)] = {
+    val d = QualityQueries.multilineDocs(s, dir)
+    val p = pipelineClean
+    val bp = p.boilerplateStage(d, "doc_id", "text").localCheckpoint(true)
+    val c4 = p.c4Filter(bp, "text").localCheckpoint(true)
+    val q = p.qualityFilter(c4, "text")
+    val e = p.exactDedup(q, "doc_id", "text")
+    Seq("input" -> d, "linededup" -> bp, "c4" -> c4, "quality" -> q,
+      "exact" -> e)
+  }
+
+  /** [[runReport]] at the cleaning-front config (PipelineSpec compares
+    * the run-path counts against the ledger's prefix). */
+  def runReportClean(s: SparkSession, dir: String): graft.PipelineReport = {
+    val d = QualityQueries.multilineDocs(s, dir)
+    val em = Tables.load(s, dir, "embeddings")
+    pipelineClean.run(s, d, "doc_id", "text",
+      new PrecomputedEmbedder(em, "vec_id", "embedding", "doc_id", 64))._2
+  }
+
   /** The composed per-stage frames, shared by the query and
     * PipelineSpec's run-vs-ledger assertion. */
   def stageFrames(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
@@ -145,7 +178,10 @@ object PipelineQueries {
     "corpus_pipeline" -> ((s, dir) => ledger(stageFrames(s, dir))),
     // EVERY pipeline stage enabled — decontamination and balancing
     // join the chain, each oracled in the same per-stage ledger
-    "corpus_pipeline_full" -> ((s, dir) => ledger(stageFramesFull(s, dir))))
+    "corpus_pipeline_full" -> ((s, dir) => ledger(stageFramesFull(s, dir))),
+    // the round-11 cleaning front: boilerplate strike → C4 → quality →
+    // exact, over the multi-line corpus, same survivor-ledger contract
+    "corpus_pipeline_clean" -> ((s, dir) => ledger(stageFramesClean(s, dir))))
 
   /** One chained replay of the stages' proven recipes: quality score ≥
     * 0.9 (text_quality_by_source's formula), the five Gopher rules
@@ -489,7 +525,80 @@ object PipelineQueries {
         |  FROM fin)
         |ORDER BY stage_idx""".stripMargin
 
+  /** Cleaning-front replay: the multi-line corpus, the frequent-line
+    * strike (text_line_dedup's recipe, full-row), the C4 line rules +
+    * doc gates (text_c4_filters' recipe), the quality formula from the
+    * base oracle, first-wins exact dedup — ledgered. */
+  private val cleanOracle: String =
+    s"WITH ${QualityQueries.mdocsCte},\n" +
+      """ld_n AS MATERIALIZED (
+        |  SELECT doc_id, lang, source, line, pos,
+        |         lower(trim(line)) AS key
+        |  FROM (SELECT doc_id, lang, source, unnest(arr) AS line,
+        |               unnest(range(1, len(arr)+1)) AS pos
+        |        FROM (SELECT doc_id, lang, source,
+        |                string_split(text, chr(10)) AS arr FROM mdocs))),
+        |ld_hot AS (SELECT key FROM ld_n GROUP BY key
+        |           HAVING count(DISTINCT doc_id) >= 10),
+        |ld AS MATERIALIZED (
+        |  SELECT doc_id, lang, source,
+        |    coalesce(string_agg(CASE WHEN h.key IS NULL THEN line END,
+        |      chr(10) ORDER BY pos), '') AS text
+        |  FROM ld_n n LEFT JOIN ld_hot h ON n.key = h.key
+        |  GROUP BY doc_id, lang, source),
+        |c4p AS (
+        |  SELECT doc_id, lang, source, text AS raw0,
+        |    list_filter(string_split(text, chr(10)), x ->
+        |      regexp_matches(trim(x), '[.!?"]$')
+        |      AND len(string_split_regex(trim(x), '\s+')) >= 5
+        |      AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM ld),
+        |c4 AS MATERIALIZED (
+        |  SELECT doc_id, lang, source,
+        |    coalesce(array_to_string(kept, chr(10)), '') AS text
+        |  FROM c4p
+        |  WHERE len(regexp_extract_all(
+        |      coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')) >= 3
+        |    AND NOT contains(lower(raw0), 'lorem ipsum')
+        |    AND NOT contains(raw0, '{')),
+        |q2 AS MATERIALIZED (
+        |  SELECT * FROM c4
+        |  WHERE text IS NOT NULL AND text <> ''
+        |    AND round(
+        |      (CASE WHEN len(string_split_regex(trim(text),'\s+'))
+        |              BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) * 0.4
+        |    + (CASE WHEN CAST(len(regexp_extract_all(text,'[.!?,;:]'))
+        |              AS DOUBLE)
+        |              / greatest(CAST(len(string_split_regex(trim(text),
+        |                  '\s+')) AS DOUBLE), 1.0) <= 0.2
+        |            THEN 1.0 ELSE 0.5 END) * 0.3
+        |    + (CASE WHEN CAST(len(list_filter(
+        |                string_split_regex(lower(trim(text)),'\s+'),
+        |                x -> x IN ('the','a','of','and','to','in')))
+        |              AS DOUBLE)
+        |              / greatest(CAST(len(string_split_regex(trim(text),
+        |                  '\s+')) AS DOUBLE), 1.0) BETWEEN 0.01 AND 0.5
+        |            THEN 1.0 ELSE 0.6 END) * 0.3, 4) >= 0.9),
+        |e2 AS (
+        |  SELECT * FROM q2
+        |  QUALIFY row_number() OVER (PARTITION BY text
+        |    ORDER BY doc_id) = 1)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum FROM mdocs
+        |  UNION ALL SELECT CAST(1 AS INT), 'linededup',
+        |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM ld
+        |  UNION ALL SELECT CAST(2 AS INT), 'c4',
+        |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM c4
+        |  UNION ALL SELECT CAST(3 AS INT), 'quality',
+        |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM q2
+        |  UNION ALL SELECT CAST(4 AS INT), 'exact',
+        |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM e2)
+        |ORDER BY stage_idx""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "corpus_pipeline" -> materialized(baseOracle),
-    "corpus_pipeline_full" -> materialized(fullOracle(baseOracle)))
+    "corpus_pipeline_full" -> materialized(fullOracle(baseOracle)),
+    "corpus_pipeline_clean" -> cleanOracle)
 }

@@ -27,7 +27,7 @@ object QualityQueries {
     * (~1/53). Gives the line-oriented operators (C4 cleanup,
     * frequent-line dedup) real teeth; replayed exactly by
     * [[mdocsCte]]. */
-  private def multilineDocs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def multilineDocs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
       .filter(col("text").isNotNull && trim(col("text")) =!= "")
     val w = split(trim(col("text")), "\\s+")
@@ -52,7 +52,7 @@ object QualityQueries {
 
   /** DuckDB replay of [[multilineDocs]] — identical token wrap,
     * period parity and injections. */
-  private val mdocsCte: String =
+  private[queries] val mdocsCte: String =
     """mdocs AS MATERIALIZED (
       |  SELECT doc_id, lang, source,
       |    array_to_string(

@@ -193,4 +193,54 @@ class PipelineSpec extends SparkSpec {
     assert(ledger("balance") < ledger("decontam"),
       "the per-source cap must bite")
   }
+
+  test("run() reproduces the cleaning-front corpus_pipeline_clean " +
+    "ledger — boilerplate strike and C4 included") {
+    val dir = "/root/testdata/sf0.001"
+    val ledger = graft.queries.PipelineQueries
+      .stageFramesClean(spark, dir)
+      .map { case (name, df) => name -> df.count() }.toMap
+    val r = graft.queries.PipelineQueries.runReportClean(spark, dir)
+    assert(r.input === ledger("input"))
+    assert(r.afterLineDedup === ledger("linededup"))
+    assert(r.afterC4 === ledger("c4"))
+    assert(r.afterQuality === ledger("quality"))
+    assert(r.afterExact === ledger("exact"),
+      s"clean run() vs clean ledger: $r vs $ledger")
+    // the strike stage rewrites text without dropping rows; the C4 and
+    // quality gates must then genuinely bite on the cleaned text
+    assert(ledger("linededup") === ledger("input"))
+    assert(ledger("c4") < ledger("linededup"), "C4 doc gates must bite")
+    assert(ledger("quality") < ledger("c4"),
+      "short-after-cleaning docs must fail the 0.9 quality bar")
+  }
+
+  test("model quality gate drops predicted junk; new stages disabled " +
+    "by default pass the SAME frame through") {
+    val docs = (0 until 45).map { i =>
+      val spam = i % 3 == 0
+      val base = s"common words shared by all documents number $i"
+      (i.toLong,
+        if (spam) s"$base junktok junktok junktok junktok junktok"
+        else base)
+    }.toDF("doc_id", "text")
+    val m = graft.operators.LangModel.linearTrain(docs, "text",
+      pmod($"doc_id", lit(3)) === 0, dim = 64, iters = 16)
+    val p = new CorpusPipeline(qualityModel = Some(m))
+    val kept = p.modelFilter(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    // equivalence with the raw scorer's anti-join
+    val junk = graft.operators.LangModel
+      .linearScore(m, docs, "doc_id", "text")
+      .filter($"p_micro" >= 500000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === (0L until 45L).toSet -- junk)
+    assert(junk.nonEmpty && kept.nonEmpty, "the gate must separate")
+    // disabled-by-default contract: the stage methods return the
+    // parent frame ITSELF (run() relies on eq for pass-through counts)
+    val defaults = new CorpusPipeline()
+    assert(defaults.boilerplateStage(docs, "doc_id", "text") eq docs)
+    assert(defaults.c4Filter(docs, "text") eq docs)
+    assert(defaults.modelFilter(docs, "doc_id", "text") eq docs)
+  }
 }
