@@ -213,22 +213,37 @@ object LangModel {
   def linearTrain(docs: DataFrame, textCol: String, labelCol: Column,
       dim: Int = 64, iters: Int = 16, bias: Long = 250L,
       slopeDiv: Long = 1000L, stepDiv: Long = 10000L): LinearModel = {
-    require(dim >= 2 && dim <= 4096, s"dim=$dim out of [2, 4096]")
-    require(iters >= 1 && iters <= 1000, s"iters=$iters out of [1, 1000]")
-    require(slopeDiv >= 1 && stepDiv >= 1, "divisors must be positive")
     // localCheckpoint (not persist): the iteration loop re-analyzes its
     // plan every step (the weight literal changes), so the featurization
     // lineage must be TRUNCATED or each of the `iters` steps re-optimizes
     // the full dim-wide HOF expression tree — that overhead, not the
     // data, dominated the un-truncated form (~1.7 s/step at sf0.1)
-    val feat = docs
+    val feat = linearFeatureFrame(docs, textCol, labelCol, dim, bias)
+      .localCheckpoint(true)
+    try linearTrainOnFeatures(feat, dim, iters, bias, slopeDiv, stepDiv)
+    finally feat.unpersist(false)
+  }
+
+  /** The `(__y, __x)` training frame [[linearTrain]] iterates over —
+    * exposed so callers can stage (and time) featurization apart from
+    * the descent loop. */
+  def linearFeatureFrame(docs: DataFrame, textCol: String,
+      labelCol: Column, dim: Int, bias: Long): DataFrame =
+    docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(labelCol.cast("long").as("__y"),
         hashBuckets(col(textCol), dim).as("__bs"))
       .select(col("__y"),
         featuresFromBuckets(col("__bs"), dim, bias).as("__x"))
-      .localCheckpoint(true)
-    try {
+
+  /** The descent loop over a prepared (ideally checkpointed)
+    * [[linearFeatureFrame]]. */
+  def linearTrainOnFeatures(feat: DataFrame, dim: Int, iters: Int,
+      bias: Long, slopeDiv: Long, stepDiv: Long): LinearModel = {
+    require(dim >= 2 && dim <= 4096, s"dim=$dim out of [2, 4096]")
+    require(iters >= 1 && iters <= 1000, s"iters=$iters out of [1, 1000]")
+    require(slopeDiv >= 1 && stepDiv >= 1, "divisors must be positive")
+    locally {
       var w = Array.fill(dim + 1)(0L)
       for (_ <- 1 to iters) {
         val wl = typedLit(w.toSeq)
@@ -250,7 +265,7 @@ object LangModel {
         w = Array.tabulate(dim + 1)(j => w(j) - g(j) / stepDiv)
       }
       LinearModel(w, dim, bias, slopeDiv, stepDiv)
-    } finally feat.unpersist(false)
+    }
   }
 
   /** Score documents under a trained linear model: `(idCol,

@@ -263,6 +263,23 @@ object PipelineQueries {
         Map("toExact" -> toExact, "nearDup" -> nearDup,
           "decontamBalance" -> decontamBalance, "dsir" -> dsir,
           "semantic" -> semantic)
+      }),
+      "corpus_pipeline_clean" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val d = QualityQueries.multilineDocs(s, dir)
+        val p = pipelineClean
+        val (bp, strike) = timed {
+          p.boilerplateStage(d, "doc_id", "text").localCheckpoint(true)
+        }
+        val (_, gates) = timed {
+          p.exactDedup(p.qualityFilter(p.c4Filter(bp, "text"), "text"),
+            "doc_id", "text").count()
+        }
+        Map("strike" -> strike, "gates" -> gates)
       }))
 
   /** DuckDB inlines a plain CTE once PER REFERENCE, and the ledger

@@ -344,6 +344,49 @@ object QualityQueries {
     }),
   )
 
+  /** Phase splits for the classifier cells (>3 s at sf0.1): drift
+    * triage should see whether featurization or the descent loop
+    * moved. */
+  val phases: Map[String, (SparkSession, String) => Map[String, Double]] =
+    Map(
+      "lm_linear_train" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val d = spamDocs(s, dir)
+        val (feat, featurize) = timed {
+          LangModel.linearFeatureFrame(d, "text", col("y"), LinDim, 250L)
+            .localCheckpoint(true)
+        }
+        val (_, gd) = timed {
+          LangModel.linearTrainOnFeatures(feat, LinDim, LinIters, 250L,
+            1000L, 10000L)
+        }
+        feat.unpersist(false)
+        Map("featurize" -> featurize, "gd" -> gd)
+      }),
+      "lm_linear_classify" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val d = spamDocs(s, dir)
+        val (m, train) = timed {
+          LangModel.linearTrain(d, "text", col("y"), dim = LinDim,
+            iters = LinIters)
+        }
+        val (_, score) = timed {
+          LangModel.linearScore(m, d, "doc_id", "text",
+              carryCols = Seq("source", "y"))
+            .groupBy("source")
+            .agg(count(lit(1)).as("n"), sum("pred").as("np")).count()
+        }
+        Map("train" -> train, "score" -> score)
+      }))
+
   val oracleSql: Map[String, String] = Map(
     // Gopher-rule replay: identical tokenization, single-fold list
     // arithmetic for each rule, BIGINT-cast counts.

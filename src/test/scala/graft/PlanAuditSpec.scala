@@ -290,4 +290,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.length < 20000,
       s"plan size must stay flat in merge count, got ${p.length}")
   }
+
+  test("c4 cleanup: one projection pass, only the source rollup shuffles") {
+    val p = plan("text_c4_stats")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"line rules + doc gates must fold into the scan-side projection; " +
+        s"only the per-source aggregate may exchange:\n${p.take(1200)}")
+    assert(!p.contains("Join"), "a pure projection pass needs no join")
+  }
+
+  test("frequent-line dedup: the hot-line table broadcasts, the line " +
+    "set is never cartesian- or sort-merge-joined") {
+    val p = plan("text_line_dedup")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the threshold-crossing line set is small by construction and " +
+        s"must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("linear classifier scoring: shuffle-free, the model rides in as " +
+    "an array literal") {
+    import graft.operators.LangModel
+    spark.sharedState.cacheManager.clearCache()
+    val m = LangModel.LinearModel(Array.tabulate(65)(_.toLong), 64,
+      250L, 1000L, 10000L)
+    val p = LangModel.linearScore(m,
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"scoring is a projection — a (dim+1)-long model never needs a " +
+        s"join or shuffle:\n${p.take(1200)}")
+  }
 }
