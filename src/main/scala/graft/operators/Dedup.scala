@@ -299,7 +299,10 @@ object Dedup {
     * Returns one row per input doc:
     * `(idCol, <carryCols…>, n_lines, n_removed, textCol)` — a doc
     * whose every line is boilerplate keeps its row with empty text,
-    * so downstream falsy filters own the drop decision.
+    * so downstream falsy filters own the drop decision. Blank lines
+    * count like any line: once `minDocs` docs contain one (e.g.
+    * paragraph breaks), every blank line is struck — run this BEFORE
+    * formatting-sensitive stages, or pre-normalize blank runs.
     *
     * Scale shape: one explode, one distinct-count aggregation keyed
     * on the normalized line (at 100 TB the shuffle key becomes the

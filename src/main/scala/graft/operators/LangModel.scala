@@ -209,7 +209,14 @@ object LangModel {
     * Iteration count is the [[graft.search.Kmeans]] trade: `iters`
     * sequential Spark jobs, fine at the tens-of-iterations this
     * converges in, with cost independent of corpus size beyond the
-    * scan. */
+    * scan.
+    *
+    * Bound the TRAINING corpus: a gradient component is at most
+    * `n_docs · 1e6 · 1000`, so the exact long sum can overflow past
+    * ~9e9 training docs. Quality classifiers are trained on bounded
+    * LABELED samples anyway (the GPT-3 recipe labels a small curated
+    * positive set) — train on the sample, SCORE the full corpus
+    * ([[linearScore]] has no such bound). */
   def linearTrain(docs: DataFrame, textCol: String, labelCol: Column,
       dim: Int = 64, iters: Int = 16, bias: Long = 250L,
       slopeDiv: Long = 1000L, stepDiv: Long = 10000L): LinearModel = {
@@ -262,7 +269,9 @@ object LangModel {
             xi => xi * col("__e"))).as(Seq("__j", "__c")))
           .groupBy("__j").agg(sum("__c").as("__g"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        w = Array.tabulate(dim + 1)(j => w(j) - g(j) / stepDiv)
+        // an empty/degenerate feature frame yields no gradient rows —
+        // treat missing components as zero instead of crashing the loop
+        w = Array.tabulate(dim + 1)(j => w(j) - g.getOrElse(j, 0L) / stepDiv)
       }
       LinearModel(w, dim, bias, slopeDiv, stepDiv)
     }
@@ -286,5 +295,35 @@ object LangModel {
         hashBuckets(col(textCol), model.dim).as("__bs"): _*)
       .select(col(idCol) +: carryCols.map(col) :+ p.as("p_micro"): _*)
       .withColumn("pred", (col("p_micro") >= 500000L).cast("long"))
+  }
+
+  /** Persist a trained linear model as a plain parquet table (the
+    * [[NbModel]] principle: models are DataFrames, they persist like
+    * any layout): one row per weight plus the hyperparameters repeated
+    * per row — trivially diffable, readable by any engine. */
+  def saveLinearModel(spark: org.apache.spark.sql.SparkSession,
+      m: LinearModel, path: String): Unit = {
+    import spark.implicits._
+    m.wMicro.toSeq.zipWithIndex
+      .map { case (wj, j) =>
+        (j.toLong, wj, m.dim, m.bias, m.slopeDiv, m.stepDiv) }
+      .toDF("j", "w_micro", "dim", "bias", "slope_div", "step_div")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reopen a persisted linear model; weights land back in index
+    * order, hyperparameters from the first row. */
+  def loadLinearModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): LinearModel = {
+    val rows = spark.read.parquet(path)
+      .select("j", "w_micro", "dim", "bias", "slope_div", "step_div")
+      .collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty, s"no linear model at $path")
+    val h = rows.head
+    val m = LinearModel(rows.map(_.getLong(1)), h.getInt(2),
+      h.getLong(3), h.getLong(4), h.getLong(5))
+    require(m.wMicro.length == m.dim + 1,
+      s"model at $path has ${m.wMicro.length} weights for dim ${m.dim}")
+    m
   }
 }

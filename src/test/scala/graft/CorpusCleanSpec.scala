@@ -165,4 +165,26 @@ class CorpusCleanSpec extends SparkSpec {
       "distributed GD must be bit-identical to the local loop")
     assert(w.exists(_ != 0L), "training must actually move the weights")
   }
+
+  test("linear model persists as parquet and reopens bit-identically") {
+    val docs = (0 until 30).map { i =>
+      (i.toLong, i % 2 == 0,
+        s"some words here ${if (i % 2 == 0) "marker marker marker" else ""}")
+    }.toDF("id", "y", "text")
+    val m = LangModel.linearTrain(docs, "text", col("y"),
+      dim = 16, iters = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_linmodel").toString + "/m"
+    LangModel.saveLinearModel(spark, m, path)
+    val m2 = LangModel.loadLinearModel(spark, path)
+    assert(m2.wMicro.toSeq === m.wMicro.toSeq)
+    assert(m2.dim === m.dim && m2.bias === m.bias &&
+      m2.slopeDiv === m.slopeDiv && m2.stepDiv === m.stepDiv)
+    // and the reopened model scores identically
+    val a = LangModel.linearScore(m, docs, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = LangModel.linearScore(m2, docs, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq)
+  }
 }

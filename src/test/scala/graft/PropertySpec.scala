@@ -226,4 +226,110 @@ class PropertySpec extends SparkSpec {
       fast == chain
     }, n = 200)
   }
+
+  // ---- round-11 cleaning operators vs plain-Scala references ----
+
+  private val lineGen: Gen[String] = for {
+    words <- Gen.choose(0, 8)
+    body <- Gen.listOfN(words,
+      Gen.oneOf("alpha", "beta", "gamma", "the", "javascript", "words"))
+    tail <- Gen.oneOf("", ".", "!", "?", "\"", "x", "{")
+  } yield (body :+ tail).mkString(" ")
+
+  test("property: c4Clean equals the line-by-line reference") {
+    val docGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+    check("c4", Prop.forAll(Gen.listOfN(6, docGen)) { texts =>
+      texts.isEmpty || {
+        val got = texts.toDF("text")
+          .select(graft.operators.TextAnalysis.c4Clean(col("text")).as("c"))
+          .select("c.text", "c.n_kept", "c.keep")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+        val want = texts.map { t =>
+          val kept = t.split("\n", -1).filter { l =>
+            val tr = l.trim
+            java.util.regex.Pattern.compile("[.!?\"]$").matcher(tr).find() &&
+              tr.split("\\s+", -1).length >= 5 &&
+              !l.toLowerCase.contains("javascript")
+          }
+          val clean = kept.mkString("\n")
+          val sentOk = clean.count(c => c == '.' || c == '!' || c == '?') >= 3
+          (clean, kept.length.toLong,
+            sentOk && !t.toLowerCase.contains("lorem ipsum") &&
+              !t.contains("{"))
+        }
+        got.toSeq == want
+      }
+    }, n = 25)
+  }
+
+  test("property: frequentLineDedup equals the distinct-doc reference") {
+    val pool = Seq("cookie banner", "alpha beta", "real content here",
+      "subscribe now", "gamma", " Cookie Banner ")
+    val docsGen = for {
+      n <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(n, Gen.choose(1, 5)
+        .flatMap(k => Gen.listOfN(k, Gen.oneOf(pool))))
+    } yield docs.zipWithIndex.map { case (ls, i) =>
+      (i.toLong, ls.mkString("\n")) }
+    check("lineDedup", Prop.forAll(docsGen, Gen.choose(2, 4)) { (docs, k) =>
+      val got = graft.operators.Dedup
+        .frequentLineDedup(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+      val df = docs.flatMap { case (id, t) =>
+        t.split("\n", -1).map(l => (l.trim.toLowerCase, id)) }
+        .groupBy(_._1).map { case (key, xs) => key -> xs.map(_._2).distinct.size }
+      val hot = df.filter(_._2 >= k).keySet
+      docs.forall { case (id, t) =>
+        val lines = t.split("\n", -1)
+        val keptLines = lines.filterNot(l => hot(l.trim.toLowerCase))
+        got(id) == ((lines.length.toLong,
+          (lines.length - keptLines.length).toLong,
+          keptLines.mkString("\n")))
+      }
+    }, n = 20)
+  }
+
+  test("property: distributed linear training equals the local integer " +
+    "loop on random labeled corpora") {
+    val corpusGen = for {
+      n <- Gen.choose(3, 12)
+      rows <- Gen.listOfN(n, for {
+        w <- Gen.choose(1, 10)
+        toks <- Gen.listOfN(w,
+          Gen.oneOf("spark", "scan", "junk", "buy", "the", "row"))
+        y <- Gen.oneOf(0L, 1L)
+      } yield (toks.mkString(" "), y))
+    } yield rows.zipWithIndex.map { case ((t, y), i) => (i.toLong, t, y) }
+    val (dim, iters, bias, slope, step) = (8, 3, 100L, 1000L, 1000L)
+    check("linearGd", Prop.forAll(corpusGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("id", "text", "y")
+        val m = graft.operators.LangModel.linearTrain(df, "text",
+          col("y"), dim = dim, iters = iters, bias = bias,
+          slopeDiv = slope, stepDiv = step)
+        val feats = df
+          .filter(col("text").isNotNull && trim(col("text")) =!= "")
+          .select(col("y"), graft.operators.LangModel
+            .linearFeatures(col("text"), dim, bias).as("x"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        var w = Array.fill(dim + 1)(0L)
+        for (_ <- 1 to iters) {
+          val g = Array.fill(dim + 1)(0L)
+          feats.foreach { case (y, x) =>
+            var z = 0L; var j = 0
+            while (j <= dim) { z += w(j) * x(j); j += 1 }
+            val p = math.min(math.max(500000L + z / slope, 0L), 1000000L)
+            val e = p - y * 1000000L
+            j = 0
+            while (j <= dim) { g(j) += e * x(j); j += 1 }
+          }
+          w = Array.tabulate(dim + 1)(j => w(j) - g(j) / step)
+        }
+        m.wMicro.toSeq == w.toSeq
+      }
+    }, n = 8)
+  }
 }
