@@ -335,6 +335,25 @@ object Dedup {
           x => x.getField("l")), "\n").as(textCol))
   }
 
+  /** [[frequentLineDedup]] with the threshold as a FRACTION of the
+    * corpus — the form that survives a scale-up: an absolute minDocs
+    * silently reclassifies lines as the corpus grows (a line in 6 of
+    * 10 docs is boilerplate; the same line in 6 of 10M is not), while
+    * a document-fraction threshold makes the same strike decision at
+    * any scale (RefinedWeb's own formulation). Costs one extra
+    * distinct-id count action; the floor of 2 keeps tiny corpora from
+    * declaring every line hot. */
+  def frequentLineDedupFrac(docs: DataFrame, idCol: String,
+      textCol: String, minDocFrac: Double,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    require(minDocFrac > 0.0 && minDocFrac <= 1.0,
+      s"minDocFrac=$minDocFrac out of (0, 1]")
+    val n = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol)).distinct().count()
+    frequentLineDedup(docs, idCol, textCol,
+      math.max(2L, math.ceil(minDocFrac * n).toLong).toInt, carryCols)
+  }
+
   /** Connected components over an undirected pair set — the clustering
     * stage that turns near-dup PAIRS into dedup GROUPS (keep one doc
     * per component; the reference's dedup story stops at pairs, this

@@ -111,6 +111,57 @@ class CorpusCleanSpec extends SparkSpec {
     assert(v.forall(_.getLong(2) === 1L))
   }
 
+  // ---- scale rehearsal: the cleaning front at 4x ----
+
+  test("line dedup at 4x: the FRACTIONAL threshold makes the same " +
+    "strike decision; the absolute one silently drifts") {
+    // 1x: boilerplate in 6 of 10 docs; content lines unique per doc.
+    // 4x: four deterministic copies — boilerplate IDENTICAL (that is
+    // what boilerplate is), content suffixed per copy (fresh text).
+    def corpus(copies: Int) = (0 until copies).flatMap { c =>
+      (0 until 10).map { i =>
+        val content = s"unique content line number $i copy $c"
+        val text = if (i < 6) s"cookie banner\n$content" else content
+        ((c * 1000 + i).toLong, text)
+      }
+    }.toDF("doc_id", "text")
+    def struck(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum("n_removed")).head().getLong(0)
+    // fraction 0.5: boilerplate (60% of docs) is hot at BOTH scales
+    assert(struck(Dedup.frequentLineDedupFrac(corpus(1), "doc_id",
+      "text", 0.5)) === 6L)
+    assert(struck(Dedup.frequentLineDedupFrac(corpus(4), "doc_id",
+      "text", 0.5)) === 24L)
+    // absolute 10: misses at 1x (6 < 10), fires at 4x (24 >= 10) —
+    // the scale drift the fractional form exists to prevent
+    assert(struck(Dedup.frequentLineDedup(corpus(1), "doc_id",
+      "text", 10)) === 0L)
+    assert(struck(Dedup.frequentLineDedup(corpus(4), "doc_id",
+      "text", 10)) === 24L)
+  }
+
+  test("linear training is exactly linear in the data: a 4x-replicated " +
+    "corpus with a 4x step divisor trains bit-identically") {
+    // every per-doc quantity is integer-exact, so replicating the
+    // corpus scales each gradient component by exactly 4 and
+    // trunc(4g / 4s) == trunc(g / s) — no float drift, no order
+    // sensitivity. This is the property that makes the distributed
+    // aggregation trustworthy at any partitioning or scale.
+    val base = (0 until 24).map { i =>
+      (i.toLong, i % 3 == 0,
+        s"doc body words ${if (i % 3 == 0) "junk junk junk" else "fine"} $i")
+    }
+    val one = base.toDF("id", "y", "text")
+    val four = (0 until 4).flatMap(c =>
+      base.map { case (id, y, t) => (c * 1000 + id, y, t) })
+      .toDF("id", "y", "text")
+    val m1 = LangModel.linearTrain(one, "text", col("y"),
+      dim = 16, iters = 6, stepDiv = 10000L)
+    val m4 = LangModel.linearTrain(four, "text", col("y"),
+      dim = 16, iters = 6, stepDiv = 40000L)
+    assert(m1.wMicro.toSeq === m4.wMicro.toSeq)
+  }
+
   // ---- fixed-point linear classifier ----
 
   test("linearTrain separates a separable corpus; scores clamp") {
