@@ -335,6 +335,52 @@ object Dedup {
           x => x.getField("l")), "\n").as(textCol))
   }
 
+  /** Event-time TTL dedup (throttle): per key, admit a row iff no row
+    * was ADMITTED within the preceding `ttlMicros` of event time —
+    * the first occurrence wins, repeats inside the TTL are struck, and
+    * the key re-admits once the gap from the LAST ADMITTED occurrence
+    * reaches the TTL. This is the policy between
+    * [[exactFirstWins]] (suppress forever) and keeping everything: a
+    * crawler's hourly re-fetches collapse while a genuine monthly
+    * re-crawl survives as a fresh version. The suppression chain is a
+    * per-key greedy recurrence (a struck row does NOT refresh the
+    * clock), so results are independent of partitioning and replay
+    * exactly in SQL as a recursive CTE.
+    *
+    * Scale shape: ONE hash shuffle on the key columns, then a single
+    * sorted linear scan per partition (secondary sort — the
+    * [[Packing.nextFitPack]] discipline); no state beyond one
+    * timestamp per open key per partition. Rows with a NULL `tsCol`
+    * are dropped (no event time — no TTL semantics). Ties on `tsCol`
+    * break by ascending `orderCol`; an exact tie is inside any
+    * positive TTL and is struck. */
+  def ttlFirstWins(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      orderCol: String, ttlMicros: Long): DataFrame = {
+    require(ttlMicros > 0, s"ttlMicros=$ttlMicros must be positive")
+    require(keyCols.nonEmpty, "at least one key column")
+    val withTu = df.filter(col(tsCol).isNotNull)
+      .withColumn("__tu", unix_micros(col(tsCol)))
+    val sorted = withTu.repartition(keyCols.map(col): _*)
+      .sortWithinPartitions(
+        keyCols.map(col) :+ col("__tu") :+ col(orderCol): _*)
+    val schema = sorted.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val tuIdx = schema.fieldIndex("__tu")
+    sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var hasLast = false
+      var last = 0L
+      it.filter { r =>
+        val k = keyIdx.map(r.get)
+        if (k != curKey) { curKey = k; hasLast = false }
+        val tu = r.getLong(tuIdx)
+        val admit = !hasLast || tu - last >= ttlMicros
+        if (admit) { hasLast = true; last = tu }
+        admit
+      }
+    }(org.apache.spark.sql.Encoders.row(schema)).drop("__tu")
+  }
+
   /** [[frequentLineDedup]] with the threshold as a FRACTION of the
     * corpus — the form that survives a scale-up: an absolute minDocs
     * silently reclassifies lines as the corpus grows (a line in 6 of

@@ -23,7 +23,7 @@ object EventQueries {
     * not on session conf — is the round-8 lesson: a runtime `conf.set`
     * no longer reaches the parquet schema converter, and all 9
     * events-table queries silently fell out of the correctness run. */
-  private[queries] def load(s: SparkSession, dir: String) = ev(s, dir)
+  def load(s: SparkSession, dir: String): DataFrame = ev(s, dir)
 
   private def ev(s: SparkSession, dir: String) = {
     val raw = Tables.load(s, dir, "events")
@@ -44,7 +44,63 @@ object EventQueries {
     }
   }
 
+  /** TTL for the event-dedup pair: two days of event time — at the
+    * fixture's ~1.3-day per-key inter-arrival, roughly half the events
+    * are throttle-struck, so both suppression and re-admission bite. */
+  private val TtlMicros = 2L * 86400L * 1000000L
+
+  private def ttlLedger(admitted: DataFrame): DataFrame =
+    admitted.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_admitted"),
+        sum("event_id").as("id_sum"),
+        min("event_id").as("first_id"))
+      .orderBy("user_id", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Event-time TTL dedup (throttle): per (user, type), admit a row
+    // iff >= 2 days past the LAST ADMITTED occurrence — the greedy
+    // recurrence runs as one key shuffle + sorted linear scan, the
+    // oracle replays it as a per-key recursive CTE.
+    "ev_dedup_ttl" -> ((s, dir) => {
+      ttlLedger(graft.operators.Dedup.ttlFirstWins(ev(s, dir),
+        Seq("user_id", "event_type"), "ts", "event_id", TtlMicros))
+    }),
+    // The STREAMING twin: the events table replayed as an id-ordered
+    // three-file journal through DedupStream.firstWinsTtl (bounded
+    // state: one timestamp per live key, watermark-evicted after the
+    // TTL horizon) — the drain must land exactly on the batch
+    // operator's result, so both share one oracle.
+    "ev_dedup_ttl_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val e = ev(s, dir).select("event_id", "ts", "user_id",
+        "event_type")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ttlstr/" +
+        dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh replay
+      val maxId = e.agg(max("event_id")).head().getLong(0)
+      val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+      // id order == event-time order in the fixture, so batch-arrival
+      // order matches the recurrence's (ts, id) order
+      DedupQueries.appendStamped(fs, e.filter(col("event_id") <= c1),
+        s"$root/journal", 10000L)
+      DedupQueries.appendStamped(fs,
+        e.filter(col("event_id") > c1 && col("event_id") <= c2),
+        s"$root/journal", 20000L)
+      DedupQueries.appendStamped(fs, e.filter(col("event_id") > c2),
+        s"$root/journal", 30000L)
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/journal")
+      graft.streaming.DedupStream
+        .firstWinsTtl(stream, Seq("user_id", "event_type"), "event_id",
+          "ts", TtlMicros)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .format("parquet").option("path", s"$root/out")
+        .start().awaitTermination()
+      ttlLedger(s.read.parquet(s"$root/out"))
+    }),
     // Tumbling 1-hour windows: the batch shape of a streaming windowed agg.
     "ev_hourly_agg" -> ((s, dir) => {
       ev(s, dir)
@@ -182,7 +238,38 @@ object EventQueries {
     }),
   )
 
+  /** The TTL-dedup recurrence as a per-key recursive CTE: row n's
+    * admission depends on the last ADMITTED timestamp after row n-1 —
+    * exactly the operator's greedy chain, stepped one rank at a time. */
+  private val ttlOracle: String =
+    """WITH RECURSIVE r AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tu, event_id,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |adm AS (
+      |  SELECT user_id, event_type, rn, tu, event_id, tu AS last_adm,
+      |         true AS admitted
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.user_id, r.event_type, r.rn, r.tu, r.event_id,
+      |    CASE WHEN r.tu - a.last_adm >= 172800000000 THEN r.tu
+      |         ELSE a.last_adm END,
+      |    r.tu - a.last_adm >= 172800000000
+      |  FROM adm a JOIN r ON r.user_id = a.user_id
+      |    AND r.event_type = a.event_type AND r.rn = a.rn + 1)
+      |SELECT user_id, event_type,
+      |  CAST(count(*) AS BIGINT) AS n_admitted,
+      |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+      |  CAST(min(event_id) AS BIGINT) AS first_id
+      |FROM adm WHERE admitted
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "ev_dedup_ttl" -> ttlOracle,
+    // the stream drain must land exactly on the batch recurrence
+    "ev_dedup_ttl_stream" -> ttlOracle,
     "sketch_heavy_hitters" ->
       """WITH t AS (SELECT count(*) AS n FROM events),
         |e AS (SELECT user_id, count(*) AS cnt FROM events

@@ -56,4 +56,69 @@ object DedupStream {
         }
     }(Encoders.scalaBoolean, rowEnc).toDF()
   }
+
+  /** Event-time TTL dedup of a stream — the BOUNDED-STATE tier between
+    * [[firstWins]] (exact forever-suppression: state grows with the
+    * distinct-key universe) and no dedup at all: per key, a row is
+    * admitted iff its event time is at least `ttlMicros` past the last
+    * ADMITTED occurrence ([[graft.operators.Dedup.ttlFirstWins]]'s
+    * greedy recurrence, so an id/time-ordered journal replay lands
+    * EXACTLY on the batch operator's result — the oracle contract).
+    *
+    * State is ONE long (last admitted event-time micros) per live key,
+    * and — the scale point — it is EVICTED once the watermark passes
+    * `lastAdmitted + ttl`: at that point the recurrence would admit
+    * any in-watermark row anyway, so eviction is semantics-preserving
+    * and total state is bounded by the keys ACTIVE inside one TTL
+    * horizon, not the all-time key universe. Rows later than the
+    * watermark (only possible with out-of-order sources and a short
+    * `watermarkDelay`) may be re-admitted after eviction — the
+    * documented watermark trade every bounded-state streaming operator
+    * makes. Rows with NULL event time are dropped, as in the batch
+    * form. */
+  def firstWinsTtl(stream: DataFrame, keyCols: Seq[String],
+      orderCol: String, tsCol: String, ttlMicros: Long,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(ttlMicros > 0, s"ttlMicros=$ttlMicros must be positive")
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val wm = stream.filter(col(tsCol).isNotNull)
+      .withColumn("__tu", unix_micros(col(tsCol)))
+      .withWatermark(tsCol, watermarkDelay)
+    val rowEnc = Encoders.row(wm.schema)
+    val tuOf = (r: Row) => r.getAs[Long]("__tu")
+    val ordOf = (r: Row) =>
+      Option(r.getAs[Number](orderCol)).map(_.longValue())
+        .getOrElse(Long.MaxValue)
+    val keyed = wm.groupByKey { r: Row =>
+      keyCols.map(c => Option(r.getAs[Any](c)).map(_.toString)
+        .getOrElse("\u0000")).mkString("\u0001")
+    }(Encoders.STRING)
+    keyed.flatMapGroupsWithState[Long, Row](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          // batch iterators carry no order guarantee — impose the
+          // (event time, order) sort the recurrence is defined over
+          val sorted = rows.toArray.sortBy(r => (tuOf(r), ordOf(r)))
+          var hasLast = state.exists
+          var last = if (hasLast) state.get else 0L
+          val out = sorted.filter { r =>
+            val tu = tuOf(r)
+            val admit = !hasLast || tu - last >= ttlMicros
+            if (admit) { hasLast = true; last = tu }
+            admit
+          }
+          if (hasLast) {
+            state.update(last)
+            // evict once the watermark clears last+ttl; the timeout
+            // timestamp must sit strictly past the current watermark
+            state.setTimeoutTimestamp(
+              math.max(last / 1000L + ttlMicros / 1000L,
+                state.getCurrentWatermarkMs + 1L))
+          }
+          out.iterator
+        }
+    }(Encoders.scalaLong, rowEnc).toDF().drop("__tu")
+  }
 }

@@ -131,6 +131,50 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 3L))
   }
 
+  test("ttlFirstWins: greedy per-key throttle — struck rows do not " +
+    "refresh the clock; ties strike; null ts drops") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val df = Seq(
+      // key a at 0s, 5s, 9s, 14s with TTL 10s: admit 0 (first),
+      // strike 5 and 9 (within 10 of 0), admit 14 (>= 0+10 — the
+      // struck 5/9 must NOT have refreshed the clock)
+      (1L, "a", t(0)), (2L, "a", t(5)), (3L, "a", t(9)), (4L, "a", t(14)),
+      // exact-tie pair on key b: lower id admits, tie strikes
+      (11L, "b", t(100)), (10L, "b", t(100)),
+      // null ts row drops entirely
+      (20L, "c", null.asInstanceOf[Timestamp])
+    ).toDF("id", "k", "ts")
+    val kept = Dedup.ttlFirstWins(df, Seq("k"), "ts", "id",
+        ttlMicros = 10L * 1000000L)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 10L))
+  }
+
+  test("ttlFirstWins equals a driver-local greedy replay on the events " +
+    "fixture, independent of input partitioning") {
+    val ev = graft.queries.EventQueries.load(spark, sf)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+    val ttl = 2L * 86400L * 1000000L
+    val got = Dedup.ttlFirstWins(ev.repartition(7), // adversarial split
+        Seq("user_id", "event_type"), "ts", "event_id", ttl)
+      .select("event_id").as[Long].collect().toSet
+    val rows = ev.select($"user_id", $"event_type",
+        unix_micros($"ts").as("tu"), $"event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._3, x._4))
+    val last = scala.collection.mutable.Map[(Long, String), Long]()
+    val want = rows.filter { case (u, et, tu, _) =>
+      val k = (u, et)
+      val admit = !last.contains(k) || tu - last(k) >= ttl
+      if (admit) last(k) = tu
+      admit
+    }.map(_._4).toSet
+    assert(got === want && got.nonEmpty && got.size < rows.length,
+      "operator must equal the greedy reference and genuinely strike")
+  }
+
   test("maxBucket guard drops viral-cluster candidates, keeps the rest") {
     // a 40-doc near-identical "viral" cluster (shared shingles dominate
     // every band) + one small honest near-dup pair elsewhere

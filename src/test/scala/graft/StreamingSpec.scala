@@ -242,6 +242,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DedupStream.firstWinsTtl: throttle within the TTL, re-admit " +
+    "after it, evict state once the watermark clears the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    // offset from epoch 0: the stream's INITIAL watermark is 0 ms and
+    // Spark's late-row filter drops event times at/below it — an edge
+    // only synthetic epoch-relative fixtures can hit
+    def t(sec: Long) = new Timestamp((1000L + sec) * 1000L)
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = graft.streaming.DedupStream.firstWinsTtl(
+      input.toDF().toDF("id", "k", "ts"), Seq("k"), "id", "ts",
+      ttlMicros = 10L * 1000000L)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ttl_stream").start()
+    try {
+      // batch 1: key a at +0s admitted, +5s struck; same-batch chain
+      input.addData((1L, "a", t(0)), (2L, "a", t(5)))
+      q.processAllAvailable()
+      // batch 2: a at 9s still inside [0, 10) — struck ACROSS batches;
+      // a at 12s re-admitted (clock anchored at the ADMITTED 0s row)
+      input.addData((3L, "a", t(9)), (4L, "a", t(12)))
+      q.processAllAvailable()
+      // advance the watermark far past a's horizon via another key,
+      // then fire the timeout sweep with one more batch
+      input.addData((5L, "b", t(1000)))
+      q.processAllAvailable()
+      input.addData((6L, "b", t(2000)))
+      q.processAllAvailable()
+      val ids = spark.table("ttl_stream")
+        .select($"id").as[Long].collect().toSet
+      assert(ids === Set(1L, 4L, 5L, 6L),
+        s"got $ids: throttle inside TTL, re-admit past it")
+      // bounded state: a timed out (watermark 2000s >> 12s + 10s) and
+      // was evicted — only b's entry may remain
+      val stateRows = q.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      assert(stateRows <= 1L,
+        s"evicted keys must leave the store, still holding $stateRows")
+    } finally q.stop()
+  }
+
   test("DedupStream.firstWins: null and composite keys are distinct") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Option[String], String)]
