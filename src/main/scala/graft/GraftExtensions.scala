@@ -103,6 +103,14 @@ object GraftExtensions {
     "sq8_dot" -> { args: Seq[Expression] =>
       val (a, b) = two("sq8_dot", args)
       graft.search.Sq8Dot(a, b) },
+    "nfc_normalize" -> { args: Seq[Expression] =>
+      require(args.length == 1,
+        s"nfc_normalize expects 1 argument, got ${args.length}")
+      graft.functions.NfcNormalize(args.head) },
+    "strip_accents" -> { args: Seq[Expression] =>
+      require(args.length == 1,
+        s"strip_accents expects 1 argument, got ${args.length}")
+      graft.functions.StripAccents(args.head) },
   )
 
   /** Register on an already-built session (temp functions). */

@@ -35,7 +35,8 @@ object SparkEntry {
     * instead of re-running. */
   def phases: Map[String, (SparkSession, String) => Map[String, Double]] =
     FacadeQueries.phases ++ InfraQueries.phases ++ DedupQueries.phases ++
-    PipelineQueries.phases ++ VectorQueries.phases ++ QualityQueries.phases
+    PipelineQueries.phases ++ VectorQueries.phases ++ QualityQueries.phases ++
+    EventQueries.phases
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -266,6 +266,54 @@ object EventQueries {
       |GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Phase split for the streaming TTL cell (>3 s at sf0.1): journal
+    * setup vs the stateful drain vs the ledger aggregation. */
+  val phases: Map[String, (SparkSession, String) => Map[String, Double]] =
+    Map(
+      "ev_dedup_ttl_stream" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        import org.apache.spark.sql.streaming.Trigger
+        val e = ev(s, dir).select("event_id", "ts", "user_id",
+          "event_type")
+        val root = s"${System.getProperty("java.io.tmpdir")}" +
+          s"/graft_ttlstr_ph/${dir.replaceAll("[^0-9.]", "")}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val (maxId, journal) = timed {
+          val m = e.agg(max("event_id")).head().getLong(0)
+          val (c1, c2) = (m / 3, 2 * m / 3)
+          DedupQueries.appendStamped(fs, e.filter(col("event_id") <= c1),
+            s"$root/journal", 10000L)
+          DedupQueries.appendStamped(fs,
+            e.filter(col("event_id") > c1 && col("event_id") <= c2),
+            s"$root/journal", 20000L)
+          DedupQueries.appendStamped(fs, e.filter(col("event_id") > c2),
+            s"$root/journal", 30000L)
+          m
+        }
+        val (_, drain) = timed {
+          val stream = s.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$root/journal")
+          graft.streaming.DedupStream
+            .firstWinsTtl(stream, Seq("user_id", "event_type"),
+              "event_id", "ts", TtlMicros)
+            .writeStream.trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$root/ckpt")
+            .format("parquet").option("path", s"$root/out")
+            .start().awaitTermination()
+        }
+        val (_, ledger) = timed {
+          ttlLedger(s.read.parquet(s"$root/out")).count()
+        }
+        require(maxId > 0)
+        Map("journal" -> journal, "drain" -> drain, "ledger" -> ledger)
+      }))
+
   val oracleSql: Map[String, String] = Map(
     "ev_dedup_ttl" -> ttlOracle,
     // the stream drain must land exactly on the batch recurrence

@@ -13,7 +13,40 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  /** Unicode-dirty suffix per doc_id residue — decomposed (e +
+    * combining acute, u + diaeresis, A + ring) and precomposed (é)
+    * forms plus a non-decomposable ß, so NFC genuinely rewrites and
+    * strip_accents genuinely strips. Built from Scala escapes here
+    * and `chr()` codes in the oracle — same code points. */
+  private def unicodeSuffix = {
+    val m = pmod(col("doc_id"), lit(4))
+    when(m === 0, lit(" e\u0301clair"))
+      .when(m === 1, lit(" caf\u00e9"))
+      .when(m === 2, lit(" u\u0308ber stra\u00dfe"))
+      .otherwise(lit(" A\u030arhus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Unicode normalization (the cleaning step BEFORE any byte-level
+    // dedup — decomposed and precomposed spellings of the same word
+    // must hash identically): NFC composition + diacritic strip as
+    // codegen'd expressions, hash-checked against DuckDB's own
+    // nfc_normalize/strip_accents, char counts included so the
+    // composition is visible (n_nfc < n_raw on decomposed docs).
+    "text_unicode_normalize" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"), concat(col("text"), unicodeSuffix).as("raw"))
+      import graft.functions.TextExpressions
+      d.filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("n_raw"),
+          TextExpressions.nfcNormalize(col("raw")).as("nfc"),
+          length(TextExpressions.nfcNormalize(col("raw"))).cast("long")
+            .as("n_nfc"),
+          TextExpressions.stripAccents(col("raw")).as("stripped"))
+        .orderBy("doc_id")
+    }),
     // Compressed-blob round trip, hash-checked through downstream
     // work: texts are gzip-compressed into REAL binary blobs
     // (JVM Deflater), decompressed back, and token-counted; the
@@ -149,6 +182,22 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Unicode replay: same suffix code points via chr(), DuckDB's own
+    // nfc_normalize/strip_accents against the engine's JDK kernels.
+    "text_unicode_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE doc_id % 4
+        |    WHEN 0 THEN ' e' || chr(769) || 'clair'
+        |    WHEN 1 THEN ' caf' || chr(233)
+        |    WHEN 2 THEN ' u' || chr(776) || 'ber stra' || chr(223) || 'e'
+        |    ELSE ' A' || chr(778) || 'rhus' END AS raw
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND trim(text) <> '')
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+        |  nfc_normalize(raw) AS nfc,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+        |  strip_accents(raw) AS stripped
+        |FROM d WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
     // BPE train replay: 6 unrolled merge rounds as chained CTEs —
     // pair counts via substr over position ranges, argmax with the
     // lexicographic tiebreak, replace-to-PUA-char application.

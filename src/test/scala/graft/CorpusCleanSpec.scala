@@ -111,6 +111,51 @@ class CorpusCleanSpec extends SparkSpec {
     assert(v.forall(_.getLong(2) === 1L))
   }
 
+  // ---- unicode normalization kernels ----
+
+  test("nfc/stripAccents kernels match java.text.Normalizer; ASCII " +
+    "takes the zero-copy fast path; codegen and SQL surfaces work") {
+    import graft.functions.UnicodeNorm
+    import org.apache.spark.unsafe.types.UTF8String
+    val cases = Seq("e\u0301clair", "caf\u00e9", "u\u0308ber",
+      "stra\u00dfe", "A\u030arhus", "\u0141\u00f3d\u017a", "plain")
+    cases.foreach { s =>
+      val u = UTF8String.fromString(s)
+      assert(UnicodeNorm.nfc(u).toString ===
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+      val nfd = java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFD)
+      assert(UnicodeNorm.stripAccents(u).toString ===
+        nfd.replaceAll("\\p{M}+", ""))
+    }
+    // ASCII fast path returns the INPUT buffer, not a copy
+    val ascii = UTF8String.fromString("just ascii text")
+    assert(UnicodeNorm.nfc(ascii) eq ascii)
+    assert(UnicodeNorm.stripAccents(ascii) eq ascii)
+    // codegen: over a real scan (a local Seq constant-folds away) the
+    // projection stays inside whole-stage codegen — a fallback
+    // expression would break the *(n) span
+    spark.sharedState.cacheManager.clearCache()
+    val df = spark.read.parquet(s"$sf/documents.parquet").select(
+      graft.functions.TextExpressions.nfcNormalize(col("text")).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("nfc_normalize"), plan)
+    assert(plan.contains("*(1)"),
+      s"expression must not break whole-stage codegen:\n$plan")
+    val viaCodegen = Seq("e\u0301clair").toDF("t")
+      .repartition(1) // defeat local-relation folding, keep execution
+      .select(graft.functions.TextExpressions.nfcNormalize(col("t")))
+      .head().getString(0)
+    assert(viaCodegen === "\u00e9clair",
+      "decomposed input must come back precomposed")
+    // SQL registration
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT nfc_normalize('é'), strip_accents('café')")
+      .head()
+    assert(r.getString(0) === "é" && r.getString(1) === "cafe")
+  }
+
   // ---- scale rehearsal: the cleaning front at 4x ----
 
   test("line dedup at 4x: the FRACTIONAL threshold makes the same " +
