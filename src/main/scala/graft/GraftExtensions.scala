@@ -111,6 +111,10 @@ object GraftExtensions {
       require(args.length == 1,
         s"strip_accents expects 1 argument, got ${args.length}")
       graft.functions.StripAccents(args.head) },
+    "deflate_ratio" -> { args: Seq[Expression] =>
+      require(args.length == 1,
+        s"deflate_ratio expects 1 argument, got ${args.length}")
+      graft.functions.DeflateRatio(args.head) },
   )
 
   /** Register on an already-built session (temp functions). */

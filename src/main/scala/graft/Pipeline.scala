@@ -53,7 +53,17 @@ final class CorpusPipeline(
     boilerplateMinDocs: Int = 0,
     useC4Rules: Boolean = false,
     qualityModel: Option[LangModel.LinearModel] = None,
-    modelMaxSpamMicro: Long = 500000L) {
+    modelMaxSpamMicro: Long = 500000L,
+    normalizeUnicode: Boolean = false) {
+
+  /** Unicode NFC normalization (optional, FIRST): decomposed and
+    * precomposed spellings of the same word must hash identically
+    * before any exact/near dedup sees them. A pure codegen projection
+    * with a zero-copy ASCII fast path; rewrites text, drops nothing. */
+  def unicodeStage(docs: DataFrame, textCol: String): DataFrame =
+    if (!normalizeUnicode) docs
+    else docs.withColumn(textCol,
+      graft.functions.TextExpressions.nfcNormalize(col(textCol)))
 
   /** Frequent-line boilerplate removal (RefinedWeb §3.3): lines in
     * ≥ [[boilerplateMinDocs]] distinct docs are struck everywhere and
@@ -237,9 +247,11 @@ final class CorpusPipeline(
     // line rules) so every later gate judges the cleaned content; when
     // enabled, their count is the action that fires obsIn — `input`
     // is read only after the first action over the raw lineage
-    val bp0 = boilerplateStage(raw, idCol, textCol)
-    val bp = if (bp0 eq raw) raw else stage(bp0)
-    val nBpOpt = if (bp eq raw) None else Some(bp.count())
+    val un0 = unicodeStage(raw, textCol)
+    val un = if (un0 eq raw) raw else stage(un0)
+    val bp0 = boilerplateStage(un, idCol, textCol)
+    val bp = if (bp0 eq un) un else stage(bp0)
+    val nBpOpt = if (bp eq un) None else Some(bp.count())
     val c40 = c4Filter(bp, textCol)
     val c4 = if (c40 eq bp) bp else stage(c40)
     val nC4Opt = if (c4 eq bp) nBpOpt else Some(c4.count())

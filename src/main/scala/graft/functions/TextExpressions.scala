@@ -452,6 +452,8 @@ object TextExpressions {
     Bridge.column(NfcNormalize(Bridge.expression(c)))
   def stripAccents(c: Column): Column =
     Bridge.column(StripAccents(Bridge.expression(c)))
+  def deflateRatio(c: Column): Column =
+    Bridge.column(DeflateRatio(Bridge.expression(c)))
 }
 
 /** Unicode normalization kernels (JDK `java.text.Normalizer` — the
@@ -488,6 +490,49 @@ object UnicodeNorm {
     else UTF8String.fromString(Marks.matcher(
       java.text.Normalizer.normalize(s.toString,
         java.text.Normalizer.Form.NFD)).replaceAll(""))
+}
+
+/** `string → double`: deflate compression ratio
+  * (compressed bytes / raw UTF-8 bytes) — the third classic junk
+  * signal beside Gopher's repetition fractions (RefinedWeb/CCNet
+  * pipelines drop pages compressing suspiciously well: templated spam
+  * and boilerplate deflate far below natural prose, random noise
+  * barely at all). Empty strings score 1.0.
+  *
+  * NO SQL oracle exists for this one (DuckDB has no deflate scalar) —
+  * spec-checked against direct `java.util.zip` reference calls
+  * instead. The Deflater is thread-local and reset per row (native
+  * allocation once per executor thread, not per row); level 6 is the
+  * zlib default every corpus-prep pipeline quotes ratios at. */
+case class DeflateRatio(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "deflate_ratio"
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].getBytes
+    if (raw.isEmpty) 1.0
+    else DeflateRatio.ratio(raw)
+  }
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
+}
+
+object DeflateRatio {
+  private val local =
+    new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue() =
+        new java.util.zip.Deflater(6, /* nowrap = */ true)
+    }
+  def ratio(raw: Array[Byte]): Double = {
+    val d = local.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val buf = new Array[Byte](math.max(64, raw.length / 2))
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    n.toDouble / raw.length
+  }
 }
 
 /** `string → string`: NFC canonical composition, codegen'd (a direct

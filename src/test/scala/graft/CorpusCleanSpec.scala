@@ -156,6 +156,54 @@ class CorpusCleanSpec extends SparkSpec {
     assert(r.getString(0) === "é" && r.getString(1) === "cafe")
   }
 
+  test("deflateRatio separates templated spam from varied prose; " +
+    "matches a direct java.util.zip reference") {
+    import graft.functions.TextExpressions
+    val spam = ("buy now click here " * 50).trim
+    val prose = "the quick brown fox jumps over a lazy dog while " +
+      "seventeen amused owls watched quietly from birch branches nearby"
+    val rows = Seq(spam, prose, "").toDF("t")
+      .select(TextExpressions.deflateRatio(col("t")).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(rows(0) < 0.2, s"templated spam must deflate hard: ${rows(0)}")
+    assert(rows(1) > rows(0) * 2, "varied prose compresses far less")
+    assert(rows(2) === 1.0, "empty text scores 1.0 by contract")
+    // reference: the same deflate config via java.util.zip directly
+    def ref(s: String): Double = {
+      val d = new java.util.zip.Deflater(6, true)
+      val raw = s.getBytes("UTF-8")
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length * 2 + 64)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      n.toDouble / raw.length
+    }
+    assert(rows(0) === ref(spam) && rows(1) === ref(prose))
+    // SQL surface
+    GraftExtensions.register(spark)
+    assert(spark.sql(s"SELECT deflate_ratio('$prose')")
+      .head().getDouble(0) === ref(prose))
+  }
+
+  test("pipeline unicode stage normalizes text before dedup; disabled " +
+    "passes the same frame") {
+    val docs = Seq(
+      (1L, "caf\u00e9 menu"),      // precomposed
+      (2L, "cafe\u0301 menu") // decomposed — same word after NFC
+    ).toDF("doc_id", "text")
+    val p = new CorpusPipeline(normalizeUnicode = true)
+    val texts = p.unicodeStage(docs, "text")
+      .select("text").as[String].collect().toSet
+    assert(texts === Set("caf\u00e9 menu"),
+      "both spellings must collapse to the precomposed form")
+    // and exact dedup then sees them as byte-identical
+    val deduped = p.exactDedup(p.unicodeStage(docs, "text"),
+      "doc_id", "text")
+    assert(deduped.count() === 1L)
+    assert(new CorpusPipeline().unicodeStage(docs, "text") eq docs)
+  }
+
   // ---- scale rehearsal: the cleaning front at 4x ----
 
   test("line dedup at 4x: the FRACTIONAL threshold makes the same " +
