@@ -335,6 +335,47 @@ object Dedup {
           x => x.getField("l")), "\n").as(textCol))
   }
 
+  /** Blocked fuzzy self-join — the entity-resolution primitive (near-
+    * identical names/titles differing by typos): candidate pairs come
+    * from an EQUI-join on a blocking key (never all-pairs — the
+    * [[minhashLshPairs]] discipline, with the same viral-block guard),
+    * then verify with Levenshtein edit distance. The distance call is
+    * the THRESHOLDED form: Spark's banded DP stops at `maxDist + 1`
+    * (O(maxDist·min(n,m)) per pair, not O(n·m)) — at 100 TB the
+    * verify cost is linear in string length, and the shuffle keys on
+    * the block, so block sizes bound the quadratic term exactly like
+    * LSH bucket sizes do.
+    *
+    * Returns `(a_id, b_id, a_str, b_str, dist)` with `a_id < b_id`,
+    * identical strings excluded (exact dedup owns those). `maxBlock`
+    * drops blocks larger than the cap — a degenerate blocking key
+    * (half the corpus in one block) otherwise re-creates the
+    * quadratic blowup blocking exists to prevent. */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
+      blockCol: Column, maxDist: Int,
+      maxBlock: Option[Int] = None): DataFrame = {
+    require(maxDist >= 1, s"maxDist=$maxDist must be positive")
+    val base0 = df
+      .filter(col(strCol).isNotNull)
+      .select(col(idCol).as("a_id"), col(strCol).as("a_str"),
+        blockCol.as("__blk"))
+    val base = maxBlock match {
+      case None => base0
+      case Some(cap) =>
+        val keep = base0.groupBy("__blk")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= cap).select("__blk")
+        base0.join(keep, Seq("__blk"), "left_semi")
+    }
+    val right = base.select(col("__blk"), col("a_id").as("b_id"),
+      col("a_str").as("b_str"))
+    base.join(right, Seq("__blk"))
+      .filter(col("a_id") < col("b_id") && col("a_str") =!= col("b_str"))
+      .withColumn("dist", levenshtein(col("a_str"), col("b_str"), maxDist))
+      .filter(col("dist") =!= -1)
+      .select("a_id", "b_id", "a_str", "b_str", "dist")
+  }
+
   /** Event-time TTL dedup (throttle): per key, admit a row iff no row
     * was ADMITTED within the preceding `ttlMicros` of event time —
     * the first occurrence wins, repeats inside the TTL are struck, and

@@ -39,6 +39,21 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Blocked fuzzy self-join (entity resolution): candidates from an
+    // equi-join on the name's last token, verified by THRESHOLDED
+    // Levenshtein (banded DP stops at maxDist+1) — never all-pairs.
+    // Both engines implement classic edit distance, so the per-block
+    // pair counts, distance-1 split and id checksum hash-match.
+    "dedup_fuzzy_pairs" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+      Dedup.fuzzyPairs(p, "p_partkey", "p_name",
+          regexp_extract(col("p_name"), "(\\S+)$", 1), maxDist = 2)
+        .groupBy(regexp_extract(col("a_str"), "(\\S+)$", 1).as("block"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n_d1"),
+          sum(col("a_id") + col("b_id")).as("id_sum"))
+        .orderBy("block")
+    }),
     "dedup_exact_firstwins" -> ((s, dir) => {
       Dedup.exactFirstWins(docs(s, dir), Seq("lang", "source"), "doc_id")
         .select(col("lang"), col("source"), col("doc_id").as("keep_id"))
@@ -465,6 +480,22 @@ object DedupQueries {
   )
 
   private val baseOracleSql: Map[String, String] = Map(
+    "dedup_fuzzy_pairs" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name,
+        |    regexp_extract(p_name, '(\S+)$', 1) AS blk
+        |  FROM part WHERE p_name IS NOT NULL),
+        |pairs AS (
+        |  SELECT a.blk, a.p_partkey AS a_id, b.p_partkey AS b_id,
+        |         levenshtein(a.p_name, b.p_name) AS dist
+        |  FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |  WHERE a.p_name <> b.p_name
+        |    AND levenshtein(a.p_name, b.p_name) <= 2)
+        |SELECT blk AS block, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_d1,
+        |  CAST(sum(a_id + b_id) AS BIGINT) AS id_sum
+        |FROM pairs GROUP BY blk ORDER BY block""".stripMargin,
     "dedup_exact_firstwins" ->
       """SELECT lang, source, min(doc_id) AS keep_id
         |FROM documents GROUP BY lang, source

@@ -131,6 +131,37 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 3L))
   }
 
+  test("fuzzyPairs: blocked candidates, thresholded verify, viral-block " +
+    "guard") {
+    val df = Seq(
+      (1L, "kettle"), (2L, "kattle"),  // d=1, same first-letter block
+      (3L, "kettles"),                  // d=1 vs kettle, d=2 vs kattle
+      (4L, "kayak"),                    // same block, d>2 from all
+      (5L, "teapot"), (6L, "teapot")    // identical -> excluded
+    ).toDF("id", "name")
+    val blk = substring(col("name"), 1, 1)
+    val pairs = Dedup.fuzzyPairs(df, "id", "name", blk, maxDist = 2)
+      .select("a_id", "b_id", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2)),
+      s"got $pairs")
+    // the viral-block cap drops the k-block (4 members), keeps the rest
+    val capped = Dedup.fuzzyPairs(df, "id", "name", blk, maxDist = 2,
+        maxBlock = Some(3))
+      .select("a_id").collect()
+    assert(capped.isEmpty,
+      "every candidate pair lived in the capped block")
+    // threshold edge: exactly maxDist survives, maxDist+1 does not
+    val edge = Seq((1L, "abcd"), (2L, "abxy"), (3L, "axyz"))
+      .toDF("id", "name")
+    val d2 = Dedup.fuzzyPairs(edge, "id", "name", lit("b"), maxDist = 2)
+      .select("a_id", "b_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet
+    assert(d2 === Set((1L, 2L), (2L, 3L)),
+      "the d=2 pairs survive (abxy~axyz is delete-b + append-z); " +
+        "abcd~axyz at d=3 drops")
+  }
+
   test("ttlFirstWins: greedy per-key throttle — struck rows do not " +
     "refresh the clock; ties strike; null ts drops") {
     import java.sql.Timestamp
