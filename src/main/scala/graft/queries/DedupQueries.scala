@@ -423,6 +423,27 @@ object DedupQueries {
           (col("id") === col("component")).as("keep"))
         .orderBy("doc_id")
     }),
+    // The production survivor policy over the same clusters: keep the
+    // LONGEST member per near-dup component (RefinedWeb's choice — the
+    // longest copy usually subsumes its truncated near-dups), ties by
+    // min id. Diverges from min-id on ~40% of this fixture's grouped
+    // docs, so the policy itself is under the hash.
+    "dedup_groups_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        threshold = 0.5, algo = "md5")
+      val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      val ln = d.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"))
+      comp.join(ln, comp("id") === ln("doc_id"))
+        .select(col("id").as("doc_id"), col("component"), col("n_chars"))
+        .withColumn("keep", row_number().over(
+          Window.partitionBy("component")
+            .orderBy(col("n_chars").desc, col("doc_id"))) === 1)
+        .orderBy("doc_id")
+    }),
     // SemDeDup (arXiv:2303.09540): frozen deterministic IVF cells as
     // the clusters, within-cell cosine pairs at the near_dup_pairs
     // threshold (its cross-engine float boundary is already
@@ -1164,6 +1185,67 @@ object DedupQueries {
         |SELECT id AS doc_id, min(r) AS component,
         |  (id = min(r)) AS keep
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // the PRODUCTION survivor policy: same MinHash/CC machinery, but
+    // each near-dup cluster keeps its LONGEST member (ties by min id)
+    // instead of the lowest id — you keep the best copy, not the
+    // earliest. Replay = the dedup_groups chain + one per-component
+    // window over exact char lengths.
+    "dedup_groups_best" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM d),
+        |mh AS (
+        |  SELECT doc_id, dd.d AS d,
+        |    min(md5(CAST(dd.d AS VARCHAR) || ' ' || s)) AS m
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS d) dd
+        |  GROUP BY doc_id, dd.d),
+        |bands AS (
+        |  SELECT doc_id, CAST(d // 4 AS INT) AS band,
+        |    md5(string_agg(m, '|' ORDER BY d)) AS bucket
+        |  FROM mh GROUP BY doc_id, d // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.doc_id < b.doc_id),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM d),
+        |j AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+        |      AS DOUBLE) AS inter,
+        |    len(ga.g) AS na, len(gb.g) AS nb
+        |  FROM cand c
+        |  JOIN g ga ON ga.doc_id = c.a_id
+        |  JOIN g gb ON gb.doc_id = c.b_id),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM j
+        |  WHERE inter / (na + nb - inter) >= 0.5),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |ln AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND trim(text) <> '')
+        |SELECT c.id AS doc_id, c.component, ln.n_chars,
+        |  (row_number() OVER (PARTITION BY c.component
+        |     ORDER BY ln.n_chars DESC, c.id) = 1) AS keep
+        |FROM comp c JOIN ln ON ln.doc_id = c.id
+        |ORDER BY doc_id""".stripMargin,
     // SemDeDup replay: deterministic first-16 centroids, nearest-cell
     // assignment (list_distance, cell-id tiebreak — the ann_ivf_topk
     // pattern), within-cell cosine pairs, recursive-CTE transitive

@@ -28,7 +28,7 @@ class CoverageContractSpec extends SparkSpec {
   test("declared query count matches the documented coverage board") {
     // COVERAGE.md and the per-round correctness JSON must account for
     // exactly this many rows. Update BOTH when adding a query.
-    assert(SparkEntry.queries.size >= 200,
+    assert(SparkEntry.queries.size >= 201,
       s"query count shrank to ${SparkEntry.queries.size} — a domain map " +
         "was probably dropped from SparkEntry.queries")
   }
@@ -41,7 +41,8 @@ class CoverageContractSpec extends SparkSpec {
     val required = Set("text_c4_filters", "text_c4_stats",
       "text_line_dedup", "lm_linear_train", "lm_linear_classify",
       "corpus_pipeline_clean", "ev_dedup_ttl", "ev_dedup_ttl_stream",
-      "text_unicode_normalize", "dedup_fuzzy_pairs")
+      "text_unicode_normalize", "dedup_fuzzy_pairs",
+      "dedup_groups_best")
     val missing = required -- SparkEntry.queries.keySet
     val unoracled = required -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"dropped queries: ${missing.toSeq.sorted}")
