@@ -27,7 +27,8 @@ object SparkEntry {
     MiscQueries.queries ++
     QualityQueries.queries ++
     FacadeQueries.queries ++
-    PipelineQueries.queries
+    PipelineQueries.queries ++
+    UrlQueries.queries
 
   /** Build-vs-query phase splits for the bench-heavy cells (emitted by
     * Bench.scala as the JSON line's trailing `"phases"` map) — every
@@ -51,5 +52,6 @@ object SparkEntry {
     MiscQueries.oracleSql ++
     QualityQueries.oracleSql ++
     FacadeQueries.oracleSql ++
-    PipelineQueries.oracleSql
+    PipelineQueries.oracleSql ++
+    UrlQueries.oracleSql
 }

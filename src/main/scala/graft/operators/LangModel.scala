@@ -326,4 +326,36 @@ object LangModel {
       s"model at $path has ${m.wMicro.length} weights for dim ${m.dim}")
     m
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., arXiv:1911.00359
+    * §4.3): split a scored corpus into head / middle / tail thirds by
+    * LM score, the standard quality gate fed to downstream sampling
+    * ("keep head+middle, drop tail").
+    *
+    * The cutoffs are calibrated on a deterministic md5 sample — the
+    * CCNet recipe itself (cutoffs fit per language on a sample, then
+    * applied corpus-wide), and the scale shape that avoids a global
+    * sort: the only ordered work is two bounded `TakeOrdered` heaps on
+    * the sample; bucket assignment is then a shuffle-free comparison
+    * projection over the full corpus. Cutoff r-th-smallest semantics
+    * are value-based (ties collapse), so the result is independent of
+    * partitioning and replayable as a row_number() window on any
+    * engine. */
+  def pplBuckets(scored: DataFrame, idCol: String, scoreCol: String,
+      sampleRate: Double): DataFrame = {
+    val sample = scored
+      .filter(Sampling.hashFraction(col(idCol)) < sampleRate)
+      .select(col(scoreCol))
+    val n = sample.count()
+    require(n >= 3, s"ppl cutoff sample too small: $n rows")
+    def kthSmallest(r: Long): Double =
+      sample.orderBy(col(scoreCol)).limit(r.toInt)
+        .agg(max(col(scoreCol))).head().getDouble(0)
+    val c1 = kthSmallest(math.ceil(n / 3.0).toLong)
+    val c2 = kthSmallest(math.ceil(2.0 * n / 3.0).toLong)
+    scored.withColumn("bucket",
+      when(col(scoreCol) <= c1, lit("head"))
+        .when(col(scoreCol) <= c2, lit("middle"))
+        .otherwise(lit("tail")))
+  }
 }

@@ -498,6 +498,58 @@ object DedupQueries {
         .select(col("a_id"), col("b_id"), col("ham").cast("long").as("ham"))
         .orderBy("a_id", "b_id")
     }),
+    // Bloom-filter cross-corpus admission: history (doc_id % 3 != 0)
+    // folds into a deliberately small 1024-bit filter so false
+    // positives actually occur; the incoming batch (doc_id % 3 == 0)
+    // is probed with a shuffle-free literal-bitmap bit test. The
+    // oracle replays every verdict — including each false positive —
+    // from md5 arithmetic, and the true-dup join scores the filter's
+    // error exactly: no false negatives by construction, n_false_pos
+    // quantifies the admission loss.
+    "dedup_bloom_novel" -> ((s, dir) => {
+      import graft.operators.Bloom
+      val clean = docs(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val hist = clean.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val bits = BuildCache.memo(s"bloom:1024:3:$dir") {
+        Bloom.build(hist.select("text"), "text", mBits = 1024, k = 3)
+      }
+      val batch = clean.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val histKeys = hist.select(col("text")).distinct()
+        .withColumn("__indexed", lit(1))
+      batch.withColumn("member", Bloom.memberCol(col("text"), bits, k = 3))
+        .join(broadcast(histKeys), Seq("text"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_batch"),
+          sum(when(col("member"), 1L).otherwise(0L)).as("n_member"),
+          sum(when(!col("member"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("__indexed").isNotNull, 1L).otherwise(0L))
+            .as("n_true_dup"),
+          sum(when(col("member") && col("__indexed").isNull, 1L)
+            .otherwise(0L)).as("n_false_pos"))
+        .orderBy("lang")
+    }),
+    // Bloom filter telemetry at the sizing you'd actually deploy: bits
+    // set, fill per-mille, and the k=3 cubic false-positive estimate —
+    // all integer arithmetic, so the replay is exact. The build's only
+    // corpus-sized pass is one explode+distinct+bit_or aggregation;
+    // the driver holds m/64 longs, never corpus-shaped state.
+    "dedup_bloom_stats" -> ((s, dir) => {
+      import graft.operators.Bloom
+      val hist = docs(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val bits = BuildCache.memo(s"bloom:4096:3:$dir") {
+        Bloom.build(hist.select("text"), "text", mBits = 4096, k = 3)
+      }
+      val nKeys = hist.select("text").distinct().count()
+      val (set, fill, fpp) = Bloom.fillStats(bits, k = 3)
+      import s.implicits._
+      Seq((4096L, 3L, nKeys, set, fill, fpp))
+        .toDF("m_bits", "k", "n_keys", "bits_set", "fill_permille",
+          "fpp_micro")
+    }),
   )
 
   private val baseOracleSql: Map[String, String] = Map(
@@ -1436,6 +1488,62 @@ object DedupQueries {
         |  GROUP BY 1, 2)
         |SELECT a_id, b_id, CAST(ham AS BIGINT) AS ham
         |FROM ham WHERE ham <= 6 ORDER BY a_id, b_id""".stripMargin,
+    // Bloom replay: the filter's lit positions are the distinct
+    // md5-mod-m values of the history keys; a batch key is "member"
+    // iff all three of its positions are lit — identical to the
+    // engine's bitmap bit test, false positives included.
+    "dedup_bloom_novel" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT text FROM documents
+        |  WHERE doc_id % 3 <> 0 AND text IS NOT NULL AND trim(text) <> ''),
+        |js AS (SELECT unnest(range(0, 3)) AS j),
+        |pos AS (
+        |  SELECT DISTINCT
+        |    CAST('0x' || substr(md5(h.text || '|' || CAST(js.j AS VARCHAR)),
+        |                        1, 15) AS BIGINT) % 1024 AS p
+        |  FROM hist h CROSS JOIN js),
+        |batch AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id % 3 = 0 AND text IS NOT NULL AND trim(text) <> ''),
+        |verd AS (
+        |  SELECT b.doc_id, b.lang,
+        |    bool_and(
+        |      CAST('0x' || substr(md5(b.text || '|' || CAST(js.j AS VARCHAR)),
+        |                          1, 15) AS BIGINT) % 1024
+        |        IN (SELECT p FROM pos)) AS member,
+        |    bool_or(b.text IN (SELECT text FROM hist)) AS truedup
+        |  FROM batch b CROSS JOIN js
+        |  GROUP BY b.doc_id, b.lang)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_batch,
+        |  CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_member,
+        |  CAST(sum(CASE WHEN member THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_admitted,
+        |  CAST(sum(CASE WHEN truedup THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_true_dup,
+        |  CAST(sum(CASE WHEN member AND NOT truedup THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_false_pos
+        |FROM verd GROUP BY lang ORDER BY lang""".stripMargin,
+    // Bloom telemetry replay: bits_set = count of distinct lit
+    // positions; fill and fpp in the same integer units as the engine.
+    "dedup_bloom_stats" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT text FROM documents
+        |  WHERE doc_id % 3 <> 0 AND text IS NOT NULL AND trim(text) <> ''),
+        |js AS (SELECT unnest(range(0, 3)) AS j),
+        |pos AS (
+        |  SELECT DISTINCT
+        |    CAST('0x' || substr(md5(h.text || '|' || CAST(js.j AS VARCHAR)),
+        |                        1, 15) AS BIGINT) % 4096 AS p
+        |  FROM hist h CROSS JOIN js),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM pos),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM hist)
+        |SELECT CAST(4096 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k,
+        |  n.n_keys, s.bits_set,
+        |  (s.bits_set * CAST(1000 AS BIGINT)) // CAST(4096 AS BIGINT)
+        |    AS fill_permille,
+        |  (s.bits_set * s.bits_set * s.bits_set * CAST(1000000 AS BIGINT))
+        |    // CAST(68719476736 AS BIGINT) AS fpp_micro
+        |FROM s, n""".stripMargin,
   )
 
   /** The merged shard index holds exactly a full build's rows (every

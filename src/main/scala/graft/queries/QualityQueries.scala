@@ -256,6 +256,22 @@ object QualityQueries {
       LangModel.bigramCrossEntropy(docs(s, dir), "doc_id", "text")
         .orderBy("id")
     }),
+    // CCNet perplexity bucketing: head/middle/tail thirds by bigram
+    // cross-entropy, cutoffs calibrated on a deterministic md5 half —
+    // the oracle replays scoring, sample, both value-rank cutoffs, and
+    // every bucket verdict. Bucket assignment itself is a shuffle-free
+    // comparison projection (the 100 TB path); only the two bounded
+    // TakeOrdered heaps on the sample ever order anything.
+    "lm_ppl_buckets" -> ((s, dir) => {
+      val x = LangModel.bigramCrossEntropy(docs(s, dir), "doc_id", "text")
+      LangModel.pplBuckets(x, "id", "xent", sampleRate = 0.5)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bigrams").as("sum_bigrams"),
+          min("xent").as("min_xent"),
+          max("xent").as("max_xent"))
+        .orderBy("bucket")
+    }),
     // Learned-filter tier: multinomial naive Bayes trained on the even
     // half (lang as label, Laplace smoothing), scoring the odd half —
     // the role fastText-style classifiers play in data pipelines, as
@@ -563,6 +579,54 @@ object QualityQueries {
         |  JOIN c1 ON split_part(bg.b, ' ', 1) = c1.w1)
         |SELECT id, count(*) AS n_bigrams, round(avg(nll), 4) AS xent
         |FROM s GROUP BY id ORDER BY id""".stripMargin,
+    // CCNet bucket replay: same xent pipeline, then the md5-half
+    // sample, value-rank cutoffs at ceil(n/3) and ceil(2n/3), and the
+    // comparison buckets.
+    "lm_ppl_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |bg AS (
+        |  SELECT id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS b
+        |  FROM d WHERE len(w) >= 2),
+        |c2 AS (SELECT b, count(*) AS n2 FROM bg GROUP BY b),
+        |c1 AS (
+        |  SELECT split_part(b, ' ', 1) AS w1, count(*) AS n1
+        |  FROM bg GROUP BY 1),
+        |s AS (
+        |  SELECT bg.id, ln(CAST(c1.n1 AS DOUBLE) / c2.n2) AS nll
+        |  FROM bg JOIN c2 USING (b)
+        |  JOIN c1 ON split_part(bg.b, ' ', 1) = c1.w1),
+        |x AS (
+        |  SELECT id, count(*) AS n_bigrams, round(avg(nll), 4) AS xent
+        |  FROM s GROUP BY id),
+        |smp AS (
+        |  SELECT xent FROM x
+        |  WHERE CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)
+        |    AS BIGINT) / 4294967296.0 < 0.5),
+        |rk AS (
+        |  SELECT xent, row_number() OVER (ORDER BY xent) AS rn,
+        |    (SELECT count(*) FROM smp) AS n
+        |  FROM smp),
+        |cut AS (
+        |  SELECT
+        |    max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+        |        THEN xent END) AS c1,
+        |    max(CASE WHEN rn = CAST(ceil(2.0 * n / 3.0) AS BIGINT)
+        |        THEN xent END) AS c2
+        |  FROM rk),
+        |b AS (
+        |  SELECT x.id, x.n_bigrams, x.xent,
+        |    CASE WHEN x.xent <= cut.c1 THEN 'head'
+        |         WHEN x.xent <= cut.c2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM x, cut)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+        |  min(xent) AS min_xent, max(xent) AS max_xent
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // Full naive-Bayes replay: class token counts + totals + vocab on
     // the even half, add-one log-likelihoods over vocab x classes,
     // doc priors, token-ordered contribution fold on the odd half,

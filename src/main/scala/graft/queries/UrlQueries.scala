@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.UrlOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** URL-provenance coverage: parsing, canonicalization, registered-domain
+  * rollups, and canonical-URL dedup over a deterministic crawl-shaped URL
+  * column derived from `documents` (the corpus ships no URL column, so
+  * both engines derive the SAME urls from doc_id/source/lang — mixed-case
+  * hosts, www prefixes, default and explicit ports, tracking params,
+  * fragments, trailing slashes, multi-label public suffixes).
+  *
+  * Everything is a shuffle-free expression tree until the final rollup;
+  * the reference's corpus rows carry exactly such a `link` column off the
+  * arXiv feed (SDA:117–125). */
+object UrlQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** The deterministic raw-URL fixture (Spark side; [[urlSqlCte]] is the
+    * byte-identical DuckDB derivation). */
+  private def urlCol: Column = {
+    val id = col("doc_id")
+    // page identity: (source, lang, article) — article repeats mod 13,
+    // and tld/query derive from source/article, so distinct docs land
+    // on the SAME canonical page and only the noise below varies
+    val article = pmod(id, lit(13)).cast("string")
+    val tldSel = pmod(pmod(id, lit(20)), lit(4))
+    val tld = when(tldSel === 0, lit("com"))
+      .when(tldSel === 1, lit("org"))
+      .when(tldSel === 2, lit("co.uk"))
+      .otherwise(lit("net"))
+    val qs = when(pmod(id, lit(13)) % 3 === 0,
+        lit("?utm_source=feed&utm_campaign=x"))
+      .when(pmod(id, lit(13)) % 3 === 1,
+        concat(lit("?id="), article, lit("&utm_medium=email&b=2")))
+      .otherwise(lit(""))
+    // canonicalization noise: spelling variants of the same page
+    val scheme = when(pmod(id, lit(17)) === 0, lit("http")).otherwise(lit("https"))
+    val www = when(pmod(id, lit(7)) === 0, lit("WWW.")).otherwise(lit(""))
+    val srcc = when(pmod(id, lit(13)) === 0, upper(col("source")))
+      .otherwise(col("source"))
+    val port = when(pmod(id, lit(5)) === 0, lit(":443")).otherwise(lit(""))
+    val pathTail = when(pmod(id, lit(6)) === 0, lit("/")).otherwise(lit(""))
+    val frag = when(pmod(id, lit(11)) === 0, lit("#sec2")).otherwise(lit(""))
+    concat(scheme, lit("://"), www, srcc, lit("hub."), tld, port,
+      lit("/"), col("lang"), lit("/article/"), article, pathTail, qs, frag)
+  }
+
+  /** Same derivation as a DuckDB CTE body (`u(doc_id, lang, url)`). */
+  private val urlSqlCte: String =
+    """SELECT doc_id, lang,
+      |  (CASE WHEN doc_id % 17 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+      |  (CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 13 = 0 THEN upper(source) ELSE source END) ||
+      |  'hub.' ||
+      |  (CASE (doc_id % 20) % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+      |                          WHEN 2 THEN 'co.uk' ELSE 'net' END) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+      |  '/' || lang || '/article/' || CAST(doc_id % 13 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+      |  (CASE (doc_id % 13) % 3
+      |     WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
+      |     WHEN 1 THEN '?id=' || CAST(doc_id % 13 AS VARCHAR) ||
+      |                 '&utm_medium=email&b=2'
+      |     ELSE '' END) ||
+      |  (CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END) AS url
+      |FROM documents""".stripMargin
+
+  /** DuckDB replay of [[UrlOps.canonicalize]] + host + registered domain,
+    * as CTEs over `u` — list-function arithmetic matching the engine's
+    * expression tree step for step. Produces `c(doc_id, lang, url, host,
+    * domain, canon)`. */
+  private val canonSqlCte: String =
+    """SELECT doc_id, lang, url, host, domain,
+      |  scheme || '://' || h || keep_port || clean_path ||
+      |    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canon
+      |FROM (
+      |  SELECT doc_id, lang, url, scheme, host, h, clean_path,
+      |    CASE WHEN port IN ('', '80', '443') THEN '' ELSE ':' || port END
+      |      AS keep_port,
+      |    coalesce(array_to_string(list_sort(list_filter(
+      |      string_split(q, '&'),
+      |      x -> x <> '' AND NOT starts_with(x, 'utm_')
+      |        AND NOT starts_with(x, 'fbclid=')
+      |        AND NOT starts_with(x, 'gclid=')
+      |        AND NOT starts_with(x, 'ref='))), '&'), '') AS cq,
+      |    CASE WHEN len(parts) <= 2 THEN array_to_string(parts, '.')
+      |         WHEN parts[-2] || '.' || parts[-1]
+      |              IN ('co.uk', 'com.au', 'co.jp')
+      |           THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+      |         ELSE parts[-2] || '.' || parts[-1] END AS domain
+      |  FROM (
+      |    SELECT doc_id, lang, url, scheme, host, h, port,
+      |      rtrim(string_split(pathq, '?')[1], '/') AS clean_path,
+      |      coalesce(string_split(pathq, '?')[2], '') AS q,
+      |      string_split(h, '.') AS parts
+      |    FROM (
+      |      SELECT doc_id, lang, url, scheme, host,
+      |        regexp_replace(host, '^www\.', '') AS h,
+      |        coalesce(string_split(hostport, ':')[2], '') AS port,
+      |        string_split(substr(rest, len(hostport) + 1), '#')[1] AS pathq
+      |      FROM (
+      |        SELECT doc_id, lang, url,
+      |          string_split(url, '://')[1] AS scheme,
+      |          string_split(url, '://')[2] AS rest,
+      |          string_split(string_split(url, '://')[2], '/')[1] AS hostport,
+      |          lower(string_split(string_split(string_split(url, '://')[2],
+      |            '/')[1], ':')[1]) AS host
+      |        FROM u))))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-URL canonicalization: every cleanup rule exercised (case,
+    // www, default/explicit port, tracking strip, param sort, trailing
+    // slash, fragment) and hash-checked string for string.
+    "url_canonicalize" -> ((s, dir) => {
+      docs(s, dir).filter(col("doc_id") < 90)
+        .select(col("doc_id"), urlCol.as("url"))
+        .select(col("doc_id"), col("url"),
+          UrlOps.canonicalize(col("url")).as("canon"),
+          UrlOps.host(col("url")).as("host"),
+          UrlOps.registeredDomain(
+            regexp_replace(UrlOps.host(col("url")), "^www\\.", ""))
+            .as("domain"))
+        .orderBy("doc_id")
+    }),
+    // Registered-domain rollup + blocklist verdict: the per-site
+    // governance shape (domain caps, blocklists) — one hash shuffle on
+    // the domain key.
+    "url_domain_stats" -> ((s, dir) => {
+      val blocked = Seq("src1hub.org", "src3hub.co.uk")
+      val c = docs(s, dir)
+        .select(col("doc_id"), urlCol.as("url"))
+        .select(col("doc_id"), col("url"),
+          UrlOps.canonicalize(col("url")).as("canon"),
+          UrlOps.registeredDomain(
+            regexp_replace(UrlOps.host(col("url")), "^www\\.", ""))
+            .as("domain"))
+      c.groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canon")).as("n_pages"),
+          countDistinct(col("url")).as("n_raw"))
+        .withColumn("blocked", col("domain").isin(blocked: _*))
+        .orderBy("domain")
+    }),
+    // Canonical-URL dedup: distinct raw spellings that collapse onto
+    // one canonical page (article ids repeat mod 37, so true multi-doc
+    // pages exist); first-wins keeper per page, collapsed groups only.
+    "url_dedup_canonical" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), urlCol.as("url"))
+        .select(col("doc_id"), col("url"),
+          UrlOps.canonicalize(col("url")).as("canon"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_spellings"),
+          min(col("doc_id")).as("keeper"))
+        .filter(col("n_docs") > 1)
+        .orderBy("canon")
+    }),
+    // Per-domain document cap (crawl-pipeline domain balancing): at
+    // most 3 docs per registered domain, chosen deterministically by
+    // (md5 fraction, doc_id) — so the survivor set is independent of
+    // partitioning and run order. One rank window per domain key; the
+    // engine's heap-top-k window rewrite keeps it bounded-memory.
+    "url_domain_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = docs(s, dir)
+        .select(col("doc_id"), urlCol.as("url"))
+        .select(col("doc_id"),
+          UrlOps.registeredDomain(
+            regexp_replace(UrlOps.host(col("url")), "^www\\.", ""))
+            .as("domain"))
+        .withColumn("frac", graft.operators.Sampling.hashFraction(col("doc_id")))
+      val w = Window.partitionBy("domain").orderBy(col("frac"), col("doc_id"))
+      c.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("domain"), col("rk").cast("long").as("rk"), col("doc_id"))
+        .orderBy("domain", "rk")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "url_canonicalize" ->
+      s"""WITH u AS ($urlSqlCte),
+         |c AS ($canonSqlCte)
+         |SELECT doc_id, url, canon, host, domain
+         |FROM c WHERE doc_id < 90 ORDER BY doc_id""".stripMargin,
+    "url_domain_stats" ->
+      s"""WITH u AS ($urlSqlCte),
+         |c AS ($canonSqlCte)
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT canon) AS BIGINT) AS n_pages,
+         |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+         |  domain IN ('src1hub.org', 'src3hub.co.uk') AS blocked
+         |FROM c GROUP BY domain ORDER BY domain""".stripMargin,
+    "url_dedup_canonical" ->
+      s"""WITH u AS ($urlSqlCte),
+         |c AS ($canonSqlCte)
+         |SELECT canon, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT url) AS BIGINT) AS n_spellings,
+         |  CAST(min(doc_id) AS BIGINT) AS keeper
+         |FROM c GROUP BY canon HAVING count(*) > 1
+         |ORDER BY canon""".stripMargin,
+    "url_domain_cap" ->
+      s"""WITH u AS ($urlSqlCte),
+         |c AS ($canonSqlCte),
+         |r AS (
+         |  SELECT domain, doc_id,
+         |    row_number() OVER (PARTITION BY domain ORDER BY
+         |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |        AS BIGINT) / 4294967296.0, doc_id) AS rk
+         |  FROM c)
+         |SELECT domain, CAST(rk AS BIGINT) AS rk, doc_id
+         |FROM r WHERE rk <= 3 ORDER BY domain, rk""".stripMargin,
+  )
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Bloom
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+    .filter(col("text").isNotNull && trim(col("text")) =!= "").cache()
+  private lazy val hist = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+  private lazy val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+  private lazy val bits = Bloom.build(hist.select("text"), "text", 1024, 3)
+
+  test("no false negatives: every inserted key is a member") {
+    val n = hist.count()
+    val m = hist.filter(Bloom.memberCol(col("text"), bits, 3)).count()
+    assert(m === n)
+  }
+
+  test("novel keeps only non-members, and every kept row is truly novel") {
+    val histTexts = hist.select("text").as[String].collect().toSet
+    val kept = Bloom.novel(batch, "text", bits, 3)
+      .select("text").as[String].collect()
+    assert(kept.forall(t => !histTexts.contains(t)),
+      "a true duplicate survived the filter")
+    val verdicts = batch
+      .withColumn("member", Bloom.memberCol(col("text"), bits, 3))
+      .select("member").as[Boolean].collect()
+    assert(kept.length === verdicts.count(v => !v))
+  }
+
+  test("bitmap bit test agrees with position-set membership") {
+    val posSet = hist
+      .select(explode(Bloom.positions(col("text"), 1024, 3)).as("p"))
+      .distinct().as[Long].collect().toSet
+    val disagrees = batch
+      .withColumn("member", Bloom.memberCol(col("text"), bits, 3))
+      .withColumn("ps", Bloom.positions(col("text"), 1024, 3))
+      .select("member", "ps").as[(Boolean, Seq[Long])].collect()
+      .filter { case (m, ps) => m != ps.forall(posSet.contains) }
+    assert(disagrees.isEmpty)
+  }
+
+  test("merge of shard builds equals the build of the union") {
+    val a = hist.filter(col("doc_id") < 40)
+    val b = hist.filter(col("doc_id") >= 40)
+    val merged = Bloom.merge(
+      Bloom.build(a.select("text"), "text", 1024, 3),
+      Bloom.build(b.select("text"), "text", 1024, 3))
+    assert(merged.toSeq === bits.toSeq)
+  }
+
+  test("broadcast-variable probe returns the literal probe's rows") {
+    val viaLit = Bloom.novel(batch, "text", bits, 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaBc = Bloom.novelViaBroadcast(batch, "text", bits, 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaBc === viaLit && viaLit.nonEmpty)
+  }
+
+  test("fillStats counts the distinct lit positions") {
+    val (set, fill, fpp) = Bloom.fillStats(bits, 3)
+    val expected = hist
+      .select(explode(Bloom.positions(col("text"), 1024, 3)).as("p"))
+      .distinct().count()
+    assert(set === expected)
+    assert(fill === set * 1000L / 1024L)
+    assert(fpp === set * set * set * 1000000L / (1024L * 1024L * 1024L))
+  }
+
+  test("probe plan is a shuffle-free scan+filter (the 100 TB contract)") {
+    val plan = Bloom.novel(batch, "text", bits, 3)
+      .queryExecution.executedPlan
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, s"probe shuffled:\n$plan")
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, LangModel, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the Gopher/C4-style quality operators: n-gram generation,
@@ -267,5 +267,33 @@ class QualitySpec extends SparkSpec {
     assert(!m(3L)._2 && !m(3L)._5, "symbol-heavy doc fails sym ratio")
     assert(!m(4L)._3 && !m(4L)._5, "numeric doc fails the alpha ratio")
     assert(!m(5L)._4 && !m(5L)._5, "stopword-free doc fails stop rule")
+  }
+
+  test("pplBuckets: thirds are ordered, roughly balanced, and " +
+      "partitioning-independent") {
+    val scored = LangModel.bigramCrossEntropy(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+    val b = LangModel.pplBuckets(scored, "id", "xent", 0.8).cache()
+    val ranges = b.groupBy("bucket")
+      .agg(min("xent").as("lo"), max("xent").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(ranges.keySet === Set("head", "middle", "tail"))
+    assert(ranges("head")._2 <= ranges("middle")._1,
+      "head overlaps middle")
+    assert(ranges("middle")._2 <= ranges("tail")._1,
+      "middle overlaps tail")
+    val n = b.count().toDouble
+    Seq("head", "middle", "tail").foreach { k =>
+      assert(ranges(k)._3 / n > 0.15 && ranges(k)._3 / n < 0.55,
+        s"bucket $k holds ${ranges(k)._3} of $n")
+    }
+    val again = LangModel
+      .pplBuckets(scored.repartition(17), "id", "xent", 0.8)
+      .select("id", "bucket").as[(Long, String)].collect().toSet
+    assert(again === b.select("id", "bucket")
+      .as[(Long, String)].collect().toSet)
+    b.unpersist()
   }
 }

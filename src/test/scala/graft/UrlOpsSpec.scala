@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.UrlOps
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canonOf(urls: String*): Seq[String] =
+    urls.toDF("url").select(UrlOps.canonicalize(col("url"))).as[String].collect().toSeq
+
+  test("parse splits every component") {
+    val row = Seq("https://WWW.Example.Co.Uk:8080/a/b?z=1&a=2#frag").toDF("url")
+      .select(UrlOps.scheme(col("url")).as("s"), UrlOps.host(col("url")).as("h"),
+        UrlOps.port(col("url")).as("p"), UrlOps.path(col("url")).as("pa"),
+        UrlOps.query(col("url")).as("q"), UrlOps.fragment(col("url")).as("f"))
+      .as[(String, String, String, String, String, String)].head()
+    assert(row === (("https", "www.example.co.uk", "8080", "/a/b", "z=1&a=2", "frag")))
+  }
+
+  test("parse of degenerate urls: no port, no path, no query, no fragment") {
+    val row = Seq("http://example.com").toDF("url")
+      .select(UrlOps.host(col("url")), UrlOps.port(col("url")),
+        UrlOps.path(col("url")), UrlOps.query(col("url")),
+        UrlOps.fragment(col("url")))
+      .as[(String, String, String, String, String)].head()
+    assert(row === (("example.com", "", "", "", "")))
+  }
+
+  test("scheme-less junk yields nulls, not an ANSI crash") {
+    val n = Seq("not a url at all").toDF("url")
+      .select(UrlOps.host(col("url"))).as[Option[String]].head()
+    assert(n.isEmpty)
+  }
+
+  test("canonicalize: case, www, default port, tracking, sort, slash, fragment") {
+    assert(canonOf(
+      "https://WWW.Example.COM:443/news/?utm_source=x&id=7&utm_campaign=y#top",
+      "https://example.com/news?id=7",
+      "http://example.com:8080/a?b=2&a=1&fbclid=zz",
+      "https://example.com/?utm_source=feed") === Seq(
+      "https://example.com/news?id=7",
+      "https://example.com/news?id=7",
+      "http://example.com:8080/a?a=1&b=2",
+      "https://example.com"))
+  }
+
+  test("registered domain honors the multi-label suffix list") {
+    val d = Seq("a.b.examplehub.co.uk", "cdn.examplehub.com", "examplehub.net",
+      "localhost").toDF("h")
+      .select(UrlOps.registeredDomain(col("h"))).as[String].collect().toSeq
+    assert(d === Seq("examplehub.co.uk", "examplehub.com", "examplehub.net",
+      "localhost"))
+  }
+
+  test("canonicalization is idempotent") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("https://WWW.s"), col("doc_id").cast("string"),
+        lit("hub.co.uk:443/x/article/"), col("doc_id").cast("string"),
+        lit("/?utm_source=a&q=1#f")).as("url"))
+    val once = docs.select(UrlOps.canonicalize(col("url")).as("c1"))
+    val twice = once.select(col("c1"),
+      UrlOps.canonicalize(col("c1")).as("c2"))
+      .filter(col("c1") =!= col("c2"))
+    assert(twice.count() === 0)
+  }
+
+  test("canonicalize plan is a shuffle-free projection") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("https://shub.com/a/"), col("doc_id").cast("string"))
+        .as("url"))
+    val plan = docs.select(UrlOps.canonicalize(col("url")))
+      .queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty)
+  }
+}
