@@ -232,6 +232,56 @@ object Sampling {
       .orderBy(col("log_weight").desc, col(idCol).asc)
       .limit(k)
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res,
+    * Inf. Process. Lett. 97(5), 2006): each row draws the key
+    * u^(1/w) with u = hashFraction(id); the k LARGEST keys are exactly
+    * a weighted sample without replacement — P(row first) = w / Σw,
+    * then recursively on the rest. With u md5-deterministic the
+    * selected id set is reproducible on any engine/partitioning and
+    * the whole draw replays as SQL pow().
+    *
+    * Scale shape: a shuffle-free key projection + ONE bounded top-k
+    * heap (`TakeOrdered`) — never a global sort, no per-stratum state.
+    * Rows with w ≤ 0 or null never qualify (a zero-weight row must not
+    * beat a positive one at u→1). Ties (never, for distinct ids) break
+    * on id for a total order. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__key",
+        pow(hashFraction(col(idCol)), lit(1.0) / col(weightCol)))
+      .orderBy(col("__key").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__key")
+  }
+
+  /** Deterministic epoch shuffle + shard assignment — the training-data
+    * writer's ordering: epoch e permutes the corpus by
+    * frac = hashFraction(e || '|' || id), shard = floor(frac · n), and
+    * position-in-shard = rank of (frac, id) within the shard. Every
+    * epoch is a fresh, reproducible permutation (change e, nothing
+    * else); membership never changes, only order.
+    *
+    * Scale shape: ONE hash exchange on the shard key + a per-shard
+    * sort — exactly the `repartition(shard).sortWithinPartitions`
+    * plan a shard writer runs; shards are uniform by construction
+    * (md5 fraction), so the sort never sees corpus-scale skew. No
+    * global sort, no driver state. A writer that doesn't need the
+    * explicit `pos` column drops the window and keeps the same
+    * exchange+sort. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val frac = hashFraction(
+      concat_ws("|", lit(epoch.toString), col(idCol).cast("string")))
+    val w = Window.partitionBy("shard").orderBy(col("__frac"), col(idCol))
+    df.withColumn("__frac", frac)
+      .withColumn("shard", floor(col("__frac") * nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__frac")
+  }
+
   def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
       alpha: Double, budget: Double): DataFrame = {
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__ns"))

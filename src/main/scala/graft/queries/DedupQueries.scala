@@ -550,6 +550,47 @@ object DedupQueries {
         .toDF("m_bits", "k", "n_keys", "bits_set", "fill_permille",
           "fpp_micro")
     }),
+    // Efraimidis–Spirakis weighted sampling without replacement:
+    // weight = token count, so long documents are proportionally
+    // likelier — the md5 keys make the drawn set a pure function of
+    // the corpus, and the oracle replays every key and the top-k
+    // selection. Engine cost: a shuffle-free key projection + one
+    // bounded TakeOrdered heap.
+    "sample_weighted" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .withColumn("n_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+      graft.operators.Sampling.weightedSample(d, "doc_id", "n_tokens",
+          k = 120)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+    // Deterministic epoch shuffle: epoch 2 over 8 shards; every row's
+    // (shard, pos) replays from md5 arithmetic — the training-data
+    // writer's reproducible permutation (re-run any epoch, get the
+    // identical byte order).
+    "train_shard_shuffle" -> ((s, dir) => {
+      graft.operators.Sampling.epochShuffle(
+          docs(s, dir).select("doc_id"), "doc_id", epoch = 2, nShards = 8)
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"),
+          col("pos"))
+        .orderBy("doc_id")
+    }),
+    // Shard balance + position contiguity: max(pos) == n_docs per
+    // shard by construction, and the md5 fraction keeps shard sizes
+    // uniform (no hot shard for the per-shard sort to choke on).
+    "train_shard_stats" -> ((s, dir) => {
+      graft.operators.Sampling.epochShuffle(
+          docs(s, dir).select("doc_id"), "doc_id", epoch = 2, nShards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_id"),
+          max("pos").as("max_pos"))
+        .select(col("shard").cast("long").as("shard"), col("n_docs"),
+          col("sum_id"), col("max_pos"))
+        .orderBy("shard")
+    }),
   )
 
   private val baseOracleSql: Map[String, String] = Map(
@@ -1544,6 +1585,54 @@ object DedupQueries {
         |  (s.bits_set * s.bits_set * s.bits_set * CAST(1000000 AS BIGINT))
         |    // CAST(68719476736 AS BIGINT) AS fpp_micro
         |FROM s, n""".stripMargin,
+    // A-Res replay: key = frac^(1/w), top-120 by (key desc, id).
+    "sample_weighted" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |k AS (
+        |  SELECT doc_id, n_tokens,
+        |    pow(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |          AS BIGINT) / 4294967296.0, 1.0 / n_tokens) AS ky
+        |  FROM d WHERE n_tokens > 0),
+        |sel AS (
+        |  SELECT doc_id, n_tokens FROM k
+        |  ORDER BY ky DESC, doc_id LIMIT 120)
+        |SELECT doc_id, n_tokens FROM sel ORDER BY doc_id""".stripMargin,
+    // Epoch-shuffle replay: frac = md5('2|id'), shard = floor(frac·8),
+    // pos = rank of (frac, id) within the shard.
+    "train_shard_shuffle" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5('2|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) / 4294967296.0 AS frac
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, CAST(floor(frac * 8) AS BIGINT) AS shard,
+        |    row_number() OVER (
+        |      PARTITION BY CAST(floor(frac * 8) AS BIGINT)
+        |      ORDER BY frac, doc_id) AS pos
+        |  FROM f)
+        |SELECT doc_id, shard, CAST(pos AS BIGINT) AS pos
+        |FROM a WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+    "train_shard_stats" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5('2|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) / 4294967296.0 AS frac
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, CAST(floor(frac * 8) AS BIGINT) AS shard,
+        |    row_number() OVER (
+        |      PARTITION BY CAST(floor(frac * 8) AS BIGINT)
+        |      ORDER BY frac, doc_id) AS pos
+        |  FROM f)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(max(pos) AS BIGINT) AS max_pos
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
   )
 
   /** The merged shard index holds exactly a full build's rows (every

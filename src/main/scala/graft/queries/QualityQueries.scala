@@ -272,6 +272,25 @@ object QualityQueries {
           max("xent").as("max_xent"))
         .orderBy("bucket")
     }),
+    // Curriculum ordering (easy→hard): head bucket first, then middle,
+    // then tail, epoch-shuffled within each bucket by the md5 fraction
+    // — the training-stream order a curriculum schedule feeds the
+    // loader. The bounded prefix comes off a TakeOrdered heap (no
+    // global sort); the oracle replays priority, shuffle key, and the
+    // top-40 cut.
+    "train_curriculum" -> ((s, dir) => {
+      val x = LangModel.bigramCrossEntropy(docs(s, dir), "doc_id", "text")
+      val b = LangModel.pplBuckets(x, "id", "xent", sampleRate = 0.5)
+      val pri = when(col("bucket") === "head", 0)
+        .when(col("bucket") === "middle", 1).otherwise(2)
+      val frac = graft.operators.Sampling.hashFraction(
+        concat_ws("|", lit("1"), col("id").cast("string")))
+      b.withColumn("pri", pri).withColumn("frac", frac)
+        .orderBy(col("pri"), col("frac"), col("id"))
+        .limit(40)
+        .select(col("id"), col("bucket"))
+        .orderBy("id")
+    }),
     // Learned-filter tier: multinomial naive Bayes trained on the even
     // half (lang as label, Laplace smoothing), scoring the odd half —
     // the role fastText-style classifiers play in data pipelines, as
@@ -402,6 +421,53 @@ object QualityQueries {
         }
         Map("train" -> train, "score" -> score)
       }))
+
+  /** Shared replay chain for the CCNet bucketing queries — bigram
+    * cross-entropy per doc, the md5-half calibration sample, both
+    * value-rank cutoffs, and the bucket verdicts; yields
+    * `b(id, n_bigrams, xent, bucket)`. A def, so map literals above or
+    * below may reference it without object-init-order hazards. */
+  private def xentBucketCte: String =
+    """d AS (
+      |  SELECT doc_id AS id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS w
+      |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+      |bg AS (
+      |  SELECT id, unnest(list_transform(range(1, len(w)),
+      |    i -> w[i] || ' ' || w[i+1])) AS b
+      |  FROM d WHERE len(w) >= 2),
+      |c2 AS (SELECT b, count(*) AS n2 FROM bg GROUP BY b),
+      |c1 AS (
+      |  SELECT split_part(b, ' ', 1) AS w1, count(*) AS n1
+      |  FROM bg GROUP BY 1),
+      |s AS (
+      |  SELECT bg.id, ln(CAST(c1.n1 AS DOUBLE) / c2.n2) AS nll
+      |  FROM bg JOIN c2 USING (b)
+      |  JOIN c1 ON split_part(bg.b, ' ', 1) = c1.w1),
+      |x AS (
+      |  SELECT id, count(*) AS n_bigrams, round(avg(nll), 4) AS xent
+      |  FROM s GROUP BY id),
+      |smp AS (
+      |  SELECT xent FROM x
+      |  WHERE CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)
+      |    AS BIGINT) / 4294967296.0 < 0.5),
+      |rk AS (
+      |  SELECT xent, row_number() OVER (ORDER BY xent) AS rn,
+      |    (SELECT count(*) FROM smp) AS n
+      |  FROM smp),
+      |cut AS (
+      |  SELECT
+      |    max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+      |        THEN xent END) AS c1,
+      |    max(CASE WHEN rn = CAST(ceil(2.0 * n / 3.0) AS BIGINT)
+      |        THEN xent END) AS c2
+      |  FROM rk),
+      |b AS (
+      |  SELECT x.id, x.n_bigrams, x.xent,
+      |    CASE WHEN x.xent <= cut.c1 THEN 'head'
+      |         WHEN x.xent <= cut.c2 THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM x, cut)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // Gopher-rule replay: identical tokenization, single-fold list
@@ -582,51 +648,23 @@ object QualityQueries {
     // CCNet bucket replay: same xent pipeline, then the md5-half
     // sample, value-rank cutoffs at ceil(n/3) and ceil(2n/3), and the
     // comparison buckets.
-    "lm_ppl_buckets" ->
-      """WITH d AS (
-        |  SELECT doc_id AS id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS w
-        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
-        |bg AS (
-        |  SELECT id, unnest(list_transform(range(1, len(w)),
-        |    i -> w[i] || ' ' || w[i+1])) AS b
-        |  FROM d WHERE len(w) >= 2),
-        |c2 AS (SELECT b, count(*) AS n2 FROM bg GROUP BY b),
-        |c1 AS (
-        |  SELECT split_part(b, ' ', 1) AS w1, count(*) AS n1
-        |  FROM bg GROUP BY 1),
-        |s AS (
-        |  SELECT bg.id, ln(CAST(c1.n1 AS DOUBLE) / c2.n2) AS nll
-        |  FROM bg JOIN c2 USING (b)
-        |  JOIN c1 ON split_part(bg.b, ' ', 1) = c1.w1),
-        |x AS (
-        |  SELECT id, count(*) AS n_bigrams, round(avg(nll), 4) AS xent
-        |  FROM s GROUP BY id),
-        |smp AS (
-        |  SELECT xent FROM x
-        |  WHERE CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)
-        |    AS BIGINT) / 4294967296.0 < 0.5),
-        |rk AS (
-        |  SELECT xent, row_number() OVER (ORDER BY xent) AS rn,
-        |    (SELECT count(*) FROM smp) AS n
-        |  FROM smp),
-        |cut AS (
-        |  SELECT
-        |    max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
-        |        THEN xent END) AS c1,
-        |    max(CASE WHEN rn = CAST(ceil(2.0 * n / 3.0) AS BIGINT)
-        |        THEN xent END) AS c2
-        |  FROM rk),
-        |b AS (
-        |  SELECT x.id, x.n_bigrams, x.xent,
-        |    CASE WHEN x.xent <= cut.c1 THEN 'head'
-        |         WHEN x.xent <= cut.c2 THEN 'middle'
-        |         ELSE 'tail' END AS bucket
-        |  FROM x, cut)
-        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+    "lm_ppl_buckets" -> (s"WITH $xentBucketCte\n" +
+      """SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
         |  min(xent) AS min_xent, max(xent) AS max_xent
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+    // Curriculum replay: bucket priority head<middle<tail, epoch-1 md5
+    // shuffle within priority, bounded top-40.
+    "train_curriculum" -> (s"WITH $xentBucketCte,\n" +
+      """f AS (
+        |  SELECT id, bucket,
+        |    CASE bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1
+        |      ELSE 2 END AS pri,
+        |    CAST('0x' || substr(md5('1|' || CAST(id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) / 4294967296.0 AS frac
+        |  FROM b),
+        |sel AS (SELECT id, bucket FROM f ORDER BY pri, frac, id LIMIT 40)
+        |SELECT id, bucket FROM sel ORDER BY id""".stripMargin),
     // Full naive-Bayes replay: class token counts + totals + vocab on
     // the even half, add-one log-likelihoods over vocab x classes,
     // doc priors, token-ordered contribution fold on the odd half,

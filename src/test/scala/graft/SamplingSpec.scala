@@ -197,4 +197,80 @@ class SamplingSpec extends SparkSpec {
     assert(selEn > allEn,
       s"selection en-share $selEn must exceed corpus share $allEn")
   }
+
+  test("weightedSample: zero/negative/null weights never qualify; " +
+      "k >= survivors keeps them all") {
+    val df = Seq((1L, Some(5L)), (2L, Some(0L)), (3L, Some(3L)),
+      (4L, Some(-1L)), (5L, None)).toDF("id", "w")
+    val out = Sampling.weightedSample(df, "id", "w", 10)
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(1L, 3L))
+  }
+
+  test("weightedSample equals the driver-local A-Res replay and is " +
+      "partitioning-independent; heavy rows dominate") {
+    val d = docs.filter($"text".isNotNull && trim($"text") =!= "")
+      .withColumn("w", size(split(trim($"text"), "\\s+")).cast("long"))
+    def md5Frac(s: String): Double = {
+      val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+      java.lang.Long.parseLong(h.substring(0, 8), 16) / 4294967296.0
+    }
+    val local = d.select("doc_id", "w").as[(Long, Long)].collect()
+      .filter(_._2 > 0)
+      .map { case (id, w) =>
+        (id, math.pow(md5Frac(id.toString), 1.0 / w)) }
+      .sortBy { case (id, k) => (-k, id) }
+      .take(60).map(_._1).toSet
+    val sel = Sampling.weightedSample(d, "doc_id", "w", 60)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel === local)
+    val again = Sampling.weightedSample(d.repartition(13), "doc_id", "w", 60)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === sel)
+
+    // bias: 5 heavy rows (w=500) among 200 light rows (w=1) — the
+    // heavy rows must be overrepresented in a k=20 draw
+    val skew = ((0L until 200L).map((_, 1L)) ++
+      (1000L until 1005L).map((_, 500L))).toDF("id", "w")
+    val heavy = Sampling.weightedSample(skew, "id", "w", 20)
+      .select("id").as[Long].collect().count(_ >= 1000L)
+    assert(heavy >= 4, s"only $heavy of 5 heavy rows drawn")
+  }
+
+  test("epochShuffle: membership preserved, shards in range, pos is " +
+      "a 1..n_s contiguous ranking per shard") {
+    val out = Sampling.epochShuffle(docs.select("doc_id"), "doc_id",
+      epoch = 3, nShards = 4).cache()
+    assert(out.count() === docs.count())
+    assert(out.select("doc_id").distinct().count() === docs.count())
+    val shards = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("np"))
+      .collect()
+    assert(shards.map(_.getInt(0)).toSet.subsetOf((0 until 4).toSet))
+    shards.foreach { r =>
+      val (n, mx, mn, np) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(np === n, s"pos has duplicates in shard ${r.getInt(0)}")
+      assert(mx === n && mn === 1L,
+        s"pos not contiguous 1..n in shard ${r.getInt(0)}: $r")
+    }
+    assert(shards.map(_.getLong(1)).max <
+      2L * shards.map(_.getLong(1)).min + 8,
+      "md5 shards should be roughly balanced")
+    out.unpersist()
+  }
+
+  test("epochShuffle: epochs permute differently but keep membership; " +
+      "repartition-invariant") {
+    def perm(e: Int, df: org.apache.spark.sql.DataFrame) =
+      Sampling.epochShuffle(df, "doc_id", e, nShards = 4)
+        .select("doc_id", "shard", "pos")
+        .as[(Long, Int, Long)].collect().toSet
+    val e1 = perm(1, docs.select("doc_id"))
+    val e2 = perm(2, docs.select("doc_id"))
+    assert(e1.map(_._1) === e2.map(_._1), "membership must not change")
+    assert(e1 !== e2, "different epochs must permute differently")
+    assert(perm(1, docs.select("doc_id").repartition(17)) === e1)
+  }
 }
