@@ -343,19 +343,25 @@ object LangModel {
     * engine. */
   def pplBuckets(scored: DataFrame, idCol: String, scoreCol: String,
       sampleRate: Double): DataFrame = {
+    // the sample (one double per row, bounded by the calibration rate)
+    // is read three times — count + both cutoff heaps; persist it so
+    // the upstream scoring pipeline runs once for calibration, not 3x
     val sample = scored
       .filter(Sampling.hashFraction(col(idCol)) < sampleRate)
       .select(col(scoreCol))
-    val n = sample.count()
-    require(n >= 3, s"ppl cutoff sample too small: $n rows")
-    def kthSmallest(r: Long): Double =
-      sample.orderBy(col(scoreCol)).limit(r.toInt)
-        .agg(max(col(scoreCol))).head().getDouble(0)
-    val c1 = kthSmallest(math.ceil(n / 3.0).toLong)
-    val c2 = kthSmallest(math.ceil(2.0 * n / 3.0).toLong)
-    scored.withColumn("bucket",
-      when(col(scoreCol) <= c1, lit("head"))
-        .when(col(scoreCol) <= c2, lit("middle"))
-        .otherwise(lit("tail")))
+      .persist()
+    try {
+      val n = sample.count()
+      require(n >= 3, s"ppl cutoff sample too small: $n rows")
+      def kthSmallest(r: Long): Double =
+        sample.orderBy(col(scoreCol)).limit(r.toInt)
+          .agg(max(col(scoreCol))).head().getDouble(0)
+      val c1 = kthSmallest(math.ceil(n / 3.0).toLong)
+      val c2 = kthSmallest(math.ceil(2.0 * n / 3.0).toLong)
+      scored.withColumn("bucket",
+        when(col(scoreCol) <= c1, lit("head"))
+          .when(col(scoreCol) <= c2, lit("middle"))
+          .otherwise(lit("tail")))
+    } finally sample.unpersist()
   }
 }

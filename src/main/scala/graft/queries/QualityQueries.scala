@@ -18,6 +18,19 @@ object QualityQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  /** Shared bigram cross-entropy scores (one tiny (id, n, score) row
+    * per doc) — the CCNet bucketing cells consume them several times
+    * (cutoff calibration + assignment + curriculum order), so the
+    * scoring pipeline runs once per dir, BuildCache-style; the cold
+    * cost stays visible in the independent `lm_bigram_xent` cell. */
+  private def cachedXent(s: SparkSession, dir: String) =
+    BuildCache.memo(s"xent:$dir") {
+      val x = LangModel
+        .bigramCrossEntropy(docs(s, dir), "doc_id", "text").persist()
+      x.count()
+      x
+    }
+
   /** Deterministic MULTI-LINE corpus derived from `documents` (the
     * fixture texts are single-line): tokens re-wrap into 7-word lines,
     * ~2/3 of lines get a terminal period (doc_id+line parity), and
@@ -263,8 +276,8 @@ object QualityQueries {
     // comparison projection (the 100 TB path); only the two bounded
     // TakeOrdered heaps on the sample ever order anything.
     "lm_ppl_buckets" -> ((s, dir) => {
-      val x = LangModel.bigramCrossEntropy(docs(s, dir), "doc_id", "text")
-      LangModel.pplBuckets(x, "id", "xent", sampleRate = 0.5)
+      LangModel.pplBuckets(cachedXent(s, dir), "id", "xent",
+          sampleRate = 0.5)
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_bigrams").as("sum_bigrams"),
@@ -279,8 +292,8 @@ object QualityQueries {
     // global sort); the oracle replays priority, shuffle key, and the
     // top-40 cut.
     "train_curriculum" -> ((s, dir) => {
-      val x = LangModel.bigramCrossEntropy(docs(s, dir), "doc_id", "text")
-      val b = LangModel.pplBuckets(x, "id", "xent", sampleRate = 0.5)
+      val b = LangModel.pplBuckets(cachedXent(s, dir), "id", "xent",
+        sampleRate = 0.5)
       val pri = when(col("bucket") === "head", 0)
         .when(col("bucket") === "middle", 1).otherwise(2)
       val frac = graft.operators.Sampling.hashFraction(
