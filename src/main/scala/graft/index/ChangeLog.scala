@@ -28,6 +28,43 @@ object ChangeLog {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Snapshot-as-of (Delta-style time travel re-expressed over the
+    * journal): fold every change with `__seq` <= `asOfSeq` into the
+    * table state — the latest surviving payload per PK. ONE pk-keyed
+    * window argmax, never a sequential replay, so reconstructing any
+    * historical snapshot costs the same one shuffle regardless of how
+    * many versions lie between. */
+  def stateAt(journal: DataFrame, pkCol: String, asOfSeq: Long): DataFrame =
+    latestPerPk(journal.filter(col("__seq") <= asOfSeq), pkCol)
+      .filter(col("__op") =!= OpDelete)
+      .drop("__op", "__seq")
+
+  /** Net row-level diff between two snapshot sequences — the CDF read
+    * seam an incremental consumer tails: for each PK changed in
+    * (fromSeq, toSeq], the effective op RELATIVE to the fromSeq state —
+    * 'I' if the PK did not exist then, 'D' if it existed and the last
+    * in-window change deletes it, 'U' otherwise; PKs with no net effect
+    * (created AND deleted inside the window) are suppressed. Two window
+    * argmaxes + one pk join — cost is the changed-row volume, never the
+    * table or the version count. */
+  def netChanges(journal: DataFrame, pkCol: String, fromSeq: Long,
+      toSeq: Long): DataFrame = {
+    val before = latestPerPk(journal.filter(col("__seq") <= fromSeq), pkCol)
+      .select(col(pkCol), (col("__op") =!= OpDelete).as("__existed"))
+    val win = latestPerPk(
+      journal.filter(col("__seq") > fromSeq && col("__seq") <= toSeq), pkCol)
+    win.join(before, Seq(pkCol), "left")
+      .withColumn("__existed", coalesce(col("__existed"), lit(false)))
+      .withColumn("__net",
+        when(col("__op") === OpDelete,
+          when(col("__existed"), lit(OpDelete)).otherwise(lit(null)))
+          .otherwise(when(col("__existed"), lit(OpUpdate))
+            .otherwise(lit(OpInsert))))
+      .filter(col("__net").isNotNull)
+      .drop("__op", "__existed")
+      .withColumnRenamed("__net", "__op")
+  }
+
   /** Apply a change batch to a snapshot: remove every changed PK, then
     * re-insert the surviving upsert payloads. */
   def applyBatch(current: DataFrame, changes: DataFrame,

@@ -108,6 +108,39 @@ object InfraQueries {
           dir.replaceAll("[^0-9.]", ""))
     }
 
+  /** Deterministic CDF fixture over `documents`: insert every doc
+    * (< 300, non-null text) at seq=id, update pk%5 at seq=1000+id with
+    * a ' v2' payload, delete pk%7 at seq=2000+id. [[cdfJournalCte]] is
+    * the byte-identical DuckDB derivation (`j(doc_id, text, op, seq)`). */
+  private def cdfJournal(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 300 && col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val ins = base.select(col("doc_id"), col("text"),
+      lit(ChangeLog.OpInsert).as("__op"), col("doc_id").as("__seq"))
+    val upd = base.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+        lit(ChangeLog.OpUpdate).as("__op"),
+        (col("doc_id") + 1000).as("__seq"))
+    val del = base.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"), col("text"),
+        lit(ChangeLog.OpDelete).as("__op"),
+        (col("doc_id") + 2000).as("__seq"))
+    ins.unionByName(upd).unionByName(del)
+  }
+
+  private def cdfJournalCte: String =
+    """SELECT doc_id, text, 'I' AS op, CAST(doc_id AS BIGINT) AS seq
+      |FROM documents WHERE doc_id < 300 AND text IS NOT NULL
+      |UNION ALL
+      |SELECT doc_id, text || ' v2', 'U', doc_id + 1000
+      |FROM documents
+      |WHERE doc_id < 300 AND text IS NOT NULL AND doc_id % 5 = 0
+      |UNION ALL
+      |SELECT doc_id, text, 'D', doc_id + 2000
+      |FROM documents
+      |WHERE doc_id < 300 AND text IS NOT NULL AND doc_id % 7 = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Build a vector index (normalize + norm column + persist) and report
     // its stats — oracle checks rows/pks/avg pre-normalization norm.
@@ -142,6 +175,48 @@ object InfraQueries {
         count(lit(1)).as("n"),
         sum(col("vec_id")).as("sum_pk"),
         round(avg("__norm"), 4).as("avg_norm"))
+    }),
+    // Delta-style time travel over the CDF journal: a 3-phase journal
+    // (inserts, ' v2' updates on pk%5, deletes on pk%7) folded to the
+    // state at three sequence cutoffs. Each snapshot is ONE pk-keyed
+    // window argmax — reconstruction cost does not grow with the
+    // number of versions between. The oracle rebuilds the same
+    // journal and folds every snapshot relationally.
+    "cdf_time_travel" -> ((s, dir) => {
+      val j = cdfJournal(s, dir)
+      Seq(150L, 1999L, 3000L).map { asOf =>
+        ChangeLog.stateAt(j, "doc_id", asOf)
+          .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"),
+            sum(length(col("text"))).as("sum_len"))
+          .withColumn("snap_seq", lit(asOf))
+      }.reduce(_.unionByName(_)).orderBy("snap_seq")
+    }),
+    // CDF net-diff read between snapshots 150 and 3000: the effective
+    // op per changed pk RELATIVE to the older snapshot — in-window
+    // create+delete pairs must vanish, in-window insert+update must
+    // read as one insert. Row-level and hash-checked.
+    "cdf_net_changes" -> ((s, dir) => {
+      ChangeLog.netChanges(cdfJournal(s, dir), "doc_id", 150L, 3000L)
+        .select(col("doc_id"), col("__op").as("op"),
+          length(col("text")).cast("long").as("text_len"))
+        .orderBy("doc_id")
+    }),
+    // Z-order clustering codes: the Morton interleave and the layout's
+    // grid-cell id are pure integer arithmetic, so the oracle replays
+    // every bit test. The pruning claim (a box query opens only its
+    // intersecting cell dirs) is metric-asserted in ZOrderSpec —
+    // engine internals, like the other persisted layouts.
+    "layout_zorder" -> ((s, dir) => {
+      import graft.index.ZOrder
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(64)).as("a"),
+          pmod(shiftright(col("doc_id"), 6), lit(64)).as("b"))
+        .withColumn("z", ZOrder.morton2(col("a"), col("b"), 6).cast("long"))
+        .withColumn("zc", ZOrder.zCell(col("a"), col("b"), 6, 2).cast("long"))
+        .select(col("doc_id"), col("a").cast("long").as("a"),
+          col("b").cast("long").as("b"), col("z"), col("zc"))
+        .orderBy("doc_id")
     }),
     // IVF ANN with REAL centroid pruning (nProbe=4 of 16), deterministic
     // centroids (first 16 corpus vectors by id) — the assignment, probe
@@ -3800,6 +3875,62 @@ object InfraQueries {
         |  round(avg(sqrt(list_dot_product(embedding, embedding))), 4)
         |    AS avg_norm
         |FROM merged""".stripMargin,
+    // Time-travel replay: per (snapshot, pk) window argmax over the
+    // journal prefix, deletes dropped, per-snapshot aggregates.
+    "cdf_time_travel" -> (s"WITH j AS ($cdfJournalCte),\n" +
+      """snap AS (SELECT unnest([150, 1999, 3000]) AS snap_seq),
+        |st AS (
+        |  SELECT s.snap_seq, j.doc_id, j.text, j.op,
+        |    row_number() OVER (PARTITION BY s.snap_seq, j.doc_id
+        |      ORDER BY j.seq DESC) AS rn
+        |  FROM j JOIN snap s ON j.seq <= s.snap_seq)
+        |SELECT CAST(snap_seq AS BIGINT) AS snap_seq, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(len(text)) AS BIGINT) AS sum_len
+        |FROM st WHERE rn = 1 AND op <> 'D'
+        |GROUP BY snap_seq ORDER BY snap_seq""".stripMargin),
+    // Net-diff replay: argmax at the older snapshot for existence,
+    // argmax over the window for the last payload/op, then the
+    // relative-op case split with no-net-change suppression.
+    "cdf_net_changes" -> (s"WITH j AS ($cdfJournalCte),\n" +
+      """bef AS (
+        |  SELECT doc_id, (op <> 'D') AS existed FROM (
+        |    SELECT doc_id, op,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC)
+        |        AS rn
+        |    FROM j WHERE seq <= 150) WHERE rn = 1),
+        |win AS (
+        |  SELECT doc_id, text, op FROM (
+        |    SELECT doc_id, text, op,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC)
+        |        AS rn
+        |    FROM j WHERE seq > 150 AND seq <= 3000) WHERE rn = 1),
+        |net AS (
+        |  SELECT w.doc_id, w.text,
+        |    CASE WHEN w.op = 'D' THEN
+        |           (CASE WHEN coalesce(b.existed, false) THEN 'D' END)
+        |         WHEN coalesce(b.existed, false) THEN 'U'
+        |         ELSE 'I' END AS op
+        |  FROM win w LEFT JOIN bef b USING (doc_id))
+        |SELECT doc_id, op, CAST(len(text) AS BIGINT) AS text_len
+        |FROM net WHERE op IS NOT NULL ORDER BY doc_id""".stripMargin),
+    // Morton replay: z = sum of interleaved bit tests; zc = the 2-bit
+    // grid-cell interleave of each dimension's top bits.
+    "layout_zorder" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 64 AS a, (doc_id // 64) % 64 AS b
+        |  FROM documents WHERE doc_id < 200),
+        |js AS (SELECT unnest(range(0, 6)) AS j),
+        |z AS (
+        |  SELECT doc_id, a, b,
+        |    CAST(sum(((a // (1 << j)) % 2) * (1 << (2 * j)) +
+        |             ((b // (1 << j)) % 2) * (1 << (2 * j + 1)))
+        |      AS BIGINT) AS z
+        |  FROM d CROSS JOIN js GROUP BY doc_id, a, b)
+        |SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, z,
+        |  CAST(((a // 16) % 2) + ((b // 16) % 2) * 2 +
+        |       ((a // 32) % 2) * 4 + ((b // 32) % 2) * 8 AS BIGINT) AS zc
+        |FROM z ORDER BY doc_id""".stripMargin,
     // PPM decode replay: the generator's pixel formula over unnested
     // pixel ranges — the Spark side parsed REAL image bytes to get the
     // same means, so the hash proves the decoder.

@@ -78,6 +78,34 @@ class IndexSpec extends SparkSpec {
     assert(v0 === v306)
   }
 
+  test("stateAt folds the journal prefix; netChanges reports ops " +
+      "relative to the older snapshot") {
+    val j = Seq(
+      (1L, "a1", "I", 1L),
+      (2L, "b1", "I", 2L), (2L, "b2", "U", 10L), (2L, "b2", "D", 20L),
+      (3L, "c1", "I", 12L), (3L, "c1", "D", 15L),
+      (4L, "d1", "I", 11L), (4L, "d2", "U", 18L))
+      .toDF("pk", "text", "__op", "__seq")
+    def state(asOf: Long) = ChangeLog.stateAt(j, "pk", asOf)
+      .select("pk", "text").as[(Long, String)].collect().toMap
+    assert(state(5L) === Map(1L -> "a1", 2L -> "b1"))
+    assert(state(12L) === Map(1L -> "a1", 2L -> "b2", 3L -> "c1",
+      4L -> "d1"))
+    assert(state(25L) === Map(1L -> "a1", 4L -> "d2"))
+
+    val net = ChangeLog.netChanges(j, "pk", 5L, 25L)
+      .select("pk", "__op").as[(Long, String)].collect().toMap
+    // pk1 untouched in the window -> absent; pk2 existed then deleted
+    // -> D; pk3 created AND deleted inside the window -> suppressed;
+    // pk4 created then updated inside the window -> one net I
+    assert(net === Map(2L -> "D", 4L -> "I"))
+    // the window is half-open: the U@10 belongs to the BEFORE state,
+    // so pk2's net op stays a delete of an existing row
+    val net2 = ChangeLog.netChanges(j, "pk", 10L, 25L)
+      .select("pk", "__op").as[(Long, String)].collect().toMap
+    assert(net2 === Map(2L -> "D", 4L -> "I"))
+  }
+
   test("streaming triggered sync drains a journal directory") {
     val source = emb.filter($"vec_id" < 100)
     val idx = newIndex("stream")

@@ -1,0 +1,77 @@
+package graft
+
+import graft.index.ZOrder
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Z-order clustering: Morton-code correctness (vs hand codes and the
+  * driver twin) and the layout's data-skipping contract — a box query
+  * opens only the cell dirs it intersects, and 2-D clustering prunes
+  * where a single-column layout cannot. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def filesRead(df: org.apache.spark.sql.DataFrame,
+      frag: String): Long = {
+    df.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString
+        .contains(frag)))
+      .map(_.metrics("numFiles").value).sum
+  }
+
+  private lazy val grid = (0L until 4096L)
+    .map(i => (i, i % 64, i / 64)).toDF("id", "a", "b")
+
+  test("morton2 matches hand codes, the driver twin, and is a " +
+      "bijection over the grid") {
+    val out = Seq((3L, 0L), (0L, 3L), (5L, 6L), (63L, 63L)).toDF("a", "b")
+      .select(ZOrder.morton2($"a", $"b", 6).as("z")).as[Long].collect()
+    assert(out(0) === 5L, "a=11b interleaves to 0101b")
+    assert(out(1) === 10L, "b=11b interleaves to 1010b")
+    assert(out(2) === ZOrder.mortonLong(5, 6, 6))
+    assert(out(3) === 4095L)
+    val all = grid.select(ZOrder.morton2($"a", $"b", 6).as("z"))
+      .as[Long].collect()
+    assert(all.distinct.length === 4096 && all.min === 0L &&
+      all.max === 4095L)
+  }
+
+  test("box query opens only intersecting cell dirs and equals the " +
+      "full-scan filter") {
+    val path = Files.createTempDirectory("graft_zorder").toString + "/t"
+    ZOrder.write(grid, path, "a", "b", dimBits = 6, gridBits = 3)
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("__zc=")) === 64)
+    val one = ZOrder.readBox(spark, path, "a", "b", 0, 7, 8, 15, 6, 3)
+    assert(filesRead(one, "/t") === 1L, "aligned cell box reads 1 dir")
+    val four = ZOrder.readBox(spark, path, "a", "b", 0, 15, 0, 15, 6, 3)
+    assert(filesRead(four, "/t") === 4L, "quarter box reads 4 dirs")
+    val box = ZOrder.readBox(spark, path, "a", "b", 5, 20, 9, 40, 6, 3)
+    val expect = grid.filter($"a".between(5, 20) && $"b".between(9, 40))
+      .select("id").as[Long].collect().toSet
+    assert(box.select("id").as[Long].collect().toSet === expect)
+  }
+
+  test("2-D clustering prunes a cross-dimension box where a " +
+      "single-column layout cannot") {
+    val dir = Files.createTempDirectory("graft_zcmp").toString
+    ZOrder.write(grid, s"$dir/z", "a", "b", 6, 3)
+    grid.withColumn("__ab", shiftright($"a", 3))
+      .repartition($"__ab").write.partitionBy("__ab").parquet(s"$dir/lin")
+    // full a range, narrow b range: the a-only layout prunes nothing
+    val z = ZOrder.readBox(spark, s"$dir/z", "a", "b", 0, 63, 0, 7, 6, 3)
+    val zFrac = filesRead(z, "/z") / 64.0
+    val lin = spark.read.parquet(s"$dir/lin")
+      .filter($"a".between(0, 63) && $"b".between(0, 7))
+    val linFrac = filesRead(lin, "/lin") / 8.0
+    assert(zFrac <= 0.125 && linFrac === 1.0,
+      s"z read fraction $zFrac, linear $linFrac")
+    assert(z.count() === lin.count())
+  }
+}
