@@ -71,15 +71,23 @@ object Bloom {
   }
 
   /** Membership verdict for `key` against a built filter: all k bits
-    * set. A pure codegen'd projection — the bitmap is a literal array
-    * in the plan; no join, no shuffle. */
+    * set. The k tests are UNROLLED into plain conjunct expressions
+    * (k is known here), not a lambda `forall` — higher-order array
+    * functions fall back to interpreted eval, while this form stays
+    * inside whole-stage codegen (PlanAuditSpec pins it). The bitmap is
+    * a literal array in the plan; no join, no shuffle. */
   def memberCol(key: Column, bits: Array[Long], k: Int): Column = {
+    require(k >= 1 && k <= 32, s"k out of range: $k")
     val mBits = bits.length * 64
     val words = typedLit(bits.toSeq)
-    forall(positions(key, mBits, k), p =>
+    (0 until k).map { j =>
+      val p = pmod(conv(substring(
+        md5(concat(key, lit("|"), lit(j.toString))), 1, 15), 16, 10)
+        .cast("long"), lit(mBits.toLong))
       (element_at(words, shiftright(p, 6).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L),
-          pmod(p, lit(64L)).cast("int")))) =!= lit(0L))
+          pmod(p, lit(64L)).cast("int")))) =!= lit(0L)
+    }.reduce(_ && _)
   }
 
   /** Keep only rows whose key is NOT (probably) in the history — the

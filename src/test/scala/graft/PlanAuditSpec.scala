@@ -321,4 +321,52 @@ class PlanAuditSpec extends SparkSpec {
       s"scoring is a projection — a (dim+1)-long model never needs a " +
         s"join or shuffle:\n${p.take(1200)}")
   }
+
+  test("bloom probe: a shuffle-free filter, the bitmap rides as a " +
+    "literal, no join") {
+    import graft.operators.Bloom
+    spark.sharedState.cacheManager.clearCache()
+    val bits = Array.fill(16)(0x5555555555555555L)
+    val p = Bloom.novel(spark.read.parquet(s"$sf/documents.parquet"),
+        "text", bits, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"the probe must stay a scan+filter:\n${p.take(1200)}")
+    // the "*(n)" node prefix is the whole-stage-codegen marker; the
+    // lambda-forall form of the probe fell back to interpreted eval
+    assert("""\*\(\d+\) Filter""".r.findFirstIn(p).isDefined,
+      s"probe filter must be inside a codegen stage:\n${p.take(400)}")
+  }
+
+  test("weightedSample: a bounded TakeOrdered heap, never a global sort") {
+    spark.sharedState.cacheManager.clearCache()
+    val p = plan("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"A-Res top-k must be a heap:\n${p.take(1200)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "no range-partitioned global sort for a bounded draw")
+  }
+
+  test("epochShuffle: exactly one hash exchange (the shard key), " +
+    "nothing corpus-global") {
+    spark.sharedState.cacheManager.clearCache()
+    // the operator itself, without the oracle query's presentation sort
+    val p = graft.operators.Sampling.epochShuffle(
+        spark.read.parquet(s"$sf/documents.parquet").select("doc_id"),
+        "doc_id", epoch = 2, nShards = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Exchange hashpartitioning"),
+      "the per-shard rank needs the shard exchange")
+    assert(!p.contains("Exchange rangepartitioning") &&
+      !p.contains("Exchange SinglePartition"),
+      s"no global sort or single-partition gather:\n${p.take(1200)}")
+  }
+
+  test("url canonicalization rollup: one hash shuffle on the domain " +
+    "key, no UDFs") {
+    spark.sharedState.cacheManager.clearCache()
+    val p = plan("url_domain_stats")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "URL parsing must stay native expressions")
+  }
 }
