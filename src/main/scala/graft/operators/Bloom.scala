@@ -121,6 +121,29 @@ object Bloom {
     batch.filter(!member(col(keyCol).cast("string")))
   }
 
+  /** Persist the filter as one parquet row per 64-bit word — the
+    * layout that lets the NEXT ingest batch reopen the history filter
+    * without re-scanning history (m falls out of the word count; k is
+    * the caller's config, guarded by the oracle/spec contract).
+    * Composes with [[merge]] for shard builds. */
+  def save(spark: org.apache.spark.sql.SparkSession, bits: Array[Long],
+      path: String): Unit = {
+    import spark.implicits._
+    bits.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
+      .toDF("w", "bits")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reopen a persisted filter. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Long] = {
+    val rows = spark.read.parquet(path)
+      .select("w", "bits").collect()
+    val arr = new Array[Long](rows.length)
+    rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
   /** Filter telemetry: bits set, fill per-mille, and the k=3 cubic
     * false-positive estimate in micro-units — all integer arithmetic,
     * exact on any engine. (fpp ≈ fill^k; the integer cube keeps the

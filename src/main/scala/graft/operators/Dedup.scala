@@ -350,7 +350,14 @@ object Dedup {
     * identical strings excluded (exact dedup owns those). `maxBlock`
     * drops blocks larger than the cap — a degenerate blocking key
     * (half the corpus in one block) otherwise re-creates the
-    * quadratic blowup blocking exists to prevent. */
+    * quadratic blowup blocking exists to prevent.
+    *
+    * Heavy-duplicate string domains (catalog names, titles): run this
+    * over the DISTINCT-string relation and recover row-level pair mass
+    * by multiplying the two strings' multiplicities afterwards — the
+    * quadratic term then bounds by distinct entities, not rows (the
+    * `dedup_fuzzy_pairs` query's shape; 25M row-pairs vs ~2k
+    * name-pairs on the sf0.1 part table). */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
       blockCol: Column, maxDist: Int,
       maxBlock: Option[Int] = None): DataFrame = {

@@ -218,6 +218,28 @@ object InfraQueries {
           col("b").cast("long").as("b"), col("z"), col("zc"))
         .orderBy("doc_id")
     }),
+    // Referential-integrity audit between the doc corpus and its
+    // embedding side table — the orphan check that gates an index
+    // rebuild (docs with no vector / vectors with no doc). ONE
+    // full-outer pk join; deterministic sub-ranges create orphans on
+    // both sides so all three legs are exercised.
+    "audit_referential" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") >= 20)
+        .select(col("doc_id").as("id")).withColumn("__d", lit(1))
+      val e = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 480)
+        .select(col("vec_id").as("id")).withColumn("__e", lit(1))
+      d.join(e, Seq("id"), "full_outer").agg(
+        sum(when(col("__d").isNotNull && col("__e").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("__e").isNull, 1L).otherwise(0L))
+          .as("n_docs_orphan"),
+        sum(when(col("__d").isNull, 1L).otherwise(0L))
+          .as("n_vecs_orphan"),
+        sum(when(col("__e").isNull, col("id")).otherwise(0L))
+          .as("orphan_id_sum"))
+    }),
     // IVF ANN with REAL centroid pruning (nProbe=4 of 16), deterministic
     // centroids (first 16 corpus vectors by id) — the assignment, probe
     // and refine are all pure functions of the corpus, so the DuckDB
@@ -3931,6 +3953,25 @@ object InfraQueries {
         |  CAST(((a // 16) % 2) + ((b // 16) % 2) * 2 +
         |       ((a // 32) % 2) * 4 + ((b // 32) % 2) * 8 AS BIGINT) AS zc
         |FROM z ORDER BY doc_id""".stripMargin,
+    // Referential audit replay: the same full-outer join legs.
+    "audit_referential" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id FROM documents WHERE doc_id >= 20),
+        |e AS (SELECT vec_id AS id FROM embeddings WHERE vec_id < 480),
+        |f AS (
+        |  SELECT coalesce(d.id, e.id) AS id,
+        |    d.id IS NOT NULL AS in_d, e.id IS NOT NULL AS in_e
+        |  FROM d FULL OUTER JOIN e ON d.id = e.id)
+        |SELECT
+        |  CAST(sum(CASE WHEN in_d AND in_e THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_matched,
+        |  CAST(sum(CASE WHEN NOT in_e THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_orphan,
+        |  CAST(sum(CASE WHEN NOT in_d THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_vecs_orphan,
+        |  CAST(sum(CASE WHEN NOT in_e THEN id ELSE 0 END) AS BIGINT)
+        |    AS orphan_id_sum
+        |FROM f""".stripMargin,
     // PPM decode replay: the generator's pixel formula over unnested
     // pixel ranges — the Spark side parsed REAL image bytes to get the
     // same means, so the hash proves the decoder.

@@ -109,6 +109,24 @@ object TextQueries {
           sum(TextAnalysis.subwordCount(col("text"))).as("sum_subtok"))
         .orderBy("lang")
     }),
+    // The dataset "data card": the one-pass per-source profile a
+    // corpus release ships — volume, integrity (null/blank share,
+    // exact-dup mass via distinct-text count), token mass, language
+    // spread, and the quality band. ONE groupBy shuffle; every signal
+    // reuses an already-oracled formula.
+    "report_data_card" -> ((s, dir) => {
+      docs(s, dir).groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text").isNull || trim(col("text")) === "", 1L)
+          .otherwise(0L)).as("n_blank"),
+        countDistinct(col("text")).as("n_distinct_text"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("text").isNotNull && trim(col("text")) =!= "",
+          TextAnalysis.tokenCount(col("text")).cast("long"))
+          .otherwise(0L)).as("sum_tokens"),
+        round(avg(TextAnalysis.qualityScore(col("text"))), 4).as("avg_q"))
+        .orderBy("source")
+    }),
     "text_quality_by_source" -> ((s, dir) => {
       docs(s, dir)
         .withColumn("q", TextAnalysis.qualityScore(col("text")))
@@ -326,6 +344,33 @@ object TextQueries {
         |    '''[a-zA-Z]{1,2}| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')))
         |    AS BIGINT) AS sum_subtok
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // Data-card replay: the blank predicate, distinct counts, guarded
+    // token sum, and the oracled quality formula in one rollup.
+    "report_data_card" ->
+      """WITH q AS (
+        |  SELECT source, text, lang, round(
+        |    (CASE WHEN len(string_split_regex(trim(text),'\s+'))
+        |            BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) * 0.4
+        |  + (CASE WHEN CAST(len(regexp_extract_all(text,'[.!?,;:]')) AS DOUBLE)
+        |            / greatest(CAST(len(string_split_regex(trim(text),'\s+'))
+        |                AS DOUBLE), 1.0) <= 0.2
+        |          THEN 1.0 ELSE 0.5 END) * 0.3
+        |  + (CASE WHEN CAST(len(list_filter(string_split_regex(lower(trim(text)),'\s+'),
+        |              x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |            / greatest(CAST(len(string_split_regex(trim(text),'\s+'))
+        |                AS DOUBLE), 1.0) BETWEEN 0.01 AND 0.5
+        |          THEN 1.0 ELSE 0.6 END) * 0.3, 4) AS q
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN text IS NULL OR trim(text) = ''
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(CASE WHEN text IS NOT NULL AND trim(text) <> ''
+        |    THEN len(string_split_regex(trim(text), '\s+'))
+        |    ELSE 0 END) AS BIGINT) AS sum_tokens,
+        |  round(avg(q), 4) AS avg_q
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "text_quality_by_source" ->
       """WITH scored AS (
         |  SELECT source, round(

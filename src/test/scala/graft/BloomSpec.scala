@@ -70,6 +70,27 @@ class BloomSpec extends SparkSpec {
     assert(fpp === set * set * set * 1000000L / (1024L * 1024L * 1024L))
   }
 
+  test("save/load round-trips the filter; merge of loaded shard " +
+      "filters equals the union build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom")
+      .toString
+    Bloom.save(spark, bits, s"$dir/f")
+    val re = Bloom.load(spark, s"$dir/f")
+    assert(re.toSeq === bits.toSeq)
+
+    // shard builds persisted separately, reopened, OR-merged
+    val h1 = hist.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val h2 = hist.filter(pmod(col("doc_id"), lit(2)) === 1)
+    Bloom.save(spark, Bloom.build(h1.select("text"), "text", 1024, 3),
+      s"$dir/s1")
+    Bloom.save(spark, Bloom.build(h2.select("text"), "text", 1024, 3),
+      s"$dir/s2")
+    val merged = Bloom.merge(Bloom.load(spark, s"$dir/s1"),
+      Bloom.load(spark, s"$dir/s2"))
+    assert(merged.toSeq === bits.toSeq,
+      "shard-merged filter must equal the union build bit for bit")
+  }
+
   test("probe plan is a shuffle-free scan+filter (the 100 TB contract)") {
     val plan = Bloom.novel(batch, "text", bits, 3)
       .queryExecution.executedPlan
