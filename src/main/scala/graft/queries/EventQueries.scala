@@ -108,6 +108,40 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .orderBy("hour", "event_type")
     }),
+    // Cohort retention: users grouped by first-seen week, activity
+    // counted at week offsets from the cohort — two keyed
+    // aggregations; the first-seen side is user-bounded and broadcast.
+    "ev_cohort_retention" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val first = e.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).as("cohort"))
+      e.join(broadcast(first), "user_id")
+        .withColumn("wk_off",
+          (datediff(date_trunc("week", col("ts")), col("cohort")) / 7)
+            .cast("long"))
+        .groupBy("cohort", "wk_off")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort", "wk_off")
+    }),
+    // Ordered funnel view → click → purchase inside the first three
+    // days: each stage's event must FOLLOW the previous stage's first
+    // qualifying time (not merely coexist) — three user-keyed min
+    // aggregations, each stage's survivor table broadcast forward.
+    "ev_funnel" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .filter(col("ts") < to_timestamp(lit("2024-01-04")))
+      val v = e.filter(col("event_type") === "view").groupBy("user_id")
+        .agg(min("ts").as("v_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(broadcast(v), "user_id").filter(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(broadcast(c), "user_id").filter(col("ts") > col("c_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      import s.implicits._
+      Seq((v.count(), c.count(), p.count()))
+        .toDF("n_view", "n_click_after", "n_purchase_after")
+    }),
     // Sessionization: a new session starts after a >30-minute silence.
     "ev_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc,
@@ -399,6 +433,41 @@ object EventQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // Cohort replay: Monday-truncated weeks on both engines; the
+    // day-difference of two week-truncated dates is an exact multiple
+    // of 7, so integer division is engine-portable.
+    "ev_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT e.user_id, f.cohort,
+        |    date_diff('day', CAST(f.cohort AS DATE),
+        |      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS wk_off
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT cohort, CAST(wk_off AS BIGINT) AS wk_off,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY cohort, wk_off""".stripMargin,
+    "ev_funnel" ->
+      """WITH e AS (
+        |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-04'),
+        |v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_after,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p)
+        |    AS n_purchase_after""".stripMargin,
     "ev_sessionize" ->
       """SELECT user_id, CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800
         |    THEN 1 ELSE 0 END) AS BIGINT) AS sessions
