@@ -70,6 +70,23 @@ object MiscQueries {
         .orderBy("event_id")
     }),
     // Date/time scalar functions over the orders dates.
+    // Damped PageRank, 3 fixed power iterations over a deterministic
+    // doc-derived edge set (src = id mod 40, dst = (id div 7) mod 40 —
+    // varied in/out degrees, so the ranks genuinely differ). Each
+    // iteration is one edge-bounded contribution shuffle + a
+    // node-bounded recompute; the oracle replays all three iterations
+    // as chained CTEs.
+    "graph_pagerank" -> ((s, dir) => {
+      import graft.operators.GraphOps
+      val e = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(40)).as("src"),
+          pmod((col("doc_id") / lit(7)).cast("long"), lit(40)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      GraphOps.pageRank(e, "src", "dst", iters = 3, damping = 0.85)
+        .select(col("v").cast("long").as("node"),
+          round(col("pr"), 4).as("pr"))
+        .orderBy("node")
+    }),
     "date_funcs" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).as("y"),
@@ -140,6 +157,42 @@ object MiscQueries {
         |  to_json(struct_pack(event_id := event_id,
         |                      event_type := event_type)) AS js
         |FROM events WHERE event_id < 50 ORDER BY event_id""".stripMargin,
+    // PageRank replay: uniform start, three contribution+recompute
+    // rounds as chained CTEs, dangling mass leaking exactly like the
+    // engine's recurrence; rounded after the last iteration.
+    "graph_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT doc_id % 40 AS src, (doc_id // 7) % 40 AS dst
+        |  FROM documents WHERE doc_id % 40 <> (doc_id // 7) % 40),
+        |n AS (
+        |  SELECT DISTINCT v FROM (
+        |    SELECT src AS v FROM e UNION SELECT dst FROM e)),
+        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
+        |deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        |r0 AS (SELECT v, 1.0 / nn AS pr FROM n CROSS JOIN cnt),
+        |c1 AS (
+        |  SELECT e.dst AS v, sum(r0.pr / deg.od) AS m
+        |  FROM e JOIN r0 ON e.src = r0.v JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r1 AS (
+        |  SELECT n.v, 0.15 / cnt.nn + 0.85 * coalesce(c1.m, 0) AS pr
+        |  FROM n CROSS JOIN cnt LEFT JOIN c1 ON n.v = c1.v),
+        |c2 AS (
+        |  SELECT e.dst AS v, sum(r1.pr / deg.od) AS m
+        |  FROM e JOIN r1 ON e.src = r1.v JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT n.v, 0.15 / cnt.nn + 0.85 * coalesce(c2.m, 0) AS pr
+        |  FROM n CROSS JOIN cnt LEFT JOIN c2 ON n.v = c2.v),
+        |c3 AS (
+        |  SELECT e.dst AS v, sum(r2.pr / deg.od) AS m
+        |  FROM e JOIN r2 ON e.src = r2.v JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT n.v, 0.15 / cnt.nn + 0.85 * coalesce(c3.m, 0) AS pr
+        |  FROM n CROSS JOIN cnt LEFT JOIN c3 ON n.v = c3.v)
+        |SELECT CAST(v AS BIGINT) AS node, round(pr, 4) AS pr
+        |FROM r3 ORDER BY node""".stripMargin,
     "date_funcs" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS y,
         |  CAST(month(o_orderdate) AS INT) AS m, count(*) AS n,
