@@ -10,7 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** End-to-end corpus preparation: the composition a training-data
   * pipeline runs at 100 TB, built from the engine's operators —
   *
-  *   raw corpus → frequent-line boilerplate strike (optional, rewrites
+  *   raw corpus → Bloom history admission (optional, drops rows whose
+  *   text the historical corpus already holds)
+  *   → frequent-line boilerplate strike (optional, rewrites
   *   text) → C4 line rules + doc gates (optional, rewrites text)
   *   → falsy/quality filter → Gopher rule gate (optional)
   *   → repetition filter → learned-model quality gate (optional,
@@ -34,7 +36,8 @@ final case class PipelineReport(
     afterExact: Long, afterNearDup: Long, afterDecontam: Long,
     afterBalance: Long, afterGopher: Long = -1L, afterDsir: Long = -1L,
     afterSemantic: Long = -1L, afterLineDedup: Long = -1L,
-    afterC4: Long = -1L, afterModel: Long = -1L)
+    afterC4: Long = -1L, afterModel: Long = -1L,
+    afterBloom: Long = -1L)
 
 final class CorpusPipeline(
     minQuality: Double = 0.5,
@@ -54,7 +57,25 @@ final class CorpusPipeline(
     useC4Rules: Boolean = false,
     qualityModel: Option[LangModel.LinearModel] = None,
     modelMaxSpamMicro: Long = 500000L,
-    normalizeUnicode: Boolean = false) {
+    normalizeUnicode: Boolean = false,
+    bloomHistory: Option[Array[Long]] = None,
+    bloomK: Int = 3) {
+
+  /** Cross-corpus Bloom admission (optional, the very first gate):
+    * drop rows whose text is (probably) already in the historical
+    * corpus the caller folded into [[bloomHistory]] — the O(1)-per-row
+    * alternative to an anti-join against all of history. False
+    * positives drop some genuinely novel rows (the filter's quantified
+    * trade); no true duplicate survives. Rows with NULL text drop here
+    * too (a NULL key has no admission verdict — the later quality gate
+    * would drop them anyway). Runs on RAW text: admission is an ingest
+    * decision, made before any rewriting stage. */
+  def bloomAdmission(docs: DataFrame, textCol: String): DataFrame =
+    bloomHistory match {
+      case None => docs
+      case Some(bits) =>
+        graft.operators.Bloom.novel(docs, textCol, bits, bloomK)
+    }
 
   /** Unicode NFC normalization (optional, FIRST): decomposed and
     * precomposed spellings of the same word must hash identically
@@ -247,8 +268,11 @@ final class CorpusPipeline(
     // line rules) so every later gate judges the cleaned content; when
     // enabled, their count is the action that fires obsIn — `input`
     // is read only after the first action over the raw lineage
-    val un0 = unicodeStage(raw, textCol)
-    val un = if (un0 eq raw) raw else stage(un0)
+    val bl0 = bloomAdmission(raw, textCol)
+    val bl = if (bl0 eq raw) raw else stage(bl0)
+    val nBlOpt = if (bl eq raw) None else Some(bl.count())
+    val un0 = unicodeStage(bl, textCol)
+    val un = if (un0 eq bl) bl else stage(un0)
     val bp0 = boilerplateStage(un, idCol, textCol)
     val bp = if (bp0 eq un) un else stage(bp0)
     val nBpOpt = if (bp eq un) None else Some(bp.count())
@@ -258,7 +282,8 @@ final class CorpusPipeline(
     val q = stage(qualityFilter(c4, textCol))
     val nQ = q.count() // at most one raw-corpus scan total; fires obsIn
     val input = obsIn.get("n").asInstanceOf[Long]
-    val nBp = nBpOpt.getOrElse(input)
+    val nBl = nBlOpt.getOrElse(input)
+    val nBp = nBpOpt.getOrElse(nBl)
     val nC4 = nC4Opt.getOrElse(nBp)
     // disabled stages pass through un-persisted (df eq parent): their
     // count re-reads the parent's cache, no extra pass
@@ -304,6 +329,7 @@ final class CorpusPipeline(
     persisted.filter(_ ne hot).foreach(_.unpersist(blocking = false))
     (embedded, PipelineReport(input, nQ, nR, nE, nNd, nDc, nBal,
       afterGopher = nG, afterDsir = nDs, afterSemantic = nSem,
-      afterLineDedup = nBp, afterC4 = nC4, afterModel = nM))
+      afterLineDedup = nBp, afterC4 = nC4, afterModel = nM,
+      afterBloom = nBl))
   }
 }

@@ -81,6 +81,41 @@ object PipelineQueries {
       "exact" -> e)
   }
 
+  private def bloomBits(s: SparkSession, dir: String): Array[Long] = {
+    val hist = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    BuildCache.memo(s"bloom:1024:3:$dir") {
+      graft.operators.Bloom.build(hist.select("text"), "text", 1024, 3)
+    }
+  }
+
+  private def pipelineBloom(s: SparkSession, dir: String) =
+    new CorpusPipeline(minQuality = 0.9,
+      bloomHistory = Some(bloomBits(s, dir)))
+
+  /** The cross-corpus admission frames: the WHOLE documents table
+    * arrives as the incoming batch against the history filter built
+    * from the doc_id%3!=0 slice (the dedup_bloom_novel fixture), then
+    * the quality gate and exact dedup run on the admitted rows. */
+  def stageFramesBloom(s: SparkSession,
+      dir: String): Seq[(String, DataFrame)] = {
+    val d = Tables.load(s, dir, "documents")
+    val p = pipelineBloom(s, dir)
+    val bl = p.bloomAdmission(d, "text").localCheckpoint(true)
+    val q = p.qualityFilter(bl, "text")
+    val e = p.exactDedup(q, "doc_id", "text")
+    Seq("input" -> d, "bloom" -> bl, "quality" -> q, "exact" -> e)
+  }
+
+  /** [[runReportClean]]'s twin at the bloom-front config. */
+  def runReportBloom(s: SparkSession, dir: String): graft.PipelineReport = {
+    val d = Tables.load(s, dir, "documents")
+    val em = Tables.load(s, dir, "embeddings")
+    pipelineBloom(s, dir).run(s, d, "doc_id", "text",
+      new PrecomputedEmbedder(em, "vec_id", "embedding", "doc_id", 64))._2
+  }
+
   /** [[runReport]] at the cleaning-front config (PipelineSpec compares
     * the run-path counts against the ledger's prefix). */
   def runReportClean(s: SparkSession, dir: String): graft.PipelineReport = {
@@ -181,7 +216,11 @@ object PipelineQueries {
     "corpus_pipeline_full" -> ((s, dir) => ledger(stageFramesFull(s, dir))),
     // the round-11 cleaning front: boilerplate strike → C4 → quality →
     // exact, over the multi-line corpus, same survivor-ledger contract
-    "corpus_pipeline_clean" -> ((s, dir) => ledger(stageFramesClean(s, dir))))
+    "corpus_pipeline_clean" -> ((s, dir) => ledger(stageFramesClean(s, dir))),
+    // the cross-corpus front: Bloom history admission (every verdict
+    // incl. false positives md5-replayed) → quality → exact, same
+    // survivor-ledger contract
+    "corpus_pipeline_bloom" -> ((s, dir) => ledger(stageFramesBloom(s, dir))))
 
   /** One chained replay of the stages' proven recipes: quality score ≥
     * 0.9 (text_quality_by_source's formula), the five Gopher rules
@@ -614,8 +653,69 @@ object PipelineQueries {
         |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM e2)
         |ORDER BY stage_idx""".stripMargin
 
+  /** Bloom-front replay: the filter's lit positions from the history
+    * slice, a per-doc all-bits-lit verdict (false positives included),
+    * then the quality gate and first-wins exact dedup on the admitted
+    * rows — the `dedup_bloom_novel` arithmetic feeding the
+    * `corpus_pipeline_clean` ledger contract. */
+  private val bloomOracle: String =
+    """WITH hist AS MATERIALIZED (
+      |  SELECT DISTINCT text FROM documents
+      |  WHERE doc_id % 3 <> 0 AND text IS NOT NULL AND trim(text) <> ''),
+      |js AS (SELECT unnest(range(0, 3)) AS j),
+      |pos AS MATERIALIZED (
+      |  SELECT DISTINCT
+      |    CAST('0x' || substr(md5(h.text || '|' || CAST(js.j AS VARCHAR)),
+      |                        1, 15) AS BIGINT) % 1024 AS p
+      |  FROM hist h CROSS JOIN js),
+      |verd AS (
+      |  SELECT d.doc_id,
+      |    bool_and(
+      |      CAST('0x' || substr(md5(d.text || '|' || CAST(js.j AS VARCHAR)),
+      |                          1, 15) AS BIGINT) % 1024
+      |        IN (SELECT p FROM pos)) AS member
+      |  FROM documents d CROSS JOIN js
+      |  WHERE d.text IS NOT NULL
+      |  GROUP BY d.doc_id),
+      |bl AS MATERIALIZED (
+      |  SELECT d.* FROM documents d JOIN verd USING (doc_id)
+      |  WHERE NOT member),
+      |q AS MATERIALIZED (
+      |  SELECT * FROM bl
+      |  WHERE text <> '' AND round(
+      |    (CASE WHEN len(string_split_regex(trim(text),'\s+'))
+      |            BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) * 0.4
+      |  + (CASE WHEN CAST(len(regexp_extract_all(text,'[.!?,;:]'))
+      |            AS DOUBLE)
+      |            / greatest(CAST(len(string_split_regex(trim(text),
+      |                '\s+')) AS DOUBLE), 1.0) <= 0.2
+      |          THEN 1.0 ELSE 0.5 END) * 0.3
+      |  + (CASE WHEN CAST(len(list_filter(
+      |              string_split_regex(lower(trim(text)),'\s+'),
+      |              x -> x IN ('the','a','of','and','to','in')))
+      |            AS DOUBLE)
+      |            / greatest(CAST(len(string_split_regex(trim(text),
+      |                '\s+')) AS DOUBLE), 1.0) BETWEEN 0.01 AND 0.5
+      |          THEN 1.0 ELSE 0.6 END) * 0.3, 4) >= 0.9),
+      |e AS (
+      |  SELECT * FROM q
+      |  QUALIFY row_number() OVER (PARTITION BY text
+      |    ORDER BY doc_id) = 1)
+      |SELECT * FROM (
+      |  SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents
+      |  UNION ALL SELECT CAST(1 AS INT), 'bloom',
+      |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM bl
+      |  UNION ALL SELECT CAST(2 AS INT), 'quality',
+      |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM q
+      |  UNION ALL SELECT CAST(3 AS INT), 'exact',
+      |    CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM e)
+      |ORDER BY stage_idx""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "corpus_pipeline" -> materialized(baseOracle),
     "corpus_pipeline_full" -> materialized(fullOracle(baseOracle)),
-    "corpus_pipeline_clean" -> cleanOracle)
+    "corpus_pipeline_clean" -> cleanOracle,
+    "corpus_pipeline_bloom" -> bloomOracle)
 }

@@ -215,6 +215,32 @@ class PipelineSpec extends SparkSpec {
       "short-after-cleaning docs must fail the 0.9 quality bar")
   }
 
+  test("bloom front: run() counts equal the oracled ledger; admission " +
+    "genuinely bites and no history text survives") {
+    val dir = sf
+    val ledger = graft.queries.PipelineQueries
+      .stageFramesBloom(spark, dir)
+      .map { case (name, df) => name -> df.count() }.toMap
+    val r = graft.queries.PipelineQueries.runReportBloom(spark, dir)
+    assert(r.input === ledger("input"))
+    assert(r.afterBloom === ledger("bloom"))
+    assert(r.afterQuality === ledger("quality"))
+    assert(r.afterExact === ledger("exact"),
+      s"bloom run() vs bloom ledger: $r vs $ledger")
+    assert(ledger("bloom") < ledger("input"),
+      "the history filter must strike the indexed two-thirds")
+    // zero false negatives: nothing the history holds gets admitted
+    val hist = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"text".isNotNull && trim($"text") =!= "" &&
+        pmod($"doc_id", lit(3)) =!= 0)
+      .select("text").as[String].collect().toSet
+    val admitted = graft.queries.PipelineQueries
+      .stageFramesBloom(spark, dir).toMap.apply("bloom")
+      .select("text").as[String].collect()
+    assert(admitted.forall(t => !hist.contains(t)),
+      "a true history duplicate survived admission")
+  }
+
   test("model quality gate drops predicted junk; new stages disabled " +
     "by default pass the SAME frame through") {
     val docs = (0 until 45).map { i =>
