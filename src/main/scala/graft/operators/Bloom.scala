@@ -93,7 +93,9 @@ object Bloom {
   /** Keep only rows whose key is NOT (probably) in the history — the
     * admission filter for an incoming batch. False positives drop some
     * genuinely novel rows (the filter's documented trade); no true
-    * duplicate ever survives. */
+    * duplicate ever survives. Rows with a NULL key drop too (their
+    * verdict is NULL under SQL three-valued logic — a keyless row has
+    * no admission decision). */
   def novel(batch: DataFrame, keyCol: String, bits: Array[Long], k: Int): DataFrame =
     batch.filter(!memberCol(col(keyCol), bits, k))
 
