@@ -72,6 +72,45 @@ object ZOrder {
       .repartition(col("__zc"))
       .write.mode("overwrite").partitionBy("__zc").parquet(path)
 
+  /** Value-rank cell boundaries for a SKEWED dimension — the raw bit
+    * grid of [[zCell]] assumes near-uniform values; on a skewed real
+    * column (lengths, counts, revenues) it concentrates the corpus in
+    * a few hot cells, the same failure mode k-means fixes for SemDeDup
+    * cells. Cut points are the (i·n/nBins)-th-smallest sample values
+    * (value-based ranks — ties collapse), calibrated on a
+    * deterministic md5 sample exactly like `LangModel.pplBuckets`:
+    * the only ordered work is one window over the BOUNDED sample, and
+    * the cut array (nBins−1 doubles) then bins the full corpus as a
+    * shuffle-free comparison projection. Deterministic and replayable
+    * as a row_number() window on any engine. */
+  def rankCuts(df: DataFrame, valueCol: String, idCol: String,
+      nBins: Int, sampleRate: Double): Array[Double] = {
+    require(nBins >= 2 && nBins <= 1024, s"nBins out of range: $nBins")
+    val sample = df
+      .filter(graft.operators.Sampling.hashFraction(col(idCol)) <
+        sampleRate)
+      .select(col(valueCol).cast("double").as("v"))
+      .persist()
+    try {
+      val n = sample.count()
+      require(n >= nBins, s"cut sample too small: $n rows for $nBins bins")
+      val ranks = (1 until nBins)
+        .map(i => math.ceil(i.toDouble * n / nBins).toLong)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      sample.withColumn("rn", row_number().over(w))
+        .filter(col("rn").isin(ranks: _*))
+        .orderBy("rn").select("v").collect().map(_.getDouble(0))
+    } finally sample.unpersist()
+  }
+
+  /** Bin id under [[rankCuts]] boundaries: the count of cuts strictly
+    * below the value — unrolled comparison conjuncts (≤ 1023), so the
+    * binning stays inside whole-stage codegen. */
+  def binByCuts(c: Column, cuts: Array[Double]): Column =
+    cuts.map(cut => when(c.cast("double") > lit(cut), 1).otherwise(0))
+      .reduceOption((a, b) => a + b).getOrElse(lit(0))
+      .cast("long")
+
   /** Box query over a z-clustered layout: enumerate the grid cells the
     * box [aLo,aHi]×[bLo,bHi] intersects (bounded by the grid, never
     * the data), scan only those dirs (partition pruning), then apply

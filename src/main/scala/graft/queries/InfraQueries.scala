@@ -218,6 +218,27 @@ object InfraQueries {
           col("b").cast("long").as("b"), col("z"), col("zc"))
         .orderBy("doc_id")
     }),
+    // Rank-binned z-cells for a SKEWED dimension: n_chars bins come
+    // from value-rank cut points on a deterministic md5 sample (the
+    // pplBuckets discipline applied to layout), the uniform dim from
+    // plain top bits; the Morton cell rollup shows the balanced grid.
+    // The oracle replays sample, all 7 cuts, per-row bins and the
+    // interleave.
+    "layout_zorder_ranked" -> ((s, dir) => {
+      import graft.index.ZOrder
+      val d = Tables.load(s, dir, "documents")
+      val cuts = BuildCache.memo(s"zcuts:nchars:8:$dir") {
+        ZOrder.rankCuts(d, "n_chars", "doc_id", nBins = 8,
+          sampleRate = 0.5)
+      }
+      d.withColumn("ba", ZOrder.binByCuts(col("n_chars"), cuts))
+        .withColumn("bb", shiftright(pmod(col("doc_id"), lit(64)), 3))
+        .withColumn("cell", ZOrder.morton2(col("ba"), col("bb"), 3)
+          .cast("long"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_id"))
+        .orderBy("cell")
+    }),
     // Referential-integrity audit between the doc corpus and its
     // embedding side table — the orphan check that gates an index
     // rebuild (docs with no vector / vectors with no doc). ONE
@@ -3953,6 +3974,38 @@ object InfraQueries {
         |  CAST(((a // 16) % 2) + ((b // 16) % 2) * 2 +
         |       ((a // 32) % 2) * 4 + ((b // 32) % 2) * 8 AS BIGINT) AS zc
         |FROM z ORDER BY doc_id""".stripMargin,
+    // Ranked-cell replay: md5 half sample, the 7 value-rank cuts,
+    // per-row cut-count bins, and the 3-bit interleave.
+    "layout_zorder_ranked" ->
+      """WITH smp AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |    AS BIGINT) / 4294967296.0 < 0.5),
+        |rk AS (
+        |  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |    (SELECT count(*) FROM smp) AS n
+        |  FROM smp),
+        |cuts AS (
+        |  SELECT q.i, rk.v AS cv FROM rk
+        |  JOIN (SELECT unnest(range(1, 8)) AS i) q
+        |    ON rk.rn = CAST(ceil(CAST(q.i AS DOUBLE) * rk.n / 8)
+        |         AS BIGINT)),
+        |b AS (
+        |  SELECT d.doc_id,
+        |    (SELECT count(*) FROM cuts
+        |     WHERE cv < CAST(d.n_chars AS DOUBLE)) AS ba,
+        |    (d.doc_id % 64) // 8 AS bb
+        |  FROM documents d),
+        |z AS (
+        |  SELECT doc_id,
+        |    (ba % 2) + (bb % 2) * 2 + ((ba // 2) % 2) * 4
+        |    + ((bb // 2) % 2) * 8 + ((ba // 4) % 2) * 16
+        |    + ((bb // 4) % 2) * 32 AS cell
+        |  FROM b)
+        |SELECT CAST(cell AS BIGINT) AS cell,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM z GROUP BY cell ORDER BY cell""".stripMargin,
     // Referential audit replay: the same full-outer join legs.
     "audit_referential" ->
       """WITH d AS (

@@ -58,6 +58,32 @@ class ZOrderSpec extends SparkSpec {
     assert(box.select("id").as[Long].collect().toSet === expect)
   }
 
+  test("rank-binned cells debulk a skewed dimension's hot cells; " +
+      "cuts are repartition-invariant") {
+    // quadratic values concentrate the low end: a quarter of the value
+    // range holds half the rows
+    val d = (0L until 1024L).map(i => (i, i * i / 256L))
+      .toDF("id", "v")
+    val cuts = ZOrder.rankCuts(d, "v", "id", nBins = 8, sampleRate = 1.0)
+    assert(cuts.length === 7 && cuts.sorted.sameElements(cuts))
+    assert(cuts.sameElements(
+      ZOrder.rankCuts(d.repartition(13), "v", "id", 8, 1.0)),
+      "cut points must not depend on partitioning")
+    def maxMin(bin: org.apache.spark.sql.Column): (Long, Long) = {
+      val counts = d.groupBy(bin.as("b")).count()
+        .select("count").as[Long].collect()
+      (counts.max, counts.min)
+    }
+    val (maxRanked, minRanked) = maxMin(ZOrder.binByCuts($"v", cuts))
+    assert(maxRanked - minRanked <= 2,
+      s"rank bins must balance: max $maxRanked min $minRanked")
+    // raw equal-width bins on the same values: hot low bins
+    val (maxRaw, _) = maxMin(floor($"v" * 8 / 4096).cast("long"))
+    assert(maxRaw > 2 * maxRanked,
+      s"the skewed dim must show the hot cell raw binning makes: " +
+        s"raw max $maxRaw vs ranked max $maxRanked")
+  }
+
   test("2-D clustering prunes a cross-dimension box where a " +
       "single-column layout cannot") {
     val dir = Files.createTempDirectory("graft_zcmp").toString
