@@ -60,7 +60,19 @@ object Plans {
     "dedup_semantic" -> ("SemDeDup: within-cell pair generation is an " +
       "equi-join on the frozen IVF cell id (quadratic bounded by the " +
       "largest cell), centroids broadcast at k rows; the component " +
-      "closure shuffles only the pair graph"))
+      "closure shuffles only the pair graph"),
+    "dedup_bloom_novel" -> ("Bloom admission: the probe is a codegen'd " +
+      "literal-bitmap filter directly over the scan — no join, no " +
+      "exchange, no broadcast; only the per-lang rollup shuffles"),
+    "sample_weighted" -> ("A-Res weighted sampling: shuffle-free key " +
+      "projection + one bounded TakeOrderedAndProject heap — never a " +
+      "global sort"),
+    "train_shard_shuffle" -> ("Epoch shard shuffle: exactly one hash " +
+      "exchange on the shard key feeds the per-shard sort + rank — " +
+      "the writer plan with an explicit pos column"),
+    "graph_pagerank" -> ("PageRank final iteration: contribution " +
+      "equi-join + node-keyed aggregate over localCheckpoint'd rank " +
+      "tables — the plan stays this size at ANY iteration count"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
