@@ -304,6 +304,39 @@ object QualityQueries {
         .select(col("id"), col("bucket"))
         .orderBy("id")
     }),
+    // KMV distinct sketch over per-language bigram sets: the
+    // cardinality sketch whose estimate replays cross-engine to the
+    // digit (bottom-64 md5 fractions; n-hat = 63/h_64), next to the
+    // exact count it approximates.
+    "sketch_kmv_bigrams" -> ((s, dir) => {
+      import graft.operators.KmvSketch
+      val bg = langBigrams(s, dir)
+      val exact = bg.groupBy("grp").agg(count(lit(1)).as("n_exact"))
+      KmvSketch.distinctEstimate(bg, "key", "grp", k = 64)
+        .join(exact, "grp")
+        .select(col("grp").as("lang"), col("n_exact"), col("n_seen"),
+          col("kmv_est"))
+        .orderBy("lang")
+    }),
+    // Corpus-overlap estimation from sketches alone: Jaccard of the
+    // en/de bigram sets via the merged bottom-64 (2k rows of work
+    // instead of a corpus intersection), against the exact overlap.
+    "sketch_kmv_overlap" -> ((s, dir) => {
+      import graft.operators.KmvSketch
+      val bg = langBigrams(s, dir).filter(col("grp").isin("en", "de"))
+      val ex = bg.groupBy("key")
+        .agg(max(when(col("grp") === "en", 1).otherwise(0)).as("a"),
+          max(when(col("grp") === "de", 1).otherwise(0)).as("b"))
+        .agg(sum("a").cast("long").as("n_a_exact"),
+          sum("b").cast("long").as("n_b_exact"),
+          sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+            .as("n_inter_exact"),
+          count(lit(1)).cast("long").as("n_union_exact"))
+        .withColumn("jaccard_exact",
+          round(col("n_inter_exact") / col("n_union_exact"), 4))
+      ex.crossJoin(KmvSketch.jaccardEstimate(langBigrams(s, dir),
+        "key", "grp", "en", "de", k = 64))
+    }),
     // Learned-filter tier: multinomial naive Bayes trained on the even
     // half (lang as label, Laplace smoothing), scoring the odd half —
     // the role fastText-style classifiers play in data pipelines, as
@@ -434,6 +467,21 @@ object QualityQueries {
         }
         Map("train" -> train, "score" -> score)
       }))
+
+  /** Distinct (lang, bigram) pairs — the KMV sketch fixture: same
+    * tokenization as the LM queries, adjacent-token pairs, distinct
+    * per language. */
+  private def langBigrams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .select(col("lang"),
+        split(lower(trim(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("lang").as("grp"),
+        explode(expr("transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("key"))
+      .distinct()
 
   /** Shared replay chain for the CCNet bucketing queries — bigram
     * cross-entropy per doc, the md5-half calibration sample, both
@@ -658,6 +706,88 @@ object QualityQueries {
         |  JOIN c1 ON split_part(bg.b, ' ', 1) = c1.w1)
         |SELECT id, count(*) AS n_bigrams, round(avg(nll), 4) AS xent
         |FROM s GROUP BY id ORDER BY id""".stripMargin,
+    // KMV replay: distinct per-lang bigrams, md5 fractions, per-lang
+    // rank, the (k-1)/h_k estimate next to the exact count.
+    "sketch_kmv_bigrams" ->
+      """WITH d AS (
+        |  SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |bg AS (
+        |  SELECT DISTINCT lang, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS b
+        |  FROM d WHERE len(w) >= 2),
+        |f AS (
+        |  SELECT lang, b,
+        |    CAST('0x' || substr(md5(b), 1, 8) AS BIGINT)
+        |      / 4294967296.0 AS frac
+        |  FROM bg),
+        |r AS (
+        |  SELECT lang, frac,
+        |    row_number() OVER (PARTITION BY lang ORDER BY frac, b) AS rn
+        |  FROM f),
+        |e AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_seen,
+        |    max(CASE WHEN rn = 64 THEN frac END) AS hk
+        |  FROM r WHERE rn <= 64 GROUP BY lang),
+        |x AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM bg GROUP BY lang)
+        |SELECT x.lang, x.n_exact, e.n_seen,
+        |  round(CASE WHEN e.n_seen < 64 THEN CAST(e.n_seen AS DOUBLE)
+        |        ELSE 63.0 / e.hk END, 4) AS kmv_est
+        |FROM x JOIN e USING (lang) ORDER BY lang""".stripMargin,
+    // Overlap replay: exact en/de intersection stats plus the merged
+    // bottom-64 sketch membership estimate.
+    "sketch_kmv_overlap" ->
+      """WITH d AS (
+        |  SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |bg AS (
+        |  SELECT DISTINCT lang, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS b
+        |  FROM d WHERE len(w) >= 2 AND lang IN ('en', 'de')),
+        |p AS (
+        |  SELECT b, max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a,
+        |         max(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS bb
+        |  FROM bg GROUP BY b),
+        |ex AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS n_a_exact,
+        |    CAST(sum(bb) AS BIGINT) AS n_b_exact,
+        |    CAST(sum(CASE WHEN a = 1 AND bb = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_inter_exact,
+        |    CAST(count(*) AS BIGINT) AS n_union_exact
+        |  FROM p),
+        |f AS (
+        |  SELECT lang, b,
+        |    CAST('0x' || substr(md5(b), 1, 8) AS BIGINT)
+        |      / 4294967296.0 AS frac
+        |  FROM bg),
+        |r AS (
+        |  SELECT lang, frac,
+        |    row_number() OVER (PARTITION BY lang ORDER BY frac, b) AS rn
+        |  FROM f),
+        |ska AS (SELECT frac FROM r WHERE lang = 'en' AND rn <= 64),
+        |skb AS (SELECT frac FROM r WHERE lang = 'de' AND rn <= 64),
+        |u AS (
+        |  SELECT DISTINCT frac FROM (
+        |    SELECT frac FROM ska UNION ALL SELECT frac FROM skb)),
+        |ur AS (
+        |  SELECT frac, row_number() OVER (ORDER BY frac) AS rn FROM u),
+        |j AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_union_k,
+        |    CAST(sum(CASE WHEN ska.frac IS NOT NULL
+        |      AND skb.frac IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_both
+        |  FROM ur LEFT JOIN ska ON ur.frac = ska.frac
+        |          LEFT JOIN skb ON ur.frac = skb.frac
+        |  WHERE ur.rn <= 64)
+        |SELECT ex.n_a_exact, ex.n_b_exact, ex.n_inter_exact,
+        |  ex.n_union_exact,
+        |  round(CAST(ex.n_inter_exact AS DOUBLE) / ex.n_union_exact, 4)
+        |    AS jaccard_exact,
+        |  j.n_union_k, j.n_both,
+        |  round(CAST(j.n_both AS DOUBLE) / 64, 4) AS jaccard_est
+        |FROM ex, j""".stripMargin,
     // CCNet bucket replay: same xent pipeline, then the md5-half
     // sample, value-rank cutoffs at ceil(n/3) and ceil(2n/3), and the
     // comparison buckets.

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.KmvSketch
+import org.apache.spark.sql.functions._
+
+/** KMV sketch semantics: sub-k groups report exactly, estimates track
+  * truth, degenerate overlaps hit their closed forms, and everything
+  * is partitioning-invariant. */
+class KmvSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sub-k groups report their exact count; estimates track truth " +
+      "within KMV error on larger groups") {
+    val df = ((1 to 10).map(i => ("small", s"s$i")) ++
+      (1 to 2000).map(i => ("big", s"b$i"))).toDF("g", "key")
+    val est = KmvSketch.distinctEstimate(df, "key", "g", k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(est("small") === ((10L, 10.0)), "sketch IS the set below k")
+    val (seen, e) = est("big")
+    assert(seen === 64L)
+    // KMV relative error ~ 1/sqrt(k-2) ≈ 13%; allow 3 sigma
+    assert(math.abs(e - 2000.0) / 2000.0 < 0.4, s"estimate $e for 2000")
+  }
+
+  test("jaccard estimate: identical sets -> 1, disjoint -> 0; " +
+      "repartition-invariant") {
+    val same = ((1 to 500).map(i => ("a", s"k$i")) ++
+      (1 to 500).map(i => ("b", s"k$i"))).toDF("g", "key")
+    val j1 = KmvSketch.jaccardEstimate(same, "key", "g", "a", "b", 64)
+      .select("jaccard_est").as[Double].head()
+    assert(j1 === 1.0)
+    val disj = ((1 to 500).map(i => ("a", s"x$i")) ++
+      (1 to 500).map(i => ("b", s"y$i"))).toDF("g", "key")
+    val j0 = KmvSketch.jaccardEstimate(disj, "key", "g", "a", "b", 64)
+      .select("jaccard_est").as[Double].head()
+    assert(j0 === 0.0)
+    val half = ((1 to 400).map(i => ("a", s"k$i")) ++
+      (201 to 600).map(i => ("b", s"k$i"))).toDF("g", "key")
+    val jh = KmvSketch.jaccardEstimate(half, "key", "g", "a", "b", 64)
+      .select("jaccard_est").as[Double].head()
+    // true J = 200/600 = 0.333; allow generous sketch error
+    assert(jh > 0.15 && jh < 0.55, s"half-overlap estimate $jh")
+    val jhR = KmvSketch
+      .jaccardEstimate(half.repartition(13), "key", "g", "a", "b", 64)
+      .select("jaccard_est").as[Double].head()
+    assert(jhR === jh, "estimate must not depend on partitioning")
+  }
+}
