@@ -318,6 +318,47 @@ object QualityQueries {
           col("kmv_est"))
         .orderBy("lang")
     }),
+    // Streaming KMV: the documents replayed as a 3-file journal, each
+    // micro-batch's bottom-64 folded into a persisted k-row-per-group
+    // sketch (union → distinct → re-rank — bottom-k merge is
+    // associative, so the drained state equals the batch sketch
+    // EXACTLY and both share one replay). State stays k rows per group
+    // forever — the distinct-count stream that never grows.
+    "sketch_kmv_stream" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "lang", "text")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_kmvstr/" +
+        dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      DedupQueries.appendStamped(fs,
+        d.filter(pmod(col("doc_id"), lit(3)) === 0), s"$root/journal",
+        10000L)
+      DedupQueries.appendStamped(fs,
+        d.filter(pmod(col("doc_id"), lit(3)) === 1), s"$root/journal",
+        20000L)
+      DedupQueries.appendStamped(fs,
+        d.filter(pmod(col("doc_id"), lit(3)) === 2), s"$root/journal",
+        30000L)
+      val stream = s.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/journal")
+      val bg = stream
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("lang").as("grp"),
+          split(lower(trim(col("text"))), "\\s+").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("grp"),
+          explode(expr("transform(sequence(1, size(w) - 1), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+            .as("key"))
+      graft.streaming.SketchStream
+        .kmvSync(bg, "key", "grp", k = 64, s"$root/state", s"$root/ckpt")
+        .awaitTermination()
+      graft.streaming.SketchStream
+        .estimates(s.read.parquet(s"$root/state"), k = 64)
+        .select(col("grp").as("lang"), col("n_seen"), col("kmv_est"))
+        .orderBy("lang")
+    }),
     // Corpus-overlap estimation from sketches alone: Jaccard of the
     // en/de bigram sets via the merged bottom-64 (2k rows of work
     // instead of a corpus intersection), against the exact overlap.
@@ -736,6 +777,31 @@ object QualityQueries {
         |  round(CASE WHEN e.n_seen < 64 THEN CAST(e.n_seen AS DOUBLE)
         |        ELSE 63.0 / e.hk END, 4) AS kmv_est
         |FROM x JOIN e USING (lang) ORDER BY lang""".stripMargin,
+    // Streaming KMV shares the batch arithmetic: bottom-k merge is
+    // associative, so the drained state replays as the global
+    // bottom-64 per lang.
+    "sketch_kmv_stream" ->
+      """WITH d AS (
+        |  SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |bg AS (
+        |  SELECT DISTINCT lang, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS b
+        |  FROM d WHERE len(w) >= 2),
+        |f AS (
+        |  SELECT lang, b,
+        |    CAST('0x' || substr(md5(b), 1, 8) AS BIGINT)
+        |      / 4294967296.0 AS frac
+        |  FROM bg),
+        |r AS (
+        |  SELECT lang, frac,
+        |    row_number() OVER (PARTITION BY lang ORDER BY frac, b) AS rn
+        |  FROM f)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_seen,
+        |  round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |        ELSE 63.0 / max(CASE WHEN rn = 64 THEN frac END)
+        |        END, 4) AS kmv_est
+        |FROM r WHERE rn <= 64 GROUP BY lang ORDER BY lang""".stripMargin,
     // Overlap replay: exact en/de intersection stats plus the merged
     // bottom-64 sketch membership estimate.
     "sketch_kmv_overlap" ->

@@ -23,6 +23,38 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(e - 2000.0) / 2000.0 < 0.4, s"estimate $e for 2000")
   }
 
+  test("streaming fold equals the batch sketch; re-drain with the " +
+      "same checkpoint is a no-op") {
+    import graft.streaming.SketchStream
+    val data = (1 to 300).map(i =>
+      (i.toLong, if (i % 2 == 0) "g1" else "g2", s"key$i"))
+      .toDF("id", "grp", "key")
+    val root = java.nio.file.Files.createTempDirectory("graft_kmvs")
+      .toString
+    data.filter($"id" <= 150).select("grp", "key").coalesce(1)
+      .write.mode("append").parquet(s"$root/j")
+    data.filter($"id" > 150).select("grp", "key").coalesce(1)
+      .write.mode("append").parquet(s"$root/j")
+    def drain(): Unit = SketchStream.kmvSync(
+      spark.readStream
+        .schema(data.select("grp", "key").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/j"),
+      "key", "grp", k = 32, s"$root/state", s"$root/ck")
+      .awaitTermination()
+    drain()
+    def rows() = spark.read.parquet(s"$root/state")
+      .as[(String, String, Double)].collect().toSet
+    val streamed = rows()
+    val batch = graft.operators.KmvSketch
+      .bottomK(data, "key", "grp", 32)
+      .select("grp", "key", "frac")
+      .as[(String, String, Double)].collect().toSet
+    assert(streamed === batch,
+      "bottom-k merge must fold the stream onto the batch sketch")
+    drain()
+    assert(rows() === streamed, "re-drain must be a no-op")
+  }
+
   test("jaccard estimate: identical sets -> 1, disjoint -> 0; " +
       "repartition-invariant") {
     val same = ((1 to 500).map(i => ("a", s"k$i")) ++
