@@ -471,6 +471,46 @@ object QualityQueries {
     * moved. */
   val phases: Map[String, (SparkSession, String) => Map[String, Double]] =
     Map(
+      // journal setup vs the 3-micro-batch stateful drain vs the final
+      // estimate read — a drift should name the phase that moved
+      "sketch_kmv_stream" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val d = docs(s, dir).select("doc_id", "lang", "text")
+        val root = s"${System.getProperty("java.io.tmpdir")}" +
+          s"/graft_kmvstr_ph/${dir.replaceAll("[^0-9.]", "")}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val (_, setup) = timed {
+          (0 to 2).foreach(i => DedupQueries.appendStamped(fs,
+            d.filter(pmod(col("doc_id"), lit(3)) === i),
+            s"$root/journal", 10000L * (i + 1)))
+        }
+        val (_, drain) = timed {
+          val stream = s.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$root/journal")
+          val bg = stream
+            .filter(col("text").isNotNull && trim(col("text")) =!= "")
+            .select(col("lang").as("grp"),
+              split(lower(trim(col("text"))), "\\s+").as("w"))
+            .filter(size(col("w")) >= 2)
+            .select(col("grp"),
+              explode(expr("transform(sequence(1, size(w) - 1), " +
+                "i -> concat(element_at(w, i), ' ', " +
+                "element_at(w, i + 1)))")).as("key"))
+          graft.streaming.SketchStream.kmvSync(bg, "key", "grp", 64,
+            s"$root/state", s"$root/ckpt").awaitTermination()
+        }
+        val (_, read) = timed {
+          graft.streaming.SketchStream
+            .estimates(s.read.parquet(s"$root/state"), 64).count()
+        }
+        Map("setup" -> setup, "drain" -> drain, "estimate" -> read)
+      }),
       "lm_linear_train" -> ((s, dir) => {
         def timed[T](f: => T): (T, Double) = {
           val t0 = System.nanoTime()
