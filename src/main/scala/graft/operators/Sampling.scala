@@ -282,6 +282,18 @@ object Sampling {
       .drop("__frac")
   }
 
+  /** Materialize an epoch's shards: one dir per shard, rows inside
+    * each file already in the epoch's (frac, id) read order — a
+    * training loader streams shard dirs sequentially with zero
+    * shuffling at read time. One exchange on the shard key (the
+    * [[epochShuffle]] plan), each shard written by one task. */
+  def writeShards(df: DataFrame, idCol: String, epoch: Int,
+      nShards: Int, path: String): Unit =
+    epochShuffle(df, idCol, epoch, nShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
       alpha: Double, budget: Double): DataFrame = {
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__ns"))

@@ -261,6 +261,25 @@ class SamplingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("writeShards: one dir per shard, files hold the epoch's read " +
+      "order, round-trip preserves the assignment") {
+    val path = java.nio.file.Files.createTempDirectory("graft_shards")
+      .toString + "/t"
+    Sampling.writeShards(docs.select("doc_id"), "doc_id", epoch = 3,
+      nShards = 4, path)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.length === 4, s"expected 4 shard dirs, got ${dirs.toSeq}")
+    val back = spark.read.parquet(path)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)]
+      .collect().toSet
+    val direct = Sampling
+      .epochShuffle(docs.select("doc_id"), "doc_id", 3, 4)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(back === direct, "round-trip must preserve the assignment")
+  }
+
   test("epochShuffle: epochs permute differently but keep membership; " +
       "repartition-invariant") {
     def perm(e: Int, df: org.apache.spark.sql.DataFrame) =
