@@ -108,55 +108,109 @@ object Bloom {
     val spark = batch.sparkSession
     val bc = spark.sparkContext.broadcast(bits)
     val mBits = bits.length * 64
+    // NULL key → None → NULL verdict → row dropped, exactly like the
+    // codegen path's three-valued logic (a keyless row has no
+    // admission decision); without the guard the UDF would hash the
+    // literal text "null|j" and hand the row a real verdict.
     val member = udf { key: String =>
-      val words = bc.value
-      var j = 0
-      var all = true
-      while (all && j < k) {
-        val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$key|$j")
-        val p = (java.lang.Long.parseLong(hex.substring(0, 15), 16) % mBits).toInt
-        all = (words(p >>> 6) & (1L << (p & 63))) != 0
-        j += 1
+      if (key == null) None
+      else {
+        val words = bc.value
+        var j = 0
+        var all = true
+        while (all && j < k) {
+          val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$key|$j")
+          val p = (java.lang.Long.parseLong(hex.substring(0, 15), 16) % mBits).toInt
+          all = (words(p >>> 6) & (1L << (p & 63))) != 0
+          j += 1
+        }
+        Some(all)
       }
-      all
     }
     batch.filter(!member(col(keyCol).cast("string")))
   }
 
-  /** Persist the filter as one parquet row per 64-bit word — the
-    * layout that lets the NEXT ingest batch reopen the history filter
-    * without re-scanning history (m falls out of the word count; k is
-    * the caller's config, guarded by the oracle/spec contract).
-    * Composes with [[merge]] for shard builds. */
-  def save(spark: org.apache.spark.sql.SparkSession, bits: Array[Long],
+  /** A filter whose k travels WITH its bits — the only probe-safe
+    * unit: probing with k' < k bits passes rows the build would
+    * reject, silently inverting the filter's one hard guarantee (no
+    * false negatives). Callers holding a `BloomFilter` cannot
+    * mismatch k by construction. */
+  final case class BloomFilter(bits: Array[Long], k: Int) {
+    require(k >= 1 && k <= 32, s"k out of range: $k")
+    require(bits.nonEmpty, "empty filter")
+    def mBits: Int = bits.length * 64
+    def memberCol(key: Column): Column = Bloom.memberCol(key, bits, k)
+    def novel(batch: DataFrame, keyCol: String): DataFrame =
+      Bloom.novel(batch, keyCol, bits, k)
+    def novelViaBroadcast(batch: DataFrame, keyCol: String): DataFrame =
+      Bloom.novelViaBroadcast(batch, keyCol, bits, k)
+    def merge(other: BloomFilter): BloomFilter = {
+      require(other.k == k,
+        s"cannot merge filters built with different k: $k vs ${other.k}")
+      BloomFilter(Bloom.merge(bits, other.bits), k)
+    }
+    def fillStats: (Long, Long, Long) = Bloom.fillStats(bits, k)
+  }
+
+  /** [[build]] wrapped in its probe-safe carrier. */
+  def buildFilter(history: DataFrame, keyCol: String, mBits: Int,
+      k: Int): BloomFilter =
+    BloomFilter(build(history, keyCol, mBits, k), k)
+
+  /** Persisted-artifact layout version (bump on layout change). */
+  val FormatVersion: Int = 2
+
+  /** Persist the filter as one parquet row per 64-bit word, with
+    * `(k, version)` beside every word — the layout that lets the NEXT
+    * ingest batch reopen the history filter without re-scanning
+    * history, and that makes a k-mismatch on reopen impossible: the
+    * probe k is read FROM the artifact, never from caller config (a
+    * mismatched k would silently false-negate — the inverted
+    * contract). m falls out of the word count. Composes with
+    * [[BloomFilter.merge]] for shard builds. */
+  def save(spark: org.apache.spark.sql.SparkSession, filter: BloomFilter,
       path: String): Unit = {
     import spark.implicits._
-    bits.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
-      .toDF("w", "bits")
+    filter.bits.zipWithIndex
+      .map { case (w, i) => (i, w, filter.k, FormatVersion) }.toSeq
+      .toDF("w", "bits", "k", "version")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** Reopen a persisted filter. */
+  /** Reopen a persisted filter; the returned [[BloomFilter]] owns the
+    * k it was built with. Refuses legacy/foreign artifacts that carry
+    * no k (probing those with guessed config is exactly the silent
+    * false-negative hazard this layout exists to close). */
   def load(spark: org.apache.spark.sql.SparkSession,
-      path: String): Array[Long] = {
-    val rows = spark.read.parquet(path)
-      .select("w", "bits").collect()
+      path: String): BloomFilter = {
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("k") && df.columns.contains("version"),
+      s"bloom artifact at $path carries no (k, version) metadata — " +
+        "rebuild and re-save it; probing with caller-guessed k risks " +
+        "silent false negatives")
+    val rows = df.select("w", "bits", "k", "version").collect()
+    require(rows.nonEmpty, s"empty bloom artifact at $path")
+    val ks = rows.map(_.getInt(2)).distinct
+    val vs = rows.map(_.getInt(3)).distinct
+    require(ks.length == 1 && vs.length == 1,
+      s"inconsistent bloom artifact at $path: k=${ks.toSeq} version=${vs.toSeq}")
+    require(vs.head == FormatVersion,
+      s"bloom artifact version ${vs.head} != $FormatVersion at $path")
     val arr = new Array[Long](rows.length)
     rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
-    arr
+    BloomFilter(arr, ks.head)
   }
 
-  /** Filter telemetry: bits set, fill per-mille, and the k=3 cubic
-    * false-positive estimate in micro-units — all integer arithmetic,
-    * exact on any engine. (fpp ≈ fill^k; the integer cube keeps the
-    * oracle replay exact, so callers wanting k≠3 estimates scale in
-    * floating point outside the oracle path.) */
+  /** Filter telemetry: bits set, fill per-mille, and the fill^k
+    * false-positive estimate in micro-units — all integer (BigInt)
+    * arithmetic, exact on any engine for any k. */
   def fillStats(bits: Array[Long], k: Int): (Long, Long, Long) = {
+    require(k >= 1 && k <= 32, s"k out of range: $k")
     val m = bits.length.toLong * 64
     val set = bits.map(java.lang.Long.bitCount(_).toLong).sum
     val fillPerMille = set * 1000L / m
     val fppMicro =
-      (BigInt(set).pow(3) * 1000000 / BigInt(m).pow(3)).toLong
+      (BigInt(set).pow(k) * 1000000 / BigInt(m).pow(k)).toLong
     (set, fillPerMille, fppMicro)
   }
 }

@@ -67,7 +67,13 @@ object KmvSketch {
         sum(when(col("fa").isNotNull && col("fb").isNotNull, 1L)
           .otherwise(0L)).as("n_both"))
       .select(col("n_union_k"), col("n_both"),
-        round(col("n_both").cast("double") / lit(k.toDouble), 4)
+        // divide by the union-sketch size actually held, not k: when
+        // both groups carry < k keys the union sketch IS the union set
+        // (< k fractions), and a /k denominator would bias low — two
+        // identical 5-key sets must estimate 1.0, not 5/k. Mirrors
+        // distinctEstimate's exact sub-k handling.
+        round(col("n_both").cast("double") /
+          least(lit(k.toDouble), col("n_union_k").cast("double")), 4)
           .as("jaccard_est"))
   }
 }

@@ -181,9 +181,23 @@ object LangModel {
     * array into each of the `dim` per-bucket count lambdas (the inline
     * form hashed every token `dim` times — ~20 s of the original
     * 26 s sf0.1 training cell was exactly that). */
-  def hashBuckets(textCol: Column, dim: Int): Column =
+  def hashBuckets(textCol: Column, dim: Int): Column = {
+    val chars = hexCharsFor(dim)
     transform(split(trim(textCol), "\\s+"), t =>
-      conv(substring(md5(t), 1, 2), 16, 10).cast("long") % dim)
+      conv(substring(md5(t), 1, chars), 16, 10).cast("long") % dim)
+  }
+
+  /** Hex prefix length so every bucket < dim is reachable: the
+    * smallest c ≥ 2 with 16^c ≥ dim (2 chars = 256 values sufficed
+    * for every historical dim; a fixed 2 would leave buckets ≥ 256
+    * permanently empty for larger dims — silently wasting most of the
+    * weight vector). Integer loop, no floating log. */
+  private def hexCharsFor(dim: Int): Int = {
+    var c = 2
+    var cap = 256
+    while (cap < dim) { c += 1; cap *= 16 }
+    c
+  }
 
   /** Per-mille feature vector from a precomputed bucket array. */
   def featuresFromBuckets(bs: Column, dim: Int, bias: Long): Column =

@@ -34,9 +34,12 @@ object UrlOps {
   private def afterScheme(url: Column): Column =
     try_element_at(split(url, "://"), lit(2))
 
-  /** host[:port] — the authority before the first path slash. */
+  /** host[:port] — the authority before the first path slash, query
+    * `?`, or fragment `#` (a URL may attach a query/fragment directly
+    * to the authority, `https://example.com?a=1` — a common real-crawl
+    * shape). */
   def hostPort(url: Column): Column =
-    element_at(split(afterScheme(url), "/"), 1)
+    element_at(split(afterScheme(url), "[/?#]"), 1)
 
   /** Lowercased host without the port. */
   def host(url: Column): Column =

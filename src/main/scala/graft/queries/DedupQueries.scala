@@ -564,6 +564,33 @@ object DedupQueries {
         .toDF("m_bits", "k", "n_keys", "bits_set", "fill_permille",
           "fpp_micro")
     }),
+    // Persisted-filter round trip: build → save → load → probe, with
+    // the probe k read FROM the artifact (Bloom.load returns a filter
+    // that owns its k; a k-less or inconsistent artifact refuses to
+    // load). The ledger hash-checks that the reopened filter's
+    // verdicts equal the build's — the next ingest batch reopens the
+    // history filter without re-scanning history OR re-guessing k.
+    "dedup_bloom_roundtrip" -> ((s, dir) => {
+      import graft.operators.Bloom
+      val clean = docs(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val hist = clean.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bloomrt/" +
+        dir.replaceAll("[^0-9.]", "")
+      Bloom.save(s, Bloom.BloomFilter(
+        BuildCache.memo(s"bloom:1024:3:$dir") {
+          Bloom.build(hist.select("text"), "text", mBits = 1024, k = 3)
+        }, 3), path)
+      val loaded = Bloom.load(s, path)
+      val batch = clean.filter(pmod(col("doc_id"), lit(3)) === 0)
+      loaded.novel(batch, "text")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_admitted"),
+          sum("doc_id").as("id_sum"))
+        .withColumn("m_bits", lit(loaded.mBits.toLong))
+        .withColumn("k", lit(loaded.k.toLong))
+        .orderBy("lang")
+    }),
     // Efraimidis–Spirakis weighted sampling without replacement:
     // weight = token count, so long documents are proportionally
     // likelier — the md5 keys make the drawn set a pure function of
@@ -1605,6 +1632,34 @@ object DedupQueries {
         |  (s.bits_set * s.bits_set * s.bits_set * CAST(1000000 AS BIGINT))
         |    // CAST(68719476736 AS BIGINT) AS fpp_micro
         |FROM s, n""".stripMargin,
+    // Round-trip replay: admission through the REOPENED filter must
+    // equal the build's verdicts — same md5 position arithmetic, k and
+    // m being the build constants the artifact carries.
+    "dedup_bloom_roundtrip" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT text FROM documents
+        |  WHERE doc_id % 3 <> 0 AND text IS NOT NULL AND trim(text) <> ''),
+        |js AS (SELECT unnest(range(0, 3)) AS j),
+        |pos AS (
+        |  SELECT DISTINCT
+        |    CAST('0x' || substr(md5(h.text || '|' || CAST(js.j AS VARCHAR)),
+        |                        1, 15) AS BIGINT) % 1024 AS p
+        |  FROM hist h CROSS JOIN js),
+        |batch AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id % 3 = 0 AND text IS NOT NULL AND trim(text) <> ''),
+        |verd AS (
+        |  SELECT b.doc_id, b.lang,
+        |    bool_and(
+        |      CAST('0x' || substr(md5(b.text || '|' || CAST(js.j AS VARCHAR)),
+        |                          1, 15) AS BIGINT) % 1024
+        |        IN (SELECT p FROM pos)) AS member
+        |  FROM batch b CROSS JOIN js
+        |  GROUP BY b.doc_id, b.lang)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_admitted,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(1024 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k
+        |FROM verd WHERE NOT member GROUP BY lang ORDER BY lang""".stripMargin,
     // A-Res replay: key = frac^(1/w), top-120 by (key desc, id).
     "sample_weighted" ->
       """WITH d AS (

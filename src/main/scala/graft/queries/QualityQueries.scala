@@ -892,7 +892,8 @@ object QualityQueries {
         |  round(CAST(ex.n_inter_exact AS DOUBLE) / ex.n_union_exact, 4)
         |    AS jaccard_exact,
         |  j.n_union_k, j.n_both,
-        |  round(CAST(j.n_both AS DOUBLE) / 64, 4) AS jaccard_est
+        |  round(CAST(j.n_both AS DOUBLE) / least(64, j.n_union_k), 4)
+        |    AS jaccard_est
         |FROM ex, j""".stripMargin,
     // CCNet bucket replay: same xent pipeline, then the md5-half
     // sample, value-rank cutoffs at ceil(n/3) and ceil(2n/3), and the

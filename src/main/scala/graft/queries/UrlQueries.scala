@@ -106,9 +106,10 @@ object UrlQueries {
       |        SELECT doc_id, lang, url,
       |          string_split(url, '://')[1] AS scheme,
       |          string_split(url, '://')[2] AS rest,
-      |          string_split(string_split(url, '://')[2], '/')[1] AS hostport,
-      |          lower(string_split(string_split(string_split(url, '://')[2],
-      |            '/')[1], ':')[1]) AS host
+      |          string_split_regex(string_split(url, '://')[2],
+      |            '[/?#]')[1] AS hostport,
+      |          lower(string_split(string_split_regex(string_split(url,
+      |            '://')[2], '[/?#]')[1], ':')[1]) AS host
       |        FROM u))))""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

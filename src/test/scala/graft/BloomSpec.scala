@@ -70,25 +70,67 @@ class BloomSpec extends SparkSpec {
     assert(fpp === set * set * set * 1000000L / (1024L * 1024L * 1024L))
   }
 
-  test("save/load round-trips the filter; merge of loaded shard " +
-      "filters equals the union build") {
+  test("save/load round-trips the filter AND its k; merge of loaded " +
+      "shard filters equals the union build") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bloom")
       .toString
-    Bloom.save(spark, bits, s"$dir/f")
+    Bloom.save(spark, Bloom.BloomFilter(bits, 3), s"$dir/f")
     val re = Bloom.load(spark, s"$dir/f")
-    assert(re.toSeq === bits.toSeq)
+    assert(re.bits.toSeq === bits.toSeq)
+    assert(re.k === 3, "probe k must come FROM the artifact")
 
     // shard builds persisted separately, reopened, OR-merged
     val h1 = hist.filter(pmod(col("doc_id"), lit(2)) === 0)
     val h2 = hist.filter(pmod(col("doc_id"), lit(2)) === 1)
-    Bloom.save(spark, Bloom.build(h1.select("text"), "text", 1024, 3),
+    Bloom.save(spark, Bloom.buildFilter(h1.select("text"), "text", 1024, 3),
       s"$dir/s1")
-    Bloom.save(spark, Bloom.build(h2.select("text"), "text", 1024, 3),
+    Bloom.save(spark, Bloom.buildFilter(h2.select("text"), "text", 1024, 3),
       s"$dir/s2")
-    val merged = Bloom.merge(Bloom.load(spark, s"$dir/s1"),
-      Bloom.load(spark, s"$dir/s2"))
-    assert(merged.toSeq === bits.toSeq,
+    val merged = Bloom.load(spark, s"$dir/s1")
+      .merge(Bloom.load(spark, s"$dir/s2"))
+    assert(merged.bits.toSeq === bits.toSeq,
       "shard-merged filter must equal the union build bit for bit")
+    assert(merged.k === 3)
+  }
+
+  test("k-mismatch is impossible by construction: a k-less legacy " +
+      "artifact refuses to load, and merging different-k filters throws") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomk")
+      .toString
+    // a legacy artifact: words only, no (k, version) columns
+    bits.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
+      .toDF("w", "bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/legacy")
+    val e = intercept[IllegalArgumentException] {
+      Bloom.load(spark, s"$dir/legacy")
+    }
+    assert(e.getMessage.contains("no (k, version) metadata"),
+      s"wrong refusal: ${e.getMessage}")
+    // probing a loaded filter uses ITS k: same verdicts as the build's
+    Bloom.save(spark, Bloom.BloomFilter(bits, 3), s"$dir/f")
+    val reopened = Bloom.load(spark, s"$dir/f")
+    val direct = Bloom.novel(batch, "text", bits, 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaArtifact = reopened.novel(batch, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaArtifact === direct && direct.nonEmpty)
+    intercept[IllegalArgumentException] {
+      reopened.merge(Bloom.BloomFilter(bits, 5))
+    }
+  }
+
+  test("broadcast probe drops NULL-key rows exactly like the codegen " +
+      "path (no verdict for a keyless row)") {
+    val withNulls = batch.select("doc_id", "text")
+      .unionByName(Seq((-1L, null.asInstanceOf[String]),
+        (-2L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val viaLit = Bloom.novel(withNulls, "text", bits, 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaBc = Bloom.novelViaBroadcast(withNulls, "text", bits, 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaBc === viaLit, "paths diverge on NULL keys")
+    assert(!viaLit.contains(-1L) && !viaLit.contains(-2L),
+      "a NULL-key row received an admission verdict")
   }
 
   test("probe plan is a shuffle-free scan+filter (the 100 TB contract)") {

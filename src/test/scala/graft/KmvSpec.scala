@@ -78,4 +78,22 @@ class KmvSpec extends SparkSpec {
       .select("jaccard_est").as[Double].head()
     assert(jhR === jh, "estimate must not depend on partitioning")
   }
+
+  test("sub-k jaccard is exact: the union sketch IS the union set, " +
+      "so the denominator is its size, not k") {
+    // two identical 5-key sets with k=64: J must be 1.0 (a /k
+    // denominator would report 5/64 ≈ 0.078)
+    val same = ((1 to 5).map(i => ("a", s"k$i")) ++
+      (1 to 5).map(i => ("b", s"k$i"))).toDF("g", "key")
+    val r = KmvSketch.jaccardEstimate(same, "key", "g", "a", "b", 64)
+      .select("n_union_k", "n_both", "jaccard_est")
+      .as[(Long, Long, Double)].head()
+    assert(r === ((5L, 5L, 1.0)))
+    // 3-of-6 overlap, all below k: exact 0.5
+    val half = ((1 to 4).map(i => ("a", s"k$i")) ++
+      (2 to 5).map(i => ("b", s"k$i"))).toDF("g", "key")
+    val jh = KmvSketch.jaccardEstimate(half, "key", "g", "a", "b", 64)
+      .select("jaccard_est").as[Double].head()
+    assert(jh === 0.6, "|∩|=3, |∪|=5 must report exactly 0.6")
+  }
 }

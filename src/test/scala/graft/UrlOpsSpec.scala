@@ -28,6 +28,24 @@ class UrlOpsSpec extends SparkSpec {
     assert(row === (("example.com", "", "", "", "")))
   }
 
+  test("query/fragment attached directly to the authority stays out " +
+      "of the host") {
+    val rows = Seq("https://Example.com?a=1&utm_source=x",
+      "https://example.com#frag",
+      "https://example.com:8443?b=2")
+      .toDF("url")
+      .select(UrlOps.host(col("url")).as("h"), UrlOps.port(col("url")).as("p"),
+        UrlOps.path(col("url")).as("pa"), UrlOps.query(col("url")).as("q"),
+        UrlOps.fragment(col("url")).as("f"))
+      .as[(String, String, String, String, String)].collect().toSeq
+    assert(rows === Seq(
+      ("example.com", "", "", "a=1&utm_source=x", ""),
+      ("example.com", "", "", "", "frag"),
+      ("example.com", "8443", "", "b=2", "")))
+    assert(canonOf("https://WWW.example.com?a=1&utm_source=x") ===
+      Seq("https://example.com?a=1"))
+  }
+
   test("scheme-less junk yields nulls, not an ANSI crash") {
     val n = Seq("not a url at all").toDF("url")
       .select(UrlOps.host(col("url"))).as[Option[String]].head()
