@@ -108,39 +108,45 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .orderBy("hour", "event_type")
     }),
-    // Cohort retention: users grouped by first-seen week, activity
-    // counted at week offsets from the cohort — two keyed
-    // aggregations; the first-seen side is user-bounded and broadcast.
+    // Cohort retention via the CohortOps library operator: two keyed
+    // aggregations joined on the user key, NO broadcast hint — the
+    // first-seen side is user-keyed and "user-bounded" is not bounded
+    // (10⁸–10⁹ users at 100 TB ≈ tens of GiB); AQE broadcasts at this
+    // scale on its own and shuffle-joins safely at production scale.
     "ev_cohort_retention" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val first = e.groupBy("user_id")
-        .agg(date_trunc("week", min("ts")).as("cohort"))
-      e.join(broadcast(first), "user_id")
-        .withColumn("wk_off",
-          (datediff(date_trunc("week", col("ts")), col("cohort")) / 7)
-            .cast("long"))
-        .groupBy("cohort", "wk_off")
-        .agg(countDistinct("user_id").as("n_users"))
+      graft.operators.CohortOps.retention(ev(s, dir), "user_id", "ts")
+        .orderBy("cohort", "wk_off")
+    }),
+    // The MULTI-cohort twin: the driver fixture is cohort-degenerate
+    // (every user first appears in week 1), so this query re-bases
+    // each user's clock by (user_id % 4) weeks — a deterministic,
+    // engine-portable shift both engines apply — giving FOUR distinct
+    // cohort weeks with the full offset spread each. The groupBy-
+    // cohort dimension of the operator is exercised for real here.
+    "ev_cohort_multi" -> ((s, dir) => {
+      val shifted = ev(s, dir).withColumn("ts",
+        expr("timestampadd(DAY, CAST((user_id % 4) * 7 AS INT), ts)"))
+      graft.operators.CohortOps.retention(shifted, "user_id", "ts")
         .orderBy("cohort", "wk_off")
     }),
     // Ordered funnel view → click → purchase inside the first three
     // days: each stage's event must FOLLOW the previous stage's first
-    // qualifying time (not merely coexist) — three user-keyed min
-    // aggregations, each stage's survivor table broadcast forward.
+    // qualifying time (not merely coexist). CohortOps.funnelSurvivors
+    // chains one filtered min-aggregation + plain equi-join per stage
+    // (no broadcast hints — the survivor tables are user-keyed), and
+    // the three stage counts land in ONE job, not three count() jobs.
     "ev_funnel" -> ((s, dir) => {
       val e = ev(s, dir)
         .filter(col("ts") < to_timestamp(lit("2024-01-04")))
-      val v = e.filter(col("event_type") === "view").groupBy("user_id")
-        .agg(min("ts").as("v_ts"))
-      val c = e.filter(col("event_type") === "click")
-        .join(broadcast(v), "user_id").filter(col("ts") > col("v_ts"))
-        .groupBy("user_id").agg(min("ts").as("c_ts"))
-      val p = e.filter(col("event_type") === "purchase")
-        .join(broadcast(c), "user_id").filter(col("ts") > col("c_ts"))
-        .groupBy("user_id").agg(min("ts").as("p_ts"))
-      import s.implicits._
-      Seq((v.count(), c.count(), p.count()))
-        .toDF("n_view", "n_click_after", "n_purchase_after")
+      graft.operators.CohortOps.funnelCounts(e, "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .agg(
+          coalesce(sum(when(col("stage") === 0, col("n_users"))), lit(0L))
+            .as("n_view"),
+          coalesce(sum(when(col("stage") === 1, col("n_users"))), lit(0L))
+            .as("n_click_after"),
+          coalesce(sum(when(col("stage") === 2, col("n_users"))), lit(0L))
+            .as("n_purchase_after"))
     }),
     // Sessionization: a new session starts after a >30-minute silence.
     "ev_sessionize" -> ((s, dir) => {
@@ -445,6 +451,25 @@ object EventQueries {
         |    date_diff('day', CAST(f.cohort AS DATE),
         |      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS wk_off
         |  FROM events e JOIN f USING (user_id))
+        |SELECT cohort, CAST(wk_off AS BIGINT) AS wk_off,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY cohort, wk_off""".stripMargin,
+    // Multi-cohort replay: the same retention rollup over the
+    // (user_id % 4)-week re-based clock — four cohorts, full offset
+    // spread, engine-portable day arithmetic (UTC, no DST).
+    "ev_cohort_multi" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    ts + to_days(CAST((user_id % 4) * 7 AS INT)) AS ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM s GROUP BY user_id),
+        |a AS (
+        |  SELECT s.user_id, f.cohort,
+        |    date_diff('day', CAST(f.cohort AS DATE),
+        |      CAST(date_trunc('week', s.ts) AS DATE)) // 7 AS wk_off
+        |  FROM s JOIN f USING (user_id))
         |SELECT cohort, CAST(wk_off AS BIGINT) AS wk_off,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM a GROUP BY 1, 2 ORDER BY cohort, wk_off""".stripMargin,

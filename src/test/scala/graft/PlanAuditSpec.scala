@@ -369,4 +369,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
       "URL parsing must stay native expressions")
   }
+
+  test("cohort/funnel: no forced broadcast of a user-keyed aggregate " +
+    "— the build side is user-bounded, which is NOT bounded at 100 TB; " +
+    "AQE alone decides the join strategy") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    spark.sharedState.cacheManager.clearCache()
+    Seq("ev_cohort_retention", "ev_cohort_multi", "ev_funnel").foreach { q =>
+      val lp = SparkEntry.queries(q)(spark, sf).queryExecution.analyzed
+      val hints = lp.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty, s"$q carries a forced join hint:\n$lp")
+    }
+  }
+
+  test("ev_cohort_multi exercises the cohort dimension for real: " +
+    "several distinct cohorts, several week offsets each") {
+    spark.sharedState.cacheManager.clearCache()
+    val rows = SparkEntry.queries("ev_cohort_multi")(spark, sf)
+      .collect()
+      .map(r => (r.get(0).toString, r.getLong(1)))
+    val cohorts = rows.map(_._1).distinct
+    assert(cohorts.length >= 3,
+      s"need >= 3 distinct cohorts, got ${cohorts.toSeq}")
+    val offsetsPerCohort = rows.groupBy(_._1).values.map(_.length)
+    assert(offsetsPerCohort.forall(_ >= 2),
+      s"every cohort needs >= 2 week offsets, got $rows")
+  }
 }
