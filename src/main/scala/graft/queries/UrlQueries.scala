@@ -112,7 +112,38 @@ object UrlQueries {
       |            '://')[2], '[/?#]')[1], ':')[1]) AS host
       |        FROM u))))""".stripMargin
 
+  /** Host fixture for the PSL path: every rule form exercised —
+    * deep subdomains, UK/BR/IN second levels, the `*.ck` wildcard
+    * (both "is itself a public suffix" and "+1 label" shapes), the
+    * `!www.ck` exception, the 3-label `*.sch.uk` wildcard, and an
+    * unlisted single label. */
+  private def pslHostCol: Column = {
+    val sid = pmod(col("doc_id"), lit(7)).cast("string")
+    val sel = pmod(col("doc_id"), lit(10))
+    when(sel === 0, concat(lit("deep.sub"), sid, lit(".example"), sid, lit(".com")))
+      .when(sel === 1, concat(lit("example"), sid, lit(".co.uk")))
+      .when(sel === 2, concat(lit("a.b.example"), sid, lit(".com.br")))
+      .when(sel === 3, concat(lit("cdn.example"), sid, lit(".co.in")))
+      .when(sel === 4, concat(lit("x"), sid, lit(".ck")))
+      .when(sel === 5, concat(lit("shop.x"), sid, lit(".ck")))
+      .when(sel === 6, lit("www.ck"))
+      .when(sel === 7, concat(lit("example"), sid, lit(".ac.uk")))
+      .when(sel === 8, lit("localhost"))
+      .otherwise(concat(lit("x.grammar"), sid, lit(".sch.uk")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Registered domain against the PSL SNAPSHOT TABLE (the production
+    // path — the expression list stays the fast path for tiny embedded
+    // rule sets): per rule-depth broadcast equi-joins, prevailing-rule
+    // coalesce, NULL for hosts that are themselves public suffixes.
+    "url_domain_psl" -> ((s, dir) => {
+      val h = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), pslHostCol.as("host"))
+      graft.operators.Psl.registeredDomainByTable(h, "host",
+          graft.operators.Psl.rulesDf(s), "domain")
+        .orderBy("doc_id")
+    }),
     // Per-URL canonicalization: every cleanup rule exercised (case,
     // www, default/explicit port, tracking strip, param sort, trailing
     // slash, fragment) and hash-checked string for string.
@@ -183,7 +214,73 @@ object UrlQueries {
     }),
   )
 
+  /** The snapshot rules as a VALUES body — the oracle replays the
+    * SAME table the operator broadcasts. */
+  private val pslValues: String =
+    graft.operators.Psl.snapshotRules.map(r => s"('$r')").mkString(", ")
+
+  private val pslMaxL: Int =
+    graft.operators.Psl.snapshotRules
+      .map(r => r.stripPrefix("!").count(_ == '.') + 1).max
+
   val oracleSql: Map[String, String] = Map(
+    // PSL replay: candidate suffixes per depth via list_slice, rules
+    // from VALUES, prevailing rule by (exception, length) precedence,
+    // public suffix + 1 label — NULL when nothing is registrable.
+    "url_domain_psl" ->
+      s"""WITH hh AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 10
+         |      WHEN 0 THEN 'deep.sub' || sid || '.example' || sid || '.com'
+         |      WHEN 1 THEN 'example' || sid || '.co.uk'
+         |      WHEN 2 THEN 'a.b.example' || sid || '.com.br'
+         |      WHEN 3 THEN 'cdn.example' || sid || '.co.in'
+         |      WHEN 4 THEN 'x' || sid || '.ck'
+         |      WHEN 5 THEN 'shop.x' || sid || '.ck'
+         |      WHEN 6 THEN 'www.ck'
+         |      WHEN 7 THEN 'example' || sid || '.ac.uk'
+         |      WHEN 8 THEN 'localhost'
+         |      ELSE 'x.grammar' || sid || '.sch.uk' END AS host
+         |  FROM (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS sid
+         |        FROM documents WHERE doc_id < 200)),
+         |rr AS (
+         |  SELECT DISTINCT
+         |    CASE WHEN starts_with(rule, '!') THEN substr(rule, 2)
+         |         ELSE rule END AS form,
+         |    CASE WHEN starts_with(rule, '!') THEN 1 ELSE 0 END AS is_exc
+         |  FROM (VALUES $pslValues) t(rule)),
+         |r2 AS (
+         |  SELECT form, is_exc, len(string_split(form, '.')) AS n,
+         |    CASE WHEN is_exc = 1 THEN len(string_split(form, '.')) - 1
+         |         ELSE len(string_split(form, '.')) END AS ps_labels
+         |  FROM rr),
+         |h AS (
+         |  SELECT doc_id, host, string_split(host, '.') AS parts,
+         |    len(string_split(host, '.')) AS np
+         |  FROM hh),
+         |lv AS (SELECT unnest(range(1, ${pslMaxL + 1})) AS l),
+         |cand AS (
+         |  SELECT h.doc_id, lv.l,
+         |    array_to_string(list_slice(parts, np - l + 1, np), '.') AS c,
+         |    CASE WHEN lv.l >= 2 THEN
+         |      '*.' || array_to_string(list_slice(parts, np - l + 2, np), '.')
+         |    END AS w
+         |  FROM h JOIN lv ON h.np >= lv.l),
+         |m AS (
+         |  SELECT cand.doc_id, r.is_exc, r.ps_labels, r.n
+         |  FROM cand JOIN r2 r ON r.form = cand.c OR r.form = cand.w),
+         |b AS (
+         |  SELECT doc_id, ps_labels,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY is_exc DESC, n DESC) AS rn
+         |  FROM m)
+         |SELECT h.doc_id, h.host,
+         |  CASE WHEN h.np > coalesce(b.ps_labels, 1)
+         |    THEN array_to_string(list_slice(h.parts,
+         |      h.np - coalesce(b.ps_labels, 1), h.np), '.') END AS domain
+         |FROM h LEFT JOIN (SELECT doc_id, ps_labels FROM b WHERE rn = 1) b
+         |  USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "url_canonicalize" ->
       s"""WITH u AS ($urlSqlCte),
          |c AS ($canonSqlCte)
