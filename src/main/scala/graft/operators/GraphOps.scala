@@ -11,25 +11,55 @@ import org.apache.spark.sql.DataFrame
   *
   *  - per-iteration state is ONE node-bounded rank table and the
   *    edge-bounded contribution shuffle — nothing quadratic, nothing
-  *    driver-side beyond the node-count scalar;
+  *    driver-side beyond per-iteration scalars;
   *  - every iteration `localCheckpoint`s its rank table, so the plan
   *    stays flat in the iteration count (the pointer-jumping /
   *    BPE-loop precedent);
   *  - the recurrence is pure arithmetic over md5-free inputs, so a
   *    fixed-iteration run replays exactly as chained SQL CTEs
-  *    (`graph_pagerank` oracle).
+  *    (`graph_pagerank` / `graph_pagerank_dangling` oracles).
   *
-  * The variant is the textbook damped power iteration
-  * pr'(v) = (1-d)/N + d·Σ_{u→v} pr(u)/outdeg(u); dangling-node mass
-  * leaks (the simplest published formulation — callers wanting
-  * stochastic-matrix semantics add a dangling redistribution term).
+  * Two variants of the damped power iteration
+  * pr'(v) = (1-d)/N + d·Σ_{u→v} pr(u)/outdeg(u):
+  *
+  *  - `redistributeDangling = false`: the textbook simplest form —
+  *    dangling-node mass leaks, so ranks sum BELOW 1 on any graph
+  *    with sinks (fine for within-graph ordering, wrong for
+  *    cross-subgraph comparison);
+  *  - `redistributeDangling = true`: the stochastic-matrix form —
+  *    each iteration's dangling mass Σ_{outdeg(v)=0} pr(v) is
+  *    redistributed uniformly (+ d·dm/N per node), so ranks sum to
+  *    EXACTLY 1 every iteration. Any real web graph is full of
+  *    dangling URLs; this is the production default. Cost: one extra
+  *    node-bounded aggregate per iteration.
   */
 object GraphOps {
+
+  /** Per-iteration convergence telemetry: total rank mass after the
+    * iteration (1.0 under redistribution, decaying without) and the
+    * L1 delta vs the previous iteration's ranks — the convergence
+    * probe that says when more iterations stop paying. */
+  final case class PageRankIter(iter: Int, mass: Double, l1Delta: Double)
 
   /** `iters` damped power iterations from the uniform start. Returns
     * `(v, pr)` for every node appearing as src or dst. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, damping: Double): DataFrame = {
+      iters: Int, damping: Double,
+      redistributeDangling: Boolean = false): DataFrame =
+    run(edges, srcCol, dstCol, iters, damping, redistributeDangling,
+      collectStats = false)._1
+
+  /** [[pageRank]] plus the per-iteration telemetry (bounded: `iters`
+    * driver-side triples; each costs one extra node-bounded agg). */
+  def pageRankWithStats(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double, redistributeDangling: Boolean)
+      : (DataFrame, Seq[PageRankIter]) =
+    run(edges, srcCol, dstCol, iters, damping, redistributeDangling,
+      collectStats = true)
+
+  private def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double, redistributeDangling: Boolean,
+      collectStats: Boolean): (DataFrame, Seq[PageRankIter]) = {
     require(iters >= 1, s"iters must be positive, got $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
     val e = edges
@@ -40,18 +70,38 @@ object GraphOps {
       .distinct().localCheckpoint()
     val n = nodes.count()
     val deg = e.groupBy("src").agg(count(lit(1)).as("od")).localCheckpoint()
+    // sinks: appear in the graph but never as a source
+    val dangling =
+      nodes.join(deg.select(col("src").as("v")), Seq("v"), "left_anti")
+        .localCheckpoint()
     var r = nodes.withColumn("pr", lit(1.0 / n))
-    for (_ <- 1 to iters) {
+    val stats = Seq.newBuilder[PageRankIter]
+    for (it <- 1 to iters) {
+      // dangling mass this iteration: ONE scalar (node-bounded agg),
+      // folded into the recompute as a literal — exact in the SQL
+      // replay, which computes the same scalar per chained CTE
+      val dm =
+        if (redistributeDangling)
+          r.join(dangling, "v")
+            .agg(coalesce(sum("pr"), lit(0.0))).head().getDouble(0)
+        else 0.0
       val contrib = e.join(r, col("src") === col("v"))
         .join(deg, "src")
         .select(col("dst").as("v"), (col("pr") / col("od")).as("m"))
         .groupBy("v").agg(sum("m").as("m"))
-      r = nodes.join(contrib, Seq("v"), "left")
+      val next = nodes.join(contrib, Seq("v"), "left")
         .select(col("v"),
           (lit((1 - damping) / n) +
-            lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
+            lit(damping) * (coalesce(col("m"), lit(0.0)) + lit(dm / n)))
+            .as("pr"))
         .localCheckpoint()
+      if (collectStats) {
+        val row = next.join(r.select(col("v"), col("pr").as("__prev")), "v")
+          .agg(sum("pr"), sum(abs(col("pr") - col("__prev")))).head()
+        stats += PageRankIter(it, row.getDouble(0), row.getDouble(1))
+      }
+      r = next
     }
-    r
+    (r, stats.result())
   }
 }

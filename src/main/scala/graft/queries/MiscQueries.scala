@@ -87,6 +87,24 @@ object MiscQueries {
           round(col("pr"), 4).as("pr"))
         .orderBy("node")
     }),
+    // The stochastic-matrix variant on a graph WITH sinks: src is
+    // capped to 0..29 while dst ranges 0..39, so nodes 30..39 are
+    // genuinely dangling. Each iteration redistributes their mass
+    // uniformly (one extra node-bounded aggregate), so ranks sum to
+    // exactly 1 — the cross-subgraph-comparable form any real web
+    // graph (full of dangling URLs) needs.
+    "graph_pagerank_dangling" -> ((s, dir) => {
+      import graft.operators.GraphOps
+      val e = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(30)).as("src"),
+          pmod((col("doc_id") / lit(7)).cast("long"), lit(40)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      GraphOps.pageRank(e, "src", "dst", iters = 3, damping = 0.85,
+          redistributeDangling = true)
+        .select(col("v").cast("long").as("node"),
+          round(col("pr"), 4).as("pr"))
+        .orderBy("node")
+    }),
     "date_funcs" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).as("y"),
@@ -191,6 +209,52 @@ object MiscQueries {
         |r3 AS (
         |  SELECT n.v, 0.15 / cnt.nn + 0.85 * coalesce(c3.m, 0) AS pr
         |  FROM n CROSS JOIN cnt LEFT JOIN c3 ON n.v = c3.v)
+        |SELECT CAST(v AS BIGINT) AS node, round(pr, 4) AS pr
+        |FROM r3 ORDER BY node""".stripMargin,
+    // Dangling replay: same chained CTEs plus a per-iteration dangling
+    // mass scalar (sum of sink ranks) folded uniformly into the
+    // recompute — rank mass is exactly 1 after every iteration.
+    "graph_pagerank_dangling" ->
+      """WITH e AS (
+        |  SELECT DISTINCT doc_id % 30 AS src, (doc_id // 7) % 40 AS dst
+        |  FROM documents WHERE doc_id % 30 <> (doc_id // 7) % 40),
+        |n AS (
+        |  SELECT DISTINCT v FROM (
+        |    SELECT src AS v FROM e UNION SELECT dst FROM e)),
+        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
+        |deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        |dang AS (SELECT v FROM n WHERE v NOT IN (SELECT src FROM deg)),
+        |r0 AS (SELECT v, 1.0 / nn AS pr FROM n CROSS JOIN cnt),
+        |d1 AS (SELECT coalesce(sum(r0.pr), 0) AS dm
+        |       FROM r0 JOIN dang USING (v)),
+        |c1 AS (
+        |  SELECT e.dst AS v, sum(r0.pr / deg.od) AS m
+        |  FROM e JOIN r0 ON e.src = r0.v JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r1 AS (
+        |  SELECT n.v,
+        |    0.15 / cnt.nn + 0.85 * (coalesce(c1.m, 0) + d1.dm / cnt.nn) AS pr
+        |  FROM n CROSS JOIN cnt CROSS JOIN d1 LEFT JOIN c1 ON n.v = c1.v),
+        |d2 AS (SELECT coalesce(sum(r1.pr), 0) AS dm
+        |       FROM r1 JOIN dang USING (v)),
+        |c2 AS (
+        |  SELECT e.dst AS v, sum(r1.pr / deg.od) AS m
+        |  FROM e JOIN r1 ON e.src = r1.v JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT n.v,
+        |    0.15 / cnt.nn + 0.85 * (coalesce(c2.m, 0) + d2.dm / cnt.nn) AS pr
+        |  FROM n CROSS JOIN cnt CROSS JOIN d2 LEFT JOIN c2 ON n.v = c2.v),
+        |d3 AS (SELECT coalesce(sum(r2.pr), 0) AS dm
+        |       FROM r2 JOIN dang USING (v)),
+        |c3 AS (
+        |  SELECT e.dst AS v, sum(r2.pr / deg.od) AS m
+        |  FROM e JOIN r2 ON e.src = r2.v JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT n.v,
+        |    0.15 / cnt.nn + 0.85 * (coalesce(c3.m, 0) + d3.dm / cnt.nn) AS pr
+        |  FROM n CROSS JOIN cnt CROSS JOIN d3 LEFT JOIN c3 ON n.v = c3.v)
         |SELECT CAST(v AS BIGINT) AS node, round(pr, 4) AS pr
         |FROM r3 ORDER BY node""".stripMargin,
     "date_funcs" ->

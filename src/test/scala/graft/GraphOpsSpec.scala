@@ -37,6 +37,40 @@ class GraphOpsSpec extends SparkSpec {
       s"heavy-inflow nodes must outrank the middle: $pr")
   }
 
+  test("dangling redistribution: mass is exactly conserved every " +
+      "iteration on a sink-heavy graph, and leaks without it") {
+    // 4 is a sink (no out-edges) holding real mass
+    val withSink = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+      .toDF("src", "dst")
+    val (prLeak, statsLeak) = GraphOps.pageRankWithStats(withSink,
+      "src", "dst", iters = 4, damping = 0.85,
+      redistributeDangling = false)
+    assert(statsLeak.map(_.iter) === Seq(1, 2, 3, 4))
+    assert(statsLeak.forall(s => s.mass < 1.0 - 1e-6),
+      s"sink mass must leak without redistribution: $statsLeak")
+    assert(prLeak.agg(sum("pr")).head().getDouble(0) < 1.0 - 1e-6)
+
+    val (prFull, statsFull) = GraphOps.pageRankWithStats(withSink,
+      "src", "dst", iters = 4, damping = 0.85,
+      redistributeDangling = true)
+    statsFull.foreach(s => assert(math.abs(s.mass - 1.0) < 1e-9,
+      s"stochastic-matrix form must conserve mass at iteration ${s.iter}: $s"))
+    assert(math.abs(prFull.agg(sum("pr")).head().getDouble(0) - 1.0) < 1e-9)
+    // the L1 delta is the convergence probe: it must shrink
+    assert(statsFull.last.l1Delta < statsFull.head.l1Delta,
+      s"power iteration must converge: $statsFull")
+  }
+
+  test("redistribution is a no-op on a dangling-free graph") {
+    val a = GraphOps.pageRank(edges, "src", "dst", 3, 0.85)
+      .as[(Long, Double)].collect().toMap
+    val b = GraphOps.pageRank(edges, "src", "dst", 3, 0.85,
+        redistributeDangling = true)
+      .as[(Long, Double)].collect().toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+  }
+
   test("partitioning-invariant up to float noise") {
     val a = GraphOps.pageRank(edges, "src", "dst", 3, 0.85)
       .as[(Long, Double)].collect().toMap
