@@ -688,6 +688,58 @@ object Multimodal {
       }
   }
 
+  /** CONTENT-SENSITIVE image featurization: decode each payload and
+    * average channels over a g×g BLOCK GRID — `vec` holds g·g·3
+    * doubles ordered (blockRow, blockCol, channel). Channel means
+    * alone are content-BLIND for near-dup purposes (two different
+    * images with the same average color collide — color-dedup, not
+    * image-dedup); the block grid keeps spatial layout, so a
+    * left/right split and a checkerboard of identical global means
+    * land far apart. Still deterministic and integer-exact (block
+    * sums are exact longs, one IEEE division each), so the whole
+    * feature replays in SQL from the pixel formula: pixel (x,y) maps
+    * to block (y·g div h, x·g div w) — plain integer arithmetic.
+    * Undecodable payloads drop (the corrupt-file contract). */
+  def imageBlockGrid(media: DataFrame, g: Int): DataFrame = {
+    require(g >= 1 && g <= 16, s"grid out of range: $g")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          imageDecode(bytes).map { case (w, h, rgb) =>
+            (id, w, h, blockMeans(w, h, rgb, g))
+          }
+        }
+      }.toDF("media_id", "width", "height", "vec")
+  }
+
+  private def blockMeans(w: Int, h: Int, rgb: Array[Byte],
+      g: Int): Array[Double] = {
+    val sums = new Array[Long](g * g * 3)
+    val counts = new Array[Long](g * g)
+    var y = 0
+    while (y < h) {
+      val by = y * g / h
+      var x = 0
+      while (x < w) {
+        val bx = x * g / w
+        val b = by * g + bx
+        val p = (y * w + x) * 3
+        sums(b * 3) += rgb(p) & 0xff
+        sums(b * 3 + 1) += rgb(p + 1) & 0xff
+        sums(b * 3 + 2) += rgb(p + 2) & 0xff
+        counts(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(g * g * 3) { i =>
+      val n = counts(i / 3)
+      if (n == 0) 0.0 else sums(i).toDouble / n
+    }
+  }
+
   private def channelMeans(id: Long, w: Int, h: Int,
       rgb: Array[Byte]): PpmFeature = {
     var (sr, sg, sb) = (0L, 0L, 0L)

@@ -1589,10 +1589,9 @@ object InfraQueries {
     // final ranking are all hash-checked as one composition.
     "mm_media_index_knn" -> ((s, dir) => {
       import graft.functions.{VectorFunctions => VF}
-      val feats = Multimodal.imageFeatures(Multimodal.syntheticPngMedia(
-          docs(s, dir).filter(col("doc_id") < 120), "doc_id")).toDF()
-        .select(col("media_id"),
-          array(col("mean_r"), col("mean_g"), col("mean_b")).as("vec"))
+      val feats = Multimodal.imageBlockGrid(Multimodal.syntheticPngMedia(
+          docs(s, dir).filter(col("doc_id") < 120), "doc_id"), 4)
+        .select(col("media_id"), col("vec"))
       val corpus = feats.filter(col("media_id") >= 3)
       val pairs = corpus
         .select(col("media_id").as("a_id"), col("vec").as("__va"))
@@ -4326,13 +4325,19 @@ object InfraQueries {
           |      FROM ids),
           |px AS (SELECT id, w, h, unnest(range(0, w * h)) AS p FROM g),
           |v AS (SELECT id, w, h,
+          |        ((p // w) * 4) // h AS by, ((p % w) * 4) // w AS bx,
           |        (7 * (p % w) + 13 * (p // w) + id) % 256 AS r,
           |        (3 * (p % w) + 5 * (p // w) + 2 * id) % 256 AS gc,
           |        ((p % w) + (p // w) + 3 * id) % 256 AS b
           |      FROM px),
+          |bm AS (
+          |  SELECT id, by, bx, avg(r) AS ar, avg(gc) AS ag,
+          |         avg(b) AS ab
+          |  FROM v GROUP BY id, by, bx),
           |f AS MATERIALIZED (
-          |  SELECT id, [avg(r), avg(gc), avg(b)]::DOUBLE[] AS vec
-          |  FROM v GROUP BY id, w, h),
+          |  SELECT id, flatten(list([ar, ag, ab] ORDER BY by, bx))
+          |    ::DOUBLE[] AS vec
+          |  FROM bm GROUP BY id),
           |corpus AS (SELECT id, vec FROM f WHERE id >= 3),
           |pairs AS (
           |  SELECT a.id AS a_id, b.id AS b_id

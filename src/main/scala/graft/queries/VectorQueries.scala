@@ -1036,9 +1036,12 @@ object VectorQueries {
         |SELECT vec_id FROM c2
         |UNION SELECT vec_id FROM a3
         |ORDER BY vec_id""".stripMargin,
-    // Decode -> quantize -> sign-LSH codes -> three staged admission
-    // rounds, replayed from the pixel formula: the media twin of
-    // ingest_vec_pipeline with the decoder inside the loop.
+    // Decode -> 4x4 block-mean grid (48 dims, content-sensitive) ->
+    // quantize -> sign-LSH codes -> three staged admission rounds,
+    // replayed from the pixel formula: the media twin of
+    // ingest_vec_pipeline with the decoder inside the loop. Pixel
+    // (x,y) maps to block (y*4 div h, x*4 div w); vec is ordered
+    // (blockRow, blockCol, channel) exactly like the engine.
     "ingest_media_pipeline" ->
       """WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents
         |                       WHERE doc_id < 600),
@@ -1046,14 +1049,19 @@ object VectorQueries {
         |               CAST(8 + id % 7 AS INT) AS h FROM ids),
         |px AS (SELECT id, w, h, unnest(range(0, w * h)) AS p FROM geo),
         |vpx AS (SELECT id, w, h,
+        |         ((p // w) * 4) // h AS by, ((p % w) * 4) // w AS bx,
         |         (7 * (p % w) + 13 * (p // w) + id) % 256 AS r,
         |         (3 * (p % w) + 5 * (p // w) + 2 * id) % 256 AS gc,
         |         ((p % w) + (p // w) + 3 * id) % 256 AS b
         |       FROM px),
+        |bm AS (
+        |  SELECT id, by, bx, avg(r) AS ar, avg(gc) AS ag, avg(b) AS ab
+        |  FROM vpx GROUP BY id, by, bx),
         |feat AS MATERIALIZED (
-        |  SELECT id, [avg(r), avg(gc), avg(b)]::DOUBLE[] AS vec
-        |  FROM vpx GROUP BY id, w, h),
-        |dims AS (SELECT unnest(range(0, 3)) AS d),
+        |  SELECT id, flatten(list([ar, ag, ab] ORDER BY by, bx))
+        |    ::DOUBLE[] AS vec
+        |  FROM bm GROUP BY id),
+        |dims AS (SELECT unnest(range(0, 48)) AS d),
         |tb AS (
         |  SELECT t.t, b.b
         |  FROM (SELECT unnest(range(0, 8)) AS t) t,

@@ -41,16 +41,20 @@ object MediaDedupIngest {
     }
   }
 
+  /** The feature grid: 4×4 block means × 3 channels = 48 dims. */
+  val FeatureGrid: Int = 4
+
   /** Real decode → feature vector: `(idCol, embedding array<double>)`
-    * with channel means as the (exact-rational, SQL-replayable)
-    * feature space. Shared by [[run]] and the seed-index build so the
-    * indexed corpus and the probe side live in the same space. */
+    * in the CONTENT-SENSITIVE 4×4 block-mean space (channel means
+    * alone collide any two images of equal average color — color
+    * dedup, not image dedup; the block grid keeps spatial layout,
+    * still integer-exact and SQL-replayable from the pixel formula).
+    * Shared by [[run]] and the seed-index build so the indexed corpus
+    * and the probe side live in the same space. */
   def decodeFeatures(media: org.apache.spark.sql.DataFrame,
       idCol: String): org.apache.spark.sql.DataFrame =
-    Multimodal.imageFeatures(
+    Multimodal.imageBlockGrid(
         media.select(col(idCol).cast("long").as("media_id"),
-          col("content"))).toDF()
-      .select(col("media_id").as(idCol),
-        array(col("mean_r"), col("mean_g"), col("mean_b"))
-          .as("embedding"))
+          col("content")), FeatureGrid)
+      .select(col("media_id").as(idCol), col("vec").as("embedding"))
 }

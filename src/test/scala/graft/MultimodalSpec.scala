@@ -301,4 +301,41 @@ class MultimodalSpec extends SparkSpec {
         f.mean_r === (id % 256).toDouble)
     }
   }
+
+  test("block grid is content-sensitive: two images with IDENTICAL " +
+    "channel means but different layouts separate (channel means alone " +
+    "are color dedup, not image dedup)") {
+    // 8x8 gray images of equal global mean 100: left/right split
+    // (0 | 200) vs per-row alternation of the same two values
+    def gray(id: Long, value: (Int, Int) => Int): (Long, Array[Byte]) = {
+      val rgb = new Array[Byte](8 * 8 * 3)
+      for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3)
+        rgb((y * 8 + x) * 3 + c) = value(x, y).toByte
+      (id, Multimodal.imageEncode(8, 8, rgb, "png"))
+    }
+    val media = Seq(
+      gray(1L, (x, _) => if (x < 4) 0 else 200),
+      gray(2L, (_, y) => if (y % 2 == 0) 0 else 200)
+    ).toDF("media_id", "content")
+    // channel means collide exactly...
+    val means = Multimodal.imageFeatures(media).collect()
+      .map(f => f.media_id -> (f.mean_r, f.mean_g, f.mean_b)).toMap
+    assert(means(1L) === means(2L),
+      s"fixture must be a genuine mean collision: $means")
+    // ...the 4x4 block grids do not, and their cosine is far from 1
+    val grids = Multimodal.imageBlockGrid(media, 4)
+      .select("media_id", "vec")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(grids(1L).length === 48 && grids(2L).length === 48)
+    assert(grids(1L) !== grids(2L))
+    val (a, b) = (grids(1L).toArray, grids(2L).toArray)
+    val cos = a.zip(b).map { case (x, y) => x * y }.sum /
+      (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    assert(cos < 0.99,
+      f"same-mean different-layout images must separate, cosine $cos%.4f")
+    // block means replay the generator arithmetic exactly: image 1's
+    // left-column blocks are 0, right-column blocks are 200
+    assert((0 until 4).forall(by =>
+      a((by * 4 + 0) * 3) === 0.0 && a((by * 4 + 3) * 3) === 200.0))
+  }
 }
