@@ -16,11 +16,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *
   * Layout: rows are bucketed by the Morton code of the TOP `gridBits`
   * bits of each dimension (a 2^gridBits × 2^gridBits grid) and written
-  * `partitionBy` that cell id — [[readBox]] then enumerates the cells
-  * intersecting the query box (a bounded driver-side loop over the
-  * grid, never the data) and scans them alone via partition pruning:
-  * the same touched-dir discipline every other persisted layout here
-  * uses, measurable through the scan's `numFiles` metric.
+  * `partitionBy` that cell id — [[readBox]] then decomposes the query
+  * box into O(perimeter) contiguous z-ranges ([[zRanges]], a bounded
+  * driver-side quadtree recursion, never the data) and scans only the
+  * matching cell dirs via partition pruning: the same touched-dir
+  * discipline every other persisted layout here uses, measurable
+  * through the scan's `numFiles` metric.
   *
   * The Morton code itself is a pure integer expression (shift / mask /
   * add), codegen-friendly and replayable in SQL as a sum of bit
@@ -111,22 +112,88 @@ object ZOrder {
       .reduceOption((a, b) => a + b).getOrElse(lit(0))
       .cast("long")
 
-  /** Box query over a z-clustered layout: enumerate the grid cells the
-    * box [aLo,aHi]×[bLo,bHi] intersects (bounded by the grid, never
-    * the data), scan only those dirs (partition pruning), then apply
-    * the exact box predicate (parquet row-group pushdown within the
-    * cells). */
+  /** CONTIGUOUS z-ranges covering every grid cell the box
+    * [aLo,aHi]×[bLo,bHi] (in CELL coordinates) intersects — the
+    * quadtree decomposition behind BIGMIN-style range scans: a quad
+    * fully inside the box contributes ONE range regardless of its
+    * area (a Morton quad is a contiguous z-interval by construction),
+    * and quads straddling the boundary recurse, so the range count is
+    * O(perimeter) in the box span, never O(area) — the full-interior
+    * cell enumeration was quadratic in the span at fine grids.
+    * Emitted in increasing z order, adjacent ranges pre-merged. */
+  def zRanges(aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      gridBits: Int): Seq[(Long, Long)] = {
+    require(gridBits >= 1 && gridBits <= 31, s"bits out of range: $gridBits")
+    require(aLo <= aHi && bLo <= bHi, "empty box")
+    require(aLo >= 0 && bLo >= 0 &&
+      aHi < (1L << gridBits) && bHi < (1L << gridBits),
+      "box exceeds the grid")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def rec(ax: Long, bx: Long, level: Int, zPrefix: Long): Unit = {
+      val size = 1L << level
+      val (aMax, bMax) = (ax + size - 1, bx + size - 1)
+      if (aMax < aLo || ax > aHi || bMax < bLo || bx > bHi) return
+      if (ax >= aLo && aMax <= aHi && bx >= bLo && bMax <= bHi) {
+        val zLo = zPrefix << (2 * level)
+        val span = 1L << (2 * level)
+        // adjacent-in-z quads merge on the fly (children are visited
+        // in increasing z order, so contiguity is local)
+        if (buf.nonEmpty && buf.last._2 + 1 == zLo)
+          buf(buf.length - 1) = (buf.last._1, zLo + span - 1)
+        else buf += ((zLo, zLo + span - 1))
+        return
+      }
+      val half = level - 1
+      val hs = 1L << half
+      // z bit layout: a on even bits, b on odd — child index (bBit<<1)|aBit
+      rec(ax, bx, half, zPrefix << 2)
+      rec(ax + hs, bx, half, (zPrefix << 2) | 1)
+      rec(ax, bx + hs, half, (zPrefix << 2) | 2)
+      rec(ax + hs, bx + hs, half, (zPrefix << 2) | 3)
+    }
+    rec(0, 0, gridBits, 0)
+    buf.toSeq
+  }
+
+  /** Coalesce [[zRanges]] output down to at most `maxRanges` intervals
+    * by repeatedly bridging the SMALLEST inter-range gaps — the ranges
+    * over-cover (extra cells scanned, then discarded by the exact box
+    * predicate), never under-cover, so the planner predicate stays a
+    * bounded OR chain even for pathological boundary boxes. */
+  def coalesceRanges(ranges: Seq[(Long, Long)],
+      maxRanges: Int): Seq[(Long, Long)] = {
+    require(maxRanges >= 1, s"maxRanges must be positive: $maxRanges")
+    if (ranges.length <= maxRanges) return ranges
+    // bridge the (length - maxRanges) smallest gaps
+    val gaps = ranges.sliding(2).zipWithIndex
+      .map { case (Seq(a, b), i) => (b._1 - a._2, i) }.toSeq
+    val bridge = gaps.sortBy(_._1).take(ranges.length - maxRanges)
+      .map(_._2).toSet
+    val out = scala.collection.mutable.ArrayBuffer(ranges.head)
+    ranges.tail.zipWithIndex.foreach { case (r, i) =>
+      if (bridge(i)) out(out.length - 1) = (out.last._1, r._2)
+      else out += r
+    }
+    out.toSeq
+  }
+
+  /** Box query over a z-clustered layout: decompose the box into
+    * O(perimeter) contiguous z-ranges ([[zRanges]], capped at
+    * `maxRanges` by gap coalescing), scan only the matching cell dirs
+    * (partition pruning on the range predicates), then apply the exact
+    * box predicate (parquet row-group pushdown within the cells). */
   def readBox(spark: SparkSession, path: String, aCol: String,
       bCol: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long,
-      dimBits: Int, gridBits: Int): DataFrame = {
+      dimBits: Int, gridBits: Int, maxRanges: Int = 64): DataFrame = {
     require(aLo <= aHi && bLo <= bHi, "empty box")
     val s = dimBits - gridBits
-    val cells = for {
-      ha <- (aLo >> s) to (aHi >> s)
-      hb <- (bLo >> s) to (bHi >> s)
-    } yield mortonLong(ha, hb, gridBits)
+    val ranges = coalesceRanges(
+      zRanges(aLo >> s, aHi >> s, bLo >> s, bHi >> s, gridBits), maxRanges)
+    val pred = ranges
+      .map { case (lo, hi) => col("__zc").between(lo, hi) }
+      .reduce(_ || _)
     spark.read.parquet(path)
-      .filter(col("__zc").isin(cells: _*))
+      .filter(pred)
       .filter(col(aCol).between(aLo, aHi) && col(bCol).between(bLo, bHi))
   }
 }

@@ -58,6 +58,56 @@ class ZOrderSpec extends SparkSpec {
     assert(box.select("id").as[Long].collect().toSet === expect)
   }
 
+  test("zRanges covers exactly the intersecting cells (exhaustive " +
+      "boxes over a small grid)") {
+    val g = 4 // 16x16 grid — every box checked against brute force
+    for (aLo <- 0L until 16L by 3; aHi <- aLo until 16L by 2;
+         bLo <- 0L until 16L by 3; bHi <- bLo until 16L by 2) {
+      val want = (for {
+        a <- aLo to aHi; b <- bLo to bHi
+      } yield ZOrder.mortonLong(a, b, g)).toSet
+      val got = ZOrder.zRanges(aLo, aHi, bLo, bHi, g)
+        .flatMap { case (lo, hi) => lo to hi }.toSet
+      assert(got === want,
+        s"box [$aLo,$aHi]x[$bLo,$bHi]: ranges must cover exactly")
+    }
+  }
+
+  test("range count is O(perimeter), not O(area) — the decomposition " +
+      "contract that keeps fine grids usable") {
+    val g = 10 // 1024x1024 grid
+    // centered boxes of growing span: interior cells grow as span^2,
+    // ranges must grow at most linearly in span
+    val counts = Seq(32L, 64L, 128L, 256L, 512L).map { span =>
+      val lo = 512L - span / 2
+      val hi = lo + span - 1
+      val n = ZOrder.zRanges(lo, hi, lo, hi, g).length
+      assert(n <= 8 * span,
+        s"span $span: $n ranges exceeds the perimeter bound")
+      (span, n.toLong)
+    }
+    val (s0, n0) = counts.head
+    val (s1, n1) = counts.last
+    assert(n1.toDouble / n0 <= 2.0 * s1 / s0,
+      s"range growth must track the perimeter, not the area: $counts")
+    // a grid-aligned quarter box is ONE contiguous range
+    assert(ZOrder.zRanges(0, 511, 0, 511, g) === Seq((0L, 262143L)))
+  }
+
+  test("coalesceRanges caps the predicate size and only ever " +
+      "over-covers") {
+    val ranges = ZOrder.zRanges(3, 700, 5, 900, 10)
+    val capped = ZOrder.coalesceRanges(ranges, 64)
+    assert(ranges.length > 64 && capped.length <= 64)
+    val full = ranges.flatMap { case (lo, hi) => Seq(lo, hi) }.toSet
+    assert(full.forall(z => capped.exists(r => r._1 <= z && z <= r._2)),
+      "every originally covered cell must stay covered")
+    assert(capped.sliding(2).forall {
+      case Seq(a, b) => a._2 < b._1
+      case _ => true
+    }, "capped ranges stay disjoint and ordered")
+  }
+
   test("rank-binned cells debulk a skewed dimension's hot cells; " +
       "cuts are repartition-invariant") {
     // quadratic values concentrate the low end: a quarter of the value
