@@ -148,6 +148,18 @@ object EventQueries {
           coalesce(sum(when(col("stage") === 2, col("n_users"))), lit(0L))
             .as("n_purchase_after"))
     }),
+    // The GENERIC k-stage funnel surface: four ordered stages inside a
+    // two-day window (86→30→9→3 at sf0.01 — real attrition at every
+    // stage; the full range converts everyone), one (stage, n_users)
+    // row each — the operator's native output shape (ev_funnel pivots
+    // the 3-stage form into the reference's single-row report).
+    "ev_funnel_stages" -> ((s, dir) => {
+      graft.operators.CohortOps.funnelCounts(
+          ev(s, dir).filter(col("ts") < to_timestamp(lit("2024-01-03"))),
+          "user_id", "ts", "event_type",
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy("stage")
+    }),
     // Sessionization: a new session starts after a >30-minute silence.
     "ev_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc,
@@ -493,6 +505,35 @@ object EventQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_after,
         |  (SELECT CAST(count(*) AS BIGINT) FROM p)
         |    AS n_purchase_after""".stripMargin,
+    // Four chained stage CTEs, each strictly after the previous
+    // stage's first qualifying time.
+    "ev_funnel_stages" ->
+      """WITH ev AS (
+        |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03'),
+        |s0 AS (
+        |  SELECT user_id, min(ts) AS t FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM ev e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s0.t
+        |  GROUP BY e.user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM ev e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM ev e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |  GROUP BY e.user_id)
+        |SELECT CAST(0 AS BIGINT) AS stage,
+        |       CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+        |UNION ALL SELECT 1, (SELECT count(*) FROM s1)
+        |UNION ALL SELECT 2, (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, (SELECT count(*) FROM s3)
+        |ORDER BY stage""".stripMargin,
     "ev_sessionize" ->
       """SELECT user_id, CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800
         |    THEN 1 ELSE 0 END) AS BIGINT) AS sessions

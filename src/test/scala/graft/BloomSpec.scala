@@ -133,6 +133,38 @@ class BloomSpec extends SparkSpec {
       "a NULL-key row received an admission verdict")
   }
 
+  test("streaming fold equals the batch build bit for bit; re-drain " +
+      "is a no-op; a geometry mismatch on existing state throws") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bloomstr")
+      .toString
+    val d = hist.select("doc_id", "text")
+    d.filter(col("doc_id") < 100).coalesce(1)
+      .write.mode("append").parquet(s"$root/j")
+    d.filter(col("doc_id") >= 100).coalesce(1)
+      .write.mode("append").parquet(s"$root/j")
+    def drain(k: Int): Unit = graft.streaming.BloomStream.bloomSync(
+      spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/j"),
+      "text", 1024, k, s"$root/f", s"$root/ck").awaitTermination()
+    drain(3)
+    val streamed = Bloom.load(spark, s"$root/f")
+    assert(streamed.k === 3)
+    assert(streamed.bits.toSeq === bits.toSeq,
+      "OR-folded micro-batches must equal the batch build")
+    drain(3)
+    assert(Bloom.load(spark, s"$root/f").bits.toSeq === bits.toSeq,
+      "re-drain must be a no-op")
+    // new data + a DIFFERENT k against existing state: the artifact's
+    // k wins by throwing, never by silently false-negating
+    d.limit(5).coalesce(1).write.mode("append").parquet(s"$root/j")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(5)
+    }
+    assert(e.getMessage.contains("different k") ||
+      Option(e.getCause).exists(_.getMessage.contains("different k")),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("probe plan is a shuffle-free scan+filter (the 100 TB contract)") {
     val plan = Bloom.novel(batch, "text", bits, 3)
       .queryExecution.executedPlan

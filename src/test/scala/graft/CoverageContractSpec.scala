@@ -28,9 +28,23 @@ class CoverageContractSpec extends SparkSpec {
   test("declared query count matches the documented coverage board") {
     // COVERAGE.md and the per-round correctness JSON must account for
     // exactly this many rows. Update BOTH when adding a query.
-    assert(SparkEntry.queries.size >= 225,
+    assert(SparkEntry.queries.size >= 231,
       s"query count shrank to ${SparkEntry.queries.size} — a domain map " +
         "was probably dropped from SparkEntry.queries")
+  }
+
+  test("the round-12 additions stay declared and oracled") {
+    // multi-cohort retention (the fixture's single first-seen week made
+    // the cohort dimension untested), PSL-table registered domain,
+    // dangling-mass PageRank, Bloom artifact round trip
+    val required = Set("ev_cohort_multi", "url_domain_psl",
+      "graph_pagerank_dangling", "dedup_bloom_roundtrip",
+      "dedup_bloom_stream", "ev_funnel_stages",
+      "ev_cohort_retention", "ev_funnel")
+    val missing = required -- SparkEntry.queries.keySet
+    val unoracled = required -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"dropped queries: ${missing.toSeq.sorted}")
+    assert(unoracled.isEmpty, s"lost oracles: ${unoracled.toSeq.sorted}")
   }
 
   test("the round-11 corpus-cleanup additions stay declared and oracled") {
