@@ -499,6 +499,40 @@ object Multimodal {
       }
   }
 
+  /** Time-envelope audio features: mean |amplitude| over `nWin` equal
+    * time windows (sample i → window i·nWin div n) — the audio analog
+    * of [[imageBlockGrid]]: a single global RMS is content-BLIND for
+    * near-dup purposes (any two clips of equal energy collide), while
+    * the envelope keeps temporal structure, so a loud-then-silent clip
+    * and its reversal separate. Integer-exact (per-window |sample|
+    * sums are exact longs, one IEEE division each) and SQL-replayable
+    * from the synthetic sample formula. Returns `(media_id,
+    * sample_rate, n_samples, vec)` with `vec(w)` = mean abs amplitude
+    * of window w; undecodable payloads drop. */
+  def wavWindowEnergy(media: DataFrame, nWin: Int): DataFrame = {
+    require(nWin >= 1 && nWin <= 256, s"window count out of range: $nWin")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          wavDecode(bytes).map { case (rate, s) =>
+            val sums = new Array[Long](nWin)
+            val counts = new Array[Long](nWin)
+            var i = 0
+            while (i < s.length) {
+              val w = (i.toLong * nWin / s.length).toInt
+              sums(w) += math.abs(s(i).toLong)
+              counts(w) += 1
+              i += 1
+            }
+            (id, rate, s.length.toLong, Array.tabulate(nWin)(w =>
+              if (counts(w) == 0) 0.0 else sums(w).toDouble / counts(w)))
+          }
+        }
+      }.toDF("media_id", "sample_rate", "n_samples", "vec")
+  }
+
   /** Nearest-neighbor raster resample (`sx = tx*w / tw`, integer
     * division — the standard NN index map), shared by the PPM and
     * PNG/JPEG resize paths. */

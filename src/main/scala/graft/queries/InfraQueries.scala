@@ -1483,6 +1483,21 @@ object InfraQueries {
           col("zero_crossings"))
         .orderBy("media_id")
     }),
+    // Time-envelope audio features — the audio analog of the image
+    // block grid: mean |amplitude| over 8 equal windows (sample i →
+    // window i*8 div n), exploded to scalar rows so every window of
+    // every clip hash-checks against the sample-formula replay. A
+    // single global RMS is content-blind (equal-energy clips collide);
+    // the envelope keeps temporal structure for audio near-dup.
+    "mm_wav_windows" -> ((s, dir) => {
+      Multimodal.wavWindowEnergy(Multimodal.syntheticWavMedia(
+          docs(s, dir).filter(col("doc_id") < 120), "doc_id"), 8)
+        .select(col("media_id"),
+          posexplode(col("vec")).as(Seq("w", "ma")))
+        .select(col("media_id"), col("w").cast("long").as("w"),
+          round(col("ma"), 4).as("mean_abs"))
+        .orderBy("media_id", "w")
+    }),
     // REAL PNG decode via javax.imageio (JDK codec, headless):
     // payloads are genuine PNG files of the formula images; PNG is
     // lossless, so imageFeatures' decoded channel means hash-check
@@ -4139,6 +4154,19 @@ object InfraQueries {
         |  CAST(sum(CASE WHEN smp * prev < 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS zero_crossings
         |FROM z GROUP BY id, n ORDER BY media_id""".stripMargin,
+    // Envelope replay: |sample| means per 8-window split of the same
+    // formula — the Spark side decoded real WAV bytes to get there.
+    "mm_wav_windows" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+        |             WHERE doc_id < 120),
+        |g AS (SELECT id, CAST(64 + id % 129 AS INT) AS n FROM ids),
+        |s AS (SELECT id, n, unnest(range(0, n)) AS i FROM g),
+        |v AS (SELECT id, (i * 8) // n AS w,
+        |        abs((i * (id + 3) + 7 * i * i) % 2003 - 1001) AS a
+        |      FROM s)
+        |SELECT id AS media_id, CAST(w AS BIGINT) AS w,
+        |  round(avg(CAST(a AS DOUBLE)), 4) AS mean_abs
+        |FROM v GROUP BY id, w ORDER BY media_id, w""".stripMargin,
     // WAV resample replay: the sample formula composed with the
     // floor-index rate map (i = j*8000//3000, m = n*3000//8000) — the
     // Spark side decoded, resampled and re-encoded real bytes.

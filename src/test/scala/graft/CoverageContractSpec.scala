@@ -28,7 +28,7 @@ class CoverageContractSpec extends SparkSpec {
   test("declared query count matches the documented coverage board") {
     // COVERAGE.md and the per-round correctness JSON must account for
     // exactly this many rows. Update BOTH when adding a query.
-    assert(SparkEntry.queries.size >= 231,
+    assert(SparkEntry.queries.size >= 232,
       s"query count shrank to ${SparkEntry.queries.size} — a domain map " +
         "was probably dropped from SparkEntry.queries")
   }
@@ -39,7 +39,7 @@ class CoverageContractSpec extends SparkSpec {
     // dangling-mass PageRank, Bloom artifact round trip
     val required = Set("ev_cohort_multi", "url_domain_psl",
       "graph_pagerank_dangling", "dedup_bloom_roundtrip",
-      "dedup_bloom_stream", "ev_funnel_stages",
+      "dedup_bloom_stream", "ev_funnel_stages", "mm_wav_windows",
       "ev_cohort_retention", "ev_funnel")
     val missing = required -- SparkEntry.queries.keySet
     val unoracled = required -- SparkEntry.oracleSql.keySet

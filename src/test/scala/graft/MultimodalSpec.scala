@@ -302,6 +302,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("time-envelope windows are content-sensitive: equal-RMS clips " +
+    "with different envelopes separate, and reversal flips the envelope") {
+    import graft.operators.Multimodal
+    // clip A: loud first half then silence; clip B: the reverse —
+    // identical global RMS, mirrored envelopes
+    val n = 800
+    val loudFirst = Array.tabulate(n)(i =>
+      (if (i < n / 2) 1000 else 0).toShort)
+    val loudLast = loudFirst.reverse
+    val media = Seq(
+      (1L, Multimodal.wavEncode(8000, loudFirst)),
+      (2L, Multimodal.wavEncode(8000, loudLast))
+    ).toDF("media_id", "content")
+    val rms = Multimodal.wavFeatures(media).collect()
+      .map(f => f.media_id -> f.rms).toMap
+    assert(rms(1L) === rms(2L), s"fixture must be a real RMS collision: $rms")
+    val env = Multimodal.wavWindowEnergy(media, 8)
+      .select("media_id", "vec").as[(Long, Seq[Double])]
+      .collect().toMap
+    assert(env(1L) === Seq(1000.0, 1000.0, 1000.0, 1000.0, 0.0, 0.0, 0.0, 0.0))
+    assert(env(2L) === env(1L).reverse,
+      "reversal must mirror the envelope exactly")
+    assert(env(1L) !== env(2L))
+  }
+
   test("block grid is content-sensitive: two images with IDENTICAL " +
     "channel means but different layouts separate (channel means alone " +
     "are color dedup, not image dedup)") {
