@@ -72,7 +72,15 @@ object Plans {
       "the writer plan with an explicit pos column"),
     "graph_pagerank" -> ("PageRank final iteration: contribution " +
       "equi-join + node-keyed aggregate over localCheckpoint'd rank " +
-      "tables — the plan stays this size at ANY iteration count"))
+      "tables — the plan stays this size at ANY iteration count"),
+    "url_domain_psl" -> ("PSL registered domain: per rule-depth " +
+      "broadcast equi-joins against the snapshot table + a " +
+      "prevailing-rule coalesce projection — the corpus is never " +
+      "exchanged; only the final presentation sort ranges"),
+    "ev_cohort_retention" -> ("Cohort retention with NO forced " +
+      "broadcast: the first-seen aggregate joins on the user key and " +
+      "AQE picks the strategy — broadcast at this scale, a skew-safe " +
+      "shuffle join at 10^9 users"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
