@@ -28,7 +28,8 @@ object SparkEntry {
     QualityQueries.queries ++
     FacadeQueries.queries ++
     PipelineQueries.queries ++
-    UrlQueries.queries
+    UrlQueries.queries ++
+    WebQueries.queries
 
   /** Build-vs-query phase splits for the bench-heavy cells (emitted by
     * Bench.scala as the JSON line's trailing `"phases"` map) — every
@@ -53,5 +54,6 @@ object SparkEntry {
     QualityQueries.oracleSql ++
     FacadeQueries.oracleSql ++
     PipelineQueries.oracleSql ++
-    UrlQueries.oracleSql
+    UrlQueries.oracleSql ++
+    WebQueries.oracleSql
 }

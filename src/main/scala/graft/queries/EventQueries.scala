@@ -101,6 +101,56 @@ object EventQueries {
         .start().awaitTermination()
       ttlLedger(s.read.parquet(s"$root/out"))
     }),
+    // STREAMING sessionization: the events journal replayed through
+    // SessionStream.sessionize (custom stateful op — Spark's
+    // session_window closes on gap >= threshold, the batch recurrence
+    // on gap > threshold). A per-user sentinel event 2h past that
+    // user's last real event closes every real session IN-STREAM (no
+    // watermark-flush dependence); sentinel sessions themselves never
+    // emit (nothing follows them). The drained session set must equal
+    // the batch recurrence's — replayed in exact integer MICROSECONDS
+    // (epoch_us) on the oracle side, never fractional epoch().
+    "ev_sessionize_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val e = ev(s, dir).select("event_id", "ts", "user_id", "event_type")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sessstr/" +
+        dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh replay
+      val maxId = e.agg(max("event_id")).head().getLong(0)
+      val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+      // id order == event-time order in the fixture, so batch-arrival
+      // order matches the recurrence's event-time order
+      DedupQueries.appendStamped(fs, e.filter(col("event_id") <= c1),
+        s"$root/journal", 10000L)
+      DedupQueries.appendStamped(fs,
+        e.filter(col("event_id") > c1 && col("event_id") <= c2),
+        s"$root/journal", 20000L)
+      DedupQueries.appendStamped(fs, e.filter(col("event_id") > c2),
+        s"$root/journal", 30000L)
+      val sentinel = e.groupBy("user_id").agg(max("ts").as("ts0"))
+        .select((col("user_id") + lit(maxId) + 1).as("event_id"),
+          (col("ts0") + expr("INTERVAL 2 HOURS")).as("ts"),
+          col("user_id"), lit("sentinel").as("event_type"))
+      DedupQueries.appendStamped(fs, sentinel, s"$root/journal", 40000L)
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/journal")
+      graft.streaming.SessionStream
+        .sessionize(stream, Seq("user_id"), "ts", 1800L * 1000000L)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .format("parquet").option("path", s"$root/out")
+        .start().awaitTermination()
+      s.read.parquet(s"$root/out")
+        .select(col("key").cast("long").as("user_id"),
+          col("start_us"), col("end_us"), col("n_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("sessions"),
+          sum("n_events").as("n_events"),
+          max(col("end_us") - col("start_us")).as("max_len_us"))
+        .orderBy("user_id")
+    }),
     // Tumbling 1-hour windows: the batch shape of a streaming windowed agg.
     "ev_hourly_agg" -> ((s, dir) => {
       ev(s, dir)
@@ -542,6 +592,31 @@ object EventQueries {
         |          ORDER BY ts, event_id)) AS gap_s
         |      FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Exact-microsecond replay of the gap recurrence (break iff
+    // inter-event gap > 1800s): break flags -> running session ids ->
+    // per-session bounds -> per-user rollup. epoch_us keeps every
+    // comparison integer-exact (epoch() is a fractional DOUBLE).
+    "ev_sessionize_stream" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |              > 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sn AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sid, min(ts) AS st, max(ts) AS en,
+        |         count(*) AS n
+        |  FROM sn GROUP BY user_id, sid)
+        |SELECT user_id, count(*) AS sessions,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  max(epoch_us(en) - epoch_us(st)) AS max_len_us
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ev_json_extract" ->
       """SELECT event_type, round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
         |  min(CAST(props->>'k' AS BIGINT)) AS min_k,

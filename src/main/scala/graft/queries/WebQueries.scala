@@ -1,0 +1,321 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.{GraphOps, HtmlOps, UrlOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Web-crawl front of the corpus pipeline: HTML text extraction,
+  * outlink harvesting, and the domain-level web graph — the stage the
+  * reference never needs (its arXiv feed delivers pre-extracted
+  * abstracts, reference src/databricks/syntetic_data_arxiv.py:75-129)
+  * but a crawl corpus runs before anything else in this repo.
+  *
+  * The corpus ships no HTML column, so both engines synthesize the
+  * SAME page per document — title, comment/style/script blocks (with
+  * `<`, `&&`, `{` payload that must NOT leak into the text), the
+  * escaped document text, 1–3 `<a href>` outlinks with sub-domain /
+  * port / tracking-param / fragment noise, and a nav footer with an
+  * entity — then run the same extraction. The oracle replays page
+  * synthesis, regex extraction, and the domain fold in DuckDB
+  * list/regex functions, so the check is string-exact end to end.
+  *
+  * Scale shape: extraction is a shuffle-free codegen projection
+  * (HtmlOps), the outlink explode is linear in links, and the graph
+  * fold aggregates to the DOMAIN level before PageRank — the node set
+  * is registered-domain-bounded (millions at web scale, never
+  * page-bounded billions), which is what makes web-graph PageRank
+  * tractable off a 100 TB crawl.
+  */
+object WebQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+
+  /** j-th outlink of a doc: target domain `dom{(3id+5j+1) mod 11}`
+    * (docs themselves live on `dom{id mod 8}`, so doms 8–10 appear
+    * only as targets → genuinely dangling graph nodes), tld cycles
+    * com/org/co.uk (exercising the multi-label suffix fold), plus
+    * sub-domain, port, tracking-query, and fragment noise that the
+    * host → registered-domain fold must absorb. */
+  private def linkUrl(id: Column, j: Column): Column = {
+    val t = pmod(id * 3 + j * 5 + 1, lit(11L))
+    val tld = when(pmod(t, lit(3L)) === 0, lit("com"))
+      .when(pmod(t, lit(3L)) === 1, lit("org"))
+      .otherwise(lit("co.uk"))
+    val sub = when(pmod(id + j, lit(3L)) === 0, lit("www."))
+      .when(pmod(id + j, lit(3L)) === 1, lit("a."))
+      .otherwise(lit(""))
+    val port = when(pmod(id + j, lit(5L)) === 0, lit(":443"))
+      .otherwise(lit(""))
+    val q = when(pmod(j, lit(2L)) === 0,
+      concat(lit("?utm_campaign=z&x="), j.cast("string")))
+      .otherwise(lit(""))
+    val frag = when(pmod(id, lit(11L)) === 0, lit("#top")).otherwise(lit(""))
+    concat(lit("https://"), sub, lit("dom"), t.cast("string"), lit("."),
+      tld, port, lit("/p/"), pmod(id, lit(13L)).cast("string"), q, frag)
+  }
+
+  /** `<a href="…">ref j</a>` for j = 0 .. id mod 3 (1–3 links). */
+  private def anchorsCol(id: Column): Column =
+    concat_ws("", transform(sequence(lit(0L), pmod(id, lit(3L))), j =>
+      concat(lit("<a href=\""), linkUrl(id, j), lit("\">ref "),
+        j.cast("string"), lit("</a>"))))
+
+  /** The synthesized page. Script/style/comment payloads contain the
+    * characters a naive tag-strip leaks (`<`, `&&`, `{`, quotes). */
+  private def htmlCol: Column = {
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    concat(
+      lit("<html><!-- crawl "), ids, lit(" --><head><title>Doc "), ids,
+      lit("</title><style type=\"text/css\">body { color: #333; }" +
+        "</style><script>if (x < 3 && y > 0) { track('"), ids,
+      lit("'); }</script></head><body><h1>Doc "), ids, lit("</h1><p>"),
+      HtmlOps.htmlEscape(col("text")),
+      lit("</p>"), anchorsCol(id),
+      lit("<div class=\"nav\">Home &amp; About</div></body></html>"))
+  }
+
+  /** What extraction must produce, built independently of the HTML —
+    * the query's own round-trip witness (`n_exact`). */
+  private def expectedCol: Column = {
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    val refs = concat_ws(" ", transform(sequence(lit(0L), pmod(id, lit(3L))),
+      j => concat(lit("ref "), j.cast("string"))))
+    concat(lit("Doc "), ids, lit(" Doc "), ids, lit(" "), col("text"),
+      lit(" "), refs, lit(" Home & About"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HTML -> text: blocks dropped, tags stripped, entities decoded,
+    // whitespace collapsed; n_exact counts pages whose extraction
+    // equals the independently-built expected text (all of them), and
+    // n_title_ok checks the <title> pull — per-lang rollup.
+    "text_html_extract" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"), htmlCol.as("html"),
+          expectedCol.as("expected"))
+        .select(col("lang"),
+          HtmlOps.extractText(col("html")).as("body"),
+          HtmlOps.title(col("html")).as("title"),
+          col("doc_id"), col("expected"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("body")).cast("long")).as("total_chars"),
+          sum(when(col("title") === concat(lit("Doc "),
+            col("doc_id").cast("string")), 1L).otherwise(0L))
+            .as("n_title_ok"),
+          sum(when(col("body") === col("expected"), 1L).otherwise(0L))
+            .as("n_exact"))
+        .orderBy("lang")
+    }),
+    // Outlink harvest -> host -> registered domain: the crawl-frontier
+    // / per-site governance rollup. One explode (linear in links), one
+    // domain-keyed shuffle.
+    "web_outlinks" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), explode(HtmlOps.links(htmlCol)).as("url"))
+        .select(col("doc_id"), col("url"),
+          UrlOps.host(col("url")).as("host"))
+        .withColumn("domain", UrlOps.registeredDomain(col("host")))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"))
+        .orderBy("domain")
+    }),
+    // End-to-end web-graph pipeline: pages -> extracted outlinks ->
+    // registered-domain edges -> damped PageRank with dangling-mass
+    // redistribution (doms 8-10 never host docs, so they are real
+    // sinks; ranks still sum to 1). The graph folds to the domain
+    // level BEFORE the iteration — node-bounded state at any corpus
+    // size.
+    "web_graph_pipeline" -> ((s, dir) => {
+      val id = col("doc_id")
+      val sIdx = pmod(id, lit(8L))
+      val srcTld = when(pmod(sIdx, lit(3L)) === 0, lit("com"))
+        .when(pmod(sIdx, lit(3L)) === 1, lit("org"))
+        .otherwise(lit("co.uk"))
+      val edges = docs(s, dir)
+        .select(concat(lit("dom"), sIdx.cast("string"), lit("."), srcTld)
+          .as("src"), explode(HtmlOps.links(htmlCol)).as("url"))
+        .withColumn("dst",
+          UrlOps.registeredDomain(UrlOps.host(col("url"))))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      GraphOps.pageRank(edges, "src", "dst", iters = 3, damping = 0.85,
+          redistributeDangling = true)
+        .select(col("v").as("domain"), round(col("pr"), 4).as("pr"))
+        .orderBy(col("pr").desc, col("domain"))
+    }),
+  )
+
+  /** Shared DuckDB CTE bodies: link synthesis `lk(doc_id, j, url)`,
+    * anchors `an`, and the page `h(doc_id, lang, text, html)` —
+    * byte-identical to the Spark fixture. */
+  private val htmlCtes: String =
+    """lk AS (
+      |  SELECT doc_id, j,
+      |    'https://' ||
+      |    (CASE (doc_id + j) % 3 WHEN 0 THEN 'www.'
+      |                           WHEN 1 THEN 'a.' ELSE '' END) ||
+      |    'dom' || CAST((doc_id * 3 + j * 5 + 1) % 11 AS VARCHAR) || '.' ||
+      |    (CASE ((doc_id * 3 + j * 5 + 1) % 11) % 3
+      |       WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'co.uk' END) ||
+      |    (CASE WHEN (doc_id + j) % 5 = 0 THEN ':443' ELSE '' END) ||
+      |    '/p/' || CAST(doc_id % 13 AS VARCHAR) ||
+      |    (CASE WHEN j % 2 = 0
+      |       THEN '?utm_campaign=z&x=' || CAST(j AS VARCHAR) ELSE '' END) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN '#top' ELSE '' END) AS url
+      |  FROM documents CROSS JOIN range(0, 3) r(j)
+      |  WHERE j <= doc_id % 3 AND text IS NOT NULL),
+      |an AS (
+      |  SELECT doc_id,
+      |    string_agg('<a href="' || url || '">ref ' ||
+      |      CAST(j AS VARCHAR) || '</a>', '' ORDER BY j) AS anchors,
+      |    string_agg('ref ' || CAST(j AS VARCHAR), ' ' ORDER BY j) AS refs
+      |  FROM lk GROUP BY doc_id),
+      |h AS (
+      |  SELECT d.doc_id, d.lang, d.text,
+      |    '<html><!-- crawl ' || CAST(d.doc_id AS VARCHAR) ||
+      |    ' --><head><title>Doc ' || CAST(d.doc_id AS VARCHAR) ||
+      |    '</title><style type="text/css">body { color: #333; }</style>' ||
+      |    '<script>if (x < 3 && y > 0) { track(''' ||
+      |    CAST(d.doc_id AS VARCHAR) ||
+      |    '''); }</script></head><body><h1>Doc ' ||
+      |    CAST(d.doc_id AS VARCHAR) || '</h1><p>' ||
+      |    replace(replace(replace(d.text,
+      |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+      |    '</p>' || a.anchors ||
+      |    '<div class="nav">Home &amp; About</div></body></html>' AS html,
+      |    a.refs
+      |  FROM documents d JOIN an a USING (doc_id)
+      |  WHERE d.text IS NOT NULL)""".stripMargin
+
+  /** DuckDB replay of [[HtmlOps.extractText]] over a column `html`. */
+  private val extractExpr: String =
+    """trim(regexp_replace(
+      |  replace(replace(replace(replace(replace(replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+      |          '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+      |        '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+      |      '(?s)<[^>]*>', ' ', 'g'),
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |    '&nbsp;', ' '), '&amp;', '&'),
+      |  '\s+', ' ', 'g'))""".stripMargin
+
+  /** DuckDB replay of host -> registered domain over a column `url`
+    * (the UrlOps fold: authority split on [/?#], port strip, lower,
+    * suffix+1 with the multi-label list). */
+  private val domainExpr: String =
+    """CASE WHEN len(parts) <= 2 THEN array_to_string(parts, '.')
+      |     WHEN parts[-2] || '.' || parts[-1]
+      |          IN ('co.uk', 'com.au', 'co.jp')
+      |       THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+      |     ELSE parts[-2] || '.' || parts[-1] END""".stripMargin
+
+  private val hostExpr: String =
+    """lower(string_split(string_split_regex(
+      |  string_split(url, '://')[2], '[/?#]')[1], ':')[1])""".stripMargin
+
+  /** `l(doc_id, url)` — one row per extracted href (plain string val:
+    * the `\s` stays a literal regex class, uninterpreted by Scala). */
+  private val linksCte: String =
+    """l AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(html,
+      |      '(?i)href\s*=\s*["'']([^"'']+)["'']', 1)) AS url
+      |  FROM h)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "text_html_extract" ->
+      s"""WITH $htmlCtes,
+        |x AS (
+        |  SELECT doc_id, lang, text, refs,
+        |    $extractExpr AS body,
+        |    regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)
+        |      AS title
+        |  FROM h)
+        |SELECT lang, count(*) AS n,
+        |  sum(length(body)) AS total_chars,
+        |  CAST(sum(CASE WHEN title = 'Doc ' || CAST(doc_id AS VARCHAR)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_title_ok,
+        |  CAST(sum(CASE WHEN body =
+        |      'Doc ' || CAST(doc_id AS VARCHAR) || ' Doc ' ||
+        |      CAST(doc_id AS VARCHAR) || ' ' || text || ' ' || refs ||
+        |      ' Home & About'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+        |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
+    "web_outlinks" ->
+      s"""WITH $htmlCtes,
+        |$linksCte,
+        |hs AS (SELECT doc_id, url, $hostExpr AS host FROM l),
+        |dm AS (
+        |  SELECT doc_id, host, $domainExpr AS domain
+        |  FROM (SELECT doc_id, host, string_split(host, '.') AS parts
+        |        FROM hs))
+        |SELECT domain, count(*) AS n_links,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  count(DISTINCT host) AS n_hosts
+        |FROM dm GROUP BY domain ORDER BY domain""".stripMargin,
+    // PageRank replay (the graph_pagerank_dangling CTE chain, string
+    // nodes): 3 damped iterations, dangling mass folded uniformly.
+    "web_graph_pipeline" ->
+      s"""WITH $htmlCtes,
+        |$linksCte,
+        |dm AS (
+        |  SELECT doc_id, $domainExpr AS dst
+        |  FROM (SELECT doc_id, string_split($hostExpr, '.') AS parts
+        |        FROM l)),
+        |e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+        |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+        |         WHEN 1 THEN 'org' ELSE 'co.uk' END) AS src, dst
+        |    FROM dm) WHERE src <> dst),
+        |n AS (
+        |  SELECT DISTINCT v FROM (
+        |    SELECT src AS v FROM e UNION SELECT dst FROM e)),
+        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
+        |deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        |dang AS (SELECT v FROM n WHERE v NOT IN (SELECT src FROM deg)),
+        |r0 AS (SELECT v, 1.0 / nn AS pr FROM n CROSS JOIN cnt),
+        |d1 AS (SELECT coalesce(sum(r0.pr), 0) AS dm
+        |       FROM r0 JOIN dang USING (v)),
+        |c1 AS (
+        |  SELECT e.dst AS v, sum(r0.pr / deg.od) AS m
+        |  FROM e JOIN r0 ON e.src = r0.v JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r1 AS (
+        |  SELECT n.v,
+        |    0.15 / cnt.nn + 0.85 * (coalesce(c1.m, 0) + d1.dm / cnt.nn) AS pr
+        |  FROM n CROSS JOIN cnt CROSS JOIN d1 LEFT JOIN c1 ON n.v = c1.v),
+        |d2 AS (SELECT coalesce(sum(r1.pr), 0) AS dm
+        |       FROM r1 JOIN dang USING (v)),
+        |c2 AS (
+        |  SELECT e.dst AS v, sum(r1.pr / deg.od) AS m
+        |  FROM e JOIN r1 ON e.src = r1.v JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT n.v,
+        |    0.15 / cnt.nn + 0.85 * (coalesce(c2.m, 0) + d2.dm / cnt.nn) AS pr
+        |  FROM n CROSS JOIN cnt CROSS JOIN d2 LEFT JOIN c2 ON n.v = c2.v),
+        |d3 AS (SELECT coalesce(sum(r2.pr), 0) AS dm
+        |       FROM r2 JOIN dang USING (v)),
+        |c3 AS (
+        |  SELECT e.dst AS v, sum(r2.pr / deg.od) AS m
+        |  FROM e JOIN r2 ON e.src = r2.v JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT n.v,
+        |    0.15 / cnt.nn + 0.85 * (coalesce(c3.m, 0) + d3.dm / cnt.nn) AS pr
+        |  FROM n CROSS JOIN cnt CROSS JOIN d3 LEFT JOIN c3 ON n.v = c3.v)
+        |SELECT v AS domain, round(pr, 4) AS pr
+        |FROM r3 ORDER BY 2 DESC, 1""".stripMargin,
+  )
+}
