@@ -129,9 +129,16 @@ object EventQueries {
         s"$root/journal", 20000L)
       DedupQueries.appendStamped(fs, e.filter(col("event_id") > c2),
         s"$root/journal", 30000L)
-      val sentinel = e.groupBy("user_id").agg(max("ts").as("ts0"))
+      // ONE GLOBAL sentinel instant (global max + 2h) for every user:
+      // per-user sentinel times would let the post-batch watermark
+      // (global max of them) pass early users' sentinel+gap and FLUSH
+      // their sentinel sessions as output; at a single shared instant
+      // the watermark can never clear sentinel+gap, so sentinel
+      // sessions stay in state and never emit.
+      val maxUs = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val sentinel = e.select("user_id").distinct()
         .select((col("user_id") + lit(maxId) + 1).as("event_id"),
-          (col("ts0") + expr("INTERVAL 2 HOURS")).as("ts"),
+          timestamp_micros(lit(maxUs + 7200L * 1000000L)).as("ts"),
           col("user_id"), lit("sentinel").as("event_type"))
       DedupQueries.appendStamped(fs, sentinel, s"$root/journal", 40000L)
       val stream = s.readStream.schema(e.schema)
@@ -413,6 +420,53 @@ object EventQueries {
           ttlLedger(s.read.parquet(s"$root/out")).count()
         }
         require(maxId > 0)
+        Map("journal" -> journal, "drain" -> drain, "ledger" -> ledger)
+      }),
+      "ev_sessionize_stream" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        import org.apache.spark.sql.streaming.Trigger
+        val e = ev(s, dir).select("event_id", "ts", "user_id",
+          "event_type")
+        val root = s"${System.getProperty("java.io.tmpdir")}" +
+          s"/graft_sessstr_ph/${dir.replaceAll("[^0-9.]", "")}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val (_, journal) = timed {
+          val m = e.agg(max("event_id")).head().getLong(0)
+          val (c1, c2) = (m / 3, 2 * m / 3)
+          DedupQueries.appendStamped(fs, e.filter(col("event_id") <= c1),
+            s"$root/journal", 10000L)
+          DedupQueries.appendStamped(fs,
+            e.filter(col("event_id") > c1 && col("event_id") <= c2),
+            s"$root/journal", 20000L)
+          DedupQueries.appendStamped(fs, e.filter(col("event_id") > c2),
+            s"$root/journal", 30000L)
+          val maxUs = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
+          DedupQueries.appendStamped(fs, e.select("user_id").distinct()
+            .select((col("user_id") + lit(m) + 1).as("event_id"),
+              timestamp_micros(lit(maxUs + 7200L * 1000000L)).as("ts"),
+              col("user_id"), lit("sentinel").as("event_type")),
+            s"$root/journal", 40000L)
+        }
+        val (_, drain) = timed {
+          val stream = s.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$root/journal")
+          graft.streaming.SessionStream
+            .sessionize(stream, Seq("user_id"), "ts", 1800L * 1000000L)
+            .writeStream.trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$root/ckpt")
+            .format("parquet").option("path", s"$root/out")
+            .start().awaitTermination()
+        }
+        val (_, ledger) = timed {
+          s.read.parquet(s"$root/out").groupBy(col("key"))
+            .agg(count(lit(1))).count()
+        }
         Map("journal" -> journal, "drain" -> drain, "ledger" -> ledger)
       }))
 

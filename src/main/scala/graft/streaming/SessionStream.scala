@@ -32,15 +32,18 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
   * ordered journal yields EXACTLY the batch recurrence's sessions —
   * the oracle contract.
   */
+/** One closed session: composite key (the DedupStream convention:
+  * `\u0001`-joined key columns, `\u0000` for NULL), bounds and size in
+  * event-time micros. Top-level: Spark's product-encoder codegen needs
+  * a statically-instantiable class (object-nested case classes trip
+  * the generated constructor lookup). */
+final case class Session(key: String, start_us: Long, end_us: Long,
+    n_events: Long)
+
+/** Open-session state: (start, last, n) in event-time micros. */
+final case class OpenSession(start: Long, last: Long, n: Long)
+
 object SessionStream {
-
-  /** One closed session: composite key (the DedupStream convention:
-    * `\u0001`-joined key columns, `\u0000` for NULL), bounds and size
-    * in event-time micros. */
-  final case class Session(key: String, start_us: Long, end_us: Long,
-      n_events: Long)
-
-  private final case class Open(start: Long, last: Long, n: Long)
 
   /** Sessionize `stream` on `keyCols` by event-time column `tsCol`
     * with the batch gap recurrence (break iff gap > `gapMicros`).
@@ -60,9 +63,9 @@ object SessionStream {
       keyCols.map(c => Option(r.getAs[Any](c)).map(_.toString)
         .getOrElse("\u0000")).mkString("\u0001")
     }(Encoders.STRING)
-    keyed.flatMapGroupsWithState[Open, Session](
+    keyed.flatMapGroupsWithState[OpenSession, Session](
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-      (key: String, rows: Iterator[Row], state: GroupState[Open]) =>
+      (key: String, rows: Iterator[Row], state: GroupState[OpenSession]) =>
         if (state.hasTimedOut) {
           // watermark cleared last+gap: no in-gap successor can exist
           val o = state.get
@@ -73,17 +76,17 @@ object SessionStream {
           // event-time order the recurrence is defined over
           val sorted = rows.toArray.sortBy(tuOf)
           val out = Seq.newBuilder[Session]
-          var cur: Option[Open] = state.getOption
+          var cur: Option[OpenSession] = state.getOption
           sorted.foreach { r =>
             val tu = tuOf(r)
             cur match {
               case Some(o) if tu - o.last > gapMicros =>
                 out += Session(key, o.start, o.last, o.n) // in-stream close
-                cur = Some(Open(tu, tu, 1L))
+                cur = Some(OpenSession(tu, tu, 1L))
               case Some(o) =>
-                cur = Some(Open(o.start, math.max(o.last, tu), o.n + 1L))
+                cur = Some(OpenSession(o.start, math.max(o.last, tu), o.n + 1L))
               case None =>
-                cur = Some(Open(tu, tu, 1L))
+                cur = Some(OpenSession(tu, tu, 1L))
             }
           }
           cur.foreach { o =>
@@ -96,6 +99,6 @@ object SessionStream {
           }
           out.result().iterator
         }
-    }(Encoders.product[Open], Encoders.product[Session]).toDF()
+    }(Encoders.product[OpenSession], Encoders.product[Session]).toDF()
   }
 }
