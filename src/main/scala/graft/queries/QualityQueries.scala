@@ -304,6 +304,16 @@ object QualityQueries {
         .select(col("id"), col("bucket"))
         .orderBy("id")
     }),
+    // Contrastive triplet mining (inverse cloze task): anchor = chunk
+    // i, positive = its overlapping successor chunk, negative = the
+    // md5-argmin head chunk from a bounded 16-doc pool. One chunk
+    // explode + one doc-keyed window + a broadcast constant-pool pick.
+    "train_triplets" -> ((s, dir) => {
+      graft.operators.Triplets.mine(docs(s, dir), "doc_id", "text",
+          size = 30, stride = 15, poolSize = 16)
+        .filter(col("anchor_id") < 60)
+        .orderBy("anchor_id", "chunk_idx")
+    }),
     // KMV distinct sketch over per-language bigram sets: the
     // cardinality sketch whose estimate replays cross-engine to the
     // digit (bottom-64 md5 fractions; n-hat = 63/h_64), next to the
@@ -787,6 +797,49 @@ object QualityQueries {
         |  JOIN c1 ON split_part(bg.b, ' ', 1) = c1.w1)
         |SELECT id, count(*) AS n_bigrams, round(avg(nll), 4) AS xent
         |FROM s GROUP BY id ORDER BY id""".stripMargin,
+    // Triplet replay: sliding 30/15 chunk windows, lead() positive,
+    // md5-ordered 16-doc pool, per-anchor md5-argmin negative.
+    "train_triplets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND trim(text) <> ''),
+        |win AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0,
+        |      CAST(floor(CAST(len(t) - 1 AS DOUBLE) / 15) AS BIGINT) + 1))
+        |      AS chunk_idx
+        |  FROM toks),
+        |ch AS (
+        |  SELECT doc_id, chunk_idx,
+        |    array_to_string(list_slice(t,
+        |      CAST(chunk_idx * 15 + 1 AS BIGINT),
+        |      CAST(least(chunk_idx * 15 + 30, len(t)) AS BIGINT)), ' ')
+        |      AS chunk
+        |  FROM win),
+        |ap AS (
+        |  SELECT doc_id AS anchor_id, chunk_idx, chunk AS anchor,
+        |    lead(chunk) OVER (PARTITION BY doc_id ORDER BY chunk_idx)
+        |      AS positive
+        |  FROM ch),
+        |ap2 AS (
+        |  SELECT * FROM ap WHERE positive IS NOT NULL AND anchor_id < 60),
+        |pool AS (
+        |  SELECT doc_id AS neg_id, chunk AS negative
+        |  FROM ch WHERE chunk_idx = 0
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), neg_id LIMIT 16),
+        |cand AS (
+        |  SELECT a.anchor_id, a.chunk_idx, a.anchor, a.positive,
+        |    p.neg_id, p.negative,
+        |    row_number() OVER (PARTITION BY a.anchor_id, a.chunk_idx
+        |      ORDER BY md5(CAST(a.anchor_id AS VARCHAR) || '|' ||
+        |        CAST(a.chunk_idx AS VARCHAR) || '|' ||
+        |        CAST(p.neg_id AS VARCHAR)), p.neg_id) AS rn
+        |  FROM ap2 a JOIN pool p ON a.anchor_id <> p.neg_id)
+        |SELECT anchor_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  anchor, positive, neg_id, negative
+        |FROM cand WHERE rn = 1
+        |ORDER BY anchor_id, chunk_idx""".stripMargin,
     // KMV replay: distinct per-lang bigrams, md5 fractions, per-lang
     // rank, the (k-1)/h_k estimate next to the exact count.
     "sketch_kmv_bigrams" ->
