@@ -80,7 +80,18 @@ object Plans {
     "ev_cohort_retention" -> ("Cohort retention with NO forced " +
       "broadcast: the first-seen aggregate joins on the user key and " +
       "AQE picks the strategy — broadcast at this scale, a skew-safe " +
-      "shuffle join at 10^9 users"))
+      "shuffle join at 10^9 users"),
+    "text_html_extract" -> ("HTML extraction: page synthesis, block " +
+      "drop, tag strip, entity decode, and the round-trip witness are " +
+      "ONE codegen projection fused into the scan — the only exchange " +
+      "is the per-lang rollup"),
+    "web_graph_pipeline" -> ("Pages -> links -> domains -> PageRank: " +
+      "the href explode is a native Generate, the domain fold happens " +
+      "BEFORE distinct so the iteration state is domain-bounded, and " +
+      "the rank loop reuses the audited graph_pagerank shape"),
+    "train_triplets" -> ("Triplet mining: chunk Generate + one " +
+      "doc-keyed window for the positive, broadcast 16-row pool NLJ + " +
+      "per-anchor rank for the negative — constant work per anchor"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

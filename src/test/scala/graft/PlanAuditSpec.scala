@@ -382,6 +382,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("html extraction: the whole synthesize+extract+witness pass is " +
+    "scan-side — only the per-lang rollup exchanges, and no UDF") {
+    spark.sharedState.cacheManager.clearCache()
+    val p = plan("text_html_extract")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "extraction must stay native regex expressions")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1,
+      s"only the lang rollup may shuffle, found $hashEx:\n${p.take(1200)}")
+  }
+
+  test("triplet mining: the negative pool rides in as a broadcast — " +
+    "the anchor stream is never shuffled for the pick") {
+    spark.sharedState.cacheManager.clearCache()
+    val p = plan("train_triplets")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"constant pool must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"),
+      "a 16-row pool must never sort-merge")
+  }
+
   test("ev_cohort_multi exercises the cohort dimension for real: " +
     "several distinct cohorts, several week offsets each") {
     spark.sharedState.cacheManager.clearCache()
