@@ -79,4 +79,16 @@ object HtmlOps {
   def links(c: Column): Column =
     regexp_extract_all(c, lit("(?i)href\\s*=\\s*[\"']([^\"']+)[\"']"),
       lit(1))
+
+  /** Every `<a>` element as a `(href, text)` struct — anchor text is
+    * the classic off-page relevance signal (what OTHER pages call a
+    * target). `text` runs the full extraction pipeline on the
+    * element's payload; elements without an href yield href = ''. */
+  def anchorPairs(c: Column): Column =
+    transform(
+      regexp_extract_all(c, lit("(?is)<a\\b[^>]*>.*?</a>"), lit(0)),
+      a => struct(
+        regexp_extract(a, "(?i)href\\s*=\\s*[\"']([^\"']+)[\"']", 1)
+          .as("href"),
+        extractText(a).as("text")))
 }

@@ -126,6 +126,22 @@ object WebQueries {
           countDistinct(col("host")).as("n_hosts"))
         .orderBy("domain")
     }),
+    // Anchor-text harvest: what OTHER pages call a target domain (the
+    // classic off-page relevance signal). One explode over <a>
+    // elements, per-element extraction, one (domain, text) rollup.
+    "web_anchor_text" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(HtmlOps.anchorPairs(htmlCol)).as("a"))
+        .select(col("doc_id"), col("a.href").as("url"),
+          col("a.text").as("anchor"))
+        .withColumn("domain",
+          UrlOps.registeredDomain(UrlOps.host(col("url"))))
+        .groupBy("domain", "anchor")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("domain", "anchor")
+    }),
     // End-to-end web-graph pipeline: pages -> extracted outlinks ->
     // registered-domain edges -> damped PageRank with dangling-mass
     // redistribution (doms 8-10 never host docs, so they are real
@@ -232,7 +248,37 @@ object WebQueries {
       |      '(?i)href\s*=\s*["'']([^"'']+)["'']', 1)) AS url
       |  FROM h)""".stripMargin
 
+  /** `ae(doc_id, el)` / `ax(doc_id, url, anchor)` — per-`<a>`-element
+    * href + extracted text (plain-val concatenation keeps the regex
+    * classes out of the interpolator; the anchor-text replay is the
+    * extraction pipeline re-rooted at the element). */
+  private val anchorCtes: String =
+    """ae AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(html, '(?is)<a\b[^>]*>.*?</a>', 0))
+      |      AS el
+      |  FROM h),
+      |ax AS (
+      |  SELECT doc_id,
+      |    regexp_extract(el, '(?i)href\s*=\s*["'']([^"'']+)["'']', 1)
+      |      AS url,
+      |    """.stripMargin +
+      extractExpr.replace("(html,", "(el,") + """ AS anchor
+      |  FROM ae)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "web_anchor_text" ->
+      s"""WITH $htmlCtes,
+        |$anchorCtes,
+        |dm AS (
+        |  SELECT doc_id, anchor, $domainExpr AS domain
+        |  FROM (SELECT doc_id, anchor, string_split($hostExpr, '.')
+        |          AS parts
+        |        FROM ax))
+        |SELECT domain, anchor, count(*) AS n,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM dm GROUP BY domain, anchor
+        |ORDER BY domain, anchor""".stripMargin,
     "text_html_extract" ->
       s"""WITH $htmlCtes,
         |x AS (
