@@ -80,6 +80,21 @@ object HtmlOps {
     regexp_extract_all(c, lit("(?i)href\\s*=\\s*[\"']([^\"']+)[\"']"),
       lit(1))
 
+  /** Block-STRUCTURED extraction: split at block-level closers
+    * (`</p> </div> </h1..6> </li>`) and `<br>`, run the per-element
+    * extraction on each piece, drop empties. [[extractText]] flattens
+    * a page to one line, which starves the line-oriented cleanup tier
+    * (C4 line rules, frequent-line dedup) — this is the form those
+    * stages consume (`array_join(_, "\n")` re-joins it). Same pure
+    * expression tree, still scan-fused. */
+  def extractBlocks(c: Column): Column =
+    filter(
+      transform(
+        split(dropBlocks(c), "(?i)</(?:p|div|h[1-6]|li)>|<br[^>]*>"),
+        b => trim(regexp_replace(htmlUnescape(stripTags(b)),
+          "\\s+", " "))),
+      b => b =!= "")
+
   /** Every `<a>` element as a `(href, text)` struct — anchor text is
     * the classic off-page relevance signal (what OTHER pages call a
     * target). `text` runs the full extraction pipeline on the

@@ -126,6 +126,19 @@ object WebQueries {
           countDistinct(col("host")).as("n_hosts"))
         .orderBy("domain")
     }),
+    // Block-structured extraction, string-exact per block: the form
+    // the line-oriented cleanup tier (C4 rules, frequent-line dedup)
+    // consumes. One Generate over the block array, zero shuffles
+    // before the presentation sort.
+    "text_html_blocks" -> ((s, dir) => {
+      docs(s, dir).filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          posexplode(HtmlOps.extractBlocks(htmlCol))
+            .as(Seq("block_idx", "block")))
+        .select(col("doc_id"),
+          col("block_idx").cast("long").as("block_idx"), col("block"))
+        .orderBy("doc_id", "block_idx")
+    }),
     // Anchor-text harvest: what OTHER pages call a target domain (the
     // classic off-page relevance signal). One explode over <a>
     // elements, per-element extraction, one (domain, text) rollup.
@@ -266,7 +279,48 @@ object WebQueries {
       extractExpr.replace("(html,", "(el,") + """ AS anchor
       |  FROM ae)""".stripMargin
 
+  /** DuckDB replay of [[HtmlOps.dropBlocks]] over a column `html`. */
+  private val dropBlocksExpr: String =
+    """regexp_replace(regexp_replace(regexp_replace(html,
+      |  '(?s)<!--.*?-->', ' ', 'g'),
+      |  '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+      |  '(?is)<style\b[^>]*>.*?</style>', ' ', 'g')""".stripMargin
+
+  /** Per-element extraction (no block drop — already applied before
+    * the split); `ELEM` is substituted with the element expression. */
+  private val elemExtract: String =
+    """trim(regexp_replace(
+      |  replace(replace(replace(replace(replace(replace(
+      |    regexp_replace(ELEM, '(?s)<[^>]*>', ' ', 'g'),
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |    '&nbsp;', ' '), '&amp;', '&'),
+      |  '\s+', ' ', 'g'))""".stripMargin
+
+  private val blockSplitCte: String =
+    """bl AS (
+      |  SELECT doc_id, string_split_regex(DROPPED,
+      |    '(?i)</(?:p|div|h[1-6]|li)>|<br[^>]*>') AS parts
+      |  FROM h WHERE doc_id < 40)""".stripMargin
+      .replace("DROPPED", "(" + dropBlocksExpr + ")")
+
   val oracleSql: Map[String, String] = Map(
+    "text_html_blocks" ->
+      s"""WITH $htmlCtes,
+        |$blockSplitCte,
+        |ex AS (
+        |  SELECT doc_id, unnest(range(1, len(parts) + 1)) AS i, parts
+        |  FROM bl),
+        |b2 AS (
+        |  SELECT doc_id, i,
+        |    ${elemExtract.replace("ELEM", "parts[i]")} AS block
+        |  FROM ex),
+        |b3 AS (
+        |  SELECT doc_id, block,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+        |      AS block_idx
+        |  FROM b2 WHERE block <> '')
+        |SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx, block
+        |FROM b3 ORDER BY doc_id, block_idx""".stripMargin,
     "web_anchor_text" ->
       s"""WITH $htmlCtes,
         |$anchorCtes,

@@ -55,4 +55,23 @@ class HtmlOpsSpec extends SparkSpec {
       .select(HtmlOps.title(col("h"))).as[String].collect().toSeq
     assert(got === Seq("T1", ""))
   }
+
+  test("extractBlocks keeps block structure and drops empty pieces") {
+    val html = "<body><h1>Title</h1><p>Para one.</p>" +
+      "<div>left<br>right</div><p>  </p></body>"
+    val got = Seq(html).toDF("h")
+      .select(graft.operators.HtmlOps.extractBlocks(col("h")))
+      .as[Seq[String]].head()
+    assert(got === Seq("Title", "Para one.", "left", "right"))
+  }
+
+  test("anchorPairs pulls (href, text) per element; no-href yields ''") {
+    val html = """<a href="https://x.com/1">click <b>me</b></a>""" +
+      """<a name=n>bare &amp; plain</a>"""
+    val got = Seq(html).toDF("h")
+      .select(graft.operators.HtmlOps.anchorPairs(col("h")))
+      .as[Seq[(String, String)]].head()
+    assert(got === Seq(("https://x.com/1", "click me"),
+      ("", "bare & plain")))
+  }
 }
