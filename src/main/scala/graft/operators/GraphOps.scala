@@ -46,30 +46,50 @@ object GraphOps {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double,
       redistributeDangling: Boolean = false): DataFrame =
-    run(edges, srcCol, dstCol, iters, damping, redistributeDangling,
-      collectStats = false)._1
+    run(edges, srcCol, dstCol, None, iters, damping,
+      redistributeDangling, collectStats = false)._1
+
+  /** WEIGHTED variant: a node's rank splits across its out-edges in
+    * proportion to edge weight (parallel edges sum) — the real
+    * web-graph form, where a domain linking a target 40 times should
+    * carry more mass than a single stray href. Same iteration shape;
+    * deg becomes sum(w) and each contribution is pr*w/sum(w). */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int, damping: Double,
+      redistributeDangling: Boolean = false): DataFrame =
+    run(edges, srcCol, dstCol, Some(weightCol), iters, damping,
+      redistributeDangling, collectStats = false)._1
 
   /** [[pageRank]] plus the per-iteration telemetry (bounded: `iters`
     * driver-side triples; each costs one extra node-bounded agg). */
   def pageRankWithStats(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double, redistributeDangling: Boolean)
       : (DataFrame, Seq[PageRankIter]) =
-    run(edges, srcCol, dstCol, iters, damping, redistributeDangling,
-      collectStats = true)
+    run(edges, srcCol, dstCol, None, iters, damping,
+      redistributeDangling, collectStats = true)
 
   private def run(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, damping: Double, redistributeDangling: Boolean,
+      weightCol: Option[String], iters: Int, damping: Double,
+      redistributeDangling: Boolean,
       collectStats: Boolean): (DataFrame, Seq[PageRankIter]) = {
     require(iters >= 1, s"iters must be positive, got $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
-    val e = edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
+    // unweighted: distinct edges, w = 1 (pr*1/count(w) is the classic
+    // recurrence bit for bit); weighted: parallel edges SUM
+    val e = (weightCol match {
+      case Some(wc) => edges
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+          col(wc).cast("double").as("w"))
+        .groupBy("src", "dst").agg(sum("w").as("w"))
+      case None => edges
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct().withColumn("w", lit(1.0))
+    }).localCheckpoint()
     val nodes = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v")))
       .distinct().localCheckpoint()
     val n = nodes.count()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("od")).localCheckpoint()
+    val deg = e.groupBy("src").agg(sum("w").as("od")).localCheckpoint()
     // sinks: appear in the graph but never as a source
     val dangling =
       nodes.join(deg.select(col("src").as("v")), Seq("v"), "left_anti")
@@ -87,7 +107,8 @@ object GraphOps {
         else 0.0
       val contrib = e.join(r, col("src") === col("v"))
         .join(deg, "src")
-        .select(col("dst").as("v"), (col("pr") / col("od")).as("m"))
+        .select(col("dst").as("v"),
+          (col("pr") * col("w") / col("od")).as("m"))
         .groupBy("v").agg(sum("m").as("m"))
       val next = nodes.join(contrib, Seq("v"), "left")
         .select(col("v"),

@@ -162,24 +162,43 @@ object WebQueries {
     // level BEFORE the iteration — node-bounded state at any corpus
     // size.
     "web_graph_pipeline" -> ((s, dir) => {
-      val id = col("doc_id")
-      val sIdx = pmod(id, lit(8L))
-      val srcTld = when(pmod(sIdx, lit(3L)) === 0, lit("com"))
-        .when(pmod(sIdx, lit(3L)) === 1, lit("org"))
-        .otherwise(lit("co.uk"))
-      val edges = docs(s, dir)
-        .select(concat(lit("dom"), sIdx.cast("string"), lit("."), srcTld)
-          .as("src"), explode(HtmlOps.links(htmlCol)).as("url"))
-        .withColumn("dst",
-          UrlOps.registeredDomain(UrlOps.host(col("url"))))
-        .filter(col("src") =!= col("dst"))
-        .select("src", "dst")
-      GraphOps.pageRank(edges, "src", "dst", iters = 3, damping = 0.85,
-          redistributeDangling = true)
+      GraphOps.pageRank(domainEdges(s, dir), "src", "dst", iters = 3,
+          damping = 0.85, redistributeDangling = true)
+        .select(col("v").as("domain"), round(col("pr"), 4).as("pr"))
+        .orderBy(col("pr").desc, col("domain"))
+    }),
+    // The WEIGHTED form: rank mass splits across out-edges in
+    // proportion to how many links point there (a domain linked 40
+    // times from a source outranks a single stray href). Parallel
+    // edges aggregate to (src, dst, count) BEFORE the iteration —
+    // still domain-bounded state.
+    "web_graph_weighted" -> ((s, dir) => {
+      val edges = domainEdges(s, dir)
+        .groupBy("src", "dst")
+        .agg(count(lit(1)).cast("double").as("w"))
+      GraphOps.pageRankWeighted(edges, "src", "dst", "w", iters = 3,
+          damping = 0.85, redistributeDangling = true)
         .select(col("v").as("domain"), round(col("pr"), 4).as("pr"))
         .orderBy(col("pr").desc, col("domain"))
     }),
   )
+
+  /** Extracted outlink edges folded to registered-domain pairs —
+    * shared by both PageRank pipelines. */
+  private def domainEdges(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val sIdx = pmod(id, lit(8L))
+    val srcTld = when(pmod(sIdx, lit(3L)) === 0, lit("com"))
+      .when(pmod(sIdx, lit(3L)) === 1, lit("org"))
+      .otherwise(lit("co.uk"))
+    docs(s, dir)
+      .select(concat(lit("dom"), sIdx.cast("string"), lit("."), srcTld)
+        .as("src"), explode(HtmlOps.links(htmlCol)).as("url"))
+      .withColumn("dst",
+        UrlOps.registeredDomain(UrlOps.host(col("url"))))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+  }
 
   /** Shared DuckDB CTE bodies: link synthesis `lk(doc_id, j, url)`,
     * anchors `an`, and the page `h(doc_id, lang, text, html)` —
@@ -365,6 +384,58 @@ object WebQueries {
         |FROM dm GROUP BY domain ORDER BY domain""".stripMargin,
     // PageRank replay (the graph_pagerank_dangling CTE chain, string
     // nodes): 3 damped iterations, dangling mass folded uniformly.
+    "web_graph_weighted" ->
+      s"""WITH $htmlCtes,
+        |$linksCte,
+        |dm AS (
+        |  SELECT doc_id, $domainExpr AS dst
+        |  FROM (SELECT doc_id, string_split($hostExpr, '.') AS parts
+        |        FROM l)),
+        |e AS (
+        |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+        |    SELECT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+        |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+        |         WHEN 1 THEN 'org' ELSE 'co.uk' END) AS src, dst
+        |    FROM dm) WHERE src <> dst GROUP BY src, dst),
+        |n AS (
+        |  SELECT DISTINCT v FROM (
+        |    SELECT src AS v FROM e UNION SELECT dst FROM e)),
+        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
+        |deg AS (SELECT src, sum(w) AS od FROM e GROUP BY src),
+        |dang AS (SELECT v FROM n WHERE v NOT IN (SELECT src FROM deg)),
+        |r0 AS (SELECT v, 1.0 / nn AS pr FROM n CROSS JOIN cnt),
+        |d1 AS (SELECT coalesce(sum(r0.pr), 0) AS dm
+        |       FROM r0 JOIN dang USING (v)),
+        |c1 AS (
+        |  SELECT e.dst AS v, sum(r0.pr * e.w / deg.od) AS m
+        |  FROM e JOIN r0 ON e.src = r0.v JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r1 AS (
+        |  SELECT n.v,
+        |    0.15 / cnt.nn + 0.85 * (coalesce(c1.m, 0) + d1.dm / cnt.nn) AS pr
+        |  FROM n CROSS JOIN cnt CROSS JOIN d1 LEFT JOIN c1 ON n.v = c1.v),
+        |d2 AS (SELECT coalesce(sum(r1.pr), 0) AS dm
+        |       FROM r1 JOIN dang USING (v)),
+        |c2 AS (
+        |  SELECT e.dst AS v, sum(r1.pr * e.w / deg.od) AS m
+        |  FROM e JOIN r1 ON e.src = r1.v JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT n.v,
+        |    0.15 / cnt.nn + 0.85 * (coalesce(c2.m, 0) + d2.dm / cnt.nn) AS pr
+        |  FROM n CROSS JOIN cnt CROSS JOIN d2 LEFT JOIN c2 ON n.v = c2.v),
+        |d3 AS (SELECT coalesce(sum(r2.pr), 0) AS dm
+        |       FROM r2 JOIN dang USING (v)),
+        |c3 AS (
+        |  SELECT e.dst AS v, sum(r2.pr * e.w / deg.od) AS m
+        |  FROM e JOIN r2 ON e.src = r2.v JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT n.v,
+        |    0.15 / cnt.nn + 0.85 * (coalesce(c3.m, 0) + d3.dm / cnt.nn) AS pr
+        |  FROM n CROSS JOIN cnt CROSS JOIN d3 LEFT JOIN c3 ON n.v = c3.v)
+        |SELECT v AS domain, round(pr, 4) AS pr
+        |FROM r3 ORDER BY 2 DESC, 1""".stripMargin,
     "web_graph_pipeline" ->
       s"""WITH $htmlCtes,
         |$linksCte,

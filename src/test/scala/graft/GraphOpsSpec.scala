@@ -79,4 +79,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(a.keySet === b.keySet)
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
   }
+
+  test("weighted: rank splits across out-edges by weight; uniform " +
+      "weights reproduce the unweighted ranks exactly") {
+    // a -> b (w=3), a -> c (w=1): b receives 3x c's contribution
+    val we = Seq(("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0),
+      ("c", "a", 1.0)).toDF("src", "dst", "w")
+    val pr = GraphOps.pageRankWeighted(we, "src", "dst", "w",
+        iters = 1, damping = 0.5)
+      .as[(String, Double)].collect().toMap
+    // start 1/3; contributions: b: (1/3)*(3/4), c: (1/3)*(1/4),
+    // a: 1/3 + 1/3; pr' = (1-d)/3 + d*c
+    assert(math.abs(pr("b") - (0.5 / 3 + 0.5 * 0.25)) < 1e-12)
+    assert(math.abs(pr("c") - (0.5 / 3 + 0.5 * (0.25 / 3))) < 1e-12)
+    assert(math.abs(pr("a") - (0.5 / 3 + 0.5 * (2.0 / 3))) < 1e-12)
+    // all-equal weights == the unweighted recurrence, bit for bit
+    val uni = GraphOps.pageRank(edges, "src", "dst", iters = 3,
+      damping = 0.85).as[(Long, Double)].collect().toMap
+    val wuni = GraphOps.pageRankWeighted(
+      edges.withColumn("w", lit(7.0)), "src", "dst", "w",
+      iters = 3, damping = 0.85).as[(Long, Double)].collect().toMap
+    assert(uni === wuni)
+  }
+
+  test("weighted: parallel edges aggregate before the iteration") {
+    val dup = Seq(("a", "b", 1.0), ("a", "b", 2.0), ("a", "c", 3.0),
+      ("b", "a", 1.0), ("c", "a", 1.0)).toDF("src", "dst", "w")
+    val merged = Seq(("a", "b", 3.0), ("a", "c", 3.0), ("b", "a", 1.0),
+      ("c", "a", 1.0)).toDF("src", "dst", "w")
+    val p1 = GraphOps.pageRankWeighted(dup, "src", "dst", "w", 2, 0.85)
+      .as[(String, Double)].collect().toMap
+    val p2 = GraphOps.pageRankWeighted(merged, "src", "dst", "w", 2, 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(p1.keySet === p2.keySet)
+    p1.keys.foreach(k => assert(math.abs(p1(k) - p2(k)) < 1e-12))
+  }
 }
