@@ -167,6 +167,29 @@ object WebQueries {
         .select(col("v").as("domain"), round(col("pr"), 4).as("pr"))
         .orderBy(col("pr").desc, col("domain"))
     }),
+    // Crawl-frontier scheduling: canonicalized outlink pages whose
+    // registered domain is NOT yet crawled, ranked by (domain
+    // PageRank, reference count) — which uncrawled URLs to fetch
+    // next. Canonical collapse + anti-join + rank join + one bounded
+    // TakeOrdered heap; the frontier itself is never globally sorted.
+    "web_frontier" -> ((s, dir) => {
+      val cn = docs(s, dir)
+        .select(explode(HtmlOps.links(htmlCol)).as("url"))
+        .select(UrlOps.canonicalize(col("url")).as("canon"),
+          UrlOps.registeredDomain(UrlOps.host(col("url"))).as("domain"))
+      val f = cn.groupBy("canon", "domain")
+        .agg(count(lit(1)).as("n_refs"))
+      val crawled = docs(s, dir).select(srcDomainCol.as("domain"))
+        .distinct()
+      val pr = GraphOps.pageRank(domainEdges(s, dir), "src", "dst",
+          iters = 3, damping = 0.85, redistributeDangling = true)
+        .select(col("v").as("domain"), round(col("pr"), 4).as("pr"))
+      f.join(crawled, Seq("domain"), "left_anti")
+        .join(pr, "domain")
+        .orderBy(col("pr").desc, col("n_refs").desc, col("canon"))
+        .limit(20)
+        .select("canon", "domain", "n_refs", "pr")
+    }),
     // The WEIGHTED form: rank mass splits across out-edges in
     // proportion to how many links point there (a domain linked 40
     // times from a source outranks a single stray href). Parallel
@@ -185,20 +208,23 @@ object WebQueries {
 
   /** Extracted outlink edges folded to registered-domain pairs —
     * shared by both PageRank pipelines. */
-  private def domainEdges(s: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
-    val sIdx = pmod(id, lit(8L))
+  /** The doc's own (crawled) domain: `dom{id mod 8}.{tld}`. */
+  private def srcDomainCol: Column = {
+    val sIdx = pmod(col("doc_id"), lit(8L))
     val srcTld = when(pmod(sIdx, lit(3L)) === 0, lit("com"))
       .when(pmod(sIdx, lit(3L)) === 1, lit("org"))
       .otherwise(lit("co.uk"))
+    concat(lit("dom"), sIdx.cast("string"), lit("."), srcTld)
+  }
+
+  private def domainEdges(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(concat(lit("dom"), sIdx.cast("string"), lit("."), srcTld)
-        .as("src"), explode(HtmlOps.links(htmlCol)).as("url"))
+      .select(srcDomainCol.as("src"),
+        explode(HtmlOps.links(htmlCol)).as("url"))
       .withColumn("dst",
         UrlOps.registeredDomain(UrlOps.host(col("url"))))
       .filter(col("src") =!= col("dst"))
       .select("src", "dst")
-  }
 
   /** Shared DuckDB CTE bodies: link synthesis `lk(doc_id, j, url)`,
     * anchors `an`, and the page `h(doc_id, lang, text, html)` —
@@ -321,6 +347,89 @@ object WebQueries {
       |    '(?i)</(?:p|div|h[1-6]|li)>|<br[^>]*>') AS parts
       |  FROM h WHERE doc_id < 40)""".stripMargin
       .replace("DROPPED", "(" + dropBlocksExpr + ")")
+
+  /** Unweighted dangling-redistributed 3-iteration PageRank replay
+    * over a CTE `e(src, dst)` — shared by the pipeline and frontier
+    * oracles. Produces `r3(v, pr)`. */
+  private val prChainCte: String =
+    """n AS (
+      |  SELECT DISTINCT v FROM (
+      |    SELECT src AS v FROM e UNION SELECT dst FROM e)),
+      |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
+      |deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+      |dang AS (SELECT v FROM n WHERE v NOT IN (SELECT src FROM deg)),
+      |r0 AS (SELECT v, 1.0 / nn AS pr FROM n CROSS JOIN cnt),
+      |d1 AS (SELECT coalesce(sum(r0.pr), 0) AS dm
+      |       FROM r0 JOIN dang USING (v)),
+      |c1 AS (
+      |  SELECT e.dst AS v, sum(r0.pr / deg.od) AS m
+      |  FROM e JOIN r0 ON e.src = r0.v JOIN deg ON e.src = deg.src
+      |  GROUP BY e.dst),
+      |r1 AS (
+      |  SELECT n.v,
+      |    0.15 / cnt.nn + 0.85 * (coalesce(c1.m, 0) + d1.dm / cnt.nn) AS pr
+      |  FROM n CROSS JOIN cnt CROSS JOIN d1 LEFT JOIN c1 ON n.v = c1.v),
+      |d2 AS (SELECT coalesce(sum(r1.pr), 0) AS dm
+      |       FROM r1 JOIN dang USING (v)),
+      |c2 AS (
+      |  SELECT e.dst AS v, sum(r1.pr / deg.od) AS m
+      |  FROM e JOIN r1 ON e.src = r1.v JOIN deg ON e.src = deg.src
+      |  GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT n.v,
+      |    0.15 / cnt.nn + 0.85 * (coalesce(c2.m, 0) + d2.dm / cnt.nn) AS pr
+      |  FROM n CROSS JOIN cnt CROSS JOIN d2 LEFT JOIN c2 ON n.v = c2.v),
+      |d3 AS (SELECT coalesce(sum(r2.pr), 0) AS dm
+      |       FROM r2 JOIN dang USING (v)),
+      |c3 AS (
+      |  SELECT e.dst AS v, sum(r2.pr / deg.od) AS m
+      |  FROM e JOIN r2 ON e.src = r2.v JOIN deg ON e.src = deg.src
+      |  GROUP BY e.dst),
+      |r3 AS (
+      |  SELECT n.v,
+      |    0.15 / cnt.nn + 0.85 * (coalesce(c3.m, 0) + d3.dm / cnt.nn) AS pr
+      |  FROM n CROSS JOIN cnt CROSS JOIN d3 LEFT JOIN c3 ON n.v = c3.v)""".stripMargin
+
+  /** DuckDB replay of [[UrlOps.canonicalize]] + registered domain over
+    * `l(doc_id, url)` — produces `cn(doc_id, canon, domain)`. */
+  private val canonCte: String =
+    """cx AS (
+      |  SELECT doc_id, url,
+      |    string_split(url, '://')[1] AS scheme,
+      |    string_split(url, '://')[2] AS rest,
+      |    string_split_regex(string_split(url, '://')[2],
+      |      '[/?#]')[1] AS hostport,
+      |    lower(string_split(string_split_regex(string_split(url,
+      |      '://')[2], '[/?#]')[1], ':')[1]) AS host
+      |  FROM l),
+      |cy AS (
+      |  SELECT doc_id, url, scheme, host,
+      |    regexp_replace(host, '^www\.', '') AS h,
+      |    coalesce(string_split(hostport, ':')[2], '') AS port,
+      |    string_split(substr(rest, len(hostport) + 1), '#')[1] AS pathq
+      |  FROM cx),
+      |cz AS (
+      |  SELECT doc_id, url, scheme, host, h,
+      |    CASE WHEN port IN ('', '80', '443') THEN ''
+      |         ELSE ':' || port END AS keep_port,
+      |    rtrim(string_split(pathq, '?')[1], '/') AS clean_path,
+      |    coalesce(array_to_string(list_sort(list_filter(
+      |      string_split(coalesce(string_split(pathq, '?')[2], ''), '&'),
+      |      x -> x <> '' AND NOT starts_with(x, 'utm_')
+      |        AND NOT starts_with(x, 'fbclid=')
+      |        AND NOT starts_with(x, 'gclid=')
+      |        AND NOT starts_with(x, 'ref='))), '&'), '') AS cq
+      |  FROM cy),
+      |cn AS (
+      |  SELECT doc_id,
+      |    scheme || '://' || h || keep_port || clean_path ||
+      |      (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canon,
+      |    CASE WHEN len(parts) <= 2 THEN array_to_string(parts, '.')
+      |         WHEN parts[-2] || '.' || parts[-1]
+      |              IN ('co.uk', 'com.au', 'co.jp')
+      |           THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+      |         ELSE parts[-2] || '.' || parts[-1] END AS domain
+      |  FROM (SELECT *, string_split(host, '.') AS parts FROM cz))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "text_html_blocks" ->
@@ -449,44 +558,37 @@ object WebQueries {
         |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
         |         WHEN 1 THEN 'org' ELSE 'co.uk' END) AS src, dst
         |    FROM dm) WHERE src <> dst),
-        |n AS (
-        |  SELECT DISTINCT v FROM (
-        |    SELECT src AS v FROM e UNION SELECT dst FROM e)),
-        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
-        |deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
-        |dang AS (SELECT v FROM n WHERE v NOT IN (SELECT src FROM deg)),
-        |r0 AS (SELECT v, 1.0 / nn AS pr FROM n CROSS JOIN cnt),
-        |d1 AS (SELECT coalesce(sum(r0.pr), 0) AS dm
-        |       FROM r0 JOIN dang USING (v)),
-        |c1 AS (
-        |  SELECT e.dst AS v, sum(r0.pr / deg.od) AS m
-        |  FROM e JOIN r0 ON e.src = r0.v JOIN deg ON e.src = deg.src
-        |  GROUP BY e.dst),
-        |r1 AS (
-        |  SELECT n.v,
-        |    0.15 / cnt.nn + 0.85 * (coalesce(c1.m, 0) + d1.dm / cnt.nn) AS pr
-        |  FROM n CROSS JOIN cnt CROSS JOIN d1 LEFT JOIN c1 ON n.v = c1.v),
-        |d2 AS (SELECT coalesce(sum(r1.pr), 0) AS dm
-        |       FROM r1 JOIN dang USING (v)),
-        |c2 AS (
-        |  SELECT e.dst AS v, sum(r1.pr / deg.od) AS m
-        |  FROM e JOIN r1 ON e.src = r1.v JOIN deg ON e.src = deg.src
-        |  GROUP BY e.dst),
-        |r2 AS (
-        |  SELECT n.v,
-        |    0.15 / cnt.nn + 0.85 * (coalesce(c2.m, 0) + d2.dm / cnt.nn) AS pr
-        |  FROM n CROSS JOIN cnt CROSS JOIN d2 LEFT JOIN c2 ON n.v = c2.v),
-        |d3 AS (SELECT coalesce(sum(r2.pr), 0) AS dm
-        |       FROM r2 JOIN dang USING (v)),
-        |c3 AS (
-        |  SELECT e.dst AS v, sum(r2.pr / deg.od) AS m
-        |  FROM e JOIN r2 ON e.src = r2.v JOIN deg ON e.src = deg.src
-        |  GROUP BY e.dst),
-        |r3 AS (
-        |  SELECT n.v,
-        |    0.15 / cnt.nn + 0.85 * (coalesce(c3.m, 0) + d3.dm / cnt.nn) AS pr
-        |  FROM n CROSS JOIN cnt CROSS JOIN d3 LEFT JOIN c3 ON n.v = c3.v)
+        |$prChainCte
         |SELECT v AS domain, round(pr, 4) AS pr
         |FROM r3 ORDER BY 2 DESC, 1""".stripMargin,
-  )
+    "web_frontier" ->
+      s"""WITH $htmlCtes,
+        |$linksCte,
+        |$canonCte,
+        |f AS (
+        |  SELECT canon, domain, count(*) AS n_refs
+        |  FROM cn GROUP BY canon, domain),
+        |crawled AS (
+        |  SELECT DISTINCT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+        |    (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+        |       WHEN 1 THEN 'org' ELSE 'co.uk' END) AS domain
+        |  FROM documents WHERE text IS NOT NULL),
+        |dm AS (
+        |  SELECT doc_id, $domainExpr AS dst
+        |  FROM (SELECT doc_id, string_split($hostExpr, '.') AS parts
+        |        FROM l)),
+        |e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+        |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+        |         WHEN 1 THEN 'org' ELSE 'co.uk' END) AS src, dst
+        |    FROM dm) WHERE src <> dst),
+        |$prChainCte,
+        |sel AS (
+        |  SELECT f.canon, f.domain, f.n_refs, round(r3.pr, 4) AS pr
+        |  FROM f JOIN r3 ON f.domain = r3.v
+        |  WHERE f.domain NOT IN (SELECT domain FROM crawled))
+        |SELECT canon, domain, n_refs, pr FROM sel
+        |ORDER BY pr DESC, n_refs DESC, canon LIMIT 20""".stripMargin,
+      )
 }
