@@ -65,6 +65,26 @@ object ChangeLog {
       .withColumnRenamed("__net", "__op")
   }
 
+  /** SCD Type-2 history build — the lakehouse dimension-table form of
+    * the journal: every surviving change becomes a validity interval
+    * `[__valid_from, __valid_to)` in sequence space, where
+    * `__valid_to` is the NEXT change's `__seq` for the same PK (NULL
+    * while current). A delete closes the prior interval (it bounds the
+    * predecessor's lead) and contributes no row of its own, so a
+    * deleted PK has no current version. ONE pk-keyed window (`lead`),
+    * no self-join — cost is journal volume, never versions × table
+    * size, and any as-of question becomes a range predicate on the
+    * interval columns instead of a [[stateAt]] fold per timestamp. */
+  def scd2(journal: DataFrame, pkCol: String): DataFrame = {
+    val w = Window.partitionBy(col(pkCol)).orderBy(col("__seq").asc)
+    journal
+      .withColumn("__valid_to", lead(col("__seq"), 1).over(w))
+      .filter(col("__op") =!= OpDelete)
+      .withColumnRenamed("__seq", "__valid_from")
+      .withColumn("__current", col("__valid_to").isNull)
+      .drop("__op")
+  }
+
   /** Apply a change batch to a snapshot: remove every changed PK, then
     * re-insert the surviving upsert payloads. */
   def applyBatch(current: DataFrame, changes: DataFrame,

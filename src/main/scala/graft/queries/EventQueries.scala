@@ -158,6 +158,28 @@ object EventQueries {
           max(col("end_us") - col("start_us")).as("max_len_us"))
         .orderBy("user_id")
     }),
+    // Row-level expectation gate (Deequ shape): deterministic
+    // corruption injected on id residues, every rule evaluated in ONE
+    // scan-fused projection, failed-rule names travel with the row;
+    // the audit ledger counts per-rule violations + the quarantine
+    // total (multi-violation rows counted once).
+    "audit_quarantine" -> ((s, dir) => {
+      import graft.operators.DataQuality
+      val dirty = ev(s, dir).select(
+        col("event_id"), col("user_id"),
+        when(pmod(col("event_id"), lit(13)) === 0, -col("value"))
+          .otherwise(col("value")).as("value"),
+        when(pmod(col("event_id"), lit(17)) === 0, lit("clickk"))
+          .otherwise(col("event_type")).as("event_type"),
+        when(pmod(col("event_id"), lit(19)) === 0,
+          lit(null).cast("string"))
+          .otherwise(col("props")).as("props"))
+      DataQuality.report(dirty, Seq(
+        "nonneg_value" -> (col("value") >= 0),
+        "known_type" -> col("event_type").isin(
+          "click", "view", "purchase", "signup", "error"),
+        "props_present" -> col("props").isNotNull))
+    }),
     // Tumbling 1-hour windows: the batch shape of a streaming windowed agg.
     "ev_hourly_agg" -> ((s, dir) => {
       ev(s, dir)
@@ -646,6 +668,34 @@ object EventQueries {
         |          ORDER BY ts, event_id)) AS gap_s
         |      FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Quarantine replay: same corruption, same rules (NOT coalesce(p,
+    // FALSE) — a rule that cannot evaluate did not pass), same ledger.
+    "audit_quarantine" ->
+      """WITH dirty AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 13 = 0 THEN -value ELSE value END
+        |      AS value,
+        |    CASE WHEN event_id % 17 = 0 THEN 'clickk' ELSE event_type
+        |      END AS event_type,
+        |    CASE WHEN event_id % 19 = 0 THEN NULL ELSE props END
+        |      AS props
+        |  FROM events),
+        |v AS (
+        |  SELECT
+        |    CASE WHEN NOT coalesce(value >= 0, FALSE)
+        |      THEN 1 ELSE 0 END AS b1,
+        |    CASE WHEN NOT coalesce(event_type IN
+        |      ('click', 'view', 'purchase', 'signup', 'error'), FALSE)
+        |      THEN 1 ELSE 0 END AS b2,
+        |    CASE WHEN props IS NULL THEN 1 ELSE 0 END AS b3
+        |  FROM dirty)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN b1 + b2 + b3 > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_quarantined,
+        |  CAST(sum(b1) AS BIGINT) AS n_nonneg_value,
+        |  CAST(sum(b2) AS BIGINT) AS n_known_type,
+        |  CAST(sum(b3) AS BIGINT) AS n_props_present
+        |FROM v""".stripMargin,
     // Exact-microsecond replay of the gap recurrence (break iff
     // inter-event gap > 1800s): break flags -> running session ids ->
     // per-session bounds -> per-user rollup. epoch_us keeps every

@@ -191,6 +191,19 @@ object InfraQueries {
           .withColumn("snap_seq", lit(asOf))
       }.reduce(_.unionByName(_)).orderBy("snap_seq")
     }),
+    // SCD Type-2 history off the same journal: every surviving change
+    // as a [valid_from, valid_to) interval (lead per pk), deletes
+    // close their predecessor and leave no current row. Row-level,
+    // interval bounds and current flags hash-checked.
+    "cdf_scd2" -> ((s, dir) => {
+      ChangeLog.scd2(cdfJournal(s, dir), "doc_id")
+        .select(col("doc_id"),
+          col("__valid_from").cast("long").as("valid_from"),
+          col("__valid_to").cast("long").as("valid_to"),
+          col("__current").as("is_current"),
+          length(col("text")).cast("long").as("text_len"))
+        .orderBy("doc_id", "valid_from")
+    }),
     // CDF net-diff read between snapshots 150 and 3000: the effective
     // op per changed pk RELATIVE to the older snapshot — in-window
     // create+delete pairs must vanish, in-window insert+update must
@@ -3932,6 +3945,20 @@ object InfraQueries {
         |  round(avg(sqrt(list_dot_product(embedding, embedding))), 4)
         |    AS avg_norm
         |FROM merged""".stripMargin,
+    // SCD2 replay: per-pk lead over the journal, deletes dropped
+    // after bounding their predecessor's interval.
+    "cdf_scd2" -> (s"WITH j AS ($cdfJournalCte),\n" +
+      """x AS (
+        |  SELECT doc_id, text, op, seq,
+        |    lead(seq) OVER (PARTITION BY doc_id ORDER BY seq)
+        |      AS valid_to
+        |  FROM j)
+        |SELECT doc_id, CAST(seq AS BIGINT) AS valid_from,
+        |  CAST(valid_to AS BIGINT) AS valid_to,
+        |  valid_to IS NULL AS is_current,
+        |  CAST(len(text) AS BIGINT) AS text_len
+        |FROM x WHERE op <> 'D'
+        |ORDER BY doc_id, valid_from""".stripMargin),
     // Time-travel replay: per (snapshot, pk) window argmax over the
     // journal prefix, deletes dropped, per-snapshot aggregates.
     "cdf_time_travel" -> (s"WITH j AS ($cdfJournalCte),\n" +

@@ -106,6 +106,36 @@ class IndexSpec extends SparkSpec {
     assert(net2 === Map(2L -> "D", 4L -> "I"))
   }
 
+  test("scd2: intervals chain per pk, deletes close their predecessor " +
+      "and leave no current row") {
+    val j = Seq(
+      (1L, "a1", "I", 1L),                                   // current
+      (2L, "b1", "I", 2L), (2L, "b2", "U", 10L), (2L, "b2", "D", 20L),
+      (3L, "c1", "I", 12L), (3L, "c1", "D", 15L),            // gone
+      (4L, "d1", "I", 11L), (4L, "d2", "U", 18L))
+      .toDF("pk", "text", "__op", "__seq")
+    val got = ChangeLog.scd2(j, "pk")
+      .select("pk", "text", "__valid_from", "__valid_to", "__current")
+      .as[(Long, String, Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(got === Set(
+      (1L, "a1", 1L, None, true),
+      (2L, "b1", 2L, Some(10L), false),
+      (2L, "b2", 10L, Some(20L), false),   // closed by the delete
+      (3L, "c1", 12L, Some(15L), false),   // no current version
+      (4L, "d1", 11L, Some(18L), false),
+      (4L, "d2", 18L, None, true)))
+    // intervals tile: every non-final valid_to == successor valid_from
+    val byPk = got.groupBy(_._1).values
+    byPk.foreach { ivs =>
+      val sorted = ivs.toSeq.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4.contains(b._3))
+        case _ => ()
+      }
+    }
+  }
+
   test("streaming triggered sync drains a journal directory") {
     val source = emb.filter($"vec_id" < 100)
     val idx = newIndex("stream")
