@@ -85,6 +85,23 @@ object ChangeLog {
       .drop("__op")
   }
 
+  /** Journal compaction (the Delta checkpoint analog): fold every
+    * change with `__seq <= upToSeq` into one snapshot written as 'I'
+    * rows AT `upToSeq`, keep the tail verbatim. [[stateAt]] /
+    * [[netChanges]] / [[scd2]] answers for any sequence `>= upToSeq`
+    * are IDENTICAL on the compacted journal, while its row count
+    * drops from total-changes to live-rows + tail — the maintenance
+    * op that keeps replay cost flat as a journal ages. History BELOW
+    * the cut is intentionally gone (that is the point); one window
+    * argmax + one filter, never a sequential replay. */
+  def compact(journal: DataFrame, pkCol: String, upToSeq: Long): DataFrame = {
+    val snapshot = stateAt(journal, pkCol, upToSeq)
+      .withColumn("__op", lit(OpInsert))
+      .withColumn("__seq", lit(upToSeq))
+    val tail = journal.filter(col("__seq") > upToSeq)
+    snapshot.unionByName(tail)
+  }
+
   /** Apply a change batch to a snapshot: remove every changed PK, then
     * re-insert the surviving upsert payloads. */
   def applyBatch(current: DataFrame, changes: DataFrame,

@@ -204,6 +204,37 @@ object InfraQueries {
           length(col("text")).cast("long").as("text_len"))
         .orderBy("doc_id", "valid_from")
     }),
+    // As-of read OFF THE INTERVALS: the SCD2 table answers "state at
+    // seq" with a pure range predicate (valid_from <= s < valid_to) —
+    // no fold per timestamp. Must equal the stateAt(1999) leg of
+    // cdf_time_travel; the oracle replays the interval read itself.
+    "cdf_scd2_asof" -> ((s, dir) => {
+      val asOf = 1999L
+      ChangeLog.scd2(cdfJournal(s, dir), "doc_id")
+        .filter(col("__valid_from") <= asOf &&
+          (col("__valid_to").isNull || col("__valid_to") > asOf))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"),
+          sum(length(col("text"))).as("sum_len"))
+    }),
+    // Journal compaction (Delta-checkpoint analog): fold history <=
+    // 1500 into 'I'@1500 snapshot rows, keep the tail. Post-cut reads
+    // must be IDENTICAL: the query folds state at 3000 on the
+    // compacted journal next to the original, plus the row-count
+    // shrink the maintenance op exists for.
+    "cdf_compacted" -> ((s, dir) => {
+      val j = cdfJournal(s, dir)
+      val c = ChangeLog.compact(j, "doc_id", 1500L)
+      def fold(df: org.apache.spark.sql.DataFrame, tag: String) =
+        ChangeLog.stateAt(df, "doc_id", 3000L)
+          .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"),
+            sum(length(col("text"))).as("sum_len"))
+          .withColumn("journal", lit(tag))
+          .withColumn("journal_rows", lit(df.count()))
+      fold(j, "original").unionByName(fold(c, "compacted"))
+        .select(col("journal"), col("journal_rows"), col("n"),
+          col("sum_id"), col("sum_len"))
+        .orderBy("journal")
+    }),
     // CDF net-diff read between snapshots 150 and 3000: the effective
     // op per changed pk RELATIVE to the older snapshot — in-window
     // create+delete pairs must vanish, in-window insert+update must
@@ -3959,6 +3990,67 @@ object InfraQueries {
         |  CAST(len(text) AS BIGINT) AS text_len
         |FROM x WHERE op <> 'D'
         |ORDER BY doc_id, valid_from""".stripMargin),
+    // Interval as-of replay: the same lead-window intervals read with
+    // the range predicate.
+    "cdf_scd2_asof" -> (s"WITH j AS ($cdfJournalCte),\n" +
+      """x AS (
+        |  SELECT doc_id, text, op, seq,
+        |    lead(seq) OVER (PARTITION BY doc_id ORDER BY seq)
+        |      AS valid_to
+        |  FROM j),
+        |sel AS (
+        |  SELECT * FROM x
+        |  WHERE op <> 'D' AND seq <= 1999
+        |    AND (valid_to IS NULL OR valid_to > 1999))
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(len(text)) AS BIGINT) AS sum_len
+        |FROM sel""".stripMargin),
+    // Compaction replay: snapshot <=1500 as 'I'@1500 + verbatim tail,
+    // then the same state-at-3000 fold on both journals side by side.
+    "cdf_compacted" -> (s"WITH j AS ($cdfJournalCte),\n" +
+      """snap AS (
+        |  SELECT doc_id, text, 'I' AS op, CAST(1500 AS BIGINT) AS seq
+        |  FROM (
+        |    SELECT doc_id, text, op,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC)
+        |        AS rn
+        |    FROM j WHERE seq <= 1500)
+        |  WHERE rn = 1 AND op <> 'D'),
+        |c AS (
+        |  SELECT * FROM snap
+        |  UNION ALL
+        |  SELECT doc_id, text, op, seq FROM j WHERE seq > 1500),
+        |jr AS (
+        |  SELECT 'original' AS journal,
+        |    CAST(count(*) AS BIGINT) AS journal_rows FROM j
+        |  UNION ALL
+        |  SELECT 'compacted', CAST(count(*) AS BIGINT) FROM c),
+        |fo AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, op,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC)
+        |        AS rn
+        |    FROM j WHERE seq <= 3000)
+        |  WHERE rn = 1 AND op <> 'D'),
+        |fc AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, op,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC)
+        |        AS rn
+        |    FROM c WHERE seq <= 3000)
+        |  WHERE rn = 1 AND op <> 'D'),
+        |ag AS (
+        |  SELECT 'original' AS journal, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |    CAST(sum(len(text)) AS BIGINT) AS sum_len FROM fo
+        |  UNION ALL
+        |  SELECT 'compacted', CAST(count(*) AS BIGINT),
+        |    CAST(sum(doc_id) AS BIGINT),
+        |    CAST(sum(len(text)) AS BIGINT) FROM fc)
+        |SELECT ag.journal, jr.journal_rows, ag.n, ag.sum_id, ag.sum_len
+        |FROM ag JOIN jr USING (journal)
+        |ORDER BY journal""".stripMargin),
     // Time-travel replay: per (snapshot, pk) window argmax over the
     // journal prefix, deletes dropped, per-snapshot aggregates.
     "cdf_time_travel" -> (s"WITH j AS ($cdfJournalCte),\n" +

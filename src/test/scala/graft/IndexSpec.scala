@@ -136,6 +136,32 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("compact: post-cut reads identical, pre-cut history gone, row " +
+      "count shrinks to live + tail") {
+    val j = Seq(
+      (1L, "a1", "I", 1L), (1L, "a2", "U", 8L),
+      (2L, "b1", "I", 2L), (2L, "b2", "U", 10L), (2L, "b2", "D", 20L),
+      (3L, "c1", "I", 12L), (3L, "c1", "D", 15L),
+      (4L, "d1", "I", 11L), (4L, "d2", "U", 18L))
+      .toDF("pk", "text", "__op", "__seq")
+    val c = ChangeLog.compact(j, "pk", 16L)
+    def state(df: org.apache.spark.sql.DataFrame, asOf: Long) =
+      ChangeLog.stateAt(df, "pk", asOf)
+        .select("pk", "text").as[(Long, String)].collect().toMap
+    // any post-cut sequence folds identically
+    Seq(16L, 18L, 25L).foreach { s =>
+      assert(state(c, s) === state(j, s), s"as-of $s diverged")
+    }
+    // live rows at the cut (pk 1, 2, 4 — pk3 already deleted) + the
+    // two tail changes
+    assert(c.count() === 5L)
+    // history below the cut is gone by design: the compacted journal
+    // has NOTHING before the cut (its earliest rows sit at seq 16),
+    // while the original still answers
+    assert(state(c, 10L) === Map.empty)
+    assert(state(j, 10L) !== state(j, 16L))
+  }
+
   test("streaming triggered sync drains a journal directory") {
     val source = emb.filter($"vec_id" < 100)
     val idx = newIndex("stream")
