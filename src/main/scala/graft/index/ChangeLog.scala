@@ -85,6 +85,34 @@ object ChangeLog {
       .drop("__op")
   }
 
+  /** Incremental SCD2 merge — fold a NEW change batch (every `__seq`
+    * strictly greater than any sequence already folded) into an
+    * existing interval table. Only CHANGED PKs are touched: each one's
+    * open interval (if any) re-enters the [[scd2]] fold as a
+    * pseudo-change at its own `__valid_from`, so the refold closes it
+    * at the batch's first change and chains the rest; closed intervals
+    * and untouched PKs pass through verbatim. Applying batches in
+    * sequence order reproduces `scd2(whole journal)` EXACTLY — the
+    * stream ≡ batch contract. Cost: one pk semi/anti-join pair plus a
+    * lead window over (changed open rows + the batch) — never the
+    * table's history. */
+  def scd2Apply(current: DataFrame, changes: DataFrame,
+      pkCol: String): DataFrame = {
+    val changedPks = changes.select(col(pkCol)).distinct()
+    val pseudo = current
+      .join(changedPks, Seq(pkCol), "left_semi")
+      .filter(col("__current"))
+      .drop("__valid_to", "__current")
+      .withColumnRenamed("__valid_from", "__seq")
+      .withColumn("__op", lit(OpInsert))
+    val refolded = scd2(pseudo.unionByName(changes), pkCol)
+    val untouched = current.join(changedPks, Seq(pkCol), "left_anti")
+    val closedOfChanged = current
+      .join(changedPks, Seq(pkCol), "left_semi")
+      .filter(!col("__current"))
+    untouched.unionByName(closedOfChanged).unionByName(refolded)
+  }
+
   /** Journal compaction (the Delta checkpoint analog): fold every
     * change with `__seq <= upToSeq` into one snapshot written as 'I'
     * rows AT `upToSeq`, keep the tail verbatim. [[stateAt]] /

@@ -204,6 +204,40 @@ object InfraQueries {
           length(col("text")).cast("long").as("text_len"))
         .orderBy("doc_id", "valid_from")
     }),
+    // STREAMING SCD2 maintenance: the same journal delivered as three
+    // seq-ordered micro-batches (inserts / updates / deletes) through
+    // Scd2Stream.scd2Sync — per batch only CHANGED pks refold (open
+    // row + batch through one lead window); the drained interval table
+    // must equal the one-shot scd2 fold row for row, so both share one
+    // oracle. The _meta max-seq sidecar makes replays no-ops.
+    "cdf_scd2_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val j = cdfJournal(s, dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_scd2str/" +
+        dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh replay
+      DedupQueries.appendStamped(fs, j.filter(col("__seq") < 1000),
+        s"$root/journal", 10000L)
+      DedupQueries.appendStamped(fs,
+        j.filter(col("__seq") >= 1000 && col("__seq") < 2000),
+        s"$root/journal", 20000L)
+      DedupQueries.appendStamped(fs, j.filter(col("__seq") >= 2000),
+        s"$root/journal", 30000L)
+      val stream = s.readStream.schema(j.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/journal")
+      graft.streaming.Scd2Stream
+        .scd2Sync(stream, "doc_id", s"$root/state", s"$root/ckpt")
+        .awaitTermination()
+      graft.streaming.Scd2Stream.read(s, s"$root/state")
+        .select(col("doc_id"),
+          col("__valid_from").cast("long").as("valid_from"),
+          col("__valid_to").cast("long").as("valid_to"),
+          col("__current").as("is_current"),
+          length(col("text")).cast("long").as("text_len"))
+        .orderBy("doc_id", "valid_from")
+    }),
     // As-of read OFF THE INTERVALS: the SCD2 table answers "state at
     // seq" with a pure range predicate (valid_from <= s < valid_to) —
     // no fold per timestamp. Must equal the stateAt(1999) leg of
@@ -4413,6 +4447,9 @@ object InfraQueries {
       // shard build + file-move merge holds exactly the full build's
       // rows (shared frozen centroids), so the merged query replays as
       // the direct IVF leg verbatim
+      // the streaming SCD2 drain must land on the one-shot fold's
+      // interval table row for row — one shared replay
+      ("cdf_scd2_stream" -> baseOracleSql("cdf_scd2")) +
       ("ann_ivf_shard_merged" -> baseOracleSql("ann_ivf_topk")) +
       ("ann_signlsh_shard_merged" -> baseOracleSql("ann_signlsh_topk")) +
       ("ann_sq8_shard_merged" -> baseOracleSql("ann_sq8_rerank")) +
