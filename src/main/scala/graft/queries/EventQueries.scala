@@ -180,6 +180,32 @@ object EventQueries {
           "click", "view", "purchase", "signup", "error"),
         "props_present" -> col("props").isNotNull))
     }),
+    // Robust volume-anomaly monitor (the drift alarm a production
+    // event pipeline runs): hourly counts per type -> exact median ->
+    // median absolute deviation -> hours beyond 3 MADs flagged.
+    // Median/MAD, not mean/stddev: one bad hour cannot drag its own
+    // threshold. Three type-keyed aggregates over the hour-bounded
+    // rollup — state is hours x types, never events.
+    "ev_anomaly_mad" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val med = hourly.groupBy("event_type")
+        .agg(percentile(col("n"), lit(0.5)).as("med"))
+      val dev = hourly.join(med, "event_type")
+        .withColumn("adev", abs(col("n") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          round(min("med"), 4).as("med"),
+          round(min("mad"), 4).as("mad"),
+          sum(when(col("adev") > col("mad") * 3.0, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    }),
     // Tumbling 1-hour windows: the batch shape of a streaming windowed agg.
     "ev_hourly_agg" -> ((s, dir) => {
       ev(s, dir)
@@ -668,6 +694,27 @@ object EventQueries {
         |          ORDER BY ts, event_id)) AS gap_s
         |      FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // MAD replay: both exact medians (DuckDB median interpolates the
+    // even-count middle pair exactly like Spark percentile(0.5)), the
+    // same 3-MAD cut.
+    "ev_anomaly_mad" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, median(n) AS med FROM h
+        |      GROUP BY event_type),
+        |d AS (
+        |  SELECT h.event_type, n, med, abs(n - med) AS adev
+        |  FROM h JOIN m USING (event_type)),
+        |md AS (SELECT event_type, median(adev) AS mad FROM d
+        |       GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n_hours,
+        |  round(min(med), 4) AS med, round(min(mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN adev > mad * 3.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     // Quarantine replay: same corruption, same rules (NOT coalesce(p,
     // FALSE) — a rule that cannot evaluate did not pass), same ledger.
     "audit_quarantine" ->
