@@ -91,7 +91,14 @@ object Plans {
       "the rank loop reuses the audited graph_pagerank shape"),
     "train_triplets" -> ("Triplet mining: chunk Generate + one " +
       "doc-keyed window for the positive, broadcast 16-row pool NLJ + " +
-      "per-anchor rank for the negative — constant work per anchor"))
+      "per-anchor rank for the negative — constant work per anchor"),
+    "web_frontier" -> ("Crawl scheduling: canonical collapse, " +
+      "domain anti-join against the crawled set, rank join (AQE " +
+      "broadcasts the domain-bounded rank table), one bounded " +
+      "TakeOrdered heap — the frontier is never globally sorted"),
+    "cdf_scd2" -> ("SCD2 history build: ONE pk-keyed lead window over " +
+      "the journal — interval construction costs journal volume, " +
+      "never versions x table"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
