@@ -314,6 +314,17 @@ object QualityQueries {
         .filter(col("anchor_id") < 60)
         .orderBy("anchor_id", "chunk_idx")
     }),
+    // HARD-negative triplets (DPR recipe): the pool member whose doc
+    // EMBEDDING is most similar to the anchor's (argmax cosine over
+    // the bounded pool, anchor excluded) — the confusable non-match,
+    // computed once per doc then joined onto its chunk pairs.
+    "train_triplets_hard" -> ((s, dir) => {
+      graft.operators.Triplets.mineHard(docs(s, dir), "doc_id", "text",
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          size = 30, stride = 15, poolSize = 16)
+        .filter(col("anchor_id") < 60)
+        .orderBy("anchor_id", "chunk_idx")
+    }),
     // KMV distinct sketch over per-language bigram sets: the
     // cardinality sketch whose estimate replays cross-engine to the
     // digit (bottom-64 md5 fractions; n-hat = 63/h_64), next to the
@@ -839,6 +850,56 @@ object QualityQueries {
         |SELECT anchor_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
         |  anchor, positive, neg_id, negative
         |FROM cand WHERE rn = 1
+        |ORDER BY anchor_id, chunk_idx""".stripMargin,
+    // Hard-negative replay: same windows/pool, embeddings joined in,
+    // per-doc argmax by list_cosine_similarity with the id tiebreak.
+    "train_triplets_hard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND trim(text) <> ''),
+        |win AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0,
+        |      CAST(floor(CAST(len(t) - 1 AS DOUBLE) / 15) AS BIGINT) + 1))
+        |      AS chunk_idx
+        |  FROM toks),
+        |ch AS (
+        |  SELECT doc_id, chunk_idx,
+        |    array_to_string(list_slice(t,
+        |      CAST(chunk_idx * 15 + 1 AS BIGINT),
+        |      CAST(least(chunk_idx * 15 + 30, len(t)) AS BIGINT)), ' ')
+        |      AS chunk
+        |  FROM win),
+        |ap AS (
+        |  SELECT doc_id AS anchor_id, chunk_idx, chunk AS anchor,
+        |    lead(chunk) OVER (PARTITION BY doc_id ORDER BY chunk_idx)
+        |      AS positive
+        |  FROM ch),
+        |ap2 AS (
+        |  SELECT * FROM ap WHERE positive IS NOT NULL AND anchor_id < 60),
+        |pool AS (
+        |  SELECT c.doc_id AS neg_id, c.chunk AS negative,
+        |    e.embedding AS neg_emb
+        |  FROM ch c JOIN embeddings e ON c.doc_id = e.vec_id
+        |  WHERE c.chunk_idx = 0
+        |  ORDER BY md5(CAST(c.doc_id AS VARCHAR)), neg_id LIMIT 16),
+        |hard AS (
+        |  SELECT anchor_id, neg_id, negative,
+        |    round(CAST(cos AS DOUBLE), 4) AS cos
+        |  FROM (
+        |    SELECT a.anchor_id, p.neg_id, p.negative,
+        |      list_cosine_similarity(e.embedding, p.neg_emb) AS cos,
+        |      row_number() OVER (PARTITION BY a.anchor_id
+        |        ORDER BY list_cosine_similarity(e.embedding, p.neg_emb)
+        |          DESC, p.neg_id) AS rn
+        |    FROM (SELECT DISTINCT anchor_id FROM ap2) a
+        |    JOIN embeddings e ON a.anchor_id = e.vec_id
+        |    JOIN pool p ON a.anchor_id <> p.neg_id)
+        |  WHERE rn = 1)
+        |SELECT a.anchor_id, CAST(a.chunk_idx AS BIGINT) AS chunk_idx,
+        |  a.anchor, a.positive, h.neg_id, h.negative, h.cos
+        |FROM ap2 a JOIN hard h USING (anchor_id)
         |ORDER BY anchor_id, chunk_idx""".stripMargin,
     // KMV replay: distinct per-lang bigrams, md5 fractions, per-lang
     // rank, the (k-1)/h_k estimate next to the exact count.

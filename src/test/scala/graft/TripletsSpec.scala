@@ -54,4 +54,23 @@ class TripletsSpec extends SparkSpec {
       .select("neg_id").as[Long].collect().toSet
     assert(negIds.subsetOf(poolIds), s"$negIds not within pool $poolIds")
   }
+
+  test("mineHard: the negative is the pool's argmax-cosine document, " +
+    "never the anchor itself, constant per doc across its chunks") {
+    val emb = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (3L, Array(0.0, 1.0)), (4L, Array(-1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val got = Triplets.mineHard(corpus, "doc_id", "text",
+        emb, "vec_id", "embedding", size = 8, stride = 4, poolSize = 4)
+      .select("anchor_id", "neg_id").distinct()
+      .as[(Long, Long)].collect().toMap
+    // doc 1 [1,0]: most similar pool member is doc 2 [0.9,0.1];
+    // doc 2 likewise picks doc 1; doc 4 [-1,0] picks doc 3 [0,1]
+    // (cos 0) over docs 1/2 (cos < 0)
+    assert(got(1L) === 2L)
+    assert(got(2L) === 1L)
+    assert(got(4L) === 3L)
+    got.foreach { case (a, n) => assert(a != n) }
+  }
 }
