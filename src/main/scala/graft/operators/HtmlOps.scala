@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   * identically; a full DOM parse is an external-adapter concern (like
   * torch embedding) — the regex tier is what C4 itself ran at corpus
   * scale.
+  *
+  * Known regex-tier boundary (shared with every regex extractor, and
+  * pinned by HtmlOpsSpec so it is a contract, not a surprise): a `>`
+  * INSIDE a quoted attribute value ends the tag early
+  * (`<a title="a>b">` leaks `b">` into the text), and unclosed
+  * `<script>`/`<style>` blocks strip as plain tags, leaking their
+  * payload. Real-crawl rates for both are far below the noise the
+  * downstream quality gates (Gopher/C4/`{`-rule) already absorb; a
+  * corpus where they matter swaps in a DOM-parser adapter behind the
+  * same Column seam.
   */
 object HtmlOps {
 

@@ -74,4 +74,14 @@ class HtmlOpsSpec extends SparkSpec {
     assert(got === Seq(("https://x.com/1", "click me"),
       ("", "bare & plain")))
   }
+
+  test("regex-tier boundary is pinned: '>' inside a quoted attribute " +
+    "ends the tag early; nesting and CDATA-free pages extract clean") {
+    // documented contract, not a surprise: the leak is the quoted '>'
+    assert(extract("""<a title="a>b">x</a>""") === "b\">x")
+    // well-formed nesting (the common case) stays clean
+    assert(extract("<div><p><b>deep</b> text</p></div>") === "deep text")
+    assert(extract("<p>before <span class=\"x\">mid</span> after</p>")
+      === "before mid after")
+  }
 }
