@@ -26,7 +26,11 @@ import org.apache.spark.sql.DataFrame
   */
 object Scd2Stream {
 
-  private def metaPath(statePath: String) = s"$statePath/_meta.json"
+  // the max-seq sidecar lives INSIDE the data dir (parquet readers
+  // ignore _-prefixed files), so the stage-and-swap rename commits
+  // data AND watermark atomically — no window where folded data is
+  // visible with a stale sidecar (which would double-fold on replay)
+  private def metaPath(dataPath: String) = s"$dataPath/_max_seq"
 
   /** Drain `stream` (AvailableNow) into the SCD2 table at `statePath`
     * (stage-and-swap overwrite, the persisted-layout crash
@@ -47,7 +51,7 @@ object Scd2Stream {
           val lastSeq =
             if (!exists) Long.MinValue
             else {
-              val p = new org.apache.hadoop.fs.Path(metaPath(statePath))
+              val p = new org.apache.hadoop.fs.Path(metaPath(dataPath))
               val in = fs.open(p)
               val txt = try scala.io.Source.fromInputStream(in).mkString
               finally in.close()
@@ -60,13 +64,14 @@ object Scd2Stream {
               pkCol)
             val stage = new org.apache.hadoop.fs.Path(s"$statePath/__next")
             next.write.mode("overwrite").parquet(stage.toString)
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(metaPath(stage.toString)),
+              true)
+            try out.write(batchMax.toString.getBytes("UTF-8"))
+            finally out.close()
             val dp = new org.apache.hadoop.fs.Path(dataPath)
             fs.delete(dp, true)
             fs.rename(stage, dp)
-            val out = fs.create(
-              new org.apache.hadoop.fs.Path(metaPath(statePath)), true)
-            try out.write(batchMax.toString.getBytes("UTF-8"))
-            finally out.close()
           }
         }
         ()

@@ -91,10 +91,12 @@ object SessionStream {
           }
           cur.foreach { o =>
             state.update(o)
-            // close once the watermark clears last+gap; the timestamp
-            // must sit strictly past the current watermark
+            // close once the watermark clears last+gap; CEILING to ms
+            // (a floor could fire a sub-ms early, closing a session an
+            // in-gap straggler should still extend), and strictly past
+            // the current watermark
             state.setTimeoutTimestamp(
-              math.max(o.last / 1000L + gapMicros / 1000L,
+              math.max((o.last + gapMicros + 999L) / 1000L,
                 state.getCurrentWatermarkMs + 1L))
           }
           out.result().iterator
