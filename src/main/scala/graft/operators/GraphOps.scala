@@ -41,6 +41,37 @@ object GraphOps {
     * probe that says when more iterations stop paying. */
   final case class PageRankIter(iter: Int, mass: Double, l1Delta: Double)
 
+  /** Redirect-chain resolution — the crawl-pipeline step that folds
+    * `src -> dst` redirect edges (a FUNCTIONAL graph: at most one
+    * outgoing edge per src; parallel edges collapse to the minimum dst
+    * for determinism) down to each source's TERMINAL target. Pointer
+    * jumping doubles the resolved hop distance every round (the
+    * connected-components discipline), so a chain of length L folds in
+    * ceil(log2 L) rounds of ONE self-equi-join each, `localCheckpoint`
+    * keeping the plan flat — never a sequential walk. Returns
+    * `(src, tgt, resolved)`: `resolved = false` marks sources whose
+    * target still has an outgoing edge after `maxRounds` — a cycle
+    * (redirect loops are real) or a chain longer than 2^maxRounds.
+    */
+  def resolveChains(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 6): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds=$maxRounds")
+    var m = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("tgt"))
+      .groupBy("src").agg(min("tgt").as("tgt"))
+      .localCheckpoint()
+    for (_ <- 1 to maxRounds) {
+      m = m.alias("a")
+        .join(m.select(col("src").as("__s"), col("tgt").as("__t"))
+          .alias("b"), col("tgt") === col("__s"), "left")
+        .select(col("src"), coalesce(col("__t"), col("tgt")).as("tgt"))
+        .localCheckpoint()
+    }
+    val srcs = m.select(col("src").as("__src")).distinct()
+    m.join(srcs, col("tgt") === col("__src"), "left")
+      .select(col("src"), col("tgt"), col("__src").isNull.as("resolved"))
+  }
+
   /** `iters` damped power iterations from the uniform start. Returns
     * `(v, pr)` for every node appearing as src or dst. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,

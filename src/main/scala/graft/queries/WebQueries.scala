@@ -167,6 +167,17 @@ object WebQueries {
         .select(col("v").as("domain"), round(col("pr"), 4).as("pr"))
         .orderBy(col("pr").desc, col("domain"))
     }),
+    // Redirect-chain resolution: 16-hop redirect chains fold to their
+    // terminal URL in ceil(log2 16) = 4 pointer-jumping rounds (one
+    // self-equi-join each, log in chain length, never a walk).
+    "url_redirects" -> ((s, dir) => {
+      val e = docs(s, dir)
+        .filter(col("doc_id") < 192 && pmod(col("doc_id"), lit(16L)) =!= 15)
+        .select(concat(lit("u"), col("doc_id").cast("string")).as("src"),
+          concat(lit("u"), (col("doc_id") + 1).cast("string")).as("dst"))
+      GraphOps.resolveChains(e, "src", "dst", maxRounds = 5)
+        .orderBy("src")
+    }),
     // Crawl-frontier scheduling: canonicalized outlink pages whose
     // registered domain is NOT yet crawled, ranked by (domain
     // PageRank, reference count) — which uncrawled URLs to fetch
@@ -432,6 +443,16 @@ object WebQueries {
       |  FROM (SELECT *, string_split(host, '.') AS parts FROM cz))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Redirect replay: with edges k -> k+1 inside 16-blocks, every
+    // source's terminal is arithmetic — the hash checks the pointer
+    // jumping landed exactly there, with every chain fully resolved.
+    "url_redirects" ->
+      """SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+        |  'u' || CAST((doc_id // 16) * 16 + 15 AS VARCHAR) AS tgt,
+        |  TRUE AS resolved
+        |FROM documents
+        |WHERE doc_id < 192 AND doc_id % 16 <> 15 AND text IS NOT NULL
+        |ORDER BY src""".stripMargin,
     "text_html_blocks" ->
       s"""WITH $htmlCtes,
         |$blockSplitCte,

@@ -114,4 +114,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(p1.keySet === p2.keySet)
     p1.keys.foreach(k => assert(math.abs(p1(k) - p2(k)) < 1e-12))
   }
+
+  test("resolveChains: log-round pointer jumping lands on terminals; " +
+      "cycles and over-long chains flag unresolved") {
+    // chain a->b->c->d (terminal d), 2-cycle x<->y, parallel edge
+    // p -> {q, r} collapses to min(q)
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"),
+      ("y", "x"), ("p", "r"), ("p", "q")).toDF("src", "dst")
+    val got = GraphOps.resolveChains(e, "src", "dst", maxRounds = 3)
+      .as[(String, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") === (("d", true)))
+    assert(got("b") === (("d", true)))
+    assert(got("c") === (("d", true)))
+    assert(got("p") === (("q", true)))
+    assert(!got("x")._2 && !got("y")._2, s"cycle must flag: $got")
+    // a 5-hop chain under maxRounds=1 (resolves <=2 hops) stays
+    // unresolved; maxRounds=3 (<=8 hops) finishes it
+    val long = Seq(("n1","n2"),("n2","n3"),("n3","n4"),("n4","n5"),
+      ("n5","n6")).toDF("src", "dst")
+    val under = GraphOps.resolveChains(long, "src", "dst", 1)
+      .filter(!$"resolved").count()
+    assert(under > 0)
+    val full = GraphOps.resolveChains(long, "src", "dst", 3)
+      .as[(String, String, Boolean)].collect()
+    assert(full.forall(r => r._2 == "n6" && r._3))
+  }
 }
