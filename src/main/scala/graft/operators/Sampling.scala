@@ -294,6 +294,36 @@ object Sampling {
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Largest-remainder (Hamilton) apportionment: split an INTEGER
+    * `budget` across keys in proportion to integer weights, summing to
+    * the budget EXACTLY — floors of budget·w/total, then the
+    * top-(budget − Σfloors) fractional remainders get one more. Every
+    * step is integer arithmetic (`div`/`mod` on longs), so the split
+    * is bit-reproducible on any engine — the allocation shape a crawl
+    * scheduler (fetch quota per domain) or a training-mix planner
+    * (examples per source) needs, where float shares drift and never
+    * sum to the budget. Remainder ties break by key. The rank window
+    * is UNPARTITIONED — justified exactly like the KMV jaccard window:
+    * the input is key-bounded (domains/sources), never row-bounded. */
+  def apportion(df: DataFrame, keyCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget=$budget")
+    val w = df.select(col(keyCol).as("key"),
+      col(weightCol).cast("long").as("w"))
+    val tot = w.agg(sum("w").as("__tot"))
+    val q = w.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * w) div __tot"))
+      .withColumn("rem", pmod(lit(budget) * col("w"), col("__tot")))
+    val deficit = q.agg((lit(budget) - sum("base")).as("__d"))
+    val wn = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("key").asc)
+    q.crossJoin(broadcast(deficit))
+      .withColumn("__rnk", row_number().over(wn))
+      .withColumn("alloc",
+        col("base") + when(col("__rnk") <= col("__d"), 1L).otherwise(0L))
+      .select(col("key").as(keyCol), col("w"), col("alloc"))
+  }
+
   def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
       alpha: Double, budget: Double): DataFrame = {
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__ns"))

@@ -167,6 +167,21 @@ object WebQueries {
         .select(col("v").as("domain"), round(col("pr"), 4).as("pr"))
         .orderBy(col("pr").desc, col("domain"))
     }),
+    // Crawl-budget apportionment: split 1000 fetches across target
+    // domains in proportion to how often the corpus links them —
+    // Hamilton largest-remainder in PURE INTEGER arithmetic, so the
+    // split sums to the budget exactly and replays bit for bit.
+    "web_crawl_budget" -> ((s, dir) => {
+      val byDomain = docs(s, dir)
+        .select(explode(HtmlOps.links(htmlCol)).as("url"))
+        .select(UrlOps.registeredDomain(UrlOps.host(col("url")))
+          .as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n_links"))
+      graft.operators.Sampling
+        .apportion(byDomain, "domain", "n_links", budget = 1000L)
+        .select(col("domain"), col("w").as("n_links"), col("alloc"))
+        .orderBy("domain")
+    }),
     // Redirect-chain resolution: 16-hop redirect chains fold to their
     // terminal URL in ceil(log2 16) = 4 pointer-jumping rounds (one
     // self-equi-join each, log in chain length, never a walk).
@@ -443,6 +458,30 @@ object WebQueries {
       |  FROM (SELECT *, string_split(host, '.') AS parts FROM cz))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Hamilton replay: integer div/mod quotas, top-deficit remainders
+    // (+1 each, domain tiebreak) — the alloc column sums to 1000.
+    "web_crawl_budget" ->
+      s"""WITH $htmlCtes,
+        |$linksCte,
+        |dm AS (
+        |  SELECT doc_id, $domainExpr AS domain
+        |  FROM (SELECT doc_id, string_split($hostExpr, '.') AS parts
+        |        FROM l)),
+        |cnts AS (SELECT domain, count(*) AS w FROM dm GROUP BY domain),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM cnts),
+        |q AS (
+        |  SELECT domain, w, (1000 * w) // tot AS base,
+        |    (1000 * w) % tot AS rem
+        |  FROM cnts CROSS JOIN t),
+        |d AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS def FROM q),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, domain)
+        |    AS rnk
+        |  FROM q)
+        |SELECT domain, CAST(w AS BIGINT) AS n_links,
+        |  CAST(base + CASE WHEN rnk <= def THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r CROSS JOIN d ORDER BY domain""".stripMargin,
     // Redirect replay: with edges k -> k+1 inside 16-blocks, every
     // source's terminal is arithmetic — the hash checks the pointer
     // jumping landed exactly there, with every chain fully resolved.

@@ -292,4 +292,28 @@ class SamplingSpec extends SparkSpec {
     assert(e1 !== e2, "different epochs must permute differently")
     assert(perm(1, docs.select("doc_id").repartition(17)) === e1)
   }
+
+  test("apportion: allocations sum to the budget exactly, follow the " +
+      "largest remainders, and replay bit for bit") {
+    val w = Seq(("a", 5L), ("b", 3L), ("c", 1L)).toDF("k", "w")
+    val got = graft.operators.Sampling.apportion(w, "k", "w", 10L)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // quotas 50/9, 30/9, 10/9 -> bases 5,3,1 (sum 9), remainders
+    // 5,3,1 -> the single leftover goes to 'a'
+    assert(got === Map("a" -> 6L, "b" -> 3L, "c" -> 1L))
+    assert(got.values.sum === 10L)
+    // remainder tie: equal weights, budget not divisible -> the
+    // leftover lands on the LOWEST keys, deterministically
+    val even = Seq(("x", 2L), ("y", 2L), ("z", 2L)).toDF("k", "w")
+    val g2 = graft.operators.Sampling.apportion(even, "k", "w", 7L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(g2 === Map("x" -> 3L, "y" -> 2L, "z" -> 2L))
+    assert(g2.values.sum === 7L)
+    // partitioning independence
+    val g3 = graft.operators.Sampling.apportion(
+      w.repartition(5), "k", "w", 10L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(g3 === got)
+  }
 }
