@@ -113,6 +113,26 @@ object ChangeLog {
     untouched.unionByName(closedOfChanged).unionByName(refolded)
   }
 
+  /** The SCD2 CONSUMPTION path: enrich fact rows with the dimension
+    * version that was valid AT each fact's sequence — the classic
+    * warehouse join `fact.seq ∈ [valid_from, valid_to)`. The join is
+    * pk-equi-driven with the interval bounds as a residual filter (at
+    * most ONE interval matches per (pk, seq), so no row blowup), LEFT
+    * so facts whose pk was deleted — or not yet created — at their
+    * sequence keep a NULL payload instead of vanishing. */
+  def enrichAsOf(facts: DataFrame, pkCol: String, seqCol: String,
+      intervals: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val iv = intervals.select(
+      (col(pkCol).as("__pk") +: col("__valid_from") +:
+        col("__valid_to") +: payloadCols.map(col)): _*)
+    facts.join(iv,
+      facts(pkCol) === col("__pk") &&
+        facts(seqCol) >= col("__valid_from") &&
+        (col("__valid_to").isNull || facts(seqCol) < col("__valid_to")),
+      "left")
+      .drop("__pk")
+  }
+
   /** Journal compaction (the Delta checkpoint analog): fold every
     * change with `__seq <= upToSeq` into one snapshot written as 'I'
     * rows AT `upToSeq`, keep the tail verbatim. [[stateAt]] /

@@ -238,6 +238,23 @@ object InfraQueries {
           length(col("text")).cast("long").as("text_len"))
         .orderBy("doc_id", "valid_from")
     }),
+    // SCD2 consumption: enrich facts (3 probe sequences per pk) with
+    // the dimension version valid at each — pk-equi join with the
+    // interval bounds as a residual, LEFT so deleted/not-yet-created
+    // versions surface as NULLs instead of vanishing.
+    "cdf_scd2_enrich" -> ((s, dir) => {
+      val iv = ChangeLog.scd2(cdfJournal(s, dir), "doc_id")
+      val facts = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 40 && col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(array(lit(500L), lit(1500L), lit(2500L)))
+            .as("at_seq"))
+      ChangeLog.enrichAsOf(facts, "doc_id", "at_seq", iv, Seq("text"))
+        .select(col("doc_id"), col("at_seq"),
+          length(col("text")).cast("long").as("text_len"),
+          col("__valid_from").cast("long").as("valid_from"))
+        .orderBy("doc_id", "at_seq")
+    }),
     // As-of read OFF THE INTERVALS: the SCD2 table answers "state at
     // seq" with a pure range predicate (valid_from <= s < valid_to) —
     // no fold per timestamp. Must equal the stateAt(1999) leg of
@@ -4024,6 +4041,27 @@ object InfraQueries {
         |  CAST(len(text) AS BIGINT) AS text_len
         |FROM x WHERE op <> 'D'
         |ORDER BY doc_id, valid_from""".stripMargin),
+    // Enrichment replay: the same intervals LEFT-joined under the
+    // range predicate; probe seqs from a VALUES unnest.
+    "cdf_scd2_enrich" -> (s"WITH j AS ($cdfJournalCte),\n" +
+      """x AS (
+        |  SELECT doc_id, text, op, seq,
+        |    lead(seq) OVER (PARTITION BY doc_id ORDER BY seq)
+        |      AS valid_to
+        |  FROM j),
+        |iv AS (SELECT * FROM x WHERE op <> 'D'),
+        |f AS (
+        |  SELECT d.doc_id, s.at_seq
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest([500, 1500, 2500]) AS at_seq) s
+        |  WHERE d.doc_id < 40 AND d.text IS NOT NULL)
+        |SELECT f.doc_id, CAST(f.at_seq AS BIGINT) AS at_seq,
+        |  CAST(len(iv.text) AS BIGINT) AS text_len,
+        |  CAST(iv.seq AS BIGINT) AS valid_from
+        |FROM f LEFT JOIN iv
+        |  ON f.doc_id = iv.doc_id AND f.at_seq >= iv.seq
+        |  AND (iv.valid_to IS NULL OR f.at_seq < iv.valid_to)
+        |ORDER BY f.doc_id, at_seq""".stripMargin),
     // Interval as-of replay: the same lead-window intervals read with
     // the range predicate.
     "cdf_scd2_asof" -> (s"WITH j AS ($cdfJournalCte),\n" +

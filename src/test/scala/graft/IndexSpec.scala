@@ -207,6 +207,30 @@ class IndexSpec extends SparkSpec {
     assert(twice === once, "replayed batches must be skipped")
   }
 
+  test("enrichAsOf: exactly one version per (pk, seq); deleted and " +
+      "not-yet-created probes keep NULL payloads") {
+    val j = Seq(
+      (1L, "a1", "I", 10L), (1L, "a2", "U", 20L),
+      (2L, "b1", "I", 10L), (2L, "b1", "D", 25L))
+      .toDF("pk", "text", "__op", "__seq")
+    val iv = ChangeLog.scd2(j, "pk")
+    val facts = Seq((1L, 5L), (1L, 15L), (1L, 25L),
+      (2L, 15L), (2L, 30L)).toDF("pk", "at")
+    val got = ChangeLog.enrichAsOf(facts, "pk", "at", iv, Seq("text"))
+      .select("pk", "at", "text")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(got === Set(
+      (1L, 5L, None),          // before creation
+      (1L, 15L, Some("a1")),
+      (1L, 25L, Some("a2")),   // open interval
+      (2L, 15L, Some("b1")),
+      (2L, 30L, None)))        // deleted by then
+    // row count preserved: the range residual admits at most one
+    // interval per probe
+    assert(ChangeLog.enrichAsOf(facts, "pk", "at", iv, Seq("text"))
+      .count() === facts.count())
+  }
+
   test("streaming triggered sync drains a journal directory") {
     val source = emb.filter($"vec_id" < 100)
     val idx = newIndex("stream")
