@@ -206,6 +206,31 @@ object EventQueries {
             .as("n_outliers"))
         .orderBy("event_type")
     }),
+    // Conversion-latency percentiles: each purchase as-of-joined to
+    // the most recent prior click, delays in exact integer micros,
+    // p50/p90 interpolated identically on both engines — the funnel
+    // TIMING metric next to the count metrics.
+    "ev_time_to_convert" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val clicks = graft.operators.Dedup.exactFirstWins(
+        e.filter(col("event_type") === "click")
+          .withColumn("__neg", -col("event_id")),
+        Seq("user_id", "ts"), "__neg")
+        .select(col("user_id"), col("ts"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      graft.operators.AsOfJoin.backward(purchases, clicks,
+          keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          leftCols = Seq("event_id"), rightCols = Seq("c_ts", "c_id"),
+          tieBreak = "c_id")
+        .withColumn("delay_us",
+          unix_micros(col("ts")) - unix_micros(col("c_ts")))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("c_id")).as("n_converted"),
+          round(percentile(col("delay_us"), lit(0.5)), 1).as("p50_us"),
+          round(percentile(col("delay_us"), lit(0.9)), 1).as("p90_us"))
+    }),
     // Tumbling 1-hour windows: the batch shape of a streaming windowed agg.
     "ev_hourly_agg" -> ((s, dir) => {
       ev(s, dir)
@@ -694,6 +719,24 @@ object EventQueries {
         |          ORDER BY ts, event_id)) AS gap_s
         |      FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Conversion-latency replay: DuckDB's native ASOF join + exact
+    // epoch_us delays; quantile_cont interpolates like percentile.
+    "ev_time_to_convert" ->
+      """WITH purch AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS c_id
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, ts)
+        |SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(count(c.c_id) AS BIGINT) AS n_converted,
+        |  round(quantile_cont(epoch_us(p.ts) - epoch_us(c.ts), 0.5), 1)
+        |    AS p50_us,
+        |  round(quantile_cont(epoch_us(p.ts) - epoch_us(c.ts), 0.9), 1)
+        |    AS p90_us
+        |FROM purch p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
     // MAD replay: both exact medians (DuckDB median interpolates the
     // even-count middle pair exactly like Spark percentile(0.5)), the
     // same 3-MAD cut.
