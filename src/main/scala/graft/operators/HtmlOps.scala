@@ -105,6 +105,16 @@ object HtmlOps {
           "\\s+", " "))),
       b => b =!= "")
 
+  /** First `<meta name="…" content="…">` content for a given name
+    * ('' when absent) — robots directives and descriptions, the crawl
+    * governance metadata (a `noindex` page must be dropped BEFORE any
+    * content lands in a training corpus). `name` is a literal. */
+  def metaContent(c: Column, name: String): Column =
+    regexp_extract(c,
+      "(?is)<meta\\s[^>]*name=[\"']" +
+        java.util.regex.Pattern.quote(name) +
+        "[\"'][^>]*content=[\"']([^\"']*)[\"']", 1)
+
   /** Every `<a>` element as a `(href, text)` struct — anchor text is
     * the classic off-page relevance signal (what OTHER pages call a
     * target). `text` runs the full extraction pipeline on the

@@ -67,9 +67,14 @@ object WebQueries {
   private def htmlCol: Column = {
     val id = col("doc_id")
     val ids = id.cast("string")
+    val robots = when(pmod(id, lit(9L)) === 0,
+      lit("<meta name=\"robots\" content=\"noindex\">"))
+      .otherwise(lit(""))
     concat(
       lit("<html><!-- crawl "), ids, lit(" --><head><title>Doc "), ids,
-      lit("</title><style type=\"text/css\">body { color: #333; }" +
+      lit("</title><meta name=\"description\" content=\"Doc "), ids,
+      lit(" summary\">"), robots,
+      lit("<style type=\"text/css\">body { color: #333; }" +
         "</style><script>if (x < 3 && y > 0) { track('"), ids,
       lit("'); }</script></head><body><h1>Doc "), ids, lit("</h1><p>"),
       HtmlOps.htmlEscape(col("text")),
@@ -166,6 +171,25 @@ object WebQueries {
           damping = 0.85, redistributeDangling = true)
         .select(col("v").as("domain"), round(col("pr"), 4).as("pr"))
         .orderBy(col("pr").desc, col("domain"))
+    }),
+    // Robots/meta governance: noindex pages must drop BEFORE any
+    // content reaches a training corpus — the compliance gate, plus
+    // the description pull. One scan-fused projection + lang rollup.
+    "web_meta_robots" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          HtmlOps.metaContent(htmlCol, "robots").as("robots"),
+          HtmlOps.metaContent(htmlCol, "description").as("descr"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("robots") === "noindex", 1L).otherwise(0L))
+            .as("n_noindex"),
+          sum(when(col("robots") === "", 1L).otherwise(0L))
+            .as("n_indexable"),
+          sum(when(col("descr") === concat(lit("Doc "),
+            col("doc_id").cast("string"), lit(" summary")), 1L)
+            .otherwise(0L)).as("n_descr_ok"))
+        .orderBy("lang")
     }),
     // Crawl-budget apportionment: split 1000 fetches across target
     // domains in proportion to how often the corpus links them —
@@ -281,7 +305,12 @@ object WebQueries {
       |  SELECT d.doc_id, d.lang, d.text,
       |    '<html><!-- crawl ' || CAST(d.doc_id AS VARCHAR) ||
       |    ' --><head><title>Doc ' || CAST(d.doc_id AS VARCHAR) ||
-      |    '</title><style type="text/css">body { color: #333; }</style>' ||
+      |    '</title><meta name="description" content="Doc ' ||
+      |    CAST(d.doc_id AS VARCHAR) || ' summary">' ||
+      |    (CASE WHEN d.doc_id % 9 = 0
+      |       THEN '<meta name="robots" content="noindex">'
+      |       ELSE '' END) ||
+      |    '<style type="text/css">body { color: #333; }</style>' ||
       |    '<script>if (x < 3 && y > 0) { track(''' ||
       |    CAST(d.doc_id AS VARCHAR) ||
       |    '''); }</script></head><body><h1>Doc ' ||
@@ -458,6 +487,27 @@ object WebQueries {
       |  FROM (SELECT *, string_split(host, '.') AS parts FROM cz))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Meta replay: the same per-name extraction regexes over the
+    // shared page fixture.
+    "web_meta_robots" ->
+      (s"WITH $htmlCtes,\n" +
+      """x AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract(html,
+        |      '(?is)<meta\s[^>]*name=["'']robots["''][^>]*' ||
+        |      'content=["'']([^"'']*)["'']', 1) AS robots,
+        |    regexp_extract(html,
+        |      '(?is)<meta\s[^>]*name=["'']description["''][^>]*' ||
+        |      'content=["'']([^"'']*)["'']', 1) AS descr
+        |  FROM h)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(CASE WHEN robots = 'noindex' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_noindex,
+        |  CAST(sum(CASE WHEN robots = '' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_indexable,
+        |  CAST(sum(CASE WHEN descr = 'Doc ' || CAST(doc_id AS VARCHAR)
+        |      || ' summary' THEN 1 ELSE 0 END) AS BIGINT) AS n_descr_ok
+        |FROM x GROUP BY lang ORDER BY lang""".stripMargin),
     // Hamilton replay: integer div/mod quotas, top-deficit remainders
     // (+1 each, domain tiebreak) — the alloc column sums to 1000.
     "web_crawl_budget" ->

@@ -84,4 +84,17 @@ class HtmlOpsSpec extends SparkSpec {
     assert(extract("<p>before <span class=\"x\">mid</span> after</p>")
       === "before mid after")
   }
+
+  test("metaContent pulls the named meta tag's content; '' when " +
+    "absent; attribute order within the tag is forgiving on the left") {
+    val html = """<head><meta name="description" content="a page">""" +
+      """<meta charset="utf-8"><meta name='robots' content='noindex'>""" +
+      "</head>"
+    val rows = Seq(html).toDF("h").select(
+      graft.operators.HtmlOps.metaContent(col("h"), "robots").as("r"),
+      graft.operators.HtmlOps.metaContent(col("h"), "description").as("d"),
+      graft.operators.HtmlOps.metaContent(col("h"), "keywords").as("k"))
+      .as[(String, String, String)].head()
+    assert(rows === (("noindex", "a page", "")))
+  }
 }
