@@ -115,6 +115,19 @@ object HtmlOps {
         java.util.regex.Pattern.quote(name) +
         "[\"'][^>]*content=[\"']([^\"']*)[\"']", 1)
 
+  /** Every `<a>` element as a `(href, follow)` struct — `follow` is
+    * false for `rel="nofollow"` links, which a link graph must NOT
+    * count as endorsements (the original PageRank-era contract;
+    * sponsored/UGC links carry it). Elements without an href yield
+    * href = ''. */
+  def linkRels(c: Column): Column =
+    transform(
+      regexp_extract_all(c, lit("(?is)<a\\b[^>]*>"), lit(0)),
+      a => struct(
+        regexp_extract(a, "(?i)href\\s*=\\s*[\"']([^\"']+)[\"']", 1)
+          .as("href"),
+        (!a.rlike("(?i)rel\\s*=\\s*[\"']nofollow[\"']")).as("follow")))
+
   /** Every `<a>` element as a `(href, text)` struct — anchor text is
     * the classic off-page relevance signal (what OTHER pages call a
     * target). `text` runs the full extraction pipeline on the

@@ -56,11 +56,14 @@ object WebQueries {
       tld, port, lit("/p/"), pmod(id, lit(13L)).cast("string"), q, frag)
   }
 
-  /** `<a href="…">ref j</a>` for j = 0 .. id mod 3 (1–3 links). */
+  /** `<a href="…"[ rel="nofollow"]>ref j</a>` for j = 0 .. id mod 3
+    * (1–3 links; every fourth (id + 7j) residue carries nofollow). */
   private def anchorsCol(id: Column): Column =
     concat_ws("", transform(sequence(lit(0L), pmod(id, lit(3L))), j =>
-      concat(lit("<a href=\""), linkUrl(id, j), lit("\">ref "),
-        j.cast("string"), lit("</a>"))))
+      concat(lit("<a href=\""), linkUrl(id, j), lit("\""),
+        when(pmod(id + j * 7, lit(4L)) === 0, lit(" rel=\"nofollow\""))
+          .otherwise(lit("")),
+        lit(">ref "), j.cast("string"), lit("</a>"))))
 
   /** The synthesized page. Script/style/comment payloads contain the
     * characters a naive tag-strip leaks (`<`, `&&`, `{`, quotes). */
@@ -171,6 +174,22 @@ object WebQueries {
           damping = 0.85, redistributeDangling = true)
         .select(col("v").as("domain"), round(col("pr"), 4).as("pr"))
         .orderBy(col("pr").desc, col("domain"))
+    }),
+    // Link-rel governance: nofollow links must not count as
+    // endorsements in the link graph — per-domain endorsement rollup
+    // (total vs followed links).
+    "web_nofollow_stats" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(HtmlOps.linkRels(htmlCol)).as("a"))
+        .select(col("doc_id"), col("a.href").as("url"),
+          col("a.follow").as("follow"))
+        .withColumn("domain",
+          UrlOps.registeredDomain(UrlOps.host(col("url"))))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_links"),
+          sum(when(col("follow"), 1L).otherwise(0L)).as("n_follow"))
+        .orderBy("domain")
     }),
     // Robots/meta governance: noindex pages must drop BEFORE any
     // content reaches a training corpus — the compliance gate, plus
@@ -297,7 +316,9 @@ object WebQueries {
       |  WHERE j <= doc_id % 3 AND text IS NOT NULL),
       |an AS (
       |  SELECT doc_id,
-      |    string_agg('<a href="' || url || '">ref ' ||
+      |    string_agg('<a href="' || url || '"' ||
+      |      (CASE WHEN (doc_id + j * 7) % 4 = 0
+      |         THEN ' rel="nofollow"' ELSE '' END) || '>ref ' ||
       |      CAST(j AS VARCHAR) || '</a>', '' ORDER BY j) AS anchors,
       |    string_agg('ref ' || CAST(j AS VARCHAR), ' ' ORDER BY j) AS refs
       |  FROM lk GROUP BY doc_id),
@@ -487,6 +508,38 @@ object WebQueries {
       |  FROM (SELECT *, string_split(host, '.') AS parts FROM cz))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Nofollow replay: per-<a>-element href + rel flag, domain fold,
+    // endorsement counts.
+    "web_nofollow_stats" ->
+      (s"WITH $htmlCtes,\n" +
+      """ae AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(html, '(?is)<a\b[^>]*>', 0))
+        |      AS el
+        |  FROM h),
+        |lx AS (
+        |  SELECT doc_id,
+        |    regexp_extract(el,
+        |      '(?i)href\s*=\s*["'']([^"'']+)["'']', 1) AS url,
+        |    NOT regexp_matches(el,
+        |      '(?i)rel\s*=\s*["'']nofollow["'']') AS follow
+        |  FROM ae),
+        |dm AS (
+        |  SELECT doc_id, follow,
+        |    CASE WHEN len(parts) <= 2 THEN array_to_string(parts, '.')
+        |         WHEN parts[-2] || '.' || parts[-1]
+        |              IN ('co.uk', 'com.au', 'co.jp')
+        |           THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+        |         ELSE parts[-2] || '.' || parts[-1] END AS domain
+        |  FROM (SELECT doc_id, follow,
+        |          string_split(lower(string_split(string_split_regex(
+        |            string_split(url, '://')[2], '[/?#]')[1], ':')[1]),
+        |            '.') AS parts
+        |        FROM lx))
+        |SELECT domain, count(*) AS n_links,
+        |  CAST(sum(CASE WHEN follow THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_follow
+        |FROM dm GROUP BY domain ORDER BY domain""".stripMargin),
     // Meta replay: the same per-name extraction regexes over the
     // shared page fixture.
     "web_meta_robots" ->
