@@ -403,6 +403,25 @@ class PlanAuditSpec extends SparkSpec {
       "a 16-row pool must never sort-merge")
   }
 
+  test("scd2Apply: the incremental fold plans semi/anti pk joins — " +
+    "closed history is moved, never re-windowed") {
+    import org.apache.spark.sql.functions._
+    spark.sharedState.cacheManager.clearCache()
+    val j = spark.range(100).select(col("id").as("pk"),
+      concat(lit("t"), col("id")).as("text"),
+      lit("I").as("__op"), col("id").as("__seq"))
+    val cur = graft.index.ChangeLog.scd2(j, "pk")
+    val batch = spark.range(5).select(col("id").as("pk"),
+      lit("v2").as("text"), lit("U").as("__op"),
+      (col("id") + 1000L).as("__seq"))
+    val p = graft.index.ChangeLog.scd2Apply(cur, batch, "pk")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"),
+      s"changed pks' open rows come via a semi join:\n${p.take(800)}")
+    assert(p.contains("LeftAnti"),
+      "untouched pks pass through via an anti join")
+  }
+
   test("ev_cohort_multi exercises the cohort dimension for real: " +
     "several distinct cohorts, several week offsets each") {
     spark.sharedState.cacheManager.clearCache()
