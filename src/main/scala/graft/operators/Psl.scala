@@ -129,7 +129,11 @@ object Psl {
       expr("substring(rule, 2)")).otherwise(col("rule"))
     psl.select(bare.as("form"),
         (substring(col("rule"), 1, 1) === "!").cast("int").as("is_exc"))
-      .dropDuplicates("form") // a duplicated form must not fan out the 1:≤1 joins
+      // A duplicated form must not fan out the 1:<=1 joins, and the
+      // survivor must be deterministic: when both `x.y` and `!x.y`
+      // appear, the exception prevails (publicsuffix.org precedence),
+      // so fold with max(is_exc) rather than an arbitrary-row drop.
+      .groupBy("form").agg(max("is_exc").as("is_exc"))
       .withColumn("n", size(split(col("form"), "\\.")))
       .withColumn("ps_labels",
         when(col("is_exc") === 1, col("n") - 1).otherwise(col("n")))

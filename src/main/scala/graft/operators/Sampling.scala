@@ -310,10 +310,21 @@ object Sampling {
     require(budget >= 0, s"budget=$budget")
     val w = df.select(col(keyCol).as("key"),
       col(weightCol).cast("long").as("w"))
-    val tot = w.agg(sum("w").as("__tot"))
-    val q = w.crossJoin(broadcast(tot))
-      .withColumn("base", expr(s"($budget * w) div __tot"))
-      .withColumn("rem", pmod(lit(budget) * col("w"), col("__tot")))
+    // Eager total: the input is key-bounded (domains/sources), and the
+    // guard must be LOUD — an all-zero/empty/NULL total would otherwise
+    // flow NULL through div/pmod and come back as a silent NULL alloc.
+    val totRow = w.agg(sum("w"), min("w")).head()
+    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
+      "apportion: summed weight must be positive")
+    require(totRow.getLong(1) >= 0,
+      "apportion: weights must be non-negative")
+    val totV = totRow.getLong(0)
+    require(budget == 0 || totV <= Long.MaxValue / budget,
+      s"apportion: budget*totalWeight overflows Long " +
+        s"(budget=$budget, total=$totV)")
+    val q = w
+      .withColumn("base", expr(s"($budget * w) div ${totV}L"))
+      .withColumn("rem", pmod(lit(budget) * col("w"), lit(totV)))
     val deficit = q.agg((lit(budget) - sum("base")).as("__d"))
     val wn = org.apache.spark.sql.expressions.Window
       .orderBy(col("rem").desc, col("key").asc)

@@ -99,7 +99,10 @@ object Triplets {
       size: Int, stride: Int, poolSize: Int): DataFrame = {
     val chunks = chunked(docs, idCol, textCol, size, stride)
     val ap = anchorPositive(chunks)
-    val emb = embeddings.select(col(vecIdCol).cast("long").as("__eid"),
+    // No cast on the id: a lossy cast (string doc ids -> long) would
+    // NULL every key and the inner joins would silently drop all
+    // anchors. Equi-join type coercion handles compatible id types.
+    val emb = embeddings.select(col(vecIdCol).as("__eid"),
       col(embCol).as("__emb"))
     val pool = headPool(chunks, poolSize)
       .join(emb, col("neg_id") === col("__eid"))

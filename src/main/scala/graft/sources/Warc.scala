@@ -1,0 +1,259 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, EOFException, InputStream, OutputStream}
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+import org.apache.spark.sql.types._
+
+/** WARC (ISO 28500) record IO over gzip-member files — the on-disk
+  * format of every public crawl corpus (Common Crawl ships
+  * `.warc.gz` where EACH record is its own gzip member, so a reader
+  * can start at any member boundary without decompressing the file
+  * prefix). This is the crawl-native front door the web tier
+  * (graft.operators.HtmlOps) was missing: the reference ingests a
+  * pre-extracted feed (reference src/databricks/syntetic_data_arxiv
+  * .py:75-129), but a 100 TB crawl corpus starts as WARC.
+  *
+  * Reading is hand-rolled on RFC 1952 primitives because
+  * `GZIPInputStream` silently concatenates members — destroying the
+  * member boundaries that make the format splittable. [[readMember]]
+  * inflates exactly ONE member and reports its compressed length, so
+  * a reader positioned at a boundary can walk member-to-member;
+  * [[sync]] finds the first member boundary at-or-after an arbitrary
+  * byte offset (gzip magic scan + inflate-and-check-"WARC/"
+  * validation, the standard archive-reader recovery discipline),
+  * which is what lets [[WarcDataSource]] split one big file into
+  * byte-range InputPartitions with no index.
+  */
+object Warc {
+
+  val schema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = true),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("record_id", StringType, nullable = true),
+    StructField("status", IntegerType, nullable = true),
+    StructField("http_content_type", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("member_offset", LongType, nullable = false),
+    StructField("member_length", LongType, nullable = false)))
+
+  /** One parsed record plus its compressed-member provenance. */
+  final case class Record(url: String, warcType: String, warcDate: String,
+      recordId: String, status: Option[Int], httpContentType: Option[String],
+      payload: Array[Byte], memberOffset: Long, memberLength: Long)
+
+  // ------------------------------------------------------------------
+  // write side (fixture + any local producer)
+  // ------------------------------------------------------------------
+
+  /** Compress `bytes` as ONE standalone gzip member (fixed header: no
+    * name/mtime, so the artifact is byte-deterministic). */
+  def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(bytes.length / 2 + 64)
+    // RFC 1952 header: magic, CM=deflate, FLG=0, MTIME=0, XFL=0, OS=255
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte))
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(bytes); d.finish()
+    val buf = new Array[Byte](65536)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    d.end()
+    val crc = new CRC32(); crc.update(bytes)
+    writeLe32(out, crc.getValue)
+    writeLe32(out, bytes.length.toLong & 0xffffffffL)
+    out.toByteArray
+  }
+
+  private def writeLe32(out: OutputStream, v: Long): Unit = {
+    out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+    out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+  }
+
+  /** Serialize one WARC record (headers + block + record separator). */
+  def record(warcType: String, url: String, date: String, recordId: String,
+      blockContentType: String, block: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append(s"WARC-Type: $warcType\r\n")
+    if (url != null) sb.append(s"WARC-Target-URI: $url\r\n")
+    sb.append(s"WARC-Date: $date\r\n")
+    sb.append(s"WARC-Record-ID: <$recordId>\r\n")
+    sb.append(s"Content-Type: $blockContentType\r\n")
+    sb.append(s"Content-Length: ${block.length}\r\n\r\n")
+    val head = sb.toString.getBytes("UTF-8")
+    val out = new ByteArrayOutputStream(head.length + block.length + 4)
+    out.write(head); out.write(block); out.write("\r\n\r\n".getBytes("UTF-8"))
+    out.toByteArray
+  }
+
+  /** Serialize an HTTP response block (status line, minimal headers,
+    * payload) — the block payload of a `WARC-Type: response` record. */
+  def httpResponse(status: Int, reason: String, contentType: String,
+      payload: Array[Byte]): Array[Byte] = {
+    val head = (s"HTTP/1.1 $status $reason\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8")
+    val out = new ByteArrayOutputStream(head.length + payload.length)
+    out.write(head); out.write(payload)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // read side
+  // ------------------------------------------------------------------
+
+  private def u8(in: InputStream): Int = {
+    val b = in.read()
+    if (b < 0) throw new EOFException("truncated gzip member")
+    b
+  }
+
+  private def skipFully(in: InputStream, n: Long): Unit = {
+    var left = n
+    while (left > 0) { u8(in); left -= 1 }
+  }
+
+  /** Consume a gzip member header (RFC 1952, all optional fields);
+    * returns its byte length. Throws on anything that is not a
+    * member start. */
+  private def readGzipHeader(in: InputStream): Long = {
+    var n = 0L
+    def b(): Int = { n += 1; u8(in) }
+    if (b() != 0x1f || b() != 0x8b) throw new EOFException("bad gzip magic")
+    if (b() != 8) throw new EOFException("unsupported gzip CM")
+    val flg = b()
+    var i = 0
+    while (i < 6) { b(); i += 1 } // MTIME, XFL, OS
+    if ((flg & 4) != 0) { // FEXTRA
+      val xlen = b() | (b() << 8)
+      var j = 0
+      while (j < xlen) { b(); j += 1 }
+    }
+    if ((flg & 8) != 0) while (b() != 0) () // FNAME
+    if ((flg & 16) != 0) while (b() != 0) () // FCOMMENT
+    if ((flg & 2) != 0) { b(); b() } // FHCRC
+    n
+  }
+
+  /** Inflate exactly ONE gzip member from `in` (positioned at the
+    * member's first byte). Returns (inflated bytes, compressed member
+    * length including header and 8-byte trailer). `in` may be read
+    * PAST the member end (buffering) — callers re-seek by offset. */
+  def readMember(in: InputStream): (Array[Byte], Long) = {
+    val hdrLen = readGzipHeader(in)
+    val inf = new Inflater(true)
+    try {
+      val out = new ByteArrayOutputStream(65536)
+      val buf = new Array[Byte](65536)
+      val outBuf = new Array[Byte](65536)
+      var fed = 0L
+      while (!inf.finished()) {
+        if (inf.needsInput()) {
+          val n = in.read(buf)
+          if (n < 0) throw new EOFException("truncated gzip deflate stream")
+          inf.setInput(buf, 0, n)
+          fed += n
+        }
+        val m = inf.inflate(outBuf)
+        if (m > 0) out.write(outBuf, 0, m)
+        else if (m == 0 && inf.needsDictionary())
+          throw new EOFException("gzip member needs preset dictionary")
+      }
+      val deflateLen = inf.getBytesRead
+      // 8-byte trailer (CRC32+ISIZE); part may already sit in `buf`
+      val overRead = fed - deflateLen
+      if (overRead < 8) skipFully(in, 8 - overRead)
+      (out.toByteArray, hdrLen + deflateLen + 8)
+    } finally inf.end()
+  }
+
+  /** True iff a gzip member starting at the stream head inflates to
+    * bytes beginning with "WARC/" — the validation that rejects magic
+    * bytes occurring INSIDE compressed data during [[sync]]. */
+  def looksLikeMember(in: InputStream): Boolean =
+    try {
+      readGzipHeader(in)
+      val inf = new Inflater(true)
+      try {
+        val buf = new Array[Byte](4096)
+        val outBuf = new Array[Byte](16)
+        var got = 0
+        while (got < 5 && !inf.finished()) {
+          if (inf.needsInput()) {
+            val n = in.read(buf)
+            if (n < 0) return false
+            inf.setInput(buf, 0, n)
+          }
+          val m = inf.inflate(outBuf, got, outBuf.length - got)
+          if (m == 0 && inf.needsDictionary()) return false
+          got += m
+        }
+        got >= 5 && new String(outBuf, 0, 5, "US-ASCII") == "WARC/"
+      } finally inf.end()
+    } catch { case _: Exception => false }
+
+  /** Parse one inflated WARC record. Non-HTTP blocks (warcinfo,
+    * metadata, request, ...) yield NULL status/content-type and the
+    * raw block as payload. */
+  def parseRecord(bytes: Array[Byte], memberOffset: Long,
+      memberLength: Long): Record = {
+    val sep = indexOfCrlfCrlf(bytes, 0)
+    require(sep >= 0, "WARC record without header terminator")
+    val head = new String(bytes, 0, sep, "UTF-8")
+    val lines = head.split("\r\n")
+    require(lines.nonEmpty && lines(0).startsWith("WARC/"),
+      s"not a WARC record: ${lines.headOption.getOrElse("")}")
+    val hdrs = lines.iterator.drop(1).flatMap { l =>
+      val i = l.indexOf(':')
+      if (i < 0) None
+      else Some(l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim)
+    }.toMap
+    val clen = hdrs.get("content-length").map(_.toInt)
+      .getOrElse(bytes.length - sep - 4)
+    val blockStart = sep + 4
+    val blockEnd = math.min(blockStart + clen, bytes.length)
+    val block = java.util.Arrays.copyOfRange(bytes, blockStart, blockEnd)
+    val url = hdrs.get("warc-target-uri").orNull
+    val wtype = hdrs.get("warc-type").orNull
+    val date = hdrs.get("warc-date").orNull
+    val rid = hdrs.get("warc-record-id")
+      .map(_.stripPrefix("<").stripSuffix(">")).orNull
+    if (block.length >= 5 &&
+      new String(block, 0, 5, "US-ASCII") == "HTTP/") {
+      val hsep = indexOfCrlfCrlf(block, 0)
+      if (hsep >= 0) {
+        val httpHead = new String(block, 0, hsep, "UTF-8")
+        val httpLines = httpHead.split("\r\n")
+        val status = httpLines(0).split(" ", 3) match {
+          case parts if parts.length >= 2 => parts(1).toIntOption
+          case _ => None
+        }
+        val ct = httpLines.iterator.drop(1)
+          .map { l => val i = l.indexOf(':')
+            if (i < 0) ("", "") else (l.substring(0, i).trim.toLowerCase,
+              l.substring(i + 1).trim) }
+          .collectFirst { case ("content-type", v) => v }
+        val payload =
+          java.util.Arrays.copyOfRange(block, hsep + 4, block.length)
+        return Record(url, wtype, date, rid, status, ct, payload,
+          memberOffset, memberLength)
+      }
+    }
+    Record(url, wtype, date, rid, None, None, block,
+      memberOffset, memberLength)
+  }
+
+  private def indexOfCrlfCrlf(bytes: Array[Byte], from: Int): Int = {
+    var i = from
+    val end = bytes.length - 3
+    while (i < end) {
+      if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+        bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+}

@@ -1,0 +1,195 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, EOFException, FilterInputStream, InputStream}
+import java.util
+
+import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 for gzip-member WARC files (`graft_warc`) — the
+  * crawl-archive front door ahead of graft.operators.HtmlOps.
+  *
+  * Splittability without an index: each file is sliced into byte-range
+  * [[WarcRangePartition]]s of `splitSize`; a reader owning range
+  * [a, b) SYNCS to the first gzip-member boundary at-or-after `a`
+  * (magic scan + inflate-and-check validation, [[Warc.looksLikeMember]])
+  * and emits every member whose START offset lies in the range —
+  * members straddling `b` belong to this range and overflow-read past
+  * it, members straddling `a` belong to the previous one. Exactly-once
+  * per record with no coordination, the Hadoop text-split discipline
+  * applied to the gzip-member contract Common Crawl guarantees.
+  *
+  * At 100 TB: one 1 GiB .warc.gz becomes ~32 partitions at the default
+  * 32 MiB split, executors each read ONLY their slice (plus the tail
+  * overflow of one member), and column pruning drops payload bytes
+  * when a query only wants URL/status governance columns.
+  *
+  * Usage: `spark.read.format("graft_warc").load(path)` where `path`
+  * is one `.warc.gz` file or a directory of them. Options:
+  * `splitSize` (bytes, default 32 MiB).
+  */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft_warc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Warc.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft_warc requires a path"))
+    val splitSize = Option(properties.get("splitsize"))
+      .orElse(Option(properties.get("splitSize")))
+      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+    require(splitSize >= 64, s"splitSize too small: $splitSize")
+    new WarcTable(path, splitSize)
+  }
+}
+
+class WarcTable(path: String, splitSize: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_warc($path)"
+  override def schema(): StructType = Warc.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(path, splitSize)
+}
+
+class WarcScanBuilder(path: String, splitSize: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = Warc.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new WarcScan(path, splitSize, required)
+}
+
+class WarcScan(path: String, splitSize: Long, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile &&
+          (s.getPath.getName.endsWith(".warc.gz") ||
+            s.getPath.getName.endsWith(".gz")))
+          .sortBy(_.getPath.getName)
+      else Array(fs.getFileStatus(p))
+    files.flatMap { st =>
+      val len = st.getLen
+      (0L until len by splitSize).map { a =>
+        WarcRangePartition(st.getPath.toString, a,
+          math.min(a + splitSize, len))
+      }
+    }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // capture the session's Hadoop conf NOW (driver side) — readers
+    // run on executors where no active session exists
+    new WarcReaderFactory(required.fieldNames,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active
+          .sparkContext.hadoopConfiguration))
+}
+
+case class WarcRangePartition(file: String, start: Long, end: Long)
+    extends InputPartition
+
+class WarcReaderFactory(cols: Array[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new WarcPartitionReader(p.asInstanceOf[WarcRangePartition], cols, conf)
+}
+
+/** Reads the members starting inside one byte range. Two stream
+  * handles: `dataIn` seeks per member (buffered reads may overrun the
+  * member — harmless, the next member re-seeks by offset), `scanIn`
+  * does the one-off sequential boundary sync. */
+class WarcPartitionReader(part: WarcRangePartition, cols: Array[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+
+  private val fs: FileSystem =
+    new Path(part.file).getFileSystem(conf.value)
+  private val dataIn: FSDataInputStream = fs.open(new Path(part.file))
+  private var pos: Long = if (part.start == 0L) 0L else sync(part.start)
+  private var current: Warc.Record = _
+
+  /** A view of `in` that ignores close() — BufferedInputStream
+    * wrappers come and go per member, the FS handle stays open. */
+  private def noClose(in: InputStream): InputStream =
+    new FilterInputStream(in) { override def close(): Unit = () }
+
+  /** First member boundary at-or-after `from` (or -1): scan for the
+    * gzip magic, validate each candidate by inflating its head and
+    * checking the "WARC/" prefix — magic bytes inside compressed data
+    * fail validation and the scan continues. */
+  private def sync(from: Long): Long = {
+    val scanIn = fs.open(new Path(part.file))
+    try {
+      scanIn.seek(from)
+      val bin = new BufferedInputStream(noClose(scanIn), 65536)
+      var off = from
+      var b0 = bin.read(); var b1 = bin.read(); var b2 = bin.read()
+      while (b2 >= 0 && off < part.end) {
+        if (b0 == 0x1f && b1 == 0x8b && b2 == 0x08 && validate(off))
+          return off
+        off += 1
+        b0 = b1; b1 = b2; b2 = bin.read()
+      }
+      -1L
+    } finally scanIn.close()
+  }
+
+  private def validate(off: Long): Boolean = {
+    dataIn.seek(off)
+    Warc.looksLikeMember(new BufferedInputStream(noClose(dataIn), 8192))
+  }
+
+  override def next(): Boolean = {
+    if (pos < 0 || pos >= part.end) return false
+    dataIn.seek(pos)
+    val bin = new BufferedInputStream(noClose(dataIn), 65536)
+    try {
+      val (bytes, len) = Warc.readMember(bin)
+      current = Warc.parseRecord(bytes, pos, len)
+      pos += len
+      true
+    } catch {
+      case _: EOFException => pos = -1L; false // truncated tail
+    }
+  }
+
+  override def get(): InternalRow =
+    InternalRow.fromSeq(cols.toSeq.map(fieldValue))
+
+  private def fieldValue(c: String): Any = c match {
+    case "url" => UTF8String.fromString(current.url)
+    case "warc_type" => UTF8String.fromString(current.warcType)
+    case "warc_date" => UTF8String.fromString(current.warcDate)
+    case "record_id" => UTF8String.fromString(current.recordId)
+    case "status" =>
+      current.status.map(i => i: java.lang.Integer).orNull
+    case "http_content_type" =>
+      current.httpContentType.map(UTF8String.fromString).orNull
+    case "payload" => current.payload
+    case "member_offset" => current.memberOffset
+    case "member_length" => current.memberLength
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  }
+
+  override def close(): Unit = dataIn.close()
+}

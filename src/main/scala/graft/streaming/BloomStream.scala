@@ -40,14 +40,16 @@ object BloomStream {
           Bloom.build(batch, keyCol, mBits, k), k)
         val fs = new org.apache.hadoop.fs.Path(statePath)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
+        // recover() first: a crash inside a prior commit must never
+        // read as exists=false (that would rebuild from this batch
+        // alone and silently drop all history bits).
         val merged =
-          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+          if (AtomicSwap.recover(fs, statePath))
             Bloom.load(s, statePath).merge(add) // throws on k mismatch
           else add
-        val next = new org.apache.hadoop.fs.Path(statePath + "__next")
-        Bloom.save(s, merged, next.toString)
-        fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
-        fs.rename(next, new org.apache.hadoop.fs.Path(statePath))
+        val stage = AtomicSwap.stagePath(statePath)
+        Bloom.save(s, merged, stage)
+        AtomicSwap.commit(fs, statePath, stage)
         ()
       }
       .start()

@@ -46,7 +46,10 @@ object Scd2Stream {
           val fs = new org.apache.hadoop.fs.Path(statePath)
             .getFileSystem(s.sparkContext.hadoopConfiguration)
           val dataPath = s"$statePath/data"
-          val exists = fs.exists(new org.apache.hadoop.fs.Path(dataPath))
+          // recover() first: a crash inside a prior commit must never
+          // read as exists=false (that would refold from this batch
+          // alone and silently drop the entire prior interval table).
+          val exists = AtomicSwap.recover(fs, dataPath)
           val batchMax = batch.agg(max("__seq")).head().getLong(0)
           val lastSeq =
             if (!exists) Long.MinValue
@@ -62,16 +65,13 @@ object Scd2Stream {
             val next = if (!exists) ChangeLog.scd2(fresh, pkCol)
             else ChangeLog.scd2Apply(s.read.parquet(dataPath), fresh,
               pkCol)
-            val stage = new org.apache.hadoop.fs.Path(s"$statePath/__next")
-            next.write.mode("overwrite").parquet(stage.toString)
+            val stage = AtomicSwap.stagePath(dataPath)
+            next.write.mode("overwrite").parquet(stage)
             val out = fs.create(
-              new org.apache.hadoop.fs.Path(metaPath(stage.toString)),
-              true)
+              new org.apache.hadoop.fs.Path(metaPath(stage)), true)
             try out.write(batchMax.toString.getBytes("UTF-8"))
             finally out.close()
-            val dp = new org.apache.hadoop.fs.Path(dataPath)
-            fs.delete(dp, true)
-            fs.rename(stage, dp)
+            AtomicSwap.commit(fs, dataPath, stage)
           }
         }
         ()
@@ -79,7 +79,14 @@ object Scd2Stream {
       .start()
   }
 
-  /** The maintained interval table. */
+  /** The maintained interval table (healing any interrupted swap
+    * before opening it). */
   def read(s: org.apache.spark.sql.SparkSession,
-      statePath: String): DataFrame = s.read.parquet(s"$statePath/data")
+      statePath: String): DataFrame = {
+    val dataPath = s"$statePath/data"
+    val fs = new org.apache.hadoop.fs.Path(dataPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    AtomicSwap.recover(fs, dataPath)
+    s.read.parquet(dataPath)
+  }
 }

@@ -18,8 +18,8 @@ import org.apache.spark.sql.DataFrame
 object SketchStream {
 
   /** Drain `stream` (AvailableNow) into the sketch table at
-    * `statePath`. The per-batch fold stages into `__next` and swaps —
-    * the crash-safe overwrite discipline of the persisted layouts. */
+    * `statePath`. The per-batch fold stages and swaps via
+    * [[AtomicSwap]] — crash-recoverable at every point. */
   def kmvSync(stream: DataFrame, keyCol: String, groupCol: String,
       k: Int, statePath: String, checkpoint: String): StreamingQuery = {
     stream.writeStream
@@ -31,8 +31,11 @@ object SketchStream {
           .select("grp", "key", "frac")
         val fs = new org.apache.hadoop.fs.Path(statePath)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
+        // recover() first: a crash inside a prior commit must never
+        // read as exists=false (it would restart the sketch from this
+        // batch alone and silently forget every prior group's bottom-k).
         val cur =
-          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+          if (AtomicSwap.recover(fs, statePath))
             s.read.parquet(statePath)
           else delta.limit(0)
         val w = Window.partitionBy("grp")
@@ -41,10 +44,9 @@ object SketchStream {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= k).drop("rn")
           .localCheckpoint() // sever from the state files we replace
-        val next = new org.apache.hadoop.fs.Path(statePath + "__next")
-        merged.write.mode("overwrite").parquet(next.toString)
-        fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
-        fs.rename(next, new org.apache.hadoop.fs.Path(statePath))
+        val stage = AtomicSwap.stagePath(statePath)
+        merged.write.mode("overwrite").parquet(stage)
+        AtomicSwap.commit(fs, statePath, stage)
         ()
       }
       .start()

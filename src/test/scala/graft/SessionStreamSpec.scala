@@ -89,4 +89,67 @@ class SessionStreamSpec extends SparkSpec {
         1000L * 1000000L, 1024L * 1000000L, 4L)))
     } finally q.stop()
   }
+
+  test("gated mode (nonzero delay): an in-gap straggler in a LATER " +
+    "micro-batch bridges two fragments — output equals the batch " +
+    "recurrence, never a premature close") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val out = SessionStream.sessionize(
+      input.toDF().toDF("user", "ts"), Seq("user"), "ts", gap,
+      watermarkDelay = "30 seconds")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_gated").start()
+    try {
+      // 0s,8s | 25s | straggler 16s: immediate close would have
+      // emitted [0,8] at the 25s event (gap 17s > 10s); the batch
+      // recurrence over {0,8,16,25} is ONE session (every adjacent
+      // gap <= 10s). The straggler is inside the 30s watermark.
+      input.addData((5L, t(0)), (5L, t(8)))
+      q.processAllAvailable()
+      input.addData((5L, t(25)))
+      q.processAllAvailable()
+      input.addData((5L, t(16)))
+      q.processAllAvailable()
+      // push the watermark past 25s + 10s (wm = maxSeen - 30s)
+      input.addData((9L, t(100)))
+      q.processAllAvailable()
+      input.addData((9L, t(200)))
+      q.processAllAvailable()
+      val got = spark.table("sess_gated")
+        .as[graft.streaming.Session].collect()
+        .map(s => (s.key, s.start_us, s.end_us, s.n_events)).toSet
+      assert(got.contains(("5",
+        1000L * 1000000L, 1025L * 1000000L, 4L)),
+        s"expected the bridged single session, got $got")
+      // no spurious extra session for key 5
+      assert(got.count(_._1 == "5") === 1, s"got $got")
+    } finally q.stop()
+  }
+
+  test("gated mode: a straggler OLDER than the open fragment extends " +
+    "its start downward") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val out = SessionStream.sessionize(
+      input.toDF().toDF("user", "ts"), Seq("user"), "ts", gap,
+      watermarkDelay = "30 seconds")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_gated_down").start()
+    try {
+      input.addData((6L, t(20)))
+      q.processAllAvailable()
+      input.addData((6L, t(12))) // 8s before the fragment start
+      q.processAllAvailable()
+      input.addData((8L, t(100)))
+      q.processAllAvailable()
+      input.addData((8L, t(200)))
+      q.processAllAvailable()
+      val got = spark.table("sess_gated_down")
+        .as[graft.streaming.Session].collect()
+        .map(s => (s.key, s.start_us, s.end_us, s.n_events)).toSet
+      assert(got.contains(("6",
+        1012L * 1000000L, 1020L * 1000000L, 2L)), s"got $got")
+    } finally q.stop()
+  }
 }
