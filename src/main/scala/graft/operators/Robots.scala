@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** robots.txt (RFC 9309, the Robots Exclusion Protocol) — the rules a
+  * polite crawler must evaluate BEFORE the first fetch. The frontier
+  * queries schedule by score and per-domain budget; this adds the
+  * allow/deny grammar: `User-agent` groups, `Allow`/`Disallow`
+  * path-prefix rules with `*` (any run) and `$` (end anchor)
+  * wildcards, longest-match precedence with Allow winning ties
+  * (RFC 9309 §2.2.2: most octets wins; equivalent rules resolve to
+  * allow).
+  *
+  * Shape follows the [[Psl]] discipline: rules are a TABLE (domain,
+  * agent, allow, pattern), the corpus side joins it per-domain —
+  * robots files are KiB-bounded per domain, so the rules table is
+  * domain-bounded (broadcastable at web scale) and the frontier is
+  * never exchanged. Parsing is a pure expression tree (line split +
+  * one domain-partitioned window for User-agent grouping); matching
+  * compiles each pattern to a regex column once and evaluates per
+  * candidate with the longest-match fold as an ordinary max-of-struct
+  * aggregation.
+  */
+object Robots {
+
+  /** Parse robots.txt bodies into a rules table.
+    *
+    * Input: one row per domain, `txtCol` the file text. Output:
+    * `(domainCol, agent, allow, pattern)` — one row per (group
+    * member agent × rule). Comments (`#`), blank lines, unknown
+    * directives, empty-pattern rules (an empty `Disallow:` means
+    * allow-all) and rules before any `User-agent` line (group-less,
+    * ignored per the RFC) all drop out. Consecutive `User-agent`
+    * lines share the following rule block. */
+  def parseRules(df: DataFrame, domainCol: String,
+      txtCol: String): DataFrame = {
+    val w = Window.partitionBy("__dom").orderBy("__pos")
+    val lines = df
+      .select(col(domainCol).as("__dom"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("__pos", "__raw")))
+      .withColumn("__line", trim(regexp_replace(col("__raw"), "#.*", "")))
+      .withColumn("__kind",
+        lower(trim(regexp_extract(col("__line"), "^([^:]+):", 1))))
+      .withColumn("__val",
+        trim(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1)))
+      .filter(col("__kind").isin("user-agent", "allow", "disallow"))
+      // group id: +1 at every user-agent line that STARTS a UA run
+      .withColumn("__ua", (col("__kind") === "user-agent").cast("int"))
+      .withColumn("__start",
+        when(col("__ua") === 1 && lag(col("__ua"), 1, 0).over(w) === 0, 1)
+          .otherwise(0))
+      .withColumn("__grp", sum("__start").over(w))
+    val agents = lines.filter(col("__kind") === "user-agent")
+      .select(col("__dom"), col("__grp"), lower(col("__val")).as("agent"))
+      .distinct()
+    val rules = lines
+      .filter(col("__kind").isin("allow", "disallow") && col("__val") =!= "")
+      .select(col("__dom"), col("__grp"),
+        (col("__kind") === "allow").as("allow"), col("__val").as("pattern"))
+    agents.join(rules, Seq("__dom", "__grp"))
+      .select(col("__dom").as(domainCol), col("agent"), col("allow"),
+        col("pattern"))
+  }
+
+  /** Rule pattern → anchored regex: specials quoted, `*` → `.*`, a
+    * TERMINAL `$` anchors (inner `$` is literal per the RFC). */
+  def patternRegex(p: Column): Column = {
+    val esc = regexp_replace(p, "([.^+?(){}\\[\\]\\\\|])", "\\\\$1")
+    val starred = regexp_replace(esc, "\\*", ".*")
+    val dollars = regexp_replace(starred, "\\$", "\\\\\\$")
+    val anchored = regexp_replace(dollars, "\\\\\\$$", "\\$")
+    concat(lit("^"), anchored)
+  }
+
+  /** Longest-match verdict for each (domain, path) in `urls` against
+    * `rules` (the [[parseRules]] shape) for `agent`: appends a boolean
+    * `outCol`. Group selection per RFC: the agent's own group when the
+    * domain has one, else the `*` group; a domain with no applicable
+    * rules (or no robots.txt at all) is allowed. Specificity is
+    * pattern length; ties resolve to Allow. */
+  def isAllowed(urls: DataFrame, rules: DataFrame, agent: String,
+      domainCol: String = "domain", pathCol: String = "path",
+      outCol: String = "allowed"): DataFrame = {
+    val a = agent.toLowerCase
+    val r = rules.filter(col("agent").isin(a, "*"))
+    val hasSpec = r.filter(col("agent") === a)
+      .select(col(domainCol)).distinct().withColumn("__spec", lit(1))
+    val eff = r.join(hasSpec, Seq(domainCol), "left")
+      .filter(when(col("__spec") === 1, col("agent") === a)
+        .otherwise(col("agent") === "*"))
+      .withColumn("__re", patternRegex(col("pattern")))
+      .withColumn("__len", length(col("pattern")))
+      .select(col(domainCol), col("allow"), col("__re"), col("__len"))
+    val verdicts = urls.select(col(domainCol), col(pathCol)).distinct()
+      .join(eff, Seq(domainCol), "left")
+      .withColumn("__m", col("__re").isNotNull &&
+        regexp_like(col(pathCol), col("__re")))
+      .groupBy(domainCol, pathCol)
+      // max of (len, allow): longest pattern wins, allow wins ties
+      .agg(max(when(col("__m"),
+        struct(col("__len").as("l"), col("allow").cast("int").as("a"))))
+        .as("__best"))
+      .select(col(domainCol), col(pathCol),
+        coalesce(col("__best").getField("a") === 1, lit(true)).as(outCol))
+    urls.join(verdicts, Seq(domainCol, pathCol), "left")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.{GraphOps, HtmlOps, UrlOps}
+import graft.operators.{CharsetOps, GraphOps, HtmlOps, Robots, UrlOps}
 import graft.sources.Warc
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -131,7 +131,79 @@ object WebQueries {
       f.toString
     }
 
+  /** Robots fixture: the 11 link-target registered domains (the
+    * linkUrl tld cycle) each publish a deterministic robots.txt
+    * exercising prefix rules, the `$` anchor, the `*` wildcard,
+    * longest-match precedence and the allow-wins-tie — plus an
+    * evilbot group whose `Disallow: /` must NOT leak into the `*`
+    * group (group parsing under test). */
+  private def robotsDomain(t: Column): Column = {
+    val tld = when(pmod(t, lit(3L)) === 0, lit("com"))
+      .when(pmod(t, lit(3L)) === 1, lit("org"))
+      .otherwise(lit("co.uk"))
+    concat(lit("dom"), t.cast("string"), lit("."), tld)
+  }
+
+  private def robotsTxtCol(t: Column): Column = concat(
+    lit("# robots fixture\nUser-agent: evilbot\nDisallow: /\n\n" +
+      "User-agent: *\nDisallow: /p/1\nAllow: /p/1"),
+    pmod(t + 1, lit(3L)).cast("string"),
+    lit("$\nDisallow: /p/*"),
+    pmod(t, lit(10L)).cast("string"), lit("$\n"))
+
+  private def robotsRules(s: SparkSession): DataFrame =
+    Robots.parseRules(
+      s.range(0, 11).select(robotsDomain(col("id")).as("domain"),
+        robotsTxtCol(col("id")).as("txt")),
+      "domain", "txt")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // RFC 9309 allow/deny over the fixture rule tables: Spark PARSES
+    // the robots.txt text (group windows) and folds longest-match
+    // verdicts for /p/0../p/12 per domain; the oracle builds the
+    // expected RULES directly and replays only the match — so a parse
+    // bug (group leak, comment leak, empty-Disallow rule) changes the
+    // verdicts and breaks the hash.
+    "web_robots_rules" -> ((s, dir) => {
+      val paths = s.range(0, 11).select(col("id").as("t"))
+        .crossJoin(s.range(0, 13).select(col("id").as("x")))
+        .select(robotsDomain(col("t")).as("domain"),
+          concat(lit("/p/"), col("x").cast("string")).as("path"),
+          col("x"))
+      Robots.isAllowed(paths, robotsRules(s), "graftbot")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_paths"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(col("allowed"), col("x")).otherwise(lit(0L)))
+            .as("sum_allowed"))
+        .orderBy("domain")
+    }),
+    // The polite frontier: web_frontier gated by the robots verdict —
+    // disallowed canonical URLs (path+query matched) never reach the
+    // schedule. Rules ride as a domain-bounded table; the frontier is
+    // never exchanged (the Psl join discipline).
+    "web_frontier_robots" -> ((s, dir) => {
+      val cn = docs(s, dir)
+        .select(explode(HtmlOps.links(htmlCol)).as("url"))
+        .select(UrlOps.canonicalize(col("url")).as("canon"),
+          UrlOps.registeredDomain(UrlOps.host(col("url"))).as("domain"))
+      val f = cn.groupBy("canon", "domain")
+        .agg(count(lit(1)).as("n_refs"))
+        .withColumn("path",
+          regexp_extract(col("canon"), "^[a-z]+://[^/?#]+(.*)$", 1))
+      val gated = Robots.isAllowed(f, robotsRules(s), "graftbot")
+        .filter(col("allowed"))
+      val crawled = docs(s, dir).select(srcDomainCol.as("domain"))
+        .distinct()
+      val pr = GraphOps.pageRank(domainEdges(s, dir), "src", "dst",
+          iters = 3, damping = 0.85, redistributeDangling = true)
+        .select(col("v").as("domain"), round(col("pr"), 4).as("pr"))
+      gated.join(crawled, Seq("domain"), "left_anti")
+        .join(pr, "domain")
+        .orderBy(col("pr").desc, col("n_refs").desc, col("canon"))
+        .limit(20)
+        .select("canon", "domain", "n_refs", "pr")
+    }),
     // Crawl-native ingest: the corpus round-trips through a REAL
     // gzip-member WARC file and back through the splittable
     // graft_warc source (splitSize=2048 forces many byte-range
@@ -149,7 +221,10 @@ object WebQueries {
         .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
           .cast("long").as("doc_id"),
           col("status"),
-          decode(col("payload"), "UTF-8").as("html"),
+          // the production composition: sniff (here the transport
+          // header declares utf-8) then transcode, never a blind decode
+          CharsetOps.decodeHtml(col("payload"), col("http_content_type"))
+            .as("html"),
           col("member_offset"))
       recs.join(docs(s, dir).select("doc_id", "lang"), Seq("doc_id"))
         .withColumn("body", HtmlOps.extractText(col("html")))
@@ -167,6 +242,46 @@ object WebQueries {
           sum(when(col("rk_off") === col("rk_id"), 1L).otherwise(0L))
             .as("n_ord_ok"))
         .orderBy("lang")
+    }),
+    // Charset sniff + transcode round trip over all four resolution
+    // paths (cls = doc_id mod 4): 0 = UTF-8 via <meta charset>,
+    // 1 = windows-1252 via the HTTP transport header, 2 = UTF-8 via
+    // strict-validity detection (undeclared), 3 = windows-1252 via
+    // the invalid-UTF-8 fallback (undeclared; 0x80/0xE9 bytes). Pages
+    // carry 'café € naïve' — € is 0x80 in 1252, the byte a blind
+    // UTF-8 decode mangles to U+FFFD. The oracle rebuilds the
+    // expected DECODED text directly (DuckDB is UTF-8-only, so a
+    // value match proves the byte round trip).
+    "web_charset_decode" -> ((s, dir) => {
+      val expected = concat(lit("Doc "), col("doc_id").cast("string"),
+        lit(" café € naïve"))
+      val cls = pmod(col("doc_id"), lit(4L))
+      val html = concat(lit("<html><head>"),
+        when(cls === 0, lit("<meta charset=\"utf-8\">")).otherwise(lit("")),
+        lit("</head><body><p>"), HtmlOps.htmlEscape(expected),
+        lit("</p></body></html>"))
+      val charsetName = when(cls === 1 || cls === 3, lit("windows-1252"))
+        .otherwise(lit("UTF-8"))
+      val transport = when(cls === 1,
+        lit("text/html; charset=windows-1252"))
+        .otherwise(lit("text/html"))
+      val base = docs(s, dir).select(col("doc_id"), cls.as("cls"),
+        expected.as("expected"),
+        CharsetOps.encodeCharset(html, charsetName).as("bytes"),
+        transport.as("transport"), charsetName.as("want_cs"))
+      base
+        .withColumn("sniffed",
+          CharsetOps.sniffCharset(col("bytes"), col("transport")))
+        .withColumn("body", HtmlOps.extractText(
+          CharsetOps.decodeCharset(col("bytes"), col("sniffed"))))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("body")).cast("long")).as("sum_chars"),
+          sum(when(col("body") === col("expected"), 1L).otherwise(0L))
+            .as("n_exact"),
+          sum(when(col("sniffed") === col("want_cs"), 1L).otherwise(0L))
+            .as("n_charset_ok"))
+        .orderBy("cls")
     }),
     // HTML -> text: blocks dropped, tags stripped, entities decoded,
     // whitespace collapsed; n_exact counts pages whose extraction
@@ -578,7 +693,106 @@ object WebQueries {
       |         ELSE parts[-2] || '.' || parts[-1] END AS domain
       |  FROM (SELECT *, string_split(host, '.') AS parts FROM cz))""".stripMargin
 
+  /** Robots rule/regex CTEs (`rbdom`, `rbrx`) — the oracle builds the
+    * EXPECTED rules directly from t (no parse), so the Spark parse is
+    * under test. Patterns here contain only `*`/terminal-`$`, so the
+    * regex build is one replace (the `$` doubles as the anchor). */
+  private val robotsCtes: String =
+    """rbd AS (SELECT range AS t FROM range(0, 11)),
+      |rbdom AS (
+      |  SELECT t, 'dom' || CAST(t AS VARCHAR) || '.' ||
+      |    (CASE t % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+      |      ELSE 'co.uk' END) AS domain
+      |  FROM rbd),
+      |rbrules AS (
+      |  SELECT domain, false AS allow, '/p/1' AS pattern FROM rbdom
+      |  UNION ALL SELECT domain, true,
+      |    '/p/1' || CAST((t + 1) % 3 AS VARCHAR) || '$' FROM rbdom
+      |  UNION ALL SELECT domain, false,
+      |    '/p/*' || CAST(t % 10 AS VARCHAR) || '$' FROM rbdom),
+      |rbrx AS (
+      |  SELECT domain, allow, len(pattern) AS l,
+      |    '^' || replace(pattern, '*', '.*') AS re
+      |  FROM rbrules)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // Longest-match replay: rank matching rules by (len DESC, allow
+    // DESC) per path, head verdict, default allow.
+    "web_robots_rules" ->
+      s"""WITH $robotsCtes,
+        |paths AS (
+        |  SELECT d.domain, x.range AS x,
+        |    '/p/' || CAST(x.range AS VARCHAR) AS path
+        |  FROM rbdom d CROSS JOIN range(0, 13) x),
+        |m AS (
+        |  SELECT p.domain, p.path, r.allow, r.l
+        |  FROM paths p JOIN rbrx r ON p.domain = r.domain
+        |    AND regexp_matches(p.path, r.re)),
+        |best AS (
+        |  SELECT domain, path, allow, row_number() OVER (
+        |    PARTITION BY domain, path ORDER BY l DESC, allow DESC) AS rn
+        |  FROM m),
+        |v AS (
+        |  SELECT p.domain, p.x, COALESCE(b.allow, true) AS allowed
+        |  FROM paths p LEFT JOIN (
+        |    SELECT domain, path, allow FROM best WHERE rn = 1) b
+        |    ON p.domain = b.domain AND p.path = b.path)
+        |SELECT domain, count(*) AS n_paths,
+        |  CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_allowed,
+        |  CAST(sum(CASE WHEN allowed THEN x ELSE 0 END) AS BIGINT)
+        |    AS sum_allowed
+        |FROM v GROUP BY domain ORDER BY domain""".stripMargin,
+    // Frontier gated by the robots verdict: the web_frontier replay
+    // with a longest-match filter on the canonical path+query.
+    "web_frontier_robots" ->
+      s"""WITH $htmlCtes,
+        |$linksCte,
+        |$canonCte,
+        |$robotsCtes,
+        |f AS (
+        |  SELECT canon, domain, count(*) AS n_refs
+        |  FROM cn GROUP BY canon, domain),
+        |fp AS (
+        |  SELECT canon, domain, n_refs,
+        |    regexp_extract(canon, '^[a-z]+://[^/?#]+(.*)$$', 1) AS path
+        |  FROM f),
+        |rbm AS (
+        |  SELECT p.canon, p.domain, r.allow, r.l
+        |  FROM fp p JOIN rbrx r ON p.domain = r.domain
+        |    AND regexp_matches(p.path, r.re)),
+        |rbbest AS (
+        |  SELECT canon, domain, allow, row_number() OVER (
+        |    PARTITION BY canon, domain ORDER BY l DESC, allow DESC) AS rn
+        |  FROM rbm),
+        |fg AS (
+        |  SELECT f2.canon, f2.domain, f2.n_refs
+        |  FROM fp f2 LEFT JOIN (
+        |    SELECT canon, domain, allow FROM rbbest WHERE rn = 1) b
+        |    ON f2.canon = b.canon AND f2.domain = b.domain
+        |  WHERE COALESCE(b.allow, true)),
+        |crawled AS (
+        |  SELECT DISTINCT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+        |    (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+        |       WHEN 1 THEN 'org' ELSE 'co.uk' END) AS domain
+        |  FROM documents WHERE text IS NOT NULL),
+        |dm AS (
+        |  SELECT doc_id, $domainExpr AS dst
+        |  FROM (SELECT doc_id, string_split($hostExpr, '.') AS parts
+        |        FROM l)),
+        |e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+        |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+        |         WHEN 1 THEN 'org' ELSE 'co.uk' END) AS src, dst
+        |    FROM dm) WHERE src <> dst),
+        |$prChainCte,
+        |sel AS (
+        |  SELECT fg.canon, fg.domain, fg.n_refs, round(r3.pr, 4) AS pr
+        |  FROM fg JOIN r3 ON fg.domain = r3.v
+        |  WHERE fg.domain NOT IN (SELECT domain FROM crawled))
+        |SELECT canon, domain, n_refs, pr FROM sel
+        |ORDER BY pr DESC, n_refs DESC, canon LIMIT 20""".stripMargin,
     // WARC replay: the fixture pages regenerate in SQL; statuses from
     // the residue rule; ordinal witness degenerates to count(*)
     // because the oracle's "offsets" are doc_id order by construction
@@ -601,6 +815,21 @@ object WebQueries {
         |    AS n_ok,
         |  CAST(count(*) AS BIGINT) AS n_ord_ok
         |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
+    // Charset replay: the oracle rebuilds the expected decoded text
+    // per class — every count must land through Spark's real
+    // encode -> sniff -> transcode -> extract chain for the hash to
+    // match (DuckDB length() counts characters like Spark's length).
+    "web_charset_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS cls,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || ' café € naïve'
+        |      AS body
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT cls, count(*) AS n,
+        |  CAST(sum(length(body)) AS BIGINT) AS sum_chars,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(count(*) AS BIGINT) AS n_charset_ok
+        |FROM d GROUP BY cls ORDER BY cls""".stripMargin,
     // Nofollow replay: per-<a>-element href + rel flag, domain fold,
     // endorsement counts.
     "web_nofollow_stats" ->

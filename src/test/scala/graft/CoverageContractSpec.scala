@@ -28,9 +28,20 @@ class CoverageContractSpec extends SparkSpec {
   test("declared query count matches the documented coverage board") {
     // COVERAGE.md and the per-round correctness JSON must account for
     // exactly this many rows. Update BOTH when adding a query.
-    assert(SparkEntry.queries.size >= 254,
+    assert(SparkEntry.queries.size >= 257,
       s"query count shrank to ${SparkEntry.queries.size} — a domain map " +
         "was probably dropped from SparkEntry.queries")
+  }
+
+  test("the round-13 additions stay declared and oracled") {
+    // WARC ingest, charset sniff/transcode, robots.txt allow/deny +
+    // the robots-gated frontier
+    val required = Set("warc_extract", "web_charset_decode",
+      "web_robots_rules", "web_frontier_robots")
+    val missing = required -- SparkEntry.queries.keySet
+    val unoracled = required -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"dropped queries: ${missing.toSeq.sorted}")
+    assert(unoracled.isEmpty, s"unoracled: ${unoracled.toSeq.sorted}")
   }
 
   test("the round-12 additions stay declared and oracled") {
