@@ -120,8 +120,11 @@ object WebQueries {
         rows.foreach { r =>
           val id = r.getLong(0)
           val ok = id % 17 != 5
+          // same registered-domain formula as srcDomainCol/the robots
+          // fixture, so the crawl-side robots gate finds its rules
+          val tld = Seq("com", "org", "co.uk")((id % 8 % 3).toInt)
           out.write(Warc.gzipMember(Warc.record("response",
-            s"https://dom${id % 8}.com/doc/$id", "2024-01-01T00:00:00Z",
+            s"https://dom${id % 8}.$tld/doc/$id", "2024-01-01T00:00:00Z",
             s"urn:uuid:doc-$id", "application/http; msgtype=response",
             Warc.httpResponse(if (ok) 200 else 404,
               if (ok) "OK" else "Not Found", "text/html; charset=utf-8",
@@ -149,7 +152,10 @@ object WebQueries {
       "User-agent: *\nDisallow: /p/1\nAllow: /p/1"),
     pmod(t + 1, lit(3L)).cast("string"),
     lit("$\nDisallow: /p/*"),
-    pmod(t, lit(10L)).cast("string"), lit("$\n"))
+    pmod(t, lit(10L)).cast("string"),
+    // the crawl-side gate: /doc/ ids ending in 3 are off-limits
+    // (never matches a /p/ path, so the /p/ cells are unaffected)
+    lit("$\nDisallow: /doc/*3$\n"))
 
   private def robotsRules(s: SparkSession): DataFrame =
     Robots.parseRules(
@@ -158,6 +164,52 @@ object WebQueries {
       "domain", "txt")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The crawl step-zero COMPOSITION, end to end over a real WARC
+    // file: fetch (gzip-member split read) -> HTTP status gate ->
+    // robots.txt gate on the crawled URL (parsed rules, longest
+    // match) -> charset decode -> meta-robots noindex gate ->
+    // extraction-exactness witness -> outlink harvest off the
+    // survivors. One cumulative-flag pass, a single ledger row — the
+    // corpus_pipeline discipline applied to the web tier. Every gate
+    // is a projection or a domain-bounded join; the page set is
+    // scanned once (plus the bounded links explode).
+    "crawl_ingest_pipeline" -> ((s, dir) => {
+      val recs = s.read.format("graft_warc").option("splitSize", 4096)
+        .load(warcFixturePath(s, dir))
+        .filter(col("warc_type") === "response")
+        .select(col("url"), col("status"),
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          CharsetOps.decodeHtml(col("payload"), col("http_content_type"))
+            .as("html"))
+        .withColumn("domain",
+          UrlOps.registeredDomain(UrlOps.host(col("url"))))
+        .withColumn("path",
+          regexp_extract(col("url"), "^[a-z]+://[^/?#]+(.*)$", 1))
+      val gated = Robots.isAllowed(recs, robotsRules(s), "graftbot")
+      val staged = gated
+        .join(docs(s, dir).select(col("doc_id"), expectedCol.as("expected")),
+          Seq("doc_id"))
+        .withColumn("ok", col("status") === 200)
+        .withColumn("rb", col("ok") && col("allowed"))
+        .withColumn("ix", col("rb") &&
+          !HtmlOps.metaContent(col("html"), "robots").contains("noindex"))
+        .withColumn("ex", col("ix") &&
+          HtmlOps.extractText(col("html")) === col("expected"))
+      val ledger = staged.agg(
+        count(lit(1)).as("n_fetched"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("rb"), 1L).otherwise(0L)).as("n_allowed"),
+        sum(when(col("ix"), 1L).otherwise(0L)).as("n_indexable"),
+        sum(when(col("ex"), 1L).otherwise(0L)).as("n_extract_ok"))
+      val links = staged.filter(col("ex"))
+        .select(explode(HtmlOps.links(col("html"))).as("lurl"))
+        .select(UrlOps.registeredDomain(UrlOps.host(col("lurl")))
+          .as("ldom"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("ldom")).as("n_domains"))
+      ledger.crossJoin(links)
+    }),
     // RFC 9309 allow/deny over the fixture rule tables: Spark PARSES
     // the robots.txt text (group windows) and folds longest-match
     // verdicts for /p/0../p/12 per domain; the oracle builds the
@@ -709,13 +761,55 @@ object WebQueries {
       |  UNION ALL SELECT domain, true,
       |    '/p/1' || CAST((t + 1) % 3 AS VARCHAR) || '$' FROM rbdom
       |  UNION ALL SELECT domain, false,
-      |    '/p/*' || CAST(t % 10 AS VARCHAR) || '$' FROM rbdom),
+      |    '/p/*' || CAST(t % 10 AS VARCHAR) || '$' FROM rbdom
+      |  UNION ALL SELECT domain, false, '/doc/*3$' FROM rbdom),
       |rbrx AS (
       |  SELECT domain, allow, len(pattern) AS l,
       |    '^' || replace(pattern, '*', '.*') AS re
       |  FROM rbrules)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Composition replay: every gate's expected verdict derives from
+    // the fixture residues (status 17/5, robots last-digit-3, noindex
+    // 9/0) and the extraction witness from the regenerated page — the
+    // Spark side must land the identical ledger through the real WARC
+    // read, rule parse, charset decode and extraction.
+    "crawl_ingest_pipeline" ->
+      s"""WITH $htmlCtes,
+        |$linksCte,
+        |st AS (
+        |  SELECT doc_id, html, text, refs,
+        |    (doc_id % 17 <> 5) AS ok,
+        |    (doc_id % 17 <> 5 AND doc_id % 10 <> 3) AS rb,
+        |    (doc_id % 17 <> 5 AND doc_id % 10 <> 3 AND doc_id % 9 <> 0)
+        |      AS ix
+        |  FROM h),
+        |exq AS (
+        |  SELECT doc_id, ok, rb, ix,
+        |    (ix AND $extractExpr =
+        |      'Doc ' || CAST(doc_id AS VARCHAR) || ' Doc ' ||
+        |      CAST(doc_id AS VARCHAR) || ' ' || text || ' ' || refs ||
+        |      ' Home & About') AS ex
+        |  FROM st),
+        |led AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_fetched,
+        |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |    CAST(sum(CASE WHEN rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_allowed,
+        |    CAST(sum(CASE WHEN ix THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_indexable,
+        |    CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_extract_ok
+        |  FROM exq),
+        |surv AS (SELECT doc_id FROM exq WHERE ex),
+        |lx AS (SELECT l.doc_id, l.url FROM l JOIN surv USING (doc_id)),
+        |ld AS (
+        |  SELECT $domainExpr AS ldom
+        |  FROM (SELECT string_split($hostExpr, '.') AS parts FROM lx)),
+        |lk2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_links,
+        |    CAST(count(DISTINCT ldom) AS BIGINT) AS n_domains FROM ld)
+        |SELECT * FROM led CROSS JOIN lk2""".stripMargin,
     // Longest-match replay: rank matching rules by (len DESC, allow
     // DESC) per path, head verdict, default allow.
     "web_robots_rules" ->

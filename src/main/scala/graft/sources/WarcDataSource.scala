@@ -160,17 +160,23 @@ class WarcPartitionReader(part: WarcRangePartition, cols: Array[String],
   }
 
   override def next(): Boolean = {
-    if (pos < 0 || pos >= part.end) return false
-    dataIn.seek(pos)
-    val bin = new BufferedInputStream(noClose(dataIn), 65536)
-    try {
-      val (bytes, len) = Warc.readMember(bin)
-      current = Warc.parseRecord(bytes, pos, len)
-      pos += len
-      true
-    } catch {
-      case _: EOFException => pos = -1L; false // truncated tail
+    while (pos >= 0 && pos < part.end) {
+      dataIn.seek(pos)
+      val bin = new BufferedInputStream(noClose(dataIn), 65536)
+      try {
+        val (bytes, len) = Warc.readMember(bin)
+        current = Warc.parseRecord(bytes, pos, len)
+        pos += len
+        return true
+      } catch {
+        // a corrupt/truncated member must not silently end the range:
+        // re-sync past it and keep reading (a crawl archive with one
+        // bad record still has millions of good ones after it); sync
+        // returns -1 only when no further member starts in the range
+        case _: Exception => pos = sync(pos + 1)
+      }
     }
+    false
   }
 
   override def get(): InternalRow =

@@ -28,7 +28,7 @@ class CoverageContractSpec extends SparkSpec {
   test("declared query count matches the documented coverage board") {
     // COVERAGE.md and the per-round correctness JSON must account for
     // exactly this many rows. Update BOTH when adding a query.
-    assert(SparkEntry.queries.size >= 257,
+    assert(SparkEntry.queries.size >= 258,
       s"query count shrank to ${SparkEntry.queries.size} — a domain map " +
         "was probably dropped from SparkEntry.queries")
   }
@@ -37,7 +37,7 @@ class CoverageContractSpec extends SparkSpec {
     // WARC ingest, charset sniff/transcode, robots.txt allow/deny +
     // the robots-gated frontier
     val required = Set("warc_extract", "web_charset_decode",
-      "web_robots_rules", "web_frontier_robots")
+      "web_robots_rules", "web_frontier_robots", "crawl_ingest_pipeline")
     val missing = required -- SparkEntry.queries.keySet
     val unoracled = required -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"dropped queries: ${missing.toSeq.sorted}")

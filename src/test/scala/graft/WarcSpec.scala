@@ -115,6 +115,29 @@ class WarcSpec extends SparkSpec {
     assert(!plan.contains("payload"), plan)
   }
 
+  test("a corrupt member mid-file is skipped with a re-sync — the " +
+    "records after it still arrive (no silent range truncation)") {
+    val f = writeFixture(20)
+    val offsets = spark.read.format("graft_warc").load(f)
+      .select("member_offset", "member_length", "record_id")
+      .collect().sortBy(_.getLong(0))
+    val victim = offsets(10) // a middle member
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(f))
+    // trash the victim's deflate payload (past its gzip header)
+    val from = victim.getLong(0).toInt + 12
+    val until = (victim.getLong(0) + victim.getLong(1)).toInt - 9
+    (from until until).foreach(i => bytes(i) = 0x55)
+    val dir = Files.createTempDirectory("warc_bad").toString
+    val bad = s"$dir/bad.warc.gz"
+    Files.write(java.nio.file.Paths.get(bad), bytes)
+    val got = spark.read.format("graft_warc").load(bad)
+      .select("record_id")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
+    val want = offsets.map(_.getString(2)).toSet - victim.getString(2)
+    assert(got === want,
+      s"missing after corrupt member: ${want -- got}; extra: ${got -- want}")
+  }
+
   test("404 statuses survive the parse (governance filters work)") {
     val f = writeFixture(21)
     val n404 = spark.read.format("graft_warc").load(f)
