@@ -117,21 +117,49 @@ object WebQueries {
           "2024-01-01T00:00:00Z", "urn:uuid:graft-info",
           "application/warc-fields",
           "software: graft-fixture\r\n".getBytes("UTF-8"))))
-        rows.foreach { r =>
-          val id = r.getLong(0)
-          val ok = id % 17 != 5
-          // same registered-domain formula as srcDomainCol/the robots
-          // fixture, so the crawl-side robots gate finds its rules
-          val tld = Seq("com", "org", "co.uk")((id % 8 % 3).toInt)
-          out.write(Warc.gzipMember(Warc.record("response",
-            s"https://dom${id % 8}.$tld/doc/$id", "2024-01-01T00:00:00Z",
-            s"urn:uuid:doc-$id", "application/http; msgtype=response",
-            Warc.httpResponse(if (ok) 200 else 404,
-              if (ok) "OK" else "Not Found", "text/html; charset=utf-8",
-              r.getString(1).getBytes("UTF-8")))))
-        }
+        rows.foreach(r => out.write(responseMember(r)))
       } finally out.close()
       f.toString
+    }
+
+  /** One doc row -> one compressed response member (same registered-
+    * domain formula as srcDomainCol/the robots fixture, so the
+    * crawl-side robots gate finds its rules; every 17th-residue-5 doc
+    * a 404). */
+  private def responseMember(r: org.apache.spark.sql.Row): Array[Byte] = {
+    val id = r.getLong(0)
+    val ok = id % 17 != 5
+    val tld = Seq("com", "org", "co.uk")((id % 8 % 3).toInt)
+    Warc.gzipMember(Warc.record("response",
+      s"https://dom${id % 8}.$tld/doc/$id", "2024-01-01T00:00:00Z",
+      s"urn:uuid:doc-$id", "application/http; msgtype=response",
+      Warc.httpResponse(if (ok) 200 else 404,
+        if (ok) "OK" else "Not Found", "text/html; charset=utf-8",
+        r.getString(1).getBytes("UTF-8"))))
+  }
+
+  /** The same corpus as THREE crawl segments in a directory — the
+    * streaming fixture ([[warcFixturePath]]'s sibling). */
+  private def warcSegmentsPath(s: SparkSession, dir: String): String =
+    BuildCache.memo(s"warc_segments:$dir") {
+      val root = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_seg/" +
+          dir.replaceAll("[^0-9a-zA-Z.]", "_"))
+      val hp = new org.apache.hadoop.fs.Path(root.toString)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      root.mkdirs()
+      val rows = docs(s, dir).select(col("doc_id"), htmlCol.as("html"))
+        .orderBy("doc_id").collect() // fixture-only, corpus-bounded
+      val per = (rows.length + 2) / 3
+      rows.grouped(math.max(per, 1)).zipWithIndex.foreach {
+        case (seg, i) =>
+          val out = new java.io.FileOutputStream(
+            new java.io.File(root, f"seg-$i%03d.warc.gz"))
+          try seg.foreach(r => out.write(responseMember(r)))
+          finally out.close()
+      }
+      root.toString
     }
 
   /** Robots fixture: the 11 link-target registered domains (the

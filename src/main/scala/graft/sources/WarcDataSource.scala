@@ -47,32 +47,50 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
       .orElse(Option(properties.get("splitSize")))
       .map(_.toLong).getOrElse(32L * 1024 * 1024)
     require(splitSize >= 64, s"splitSize too small: $splitSize")
-    new WarcTable(path, splitSize)
+    val maxFiles = Option(properties.get("maxfilespertrigger"))
+      .orElse(Option(properties.get("maxFilesPerTrigger")))
+      .map(_.toInt).getOrElse(0)
+    new WarcTable(path, splitSize, maxFiles)
   }
 }
 
-class WarcTable(path: String, splitSize: Long)
+class WarcTable(path: String, splitSize: Long, maxFilesPerTrigger: Int)
     extends Table with SupportsRead {
   override def name(): String = s"graft_warc($path)"
   override def schema(): StructType = Warc.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(path, splitSize)
+    new WarcScanBuilder(path, splitSize, maxFilesPerTrigger)
 }
 
-class WarcScanBuilder(path: String, splitSize: Long)
+class WarcScanBuilder(path: String, splitSize: Long,
+    maxFilesPerTrigger: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = Warc.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new WarcScan(path, splitSize, required)
+  override def build(): Scan =
+    new WarcScan(path, splitSize, required, maxFilesPerTrigger)
 }
 
-class WarcScan(path: String, splitSize: Long, required: StructType)
+class WarcScan(path: String, splitSize: Long, required: StructType,
+    maxFilesPerTrigger: Int = 0)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming form: new `.warc.gz` files landing in the directory
+    * drain incrementally — the shape of a live crawl, where fetchers
+    * append archives and the corpus pipeline consumes them behind.
+    * The offset is the last processed file NAME, so the contract is
+    * the crawler convention of lexicographically increasing names
+    * (timestamped segments); a restart resumes past the committed
+    * name, files named BELOW it are never revisited. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatch(path, splitSize, required, maxFilesPerTrigger)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.sql.SparkSession.active
@@ -106,6 +124,99 @@ class WarcScan(path: String, splitSize: Long, required: StructType)
 
 case class WarcRangePartition(file: String, start: Long, end: Long)
     extends InputPartition
+
+/** Micro-batch stream over a directory of gzip-member WARC files.
+  * Offsets are the LAST PROCESSED FILE NAME (crawler segments sort
+  * lexicographically by convention — timestamped names); each
+  * `latestOffset` re-lists the directory and admits up to
+  * `maxFilesPerTrigger` strictly-greater names, so archives dropped
+  * mid-stream drain in later batches and a restart resumes exactly
+  * past the committed name. Within a batch, files split into the same
+  * byte-range partitions as the batch read. */
+class WarcMicroBatch(path: String, splitSize: Long, required: StructType,
+    maxFilesPerTrigger: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
+
+  private case class NameOffset(name: String) extends Offset {
+    override def json(): String = name
+  }
+
+  private def fs = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    new Path(path).getFileSystem(conf)
+  }
+
+  /** Sorted archive names currently in the directory. */
+  private def listNames(): Seq[String] = {
+    val p = new Path(path)
+    val f = fs
+    if (!f.exists(p)) Seq.empty
+    else if (f.getFileStatus(p).isDirectory)
+      f.listStatus(p).filter(s => s.isFile &&
+        (s.getPath.getName.endsWith(".warc.gz") ||
+          s.getPath.getName.endsWith(".gz")))
+        .map(_.getPath.getName).sorted.toSeq
+    else Seq(p.getName)
+  }
+
+  // Trigger.AvailableNow pins the end at prepare time, so the drain
+  // terminates even while a crawler keeps appending.
+  private var availableNowCap: Option[String] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(listNames().lastOption.getOrElse(""))
+  override def reportLatestOffset(): Offset =
+    NameOffset(listNames().lastOption.getOrElse(""))
+
+  override def initialOffset(): Offset = NameOffset("")
+  override def deserializeOffset(json: String): Offset = NameOffset(json)
+  override def latestOffset(): Offset = reportLatestOffset()
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[NameOffset].name
+    val pending0 = listNames().filter(_ > from)
+    val pending = availableNowCap match {
+      case Some(cap) => pending0.filter(_ <= cap)
+      case None => pending0
+    }
+    val admitted = limit match {
+      case m: ReadMaxFiles => pending.take(m.maxFiles())
+      case _ => pending
+    }
+    NameOffset(admitted.lastOption.getOrElse(from))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val from = start.asInstanceOf[NameOffset].name
+    val until = end.asInstanceOf[NameOffset].name
+    val f = fs
+    val p = new Path(path)
+    val dir = f.getFileStatus(p).isDirectory
+    listNames().filter(n => n > from && n <= until).flatMap { n =>
+      val fp = if (dir) new Path(p, n) else p
+      val len = f.getFileStatus(fp).getLen
+      (0L until len by splitSize).map(a =>
+        WarcRangePartition(fp.toString, a, math.min(a + splitSize, len)))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required.fieldNames,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active
+          .sparkContext.hadoopConfiguration))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class WarcReaderFactory(cols: Array[String],
     conf: org.apache.spark.util.SerializableConfiguration)

@@ -138,6 +138,47 @@ class WarcSpec extends SparkSpec {
       s"missing after corrupt member: ${want -- got}; extra: ${got -- want}")
   }
 
+  test("streaming drain: archives land as files, maxFilesPerTrigger " +
+    "paces the batches, a restart picks up only the late arrival") {
+    val dir = Files.createTempDirectory("warc_stream").toString
+    val data = s"$dir/in"; val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+    new java.io.File(data).mkdirs()
+    def writeArchive(name: String, ids: Range): Unit = {
+      val f = new FileOutputStream(s"$data/$name")
+      try ids.foreach { i =>
+        f.write(Warc.gzipMember(Warc.record("response",
+          s"https://dom${i % 5}.com/p/$i", "2024-01-01T00:00:00Z",
+          s"urn:uuid:rec-$i", "application/http; msgtype=response",
+          Warc.httpResponse(200, "OK", "text/html; charset=utf-8",
+            page(i).getBytes("UTF-8")))))
+      } finally f.close()
+    }
+    writeArchive("seg-001.warc.gz", 0 until 10)
+    writeArchive("seg-002.warc.gz", 10 until 25)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft_warc")
+        .option("splitSize", 1024).option("maxFilesPerTrigger", 1)
+        .load(data)
+        .select("record_id", "url")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      q.awaitTermination()
+    }
+    drain()
+    val first = spark.read.parquet(out)
+      .select("record_id").collect().map(_.getString(0))
+    assert(first.length === 25 && first.toSet.size === 25)
+    // a late segment lands; the restarted drain reads ONLY it
+    writeArchive("seg-003.warc.gz", 25 until 31)
+    drain()
+    val all = spark.read.parquet(out)
+      .select("record_id").collect().map(_.getString(0))
+    assert(all.length === 31, s"expected 31 once-each, got ${all.length}")
+    assert(all.toSet.size === 31)
+  }
+
   test("404 statuses survive the parse (governance filters work)") {
     val f = writeFixture(21)
     val n404 = spark.read.format("graft_warc").load(f)
