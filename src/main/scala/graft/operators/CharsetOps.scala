@@ -64,9 +64,18 @@ object CharsetDetect {
       case "shift_jis" | "shift-jis" | "sjis" | "ms_kanji" |
            "windows-31j" | "x-sjis" => Some("Shift_JIS")
       case other =>
-        if (Charset.isSupported(other))
-          Some(Charset.forName(other).name())
-        else None
+        // crawl-controlled input: labels matching the sniff regexes'
+        // charset grammar can still be ILLEGAL JVM charset names
+        // (leading '_', ':', '.'), and isSupported throws on those —
+        // an unknown label must fall through to content detection,
+        // never fail the pipeline
+        try {
+          if (Charset.isSupported(other))
+            Some(Charset.forName(other).name())
+          else None
+        } catch {
+          case _: java.nio.charset.IllegalCharsetNameException => None
+        }
     }
   }
 

@@ -34,24 +34,33 @@ object Robots {
     * allow-all) and rules before any `User-agent` line (group-less,
     * ignored per the RFC) all drop out. Consecutive `User-agent`
     * lines share the following rule block. */
-  def parseRules(df: DataFrame, domainCol: String,
+  /** Directive lines with their User-agent GROUP id: comment strip,
+    * kind/value split, group-relevant kinds only (a `Sitemap:` line is
+    * group-less per the de-facto grammar and parsed separately), a UA
+    * run broken by any other directive starting a new group. */
+  private def groupedLines(df: DataFrame, domainCol: String,
       txtCol: String): DataFrame = {
     val w = Window.partitionBy("__dom").orderBy("__pos")
-    val lines = df
-      .select(col(domainCol).as("__dom"),
+    df.select(col(domainCol).as("__dom"),
         posexplode(split(col(txtCol), "\n")).as(Seq("__pos", "__raw")))
       .withColumn("__line", trim(regexp_replace(col("__raw"), "#.*", "")))
       .withColumn("__kind",
         lower(trim(regexp_extract(col("__line"), "^([^:]+):", 1))))
       .withColumn("__val",
         trim(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1)))
-      .filter(col("__kind").isin("user-agent", "allow", "disallow"))
+      .filter(col("__kind").isin("user-agent", "allow", "disallow",
+        "crawl-delay"))
       // group id: +1 at every user-agent line that STARTS a UA run
       .withColumn("__ua", (col("__kind") === "user-agent").cast("int"))
       .withColumn("__start",
         when(col("__ua") === 1 && lag(col("__ua"), 1, 0).over(w) === 0, 1)
           .otherwise(0))
       .withColumn("__grp", sum("__start").over(w))
+  }
+
+  def parseRules(df: DataFrame, domainCol: String,
+      txtCol: String): DataFrame = {
+    val lines = groupedLines(df, domainCol, txtCol)
     val agents = lines.filter(col("__kind") === "user-agent")
       .select(col("__dom"), col("__grp"), lower(col("__val")).as("agent"))
       .distinct()
@@ -63,6 +72,62 @@ object Robots {
       .select(col("__dom").as(domainCol), col("agent"), col("allow"),
         col("pattern"))
   }
+
+  /** `Crawl-delay:` per (domain, agent) — the per-domain politeness
+    * budget a frontier scheduler consumes (seconds between fetches; the
+    * de-facto directive Bing/Yandex honor). Same group machinery as
+    * [[parseRules]]; non-numeric values drop; duplicate delay lines in
+    * one group resolve to the MAX (most polite). */
+  def parseDelays(df: DataFrame, domainCol: String,
+      txtCol: String): DataFrame = {
+    val lines = groupedLines(df, domainCol, txtCol)
+    val agents = lines.filter(col("__kind") === "user-agent")
+      .select(col("__dom"), col("__grp"), lower(col("__val")).as("agent"))
+      .distinct()
+    val delays = lines
+      .filter(col("__kind") === "crawl-delay" &&
+        col("__val").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .select(col("__dom"), col("__grp"),
+        col("__val").cast("double").as("delay_s"))
+    agents.join(delays, Seq("__dom", "__grp"))
+      .groupBy(col("__dom"), col("agent"))
+      .agg(max(col("delay_s")).as("delay_s"))
+      .select(col("__dom").as(domainCol), col("agent"), col("delay_s"))
+  }
+
+  /** The effective crawl delay per domain for `agent`: the most
+    * specific applicable group wins (longest prefix-matching token
+    * beats `*`, the [[isAllowed]] selection rule); domains with no
+    * applicable delay are absent (callers coalesce their own
+    * default). */
+  def crawlDelay(delays: DataFrame, agent: String,
+      domainCol: String = "domain",
+      outCol: String = "delay_s"): DataFrame = {
+    val a = agent.toLowerCase
+    delays.filter(col("agent") === "*" || lit(a).startsWith(col("agent")))
+      .groupBy(domainCol)
+      .agg(max(struct(
+        when(col("agent") === "*", lit(0))
+          .otherwise(length(col("agent"))).as("spec"),
+        col("delay_s").as("d"))).as("__b"))
+      .select(col(domainCol), col("__b").getField("d").as(outCol))
+  }
+
+  /** `Sitemap:` URLs — group-less/global per the de-facto grammar
+    * (sitemaps.org), the discovery seed channel a frontier folds in
+    * ahead of link-graph expansion. One row per (domain, sitemap). */
+  def parseSitemaps(df: DataFrame, domainCol: String,
+      txtCol: String): DataFrame =
+    df.select(col(domainCol).as("__dom"),
+        explode(split(col(txtCol), "\n")).as("__raw"))
+      .withColumn("__line", trim(regexp_replace(col("__raw"), "#.*", "")))
+      .filter(lower(trim(regexp_extract(col("__line"), "^([^:]+):", 1)))
+        === "sitemap")
+      .select(col("__dom").as(domainCol),
+        trim(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1))
+          .as("sitemap"))
+      .filter(col("sitemap") =!= "")
+      .distinct()
 
   /** Rule pattern → anchored regex: specials quoted, `*` → `.*`, a
     * TERMINAL `$` anchors (inner `$` is literal per the RFC). */
@@ -76,19 +141,24 @@ object Robots {
 
   /** Longest-match verdict for each (domain, path) in `urls` against
     * `rules` (the [[parseRules]] shape) for `agent`: appends a boolean
-    * `outCol`. Group selection per RFC: the agent's own group when the
-    * domain has one, else the `*` group; a domain with no applicable
-    * rules (or no robots.txt at all) is allowed. Specificity is
-    * pattern length; ties resolve to Allow. */
+    * `outCol`. Group selection per RFC 9309 §2.2.1: a group's product
+    * token governs the agent when it is a case-insensitive PREFIX of
+    * the agent name (`User-agent: graft` governs `graftbot`); the
+    * MOST SPECIFIC applicable group wins (longest matching token),
+    * else the `*` group; a domain with no applicable rules (or no
+    * robots.txt at all) is allowed. Rule specificity within the group
+    * is pattern length; ties resolve to Allow. */
   def isAllowed(urls: DataFrame, rules: DataFrame, agent: String,
       domainCol: String = "domain", pathCol: String = "path",
       outCol: String = "allowed"): DataFrame = {
     val a = agent.toLowerCase
-    val r = rules.filter(col("agent").isin(a, "*"))
-    val hasSpec = r.filter(col("agent") === a)
-      .select(col(domainCol)).distinct().withColumn("__spec", lit(1))
-    val eff = r.join(hasSpec, Seq(domainCol), "left")
-      .filter(when(col("__spec") === 1, col("agent") === a)
+    val r = rules.filter(col("agent") === "*" ||
+      lit(a).startsWith(col("agent")))
+    val specLen = r.filter(col("agent") =!= "*")
+      .groupBy(domainCol).agg(max(length(col("agent"))).as("__ml"))
+    val eff = r.join(specLen, Seq(domainCol), "left")
+      .filter(when(col("__ml").isNotNull,
+        col("agent") =!= "*" && length(col("agent")) === col("__ml"))
         .otherwise(col("agent") === "*"))
       .withColumn("__re", patternRegex(col("pattern")))
       .withColumn("__len", length(col("pattern")))

@@ -308,13 +308,20 @@ object Sampling {
   def apportion(df: DataFrame, keyCol: String, weightCol: String,
       budget: Long): DataFrame = {
     require(budget >= 0, s"budget=$budget")
+    // NULL weight = unknown demand -> 0 (the key stays visible in the
+    // allocation instead of poisoning base/rem with NULL arithmetic).
     val w = df.select(col(keyCol).as("key"),
-      col(weightCol).cast("long").as("w"))
+      coalesce(col(weightCol).cast("long"), lit(0L)).as("w"))
     // Eager total: the input is key-bounded (domains/sources), and the
-    // guard must be LOUD — an all-zero/empty/NULL total would otherwise
-    // flow NULL through div/pmod and come back as a silent NULL alloc.
+    // guard must be LOUD on a non-empty input — an all-zero total would
+    // otherwise flow NULL through div/pmod and come back as a silent
+    // NULL alloc. A genuinely EMPTY input (e.g. a drained crawl
+    // frontier) is not an error: the natural allocation is empty.
     val totRow = w.agg(sum("w"), min("w")).head()
-    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
+    if (totRow.isNullAt(0))
+      return w.withColumn("alloc", lit(0L))
+        .select(col("key").as(keyCol), col("w"), col("alloc"))
+    require(totRow.getLong(0) > 0,
       "apportion: summed weight must be positive")
     require(totRow.getLong(1) >= 0,
       "apportion: weights must be non-negative")

@@ -125,18 +125,48 @@ object WebQueries {
   /** One doc row -> one compressed response member (same registered-
     * domain formula as srcDomainCol/the robots fixture, so the
     * crawl-side robots gate finds its rules; every 17th-residue-5 doc
-    * a 404). */
-  private def responseMember(r: org.apache.spark.sql.Row): Array[Byte] = {
+    * a 404). Members carry `WARC-Payload-Digest` except the
+    * 5th-residue-0 docs (exercising the hash-the-payload fallback);
+    * `refetch=true` emits the duplicate-fetch sibling (same payload,
+    * same digest, later date + distinct record id) the digest dedup
+    * gate must collapse. */
+  private def responseMember(r: org.apache.spark.sql.Row,
+      refetch: Boolean = false): Array[Byte] = {
     val id = r.getLong(0)
     val ok = id % 17 != 5
     val tld = Seq("com", "org", "co.uk")((id % 8 % 3).toInt)
+    val payload = r.getString(1).getBytes("UTF-8")
+    val digest =
+      if (id % 5 == 0) None else Some(Warc.payloadDigest(payload))
     Warc.gzipMember(Warc.record("response",
-      s"https://dom${id % 8}.$tld/doc/$id", "2024-01-01T00:00:00Z",
-      s"urn:uuid:doc-$id", "application/http; msgtype=response",
+      s"https://dom${id % 8}.$tld/doc/$id",
+      if (refetch) "2024-01-02T00:00:00Z" else "2024-01-01T00:00:00Z",
+      s"urn:uuid:doc-$id" + (if (refetch) "-r" else ""),
+      "application/http; msgtype=response",
       Warc.httpResponse(if (ok) 200 else 404,
         if (ok) "OK" else "Not Found", "text/html; charset=utf-8",
-        r.getString(1).getBytes("UTF-8"))))
+        payload), digest))
   }
+
+  /** The corpus with REFETCHES: every 7th-residue-0 doc appears twice
+    * (identical payload, identical digest) — the Common Crawl
+    * cross-segment duplicate shape `crawl_digest_dedup` collapses on
+    * the archive's own `WARC-Payload-Digest`. */
+  private def warcRevisitPath(s: SparkSession, dir: String): String =
+    BuildCache.memo(s"warc_revisit:$dir") {
+      val f = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_rev/" +
+          dir.replaceAll("[^0-9a-zA-Z.]", "_") + "/corpus.warc.gz")
+      f.getParentFile.mkdirs()
+      val rows = docs(s, dir).select(col("doc_id"), htmlCol.as("html"))
+        .orderBy("doc_id").collect() // fixture-only, corpus-bounded
+      val out = new java.io.FileOutputStream(f)
+      try rows.foreach { r =>
+        out.write(responseMember(r))
+        if (r.getLong(0) % 7 == 0) out.write(responseMember(r, refetch = true))
+      } finally out.close()
+      f.toString
+    }
 
   /** The same corpus as THREE crawl segments in a directory — the
     * streaming fixture ([[warcFixturePath]]'s sibling). */
@@ -183,13 +213,18 @@ object WebQueries {
     pmod(t, lit(10L)).cast("string"),
     // the crawl-side gate: /doc/ ids ending in 3 are off-limits
     // (never matches a /p/ path, so the /p/ cells are unaffected)
-    lit("$\nDisallow: /doc/*3$\n"))
+    lit("$\nDisallow: /doc/*3$\nCrawl-delay: "),
+    // per-domain politeness: 1-3 s between fetches (the *-group
+    // directive a frontier turns into a per-window fetch cap)
+    (pmod(t, lit(3L)) + 1).cast("string"),
+    lit("\nSitemap: https://"), robotsDomain(t), lit("/sitemap.xml\n"))
+
+  private def robotsFixture(s: SparkSession): DataFrame =
+    s.range(0, 11).select(robotsDomain(col("id")).as("domain"),
+      robotsTxtCol(col("id")).as("txt"))
 
   private def robotsRules(s: SparkSession): DataFrame =
-    Robots.parseRules(
-      s.range(0, 11).select(robotsDomain(col("id")).as("domain"),
-        robotsTxtCol(col("id")).as("txt")),
-      "domain", "txt")
+    Robots.parseRules(robotsFixture(s), "domain", "txt")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The crawl step-zero COMPOSITION, end to end over a real WARC
@@ -202,41 +237,67 @@ object WebQueries {
     // is a projection or a domain-bounded join; the page set is
     // scanned once (plus the bounded links explode).
     "crawl_ingest_pipeline" -> ((s, dir) => {
+      crawlLedger(s, dir,
+        s.read.format("graft_warc").option("splitSize", 4096)
+          .load(warcFixturePath(s, dir)))
+    }),
+    // The LIVE-CRAWL shape of the same composition: fetchers append
+    // archives to a directory, the pipeline consumes them BEHIND the
+    // crawler — the three-segment fixture drains through the
+    // graft_warc MicroBatchStream (file-name offsets, one archive per
+    // trigger, AvailableNow termination) into a staging table, then
+    // the identical gate chain runs over the drained records. The
+    // streamed ledger must hash-equal the batch cell's (shared
+    // oracle): exactly-once per member across segment boundaries AND
+    // micro-batch boundaries.
+    "crawl_stream_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val seg = warcSegmentsPath(s, dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_warcstr/" +
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true) // fresh replay
+      s.readStream.format("graft_warc")
+        .option("splitSize", 4096).option("maxFilesPerTrigger", 1)
+        .load(seg)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .format("parquet").option("path", s"$root/drained")
+        .start().awaitTermination()
+      crawlLedger(s, dir,
+        s.read.schema(Warc.schema).parquet(s"$root/drained"))
+    }),
+    // Exact dedup of refetched pages on the archive's OWN payload
+    // digest (WARC-Payload-Digest, the header Common Crawl ships so a
+    // consumer never re-hashes what the crawler already hashed):
+    // first-wins per digest, hash-the-payload fallback for members
+    // without the header. One digest-keyed shuffle — the Dedup.exact
+    // shape keyed on provenance instead of content.
+    "crawl_digest_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val recs = s.read.format("graft_warc").option("splitSize", 4096)
-        .load(warcFixturePath(s, dir))
+        .load(warcRevisitPath(s, dir))
         .filter(col("warc_type") === "response")
-        .select(col("url"), col("status"),
+        .select(
           regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
             .as("doc_id"),
-          CharsetOps.decodeHtml(col("payload"), col("http_content_type"))
-            .as("html"))
-        .withColumn("domain",
-          UrlOps.registeredDomain(UrlOps.host(col("url"))))
-        .withColumn("path",
-          regexp_extract(col("url"), "^[a-z]+://[^/?#]+(.*)$", 1))
-      val gated = Robots.isAllowed(recs, robotsRules(s), "graftbot")
-      val staged = gated
-        .join(docs(s, dir).select(col("doc_id"), expectedCol.as("expected")),
-          Seq("doc_id"))
-        .withColumn("ok", col("status") === 200)
-        .withColumn("rb", col("ok") && col("allowed"))
-        .withColumn("ix", col("rb") &&
-          !HtmlOps.metaContent(col("html"), "robots").contains("noindex"))
-        .withColumn("ex", col("ix") &&
-          HtmlOps.extractText(col("html")) === col("expected"))
-      val ledger = staged.agg(
-        count(lit(1)).as("n_fetched"),
-        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
-        sum(when(col("rb"), 1L).otherwise(0L)).as("n_allowed"),
-        sum(when(col("ix"), 1L).otherwise(0L)).as("n_indexable"),
-        sum(when(col("ex"), 1L).otherwise(0L)).as("n_extract_ok"))
-      val links = staged.filter(col("ex"))
-        .select(explode(HtmlOps.links(col("html"))).as("lurl"))
-        .select(UrlOps.registeredDomain(UrlOps.host(col("lurl")))
-          .as("ldom"))
-        .agg(count(lit(1)).as("n_links"),
-          countDistinct(col("ldom")).as("n_domains"))
-      ledger.crossJoin(links)
+          col("payload_digest"),
+          coalesce(col("payload_digest"),
+            concat(lit("sha1hex:"), sha1(col("payload")))).as("digest"),
+          col("member_offset"))
+      val surv = recs
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("digest").orderBy("member_offset")))
+        .filter(col("__rn") === 1)
+      recs.agg(count(lit(1)).as("n_fetched"),
+          sum(when(col("payload_digest").isNull, 1L).otherwise(0L))
+            .as("n_nohdr"))
+        .crossJoin(surv.agg(count(lit(1)).as("n_unique"),
+          sum(col("doc_id")).as("sum_kept_id")))
+        .select(col("n_fetched"), col("n_unique"),
+          (col("n_fetched") - col("n_unique")).as("n_dups"),
+          col("n_nohdr"), col("sum_kept_id"))
     }),
     // RFC 9309 allow/deny over the fixture rule tables: Spark PARSES
     // the robots.txt text (group windows) and folds longest-match
@@ -260,9 +321,14 @@ object WebQueries {
     }),
     // The polite frontier: web_frontier gated by the robots verdict —
     // disallowed canonical URLs (path+query matched) never reach the
-    // schedule. Rules ride as a domain-bounded table; the frontier is
-    // never exchanged (the Psl join discipline).
+    // schedule — AND budgeted by the domain's own Crawl-delay: in a
+    // 10 s politeness window a domain with delay d yields at most
+    // floor(10/d) fetches (replacing the flat per-domain cap). Rules
+    // and delays ride as domain-bounded tables; the frontier is never
+    // exchanged (the Psl join discipline); the per-domain rank window
+    // is key-bounded.
     "web_frontier_robots" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val cn = docs(s, dir)
         .select(explode(HtmlOps.links(htmlCol)).as("url"))
         .select(UrlOps.canonicalize(col("url")).as("canon"),
@@ -278,11 +344,42 @@ object WebQueries {
       val pr = GraphOps.pageRank(domainEdges(s, dir), "src", "dst",
           iters = 3, damping = 0.85, redistributeDangling = true)
         .select(col("v").as("domain"), round(col("pr"), 4).as("pr"))
+      val delays = Robots.crawlDelay(
+        Robots.parseDelays(robotsFixture(s), "domain", "txt"), "graftbot")
       gated.join(crawled, Seq("domain"), "left_anti")
         .join(pr, "domain")
+        .join(delays, Seq("domain"), "left")
+        .withColumn("cap",
+          floor(lit(10.0) / coalesce(col("delay_s"), lit(5.0)))
+            .cast("long"))
+        .withColumn("__rk", row_number().over(Window.partitionBy("domain")
+          .orderBy(col("n_refs").desc, col("canon"))))
+        .filter(col("__rk") <= col("cap"))
         .orderBy(col("pr").desc, col("n_refs").desc, col("canon"))
         .limit(20)
         .select("canon", "domain", "n_refs", "pr")
+    }),
+    // Sitemap discovery seeds: the robots.txt `Sitemap:` URLs (the
+    // group-less discovery channel) per target domain, flagged new vs
+    // already-crawled and weighted by how often the link graph already
+    // references the domain — what a frontier folds in BEFORE link
+    // expansion. The sitemap table is domain-bounded (broadcastable);
+    // one domain-keyed rollup on the links side.
+    "web_sitemap_seeds" -> ((s, dir) => {
+      val sm = Robots.parseSitemaps(robotsFixture(s), "domain", "txt")
+      val crawled = docs(s, dir).select(srcDomainCol.as("domain"))
+        .distinct().withColumn("__c", lit(1))
+      val refs = docs(s, dir)
+        .select(explode(HtmlOps.links(htmlCol)).as("url"))
+        .select(UrlOps.registeredDomain(UrlOps.host(col("url")))
+          .as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n_refs"))
+      sm.join(crawled, Seq("domain"), "left")
+        .join(refs, Seq("domain"), "left")
+        .select(col("domain"), col("sitemap"),
+          col("__c").isNull.as("is_new"),
+          coalesce(col("n_refs"), lit(0L)).as("n_refs"))
+        .orderBy("domain")
     }),
     // Crawl-native ingest: the corpus round-trips through a REAL
     // gzip-member WARC file and back through the splittable
@@ -541,6 +638,52 @@ object WebQueries {
     }),
   )
 
+  /** The crawl step-zero gate chain over raw WARC records (batch and
+    * streamed drains share it): HTTP status gate -> robots.txt gate on
+    * the crawled URL -> charset decode -> meta-robots noindex gate ->
+    * extraction-exactness witness -> outlink harvest off the
+    * survivors. One cumulative-flag pass, a single ledger row; every
+    * gate a projection or a domain-bounded join; the page set is
+    * scanned once (plus the bounded links explode); the final
+    * crossJoin is 1-row x 1-row. */
+  private def crawlLedger(s: SparkSession, dir: String,
+      raw: DataFrame): DataFrame = {
+    val recs = raw
+      .filter(col("warc_type") === "response")
+      .select(col("url"), col("status"),
+        regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        CharsetOps.decodeHtml(col("payload"), col("http_content_type"))
+          .as("html"))
+      .withColumn("domain",
+        UrlOps.registeredDomain(UrlOps.host(col("url"))))
+      .withColumn("path",
+        regexp_extract(col("url"), "^[a-z]+://[^/?#]+(.*)$", 1))
+    val gated = Robots.isAllowed(recs, robotsRules(s), "graftbot")
+    val staged = gated
+      .join(docs(s, dir).select(col("doc_id"), expectedCol.as("expected")),
+        Seq("doc_id"))
+      .withColumn("ok", col("status") === 200)
+      .withColumn("rb", col("ok") && col("allowed"))
+      .withColumn("ix", col("rb") &&
+        !HtmlOps.metaContent(col("html"), "robots").contains("noindex"))
+      .withColumn("ex", col("ix") &&
+        HtmlOps.extractText(col("html")) === col("expected"))
+    val ledger = staged.agg(
+      count(lit(1)).as("n_fetched"),
+      sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+      sum(when(col("rb"), 1L).otherwise(0L)).as("n_allowed"),
+      sum(when(col("ix"), 1L).otherwise(0L)).as("n_indexable"),
+      sum(when(col("ex"), 1L).otherwise(0L)).as("n_extract_ok"))
+    val links = staged.filter(col("ex"))
+      .select(explode(HtmlOps.links(col("html"))).as("lurl"))
+      .select(UrlOps.registeredDomain(UrlOps.host(col("lurl")))
+        .as("ldom"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("ldom")).as("n_domains"))
+    ledger.crossJoin(links)
+  }
+
   /** Extracted outlink edges folded to registered-domain pairs —
     * shared by both PageRank pipelines. */
   /** The doc's own (crawled) domain: `dom{id mod 8}.{tld}`. */
@@ -796,13 +939,14 @@ object WebQueries {
       |    '^' || replace(pattern, '*', '.*') AS re
       |  FROM rbrules)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-    // Composition replay: every gate's expected verdict derives from
-    // the fixture residues (status 17/5, robots last-digit-3, noindex
-    // 9/0) and the extraction witness from the regenerated page — the
-    // Spark side must land the identical ledger through the real WARC
-    // read, rule parse, charset decode and extraction.
-    "crawl_ingest_pipeline" ->
+  // Composition replay: every gate's expected verdict derives from
+  // the fixture residues (status 17/5, robots last-digit-3, noindex
+  // 9/0) and the extraction witness from the regenerated page — the
+  // Spark side must land the identical ledger through the real WARC
+  // read, rule parse, charset decode and extraction. SHARED by the
+  // batch cell and the streamed drain (crawl_stream_ingest): the
+  // stream ≡ batch contract is one oracle string.
+  private val crawlLedgerSql: String =
       s"""WITH $htmlCtes,
         |$linksCte,
         |st AS (
@@ -837,7 +981,56 @@ object WebQueries {
         |lk2 AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_links,
         |    CAST(count(DISTINCT ldom) AS BIGINT) AS n_domains FROM ld)
-        |SELECT * FROM led CROSS JOIN lk2""".stripMargin,
+        |SELECT * FROM led CROSS JOIN lk2""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "crawl_ingest_pipeline" -> crawlLedgerSql,
+    "crawl_stream_ingest" -> crawlLedgerSql,
+    // Digest-dedup replay: members per doc (each doc once + the
+    // 7th-residue refetch), distinct digests = distinct docs (payloads
+    // embed the doc id), header absent on 5th-residue members.
+    "crawl_digest_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id FROM d
+        |  UNION ALL SELECT doc_id FROM d WHERE doc_id % 7 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_fetched,
+        |  CAST((SELECT count(*) FROM d) AS BIGINT) AS n_unique,
+        |  CAST(count(*) - (SELECT count(*) FROM d) AS BIGINT) AS n_dups,
+        |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nohdr,
+        |  CAST((SELECT sum(doc_id) FROM d) AS BIGINT) AS sum_kept_id
+        |FROM m""".stripMargin,
+    // Sitemap replay: the fixture's Sitemap URL per target domain,
+    // crawled flag from the dom0-7 residue, link-graph reference
+    // counts from the shared link CTEs.
+    "web_sitemap_seeds" ->
+      s"""WITH $htmlCtes,
+        |$linksCte,
+        |dm AS (
+        |  SELECT doc_id, $domainExpr AS domain
+        |  FROM (SELECT doc_id, string_split($hostExpr, '.') AS parts
+        |        FROM l)),
+        |refs AS (SELECT domain, count(*) AS n_refs FROM dm
+        |         GROUP BY domain),
+        |rbd AS (SELECT range AS t FROM range(0, 11)),
+        |sm AS (
+        |  SELECT 'dom' || CAST(t AS VARCHAR) || '.' ||
+        |    (CASE t % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |      ELSE 'co.uk' END) AS domain
+        |  FROM rbd),
+        |crawled AS (
+        |  SELECT DISTINCT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+        |    (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+        |       WHEN 1 THEN 'org' ELSE 'co.uk' END) AS domain
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT s.domain,
+        |  'https://' || s.domain || '/sitemap.xml' AS sitemap,
+        |  s.domain NOT IN (SELECT domain FROM crawled) AS is_new,
+        |  CAST(COALESCE(r.n_refs, 0) AS BIGINT) AS n_refs
+        |FROM sm s LEFT JOIN refs r ON s.domain = r.domain
+        |ORDER BY s.domain""".stripMargin,
     // Longest-match replay: rank matching rules by (len DESC, allow
     // DESC) per path, head verdict, default allow.
     "web_robots_rules" ->
@@ -912,8 +1105,15 @@ object WebQueries {
         |sel AS (
         |  SELECT fg.canon, fg.domain, fg.n_refs, round(r3.pr, 4) AS pr
         |  FROM fg JOIN r3 ON fg.domain = r3.v
-        |  WHERE fg.domain NOT IN (SELECT domain FROM crawled))
-        |SELECT canon, domain, n_refs, pr FROM sel
+        |  WHERE fg.domain NOT IN (SELECT domain FROM crawled)),
+        |pol AS (
+        |  SELECT *,
+        |    10 // (CAST(regexp_extract(domain, 'dom([0-9]+)', 1) AS BIGINT)
+        |      % 3 + 1) AS cp,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY n_refs DESC, canon) AS rk
+        |  FROM sel)
+        |SELECT canon, domain, n_refs, pr FROM pol WHERE rk <= cp
         |ORDER BY pr DESC, n_refs DESC, canon LIMIT 20""".stripMargin,
     // WARC replay: the fixture pages regenerate in SQL; statuses from
     // the residue rule; ordinal witness degenerates to count(*)

@@ -34,14 +34,22 @@ object Warc {
     StructField("record_id", StringType, nullable = true),
     StructField("status", IntegerType, nullable = true),
     StructField("http_content_type", StringType, nullable = true),
+    StructField("payload_digest", StringType, nullable = true),
     StructField("payload", BinaryType, nullable = true),
     StructField("member_offset", LongType, nullable = false),
     StructField("member_length", LongType, nullable = false)))
 
-  /** One parsed record plus its compressed-member provenance. */
+  /** One parsed record plus its compressed-member provenance.
+    * `payloadDigest` is the `WARC-Payload-Digest` header verbatim
+    * (`sha1:BASE32`, ISO 28500 §5.9) when the archive ships one —
+    * Common Crawl does, so cross-segment exact dedup of refetched
+    * pages keys on it WITHOUT re-hashing payload bytes the archive
+    * already hashed (and `revisit` records carry the digest with no
+    * payload at all). */
   final case class Record(url: String, warcType: String, warcDate: String,
       recordId: String, status: Option[Int], httpContentType: Option[String],
-      payload: Array[Byte], memberOffset: Long, memberLength: Long)
+      payloadDigest: Option[String], payload: Array[Byte],
+      memberOffset: Long, memberLength: Long)
 
   // ------------------------------------------------------------------
   // write side (fixture + any local producer)
@@ -72,15 +80,35 @@ object Warc {
     out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
   }
 
+  /** `WARC-Payload-Digest` value for an HTTP payload: `sha1:` + the
+    * RFC 4648 base32 of SHA-1 (the Common Crawl convention; 20 bytes
+    * = exactly 32 base32 chars, never padded). */
+  def payloadDigest(payload: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(payload)
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new StringBuilder(32)
+    var acc = 0L; var bits = 0
+    d.foreach { b =>
+      acc = (acc << 8) | (b & 0xffL); bits += 8
+      while (bits >= 5) {
+        bits -= 5
+        sb.append(alphabet(((acc >> bits) & 0x1f).toInt))
+      }
+    }
+    "sha1:" + sb.toString
+  }
+
   /** Serialize one WARC record (headers + block + record separator). */
   def record(warcType: String, url: String, date: String, recordId: String,
-      blockContentType: String, block: Array[Byte]): Array[Byte] = {
+      blockContentType: String, block: Array[Byte],
+      digest: Option[String] = None): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
     sb.append(s"WARC-Type: $warcType\r\n")
     if (url != null) sb.append(s"WARC-Target-URI: $url\r\n")
     sb.append(s"WARC-Date: $date\r\n")
     sb.append(s"WARC-Record-ID: <$recordId>\r\n")
+    digest.foreach(d => sb.append(s"WARC-Payload-Digest: $d\r\n"))
     sb.append(s"Content-Type: $blockContentType\r\n")
     sb.append(s"Content-Length: ${block.length}\r\n\r\n")
     val head = sb.toString.getBytes("UTF-8")
@@ -221,6 +249,7 @@ object Warc {
     val date = hdrs.get("warc-date").orNull
     val rid = hdrs.get("warc-record-id")
       .map(_.stripPrefix("<").stripSuffix(">")).orNull
+    val digest = hdrs.get("warc-payload-digest")
     if (block.length >= 5 &&
       new String(block, 0, 5, "US-ASCII") == "HTTP/") {
       val hsep = indexOfCrlfCrlf(block, 0)
@@ -238,11 +267,11 @@ object Warc {
           .collectFirst { case ("content-type", v) => v }
         val payload =
           java.util.Arrays.copyOfRange(block, hsep + 4, block.length)
-        return Record(url, wtype, date, rid, status, ct, payload,
+        return Record(url, wtype, date, rid, status, ct, digest, payload,
           memberOffset, memberLength)
       }
     }
-    Record(url, wtype, date, rid, None, None, block,
+    Record(url, wtype, date, rid, None, None, digest, block,
       memberOffset, memberLength)
   }
 

@@ -179,9 +179,29 @@ class WarcMicroBatch(path: String, splitSize: Long, required: StructType,
     if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
     else ReadLimit.allAvailable()
 
+  // Names at-or-below the committed high-water when THIS run first
+  // listed the directory are assumed processed by the prior run; any
+  // name that later lands BELOW the watermark (out-of-order fetcher,
+  // retry, clock-skewed timestamp) would be silently skipped by the
+  // name-offset contract — that skip must at least be LOUD.
+  private var knownBelowWatermark: Set[String] = _
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[NameOffset].name
-    val pending0 = listNames().filter(_ > from)
+    val names = listNames()
+    val below = names.filter(_ <= from).toSet
+    if (knownBelowWatermark == null) knownBelowWatermark = below
+    else {
+      val late = below -- knownBelowWatermark
+      if (late.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft_warc: ${late.size} archive(s) landed BELOW the " +
+            s"committed offset '$from' and will never drain " +
+            s"(lexicographic-name contract): ${late.toSeq.sorted.take(5)
+              .mkString(", ")}")
+      knownBelowWatermark ++= late
+    }
+    val pending0 = names.filter(_ > from)
     val pending = availableNowCap match {
       case Some(cap) => pending0.filter(_ <= cap)
       case None => pending0
@@ -302,6 +322,8 @@ class WarcPartitionReader(part: WarcRangePartition, cols: Array[String],
       current.status.map(i => i: java.lang.Integer).orNull
     case "http_content_type" =>
       current.httpContentType.map(UTF8String.fromString).orNull
+    case "payload_digest" =>
+      current.payloadDigest.map(UTF8String.fromString).orNull
     case "payload" => current.payload
     case "member_offset" => current.memberOffset
     case "member_length" => current.memberLength

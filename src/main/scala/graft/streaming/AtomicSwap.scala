@@ -37,7 +37,13 @@ object AtomicSwap {
 
   private def oldPath(primary: String): String = primary + "__old"
 
-  /** Swap the fully-written `stage` in as `primary`. */
+  /** Swap the fully-written `stage` in as `primary`.
+    *
+    * Tolerates a CONCURRENT healer: a reader calling [[recover]] (or
+    * [[readRecover]] finding primary missing) between steps 2 and 3
+    * rolls the READY stage forward itself; the writer's own step-3
+    * rename then fails with the primary already present and the stage
+    * gone — that is a completed swap, not an error. */
   def commit(fs: FileSystem, primary: String, stage: String): Unit = {
     val p = new Path(primary)
     val st = new Path(stage)
@@ -46,10 +52,35 @@ object AtomicSwap {
     if (fs.exists(old)) fs.delete(old, true) // leftover of a healed crash
     if (fs.exists(p))
       require(fs.rename(p, old), s"rename $p -> $old failed")
-    require(fs.rename(st, p), s"rename $st -> $p failed")
+    finishSwap(fs, p, st)
     fs.delete(new Path(p, Ready), true)
     fs.delete(old, true)
   }
+
+  /** Step 3 with concurrent-heal tolerance (seam for the race spec):
+    * a failed rename whose target already exists and whose source is
+    * gone means a reader rolled the READY stage forward first — the
+    * swap is complete, not failed. */
+  private[graft] def finishSwap(fs: FileSystem, p: Path, st: Path): Unit = {
+    // rename may return false OR throw (RawLocalFileSystem throws
+    // FileNotFoundException when the source vanished) — both resolve
+    // the same way: healed swap is success, anything else is fatal
+    val ok =
+      try fs.rename(st, p)
+      catch { case _: java.io.IOException => false }
+    if (!ok)
+      require(fs.exists(p) && !fs.exists(st), s"rename $st -> $p failed")
+  }
+
+  /** Reader-side healing: if `primary` exists it is authoritative and
+    * NOTHING is touched (a reader sweeping stage/old mid-commit would
+    * race the single writer — see [[commit]]'s step 1-2 window); only
+    * a MISSING primary (the crash window between steps 2 and 3, or a
+    * never-written artifact) triggers the full [[recover]]. Writers
+    * keep using [[recover]] — there is exactly one (the micro-batch
+    * executor), so its sweeps never race itself. */
+  def readRecover(fs: FileSystem, primary: String): Boolean =
+    if (fs.exists(new Path(primary))) true else recover(fs, primary)
 
   /** Heal an interrupted [[commit]]; returns true iff `primary` exists
     * (and is complete) afterwards. Idempotent — safe to call before

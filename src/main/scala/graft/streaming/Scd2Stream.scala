@@ -80,13 +80,14 @@ object Scd2Stream {
   }
 
   /** The maintained interval table (healing any interrupted swap
-    * before opening it). */
+    * before opening it — reader-safe: a present primary is taken
+    * as-is, so a concurrent in-flight commit is never swept). */
   def read(s: org.apache.spark.sql.SparkSession,
       statePath: String): DataFrame = {
     val dataPath = s"$statePath/data"
     val fs = new org.apache.hadoop.fs.Path(dataPath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    AtomicSwap.recover(fs, dataPath)
+    AtomicSwap.readRecover(fs, dataPath)
     s.read.parquet(dataPath)
   }
 }

@@ -82,4 +82,51 @@ class AtomicSwapSpec extends SparkSpec {
     assert(!AtomicSwap.recover(fs, primary))
     assert(!fs.exists(new Path(AtomicSwap.stagePath(primary))))
   }
+
+  test("a reader healing the swap mid-commit does not crash the " +
+    "writer: step 3 tolerates its stage already rolled forward") {
+    val dir = Files.createTempDirectory("swap").toString
+    val primary = s"$dir/state"
+    val stage = AtomicSwap.stagePath(primary)
+    // the race: writer finished step 2 (primary aside, stage READY)...
+    mkDir(primary + "__old", "old.bin")
+    mkDir(stage, "new.bin")
+    fs.create(new Path(stage, "_SWAP_READY"), true).close()
+    // ...then a reader's recover rolls the stage forward itself
+    assert(AtomicSwap.recover(fs, primary))
+    assert(contents(primary) === Set("new.bin"))
+    // the writer resumes at step 3: its rename fails, but the swap is
+    // complete — finishSwap must accept it, not kill the query
+    AtomicSwap.finishSwap(fs, new Path(primary), new Path(stage))
+    assert(contents(primary) === Set("new.bin"))
+    // whereas a rename that failed with NO healed swap still throws
+    val p2 = s"$dir/state2"
+    intercept[IllegalArgumentException] {
+      AtomicSwap.finishSwap(fs, new Path(p2),
+        new Path(AtomicSwap.stagePath(p2)))
+    }
+  }
+
+  test("readRecover: a present primary is taken as-is (an in-flight " +
+    "commit's stage and old dirs are NOT swept); a missing primary " +
+    "heals like recover") {
+    val dir = Files.createTempDirectory("swap").toString
+    val primary = s"$dir/state"
+    // mid-commit shape: primary present (step 3 done), leftovers live
+    mkDir(primary, "new.bin")
+    mkDir(primary + "__old", "old.bin")
+    mkDir(AtomicSwap.stagePath(primary), "next-batch-partial.bin")
+    assert(AtomicSwap.readRecover(fs, primary))
+    // nothing swept: the writer owns those dirs
+    assert(fs.exists(new Path(primary + "__old")))
+    assert(fs.exists(new Path(AtomicSwap.stagePath(primary))))
+    assert(contents(primary) === Set("new.bin"))
+    // missing primary: readRecover heals (stage READY rolls forward)
+    val p2 = s"$dir/state2"
+    mkDir(AtomicSwap.stagePath(p2), "s.bin")
+    fs.create(new Path(AtomicSwap.stagePath(p2), "_SWAP_READY"),
+      true).close()
+    assert(AtomicSwap.readRecover(fs, p2))
+    assert(contents(p2) === Set("s.bin"))
+  }
 }

@@ -20,6 +20,21 @@ class CharsetSpec extends SparkSpec {
     assert(CharsetDetect.resolveLabel("no-such-charset") === None)
   }
 
+  test("crawl-controlled ILLEGAL charset names never throw: the sniff " +
+    "falls through to content detection") {
+    // labels the sniff regexes admit ([\w.:-]+) but the JVM rejects as
+    // illegal names (leading '_', ':', '.') — isSupported throws on
+    // these unless guarded
+    Seq("_x", ":foo", ".bad", "-dash", "8:15").foreach { l =>
+      assert(CharsetDetect.resolveLabel(l) === None, l)
+    }
+    val page = "<meta charset=\"_x\"><p>plain ascii</p>".getBytes("UTF-8")
+    assert(CharsetDetect.sniff(page, "text/html; charset=:foo") === "UTF-8")
+    val w1252 = b('<', 'p', '>', 0xE9, '<', '/', 'p', '>')
+    assert(CharsetDetect.sniff(w1252, "text/html; charset=_x")
+      === "windows-1252")
+  }
+
   test("BOM outranks a lying meta declaration, and is stripped") {
     val body = "<meta charset=\"windows-1252\"><p>x</p>"
     val bytes = b(0xef, 0xbb, 0xbf) ++ body.getBytes("UTF-8")

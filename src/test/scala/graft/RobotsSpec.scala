@@ -85,4 +85,102 @@ class RobotsSpec extends SparkSpec {
       "anybot").collect().head.getBoolean(2)
     assert(!deep) // /p/1 prefix disallows, allow rule does not anchor
   }
+
+  test("RFC 9309 §2.2.1 substring agent match: `User-agent: graft` " +
+    "governs agent graftbot; the MOST SPECIFIC (longest) token wins") {
+    val txt =
+      """User-agent: graft
+        |Disallow: /a
+        |
+        |User-agent: graftbot
+        |Disallow: /b
+        |
+        |User-agent: *
+        |Disallow: /c
+        |""".stripMargin
+    val r = Robots.parseRules(Seq(("d.com", txt)).toDF("domain", "txt"),
+      "domain", "txt")
+    // graftbot-super matches BOTH tokens -> longest (graftbot) governs:
+    // only /b disallowed
+    val got = Robots.isAllowed(
+      Seq("/a", "/b", "/c").map(("d.com", _)).toDF("domain", "path"),
+      r, "graftbot-super").collect()
+      .map(x => (x.getString(1), x.getBoolean(2))).toMap
+    assert(got === Map("/a" -> true, "/b" -> false, "/c" -> true))
+    // plain graftbot: same (prefix `graft` loses to exact `graftbot`)
+    val got2 = Robots.isAllowed(
+      Seq("/a", "/b").map(("d.com", _)).toDF("domain", "path"),
+      r, "graftbot").collect()
+      .map(x => (x.getString(1), x.getBoolean(2))).toMap
+    assert(got2 === Map("/a" -> true, "/b" -> false))
+    // graftling matches only `graft` -> /a disallowed, not /b or /c
+    val got3 = Robots.isAllowed(
+      Seq("/a", "/b", "/c").map(("d.com", _)).toDF("domain", "path"),
+      r, "graftling").collect()
+      .map(x => (x.getString(1), x.getBoolean(2))).toMap
+    assert(got3 === Map("/a" -> false, "/b" -> true, "/c" -> true))
+    // unrelated agent -> the * group
+    val got4 = Robots.isAllowed(
+      Seq("/a", "/c").map(("d.com", _)).toDF("domain", "path"),
+      r, "otherbot").collect()
+      .map(x => (x.getString(1), x.getBoolean(2))).toMap
+    assert(got4 === Map("/a" -> true, "/c" -> false))
+  }
+
+  private val politeTxt =
+    """User-agent: graftbot
+      |Disallow: /tmp
+      |Crawl-delay: 1
+      |
+      |User-agent: *
+      |Disallow: /p/1
+      |Crawl-delay: 10
+      |Crawl-delay: junk
+      |Sitemap: https://d.com/sitemap.xml
+      |Sitemap: https://d.com/news.xml
+      |""".stripMargin
+
+  test("crawl-delay: per-group parse, non-numeric dropout, specific " +
+    "group beats * (delay precedence)") {
+    val d = Robots.parseDelays(
+      Seq(("d.com", politeTxt)).toDF("domain", "txt"), "domain", "txt")
+    val got = d.collect()
+      .map(r => (r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set(("graftbot", 1.0), ("*", 10.0)))
+    // precedence: graftbot's own group beats *
+    val mine = Robots.crawlDelay(d, "graftbot").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(mine === Map("d.com" -> 1.0))
+    // prefix match: graftbot-img inherits the graftbot group's delay
+    val img = Robots.crawlDelay(d, "graftbot-img").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(img === Map("d.com" -> 1.0))
+    // unrelated agent falls to *
+    val other = Robots.crawlDelay(d, "otherbot").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(other === Map("d.com" -> 10.0))
+  }
+
+  test("crawl-delay lines do not leak rules across groups (a delay " +
+    "line between two UA lines splits the runs)") {
+    val txt = "User-agent: a\nCrawl-delay: 2\nUser-agent: b\nDisallow: /x"
+    val r = Robots.parseRules(Seq(("d.com", txt)).toDF("domain", "txt"),
+      "domain", "txt").collect()
+      .map(x => (x.getString(1), x.getString(3))).toSet
+    assert(r === Set(("b", "/x"))) // a's group ended at the delay line
+    val d = Robots.parseDelays(Seq(("d.com", txt)).toDF("domain", "txt"),
+      "domain", "txt").collect()
+      .map(x => (x.getString(1), x.getDouble(2))).toSet
+    assert(d === Set(("a", 2.0)))
+  }
+
+  test("sitemap: group-less parse, duplicates collapsed, " +
+    "comment/blank dropout") {
+    val sm = Robots.parseSitemaps(
+      Seq(("d.com", politeTxt + "# c\nSitemap: https://d.com/news.xml\n"))
+        .toDF("domain", "txt"), "domain", "txt")
+      .collect().map(_.getString(1)).toSet
+    assert(sm === Set("https://d.com/sitemap.xml",
+      "https://d.com/news.xml"))
+  }
 }

@@ -316,4 +316,24 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
     assert(g3 === got)
   }
+
+  test("apportion edge inputs: empty frontier -> empty allocation " +
+    "(not an error); NULL weights count as 0; all-zero still loud") {
+    val empty = Seq.empty[(String, Long)].toDF("k", "w")
+    val g = graft.operators.Sampling.apportion(empty, "k", "w", 100L)
+    assert(g.columns.toSeq === Seq("k", "w", "alloc"))
+    assert(g.count() === 0L)
+    // a NULL weight is unknown demand, not a query-killer: the key
+    // stays visible with weight 0
+    val withNull = Seq(("a", Some(9L)), ("b", None))
+      .toDF("k", "w")
+    val gn = graft.operators.Sampling.apportion(withNull, "k", "w", 9L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(gn === Map("a" -> 9L, "b" -> 0L))
+    // non-empty all-zero (or all-NULL) total keeps the loud guard
+    val zero = Seq(("a", 0L), ("b", 0L)).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.apportion(zero, "k", "w", 5L)
+    }
+  }
 }

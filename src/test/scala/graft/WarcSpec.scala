@@ -179,6 +179,45 @@ class WarcSpec extends SparkSpec {
     assert(all.toSet.size === 31)
   }
 
+  test("WARC-Payload-Digest: sha1:BASE32 round-trips through write/" +
+    "parse; identical payloads share a digest; absent header is NULL") {
+    val payload = page(3).getBytes("UTF-8")
+    val dig = Warc.payloadDigest(payload)
+    assert(dig.matches("sha1:[A-Z2-7]{32}"), dig)
+    assert(dig === Warc.payloadDigest(page(3).getBytes("UTF-8")))
+    assert(dig !== Warc.payloadDigest(page(4).getBytes("UTF-8")))
+    val rec = Warc.parseRecord(Warc.record("response",
+      "https://x.com/3", "2024-01-01T00:00:00Z", "urn:uuid:3",
+      "application/http; msgtype=response",
+      Warc.httpResponse(200, "OK", "text/html", payload),
+      Some(dig)), 0L, 1L)
+    assert(rec.payloadDigest === Some(dig))
+    val bare = Warc.parseRecord(Warc.record("response",
+      "https://x.com/3", "2024-01-01T00:00:00Z", "urn:uuid:3b",
+      "application/http; msgtype=response",
+      Warc.httpResponse(200, "OK", "text/html", payload)), 0L, 1L)
+    assert(bare.payloadDigest === None)
+    // and through the source: the digest column arrives verbatim
+    val dir = Files.createTempDirectory("warc_dig").toString
+    val f = s"$dir/d.warc.gz"
+    val out = new FileOutputStream(f)
+    try {
+      out.write(Warc.gzipMember(Warc.record("response",
+        "https://x.com/a", "2024-01-01T00:00:00Z", "urn:uuid:a",
+        "application/http; msgtype=response",
+        Warc.httpResponse(200, "OK", "text/html", payload), Some(dig))))
+      out.write(Warc.gzipMember(Warc.record("response",
+        "https://x.com/b", "2024-01-01T00:00:00Z", "urn:uuid:b",
+        "application/http; msgtype=response",
+        Warc.httpResponse(200, "OK", "text/html", payload))))
+    } finally out.close()
+    val got = spark.read.format("graft_warc").load(f)
+      .select("url", "payload_digest").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(got === Map("https://x.com/a" -> Some(dig),
+      "https://x.com/b" -> None))
+  }
+
   test("404 statuses survive the parse (governance filters work)") {
     val f = writeFixture(21)
     val n404 = spark.read.format("graft_warc").load(f)
