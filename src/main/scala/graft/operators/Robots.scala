@@ -129,6 +129,19 @@ object Robots {
       .filter(col("sitemap") =!= "")
       .distinct()
 
+  /** Sitemap XML entries (sitemaps.org `<urlset>` grammar): the
+    * `<url>` elements of a fetched sitemap as an array of
+    * `(loc, lastmod)` structs — a pure regexp `Column` tree
+    * (shuffle-free, fuses into the scan), the [[HtmlOps]] discipline
+    * applied to the discovery channel [[parseSitemaps]] finds.
+    * `lastmod` is empty when the element omits it. */
+  def sitemapXmlEntries(xml: Column): Column =
+    transform(regexp_extract_all(xml, lit("(?is)<url>.*?</url>"), lit(0)),
+      e => struct(
+        trim(regexp_extract(e, "(?is)<loc>(.*?)</loc>", 1)).as("loc"),
+        trim(regexp_extract(e, "(?is)<lastmod>(.*?)</lastmod>", 1))
+          .as("lastmod")))
+
   /** Rule pattern → anchored regex: specials quoted, `*` → `.*`, a
     * TERMINAL `$` anchors (inner `$` is literal per the RFC). */
   def patternRegex(p: Column): Column = {

@@ -151,7 +151,10 @@ object WebQueries {
   /** The corpus with REFETCHES: every 7th-residue-0 doc appears twice
     * (identical payload, identical digest) — the Common Crawl
     * cross-segment duplicate shape `crawl_digest_dedup` collapses on
-    * the archive's own `WARC-Payload-Digest`. */
+    * the archive's own `WARC-Payload-Digest` — plus a `revisit`
+    * record (digest header, NO payload, the ISO 28500 §6.7 dedup
+    * form) for every 11th-residue-0 doc, which
+    * `crawl_revisit_backfill` resolves back to the stored payload. */
   private def warcRevisitPath(s: SparkSession, dir: String): String =
     BuildCache.memo(s"warc_revisit:$dir") {
       val f = new java.io.File(
@@ -162,8 +165,91 @@ object WebQueries {
         .orderBy("doc_id").collect() // fixture-only, corpus-bounded
       val out = new java.io.FileOutputStream(f)
       try rows.foreach { r =>
+        val id = r.getLong(0)
         out.write(responseMember(r))
-        if (r.getLong(0) % 7 == 0) out.write(responseMember(r, refetch = true))
+        if (id % 7 == 0) out.write(responseMember(r, refetch = true))
+        if (id % 11 == 0) {
+          val tld = Seq("com", "org", "co.uk")((id % 8 % 3).toInt)
+          out.write(Warc.gzipMember(Warc.record("revisit",
+            s"https://dom${id % 8}.$tld/doc/$id", "2024-01-03T00:00:00Z",
+            s"urn:uuid:doc-$id-v", "message/http", Array.emptyByteArray,
+            Some(Warc.payloadDigest(r.getString(1).getBytes("UTF-8"))))))
+        }
+      } finally out.close()
+      f.toString
+    }
+
+  /** robots.txt + sitemap.xml fetches as a WARC archive — the
+    * PRODUCTION arrival path of the governance fixtures (a crawler
+    * fetches them like any page; `crawl_robots_from_archive` and
+    * `web_sitemap_parse` must recover the same verdict/seed tables
+    * the DataFrame fixtures declare). Sitemap entry 0 points at a
+    * foreign CDN host; entries 1..(t mod 4)+1 are same-host. */
+  private def warcRobotsPath(s: SparkSession): String =
+    BuildCache.memo("warc_robots") {
+      val f = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_rob/" +
+          "governance.warc.gz")
+      f.getParentFile.mkdirs()
+      val rows = s.range(0, 11)
+        .select(col("id"), robotsDomain(col("id")).as("domain"),
+          robotsTxtCol(col("id")).as("txt"))
+        .orderBy("id").collect()
+      val out = new java.io.FileOutputStream(f)
+      try rows.foreach { r =>
+        val t = r.getLong(0); val dom = r.getString(1)
+        out.write(Warc.gzipMember(Warc.record("response",
+          s"https://$dom/robots.txt", "2024-01-01T00:00:00Z",
+          s"urn:uuid:robots-$t", "application/http; msgtype=response",
+          Warc.httpResponse(200, "OK", "text/plain",
+            r.getString(2).getBytes("UTF-8")))))
+        val entries = (1 to (t % 4 + 1).toInt).map { k =>
+          f"  <url><loc>https://$dom/s/$k</loc>" +
+            f"<lastmod>2024-02-${k + 1}%02d</lastmod></url>"
+        }
+        val xml = "<?xml version=\"1.0\"?>\n<urlset>\n" +
+          s"  <url><loc>https://cdn.example.org/s/$t</loc>" +
+          "<lastmod>2024-02-01</lastmod></url>\n" +
+          entries.mkString("\n") + "\n</urlset>\n"
+        out.write(Warc.gzipMember(Warc.record("response",
+          s"https://$dom/sitemap.xml", "2024-01-01T00:00:00Z",
+          s"urn:uuid:sitemap-$t", "application/http; msgtype=response",
+          Warc.httpResponse(200, "OK", "application/xml",
+            xml.getBytes("UTF-8")))))
+      } finally out.close()
+      f.toString
+    }
+
+  /** Redirect chains as a WARC archive: 301 hops `/u/k -> /u/k+1`
+    * inside 16-blocks (the url_redirects shape, arriving as crawl
+    * records with the `Location` header instead of a synthesized edge
+    * table), terminals as 200s. */
+  private def warcRedirectPath(s: SparkSession, dir: String): String =
+    BuildCache.memo(s"warc_redirect:$dir") {
+      val f = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_red/" +
+          dir.replaceAll("[^0-9a-zA-Z.]", "_") + "/redirects.warc.gz")
+      f.getParentFile.mkdirs()
+      val ids = docs(s, dir).filter(col("doc_id") < 192)
+        .select(col("doc_id")).orderBy("doc_id")
+        .collect().map(_.getLong(0)) // fixture-only, corpus-bounded
+      val out = new java.io.FileOutputStream(f)
+      try ids.foreach { id =>
+        val url = s"https://r.example.com/u/$id"
+        if (id % 16 != 15)
+          out.write(Warc.gzipMember(Warc.record("response", url,
+            "2024-01-01T00:00:00Z", s"urn:uuid:red-$id",
+            "application/http; msgtype=response",
+            Warc.httpResponse(301, "Moved Permanently", "text/html",
+              Array.emptyByteArray,
+              Seq("Location" -> s"https://r.example.com/u/${id + 1}")))))
+        else
+          out.write(Warc.gzipMember(Warc.record("response", url,
+            "2024-01-01T00:00:00Z", s"urn:uuid:red-$id",
+            "application/http; msgtype=response",
+            Warc.httpResponse(200, "OK", "text/html",
+              s"<html><body>terminal $id</body></html>"
+                .getBytes("UTF-8")))))
       } finally out.close()
       f.toString
     }
@@ -190,6 +276,35 @@ object WebQueries {
           finally out.close()
       }
       root.toString
+    }
+
+  /** The corpus with TRUNCATED captures: every 4th-residue-0 fetch is
+    * cut at 64 bytes and flagged `WARC-Truncated: length` (ISO 28500
+    * §5.13) — the partial-capture governance gate must quarantine them
+    * BEFORE extraction trusts the payload. */
+  private def warcTruncPath(s: SparkSession, dir: String): String =
+    BuildCache.memo(s"warc_trunc:$dir") {
+      val f = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_tr/" +
+          dir.replaceAll("[^0-9a-zA-Z.]", "_") + "/corpus.warc.gz")
+      f.getParentFile.mkdirs()
+      val rows = docs(s, dir).select(col("doc_id"), htmlCol.as("html"))
+        .orderBy("doc_id").collect() // fixture-only, corpus-bounded
+      val out = new java.io.FileOutputStream(f)
+      try rows.foreach { r =>
+        val id = r.getLong(0)
+        if (id % 4 == 0) {
+          val full = r.getString(1).getBytes("UTF-8")
+          val cut = java.util.Arrays.copyOf(full, math.min(64, full.length))
+          val tld = Seq("com", "org", "co.uk")((id % 8 % 3).toInt)
+          out.write(Warc.gzipMember(Warc.record("response",
+            s"https://dom${id % 8}.$tld/doc/$id", "2024-01-01T00:00:00Z",
+            s"urn:uuid:doc-$id", "application/http; msgtype=response",
+            Warc.httpResponse(200, "OK", "text/html; charset=utf-8", cut),
+            Some(Warc.payloadDigest(cut)), Some("length"))))
+        } else out.write(responseMember(r))
+      } finally out.close()
+      f.toString
     }
 
   /** Robots fixture: the 11 link-target registered domains (the
@@ -225,6 +340,26 @@ object WebQueries {
 
   private def robotsRules(s: SparkSession): DataFrame =
     Robots.parseRules(robotsFixture(s), "domain", "txt")
+
+  /** Longest-match verdict rollup over /p/0../p/12 per fixture domain
+    * — shared by `web_robots_rules` (rules parsed from the DataFrame
+    * fixture) and `crawl_robots_from_archive` (the SAME rules
+    * recovered from a fetched WARC archive): both must land the one
+    * oracle hash. */
+  private def robotsVerdicts(s: SparkSession, rules: DataFrame): DataFrame = {
+    val paths = s.range(0, 11).select(col("id").as("t"))
+      .crossJoin(s.range(0, 13).select(col("id").as("x")))
+      .select(robotsDomain(col("t")).as("domain"),
+        concat(lit("/p/"), col("x").cast("string")).as("path"),
+        col("x"))
+    Robots.isAllowed(paths, rules, "graftbot")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_paths"),
+        sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+        sum(when(col("allowed"), col("x")).otherwise(lit(0L)))
+          .as("sum_allowed"))
+      .orderBy("domain")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The crawl step-zero COMPOSITION, end to end over a real WARC
@@ -305,19 +440,226 @@ object WebQueries {
     // expected RULES directly and replays only the match — so a parse
     // bug (group leak, comment leak, empty-Disallow rule) changes the
     // verdicts and breaks the hash.
-    "web_robots_rules" -> ((s, dir) => {
-      val paths = s.range(0, 11).select(col("id").as("t"))
-        .crossJoin(s.range(0, 13).select(col("id").as("x")))
-        .select(robotsDomain(col("t")).as("domain"),
-          concat(lit("/p/"), col("x").cast("string")).as("path"),
-          col("x"))
-      Robots.isAllowed(paths, robotsRules(s), "graftbot")
+    "web_robots_rules" -> ((s, dir) =>
+      robotsVerdicts(s, robotsRules(s))),
+    // The same verdict table recovered from the PRODUCTION arrival
+    // path: robots.txt fetched as WARC records (like any page),
+    // decoded, parsed — a parse-from-archive bug breaks the shared
+    // hash. Rules stay domain-bounded; one KiB-scale archive scan.
+    "crawl_robots_from_archive" -> ((s, dir) => {
+      val arc = s.read.format("graft_warc").option("splitSize", 1024)
+        .load(warcRobotsPath(s))
+        .filter(col("warc_type") === "response" &&
+          col("url").endsWith("/robots.txt"))
+        .select(UrlOps.registeredDomain(UrlOps.host(col("url")))
+          .as("domain"),
+          CharsetOps.decodeHtml(col("payload"), col("http_content_type"))
+            .as("txt"))
+      robotsVerdicts(s, Robots.parseRules(arc, "domain", "txt"))
+    }),
+    // Sitemap XML parse off the fetched archive: <url><loc>/<lastmod>
+    // entries per domain (entry 0 deliberately foreign-host), the
+    // lastmod span a recrawl scheduler consumes. Extraction is a
+    // shuffle-free regexp tree; one domain rollup.
+    "web_sitemap_parse" -> ((s, dir) => {
+      s.read.format("graft_warc").option("splitSize", 1024)
+        .load(warcRobotsPath(s))
+        .filter(col("warc_type") === "response" &&
+          col("url").endsWith("/sitemap.xml"))
+        .select(UrlOps.registeredDomain(UrlOps.host(col("url")))
+          .as("domain"),
+          CharsetOps.decodeHtml(col("payload"), col("http_content_type"))
+            .as("xml"))
+        .select(col("domain"),
+          explode(Robots.sitemapXmlEntries(col("xml"))).as("e"))
+        .select(col("domain"), col("e").getField("loc").as("loc"),
+          col("e").getField("lastmod").as("lastmod"))
         .groupBy("domain")
-        .agg(count(lit(1)).as("n_paths"),
-          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
-          sum(when(col("allowed"), col("x")).otherwise(lit(0L)))
-            .as("sum_allowed"))
+        .agg(count(lit(1)).as("n_urls"),
+          min("lastmod").as("first_mod"), max("lastmod").as("last_mod"),
+          sum(when(col("loc").startsWith(
+            concat(lit("https://"), col("domain"))), 1L).otherwise(0L))
+            .as("n_same_host"))
         .orderBy("domain")
+    }),
+    // Redirect resolution off the archive itself: 301 records carry
+    // the Location header -> (src, dst) edges -> pointer jumping to
+    // the terminal in log(chain) self-joins (never a walk). The
+    // url_redirects semantics fed by real crawl records.
+    "crawl_redirect_resolve" -> ((s, dir) => {
+      val edges = s.read.format("graft_warc").option("splitSize", 2048)
+        .load(warcRedirectPath(s, dir))
+        .filter(col("warc_type") === "response" &&
+          col("status").isin(301, 302) && col("http_location").isNotNull)
+        .select(col("url").as("src"), col("http_location").as("dst"))
+      GraphOps.resolveChains(edges, "src", "dst", maxRounds = 5)
+        .orderBy("src")
+    }),
+    // Revisit-record backfill: `revisit` members ship the digest and
+    // NO payload (the archive already stored those bytes once) — the
+    // consumer joins digest -> stored payload. Responses fold to
+    // (digest, payload_len) BEFORE the join (map-side combine: payload
+    // bytes never shuffle); revisits of originals WITHOUT a digest
+    // header stay unresolved (the honest production caveat).
+    "crawl_revisit_backfill" -> ((s, dir) => {
+      val all = s.read.format("graft_warc").option("splitSize", 4096)
+        .load(warcRevisitPath(s, dir))
+      val rev = all.filter(col("warc_type") === "revisit")
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"), col("payload_digest").as("digest"))
+      val resp = all.filter(col("warc_type") === "response" &&
+          col("payload_digest").isNotNull)
+        .groupBy(col("payload_digest").as("digest"))
+        .agg(max(length(col("payload"))).as("payload_len"))
+      rev.join(resp, Seq("digest"), "left")
+        .agg(count(lit(1)).as("n_revisits"),
+          sum(when(col("payload_len").isNotNull, 1L).otherwise(0L))
+            .as("n_backfilled"),
+          sum(when(col("payload_len").isNotNull, col("doc_id")))
+            .as("sum_backfilled_id"),
+          sum(coalesce(col("payload_len").cast("long"), lit(0L)))
+            .as("sum_payload_len"))
+    }),
+    // Partial-capture governance: WARC-Truncated captures quarantine
+    // BEFORE extraction trusts the payload — the gate is a scan-fused
+    // projection on the header column (payload bytes never examined
+    // for the verdict); full pages round-trip char-exact.
+    "crawl_truncated_gate" -> ((s, dir) => {
+      s.read.format("graft_warc").option("splitSize", 4096)
+        .load(warcTruncPath(s, dir))
+        .filter(col("warc_type") === "response")
+        .select(col("truncated"), col("payload"))
+        .agg(count(lit(1)).as("n_fetched"),
+          sum(when(col("truncated").isNotNull, 1L).otherwise(0L))
+            .as("n_truncated"),
+          sum(when(col("truncated").isNull, 1L).otherwise(0L))
+            .as("n_full"),
+          sum(when(col("truncated").isNull,
+            length(decode(col("payload"), "UTF-8")).cast("long"))
+            .otherwise(0L)).as("sum_full_chars"))
+    }),
+    // The crawl -> training-corpus composition end to end: gate-chain
+    // survivors -> extracted text -> token counts + length gate +
+    // exact-dedup witness, rolled per language — the page set scanned
+    // once, one lang-keyed shuffle after scan-fused projections.
+    "crawl_corpus_pipeline" -> ((s, dir) => {
+      crawlStaged(s, dir,
+        s.read.format("graft_warc").option("splitSize", 4096)
+          .load(warcFixturePath(s, dir)))
+        .filter(col("ex"))
+        .select(col("doc_id"), HtmlOps.extractText(col("html")).as("body"))
+        .join(docs(s, dir).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .withColumn("n_tokens",
+          size(split(col("body"), "\\s+")).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(when(length(col("body")) >= 40, 1L).otherwise(0L))
+            .as("n_len_ok"),
+          countDistinct(col("body")).as("n_unique"))
+        .orderBy("lang")
+    }),
+    // WET generation: the gate-chain survivors' extracted text written
+    // back out as gzip-member WARC `conversion` records — one segment
+    // per partition, written BY the owning task (no driver collect, no
+    // payload shuffle), each member carrying its payload digest — then
+    // read back through the splittable source and matched against the
+    // independently-built expected text. The Common Crawl WET shape,
+    // round-tripped end to end.
+    "crawl_wet_export" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_warc_wet/" +
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true) // fresh replay
+      val exported = crawlStaged(s, dir,
+        s.read.format("graft_warc").option("splitSize", 4096)
+          .load(warcFixturePath(s, dir)))
+        .filter(col("ex"))
+        .select(col("url"), HtmlOps.extractText(col("html")).as("body"))
+      graft.sources.WarcSink.writeConversionSegments(
+        exported.repartition(8, col("url")), "url", "body", root)
+      s.read.format("graft_warc").option("splitSize", 4096).load(root)
+        .filter(col("warc_type") === "conversion")
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+          decode(col("payload"), "UTF-8").as("body"),
+          col("payload_digest"))
+        .join(docs(s, dir).select(col("doc_id"),
+          expectedCol.as("expected")), Seq("doc_id"))
+        .agg(count(lit(1)).as("n_exported"),
+          sum(when(col("body") === col("expected"), 1L).otherwise(0L))
+            .as("n_exact"),
+          sum(length(col("body")).cast("long")).as("sum_chars"),
+          sum(when(col("payload_digest").isNotNull, 1L).otherwise(0L))
+            .as("n_digested"))
+    }),
+    // CDX-style random access: a consumer holding (file, offset) from
+    // an index fetches exactly ONE member with a seek read — never a
+    // scan. The index is the source's own provenance columns (payload
+    // pruned from the index scan); fetches run executor-side in
+    // mapPartitions, one seek per sampled URL.
+    "warc_random_access" -> ((s, dir) => {
+      val path = warcFixturePath(s, dir)
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      import s.implicits._
+      val idx = s.read.format("graft_warc").option("splitSize", 4096)
+        .load(path)
+        .filter(col("warc_type") === "response")
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"), col("member_offset"))
+        .filter(pmod(col("doc_id"), lit(10L)) === 0)
+      val fetched = idx.as[(Long, Long)]
+        .mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val fs = new org.apache.hadoop.fs.Path(path)
+              .getFileSystem(conf.value)
+            it.map { case (id, off) =>
+              val rec = Warc.readMemberAt(fs, path, off)
+              (id, new String(rec.payload, "UTF-8"))
+            }
+          }
+        }.toDF("doc_id", "html")
+      fetched
+        .join(docs(s, dir).select(col("doc_id"),
+          expectedCol.as("expected")), Seq("doc_id"))
+        .agg(count(lit(1)).as("n_fetched"),
+          sum(when(HtmlOps.extractText(col("html")) === col("expected"),
+            1L).otherwise(0L)).as("n_exact"),
+          sum(col("doc_id")).as("sum_id"))
+    }),
+    // Politeness scheduling: the gated frontier turned into per-domain
+    // fetch SLOTS — rank k within a domain fetches at (k-1)*delay
+    // seconds (the archive's own Crawl-delay), first 5 per domain.
+    // Key-bounded windows only; the schedule is never globally sorted.
+    "web_fetch_schedule" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cn = docs(s, dir)
+        .select(explode(HtmlOps.links(htmlCol)).as("url"))
+        .select(UrlOps.canonicalize(col("url")).as("canon"),
+          UrlOps.registeredDomain(UrlOps.host(col("url"))).as("domain"))
+      val f = cn.groupBy("canon", "domain")
+        .agg(count(lit(1)).as("n_refs"))
+        .withColumn("path",
+          regexp_extract(col("canon"), "^[a-z]+://[^/?#]+(.*)$", 1))
+      val gated = Robots.isAllowed(f, robotsRules(s), "graftbot")
+        .filter(col("allowed"))
+      val crawled = docs(s, dir).select(srcDomainCol.as("domain"))
+        .distinct()
+      val delays = Robots.crawlDelay(
+        Robots.parseDelays(robotsFixture(s), "domain", "txt"), "graftbot")
+      gated.join(crawled, Seq("domain"), "left_anti")
+        .join(delays, Seq("domain"), "left")
+        .withColumn("rk", row_number().over(Window.partitionBy("domain")
+          .orderBy(col("n_refs").desc, col("canon"))).cast("long"))
+        .filter(col("rk") <= 5)
+        .withColumn("slot_s",
+          (col("rk") - 1) * coalesce(col("delay_s"), lit(5.0)).cast("long"))
+        .select(col("domain"), col("canon"), col("rk"), col("slot_s"))
+        .orderBy("domain", "rk")
     }),
     // The polite frontier: web_frontier gated by the robots verdict —
     // disallowed canonical URLs (path+query matched) never reach the
@@ -646,7 +988,10 @@ object WebQueries {
     * gate a projection or a domain-bounded join; the page set is
     * scanned once (plus the bounded links explode); the final
     * crossJoin is 1-row x 1-row. */
-  private def crawlLedger(s: SparkSession, dir: String,
+  /** The cumulative gate FLAGS per fetched page (ok/rb/ix/ex) — the
+    * shared front of [[crawlLedger]], the WET export and the corpus
+    * composition. */
+  private def crawlStaged(s: SparkSession, dir: String,
       raw: DataFrame): DataFrame = {
     val recs = raw
       .filter(col("warc_type") === "response")
@@ -659,8 +1004,7 @@ object WebQueries {
         UrlOps.registeredDomain(UrlOps.host(col("url"))))
       .withColumn("path",
         regexp_extract(col("url"), "^[a-z]+://[^/?#]+(.*)$", 1))
-    val gated = Robots.isAllowed(recs, robotsRules(s), "graftbot")
-    val staged = gated
+    Robots.isAllowed(recs, robotsRules(s), "graftbot")
       .join(docs(s, dir).select(col("doc_id"), expectedCol.as("expected")),
         Seq("doc_id"))
       .withColumn("ok", col("status") === 200)
@@ -669,6 +1013,11 @@ object WebQueries {
         !HtmlOps.metaContent(col("html"), "robots").contains("noindex"))
       .withColumn("ex", col("ix") &&
         HtmlOps.extractText(col("html")) === col("expected"))
+  }
+
+  private def crawlLedger(s: SparkSession, dir: String,
+      raw: DataFrame): DataFrame = {
+    val staged = crawlStaged(s, dir, raw)
     val ledger = staged.agg(
       count(lit(1)).as("n_fetched"),
       sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
@@ -983,6 +1332,34 @@ object WebQueries {
         |    CAST(count(DISTINCT ldom) AS BIGINT) AS n_domains FROM ld)
         |SELECT * FROM led CROSS JOIN lk2""".stripMargin
 
+  /** Longest-match verdict replay over /p/0../p/12 — the oracle shared
+    * by `web_robots_rules` and `crawl_robots_from_archive`. */
+  private val robotsVerdictSql: String =
+      s"""WITH $robotsCtes,
+        |paths AS (
+        |  SELECT d.domain, x.range AS x,
+        |    '/p/' || CAST(x.range AS VARCHAR) AS path
+        |  FROM rbdom d CROSS JOIN range(0, 13) x),
+        |m AS (
+        |  SELECT p.domain, p.path, r.allow, r.l
+        |  FROM paths p JOIN rbrx r ON p.domain = r.domain
+        |    AND regexp_matches(p.path, r.re)),
+        |best AS (
+        |  SELECT domain, path, allow, row_number() OVER (
+        |    PARTITION BY domain, path ORDER BY l DESC, allow DESC) AS rn
+        |  FROM m),
+        |v AS (
+        |  SELECT p.domain, p.x, COALESCE(b.allow, true) AS allowed
+        |  FROM paths p LEFT JOIN (
+        |    SELECT domain, path, allow FROM best WHERE rn = 1) b
+        |    ON p.domain = b.domain AND p.path = b.path)
+        |SELECT domain, count(*) AS n_paths,
+        |  CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_allowed,
+        |  CAST(sum(CASE WHEN allowed THEN x ELSE 0 END) AS BIGINT)
+        |    AS sum_allowed
+        |FROM v GROUP BY domain ORDER BY domain""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "crawl_ingest_pipeline" -> crawlLedgerSql,
     "crawl_stream_ingest" -> crawlLedgerSql,
@@ -1032,32 +1409,151 @@ object WebQueries {
         |FROM sm s LEFT JOIN refs r ON s.domain = r.domain
         |ORDER BY s.domain""".stripMargin,
     // Longest-match replay: rank matching rules by (len DESC, allow
-    // DESC) per path, head verdict, default allow.
-    "web_robots_rules" ->
-      s"""WITH $robotsCtes,
-        |paths AS (
-        |  SELECT d.domain, x.range AS x,
-        |    '/p/' || CAST(x.range AS VARCHAR) AS path
-        |  FROM rbdom d CROSS JOIN range(0, 13) x),
-        |m AS (
-        |  SELECT p.domain, p.path, r.allow, r.l
-        |  FROM paths p JOIN rbrx r ON p.domain = r.domain
+    // DESC) per path, head verdict, default allow. Shared with the
+    // archive-arrival sibling — same expected verdict table.
+    "web_robots_rules" -> robotsVerdictSql,
+    "crawl_robots_from_archive" -> robotsVerdictSql,
+    // Sitemap replay: entry counts/lastmod spans derive from the t
+    // residues; the Spark side must recover them through the real
+    // archive read + XML extraction.
+    "web_sitemap_parse" ->
+      """WITH rbd AS (SELECT range AS t FROM range(0, 11))
+        |SELECT 'dom' || CAST(t AS VARCHAR) || '.' ||
+        |    (CASE t % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |      ELSE 'co.uk' END) AS domain,
+        |  CAST(t % 4 + 2 AS BIGINT) AS n_urls,
+        |  '2024-02-01' AS first_mod,
+        |  '2024-02-' || lpad(CAST(t % 4 + 2 AS VARCHAR), 2, '0')
+        |    AS last_mod,
+        |  CAST(t % 4 + 1 AS BIGINT) AS n_same_host
+        |FROM rbd ORDER BY domain""".stripMargin,
+    // Redirect replay: the url_redirects arithmetic over crawl-record
+    // URLs — each source's terminal is the block end, fully resolved.
+    "crawl_redirect_resolve" ->
+      """SELECT 'https://r.example.com/u/' || CAST(doc_id AS VARCHAR)
+        |    AS src,
+        |  'https://r.example.com/u/' ||
+        |    CAST((doc_id // 16) * 16 + 15 AS VARCHAR) AS tgt,
+        |  TRUE AS resolved
+        |FROM documents
+        |WHERE doc_id < 192 AND doc_id % 16 <> 15 AND text IS NOT NULL
+        |ORDER BY src""".stripMargin,
+    // Revisit replay: revisits at 11-residue-0; backfill succeeds iff
+    // the original carried the digest header (5-residue-0 did not);
+    // recovered bytes = the page's UTF-8 length (strlen = bytes).
+    "crawl_revisit_backfill" ->
+      s"""WITH $htmlCtes,
+        |rv AS (SELECT doc_id, html FROM h WHERE doc_id % 11 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_revisits,
+        |  CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_backfilled,
+        |  CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN doc_id END)
+        |    AS BIGINT) AS sum_backfilled_id,
+        |  CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN strlen(html)
+        |    ELSE 0 END) AS BIGINT) AS sum_payload_len
+        |FROM rv""".stripMargin,
+    // Truncation replay: the 4-residue-0 captures are cut; full pages'
+    // chars = the regenerated page length.
+    "crawl_truncated_gate" ->
+      s"""WITH $htmlCtes
+        |SELECT CAST(count(*) AS BIGINT) AS n_fetched,
+        |  CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_truncated,
+        |  CAST(sum(CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_full,
+        |  CAST(sum(CASE WHEN doc_id % 4 <> 0 THEN length(html)
+        |    ELSE 0 END) AS BIGINT) AS sum_full_chars
+        |FROM h""".stripMargin,
+    // Corpus-composition replay: survivor residues -> expected text ->
+    // whitespace token counts, length gate, distinct witness, per lang.
+    "crawl_corpus_pipeline" ->
+      s"""WITH $htmlCtes,
+        |sv AS (
+        |  SELECT doc_id, lang,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || ' Doc ' ||
+        |      CAST(doc_id AS VARCHAR) || ' ' || text || ' ' || refs ||
+        |      ' Home & About' AS expected
+        |  FROM h
+        |  WHERE doc_id % 17 <> 5 AND doc_id % 10 <> 3 AND doc_id % 9 <> 0)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(expected, '\\s+'))) AS BIGINT)
+        |    AS sum_tokens,
+        |  CAST(sum(CASE WHEN length(expected) >= 40 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_len_ok,
+        |  CAST(count(DISTINCT expected) AS BIGINT) AS n_unique
+        |FROM sv GROUP BY lang ORDER BY lang""".stripMargin,
+    // WET replay: the export set is the gate-chain survivor residues
+    // (status 17/5, robots last-digit-3, noindex 9/0 — extraction is
+    // exact on every page by construction); chars = the expected
+    // text's length. Every member carries a digest by construction.
+    "crawl_wet_export" ->
+      s"""WITH $htmlCtes,
+        |sv AS (
+        |  SELECT doc_id,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || ' Doc ' ||
+        |      CAST(doc_id AS VARCHAR) || ' ' || text || ' ' || refs ||
+        |      ' Home & About' AS expected
+        |  FROM h
+        |  WHERE doc_id % 17 <> 5 AND doc_id % 10 <> 3 AND doc_id % 9 <> 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exported,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(length(expected)) AS BIGINT) AS sum_chars,
+        |  CAST(count(*) AS BIGINT) AS n_digested
+        |FROM sv""".stripMargin,
+    // Random-access replay: the sampled lookups are the 10-residue-0
+    // docs; every seek fetch must inflate to the exact page (extract
+    // == expected) for n_exact to land.
+    "warc_random_access" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_fetched,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM documents
+        |WHERE text IS NOT NULL AND doc_id % 10 = 0""".stripMargin,
+    // Schedule replay: the frontier-robots chain (without PageRank),
+    // per-domain rank by (n_refs DESC, canon), slot = (rank-1)*delay
+    // from the domain's own Crawl-delay residue.
+    "web_fetch_schedule" ->
+      s"""WITH $htmlCtes,
+        |$linksCte,
+        |$canonCte,
+        |$robotsCtes,
+        |f AS (
+        |  SELECT canon, domain, count(*) AS n_refs
+        |  FROM cn GROUP BY canon, domain),
+        |fp AS (
+        |  SELECT canon, domain, n_refs,
+        |    regexp_extract(canon, '^[a-z]+://[^/?#]+(.*)$$', 1) AS path
+        |  FROM f),
+        |rbm AS (
+        |  SELECT p.canon, p.domain, r.allow, r.l
+        |  FROM fp p JOIN rbrx r ON p.domain = r.domain
         |    AND regexp_matches(p.path, r.re)),
-        |best AS (
-        |  SELECT domain, path, allow, row_number() OVER (
-        |    PARTITION BY domain, path ORDER BY l DESC, allow DESC) AS rn
-        |  FROM m),
-        |v AS (
-        |  SELECT p.domain, p.x, COALESCE(b.allow, true) AS allowed
-        |  FROM paths p LEFT JOIN (
-        |    SELECT domain, path, allow FROM best WHERE rn = 1) b
-        |    ON p.domain = b.domain AND p.path = b.path)
-        |SELECT domain, count(*) AS n_paths,
-        |  CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_allowed,
-        |  CAST(sum(CASE WHEN allowed THEN x ELSE 0 END) AS BIGINT)
-        |    AS sum_allowed
-        |FROM v GROUP BY domain ORDER BY domain""".stripMargin,
+        |rbbest AS (
+        |  SELECT canon, domain, allow, row_number() OVER (
+        |    PARTITION BY canon, domain ORDER BY l DESC, allow DESC) AS rn
+        |  FROM rbm),
+        |fg AS (
+        |  SELECT f2.canon, f2.domain, f2.n_refs
+        |  FROM fp f2 LEFT JOIN (
+        |    SELECT canon, domain, allow FROM rbbest WHERE rn = 1) b
+        |    ON f2.canon = b.canon AND f2.domain = b.domain
+        |  WHERE COALESCE(b.allow, true)),
+        |crawled AS (
+        |  SELECT DISTINCT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+        |    (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+        |       WHEN 1 THEN 'org' ELSE 'co.uk' END) AS domain
+        |  FROM documents WHERE text IS NOT NULL),
+        |sched AS (
+        |  SELECT canon, domain,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY n_refs DESC, canon) AS rk,
+        |    CAST(regexp_extract(domain, 'dom([0-9]+)', 1) AS BIGINT)
+        |      % 3 + 1 AS delay
+        |  FROM fg WHERE domain NOT IN (SELECT domain FROM crawled))
+        |SELECT domain, canon, CAST(rk AS BIGINT) AS rk,
+        |  CAST((rk - 1) * delay AS BIGINT) AS slot_s
+        |FROM sched WHERE rk <= 5
+        |ORDER BY domain, rk""".stripMargin,
     // Frontier gated by the robots verdict: the web_frontier replay
     // with a longest-match filter on the canonical path+query.
     "web_frontier_robots" ->

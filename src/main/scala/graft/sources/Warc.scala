@@ -34,7 +34,9 @@ object Warc {
     StructField("record_id", StringType, nullable = true),
     StructField("status", IntegerType, nullable = true),
     StructField("http_content_type", StringType, nullable = true),
+    StructField("http_location", StringType, nullable = true),
     StructField("payload_digest", StringType, nullable = true),
+    StructField("truncated", StringType, nullable = true),
     StructField("payload", BinaryType, nullable = true),
     StructField("member_offset", LongType, nullable = false),
     StructField("member_length", LongType, nullable = false)))
@@ -48,7 +50,8 @@ object Warc {
     * payload at all). */
   final case class Record(url: String, warcType: String, warcDate: String,
       recordId: String, status: Option[Int], httpContentType: Option[String],
-      payloadDigest: Option[String], payload: Array[Byte],
+      httpLocation: Option[String], payloadDigest: Option[String],
+      truncated: Option[String], payload: Array[Byte],
       memberOffset: Long, memberLength: Long)
 
   // ------------------------------------------------------------------
@@ -101,7 +104,8 @@ object Warc {
   /** Serialize one WARC record (headers + block + record separator). */
   def record(warcType: String, url: String, date: String, recordId: String,
       blockContentType: String, block: Array[Byte],
-      digest: Option[String] = None): Array[Byte] = {
+      digest: Option[String] = None,
+      truncated: Option[String] = None): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
     sb.append(s"WARC-Type: $warcType\r\n")
@@ -109,6 +113,7 @@ object Warc {
     sb.append(s"WARC-Date: $date\r\n")
     sb.append(s"WARC-Record-ID: <$recordId>\r\n")
     digest.foreach(d => sb.append(s"WARC-Payload-Digest: $d\r\n"))
+    truncated.foreach(t => sb.append(s"WARC-Truncated: $t\r\n"))
     sb.append(s"Content-Type: $blockContentType\r\n")
     sb.append(s"Content-Length: ${block.length}\r\n\r\n")
     val head = sb.toString.getBytes("UTF-8")
@@ -120,9 +125,11 @@ object Warc {
   /** Serialize an HTTP response block (status line, minimal headers,
     * payload) — the block payload of a `WARC-Type: response` record. */
   def httpResponse(status: Int, reason: String, contentType: String,
-      payload: Array[Byte]): Array[Byte] = {
+      payload: Array[Byte],
+      extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
+    val extras = extraHeaders.map { case (k, v) => s"$k: $v\r\n" }.mkString
     val head = (s"HTTP/1.1 $status $reason\r\n" +
-      s"Content-Type: $contentType\r\n" +
+      s"Content-Type: $contentType\r\n" + extras +
       s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8")
     val out = new ByteArrayOutputStream(head.length + payload.length)
     out.write(head); out.write(payload)
@@ -137,11 +144,6 @@ object Warc {
     val b = in.read()
     if (b < 0) throw new EOFException("truncated gzip member")
     b
-  }
-
-  private def skipFully(in: InputStream, n: Long): Unit = {
-    var left = n
-    while (left > 0) { u8(in); left -= 1 }
   }
 
   /** Consume a gzip member header (RFC 1952, all optional fields);
@@ -169,7 +171,13 @@ object Warc {
   /** Inflate exactly ONE gzip member from `in` (positioned at the
     * member's first byte). Returns (inflated bytes, compressed member
     * length including header and 8-byte trailer). `in` may be read
-    * PAST the member end (buffering) — callers re-seek by offset. */
+    * PAST the member end (buffering) — callers re-seek by offset.
+    *
+    * The RFC 1952 trailer is VERIFIED, not skipped: a member whose
+    * deflate stream inflates but whose CRC32/ISIZE disagree is
+    * corrupt (bit rot, truncated-then-concatenated archives) and
+    * throws — the range reader's corrupt-member handler then re-syncs
+    * past it instead of shipping silently damaged payload bytes. */
   def readMember(in: InputStream): (Array[Byte], Long) = {
     val hdrLen = readGzipHeader(in)
     val inf = new Inflater(true)
@@ -177,25 +185,61 @@ object Warc {
       val out = new ByteArrayOutputStream(65536)
       val buf = new Array[Byte](65536)
       val outBuf = new Array[Byte](65536)
+      val crc = new CRC32
       var fed = 0L
+      var lastN = 0
       while (!inf.finished()) {
         if (inf.needsInput()) {
           val n = in.read(buf)
           if (n < 0) throw new EOFException("truncated gzip deflate stream")
           inf.setInput(buf, 0, n)
           fed += n
+          lastN = n
         }
         val m = inf.inflate(outBuf)
-        if (m > 0) out.write(outBuf, 0, m)
+        if (m > 0) { out.write(outBuf, 0, m); crc.update(outBuf, 0, m) }
         else if (m == 0 && inf.needsDictionary())
           throw new EOFException("gzip member needs preset dictionary")
       }
       val deflateLen = inf.getBytesRead
       // 8-byte trailer (CRC32+ISIZE); part may already sit in `buf`
-      val overRead = fed - deflateLen
-      if (overRead < 8) skipFully(in, 8 - overRead)
+      // as the inflater's unconsumed remainder
+      val trailer = new Array[Byte](8)
+      val rem = inf.getRemaining
+      var got = math.min(rem, 8)
+      if (got > 0) System.arraycopy(buf, lastN - rem, trailer, 0, got)
+      while (got < 8) { trailer(got) = u8(in).toByte; got += 1 }
+      val wantCrc = le32(trailer, 0)
+      val wantIsize = le32(trailer, 4)
+      if (wantCrc != crc.getValue)
+        throw new EOFException(
+          f"gzip CRC mismatch: trailer $wantCrc%08x != ${crc.getValue}%08x")
+      if (wantIsize != (out.size.toLong & 0xffffffffL))
+        throw new EOFException(
+          s"gzip ISIZE mismatch: trailer $wantIsize != ${out.size}")
       (out.toByteArray, hdrLen + deflateLen + 8)
     } finally inf.end()
+  }
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Random access: inflate the ONE member at `offset` of `file` —
+    * the CDX-index fetch pattern (a consumer holding (file, offset)
+    * from an index reads exactly that member, never scanning the
+    * archive; Common Crawl's cluster.idx/cdx-00000.gz serve exactly
+    * these coordinates). Executor-safe: callers pass a FileSystem
+    * built from a serialized Hadoop conf. */
+  def readMemberAt(fs: org.apache.hadoop.fs.FileSystem, file: String,
+      offset: Long): Record = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(file))
+    try {
+      in.seek(offset)
+      val (bytes, len) =
+        readMember(new java.io.BufferedInputStream(in, 65536))
+      parseRecord(bytes, offset, len)
+    } finally in.close()
   }
 
   /** True iff a gzip member starting at the stream head inflates to
@@ -250,6 +294,9 @@ object Warc {
     val rid = hdrs.get("warc-record-id")
       .map(_.stripPrefix("<").stripSuffix(">")).orNull
     val digest = hdrs.get("warc-payload-digest")
+    // ISO 28500 §5.13: the crawler cut this capture short (length /
+    // time / disconnect) — a governance column, the payload is partial
+    val trunc = hdrs.get("warc-truncated")
     if (block.length >= 5 &&
       new String(block, 0, 5, "US-ASCII") == "HTTP/") {
       val hsep = indexOfCrlfCrlf(block, 0)
@@ -260,19 +307,48 @@ object Warc {
           case parts if parts.length >= 2 => parts(1).toIntOption
           case _ => None
         }
-        val ct = httpLines.iterator.drop(1)
-          .map { l => val i = l.indexOf(':')
-            if (i < 0) ("", "") else (l.substring(0, i).trim.toLowerCase,
-              l.substring(i + 1).trim) }
-          .collectFirst { case ("content-type", v) => v }
-        val payload =
+        val httpHdrs = httpLines.iterator.drop(1).flatMap { l =>
+          val i = l.indexOf(':')
+          if (i < 0) None
+          else Some(l.substring(0, i).trim.toLowerCase ->
+            l.substring(i + 1).trim)
+        }.toMap
+        val body =
           java.util.Arrays.copyOfRange(block, hsep + 4, block.length)
-        return Record(url, wtype, date, rid, status, ct, digest, payload,
-          memberOffset, memberLength)
+        // RFC 9112 §7.1: a chunked entity body arrives as hex-sized
+        // chunks; de-chunk it so payload is the actual content. A
+        // malformed chunk frame falls back to the raw bytes (a partial
+        // capture must not kill the record).
+        val payload =
+          if (httpHdrs.get("transfer-encoding")
+            .exists(_.toLowerCase.contains("chunked")))
+            try dechunk(body) catch { case _: Exception => body }
+          else body
+        return Record(url, wtype, date, rid, status,
+          httpHdrs.get("content-type"), httpHdrs.get("location"),
+          digest, trunc, payload, memberOffset, memberLength)
       }
     }
-    Record(url, wtype, date, rid, None, None, digest, block,
+    Record(url, wtype, date, rid, None, None, None, digest, trunc, block,
       memberOffset, memberLength)
+  }
+
+  /** De-frame an RFC 9112 chunked entity body (chunk extensions after
+    * `;` ignored, trailers after the terminal 0-chunk dropped). */
+  private def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length)
+    var i = 0
+    while (i < b.length) {
+      var j = i
+      while (j < b.length && b(j) != '\r') j += 1
+      val size = java.lang.Integer.parseInt(
+        new String(b, i, j - i, "US-ASCII").split(";")(0).trim, 16)
+      i = j + 2 // past the size line's CRLF
+      if (size == 0) return out.toByteArray
+      out.write(b, i, math.min(size, b.length - i))
+      i += size + 2 // data + its CRLF
+    }
+    out.toByteArray
   }
 
   private def indexOfCrlfCrlf(bytes: Array[Byte], from: Int): Int = {

@@ -322,8 +322,12 @@ class WarcPartitionReader(part: WarcRangePartition, cols: Array[String],
       current.status.map(i => i: java.lang.Integer).orNull
     case "http_content_type" =>
       current.httpContentType.map(UTF8String.fromString).orNull
+    case "http_location" =>
+      current.httpLocation.map(UTF8String.fromString).orNull
     case "payload_digest" =>
       current.payloadDigest.map(UTF8String.fromString).orNull
+    case "truncated" =>
+      current.truncated.map(UTF8String.fromString).orNull
     case "payload" => current.payload
     case "member_offset" => current.memberOffset
     case "member_length" => current.memberLength

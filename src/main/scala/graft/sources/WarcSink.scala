@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Encoders}
+
+/** Distributed WARC writer — the WET-generation half of the crawl
+  * story. [[WarcDataSource]] reads a 100 TB archive in byte-range
+  * slices; this writes the extracted-text DERIVATIVE back out as
+  * gzip-member `WARC conversion` records (ISO 28500 §6.8 — the shape
+  * Common Crawl publishes as WET), one `.warc.gz` segment per input
+  * partition, written BY THE TASK that owns the partition (no driver
+  * collect, no payload shuffle beyond the caller's own partitioning).
+  *
+  * Commit discipline: each task writes to a `_tmp` staging name
+  * carrying its task attempt id, then renames to the final
+  * `seg-{partition}.warc.gz` only if absent — first attempt wins;
+  * a retried/speculative attempt of the same partition produces
+  * byte-identical content (gzipMember is deterministic, the input
+  * partition is the same), so the loser just deletes its stage.
+  * Callers own directory-level overwrite (delete first), the
+  * [[graft.streaming.AtomicSwap]] precedent.
+  */
+object WarcSink {
+
+  /** Write `(urlCol, textCol)` rows as conversion segments under
+    * `dir`; every member carries the payload digest so downstream
+    * dedup never re-hashes. Returns the number of records written. */
+  def writeConversionSegments(df: DataFrame, urlCol: String,
+      textCol: String, dir: String,
+      date: String = "2024-01-01T00:00:00Z"): Long = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val counts = df.select(col(urlCol).cast("string"),
+        col(textCol).cast("string"))
+      .filter(col(urlCol).isNotNull && col(textCol).isNotNull)
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val attempt = tc.taskAttemptId()
+          val fs = new Path(dir).getFileSystem(conf.value)
+          val stage = new Path(dir, f"_tmp-seg-$pid%05d-$attempt")
+          val out = fs.create(stage, true)
+          var n = 0L
+          try rows.foreach { r =>
+            val text = r.getString(1).getBytes("UTF-8")
+            out.write(Warc.gzipMember(Warc.record("conversion",
+              r.getString(0), date, s"urn:graft:conv:$pid:$n",
+              "text/plain", text, Some(Warc.payloadDigest(text)))))
+            n += 1
+          } finally out.close()
+          val dst = new Path(dir, f"seg-$pid%05d.warc.gz")
+          // first attempt wins; identical bytes either way
+          if (!fs.rename(stage, dst)) fs.delete(stage, true)
+          Iterator.single(n)
+        }
+      }(Encoders.scalaLong)
+    counts.agg(coalesce(sum("value"), lit(0L))).head().getLong(0)
+  }
+}

@@ -98,7 +98,11 @@ object Plans {
       "TakeOrdered heap — the frontier is never globally sorted"),
     "cdf_scd2" -> ("SCD2 history build: ONE pk-keyed lead window over " +
       "the journal — interval construction costs journal volume, " +
-      "never versions x table"))
+      "never versions x table"),
+    "crawl_ingest_pipeline" -> ("Crawl step zero off a real WARC " +
+      "archive: byte-range graft_warc scan, status/charset/meta gates " +
+      "as scan-fused projections, robots rules a domain-bounded join, " +
+      "the ledger crossJoin 1-row x 1-row"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -183,4 +183,26 @@ class RobotsSpec extends SparkSpec {
     assert(sm === Set("https://d.com/sitemap.xml",
       "https://d.com/news.xml"))
   }
+
+  test("sitemapXmlEntries: <url> elements -> (loc, lastmod) structs, " +
+    "whitespace trimmed, missing lastmod empty, order preserved") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<urlset>
+        |  <url><loc> https://d.com/a </loc><lastmod>2024-02-03</lastmod></url>
+        |  <url><loc>https://d.com/b</loc></url>
+        |  <url>
+        |    <LOC>https://d.com/c</LOC>
+        |    <LastMod>2024-02-05</LastMod>
+        |  </url>
+        |</urlset>""".stripMargin
+    val got = Seq(Tuple1(xml)).toDF("xml")
+      .select(explode(Robots.sitemapXmlEntries(col("xml"))).as("e"))
+      .select(col("e").getField("loc"), col("e").getField("lastmod"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq(
+      ("https://d.com/a", "2024-02-03"),
+      ("https://d.com/b", ""),
+      ("https://d.com/c", "2024-02-05")))
+  }
 }

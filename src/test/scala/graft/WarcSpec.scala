@@ -218,6 +218,124 @@ class WarcSpec extends SparkSpec {
       "https://x.com/b" -> None))
   }
 
+  test("trailer verification: a member that inflates but fails its " +
+    "CRC32 (or ISIZE) is rejected, and the range reader re-syncs " +
+    "past it instead of shipping damaged bytes") {
+    val good = Warc.gzipMember("WARC/1.0\r\nA: 1\r\n\r\n".getBytes("UTF-8"))
+    // flip a bit in the stored CRC (first trailer byte): deflate still
+    // inflates cleanly, only the checksum lies
+    val bad = good.clone()
+    bad(bad.length - 8) = (bad(bad.length - 8) ^ 0x01).toByte
+    val e = intercept[java.io.EOFException] {
+      Warc.readMember(new ByteArrayInputStream(bad))
+    }
+    assert(e.getMessage.contains("CRC"), e.getMessage)
+    // ISIZE corruption is caught the same way
+    val badIsize = good.clone()
+    badIsize(badIsize.length - 1) =
+      (badIsize(badIsize.length - 1) ^ 0x01).toByte
+    intercept[java.io.EOFException] {
+      Warc.readMember(new ByteArrayInputStream(badIsize))
+    }
+    // end-to-end: the crc-corrupt member drops, neighbors survive
+    val f = writeFixture(10)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(f))
+    val offs = spark.read.format("graft_warc").load(f)
+      .select("member_offset", "member_length", "record_id")
+      .collect().sortBy(_.getLong(0))
+    val victim = offs(5)
+    val crcPos = (victim.getLong(0) + victim.getLong(1)).toInt - 8
+    bytes(crcPos) = (bytes(crcPos) ^ 0x01).toByte
+    val dir = Files.createTempDirectory("warc_crc").toString
+    val fbad = s"$dir/crc.warc.gz"
+    Files.write(java.nio.file.Paths.get(fbad), bytes)
+    val got = spark.read.format("graft_warc").load(fbad)
+      .select("record_id")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
+    assert(got === offs.map(_.getString(2)).toSet - victim.getString(2))
+  }
+
+  test("chunked transfer-encoding is de-framed (extensions and " +
+    "trailers dropped); WARC-Truncated rides as a governance column") {
+    val chunked = ("7;ext=1\r\nchunk1 \r\n6\r\nchunk2\r\n0\r\n" +
+      "X-Trailer: t\r\n\r\n").getBytes("UTF-8")
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      "Transfer-Encoding: chunked\r\n" +
+      s"Content-Length: ${chunked.length}\r\n\r\n").getBytes("UTF-8") ++
+      chunked
+    val rec = Warc.parseRecord(Warc.record("response", "https://x.com/c",
+      "2024-01-01T00:00:00Z", "urn:uuid:c",
+      "application/http; msgtype=response", http), 0L, 1L)
+    assert(new String(rec.payload, "UTF-8") === "chunk1 chunk2")
+    assert(rec.truncated === None)
+    val cut = Warc.parseRecord(Warc.record("response", "https://x.com/t",
+      "2024-01-01T00:00:00Z", "urn:uuid:t",
+      "application/http; msgtype=response",
+      Warc.httpResponse(200, "OK", "text/html",
+        "partial".getBytes("UTF-8")),
+      None, Some("length")), 0L, 1L)
+    assert(cut.truncated === Some("length"))
+  }
+
+  test("Location header survives the parse: 301 records yield the " +
+    "redirect target; records without one yield None") {
+    val rec = Warc.parseRecord(Warc.record("response",
+      "https://x.com/old", "2024-01-01T00:00:00Z", "urn:uuid:r",
+      "application/http; msgtype=response",
+      Warc.httpResponse(301, "Moved Permanently", "text/html",
+        Array.emptyByteArray,
+        Seq("Location" -> "https://x.com/new"))), 0L, 1L)
+    assert(rec.status === Some(301))
+    assert(rec.httpLocation === Some("https://x.com/new"))
+    val ok = Warc.parseRecord(Warc.record("response",
+      "https://x.com/p", "2024-01-01T00:00:00Z", "urn:uuid:p",
+      "application/http; msgtype=response",
+      Warc.httpResponse(200, "OK", "text/html",
+        page(1).getBytes("UTF-8"))), 0L, 1L)
+    assert(ok.httpLocation === None)
+  }
+
+  test("WarcSink round trip: per-partition conversion segments, task-" +
+    "side writes, re-run without cleanup never duplicates records") {
+    import graft.sources.WarcSink
+    val dir = Files.createTempDirectory("warc_sink").toString + "/wet"
+    val df = spark.range(0, 37)
+      .selectExpr("'https://d.com/p/' || id AS url",
+        "'text ' || id AS body")
+      .repartition(5)
+    val n = WarcSink.writeConversionSegments(df, "url", "body", dir)
+    assert(n === 37)
+    val back = spark.read.format("graft_warc").load(dir)
+      .select("url", "warc_type", "payload", "payload_digest").collect()
+    assert(back.length === 37)
+    assert(back.forall(_.getString(1) === "conversion"))
+    val got = back.map(r => (r.getString(0),
+      new String(r.getAs[Array[Byte]](2), "UTF-8"))).toMap
+    (0 until 37).foreach { i =>
+      assert(got(s"https://d.com/p/$i") === s"text $i")
+    }
+    assert(back.forall(_.getString(3) != null)) // digests ride along
+    // a retried/speculative re-write finds its segment already
+    // committed: first attempt wins, nothing duplicates
+    val n2 = WarcSink.writeConversionSegments(df, "url", "body", dir)
+    assert(n2 === 37)
+    assert(spark.read.format("graft_warc").load(dir).count() === 37)
+  }
+
+  test("readMemberAt: one seek read inflates exactly the indexed " +
+    "member (the CDX random-access pattern)") {
+    val f = writeFixture(12)
+    val idx = spark.read.format("graft_warc").load(f)
+      .filter(col("warc_type") === "response")
+      .select("url", "member_offset").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val fs = new org.apache.hadoop.fs.Path(f).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rec = Warc.readMemberAt(fs, f, idx("https://dom2.com/p/7"))
+    assert(rec.url === "https://dom2.com/p/7")
+    assert(new String(rec.payload, "UTF-8") === page(7))
+  }
+
   test("404 statuses survive the parse (governance filters work)") {
     val f = writeFixture(21)
     val n404 = spark.read.format("graft_warc").load(f)
