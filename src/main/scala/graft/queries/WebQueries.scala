@@ -97,6 +97,17 @@ object WebQueries {
       lit(" "), refs, lit(" Home & About"))
   }
 
+  /** The (doc_id, page) rows every WARC fixture writer serializes —
+    * collected ONCE per (JVM, sf dir) and shared, so each additional
+    * fixture costs only its gzip pass (fixture-only, corpus-bounded).
+    */
+  private def pageRows(s: SparkSession, dir: String)
+      : Array[org.apache.spark.sql.Row] =
+    BuildCache.memo(s"warc_pagerows:$dir") {
+      docs(s, dir).select(col("doc_id"), htmlCol.as("html"))
+        .orderBy("doc_id").collect()
+    }
+
   /** The corpus as a gzip-member `.warc.gz` (one warcinfo + one
     * response record per doc, doc_id order, every 17th-residue-5 doc
     * a 404) — built ONCE per JVM and sf dir. Driver-local writer by
@@ -109,8 +120,7 @@ object WebQueries {
         s"${System.getProperty("java.io.tmpdir")}/graft_warc/" +
           dir.replaceAll("[^0-9a-zA-Z.]", "_") + "/corpus.warc.gz")
       f.getParentFile.mkdirs()
-      val rows = docs(s, dir).select(col("doc_id"), htmlCol.as("html"))
-        .orderBy("doc_id").collect() // fixture-only, corpus-bounded
+      val rows = pageRows(s, dir)
       val out = new java.io.FileOutputStream(f)
       try {
         out.write(Warc.gzipMember(Warc.record("warcinfo", null,
@@ -161,8 +171,7 @@ object WebQueries {
         s"${System.getProperty("java.io.tmpdir")}/graft_warc_rev/" +
           dir.replaceAll("[^0-9a-zA-Z.]", "_") + "/corpus.warc.gz")
       f.getParentFile.mkdirs()
-      val rows = docs(s, dir).select(col("doc_id"), htmlCol.as("html"))
-        .orderBy("doc_id").collect() // fixture-only, corpus-bounded
+      val rows = pageRows(s, dir)
       val out = new java.io.FileOutputStream(f)
       try rows.foreach { r =>
         val id = r.getLong(0)
@@ -265,8 +274,7 @@ object WebQueries {
       hp.getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(hp, true)
       root.mkdirs()
-      val rows = docs(s, dir).select(col("doc_id"), htmlCol.as("html"))
-        .orderBy("doc_id").collect() // fixture-only, corpus-bounded
+      val rows = pageRows(s, dir)
       val per = (rows.length + 2) / 3
       rows.grouped(math.max(per, 1)).zipWithIndex.foreach {
         case (seg, i) =>
@@ -288,8 +296,7 @@ object WebQueries {
         s"${System.getProperty("java.io.tmpdir")}/graft_warc_tr/" +
           dir.replaceAll("[^0-9a-zA-Z.]", "_") + "/corpus.warc.gz")
       f.getParentFile.mkdirs()
-      val rows = docs(s, dir).select(col("doc_id"), htmlCol.as("html"))
-        .orderBy("doc_id").collect() // fixture-only, corpus-bounded
+      val rows = pageRows(s, dir)
       val out = new java.io.FileOutputStream(f)
       try rows.foreach { r =>
         val id = r.getLong(0)
@@ -393,8 +400,11 @@ object WebQueries {
       val hp = new org.apache.hadoop.fs.Path(root)
       hp.getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(hp, true) // fresh replay
+      // splitSize 64 KiB: this cell grades OFFSETS and exactly-once
+      // across segment/micro-batch boundaries; the forced-many-splits
+      // boundary-sync path is graded by the batch cells (4096/2048)
       s.readStream.format("graft_warc")
-        .option("splitSize", 4096).option("maxFilesPerTrigger", 1)
+        .option("splitSize", 65536).option("maxFilesPerTrigger", 1)
         .load(seg)
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$root/ckpt")
