@@ -58,6 +58,13 @@ object Robots {
       .withColumn("__grp", sum("__start").over(w))
   }
 
+  /** Parse result shape: one row per (group member agent × rule). An
+    * EMPTY group (a User-agent line with no rules, RFC 9309 §2.2.1 —
+    * legal, and meaningful: it declares "everything allowed" for that
+    * agent, overriding any `*` rules) survives as one row with NULL
+    * allow/pattern, so [[isAllowed]]'s group selection can still see
+    * it; NULL patterns never match, and an unmatched path defaults to
+    * allowed. */
   def parseRules(df: DataFrame, domainCol: String,
       txtCol: String): DataFrame = {
     val lines = groupedLines(df, domainCol, txtCol)
@@ -68,7 +75,7 @@ object Robots {
       .filter(col("__kind").isin("allow", "disallow") && col("__val") =!= "")
       .select(col("__dom"), col("__grp"),
         (col("__kind") === "allow").as("allow"), col("__val").as("pattern"))
-    agents.join(rules, Seq("__dom", "__grp"))
+    agents.join(rules, Seq("__dom", "__grp"), "left")
       .select(col("__dom").as(domainCol), col("agent"), col("allow"),
         col("pattern"))
   }

@@ -188,6 +188,49 @@ object WebQueries {
       f.toString
     }
 
+  /** The SECOND crawl of the corpus — the snapshot-diff fixture:
+    * 9th-residue-1 pages vanished, 6th-residue-0 pages changed (a v2
+    * marker appended → new digest), ten brand-new pages appeared;
+    * everything else refetched byte-identical. */
+  private def warcSnapshotBPath(s: SparkSession, dir: String): String =
+    BuildCache.memo(s"warc_snap_b:$dir") {
+      val f = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_snap/" +
+          dir.replaceAll("[^0-9a-zA-Z.]", "_") + "/crawl-b.warc.gz")
+      f.getParentFile.mkdirs()
+      val out = new java.io.FileOutputStream(f)
+      try {
+        pageRows(s, dir).foreach { r =>
+          val id = r.getLong(0)
+          if (id % 9 != 1) {
+            if (id % 6 == 0) {
+              val tld = Seq("com", "org", "co.uk")((id % 8 % 3).toInt)
+              val payload =
+                (r.getString(1) + "<!-- v2 -->").getBytes("UTF-8")
+              out.write(Warc.gzipMember(Warc.record("response",
+                s"https://dom${id % 8}.$tld/doc/$id",
+                "2024-02-01T00:00:00Z", s"urn:uuid:doc-$id-b",
+                "application/http; msgtype=response",
+                Warc.httpResponse(200, "OK", "text/html; charset=utf-8",
+                  payload),
+                if (id % 5 == 0) None else Some(Warc.payloadDigest(payload)))))
+            } else out.write(responseMember(r))
+          }
+        }
+        (0 until 10).foreach { k =>
+          val payload = s"<html><body>new page $k</body></html>"
+            .getBytes("UTF-8")
+          out.write(Warc.gzipMember(Warc.record("response",
+            s"https://dom${k % 8}.com/doc/${100000 + k}",
+            "2024-02-01T00:00:00Z", s"urn:uuid:new-$k",
+            "application/http; msgtype=response",
+            Warc.httpResponse(200, "OK", "text/html; charset=utf-8",
+              payload), Some(Warc.payloadDigest(payload)))))
+        }
+      } finally out.close()
+      f.toString
+    }
+
   /** robots.txt + sitemap.xml fetches as a WARC archive — the
     * PRODUCTION arrival path of the governance fixtures (a crawler
     * fetches them like any page; `crawl_robots_from_archive` and
@@ -529,6 +572,35 @@ object WebQueries {
             .as("sum_backfilled_id"),
           sum(coalesce(col("payload_len").cast("long"), lit(0L)))
             .as("sum_payload_len"))
+    }),
+    // Snapshot diff between two crawls on the archives' OWN digests
+    // (the recrawl-ops question: what changed since last month's
+    // crawl?): full outer join on URL, digest compare classifies
+    // unchanged / changed / removed / added — payload bytes are never
+    // compared or shuffled, only (url, digest) pairs.
+    "crawl_snapshot_diff" -> ((s, dir) => {
+      def digests(path: String): DataFrame =
+        s.read.format("graft_warc").option("splitSize", 8192).load(path)
+          .filter(col("warc_type") === "response")
+          .select(col("url"),
+            coalesce(col("payload_digest"),
+              concat(lit("sha1hex:"), sha1(col("payload")))).as("dig"))
+      val a = digests(warcFixturePath(s, dir))
+        .withColumnRenamed("dig", "dig_a")
+      val b = digests(warcSnapshotBPath(s, dir))
+        .withColumnRenamed("dig", "dig_b")
+      a.join(b, Seq("url"), "full_outer")
+        .agg(
+          sum(when(col("dig_a").isNotNull && col("dig_b").isNotNull &&
+            col("dig_a") === col("dig_b"), 1L).otherwise(0L))
+            .as("n_unchanged"),
+          sum(when(col("dig_a").isNotNull && col("dig_b").isNotNull &&
+            col("dig_a") =!= col("dig_b"), 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(when(col("dig_b").isNull, 1L).otherwise(0L))
+            .as("n_removed"),
+          sum(when(col("dig_a").isNull, 1L).otherwise(0L))
+            .as("n_added"))
     }),
     // Partial-capture governance: WARC-Truncated captures quarantine
     // BEFORE extraction trusts the payload — the gate is a scan-fused
@@ -989,6 +1061,70 @@ object WebQueries {
         .orderBy(col("pr").desc, col("domain"))
     }),
   )
+
+  /** Per-phase timing split for the bench-heavy crawl cells (merged
+    * into SparkEntry.phases): `fixture` = one-time archive synthesis
+    * (~0 when the cell already ran this JVM), `drain` = the micro-batch
+    * stream, `ledger`/`verify` = the downstream gate/agg pass — a
+    * drift should name the phase that moved. */
+  val phases: Map[String, (SparkSession, String) => Map[String, Double]] =
+    Map(
+      "crawl_stream_ingest" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        import org.apache.spark.sql.streaming.Trigger
+        val (seg, fixture) = timed(warcSegmentsPath(s, dir))
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft_warcstr_ph/" +
+            dir.replaceAll("[^0-9a-zA-Z.]", "_")
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+        val (_, drain) = timed {
+          s.readStream.format("graft_warc")
+            .option("splitSize", 65536).option("maxFilesPerTrigger", 1)
+            .load(seg)
+            .writeStream.trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$root/ckpt")
+            .format("parquet").option("path", s"$root/drained")
+            .start().awaitTermination()
+        }
+        val (_, ledger) = timed {
+          crawlLedger(s, dir,
+            s.read.schema(Warc.schema).parquet(s"$root/drained")).count()
+        }
+        Map("fixture" -> fixture, "drain" -> drain, "ledger" -> ledger)
+      }),
+      "crawl_wet_export" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (fix, fixture) = timed(warcFixturePath(s, dir))
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft_warc_wet_ph/" +
+            dir.replaceAll("[^0-9a-zA-Z.]", "_")
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+        val exported = crawlStaged(s, dir,
+          s.read.format("graft_warc").option("splitSize", 4096).load(fix))
+          .filter(col("ex"))
+          .select(col("url"), HtmlOps.extractText(col("html")).as("body"))
+        val (_, export) = timed {
+          graft.sources.WarcSink.writeConversionSegments(
+            exported.repartition(8, col("url")), "url", "body", root)
+        }
+        val (_, verify) = timed {
+          s.read.format("graft_warc").load(root)
+            .filter(col("warc_type") === "conversion").count()
+        }
+        Map("fixture" -> fixture, "export" -> export, "verify" -> verify)
+      }))
 
   /** The crawl step-zero gate chain over raw WARC records (batch and
     * streamed drains share it): HTTP status gate -> robots.txt gate on
@@ -1462,6 +1598,19 @@ object WebQueries {
         |  CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN strlen(html)
         |    ELSE 0 END) AS BIGINT) AS sum_payload_len
         |FROM rv""".stripMargin,
+    // Snapshot-diff replay: classification counts derive from the
+    // crawl-B residues (gone 9/1, changed 6/0, ten added).
+    "crawl_snapshot_diff" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL)
+        |SELECT
+        |  CAST(sum(CASE WHEN doc_id % 9 <> 1 AND doc_id % 6 <> 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+        |  CAST(sum(CASE WHEN doc_id % 9 <> 1 AND doc_id % 6 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN doc_id % 9 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_removed,
+        |  CAST(10 AS BIGINT) AS n_added
+        |FROM d""".stripMargin,
     // Truncation replay: the 4-residue-0 captures are cut; full pages'
     // chars = the regenerated page length.
     "crawl_truncated_gate" ->

@@ -127,6 +127,26 @@ class RobotsSpec extends SparkSpec {
     assert(got4 === Map("/a" -> true, "/c" -> false))
   }
 
+  test("RFC 9309 empty group: a User-agent line with NO rules means " +
+    "everything allowed for that agent — it must override the * " +
+    "group, not fall through to it") {
+    // the empty group can only exist after another group's rules (a
+    // blank line does NOT split consecutive UA lines) or at EOF
+    val txt = "User-agent: *\nDisallow: /\nUser-agent: graftbot\n"
+    val r = Robots.parseRules(Seq(("d.com", txt)).toDF("domain", "txt"),
+      "domain", "txt")
+    // the empty group survives parse as a NULL-rule row
+    assert(r.filter(col("agent") === "graftbot").count() === 1)
+    val got = Robots.isAllowed(
+      Seq(("d.com", "/x")).toDF("domain", "path"), r, "graftbot")
+      .collect().head.getBoolean(2)
+    assert(got, "graftbot's own (empty) group allows everything")
+    val other = Robots.isAllowed(
+      Seq(("d.com", "/x")).toDF("domain", "path"), r, "otherbot")
+      .collect().head.getBoolean(2)
+    assert(!other, "agents without a group still hit the * Disallow /")
+  }
+
   private val politeTxt =
     """User-agent: graftbot
       |Disallow: /tmp
@@ -167,7 +187,9 @@ class RobotsSpec extends SparkSpec {
     val r = Robots.parseRules(Seq(("d.com", txt)).toDF("domain", "txt"),
       "domain", "txt").collect()
       .map(x => (x.getString(1), x.getString(3))).toSet
-    assert(r === Set(("b", "/x"))) // a's group ended at the delay line
+    // a's group ended at the delay line — and, rule-less, it survives
+    // as the RFC empty-group row (allow-all for agent a)
+    assert(r === Set(("a", null), ("b", "/x")))
     val d = Robots.parseDelays(Seq(("d.com", txt)).toDF("domain", "txt"),
       "domain", "txt").collect()
       .map(x => (x.getString(1), x.getDouble(2))).toSet

@@ -106,6 +106,18 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("split planning contract: partition count is exactly " +
+    "ceil(len / splitSize) — a 1 GiB archive at the 32 MiB default " +
+    "becomes ~32 independent slices, no planner surprises") {
+    val f = writeFixture(30)
+    val len = new java.io.File(f).length()
+    Seq(256L, 1024L, 1L << 20).foreach { sp =>
+      val n = spark.read.format("graft_warc").option("splitSize", sp)
+        .load(f).rdd.getNumPartitions
+      assert(n === ((len + sp - 1) / sp).toInt, s"splitSize=$sp len=$len")
+    }
+  }
+
   test("column pruning reaches the scan (payload not materialized " +
     "for a governance projection)") {
     val f = writeFixture(5)
