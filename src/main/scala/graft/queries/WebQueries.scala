@@ -602,6 +602,46 @@ object WebQueries {
           sum(when(col("dig_a").isNull, 1L).otherwise(0L))
             .as("n_added"))
     }),
+    // Recrawl -> CDF bridge: the snapshot diff emits a change JOURNAL
+    // (added -> I, changed -> U, removed -> D, keyed by URL with the
+    // payload digest as the tracked value) and the SCD2 fold turns it
+    // into interval history of the web — every page version a
+    // [valid_from, valid_to) row, current flags live. The crawl tier
+    // feeds the same ChangeLog machinery every dimension table here
+    // uses; one pk window over the journal, never a per-snapshot walk.
+    "crawl_cdf_sync" -> ((s, dir) => {
+      def digests(path: String): DataFrame =
+        s.read.format("graft_warc").option("splitSize", 8192).load(path)
+          .filter(col("warc_type") === "response")
+          .select(col("url"),
+            regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+              .as("doc_id"),
+            coalesce(col("payload_digest"),
+              concat(lit("sha1hex:"), sha1(col("payload")))).as("dig"))
+      val a = digests(warcFixturePath(s, dir))
+      val b = digests(warcSnapshotBPath(s, dir))
+      val journalA = a.select(col("url"), col("dig"),
+        lit("I").as("__op"), col("doc_id").as("__seq"))
+      val diff = a.select(col("url"), col("dig").as("dig_a"))
+        .join(b.select(col("url"), col("doc_id"), col("dig").as("dig_b")),
+          Seq("url"), "full_outer")
+        .withColumn("__seq",
+          lit(1000000L) + coalesce(col("doc_id"),
+            regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")))
+      val ops = diff
+        .withColumn("__op",
+          when(col("dig_a").isNull, "I")
+            .when(col("dig_b").isNull, "D")
+            .when(col("dig_a") =!= col("dig_b"), "U"))
+        .filter(col("__op").isNotNull)
+        .select(col("url"), coalesce(col("dig_b"), col("dig_a")).as("dig"),
+          col("__op"), col("__seq"))
+      val iv = graft.index.ChangeLog.scd2(journalA.union(ops), "url")
+      iv.agg(count(lit(1)).as("n_intervals"),
+        sum(when(col("__current"), 1L).otherwise(0L)).as("n_current"),
+        sum(when(!col("__current"), 1L).otherwise(0L)).as("n_closed"),
+        countDistinct(col("url")).as("n_urls"))
+    }),
     // Partial-capture governance: WARC-Truncated captures quarantine
     // BEFORE extraction trusts the payload — the gate is a scan-fused
     // projection on the header column (payload bytes never examined
@@ -1598,6 +1638,23 @@ object WebQueries {
         |  CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN strlen(html)
         |    ELSE 0 END) AS BIGINT) AS sum_payload_len
         |FROM rv""".stripMargin,
+    // CDF-bridge replay: interval arithmetic over the crawl-B residues
+    // (N docs + C changed re-opens + 10 added inserts; closed = C
+    // updates + R deletes; current = the rest; urls = N + 10).
+    "crawl_cdf_sync" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+        |k AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN doc_id % 9 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r,
+        |    CAST(sum(CASE WHEN doc_id % 9 <> 1 AND doc_id % 6 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM d)
+        |SELECT n + c + 10 AS n_intervals,
+        |  n - r - c + c + 10 AS n_current,
+        |  c + r AS n_closed,
+        |  n + 10 AS n_urls
+        |FROM k""".stripMargin,
     // Snapshot-diff replay: classification counts derive from the
     // crawl-B residues (gone 9/1, changed 6/0, ten added).
     "crawl_snapshot_diff" ->
