@@ -68,7 +68,11 @@ object Robots {
   def parseRules(df: DataFrame, domainCol: String,
       txtCol: String): DataFrame = {
     val lines = groupedLines(df, domainCol, txtCol)
-    val agents = lines.filter(col("__kind") === "user-agent")
+    // a bare `User-agent:` (empty token) would prefix-match EVERY
+    // crawler and, as a non-* token, hijack group selection from the
+    // * group — malformed lines must not become a universal group
+    val agents = lines.filter(col("__kind") === "user-agent" &&
+        col("__val") =!= "")
       .select(col("__dom"), col("__grp"), lower(col("__val")).as("agent"))
       .distinct()
     val rules = lines
@@ -88,7 +92,10 @@ object Robots {
   def parseDelays(df: DataFrame, domainCol: String,
       txtCol: String): DataFrame = {
     val lines = groupedLines(df, domainCol, txtCol)
-    val agents = lines.filter(col("__kind") === "user-agent")
+    // same blank-token guard as parseRules: a bare `User-agent:` line
+    // must not claim the crawl delay for every crawler
+    val agents = lines.filter(col("__kind") === "user-agent" &&
+        col("__val") =!= "")
       .select(col("__dom"), col("__grp"), lower(col("__val")).as("agent"))
       .distinct()
     val delays = lines
@@ -106,7 +113,10 @@ object Robots {
     * specific applicable group wins (longest prefix-matching token
     * beats `*`, the [[isAllowed]] selection rule); domains with no
     * applicable delay are absent (callers coalesce their own
-    * default). */
+    * default). When two DISTINCT matching tokens tie on length, the
+    * LARGER delay wins (most-polite-wins — the same resolution
+    * [[parseDelays]] applies to duplicate delay lines inside one
+    * group, extended across equally-specific groups). */
   def crawlDelay(delays: DataFrame, agent: String,
       domainCol: String = "domain",
       outCol: String = "delay_s"): DataFrame = {

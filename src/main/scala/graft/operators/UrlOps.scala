@@ -100,6 +100,31 @@ object UrlOps {
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
   }
 
+  /** SURT key (Sort-friendly URI Reordered Transform — the CDX index
+    * key of every public web archive: OpenWayback's canonical form,
+    * Common Crawl's cluster.idx/cdx-*.gz first field):
+    * `com,example)/path?a=1` — host labels REVERSED and comma-joined,
+    * scheme dropped, then `)` and the canonicalized path + query.
+    * Host reversal is what makes a lexicographic sort group a domain's
+    * pages (and all of `*.example.com`) into one contiguous key range,
+    * so a range-partitioned index prunes by domain.
+    *
+    * Normalizations match [[canonicalize]]: lowercase host, `www.`
+    * strip, default-port drop, trailing-slash trim, tracking-param
+    * strip + param sort, fragment drop; the whole key lowercases
+    * (archive keys are case-folded). Pure `Column` tree. */
+  def surt(url: Column): Column = {
+    val h = regexp_replace(host(url), "^www\\.", "")
+    val revHost = array_join(reverse(split(h, "\\.")), ",")
+    val p = port(url)
+    val keepPort = when(p === "" || p === "80" || p === "443", lit(""))
+      .otherwise(concat(lit(":"), p))
+    val cleanPath = rtrim(path(url), "/")
+    val q = cleanQuery(url)
+    lower(concat(revHost, keepPort, lit(")"), cleanPath,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+  }
+
   /** Multi-label public suffixes the sf corpora exercise; a production
     * deployment swaps in the full public-suffix list (it is a bounded
     * lookup table — broadcast-sized by nature). */

@@ -158,6 +158,18 @@ object UrlQueries {
             .as("domain"))
         .orderBy("doc_id")
     }),
+    // SURT keys (the CDX index key of every public web archive):
+    // host-reversed sort-friendly form, every canonicalization rule
+    // riding along, hash-checked string for string. The domain-
+    // contiguity property a SURT sort guarantees (all of a registered
+    // domain's pages in one key range) is pinned by UrlOpsSpec.
+    "url_surt" -> ((s, dir) => {
+      docs(s, dir).filter(col("doc_id") < 90)
+        .select(col("doc_id"), urlCol.as("url"))
+        .select(col("doc_id"), col("url"),
+          UrlOps.surt(col("url")).as("surt"))
+        .orderBy("doc_id")
+    }),
     // Registered-domain rollup + blocklist verdict: the per-site
     // governance shape (domain caps, blocklists) — one hash shuffle on
     // the domain key.
@@ -286,6 +298,46 @@ object UrlQueries {
          |c AS ($canonSqlCte)
          |SELECT doc_id, url, canon, host, domain
          |FROM c WHERE doc_id < 90 ORDER BY doc_id""".stripMargin,
+    // SURT replay: the same delimiter-exact parse as the canonicalize
+    // CTE, then host-label reversal + `)` + canonical path?query, all
+    // lowercased — list_reverse is the DuckDB twin of the engine's
+    // reverse(split(...)) tree.
+    "url_surt" ->
+      s"""WITH u AS ($urlSqlCte),
+         |s AS (
+         |  SELECT doc_id, url,
+         |    lower(array_to_string(list_reverse(string_split(h, '.')),
+         |        ',') ||
+         |      (CASE WHEN port IN ('', '80', '443') THEN ''
+         |            ELSE ':' || port END) ||
+         |      ')' || clean_path ||
+         |      (CASE WHEN cq = '' THEN '' ELSE '?' || cq END)) AS surt
+         |  FROM (
+         |    SELECT doc_id, url, h, port,
+         |      rtrim(string_split(pathq, '?')[1], '/') AS clean_path,
+         |      coalesce(array_to_string(list_sort(list_filter(
+         |        string_split(coalesce(string_split(pathq, '?')[2], ''),
+         |          '&'),
+         |        x -> x <> '' AND NOT starts_with(x, 'utm_')
+         |          AND NOT starts_with(x, 'fbclid=')
+         |          AND NOT starts_with(x, 'gclid=')
+         |          AND NOT starts_with(x, 'ref='))), '&'), '') AS cq
+         |    FROM (
+         |      SELECT doc_id, url,
+         |        regexp_replace(host, '^www\\.', '') AS h,
+         |        coalesce(string_split(hostport, ':')[2], '') AS port,
+         |        string_split(substr(rest, len(hostport) + 1), '#')[1]
+         |          AS pathq
+         |      FROM (
+         |        SELECT doc_id, url,
+         |          string_split(url, '://')[2] AS rest,
+         |          string_split_regex(string_split(url, '://')[2],
+         |            '[/?#]')[1] AS hostport,
+         |          lower(string_split(string_split_regex(string_split(url,
+         |            '://')[2], '[/?#]')[1], ':')[1]) AS host
+         |        FROM u))))
+         |SELECT doc_id, url, surt FROM s
+         |WHERE doc_id < 90 ORDER BY doc_id""".stripMargin,
     "url_domain_stats" ->
       s"""WITH u AS ($urlSqlCte),
          |c AS ($canonSqlCte)

@@ -14,11 +14,16 @@ import org.apache.spark.sql.{DataFrame, Encoders}
   *
   * Commit discipline: each task writes to a `_tmp` staging name
   * carrying its task attempt id, then renames to the final
-  * `seg-{partition}.warc.gz` only if absent — first attempt wins;
-  * a retried/speculative attempt of the same partition produces
-  * byte-identical content (gzipMember is deterministic, the input
-  * partition is the same), so the loser just deletes its stage.
-  * Callers own directory-level overwrite (delete first), the
+  * `seg-{partition}.warc.gz` only if absent — first attempt wins.
+  * Rows are sorted within the partition on the URL key before
+  * serialization, so a retried/speculative attempt of the same
+  * partition produces byte-identical content (gzipMember is
+  * deterministic, the input partition is the same set, and the sort
+  * pins record order and the `urn:graft:conv` ordinals) and the
+  * loser just deletes its stage. Stale `_tmp-seg-*` orphans from
+  * attempts that died mid-write are swept on entry (they are already
+  * excluded from reads by the `.warc.gz` suffix filter). Callers own
+  * directory-level overwrite (delete first), the
   * [[graft.streaming.AtomicSwap]] precedent.
   */
 object WarcSink {
@@ -31,9 +36,22 @@ object WarcSink {
       date: String = "2024-01-01T00:00:00Z"): Long = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    // sweep stale staging orphans from prior attempts that died
+    // mid-write (never visible to readers, but never self-cleaning)
+    val dirPath = new Path(dir)
+    val dirFs = dirPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (dirFs.exists(dirPath))
+      dirFs.listStatus(dirPath)
+        .filter(_.getPath.getName.startsWith("_tmp-seg-"))
+        .foreach(s => dirFs.delete(s.getPath, false))
     val counts = df.select(col(urlCol).cast("string"),
         col(textCol).cast("string"))
       .filter(col(urlCol).isNotNull && col(textCol).isNotNull)
+      // pin within-partition order: hash-repartition iteration order is
+      // not otherwise deterministic across attempts, and the record
+      // order + per-record ordinal must be for byte-identical segments
+      .sortWithinPartitions(col(urlCol))
       .mapPartitions { rows =>
         if (!rows.hasNext) Iterator.empty
         else {

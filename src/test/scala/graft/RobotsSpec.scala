@@ -227,4 +227,45 @@ class RobotsSpec extends SparkSpec {
       ("https://d.com/b", ""),
       ("https://d.com/c", "2024-02-05")))
   }
+
+  test("a bare `User-agent:` line (empty token) never becomes a " +
+    "universal group: rules and delays stay with the * group") {
+    val txt =
+      """User-agent:
+        |Disallow: /hijacked
+        |Crawl-delay: 99
+        |
+        |User-agent: *
+        |Disallow: /blocked
+        |Crawl-delay: 2
+        |""".stripMargin
+    val r = Robots.parseRules(Seq(("d.com", txt)).toDF("domain", "txt"),
+      "domain", "txt")
+    // the empty token's group is dropped entirely; * group intact
+    assert(r.collect().map(x => (x.getString(1), x.getString(3))).toSet
+      === Set(("*", "/blocked")))
+    val got = Robots.isAllowed(
+      Seq(("d.com", "/hijacked"), ("d.com", "/blocked"))
+        .toDF("domain", "path"), r, "anybot").collect()
+      .map(x => (x.getString(1), x.getBoolean(2))).toMap
+    assert(got === Map("/hijacked" -> true, "/blocked" -> false))
+    val d = Robots.crawlDelay(
+      Robots.parseDelays(Seq(("d.com", txt)).toDF("domain", "txt"),
+        "domain", "txt"), "anybot").collect()
+    assert(d.map(x => (x.getString(0), x.getDouble(1))).toSeq
+      === Seq(("d.com", 2.0)))
+  }
+
+  test("crawlDelay tie-break: equal-specificity groups resolve to the " +
+    "LARGER delay (most-polite-wins, the documented semantics)") {
+    // the same token declared by two groups with different delays —
+    // equal specificity, the larger (more polite) delay governs
+    val dup = Robots.parseDelays(
+      Seq(("d.com", "User-agent: graftbot\nCrawl-delay: 3\n\n" +
+        "User-agent: othergroup\nUser-agent: graftbot\nCrawl-delay: 7\n"))
+        .toDF("domain", "txt"), "domain", "txt")
+    val got = Robots.crawlDelay(dup, "graftbot").collect()
+    assert(got.map(x => (x.getString(0), x.getDouble(1))).toSeq
+      === Seq(("d.com", 7.0)))
+  }
 }

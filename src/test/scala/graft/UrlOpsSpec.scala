@@ -92,4 +92,42 @@ class UrlOpsSpec extends SparkSpec {
       .queryExecution.executedPlan
     assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty)
   }
+
+  test("surt: host reversal, canonicalization rules, case fold") {
+    import spark.implicits._
+    val got = Seq(
+      "https://WWW.Example.COM/Path/?utm_source=x&b=2&a=1#frag",
+      "https://a.b.example.co.uk:8080/x",
+      "http://example.com:80/",
+      "https://example.com")
+      .toDF("url").select(UrlOps.surt(col("url")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq(
+      "com,example)/path?a=1&b=2",
+      "uk,co,example,b,a:8080)/x", // reversed labels, explicit port kept
+      "com,example)",
+      "com,example)"))
+  }
+
+  test("surt sort groups a registered domain's pages contiguously " +
+    "(the property that makes a CDX index range-prunable by domain)") {
+    import spark.implicits._
+    val urls = (0 until 60).map { i =>
+      val host = Seq("a.example.com", "example.com", "other.net",
+        "example.co.uk", "b.example.com", "www.other.net")(i % 6)
+      s"https://$host/p/$i"
+    }
+    val df = urls.toDF("url")
+      .select(UrlOps.surt(col("url")).as("surt"),
+        UrlOps.registeredDomain(
+          regexp_replace(UrlOps.host(col("url")), "^www\\.", ""))
+          .as("domain"))
+      .orderBy("surt")
+      .collect().map(r => r.getString(1))
+    // once sorted by surt, each domain appears in ONE contiguous run
+    val runs = df.foldLeft(List.empty[String]) { (acc, d) =>
+      if (acc.headOption.contains(d)) acc else d :: acc
+    }
+    assert(runs.size === runs.distinct.size)
+  }
 }
