@@ -430,7 +430,28 @@ case class BpeEncode(child: Expression, merges: Seq[(Int, String)])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `binary → binary`: inflate one gzip stream (RFC 1952), NULL on
+  * malformed input (the corrupt-blob contract of the media decoders —
+  * a damaged fetch surfaces as NULL, the downstream gate owns the
+  * drop). The expression form keeps compressed-payload decode inside
+  * the scan projection (sitemap `.xml.gz` fetches, compressed text
+  * blobs) instead of forcing a typed-Dataset detour. */
+case class GunzipBytes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "gunzip"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.Multimodal
+      .gzipDecompress(input.asInstanceOf[Array[Byte]]).orNull
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextExpressions {
+  def gunzip(c: Column): Column =
+    Bridge.column(GunzipBytes(Bridge.expression(c)))
   def wordShingles(c: Column, n: Int = 3): Column =
     Bridge.column(WordShingles(Bridge.expression(c), n))
   def bpeEncode(c: Column, merges: Seq[(Int, String)]): Column =

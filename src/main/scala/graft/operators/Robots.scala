@@ -159,6 +159,18 @@ object Robots {
         trim(regexp_extract(e, "(?is)<lastmod>(.*?)</lastmod>", 1))
           .as("lastmod")))
 
+  /** Sitemap INDEX entries (sitemaps.org `<sitemapindex>` grammar):
+    * the child sitemap `<loc>` URLs of an index document, as an array
+    * column — the discovery chain's middle hop (`robots.txt →
+    * <sitemapindex> → *.xml[.gz] → <urlset>`), a shuffle-free regexp
+    * tree like [[sitemapXmlEntries]]. A plain `<urlset>` document has
+    * no `<sitemap>` elements and yields an empty array, so callers
+    * can branch on document kind without sniffing. */
+  def sitemapIndexEntries(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml, lit("(?is)<sitemap>.*?</sitemap>"), lit(0)),
+      e => trim(regexp_extract(e, "(?is)<loc>(.*?)</loc>", 1)))
+
   /** Rule pattern → anchored regex: specials quoted, `*` → `.*`, a
     * TERMINAL `$` anchors (inner `$` is literal per the RFC). */
   def patternRegex(p: Column): Column = {

@@ -39,7 +39,11 @@ object Warc {
     StructField("truncated", StringType, nullable = true),
     StructField("payload", BinaryType, nullable = true),
     StructField("member_offset", LongType, nullable = false),
-    StructField("member_length", LongType, nullable = false)))
+    StructField("member_length", LongType, nullable = false),
+    // the archive file the member lives in — with (member_offset,
+    // member_length) the full random-access coordinate a CDX index
+    // records (Common Crawl cdx field `filename`)
+    StructField("file", StringType, nullable = false)))
 
   /** One parsed record plus its compressed-member provenance.
     * `payloadDigest` is the `WARC-Payload-Digest` header verbatim
@@ -334,19 +338,28 @@ object Warc {
   }
 
   /** De-frame an RFC 9112 chunked entity body (chunk extensions after
-    * `;` ignored, trailers after the terminal 0-chunk dropped). */
+    * `;` ignored, trailers after the terminal 0-chunk dropped).
+    * Bare-LF size/data line terminators are accepted alongside CRLF —
+    * lenient servers and partial captures ship them, and rejecting
+    * the frame would leave hex size lines embedded in the payload. */
   private def dechunk(b: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream(b.length)
+    // consume a CRLF or bare LF at `p`, returning the next index
+    def pastEol(p: Int): Int =
+      if (p < b.length && b(p) == '\r' && p + 1 < b.length &&
+        b(p + 1) == '\n') p + 2
+      else if (p < b.length && b(p) == '\n') p + 1
+      else p
     var i = 0
     while (i < b.length) {
       var j = i
-      while (j < b.length && b(j) != '\r') j += 1
+      while (j < b.length && b(j) != '\r' && b(j) != '\n') j += 1
       val size = java.lang.Integer.parseInt(
         new String(b, i, j - i, "US-ASCII").split(";")(0).trim, 16)
-      i = j + 2 // past the size line's CRLF
+      i = pastEol(j) // past the size line terminator
       if (size == 0) return out.toByteArray
       out.write(b, i, math.min(size, b.length - i))
-      i += size + 2 // data + its CRLF
+      i = pastEol(i + size) // data + its terminator
     }
     out.toByteArray
   }

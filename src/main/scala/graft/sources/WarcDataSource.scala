@@ -84,13 +84,14 @@ class WarcScan(path: String, splitSize: Long, required: StructType,
   /** Streaming form: new `.warc.gz` files landing in the directory
     * drain incrementally — the shape of a live crawl, where fetchers
     * append archives and the corpus pipeline consumes them behind.
-    * The offset is the last processed file NAME, so the contract is
-    * the crawler convention of lexicographically increasing names
-    * (timestamped segments); a restart resumes past the committed
-    * name, files named BELOW it are never revisited. */
+    * Offsets index a PROCESSED-NAME LOG under the checkpoint (the
+    * FileStreamSource discipline), so archives landing in ANY name
+    * order drain exactly once — including names that sort below
+    * already-processed ones, and across restarts. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WarcMicroBatch(path, splitSize, required, maxFilesPerTrigger)
+    new WarcMicroBatch(path, splitSize, required, maxFilesPerTrigger,
+      checkpointLocation)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.sql.SparkSession.active
@@ -126,28 +127,59 @@ case class WarcRangePartition(file: String, start: Long, end: Long)
     extends InputPartition
 
 /** Micro-batch stream over a directory of gzip-member WARC files.
-  * Offsets are the LAST PROCESSED FILE NAME (crawler segments sort
-  * lexicographically by convention — timestamped names); each
-  * `latestOffset` re-lists the directory and admits up to
-  * `maxFilesPerTrigger` strictly-greater names, so archives dropped
-  * mid-stream drain in later batches and a restart resumes exactly
-  * past the committed name. Within a batch, files split into the same
-  * byte-range partitions as the batch read. */
+  * Offsets index a PROCESSED-NAME LOG (the FileStreamSource
+  * discipline): each batch's admitted archive names are written to
+  * `<checkpoint>/graft_warc_names/<batchId>` BEFORE the offset is
+  * returned, so (a) replay of an uncommitted batch after a crash
+  * re-plans exactly the logged names, (b) a restart folds every
+  * logged batch back into the processed set, and (c) an archive
+  * landing in ANY name order — including below names already
+  * processed (out-of-order fetcher, retry, clock-skewed timestamp) —
+  * drains exactly once instead of being watermark-skipped. Driver
+  * memory holds one entry per archive ever seen (the same bound
+  * FileStreamSource's seenFiles carries — archives, not records).
+  * Within a batch, files split into the same byte-range partitions
+  * as the batch read. */
 class WarcMicroBatch(path: String, splitSize: Long, required: StructType,
-    maxFilesPerTrigger: Int)
+    maxFilesPerTrigger: Int, checkpointLocation: String)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
-  private case class NameOffset(name: String) extends Offset {
-    override def json(): String = name
+  private case class BatchOffset(id: Long) extends Offset {
+    override def json(): String = id.toString
   }
 
-  private def fs = {
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration
-    new Path(path).getFileSystem(conf)
+  private def conf = org.apache.spark.sql.SparkSession.active
+    .sparkContext.hadoopConfiguration
+
+  private def fs = new Path(path).getFileSystem(conf)
+
+  private def logDir = new Path(checkpointLocation, "graft_warc_names")
+  private def logFs = logDir.getFileSystem(conf)
+
+  /** Names admitted to batch `id`, from the authoritative log. */
+  private def readBatch(id: Long): Option[Seq[String]] = {
+    val f = new Path(logDir, id.toString)
+    val l = logFs
+    if (!l.exists(f)) None
+    else {
+      val in = l.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toVector)
+      finally in.close()
+    }
+  }
+
+  /** Overwrite batch `id`'s name list (a stale file from a run that
+    * died before its offset committed is superseded, not appended). */
+  private def writeBatch(id: Long, names: Seq[String]): Unit = {
+    val l = logFs
+    l.mkdirs(logDir)
+    val out = l.create(new Path(logDir, id.toString), true)
+    try out.write((names.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Sorted archive names currently in the directory. */
@@ -163,69 +195,73 @@ class WarcMicroBatch(path: String, splitSize: Long, required: StructType,
     else Seq(p.getName)
   }
 
-  // Trigger.AvailableNow pins the end at prepare time, so the drain
-  // terminates even while a crawler keeps appending.
-  private var availableNowCap: Option[String] = None
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(listNames().lastOption.getOrElse(""))
-  override def reportLatestOffset(): Offset =
-    NameOffset(listNames().lastOption.getOrElse(""))
+  // processed = union of logged batches (-1, loadedUpTo]; rebuilt
+  // from the log on restart, maintained incrementally in-run
+  private var processed: Set[String] = Set.empty
+  private var loadedUpTo: Long = -1L
 
-  override def initialOffset(): Offset = NameOffset("")
-  override def deserializeOffset(json: String): Offset = NameOffset(json)
+  private def loadProcessed(upTo: Long): Unit = {
+    var id = loadedUpTo + 1
+    while (id <= upTo) {
+      readBatch(id).foreach(ns => processed ++= ns)
+      id += 1
+    }
+    loadedUpTo = math.max(loadedUpTo, upTo)
+  }
+
+  // Trigger.AvailableNow pins the PENDING SET at prepare time, so the
+  // drain terminates even while a crawler keeps appending.
+  private var availableNowSet: Option[Set[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowSet = Some(listNames().toSet)
+  override def reportLatestOffset(): Offset = BatchOffset(loadedUpTo)
+
+  override def initialOffset(): Offset = BatchOffset(-1L)
+  override def deserializeOffset(json: String): Offset =
+    BatchOffset(json.toLong)
   override def latestOffset(): Offset = reportLatestOffset()
 
   override def getDefaultReadLimit: ReadLimit =
     if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
     else ReadLimit.allAvailable()
 
-  // Names at-or-below the committed high-water when THIS run first
-  // listed the directory are assumed processed by the prior run; any
-  // name that later lands BELOW the watermark (out-of-order fetcher,
-  // retry, clock-skewed timestamp) would be silently skipped by the
-  // name-offset contract — that skip must at least be LOUD.
-  private var knownBelowWatermark: Set[String] = _
-
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[NameOffset].name
+    val from = start.asInstanceOf[BatchOffset].id
+    loadProcessed(from)
     val names = listNames()
-    val below = names.filter(_ <= from).toSet
-    if (knownBelowWatermark == null) knownBelowWatermark = below
-    else {
-      val late = below -- knownBelowWatermark
-      if (late.nonEmpty)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"graft_warc: ${late.size} archive(s) landed BELOW the " +
-            s"committed offset '$from' and will never drain " +
-            s"(lexicographic-name contract): ${late.toSeq.sorted.take(5)
-              .mkString(", ")}")
-      knownBelowWatermark ++= late
-    }
-    val pending0 = names.filter(_ > from)
-    val pending = availableNowCap match {
-      case Some(cap) => pending0.filter(_ <= cap)
+    val pending0 = names.filterNot(processed)
+    val pending = availableNowSet match {
+      case Some(cap) => pending0.filter(cap)
       case None => pending0
     }
     val admitted = limit match {
       case m: ReadMaxFiles => pending.take(m.maxFiles())
       case _ => pending
     }
-    NameOffset(admitted.lastOption.getOrElse(from))
+    if (admitted.isEmpty) BatchOffset(from)
+    else {
+      val next = from + 1
+      writeBatch(next, admitted)
+      processed ++= admitted
+      loadedUpTo = math.max(loadedUpTo, next)
+      BatchOffset(next)
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val from = start.asInstanceOf[NameOffset].name
-    val until = end.asInstanceOf[NameOffset].name
+    val from = start.asInstanceOf[BatchOffset].id
+    val until = end.asInstanceOf[BatchOffset].id
     val f = fs
     val p = new Path(path)
-    val dir = f.getFileStatus(p).isDirectory
-    listNames().filter(n => n > from && n <= until).flatMap { n =>
-      val fp = if (dir) new Path(p, n) else p
-      val len = f.getFileStatus(fp).getLen
-      (0L until len by splitSize).map(a =>
-        WarcRangePartition(fp.toString, a, math.min(a + splitSize, len)))
-    }.toArray
+    val dir = f.exists(p) && f.getFileStatus(p).isDirectory
+    (from + 1 to until).flatMap(readBatch(_).getOrElse(Seq.empty))
+      .flatMap { n =>
+        val fp = if (dir) new Path(p, n) else p
+        val len = f.getFileStatus(fp).getLen
+        (0L until len by splitSize).map(a =>
+          WarcRangePartition(fp.toString, a, math.min(a + splitSize, len)))
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -331,6 +367,7 @@ class WarcPartitionReader(part: WarcRangePartition, cols: Array[String],
     case "payload" => current.payload
     case "member_offset" => current.memberOffset
     case "member_length" => current.memberLength
+    case "file" => UTF8String.fromString(part.file)
     case other => throw new IllegalArgumentException(s"unknown column $other")
   }
 

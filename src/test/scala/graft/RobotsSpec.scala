@@ -228,6 +228,23 @@ class RobotsSpec extends SparkSpec {
       ("https://d.com/c", "2024-02-05")))
   }
 
+  test("sitemapIndexEntries: <sitemapindex> yields child locs in " +
+    "order; a plain <urlset> yields an empty array") {
+    val idx =
+      """<?xml version="1.0"?>
+        |<sitemapindex>
+        |  <sitemap><loc> https://d.com/a.xml </loc></sitemap>
+        |  <sitemap><loc>https://d.com/b.xml.gz</loc>
+        |    <lastmod>2024-01-01</lastmod></sitemap>
+        |</sitemapindex>""".stripMargin
+    val urlset = "<urlset><url><loc>https://d.com/p</loc></url></urlset>"
+    val got = Seq(Tuple1(idx), Tuple1(urlset)).toDF("xml")
+      .select(Robots.sitemapIndexEntries(col("xml")).as("c"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got === Seq(
+      Seq("https://d.com/a.xml", "https://d.com/b.xml.gz"), Seq.empty))
+  }
+
   test("a bare `User-agent:` line (empty token) never becomes a " +
     "universal group: rules and delays stay with the * group") {
     val txt =

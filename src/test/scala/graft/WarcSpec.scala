@@ -39,6 +39,46 @@ class WarcSpec extends SparkSpec {
     f
   }
 
+  test("CDX build: the index scan never reads payload bytes, the " +
+    "persisted index answers a SURT range probe with a pushed filter, " +
+    "and its (file, offset) coordinates seek to the exact member") {
+    import graft.operators.UrlOps
+    spark.sharedState.cacheManager.clearCache()
+    val f = writeFixture(30)
+    val idxDf = spark.read.format("graft_warc").load(f)
+      .filter(col("warc_type") === "response")
+      .select(UrlOps.surt(col("url")).as("surt_key"),
+        col("warc_date").as("ts"), col("url"), col("file"),
+        col("member_offset"), col("member_length"))
+    // column pruning reaches the member parse: payload is absent from
+    // the WARC scan's output
+    val plan = idxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("payload"),
+      "the CDX index scan must prune payload bytes")
+    val root = Files.createTempDirectory("warc_cdx").toString
+    idxDf.repartitionByRange(2, col("surt_key"))
+      .sortWithinPartitions("surt_key").write.mode("overwrite")
+      .parquet(root)
+    // the range probe pushes the key predicate into the parquet scan
+    val probe = spark.read.parquet(root)
+      .filter(col("surt_key") >= "com,dom1)" &&
+        col("surt_key") < "com,dom1*")
+    val pplan = probe.queryExecution.executedPlan.toString
+    assert(pplan.contains("PushedFilters") &&
+      pplan.contains("GreaterThanOrEqual(surt_key"),
+      "SURT range probe must push into the index scan")
+    val hits = probe.select("url", "file", "member_offset").collect()
+    assert(hits.nonEmpty && hits.forall(
+      _.getString(0).startsWith("https://dom1.com/")))
+    // coordinates are real: each seek read inflates the named member
+    val fs = new org.apache.hadoop.fs.Path(f)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hits.foreach { h =>
+      val rec = Warc.readMemberAt(fs, h.getString(1), h.getLong(2))
+      assert(rec.url === h.getString(0))
+    }
+  }
+
   test("readMember inflates exactly one member and reports its " +
     "compressed length (concatenated members walk by offset)") {
     val a = Warc.gzipMember("WARC/1.0\r\nA: 1\r\n\r\n".getBytes("UTF-8"))
@@ -151,7 +191,8 @@ class WarcSpec extends SparkSpec {
   }
 
   test("streaming drain: archives land as files, maxFilesPerTrigger " +
-    "paces the batches, a restart picks up only the late arrival") {
+    "paces the batches, a restart picks up only the late arrival — " +
+    "even one named below every processed archive") {
     val dir = Files.createTempDirectory("warc_stream").toString
     val data = s"$dir/in"; val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
     new java.io.File(data).mkdirs()
@@ -189,6 +230,20 @@ class WarcSpec extends SparkSpec {
       .select("record_id").collect().map(_.getString(0))
     assert(all.length === 31, s"expected 31 once-each, got ${all.length}")
     assert(all.toSet.size === 31)
+    // an archive named BELOW every processed name lands while the
+    // stream is DOWN (out-of-order fetcher / clock-skewed timestamp):
+    // the processed-name log admits it on restart — it DRAINS, it is
+    // not watermark-skipped
+    writeArchive("seg-000.warc.gz", 31 until 36)
+    drain()
+    val withLate = spark.read.parquet(out)
+      .select("record_id").collect().map(_.getString(0))
+    assert(withLate.length === 36,
+      s"below-watermark archive must drain, got ${withLate.length}")
+    assert(withLate.toSet.size === 36)
+    // and one more restart re-reads nothing
+    drain()
+    assert(spark.read.parquet(out).count() === 36)
   }
 
   test("WARC-Payload-Digest: sha1:BASE32 round-trips through write/" +
@@ -287,6 +342,38 @@ class WarcSpec extends SparkSpec {
         "partial".getBytes("UTF-8")),
       None, Some("length")), 0L, 1L)
     assert(cut.truncated === Some("length"))
+  }
+
+  test("bare-LF chunk framing (lenient servers / partial captures) " +
+    "de-frames instead of leaving size lines in the payload") {
+    val chunked = "7\nchunk1 \n6\nchunk2\n0\n\n".getBytes("UTF-8")
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      "Transfer-Encoding: chunked\r\n" +
+      s"Content-Length: ${chunked.length}\r\n\r\n").getBytes("UTF-8") ++
+      chunked
+    val rec = Warc.parseRecord(Warc.record("response", "https://x.com/l",
+      "2024-01-01T00:00:00Z", "urn:uuid:l",
+      "application/http; msgtype=response", http), 0L, 1L)
+    assert(new String(rec.payload, "UTF-8") === "chunk1 chunk2")
+    // mixed framing: CRLF size line, LF data terminator
+    val mixed = "7\r\nchunk1 \n6\nchunk2\r\n0\r\n\r\n".getBytes("UTF-8")
+    val http2 = ("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: chunked\r\n" +
+      s"Content-Length: ${mixed.length}\r\n\r\n").getBytes("UTF-8") ++
+      mixed
+    val rec2 = Warc.parseRecord(Warc.record("response", "https://x.com/m",
+      "2024-01-01T00:00:00Z", "urn:uuid:m",
+      "application/http; msgtype=response", http2), 0L, 1L)
+    assert(new String(rec2.payload, "UTF-8") === "chunk1 chunk2")
+    // truly malformed frames still fall back to raw bytes
+    val bad = "zz\r\nnot-a-chunk".getBytes("UTF-8")
+    val http3 = ("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: chunked\r\n" +
+      s"Content-Length: ${bad.length}\r\n\r\n").getBytes("UTF-8") ++ bad
+    val rec3 = Warc.parseRecord(Warc.record("response", "https://x.com/b",
+      "2024-01-01T00:00:00Z", "urn:uuid:b",
+      "application/http; msgtype=response", http3), 0L, 1L)
+    assert(new String(rec3.payload, "UTF-8") === "zz\r\nnot-a-chunk")
   }
 
   test("Location header survives the parse: 301 records yield the " +
