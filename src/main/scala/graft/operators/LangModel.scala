@@ -74,13 +74,38 @@ object LangModel {
     * exactly the model's size). No iteration, no driver state: at
     * 100 TB training is ~2 shuffles of token-count rows. */
   def naiveBayesTrain(docs: DataFrame, textCol: String,
-      labelCol: String): NbModel = {
+      labelCol: String): NbModel =
+    nbTrain(docs, textCol, labelCol, wordTokens)
+
+  /** Char-trigram language identification, trained — the fastText/CLD
+    * discipline as pure relational ops: the multinomial-NB algebra of
+    * [[naiveBayesTrain]] with the feature extractor swapped from
+    * whitespace words to character 3-grams (the language signal that
+    * survives unknown vocabulary — what a stopword heuristic cannot
+    * see). Model size is trigram-vocab × languages: broadcast-bounded
+    * at any corpus scale. */
+  def langIdTrain(docs: DataFrame, textCol: String,
+      labelCol: String): NbModel =
+    nbTrain(docs, textCol, labelCol, TextAnalysis.charTrigrams)
+
+  /** Classify under a [[langIdTrain]] model: `(id, predicted, score)`
+    * — [[naiveBayesScore]]'s fold over char-trigram features. */
+  def langIdScore(model: NbModel, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    nbScore(model, docs, idCol, textCol, TextAnalysis.charTrigrams)
+
+  /** Whitespace word features (array form of the tokenize explode the
+    * word-NB paths always used — explode∘filter ≡ filter∘explode). */
+  private def wordTokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => t =!= "")
+
+  private def nbTrain(docs: DataFrame, textCol: String,
+      labelCol: String, tokensOf: Column => Column): NbModel = {
     val valid = docs.filter(col(textCol).isNotNull &&
       trim(col(textCol)) =!= "")
     val toks = valid
       .select(col(labelCol).as("__lab"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
-      .filter(col("__t") =!= "")
+        explode(tokensOf(col(textCol))).as("__t"))
       .localCheckpoint(true) // feeds class counts, totals AND the vocab
     val classTok = toks.groupBy("__lab", "__t").agg(count(lit(1)).as("__c"))
     val classTot = toks.groupBy("__lab").agg(count(lit(1)).as("__tot"))
@@ -112,14 +137,17 @@ object LangModel {
     * Scoring is one tokenize + one vocab equi-join + one per-doc fold —
     * a 100 TB corpus scores in two shuffles. */
   def naiveBayesScore(model: NbModel, docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    nbScore(model, docs, idCol, textCol, wordTokens)
+
+  private def nbScore(model: NbModel, docs: DataFrame, idCol: String,
+      textCol: String, tokensOf: Column => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val valid = docs.filter(col(textCol).isNotNull &&
       trim(col(textCol)) =!= "")
     val tf = valid
       .select(col(idCol).as("__id"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
-      .filter(col("__t") =!= "")
+        explode(tokensOf(col(textCol))).as("__t"))
       .groupBy("__id", "__t").agg(count(lit(1)).as("__tf"))
     val folded = tf.join(model.loglik, Seq("__t"))
       .withColumn("__contrib", col("__tf").cast("double") * col("__ll"))

@@ -43,11 +43,26 @@ object TextAnalysis {
   def punctCount(c: Column): Column = regexp_count(c, lit("[.!?,;:]"))
 
   /** Heuristic language ID: stopword-hit ratio over tokens — 'en' when
-    * enough English function words appear, else 'other'. (An n-gram
-    * model would slot in the same way; the operator shape is what the
-    * pipeline needs: a pure projection, no shuffle.) */
+    * enough English function words appear, else 'other'. The cheap
+    * zero-model gate; [[graft.operators.LangModel.langIdTrain]] is the
+    * trained char-n-gram classifier that replaces it when per-language
+    * labels exist. */
   def langIdHeuristic(c: Column, minHits: Int = 3): Column =
     when(stopwordCount(c) >= minHits, lit("en")).otherwise(lit("other"))
+
+  /** Character 3-grams of the lowercased trimmed text (interior
+    * positions only — no padding), as an array column: the language-ID
+    * feature set (char n-gram profiles survive unknown vocabulary,
+    * Cavnar & Trenkle 1994's n-gram categorization). A pure expression
+    * tree — `transform` over a position `sequence` — so extraction
+    * fuses into the scan; texts shorter than 3 chars yield an empty
+    * array. */
+  def charTrigrams(c: Column): Column = {
+    val t = lower(trim(c))
+    when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+  }
 
   /** Quality score in [0,1]: blend of length band, punctuation ratio and
     * stopword ratio — the usual cheap junk filter before training. */

@@ -143,6 +143,28 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "predicted")
     }),
+    // TRAINED language ID (Cavnar–Trenkle char-n-gram categorization
+    // via the NB algebra): char-trigram profiles per language trained
+    // on the even half's labels, the odd half classified by argmax of
+    // prior + Σ tf·ll, rolled to a per-(lang, predicted) confusion
+    // matrix — the multilingual replacement for the stopword en/other
+    // heuristic above. The oracle replays trigram extraction, training
+    // AND the token-ordered score fold in SQL, so a classifier bug
+    // moves matrix cells and breaks the hash. Model stays trigram-
+    // vocab × languages (broadcast-bounded at any corpus scale); the
+    // trigram explode is the only data-sized stage.
+    "text_langid" -> ((s, dir) => {
+      import graft.operators.LangModel
+      val d = docs(s, dir)
+      val model = LangModel.langIdTrain(
+        d.filter(col("doc_id") % 2 === 0), "text", "lang")
+      LangModel.langIdScore(model,
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
     // Per-doc top-3 TF-IDF keywords on a bounded block: smoothed idf
     // (ln((N+1)/(df+1)) + 1), tf·idf score, deterministic term
     // tie-break. The oracle replays tokenize → tf → df → join →
@@ -396,6 +418,65 @@ object TextQueries {
         |       THEN 'en' ELSE 'other' END AS predicted,
         |  count(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    // Full trained-langid replay: char-trigram extraction (interior
+    // positions, list comprehension over 1..len-2), per-class counts /
+    // totals / vocab on the even half, add-one log-likelihoods, doc
+    // priors, trigram-ordered contribution fold on the odd half,
+    // argmax with class-name tie-break, confusion rollup.
+    "text_langid" ->
+      """WITH train AS (
+        |  SELECT lang AS lab, lower(trim(text)) AS t
+        |  FROM documents
+        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL AND trim(text) <> ''),
+        |ttok AS (
+        |  SELECT lab, unnest([substr(t, i, 3)
+        |    FOR i IN range(1, len(t) - 1)]) AS g
+        |  FROM train),
+        |ctok AS (SELECT lab, g, count(*) AS c FROM ttok GROUP BY 1, 2),
+        |ctot AS (SELECT lab, count(*) AS tot FROM ttok GROUP BY 1),
+        |vocab AS (SELECT DISTINCT g FROM ttok),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |prior AS (
+        |  SELECT lab, ln(CAST(count(*) AS DOUBLE) /
+        |    (SELECT count(*) FROM train)) AS lp
+        |  FROM train GROUP BY lab),
+        |ll AS (
+        |  SELECT vo.g, ct.lab,
+        |    ln((coalesce(c.c, 0) + 1.0) / (ct.tot + vs.v)) AS ll
+        |  FROM vocab vo CROSS JOIN ctot ct
+        |  LEFT JOIN ctok c ON c.g = vo.g AND c.lab = ct.lab
+        |  CROSS JOIN vs),
+        |test AS (
+        |  SELECT doc_id AS id, lang, lower(trim(text)) AS t
+        |  FROM documents
+        |  WHERE doc_id % 2 = 1 AND text IS NOT NULL AND trim(text) <> ''),
+        |tf AS (
+        |  SELECT id, g, count(*) AS tf FROM (
+        |    SELECT id, unnest([substr(t, i, 3)
+        |      FOR i IN range(1, len(t) - 1)]) AS g
+        |    FROM test)
+        |  GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT tf.id, ll.lab, tf.g, tf.tf * ll.ll AS contrib
+        |  FROM tf JOIN ll ON ll.g = tf.g),
+        |folded AS (
+        |  SELECT id, lab,
+        |    list_reduce(list_prepend(0.0, list(contrib ORDER BY g)),
+        |      (a, x) -> a + x) AS s
+        |  FROM contrib GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT i.id, p.lab, p.lp + coalesce(f.s, 0.0) AS score
+        |  FROM (SELECT DISTINCT id FROM test) i CROSS JOIN prior p
+        |  LEFT JOIN folded f ON f.id = i.id AND f.lab = p.lab),
+        |pred AS (
+        |  SELECT id, lab, row_number() OVER (
+        |    PARTITION BY id ORDER BY score DESC, lab) AS rn
+        |  FROM scored)
+        |SELECT t.lang, p.lab AS predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM pred p
+        |JOIN (SELECT DISTINCT id, lang FROM test) t ON t.id = p.id
+        |WHERE p.rn = 1
+        |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
     "text_keywords" ->
       """WITH d AS (
         |  SELECT doc_id, lower(trim(text)) AS t FROM documents

@@ -804,6 +804,45 @@ object WebQueries {
           sum(when(col("payload_digest").isNotNull, 1L).otherwise(0L))
             .as("n_digested"))
     }),
+    // WAT generation — the metadata sibling of the WET export,
+    // completing the WARC/WAT/WET derivative triplet the public crawls
+    // publish: every fetched page's JSON envelope (url, HTTP status,
+    // outlinks) written as gzip-member `metadata` records BY the
+    // owning task, read back through the splittable source, the JSON
+    // parsed and audited against the fixture's own link arithmetic
+    // (id mod 3 + 1 outlinks per page). Envelope synthesis is a
+    // scan-fused to_json projection; no payload shuffle.
+    "crawl_wat_export" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_warc_wat/" +
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true) // fresh replay
+      val envelopes = crawlStaged(s, dir,
+        s.read.format("graft_warc").option("splitSize", 4096)
+          .load(warcFixturePath(s, dir)))
+        .select(col("url"),
+          to_json(struct(col("url"), col("status"),
+            HtmlOps.links(col("html")).as("outlinks"))).as("wat"))
+      graft.sources.WarcSink.writeMetadataSegments(
+        envelopes.repartition(8, col("url")), "url", "wat", root)
+      s.read.format("graft_warc").option("splitSize", 4096).load(root)
+        .filter(col("warc_type") === "metadata")
+        .select(from_json(decode(col("payload"), "UTF-8"),
+          "url STRING, status INT, outlinks ARRAY<STRING>",
+          Map.empty[String, String]).as("w"))
+        .select(col("w.url").as("url"), col("w.status").as("status"),
+          col("w.outlinks").as("outlinks"),
+          regexp_extract(col("w.url"), "/doc/(\\d+)$", 1).cast("long")
+            .as("doc_id"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("status") === 200, 1L).otherwise(0L)).as("n_ok"),
+          sum(size(col("outlinks")).cast("long")).as("n_outlinks"),
+          sum(when(size(col("outlinks")).cast("long") ===
+            pmod(col("doc_id"), lit(3L)) + 1, 1L).otherwise(0L))
+            .as("n_link_count_ok"),
+          sum(col("doc_id")).as("sum_id"))
+    }),
     // CDX-style random access: a consumer holding (file, offset) from
     // an index fetches exactly ONE member with a seek read — never a
     // scan. The index is the source's own provenance columns (payload
@@ -1322,6 +1361,34 @@ object WebQueries {
         val (_, verify) = timed {
           s.read.format("graft_warc").load(root)
             .filter(col("warc_type") === "conversion").count()
+        }
+        Map("fixture" -> fixture, "export" -> export, "verify" -> verify)
+      }),
+      "crawl_wat_export" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (fix, fixture) = timed(warcFixturePath(s, dir))
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft_warc_wat_ph/" +
+            dir.replaceAll("[^0-9a-zA-Z.]", "_")
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+        val envelopes = crawlStaged(s, dir,
+          s.read.format("graft_warc").option("splitSize", 4096).load(fix))
+          .select(col("url"),
+            to_json(struct(col("url"), col("status"),
+              HtmlOps.links(col("html")).as("outlinks"))).as("wat"))
+        val (_, export) = timed {
+          graft.sources.WarcSink.writeMetadataSegments(
+            envelopes.repartition(8, col("url")), "url", "wat", root)
+        }
+        val (_, verify) = timed {
+          s.read.format("graft_warc").load(root)
+            .filter(col("warc_type") === "metadata").count()
         }
         Map("fixture" -> fixture, "export" -> export, "verify" -> verify)
       }))
@@ -1930,6 +1997,18 @@ object WebQueries {
         |FROM documents
         |WHERE text IS NOT NULL AND doc_id % 8 IN (0, 3, 6)
         |  AND doc_id % 4 = 0""".stripMargin,
+    // WAT replay: one envelope per fetched page; 404s are the
+    // 17th-residue-5 docs; outlink count per page is its anchor
+    // arithmetic (id mod 3 + 1) — n_link_count_ok = all pages iff the
+    // extraction + JSON round trip preserved every link.
+    "crawl_wat_export" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(sum(CASE WHEN doc_id % 17 <> 5 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ok,
+        |  CAST(sum(doc_id % 3 + 1) AS BIGINT) AS n_outlinks,
+        |  CAST(count(*) AS BIGINT) AS n_link_count_ok,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     // Schedule replay: the frontier-robots chain (without PageRank),
     // per-domain rank by (n_refs DESC, canon), slot = (rank-1)*delay
     // from the domain's own Crawl-delay residue.

@@ -29,11 +29,28 @@ import org.apache.spark.sql.{DataFrame, Encoders}
 object WarcSink {
 
   /** Write `(urlCol, textCol)` rows as conversion segments under
-    * `dir`; every member carries the payload digest so downstream
-    * dedup never re-hashes. Returns the number of records written. */
+    * `dir` (the WET shape); every member carries the payload digest so
+    * downstream dedup never re-hashes. Returns the records written. */
   def writeConversionSegments(df: DataFrame, urlCol: String,
       textCol: String, dir: String,
-      date: String = "2024-01-01T00:00:00Z"): Long = {
+      date: String = "2024-01-01T00:00:00Z"): Long =
+    writeSegments(df, urlCol, textCol, dir, date,
+      "conversion", "text/plain", "conv")
+
+  /** Write `(urlCol, jsonCol)` rows as `metadata` records (ISO 28500
+    * §6.9) — the WAT shape: one JSON envelope per archived page (HTTP
+    * headers, outlinks, ...), completing the WARC/WAT/WET derivative
+    * triplet the public crawls publish. Same task-side segment
+    * commit discipline as the WET writer. */
+  def writeMetadataSegments(df: DataFrame, urlCol: String,
+      jsonCol: String, dir: String,
+      date: String = "2024-01-01T00:00:00Z"): Long =
+    writeSegments(df, urlCol, jsonCol, dir, date,
+      "metadata", "application/json", "meta")
+
+  private def writeSegments(df: DataFrame, urlCol: String,
+      textCol: String, dir: String, date: String,
+      warcType: String, blockContentType: String, idTag: String): Long = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     // sweep stale staging orphans from prior attempts that died
@@ -64,9 +81,9 @@ object WarcSink {
           var n = 0L
           try rows.foreach { r =>
             val text = r.getString(1).getBytes("UTF-8")
-            out.write(Warc.gzipMember(Warc.record("conversion",
-              r.getString(0), date, s"urn:graft:conv:$pid:$n",
-              "text/plain", text, Some(Warc.payloadDigest(text)))))
+            out.write(Warc.gzipMember(Warc.record(warcType,
+              r.getString(0), date, s"urn:graft:$idTag:$pid:$n",
+              blockContentType, text, Some(Warc.payloadDigest(text)))))
             n += 1
           } finally out.close()
           val dst = new Path(dir, f"seg-$pid%05d.warc.gz")

@@ -166,6 +166,43 @@ class QualitySpec extends SparkSpec {
       s"separable corpus must classify perfectly, got $hit/$n")
   }
 
+  test("charTrigrams: interior 3-grams of the lowercased text; short " +
+    "and null inputs yield empty") {
+    val got = Seq("Hello!", "ab", "", null)
+      .toDF("t").select(TextAnalysis.charTrigrams($"t").as("g"))
+      .collect().map(r => Option(r.getSeq[String](0)).map(_.toSeq))
+    assert(got(0) === Some(Seq("hel", "ell", "llo", "lo!")))
+    assert(got(1) === Some(Seq.empty))
+    assert(got(2) === Some(Seq.empty))
+    assert(got(3) === Some(Seq.empty)) // null in, empty out (callers
+    // filter null text upstream; an empty feature set scores on priors)
+  }
+
+  test("langId: char-trigram profiles separate languages the word " +
+    "model can't (shared words, distinct character shapes)") {
+    import graft.operators.LangModel
+    // two 'languages' sharing whole words but differing in character
+    // composition — the trigram signal
+    val rows = (0 until 40).map { i =>
+      val lab = if (i % 2 == 0) "aa" else "bb"
+      val text = if (lab == "aa") "szczecin przez czesc " * (2 + i % 3)
+        else "ouioui beaucoup eau " * (2 + i % 3)
+      (i.toLong, text.trim, lab)
+    }
+    val d = rows.toDF("doc_id", "text", "lang")
+    val model = LangModel.langIdTrain(
+      d.filter($"doc_id" < 20), "text", "lang")
+    val scored = LangModel.langIdScore(model,
+        d.filter($"doc_id" >= 20), "doc_id", "text")
+      .join(d.select($"doc_id", $"lang"), "doc_id")
+    val (hit, n) = scored
+      .agg(sum(when($"predicted" === $"lang", 1).otherwise(0)),
+        count(lit(1)))
+      .as[(Long, Long)].head()
+    assert(n === 20L && hit === n,
+      s"trigram-separable corpus must classify perfectly, got $hit/$n")
+  }
+
   test("bpeTrain: hand-computed merges on the classic low/lower/lowest " +
     "corpus; apply is the greedy replace chain") {
     val corpus = Seq("low low low lower lowest").toDF("text")
