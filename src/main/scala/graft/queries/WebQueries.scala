@@ -408,6 +408,28 @@ object WebQueries {
       root
     }
 
+  /** A memoized WAT export of the corpus archive (the
+    * `crawl_wat_export` write path, built once per JVM) — the input of
+    * derivative CONSUMERS like [[crawl_wat_graph]]: real pipelines
+    * build the webgraph from WAT, never by re-reading page bytes. */
+  private def watExportPath(s: SparkSession, dir: String): String =
+    BuildCache.memo(s"warc_wat:$dir") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_warc_watg/" +
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      val envelopes = crawlStaged(s, dir,
+        s.read.format("graft_warc").option("splitSize", 4096)
+          .load(warcFixturePath(s, dir)))
+        .select(col("url"),
+          to_json(struct(col("url"), col("status"),
+            HtmlOps.links(col("html")).as("outlinks"))).as("wat"))
+      graft.sources.WarcSink.writeMetadataSegments(
+        envelopes.repartition(8, col("url")), "url", "wat", root)
+      root
+    }
+
   /** Robots fixture: the 11 link-target registered domains (the
     * linkUrl tld cycle) each publish a deterministic robots.txt
     * exercising prefix rules, the `$` anchor, the `*` wildcard,
@@ -842,6 +864,32 @@ object WebQueries {
             pmod(col("doc_id"), lit(3L)) + 1, 1L).otherwise(0L))
             .as("n_link_count_ok"),
           sum(col("doc_id")).as("sum_id"))
+    }),
+    // The webgraph built FROM the WAT derivative (how the public
+    // crawl graphs are actually produced — outlinks come from the
+    // metadata envelopes, page bytes are never re-read): WAT records
+    // -> JSON parse -> registered-domain edge fold -> PageRank. Must
+    // hash-equal web_graph_pipeline's page-fed graph (one shared
+    // oracle) — the derivative is PROVEN complete enough to replace
+    // the archive for link analysis.
+    "crawl_wat_graph" -> ((s, dir) => {
+      val edges = s.read.format("graft_warc").option("splitSize", 4096)
+        .load(watExportPath(s, dir))
+        .filter(col("warc_type") === "metadata")
+        .select(from_json(decode(col("payload"), "UTF-8"),
+          "url STRING, status INT, outlinks ARRAY<STRING>",
+          Map.empty[String, String]).as("w"))
+        .select(
+          UrlOps.registeredDomain(UrlOps.host(col("w.url"))).as("src"),
+          explode(col("w.outlinks")).as("lurl"))
+        .withColumn("dst",
+          UrlOps.registeredDomain(UrlOps.host(col("lurl"))))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      GraphOps.pageRank(edges, "src", "dst", iters = 3,
+          damping = 0.85, redistributeDangling = true)
+        .select(col("v").as("domain"), round(col("pr"), 4).as("pr"))
+        .orderBy(col("pr").desc, col("domain"))
     }),
     // CDX-style random access: a consumer holding (file, offset) from
     // an index fetches exactly ONE member with a seek read — never a
@@ -1773,6 +1821,28 @@ object WebQueries {
         |    AS sum_allowed
         |FROM v GROUP BY domain ORDER BY domain""".stripMargin
 
+  /** The domain-PageRank replay (htmlCtes link synthesis → registered-
+    * domain edge fold → 3 damped iterations as chained CTEs) — shared
+    * by `web_graph_pipeline` (edges off the synthesized pages) and
+    * `crawl_wat_graph` (the SAME edges recovered from the WAT
+    * derivative): both must land one hash. */
+  private lazy val webGraphPipelineSql: String =
+    s"""WITH $htmlCtes,
+      |$linksCte,
+      |dm AS (
+      |  SELECT doc_id, $domainExpr AS dst
+      |  FROM (SELECT doc_id, string_split($hostExpr, '.') AS parts
+      |        FROM l)),
+      |e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+      |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+      |         WHEN 1 THEN 'org' ELSE 'co.uk' END) AS src, dst
+      |    FROM dm) WHERE src <> dst),
+      |$prChainCte
+      |SELECT v AS domain, round(pr, 4) AS pr
+      |FROM r3 ORDER BY 2 DESC, 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "crawl_ingest_pipeline" -> crawlLedgerSql,
     "crawl_stream_ingest" -> crawlLedgerSql,
@@ -2348,22 +2418,11 @@ object WebQueries {
         |  FROM n CROSS JOIN cnt CROSS JOIN d3 LEFT JOIN c3 ON n.v = c3.v)
         |SELECT v AS domain, round(pr, 4) AS pr
         |FROM r3 ORDER BY 2 DESC, 1""".stripMargin,
-    "web_graph_pipeline" ->
-      s"""WITH $htmlCtes,
-        |$linksCte,
-        |dm AS (
-        |  SELECT doc_id, $domainExpr AS dst
-        |  FROM (SELECT doc_id, string_split($hostExpr, '.') AS parts
-        |        FROM l)),
-        |e AS (
-        |  SELECT DISTINCT src, dst FROM (
-        |    SELECT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
-        |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
-        |         WHEN 1 THEN 'org' ELSE 'co.uk' END) AS src, dst
-        |    FROM dm) WHERE src <> dst),
-        |$prChainCte
-        |SELECT v AS domain, round(pr, 4) AS pr
-        |FROM r3 ORDER BY 2 DESC, 1""".stripMargin,
+    "web_graph_pipeline" -> webGraphPipelineSql,
+    // the derivative-fed graph must land the page-fed graph's hash
+    // (the stream ≡ batch discipline applied to WAT): one shared
+    // oracle string.
+    "crawl_wat_graph" -> webGraphPipelineSql,
     "web_frontier" ->
       s"""WITH $htmlCtes,
         |$linksCte,
