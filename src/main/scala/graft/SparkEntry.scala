@@ -38,7 +38,7 @@ object SparkEntry {
   def phases: Map[String, (SparkSession, String) => Map[String, Double]] =
     FacadeQueries.phases ++ InfraQueries.phases ++ DedupQueries.phases ++
     PipelineQueries.phases ++ VectorQueries.phases ++ QualityQueries.phases ++
-    EventQueries.phases ++ WebQueries.phases
+    EventQueries.phases ++ WebQueries.phases ++ TextQueries.phases
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

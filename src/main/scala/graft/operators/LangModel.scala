@@ -56,8 +56,12 @@ object LangModel {
     * `(__t, __lab, __ll)` over vocab × classes (Laplace-smoothed —
     * a vocab token absent from a class still has a finite
     * log-likelihood). Both are plain DataFrames: persist them as
-    * parquet and the model round-trips like any layout. */
-  final case class NbModel(priors: DataFrame, loglik: DataFrame)
+    * parquet and the model round-trips like any layout. `labs` is the
+    * sorted class list — the model's ARITY, a few strings by
+    * definition, which lets scoring pivot the likelihood table wide
+    * and fold each document once instead of once per class. */
+  final case class NbModel(priors: DataFrame, loglik: DataFrame,
+      labs: Seq[String])
 
   /** Multinomial naive Bayes text classifier — the LEARNED filter tier
     * of a training-data pipeline (the role fastText-style quality /
@@ -106,10 +110,15 @@ object LangModel {
     val toks = valid
       .select(col(labelCol).as("__lab"),
         explode(tokensOf(col(textCol))).as("__t"))
-      .localCheckpoint(true) // feeds class counts, totals AND the vocab
-    val classTok = toks.groupBy("__lab", "__t").agg(count(lit(1)).as("__c"))
-    val classTot = toks.groupBy("__lab").agg(count(lit(1)).as("__tot"))
-    val vocab = toks.select("__t").distinct()
+    // ONE explode pass folds straight into (class, token) counts;
+    // totals, vocab and |V| all derive from that table, so the
+    // checkpoint holds vocab × classes rows — model-sized — instead
+    // of the corpus-sized token stream
+    val classTok = toks.groupBy("__lab", "__t")
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val classTot = classTok.groupBy("__lab").agg(sum("__c").as("__tot"))
+    val vocab = classTok.select("__t").distinct()
     val vsize = vocab.agg(count(lit(1)).as("__v"))
     val perLab = valid.groupBy(col(labelCol).as("__lab"))
       .agg(count(lit(1)).as("__nd"))
@@ -123,7 +132,12 @@ object LangModel {
       .select(col("__t"), col("__lab"),
         log((coalesce(col("__c"), lit(0L)).cast("double") + lit(1.0)) /
           (col("__tot") + col("__v"))).as("__ll"))
-    NbModel(priors, loglik)
+    // the class list is the model arity — a bounded driver collect
+    // (a classifier has a handful of classes by definition), sorted
+    // so scoring's pivot column order and fold order are deterministic
+    val labs = perLab.select("__lab").collect().map(_.getString(0))
+      .sorted.toSeq
+    NbModel(priors, loglik, labs)
   }
 
   /** Score documents under a trained model:
@@ -143,18 +157,40 @@ object LangModel {
   private def nbScore(model: NbModel, docs: DataFrame, idCol: String,
       textCol: String, tokensOf: Column => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val labs = model.labs
     val valid = docs.filter(col(textCol).isNotNull &&
       trim(col(textCol)) =!= "")
     val tf = valid
       .select(col(idCol).as("__id"),
         explode(tokensOf(col(textCol))).as("__t"))
       .groupBy("__id", "__t").agg(count(lit(1)).as("__tf"))
-    val folded = tf.join(model.loglik, Seq("__t"))
-      .withColumn("__contrib", col("__tf").cast("double") * col("__ll"))
-      .groupBy("__id", "__lab")
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("__t"), col("__contrib")))),
-        lit(0.0), (acc, x) => acc + x("__contrib")).as("__s"))
+    // ONE wide likelihood row per vocab token (classes as columns):
+    // the doc-side join and fold then run over tf rows, not
+    // tf × classes — the per-class contributions still fold in the
+    // SAME token order with the SAME addition sequence (one struct
+    // lane per class), so scores stay bit-identical to the tall
+    // form while shuffling 1/|classes| of the rows. The wide table
+    // is vocab-bounded; AQE broadcasts it when it fits and falls
+    // back to the same __t equi-join shuffle otherwise.
+    val wide = model.loglik.groupBy("__t")
+      .pivot("__lab", labs).agg(first(col("__ll")))
+      .select(col("__t") +: labs.zipWithIndex.map { case (l, i) =>
+        col(s"`$l`").as(s"__ll$i") }: _*)
+    val contribs = tf.join(wide, Seq("__t"))
+      .select(col("__id"), struct(col("__t") +:
+        labs.indices.map(i => (col("__tf").cast("double") *
+          col(s"__ll$i")).as(s"__c$i")): _*).as("__e"))
+    val zero = struct(labs.indices.map(i => lit(0.0).as(s"__c$i")): _*)
+    val folded = contribs.groupBy("__id")
+      .agg(aggregate(array_sort(collect_list(col("__e"))), zero,
+        (acc, x) => struct(labs.indices.map(i =>
+          (acc.getField(s"__c$i") + x.getField(s"__c$i"))
+            .as(s"__c$i")): _*)).as("__acc"))
+      .select(col("__id"), explode(array(labs.zipWithIndex.map {
+        case (l, i) => struct(lit(l).as("__lab"),
+          col("__acc").getField(s"__c$i").as("__s")) }: _*)).as("__x"))
+      .select(col("__id"), col("__x.__lab").as("__lab"),
+        col("__x.__s").as("__s"))
     val scored = valid.select(col(idCol).as("__id")).distinct()
       .crossJoin(broadcast(model.priors))
       .join(folded, Seq("__id", "__lab"), "left")

@@ -26,6 +26,33 @@ object TextQueries {
       .otherwise(lit(" A\u030arhus"))
   }
 
+  /** train-vs-score split for the trained-langid cell (the lm_linear
+    * discipline): the model DataFrames are checkpointed between the
+    * phases so each side is charged its own cost. */
+  val phases: Map[String, (SparkSession, String) => Map[String, Double]] =
+    Map(
+      "text_langid" -> ((s, dir) => {
+        import graft.operators.LangModel
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val d = docs(s, dir)
+        val (m, train) = timed {
+          val m0 = LangModel.langIdTrain(
+            d.filter(col("doc_id") % 2 === 0), "text", "lang")
+          LangModel.NbModel(m0.priors.localCheckpoint(true),
+            m0.loglik.localCheckpoint(true), m0.labs)
+        }
+        val (_, score) = timed {
+          LangModel.langIdScore(m,
+              d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+            .groupBy("predicted").agg(count(lit(1))).count()
+        }
+        Map("train" -> train, "score" -> score)
+      }))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Unicode normalization (the cleaning step BEFORE any byte-level
     // dedup — decomposed and precomposed spellings of the same word

@@ -1347,6 +1347,8 @@ object WebQueries {
     warcSegmentsPath(s, dir)
     warcTruncPath(s, dir)
     cdxIndexPath(s, dir)
+    watExportPath(s, dir)
+    ()
   }
 
   /** Per-phase timing split for the bench-heavy crawl cells (merged
@@ -1439,6 +1441,40 @@ object WebQueries {
             .filter(col("warc_type") === "metadata").count()
         }
         Map("fixture" -> fixture, "export" -> export, "verify" -> verify)
+      }),
+      // the timed cell reads the prewarmed index, so the REAL build
+      // cost (payload-pruned scan -> SURT -> range-sorted write) is
+      // stamped here against a fresh non-memoized root
+      "crawl_cdx_build" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (arc, fixture) = timed(warcFixturePath(s, dir))
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft_warc_cdx_ph/" +
+            dir.replaceAll("[^0-9a-zA-Z.]", "_")
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+        val (_, build) = timed {
+          s.read.format("graft_warc").option("splitSize", 4096).load(arc)
+            .filter(col("warc_type") === "response")
+            .select(UrlOps.surt(col("url")).as("surt_key"),
+              col("warc_date").as("ts"), col("url"), col("file"),
+              col("member_offset"), col("member_length"),
+              col("payload_digest"))
+            .repartitionByRange(4, col("surt_key"), col("ts"))
+            .sortWithinPartitions("surt_key", "ts")
+            .write.mode("overwrite").parquet(root)
+        }
+        val (_, probe) = timed {
+          s.read.parquet(root)
+            .filter(col("surt_key") >= "com," && col("surt_key") < "com,~")
+            .count()
+        }
+        Map("fixture" -> fixture, "build" -> build, "probe" -> probe)
       }))
 
   /** The crawl step-zero gate chain over raw WARC records (batch and
