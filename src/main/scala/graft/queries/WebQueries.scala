@@ -944,6 +944,44 @@ object WebQueries {
         .filter(col("doc_id") < 60)
         .orderBy("doc_id")
     }),
+    // CDX maintenance BEHIND a live crawl: the three-segment fixture
+    // drains through the graft_warc MicroBatchStream and each
+    // micro-batch appends its index rows (SURT key + provenance) to
+    // the persisted CDX parquet — the index grows with the crawl, no
+    // rebuild. The detail projection (which excludes the file/offset
+    // coordinates that legitimately differ between the segmented and
+    // single-archive layouts) must hash-equal crawl_cdx_build's batch
+    // index: one shared oracle, the stream ≡ batch discipline applied
+    // to index maintenance.
+    "crawl_cdx_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val seg = warcSegmentsPath(s, dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_cdxstr/" +
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true) // fresh replay
+      s.readStream.format("graft_warc")
+        .option("splitSize", 65536).option("maxFilesPerTrigger", 1)
+        .load(seg)
+        .filter(col("warc_type") === "response")
+        .select(UrlOps.surt(col("url")).as("surt_key"),
+          col("warc_date").as("ts"), col("url"), col("file"),
+          col("member_offset"), col("member_length"),
+          col("payload_digest"))
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .format("parquet").option("path", s"$root/cdx")
+        .start().awaitTermination()
+      s.read.parquet(s"$root/cdx")
+        .select(col("surt_key"), col("ts"), col("url"),
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          col("payload_digest").isNotNull.as("has_digest"),
+          (col("member_length") > 0).as("len_ok"))
+        .filter(col("doc_id") < 60)
+        .orderBy("doc_id")
+    }),
     // CDX-driven random access, end to end: a DOMAIN-RANGE probe on
     // the index (all .com-hosted pages = one contiguous SURT key
     // range, answered with partition/row-group pruning on the sort
@@ -1879,6 +1917,22 @@ object WebQueries {
       |SELECT v AS domain, round(pr, 4) AS pr
       |FROM r3 ORDER BY 2 DESC, 1""".stripMargin
 
+  private lazy val cdxBuildSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE (doc_id % 8) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+      |      ELSE 'co.uk' END AS tld
+      |  FROM documents WHERE text IS NOT NULL AND doc_id < 60)
+      |SELECT
+      |  array_to_string(list_reverse(string_split(
+      |    'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' || tld, '.')),
+      |    ',') || ')/doc/' || CAST(doc_id AS VARCHAR) AS surt_key,
+      |  '2024-01-01T00:00:00Z' AS ts,
+      |  'https://dom' || CAST(doc_id % 8 AS VARCHAR) || '.' || tld ||
+      |    '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+      |  doc_id, doc_id % 5 <> 0 AS has_digest, true AS len_ok
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "crawl_ingest_pipeline" -> crawlLedgerSql,
     "crawl_stream_ingest" -> crawlLedgerSql,
@@ -2077,22 +2131,11 @@ object WebQueries {
     // digest flag straight from the fixture formulas (host dom{id%8},
     // tld by (id%8)%3, digest absent on 5th residues) — the Spark side
     // must recover them through the real payload-pruned archive scan
-    // and the SURT expression tree.
-    "crawl_cdx_build" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CASE (doc_id % 8) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
-        |      ELSE 'co.uk' END AS tld
-        |  FROM documents WHERE text IS NOT NULL AND doc_id < 60)
-        |SELECT
-        |  array_to_string(list_reverse(string_split(
-        |    'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' || tld, '.')),
-        |    ',') || ')/doc/' || CAST(doc_id AS VARCHAR) AS surt_key,
-        |  '2024-01-01T00:00:00Z' AS ts,
-        |  'https://dom' || CAST(doc_id % 8 AS VARCHAR) || '.' || tld ||
-        |    '/doc/' || CAST(doc_id AS VARCHAR) AS url,
-        |  doc_id, doc_id % 5 <> 0 AS has_digest, true AS len_ok
-        |FROM d ORDER BY doc_id""".stripMargin,
+    // and the SURT expression tree. The STREAMED index maintenance
+    // shares the string: the micro-batch-appended index must contain
+    // exactly the batch build's rows.
+    "crawl_cdx_build" -> cdxBuildSql,
+    "crawl_cdx_stream" -> cdxBuildSql,
     // Fetch replay: the .com SURT range is exactly the id%8 in
     // {0,3,6} hosts; every seeked member must extract to the expected
     // page for n_exact to land.
