@@ -408,6 +408,40 @@ object WebQueries {
       root
     }
 
+  /** The corpus as a MIXED-MEDIA crawl: every 10th-residue-7 fetch
+    * returns `image/png` (REAL PNG bytes of the deterministic
+    * multimodal pixel formula), the rest the usual html pages — the
+    * content-type routing fixture (a real crawl is never all-HTML;
+    * media must route OUT of the text pipeline, not crash it). */
+  private def warcMediaPath(s: SparkSession, dir: String): String =
+    BuildCache.memo(s"warc_media:$dir") {
+      val f = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_med/" +
+          dir.replaceAll("[^0-9a-zA-Z.]", "_") + "/corpus.warc.gz")
+      f.getParentFile.mkdirs()
+      val rows = pageRows(s, dir)
+      // fixture-only, corpus-bounded collect (1 in 10 docs)
+      val png = graft.operators.Multimodal.syntheticPngMedia(
+          docs(s, dir).filter(pmod(col("doc_id"), lit(10L)) === 7),
+          "doc_id")
+        .select("media_id", "content").collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      val out = new java.io.FileOutputStream(f)
+      try rows.foreach { r =>
+        val id = r.getLong(0)
+        if (id % 10 == 7) {
+          val tld = Seq("com", "org", "co.uk")((id % 8 % 3).toInt)
+          val payload = png(id)
+          out.write(Warc.gzipMember(Warc.record("response",
+            s"https://dom${id % 8}.$tld/doc/$id", "2024-01-01T00:00:00Z",
+            s"urn:uuid:doc-$id", "application/http; msgtype=response",
+            Warc.httpResponse(200, "OK", "image/png", payload),
+            Some(Warc.payloadDigest(payload)))))
+        } else out.write(responseMember(r))
+      } finally out.close()
+      f.toString
+    }
+
   /** A memoized WAT export of the corpus archive (the
     * `crawl_wat_export` write path, built once per JVM) — the input of
     * derivative CONSUMERS like [[crawl_wat_graph]]: real pipelines
@@ -825,6 +859,53 @@ object WebQueries {
           sum(length(col("body")).cast("long")).as("sum_chars"),
           sum(when(col("payload_digest").isNotNull, 1L).otherwise(0L))
             .as("n_digested"))
+    }),
+    // Content-type ROUTING over a mixed-media crawl — the dispatch a
+    // real archive needs before any text pipeline runs: text/html
+    // responses route to charset decode + extraction (char-exact
+    // witness), image/png responses route to the REAL ImageIO decode
+    // + channel-mean featurizer. One archive scan, two scan-fused
+    // legs, a two-row ledger; the oracle replays the html length
+    // arithmetic AND the pixel formula, so a mis-routed or
+    // mis-decoded payload breaks the hash.
+    "crawl_media_route" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val recs = s.read.format("graft_warc").option("splitSize", 4096)
+        .load(warcMediaPath(s, dir))
+        .filter(col("warc_type") === "response")
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"), col("http_content_type"), col("payload"))
+      val htmlLeg = recs
+        .filter(col("http_content_type").startsWith("text/html"))
+        .select(col("doc_id"),
+          HtmlOps.extractText(CharsetOps.decodeHtml(col("payload"),
+            col("http_content_type"))).as("body"))
+        .join(docs(s, dir).select(col("doc_id"),
+          expectedCol.as("expected")), Seq("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("body") === col("expected"), 1L).otherwise(0L))
+            .as("n_ok"),
+          sum(length(col("body")).cast("long")).as("metric"))
+        .select(lit("html").as("kind"), col("n"), col("n_ok"),
+          col("metric"))
+      val pngLeg = Multimodal.imageFeatures(
+          recs.filter(col("http_content_type") === "image/png")
+            .select(col("doc_id").as("media_id"),
+              col("payload").as("content"))).toDF()
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("width") ===
+              (lit(8) + pmod(col("media_id"), lit(9L))).cast("int") &&
+            col("height") ===
+              (lit(8) + pmod(col("media_id"), lit(7L))).cast("int"),
+            1L).otherwise(0L)).as("n_ok"),
+          // per-image means rounded to integer micro-units BEFORE the
+          // sum, so the cross-image fold is order-free integer math
+          sum(round(col("mean_r") * 10000).cast("long") +
+            round(col("mean_g") * 10000).cast("long") +
+            round(col("mean_b") * 10000).cast("long")).as("metric"))
+        .select(lit("png").as("kind"), col("n"), col("n_ok"),
+          col("metric"))
+      htmlLeg.unionByName(pngLeg).orderBy("kind")
     }),
     // WAT generation — the metadata sibling of the WET export,
     // completing the WARC/WAT/WET derivative triplet the public crawls
@@ -1384,6 +1465,7 @@ object WebQueries {
     warcRedirectPath(s, dir)
     warcSegmentsPath(s, dir)
     warcTruncPath(s, dir)
+    warcMediaPath(s, dir)
     cdxIndexPath(s, dir)
     watExportPath(s, dir)
     ()
@@ -2146,6 +2228,46 @@ object WebQueries {
         |FROM documents
         |WHERE text IS NOT NULL AND doc_id % 8 IN (0, 3, 6)
         |  AND doc_id % 4 = 0""".stripMargin,
+    // Routing replay: the html leg's metric is the expected-text
+    // length arithmetic (htmlCtes rebuilds text + refs), the png
+    // leg's is the pixel-formula channel means in integer micro-units
+    // — both independent of the Spark decode paths under test.
+    "crawl_media_route" ->
+      s"""WITH $htmlCtes,
+        |hh AS (
+        |  SELECT doc_id,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || ' Doc ' ||
+        |    CAST(doc_id AS VARCHAR) || ' ' || text || ' ' || refs ||
+        |    ' Home & About' AS exp
+        |  FROM h WHERE doc_id % 10 <> 7),
+        |hleg AS (
+        |  SELECT 'html' AS kind, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_ok,
+        |    CAST(sum(len(exp)) AS BIGINT) AS metric
+        |  FROM hh),
+        |ids AS (SELECT doc_id AS id FROM documents
+        |        WHERE text IS NOT NULL AND doc_id % 10 = 7),
+        |g AS (SELECT id, CAST(8 + id % 9 AS INT) AS w,
+        |             CAST(8 + id % 7 AS INT) AS h
+        |      FROM ids),
+        |px AS (SELECT id, w, h, unnest(range(0, w * h)) AS p FROM g),
+        |v AS (SELECT id, w, h,
+        |        (7 * (p % w) + 13 * (p // w) + id) % 256 AS r,
+        |        (3 * (p % w) + 5 * (p // w) + 2 * id) % 256 AS gc,
+        |        ((p % w) + (p // w) + 3 * id) % 256 AS b
+        |      FROM px),
+        |pim AS (SELECT id,
+        |          CAST(round(avg(r) * 10000) AS BIGINT) AS mr,
+        |          CAST(round(avg(gc) * 10000) AS BIGINT) AS mg,
+        |          CAST(round(avg(b) * 10000) AS BIGINT) AS mb
+        |        FROM v GROUP BY id, w, h),
+        |pleg AS (
+        |  SELECT 'png' AS kind, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_ok,
+        |    CAST(sum(mr + mg + mb) AS BIGINT) AS metric
+        |  FROM pim)
+        |SELECT * FROM hleg UNION ALL SELECT * FROM pleg
+        |ORDER BY kind""".stripMargin,
     // WAT replay: one envelope per fetched page; 404s are the
     // 17th-residue-5 docs; outlink count per page is its anchor
     // arithmetic (id mod 3 + 1) — n_link_count_ok = all pages iff the
