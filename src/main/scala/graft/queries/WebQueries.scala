@@ -442,6 +442,32 @@ object WebQueries {
       f.toString
     }
 
+  /** robots.txt fetches where the FETCH ITSELF fails — the RFC 9309
+    * §2.3.1 unreachability fixture: domains t=0..8, status by t mod 3
+    * (200 with a parseable file / 404 / 503). */
+  private def warcRobotsStatusPath(s: SparkSession): String =
+    BuildCache.memo("warc_robots_status") {
+      val f = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_robst/" +
+          "status.warc.gz")
+      f.getParentFile.mkdirs()
+      val out = new java.io.FileOutputStream(f)
+      try (0 until 9).foreach { t =>
+        val dom = s"site$t.example"
+        val (st, reason, body) = (t % 3) match {
+          case 0 => (200, "OK", s"User-agent: *\nDisallow: /private$t\n")
+          case 1 => (404, "Not Found", "")
+          case _ => (503, "Service Unavailable", "try later")
+        }
+        out.write(Warc.gzipMember(Warc.record("response",
+          s"https://$dom/robots.txt", "2024-01-01T00:00:00Z",
+          s"urn:uuid:robst-$t", "application/http; msgtype=response",
+          Warc.httpResponse(st, reason, "text/plain",
+            body.getBytes("UTF-8")))))
+      } finally out.close()
+      f.toString
+    }
+
   /** A memoized WAT export of the corpus archive (the
     * `crawl_wat_export` write path, built once per JVM) — the input of
     * derivative CONSUMERS like [[crawl_wat_graph]]: real pipelines
@@ -859,6 +885,68 @@ object WebQueries {
           sum(length(col("body")).cast("long")).as("sum_chars"),
           sum(when(col("payload_digest").isNotNull, 1L).otherwise(0L))
             .as("n_digested"))
+    }),
+    // Frontier dedup against the ARCHIVE INDEX — the crawl-ops loop's
+    // "do we already have this page?": candidates (fresh outlinks +
+    // a recrawl sample of already-captured pages) key to SURT and
+    // LEFT-join the CDX index on it; captured candidates flag, new
+    // pages count distinct. The SURT key is computed through two
+    // INDEPENDENT paths — index side off archived record URLs at
+    // build time, frontier side off raw candidate URLs here — so any
+    // canonicalization drift between crawler and index breaks the
+    // join and the hash. Index side is key-only (payload never read);
+    // the join is the one exchange.
+    "crawl_frontier_cdx" -> ((s, dir) => {
+      val idx = s.read.parquet(cdxIndexPath(s, dir))
+        .select(col("surt_key")).distinct().withColumn("__cap", lit(1))
+      val links = docs(s, dir)
+        .select(explode(HtmlOps.links(htmlCol)).as("url"))
+      val recrawl = docs(s, dir)
+        .filter(pmod(col("doc_id"), lit(3L)) === 0)
+        .select(concat(lit("https://"), srcDomainCol, lit("/doc/"),
+          col("doc_id").cast("string")).as("url"))
+      val cand = links.unionByName(recrawl)
+        .select(UrlOps.surt(col("url")).as("surt_key"),
+          UrlOps.registeredDomain(UrlOps.host(col("url"))).as("domain"))
+      cand.join(idx, Seq("surt_key"), "left")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("__cap").isNotNull, 1L).otherwise(0L))
+            .as("n_captured"),
+          countDistinct(when(col("__cap").isNull, col("surt_key")))
+            .as("n_new_pages"))
+        .orderBy("domain")
+    }),
+    // RFC 9309 §2.3.1 unreachability semantics: the robots VERDICT
+    // depends on how the robots.txt FETCH went — 200 parses rules,
+    // 4xx means "no robots file, everything allowed", 5xx means "treat
+    // as complete disallow" (the server may be shedding load; a polite
+    // crawler backs off). Status comes off the archive record; only
+    // 200 bodies ever reach the parser. Two probe paths per domain,
+    // one domain-bounded verdict join.
+    "crawl_robots_unreachable" -> ((s, dir) => {
+      val arc = s.read.format("graft_warc").option("splitSize", 1024)
+        .load(warcRobotsStatusPath(s))
+        .filter(col("warc_type") === "response" &&
+          col("url").endsWith("/robots.txt"))
+        .select(UrlOps.host(col("url")).as("domain"), col("status"),
+          CharsetOps.decodeHtml(col("payload"), col("http_content_type"))
+            .as("txt"))
+      val parsed = Robots.parseRules(
+        arc.filter(col("status") === 200), "domain", "txt")
+      val probes = arc.select(col("domain"), col("status"))
+        .crossJoin(s.range(0, 9).select(col("id").as("t")))
+        .select(col("domain"), col("status"),
+          concat(lit("/private"), col("t").cast("string")).as("path"))
+      Robots.isAllowed(probes, parsed, "graftbot", outCol = "__parsed")
+        .withColumn("allowed",
+          when(col("status") === 200, col("__parsed"))
+            .when(col("status").between(400, 499), lit(true))
+            .otherwise(lit(false)))
+        .groupBy("domain", "status")
+        .agg(count(lit(1)).as("n_paths"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"))
+        .orderBy("domain")
     }),
     // Content-type ROUTING over a mixed-media crawl — the dispatch a
     // real archive needs before any text pipeline runs: text/html
@@ -2228,6 +2316,57 @@ object WebQueries {
         |FROM documents
         |WHERE text IS NOT NULL AND doc_id % 8 IN (0, 3, 6)
         |  AND doc_id % 4 = 0""".stripMargin,
+    // Frontier-vs-index replay: link candidates re-derive their SURT
+    // through the same parse chain (srt over cz), the recrawl sample
+    // is analytically captured (its keys ARE the index keys), and the
+    // rollup is a plain union + group.
+    "crawl_frontier_cdx" ->
+      s"""WITH $htmlCtes,
+        |$linksCte,
+        |$canonCte,
+        |srt AS (
+        |  SELECT lower(array_to_string(list_reverse(string_split(h,
+        |      '.')), ',') || keep_port || ')' || clean_path ||
+        |      (CASE WHEN cq = '' THEN '' ELSE '?' || cq END))
+        |      AS surt_key,
+        |    CASE WHEN len(parts) <= 2 THEN array_to_string(parts, '.')
+        |         WHEN parts[-2] || '.' || parts[-1]
+        |              IN ('co.uk', 'com.au', 'co.jp')
+        |           THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+        |         ELSE parts[-2] || '.' || parts[-1] END AS domain
+        |  FROM (SELECT *, string_split(host, '.') AS parts FROM cz)),
+        |rc AS (
+        |  SELECT
+        |    array_to_string(list_reverse(string_split(
+        |      'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' || tld, '.')),
+        |      ',') || ')/doc/' || CAST(doc_id AS VARCHAR) AS surt_key,
+        |    'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' || tld AS domain,
+        |    1 AS cap
+        |  FROM (SELECT doc_id,
+        |          CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+        |            WHEN 1 THEN 'org' ELSE 'co.uk' END AS tld
+        |        FROM documents
+        |        WHERE text IS NOT NULL AND doc_id % 3 = 0)),
+        |cand AS (
+        |  SELECT surt_key, domain, 0 AS cap FROM srt
+        |  UNION ALL SELECT surt_key, domain, cap FROM rc)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(cap) AS BIGINT) AS n_captured,
+        |  CAST(count(DISTINCT CASE WHEN cap = 0 THEN surt_key END)
+        |    AS BIGINT) AS n_new_pages
+        |FROM cand GROUP BY domain ORDER BY domain""".stripMargin,
+    // Unreachability replay: per-status verdict arithmetic — a 200
+    // domain blocks exactly its own /private{t} probe, a 404 domain
+    // allows all 9, a 503 domain none.
+    "crawl_robots_unreachable" ->
+      """WITH d AS (SELECT range AS t FROM range(0, 9))
+        |SELECT 'site' || CAST(t AS VARCHAR) || '.example' AS domain,
+        |  CAST(CASE t % 3 WHEN 0 THEN 200 WHEN 1 THEN 404 ELSE 503 END
+        |    AS INT) AS status,
+        |  CAST(9 AS BIGINT) AS n_paths,
+        |  CAST(CASE t % 3 WHEN 0 THEN 8 WHEN 1 THEN 9 ELSE 0 END
+        |    AS BIGINT) AS n_allowed
+        |FROM d ORDER BY domain""".stripMargin,
     // Routing replay: the html leg's metric is the expected-text
     // length arithmetic (htmlCtes rebuilds text + refs), the png
     // leg's is the pixel-formula channel means in integer micro-units
