@@ -79,6 +79,13 @@ object WarcSink {
           val stage = new Path(dir, f"_tmp-seg-$pid%05d-$attempt")
           val out = fs.create(stage, true)
           var n = 0L
+          // each segment leads with a warcinfo member (ISO 28500 §6.1,
+          // the Common Crawl derivative convention) naming the writer;
+          // readers filtering on their record type skip it for free
+          out.write(Warc.gzipMember(Warc.record("warcinfo", null, date,
+            f"urn:graft:$idTag:info:$pid%05d", "application/warc-fields",
+            (s"software: graft WarcSink\r\nformat: WARC/1.0\r\n" +
+              s"content-kind: $warcType\r\n").getBytes("UTF-8"))))
           try rows.foreach { r =>
             val text = r.getString(1).getBytes("UTF-8")
             out.write(Warc.gzipMember(Warc.record(warcType,

@@ -404,10 +404,14 @@ class WarcSpec extends SparkSpec {
       .repartition(5)
     val n = WarcSink.writeConversionSegments(df, "url", "body", dir)
     assert(n === 37)
-    val back = spark.read.format("graft_warc").load(dir)
+    val all = spark.read.format("graft_warc").load(dir)
       .select("url", "warc_type", "payload", "payload_digest").collect()
+    // each segment leads with one warcinfo member (ISO 28500 §6.1)
+    val segFiles = new java.io.File(dir).listFiles
+      .count(_.getName.endsWith(".warc.gz"))
+    assert(all.count(_.getString(1) === "warcinfo") === segFiles)
+    val back = all.filter(_.getString(1) === "conversion")
     assert(back.length === 37)
-    assert(back.forall(_.getString(1) === "conversion"))
     val got = back.map(r => (r.getString(0),
       new String(r.getAs[Array[Byte]](2), "UTF-8"))).toMap
     (0 until 37).foreach { i =>
@@ -418,7 +422,8 @@ class WarcSpec extends SparkSpec {
     // committed: first attempt wins, nothing duplicates
     val n2 = WarcSink.writeConversionSegments(df, "url", "body", dir)
     assert(n2 === 37)
-    assert(spark.read.format("graft_warc").load(dir).count() === 37)
+    assert(spark.read.format("graft_warc").load(dir)
+      .filter(col("warc_type") === "conversion").count() === 37)
   }
 
   test("readMemberAt: one seek read inflates exactly the indexed " +
