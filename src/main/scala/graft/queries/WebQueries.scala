@@ -771,6 +771,36 @@ object WebQueries {
           sum(when(col("dig_a").isNull, 1L).otherwise(0L))
             .as("n_added"))
     }),
+    // Soft-change detection between crawls — the recrawl-ops gate
+    // AFTER the digest diff: a page whose BYTES changed (new digest)
+    // but whose EXTRACTED TEXT didn't (markup/comment churn, rotating
+    // boilerplate) must not re-enter the training pipeline. Digest
+    // compare finds byte changes cheaply; only then does the text
+    // compare run — in the fixture every changed page is a
+    // comment-only edit, so n_soft == n_byte_changed and n_hard == 0,
+    // which only lands if extraction strips the churn exactly.
+    "crawl_soft_change" -> ((s, dir) => {
+      def snap(path: String, suffix: String): DataFrame =
+        s.read.format("graft_warc").option("splitSize", 8192).load(path)
+          .filter(col("warc_type") === "response")
+          .select(col("url"),
+            coalesce(col("payload_digest"),
+              concat(lit("sha1hex:"), sha1(col("payload"))))
+              .as(s"dig$suffix"),
+            HtmlOps.extractText(CharsetOps.decodeHtml(col("payload"),
+              col("http_content_type"))).as(s"body$suffix"))
+      snap(warcFixturePath(s, dir), "_a")
+        .join(snap(warcSnapshotBPath(s, dir), "_b"), Seq("url"))
+        .agg(count(lit(1)).as("n_common"),
+          sum(when(col("dig_a") =!= col("dig_b"), 1L).otherwise(0L))
+            .as("n_byte_changed"),
+          sum(when(col("dig_a") =!= col("dig_b") &&
+            col("body_a") === col("body_b"), 1L).otherwise(0L))
+            .as("n_soft"),
+          sum(when(col("dig_a") =!= col("dig_b") &&
+            col("body_a") =!= col("body_b"), 1L).otherwise(0L))
+            .as("n_hard"))
+    }),
     // Recrawl -> CDF bridge: the snapshot diff emits a change JOURNAL
     // (added -> I, changed -> U, removed -> D, keyed by URL with the
     // payload digest as the tracked value) and the SCD2 fold turns it
@@ -2355,6 +2385,18 @@ object WebQueries {
         |  CAST(count(DISTINCT CASE WHEN cap = 0 THEN surt_key END)
         |    AS BIGINT) AS n_new_pages
         |FROM cand GROUP BY domain ORDER BY domain""".stripMargin,
+    // Soft-change replay: common pages are the non-removed residues,
+    // byte changes the 6th residues (all comment-only -> all soft);
+    // ten brand-new pages are B-only and never join.
+    "crawl_soft_change" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_common,
+        |  CAST(sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_byte_changed,
+        |  CAST(sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_soft,
+        |  CAST(0 AS BIGINT) AS n_hard
+        |FROM documents
+        |WHERE text IS NOT NULL AND doc_id % 9 <> 1""".stripMargin,
     // Unreachability replay: per-status verdict arithmetic — a 200
     // domain blocks exactly its own /private{t} probe, a 404 domain
     // allows all 9, a 503 domain none.

@@ -102,7 +102,12 @@ object Plans {
     "crawl_ingest_pipeline" -> ("Crawl step zero off a real WARC " +
       "archive: byte-range graft_warc scan, status/charset/meta gates " +
       "as scan-fused projections, robots rules a domain-bounded join, " +
-      "the ledger crossJoin 1-row x 1-row"))
+      "the ledger crossJoin 1-row x 1-row"),
+    "crawl_cdx_fetch" -> ("CDX-driven random access: the SURT range " +
+      "predicate pushes into the sorted index scan (payload/digest " +
+      "pruned), seek fetches run in mapPartitions, and the fetched " +
+      "side broadcasts into the verify join — fetch cost tracks hits, " +
+      "never archive size"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
