@@ -771,6 +771,31 @@ object WebQueries {
           sum(when(col("dig_a").isNull, 1L).otherwise(0L))
             .as("n_added"))
     }),
+    // Latest-capture resolution over a MULTI-SNAPSHOT index — the
+    // wayback query ("which capture is current for this URL?"): both
+    // crawls' records key to SURT, one key-bounded window picks the
+    // newest timestamp per page. Changed pages resolve to the recrawl,
+    // unchanged/removed pages to the original capture, new pages
+    // appear — the date rollup is fully fixture-derivable.
+    "crawl_cdx_latest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def idx(path: String): DataFrame =
+        s.read.format("graft_warc").option("splitSize", 8192).load(path)
+          .filter(col("warc_type") === "response")
+          .select(UrlOps.surt(col("url")).as("surt_key"),
+            col("warc_date").as("ts"), col("url"))
+      idx(warcFixturePath(s, dir))
+        .unionByName(idx(warcSnapshotBPath(s, dir)))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("surt_key")
+            .orderBy(col("ts").desc, col("url"))))
+        .filter(col("__rn") === 1)
+        .groupBy("ts")
+        .agg(count(lit(1)).as("n_urls"),
+          sum(regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long"))
+            .as("sum_id"))
+        .orderBy("ts")
+    }),
     // Soft-change detection between crawls — the recrawl-ops gate
     // AFTER the digest diff: a page whose BYTES changed (new digest)
     // but whose EXTRACTED TEXT didn't (markup/comment churn, rotating
@@ -2385,6 +2410,23 @@ object WebQueries {
         |  CAST(count(DISTINCT CASE WHEN cap = 0 THEN surt_key END)
         |    AS BIGINT) AS n_new_pages
         |FROM cand GROUP BY domain ORDER BY domain""".stripMargin,
+    // Latest-capture replay: recrawl wins only where bytes changed
+    // (6th residues that survived) or the page is brand new; every
+    // other page's newest capture is still the original crawl.
+    "crawl_cdx_latest" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+        |lat AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 AND doc_id % 9 <> 1
+        |      THEN '2024-02-01T00:00:00Z'
+        |      ELSE '2024-01-01T00:00:00Z' END AS ts
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 100000 + range, '2024-02-01T00:00:00Z'
+        |  FROM range(0, 10))
+        |SELECT ts, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM lat GROUP BY ts ORDER BY ts""".stripMargin,
     // Soft-change replay: common pages are the non-removed residues,
     // byte changes the 6th residues (all comment-only -> all soft);
     // ten brand-new pages are B-only and never join.
