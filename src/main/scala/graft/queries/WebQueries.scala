@@ -771,6 +771,45 @@ object WebQueries {
           sum(when(col("dig_a").isNull, 1L).otherwise(0L))
             .as("n_added"))
     }),
+    // Random access across a MULTI-FILE archive set — the coordinate
+    // story the single-archive fetch can't prove: the segment
+    // directory's index rows carry three DIFFERENT file names, and
+    // each seek must open the right archive at the right offset
+    // (n_files witnesses that the sample genuinely spanned them).
+    // One payload-pruned directory scan builds the coordinates; one
+    // seek per sampled page fetches.
+    "crawl_cdx_multifile_fetch" -> ((s, dir) => {
+      val seg = warcSegmentsPath(s, dir)
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      import s.implicits._
+      val idx = s.read.format("graft_warc").option("splitSize", 65536)
+        .load(seg)
+        .filter(col("warc_type") === "response")
+        .select(col("file"), col("member_offset"),
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+            .as("doc_id"))
+        .filter(pmod(col("doc_id"), lit(7L)) === 0)
+      val fetched = idx.as[(String, Long, Long)]
+        .mapPartitions { it =>
+          var fs: org.apache.hadoop.fs.FileSystem = null
+          it.map { case (file, off, id) =>
+            if (fs == null)
+              fs = new org.apache.hadoop.fs.Path(file)
+                .getFileSystem(conf.value)
+            val rec = Warc.readMemberAt(fs, file, off)
+            (id, file, new String(rec.payload, "UTF-8"))
+          }
+        }.toDF("doc_id", "file", "html")
+      fetched
+        .join(docs(s, dir).select(col("doc_id"),
+          expectedCol.as("expected")), Seq("doc_id"))
+        .agg(count(lit(1)).as("n_fetched"),
+          sum(when(HtmlOps.extractText(col("html")) === col("expected"),
+            1L).otherwise(0L)).as("n_exact"),
+          sum(col("doc_id")).as("sum_id"),
+          countDistinct(col("file")).as("n_files"))
+    }),
     // Latest-capture resolution over a MULTI-SNAPSHOT index — the
     // wayback query ("which capture is current for this URL?"): both
     // crawls' records key to SURT, one key-bounded window picks the
@@ -2410,6 +2449,25 @@ object WebQueries {
         |  CAST(count(DISTINCT CASE WHEN cap = 0 THEN surt_key END)
         |    AS BIGINT) AS n_new_pages
         |FROM cand GROUP BY domain ORDER BY domain""".stripMargin,
+    // Multi-file fetch replay: the segment writer splits the ordered
+    // page rows into ceil-thirds, so the segment index of a sampled
+    // page derives from its POSITION; the sample must span all the
+    // segments it lands in.
+    "crawl_cdx_multifile_fetch" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS pos,
+        |    count(*) OVER () AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id,
+        |    pos // greatest((n + 2) // 3, 1) AS seg
+        |  FROM d WHERE doc_id % 7 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_fetched,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(count(DISTINCT seg) AS BIGINT) AS n_files
+        |FROM s""".stripMargin,
     // Latest-capture replay: recrawl wins only where bytes changed
     // (6th residues that survived) or the page is brand new; every
     // other page's newest capture is still the original crawl.
