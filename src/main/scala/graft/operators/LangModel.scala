@@ -56,12 +56,10 @@ object LangModel {
     * `(__t, __lab, __ll)` over vocab × classes (Laplace-smoothed —
     * a vocab token absent from a class still has a finite
     * log-likelihood). Both are plain DataFrames: persist them as
-    * parquet and the model round-trips like any layout. `labs` is the
-    * sorted class list — the model's ARITY, a few strings by
-    * definition, which lets scoring pivot the likelihood table wide
-    * and fold each document once instead of once per class. */
-  final case class NbModel(priors: DataFrame, loglik: DataFrame,
-      labs: Seq[String])
+    * parquet and the model round-trips like any layout — the two
+    * tables ARE the whole model (scoring re-derives the class list
+    * from `priors`, a model-arity collect). */
+  final case class NbModel(priors: DataFrame, loglik: DataFrame)
 
   /** Multinomial naive Bayes text classifier — the LEARNED filter tier
     * of a training-data pipeline (the role fastText-style quality /
@@ -132,12 +130,7 @@ object LangModel {
       .select(col("__t"), col("__lab"),
         log((coalesce(col("__c"), lit(0L)).cast("double") + lit(1.0)) /
           (col("__tot") + col("__v"))).as("__ll"))
-    // the class list is the model arity — a bounded driver collect
-    // (a classifier has a handful of classes by definition), sorted
-    // so scoring's pivot column order and fold order are deterministic
-    val labs = perLab.select("__lab").collect().map(_.getString(0))
-      .sorted.toSeq
-    NbModel(priors, loglik, labs)
+    NbModel(priors, loglik)
   }
 
   /** Score documents under a trained model:
@@ -149,7 +142,12 @@ object LangModel {
     * TOKEN ORDER (the [[graft.search.Hybrid]] sorted-array-fold rule),
     * so scores are bit-reproducible across engines and partitionings.
     * Scoring is one tokenize + one vocab equi-join + one per-doc fold —
-    * a 100 TB corpus scores in two shuffles. */
+    * a 100 TB corpus scores in two shuffles. Precondition: the ordered
+    * fold buffers one struct per DISTINCT in-vocab token of a document
+    * before sorting, so per-doc aggregation memory is bounded by
+    * document length — run length gates (the Gopher/C4 tier) upstream;
+    * an uncapped pathological document grows a single agg buffer
+    * proportionally. */
   def naiveBayesScore(model: NbModel, docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     nbScore(model, docs, idCol, textCol, wordTokens)
@@ -157,7 +155,13 @@ object LangModel {
   private def nbScore(model: NbModel, docs: DataFrame, idCol: String,
       textCol: String, tokensOf: Column => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val labs = model.labs
+    // the class list is the model arity — a bounded driver collect (a
+    // classifier has a handful of classes by definition), sorted so
+    // the wide-table lane order and fold order are deterministic;
+    // deriving it from priors keeps the persisted (priors, loglik)
+    // parquet pair a COMPLETE model
+    val labs = model.priors.select("__lab").collect()
+      .map(_.getString(0)).sorted.toSeq
     val valid = docs.filter(col(textCol).isNotNull &&
       trim(col(textCol)) =!= "")
     val tf = valid
@@ -172,10 +176,15 @@ object LangModel {
     // form while shuffling 1/|classes| of the rows. The wide table
     // is vocab-bounded; AQE broadcasts it when it fits and falls
     // back to the same __t equi-join shuffle otherwise.
+    // conditional aggregation rather than pivot: lanes bind to class
+    // VALUES (`when(__lab === l)`), never to generated column NAMES,
+    // so labels differing only in case (or holding metachars) can't
+    // collide under case-insensitive column resolution
+    val lanes = labs.zipWithIndex.map { case (l, i) =>
+      first(when(col("__lab") === l, col("__ll")), ignoreNulls = true)
+        .as(s"__ll$i") }
     val wide = model.loglik.groupBy("__t")
-      .pivot("__lab", labs).agg(first(col("__ll")))
-      .select(col("__t") +: labs.zipWithIndex.map { case (l, i) =>
-        col(s"`$l`").as(s"__ll$i") }: _*)
+      .agg(lanes.head, lanes.tail: _*)
     val contribs = tf.join(wide, Seq("__t"))
       .select(col("__id"), struct(col("__t") +:
         labs.indices.map(i => (col("__tf").cast("double") *

@@ -112,7 +112,14 @@ object UrlOps {
     * Normalizations match [[canonicalize]]: lowercase host, `www.`
     * strip, default-port drop, trailing-slash trim, tracking-param
     * strip + param sort, fragment drop; the whole key lowercases
-    * (archive keys are case-folded). Pure `Column` tree. */
+    * (archive keys are case-folded). Pure `Column` tree.
+    *
+    * This is the engine's INTERNAL key, aligned with [[canonicalize]]
+    * so frontier and index always agree — it is NOT byte-compatible
+    * with published cdx-*.gz keys (those keep a root path as `)/`
+    * where this trims it, and do not strip `www.` or tracking
+    * params); joining against a public index means re-keying one
+    * side. */
   def surt(url: Column): Column = {
     val h = regexp_replace(host(url), "^www\\.", "")
     val revHost = array_join(reverse(split(h, "\\.")), ",")

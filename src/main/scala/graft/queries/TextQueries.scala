@@ -43,7 +43,7 @@ object TextQueries {
           val m0 = LangModel.langIdTrain(
             d.filter(col("doc_id") % 2 === 0), "text", "lang")
           LangModel.NbModel(m0.priors.localCheckpoint(true),
-            m0.loglik.localCheckpoint(true), m0.labs)
+            m0.loglik.localCheckpoint(true))
         }
         val (_, score) = timed {
           LangModel.langIdScore(m,

@@ -50,11 +50,15 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
     val maxFiles = Option(properties.get("maxfilespertrigger"))
       .orElse(Option(properties.get("maxFilesPerTrigger")))
       .map(_.toInt).getOrElse(0)
-    new WarcTable(path, splitSize, maxFiles)
+    val compactEvery = Option(properties.get("namelogcompactinterval"))
+      .orElse(Option(properties.get("nameLogCompactInterval")))
+      .map(_.toInt).getOrElse(10)
+    new WarcTable(path, splitSize, maxFiles, compactEvery)
   }
 }
 
-class WarcTable(path: String, splitSize: Long, maxFilesPerTrigger: Int)
+class WarcTable(path: String, splitSize: Long, maxFilesPerTrigger: Int,
+    nameLogCompactInterval: Int = 10)
     extends Table with SupportsRead {
   override def name(): String = s"graft_warc($path)"
   override def schema(): StructType = Warc.schema
@@ -62,21 +66,23 @@ class WarcTable(path: String, splitSize: Long, maxFilesPerTrigger: Int)
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(path, splitSize, maxFilesPerTrigger)
+    new WarcScanBuilder(path, splitSize, maxFilesPerTrigger,
+      nameLogCompactInterval)
 }
 
 class WarcScanBuilder(path: String, splitSize: Long,
-    maxFilesPerTrigger: Int)
+    maxFilesPerTrigger: Int, nameLogCompactInterval: Int = 10)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = Warc.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new WarcScan(path, splitSize, required, maxFilesPerTrigger)
+    new WarcScan(path, splitSize, required, maxFilesPerTrigger,
+      nameLogCompactInterval)
 }
 
 class WarcScan(path: String, splitSize: Long, required: StructType,
-    maxFilesPerTrigger: Int = 0)
+    maxFilesPerTrigger: Int = 0, nameLogCompactInterval: Int = 10)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -91,7 +97,7 @@ class WarcScan(path: String, splitSize: Long, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcMicroBatch(path, splitSize, required, maxFilesPerTrigger,
-      checkpointLocation)
+      checkpointLocation, nameLogCompactInterval)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.sql.SparkSession.active
@@ -138,10 +144,16 @@ case class WarcRangePartition(file: String, start: Long, end: Long)
   * drains exactly once instead of being watermark-skipped. Driver
   * memory holds one entry per archive ever seen (the same bound
   * FileStreamSource's seenFiles carries — archives, not records).
-  * Within a batch, files split into the same byte-range partitions
-  * as the batch read. */
+  * Every `nameLogCompactInterval` batches the whole processed set is
+  * folded into one `<id>.compact` snapshot (the FileStreamSource
+  * compact-interval discipline), so a restart reads the newest
+  * snapshot plus at most interval-many per-batch files — O(1) in the
+  * life of the stream, not one file per batch ever run. Within a
+  * batch, files split into the same byte-range partitions as the
+  * batch read. */
 class WarcMicroBatch(path: String, splitSize: Long, required: StructType,
-    maxFilesPerTrigger: Int, checkpointLocation: String)
+    maxFilesPerTrigger: Int, checkpointLocation: String,
+    nameLogCompactInterval: Int = 10)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -182,6 +194,41 @@ class WarcMicroBatch(path: String, splitSize: Long, required: StructType,
     finally out.close()
   }
 
+  /** Snapshot of the ENTIRE processed set as of batch `id` — what a
+    * restart reads instead of replaying every per-batch file. */
+  private def writeCompact(id: Long, names: Set[String]): Unit = {
+    val l = logFs
+    l.mkdirs(logDir)
+    val out = l.create(new Path(logDir, s"$id.compact"), true)
+    try out.write(
+      (names.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readCompact(id: Long): Set[String] = {
+    val in = logFs.open(new Path(logDir, s"$id.compact"))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
+  /** Newest compacted snapshot at-or-below `upTo`, if any. */
+  private def latestCompactId(upTo: Long): Option[Long] = {
+    val l = logFs
+    if (!l.exists(logDir)) None
+    else l.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.endsWith(".compact"))
+      .map(_.stripSuffix(".compact").toLong)
+      .filter(_ <= upTo).sorted.lastOption
+  }
+
+  private def missingBatch(id: Long): Nothing =
+    throw new IllegalStateException(
+      s"graft_warc processed-name log: batch $id has no log file under " +
+        s"$logDir. The log is written before its offset is returned, so " +
+        "every committed/WAL'd batch must have one — failing loudly " +
+        "instead of silently dropping that batch's archives.")
+
   /** Sorted archive names currently in the directory. */
   private def listNames(): Seq[String] = {
     val p = new Path(path)
@@ -201,9 +248,17 @@ class WarcMicroBatch(path: String, splitSize: Long, required: StructType,
   private var loadedUpTo: Long = -1L
 
   private def loadProcessed(upTo: Long): Unit = {
+    if (loadedUpTo < 0 && upTo >= 0) {
+      // restart: fold the newest compacted snapshot first — O(1)
+      // files — then only the per-batch tail written since it
+      latestCompactId(upTo).foreach { cid =>
+        processed ++= readCompact(cid)
+        loadedUpTo = cid
+      }
+    }
     var id = loadedUpTo + 1
     while (id <= upTo) {
-      readBatch(id).foreach(ns => processed ++= ns)
+      processed ++= readBatch(id).getOrElse(missingBatch(id))
       id += 1
     }
     loadedUpTo = math.max(loadedUpTo, upTo)
@@ -244,6 +299,13 @@ class WarcMicroBatch(path: String, splitSize: Long, required: StructType,
       writeBatch(next, admitted)
       processed ++= admitted
       loadedUpTo = math.max(loadedUpTo, next)
+      // every interval-th batch, snapshot the whole processed set —
+      // written before the offset returns, like the per-batch file;
+      // per-batch files stay (crash replay of an uncommitted batch
+      // still reads its own file), restarts just skip them
+      if (nameLogCompactInterval > 0 &&
+          next % nameLogCompactInterval == nameLogCompactInterval - 1)
+        writeCompact(next, processed)
       BatchOffset(next)
     }
   }
@@ -255,7 +317,11 @@ class WarcMicroBatch(path: String, splitSize: Long, required: StructType,
     val f = fs
     val p = new Path(path)
     val dir = f.exists(p) && f.getFileStatus(p).isDirectory
-    (from + 1 to until).flatMap(readBatch(_).getOrElse(Seq.empty))
+    // a batch in (start, end] was WAL'd by the engine, so its name
+    // log MUST exist (it was written before the offset was returned);
+    // a missing file is corruption, never an empty batch
+    (from + 1 to until).flatMap(id => readBatch(id)
+        .getOrElse(missingBatch(id)))
       .flatMap { n =>
         val fp = if (dir) new Path(p, n) else p
         val len = f.getFileStatus(fp).getLen

@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, Encoders}
   * Commit discipline: each task writes to a `_tmp` staging name
   * carrying its task attempt id, then renames to the final
   * `seg-{partition}.warc.gz` only if absent — first attempt wins.
-  * Rows are sorted within the partition on the URL key before
+  * Rows are sorted within the partition on (url, body) — a TOTAL
+  * order even when refetch corpora repeat a URL — before
   * serialization, so a retried/speculative attempt of the same
   * partition produces byte-identical content (gzipMember is
   * deterministic, the input partition is the same set, and the sort
@@ -67,8 +68,9 @@ object WarcSink {
       .filter(col(urlCol).isNotNull && col(textCol).isNotNull)
       // pin within-partition order: hash-repartition iteration order is
       // not otherwise deterministic across attempts, and the record
-      // order + per-record ordinal must be for byte-identical segments
-      .sortWithinPartitions(col(urlCol))
+      // order + per-record ordinal must be for byte-identical segments;
+      // the body column breaks duplicate-URL ties (refetch corpora)
+      .sortWithinPartitions(col(urlCol), col(textCol))
       .mapPartitions { rows =>
         if (!rows.hasNext) Iterator.empty
         else {

@@ -203,6 +203,44 @@ class QualitySpec extends SparkSpec {
       s"trigram-separable corpus must classify perfectly, got $hit/$n")
   }
 
+  test("NbModel round-trips through parquet — (priors, loglik) are the " +
+    "whole model — and the per-doc fold survives a pathologically long " +
+    "document (the doc-length precondition's worst case)") {
+    import graft.operators.LangModel
+    val rows = (0 until 20).map { i =>
+      val lab = if (i % 2 == 0) "aa" else "bb"
+      val text = if (lab == "aa") "szczecin przez czesc " * (2 + i % 3)
+        else "ouioui beaucoup eau " * (2 + i % 3)
+      (i.toLong, text.trim, lab)
+    }
+    val d = rows.toDF("doc_id", "text", "lang")
+    val trained = LangModel.langIdTrain(d, "text", "lang")
+    val root = java.nio.file.Files
+      .createTempDirectory("nb_model").toString
+    trained.priors.write.mode("overwrite").parquet(s"$root/priors")
+    trained.loglik.write.mode("overwrite").parquet(s"$root/loglik")
+    // reload: the two parquet tables reconstruct the model with no
+    // side state (the class list re-derives from priors at score time)
+    val reloaded = LangModel.NbModel(
+      spark.read.parquet(s"$root/priors"),
+      spark.read.parquet(s"$root/loglik"))
+    // a ~60k-char document: far past any quality gate, the fold's
+    // collect_list buffer is bounded by DISTINCT in-vocab trigrams,
+    // so even this scores fine — the scaladoc's documented trade
+    val long = ("szczecin przez czesc " * 3000).trim
+    val test = Seq((100L, long), (101L, "ouioui beaucoup eau"))
+      .toDF("doc_id", "text")
+    def preds(m: LangModel.NbModel) =
+      LangModel.langIdScore(m, test, "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getDouble(2)))).toMap
+    val a = preds(trained)
+    val b = preds(reloaded)
+    assert(a(100L)._1 === "aa" && a(101L)._1 === "bb")
+    assert(a === b,
+      s"reloaded model must score bit-identically: $a vs $b")
+  }
+
   test("bpeTrain: hand-computed merges on the classic low/lower/lowest " +
     "corpus; apply is the greedy replace chain") {
     val corpus = Seq("low low low lower lowest").toDF("text")

@@ -246,6 +246,76 @@ class WarcSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 36)
   }
 
+  test("processed-name log compacts every N batches: a restart " +
+    "rebuilds the set from the newest snapshot alone (compacted " +
+    "per-batch files can vanish), and a missing batch file in a " +
+    "replay range fails loudly instead of dropping archives") {
+    val dir = Files.createTempDirectory("warc_compact").toString
+    val data = s"$dir/in"; val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+    new java.io.File(data).mkdirs()
+    def writeArchive(name: String, ids: Range): Unit = {
+      val f = new FileOutputStream(s"$data/$name")
+      try ids.foreach { i =>
+        f.write(Warc.gzipMember(Warc.record("response",
+          s"https://dom${i % 5}.com/p/$i", "2024-01-01T00:00:00Z",
+          s"urn:uuid:rec-$i", "application/http; msgtype=response",
+          Warc.httpResponse(200, "OK", "text/html; charset=utf-8",
+            page(i).getBytes("UTF-8")))))
+      } finally f.close()
+    }
+    // seven archives, one per micro-batch (ids 0..6); interval 3
+    // snapshots the processed set at batch ids 2 and 5
+    (0 until 7).foreach(k =>
+      writeArchive(f"seg-$k%03d.warc.gz", k * 2 until k * 2 + 2))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft_warc")
+        .option("splitSize", 1024).option("maxFilesPerTrigger", 1)
+        .option("nameLogCompactInterval", 3)
+        .load(data)
+        .select("record_id", "url")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() === 14)
+    // the snapshot files exist under the source's name log
+    val logDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(p => p.getFileName.toString == "graft_warc_names")
+      .toArray.map(_.toString)
+    assert(logDirs.length === 1, s"name log dirs: ${logDirs.toSeq}")
+    val logDir = new java.io.File(logDirs.head)
+    val compacts = logDir.listFiles()
+      .filter(_.getName.endsWith(".compact"))
+      .map(_.getName.stripSuffix(".compact").toLong).sorted
+    assert(compacts.toSeq === Seq(2L, 5L),
+      s"expected snapshots at batches 2 and 5, got ${compacts.toSeq}")
+    // delete every per-batch file at-or-below the newest snapshot:
+    // the restart must rebuild the processed set from the snapshot
+    // plus only the tail (batch 6) — O(1) log files read
+    logDir.listFiles().filter(f => !f.getName.endsWith(".compact") &&
+      f.getName.forall(_.isDigit) && f.getName.toLong <= 5L)
+      .foreach(f => assert(f.delete()))
+    writeArchive("seg-007.warc.gz", 100 until 105)
+    drain()
+    val all = spark.read.parquet(out)
+      .select("record_id").collect().map(_.getString(0))
+    assert(all.length === 19, s"restart must drain ONLY the new " +
+      s"archive on top of the snapshot, got ${all.length}")
+    assert(all.toSet.size === 19)
+    // loud failure: replaying a WAL'd batch whose name-log file is
+    // gone must throw, never silently treat it as an empty batch
+    val mb = new graft.sources.WarcMicroBatch(data, 1024, Warc.schema, 0,
+      s"$dir/ckpt2", 10)
+    val e = intercept[IllegalStateException] {
+      mb.planInputPartitions(mb.deserializeOffset("-1"),
+        mb.deserializeOffset("0"))
+    }
+    assert(e.getMessage.contains("no log file"))
+  }
+
   test("WARC-Payload-Digest: sha1:BASE32 round-trips through write/" +
     "parse; identical payloads share a digest; absent header is NULL") {
     val payload = page(3).getBytes("UTF-8")
