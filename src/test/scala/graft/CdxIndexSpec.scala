@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.index.CdxIndex
+import org.apache.spark.sql.functions._
+
+/** The CDX maintenance pass ([[graft.index.CdxIndex.optimize]]):
+  * micro-batch APPENDS — the mid-crawl layout where every file spans
+  * the whole key space — re-sorted into the range layout. Answers
+  * identical, per-file SURT key ranges disjoint afterwards (so a
+  * domain probe prunes files, the property the batch build's
+  * contiguity test pins), and idempotent. */
+class CdxIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (name, min surt_key, max surt_key) per parquet part file —
+    * the min/max stats file- and row-group-level pruning skips on. */
+  private def fileRanges(root: String): Seq[(String, String, String)] =
+    new java.io.File(root).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = spark.read.parquet(f.toString)
+          .agg(min("surt_key"), max("surt_key")).head()
+        (f.getName, r.getString(0), r.getString(1))
+      }.toSeq
+
+  test("optimize re-sorts appended micro-batches into the range " +
+    "layout: answers identical, per-file SURT ranges disjoint (a " +
+    "domain probe prunes files like the batch build), idempotent") {
+    val root = Files.createTempDirectory("cdx_opt").toString + "/cdx"
+    // three 'micro-batches', each spanning ALL domains — the
+    // live-crawl append shape where no file can be skipped
+    (0 until 3).foreach { b =>
+      (0 until 40).map { i =>
+        val dom = s"dom${i % 4}"
+        val id = b * 100 + i
+        (s"com,$dom)/p/$id", s"2024-01-0${b + 1}T00:00:00Z",
+          s"https://$dom.com/p/$id", s"seg-$b.warc.gz",
+          id.toLong, 10L, s"sha1:FAKE$id")
+      }.toDF("surt_key", "ts", "url", "file", "member_offset",
+        "member_length", "payload_digest")
+        .coalesce(1).write.mode("append").parquet(root)
+    }
+    val pre = spark.read.parquet(root).collect().map(_.toString).sorted
+    val before = fileRanges(root)
+    assert(before.size >= 3)
+    assert(before.forall { case (_, lo, hi) =>
+      lo.startsWith("com,dom0") && hi.startsWith("com,dom3") },
+      s"append fixture must span all domains per file: $before")
+    CdxIndex.optimize(spark, root, 4)
+    val post = spark.read.parquet(root).collect().map(_.toString).sorted
+    assert(post === pre, "optimize must not change the answer set")
+    // post-optimize the files partition the key space: sorted by min,
+    // each file's max never passes the next file's min
+    val after = fileRanges(root).sortBy(_._2)
+    after.sliding(2).foreach {
+      case Seq((_, _, hi1), (n2, lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges overlap at $n2: $hi1 > $lo2")
+      case _ => ()
+    }
+    // a single-domain probe now overlaps a strict subset of files —
+    // the prunability the batch-built index's spec pins, recovered
+    // for the maintained index
+    val (probeLo, probeHi) = ("com,dom1)", "com,dom1*")
+    val overlapping = after.count { case (_, lo, hi) =>
+      lo < probeHi && hi >= probeLo }
+    assert(overlapping > 0 && overlapping < after.size,
+      s"a dom1 probe must prune files: $overlapping of ${after.size}")
+    val hits = spark.read.parquet(root)
+      .filter(col("surt_key") >= probeLo && col("surt_key") < probeHi)
+      .select("url").collect().map(_.getString(0))
+    assert(hits.length === 30 &&
+      hits.forall(_.startsWith("https://dom1.com/")))
+    // idempotent: a second pass leaves answers and layout converged
+    val nFiles = after.size
+    CdxIndex.optimize(spark, root, 4)
+    assert(spark.read.parquet(root).collect()
+      .map(_.toString).sorted === pre)
+    assert(fileRanges(root).size === nFiles)
+  }
+}
