@@ -776,6 +776,65 @@ object WebQueries {
           sum(coalesce(col("payload_len").cast("long"), lit(0L)))
             .as("sum_payload_len"))
     }),
+    // Revisit-record GENERATION — the producer direction of the
+    // backfill cell (ISO 28500 §6.7.2): a recrawl fetch whose payload
+    // digest matches the crawl-A CDX index already has its bytes
+    // archived, so the writer emits a `revisit` member (digest, no
+    // payload) instead of re-storing them — archive bytes written
+    // shrink to changed-pages-only. Digest-less pages (the honest
+    // production caveat: no header on either side, nothing to match)
+    // re-store. The round trip is proven by resolving every written
+    // revisit back through the original archive's digest→payload
+    // join, the crawl_revisit_backfill machinery.
+    "crawl_revisit_write" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_warc_revw/" +
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true) // fresh replay
+      val b = s.read.format("graft_warc").option("splitSize", 8192)
+        .load(warcSnapshotBPath(s, dir))
+        .filter(col("warc_type") === "response")
+        .select(col("url"),
+          CharsetOps.decodeHtml(col("payload"), col("http_content_type"))
+            .as("body"),
+          col("payload_digest").as("dig_b"))
+      val idx = s.read.parquet(cdxIndexPath(s, dir))
+        .select(col("url"), col("payload_digest").as("dig_a"))
+      val staged = b.join(idx, Seq("url"), "left")
+        .select(col("url"), col("body"),
+          when(col("dig_a").isNotNull && col("dig_b").isNotNull &&
+            col("dig_a") === col("dig_b"), col("dig_b")).as("rev_digest"))
+      graft.sources.WarcSink.writeRecrawlSegments(
+        staged.repartition(8, col("url")), "url", "body", "rev_digest",
+        root)
+      val back = s.read.format("graft_warc").option("splitSize", 4096)
+        .load(root)
+      val ledger = back
+        .filter(col("warc_type").isin("response", "revisit"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("warc_type") === "revisit", 1L).otherwise(0L))
+            .as("n_revisits"),
+          sum(when(col("warc_type") === "response", 1L).otherwise(0L))
+            .as("n_responses"),
+          sum(when(col("warc_type") === "response",
+            length(decode(col("payload"), "UTF-8")).cast("long"))
+            .otherwise(0L)).as("sum_resp_chars"),
+          // the whole point: revisit members ship ZERO payload bytes
+          sum(when(col("warc_type") === "revisit",
+            length(col("payload")).cast("long")).otherwise(0L))
+            .as("revisit_bytes"))
+      val orig = s.read.format("graft_warc").option("splitSize", 8192)
+        .load(warcFixturePath(s, dir))
+        .filter(col("warc_type") === "response" &&
+          col("payload_digest").isNotNull)
+        .select(col("payload_digest").as("digest")).distinct()
+      val resolved = back.filter(col("warc_type") === "revisit")
+        .select(col("payload_digest").as("digest"))
+        .join(orig, Seq("digest"), "left_semi")
+        .agg(count(lit(1)).as("n_resolved"))
+      ledger.crossJoin(resolved) // 1-row × 1-row
+    }),
     // Snapshot diff between two crawls on the archives' OWN digests
     // (the recrawl-ops question: what changed since last month's
     // crawl?): full outer join on URL, digest compare classifies
@@ -2407,6 +2466,29 @@ object WebQueries {
         |  CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN strlen(html)
         |    ELSE 0 END) AS BIGINT) AS sum_payload_len
         |FROM rv""".stripMargin,
+    // Revisit-WRITE replay, all from the crawl-B residues: recrawled
+    // pages are id%9<>1 (plus ten added); unchanged pages (id%6<>0)
+    // revisit iff BOTH crawls carried the digest header (id%5<>0);
+    // changed pages re-store html + the 11-char v2 comment; added
+    // pages are 36 chars each; every revisit resolves (its digest is
+    // in crawl A by construction) and ships zero payload bytes.
+    "crawl_revisit_write" ->
+      s"""WITH $htmlCtes,
+        |b AS (SELECT doc_id, html FROM h WHERE doc_id % 9 <> 1)
+        |SELECT CAST(count(*) + 10 AS BIGINT) AS n_records,
+        |  CAST(sum(CASE WHEN doc_id % 6 <> 0 AND doc_id % 5 <> 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_revisits,
+        |  CAST(count(*) + 10 - sum(CASE WHEN doc_id % 6 <> 0
+        |    AND doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_responses,
+        |  CAST(sum(CASE WHEN doc_id % 6 <> 0 AND doc_id % 5 = 0
+        |      THEN length(html)
+        |    WHEN doc_id % 6 = 0 THEN length(html) + 11
+        |    ELSE 0 END) + 360 AS BIGINT) AS sum_resp_chars,
+        |  CAST(0 AS BIGINT) AS revisit_bytes,
+        |  CAST(sum(CASE WHEN doc_id % 6 <> 0 AND doc_id % 5 <> 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved
+        |FROM b""".stripMargin,
     // CDF-bridge replay: interval arithmetic over the crawl-B residues
     // (N docs + C changed re-opens + 10 added inserts; closed = C
     // updates + R deletes; current = the rest; urls = N + 10).

@@ -49,13 +49,71 @@ object WarcSink {
     writeSegments(df, urlCol, jsonCol, dir, date,
       "metadata", "application/json", "meta")
 
-  private def writeSegments(df: DataFrame, urlCol: String,
-      textCol: String, dir: String, date: String,
-      warcType: String, blockContentType: String, idTag: String): Long = {
+  /** Write a RECRAWL's captures (ISO 28500 §6.7.2 — how real crawls
+    * keep archives small): rows whose `revisitDigestCol` is non-null
+    * already have their payload bytes stored under that digest in a
+    * prior crawl, so they write `revisit` members (digest header,
+    * EMPTY block — `crawl_revisit_backfill` resolves them back to the
+    * stored bytes); the rest write full `response` members (HTTP 200
+    * wrapper, payload digest computed). Same task-side segment commit
+    * discipline as the WET/WAT writers; rows sort on (url, text) so
+    * retried attempts stay byte-identical. Archive bytes written thus
+    * shrink to CHANGED-pages-only — the recrawl sibling of digest
+    * dedup. Returns records written. */
+  def writeRecrawlSegments(df: DataFrame, urlCol: String,
+      textCol: String, revisitDigestCol: String, dir: String,
+      date: String = "2024-02-01T00:00:00Z"): Long = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    // sweep stale staging orphans from prior attempts that died
-    // mid-write (never visible to readers, but never self-cleaning)
+    sweepStaging(df, dir)
+    val counts = df.select(col(urlCol).cast("string"),
+        col(textCol).cast("string"),
+        col(revisitDigestCol).cast("string"))
+      .filter(col(urlCol).isNotNull && col(textCol).isNotNull)
+      .sortWithinPartitions(col(urlCol), col(textCol))
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val attempt = tc.taskAttemptId()
+          val fs = new Path(dir).getFileSystem(conf.value)
+          val stage = new Path(dir, f"_tmp-seg-$pid%05d-$attempt")
+          val out = fs.create(stage, true)
+          var n = 0L
+          out.write(Warc.gzipMember(Warc.record("warcinfo", null, date,
+            f"urn:graft:recrawl:info:$pid%05d", "application/warc-fields",
+            ("software: graft WarcSink\r\nformat: WARC/1.0\r\n" +
+              "content-kind: recrawl\r\n").getBytes("UTF-8"))))
+          try rows.foreach { r =>
+            val url = r.getString(0)
+            if (!r.isNullAt(2)) {
+              // bytes already archived: digest only, no payload
+              out.write(Warc.gzipMember(Warc.record("revisit",
+                url, date, s"urn:graft:recrawl:$pid:$n", "message/http",
+                Array.emptyByteArray, Some(r.getString(2)))))
+            } else {
+              val payload = r.getString(1).getBytes("UTF-8")
+              out.write(Warc.gzipMember(Warc.record("response",
+                url, date, s"urn:graft:recrawl:$pid:$n",
+                "application/http; msgtype=response",
+                Warc.httpResponse(200, "OK", "text/html; charset=utf-8",
+                  payload), Some(Warc.payloadDigest(payload)))))
+            }
+            n += 1
+          } finally out.close()
+          val dst = new Path(dir, f"seg-$pid%05d.warc.gz")
+          if (!fs.rename(stage, dst)) fs.delete(stage, true)
+          Iterator.single(n)
+        }
+      }(Encoders.scalaLong)
+    counts.agg(coalesce(sum("value"), lit(0L))).head().getLong(0)
+  }
+
+  /** Sweep stale `_tmp-seg-*` staging orphans from prior attempts
+    * that died mid-write (never visible to readers, never
+    * self-cleaning). */
+  private def sweepStaging(df: DataFrame, dir: String): Unit = {
     val dirPath = new Path(dir)
     val dirFs = dirPath.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
@@ -63,6 +121,14 @@ object WarcSink {
       dirFs.listStatus(dirPath)
         .filter(_.getPath.getName.startsWith("_tmp-seg-"))
         .foreach(s => dirFs.delete(s.getPath, false))
+  }
+
+  private def writeSegments(df: DataFrame, urlCol: String,
+      textCol: String, dir: String, date: String,
+      warcType: String, blockContentType: String, idTag: String): Long = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    sweepStaging(df, dir)
     val counts = df.select(col(urlCol).cast("string"),
         col(textCol).cast("string"))
       .filter(col(urlCol).isNotNull && col(textCol).isNotNull)

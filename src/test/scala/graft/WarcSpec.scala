@@ -496,6 +496,48 @@ class WarcSpec extends SparkSpec {
       .filter(col("warc_type") === "conversion").count() === 37)
   }
 
+  test("WarcSink recrawl segments: digest-matched rows write revisit " +
+    "members (digest header, ZERO payload bytes), the rest full " +
+    "responses; re-run never duplicates") {
+    import graft.sources.WarcSink
+    val dir = Files.createTempDirectory("warc_sink_rev").toString + "/re"
+    // even ids digest-matched the prior crawl → revisit; odd → changed
+    val df = spark.range(0, 20)
+      .selectExpr("'https://d.com/p/' || id AS url",
+        "'<html>page ' || id || '</html>' AS body",
+        "CASE WHEN id % 2 = 0 THEN 'sha1:FAKE' || id END AS rev")
+      .repartition(3)
+    val n = WarcSink.writeRecrawlSegments(df, "url", "body", "rev", dir)
+    assert(n === 20)
+    val back = spark.read.format("graft_warc").load(dir)
+      .filter(col("warc_type").isin("response", "revisit"))
+      .select("url", "warc_type", "payload", "payload_digest").collect()
+    assert(back.length === 20)
+    val rev = back.filter(_.getString(1) === "revisit")
+    assert(rev.length === 10)
+    rev.foreach { r =>
+      assert(r.getAs[Array[Byte]](2).isEmpty,
+        s"revisit must ship no payload: ${r.getString(0)}")
+      val id = r.getString(0).split("/p/")(1)
+      assert(r.getString(3) === s"sha1:FAKE$id")
+    }
+    val resp = back.filter(_.getString(1) === "response")
+    assert(resp.length === 10)
+    resp.foreach { r =>
+      val id = r.getString(0).split("/p/")(1)
+      val body = new String(r.getAs[Array[Byte]](2), "UTF-8")
+      assert(body === s"<html>page $id</html>")
+      assert(r.getString(3) ===
+        Warc.payloadDigest(body.getBytes("UTF-8")))
+    }
+    // first attempt wins: a re-run commits nothing new
+    assert(WarcSink.writeRecrawlSegments(df, "url", "body", "rev",
+      dir) === 20)
+    assert(spark.read.format("graft_warc").load(dir)
+      .filter(col("warc_type").isin("response", "revisit"))
+      .count() === 20)
+  }
+
   test("readMemberAt: one seek read inflates exactly the indexed " +
     "member (the CDX random-access pattern)") {
     val f = writeFixture(12)
