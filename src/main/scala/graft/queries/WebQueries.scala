@@ -442,6 +442,28 @@ object WebQueries {
       s"$root/cdx"
     }
 
+  /** A FROZEN language-ID model for the crawl path — the production
+    * shape: classifiers train OFFLINE on labeled data, persist, and
+    * score unlabeled pages at ingest (the feedSync frozen-embedder
+    * discipline applied to the classifier). Char-trigram NB trained
+    * on the labeled even half of the corpus, persisted as its two
+    * parquet tables ((priors, loglik) ARE the whole model), reloaded
+    * by every scorer. Memoized per (JVM, sf dir). */
+  private def langModelPath(s: SparkSession, dir: String): String =
+    BuildCache.memo(s"crawl_langmodel:$dir") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_langmod/" +
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      val m = graft.operators.LangModel.langIdTrain(
+        docs(s, dir).filter(pmod(col("doc_id"), lit(2L)) === 0),
+        "text", "lang")
+      m.priors.write.mode("overwrite").parquet(s"$root/priors")
+      m.loglik.write.mode("overwrite").parquet(s"$root/loglik")
+      root
+    }
+
   /** The corpus as a MIXED-MEDIA crawl: every 10th-residue-7 fetch
     * returns `image/png` (REAL PNG bytes of the deterministic
     * multimodal pixel formula), the rest the usual html pages — the
@@ -1037,6 +1059,35 @@ object WebQueries {
             .as("n_len_ok"),
           countDistinct(col("body")).as("n_unique"))
         .orderBy("lang")
+    }),
+    // PREDICTED-language rollup over the crawl — the production
+    // composition crawl_corpus_pipeline can't be (a real crawl has no
+    // label column to join): gate-chain survivors' EXTRACTED text
+    // scored under the frozen persisted langid model (trained offline
+    // on the labeled half, reloaded from its parquet pair here), then
+    // rolled per (true lang, predicted) with identity sums — the
+    // confusion matrix of language routing at ingest. The oracle
+    // replays training AND the token-ordered score fold over the
+    // expected extracted text, so a classifier bug, a stale model, or
+    // an extraction bug all move cells and break the hash. Scoring is
+    // one tokenize + one vocab equi-join + one per-doc fold on top of
+    // the archive scan; the model tables are vocab-bounded.
+    "crawl_corpus_langid" -> ((s, dir) => {
+      val mroot = langModelPath(s, dir)
+      val model = graft.operators.LangModel.NbModel(
+        s.read.parquet(s"$mroot/priors"),
+        s.read.parquet(s"$mroot/loglik"))
+      val surv = crawlStaged(s, dir,
+          s.read.format("graft_warc").option("splitSize", 4096)
+            .load(warcFixturePath(s, dir)))
+        .filter(col("ex"))
+        .select(col("doc_id"), HtmlOps.extractText(col("html")).as("body"))
+      graft.operators.LangModel.langIdScore(model, surv, "doc_id", "body")
+        .join(docs(s, dir).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
+        .orderBy("lang", "predicted")
     }),
     // WET generation: the gate-chain survivors' extracted text written
     // back out as gzip-member WARC `conversion` records — one segment
@@ -1722,6 +1773,7 @@ object WebQueries {
     cdxIndexPath(s, dir)
     cdxStreamedPath(s, dir)
     watExportPath(s, dir)
+    langModelPath(s, dir)
     ()
   }
 
@@ -1890,6 +1942,44 @@ object WebQueries {
         }
         Map("fixture" -> fixture, "drain" -> drain,
           "optimize" -> optimize, "probe" -> probe)
+      }),
+      // the timed cell scores under the prewarmed frozen model; the
+      // offline training + persist cost is stamped here fresh
+      "crawl_corpus_langid" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        import graft.operators.LangModel
+        val (fix, fixture) = timed(warcFixturePath(s, dir))
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft_langmod_ph/" +
+            dir.replaceAll("[^0-9a-zA-Z.]", "_")
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+        val (_, train) = timed {
+          val m = LangModel.langIdTrain(
+            docs(s, dir).filter(pmod(col("doc_id"), lit(2L)) === 0),
+            "text", "lang")
+          m.priors.write.mode("overwrite").parquet(s"$root/priors")
+          m.loglik.write.mode("overwrite").parquet(s"$root/loglik")
+        }
+        val (_, score) = timed {
+          val model = LangModel.NbModel(
+            s.read.parquet(s"$root/priors"),
+            s.read.parquet(s"$root/loglik"))
+          val surv = crawlStaged(s, dir,
+              s.read.format("graft_warc").option("splitSize", 4096)
+                .load(fix))
+            .filter(col("ex"))
+            .select(col("doc_id"),
+              HtmlOps.extractText(col("html")).as("body"))
+          LangModel.langIdScore(model, surv, "doc_id", "body")
+            .groupBy("predicted").agg(count(lit(1))).count()
+        }
+        Map("fixture" -> fixture, "train" -> train, "score" -> score)
       }))
 
   /** The crawl step-zero gate chain over raw WARC records (batch and
@@ -2549,6 +2639,71 @@ object WebQueries {
         |    AS BIGINT) AS n_len_ok,
         |  CAST(count(DISTINCT expected) AS BIGINT) AS n_unique
         |FROM sv GROUP BY lang ORDER BY lang""".stripMargin,
+    // Predicted-language replay: train on the labeled even half
+    // (char trigrams, add-one NB — the text_langid algebra), score
+    // the gate-chain survivors' EXPECTED extracted text with the
+    // trigram-ordered fold, argmax with class-name tie-break,
+    // (lang, predicted) rollup with identity sums.
+    "crawl_corpus_langid" ->
+      s"""WITH $htmlCtes,
+        |train AS (
+        |  SELECT lang AS lab, lower(trim(text)) AS t
+        |  FROM documents
+        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL AND trim(text) <> ''),
+        |ttok AS (
+        |  SELECT lab, unnest([substr(t, i, 3)
+        |    FOR i IN range(1, len(t) - 1)]) AS g
+        |  FROM train),
+        |ctok AS (SELECT lab, g, count(*) AS c FROM ttok GROUP BY 1, 2),
+        |ctot AS (SELECT lab, count(*) AS tot FROM ttok GROUP BY 1),
+        |vocab AS (SELECT DISTINCT g FROM ttok),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |prior AS (
+        |  SELECT lab, ln(CAST(count(*) AS DOUBLE) /
+        |    (SELECT count(*) FROM train)) AS lp
+        |  FROM train GROUP BY lab),
+        |ll AS (
+        |  SELECT vo.g, ct.lab,
+        |    ln((coalesce(c.c, 0) + 1.0) / (ct.tot + vs.v)) AS ll
+        |  FROM vocab vo CROSS JOIN ctot ct
+        |  LEFT JOIN ctok c ON c.g = vo.g AND c.lab = ct.lab
+        |  CROSS JOIN vs),
+        |test AS (
+        |  SELECT doc_id AS id, lang,
+        |    lower(trim('Doc ' || CAST(doc_id AS VARCHAR) || ' Doc ' ||
+        |      CAST(doc_id AS VARCHAR) || ' ' || text || ' ' || refs ||
+        |      ' Home & About')) AS t
+        |  FROM h
+        |  WHERE doc_id % 17 <> 5 AND doc_id % 10 <> 3 AND doc_id % 9 <> 0),
+        |tf AS (
+        |  SELECT id, g, count(*) AS tf FROM (
+        |    SELECT id, unnest([substr(t, i, 3)
+        |      FOR i IN range(1, len(t) - 1)]) AS g
+        |    FROM test)
+        |  GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT tf.id, ll.lab, tf.g, tf.tf * ll.ll AS contrib
+        |  FROM tf JOIN ll ON ll.g = tf.g),
+        |folded AS (
+        |  SELECT id, lab,
+        |    list_reduce(list_prepend(0.0, list(contrib ORDER BY g)),
+        |      (a, x) -> a + x) AS s
+        |  FROM contrib GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT i.id, p.lab, p.lp + coalesce(f.s, 0.0) AS score
+        |  FROM (SELECT DISTINCT id FROM test) i CROSS JOIN prior p
+        |  LEFT JOIN folded f ON f.id = i.id AND f.lab = p.lab),
+        |pred AS (
+        |  SELECT id, lab, row_number() OVER (
+        |    PARTITION BY id ORDER BY score DESC, lab) AS rn
+        |  FROM scored)
+        |SELECT t.lang, p.lab AS predicted,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(p.id) AS BIGINT) AS sum_id
+        |FROM pred p
+        |JOIN (SELECT DISTINCT id, lang FROM test) t ON t.id = p.id
+        |WHERE p.rn = 1
+        |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
     // WET replay: the export set is the gate-chain survivor residues
     // (status 17/5, robots last-digit-3, noindex 9/0 — extraction is
     // exact on every page by construction); chars = the expected
