@@ -2,8 +2,9 @@ package graft.index
 
 import graft.streaming.AtomicSwap
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, lag}
 
 /** Maintenance for a persisted CDX archive index (the SURT-keyed
   * capture index of [[graft.queries.WebQueries]]'s crawl tier —
@@ -46,5 +47,23 @@ object CdxIndex {
       .sortWithinPartitions("surt_key", "ts")
       .write.mode("overwrite").parquet(stage)
     AtomicSwap.commit(fs, path, stage)
+  }
+
+  /** Wayback-style `collapse=digest` at index build/maintenance time:
+    * per SURT key, CONSECUTIVE captures carrying the same payload
+    * digest fold to their first row — the index-side dedup that keeps
+    * a multi-snapshot index linear in CHANGE, not in crawls run. A
+    * page's resolved content history is unchanged (every digest
+    * transition survives; the folded rows repeat the digest of the
+    * row that stays). Key-bounded window only, never a global sort.
+    * Precondition: `digestCol` is non-null — coalesce a computed
+    * digest in first (a null can prove nothing and must not fold). */
+  def collapseByDigest(index: DataFrame,
+      digestCol: String = "payload_digest"): DataFrame = {
+    val w = Window.partitionBy("surt_key")
+      .orderBy(col("ts"), col(digestCol))
+    index.withColumn("__prev", lag(col(digestCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(digestCol))
+      .drop("__prev")
   }
 }

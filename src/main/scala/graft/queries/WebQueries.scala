@@ -950,6 +950,33 @@ object WebQueries {
             .as("sum_id"))
         .orderBy("ts")
     }),
+    // CDX capture COLLAPSING (the wayback collapse=digest option) at
+    // index build time: consecutive same-digest captures of a URL
+    // fold to one row, so the two-snapshot index holds exactly
+    // original-corpus + CHANGE rows — every unchanged refetch
+    // disappears, every changed/added capture survives. Digests
+    // coalesce to a computed sha1 first (a null can prove nothing);
+    // the fold is one SURT-keyed window. The per-ts rollup is fully
+    // residue-derivable: crawl A keeps all N rows, crawl B keeps only
+    // its changed + added captures.
+    "crawl_cdx_collapse" -> ((s, dir) => {
+      def idx(path: String): DataFrame =
+        s.read.format("graft_warc").option("splitSize", 8192).load(path)
+          .filter(col("warc_type") === "response")
+          .select(UrlOps.surt(col("url")).as("surt_key"),
+            col("warc_date").as("ts"), col("url"),
+            coalesce(col("payload_digest"),
+              concat(lit("sha1hex:"), sha1(col("payload")))).as("dig"))
+      val multi = idx(warcFixturePath(s, dir))
+        .unionByName(idx(warcSnapshotBPath(s, dir)))
+      graft.index.CdxIndex.collapseByDigest(multi, "dig")
+        .groupBy("ts")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("surt_key")).as("n_pages"),
+          sum(regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long"))
+            .as("sum_id"))
+        .orderBy("ts")
+    }),
     // Soft-change detection between crawls — the recrawl-ops gate
     // AFTER the digest diff: a page whose BYTES changed (new digest)
     // but whose EXTRACTED TEXT didn't (markup/comment churn, rotating
@@ -2822,6 +2849,28 @@ object WebQueries {
         |SELECT ts, CAST(count(*) AS BIGINT) AS n_urls,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_id
         |FROM lat GROUP BY ts ORDER BY ts""".stripMargin,
+    // Collapse replay: crawl A contributes every doc once; crawl B's
+    // unchanged refetches fold away (same SURT, same ts, same digest —
+    // coalesced sha1 included, so digest-less pages fold too), leaving
+    // only its changed captures and the ten added pages (ids
+    // 100000..100009, sum 1000045).
+    "crawl_cdx_collapse" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+        |k AS (SELECT count(*) AS n, sum(doc_id) AS sid,
+        |    sum(CASE WHEN doc_id % 9 <> 1 AND doc_id % 6 = 0
+        |      THEN 1 ELSE 0 END) AS c,
+        |    sum(CASE WHEN doc_id % 9 <> 1 AND doc_id % 6 = 0
+        |      THEN doc_id ELSE 0 END) AS csid
+        |  FROM d)
+        |SELECT ts, n_rows, n_pages, sum_id FROM (
+        |  SELECT '2024-01-01T00:00:00Z' AS ts,
+        |    CAST(n AS BIGINT) AS n_rows, CAST(n AS BIGINT) AS n_pages,
+        |    CAST(sid AS BIGINT) AS sum_id FROM k
+        |  UNION ALL
+        |  SELECT '2024-02-01T00:00:00Z',
+        |    CAST(c + 10 AS BIGINT), CAST(c + 10 AS BIGINT),
+        |    CAST(csid + 1000045 AS BIGINT) FROM k)
+        |ORDER BY ts""".stripMargin,
     // Soft-change replay: common pages are the non-removed residues,
     // byte changes the 6th residues (all comment-only -> all soft);
     // ten brand-new pages are B-only and never join.

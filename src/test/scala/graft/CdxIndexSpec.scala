@@ -80,4 +80,42 @@ class CdxIndexSpec extends SparkSpec {
       .map(_.toString).sorted === pre)
     assert(fileRanges(root).size === nFiles)
   }
+
+  test("collapseByDigest: consecutive same-digest captures fold to " +
+    "their first row (index linear in CHANGE), digest transitions — " +
+    "including reverts — survive, and the latest-resolved content " +
+    "per URL is unchanged") {
+    // u1 unchanged across 3 crawls; u2 changed at t2; u3 added at t2;
+    // u4 reverted at t3 (d1 -> d2 -> d1: all three rows must survive —
+    // 'adjacent' semantics, never a global digest dedup)
+    val rows = Seq(
+      ("com,a)/u1", "t1", "d1"), ("com,a)/u1", "t2", "d1"),
+      ("com,a)/u1", "t3", "d1"),
+      ("com,a)/u2", "t1", "d1"), ("com,a)/u2", "t2", "d2"),
+      ("com,b)/u3", "t2", "d3"),
+      ("com,b)/u4", "t1", "d1"), ("com,b)/u4", "t2", "d2"),
+      ("com,b)/u4", "t3", "d1"))
+    val full = rows.toDF("surt_key", "ts", "dig")
+    val collapsed = CdxIndex.collapseByDigest(full, "dig")
+    val got = collapsed.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got === Set(
+      ("com,a)/u1", "t1", "d1"),
+      ("com,a)/u2", "t1", "d1"), ("com,a)/u2", "t2", "d2"),
+      ("com,b)/u3", "t2", "d3"),
+      ("com,b)/u4", "t1", "d1"), ("com,b)/u4", "t2", "d2"),
+      ("com,b)/u4", "t3", "d1")))
+    // 9 captures -> 7 rows: original set + changes only
+    assert(collapsed.count() === 7)
+    // the wayback question 'what content is current?' answers the
+    // same on both layouts: newest-row digest per URL is identical
+    import org.apache.spark.sql.expressions.Window
+    def latest(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy("surt_key").orderBy(col("ts").desc, col("dig"))))
+      .filter(col("__rn") === 1).select("surt_key", "dig")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(latest(collapsed) === latest(full))
+  }
 }
