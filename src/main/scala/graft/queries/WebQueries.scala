@@ -540,6 +540,9 @@ object WebQueries {
           .load(warcFixturePath(s, dir)))
         .select(col("url"),
           to_json(struct(col("url"), col("status"),
+            col("http_content_type").as("content_type"),
+            col("warc_date").as("date"),
+            col("payload_digest").as("digest"),
             HtmlOps.links(col("html")).as("outlinks"))).as("wat"))
       graft.sources.WarcSink.writeMetadataSegments(
         envelopes.repartition(8, col("url")), "url", "wat", root)
@@ -1263,10 +1266,14 @@ object WebQueries {
     // WAT generation — the metadata sibling of the WET export,
     // completing the WARC/WAT/WET derivative triplet the public crawls
     // publish: every fetched page's JSON envelope (url, HTTP status,
+    // content type, capture date and payload digest — the public WAT
+    // Envelope.Payload-Metadata.HTTP-Response-Metadata shape — plus
     // outlinks) written as gzip-member `metadata` records BY the
     // owning task, read back through the splittable source, the JSON
     // parsed and audited against the fixture's own link arithmetic
-    // (id mod 3 + 1 outlinks per page). Envelope synthesis is a
+    // (id mod 3 + 1 outlinks per page) AND the header-derived columns
+    // (MIME, date, digest presence), so consumers beyond the webgraph
+    // read the derivative, never the archive. Envelope synthesis is a
     // scan-fused to_json projection; no payload shuffle.
     "crawl_wat_export" -> ((s, dir) => {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_warc_wat/" +
@@ -1279,15 +1286,21 @@ object WebQueries {
           .load(warcFixturePath(s, dir)))
         .select(col("url"),
           to_json(struct(col("url"), col("status"),
+            col("http_content_type").as("content_type"),
+            col("warc_date").as("date"),
+            col("payload_digest").as("digest"),
             HtmlOps.links(col("html")).as("outlinks"))).as("wat"))
       graft.sources.WarcSink.writeMetadataSegments(
         envelopes.repartition(8, col("url")), "url", "wat", root)
       s.read.format("graft_warc").option("splitSize", 4096).load(root)
         .filter(col("warc_type") === "metadata")
         .select(from_json(decode(col("payload"), "UTF-8"),
-          "url STRING, status INT, outlinks ARRAY<STRING>",
+          "url STRING, status INT, content_type STRING, date STRING, " +
+            "digest STRING, outlinks ARRAY<STRING>",
           Map.empty[String, String]).as("w"))
         .select(col("w.url").as("url"), col("w.status").as("status"),
+          col("w.content_type").as("content_type"),
+          col("w.date").as("date"), col("w.digest").as("digest"),
           col("w.outlinks").as("outlinks"),
           regexp_extract(col("w.url"), "/doc/(\\d+)$", 1).cast("long")
             .as("doc_id"))
@@ -1297,6 +1310,16 @@ object WebQueries {
           sum(when(size(col("outlinks")).cast("long") ===
             pmod(col("doc_id"), lit(3L)) + 1, 1L).otherwise(0L))
             .as("n_link_count_ok"),
+          // header-metadata legs: WAT consumers beyond the webgraph
+          // (MIME audits, capture dating, digest dedup off the
+          // derivative) must read these from the envelope, never the
+          // archive
+          sum(when(col("content_type").startsWith("text/html"), 1L)
+            .otherwise(0L)).as("n_html"),
+          sum(when(col("date") === "2024-01-01T00:00:00Z", 1L)
+            .otherwise(0L)).as("n_dated"),
+          sum(when(col("digest").isNotNull, 1L).otherwise(0L))
+            .as("n_digested"),
           sum(col("doc_id")).as("sum_id"))
     }),
     // The webgraph built FROM the WAT derivative (how the public
@@ -1884,6 +1907,9 @@ object WebQueries {
           s.read.format("graft_warc").option("splitSize", 4096).load(fix))
           .select(col("url"),
             to_json(struct(col("url"), col("status"),
+              col("http_content_type").as("content_type"),
+              col("warc_date").as("date"),
+              col("payload_digest").as("digest"),
               HtmlOps.links(col("html")).as("outlinks"))).as("wat"))
         val (_, export) = timed {
           graft.sources.WarcSink.writeMetadataSegments(
@@ -2066,6 +2092,9 @@ object WebQueries {
     val recs = raw
       .filter(col("warc_type") === "response")
       .select(col("url"), col("status"),
+        // header columns ride along for the WAT envelope (the public
+        // WAT Envelope.Payload-Metadata.HTTP-Response-Metadata shape)
+        col("http_content_type"), col("warc_date"), col("payload_digest"),
         regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
           .as("doc_id"),
         CharsetOps.decodeHtml(col("payload"), col("http_content_type"))
@@ -2945,6 +2974,10 @@ object WebQueries {
         |    AS BIGINT) AS n_ok,
         |  CAST(sum(doc_id % 3 + 1) AS BIGINT) AS n_outlinks,
         |  CAST(count(*) AS BIGINT) AS n_link_count_ok,
+        |  CAST(count(*) AS BIGINT) AS n_html,
+        |  CAST(count(*) AS BIGINT) AS n_dated,
+        |  CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_digested,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_id
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
     // Schedule replay: the frontier-robots chain (without PageRank),
