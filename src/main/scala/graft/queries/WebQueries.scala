@@ -1112,6 +1112,11 @@ object WebQueries {
             .load(warcFixturePath(s, dir)))
         .filter(col("ex"))
         .select(col("doc_id"), HtmlOps.extractText(col("html")).as("body"))
+        // the scorer folds its input twice (tf leg + per-doc prior
+        // leg): checkpoint so the archive scan + gate chain +
+        // extraction run ONCE — at scale this is the staged
+        // extracted-text table every downstream scorer reads
+        .localCheckpoint(true)
       graft.operators.LangModel.langIdScore(model, surv, "doc_id", "body")
         .join(docs(s, dir).select(col("doc_id"), col("lang")),
           Seq("doc_id"))
@@ -2029,6 +2034,7 @@ object WebQueries {
             .filter(col("ex"))
             .select(col("doc_id"),
               HtmlOps.extractText(col("html")).as("body"))
+            .localCheckpoint(true)
           LangModel.langIdScore(model, surv, "doc_id", "body")
             .groupBy("predicted").agg(count(lit(1))).count()
         }
