@@ -953,6 +953,26 @@ object WebQueries {
             .as("sum_id"))
         .orderBy("ts")
     }),
+    // The wayback latest-capture question answered FROM the collapsed
+    // index — one shared oracle with crawl_cdx_latest: folding
+    // unchanged refetches away must move NO current-capture answer
+    // (the fold keeps the first row of every digest run, and a run's
+    // digest IS its content). The collapse's row savings and the
+    // latest window compose: the window now scans change-linear rows.
+    "crawl_cdx_latest_collapsed" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.index.CdxIndex.collapseByDigest(
+          multiSnapshotCdx(s, dir), "dig")
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("surt_key")
+            .orderBy(col("ts").desc, col("url"))))
+        .filter(col("__rn") === 1)
+        .groupBy("ts")
+        .agg(count(lit(1)).as("n_urls"),
+          sum(regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long"))
+            .as("sum_id"))
+        .orderBy("ts")
+    }),
     // CDX capture COLLAPSING (the wayback collapse=digest option) at
     // index build time: consecutive same-digest captures of a URL
     // fold to one row, so the two-snapshot index holds exactly
@@ -963,16 +983,8 @@ object WebQueries {
     // residue-derivable: crawl A keeps all N rows, crawl B keeps only
     // its changed + added captures.
     "crawl_cdx_collapse" -> ((s, dir) => {
-      def idx(path: String): DataFrame =
-        s.read.format("graft_warc").option("splitSize", 8192).load(path)
-          .filter(col("warc_type") === "response")
-          .select(UrlOps.surt(col("url")).as("surt_key"),
-            col("warc_date").as("ts"), col("url"),
-            coalesce(col("payload_digest"),
-              concat(lit("sha1hex:"), sha1(col("payload")))).as("dig"))
-      val multi = idx(warcFixturePath(s, dir))
-        .unionByName(idx(warcSnapshotBPath(s, dir)))
-      graft.index.CdxIndex.collapseByDigest(multi, "dig")
+      graft.index.CdxIndex.collapseByDigest(
+          multiSnapshotCdx(s, dir), "dig")
         .groupBy("ts")
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("surt_key")).as("n_pages"),
@@ -2052,6 +2064,22 @@ object WebQueries {
   /** The cumulative gate FLAGS per fetched page (ok/rb/ix/ex) — the
     * shared front of [[crawlLedger]], the WET export and the corpus
     * composition. */
+  /** The two-snapshot (crawl A + crawl B) CDX index with digests
+    * COALESCED to a computed sha1 where the header is absent — the
+    * input of the collapse family (a null digest can prove nothing,
+    * so the fold needs every row keyed by real content). */
+  private def multiSnapshotCdx(s: SparkSession, dir: String): DataFrame = {
+    def idx(path: String): DataFrame =
+      s.read.format("graft_warc").option("splitSize", 8192).load(path)
+        .filter(col("warc_type") === "response")
+        .select(UrlOps.surt(col("url")).as("surt_key"),
+          col("warc_date").as("ts"), col("url"),
+          coalesce(col("payload_digest"),
+            concat(lit("sha1hex:"), sha1(col("payload")))).as("dig"))
+    idx(warcFixturePath(s, dir))
+      .unionByName(idx(warcSnapshotBPath(s, dir)))
+  }
+
   /** CDX-driven random access, end to end, against ANY persisted
     * index in the (surt_key, ts, url, file, member_offset, ...)
     * shape: a DOMAIN-RANGE probe (all .com-hosted pages = one
@@ -2503,6 +2531,21 @@ object WebQueries {
       |  doc_id, doc_id % 5 <> 0 AS has_digest, true AS len_ok
       |FROM d ORDER BY doc_id""".stripMargin
 
+  private lazy val cdxLatestSql: String =
+    """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+      |lat AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 6 = 0 AND doc_id % 9 <> 1
+      |      THEN '2024-02-01T00:00:00Z'
+      |      ELSE '2024-01-01T00:00:00Z' END AS ts
+      |  FROM d
+      |  UNION ALL
+      |  SELECT 100000 + range, '2024-02-01T00:00:00Z'
+      |  FROM range(0, 10))
+      |SELECT ts, CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+      |FROM lat GROUP BY ts ORDER BY ts""".stripMargin
+
   private lazy val cdxFetchSql: String =
     """SELECT CAST(count(*) AS BIGINT) AS n_fetched,
       |  CAST(count(*) AS BIGINT) AS n_exact,
@@ -2870,20 +2913,10 @@ object WebQueries {
     // Latest-capture replay: recrawl wins only where bytes changed
     // (6th residues that survived) or the page is brand new; every
     // other page's newest capture is still the original crawl.
-    "crawl_cdx_latest" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
-        |lat AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 6 = 0 AND doc_id % 9 <> 1
-        |      THEN '2024-02-01T00:00:00Z'
-        |      ELSE '2024-01-01T00:00:00Z' END AS ts
-        |  FROM d
-        |  UNION ALL
-        |  SELECT 100000 + range, '2024-02-01T00:00:00Z'
-        |  FROM range(0, 10))
-        |SELECT ts, CAST(count(*) AS BIGINT) AS n_urls,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
-        |FROM lat GROUP BY ts ORDER BY ts""".stripMargin,
+    // SHARED with the collapsed-index variant: collapse=digest must
+    // move no current-capture answer.
+    "crawl_cdx_latest" -> cdxLatestSql,
+    "crawl_cdx_latest_collapsed" -> cdxLatestSql,
     // Collapse replay: crawl A contributes every doc once; crawl B's
     // unchanged refetches fold away (same SURT, same ts, same digest —
     // coalesced sha1 included, so digest-less pages fold too), leaving
