@@ -56,14 +56,16 @@ object CdxIndex {
     * page's resolved content history is unchanged (every digest
     * transition survives; the folded rows repeat the digest of the
     * row that stays). Key-bounded window only, never a global sort.
-    * Precondition: `digestCol` is non-null — coalesce a computed
-    * digest in first (a null can prove nothing and must not fold). */
+    * A capture folds ONLY when provably identical: a null digest on
+    * either side of the comparison keeps the row (coalesce a computed
+    * digest in first if digest-less captures should participate). */
   def collapseByDigest(index: DataFrame,
       digestCol: String = "payload_digest"): DataFrame = {
     val w = Window.partitionBy("surt_key")
       .orderBy(col("ts"), col(digestCol))
     index.withColumn("__prev", lag(col(digestCol), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col(digestCol))
+      .filter(col(digestCol).isNull || col("__prev").isNull ||
+        col("__prev") =!= col(digestCol))
       .drop("__prev")
   }
 }

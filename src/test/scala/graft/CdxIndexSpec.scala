@@ -87,27 +87,33 @@ class CdxIndexSpec extends SparkSpec {
     "per URL is unchanged") {
     // u1 unchanged across 3 crawls; u2 changed at t2; u3 added at t2;
     // u4 reverted at t3 (d1 -> d2 -> d1: all three rows must survive —
-    // 'adjacent' semantics, never a global digest dedup)
+    // 'adjacent' semantics, never a global digest dedup); u5 has a
+    // digest-LESS capture between two identical ones (nulls prove
+    // nothing: all three rows must survive)
     val rows = Seq(
-      ("com,a)/u1", "t1", "d1"), ("com,a)/u1", "t2", "d1"),
-      ("com,a)/u1", "t3", "d1"),
-      ("com,a)/u2", "t1", "d1"), ("com,a)/u2", "t2", "d2"),
-      ("com,b)/u3", "t2", "d3"),
-      ("com,b)/u4", "t1", "d1"), ("com,b)/u4", "t2", "d2"),
-      ("com,b)/u4", "t3", "d1"))
+      ("com,a)/u1", "t1", Some("d1")), ("com,a)/u1", "t2", Some("d1")),
+      ("com,a)/u1", "t3", Some("d1")),
+      ("com,a)/u2", "t1", Some("d1")), ("com,a)/u2", "t2", Some("d2")),
+      ("com,b)/u3", "t2", Some("d3")),
+      ("com,b)/u4", "t1", Some("d1")), ("com,b)/u4", "t2", Some("d2")),
+      ("com,b)/u4", "t3", Some("d1")),
+      ("com,b)/u5", "t1", Some("d1")), ("com,b)/u5", "t2", None),
+      ("com,b)/u5", "t3", Some("d1")))
     val full = rows.toDF("surt_key", "ts", "dig")
     val collapsed = CdxIndex.collapseByDigest(full, "dig")
     val got = collapsed.collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
       .toSet
     assert(got === Set(
-      ("com,a)/u1", "t1", "d1"),
-      ("com,a)/u2", "t1", "d1"), ("com,a)/u2", "t2", "d2"),
-      ("com,b)/u3", "t2", "d3"),
-      ("com,b)/u4", "t1", "d1"), ("com,b)/u4", "t2", "d2"),
-      ("com,b)/u4", "t3", "d1")))
-    // 9 captures -> 7 rows: original set + changes only
-    assert(collapsed.count() === 7)
+      ("com,a)/u1", "t1", Some("d1")),
+      ("com,a)/u2", "t1", Some("d1")), ("com,a)/u2", "t2", Some("d2")),
+      ("com,b)/u3", "t2", Some("d3")),
+      ("com,b)/u4", "t1", Some("d1")), ("com,b)/u4", "t2", Some("d2")),
+      ("com,b)/u4", "t3", Some("d1")),
+      ("com,b)/u5", "t1", Some("d1")), ("com,b)/u5", "t2", None),
+      ("com,b)/u5", "t3", Some("d1"))))
+    // 12 captures -> 10 rows: original set + changes (and unprovables)
+    assert(collapsed.count() === 10)
     // the wayback question 'what content is current?' answers the
     // same on both layouts: newest-row digest per URL is identical
     import org.apache.spark.sql.expressions.Window
