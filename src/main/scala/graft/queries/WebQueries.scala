@@ -817,22 +817,9 @@ object WebQueries {
       val hp = new org.apache.hadoop.fs.Path(root)
       hp.getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(hp, true) // fresh replay
-      val b = s.read.format("graft_warc").option("splitSize", 8192)
-        .load(warcSnapshotBPath(s, dir))
-        .filter(col("warc_type") === "response")
-        .select(col("url"),
-          CharsetOps.decodeHtml(col("payload"), col("http_content_type"))
-            .as("body"),
-          col("payload_digest").as("dig_b"))
-      val idx = s.read.parquet(cdxIndexPath(s, dir))
-        .select(col("url"), col("payload_digest").as("dig_a"))
-      val staged = b.join(idx, Seq("url"), "left")
-        .select(col("url"), col("body"),
-          when(col("dig_a").isNotNull && col("dig_b").isNotNull &&
-            col("dig_a") === col("dig_b"), col("dig_b")).as("rev_digest"))
       graft.sources.WarcSink.writeRecrawlSegments(
-        staged.repartition(8, col("url")), "url", "body", "rev_digest",
-        root)
+        recrawlStaged(s, dir).repartition(8, col("url")),
+        "url", "body", "rev_digest", root)
       val back = s.read.format("graft_warc").option("splitSize", 4096)
         .load(root)
       val ledger = back
@@ -859,6 +846,62 @@ object WebQueries {
         .join(orig, Seq("digest"), "left_semi")
         .agg(count(lit(1)).as("n_resolved"))
       ledger.crossJoin(resolved) // 1-row × 1-row
+    }),
+    // Revisit-RESOLVING fetch — the consumer side of the wayback
+    // loop closed end to end: a reader holding the RECRAWL archive's
+    // index fetches a page's current capture; where that capture is a
+    // revisit member (digest, no bytes) the fetch follows the digest
+    // to the ORIGINAL crawl's CDX coordinates and seeks THAT member —
+    // exactly how replay engines serve dedup'd archives. Routing is
+    // one digest equi-join against the key/coordinate-only crawl-A
+    // index (payloads never read for routing); every sampled page
+    // must extract char-exact, whichever archive its bytes live in —
+    // including changed pages, whose comment-only v2 edit extraction
+    // must strip.
+    "crawl_cdx_fetch_revisit" -> ((s, dir) => {
+      val rec = s.read.format("graft_warc").option("splitSize", 4096)
+        .load(warcRecrawlPath(s, dir))
+        .filter(col("warc_type").isin("response", "revisit"))
+        .select(col("url"), col("warc_type"), col("file"),
+          col("member_offset"), col("payload_digest"))
+      val idxA = s.read.parquet(cdxIndexPath(s, dir))
+        .filter(col("payload_digest").isNotNull)
+        .select(col("payload_digest"), col("file").as("a_file"),
+          col("member_offset").as("a_off"))
+      val routed = rec.join(idxA, Seq("payload_digest"), "left")
+        .select(
+          when(col("warc_type") === "revisit", col("a_file"))
+            .otherwise(col("file")).as("fetch_file"),
+          when(col("warc_type") === "revisit", col("a_off"))
+            .otherwise(col("member_offset")).as("fetch_off"),
+          col("warc_type"),
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+            .as("doc_id"))
+        .filter(pmod(col("doc_id"), lit(3L)) === 0 &&
+          col("doc_id") < 100000) // sampled, fixture-expected pages
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      import s.implicits._
+      val fetched = routed.as[(String, Long, String, Long)]
+        .mapPartitions { it =>
+          var fs: org.apache.hadoop.fs.FileSystem = null
+          it.map { case (file, off, kind, id) =>
+            if (fs == null)
+              fs = new org.apache.hadoop.fs.Path(file)
+                .getFileSystem(conf.value)
+            val r = Warc.readMemberAt(fs, file, off)
+            (id, kind, new String(r.payload, "UTF-8"))
+          }
+        }.toDF("doc_id", "kind", "html")
+      fetched
+        .join(docs(s, dir).select(col("doc_id"),
+          expectedCol.as("expected")), Seq("doc_id"))
+        .agg(count(lit(1)).as("n_fetched"),
+          sum(when(HtmlOps.extractText(col("html")) === col("expected"),
+            1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("kind") === "revisit", 1L).otherwise(0L))
+            .as("n_via_revisit"),
+          sum(col("doc_id")).as("sum_id"))
     }),
     // Snapshot diff between two crawls on the archives' OWN digests
     // (the recrawl-ops question: what changed since last month's
@@ -1841,6 +1884,7 @@ object WebQueries {
     cdxStreamedPath(s, dir)
     watExportPath(s, dir)
     langModelPath(s, dir)
+    warcRecrawlPath(s, dir)
     ()
   }
 
@@ -2064,6 +2108,44 @@ object WebQueries {
   /** The cumulative gate FLAGS per fetched page (ok/rb/ix/ex) — the
     * shared front of [[crawlLedger]], the WET export and the corpus
     * composition. */
+  /** The recrawl's write-staging rows: snapshot B's fetches joined
+    * to the crawl-A CDX index on URL — `rev_digest` non-null marks a
+    * digest match (BOTH headers present and equal), the pages whose
+    * bytes the archive already stores. Shared by the revisit WRITE
+    * cell and the memoized recrawl archive the fetch side consumes. */
+  private def recrawlStaged(s: SparkSession, dir: String): DataFrame = {
+    val b = s.read.format("graft_warc").option("splitSize", 8192)
+      .load(warcSnapshotBPath(s, dir))
+      .filter(col("warc_type") === "response")
+      .select(col("url"),
+        CharsetOps.decodeHtml(col("payload"), col("http_content_type"))
+          .as("body"),
+        col("payload_digest").as("dig_b"))
+    val idx = s.read.parquet(cdxIndexPath(s, dir))
+      .select(col("url"), col("payload_digest").as("dig_a"))
+    b.join(idx, Seq("url"), "left")
+      .select(col("url"), col("body"),
+        when(col("dig_a").isNotNull && col("dig_b").isNotNull &&
+          col("dig_a") === col("dig_b"), col("dig_b")).as("rev_digest"))
+  }
+
+  /** The recrawl archive as [[graft.sources.WarcSink
+    * .writeRecrawlSegments]] writes it (revisit members for
+    * digest-matched pages, responses for the rest) — memoized: the
+    * input of the revisit-RESOLVING fetch. */
+  private def warcRecrawlPath(s: SparkSession, dir: String): String =
+    BuildCache.memo(s"warc_recrawl:$dir") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_warc_recr/" +
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      graft.sources.WarcSink.writeRecrawlSegments(
+        recrawlStaged(s, dir).repartition(8, col("url")),
+        "url", "body", "rev_digest", root)
+      root
+    }
+
   /** The two-snapshot (crawl A + crawl B) CDX index with digests
     * COALESCED to a computed sha1 where the header is absent — the
     * input of the collapse family (a null digest can prove nothing,
@@ -2684,6 +2766,20 @@ object WebQueries {
         |  CAST(sum(CASE WHEN doc_id % 6 <> 0 AND doc_id % 5 <> 0
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved
         |FROM b""".stripMargin,
+    // Revisit-resolving-fetch replay: the sample is every 3rd
+    // recrawled fixture page; revisit routing covers exactly the
+    // digest-matched residues (unchanged with headers on both sides);
+    // every fetch extracts exact — original bytes via the digest hop,
+    // changed bytes because extraction strips the v2 comment.
+    "crawl_cdx_fetch_revisit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_fetched,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN doc_id % 6 <> 0 AND doc_id % 5 <> 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_via_revisit,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM documents
+        |WHERE text IS NOT NULL AND doc_id % 9 <> 1
+        |  AND doc_id % 3 = 0""".stripMargin,
     // CDF-bridge replay: interval arithmetic over the crawl-B residues
     // (N docs + C changed re-opens + 10 added inserts; closed = C
     // updates + R deletes; current = the rest; urls = N + 10).
