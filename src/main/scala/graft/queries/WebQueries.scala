@@ -1105,6 +1105,46 @@ object WebQueries {
         sum(when(!col("__current"), 1L).otherwise(0L)).as("n_closed"),
         countDistinct(col("url")).as("n_urls"))
     }),
+    // Change-driven recrawl scheduling — the freshness question the
+    // snapshot diff exists to answer (the Cho/Garcia-Molina seat:
+    // recrawl what changes, politely): pages classify off the two
+    // crawls' digests (changed > added > unchanged; removed drop),
+    // then each DOMAIN schedules its own top-5 by (priority, URL) —
+    // a key-bounded window per domain, never a global sort, the
+    // web_fetch_schedule politeness discipline fed by change history
+    // instead of link counts. Fully residue-derivable.
+    "crawl_recrawl_schedule" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def digests(path: String): DataFrame =
+        s.read.format("graft_warc").option("splitSize", 8192).load(path)
+          .filter(col("warc_type") === "response")
+          .select(col("url"),
+            coalesce(col("payload_digest"),
+              concat(lit("sha1hex:"), sha1(col("payload")))).as("dig"))
+      val a = digests(warcFixturePath(s, dir))
+        .withColumnRenamed("dig", "dig_a")
+      val b = digests(warcSnapshotBPath(s, dir))
+        .withColumnRenamed("dig", "dig_b")
+      val cls = a.join(b, Seq("url"), "full_outer")
+        .withColumn("cls",
+          when(col("dig_a").isNull, "added")
+            .when(col("dig_b").isNull, "removed")
+            .when(col("dig_a") =!= col("dig_b"), "changed")
+            .otherwise("unchanged"))
+        .filter(col("cls") =!= "removed")
+      val w = Window.partitionBy("domain").orderBy(
+        col("prio").desc, col("url"))
+      cls
+        .withColumn("domain",
+          UrlOps.registeredDomain(UrlOps.host(col("url"))))
+        .withColumn("prio",
+          when(col("cls") === "changed", 3)
+            .when(col("cls") === "added", 2).otherwise(1))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("domain"), col("rank"), col("url"), col("cls"))
+        .orderBy("domain", "rank")
+    }),
     // Partial-capture governance: WARC-Truncated captures quarantine
     // BEFORE extraction trusts the payload — the gate is a scan-fused
     // projection on the header column (payload bytes never examined
@@ -2810,6 +2850,39 @@ object WebQueries {
         |    AS BIGINT) AS n_removed,
         |  CAST(10 AS BIGINT) AS n_added
         |FROM d""".stripMargin,
+    // Recrawl-schedule replay: classes from the crawl-B residues
+    // (changed 6/0, removed 9/1 dropped, ten added on dom{k%8}.com —
+    // note the added pages mint NEW registered domains where the
+    // fixture domain's tld isn't .com), priority changed > added >
+    // unchanged, top-5 per domain by (prio DESC, url).
+    "crawl_recrawl_schedule" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+        |fx AS (
+        |  SELECT 'https://dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+        |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |        ELSE 'co.uk' END) || '/doc/' || CAST(doc_id AS VARCHAR)
+        |      AS url,
+        |    'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+        |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |        ELSE 'co.uk' END) AS domain,
+        |    CASE WHEN doc_id % 6 = 0 THEN 'changed'
+        |      ELSE 'unchanged' END AS cls,
+        |    CASE WHEN doc_id % 6 = 0 THEN 3 ELSE 1 END AS prio
+        |  FROM d WHERE doc_id % 9 <> 1),
+        |ad AS (
+        |  SELECT 'https://dom' || CAST(range % 8 AS VARCHAR) ||
+        |      '.com/doc/' || CAST(100000 + range AS VARCHAR) AS url,
+        |    'dom' || CAST(range % 8 AS VARCHAR) || '.com' AS domain,
+        |    'added' AS cls, 2 AS prio
+        |  FROM range(0, 10)),
+        |u AS (SELECT * FROM fx UNION ALL SELECT * FROM ad),
+        |r AS (
+        |  SELECT domain, url, cls,
+        |    CAST(row_number() OVER (PARTITION BY domain
+        |      ORDER BY prio DESC, url) AS INT) AS rank
+        |  FROM u)
+        |SELECT domain, rank, url, cls FROM r
+        |WHERE rank <= 5 ORDER BY domain, rank""".stripMargin,
     // Truncation replay: the 4-residue-0 captures are cut; full pages'
     // chars = the regenerated page length.
     "crawl_truncated_gate" ->
