@@ -188,10 +188,45 @@ object WebQueries {
       f.toString
     }
 
-  /** The SECOND crawl of the corpus — the snapshot-diff fixture:
-    * 9th-residue-1 pages vanished, 6th-residue-0 pages changed (a v2
-    * marker appended → new digest), ten brand-new pages appeared;
-    * everything else refetched byte-identical. */
+  /** The SECOND crawl's member bytes, page order (the snapshot-diff
+    * residues: 9th-residue-1 pages vanished, 6th-residue-0 pages
+    * changed — a v2 marker appended → new digest — ten brand-new
+    * pages appeared; everything else refetched byte-identical).
+    * Shared by the single-file and the segmented fixture writers. */
+  private def snapshotBMembers(s: SparkSession, dir: String)
+      : Seq[Array[Byte]] = {
+    val buf = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    pageRows(s, dir).foreach { r =>
+      val id = r.getLong(0)
+      if (id % 9 != 1) {
+        if (id % 6 == 0) {
+          val tld = Seq("com", "org", "co.uk")((id % 8 % 3).toInt)
+          val payload =
+            (r.getString(1) + "<!-- v2 -->").getBytes("UTF-8")
+          buf += Warc.gzipMember(Warc.record("response",
+            s"https://dom${id % 8}.$tld/doc/$id",
+            "2024-02-01T00:00:00Z", s"urn:uuid:doc-$id-b",
+            "application/http; msgtype=response",
+            Warc.httpResponse(200, "OK", "text/html; charset=utf-8",
+              payload),
+            if (id % 5 == 0) None else Some(Warc.payloadDigest(payload))))
+        } else buf += responseMember(r)
+      }
+    }
+    (0 until 10).foreach { k =>
+      val payload = s"<html><body>new page $k</body></html>"
+        .getBytes("UTF-8")
+      buf += Warc.gzipMember(Warc.record("response",
+        s"https://dom${k % 8}.com/doc/${100000 + k}",
+        "2024-02-01T00:00:00Z", s"urn:uuid:new-$k",
+        "application/http; msgtype=response",
+        Warc.httpResponse(200, "OK", "text/html; charset=utf-8",
+          payload), Some(Warc.payloadDigest(payload))))
+    }
+    buf.toSeq
+  }
+
+  /** Crawl B as one archive file. */
   private def warcSnapshotBPath(s: SparkSession, dir: String): String =
     BuildCache.memo(s"warc_snap_b:$dir") {
       val f = new java.io.File(
@@ -199,36 +234,33 @@ object WebQueries {
           dir.replaceAll("[^0-9a-zA-Z.]", "_") + "/crawl-b.warc.gz")
       f.getParentFile.mkdirs()
       val out = new java.io.FileOutputStream(f)
-      try {
-        pageRows(s, dir).foreach { r =>
-          val id = r.getLong(0)
-          if (id % 9 != 1) {
-            if (id % 6 == 0) {
-              val tld = Seq("com", "org", "co.uk")((id % 8 % 3).toInt)
-              val payload =
-                (r.getString(1) + "<!-- v2 -->").getBytes("UTF-8")
-              out.write(Warc.gzipMember(Warc.record("response",
-                s"https://dom${id % 8}.$tld/doc/$id",
-                "2024-02-01T00:00:00Z", s"urn:uuid:doc-$id-b",
-                "application/http; msgtype=response",
-                Warc.httpResponse(200, "OK", "text/html; charset=utf-8",
-                  payload),
-                if (id % 5 == 0) None else Some(Warc.payloadDigest(payload)))))
-            } else out.write(responseMember(r))
-          }
-        }
-        (0 until 10).foreach { k =>
-          val payload = s"<html><body>new page $k</body></html>"
-            .getBytes("UTF-8")
-          out.write(Warc.gzipMember(Warc.record("response",
-            s"https://dom${k % 8}.com/doc/${100000 + k}",
-            "2024-02-01T00:00:00Z", s"urn:uuid:new-$k",
-            "application/http; msgtype=response",
-            Warc.httpResponse(200, "OK", "text/html; charset=utf-8",
-              payload), Some(Warc.payloadDigest(payload)))))
-        }
-      } finally out.close()
+      try snapshotBMembers(s, dir).foreach(out.write)
+      finally out.close()
       f.toString
+    }
+
+  /** Crawl B as THREE segments in a directory — the fixture of the
+    * STREAMED recrawl (revisits written live behind the fetchers). */
+  private def warcSnapshotBSegmentsPath(s: SparkSession,
+      dir: String): String =
+    BuildCache.memo(s"warc_snap_b_seg:$dir") {
+      val root = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_snapseg/" +
+          dir.replaceAll("[^0-9a-zA-Z.]", "_"))
+      val hp = new org.apache.hadoop.fs.Path(root.toString)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      root.mkdirs()
+      val members = snapshotBMembers(s, dir)
+      val per = (members.length + 2) / 3
+      members.grouped(math.max(per, 1)).zipWithIndex.foreach {
+        case (seg, i) =>
+          val out = new java.io.FileOutputStream(
+            new java.io.File(root, f"seg-$i%03d.warc.gz"))
+          try seg.foreach(out.write)
+          finally out.close()
+      }
+      root.toString
     }
 
   /** robots.txt + sitemap.xml fetches as a WARC archive — the
@@ -820,32 +852,52 @@ object WebQueries {
       graft.sources.WarcSink.writeRecrawlSegments(
         recrawlStaged(s, dir).repartition(8, col("url")),
         "url", "body", "rev_digest", root)
-      val back = s.read.format("graft_warc").option("splitSize", 4096)
-        .load(root)
-      val ledger = back
-        .filter(col("warc_type").isin("response", "revisit"))
-        .agg(count(lit(1)).as("n_records"),
-          sum(when(col("warc_type") === "revisit", 1L).otherwise(0L))
-            .as("n_revisits"),
-          sum(when(col("warc_type") === "response", 1L).otherwise(0L))
-            .as("n_responses"),
-          sum(when(col("warc_type") === "response",
-            length(decode(col("payload"), "UTF-8")).cast("long"))
-            .otherwise(0L)).as("sum_resp_chars"),
-          // the whole point: revisit members ship ZERO payload bytes
-          sum(when(col("warc_type") === "revisit",
-            length(col("payload")).cast("long")).otherwise(0L))
-            .as("revisit_bytes"))
-      val orig = s.read.format("graft_warc").option("splitSize", 8192)
-        .load(warcFixturePath(s, dir))
-        .filter(col("warc_type") === "response" &&
-          col("payload_digest").isNotNull)
-        .select(col("payload_digest").as("digest")).distinct()
-      val resolved = back.filter(col("warc_type") === "revisit")
-        .select(col("payload_digest").as("digest"))
-        .join(orig, Seq("digest"), "left_semi")
-        .agg(count(lit(1)).as("n_resolved"))
-      ledger.crossJoin(resolved) // 1-row × 1-row
+      recrawlAudit(s, dir, root)
+    }),
+    // The revisit writer behind a LIVE recrawl — stream ≡ batch
+    // applied to archive writing: crawl-B segments drain through the
+    // micro-batch stream, each trigger joins its pages against the
+    // crawl-A index and writes its own revisit/response segments into
+    // ONE shared archive directory (batch-prefixed names, the same
+    // first-attempt-wins commit). The audited archive must hash-equal
+    // the batch writer's — one shared oracle — so a crawler can
+    // dedup-write continuously without a terminal batch pass.
+    "crawl_stream_revisit" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val seg = warcSnapshotBSegmentsPath(s, dir)
+      val idxPath = cdxIndexPath(s, dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_warc_revs/" +
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true) // fresh replay
+      s.readStream.format("graft_warc")
+        .option("splitSize", 65536).option("maxFilesPerTrigger", 1)
+        .load(seg)
+        .filter(col("warc_type") === "response")
+        .select(col("url"),
+          CharsetOps.decodeHtml(col("payload"), col("http_content_type"))
+            .as("body"),
+          col("payload_digest").as("dig_b"))
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // everything on the batch's own (cloned) session
+          val bs = batch.sparkSession
+          val idx = bs.read.parquet(idxPath)
+            .select(col("url"), col("payload_digest").as("dig_a"))
+          val staged = batch.join(idx, Seq("url"), "left")
+            .select(col("url"), col("body"),
+              when(col("dig_a").isNotNull && col("dig_b").isNotNull &&
+                col("dig_a") === col("dig_b"), col("dig_b"))
+                .as("rev_digest"))
+          graft.sources.WarcSink.writeRecrawlSegments(
+            staged.repartition(4, col("url")), "url", "body",
+            "rev_digest", s"$root/arch", segPrefix = f"b$id%03d")
+          ()
+        }
+        .start().awaitTermination()
+      recrawlAudit(s, dir, s"$root/arch")
     }),
     // Revisit-RESOLVING fetch — the consumer side of the wayback
     // loop closed end to end: a reader holding the RECRAWL archive's
@@ -2169,6 +2221,42 @@ object WebQueries {
           col("dig_a") === col("dig_b"), col("dig_b")).as("rev_digest"))
   }
 
+  /** Read-back audit of a written recrawl archive: record/byte
+    * ledger (revisits must ship ZERO payload bytes) + every revisit
+    * resolving through the original archive's digest→payload join.
+    * Shared by the batch and the streamed revisit writers — with
+    * [[revisitWriteSql]] as the one oracle, the streamed archive is
+    * proven content-equal to the batch one. */
+  private def recrawlAudit(s: SparkSession, dir: String,
+      root: String): DataFrame = {
+    val back = s.read.format("graft_warc").option("splitSize", 4096)
+      .load(root)
+    val ledger = back
+      .filter(col("warc_type").isin("response", "revisit"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("warc_type") === "revisit", 1L).otherwise(0L))
+          .as("n_revisits"),
+        sum(when(col("warc_type") === "response", 1L).otherwise(0L))
+          .as("n_responses"),
+        sum(when(col("warc_type") === "response",
+          length(decode(col("payload"), "UTF-8")).cast("long"))
+          .otherwise(0L)).as("sum_resp_chars"),
+        // the whole point: revisit members ship ZERO payload bytes
+        sum(when(col("warc_type") === "revisit",
+          length(col("payload")).cast("long")).otherwise(0L))
+          .as("revisit_bytes"))
+    val orig = s.read.format("graft_warc").option("splitSize", 8192)
+      .load(warcFixturePath(s, dir))
+      .filter(col("warc_type") === "response" &&
+        col("payload_digest").isNotNull)
+      .select(col("payload_digest").as("digest")).distinct()
+    val resolved = back.filter(col("warc_type") === "revisit")
+      .select(col("payload_digest").as("digest"))
+      .join(orig, Seq("digest"), "left_semi")
+      .agg(count(lit(1)).as("n_resolved"))
+    ledger.crossJoin(resolved) // 1-row × 1-row
+  }
+
   /** The recrawl archive as [[graft.sources.WarcSink
     * .writeRecrawlSegments]] writes it (revisit members for
     * digest-matched pages, responses for the rest) — memoized: the
@@ -2653,6 +2741,24 @@ object WebQueries {
       |  doc_id, doc_id % 5 <> 0 AS has_digest, true AS len_ok
       |FROM d ORDER BY doc_id""".stripMargin
 
+  private lazy val revisitWriteSql: String =
+    s"""WITH $htmlCtes,
+      |b AS (SELECT doc_id, html FROM h WHERE doc_id % 9 <> 1)
+      |SELECT CAST(count(*) + 10 AS BIGINT) AS n_records,
+      |  CAST(sum(CASE WHEN doc_id % 6 <> 0 AND doc_id % 5 <> 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_revisits,
+      |  CAST(count(*) + 10 - sum(CASE WHEN doc_id % 6 <> 0
+      |    AND doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_responses,
+      |  CAST(sum(CASE WHEN doc_id % 6 <> 0 AND doc_id % 5 = 0
+      |      THEN length(html)
+      |    WHEN doc_id % 6 = 0 THEN length(html) + 11
+      |    ELSE 0 END) + 360 AS BIGINT) AS sum_resp_chars,
+      |  CAST(0 AS BIGINT) AS revisit_bytes,
+      |  CAST(sum(CASE WHEN doc_id % 6 <> 0 AND doc_id % 5 <> 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved
+      |FROM b""".stripMargin
+
   private lazy val cdxLatestSql: String =
     """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
       |lat AS (
@@ -2789,23 +2895,10 @@ object WebQueries {
     // changed pages re-store html + the 11-char v2 comment; added
     // pages are 36 chars each; every revisit resolves (its digest is
     // in crawl A by construction) and ships zero payload bytes.
-    "crawl_revisit_write" ->
-      s"""WITH $htmlCtes,
-        |b AS (SELECT doc_id, html FROM h WHERE doc_id % 9 <> 1)
-        |SELECT CAST(count(*) + 10 AS BIGINT) AS n_records,
-        |  CAST(sum(CASE WHEN doc_id % 6 <> 0 AND doc_id % 5 <> 0
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_revisits,
-        |  CAST(count(*) + 10 - sum(CASE WHEN doc_id % 6 <> 0
-        |    AND doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_responses,
-        |  CAST(sum(CASE WHEN doc_id % 6 <> 0 AND doc_id % 5 = 0
-        |      THEN length(html)
-        |    WHEN doc_id % 6 = 0 THEN length(html) + 11
-        |    ELSE 0 END) + 360 AS BIGINT) AS sum_resp_chars,
-        |  CAST(0 AS BIGINT) AS revisit_bytes,
-        |  CAST(sum(CASE WHEN doc_id % 6 <> 0 AND doc_id % 5 <> 0
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved
-        |FROM b""".stripMargin,
+    // SHARED with the streamed writer: per-trigger segments must
+    // assemble the identical archive.
+    "crawl_revisit_write" -> revisitWriteSql,
+    "crawl_stream_revisit" -> revisitWriteSql,
     // Revisit-resolving-fetch replay: the sample is every 3rd
     // recrawled fixture page; revisit routing covers exactly the
     // digest-matched residues (unchanged with headers on both sides);

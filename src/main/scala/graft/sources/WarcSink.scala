@@ -59,10 +59,14 @@ object WarcSink {
     * discipline as the WET/WAT writers; rows sort on (url, text) so
     * retried attempts stay byte-identical. Archive bytes written thus
     * shrink to CHANGED-pages-only — the recrawl sibling of digest
-    * dedup. Returns records written. */
+    * dedup. `segPrefix` namespaces segment files so SEQUENTIAL calls
+    * (a micro-batched live recrawl writing per trigger) share one
+    * archive directory without colliding on partition ids. Returns
+    * records written. */
   def writeRecrawlSegments(df: DataFrame, urlCol: String,
       textCol: String, revisitDigestCol: String, dir: String,
-      date: String = "2024-02-01T00:00:00Z"): Long = {
+      date: String = "2024-02-01T00:00:00Z",
+      segPrefix: String = "seg"): Long = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     sweepStaging(df, dir)
@@ -78,11 +82,12 @@ object WarcSink {
           val pid = tc.partitionId()
           val attempt = tc.taskAttemptId()
           val fs = new Path(dir).getFileSystem(conf.value)
-          val stage = new Path(dir, f"_tmp-seg-$pid%05d-$attempt")
+          val stage = new Path(dir, f"_tmp-$segPrefix-$pid%05d-$attempt")
           val out = fs.create(stage, true)
           var n = 0L
           out.write(Warc.gzipMember(Warc.record("warcinfo", null, date,
-            f"urn:graft:recrawl:info:$pid%05d", "application/warc-fields",
+            f"urn:graft:recrawl:info:$segPrefix:$pid%05d",
+            "application/warc-fields",
             ("software: graft WarcSink\r\nformat: WARC/1.0\r\n" +
               "content-kind: recrawl\r\n").getBytes("UTF-8"))))
           try rows.foreach { r =>
@@ -90,19 +95,20 @@ object WarcSink {
             if (!r.isNullAt(2)) {
               // bytes already archived: digest only, no payload
               out.write(Warc.gzipMember(Warc.record("revisit",
-                url, date, s"urn:graft:recrawl:$pid:$n", "message/http",
+                url, date, s"urn:graft:recrawl:$segPrefix:$pid:$n",
+                "message/http",
                 Array.emptyByteArray, Some(r.getString(2)))))
             } else {
               val payload = r.getString(1).getBytes("UTF-8")
               out.write(Warc.gzipMember(Warc.record("response",
-                url, date, s"urn:graft:recrawl:$pid:$n",
+                url, date, s"urn:graft:recrawl:$segPrefix:$pid:$n",
                 "application/http; msgtype=response",
                 Warc.httpResponse(200, "OK", "text/html; charset=utf-8",
                   payload), Some(Warc.payloadDigest(payload)))))
             }
             n += 1
           } finally out.close()
-          val dst = new Path(dir, f"seg-$pid%05d.warc.gz")
+          val dst = new Path(dir, f"$segPrefix-$pid%05d.warc.gz")
           if (!fs.rename(stage, dst)) fs.delete(stage, true)
           Iterator.single(n)
         }
@@ -110,16 +116,18 @@ object WarcSink {
     counts.agg(coalesce(sum("value"), lit(0L))).head().getLong(0)
   }
 
-  /** Sweep stale `_tmp-seg-*` staging orphans from prior attempts
-    * that died mid-write (never visible to readers, never
-    * self-cleaning). */
+  /** Sweep stale `_tmp-*` staging orphans from prior attempts that
+    * died mid-write (never visible to readers — the `.warc.gz`
+    * suffix filter excludes them — but never self-cleaning). Writer
+    * calls are sequential per directory, so nothing in-flight can be
+    * swept. */
   private def sweepStaging(df: DataFrame, dir: String): Unit = {
     val dirPath = new Path(dir)
     val dirFs = dirPath.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
     if (dirFs.exists(dirPath))
       dirFs.listStatus(dirPath)
-        .filter(_.getPath.getName.startsWith("_tmp-seg-"))
+        .filter(_.getPath.getName.startsWith("_tmp-"))
         .foreach(s => dirFs.delete(s.getPath, false))
   }
 
