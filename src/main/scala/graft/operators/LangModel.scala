@@ -152,9 +152,30 @@ object LangModel {
       textCol: String): DataFrame =
     nbScore(model, docs, idCol, textCol, wordTokens)
 
+  /** The FULL class-score surface under a [[langIdTrain]] model:
+    * `(idCol, lab, score)` — one row per (document, class), the same
+    * bit-reproducible ordered fold [[langIdScore]] argmaxes over.
+    * This is the confidence surface: the margin between a document's
+    * top two scores is the standard abstain signal (route low-margin
+    * predictions to `und` instead of trusting a coin-flip argmax). */
+  def langIdScores(model: NbModel, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    nbScoreAll(model, docs, idCol, textCol, TextAnalysis.charTrigrams)
+
   private def nbScore(model: NbModel, docs: DataFrame, idCol: String,
       textCol: String, tokensOf: Column => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val all = nbScoreAll(model, docs, idCol, textCol, tokensOf)
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("lab").asc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("lab").as("predicted"), col("score"))
+  }
+
+  /** All-classes scoring: `(idCol, lab, score)` per (doc, class). */
+  private def nbScoreAll(model: NbModel, docs: DataFrame, idCol: String,
+      textCol: String, tokensOf: Column => Column): DataFrame = {
     // the class list is the model arity — a bounded driver collect (a
     // classifier has a handful of classes by definition), sorted so
     // the wide-table lane order and fold order are deterministic;
@@ -200,16 +221,12 @@ object LangModel {
           col("__acc").getField(s"__c$i").as("__s")) }: _*)).as("__x"))
       .select(col("__id"), col("__x.__lab").as("__lab"),
         col("__x.__s").as("__s"))
-    val scored = valid.select(col(idCol).as("__id")).distinct()
+    valid.select(col(idCol).as("__id")).distinct()
       .crossJoin(broadcast(model.priors))
       .join(folded, Seq("__id", "__lab"), "left")
       .withColumn("score",
         col("__logprior") + coalesce(col("__s"), lit(0.0)))
-    val w = Window.partitionBy("__id")
-      .orderBy(col("score").desc, col("__lab").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("__id").as(idCol), col("__lab").as("predicted"),
+      .select(col("__id").as(idCol), col("__lab").as("lab"),
         col("score"))
   }
 

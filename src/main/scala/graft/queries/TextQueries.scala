@@ -53,6 +53,60 @@ object TextQueries {
         Map("train" -> train, "score" -> score)
       }))
 
+  /** The trained-langid replay CTEs (char-trigram extraction, NB
+    * training on the even half, trigram-ordered score fold on the odd
+    * half, per-doc class ranking `pred(id, lab, score, rn)`) — shared
+    * by the argmax confusion oracle and the margin-gate oracle. */
+  private lazy val langidCtes: String =
+    """train AS (
+      |  SELECT lang AS lab, lower(trim(text)) AS t
+      |  FROM documents
+      |  WHERE doc_id % 2 = 0 AND text IS NOT NULL AND trim(text) <> ''),
+      |ttok AS (
+      |  SELECT lab, unnest([substr(t, i, 3)
+      |    FOR i IN range(1, len(t) - 1)]) AS g
+      |  FROM train),
+      |ctok AS (SELECT lab, g, count(*) AS c FROM ttok GROUP BY 1, 2),
+      |ctot AS (SELECT lab, count(*) AS tot FROM ttok GROUP BY 1),
+      |vocab AS (SELECT DISTINCT g FROM ttok),
+      |vs AS (SELECT count(*) AS v FROM vocab),
+      |prior AS (
+      |  SELECT lab, ln(CAST(count(*) AS DOUBLE) /
+      |    (SELECT count(*) FROM train)) AS lp
+      |  FROM train GROUP BY lab),
+      |ll AS (
+      |  SELECT vo.g, ct.lab,
+      |    ln((coalesce(c.c, 0) + 1.0) / (ct.tot + vs.v)) AS ll
+      |  FROM vocab vo CROSS JOIN ctot ct
+      |  LEFT JOIN ctok c ON c.g = vo.g AND c.lab = ct.lab
+      |  CROSS JOIN vs),
+      |test AS (
+      |  SELECT doc_id AS id, lang, lower(trim(text)) AS t
+      |  FROM documents
+      |  WHERE doc_id % 2 = 1 AND text IS NOT NULL AND trim(text) <> ''),
+      |tf AS (
+      |  SELECT id, g, count(*) AS tf FROM (
+      |    SELECT id, unnest([substr(t, i, 3)
+      |      FOR i IN range(1, len(t) - 1)]) AS g
+      |    FROM test)
+      |  GROUP BY 1, 2),
+      |contrib AS (
+      |  SELECT tf.id, ll.lab, tf.g, tf.tf * ll.ll AS contrib
+      |  FROM tf JOIN ll ON ll.g = tf.g),
+      |folded AS (
+      |  SELECT id, lab,
+      |    list_reduce(list_prepend(0.0, list(contrib ORDER BY g)),
+      |      (a, x) -> a + x) AS s
+      |  FROM contrib GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT i.id, p.lab, p.lp + coalesce(f.s, 0.0) AS score
+      |  FROM (SELECT DISTINCT id FROM test) i CROSS JOIN prior p
+      |  LEFT JOIN folded f ON f.id = i.id AND f.lab = p.lab),
+      |pred AS (
+      |  SELECT id, lab, score, row_number() OVER (
+      |    PARTITION BY id ORDER BY score DESC, lab) AS rn
+      |  FROM scored)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Unicode normalization (the cleaning step BEFORE any byte-level
     // dedup — decomposed and precomposed spellings of the same word
@@ -190,6 +244,40 @@ object TextQueries {
         .join(d.select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+    // Confidence-gated language ID — the production abstain rule on
+    // top of the trained classifier: a prediction whose margin (top
+    // score minus runner-up, in nats) is under 1 routes to 'und'
+    // instead of trusting a coin-flip argmax (the fastText
+    // `predict-prob` threshold discipline). Margins integerize to
+    // micro-units PER DOC before the group sum, so the rollup is
+    // order-free integer math; the oracle replays train, the ordered
+    // fold, the top-2 window and the gate.
+    "text_langid_margin" -> ((s, dir) => {
+      import graft.operators.LangModel
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val model = LangModel.langIdTrain(
+        d.filter(col("doc_id") % 2 === 0), "text", "lang")
+      val all = LangModel.langIdScores(model,
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("lab"))
+      val per = all.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .groupBy("doc_id")
+        .agg(max(when(col("rn") === 1, col("lab"))).as("top"),
+          (max(when(col("rn") === 1, col("score"))) -
+            max(when(col("rn") === 2, col("score")))).as("margin"))
+      per
+        .withColumn("predicted",
+          when(col("margin") < 1.0, lit("und")).otherwise(col("top")))
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("margin") * 1000000).cast("long"))
+            .as("sum_margin_micro"))
         .orderBy("lang", "predicted")
     }),
     // Per-doc top-3 TF-IDF keywords on a bounded block: smoothed idf
@@ -451,58 +539,34 @@ object TextQueries {
     // priors, trigram-ordered contribution fold on the odd half,
     // argmax with class-name tie-break, confusion rollup.
     "text_langid" ->
-      """WITH train AS (
-        |  SELECT lang AS lab, lower(trim(text)) AS t
-        |  FROM documents
-        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL AND trim(text) <> ''),
-        |ttok AS (
-        |  SELECT lab, unnest([substr(t, i, 3)
-        |    FOR i IN range(1, len(t) - 1)]) AS g
-        |  FROM train),
-        |ctok AS (SELECT lab, g, count(*) AS c FROM ttok GROUP BY 1, 2),
-        |ctot AS (SELECT lab, count(*) AS tot FROM ttok GROUP BY 1),
-        |vocab AS (SELECT DISTINCT g FROM ttok),
-        |vs AS (SELECT count(*) AS v FROM vocab),
-        |prior AS (
-        |  SELECT lab, ln(CAST(count(*) AS DOUBLE) /
-        |    (SELECT count(*) FROM train)) AS lp
-        |  FROM train GROUP BY lab),
-        |ll AS (
-        |  SELECT vo.g, ct.lab,
-        |    ln((coalesce(c.c, 0) + 1.0) / (ct.tot + vs.v)) AS ll
-        |  FROM vocab vo CROSS JOIN ctot ct
-        |  LEFT JOIN ctok c ON c.g = vo.g AND c.lab = ct.lab
-        |  CROSS JOIN vs),
-        |test AS (
-        |  SELECT doc_id AS id, lang, lower(trim(text)) AS t
-        |  FROM documents
-        |  WHERE doc_id % 2 = 1 AND text IS NOT NULL AND trim(text) <> ''),
-        |tf AS (
-        |  SELECT id, g, count(*) AS tf FROM (
-        |    SELECT id, unnest([substr(t, i, 3)
-        |      FOR i IN range(1, len(t) - 1)]) AS g
-        |    FROM test)
-        |  GROUP BY 1, 2),
-        |contrib AS (
-        |  SELECT tf.id, ll.lab, tf.g, tf.tf * ll.ll AS contrib
-        |  FROM tf JOIN ll ON ll.g = tf.g),
-        |folded AS (
-        |  SELECT id, lab,
-        |    list_reduce(list_prepend(0.0, list(contrib ORDER BY g)),
-        |      (a, x) -> a + x) AS s
-        |  FROM contrib GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT i.id, p.lab, p.lp + coalesce(f.s, 0.0) AS score
-        |  FROM (SELECT DISTINCT id FROM test) i CROSS JOIN prior p
-        |  LEFT JOIN folded f ON f.id = i.id AND f.lab = p.lab),
-        |pred AS (
-        |  SELECT id, lab, row_number() OVER (
-        |    PARTITION BY id ORDER BY score DESC, lab) AS rn
-        |  FROM scored)
+      s"""WITH $langidCtes
         |SELECT t.lang, p.lab AS predicted, CAST(count(*) AS BIGINT) AS n
         |FROM pred p
         |JOIN (SELECT DISTINCT id, lang FROM test) t ON t.id = p.id
         |WHERE p.rn = 1
+        |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    // Margin-gate replay: same train/score CTEs, top-2 per doc, the
+    // 1-nat abstain threshold routes low-margin docs to 'und';
+    // per-doc margins integerize to micro-units BEFORE the group sum
+    // (order-free integer math, the crawl_media_route discipline).
+    "text_langid_margin" ->
+      s"""WITH $langidCtes,
+        |m AS (
+        |  SELECT id,
+        |    max(CASE WHEN rn = 1 THEN lab END) AS top,
+        |    max(CASE WHEN rn = 1 THEN score END) -
+        |      max(CASE WHEN rn = 2 THEN score END) AS margin
+        |  FROM pred WHERE rn <= 2 GROUP BY id),
+        |g AS (
+        |  SELECT id,
+        |    CASE WHEN margin < 1.0 THEN 'und' ELSE top END AS predicted,
+        |    margin
+        |  FROM m)
+        |SELECT t.lang, g.predicted, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(g.margin * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_margin_micro
+        |FROM g
+        |JOIN (SELECT DISTINCT id, lang FROM test) t ON t.id = g.id
         |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
     "text_keywords" ->
       """WITH d AS (
