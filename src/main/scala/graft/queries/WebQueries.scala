@@ -1271,6 +1271,31 @@ object WebQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
         .orderBy("lang", "predicted")
     }),
+    // The corpus composition built FROM the WET derivative (how
+    // training corpora are actually assembled — Common Crawl users
+    // read WET, never re-extract page bytes): conversion records →
+    // token counts + length gate + exact-dedup witness per language,
+    // hash-equal to the archive-fed twin via ONE shared oracle — the
+    // WET derivative is proven complete enough to replace the archive
+    // for corpus building, the crawl_wat_graph claim's text sibling.
+    "crawl_wet_corpus" -> ((s, dir) => {
+      s.read.format("graft_warc").option("splitSize", 4096)
+        .load(wetExportPath(s, dir))
+        .filter(col("warc_type") === "conversion")
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"), decode(col("payload"), "UTF-8").as("body"))
+        .join(docs(s, dir).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .withColumn("n_tokens",
+          size(split(col("body"), "\\s+")).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(when(length(col("body")) >= 40, 1L).otherwise(0L))
+            .as("n_len_ok"),
+          countDistinct(col("body")).as("n_unique"))
+        .orderBy("lang")
+    }),
     // WET generation: the gate-chain survivors' extracted text written
     // back out as gzip-member WARC `conversion` records — one segment
     // per partition, written BY the owning task (no driver collect, no
@@ -1975,6 +2000,7 @@ object WebQueries {
     cdxIndexPath(s, dir)
     cdxStreamedPath(s, dir)
     watExportPath(s, dir)
+    wetExportPath(s, dir)
     langModelPath(s, dir)
     warcRecrawlPath(s, dir)
     ()
@@ -2200,6 +2226,28 @@ object WebQueries {
   /** The cumulative gate FLAGS per fetched page (ok/rb/ix/ex) — the
     * shared front of [[crawlLedger]], the WET export and the corpus
     * composition. */
+  /** A memoized WET export of the corpus archive (the
+    * `crawl_wet_export` write path, built once per JVM) — the input
+    * of derivative CONSUMERS like [[crawl_wet_corpus]]: real
+    * pipelines build training corpora from WET, never by re-running
+    * extraction over page bytes. */
+  private def wetExportPath(s: SparkSession, dir: String): String =
+    BuildCache.memo(s"warc_wetg:$dir") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_warc_wetg/" +
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      val exported = crawlStaged(s, dir,
+        s.read.format("graft_warc").option("splitSize", 4096)
+          .load(warcFixturePath(s, dir)))
+        .filter(col("ex"))
+        .select(col("url"), HtmlOps.extractText(col("html")).as("body"))
+      graft.sources.WarcSink.writeConversionSegments(
+        exported.repartition(8, col("url")), "url", "body", root)
+      root
+    }
+
   /** The recrawl's write-staging rows: snapshot B's fetches joined
     * to the crawl-A CDX index on URL — `rev_digest` non-null marks a
     * digest match (BOTH headers present and equal), the pages whose
@@ -2741,6 +2789,23 @@ object WebQueries {
       |  doc_id, doc_id % 5 <> 0 AS has_digest, true AS len_ok
       |FROM d ORDER BY doc_id""".stripMargin
 
+  private lazy val corpusPipelineSql: String =
+    s"""WITH $htmlCtes,
+      |sv AS (
+      |  SELECT doc_id, lang,
+      |    'Doc ' || CAST(doc_id AS VARCHAR) || ' Doc ' ||
+      |      CAST(doc_id AS VARCHAR) || ' ' || text || ' ' || refs ||
+      |      ' Home & About' AS expected
+      |  FROM h
+      |  WHERE doc_id % 17 <> 5 AND doc_id % 10 <> 3 AND doc_id % 9 <> 0)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split_regex(expected, '\\s+'))) AS BIGINT)
+      |    AS sum_tokens,
+      |  CAST(sum(CASE WHEN length(expected) >= 40 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_len_ok,
+      |  CAST(count(DISTINCT expected) AS BIGINT) AS n_unique
+      |FROM sv GROUP BY lang ORDER BY lang""".stripMargin
+
   private lazy val revisitWriteSql: String =
     s"""WITH $htmlCtes,
       |b AS (SELECT doc_id, html FROM h WHERE doc_id % 9 <> 1)
@@ -2989,23 +3054,11 @@ object WebQueries {
         |    ELSE 0 END) AS BIGINT) AS sum_full_chars
         |FROM h""".stripMargin,
     // Corpus-composition replay: survivor residues -> expected text ->
-    // whitespace token counts, length gate, distinct witness, per lang.
-    "crawl_corpus_pipeline" ->
-      s"""WITH $htmlCtes,
-        |sv AS (
-        |  SELECT doc_id, lang,
-        |    'Doc ' || CAST(doc_id AS VARCHAR) || ' Doc ' ||
-        |      CAST(doc_id AS VARCHAR) || ' ' || text || ' ' || refs ||
-        |      ' Home & About' AS expected
-        |  FROM h
-        |  WHERE doc_id % 17 <> 5 AND doc_id % 10 <> 3 AND doc_id % 9 <> 0)
-        |SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(len(string_split_regex(expected, '\\s+'))) AS BIGINT)
-        |    AS sum_tokens,
-        |  CAST(sum(CASE WHEN length(expected) >= 40 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_len_ok,
-        |  CAST(count(DISTINCT expected) AS BIGINT) AS n_unique
-        |FROM sv GROUP BY lang ORDER BY lang""".stripMargin,
+    // whitespace token counts, length gate, distinct witness, per
+    // lang. SHARED with the WET-derivative consumer: a corpus built
+    // from conversion records must equal the archive-fed one.
+    "crawl_corpus_pipeline" -> corpusPipelineSql,
+    "crawl_wet_corpus" -> corpusPipelineSql,
     // Predicted-language replay: train on the labeled even half
     // (char trigrams, add-one NB — the text_langid algebra), score
     // the gate-chain survivors' EXPECTED extracted text with the
