@@ -1362,6 +1362,40 @@ object WebQueries {
             .as("n_new_pages"))
         .orderBy("domain")
     }),
+    // The SAME frontier dedup with candidates harvested FROM the WAT
+    // derivative instead of page bytes — one shared oracle with
+    // crawl_frontier_cdx: outlinks come out of the metadata
+    // envelopes' JSON, key to SURT through the same parse chain, and
+    // the index join must land the identical per-domain rollup. With
+    // crawl_wat_graph (link analysis) and crawl_wet_corpus (corpus
+    // build), this completes the claim: the whole crawl-ops loop —
+    // graph, corpus, FRONTIER — runs off derivatives; page bytes are
+    // read exactly once, at extraction.
+    "crawl_frontier_wat" -> ((s, dir) => {
+      val idx = s.read.parquet(cdxIndexPath(s, dir))
+        .select(col("surt_key")).distinct().withColumn("__cap", lit(1))
+      val links = s.read.format("graft_warc").option("splitSize", 4096)
+        .load(watExportPath(s, dir))
+        .filter(col("warc_type") === "metadata")
+        .select(from_json(decode(col("payload"), "UTF-8"),
+          "outlinks ARRAY<STRING>", Map.empty[String, String]).as("w"))
+        .select(explode(col("w.outlinks")).as("url"))
+      val recrawl = docs(s, dir)
+        .filter(pmod(col("doc_id"), lit(3L)) === 0)
+        .select(concat(lit("https://"), srcDomainCol, lit("/doc/"),
+          col("doc_id").cast("string")).as("url"))
+      val cand = links.unionByName(recrawl)
+        .select(UrlOps.surt(col("url")).as("surt_key"),
+          UrlOps.registeredDomain(UrlOps.host(col("url"))).as("domain"))
+      cand.join(idx, Seq("surt_key"), "left")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("__cap").isNotNull, 1L).otherwise(0L))
+            .as("n_captured"),
+          countDistinct(when(col("__cap").isNull, col("surt_key")))
+            .as("n_new_pages"))
+        .orderBy("domain")
+    }),
     // RFC 9309 §2.3.1 unreachability semantics: the robots VERDICT
     // depends on how the robots.txt FETCH went — 200 parses rules,
     // 4xx means "no robots file, everything allowed", 5xx means "treat
@@ -2789,6 +2823,42 @@ object WebQueries {
       |  doc_id, doc_id % 5 <> 0 AS has_digest, true AS len_ok
       |FROM d ORDER BY doc_id""".stripMargin
 
+  private lazy val frontierCdxSql: String =
+      s"""WITH $htmlCtes,
+        |$linksCte,
+        |$canonCte,
+        |srt AS (
+        |  SELECT lower(array_to_string(list_reverse(string_split(h,
+        |      '.')), ',') || keep_port || ')' || clean_path ||
+        |      (CASE WHEN cq = '' THEN '' ELSE '?' || cq END))
+        |      AS surt_key,
+        |    CASE WHEN len(parts) <= 2 THEN array_to_string(parts, '.')
+        |         WHEN parts[-2] || '.' || parts[-1]
+        |              IN ('co.uk', 'com.au', 'co.jp')
+        |           THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+        |         ELSE parts[-2] || '.' || parts[-1] END AS domain
+        |  FROM (SELECT *, string_split(host, '.') AS parts FROM cz)),
+        |rc AS (
+        |  SELECT
+        |    array_to_string(list_reverse(string_split(
+        |      'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' || tld, '.')),
+        |      ',') || ')/doc/' || CAST(doc_id AS VARCHAR) AS surt_key,
+        |    'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' || tld AS domain,
+        |    1 AS cap
+        |  FROM (SELECT doc_id,
+        |          CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+        |            WHEN 1 THEN 'org' ELSE 'co.uk' END AS tld
+        |        FROM documents
+        |        WHERE text IS NOT NULL AND doc_id % 3 = 0)),
+        |cand AS (
+        |  SELECT surt_key, domain, 0 AS cap FROM srt
+        |  UNION ALL SELECT surt_key, domain, cap FROM rc)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(cap) AS BIGINT) AS n_captured,
+        |  CAST(count(DISTINCT CASE WHEN cap = 0 THEN surt_key END)
+        |    AS BIGINT) AS n_new_pages
+        |FROM cand GROUP BY domain ORDER BY domain""".stripMargin
+
   private lazy val corpusPipelineSql: String =
     s"""WITH $htmlCtes,
       |sv AS (
@@ -3171,41 +3241,8 @@ object WebQueries {
     // through the same parse chain (srt over cz), the recrawl sample
     // is analytically captured (its keys ARE the index keys), and the
     // rollup is a plain union + group.
-    "crawl_frontier_cdx" ->
-      s"""WITH $htmlCtes,
-        |$linksCte,
-        |$canonCte,
-        |srt AS (
-        |  SELECT lower(array_to_string(list_reverse(string_split(h,
-        |      '.')), ',') || keep_port || ')' || clean_path ||
-        |      (CASE WHEN cq = '' THEN '' ELSE '?' || cq END))
-        |      AS surt_key,
-        |    CASE WHEN len(parts) <= 2 THEN array_to_string(parts, '.')
-        |         WHEN parts[-2] || '.' || parts[-1]
-        |              IN ('co.uk', 'com.au', 'co.jp')
-        |           THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
-        |         ELSE parts[-2] || '.' || parts[-1] END AS domain
-        |  FROM (SELECT *, string_split(host, '.') AS parts FROM cz)),
-        |rc AS (
-        |  SELECT
-        |    array_to_string(list_reverse(string_split(
-        |      'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' || tld, '.')),
-        |      ',') || ')/doc/' || CAST(doc_id AS VARCHAR) AS surt_key,
-        |    'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' || tld AS domain,
-        |    1 AS cap
-        |  FROM (SELECT doc_id,
-        |          CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
-        |            WHEN 1 THEN 'org' ELSE 'co.uk' END AS tld
-        |        FROM documents
-        |        WHERE text IS NOT NULL AND doc_id % 3 = 0)),
-        |cand AS (
-        |  SELECT surt_key, domain, 0 AS cap FROM srt
-        |  UNION ALL SELECT surt_key, domain, cap FROM rc)
-        |SELECT domain, CAST(count(*) AS BIGINT) AS n_candidates,
-        |  CAST(sum(cap) AS BIGINT) AS n_captured,
-        |  CAST(count(DISTINCT CASE WHEN cap = 0 THEN surt_key END)
-        |    AS BIGINT) AS n_new_pages
-        |FROM cand GROUP BY domain ORDER BY domain""".stripMargin,
+    "crawl_frontier_cdx" -> frontierCdxSql,
+    "crawl_frontier_wat" -> frontierCdxSql,
     // Multi-file fetch replay: the segment writer splits the ordered
     // page rows into ceil-thirds, so the segment index of a sampled
     // page derives from its POSITION; the sample must span all the
