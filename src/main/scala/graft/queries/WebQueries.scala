@@ -955,6 +955,34 @@ object WebQueries {
             .as("n_via_revisit"),
           sum(col("doc_id")).as("sum_id"))
     }),
+    // The INCREMENTAL corpus — why a crawl writes revisits at all:
+    // next month's training batch is the recrawl archive's RESPONSES
+    // (changed pages, new pages, and the digest-less pages that
+    // honestly re-store), extracted and token-counted off one scan;
+    // revisit members count as carried-over corpus (their text
+    // already shipped last month). Training-data volume tracks
+    // CHANGE, not crawl size — the whole revisit machinery's point,
+    // audited end to end on the archive the engine itself wrote.
+    "crawl_incremental_corpus" -> ((s, dir) => {
+      s.read.format("graft_warc").option("splitSize", 4096)
+        .load(warcRecrawlPath(s, dir))
+        .filter(col("warc_type").isin("response", "revisit"))
+        .select(col("warc_type"),
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          HtmlOps.extractText(CharsetOps.decodeHtml(col("payload"),
+            col("http_content_type"))).as("body"))
+        .agg(
+          sum(when(col("warc_type") === "response", 1L).otherwise(0L))
+            .as("n_entering"),
+          sum(when(col("warc_type") === "revisit", 1L).otherwise(0L))
+            .as("n_carried"),
+          sum(when(col("warc_type") === "response",
+            size(split(col("body"), "\\s+")).cast("long"))
+            .otherwise(0L)).as("sum_tokens_entering"),
+          sum(when(col("warc_type") === "response", col("doc_id")))
+            .as("sum_id_entering"))
+    }),
     // Snapshot diff between two crawls on the archives' OWN digests
     // (the recrawl-ops question: what changed since last month's
     // crawl?): full outer join on URL, digest compare classifies
@@ -3034,6 +3062,28 @@ object WebQueries {
     // assemble the identical archive.
     "crawl_revisit_write" -> revisitWriteSql,
     "crawl_stream_revisit" -> revisitWriteSql,
+    // Incremental-corpus replay: entering = changed (6/0) plus the
+    // digest-less honest re-stores (5/0) plus the ten added pages
+    // (3 whitespace tokens each, ids 100000..100009); carried = the
+    // digest-matched revisits; expected-text token arithmetic shared
+    // with the corpus-pipeline replay.
+    "crawl_incremental_corpus" ->
+      s"""WITH $htmlCtes,
+        |e AS (
+        |  SELECT doc_id,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || ' Doc ' ||
+        |      CAST(doc_id AS VARCHAR) || ' ' || text || ' ' || refs ||
+        |      ' Home & About' AS expected
+        |  FROM h
+        |  WHERE doc_id % 9 <> 1 AND (doc_id % 6 = 0 OR doc_id % 5 = 0))
+        |SELECT CAST(count(*) + 10 AS BIGINT) AS n_entering,
+        |  CAST((SELECT count(*) FROM h WHERE doc_id % 9 <> 1
+        |    AND doc_id % 6 <> 0 AND doc_id % 5 <> 0) AS BIGINT)
+        |    AS n_carried,
+        |  CAST(sum(len(string_split_regex(expected, '\\s+'))) + 30
+        |    AS BIGINT) AS sum_tokens_entering,
+        |  CAST(sum(doc_id) + 1000045 AS BIGINT) AS sum_id_entering
+        |FROM e""".stripMargin,
     // Revisit-resolving-fetch replay: the sample is every 3rd
     // recrawled fixture page; revisit routing covers exactly the
     // digest-matched residues (unchanged with headers on both sides);
