@@ -1324,6 +1324,29 @@ object WebQueries {
           countDistinct(col("body")).as("n_unique"))
         .orderBy("lang")
     }),
+    // Frozen-model language ID off the WET derivative — shared oracle
+    // with crawl_corpus_langid: conversion records ARE the survivors'
+    // extracted text, so scoring them under the same persisted model
+    // must land the identical confusion matrix. The production
+    // composition: extract once (WET), then every classifier pass
+    // reads the derivative, never page bytes.
+    "crawl_wet_langid" -> ((s, dir) => {
+      val mroot = langModelPath(s, dir)
+      val model = graft.operators.LangModel.NbModel(
+        s.read.parquet(s"$mroot/priors"),
+        s.read.parquet(s"$mroot/loglik"))
+      val wet = s.read.format("graft_warc").option("splitSize", 4096)
+        .load(wetExportPath(s, dir))
+        .filter(col("warc_type") === "conversion")
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"), decode(col("payload"), "UTF-8").as("body"))
+      graft.operators.LangModel.langIdScore(model, wet, "doc_id", "body")
+        .join(docs(s, dir).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
+        .orderBy("lang", "predicted")
+    }),
     // WET generation: the gate-chain survivors' extracted text written
     // back out as gzip-member WARC `conversion` records — one segment
     // per partition, written BY the owning task (no driver collect, no
@@ -2887,6 +2910,67 @@ object WebQueries {
         |    AS BIGINT) AS n_new_pages
         |FROM cand GROUP BY domain ORDER BY domain""".stripMargin
 
+  private lazy val crawlLangidSql: String =
+      s"""WITH $htmlCtes,
+        |train AS (
+        |  SELECT lang AS lab, lower(trim(text)) AS t
+        |  FROM documents
+        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL AND trim(text) <> ''),
+        |ttok AS (
+        |  SELECT lab, unnest([substr(t, i, 3)
+        |    FOR i IN range(1, len(t) - 1)]) AS g
+        |  FROM train),
+        |ctok AS (SELECT lab, g, count(*) AS c FROM ttok GROUP BY 1, 2),
+        |ctot AS (SELECT lab, count(*) AS tot FROM ttok GROUP BY 1),
+        |vocab AS (SELECT DISTINCT g FROM ttok),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |prior AS (
+        |  SELECT lab, ln(CAST(count(*) AS DOUBLE) /
+        |    (SELECT count(*) FROM train)) AS lp
+        |  FROM train GROUP BY lab),
+        |ll AS (
+        |  SELECT vo.g, ct.lab,
+        |    ln((coalesce(c.c, 0) + 1.0) / (ct.tot + vs.v)) AS ll
+        |  FROM vocab vo CROSS JOIN ctot ct
+        |  LEFT JOIN ctok c ON c.g = vo.g AND c.lab = ct.lab
+        |  CROSS JOIN vs),
+        |test AS (
+        |  SELECT doc_id AS id, lang,
+        |    lower(trim('Doc ' || CAST(doc_id AS VARCHAR) || ' Doc ' ||
+        |      CAST(doc_id AS VARCHAR) || ' ' || text || ' ' || refs ||
+        |      ' Home & About')) AS t
+        |  FROM h
+        |  WHERE doc_id % 17 <> 5 AND doc_id % 10 <> 3 AND doc_id % 9 <> 0),
+        |tf AS (
+        |  SELECT id, g, count(*) AS tf FROM (
+        |    SELECT id, unnest([substr(t, i, 3)
+        |      FOR i IN range(1, len(t) - 1)]) AS g
+        |    FROM test)
+        |  GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT tf.id, ll.lab, tf.g, tf.tf * ll.ll AS contrib
+        |  FROM tf JOIN ll ON ll.g = tf.g),
+        |folded AS (
+        |  SELECT id, lab,
+        |    list_reduce(list_prepend(0.0, list(contrib ORDER BY g)),
+        |      (a, x) -> a + x) AS s
+        |  FROM contrib GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT i.id, p.lab, p.lp + coalesce(f.s, 0.0) AS score
+        |  FROM (SELECT DISTINCT id FROM test) i CROSS JOIN prior p
+        |  LEFT JOIN folded f ON f.id = i.id AND f.lab = p.lab),
+        |pred AS (
+        |  SELECT id, lab, row_number() OVER (
+        |    PARTITION BY id ORDER BY score DESC, lab) AS rn
+        |  FROM scored)
+        |SELECT t.lang, p.lab AS predicted,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(p.id) AS BIGINT) AS sum_id
+        |FROM pred p
+        |JOIN (SELECT DISTINCT id, lang FROM test) t ON t.id = p.id
+        |WHERE p.rn = 1
+        |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+
   private lazy val corpusPipelineSql: String =
     s"""WITH $htmlCtes,
       |sv AS (
@@ -3184,66 +3268,8 @@ object WebQueries {
     // the gate-chain survivors' EXPECTED extracted text with the
     // trigram-ordered fold, argmax with class-name tie-break,
     // (lang, predicted) rollup with identity sums.
-    "crawl_corpus_langid" ->
-      s"""WITH $htmlCtes,
-        |train AS (
-        |  SELECT lang AS lab, lower(trim(text)) AS t
-        |  FROM documents
-        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL AND trim(text) <> ''),
-        |ttok AS (
-        |  SELECT lab, unnest([substr(t, i, 3)
-        |    FOR i IN range(1, len(t) - 1)]) AS g
-        |  FROM train),
-        |ctok AS (SELECT lab, g, count(*) AS c FROM ttok GROUP BY 1, 2),
-        |ctot AS (SELECT lab, count(*) AS tot FROM ttok GROUP BY 1),
-        |vocab AS (SELECT DISTINCT g FROM ttok),
-        |vs AS (SELECT count(*) AS v FROM vocab),
-        |prior AS (
-        |  SELECT lab, ln(CAST(count(*) AS DOUBLE) /
-        |    (SELECT count(*) FROM train)) AS lp
-        |  FROM train GROUP BY lab),
-        |ll AS (
-        |  SELECT vo.g, ct.lab,
-        |    ln((coalesce(c.c, 0) + 1.0) / (ct.tot + vs.v)) AS ll
-        |  FROM vocab vo CROSS JOIN ctot ct
-        |  LEFT JOIN ctok c ON c.g = vo.g AND c.lab = ct.lab
-        |  CROSS JOIN vs),
-        |test AS (
-        |  SELECT doc_id AS id, lang,
-        |    lower(trim('Doc ' || CAST(doc_id AS VARCHAR) || ' Doc ' ||
-        |      CAST(doc_id AS VARCHAR) || ' ' || text || ' ' || refs ||
-        |      ' Home & About')) AS t
-        |  FROM h
-        |  WHERE doc_id % 17 <> 5 AND doc_id % 10 <> 3 AND doc_id % 9 <> 0),
-        |tf AS (
-        |  SELECT id, g, count(*) AS tf FROM (
-        |    SELECT id, unnest([substr(t, i, 3)
-        |      FOR i IN range(1, len(t) - 1)]) AS g
-        |    FROM test)
-        |  GROUP BY 1, 2),
-        |contrib AS (
-        |  SELECT tf.id, ll.lab, tf.g, tf.tf * ll.ll AS contrib
-        |  FROM tf JOIN ll ON ll.g = tf.g),
-        |folded AS (
-        |  SELECT id, lab,
-        |    list_reduce(list_prepend(0.0, list(contrib ORDER BY g)),
-        |      (a, x) -> a + x) AS s
-        |  FROM contrib GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT i.id, p.lab, p.lp + coalesce(f.s, 0.0) AS score
-        |  FROM (SELECT DISTINCT id FROM test) i CROSS JOIN prior p
-        |  LEFT JOIN folded f ON f.id = i.id AND f.lab = p.lab),
-        |pred AS (
-        |  SELECT id, lab, row_number() OVER (
-        |    PARTITION BY id ORDER BY score DESC, lab) AS rn
-        |  FROM scored)
-        |SELECT t.lang, p.lab AS predicted,
-        |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(p.id) AS BIGINT) AS sum_id
-        |FROM pred p
-        |JOIN (SELECT DISTINCT id, lang FROM test) t ON t.id = p.id
-        |WHERE p.rn = 1
-        |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "crawl_corpus_langid" -> crawlLangidSql,
+    "crawl_wet_langid" -> crawlLangidSql,
     // WET replay: the export set is the gate-chain survivor residues
     // (status 17/5, robots last-digit-3, noindex 9/0 — extraction is
     // exact on every page by construction); chars = the expected
