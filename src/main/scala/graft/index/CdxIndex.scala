@@ -68,4 +68,28 @@ object CdxIndex {
         col("__prev") =!= col(digestCol))
       .drop("__prev")
   }
+
+  /** Wayback-style `collapse=timestamp:N` at index build/maintenance
+    * time: per SURT key, a capture whose leading `prefixLen`
+    * timestamp characters equal the PREVIOUS capture's folds away —
+    * at most one capture per page per time bucket survives (the
+    * first). This is frequency THINNING, not change preservation:
+    * unlike [[collapseByDigest]] a changed capture inside the same
+    * bucket folds too — the wayback option a consumer picks when the
+    * question is "one representative capture per day/month/year",
+    * not "every content version". The timestamp prefix is monotone
+    * in the capture order, so the adjacent (`lag`) comparison is
+    * exactly keep-first-per-bucket. Key-bounded window only, never a
+    * global sort — the same shuffle shape as the digest fold, so the
+    * two compose in one maintenance pass at any index size. */
+  def collapseByTimestamp(index: DataFrame, prefixLen: Int,
+      tsCol: String = "ts"): DataFrame = {
+    val pfx = org.apache.spark.sql.functions.substring(
+      col(tsCol), 1, prefixLen)
+    val w = Window.partitionBy("surt_key")
+      .orderBy(col(tsCol), col("url"))
+    index.withColumn("__prevp", lag(pfx, 1).over(w))
+      .filter(col("__prevp").isNull || col("__prevp") =!= pfx)
+      .drop("__prevp")
+  }
 }

@@ -99,6 +99,57 @@ object GraphOps {
     run(edges, srcCol, dstCol, None, iters, damping,
       redistributeDangling, collectStats = true)
 
+  /** Radius-bounded EXACT harmonic centrality — the metric the public
+    * web-graph releases rank hosts by: H(v) = Σ_{u≠v} 1/d(u, v) over
+    * directed shortest-path distances INTO v, here truncated at
+    * `maxRadius` hops (contributions beyond R are ≤ 1/(R+1) each and
+    * the exact unbounded closure is O(V²) state — production systems
+    * estimate the full sum with HyperBall sketches; the exact
+    * bounded ball is what a domain-graph ranking job can afford to
+    * compute exactly, and at R=4 it already separates hubs from
+    * leaves). Returns `(v, harmonic_x12, n_reachable)` with the sum
+    * scaled by lcm(1..4) = 12 into INTEGER units (requires
+    * `maxRadius <= 4`) — bit-exact across summation orders, the
+    * pixel-mean micro-unit discipline applied to centrality.
+    *
+    * Scale shape: round t joins the (u, v) frontier to the edge
+    * table, dedups, and anti-joins the known set — ball-bounded
+    * state, edge-bounded shuffles, `localCheckpoint` per round keeps
+    * the plan flat in R (the pointer-jumping precedent). An empty
+    * frontier short-circuits remaining rounds. */
+  def harmonicCentrality(edges: DataFrame, srcCol: String,
+      dstCol: String, maxRadius: Int): DataFrame = {
+    require(maxRadius >= 1 && maxRadius <= 4,
+      s"maxRadius in 1..4 (12-unit integer arithmetic), got $maxRadius")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    // known(u, v, d): u reaches v, minimal hop count d
+    var known = e.select(col("src").as("u"), col("dst").as("v"))
+      .withColumn("d", lit(1)).localCheckpoint()
+    var frontier = known
+    var t = 2
+    var exhausted = false
+    while (t <= maxRadius && !exhausted) {
+      val next = frontier.join(e, frontier("v") === e("src"))
+        .select(col("u"), col("dst").as("v")).distinct()
+        .filter(col("u") =!= col("v"))
+        .join(known.select(col("u").as("__ku"), col("v").as("__kv")),
+          col("u") === col("__ku") && col("v") === col("__kv"),
+          "left_anti")
+        .withColumn("d", lit(t))
+        .localCheckpoint()
+      if (next.isEmpty) exhausted = true
+      else {
+        known = known.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+      t += 1
+    }
+    known.groupBy(col("v"))
+      .agg(sum((lit(12) / col("d")).cast("long")).as("harmonic_x12"),
+        count(lit(1)).as("n_reachable"))
+  }
+
   private def run(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String], iters: Int, damping: Double,
       redistributeDangling: Boolean,

@@ -1115,6 +1115,31 @@ object WebQueries {
             .as("sum_id"))
         .orderBy("ts")
     }),
+    // CDX collapsing by TIMESTAMP granularity (the wayback
+    // collapse=timestamp:N option) — frequency thinning, one capture
+    // per page per time bucket, run at two granularities over the
+    // same two-snapshot index: at month prefix the recrawl's changed
+    // + added captures survive in their own bucket (unchanged pages
+    // re-serve the ORIGINAL capture, so their duplicate January rows
+    // fold); at year prefix even the CHANGED captures thin away —
+    // the semantics that distinguish this fold from collapse=digest,
+    // which keeps every digest transition — leaving only the
+    // brand-new pages. Both legs are the same key-bounded window;
+    // the per-ts rollup is fully residue-derivable.
+    "crawl_cdx_collapse_time" -> ((s, dir) => {
+      val idx = multiSnapshotCdx(s, dir)
+      def leg(gran: String, prefixLen: Int): DataFrame =
+        graft.index.CdxIndex.collapseByTimestamp(idx, prefixLen)
+          .groupBy("ts")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("surt_key")).as("n_pages"),
+            sum(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+              .cast("long")).as("sum_id"))
+          .withColumn("gran", lit(gran))
+      leg("month", 7).unionByName(leg("year", 4))
+        .select("gran", "ts", "n_rows", "n_pages", "sum_id")
+        .orderBy("gran", "ts")
+    }),
     // Soft-change detection between crawls — the recrawl-ops gate
     // AFTER the digest diff: a page whose BYTES changed (new digest)
     // but whose EXTRACTED TEXT didn't (markup/comment churn, rotating
@@ -1381,6 +1406,52 @@ object WebQueries {
           sum(length(col("body")).cast("long")).as("sum_chars"),
           sum(when(col("payload_digest").isNotNull, 1L).otherwise(0L))
             .as("n_digested"))
+    }),
+    // WET generation under a SEGMENT-SIZE ceiling (ISO 28500
+    // §5.18-5.20 record segmentation — how real archives keep gzip
+    // members bounded when a capture outgrows the ceiling): payloads
+    // over 256 bytes ship as a first conversion member plus
+    // `continuation` members chained by WARC-Segment-Origin-ID, read
+    // back through the splittable source and reassembled
+    // ([[graft.sources.WarcSegments.reassemble]] — only segment
+    // chains shuffle, unsegmented rows pass through). Every
+    // reassembled payload must be char-exact for n_exact to land —
+    // a slice bug, a chain-order bug, or a consumer ignoring
+    // continuation rows all break the hash; the member counts are
+    // pure ceil-arithmetic over the expected text lengths.
+    "crawl_wet_segmented" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_wetseg/" +
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true) // fresh replay
+      val exported = crawlStaged(s, dir,
+        s.read.format("graft_warc").option("splitSize", 4096)
+          .load(warcFixturePath(s, dir)))
+        .filter(col("ex"))
+        .select(col("url"), HtmlOps.extractText(col("html")).as("body"))
+      graft.sources.WarcSink.writeSegmentedConversions(
+        exported.repartition(8, col("url")), "url", "body", root, 256)
+      val raw = s.read.format("graft_warc").option("splitSize", 4096)
+        .load(root)
+        .filter(col("warc_type").isin("conversion", "continuation"))
+      val memberStats = raw.agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("warc_type") === "continuation", 1L).otherwise(0L))
+          .as("n_continuations"),
+        countDistinct(col("segment_origin_id")).as("n_multi"))
+      graft.sources.WarcSegments.reassemble(raw)
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+          decode(col("payload"), "UTF-8").as("body"),
+          col("truncated"))
+        .join(docs(s, dir).select(col("doc_id"),
+          expectedCol.as("expected")), Seq("doc_id"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(when(col("body") === col("expected") &&
+            col("truncated").isNull, 1L).otherwise(0L)).as("n_exact"),
+          sum(col("doc_id")).as("sum_id"))
+        .crossJoin(memberStats) // 1x1 ledger join
     }),
     // Frontier dedup against the ARCHIVE INDEX — the crawl-ops loop's
     // "do we already have this page?": candidates (fresh outlinks +
@@ -1965,6 +2036,21 @@ object WebQueries {
           damping = 0.85, redistributeDangling = true)
         .select(col("v").as("domain"), round(col("pr"), 4).as("pr"))
         .orderBy(col("pr").desc, col("domain"))
+    }),
+    // Harmonic centrality over the domain graph — the metric the
+    // public web-graph releases actually rank hosts by (PageRank's
+    // companion, robust to dangling mass): H(v) = Σ 1/d(u, v) over
+    // shortest paths INTO v, radius-bounded at 4 hops and scaled by
+    // lcm(1..4) = 12 into integer units so the sum is bit-exact in
+    // any summation order. The oracle replays the ball growth as a
+    // recursive CTE over the independently-synthesized edge set — a
+    // BFS bug, a dedup bug (revisiting a pair at a longer distance),
+    // or a missed edge all move the integer sums.
+    "web_graph_harmonic" -> ((s, dir) => {
+      GraphOps.harmonicCentrality(domainEdges(s, dir), "src", "dst", 4)
+        .select(col("v").as("domain"), col("harmonic_x12"),
+          col("n_reachable"))
+        .orderBy(col("harmonic_x12").desc, col("domain"))
     }),
     // Link-rel governance: nofollow links must not count as
     // endorsements in the link graph — per-domain endorsement rollup
@@ -2858,6 +2944,38 @@ object WebQueries {
       |SELECT v AS domain, round(pr, 4) AS pr
       |FROM r3 ORDER BY 2 DESC, 1""".stripMargin
 
+  /** Harmonic-centrality replay: the webGraphPipelineSql edge fold,
+    * then radius-4 ball growth as a recursive CTE (UNION dedups, the
+    * depth guard terminates it), min distance per (u, v) pair, and
+    * the lcm-scaled integer sum 12/d — exact in any order. */
+  private lazy val webGraphHarmonicSql: String =
+    s"""WITH RECURSIVE $htmlCtes,
+      |$linksCte,
+      |dm AS (
+      |  SELECT doc_id, $domainExpr AS dst
+      |  FROM (SELECT doc_id, string_split($hostExpr, '.') AS parts
+      |        FROM l)),
+      |e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+      |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+      |         WHEN 1 THEN 'org' ELSE 'co.uk' END) AS src, dst
+      |    FROM dm) WHERE src <> dst),
+      |reach AS (
+      |  SELECT src AS u, dst AS v, 1 AS d FROM e
+      |  UNION
+      |  SELECT r.u, e2.dst, r.d + 1
+      |  FROM reach r JOIN e e2 ON r.v = e2.src
+      |  WHERE r.d < 4),
+      |md AS (
+      |  SELECT u, v, min(d) AS d FROM reach WHERE u <> v
+      |  GROUP BY u, v)
+      |SELECT v AS domain,
+      |  CAST(sum(12 // d) AS BIGINT) AS harmonic_x12,
+      |  CAST(count(*) AS BIGINT) AS n_reachable
+      |FROM md GROUP BY v
+      |ORDER BY harmonic_x12 DESC, domain""".stripMargin
+
   private lazy val cdxBuildSql: String =
     """WITH d AS (
       |  SELECT doc_id,
@@ -3288,6 +3406,30 @@ object WebQueries {
         |  CAST(sum(length(expected)) AS BIGINT) AS sum_chars,
         |  CAST(count(*) AS BIGINT) AS n_digested
         |FROM sv""".stripMargin,
+    // Segmented-WET replay: same survivor residues; member counts are
+    // ceil-arithmetic over the expected text's byte length (the
+    // corpus is ASCII, so len == octets) at the 256-byte ceiling —
+    // one conversion member plus (ceil(len/256) - 1) continuations
+    // per page; every reassembled payload must be char-exact.
+    "crawl_wet_segmented" ->
+      s"""WITH $htmlCtes,
+        |sv AS (
+        |  SELECT doc_id,
+        |    len('Doc ' || CAST(doc_id AS VARCHAR) || ' Doc ' ||
+        |      CAST(doc_id AS VARCHAR) || ' ' || text || ' ' || refs ||
+        |      ' Home & About') AS l
+        |  FROM h
+        |  WHERE doc_id % 17 <> 5 AND doc_id % 10 <> 3 AND doc_id % 9 <> 0),
+        |seg AS (SELECT doc_id, CAST(ceil(l / 256.0) AS BIGINT) AS ns
+        |  FROM sv)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(ns) AS BIGINT) AS n_members,
+        |  CAST(sum(ns - 1) AS BIGINT) AS n_continuations,
+        |  CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_multi
+        |FROM seg""".stripMargin,
     // Random-access replay: the sampled lookups are the 10-residue-0
     // docs; every seek fetch must inflate to the exact page (extract
     // == expected) for n_exact to land.
@@ -3367,6 +3509,40 @@ object WebQueries {
         |    CAST(c + 10 AS BIGINT), CAST(c + 10 AS BIGINT),
         |    CAST(csid + 1000045 AS BIGINT) FROM k)
         |ORDER BY ts""".stripMargin,
+    // Timestamp-collapse replay: crawl B re-serves UNCHANGED pages as
+    // the original capture (A's bytes AND A's date), so its February
+    // bucket holds only changed + added captures — at month prefix
+    // those survive (one capture per page per month, the January
+    // duplicates of unchanged pages fold into A's row); at year
+    // prefix the changed captures fold TOO (first capture per page
+    // per year), leaving only the ten brand-new pages — the
+    // frequency-thinning semantics that distinguish collapse=timestamp
+    // from collapse=digest, which keeps every digest transition.
+    "crawl_cdx_collapse_time" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+        |k AS (SELECT count(*) AS n, sum(doc_id) AS sid,
+        |    sum(CASE WHEN doc_id % 9 <> 1 AND doc_id % 6 = 0
+        |      THEN 1 ELSE 0 END) AS c,
+        |    sum(CASE WHEN doc_id % 9 <> 1 AND doc_id % 6 = 0
+        |      THEN doc_id ELSE 0 END) AS csid
+        |  FROM d)
+        |SELECT gran, ts, n_rows, n_pages, sum_id FROM (
+        |  SELECT 'month' AS gran, '2024-01-01T00:00:00Z' AS ts,
+        |    CAST(n AS BIGINT) AS n_rows, CAST(n AS BIGINT) AS n_pages,
+        |    CAST(sid AS BIGINT) AS sum_id FROM k
+        |  UNION ALL
+        |  SELECT 'month', '2024-02-01T00:00:00Z',
+        |    CAST(c + 10 AS BIGINT), CAST(c + 10 AS BIGINT),
+        |    CAST(csid + 1000045 AS BIGINT) FROM k
+        |  UNION ALL
+        |  SELECT 'year', '2024-01-01T00:00:00Z',
+        |    CAST(n AS BIGINT), CAST(n AS BIGINT),
+        |    CAST(sid AS BIGINT) FROM k
+        |  UNION ALL
+        |  SELECT 'year', '2024-02-01T00:00:00Z',
+        |    CAST(10 AS BIGINT), CAST(10 AS BIGINT),
+        |    CAST(1000045 AS BIGINT) FROM k)
+        |ORDER BY gran, ts""".stripMargin,
     // Soft-change replay: common pages are the non-removed residues,
     // byte changes the 6th residues (all comment-only -> all soft);
     // ten brand-new pages are B-only and never join.
@@ -3787,6 +3963,9 @@ object WebQueries {
         |SELECT v AS domain, round(pr, 4) AS pr
         |FROM r3 ORDER BY 2 DESC, 1""".stripMargin,
     "web_graph_pipeline" -> webGraphPipelineSql,
+    // Harmonic replay: recursive-CTE ball growth over the same edge
+    // fold, min distance per pair, integer 12/d sums.
+    "web_graph_harmonic" -> webGraphHarmonicSql,
     // the derivative-fed graph must land the page-fed graph's hash
     // (the stream ≡ batch discipline applied to WAT): one shared
     // oracle string.

@@ -37,6 +37,14 @@ object Warc {
     StructField("http_location", StringType, nullable = true),
     StructField("payload_digest", StringType, nullable = true),
     StructField("truncated", StringType, nullable = true),
+    // ISO 28500 §5.18-5.20 record segmentation: an oversized logical
+    // record ships as a first segment (its original type,
+    // WARC-Segment-Number: 1) plus `continuation` records chained by
+    // WARC-Segment-Origin-ID, the last carrying
+    // WARC-Segment-Total-Length; [[reassemble]] folds them back
+    StructField("segment_number", IntegerType, nullable = true),
+    StructField("segment_origin_id", StringType, nullable = true),
+    StructField("segment_total_length", LongType, nullable = true),
     StructField("payload", BinaryType, nullable = true),
     StructField("member_offset", LongType, nullable = false),
     StructField("member_length", LongType, nullable = false),
@@ -56,7 +64,10 @@ object Warc {
       recordId: String, status: Option[Int], httpContentType: Option[String],
       httpLocation: Option[String], payloadDigest: Option[String],
       truncated: Option[String], payload: Array[Byte],
-      memberOffset: Long, memberLength: Long)
+      memberOffset: Long, memberLength: Long,
+      segmentNumber: Option[Int] = None,
+      segmentOriginId: Option[String] = None,
+      segmentTotalLength: Option[Long] = None)
 
   // ------------------------------------------------------------------
   // write side (fixture + any local producer)
@@ -109,7 +120,8 @@ object Warc {
   def record(warcType: String, url: String, date: String, recordId: String,
       blockContentType: String, block: Array[Byte],
       digest: Option[String] = None,
-      truncated: Option[String] = None): Array[Byte] = {
+      truncated: Option[String] = None,
+      extraWarcHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
     sb.append(s"WARC-Type: $warcType\r\n")
@@ -118,6 +130,7 @@ object Warc {
     sb.append(s"WARC-Record-ID: <$recordId>\r\n")
     digest.foreach(d => sb.append(s"WARC-Payload-Digest: $d\r\n"))
     truncated.foreach(t => sb.append(s"WARC-Truncated: $t\r\n"))
+    extraWarcHeaders.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
     sb.append(s"Content-Type: $blockContentType\r\n")
     sb.append(s"Content-Length: ${block.length}\r\n\r\n")
     val head = sb.toString.getBytes("UTF-8")
@@ -301,6 +314,13 @@ object Warc {
     // ISO 28500 §5.13: the crawler cut this capture short (length /
     // time / disconnect) — a governance column, the payload is partial
     val trunc = hdrs.get("warc-truncated")
+    // §5.18-5.20 record segmentation headers (oversized records split
+    // across members; [[reassemble]] consumes these)
+    val segNum = hdrs.get("warc-segment-number").flatMap(_.toIntOption)
+    val segOrigin = hdrs.get("warc-segment-origin-id")
+      .map(_.stripPrefix("<").stripSuffix(">"))
+    val segTotal = hdrs.get("warc-segment-total-length")
+      .flatMap(_.toLongOption)
     if (block.length >= 5 &&
       new String(block, 0, 5, "US-ASCII") == "HTTP/") {
       val hsep = indexOfCrlfCrlf(block, 0)
@@ -330,11 +350,12 @@ object Warc {
           else body
         return Record(url, wtype, date, rid, status,
           httpHdrs.get("content-type"), httpHdrs.get("location"),
-          digest, trunc, payload, memberOffset, memberLength)
+          digest, trunc, payload, memberOffset, memberLength,
+          segNum, segOrigin, segTotal)
       }
     }
     Record(url, wtype, date, rid, None, None, None, digest, trunc, block,
-      memberOffset, memberLength)
+      memberOffset, memberLength, segNum, segOrigin, segTotal)
   }
 
   /** De-frame an RFC 9112 chunked entity body (chunk extensions after

@@ -430,6 +430,12 @@ class WarcPartitionReader(part: WarcRangePartition, cols: Array[String],
       current.payloadDigest.map(UTF8String.fromString).orNull
     case "truncated" =>
       current.truncated.map(UTF8String.fromString).orNull
+    case "segment_number" =>
+      current.segmentNumber.map(i => i: java.lang.Integer).orNull
+    case "segment_origin_id" =>
+      current.segmentOriginId.map(UTF8String.fromString).orNull
+    case "segment_total_length" =>
+      current.segmentTotalLength.map(l => l: java.lang.Long).orNull
     case "payload" => current.payload
     case "member_offset" => current.memberOffset
     case "member_length" => current.memberLength

@@ -38,6 +38,24 @@ object WarcSink {
     writeSegments(df, urlCol, textCol, dir, date,
       "conversion", "text/plain", "conv")
 
+  /** Write conversion records under a SEGMENT-SIZE ceiling (ISO
+    * 28500 §5.18–5.20 record segmentation): a payload larger than
+    * `maxSegmentBytes` ships as a first `conversion` member
+    * (`WARC-Segment-Number: 1`, carrying the digest of the FULL
+    * logical payload) plus `continuation` members chained by
+    * `WARC-Segment-Origin-ID`, the last one declaring
+    * `WARC-Segment-Total-Length`; smaller payloads write exactly as
+    * [[writeConversionSegments]] does. [[WarcSegments.reassemble]]
+    * is the read-side inverse. Same task-side commit discipline —
+    * the slice loop is deterministic, so retried attempts stay
+    * byte-identical. Returns LOGICAL records written (members may be
+    * more). */
+  def writeSegmentedConversions(df: DataFrame, urlCol: String,
+      textCol: String, dir: String, maxSegmentBytes: Int,
+      date: String = "2024-01-01T00:00:00Z"): Long =
+    writeSegments(df, urlCol, textCol, dir, date,
+      "conversion", "text/plain", "conv", Some(maxSegmentBytes))
+
   /** Write `(urlCol, jsonCol)` rows as `metadata` records (ISO 28500
     * §6.9) — the WAT shape: one JSON envelope per archived page (HTTP
     * headers, outlinks, ...), completing the WARC/WAT/WET derivative
@@ -133,7 +151,8 @@ object WarcSink {
 
   private def writeSegments(df: DataFrame, urlCol: String,
       textCol: String, dir: String, date: String,
-      warcType: String, blockContentType: String, idTag: String): Long = {
+      warcType: String, blockContentType: String, idTag: String,
+      maxSegmentBytes: Option[Int] = None): Long = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     sweepStaging(df, dir)
@@ -162,11 +181,47 @@ object WarcSink {
             f"urn:graft:$idTag:info:$pid%05d", "application/warc-fields",
             (s"software: graft WarcSink\r\nformat: WARC/1.0\r\n" +
               s"content-kind: $warcType\r\n").getBytes("UTF-8"))))
+          val maxSeg = maxSegmentBytes.getOrElse(Int.MaxValue)
           try rows.foreach { r =>
+            val url = r.getString(0)
             val text = r.getString(1).getBytes("UTF-8")
-            out.write(Warc.gzipMember(Warc.record(warcType,
-              r.getString(0), date, s"urn:graft:$idTag:$pid:$n",
-              blockContentType, text, Some(Warc.payloadDigest(text)))))
+            val originId = s"urn:graft:$idTag:$pid:$n"
+            if (text.length <= maxSeg) {
+              out.write(Warc.gzipMember(Warc.record(warcType,
+                url, date, originId,
+                blockContentType, text, Some(Warc.payloadDigest(text)))))
+            } else {
+              // ISO 28500 §5.18-5.20: first segment keeps the record
+              // type and the digest of the FULL logical payload;
+              // continuations chain by origin id; the last declares
+              // the total logical length
+              val nSegs = (text.length + maxSeg - 1) / maxSeg
+              var k = 0
+              while (k < nSegs) {
+                val from = k * maxSeg
+                val until = math.min(from + maxSeg, text.length)
+                val slice =
+                  java.util.Arrays.copyOfRange(text, from, until)
+                if (k == 0)
+                  out.write(Warc.gzipMember(Warc.record(warcType,
+                    url, date, originId, blockContentType, slice,
+                    Some(Warc.payloadDigest(text)),
+                    extraWarcHeaders =
+                      Seq("WARC-Segment-Number" -> "1"))))
+                else
+                  out.write(Warc.gzipMember(Warc.record("continuation",
+                    url, date, s"$originId:$k",
+                    "application/octet-stream", slice,
+                    extraWarcHeaders =
+                      Seq("WARC-Segment-Number" -> (k + 1).toString,
+                        "WARC-Segment-Origin-ID" -> s"<$originId>") ++
+                      (if (k == nSegs - 1)
+                        Seq("WARC-Segment-Total-Length" ->
+                          text.length.toString)
+                      else Nil))))
+                k += 1
+              }
+            }
             n += 1
           } finally out.close()
           val dst = new Path(dir, f"seg-$pid%05d.warc.gz")

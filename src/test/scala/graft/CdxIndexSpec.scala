@@ -124,4 +124,38 @@ class CdxIndexSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(latest(collapsed) === latest(full))
   }
+
+  test("collapseByTimestamp: one capture per page per time bucket " +
+    "(keep-first), changed captures inside a bucket fold too — " +
+    "frequency thinning, not change preservation — and coarser " +
+    "prefixes strictly thin further") {
+    // u1 captured twice in Jan (same-day churn) and once in Feb;
+    // u2 captured in Jan and CHANGED in Jan (digest differs — folds
+    // anyway under timestamp collapse); u3 first seen in Feb
+    val rows = Seq(
+      ("com,a)/u1", "2024-01-03T00:00:00Z", "https://a.com/u1", "d1"),
+      ("com,a)/u1", "2024-01-20T00:00:00Z", "https://a.com/u1", "d1"),
+      ("com,a)/u1", "2024-02-01T00:00:00Z", "https://a.com/u1", "d1"),
+      ("com,a)/u2", "2024-01-05T00:00:00Z", "https://a.com/u2", "d1"),
+      ("com,a)/u2", "2024-01-09T00:00:00Z", "https://a.com/u2", "d2"),
+      ("com,b)/u3", "2024-02-10T00:00:00Z", "https://b.com/u3", "d3"))
+    val idx = rows.toDF("surt_key", "ts", "url", "dig")
+    // month prefix (7 chars): one row per (page, month)
+    val monthly = CdxIndex.collapseByTimestamp(idx, 7)
+      .select("surt_key", "ts").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(monthly === Set(
+      ("com,a)/u1", "2024-01-03T00:00:00Z"),
+      ("com,a)/u1", "2024-02-01T00:00:00Z"),
+      ("com,a)/u2", "2024-01-05T00:00:00Z"), // d2 capture folded
+      ("com,b)/u3", "2024-02-10T00:00:00Z")))
+    // year prefix (4 chars): first capture per page only
+    val yearly = CdxIndex.collapseByTimestamp(idx, 4)
+      .select("surt_key", "ts").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(yearly === Set(
+      ("com,a)/u1", "2024-01-03T00:00:00Z"),
+      ("com,a)/u2", "2024-01-05T00:00:00Z"),
+      ("com,b)/u3", "2024-02-10T00:00:00Z")))
+  }
 }

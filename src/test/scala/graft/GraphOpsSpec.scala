@@ -140,4 +140,26 @@ class GraphOpsSpec extends SparkSpec {
       .as[(String, String, Boolean)].collect()
     assert(full.forall(r => r._2 == "n6" && r._3))
   }
+
+  test("harmonicCentrality: integer 12/d sums match the hand BFS, " +
+    "minimal distances win over longer rediscoveries, the radius " +
+    "bound truncates, and parallel/self edges are ignored") {
+    // a -> b -> c -> d (chain), plus a -> c (shortcut), self loop on
+    // a, and a duplicated a -> b edge
+    val e = Seq(("a", "b"), ("a", "b"), ("a", "a"), ("b", "c"),
+      ("a", "c"), ("c", "d")).toDF("src", "dst")
+    val got = GraphOps.harmonicCentrality(e, "src", "dst", 4)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // distances into b: a@1 -> 12; into c: a@1 (shortcut wins over
+    // a->b->c@2), b@1 -> 24; into d: c@1, a@2, b@2 -> 12+6+6 = 24
+    assert(got === Map(
+      "b" -> ((12L, 1L)), "c" -> ((24L, 2L)), "d" -> ((24L, 3L))))
+    // radius 1: only direct predecessors count
+    val r1 = GraphOps.harmonicCentrality(e, "src", "dst", 1)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(r1 === Map(
+      "b" -> ((12L, 1L)), "c" -> ((24L, 2L)), "d" -> ((12L, 1L))))
+  }
 }

@@ -552,6 +552,63 @@ class WarcSpec extends SparkSpec {
     assert(new String(rec.payload, "UTF-8") === page(7))
   }
 
+  test("record segmentation (ISO 28500 §5.18-5.20): oversized payloads " +
+    "split into continuation members at write, reassemble char-exact " +
+    "at read, small payloads stay unsegmented, and an incomplete " +
+    "chain is flagged truncated — never silently partial") {
+    import graft.sources.{WarcSegments, WarcSink}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("warcseg").toString + "/wet"
+    val rows = Seq(
+      ("https://a.com/doc/1", "short"),                       // 1 member
+      ("https://a.com/doc/2", "x" * 16),                      // exactly max
+      ("https://a.com/doc/3", "abcdefghijklmnop" + "QRSTUV"), // 2 members
+      ("https://b.com/doc/4", "y" * 40))                      // 3 members
+    val n = WarcSink.writeSegmentedConversions(
+      rows.toDF("url", "body").repartition(2, col("url")),
+      "url", "body", dir, 16)
+    assert(n === 4) // logical records
+    val raw = spark.read.format("graft_warc").load(dir)
+      .filter(col("warc_type").isin("conversion", "continuation"))
+    val members = raw.collect()
+    // 1 + 1 + 2 + 3 members; continuations chain to their origin
+    assert(members.length === 7)
+    val conts = members.filter(_.getAs[String]("warc_type") ===
+      "continuation")
+    assert(conts.length === 3)
+    assert(conts.forall(r => r.getAs[String]("segment_origin_id") != null
+      && r.getAs[Int]("segment_number") >= 2))
+    // exactly one continuation per chain carries the total length,
+    // and it equals the logical payload's byte length
+    val totals = conts.flatMap(r =>
+      Option(r.getAs[java.lang.Long]("segment_total_length")))
+    assert(totals.map(_.toLong).sorted.toSeq === Seq(22L, 40L))
+    // first segments keep the conversion type and segment number 1
+    val firsts = members.filter(r =>
+      r.getAs[String]("warc_type") === "conversion" &&
+        r.getAs[java.lang.Integer]("segment_number") != null)
+    assert(firsts.length === 2 &&
+      firsts.forall(_.getAs[Int]("segment_number") === 1))
+    // reassembly: char-exact logical payloads, segment columns null
+    val re = WarcSegments.reassemble(raw)
+      .select(col("url"), decode(col("payload"), "UTF-8").as("body"),
+        col("truncated"), col("segment_number"))
+      .collect()
+    assert(re.length === 4)
+    assert(re.forall(_.isNullAt(3)))
+    assert(re.forall(_.isNullAt(2)), "complete chains are not truncated")
+    val got = re.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === rows.toMap)
+    // an incomplete chain (a lost middle member) still emits, flagged
+    val lossy = raw.filter(!(col("warc_type") === "continuation" &&
+      col("segment_number") === 2 &&
+      col("url") === "https://b.com/doc/4"))
+    val flagged = WarcSegments.reassemble(lossy)
+      .filter(col("url") === "https://b.com/doc/4").collect()
+    assert(flagged.length === 1 &&
+      flagged.head.getAs[String]("truncated") === "unspecified")
+  }
+
   test("404 statuses survive the parse (governance filters work)") {
     val f = writeFixture(21)
     val n404 = spark.read.format("graft_warc").load(f)
