@@ -1372,6 +1372,48 @@ object WebQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
         .orderBy("lang", "predicted")
     }),
+    // Token-budget planning off PREDICTED languages — the
+    // training-mix composition a production corpus actually runs
+    // (labels don't exist at ingest): WET conversion records scored
+    // under the frozen persisted langid model, token mass rolled per
+    // predicted language, then a fixed 100k-token budget
+    // Hamilton-apportioned across languages in proportion to that
+    // mass — integer-exact, sums to the budget, the allocation a mix
+    // planner feeds to per-language samplers. The oracle replays
+    // train + score + argmax + the apportionment recurrence, so a
+    // classifier bug, a token-count bug, or a remainder-tie bug all
+    // move the allocs. Model tables are vocab-bounded; the rollup is
+    // class-bounded, so the apportionment window is tiny.
+    "crawl_lang_budget" -> ((s, dir) => {
+      val mroot = langModelPath(s, dir)
+      val model = graft.operators.LangModel.NbModel(
+        s.read.parquet(s"$mroot/priors"),
+        s.read.parquet(s"$mroot/loglik"))
+      val wet = s.read.format("graft_warc").option("splitSize", 4096)
+        .load(wetExportPath(s, dir))
+        .filter(col("warc_type") === "conversion")
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"), decode(col("payload"), "UTF-8").as("body"))
+        // read once: the scorer folds its input twice and the token
+        // leg reads it again
+        .localCheckpoint(true)
+      val pred = graft.operators.LangModel
+        .langIdScore(model, wet, "doc_id", "body")
+        .select(col("doc_id"), col("predicted"))
+      val toks = wet.select(col("doc_id"),
+        size(split(col("body"), "\\s+")).cast("long").as("n_tokens"))
+      val byLang = pred.join(toks, Seq("doc_id"))
+        .groupBy("predicted")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+      graft.operators.Sampling
+        .apportion(byLang, "predicted", "sum_tokens", 100000L)
+        .join(byLang.select(col("predicted"), col("n_docs")),
+          Seq("predicted"))
+        .select(col("predicted"), col("n_docs"),
+          col("w").as("sum_tokens"), col("alloc"))
+        .orderBy("predicted")
+    }),
     // WET generation: the gate-chain survivors' extracted text written
     // back out as gzip-member WARC `conversion` records — one segment
     // per partition, written BY the owning task (no driver collect, no
@@ -3028,8 +3070,12 @@ object WebQueries {
         |    AS BIGINT) AS n_new_pages
         |FROM cand GROUP BY domain ORDER BY domain""".stripMargin
 
-  private lazy val crawlLangidSql: String =
-      s"""WITH $htmlCtes,
+  /** The frozen-model langid replay's CTE chain (train on the labeled
+    * even half, score the survivors' expected text, argmax) — shared
+    * by the confusion-matrix cells and the predicted-language budget
+    * planner, which extends `pred` instead of re-deriving it. */
+  private lazy val crawlLangidCtes: String =
+      s"""$htmlCtes,
         |train AS (
         |  SELECT lang AS lab, lower(trim(text)) AS t
         |  FROM documents
@@ -3080,7 +3126,10 @@ object WebQueries {
         |pred AS (
         |  SELECT id, lab, row_number() OVER (
         |    PARTITION BY id ORDER BY score DESC, lab) AS rn
-        |  FROM scored)
+        |  FROM scored)""".stripMargin
+
+  private lazy val crawlLangidSql: String =
+      s"""WITH $crawlLangidCtes
         |SELECT t.lang, p.lab AS predicted,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(p.id) AS BIGINT) AS sum_id
@@ -3088,6 +3137,35 @@ object WebQueries {
         |JOIN (SELECT DISTINCT id, lang FROM test) t ON t.id = p.id
         |WHERE p.rn = 1
         |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+
+  /** Predicted-language budget replay: the langid `pred` chain, token
+    * counts off the same survivor text, then Hamilton apportionment
+    * (floors of budget·w/total + top-remainder top-up) in pure
+    * integer arithmetic — the Sampling.apportion recurrence replayed
+    * verbatim. */
+  private lazy val crawlLangBudgetSql: String =
+      s"""WITH $crawlLangidCtes,
+        |lpt AS (
+        |  SELECT p.id, p.lab,
+        |    len(string_split_regex(t.t, '\\s+')) AS nt
+        |  FROM pred p JOIN test t ON t.id = p.id
+        |  WHERE p.rn = 1),
+        |ag AS (
+        |  SELECT lab AS predicted, count(*) AS n_docs, sum(nt) AS w
+        |  FROM lpt GROUP BY 1),
+        |tot AS (SELECT sum(w) AS tw FROM ag),
+        |q AS (
+        |  SELECT predicted, n_docs, w,
+        |    (100000 * w) // tw AS base, (100000 * w) % tw AS rem
+        |  FROM ag CROSS JOIN tot),
+        |dq AS (SELECT 100000 - sum(base) AS def FROM q),
+        |r AS (SELECT *, row_number() OVER (
+        |    ORDER BY rem DESC, predicted) AS rnk FROM q)
+        |SELECT predicted, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(w AS BIGINT) AS sum_tokens,
+        |  CAST(base + CASE WHEN rnk <= (SELECT def FROM dq)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY predicted""".stripMargin
 
   private lazy val corpusPipelineSql: String =
     s"""WITH $htmlCtes,
@@ -3388,6 +3466,9 @@ object WebQueries {
     // (lang, predicted) rollup with identity sums.
     "crawl_corpus_langid" -> crawlLangidSql,
     "crawl_wet_langid" -> crawlLangidSql,
+    // Budget replay: predicted-language token mass + Hamilton
+    // apportionment in integer arithmetic.
+    "crawl_lang_budget" -> crawlLangBudgetSql,
     // WET replay: the export set is the gate-chain survivor residues
     // (status 17/5, robots last-digit-3, noindex 9/0 — extraction is
     // exact on every page by construction); chars = the expected
