@@ -158,6 +158,35 @@ object WebQueries {
         payload), digest))
   }
 
+  /** The corpus as a FULL-FIDELITY capture archive: every page's
+    * `response` member is PRECEDED by its `request` member (ISO 28500
+    * §6.4 — the GET that produced the capture, paired to it via
+    * WARC-Concurrent-To §5.7; the shape Heritrix-style crawlers
+    * write, so header-level crawl forensics never leave the
+    * archive). */
+  private def warcRequestsPath(s: SparkSession, dir: String): String =
+    BuildCache.memo(s"warc_req:$dir") {
+      val f = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_req/" +
+          dir.replaceAll("[^0-9a-zA-Z.]", "_") + "/corpus.warc.gz")
+      f.getParentFile.mkdirs()
+      val out = new java.io.FileOutputStream(f)
+      try pageRows(s, dir).foreach { r =>
+        val id = r.getLong(0)
+        val tld = Seq("com", "org", "co.uk")((id % 8 % 3).toInt)
+        val host = s"dom${id % 8}.$tld"
+        out.write(Warc.gzipMember(Warc.record("request",
+          s"https://$host/doc/$id", "2024-01-01T00:00:00Z",
+          s"urn:uuid:req-$id", "application/http; msgtype=request",
+          Warc.httpRequest("GET", s"/doc/$id", host,
+            Seq("User-Agent" -> "graftbot/1.0")),
+          extraWarcHeaders =
+            Seq("WARC-Concurrent-To" -> s"<urn:uuid:doc-$id>"))))
+        out.write(responseMember(r))
+      } finally out.close()
+      f.toString
+    }
+
   /** The corpus with REFETCHES: every 7th-residue-0 doc appears twice
     * (identical payload, identical digest) — the Common Crawl
     * cross-segment duplicate shape `crawl_digest_dedup` collapses on
@@ -1250,6 +1279,46 @@ object WebQueries {
         .select(col("domain"), col("rank"), col("url"), col("cls"))
         .orderBy("domain", "rank")
     }),
+    // Full-fidelity capture pairing — the crawl-forensics question a
+    // request-bearing archive exists to answer (ISO 28500 §6.4 +
+    // §5.7: every response's GET stored concurrently): request
+    // members join their response on WARC-Concurrent-To = record id,
+    // and the pair must agree end to end — same target URI, a GET
+    // whose request-line path is the page's path, the crawler's own
+    // User-Agent in the stored headers. Per-status rollup: the 404s
+    // pair exactly like the 200s (failed fetches are captures too).
+    // One archive scan feeds both legs; the pairing is one equi-join
+    // on the record id — at 100 TB the legs co-partition by file so
+    // the join never sees payload bytes (requests are header-sized).
+    "crawl_request_pairs" -> ((s, dir) => {
+      val arc = s.read.format("graft_warc").option("splitSize", 4096)
+        .load(warcRequestsPath(s, dir))
+      val req = arc.filter(col("warc_type") === "request")
+        .select(col("concurrent_to"), col("url").as("req_url"),
+          regexp_extract(decode(col("payload"), "UTF-8"),
+            "^([A-Z]+) ([^ ]+) HTTP/", 1).as("method"),
+          regexp_extract(decode(col("payload"), "UTF-8"),
+            "^([A-Z]+) ([^ ]+) HTTP/", 2).as("req_path"),
+          regexp_extract(decode(col("payload"), "UTF-8"),
+            "User-Agent: ([^\\r\\n]+)", 1).as("ua"))
+      val resp = arc.filter(col("warc_type") === "response")
+        .select(col("record_id"), col("url").as("resp_url"),
+          col("status"),
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+            .as("doc_id"))
+      req.join(resp, req("concurrent_to") === resp("record_id"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("req_url") === col("resp_url"), 1L).otherwise(0L))
+            .as("n_url_match"),
+          sum(when(col("method") === "GET" && col("req_path") ===
+            concat(lit("/doc/"), col("doc_id").cast("string")), 1L)
+            .otherwise(0L)).as("n_get_ok"),
+          sum(when(col("ua") === "graftbot/1.0", 1L).otherwise(0L))
+            .as("n_ua"),
+          sum(col("doc_id")).as("sum_id"))
+        .orderBy("status")
+    }),
     // Partial-capture governance: WARC-Truncated captures quarantine
     // BEFORE extraction trusts the payload — the gate is a scan-fused
     // projection on the header column (payload bytes never examined
@@ -2078,6 +2147,33 @@ object WebQueries {
           damping = 0.85, redistributeDangling = true)
         .select(col("v").as("domain"), round(col("pr"), 4).as("pr"))
         .orderBy(col("pr").desc, col("domain"))
+    }),
+    // The HOST-level webgraph and its rollup to registered domains —
+    // the two artifacts the public web-graph releases actually ship
+    // (host graph + domain graph, the latter derived from the former
+    // exactly like this). Hosts keep their subdomains, so the host
+    // graph sees the www./a. canonicalization edges — including
+    // INTRA-domain, inter-host ones — that the domain fold erases:
+    // per target domain, how many distinct hosts receive links, how
+    // many host-level edges exist, and the total link mass. One link
+    // explode, one (src_host, dst_host) fold, one domain rollup —
+    // edge-bounded shuffles only.
+    "web_host_graph" -> ((s, dir) => {
+      val hostEdges = docs(s, dir)
+        .select(srcDomainCol.as("src_host"),
+          explode(HtmlOps.links(htmlCol)).as("lurl"))
+        .select(col("src_host"), UrlOps.host(col("lurl")).as("dst_host"))
+        .filter(col("src_host") =!= col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(count(lit(1)).as("w"))
+      hostEdges
+        .withColumn("dst_domain",
+          UrlOps.registeredDomain(col("dst_host")))
+        .groupBy("dst_domain")
+        .agg(countDistinct(col("dst_host")).as("n_dst_hosts"),
+          count(lit(1)).as("n_host_edges"),
+          sum(col("w")).as("in_w"))
+        .orderBy("dst_domain")
     }),
     // Harmonic centrality over the domain graph — the metric the
     // public web-graph releases actually rank hosts by (PageRank's
@@ -3624,6 +3720,21 @@ object WebQueries {
         |    CAST(10 AS BIGINT), CAST(10 AS BIGINT),
         |    CAST(1000045 AS BIGINT) FROM k)
         |ORDER BY gran, ts""".stripMargin,
+    // Request-pair replay: every doc pairs exactly once, the 404
+    // statuses are the 17th-residue-5 docs, and every agreement
+    // column (URI match, GET path, stored User-Agent) counts all
+    // pairs — a pairing bug, a header-parse bug, or a request-line
+    // bug each drops one of the sums.
+    "crawl_request_pairs" ->
+      """SELECT CAST(CASE WHEN doc_id % 17 = 5 THEN 404 ELSE 200 END
+        |    AS INT) AS status,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(*) AS BIGINT) AS n_url_match,
+        |  CAST(count(*) AS BIGINT) AS n_get_ok,
+        |  CAST(count(*) AS BIGINT) AS n_ua,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Soft-change replay: common pages are the non-removed residues,
     // byte changes the 6th residues (all comment-only -> all soft);
     // ten brand-new pages are B-only and never join.
@@ -4047,6 +4158,30 @@ object WebQueries {
     // Harmonic replay: recursive-CTE ball growth over the same edge
     // fold, min distance per pair, integer 12/d sums.
     "web_graph_harmonic" -> webGraphHarmonicSql,
+    // Host-graph replay: link hosts keep their www./a. subdomains
+    // (the linksCte synthesis), edges fold at HOST grain, then roll
+    // to the registered target domain.
+    "web_host_graph" ->
+      s"""WITH $htmlCtes,
+        |$linksCte,
+        |hh AS (
+        |  SELECT doc_id, $hostExpr AS dst_host FROM l),
+        |he AS (
+        |  SELECT src_host, dst_host, count(*) AS w FROM (
+        |    SELECT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+        |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+        |         WHEN 1 THEN 'org' ELSE 'co.uk' END) AS src_host,
+        |      dst_host
+        |    FROM hh)
+        |  WHERE src_host <> dst_host GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT src_host, dst_host, w, $domainExpr AS dst_domain
+        |  FROM (SELECT *, string_split(dst_host, '.') AS parts FROM he))
+        |SELECT dst_domain,
+        |  CAST(count(DISTINCT dst_host) AS BIGINT) AS n_dst_hosts,
+        |  CAST(count(*) AS BIGINT) AS n_host_edges,
+        |  CAST(sum(w) AS BIGINT) AS in_w
+        |FROM dd GROUP BY dst_domain ORDER BY dst_domain""".stripMargin,
     // the derivative-fed graph must land the page-fed graph's hash
     // (the stream ≡ batch discipline applied to WAT): one shared
     // oracle string.

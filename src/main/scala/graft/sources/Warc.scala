@@ -37,11 +37,16 @@ object Warc {
     StructField("http_location", StringType, nullable = true),
     StructField("payload_digest", StringType, nullable = true),
     StructField("truncated", StringType, nullable = true),
+    // request records pair to their response via WARC-Concurrent-To
+    // (ISO 28500 §5.7) — the full-fidelity capture shape real crawls
+    // store (Heritrix writes request+response adjacently)
+    StructField("concurrent_to", StringType, nullable = true),
     // ISO 28500 §5.18-5.20 record segmentation: an oversized logical
     // record ships as a first segment (its original type,
     // WARC-Segment-Number: 1) plus `continuation` records chained by
     // WARC-Segment-Origin-ID, the last carrying
-    // WARC-Segment-Total-Length; [[reassemble]] folds them back
+    // WARC-Segment-Total-Length; [[WarcSegments.reassemble]] folds
+    // them back
     StructField("segment_number", IntegerType, nullable = true),
     StructField("segment_origin_id", StringType, nullable = true),
     StructField("segment_total_length", LongType, nullable = true),
@@ -67,7 +72,8 @@ object Warc {
       memberOffset: Long, memberLength: Long,
       segmentNumber: Option[Int] = None,
       segmentOriginId: Option[String] = None,
-      segmentTotalLength: Option[Long] = None)
+      segmentTotalLength: Option[Long] = None,
+      concurrentTo: Option[String] = None)
 
   // ------------------------------------------------------------------
   // write side (fixture + any local producer)
@@ -137,6 +143,16 @@ object Warc {
     val out = new ByteArrayOutputStream(head.length + block.length + 4)
     out.write(head); out.write(block); out.write("\r\n\r\n".getBytes("UTF-8"))
     out.toByteArray
+  }
+
+  /** Serialize an HTTP REQUEST block (request line + headers, empty
+    * body) — the block payload of a `WARC-Type: request` record, the
+    * other half of a full-fidelity capture pair. */
+  def httpRequest(method: String, path: String, host: String,
+      headers: Seq[(String, String)] = Nil): Array[Byte] = {
+    val extras = headers.map { case (k, v) => s"$k: $v\r\n" }.mkString
+    (s"$method $path HTTP/1.1\r\nHost: $host\r\n" + extras + "\r\n")
+      .getBytes("UTF-8")
   }
 
   /** Serialize an HTTP response block (status line, minimal headers,
@@ -321,6 +337,10 @@ object Warc {
       .map(_.stripPrefix("<").stripSuffix(">"))
     val segTotal = hdrs.get("warc-segment-total-length")
       .flatMap(_.toLongOption)
+    // §5.7: this record was captured concurrently with (and pairs to)
+    // the referenced one — how request members point at their response
+    val concTo = hdrs.get("warc-concurrent-to")
+      .map(_.stripPrefix("<").stripSuffix(">"))
     if (block.length >= 5 &&
       new String(block, 0, 5, "US-ASCII") == "HTTP/") {
       val hsep = indexOfCrlfCrlf(block, 0)
@@ -351,11 +371,11 @@ object Warc {
         return Record(url, wtype, date, rid, status,
           httpHdrs.get("content-type"), httpHdrs.get("location"),
           digest, trunc, payload, memberOffset, memberLength,
-          segNum, segOrigin, segTotal)
+          segNum, segOrigin, segTotal, concTo)
       }
     }
     Record(url, wtype, date, rid, None, None, None, digest, trunc, block,
-      memberOffset, memberLength, segNum, segOrigin, segTotal)
+      memberOffset, memberLength, segNum, segOrigin, segTotal, concTo)
   }
 
   /** De-frame an RFC 9112 chunked entity body (chunk extensions after

@@ -430,6 +430,8 @@ class WarcPartitionReader(part: WarcRangePartition, cols: Array[String],
       current.payloadDigest.map(UTF8String.fromString).orNull
     case "truncated" =>
       current.truncated.map(UTF8String.fromString).orNull
+    case "concurrent_to" =>
+      current.concurrentTo.map(UTF8String.fromString).orNull
     case "segment_number" =>
       current.segmentNumber.map(i => i: java.lang.Integer).orNull
     case "segment_origin_id" =>

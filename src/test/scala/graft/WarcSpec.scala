@@ -609,6 +609,40 @@ class WarcSpec extends SparkSpec {
       flagged.head.getAs[String]("truncated") === "unspecified")
   }
 
+  test("request records: WARC-Concurrent-To survives the parse " +
+    "(angle brackets stripped), the request block stays raw (no HTTP " +
+    "status invented), and the pair joins to its response") {
+    val dir = Files.createTempDirectory("warcreq").toString
+    val f = s"$dir/pairs.warc.gz"
+    val out = new FileOutputStream(f)
+    try {
+      out.write(Warc.gzipMember(Warc.record("request",
+        "https://a.com/p/1", "2024-01-01T00:00:00Z", "urn:uuid:req-1",
+        "application/http; msgtype=request",
+        Warc.httpRequest("GET", "/p/1", "a.com",
+          Seq("User-Agent" -> "graftbot/1.0")),
+        extraWarcHeaders =
+          Seq("WARC-Concurrent-To" -> "<urn:uuid:rec-1>"))))
+      out.write(Warc.gzipMember(Warc.record("response",
+        "https://a.com/p/1", "2024-01-01T00:00:00Z", "urn:uuid:rec-1",
+        "application/http; msgtype=response",
+        Warc.httpResponse(200, "OK", "text/html", "hi".getBytes("UTF-8")))))
+    } finally out.close()
+    val rows = spark.read.format("graft_warc").load(f).collect()
+    assert(rows.length === 2)
+    val req = rows.find(_.getAs[String]("warc_type") == "request").get
+    assert(req.getAs[String]("concurrent_to") === "urn:uuid:rec-1")
+    assert(req.isNullAt(req.fieldIndex("status")),
+      "a request block must not parse as an HTTP response")
+    val body = new String(req.getAs[Array[Byte]]("payload"), "UTF-8")
+    assert(body.startsWith("GET /p/1 HTTP/1.1\r\n") &&
+      body.contains("User-Agent: graftbot/1.0\r\n"))
+    val resp = rows.find(_.getAs[String]("warc_type") == "response").get
+    assert(resp.getAs[String]("record_id") ===
+      req.getAs[String]("concurrent_to"))
+    assert(resp.isNullAt(resp.fieldIndex("concurrent_to")))
+  }
+
   test("404 statuses survive the parse (governance filters work)") {
     val f = writeFixture(21)
     val n404 = spark.read.format("graft_warc").load(f)
