@@ -1156,7 +1156,10 @@ object WebQueries {
     // brand-new pages. Both legs are the same key-bounded window;
     // the per-ts rollup is fully residue-derivable.
     "crawl_cdx_collapse_time" -> ((s, dir) => {
-      val idx = multiSnapshotCdx(s, dir)
+      // two granularity legs fold the SAME index: stage the key +
+      // coordinate rows once (payload-free, ~1/10^4 of archive bytes)
+      // so the archive scan doesn't run per leg
+      val idx = multiSnapshotCdx(s, dir).localCheckpoint(true)
       def leg(gran: String, prefixLen: Int): DataFrame =
         graft.index.CdxIndex.collapseByTimestamp(idx, prefixLen)
           .groupBy("ts")
@@ -2312,6 +2315,7 @@ object WebQueries {
     wetExportPath(s, dir)
     langModelPath(s, dir)
     warcRecrawlPath(s, dir)
+    warcRequestsPath(s, dir)
     ()
   }
 
@@ -2377,6 +2381,85 @@ object WebQueries {
             .filter(col("warc_type") === "conversion").count()
         }
         Map("fixture" -> fixture, "export" -> export, "verify" -> verify)
+      }),
+      "crawl_wet_segmented" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (fix, fixture) = timed(warcFixturePath(s, dir))
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft_wetseg_ph/" +
+            dir.replaceAll("[^0-9a-zA-Z.]", "_")
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+        val exported = crawlStaged(s, dir,
+          s.read.format("graft_warc").option("splitSize", 4096).load(fix))
+          .filter(col("ex"))
+          .select(col("url"), HtmlOps.extractText(col("html")).as("body"))
+        val (_, export) = timed {
+          graft.sources.WarcSink.writeSegmentedConversions(
+            exported.repartition(8, col("url")), "url", "body", root, 256)
+        }
+        val (_, reassembleT) = timed {
+          graft.sources.WarcSegments.reassemble(
+            s.read.format("graft_warc").load(root)
+              .filter(col("warc_type")
+                .isin("conversion", "continuation"))).count()
+        }
+        Map("fixture" -> fixture, "export" -> export,
+          "reassemble" -> reassembleT)
+      }),
+      "crawl_lang_budget" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (mroot, fixture) = timed(langModelPath(s, dir))
+        val model = graft.operators.LangModel.NbModel(
+          s.read.parquet(s"$mroot/priors"),
+          s.read.parquet(s"$mroot/loglik"))
+        val wet = s.read.format("graft_warc").option("splitSize", 4096)
+          .load(wetExportPath(s, dir))
+          .filter(col("warc_type") === "conversion")
+          .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+            decode(col("payload"), "UTF-8").as("body"))
+          .localCheckpoint(true)
+        val (byLang, score) = timed {
+          val pred = graft.operators.LangModel
+            .langIdScore(model, wet, "doc_id", "body")
+            .select(col("doc_id"), col("predicted"))
+          val toks = wet.select(col("doc_id"),
+            size(split(col("body"), "\\s+")).cast("long").as("n_tokens"))
+          pred.join(toks, Seq("doc_id")).groupBy("predicted")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_tokens")).as("sum_tokens"))
+            .localCheckpoint(true)
+        }
+        val (_, plan) = timed {
+          graft.operators.Sampling
+            .apportion(byLang, "predicted", "sum_tokens", 100000L)
+            .count()
+        }
+        Map("fixture" -> fixture, "score" -> score, "plan" -> plan)
+      }),
+      "crawl_cdx_collapse_time" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (idx, scan) =
+          timed(multiSnapshotCdx(s, dir).localCheckpoint(true))
+        val (_, fold) = timed {
+          graft.index.CdxIndex.collapseByTimestamp(idx, 7).count()
+          graft.index.CdxIndex.collapseByTimestamp(idx, 4).count()
+        }
+        Map("scan" -> scan, "fold" -> fold)
       }),
       "crawl_wat_export" -> ((s, dir) => {
         def timed[T](f: => T): (T, Double) = {
