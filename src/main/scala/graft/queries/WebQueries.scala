@@ -1567,6 +1567,52 @@ object WebQueries {
           sum(col("doc_id")).as("sum_id"))
         .crossJoin(memberStats) // 1x1 ledger join
     }),
+    // Random access INTO a segmented archive — the composition that
+    // proves the CDX pattern and record segmentation coexist: the
+    // index records the FIRST segment's coordinates (continuations
+    // are not captures, and their type excludes them from the index
+    // scan for free), and the fetch follows the chain from that one
+    // seek (Warc.readLogicalRecordAt: adjacent continuation members
+    // concatenate until the declared total length lands, loud on a
+    // truncated chain). Every sampled page — one-member and
+    // multi-segment alike — must reassemble char-exact; n_multi
+    // witnesses the sample actually crossed chains.
+    "crawl_cdx_fetch_segmented" -> ((s, dir) => {
+      val path = wetSegmentedExportPath(s, dir)
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      import s.implicits._
+      val idx = s.read.format("graft_warc").option("splitSize", 4096)
+        .load(path)
+        .filter(col("warc_type") === "conversion")
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"), col("file"), col("member_offset"),
+          (col("segment_number") === 1).as("seg"))
+        .filter(pmod(col("doc_id"), lit(7L)) === 0)
+      val fetched = idx.as[(Long, String, Long, Option[Boolean])]
+        .mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            var fs: org.apache.hadoop.fs.FileSystem = null
+            it.map { case (id, file, off, seg) =>
+              if (fs == null)
+                fs = new org.apache.hadoop.fs.Path(file)
+                  .getFileSystem(conf.value)
+              val rec = Warc.readLogicalRecordAt(fs, file, off)
+              (id, new String(rec.payload, "UTF-8"),
+                seg.getOrElse(false))
+            }
+          }
+        }.toDF("doc_id", "body", "multi")
+      fetched
+        .join(docs(s, dir).select(col("doc_id"),
+          expectedCol.as("expected")), Seq("doc_id"))
+        .agg(count(lit(1)).as("n_fetched"),
+          sum(when(col("body") === col("expected"), 1L).otherwise(0L))
+            .as("n_exact"),
+          sum(when(col("multi"), 1L).otherwise(0L)).as("n_multi"),
+          sum(col("doc_id")).as("sum_id"))
+    }),
     // Frontier dedup against the ARCHIVE INDEX — the crawl-ops loop's
     // "do we already have this page?": candidates (fresh outlinks +
     // a recrawl sample of already-captured pages) key to SURT and
@@ -2316,6 +2362,7 @@ object WebQueries {
     langModelPath(s, dir)
     warcRecrawlPath(s, dir)
     warcRequestsPath(s, dir)
+    wetSegmentedExportPath(s, dir)
     ()
   }
 
@@ -2637,6 +2684,29 @@ object WebQueries {
         .select(col("url"), HtmlOps.extractText(col("html")).as("body"))
       graft.sources.WarcSink.writeConversionSegments(
         exported.repartition(8, col("url")), "url", "body", root)
+      root
+    }
+
+  /** The WET derivative written under a 256-byte SEGMENT ceiling —
+    * the stable segmented archive the chain-following random-access
+    * cell probes (the timed export itself is `crawl_wet_segmented`'s
+    * job; this is the once-per-JVM fixture). */
+  private def wetSegmentedExportPath(s: SparkSession, dir: String)
+      : String =
+    BuildCache.memo(s"warc_wetseg_fix:$dir") {
+      val root =
+        s"${System.getProperty("java.io.tmpdir")}/graft_wetseg_fix/" +
+          dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      val exported = crawlStaged(s, dir,
+        s.read.format("graft_warc").option("splitSize", 4096)
+          .load(warcFixturePath(s, dir)))
+        .filter(col("ex"))
+        .select(col("url"), HtmlOps.extractText(col("html")).as("body"))
+      graft.sources.WarcSink.writeSegmentedConversions(
+        exported.repartition(8, col("url")), "url", "body", root, 256)
       root
     }
 
@@ -3690,6 +3760,25 @@ object WebQueries {
         |  CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_multi
         |FROM seg""".stripMargin,
+    // Segmented-fetch replay: the sampled lookups are the 7-residue-0
+    // survivors; a page segments iff its expected text outgrows the
+    // 256-byte ceiling; every chain-followed fetch must reassemble to
+    // the exact text.
+    "crawl_cdx_fetch_segmented" ->
+      s"""WITH $htmlCtes,
+        |sv AS (
+        |  SELECT doc_id,
+        |    len('Doc ' || CAST(doc_id AS VARCHAR) || ' Doc ' ||
+        |      CAST(doc_id AS VARCHAR) || ' ' || text || ' ' || refs ||
+        |      ' Home & About') AS l
+        |  FROM h
+        |  WHERE doc_id % 17 <> 5 AND doc_id % 10 <> 3 AND doc_id % 9 <> 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_fetched,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN l > 256 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_multi,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM sv WHERE doc_id % 7 = 0""".stripMargin,
     // Random-access replay: the sampled lookups are the 10-residue-0
     // docs; every seek fetch must inflate to the exact page (extract
     // == expected) for n_exact to land.

@@ -275,6 +275,74 @@ object Warc {
     } finally in.close()
   }
 
+  /** [[readMemberAt]] that follows a SEGMENT chain (ISO 28500
+    * §5.18-5.20): when the member at `offset` is a first segment
+    * (`WARC-Segment-Number: 1`), keep walking the members after it —
+    * writers store a chain's continuations adjacently — concatenating
+    * each continuation whose `WARC-Segment-Origin-ID` is the first
+    * segment's record id, until the declared total length is
+    * assembled. The returned record is the LOGICAL one: the first
+    * segment's headers (its digest already describes the full
+    * payload) with the complete payload and the chain's total
+    * compressed footprint as `memberLength`. Unsegmented members
+    * return exactly as [[readMemberAt]] does, so an index consumer
+    * can call this unconditionally — one seek either way. Throws on a
+    * chain that ends before its declared total (a truncated archive
+    * must be loud on the random-access path; the scan path's
+    * [[WarcSegments.reassemble]] flags instead, because a bulk job
+    * must survive one bad chain). */
+  def readLogicalRecordAt(fs: org.apache.hadoop.fs.FileSystem,
+      file: String, offset: Long): Record = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(file))
+    try {
+      // readMember consumes its input in buffered chunks (the exact
+      // COMPRESSED length comes back as its result, not as stream
+      // position), so each member is read from a fresh seek — the
+      // same discipline WarcDataSource's range reader uses
+      def memberAt(p: Long): (Array[Byte], Long) = {
+        in.seek(p)
+        readMember(new java.io.BufferedInputStream(noClose(in), 65536))
+      }
+      val (bytes, len) = memberAt(offset)
+      val first = parseRecord(bytes, offset, len)
+      if (!first.segmentNumber.contains(1)) return first
+      val out = new ByteArrayOutputStream(first.payload.length * 2)
+      out.write(first.payload)
+      var footprint = len
+      var pos = offset + len
+      var total = -1L
+      while (total < 0 || out.size() < total) {
+        val (b, l) = try memberAt(pos) catch {
+          case _: EOFException => throw new EOFException(
+            s"segment chain of ${first.recordId} ends at $pos before " +
+              s"its declared total length")
+        }
+        val rec = parseRecord(b, pos, l)
+        if (rec.warcType == "continuation" &&
+          rec.segmentOriginId.contains(first.recordId)) {
+          out.write(rec.payload)
+          footprint += l
+          rec.segmentTotalLength.foreach(t => total = t)
+        } else if (rec.segmentNumber.isEmpty) {
+          // an interleaved unsegmented member (writers may mix) — skip
+        } else throw new EOFException(
+          s"segment chain of ${first.recordId} interrupted by " +
+            s"${rec.recordId} at $pos")
+        pos += l
+      }
+      if (out.size() != total) throw new EOFException(
+        s"segment chain of ${first.recordId}: assembled ${out.size()} " +
+          s"of declared $total bytes")
+      first.copy(payload = out.toByteArray, memberLength = footprint,
+        segmentNumber = None, segmentTotalLength = None)
+    } finally in.close()
+  }
+
+  /** A view of `in` that ignores close() — BufferedInputStream
+    * wrappers come and go per member, the FS handle stays open. */
+  private def noClose(in: InputStream): InputStream =
+    new java.io.FilterInputStream(in) { override def close(): Unit = () }
+
   /** True iff a gzip member starting at the stream head inflates to
     * bytes beginning with "WARC/" — the validation that rejects magic
     * bytes occurring INSIDE compressed data during [[sync]]. */

@@ -609,6 +609,70 @@ class WarcSpec extends SparkSpec {
       flagged.head.getAs[String]("truncated") === "unspecified")
   }
 
+  test("readLogicalRecordAt: one seek follows a segment chain to the " +
+    "complete payload (unsegmented members unchanged), and a chain " +
+    "cut before its declared total is LOUD, never silently partial") {
+    import graft.sources.WarcSink
+    import spark.implicits._
+    val dir = Files.createTempDirectory("warcsegra").toString + "/wet"
+    val rows = Seq(
+      ("https://a.com/doc/1", "tiny"),
+      ("https://a.com/doc/2", "abcdefghijklmnop" * 3)) // 48 B -> 3 segs
+    WarcSink.writeSegmentedConversions(
+      rows.toDF("url", "body").coalesce(1), "url", "body", dir, 16)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx = spark.read.format("graft_warc").load(dir)
+      .filter(col("warc_type") === "conversion")
+      .select("url", "file", "member_offset").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val (f1, o1) = idx("https://a.com/doc/1")
+    val plain = Warc.readLogicalRecordAt(fs, f1, o1)
+    assert(new String(plain.payload, "UTF-8") === "tiny")
+    val (f2, o2) = idx("https://a.com/doc/2")
+    val chained = Warc.readLogicalRecordAt(fs, f2, o2)
+    assert(new String(chained.payload, "UTF-8") ===
+      "abcdefghijklmnop" * 3)
+    assert(chained.segmentNumber.isEmpty,
+      "the logical record is no longer segmented")
+    assert(chained.payloadDigest ===
+      Some(Warc.payloadDigest(("abcdefghijklmnop" * 3)
+        .getBytes("UTF-8"))), "first-segment digest describes the " +
+        "complete logical payload")
+    // cut the file right after doc/2's second segment: the chain-follow
+    // must throw, not return 32 of 48 bytes
+    val seg = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    val all = java.nio.file.Files.readAllBytes(seg.toPath)
+    val cutAt = {
+      // walk members from the chain start, keep first two of the
+      // chain (readMember over-consumes its buffered input, so each
+      // member reads from a fresh seek — the range-reader discipline)
+      val in = fs.open(new org.apache.hadoop.fs.Path(f2))
+      try {
+        def lenAt(p: Long): Long = {
+          in.seek(p)
+          Warc.readMember(new java.io.BufferedInputStream(
+            new java.io.FilterInputStream(in) {
+              override def close(): Unit = ()
+            }, 65536))._2
+        }
+        val l1 = lenAt(o2)
+        val l2 = lenAt(o2 + l1)
+        o2 + l1 + l2
+      } finally in.close()
+    }
+    val cut = new java.io.File(dir, "cut.warc.gz")
+    java.nio.file.Files.write(cut.toPath,
+      java.util.Arrays.copyOfRange(all, 0, cutAt.toInt))
+    val ex = intercept[java.io.EOFException] {
+      Warc.readLogicalRecordAt(fs, cut.toString, o2)
+    }
+    assert(ex.getMessage.contains("segment chain"))
+    cut.delete()
+  }
+
   test("request records: WARC-Concurrent-To survives the parse " +
     "(angle brackets stripped), the request block stays raw (no HTTP " +
     "status invented), and the pair joins to its response") {
