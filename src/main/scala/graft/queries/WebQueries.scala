@@ -1486,6 +1486,95 @@ object WebQueries {
           col("w").as("sum_tokens"), col("alloc"))
         .orderBy("predicted")
     }),
+    // The language budget MATERIALIZED: per predicted language, take
+    // documents in deterministic md5-fraction order until the
+    // language's apportioned token allocation is crossed — the
+    // two-phase bucketed tokenBudget engine driven by the Hamilton
+    // split of a 5k-token budget (which bites at the graded scale:
+    // every language holds more tokens than its allocation). The
+    // full production chain: WET → frozen classifier → token mass →
+    // integer apportionment → exact budgeted selection, one oracle.
+    // The alloc table is class-bounded, so the driver collect that
+    // feeds the budgets map is model-arity-sized by definition.
+    "crawl_lang_sample" -> ((s, dir) => {
+      val mroot = langModelPath(s, dir)
+      val model = graft.operators.LangModel.NbModel(
+        s.read.parquet(s"$mroot/priors"),
+        s.read.parquet(s"$mroot/loglik"))
+      val wet = s.read.format("graft_warc").option("splitSize", 4096)
+        .load(wetExportPath(s, dir))
+        .filter(col("warc_type") === "conversion")
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"), decode(col("payload"), "UTF-8").as("body"))
+        .localCheckpoint(true)
+      val scored = graft.operators.LangModel
+        .langIdScore(model, wet, "doc_id", "body")
+        .select(col("doc_id"), col("predicted"))
+        .join(wet.select(col("doc_id"),
+          size(split(col("body"), "\\s+")).cast("long").as("n_tokens")),
+          Seq("doc_id"))
+        .localCheckpoint(true)
+      val byLang = scored.groupBy("predicted")
+        .agg(sum(col("n_tokens")).as("sum_tokens"))
+      val allocs = graft.operators.Sampling
+        .apportion(byLang, "predicted", "sum_tokens", 5000L)
+        .select("predicted", "alloc").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.operators.Sampling.tokenBudget(scored, "doc_id",
+          "predicted", "n_tokens", allocs, default = 0L)
+        .groupBy("predicted")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("doc_id")).as("sum_id"))
+        .orderBy("predicted")
+    }),
+    // The segmented WET derivative consumed as a LIVE stream — the
+    // stream ≡ batch discipline applied to record segmentation: the
+    // segment files drain one per trigger through the graft_warc
+    // MicroBatchStream, each micro-batch reassembles its chains in
+    // foreachBatch (the writer never splits a chain across files, so
+    // a batch always holds whole chains; byte-range partitions WITHIN
+    // the batch are free to cut anywhere — reassembly shuffles on the
+    // origin id) and appends the logical records. The rollup shares
+    // crawl_wet_corpus's oracle: a consumer must not be able to tell
+    // the reassembled stream from the unsegmented batch archive.
+    "crawl_stream_segmented" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val seg = wetSegmentedExportPath(s, dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_segstr/" +
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true) // fresh replay
+      s.readStream.format("graft_warc")
+        .option("splitSize", 65536).option("maxFilesPerTrigger", 1)
+        .load(seg)
+        .filter(col("warc_type").isin("conversion", "continuation"))
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.sources.WarcSegments.reassemble(batch)
+            .select(col("url"), decode(col("payload"), "UTF-8")
+              .as("body"))
+            .write.mode("append").parquet(s"$root/wet")
+          ()
+        }
+        .start().awaitTermination()
+      s.read.parquet(s"$root/wet")
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"), col("body"))
+        .join(docs(s, dir).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .withColumn("n_tokens",
+          size(split(col("body"), "\\s+")).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(when(length(col("body")) >= 40, 1L).otherwise(0L))
+            .as("n_len_ok"),
+          countDistinct(col("body")).as("n_unique"))
+        .orderBy("lang")
+    }),
     // WET generation: the gate-chain survivors' extracted text written
     // back out as gzip-member WARC `conversion` records — one segment
     // per partition, written BY the owning task (no driver collect, no
@@ -2494,6 +2583,79 @@ object WebQueries {
         }
         Map("fixture" -> fixture, "score" -> score, "plan" -> plan)
       }),
+      "crawl_lang_sample" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (mroot, fixture) = timed(langModelPath(s, dir))
+        val model = graft.operators.LangModel.NbModel(
+          s.read.parquet(s"$mroot/priors"),
+          s.read.parquet(s"$mroot/loglik"))
+        val wet = s.read.format("graft_warc").option("splitSize", 4096)
+          .load(wetExportPath(s, dir))
+          .filter(col("warc_type") === "conversion")
+          .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+            decode(col("payload"), "UTF-8").as("body"))
+          .localCheckpoint(true)
+        val (scored, score) = timed {
+          graft.operators.LangModel
+            .langIdScore(model, wet, "doc_id", "body")
+            .select(col("doc_id"), col("predicted"))
+            .join(wet.select(col("doc_id"),
+              size(split(col("body"), "\\s+")).cast("long")
+                .as("n_tokens")), Seq("doc_id"))
+            .localCheckpoint(true)
+        }
+        val (_, select) = timed {
+          val byLang = scored.groupBy("predicted")
+            .agg(sum(col("n_tokens")).as("sum_tokens"))
+          val allocs = graft.operators.Sampling
+            .apportion(byLang, "predicted", "sum_tokens", 5000L)
+            .select("predicted", "alloc").collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          graft.operators.Sampling.tokenBudget(scored, "doc_id",
+            "predicted", "n_tokens", allocs, default = 0L).count()
+        }
+        Map("fixture" -> fixture, "score" -> score, "select" -> select)
+      }),
+      "crawl_stream_segmented" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (seg, fixture) = timed(wetSegmentedExportPath(s, dir))
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft_segstr_ph/" +
+            dir.replaceAll("[^0-9a-zA-Z.]", "_")
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+        val (_, drain) = timed {
+          import org.apache.spark.sql.streaming.Trigger
+          s.readStream.format("graft_warc")
+            .option("splitSize", 65536).option("maxFilesPerTrigger", 1)
+            .load(seg)
+            .filter(col("warc_type").isin("conversion", "continuation"))
+            .writeStream.trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$root/ckpt")
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              graft.sources.WarcSegments.reassemble(batch)
+                .select(col("url"), decode(col("payload"), "UTF-8")
+                  .as("body"))
+                .write.mode("append").parquet(s"$root/wet")
+              ()
+            }
+            .start().awaitTermination()
+        }
+        val (_, ledger) = timed {
+          s.read.parquet(s"$root/wet").count()
+        }
+        Map("fixture" -> fixture, "drain" -> drain, "ledger" -> ledger)
+      }),
       "crawl_cdx_collapse_time" -> ((s, dir) => {
         def timed[T](f: => T): (T, Double) = {
           val t0 = System.nanoTime()
@@ -3416,6 +3578,47 @@ object WebQueries {
         |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM r ORDER BY predicted""".stripMargin
 
+  /** Budgeted-selection replay: the langid `pred` chain, the Hamilton
+    * split of the 5k budget, then the textbook token-budget window —
+    * per predicted language, keep in (md5-frac, id) order while the
+    * preceding sum stays under the language's allocation. The
+    * engine's bucketed two-phase plan must reproduce it exactly. */
+  private lazy val crawlLangSampleSql: String =
+      s"""WITH $crawlLangidCtes,
+        |lpt AS (
+        |  SELECT p.id, p.lab,
+        |    len(string_split_regex(t.t, '\\s+')) AS nt,
+        |    CAST(CAST('0x' || substr(md5(CAST(p.id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) AS DOUBLE) / 4294967296.0 AS frac
+        |  FROM pred p JOIN test t ON t.id = p.id
+        |  WHERE p.rn = 1),
+        |ag AS (SELECT lab, sum(nt) AS w FROM lpt GROUP BY 1),
+        |tot AS (SELECT sum(w) AS tw FROM ag),
+        |q AS (
+        |  SELECT lab, w, (5000 * w) // tw AS base, (5000 * w) % tw AS rem
+        |  FROM ag CROSS JOIN tot),
+        |dq AS (SELECT 5000 - sum(base) AS def FROM q),
+        |al AS (
+        |  SELECT lab, base + CASE WHEN row_number() OVER (
+        |      ORDER BY rem DESC, lab) <= (SELECT def FROM dq)
+        |    THEN 1 ELSE 0 END AS alloc
+        |  FROM q),
+        |cum AS (
+        |  SELECT id, lab, nt,
+        |    COALESCE(SUM(nt) OVER (PARTITION BY lab
+        |      ORDER BY frac, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cb
+        |  FROM lpt),
+        |sel AS (
+        |  SELECT c.id, c.lab, c.nt
+        |  FROM cum c JOIN al ON al.lab = c.lab
+        |  WHERE c.cb < al.alloc)
+        |SELECT lab AS predicted, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(id) AS BIGINT) AS sum_id
+        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
+
   private lazy val corpusPipelineSql: String =
     s"""WITH $htmlCtes,
       |sv AS (
@@ -3708,6 +3911,9 @@ object WebQueries {
     // from conversion records must equal the archive-fed one.
     "crawl_corpus_pipeline" -> corpusPipelineSql,
     "crawl_wet_corpus" -> corpusPipelineSql,
+    // Stream-reassembled segmented WET must be indistinguishable from
+    // the unsegmented batch archive: one shared oracle string.
+    "crawl_stream_segmented" -> corpusPipelineSql,
     // Predicted-language replay: train on the labeled even half
     // (char trigrams, add-one NB — the text_langid algebra), score
     // the gate-chain survivors' EXPECTED extracted text with the
@@ -3718,6 +3924,9 @@ object WebQueries {
     // Budget replay: predicted-language token mass + Hamilton
     // apportionment in integer arithmetic.
     "crawl_lang_budget" -> crawlLangBudgetSql,
+    // Selection replay: the apportioned allocation drives the
+    // textbook token-budget window per predicted language.
+    "crawl_lang_sample" -> crawlLangSampleSql,
     // WET replay: the export set is the gate-chain survivor residues
     // (status 17/5, robots last-digit-3, noindex 9/0 — extraction is
     // exact on every page by construction); chars = the expected
