@@ -35,14 +35,23 @@ object CdxIndex {
     * row set is unchanged, so re-running converges on the same
     * layout. Run it from the maintenance slot between micro-batches
     * (the streamed appends must be quiescent during the swap, the
-    * same contract every `optimize()` in this engine carries). */
+    * same contract every `optimize()` in this engine carries).
+    *
+    * `collapse` folds rows DURING the rewrite — pass
+    * [[collapseByDigest]] / [[collapseByTimestamp]] (or their
+    * composition) to run the wayback collapse options at maintenance
+    * time, the way production index pipelines do: the re-sort shuffle
+    * is already paid, so the fold rides it for free, and both folds
+    * are idempotent (collapsing a collapsed index is a no-op), which
+    * keeps the whole pass idempotent. */
   def optimize(spark: SparkSession, path: String,
-      numPartitions: Int = 4): Unit = {
+      numPartitions: Int = 4,
+      collapse: DataFrame => DataFrame = identity): Unit = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = AtomicSwap.stagePath(path)
     fs.delete(new Path(stage), true)
-    spark.read.parquet(path)
+    collapse(spark.read.parquet(path))
       .repartitionByRange(numPartitions, col("surt_key"), col("ts"))
       .sortWithinPartitions("surt_key", "ts")
       .write.mode("overwrite").parquet(stage)

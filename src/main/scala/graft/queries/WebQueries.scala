@@ -1983,6 +1983,52 @@ object WebQueries {
         .filter(col("doc_id") < 60)
         .orderBy("doc_id")
     }),
+    // The index exported in the PUBLIC text format — gzipped
+    // space-separated "surt_key ts14 {json}" lines, range-sharded and
+    // sorted (each output file is one contiguous key range: the
+    // cdx-NNNNN.gz layout whose first-key summary IS a cluster.idx),
+    // then re-imported: line parse + JSON envelope + 14-digit →
+    // ISO timestamp reconstruction must land the batch build's exact
+    // detail projection — one shared oracle string with
+    // crawl_cdx_build, so a serialization bug, a shard-order bug, or
+    // a timestamp conversion bug breaks the hash. The interop seam:
+    // standard web-archive tooling consumes exactly this artifact.
+    "crawl_cdx_export" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_cdxj/" +
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true) // fresh replay
+      val idx = s.read.parquet(cdxIndexPath(s, dir))
+      idx.repartitionByRange(4, col("surt_key"), col("ts"))
+        .sortWithinPartitions("surt_key", "ts")
+        .select(concat_ws(" ", col("surt_key"),
+          regexp_replace(col("ts"), "[^0-9]", ""),
+          to_json(struct(col("url"), col("file").as("filename"),
+            col("member_offset").as("offset"),
+            col("member_length").as("length"),
+            col("payload_digest").as("digest")))).as("value"))
+        .write.mode("overwrite").option("compression", "gzip").text(root)
+      val part = "^(\\S+) (\\d{14}) (.*)$"
+      val t14 = regexp_extract(col("value"), part, 2)
+      def seg(from: Int, len: Int): Column =
+        substring(t14, from, len)
+      s.read.text(root)
+        .select(regexp_extract(col("value"), part, 1).as("surt_key"),
+          concat(seg(1, 4), lit("-"), seg(5, 2), lit("-"), seg(7, 2),
+            lit("T"), seg(9, 2), lit(":"), seg(11, 2), lit(":"),
+            seg(13, 2), lit("Z")).as("ts"),
+          from_json(regexp_extract(col("value"), part, 3),
+            "url STRING, filename STRING, offset LONG, length LONG, " +
+              "digest STRING", Map.empty[String, String]).as("j"))
+        .select(col("surt_key"), col("ts"), col("j.url").as("url"),
+          regexp_extract(col("j.url"), "/doc/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          col("j.digest").isNotNull.as("has_digest"),
+          (col("j.length") > 0).as("len_ok"))
+        .filter(col("doc_id") < 60)
+        .orderBy("doc_id")
+    }),
     // CDX maintenance BEHIND a live crawl: the three-segment fixture
     // drains through the graft_warc MicroBatchStream and each
     // micro-batch appends its index rows (SURT key + provenance) to
@@ -4006,6 +4052,8 @@ object WebQueries {
     // exactly the batch build's rows.
     "crawl_cdx_build" -> cdxBuildSql,
     "crawl_cdx_stream" -> cdxBuildSql,
+    // The text-format round trip must land the same detail projection.
+    "crawl_cdx_export" -> cdxBuildSql,
     // Fetch replay: the .com SURT range is exactly the id%8 in
     // {0,3,6} hosts; every seeked member must extract to the expected
     // page for n_exact to land. SHARED by the batch-index fetch and

@@ -81,6 +81,45 @@ class CdxIndexSpec extends SparkSpec {
     assert(fileRanges(root).size === nFiles)
   }
 
+  test("optimize with collapse: the digest fold rides the re-sort " +
+    "shuffle (unchanged refetches vanish during maintenance), ranges " +
+    "stay disjoint, and a second pass is a no-op") {
+    val root = Files.createTempDirectory("cdx_optc").toString + "/cdx"
+    // two 'crawls' appended: crawl 1 all fresh, crawl 2 refetches
+    // everything unchanged except dom0 pages (new digest)
+    (0 until 2).foreach { b =>
+      (0 until 40).map { i =>
+        val dom = s"dom${i % 4}"
+        val changed = b == 1 && i % 4 == 0
+        (s"com,$dom)/p/$i", s"2024-0${b + 1}-01T00:00:00Z",
+          s"https://$dom.com/p/$i", s"seg-$b.warc.gz",
+          i.toLong, 10L,
+          if (changed) s"sha1:NEW$i" else s"sha1:OLD$i")
+      }.toDF("surt_key", "ts", "url", "file", "member_offset",
+        "member_length", "payload_digest")
+        .coalesce(1).write.mode("append").parquet(root)
+    }
+    assert(spark.read.parquet(root).count() === 80)
+    CdxIndex.optimize(spark, root, 4,
+      CdxIndex.collapseByDigest(_, "payload_digest"))
+    // 40 originals + 10 changed dom0 captures survive
+    val post = spark.read.parquet(root)
+    assert(post.count() === 50)
+    assert(post.filter(col("ts").startsWith("2024-02")).count() === 10)
+    val ranges = fileRanges(root).sortBy(_._2)
+    ranges.sliding(2).foreach {
+      case Seq((_, _, hi1), (n2, lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges overlap at $n2")
+      case _ => ()
+    }
+    // idempotent: the fold of a folded index is a no-op
+    val pre = post.collect().map(_.toString).sorted
+    CdxIndex.optimize(spark, root, 4,
+      CdxIndex.collapseByDigest(_, "payload_digest"))
+    assert(spark.read.parquet(root).collect()
+      .map(_.toString).sorted === pre)
+  }
+
   test("collapseByDigest: consecutive same-digest captures fold to " +
     "their first row (index linear in CHANGE), digest transitions — " +
     "including reverts — survive, and the latest-resolved content " +
