@@ -81,6 +81,52 @@ class CdxIndexSpec extends SparkSpec {
     assert(fileRanges(root).size === nFiles)
   }
 
+  test("cluster.idx consumption: the text export's per-shard first " +
+    "keys answer a domain probe by opening a strict subset of shards " +
+    "with the full-scan answer intact (the public two-level index " +
+    "pattern — a consumer never scans cdx-*.gz it can prove " +
+    "irrelevant)") {
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin}
+    val root = Files.createTempDirectory("cdx_clidx").toString + "/cdx"
+    // the crawl_cdx_export layout: range-sharded, sorted text lines
+    (0 until 200).map { i =>
+      val dom = s"dom${i % 5}"
+      (s"com,$dom)/p/$i", s"com,$dom)/p/$i rest-of-line-$i")
+    }.toDF("surt_key", "value")
+      .repartitionByRange(4, col("surt_key"))
+      .sortWithinPartitions("surt_key")
+      .select("value")
+      .write.option("compression", "gzip").text(root)
+    // cluster.idx = (shard file, first key), one tiny scan to build
+    val cluster = spark.read.text(root)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(fmin("value").as("l"))
+      .select(col("f"), split(col("l"), " ").getItem(0).as("first_key"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._2)
+    assert(cluster.length === 4)
+    // probe dom2: a shard is relevant iff its key range [first_i,
+    // first_{i+1}) intersects [lo, hi)
+    val (lo, hi) = ("com,dom2)", "com,dom2*")
+    val relevant = cluster.zipWithIndex.filter { case ((_, fk), i) =>
+      val nextFk =
+        if (i + 1 < cluster.length) Some(cluster(i + 1)._2) else None
+      fk < hi && nextFk.forall(_ > lo)
+    }.map(_._1._1)
+    assert(relevant.nonEmpty && relevant.length < cluster.length,
+      s"the probe must prune shards: ${relevant.length} of 4")
+    val hits = spark.read.text(relevant: _*)
+      .select(split(col("value"), " ").getItem(0).as("k"), col("value"))
+      .filter(col("k") >= lo && col("k") < hi)
+      .collect().map(_.getString(1)).sorted
+    val full = spark.read.text(root)
+      .select(split(col("value"), " ").getItem(0).as("k"), col("value"))
+      .filter(col("k") >= lo && col("k") < hi)
+      .collect().map(_.getString(1)).sorted
+    assert(hits.length === 40 && (hits sameElements full),
+      "pruned probe must equal the full scan")
+  }
+
   test("optimize with collapse: the digest fold rides the re-sort " +
     "shuffle (unchanged refetches vanish during maintenance), ranges " +
     "stay disjoint, and a second pass is a no-op") {
