@@ -2359,6 +2359,19 @@ object WebQueries {
           sum(col("w")).as("in_w"))
         .orderBy("dst_domain")
     }),
+    // Triangle counting over the domain graph — the clustering-
+    // structure metric (triangles + degree give the local clustering
+    // coefficient) computed with the degree orientation that makes
+    // the algorithm survive power-law webs: every edge points from
+    // its lower-(degree, name) endpoint, so hubs never enumerate
+    // their neighbor pairs. Integer-exact outputs; the oracle
+    // replays orientation, wedge enumeration and arc closure.
+    "web_graph_triangles" -> ((s, dir) => {
+      GraphOps.triangleCounts(domainEdges(s, dir), "src", "dst")
+        .select(col("v").as("domain"), col("degree"),
+          col("n_triangles"))
+        .orderBy("domain")
+    }),
     // Harmonic centrality over the domain graph — the metric the
     // public web-graph releases actually rank hosts by (PageRank's
     // companion, robust to dangling mass): H(v) = Σ 1/d(u, v) over
@@ -3475,6 +3488,52 @@ object WebQueries {
       |FROM md GROUP BY v
       |ORDER BY harmonic_x12 DESC, domain""".stripMargin
 
+  /** Triangle replay: the webGraphPipelineSql edge fold, undirected
+    * collapse, degree orientation, wedge join, closing-arc join —
+    * each triangle found once at its minimum-(degree, name) apex. */
+  private lazy val webGraphTrianglesSql: String =
+    s"""WITH $htmlCtes,
+      |$linksCte,
+      |dm AS (
+      |  SELECT doc_id, $domainExpr AS dst
+      |  FROM (SELECT doc_id, string_split($hostExpr, '.') AS parts
+      |        FROM l)),
+      |e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+      |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+      |         WHEN 1 THEN 'org' ELSE 'co.uk' END) AS src, dst
+      |    FROM dm) WHERE src <> dst),
+      |u AS (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM e),
+      |dg AS (
+      |  SELECT v, count(*) AS d FROM (
+      |    SELECT a AS v FROM u UNION ALL SELECT b FROM u) GROUP BY 1),
+      |arcs AS (
+      |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |      THEN u.a ELSE u.b END AS lo,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |      THEN u.b ELSE u.a END AS hi,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |      THEN db.d ELSE da.d END AS hd
+      |  FROM u JOIN dg da ON da.v = u.a JOIN dg db ON db.v = u.b),
+      |w AS (
+      |  SELECT a1.lo, a1.hi AS v, a2.hi AS w
+      |  FROM arcs a1 JOIN arcs a2 ON a1.lo = a2.lo
+      |  WHERE a1.hd < a2.hd OR (a1.hd = a2.hd AND a1.hi < a2.hi)),
+      |t AS (
+      |  SELECT w.lo AS x, w.v AS y, w.w AS z
+      |  FROM w JOIN arcs a3 ON a3.lo = w.v AND a3.hi = w.w),
+      |tc AS (
+      |  SELECT v, count(*) AS n FROM (
+      |    SELECT x AS v FROM t UNION ALL SELECT y FROM t
+      |    UNION ALL SELECT z FROM t) GROUP BY 1)
+      |SELECT dg.v AS domain, CAST(dg.d AS BIGINT) AS degree,
+      |  CAST(COALESCE(tc.n, 0) AS BIGINT) AS n_triangles
+      |FROM dg LEFT JOIN tc ON tc.v = dg.v
+      |ORDER BY domain""".stripMargin
+
   private lazy val cdxBuildSql: String =
     """WITH d AS (
       |  SELECT doc_id,
@@ -4587,6 +4646,8 @@ object WebQueries {
     // Harmonic replay: recursive-CTE ball growth over the same edge
     // fold, min distance per pair, integer 12/d sums.
     "web_graph_harmonic" -> webGraphHarmonicSql,
+    // Triangle replay: degree orientation + wedge + closing arc.
+    "web_graph_triangles" -> webGraphTrianglesSql,
     // Host-graph replay: link hosts keep their www./a. subdomains
     // (the linksCte synthesis), edges fold at HOST grain, then roll
     // to the registered target domain.

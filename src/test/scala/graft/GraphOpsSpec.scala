@@ -162,4 +162,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(r1 === Map(
       "b" -> ((12L, 1L)), "c" -> ((24L, 2L)), "d" -> ((12L, 1L))))
   }
+
+  test("triangleCounts: degree-oriented wedge closure counts each " +
+    "triangle once at its min-(degree, name) apex; direction, " +
+    "duplicates and self loops are ignored; triangle-free nodes " +
+    "report zero with their degree intact") {
+    // K4 on {a,b,c,d} (4 triangles, each node in 3), a pendant e-a,
+    // plus a reverse duplicate, a parallel duplicate and a self loop
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("a", "b"), ("c", "c"),
+      ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("e", "a")).toDF("src", "dst")
+    val got = GraphOps.triangleCounts(edges, "src", "dst")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      "a" -> ((4L, 3L)), "b" -> ((3L, 3L)), "c" -> ((3L, 3L)),
+      "d" -> ((3L, 3L)), "e" -> ((1L, 0L))))
+  }
 }
