@@ -1552,15 +1552,19 @@ object WebQueries {
         .filter(col("warc_type").isin("conversion", "continuation"))
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          // one deterministic directory per micro-batch, overwritten on
+          // retry — foreachBatch replays a failed batch, and a plain
+          // append would duplicate its rows; per-batch overwrite makes
+          // the replay idempotent (the streaming-sink discipline)
           graft.sources.WarcSegments.reassemble(batch)
             .select(col("url"), decode(col("payload"), "UTF-8")
               .as("body"))
-            .write.mode("append").parquet(s"$root/wet")
+            .write.mode("overwrite").parquet(s"$root/wet/b$bid")
           ()
         }
         .start().awaitTermination()
-      s.read.parquet(s"$root/wet")
+      s.read.parquet(s"$root/wet/b*")
         .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
           .as("doc_id"), col("body"))
         .join(docs(s, dir).select(col("doc_id"), col("lang")),
@@ -2701,17 +2705,17 @@ object WebQueries {
             .filter(col("warc_type").isin("conversion", "continuation"))
             .writeStream.trigger(Trigger.AvailableNow())
             .option("checkpointLocation", s"$root/ckpt")
-            .foreachBatch { (batch: DataFrame, _: Long) =>
+            .foreachBatch { (batch: DataFrame, bid: Long) =>
               graft.sources.WarcSegments.reassemble(batch)
                 .select(col("url"), decode(col("payload"), "UTF-8")
                   .as("body"))
-                .write.mode("append").parquet(s"$root/wet")
+                .write.mode("overwrite").parquet(s"$root/wet/b$bid")
               ()
             }
             .start().awaitTermination()
         }
         val (_, ledger) = timed {
-          s.read.parquet(s"$root/wet").count()
+          s.read.parquet(s"$root/wet/b*").count()
         }
         Map("fixture" -> fixture, "drain" -> drain, "ledger" -> ledger)
       }),
