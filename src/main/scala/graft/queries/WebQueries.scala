@@ -1486,6 +1486,66 @@ object WebQueries {
           col("w").as("sum_tokens"), col("alloc"))
         .orderBy("predicted")
     }),
+    // The corpus ROUTED into per-language WET directories — how
+    // multilingual corpora actually ship (one derivative archive tree
+    // per language, so a consumer training a bilingual model never
+    // scans the other languages' bytes): WET records score under the
+    // frozen classifier and each predicted language's records write
+    // their own conversion-segment directory (a class-bounded driver
+    // loop over the model's labels — one distributed write per
+    // language), then the routed tree reads back per directory and
+    // every payload must still be char-exact under its directory's
+    // label. A routing bug, a cross-language leak, or a lossy write
+    // all move the per-directory ledger.
+    "crawl_wet_routed" -> ((s, dir) => {
+      val mroot = langModelPath(s, dir)
+      val model = graft.operators.LangModel.NbModel(
+        s.read.parquet(s"$mroot/priors"),
+        s.read.parquet(s"$mroot/loglik"))
+      val wet = s.read.format("graft_warc").option("splitSize", 4096)
+        .load(wetExportPath(s, dir))
+        .filter(col("warc_type") === "conversion")
+        .select(col("url"),
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+            .as("doc_id"), decode(col("payload"), "UTF-8").as("body"))
+        .localCheckpoint(true)
+      val scored = graft.operators.LangModel
+        .langIdScore(model, wet, "doc_id", "body")
+        .select(col("doc_id"), col("predicted"))
+        .join(wet, Seq("doc_id"))
+        .localCheckpoint(true)
+      val langs = model.priors.select("__lab").collect()
+        .map(_.getString(0)).sorted // model arity, bounded
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_wetrt/" +
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true) // fresh replay
+      langs.foreach { l =>
+        graft.sources.WarcSink.writeConversionSegments(
+          scored.filter(col("predicted") === l)
+            .repartition(2, col("url")), "url", "body", s"$root/$l")
+      }
+      langs.filter(l => fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/$l")))
+        .map { l =>
+          s.read.format("graft_warc").option("splitSize", 4096)
+            .load(s"$root/$l")
+            .filter(col("warc_type") === "conversion")
+            .select(lit(l).as("routed"),
+              regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+                .as("doc_id"),
+              decode(col("payload"), "UTF-8").as("body"))
+        }.reduce(_ unionByName _)
+        .join(docs(s, dir).select(col("doc_id"),
+          expectedCol.as("expected")), Seq("doc_id"))
+        .groupBy("routed")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("body") === col("expected"), 1L).otherwise(0L))
+            .as("n_exact"),
+          sum(col("doc_id")).as("sum_id"))
+        .orderBy("routed")
+    }),
     // The language budget MATERIALIZED: per predicted language, take
     // documents in deterministic md5-fraction order until the
     // language's apportioned token allocation is crossed — the
@@ -2683,6 +2743,55 @@ object WebQueries {
             "predicted", "n_tokens", allocs, default = 0L).count()
         }
         Map("fixture" -> fixture, "score" -> score, "select" -> select)
+      }),
+      "crawl_wet_routed" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (mroot, fixture) = timed(langModelPath(s, dir))
+        val model = graft.operators.LangModel.NbModel(
+          s.read.parquet(s"$mroot/priors"),
+          s.read.parquet(s"$mroot/loglik"))
+        val wet = s.read.format("graft_warc").option("splitSize", 4096)
+          .load(wetExportPath(s, dir))
+          .filter(col("warc_type") === "conversion")
+          .select(col("url"),
+            regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+              .as("doc_id"), decode(col("payload"), "UTF-8").as("body"))
+          .localCheckpoint(true)
+        val (scored, score) = timed {
+          graft.operators.LangModel
+            .langIdScore(model, wet, "doc_id", "body")
+            .select(col("doc_id"), col("predicted"))
+            .join(wet, Seq("doc_id"))
+            .localCheckpoint(true)
+        }
+        val langs = model.priors.select("__lab").collect()
+          .map(_.getString(0)).sorted
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft_wetrt_ph/" +
+            dir.replaceAll("[^0-9a-zA-Z.]", "_")
+        val hp = new org.apache.hadoop.fs.Path(root)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(hp, true)
+        val (_, route) = timed {
+          langs.foreach { l =>
+            graft.sources.WarcSink.writeConversionSegments(
+              scored.filter(col("predicted") === l)
+                .repartition(2, col("url")), "url", "body", s"$root/$l")
+          }
+        }
+        val (_, audit) = timed {
+          langs.filter(l => fs.exists(new org.apache.hadoop.fs.Path(
+              s"$root/$l")))
+            .map(l => s.read.format("graft_warc").load(s"$root/$l")
+              .filter(col("warc_type") === "conversion"))
+            .reduce(_ unionByName _).count()
+        }
+        Map("fixture" -> fixture, "score" -> score, "route" -> route,
+          "audit" -> audit)
       }),
       "crawl_stream_segmented" -> ((s, dir) => {
         def timed[T](f: => T): (T, Double) = {
@@ -4036,6 +4145,15 @@ object WebQueries {
     // Selection replay: the apportioned allocation drives the
     // textbook token-budget window per predicted language.
     "crawl_lang_sample" -> crawlLangSampleSql,
+    // Routing replay: every survivor lands in exactly its predicted
+    // language's directory, payload intact.
+    "crawl_wet_routed" ->
+      s"""WITH $crawlLangidCtes
+        |SELECT p.lab AS routed, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(p.id) AS BIGINT) AS sum_id
+        |FROM pred p WHERE p.rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // WET replay: the export set is the gate-chain survivor residues
     // (status 17/5, robots last-digit-3, noindex 9/0 — extraction is
     // exact on every page by construction); chars = the expected
