@@ -201,6 +201,54 @@ object GraphOps {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Coreness (k-core number) of every node — the degeneracy-based
+    * curation signal web-graph pipelines use to separate densely
+    * interlinked cores (often link farms) from the organic fringe.
+    * Computed by the h-index fixpoint (Lü et al. 2016, Nature
+    * Communications 7:10168: initialize c = degree, repeatedly set
+    * c(v) to the H-index of its neighbors' current values; the
+    * fixpoint is exactly the coreness) — the formulation that
+    * distributes, unlike sequential peeling: each round is one
+    * edge-bounded join plus one key-bounded sorted window per node,
+    * values only decrease, and an early exit fires when a round
+    * changes nothing. `maxRounds` bounds pathological convergence
+    * (rounds needed is typically O(graph diameter)); the fixpoint
+    * flag comes back as `converged`. Returns
+    * `(v, degree, coreness, converged)`. */
+  def coreness(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+    val sym = e0.unionByName(e0.select(col("b").as("a"),
+        col("a").as("b")))
+      .distinct().localCheckpoint()
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    var c = deg
+    var converged = false
+    var round = 0
+    while (round < maxRounds && !converged) {
+      val nb = sym.join(c.select(col("a").as("b"), col("c").as("cb")),
+        Seq("b"))
+      val w = Window.partitionBy("a").orderBy(col("cb").desc)
+      val next = nb.withColumn("__rn", row_number().over(w))
+        .withColumn("__m", least(col("__rn").cast("long"), col("cb")))
+        .groupBy("a").agg(max("__m").as("c"))
+        .localCheckpoint()
+      val changed = next.join(c.select(col("a"), col("c").as("__old")),
+        Seq("a"))
+        .filter(col("c") =!= col("__old")).isEmpty
+      converged = changed
+      c = next
+      round += 1
+    }
+    deg.select(col("a").as("v"), col("c").as("degree"))
+      .join(c.select(col("a").as("v"), col("c").as("coreness")),
+        Seq("v"))
+      .withColumn("converged", lit(converged))
+  }
+
   private def run(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String], iters: Int, damping: Double,
       redistributeDangling: Boolean,

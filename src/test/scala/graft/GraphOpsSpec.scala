@@ -163,6 +163,30 @@ class GraphOpsSpec extends SparkSpec {
       "b" -> ((12L, 1L)), "c" -> ((24L, 2L)), "d" -> ((12L, 1L))))
   }
 
+  test("coreness: the h-index fixpoint lands exact k-core numbers — " +
+    "a K4 core survives its pendant and a long tail, direction and " +
+    "duplicates are ignored, and the fixpoint flag reports " +
+    "convergence") {
+    // K4 {a,b,c,d} (coreness 3 each) + pendant chain a-e-f (coreness
+    // 1: the chain peels at k=2) + a triangle {x,y,z} hanging off d
+    // via one bridge edge (coreness 2 — its own 2-core, not pulled
+    // up by the K4)
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"),
+      ("e", "a"), ("f", "e"), ("b", "a"), // pendant chain + dup
+      ("d", "x"), ("x", "y"), ("y", "z"), ("z", "x")).toDF("src", "dst")
+    val got = GraphOps.coreness(edges, "src", "dst")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(got.forall(_._4), "must reach the fixpoint")
+    val m = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m === Map(
+      "a" -> ((4L, 3L)), "b" -> ((3L, 3L)), "c" -> ((3L, 3L)),
+      "d" -> ((4L, 3L)),
+      "e" -> ((2L, 1L)), "f" -> ((1L, 1L)),
+      "x" -> ((3L, 2L)), "y" -> ((2L, 2L)), "z" -> ((2L, 2L))))
+  }
+
   test("triangleCounts: degree-oriented wedge closure counts each " +
     "triangle once at its min-(degree, name) apex; direction, " +
     "duplicates and self loops are ignored; triangle-free nodes " +
