@@ -236,10 +236,12 @@ object GraphOps {
         .withColumn("__m", least(col("__rn").cast("long"), col("cb")))
         .groupBy("a").agg(max("__m").as("c"))
         .localCheckpoint()
-      val changed = next.join(c.select(col("a"), col("c").as("__old")),
+      // one per-round driver-side scalar (the components/PageRank
+      // early-exit discipline): did this round move ANY value?
+      val atFixpoint = next.join(c.select(col("a"), col("c").as("__old")),
         Seq("a"))
         .filter(col("c") =!= col("__old")).isEmpty
-      converged = changed
+      converged = atFixpoint
       c = next
       round += 1
     }

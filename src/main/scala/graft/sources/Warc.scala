@@ -409,7 +409,19 @@ object Warc {
     // the referenced one — how request members point at their response
     val concTo = hdrs.get("warc-concurrent-to")
       .map(_.stripPrefix("<").stripSuffix(">"))
-    if (block.length >= 5 &&
+    // ISO 28500 §6: only records whose BLOCK is an HTTP message carry
+    // `Content-Type: application/http` (msgtype=response/request).
+    // Gate the HTTP parse on that header (falling back to the record
+    // type for archives that omit it) rather than sniffing block
+    // bytes: segmentation makes arbitrary payload offsets become
+    // block starts, so a continuation/conversion slice that happens
+    // to begin with "HTTP/" must NOT have a phantom header prefix
+    // stripped from the reassembled logical payload.
+    val recCt = hdrs.get("content-type").map(_.toLowerCase)
+    val httpBlock = recCt.exists(_.startsWith("application/http")) ||
+      (recCt.isEmpty &&
+        (wtype == "response" || wtype == "request" || wtype == "revisit"))
+    if (httpBlock && block.length >= 5 &&
       new String(block, 0, 5, "US-ASCII") == "HTTP/") {
       val hsep = indexOfCrlfCrlf(block, 0)
       if (hsep >= 0) {

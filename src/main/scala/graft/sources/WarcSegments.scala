@@ -55,10 +55,17 @@ object WarcSegments {
       .withColumn("__payload",
         aggregate(col("__parts"), lit(Array.emptyByteArray),
           (acc, x) => concat(acc, x("p"))))
+      // ISO 28500 §5.20: only the LAST segment carries
+      // WARC-Segment-Total-Length, so a null __total proves the tail
+      // of the chain is missing — contiguous numbers 1..k alone would
+      // wave through a chain that lost its trailing segment(s) (or a
+      // lone first segment that lost every continuation). A complete
+      // chain must have the declared total AND reassemble to exactly
+      // that many bytes.
       .withColumn("__complete",
         col("__maxn") === col("__nsegs") &&
-          (col("__total").isNull ||
-            length(col("__payload")) === col("__total")))
+          col("__total").isNotNull &&
+          length(col("__payload")) === col("__total"))
     val reassembled = grouped.select(cols.map {
       case "payload" => col("__payload").as("payload")
       case "member_length" => col("__mlen").as("member_length")

@@ -496,6 +496,28 @@ class WarcSpec extends SparkSpec {
       .filter(col("warc_type") === "conversion").count() === 37)
   }
 
+  test("HTTP parse gates on the record Content-Type, not block bytes: " +
+    "a conversion payload that STARTS with 'HTTP/' keeps its bytes — " +
+    "no phantom header strip") {
+    import graft.sources.WarcSink
+    val dir = Files.createTempDirectory("warc_httpish").toString + "/wet"
+    // a captured transcript of an HTTP exchange stored as extracted
+    // text — block bytes look exactly like an HTTP message, but the
+    // record Content-Type is text/plain, so no HTTP parse may fire
+    val body = "HTTP/1.1 200 OK\r\nX-Quoted: yes\r\n\r\ntranscript tail"
+    val df = spark.createDataFrame(Seq(
+      ("https://d.com/transcript", body)
+    )).toDF("url", "body")
+    WarcSink.writeConversionSegments(df, "url", "body", dir)
+    val r = spark.read.format("graft_warc").load(dir)
+      .filter(col("warc_type") === "conversion").collect()
+    assert(r.length === 1)
+    assert(new String(r.head.getAs[Array[Byte]]("payload"), "UTF-8")
+      === body, "block bytes must survive verbatim")
+    assert(r.head.getAs[Any]("status") == null,
+      "no phantom HTTP status from a text/plain block")
+  }
+
   test("WarcSink recrawl segments: digest-matched rows write revisit " +
     "members (digest header, ZERO payload bytes), the rest full " +
     "responses; re-run never duplicates") {
@@ -607,6 +629,24 @@ class WarcSpec extends SparkSpec {
       .filter(col("url") === "https://b.com/doc/4").collect()
     assert(flagged.length === 1 &&
       flagged.head.getAs[String]("truncated") === "unspecified")
+    // a lost TRAILING segment leaves contiguous numbers 1..k but no
+    // WARC-Segment-Total-Length (only the last segment carries it,
+    // §5.20) — completeness must not be inferred from contiguity
+    val lostTail = raw.filter(!(col("warc_type") === "continuation" &&
+      col("segment_number") === 3 &&
+      col("url") === "https://b.com/doc/4"))
+    val tailFlagged = WarcSegments.reassemble(lostTail)
+      .filter(col("url") === "https://b.com/doc/4").collect()
+    assert(tailFlagged.length === 1 &&
+      tailFlagged.head.getAs[String]("truncated") === "unspecified",
+      "a chain missing its tail (null declared total) is truncated")
+    // a lone first segment with every continuation lost: same proof
+    val loneFirst = raw.filter(!(col("warc_type") === "continuation" &&
+      col("url") === "https://b.com/doc/4"))
+    val loneFlagged = WarcSegments.reassemble(loneFirst)
+      .filter(col("url") === "https://b.com/doc/4").collect()
+    assert(loneFlagged.length === 1 &&
+      loneFlagged.head.getAs[String]("truncated") === "unspecified")
   }
 
   test("readLogicalRecordAt: one seek follows a segment chain to the " +
