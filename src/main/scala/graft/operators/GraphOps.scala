@@ -208,13 +208,27 @@ object GraphOps {
     * Communications 7:10168: initialize c = degree, repeatedly set
     * c(v) to the H-index of its neighbors' current values; the
     * fixpoint is exactly the coreness) — the formulation that
-    * distributes, unlike sequential peeling: each round is one
-    * edge-bounded join plus one key-bounded sorted window per node,
-    * values only decrease, and an early exit fires when a round
-    * changes nothing. `maxRounds` bounds pathological convergence
-    * (rounds needed is typically O(graph diameter)); the fixpoint
-    * flag comes back as `converged`. Returns
-    * `(v, degree, coreness, converged)`. */
+    * distributes, unlike sequential peeling: values only decrease
+    * and an early exit fires when a round changes nothing.
+    * `maxRounds` bounds pathological convergence (rounds needed is
+    * typically O(graph diameter)); the fixpoint flag comes back as
+    * `converged`. Returns `(v, degree, coreness, converged)`.
+    *
+    * Hub safety: the per-round H-index is computed by a TWO-LEVEL
+    * fold, never by sorting a node's full neighbor list in one task
+    * (a power-law hub would make the max-degree node the straggler).
+    * Level one builds the per-node VALUE HISTOGRAM `(a, v, cnt)` with
+    * a hash aggregate — map-side partial counts spread the hub's
+    * edge rows across every input task before any shuffle, and the
+    * shuffle key `(a, v)` splits the hub across as many reducer keys
+    * as it has distinct neighbor values. Level two merges the
+    * histogram: H(S) = max over DISTINCT v of min(v, |{x∈S : x≥v}|)
+    * (for each distinct v the C(v) = |{x≥v}| members all have value
+    * ≥ v ≥ min(v, C(v)), so min(v, C(v)) is achievable; conversely
+    * the smallest distinct value v' ≥ H has C(v') ≥ H and v' ≥ H),
+    * so the suffix-count window runs over distinct-value rows —
+    * bounded by min(degree, #distinct current values in the graph),
+    * not by degree. On a star graph the hub's window is ONE row. */
   def coreness(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -229,12 +243,14 @@ object GraphOps {
     var converged = false
     var round = 0
     while (round < maxRounds && !converged) {
-      val nb = sym.join(c.select(col("a").as("b"), col("c").as("cb")),
-        Seq("b"))
-      val w = Window.partitionBy("a").orderBy(col("cb").desc)
-      val next = nb.withColumn("__rn", row_number().over(w))
-        .withColumn("__m", least(col("__rn").cast("long"), col("cb")))
-        .groupBy("a").agg(max("__m").as("c"))
+      val hist = sym
+        .join(c.select(col("a").as("b"), col("c").as("v")), Seq("b"))
+        .groupBy("a", "v").agg(count(lit(1)).as("cnt"))
+      // suffix count C(v) over the distinct-value histogram (rows
+      // are unique per (a, v): the RANGE default frame has no ties)
+      val w = Window.partitionBy("a").orderBy(col("v").desc)
+      val next = hist.withColumn("__cum", sum(col("cnt")).over(w))
+        .groupBy("a").agg(max(least(col("v"), col("__cum"))).as("c"))
         .localCheckpoint()
       // one per-round driver-side scalar (the components/PageRank
       // early-exit discipline): did this round move ANY value?

@@ -2451,6 +2451,19 @@ object WebQueries {
           col("n_reachable"))
         .orderBy(col("harmonic_x12").desc, col("domain"))
     }),
+    // Coreness over the domain graph — the k-core curation signal
+    // (densely interlinked cores vs the organic fringe) beside
+    // triangles and harmonic centrality. The h-index fixpoint runs
+    // hub-safe (two-level histogram fold, never a degree-sized
+    // per-node sort); the oracle replays the rounds as chained CTEs
+    // and the `converged` column pins that the fixpoint was reached
+    // inside the round budget.
+    "web_graph_kcores" -> ((s, dir) => {
+      GraphOps.coreness(domainEdges(s, dir), "src", "dst")
+        .select(col("v").as("domain"), col("degree"), col("coreness"),
+          col("converged"))
+        .orderBy("domain")
+    }),
     // Link-rel governance: nofollow links must not count as
     // endorsements in the link graph — per-domain endorsement rollup
     // (total vs followed links).
@@ -3647,6 +3660,34 @@ object WebQueries {
       |FROM dg LEFT JOIN tc ON tc.v = dg.v
       |ORDER BY domain""".stripMargin
 
+  /** Coreness replay: the triangles edge fold (undirected collapse),
+    * degree start, then three h-index rounds as chained CTEs via
+    * [[MiscQueries.kcoresRounds]] — the domain graph reaches its
+    * fixpoint in one effective round; the extra rounds prove
+    * idempotence at the fixpoint. */
+  private lazy val webGraphKcoresSql: String =
+    s"""WITH $htmlCtes,
+      |$linksCte,
+      |dm AS (
+      |  SELECT doc_id, $domainExpr AS dst
+      |  FROM (SELECT doc_id, string_split($hostExpr, '.') AS parts
+      |        FROM l)),
+      |e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+      |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+      |         WHEN 1 THEN 'org' ELSE 'co.uk' END) AS src, dst
+      |    FROM dm) WHERE src <> dst),
+      |u AS (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM e),
+      |sym AS (SELECT a, b FROM u UNION ALL SELECT b, a FROM u),
+      |c0 AS (SELECT a, count(*) AS c FROM sym GROUP BY a),
+      |${MiscQueries.kcoresRounds(3)}
+      |SELECT c0.a AS domain, CAST(c0.c AS BIGINT) AS degree,
+      |  CAST(c3.c AS BIGINT) AS coreness, true AS converged
+      |FROM c0 JOIN c3 USING (a) ORDER BY domain""".stripMargin
+
   private lazy val cdxBuildSql: String =
     """WITH d AS (
       |  SELECT doc_id,
@@ -4770,6 +4811,7 @@ object WebQueries {
     "web_graph_harmonic" -> webGraphHarmonicSql,
     // Triangle replay: degree orientation + wedge + closing arc.
     "web_graph_triangles" -> webGraphTrianglesSql,
+    "web_graph_kcores" -> webGraphKcoresSql,
     // Host-graph replay: link hosts keep their www./a. subdomains
     // (the linksCte synthesis), edges fold at HOST grain, then roll
     // to the registered target domain.

@@ -187,6 +187,53 @@ class GraphOpsSpec extends SparkSpec {
       "x" -> ((3L, 2L)), "y" -> ((2L, 2L)), "z" -> ((2L, 2L))))
   }
 
+  test("coreness hub safety: the two-level histogram fold matches an " +
+    "independent sequential peel on a graph with one hub of degree " +
+    "far above every other node") {
+    // power-law-ish shape: hub h fans out to 500 leaves (degree 505);
+    // a K6 {h, p1..p5} keeps the hub's coreness at 5; every third
+    // leaf pairs with its successor (l_i-l_{i+1} + both on h =>
+    // triangles => coreness 2); lone leaves peel at k=1. The hub's
+    // histogram collapses to a handful of distinct values even
+    // though its neighbor list dwarfs every other node's.
+    val hubEdges =
+      (0 until 500).map(i => ("h", s"l$i")) ++
+      (1 to 5).map(i => ("h", s"p$i")) ++
+      (for (i <- 1 to 5; j <- i + 1 to 5) yield (s"p$i", s"p$j")) ++
+      (0 until 500 by 3).filter(_ + 1 < 500)
+        .map(i => (s"l$i", s"l${i + 1}"))
+    // independent oracle: sequential min-degree peeling (the textbook
+    // k-core algorithm the distributed fixpoint must reproduce)
+    def peel(es: Seq[(String, String)]): Map[String, Int] = {
+      import scala.collection.mutable
+      val adj = mutable.Map.empty[String, mutable.Set[String]]
+      es.filter(e => e._1 != e._2).foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, mutable.Set.empty) += a
+      }
+      val deg = mutable.Map(adj.view.mapValues(_.size).toSeq: _*)
+      val alive = mutable.Set(adj.keys.toSeq: _*)
+      val core = mutable.Map.empty[String, Int]
+      var k = 0
+      while (alive.nonEmpty) {
+        val v = alive.minBy(x => (deg(x), x))
+        k = math.max(k, deg(v))
+        core(v) = k
+        alive -= v
+        adj(v).foreach(u => if (alive(u)) deg(u) -= 1)
+      }
+      core.toMap
+    }
+    val expected = peel(hubEdges)
+    val got = GraphOps.coreness(hubEdges.toDF("src", "dst"), "src", "dst")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(got.forall(_._4), "must reach the fixpoint")
+    assert(got.map(r => r._1 -> r._3.toInt).toMap === expected)
+    val hub = got.find(_._1 === "h").get
+    assert(hub._2 === 505L && hub._3 === 5L,
+      "the hub's degree dwarfs its coreness")
+  }
+
   test("triangleCounts: degree-oriented wedge closure counts each " +
     "triangle once at its min-(degree, name) apex; direction, " +
     "duplicates and self loops are ignored; triangle-free nodes " +
