@@ -2464,6 +2464,53 @@ object WebQueries {
           col("converged"))
         .orderBy("domain")
     }),
+    // Weakly-connected components of the host graph — the bow-tie /
+    // island structure stat beside triangles, harmonic centrality and
+    // k-cores. The edge set is the seed-frontier sample (each of the
+    // first 25 crawled pages contributes its FIRST outlink), which
+    // leaves genuinely separate islands: 3 components of 13/11/3
+    // hosts. Hosts are strings, so the composition dense-ranks the
+    // node set (node-bounded sort — host sets are millions at web
+    // scale, never page-bounded) into the long ids the
+    // pointer-jumping min-label closure works over, then maps each
+    // component label back to its lexicographically-first host. The
+    // oracle replays the closure as a recursive-CTE transitive
+    // closure over min(reachable host) — the dedup_groups shape on
+    // the web edge fold.
+    "web_graph_components" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Dedup
+      val he = docs(s, dir)
+        .filter(col("doc_id") < 25)
+        .select(srcDomainCol.as("ha"),
+          UrlOps.host(element_at(HtmlOps.links(htmlCol), 1)).as("hb"))
+        .filter(col("ha") =!= col("hb"))
+        .distinct()
+      val nodes = he.select(col("ha").as("host"))
+        .unionByName(he.select(col("hb").as("host"))).distinct()
+        .withColumn("nid",
+          row_number().over(Window.orderBy("host")).cast("long"))
+      val e = he
+        .join(nodes.select(col("host").as("ha"), col("nid").as("u")),
+          "ha")
+        .join(nodes.select(col("host").as("hb"), col("nid").as("v")),
+          "hb")
+        .select("u", "v")
+      val byHost = Dedup.connectedComponents(e, "u", "v")
+        .join(nodes, col("id") === col("nid"))
+        .select(col("host"), col("component"))
+      val roots = nodes.select(col("nid").as("component"),
+        col("host").as("root"))
+      val sizes = byHost.join(roots, "component")
+        .groupBy("root").agg(count(lit(1)).as("n_hosts"))
+      val und = he.select(least(col("ha"), col("hb")).as("x"),
+        greatest(col("ha"), col("hb")).as("y")).distinct()
+      val edgeCounts = und
+        .join(byHost.withColumnRenamed("host", "x"), "x")
+        .join(roots, "component")
+        .groupBy("root").agg(count(lit(1)).as("n_edges"))
+      sizes.join(edgeCounts, "root").orderBy("root")
+    }),
     // Link-rel governance: nofollow links must not count as
     // endorsements in the link graph — per-domain endorsement rollup
     // (total vs followed links).
@@ -3688,6 +3735,42 @@ object WebQueries {
       |  CAST(c3.c AS BIGINT) AS coreness, true AS converged
       |FROM c0 JOIN c3 USING (a) ORDER BY domain""".stripMargin
 
+  /** Components replay: the seed-frontier host edges (first href per
+    * page, docs < 25), symmetric closure, then min-reachable-host per
+    * node via a recursive-CTE transitive closure (the dedup_groups
+    * discipline), rolled up to per-component host and edge counts. */
+  private lazy val webGraphComponentsSql: String =
+    s"""WITH RECURSIVE $htmlCtes,
+      |f AS (
+      |  SELECT doc_id,
+      |    regexp_extract(html, '(?i)href\\s*=\\s*["'']([^"'']+)["'']', 1)
+      |      AS url
+      |  FROM h WHERE doc_id < 25),
+      |hb AS (SELECT doc_id, $hostExpr AS b FROM f),
+      |he AS (
+      |  SELECT DISTINCT a, b FROM (
+      |    SELECT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+      |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+      |         WHEN 1 THEN 'org' ELSE 'co.uk' END) AS a, b
+      |    FROM hb) WHERE a <> b),
+      |edges AS (SELECT a AS u, b AS v FROM he
+      |          UNION SELECT b, a FROM he),
+      |reach AS (
+      |  SELECT u AS id, u AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+      |comp AS (SELECT id AS host, min(r) AS root FROM reach GROUP BY id),
+      |und AS (
+      |  SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y FROM he),
+      |cs AS (SELECT root, count(*) AS n_hosts FROM comp GROUP BY root),
+      |ce AS (
+      |  SELECT c.root, count(*) AS n_edges
+      |  FROM und JOIN comp c ON c.host = und.x
+      |  GROUP BY c.root)
+      |SELECT cs.root, CAST(cs.n_hosts AS BIGINT) AS n_hosts,
+      |  CAST(ce.n_edges AS BIGINT) AS n_edges
+      |FROM cs JOIN ce USING (root) ORDER BY root""".stripMargin
+
   private lazy val cdxBuildSql: String =
     """WITH d AS (
       |  SELECT doc_id,
@@ -4812,6 +4895,7 @@ object WebQueries {
     // Triangle replay: degree orientation + wedge + closing arc.
     "web_graph_triangles" -> webGraphTrianglesSql,
     "web_graph_kcores" -> webGraphKcoresSql,
+    "web_graph_components" -> webGraphComponentsSql,
     // Host-graph replay: link hosts keep their www./a. subdomains
     // (the linksCte synthesis), edges fold at HOST grain, then roll
     // to the registered target domain.
