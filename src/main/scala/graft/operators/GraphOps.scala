@@ -99,6 +99,32 @@ object GraphOps {
     run(edges, srcCol, dstCol, None, iters, damping,
       redistributeDangling, collectStats = true)
 
+  /** SEEDED (personalized) PageRank — the TrustRank form crawl
+    * prioritization runs from a trusted seed set (Gyöngyi et al.,
+    * VLDB 2004): the teleport vector is restricted to `seeds`
+    * (t(v) = 1/|S| for seeds present in the graph, 0 elsewhere)
+    * instead of uniform, the walk STARTS from the teleport vector,
+    * and each iteration's dangling mass redistributes PROPORTIONAL
+    * to the teleport vector (never uniformly — a sink's mass flows
+    * back to the seeds, which is what keeps rank concentrated near
+    * them):
+    *
+    *   pr'(v) = (1-d)·t(v) + d·(Σ_{u→v} pr(u)/outdeg(u) + dm·t(v))
+    *
+    * so rank mass sums to EXACTLY 1 every iteration and a node
+    * unreachable from the seed set holds rank 0 — the property that
+    * makes seeded ranks a frontier-prioritization score. Seeds not
+    * appearing in the edge set are ignored; `seeds = all nodes`
+    * degenerates to [[pageRank]] with `redistributeDangling = true`.
+    * Cost shape is identical to the uniform variant: one teleport
+    * join at setup (node-bounded), the same edge-bounded
+    * contribution shuffle per iteration. */
+  def pageRankSeeded(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iters: Int, damping: Double): DataFrame =
+    run(edges, srcCol, dstCol, None, iters, damping,
+      redistributeDangling = true, collectStats = false,
+      seeds = Some(seeds))._1
+
   /** Radius-bounded EXACT harmonic centrality — the metric the public
     * web-graph releases rank hosts by: H(v) = Σ_{u≠v} 1/d(u, v) over
     * directed shortest-path distances INTO v, here truncated at
@@ -269,10 +295,12 @@ object GraphOps {
 
   private def run(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String], iters: Int, damping: Double,
-      redistributeDangling: Boolean,
-      collectStats: Boolean): (DataFrame, Seq[PageRankIter]) = {
+      redistributeDangling: Boolean, collectStats: Boolean,
+      seeds: Option[DataFrame] = None): (DataFrame, Seq[PageRankIter]) = {
     require(iters >= 1, s"iters must be positive, got $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    require(seeds.isEmpty || redistributeDangling,
+      "seeded teleport requires dangling redistribution (TrustRank form)")
     // unweighted: distinct edges, w = 1 (pr*1/count(w) is the classic
     // recurrence bit for bit); weighted: parallel edges SUM
     val e = (weightCol match {
@@ -293,7 +321,26 @@ object GraphOps {
     val dangling =
       nodes.join(deg.select(col("src").as("v")), Seq("v"), "left_anti")
         .localCheckpoint()
-    var r = nodes.withColumn("pr", lit(1.0 / n))
+    // teleport vector: uniform (None) keeps the literal-arithmetic
+    // fast path bit-identical to the original oracles; a seed set
+    // materializes t(v) as a node-bounded column (1/|S∩nodes| on
+    // seeds, 0 elsewhere) that both the restart term and the
+    // dangling redistribution scale by
+    val tv = seeds.map { sd =>
+      val sc = sd.columns.head
+      val present = nodes.join(
+        sd.select(col(sc).as("v")).distinct(), Seq("v"), "left_semi")
+      val ns = present.count()
+      require(ns > 0, "no seed appears in the edge set")
+      nodes.join(present.withColumn("__s", lit(true)), Seq("v"), "left")
+        .select(col("v"),
+          when(col("__s"), lit(1.0 / ns)).otherwise(lit(0.0)).as("t"))
+        .localCheckpoint()
+    }
+    var r = tv match {
+      case Some(t) => t.select(col("v"), col("t").as("pr"))
+      case None => nodes.withColumn("pr", lit(1.0 / n))
+    }
     val stats = Seq.newBuilder[PageRankIter]
     for (it <- 1 to iters) {
       // dangling mass this iteration: ONE scalar (node-bounded agg),
@@ -309,12 +356,18 @@ object GraphOps {
         .select(col("dst").as("v"),
           (col("pr") * col("w") / col("od")).as("m"))
         .groupBy("v").agg(sum("m").as("m"))
-      val next = nodes.join(contrib, Seq("v"), "left")
-        .select(col("v"),
-          (lit((1 - damping) / n) +
-            lit(damping) * (coalesce(col("m"), lit(0.0)) + lit(dm / n)))
-            .as("pr"))
-        .localCheckpoint()
+      val next = (tv match {
+        case Some(t) => t.join(contrib, Seq("v"), "left")
+          .select(col("v"),
+            (lit(1 - damping) * col("t") +
+              lit(damping) * (coalesce(col("m"), lit(0.0)) +
+                lit(dm) * col("t"))).as("pr"))
+        case None => nodes.join(contrib, Seq("v"), "left")
+          .select(col("v"),
+            (lit((1 - damping) / n) +
+              lit(damping) * (coalesce(col("m"), lit(0.0)) + lit(dm / n)))
+              .as("pr"))
+      }).localCheckpoint()
       if (collectStats) {
         val row = next.join(r.select(col("v"), col("pr").as("__prev")), "v")
           .agg(sum("pr"), sum(abs(col("pr") - col("__prev")))).head()

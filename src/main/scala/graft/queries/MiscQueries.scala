@@ -105,6 +105,29 @@ object MiscQueries {
           round(col("pr"), 4).as("pr"))
         .orderBy("node")
     }),
+    // SEEDED (personalized) PageRank — TrustRank-style: teleport is
+    // restricted to the seed set (nodes ≡ 0 mod 5), the walk starts
+    // from the teleport vector, and each iteration's dangling mass
+    // flows back proportional to it, so ranks sum to exactly 1 and
+    // concentrate near the seeds — the crawl-prioritization score.
+    // Same graph-with-sinks edge set as graph_pagerank_dangling; the
+    // oracle replays all three iterations with the seed-masked
+    // teleport term.
+    "graph_pagerank_seeded" -> ((s, dir) => {
+      import graft.operators.GraphOps
+      val e = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(30)).as("src"),
+          pmod((col("doc_id") / lit(7)).cast("long"), lit(40)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val seeds = e.select(col("src").as("v"))
+        .unionByName(e.select(col("dst").as("v")))
+        .distinct().filter(pmod(col("v"), lit(5)) === 0)
+      GraphOps.pageRankSeeded(e, "src", "dst", seeds, iters = 3,
+          damping = 0.85)
+        .select(col("v").cast("long").as("node"),
+          round(col("pr"), 4).as("pr"))
+        .orderBy("node")
+    }),
     // Coreness (k-core numbers) via the distributed h-index fixpoint
     // on a deterministic doc-derived graph chosen for GRADED cores
     // (the mixed formula yields 3-, 4- and 6-cores, not one uniform
@@ -301,6 +324,58 @@ object MiscQueries {
         |  SELECT n.v,
         |    0.15 / cnt.nn + 0.85 * (coalesce(c3.m, 0) + d3.dm / cnt.nn) AS pr
         |  FROM n CROSS JOIN cnt CROSS JOIN d3 LEFT JOIN c3 ON n.v = c3.v)
+        |SELECT CAST(v AS BIGINT) AS node, round(pr, 4) AS pr
+        |FROM r3 ORDER BY node""".stripMargin,
+    // Seeded replay: the dangling chain with the uniform teleport
+    // replaced by the seed-masked vector t (1/|S| on seeds, 0 off),
+    // restart AND dangling redistribution both scaled by t, walk
+    // started from t.
+    "graph_pagerank_seeded" ->
+      """WITH e AS (
+        |  SELECT DISTINCT doc_id % 30 AS src, (doc_id // 7) % 40 AS dst
+        |  FROM documents WHERE doc_id % 30 <> (doc_id // 7) % 40),
+        |n AS (
+        |  SELECT DISTINCT v FROM (
+        |    SELECT src AS v FROM e UNION SELECT dst FROM e)),
+        |deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        |dang AS (SELECT v FROM n WHERE v NOT IN (SELECT src FROM deg)),
+        |scnt AS (SELECT CAST(count(*) AS DOUBLE) AS ns
+        |         FROM n WHERE v % 5 = 0),
+        |tv AS (
+        |  SELECT n.v,
+        |    CASE WHEN n.v % 5 = 0 THEN 1.0 / scnt.ns ELSE 0.0 END AS t
+        |  FROM n CROSS JOIN scnt),
+        |r0 AS (SELECT v, t AS pr FROM tv),
+        |d1 AS (SELECT coalesce(sum(r0.pr), 0) AS dm
+        |       FROM r0 JOIN dang USING (v)),
+        |c1 AS (
+        |  SELECT e.dst AS v, sum(r0.pr / deg.od) AS m
+        |  FROM e JOIN r0 ON e.src = r0.v JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r1 AS (
+        |  SELECT tv.v,
+        |    0.15 * tv.t + 0.85 * (coalesce(c1.m, 0) + d1.dm * tv.t) AS pr
+        |  FROM tv CROSS JOIN d1 LEFT JOIN c1 ON tv.v = c1.v),
+        |d2 AS (SELECT coalesce(sum(r1.pr), 0) AS dm
+        |       FROM r1 JOIN dang USING (v)),
+        |c2 AS (
+        |  SELECT e.dst AS v, sum(r1.pr / deg.od) AS m
+        |  FROM e JOIN r1 ON e.src = r1.v JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT tv.v,
+        |    0.15 * tv.t + 0.85 * (coalesce(c2.m, 0) + d2.dm * tv.t) AS pr
+        |  FROM tv CROSS JOIN d2 LEFT JOIN c2 ON tv.v = c2.v),
+        |d3 AS (SELECT coalesce(sum(r2.pr), 0) AS dm
+        |       FROM r2 JOIN dang USING (v)),
+        |c3 AS (
+        |  SELECT e.dst AS v, sum(r2.pr / deg.od) AS m
+        |  FROM e JOIN r2 ON e.src = r2.v JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT tv.v,
+        |    0.15 * tv.t + 0.85 * (coalesce(c3.m, 0) + d3.dm * tv.t) AS pr
+        |  FROM tv CROSS JOIN d3 LEFT JOIN c3 ON tv.v = c3.v)
         |SELECT CAST(v AS BIGINT) AS node, round(pr, 4) AS pr
         |FROM r3 ORDER BY node""".stripMargin,
     // Coreness replay: undirected fold, degree start, six h-index

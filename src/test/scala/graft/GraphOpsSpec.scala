@@ -71,6 +71,45 @@ class GraphOpsSpec extends SparkSpec {
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
   }
 
+  test("seeded PageRank: teleport mass stays on the seeds, ranks sum " +
+    "to 1, nodes unreachable from the seed set hold rank 0, and a " +
+    "uniform (all-node) seed set degenerates to the stochastic form") {
+    // s -> a -> b (b a sink) plus an island x -> y the seed never
+    // reaches: teleport-to-s only, so the island must hold zero rank
+    val g = Seq(("s", "a"), ("a", "b"), ("x", "y")).toDF("src", "dst")
+    val seeds = Seq("s").toDF("v")
+    val pr = GraphOps.pageRankSeeded(g, "src", "dst", seeds,
+        iters = 4, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9,
+      s"TrustRank form must conserve mass: $pr")
+    assert(pr("x") === 0.0 && pr("y") === 0.0,
+      s"rank must not leak to an island the seeds cannot reach: $pr")
+    assert(Seq("s", "a", "b").map(pr).forall(_ > 0.0) &&
+      math.abs(Seq("s", "a", "b").map(pr).sum - 1.0) < 1e-9,
+      s"all mass lives on the seed's reachable component: $pr")
+    // all-node seeds ≡ uniform teleport with dangling redistribution
+    val allNodes = g.select(col("src").as("v"))
+      .unionByName(g.select(col("dst").as("v"))).distinct()
+    val a = GraphOps.pageRankSeeded(g, "src", "dst", allNodes, 3, 0.85)
+      .as[(String, Double)].collect().toMap
+    val b = GraphOps.pageRank(g, "src", "dst", 3, 0.85,
+        redistributeDangling = true)
+      .as[(String, Double)].collect().toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-9,
+      s"uniform seeds must reproduce the unseeded ranks: $k $v ${b(k)}") }
+    // seeds outside the graph are ignored; an empty intersection is loud
+    val prExtra = GraphOps.pageRankSeeded(g, "src", "dst",
+        Seq("s", "zzz").toDF("v"), iters = 4, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(!prExtra.contains("zzz"))
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRankSeeded(g, "src", "dst", Seq("zzz").toDF("v"),
+        2, 0.85).collect()
+    }
+  }
+
   test("partitioning-invariant up to float noise") {
     val a = GraphOps.pageRank(edges, "src", "dst", 3, 0.85)
       .as[(Long, Double)].collect().toMap
