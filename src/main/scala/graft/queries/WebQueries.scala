@@ -2384,6 +2384,52 @@ object WebQueries {
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy("domain", "anchor")
     }),
+    // BM25F field-weighted retrieval — title/body/anchor with
+    // per-field weights and length norms, saturation applied once
+    // over the combined pseudo-frequency (Robertson & Zaragoza 2004;
+    // the web-search generalization of the hybrid keyword leg). The
+    // third field composes web_anchor_text's harvest: each doc
+    // carries the DISTINCT anchor phrases other pages aim at its
+    // domain (anchor-spam capping keeps the field domain-bounded —
+    // at web scale you cap repeated phrases exactly like this, never
+    // concatenate raw anchor streams). The oracle replays all three
+    // field folds, the document-level idf and the field-ordered +
+    // term-ordered score folds end to end.
+    "hybrid_bm25f_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.search.Hybrid
+      val d = docs(s, dir)
+      val anchors = d
+        .select(explode(HtmlOps.anchorPairs(htmlCol)).as("a"))
+        .select(UrlOps.registeredDomain(UrlOps.host(col("a.href")))
+          .as("domain"), col("a.text").as("anchor"))
+        .distinct()
+        .groupBy("domain")
+        .agg(concat_ws(" ", sort_array(collect_list(col("anchor"))))
+          .as("anchor_text"))
+      val corpus = d
+        .withColumn("title", HtmlOps.title(htmlCol))
+        .withColumn("domain", srcDomainCol)
+        .join(anchors, Seq("domain"), "left")
+        .select(col("doc_id"), col("title"), col("text"),
+          col("anchor_text"))
+        .filter(col("doc_id") >= 3)
+      val q = d.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          concat(lit("doc "), col("doc_id").cast("string"),
+            lit(" ref "),
+            element_at(split(trim(col("text")), "\\s+"), 1)).as("qtext"))
+      val scored = Hybrid.bm25f(corpus, q, "qid", "qtext", "doc_id",
+        Seq(Hybrid.Bm25Field("title", 2.0, 0.5),
+          Hybrid.Bm25Field("text", 1.0, 0.75),
+          Hybrid.Bm25Field("anchor_text", 0.5, 0.0)))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("bm25f").desc, col("doc_id").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("doc_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // End-to-end web-graph pipeline: pages -> extracted outlinks ->
     // registered-domain edges -> damped PageRank with dangling-mass
     // redistribution (doms 8-10 never host docs, so they are real
@@ -3735,6 +3781,101 @@ object WebQueries {
       |  CAST(c3.c AS BIGINT) AS coreness, true AS converged
       |FROM c0 JOIN c3 USING (a) ORDER BY domain""".stripMargin
 
+  /** BM25F replay: anchor-field assembly (distinct phrases per target
+    * domain), three per-field weighted/normalized tf folds, the
+    * field-ordered combined pseudo-frequency, document-level idf,
+    * single saturation, term-ordered score fold, top-5 — every float
+    * op mirrored in evaluation order so scores are bit-identical. */
+  private lazy val hybridBm25fSql: String =
+    s"""WITH $htmlCtes,
+      |$anchorCtes,
+      |adm AS (
+      |  SELECT DISTINCT domain, anchor FROM (
+      |    SELECT anchor, $domainExpr AS domain
+      |    FROM (SELECT doc_id, anchor, string_split($hostExpr, '.')
+      |            AS parts
+      |          FROM ax))),
+      |anchf AS (
+      |  SELECT domain, string_agg(anchor, ' ' ORDER BY anchor)
+      |    AS anchor_text
+      |  FROM adm GROUP BY domain),
+      |corpus AS (
+      |  SELECT h.doc_id,
+      |    regexp_extract(h.html, '(?is)<title[^>]*>(.*?)</title>', 1)
+      |      AS title,
+      |    h.text, a.anchor_text
+      |  FROM h
+      |  LEFT JOIN anchf a
+      |    ON a.domain = 'dom' || CAST(h.doc_id % 8 AS VARCHAR) || '.' ||
+      |       (CASE (h.doc_id % 8) % 3 WHEN 0 THEN 'com'
+      |          WHEN 1 THEN 'org' ELSE 'co.uk' END)
+      |  WHERE h.doc_id >= 3),
+      |q AS (
+      |  SELECT doc_id AS query_id,
+      |    'doc ' || CAST(doc_id AS VARCHAR) || ' ref ' ||
+      |      string_split_regex(trim(text), '\\s+')[1] AS qtext
+      |  FROM h WHERE doc_id < 3),
+      |t0 AS (SELECT doc_id AS did, unnest(string_split_regex(
+      |         lower(trim(title)), '\\s+')) AS t FROM corpus),
+      |tf0 AS (SELECT did, t, count(*) AS tf FROM t0
+      |        WHERE t <> '' GROUP BY 1, 2),
+      |fl0 AS (SELECT did, count(*) AS fl FROM t0
+      |        WHERE t <> '' GROUP BY 1),
+      |av0 AS (SELECT avg(fl) AS avgfl FROM fl0),
+      |w0 AS (SELECT tf0.did, tf0.t, 0 AS f,
+      |         2.0 * tf / (0.5 + 0.5 * fl / avgfl) AS wtf
+      |       FROM tf0 JOIN fl0 USING (did) CROSS JOIN av0),
+      |t1 AS (SELECT doc_id AS did, unnest(string_split_regex(
+      |         lower(trim(text)), '\\s+')) AS t FROM corpus),
+      |tf1 AS (SELECT did, t, count(*) AS tf FROM t1
+      |        WHERE t <> '' GROUP BY 1, 2),
+      |fl1 AS (SELECT did, count(*) AS fl FROM t1
+      |        WHERE t <> '' GROUP BY 1),
+      |av1 AS (SELECT avg(fl) AS avgfl FROM fl1),
+      |w1 AS (SELECT tf1.did, tf1.t, 1 AS f,
+      |         1.0 * tf / (0.25 + 0.75 * fl / avgfl) AS wtf
+      |       FROM tf1 JOIN fl1 USING (did) CROSS JOIN av1),
+      |t2 AS (SELECT doc_id AS did, unnest(string_split_regex(
+      |         lower(trim(anchor_text)), '\\s+')) AS t FROM corpus),
+      |tf2 AS (SELECT did, t, count(*) AS tf FROM t2
+      |        WHERE t <> '' GROUP BY 1, 2),
+      |fl2 AS (SELECT did, count(*) AS fl FROM t2
+      |        WHERE t <> '' GROUP BY 1),
+      |av2 AS (SELECT avg(fl) AS avgfl FROM fl2),
+      |w2 AS (SELECT tf2.did, tf2.t, 2 AS f,
+      |         0.5 * tf / (1.0 + 0.0 * fl / avgfl) AS wtf
+      |       FROM tf2 JOIN fl2 USING (did) CROSS JOIN av2),
+      |comb AS (SELECT * FROM w0 UNION ALL SELECT * FROM w1
+      |         UNION ALL SELECT * FROM w2),
+      |ctf AS (
+      |  SELECT did, t,
+      |    list_reduce(list_prepend(0.0, list(wtf ORDER BY f)),
+      |      (a, x) -> a + x) AS ctf
+      |  FROM comb GROUP BY did, t),
+      |dft AS (SELECT t, count(*) AS df FROM ctf GROUP BY t),
+      |ns AS (SELECT count(DISTINCT did) AS n FROM ctf),
+      |qt AS (
+      |  SELECT DISTINCT query_id, t FROM (
+      |    SELECT query_id, unnest(string_split_regex(
+      |      lower(trim(qtext)), '\\s+')) AS t
+      |    FROM q) WHERE t <> ''),
+      |m AS (
+      |  SELECT qt.query_id, c.did, c.t,
+      |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * ctf * (1.2 + 1.0) /
+      |      (ctf + 1.2) AS contrib
+      |  FROM ctf c JOIN dft USING (t) JOIN qt USING (t) CROSS JOIN ns),
+      |sc AS (
+      |  SELECT query_id, did,
+      |    list_reduce(list_prepend(0.0, list(contrib ORDER BY t)),
+      |      (a, x) -> a + x) AS s
+      |  FROM m GROUP BY 1, 2)
+      |SELECT query_id, rnk, did AS doc_id FROM (
+      |  SELECT query_id, did,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY s DESC, did) AS BIGINT) AS rnk
+      |  FROM sc)
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   /** Components replay: the seed-frontier host edges (first href per
     * page, docs < 25), symmetric closure, then min-reachable-host per
     * node via a recursive-CTE transitive closure (the dedup_groups
@@ -4896,6 +5037,7 @@ object WebQueries {
     "web_graph_triangles" -> webGraphTrianglesSql,
     "web_graph_kcores" -> webGraphKcoresSql,
     "web_graph_components" -> webGraphComponentsSql,
+    "hybrid_bm25f_topk" -> hybridBm25fSql,
     // Host-graph replay: link hosts keep their www./a. subdomains
     // (the linksCte synthesis), edges fold at HOST grain, then roll
     // to the registered target domain.

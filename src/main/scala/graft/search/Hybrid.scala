@@ -85,6 +85,90 @@ object Hybrid {
         lit(0.0), (acc, x) => acc + x("__contrib")).as("bm25"))
       .withColumnRenamed("__did", docIdCol)
 
+  /** One field of a [[bm25f]] corpus: source column, field weight
+    * `w_f`, and per-field length-normalization slope `b_f`. */
+  final case class Bm25Field(textCol: String, weight: Double, b: Double)
+
+  /** BM25F — the multi-field web-search form of BM25 (Robertson &
+    * Zaragoza, "Simple BM25 extension to multiple weighted fields",
+    * CIKM 2004; the reference's `query_type=HYBRID` keyword seam
+    * generalized to title/body/anchor scoring): each field's term
+    * frequency is length-normalized WITHIN its field and scaled by
+    * the field weight,
+    *
+    *   tf̃(t,d) = Σ_f w_f · tf_f(t,d) / B_f,
+    *   B_f = (1 − b_f) + b_f · len_f(d)/avglen_f,
+    *
+    * then saturation applies ONCE over the combined pseudo-frequency
+    * — score(q,d) = Σ_t idf(t) · tf̃·(k1+1)/(tf̃ + k1) — which is what
+    * distinguishes true BM25F from a naive weighted sum of per-field
+    * BM25 scores (saturating per field would let a term spammed
+    * across fields re-earn its saturation budget in each). idf is
+    * DOCUMENT-level: df counts docs containing the term in ANY
+    * field, N counts docs with at least one token in any field.
+    *
+    * Determinism discipline: the per-field contributions fold in
+    * FIELD order and the per-doc score folds in TERM order (sorted
+    * array folds, never a float `sum()`), so scores are
+    * bit-reproducible on any partitioning and the DuckDB oracle
+    * replays them exactly. A single field with weight 1 reduces
+    * algebraically to [[bm25]] (spec-pinned).
+    *
+    * Scale shape: one tokenize + hash-agg per field (map-side
+    * partial counts), one (doc, term) merge across fields, the same
+    * broadcast query-term probe as [[bm25]] — field count multiplies
+    * the posting build, never the query join. */
+  def bm25f(corpus: DataFrame, queries: DataFrame,
+      queryIdCol: String, queryTextCol: String,
+      docIdCol: String, fields: Seq[Bm25Field],
+      k1: Double = 1.2): DataFrame = {
+    require(fields.nonEmpty, "at least one field")
+    val perField = fields.zipWithIndex.map { case (f, i) =>
+      val ft = corpus
+        .select(col(docIdCol).as("__did"),
+          explode(split(lower(trim(col(f.textCol))), "\\s+")).as("__t"))
+        .filter(col("__t") =!= "")
+      val tf = ft.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
+      val fl = ft.groupBy("__did").agg(count(lit(1)).as("__fl"))
+      // integer lengths sum exactly (< 2^53): avg is reproducible
+      val av = fl.agg(avg("__fl").as("__avgfl"))
+      tf.join(fl, "__did").crossJoin(broadcast(av))
+        .select(col("__did"), col("__t"), lit(i).as("__f"),
+          (lit(f.weight) * col("__tf") /
+            (lit(1.0 - f.b) +
+              lit(f.b) * col("__fl") / col("__avgfl"))).as("__wtf"))
+    }
+    // combined pseudo-frequency: fold the ≤ |fields| per-field terms
+    // in FIELD order (not a float sum — shuffle-order-proof)
+    val combined = perField.reduce(_ unionByName _)
+      .groupBy("__did", "__t")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__f"), col("__wtf")))),
+        lit(0.0), (acc, x) => acc + x("__wtf")).as("__ctf"))
+    val dft = combined.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val nStats = combined.select("__did").distinct()
+      .agg(count(lit(1)).as("__n"))
+    val qterms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(
+          split(lower(trim(col(queryTextCol))), "\\s+"))).as("__t"))
+      .filter(col("__t") =!= "")
+    combined.join(dft, "__t")
+      .join(broadcast(qterms), "__t")
+      .crossJoin(broadcast(nStats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5))))
+      .withColumn("__contrib",
+        col("__idf") * col("__ctf") * (lit(k1) + lit(1.0)) /
+          (col("__ctf") + lit(k1)))
+      .groupBy(col("query_id"), col("__did"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__t"), col("__contrib")))),
+        lit(0.0), (acc, x) => acc + x("__contrib")).as("bm25f"))
+      .withColumnRenamed("__did", docIdCol)
+  }
+
   // ---------------- persisted inverted index ----------------
 
   /** Handle to a layout persisted by [[persistPostings]]. */

@@ -35,6 +35,52 @@ class HybridSpec extends SparkSpec {
       "docs sharing no term are absent")
   }
 
+  test("bm25f: a single field with weight 1 reduces to classic bm25, " +
+    "and a title hit under field weight 2 outranks an equal body hit") {
+    val q = Seq((0L, "lake spark quiet")).toDF("qid", "qtext")
+    // degenerate configuration ≡ bm25 (same b, weight 1): tf̃ = tf/B
+    // and idf·(tf/B)(k1+1)/(tf/B + k1) = idf·tf(k1+1)/(tf + k1·B)
+    val flat = Hybrid.bm25f(corpus, q, "qid", "qtext", "doc_id",
+        Seq(Hybrid.Bm25Field("text", 1.0, 0.75)))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val classic = Hybrid.bm25(corpus, q, "qid", "qtext", "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(flat.keySet === classic.keySet)
+    flat.foreach { case (d, s) =>
+      assert(math.abs(s - classic(d)) < 1e-9 * math.max(1.0, s.abs),
+        s"single-field bm25f must equal bm25 for doc $d: $s ${classic(d)}")
+    }
+    // two-field: docs 20/21 are term-twins except WHERE the term
+    // sits — the title hit must win under title weight 2
+    val fielded = Seq(
+      (20L, "migration", "birds fly far in autumn skies always"),
+      (21L, "journey", "birds migration far in autumn skies always")
+    ).toDF("doc_id", "title", "body")
+    val q2 = Seq((0L, "migration")).toDF("qid", "qtext")
+    val scores = Hybrid.bm25f(fielded, q2, "qid", "qtext", "doc_id",
+        Seq(Hybrid.Bm25Field("title", 2.0, 0.5),
+          Hybrid.Bm25Field("body", 1.0, 0.75)))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(scores(20L) > scores(21L),
+      s"weighted title hit must outrank the body hit: $scores")
+    // saturation applies ONCE over the combined tf̃: a doc carrying
+    // the term in BOTH fields scores less than the per-field scores
+    // would sum to, but more than either alone
+    val both = Seq(
+      (30L, "migration", "the migration begins at dawn today ok"),
+      (31L, "migration", "the journey begins at dawn today ok"),
+      (32L, "passage", "the migration begins at dawn today ok")
+    ).toDF("doc_id", "title", "body")
+    val s3 = Hybrid.bm25f(both, q2, "qid", "qtext", "doc_id",
+        Seq(Hybrid.Bm25Field("title", 2.0, 0.5),
+          Hybrid.Bm25Field("body", 1.0, 0.75)))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(s3(30L) > s3(31L) && s3(30L) > s3(32L),
+      s"both-fields doc leads: $s3")
+    assert(s3(30L) < s3(31L) + s3(32L),
+      s"single saturation caps the both-fields doc below the sum: $s3")
+  }
+
   test("rrf: a doc retrieved by both legs outranks single-leg winners") {
     // query text matches docs 12/13 ("lake"), query vector points at
     // doc 12's direction → doc 12 is in both legs and must fuse first
