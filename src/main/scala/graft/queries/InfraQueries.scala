@@ -1160,6 +1160,73 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // RESIDUAL IVF-PQ — the FAISS IVFPQ true form: the fine quantizer
+    // encodes x − centroid(cell), not x, so the codebook describes
+    // the tight within-cell displacement distribution instead of the
+    // whole corpus spread — the accuracy source of coarse+fine
+    // quantization at EQUAL code bytes (same m=16 subspaces × 32
+    // entries as ann_ivfpq_topk). Residuals subtract AFTER integer
+    // quantization (exact long arithmetic), the query side residuals
+    // against each PROBED cell's centroid, and the same-cell ADC join
+    // adds the centroid term back implicitly. The oracle replays cell
+    // assignment, integer residuals, residual codebooks, encode, the
+    // per-(query, cell) ADC tables and the exact refine.
+    "ann_ivfpq_residual" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val index = Ann.buildIvfDeterministic(corpus, "embedding",
+        "vec_id", 16)
+      val cb = graft.search.Pq.fitResidual(index, "embedding", "vec_id",
+        m = 16, k = 32)
+      graft.search.Pq.rerankOverIvfResidual(index,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id",
+          "embedding", k = 3, c = 4, cb, nProbe = 4,
+          metric = Metric.Cosine)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // The equal-bytes distortion head-to-head: full-vector
+    // reconstruction distortion (for the residual path,
+    // ‖q(x) − (q(c) + decode)‖² = the residual ADC distance — exact
+    // by the integer-domain residual identity) summed over the whole
+    // corpus, raw vs residual codebooks at identical m/k. On THIS
+    // fixture the synthetic embeddings are high-dim uniform, so the
+    // 16-cell coarse quantizer barely contracts distances and
+    // residuals are MORE spread than raw vectors (≈2× variance —
+    // the textbook failure mode of IVF on unclustered data); the
+    // cell is the telemetry that would surface that in production.
+    // PqSpec pins the CLUSTERED-data case, where residual encoding
+    // wins by an order of magnitude at equal bytes.
+    "ann_pq_residual_distortion" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val index = Ann.buildIvfDeterministic(corpus, "embedding",
+        "vec_id", 16)
+      val cbRaw = graft.search.Pq.fit(corpus, "embedding", "vec_id",
+        m = 16, k = 32)
+      val cbRes = graft.search.Pq.fitResidual(index, "embedding",
+        "vec_id", m = 16, k = 32)
+      val raw = corpus
+        .withColumn("__dist", graft.search.Pq.adc(
+          graft.search.Pq.encode(col("embedding"), cbRaw),
+          graft.search.Pq.intQuant(col("embedding")), cbRaw))
+        .agg(count(lit(1)).as("n"), sum("__dist").as("total_d2"),
+          round(avg("__dist"), 2).as("avg_d2"))
+        .withColumn("variant", lit("raw"))
+      val resid = index.corpusWithCell
+        .join(broadcast(index.centroids), Seq("__cell"))
+        .withColumn("__ri", graft.search.Pq.residualInt(
+          col("embedding"), col("__centroid")))
+        .withColumn("__dist", graft.search.Pq.adc(
+          graft.search.Pq.encode(col("__ri"), cbRes), col("__ri"), cbRes))
+        .agg(count(lit(1)).as("n"), sum("__dist").as("total_d2"),
+          round(avg("__dist"), 2).as("avg_d2"))
+        .withColumn("variant", lit("residual"))
+      raw.unionByName(resid)
+        .select("variant", "n", "total_d2", "avg_d2")
+        .orderBy("variant")
+    }),
     // IVF-PQ THROUGH the persisted cell-partitioned layout: one parquet
     // layout holds (pk, vector, codes); the coarse ADC stage's scan
     // reads ONLY the code column of the probed cell dirs (columnar
@@ -2698,6 +2765,173 @@ object InfraQueries {
         |  WHERE cand.cr <= 12)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
         |FROM fin WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // Residual IVF-PQ replay: deterministic cells + centroid integer
+    // components, INTEGER residuals (xi − centroid xi, exact), first-
+    // 32-rows residual codebooks, per-(vec, subspace) argmin encode,
+    // per-(query, PROBED CELL) residual ADC tables, exact refine.
+    "ann_ivfpq_residual" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |iq AS (
+        |  SELECT v.vec_id, dd.d,
+        |    CAST(floor(CAST(v.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS xi
+        |  FROM embeddings v, dims dd),
+        |dcorpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id >= 5),
+        |icents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |           AS cell, vec_id AS cvid, v AS cvec
+        |  FROM (SELECT vec_id, v FROM dcorpus ORDER BY vec_id LIMIT 16)),
+        |ci AS (
+        |  SELECT ic.cell, iq.d, iq.xi
+        |  FROM icents ic JOIN iq ON iq.vec_id = ic.cvid),
+        |asg AS (
+        |  SELECT c.vec_id, t.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_distance(c.v, t.cvec), t.cell) AS rn
+        |  FROM dcorpus c CROSS JOIN icents t),
+        |cells AS (SELECT vec_id, cell FROM asg WHERE rn = 1),
+        |rq AS (
+        |  SELECT ce.vec_id, iq.d, iq.xi - ci.xi AS ri
+        |  FROM cells ce JOIN iq ON iq.vec_id = ce.vec_id
+        |  JOIN ci ON ci.cell = ce.cell AND ci.d = iq.d),
+        |pcents AS (
+        |  SELECT vec_id, j FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        |    FROM embeddings
+        |    WHERE vec_id >= 5 AND embedding IS NOT NULL)
+        |  WHERE j < 32),
+        |cb AS (
+        |  SELECT (rq.d // 4) AS s, p.j, rq.d, rq.ri
+        |  FROM rq JOIN pcents p USING (vec_id)),
+        |cdist AS (
+        |  SELECT rq.vec_id, cb.s, cb.j,
+        |    sum((rq.ri - cb.ri) * (rq.ri - cb.ri)) AS d2
+        |  FROM rq JOIN cb ON cb.d = rq.d
+        |  GROUP BY rq.vec_id, cb.s, cb.j),
+        |codes AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT vec_id, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d2, j) AS rn
+        |    FROM cdist) WHERE rn = 1),
+        |qs AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |probe AS (
+        |  SELECT q.query_id, t.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_distance(q.qv, t.cvec), t.cell) AS pr
+        |  FROM qs q CROSS JOIN icents t),
+        |pc AS (SELECT query_id, cell FROM probe WHERE pr <= 4),
+        |qres AS (
+        |  SELECT p.query_id, p.cell, iq.d, iq.xi - ci.xi AS qri
+        |  FROM pc p JOIN iq ON iq.vec_id = p.query_id
+        |  JOIN ci ON ci.cell = p.cell AND ci.d = iq.d),
+        |qtab AS (
+        |  SELECT qr.query_id, qr.cell, cb.s, cb.j,
+        |    sum((qr.qri - cb.ri) * (qr.qri - cb.ri)) AS d2
+        |  FROM qres qr JOIN cb ON cb.d = qr.d
+        |  GROUP BY qr.query_id, qr.cell, cb.s, cb.j),
+        |cpair AS (
+        |  SELECT p.query_id, c.vec_id, c.cell
+        |  FROM pc p JOIN cells c USING (cell)),
+        |adc AS (
+        |  SELECT cp.query_id, cp.vec_id, sum(q.d2) AS dist
+        |  FROM cpair cp
+        |  JOIN codes co ON co.vec_id = cp.vec_id
+        |  JOIN qtab q ON q.query_id = cp.query_id AND q.cell = cp.cell
+        |    AND q.s = co.s AND q.j = co.j
+        |  GROUP BY cp.query_id, cp.vec_id),
+        |cand AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist, vec_id) AS cr
+        |  FROM adc),
+        |fin AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    row_number() OVER (PARTITION BY cand.query_id ORDER BY
+        |      CASE WHEN list_dot_product(ce.v, ce.v) = 0
+        |             OR list_dot_product(qe.qv, qe.qv) = 0 THEN 0
+        |           ELSE list_dot_product(ce.v, qe.qv)
+        |                / (sqrt(list_dot_product(ce.v, ce.v))
+        |                   * sqrt(list_dot_product(qe.qv, qe.qv)))
+        |      END DESC, cand.vec_id) AS rnk
+        |  FROM cand
+        |  JOIN dcorpus ce ON ce.vec_id = cand.vec_id
+        |  JOIN qs qe ON qe.query_id = cand.query_id
+        |  WHERE cand.cr <= 12)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM fin WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // Equal-bytes distortion head-to-head: raw first-32 codebooks vs
+    // residual first-32 codebooks over the SAME corpus and integer
+    // grid — per-(vec, subspace) min distance summed, per variant.
+    "ann_pq_residual_distortion" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+        |iq AS (
+        |  SELECT v.vec_id, dd.d,
+        |    CAST(floor(CAST(v.embedding[dd.d + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS xi
+        |  FROM embeddings v, dims dd),
+        |pcents AS (
+        |  SELECT vec_id, j FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        |    FROM embeddings
+        |    WHERE vec_id >= 5 AND embedding IS NOT NULL)
+        |  WHERE j < 32),
+        |cbraw AS (
+        |  SELECT (iq.d // 4) AS s, c.j, iq.d, iq.xi
+        |  FROM iq JOIN pcents c USING (vec_id)),
+        |rawdist AS (
+        |  SELECT iq.vec_id, b.s, b.j,
+        |    sum((iq.xi - b.xi) * (iq.xi - b.xi)) AS d2
+        |  FROM iq JOIN cbraw b ON b.d = iq.d
+        |  WHERE iq.vec_id >= 5
+        |  GROUP BY iq.vec_id, b.s, b.j),
+        |dcorpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id >= 5),
+        |icents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |           AS cell, vec_id AS cvid, v AS cvec
+        |  FROM (SELECT vec_id, v FROM dcorpus ORDER BY vec_id LIMIT 16)),
+        |ci AS (
+        |  SELECT ic.cell, iq.d, iq.xi
+        |  FROM icents ic JOIN iq ON iq.vec_id = ic.cvid),
+        |asg AS (
+        |  SELECT c.vec_id, t.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_distance(c.v, t.cvec), t.cell) AS rn
+        |  FROM dcorpus c CROSS JOIN icents t),
+        |cells AS (SELECT vec_id, cell FROM asg WHERE rn = 1),
+        |rq AS (
+        |  SELECT ce.vec_id, iq.d, iq.xi - ci.xi AS ri
+        |  FROM cells ce JOIN iq ON iq.vec_id = ce.vec_id
+        |  JOIN ci ON ci.cell = ce.cell AND ci.d = iq.d),
+        |cbres AS (
+        |  SELECT (rq.d // 4) AS s, p.j, rq.d, rq.ri
+        |  FROM rq JOIN pcents p USING (vec_id)),
+        |resdist AS (
+        |  SELECT rq.vec_id, b.s, b.j,
+        |    sum((rq.ri - b.ri) * (rq.ri - b.ri)) AS d2
+        |  FROM rq JOIN cbres b ON b.d = rq.d
+        |  GROUP BY rq.vec_id, b.s, b.j),
+        |alldist AS (
+        |  SELECT 'raw' AS variant, vec_id, s, j, d2 FROM rawdist
+        |  UNION ALL
+        |  SELECT 'residual' AS variant, vec_id, s, j, d2 FROM resdist),
+        |mind AS (
+        |  SELECT variant, vec_id, s, min(d2) AS md
+        |  FROM alldist GROUP BY variant, vec_id, s),
+        |perrow AS (
+        |  SELECT variant, vec_id, CAST(sum(md) AS BIGINT) AS dist
+        |  FROM mind GROUP BY variant, vec_id)
+        |SELECT variant,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(dist) AS BIGINT) AS total_d2,
+        |  round(avg(dist), 2) AS avg_d2
+        |FROM perrow GROUP BY variant ORDER BY variant""".stripMargin,
     // Replays PQ end to end: integer quantization floor(x*2^20),
     // codebooks = first-32 corpus rows' sub-vectors, per-(vec,subspace)
     // argmin encode (ties -> lowest centroid), ADC = sum of the coded

@@ -103,6 +103,40 @@ object Pq {
   def intQuant(c: Column): Column =
     transform(c, x => floor(x.cast("double") * lit(Scale)).cast("long"))
 
+  /** INTEGER-domain residual: floor(x·S) − floor(c·S) per component.
+    * Subtracting AFTER quantization keeps the residual exact long
+    * arithmetic (no float subtraction, no rounding drift), so
+    * q(x) = q(c) + r holds bit-for-bit and the residual ADC distance
+    * IS the full-vector quantized distance — the property that lets
+    * the oracle replay residual encoding with plain integer SQL. */
+  def residualInt(vec: Column, cent: Column): Column =
+    zip_with(intQuant(vec), intQuant(cent), (a, b) => a - b)
+
+  /** RESIDUAL codebooks for IVF-PQ (FAISS IVFPQ's actual form, Jégou
+    * et al. 2011 §V-A: the fine quantizer encodes x − centroid(cell),
+    * not x — within-cell displacements cluster far tighter than raw
+    * vectors, which is what makes coarse+fine quantization accurate
+    * at equal code bytes). Deterministic analog of [[fit]]: the
+    * first `k` corpus rows by id contribute their integer residuals
+    * relative to their OWN assigned cell's centroid. Driver-small
+    * (k × D longs), a pure function of (corpus, centroids). */
+  def fitResidual(index: Ann.IvfIndex, vecCol: String, idCol: String,
+      m: Int, k: Int): Codebooks = {
+    val rows = index.corpusWithCell.filter(col(vecCol).isNotNull)
+      .join(broadcast(index.centroids), Seq("__cell"))
+      .orderBy(col(idCol).asc).limit(k)
+      .select(residualInt(col(vecCol), col("__centroid")))
+      .collect().map(_.getSeq[Long](0).toArray)
+    require(rows.nonEmpty, "PQ fitResidual needs a non-empty corpus")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val cb = Array.tabulate(m, rows.length, dsub) { (s, j, d) =>
+      rows(j)(s * dsub + d)
+    }
+    Codebooks(m, dsub, rows.length, cb)
+  }
+
   def encode(c: Column, cb: Codebooks): Column =
     Bridge.column(PqEncode(Bridge.expression(c), cb))
 
@@ -137,6 +171,53 @@ object Pq {
     val coded = index.corpusWithCell
       .filter(col(corpusVecCol).isNotNull)
       .withColumn("__codes", encode(col(corpusVecCol), cb))
+    val coarse = coded.join(broadcast(probed), Seq("__cell"))
+      .withColumn("__adc", adc(col("__codes"), col("__qint"), cb))
+      .withColumn("__crk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("__adc").asc, col(corpusPkCol).asc)))
+      .filter(col("__crk") <= k * c)
+    val scored = coarse.withColumn("score",
+      VF.distance(col(corpusVecCol), col("__qvec"), metric))
+    val w = Window.partitionBy("query_id")
+      .orderBy(Knn.scoreOrder(col("score"), metric), col(corpusPkCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(corpusPkCol), col("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** RESIDUAL IVF-PQ — [[rerankOverIvf]] with the fine quantizer
+    * encoding x − centroid(cell) instead of x (FAISS IVFPQ's true
+    * form). The query side quantizes q − centroid per PROBED cell
+    * (nProbe residuals per query, broadcast-tiny), and because the
+    * coarse join matches codes to query residuals of the SAME cell,
+    * ADC directly approximates ‖q − x‖² with the centroid term
+    * implicitly added back — no separate correction needed. Same
+    * three-prune plan shape as the raw variant; the codebook just
+    * describes a tighter distribution at equal code bytes. */
+  def rerankOverIvfResidual(index: Ann.IvfIndex, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, corpusPkCol: String,
+      corpusVecCol: String, k: Int, c: Int, cb: Codebooks, nProbe: Int,
+      metric: Metric = Metric.Cosine): DataFrame = {
+    val q = queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qvec"))
+    val probed = q.crossJoin(broadcast(index.centroids))
+      .withColumn("__cdist", VF.l2(col("__qvec"), col("__centroid")))
+      .withColumn("__cr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__cdist").asc,
+          col("__cell").asc)))
+      .filter(col("__cr") <= nProbe)
+      .select(col("query_id"), col("__qvec"),
+        residualInt(col("__qvec"), col("__centroid")).as("__qint"),
+        col("__cell"))
+    val coded = index.corpusWithCell
+      .filter(col(corpusVecCol).isNotNull)
+      .join(broadcast(index.centroids), Seq("__cell"))
+      .withColumn("__codes",
+        encode(residualInt(col(corpusVecCol), col("__centroid")), cb))
+      .drop("__centroid")
     val coarse = coded.join(broadcast(probed), Seq("__cell"))
       .withColumn("__adc", adc(col("__codes"), col("__qint"), cb))
       .withColumn("__crk", row_number().over(
@@ -340,16 +421,21 @@ object Pq {
 }
 
 /** Per-subspace argmin over the codebook: `codes(s)` = index of the
-  * nearest centroid (integer L2², ties → lowest index). */
+  * nearest centroid (integer L2², ties → lowest index). A long-array
+  * input is taken as ALREADY-quantized integer components (the
+  * residual path feeds `residualInt` output); float/double inputs
+  * quantize with floor(x · 2^20) first. */
 case class PqEncode(child: Expression, cb: Pq.Codebooks)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType =
     ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_encode"
 
-  @transient private lazy val isFloat = child.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  // 0 = float, 1 = double, 2 = pre-quantized long
+  @transient private lazy val inKind: Int = child.dataType match {
+    case ArrayType(FloatType, _) => 0
+    case ArrayType(LongType, _) => 2
+    case _ => 1
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -365,9 +451,13 @@ case class PqEncode(child: Expression, cb: Pq.Codebooks)
         var d = 0
         while (d < cb.dsub) {
           val idx = s * cb.dsub + d
-          val x =
-            if (isFloat) arr.getFloat(idx).toDouble else arr.getDouble(idx)
-          val diff = math.floor(x * Pq.Scale).toLong - cb.cb(s)(j)(d)
+          val xi = inKind match {
+            case 0 =>
+              math.floor(arr.getFloat(idx).toDouble * Pq.Scale).toLong
+            case 2 => arr.getLong(idx)
+            case _ => math.floor(arr.getDouble(idx) * Pq.Scale).toLong
+          }
+          val diff = xi - cb.cb(s)(j)(d)
           d2 += diff * diff
           d += 1
         }

@@ -90,6 +90,59 @@ class PqSpec extends SparkSpec {
     assert(mean >= 0.3, s"mean recall $mean too low")
   }
 
+  test("residual IVF-PQ: degenerate c at full probe equals exact " +
+    "brute force (refine correctness through the residual path)") {
+    import graft.search.Ann
+    val index = Ann.buildIvfDeterministic(corpus, "embedding", "vec_id",
+      k = 8)
+    val cb = Pq.fitResidual(index, "embedding", "vec_id", m = 8, k = 16)
+    val n = corpus.count().toInt
+    val res = key(Pq.rerankOverIvfResidual(index, queries, "vec_id",
+      "embedding", "vec_id", "embedding", k = 3, c = n, cb, nProbe = 8,
+      Metric.Cosine))
+    val exact = key(Knn.batchQuery(corpus, queries, "embedding", "vec_id",
+      "embedding", "vec_id", k = 3, Metric.Cosine))
+    assert(res === exact)
+  }
+
+  test("residual codebooks beat raw codebooks on CLUSTERED data at " +
+    "equal bytes — the FAISS IVFPQ accuracy source") {
+    import graft.search.Ann
+    // 32 tight clusters in 64-dim (one-hot centers, ~5e-4 offsets)
+    // against 16-entry codebooks: raw PQ cannot cover 32 cluster
+    // positions with 16 entries per subspace, while the 32-cell
+    // coarse quantizer absorbs the macro-structure and leaves the
+    // fine quantizer only the tiny residual cloud — exactly the
+    // division of labor that makes IVFPQ accurate at equal bytes
+    val rows = (0L until 256L).map { id =>
+      val c = (id % 32).toInt
+      val v = Array.tabulate(64) { d =>
+        val center = if (d == 2 * c) 1.0f else 0.0f
+        center + (((id * 37 + d * 17) % 13).toInt - 6) * 0.0005f
+      }
+      (id, v.toSeq)
+    }
+    val cdf = rows.toDF("vec_id", "embedding")
+    val index = Ann.buildIvfDeterministic(cdf, "embedding", "vec_id",
+      k = 32)
+    val cbRaw = Pq.fit(cdf, "embedding", "vec_id", m = 8, k = 16)
+    val cbRes = Pq.fitResidual(index, "embedding", "vec_id", m = 8,
+      k = 16)
+    val rawD = cdf
+      .select(Pq.adc(Pq.encode($"embedding", cbRaw),
+        Pq.intQuant($"embedding"), cbRaw).as("d"))
+      .agg(sum("d")).head().getLong(0)
+    val resD = index.corpusWithCell
+      .join(broadcast(index.centroids), Seq("__cell"))
+      .withColumn("__ri", Pq.residualInt($"embedding", $"__centroid"))
+      .select(Pq.adc(Pq.encode($"__ri", cbRes), $"__ri", cbRes).as("d"))
+      .agg(sum("d")).head().getLong(0)
+    info(s"clustered distortion raw=$rawD residual=$resD")
+    assert(resD < rawD / 2,
+      s"residual encoding must win decisively on clustered data: " +
+        s"raw=$rawD residual=$resD")
+  }
+
   test("encode + rerank are deterministic run to run") {
     val cb = Pq.fit(corpus, "embedding", "vec_id", m = 8, k = 16)
     def run() = key(Pq.rerank(corpus, queries, "embedding", "vec_id",
