@@ -1160,6 +1160,33 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // Late-interaction MaxSim retrieval (ColBERT): docs and queries
+    // as BAGS of per-token vectors, score = Σ per query token of the
+    // max cosine over the doc's tokens — term-level interaction the
+    // pooled ANN legs erase. Token fixture: each 64-dim embedding
+    // splits into 8 tokens × 8 dims (deterministic, oracle-shared).
+    // The plan is the PLAID two-stage shape: candidates from ONE
+    // sign-LSH bucket equi-join (never an unguarded
+    // queries × tokens × corpus product), exact MaxSim over the
+    // candidate pairs only. The oracle replays token slicing, the
+    // integer sign buckets, candidate generation, every double
+    // cosine, the per-token max and the token-ordered sum.
+    "ann_maxsim_topk" -> ((s, dir) => {
+      import graft.search.MaxSim
+      val e = emb(s, dir).filter(col("embedding").isNotNull)
+      def toks(df: DataFrame) = df
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(7))).as("ti"),
+          col("embedding"))
+        .select(col("vec_id"), col("ti"),
+          slice(col("embedding"), col("ti") * 8 + 1, lit(8)).as("tv"))
+      MaxSim.topK(toks(e.filter(col("vec_id") >= 5)), "vec_id", "tv",
+          toks(e.filter(col("vec_id") < 5)), "vec_id", "ti", "tv",
+          k = 5, bits = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // RESIDUAL IVF-PQ — the FAISS IVFPQ true form: the fine quantizer
     // encodes x − centroid(cell), not x, so the codebook describes
     // the tight within-cell displacement distribution instead of the
@@ -2765,6 +2792,65 @@ object InfraQueries {
         |  WHERE cand.cr <= 12)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
         |FROM fin WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // MaxSim replay: 8×8 token slices, integer sign-pair buckets,
+    // bucket-join candidates, exact double cosines, per-query-token
+    // max, token-ordered sum, top-5.
+    "ann_maxsim_topk" ->
+      """WITH toks AS (SELECT unnest(range(0, 8)) AS ti),
+        |dt AS (
+        |  SELECT vec_id, t.ti,
+        |    (embedding::DOUBLE[])[t.ti*8 + 1 : t.ti*8 + 8] AS v
+        |  FROM embeddings, toks t
+        |  WHERE vec_id >= 5 AND embedding IS NOT NULL),
+        |qt AS (
+        |  SELECT vec_id AS query_id, t.ti,
+        |    (embedding::DOUBLE[])[t.ti*8 + 1 : t.ti*8 + 8] AS v
+        |  FROM embeddings, toks t
+        |  WHERE vec_id < 5 AND embedding IS NOT NULL),
+        |db AS (
+        |  SELECT vec_id,
+        |    (CASE WHEN xi[1] + xi[2] >= 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN xi[3] + xi[4] >= 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN xi[5] + xi[6] >= 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN xi[7] + xi[8] >= 0 THEN 8 ELSE 0 END) AS b
+        |  FROM (SELECT vec_id, list_transform(v,
+        |          x -> CAST(floor(x * 1048576) AS BIGINT)) AS xi
+        |        FROM dt)),
+        |qb AS (
+        |  SELECT query_id,
+        |    (CASE WHEN xi[1] + xi[2] >= 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN xi[3] + xi[4] >= 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN xi[5] + xi[6] >= 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN xi[7] + xi[8] >= 0 THEN 8 ELSE 0 END) AS b
+        |  FROM (SELECT query_id, list_transform(v,
+        |          x -> CAST(floor(x * 1048576) AS BIGINT)) AS xi
+        |        FROM qt)),
+        |cand AS (
+        |  SELECT DISTINCT q.query_id, d.vec_id
+        |  FROM (SELECT DISTINCT query_id, b FROM qb) q
+        |  JOIN (SELECT DISTINCT vec_id, b FROM db) d USING (b)),
+        |pcos AS (
+        |  SELECT c.query_id, c.vec_id, q.ti,
+        |    max(CASE WHEN list_dot_product(q.v, q.v) = 0
+        |          OR list_dot_product(d.v, d.v) = 0 THEN 0
+        |        ELSE list_dot_product(q.v, d.v)
+        |             / (sqrt(list_dot_product(q.v, q.v))
+        |                * sqrt(list_dot_product(d.v, d.v))) END) AS m
+        |  FROM cand c
+        |  JOIN qt q ON q.query_id = c.query_id
+        |  JOIN dt d ON d.vec_id = c.vec_id
+        |  GROUP BY c.query_id, c.vec_id, q.ti),
+        |sc AS (
+        |  SELECT query_id, vec_id,
+        |    list_reduce(list_prepend(0.0, list(m ORDER BY ti)),
+        |      (a, x) -> a + x) AS s
+        |  FROM pcos GROUP BY query_id, vec_id)
+        |SELECT query_id, rnk, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY s DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // Residual IVF-PQ replay: deterministic cells + centroid integer
     // components, INTEGER residuals (xi − centroid xi, exact), first-
     // 32-rows residual codebooks, per-(vec, subspace) argmin encode,

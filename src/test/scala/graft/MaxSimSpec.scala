@@ -1,0 +1,64 @@
+package graft
+
+import graft.search.MaxSim
+import org.apache.spark.sql.functions._
+
+/** MaxSim late-interaction semantics: hand-computed scores, the
+  * bits=0 brute-force equivalence, bucket pruning, determinism. */
+class MaxSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2-dim token vectors; doc 1 matches both query tokens exactly,
+  // doc 2 matches one exactly and one diagonally, doc 3's only token
+  // points opposite (negative bucket — prunable)
+  private def docToks = Seq(
+    (1L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+    (2L, Seq(0.5f, 0.5f)), (2L, Seq(1.0f, 0.0f)),
+    (3L, Seq(-1.0f, -1.0f))
+  ).toDF("doc_id", "tv")
+
+  private def qToks = Seq(
+    (0L, 0, Seq(1.0f, 0.0f)), (0L, 1, Seq(0.0f, 1.0f))
+  ).toDF("qid", "ti", "tv")
+
+  test("hand-computed MaxSim: exact-match doc scores |q| tokens, the " +
+    "partial match scores 1 + cos45°") {
+    val out = MaxSim.topK(docToks, "doc_id", "tv", qToks, "qid", "ti",
+        "tv", k = 3, bits = 0)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(math.abs(out(1L) - 2.0) < 1e-12,
+      s"both query tokens find exact matches in doc 1: $out")
+    assert(math.abs(out(2L) - (1.0 + math.sqrt(2) / 2)) < 1e-12,
+      s"doc 2: token 0 -> exact, token 1 -> diagonal: $out")
+    assert(out(1L) > out(2L))
+  }
+
+  test("bits=0 disables pruning: every doc is scored (brute force), " +
+    "and a 1-bit bucket join prunes the opposite-sign doc") {
+    val full = MaxSim.topK(docToks, "doc_id", "tv", qToks, "qid", "ti",
+        "tv", k = 3, bits = 0)
+      .collect().map(_.getLong(2)).toSet
+    assert(full === Set(1L, 2L, 3L), "brute force sees every doc")
+    val pruned = MaxSim.topK(docToks, "doc_id", "tv", qToks, "qid", "ti",
+        "tv", k = 3, bits = 1)
+      .collect()
+    assert(pruned.map(_.getLong(2)).toSet === Set(1L, 2L),
+      "doc 3's only token lives in the other sign bucket")
+    // survivors keep their EXACT scores — pruning never approximates
+    // the scoring of candidates
+    val fullScores = MaxSim.topK(docToks, "doc_id", "tv", qToks, "qid",
+        "ti", "tv", k = 3, bits = 0)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    pruned.foreach(r =>
+      assert(r.getDouble(3) === fullScores(r.getLong(2))))
+  }
+
+  test("deterministic under repartitioning") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      MaxSim.topK(df, "doc_id", "tv", qToks, "qid", "ti", "tv",
+          k = 3, bits = 0)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    assert(run(docToks.repartition(7)) === run(docToks.coalesce(1)))
+  }
+}
