@@ -1348,6 +1348,68 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // Residual IVF-PQ THROUGH the persisted layout: codes persist
+    // residual-encoded, the codebook side file carries the
+    // `__residual` marker, and queryPersistedIvfPq SELF-DESCRIBES —
+    // it reads the marker and quantizes the query against each
+    // probed cell's centroid. Identical results to
+    // rerankOverIvfResidual by construction -> shares
+    // ann_ivfpq_residual's oracle.
+    "ann_ivfpq_residual_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val index = Ann.buildIvfDeterministic(corpus, "embedding",
+        "vec_id", 16)
+      val cb = graft.search.Pq.fitResidual(index, "embedding", "vec_id",
+        m = 16, k = 32)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pivfpqr/" +
+        dir.replaceAll("[^0-9.]", "")
+      val idx = graft.search.Pq.persistIvfPqResidual(index, cb,
+        "embedding", root)
+      graft.search.Pq.queryPersistedIvfPq(s, idx,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, c = 4, nProbe = 4,
+          metric = Metric.Cosine)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // CDF maintenance of the RESIDUAL layout under the frozen
+    // centroid + codebook contract: the sync path reads the marker,
+    // assigns each change row's cell with the persisted centroids
+    // (the same deterministic argmin the downstream merge performs)
+    // and re-encodes the residual against it. Delete ten, re-insert
+    // them -> the layout must be bit-identical to the untouched
+    // build, so the cell shares ann_ivfpq_residual's oracle.
+    "ann_ivfpq_residual_synced" -> ((s, dir) => {
+      import graft.index.ChangeLog
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val index = Ann.buildIvfDeterministic(corpus, "embedding",
+        "vec_id", 16)
+      val cb = graft.search.Pq.fitResidual(index, "embedding", "vec_id",
+        m = 16, k = 32)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pivfpqrs/" +
+        dir.replaceAll("[^0-9.]", "")
+      val idx = graft.search.Pq.persistIvfPqResidual(index, cb,
+        "embedding", root)
+      val victims = corpus.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+      graft.search.Pq.syncPersistedIvfPq(s, idx,
+        victims.withColumn("__op", lit(ChangeLog.OpDelete))
+          .withColumn("__seq", lit(1L)),
+        "vec_id", "embedding")
+      graft.search.Pq.syncPersistedIvfPq(s, idx,
+        victims.withColumn("__op", lit(ChangeLog.OpInsert))
+          .withColumn("__seq", lit(2L)),
+        "vec_id", "embedding")
+      graft.search.Pq.queryPersistedIvfPq(s, idx,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, c = 4, nProbe = 4,
+          metric = Metric.Cosine)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // Graph ANN (the HNSW stand-in) at REALISTIC parameters: exact
     // 6-NN graph on a bounded corpus block, then 3 hops of BEST-FIRST
     // beam-4 search (visited-set expansion, HNSW's discipline) from
@@ -4832,6 +4894,10 @@ object InfraQueries {
       ("ann_sq8_persisted" -> baseOracleSql("ann_sq8_rerank")) +
       ("ann_ivfpq_persisted" -> baseOracleSql("ann_ivfpq_topk")) +
       ("ann_ivfpq_synced" -> baseOracleSql("ann_ivfpq_topk")) +
+      ("ann_ivfpq_residual_persisted" ->
+        baseOracleSql("ann_ivfpq_residual")) +
+      ("ann_ivfpq_residual_synced" ->
+        baseOracleSql("ann_ivfpq_residual")) +
       ("ann_ivf_synced_balanced" -> baseOracleSql("ann_ivf_synced")) +
       ("ann_ivf_stream_synced" -> baseOracleSql("ann_ivf_synced")) +
       // trained centroids + persisted delta path: re-train on the

@@ -256,16 +256,45 @@ object Pq {
       path: String): PersistedIvfPq = {
     val withCodes = index.corpusWithCell
       .withColumn("__codes", encode(col(vecCol), cb))
+    writeIvfPqLayout(index, withCodes, cb, path, residual = false)
+  }
+
+  /** [[persistIvfPq]] with RESIDUAL codes: rows encode
+    * x − centroid(cell) against [[fitResidual]] codebooks, and the
+    * codebook side file carries a `__residual` marker so the layout
+    * is SELF-DESCRIBING — [[queryPersistedIvfPq]] and
+    * [[syncPersistedIvfPq]] read the marker and pick the matching
+    * encode/probe arithmetic; no caller flag to get wrong, and
+    * [[mergeIvfPqShards]]'s codebook-equality guard refuses a
+    * raw/residual shard mix for free (the marker is part of the
+    * compared rows). */
+  def persistIvfPqResidual(index: Ann.IvfIndex, cb: Codebooks,
+      vecCol: String, path: String): PersistedIvfPq = {
+    val withCodes = index.corpusWithCell
+      .join(broadcast(index.centroids), Seq("__cell"))
+      .withColumn("__codes",
+        encode(residualInt(col(vecCol), col("__centroid")), cb))
+      .drop("__centroid")
+    writeIvfPqLayout(index, withCodes, cb, path, residual = true)
+  }
+
+  private def writeIvfPqLayout(index: Ann.IvfIndex, withCodes: DataFrame,
+      cb: Codebooks, path: String, residual: Boolean): PersistedIvfPq = {
     Ann.persistIvf(Ann.IvfIndex(withCodes, index.centroids, index.splits),
       path)
     val spark = index.corpusWithCell.sparkSession
     import spark.implicits._
     val rows = for { s <- 0 until cb.m; j <- 0 until cb.k }
       yield (s, j, cb.cb(s)(j).toSeq)
-    rows.toDF("__s", "__j", "__comps").coalesce(1)
-      .write.mode("overwrite").parquet(path + "_codebooks")
+    val base = rows.toDF("__s", "__j", "__comps")
+    (if (residual) base.withColumn("__residual", lit(true)) else base)
+      .coalesce(1).write.mode("overwrite").parquet(path + "_codebooks")
     PersistedIvfPq(path)
   }
+
+  /** Does the layout's codebook side file carry the residual marker? */
+  def isResidualLayout(spark: SparkSession, path: String): Boolean =
+    spark.read.parquet(path + "_codebooks").columns.contains("__residual")
 
   /** Merge N shard layouts (each a [[persistIvfPq]] over one corpus
     * shard built against the SAME centroids and codebooks) into one
@@ -284,10 +313,16 @@ object Pq {
     import org.apache.hadoop.fs.Path
     val fs = new Path(destPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def cbRows(p: String): Seq[(Int, Int, Seq[Long])] =
-      spark.read.parquet(p + "_codebooks").orderBy("__s", "__j")
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
-        .toSeq
+    // the residual marker is compared alongside the entries: a raw
+    // and a residual shard must never merge even if their codebook
+    // VALUES happened to coincide
+    def cbRows(p: String): (Boolean, Seq[(Int, Int, Seq[Long])]) =
+      (isResidualLayout(spark, p),
+        spark.read.parquet(p + "_codebooks").orderBy("__s", "__j")
+          .select("__s", "__j", "__comps")
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+          .toSeq)
     val ref = cbRows(shardPaths.head)
     shardPaths.tail.foreach { p =>
       require(cbRows(p) == ref,
@@ -335,18 +370,26 @@ object Pq {
       nProbe: Int, metric: Metric = Metric.Cosine,
       rowFilter: Option[Column] = None): DataFrame = {
     val cb = loadCodebooks(spark, idx.path)
+    val residual = isResidualLayout(spark, idx.path)
     val cents = spark.read.parquet(idx.path + "_centroids")
     val q = queries.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol).as("query_id"),
-        col(queryVecCol).as("__qvec"),
-        intQuant(col(queryVecCol)).as("__qint"))
+        col(queryVecCol).as("__qvec"))
+    // the layout self-describes: a residual layout quantizes the
+    // query AGAINST each probed cell's centroid (q − c, the FAISS
+    // IVFPQ probe arithmetic); a raw layout quantizes q once — the
+    // per-probed-row intQuant below is nProbe-bounded either way
+    val qint =
+      if (residual) residualInt(col("__qvec"), col("__centroid"))
+      else intQuant(col("__qvec"))
     val probed = q.crossJoin(broadcast(cents))
       .withColumn("__cdist", VF.l2(col("__qvec"), col("__centroid")))
       .withColumn("__cr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("__cdist").asc,
           col("__cell").asc)))
       .filter(col("__cr") <= nProbe)
-      .select(col("query_id"), col("__qvec"), col("__qint"), col("__cell"))
+      .select(col("query_id"), col("__qvec"), qint.as("__qint"),
+        col("__cell"))
     val cells = probed.select("__cell").distinct()
       .collect().map(_.getInt(0)).toSeq
     val prunedScan = spark.read.parquet(idx.path)
@@ -385,9 +428,35 @@ object Pq {
   def syncPersistedIvfPq(spark: SparkSession, idx: PersistedIvfPq,
       changes: DataFrame, pkCol: String, vecCol: String): Unit = {
     val cb = loadCodebooks(spark, idx.path)
+    val withCodes =
+      if (!isResidualLayout(spark, idx.path))
+        changes.withColumn("__codes", encode(col(vecCol), cb))
+      else {
+        // residual layout: a change row's code depends on its CELL,
+        // so assign it here with the persisted centroids — the same
+        // deterministic (distance, cell) argmin syncPersistedIvf
+        // performs downstream, so the two assignments agree — then
+        // encode x − centroid. Delete/null-vector rows pass through
+        // with null codes (they never reach the layout).
+        val cents = spark.read.parquet(idx.path + "_centroids")
+        val w = Window.partitionBy(col(pkCol), col("__seq"))
+          .orderBy(col("__cdist").asc, col("__cell").asc)
+        val encoded = changes.filter(col(vecCol).isNotNull)
+          .crossJoin(broadcast(cents))
+          .withColumn("__cdist", VF.l2(col(vecCol), col("__centroid")))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .withColumn("__codes",
+            encode(residualInt(col(vecCol), col("__centroid")), cb))
+          .drop("__cdist", "__rn", "__centroid", "__cell")
+        changes.filter(col(vecCol).isNull)
+          .withColumn("__codes",
+            lit(null).cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType, false)))
+          .unionByName(encoded)
+      }
     Ann.syncPersistedIvf(spark, Ann.PersistedIvf(idx.path),
-      changes.withColumn("__codes", encode(col(vecCol), cb)),
-      pkCol, vecCol)
+      withCodes, pkCol, vecCol)
   }
 
   /** PQ retrieve-then-rerank: coarse top-k·c per query by ADC over the

@@ -202,6 +202,65 @@ class PersistedIvfSpec extends SparkSpec {
       "delete + re-insert must round-trip to the original layout")
   }
 
+  test("persisted RESIDUAL IVF-PQ: the layout self-describes via the " +
+      "codebook marker, disk == mem, delete+reinsert round-trips " +
+      "through the residual sync path") {
+    import graft.index.ChangeLog
+    import graft.search.Pq
+    val path = Files.createTempDirectory("graft_pivfpq_r").toString + "/idx"
+    val built = Ann.buildIvfDeterministic(corpus, "embedding", "vec_id", 8)
+    val cb = Pq.fitResidual(built, "embedding", "vec_id", m = 16, k = 16)
+    val idx = Pq.persistIvfPqResidual(built, cb, "embedding", path)
+    assert(Pq.isResidualLayout(spark, path), "marker must persist")
+    // loadCodebooks ignores the marker column
+    val loaded = Pq.loadCodebooks(spark, path)
+    assert(loaded.cb.flatten.flatten.toSeq === cb.cb.flatten.flatten.toSeq)
+    // the self-describing query path matches the in-memory residual leg
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val out = key(Pq.queryPersistedIvfPq(spark, idx, queries, "vec_id",
+      "embedding", "vec_id", "embedding", k = 3, c = 4, nProbe = 2))
+    val mem = key(Pq.rerankOverIvfResidual(built, queries, "vec_id",
+      "embedding", "vec_id", "embedding", k = 3, c = 4, cb, nProbe = 2))
+    assert(out === mem && mem.nonEmpty)
+    // delete + re-insert restores the exact layout: cells from the
+    // frozen centroids, codes re-encoded as residuals against them
+    val snapshot = spark.read.parquet(path)
+      .select($"vec_id", $"__cell", $"__codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2))).toSet
+    val victims = corpus.filter($"vec_id" >= 20 && $"vec_id" < 25)
+    Pq.syncPersistedIvfPq(spark, idx,
+      victims.withColumn("__op", lit(ChangeLog.OpDelete))
+        .withColumn("__seq", lit(1L)),
+      "vec_id", "embedding")
+    assert(!spark.read.parquet(path).select("vec_id").as[Long]
+      .collect().toSet.exists(v => v >= 20 && v < 25))
+    Pq.syncPersistedIvfPq(spark, idx,
+      victims.withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(2L)),
+      "vec_id", "embedding")
+    val restored = spark.read.parquet(path)
+      .select($"vec_id", $"__cell", $"__codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2))).toSet
+    assert(restored === snapshot,
+      "residual delete + re-insert must round-trip to the original")
+    // a raw and a residual shard refuse to merge (the marker rides
+    // the codebook-equality guard)
+    val rawPath = Files.createTempDirectory("graft_pivfpq_rm")
+      .toString + "/idx"
+    Pq.persistIvfPq(built,
+      Pq.fit(corpus, "embedding", "vec_id", m = 16, k = 16),
+      "embedding", rawPath)
+    val ex = intercept[IllegalArgumentException] {
+      Pq.mergeIvfPqShards(spark, Seq(path, rawPath),
+        Files.createTempDirectory("graft_pivfpq_rd").toString + "/m")
+    }
+    assert(ex.getMessage.contains("different codebooks"))
+  }
+
   test("syncPersistedIvf is idempotent under batch replay") {
     import graft.index.ChangeLog
     val path = Files.createTempDirectory("graft_pivf_replay").toString +
