@@ -1213,6 +1213,28 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // TRAINED residual IVF-PQ — the configuration FAISS actually
+    // ships at scale: deterministic coarse cells + residual codebooks
+    // k-means-trained on the md5-ordered residual sample (two
+    // unrolled integer Lloyd iterations). The oracle replays cell
+    // assignment, integer residuals, the sample, BOTH Lloyd
+    // iterations per subspace, the residual encode, the per-(query,
+    // cell) ADC tables and the exact refine.
+    "ann_ivfpq_residual_trained" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val index = Ann.buildIvfDeterministic(corpus, "embedding",
+        "vec_id", 16)
+      val cb = graft.search.Pq.fitResidualTrained(index, "embedding",
+        "vec_id", m = 16, k = 32, iters = 2, sampleN = 128)
+      graft.search.Pq.rerankOverIvfResidual(index,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id",
+          "embedding", k = 3, c = 4, cb, nProbe = 4,
+          metric = Metric.Cosine)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // The equal-bytes distortion head-to-head: full-vector
     // reconstruction distortion (for the residual path,
     // ‖q(x) − (q(c) + decode)‖² = the residual ADC distance — exact
@@ -4898,6 +4920,69 @@ object InfraQueries {
         baseOracleSql("ann_ivfpq_residual")) +
       ("ann_ivfpq_residual_synced" ->
         baseOracleSql("ann_ivfpq_residual")) +
+      // trained residual codebooks: the residual replay with the
+      // first-32-rows codebook block swapped for the md5-ordered
+      // residual sample + two unrolled integer Lloyd iterations (the
+      // ann_pq_distortion trainer chain over residual points)
+      ("ann_ivfpq_residual_trained" -> derivedSql("ann_ivfpq_residual",
+        """pcents AS (
+          |  SELECT vec_id, j FROM (
+          |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+          |    FROM embeddings
+          |    WHERE vec_id >= 5 AND embedding IS NOT NULL)
+          |  WHERE j < 32),
+          |cb AS (
+          |  SELECT (rq.d // 4) AS s, p.j, rq.d, rq.ri
+          |  FROM rq JOIN pcents p USING (vec_id)),""".stripMargin ->
+        """samp AS (
+          |  SELECT vec_id, r FROM (
+          |    SELECT vec_id, row_number() OVER (
+          |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS r
+          |    FROM embeddings
+          |    WHERE vec_id >= 5 AND embedding IS NOT NULL)
+          |  WHERE r < 128),
+          |sp AS (
+          |  SELECT s.r, rq.d, rq.ri AS y
+          |  FROM samp s JOIN rq ON rq.vec_id = s.vec_id),
+          |c0 AS (SELECT (d // 4) AS s, r AS j, d, y FROM sp WHERE r < 32),
+          |d1 AS (
+          |  SELECT p.r, c.s, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+          |  FROM sp p JOIN c0 c ON c.d = p.d
+          |  GROUP BY p.r, c.s, c.j),
+          |m1 AS (SELECT r, s, j FROM (
+          |  SELECT r, s, j,
+          |    row_number() OVER (PARTITION BY r, s ORDER BY d2, j) AS rn
+          |  FROM d1) WHERE rn = 1),
+          |g1 AS (
+          |  SELECT m.s, m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+          |    CAST(count(*) AS BIGINT) AS c
+          |  FROM m1 m JOIN sp p ON p.r = m.r AND (p.d // 4) = m.s
+          |  GROUP BY m.s, m.j, p.d),
+          |c1 AS (
+          |  SELECT c0.s, c0.j, c0.d,
+          |    COALESCE(CAST((g1.sy - (((g1.sy % g1.c) + g1.c) % g1.c))
+          |      / g1.c AS BIGINT), c0.y) AS y
+          |  FROM c0 LEFT JOIN g1
+          |    ON g1.s = c0.s AND g1.j = c0.j AND g1.d = c0.d),
+          |d2i AS (
+          |  SELECT p.r, c.s, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+          |  FROM sp p JOIN c1 c ON c.d = p.d
+          |  GROUP BY p.r, c.s, c.j),
+          |m2 AS (SELECT r, s, j FROM (
+          |  SELECT r, s, j,
+          |    row_number() OVER (PARTITION BY r, s ORDER BY d2, j) AS rn
+          |  FROM d2i) WHERE rn = 1),
+          |g2 AS (
+          |  SELECT m.s, m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+          |    CAST(count(*) AS BIGINT) AS c
+          |  FROM m2 m JOIN sp p ON p.r = m.r AND (p.d // 4) = m.s
+          |  GROUP BY m.s, m.j, p.d),
+          |cb AS (
+          |  SELECT c1.s, c1.j, c1.d AS d,
+          |    COALESCE(CAST((g2.sy - (((g2.sy % g2.c) + g2.c) % g2.c))
+          |      / g2.c AS BIGINT), c1.y) AS ri
+          |  FROM c1 LEFT JOIN g2
+          |    ON g2.s = c1.s AND g2.j = c1.j AND g2.d = c1.d),""".stripMargin)) +
       ("ann_ivf_synced_balanced" -> baseOracleSql("ann_ivf_synced")) +
       ("ann_ivf_stream_synced" -> baseOracleSql("ann_ivf_synced")) +
       // trained centroids + persisted delta path: re-train on the

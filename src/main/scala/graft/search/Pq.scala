@@ -103,6 +103,37 @@ object Pq {
   def intQuant(c: Column): Column =
     transform(c, x => floor(x.cast("double") * lit(Scale)).cast("long"))
 
+  /** TRAINED residual codebooks — [[fitResidual]]'s quality path:
+    * the md5-ordered deterministic sample ([[Kmeans]] discipline) is
+    * taken WITH its cell assignment, converted to integer residuals
+    * (subtract-after-quantize, exact), and each subspace runs the
+    * fixed-iteration integer Lloyd. At 100× scale this is the
+    * configuration FAISS IVFPQ actually ships: coarse centroids and
+    * residual codebooks both k-means-trained, both frozen. Same
+    * driver-small footprint; the oracle replays the sample, the
+    * unrolled Lloyd iterations and the residual encode in SQL. */
+  def fitResidualTrained(index: Ann.IvfIndex, vecCol: String,
+      idCol: String, m: Int, k: Int, iters: Int = 2,
+      sampleN: Int = 128): Codebooks = {
+    val sample = index.corpusWithCell.filter(col(vecCol).isNotNull)
+      .join(broadcast(index.centroids), Seq("__cell"))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+      .limit(sampleN)
+      .select(residualInt(col(vecCol), col("__centroid")))
+      .collect().map(_.getSeq[Long](0).toArray)
+    require(sample.nonEmpty,
+      "PQ fitResidualTrained needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val cb = Array.tabulate(m) { s =>
+      val pts = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      Kmeans.lloyd(pts, k, iters)
+    }
+    Codebooks(m, dsub, math.min(k, sample.length), cb)
+  }
+
   /** INTEGER-domain residual: floor(x·S) − floor(c·S) per component.
     * Subtracting AFTER quantization keeps the residual exact long
     * arithmetic (no float subtraction, no rounding drift), so

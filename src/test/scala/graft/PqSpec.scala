@@ -141,6 +141,35 @@ class PqSpec extends SparkSpec {
     assert(resD < rawD / 2,
       s"residual encoding must win decisively on clustered data: " +
         s"raw=$rawD residual=$resD")
+    // Lloyd-trained residual codebooks minimize exactly this
+    // objective — they must not lose to the first-k residual rows
+    val cbResT = Pq.fitResidualTrained(index, "embedding", "vec_id",
+      m = 8, k = 16, iters = 2, sampleN = 128)
+    val resTD = index.corpusWithCell
+      .join(broadcast(index.centroids), Seq("__cell"))
+      .withColumn("__ri", Pq.residualInt($"embedding", $"__centroid"))
+      .select(Pq.adc(Pq.encode($"__ri", cbResT), $"__ri", cbResT).as("d"))
+      .agg(sum("d")).head().getLong(0)
+    info(s"trained residual distortion=$resTD")
+    assert(resTD <= resD,
+      s"trained residual must not lose to first-k residuals: " +
+        s"trained=$resTD firstk=$resD")
+  }
+
+  test("trained residual IVF-PQ: degenerate c at full probe equals " +
+    "exact brute force") {
+    import graft.search.Ann
+    val index = Ann.buildIvfDeterministic(corpus, "embedding", "vec_id",
+      k = 8)
+    val cb = Pq.fitResidualTrained(index, "embedding", "vec_id",
+      m = 8, k = 16, iters = 2, sampleN = 64)
+    val n = corpus.count().toInt
+    val res = key(Pq.rerankOverIvfResidual(index, queries, "vec_id",
+      "embedding", "vec_id", "embedding", k = 3, c = n, cb, nProbe = 8,
+      Metric.Cosine))
+    val exact = key(Knn.batchQuery(corpus, queries, "embedding", "vec_id",
+      "embedding", "vec_id", k = 3, Metric.Cosine))
+    assert(res === exact)
   }
 
   test("encode + rerank are deterministic run to run") {
