@@ -2397,37 +2397,51 @@ object WebQueries {
     // term-ordered score folds end to end.
     "hybrid_bm25f_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      import graft.search.Hybrid
-      val d = docs(s, dir)
-      val anchors = d
-        .select(explode(HtmlOps.anchorPairs(htmlCol)).as("a"))
-        .select(UrlOps.registeredDomain(UrlOps.host(col("a.href")))
-          .as("domain"), col("a.text").as("anchor"))
-        .distinct()
-        .groupBy("domain")
-        .agg(concat_ws(" ", sort_array(collect_list(col("anchor"))))
-          .as("anchor_text"))
-      val corpus = d
-        .withColumn("title", HtmlOps.title(htmlCol))
-        .withColumn("domain", srcDomainCol)
-        .join(anchors, Seq("domain"), "left")
-        .select(col("doc_id"), col("title"), col("text"),
-          col("anchor_text"))
-        .filter(col("doc_id") >= 3)
-      val q = d.filter(col("doc_id") < 3)
-        .select(col("doc_id").as("qid"),
-          concat(lit("doc "), col("doc_id").cast("string"),
-            lit(" ref "),
-            element_at(split(trim(col("text")), "\\s+"), 1)).as("qtext"))
-      val scored = Hybrid.bm25f(corpus, q, "qid", "qtext", "doc_id",
-        Seq(Hybrid.Bm25Field("title", 2.0, 0.5),
-          Hybrid.Bm25Field("text", 1.0, 0.75),
-          Hybrid.Bm25Field("anchor_text", 0.5, 0.0)))
+      val scored = bm25fScores(s, dir)
       val w = Window.partitionBy("query_id")
         .orderBy(col("bm25f").desc, col("doc_id").asc)
       scored.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("query_id"), col("rnk"), col("doc_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // BM25F as a FUSION LEG: the field-weighted keyword ranking and
+    // the exact cosine vector ranking compose through reciprocal-rank
+    // fusion — the full web-search hybrid (multi-field keyword
+    // evidence + embedding evidence, no score calibration, the
+    // managed service's HYBRID mode with the keyword side upgraded
+    // to BM25F). Both legs top-10, fused exact top-5; the oracle
+    // replays the shared BM25F chain, the vector leg and the fusion.
+    "hybrid_bm25f_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.{Metric, VectorFunctions => VF}
+      import graft.search.Hybrid
+      val d = docs(s, dir)
+      val embT = Tables.load(s, dir, "embeddings")
+      val qv = d.filter(col("doc_id") < 3)
+        .join(embT, col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("query_id"),
+          col("embedding").as("__qvec"))
+      val vecCorpus = d.filter(col("doc_id") >= 3)
+        .join(embT, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("embedding"))
+      val wv = Window.partitionBy("query_id")
+        .orderBy(col("__score").desc, col("doc_id").asc)
+      val vecLeg = vecCorpus.crossJoin(broadcast(qv))
+        .withColumn("__score",
+          VF.distance(col("embedding"), col("__qvec"), Metric.Cosine))
+        .withColumn("rank", row_number().over(wv))
+        .filter(col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+      val wk = Window.partitionBy("query_id")
+        .orderBy(col("bm25f").desc, col("doc_id").asc)
+      val kwLeg = bm25fScores(s, dir)
+        .withColumn("rank", row_number().over(wk))
+        .filter(col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+      Hybrid.rrfFuse(Seq(vecLeg, kwLeg), "doc_id", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("doc_id"))
         .orderBy("query_id", "rnk")
     }),
     // End-to-end web-graph pipeline: pages -> extracted outlinks ->
@@ -3337,6 +3351,41 @@ object WebQueries {
     concat(lit("dom"), sIdx.cast("string"), lit("."), srcTld)
   }
 
+  /** Shared BM25F scoring frame (query_id, doc_id, bm25f) — the
+    * title/body/anchor field stack over the HTML fixture: anchor
+    * field = DISTINCT anchor phrases other pages aim at the doc's
+    * domain (anchor-spam capping, domain-bounded), query text =
+    * "doc <id> ref <first body word>". Used by the top-k cell and
+    * the RRF fusion leg. */
+  private def bm25fScores(s: SparkSession, dir: String): DataFrame = {
+    import graft.search.Hybrid
+    val d = docs(s, dir)
+    val anchors = d
+      .select(explode(HtmlOps.anchorPairs(htmlCol)).as("a"))
+      .select(UrlOps.registeredDomain(UrlOps.host(col("a.href")))
+        .as("domain"), col("a.text").as("anchor"))
+      .distinct()
+      .groupBy("domain")
+      .agg(concat_ws(" ", sort_array(collect_list(col("anchor"))))
+        .as("anchor_text"))
+    val corpus = d
+      .withColumn("title", HtmlOps.title(htmlCol))
+      .withColumn("domain", srcDomainCol)
+      .join(anchors, Seq("domain"), "left")
+      .select(col("doc_id"), col("title"), col("text"),
+        col("anchor_text"))
+      .filter(col("doc_id") >= 3)
+    val q = d.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"),
+        concat(lit("doc "), col("doc_id").cast("string"),
+          lit(" ref "),
+          element_at(split(trim(col("text")), "\\s+"), 1)).as("qtext"))
+    Hybrid.bm25f(corpus, q, "qid", "qtext", "doc_id",
+      Seq(Hybrid.Bm25Field("title", 2.0, 0.5),
+        Hybrid.Bm25Field("text", 1.0, 0.75),
+        Hybrid.Bm25Field("anchor_text", 0.5, 0.0)))
+  }
+
   private def domainEdges(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(srcDomainCol.as("src"),
@@ -3786,7 +3835,11 @@ object WebQueries {
     * field-ordered combined pseudo-frequency, document-level idf,
     * single saturation, term-ordered score fold, top-5 — every float
     * op mirrored in evaluation order so scores are bit-identical. */
-  private lazy val hybridBm25fSql: String =
+  /** Shared BM25F CTE chain ending in `sc(query_id, did, s)` — the
+    * whole field-weighted scoring replay; the top-k cell and the RRF
+    * fusion cell both select from it, so the two replays cannot
+    * drift. */
+  private lazy val bm25fCtes: String =
     s"""WITH $htmlCtes,
       |$anchorCtes,
       |adm AS (
@@ -3868,12 +3921,58 @@ object WebQueries {
       |  SELECT query_id, did,
       |    list_reduce(list_prepend(0.0, list(contrib ORDER BY t)),
       |      (a, x) -> a + x) AS s
-      |  FROM m GROUP BY 1, 2)
+      |  FROM m GROUP BY 1, 2)""".stripMargin
+
+  private lazy val hybridBm25fSql: String =
+    s"""$bm25fCtes
       |SELECT query_id, rnk, did AS doc_id FROM (
       |  SELECT query_id, did,
       |    CAST(row_number() OVER (PARTITION BY query_id
       |      ORDER BY s DESC, did) AS BIGINT) AS rnk
       |  FROM sc)
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** RRF fusion replay: the shared BM25F chain as the keyword leg,
+    * exact cosine over the doc↔embedding join as the vector leg,
+    * both top-10, 1/(60+rank) fusion, exact top-5 — the
+    * hybrid_rrf_topk discipline with the keyword side upgraded. */
+  private lazy val hybridBm25fRrfSql: String =
+    s"""$bm25fCtes,
+      |vq AS (
+      |  SELECT d.doc_id AS query_id, e.embedding::DOUBLE[] AS qv
+      |  FROM h d JOIN embeddings e ON e.vec_id = d.doc_id
+      |  WHERE d.doc_id < 3),
+      |vc AS (
+      |  SELECT d.doc_id AS did, e.embedding::DOUBLE[] AS v
+      |  FROM h d JOIN embeddings e ON e.vec_id = d.doc_id
+      |  WHERE d.doc_id >= 3),
+      |vec AS (
+      |  SELECT * FROM (
+      |    SELECT q.query_id, c.did,
+      |      CAST(row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.did)
+      |        AS BIGINT) AS rv
+      |    FROM vc c CROSS JOIN vq q)
+      |  WHERE rv <= 10),
+      |kw AS (
+      |  SELECT * FROM (
+      |    SELECT query_id, did,
+      |      CAST(row_number() OVER (PARTITION BY query_id
+      |        ORDER BY s DESC, did) AS BIGINT) AS rb
+      |    FROM sc)
+      |  WHERE rb <= 10),
+      |fused AS (
+      |  SELECT coalesce(v.query_id, k.query_id) AS query_id,
+      |    coalesce(v.did, k.did) AS did,
+      |    coalesce(1.0 / (60 + rv), 0.0) +
+      |      coalesce(1.0 / (60 + rb), 0.0) AS rrf
+      |  FROM vec v FULL JOIN kw k
+      |    ON v.query_id = k.query_id AND v.did = k.did)
+      |SELECT query_id, rnk, did AS doc_id FROM (
+      |  SELECT query_id, did,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf DESC, did) AS BIGINT) AS rnk
+      |  FROM fused)
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   /** Components replay: the seed-frontier host edges (first href per
@@ -5038,6 +5137,7 @@ object WebQueries {
     "web_graph_kcores" -> webGraphKcoresSql,
     "web_graph_components" -> webGraphComponentsSql,
     "hybrid_bm25f_topk" -> hybridBm25fSql,
+    "hybrid_bm25f_rrf" -> hybridBm25fRrfSql,
     // Host-graph replay: link hosts keep their www./a. subdomains
     // (the linksCte synthesis), edges fold at HOST grain, then roll
     // to the registered target domain.
