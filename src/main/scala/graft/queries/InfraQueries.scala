@@ -1187,6 +1187,31 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // MaxSim THROUGH the persisted bucket-partitioned token layout:
+    // candidate generation scans only the query tokens' bucket DIRS
+    // (partition pruning at the file listing), the exact stage joins
+    // candidate docs' FULL token sets back via the pk — identical
+    // scores to the in-memory path by construction -> shares
+    // ann_maxsim_topk's oracle.
+    "ann_maxsim_persisted" -> ((s, dir) => {
+      import graft.search.MaxSim
+      val e = emb(s, dir).filter(col("embedding").isNotNull)
+      def toks(df: DataFrame) = df
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(7))).as("ti"),
+          col("embedding"))
+        .select(col("vec_id"), col("ti"),
+          slice(col("embedding"), col("ti") * 8 + 1, lit(8)).as("tv"))
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ptoks/" +
+        dir.replaceAll("[^0-9.]", "")
+      val idx = MaxSim.persistTokens(toks(e.filter(col("vec_id") >= 5)),
+        "vec_id", "tv", root, bits = 4)
+      MaxSim.topKPersisted(s, idx, "vec_id",
+          toks(e.filter(col("vec_id") < 5)), "vec_id", "ti", "tv", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // RESIDUAL IVF-PQ — the FAISS IVFPQ true form: the fine quantizer
     // encodes x − centroid(cell), not x, so the codebook describes
     // the tight within-cell displacement distribution instead of the
@@ -4916,6 +4941,7 @@ object InfraQueries {
       ("ann_sq8_persisted" -> baseOracleSql("ann_sq8_rerank")) +
       ("ann_ivfpq_persisted" -> baseOracleSql("ann_ivfpq_topk")) +
       ("ann_ivfpq_synced" -> baseOracleSql("ann_ivfpq_topk")) +
+      ("ann_maxsim_persisted" -> baseOracleSql("ann_maxsim_topk")) +
       ("ann_ivfpq_residual_persisted" ->
         baseOracleSql("ann_ivfpq_residual")) +
       ("ann_ivfpq_residual_synced" ->

@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -51,6 +51,78 @@ object MaxSim {
     val nb = dot(b, b)
     when(na === 0.0 || nb === 0.0, lit(0.0))
       .otherwise(dot(a, b) / (sqrt(na) * sqrt(nb)))
+  }
+
+  /** Handle to a [[persistTokens]] layout. */
+  final case class PersistedTokens(path: String, bits: Int)
+
+  /** Persist the token table partitioned by sign-LSH bucket — the
+    * on-disk PLAID shape: candidate generation reads ONLY the query
+    * tokens' bucket DIRECTORIES (partition pruning at the file
+    * listing — a query batch touching b of 2^bits buckets never
+    * opens the rest of a 100 TB token store), and the exact stage
+    * reads candidate docs' tokens through a pk semi-join. Bucket
+    * count rides a side file so queries re-derive the same hash. */
+  def persistTokens(docTokens: DataFrame, docIdCol: String,
+      docVecCol: String, path: String, bits: Int = 4): PersistedTokens = {
+    require(bits >= 1 && bits <= 16, s"bits in [1, 16], got $bits")
+    val dt = docTokens.filter(col(docVecCol).isNotNull)
+      .select(col(docIdCol).as("__did"),
+        transform(col(docVecCol), _.cast("double")).as("__dv"))
+      .withColumn("__b", bucket(col("__dv"), bits))
+    dt.repartition(col("__b"))
+      .write.mode("overwrite").partitionBy("__b").parquet(path)
+    val spark = docTokens.sparkSession
+    import spark.implicits._
+    Seq(bits).toDF("__bits").coalesce(1)
+      .write.mode("overwrite").parquet(path + "_meta")
+    PersistedTokens(path, bits)
+  }
+
+  /** [[topK]] over a [[persistTokens]] layout — identical scores by
+    * construction (same buckets, same exact stage; shares the
+    * in-memory oracle). Candidate generation scans only the query
+    * buckets' dirs; the exact MaxSim joins the FULL token sets of
+    * candidate docs back via the pk (so pruning never approximates a
+    * candidate's score, exactly like the in-memory path). */
+  def topKPersisted(spark: SparkSession, idx: PersistedTokens,
+      docIdCol: String, queryTokens: DataFrame, queryIdCol: String,
+      queryTokIdxCol: String, queryVecCol: String, k: Int): DataFrame = {
+    val bits = spark.read.parquet(idx.path + "_meta")
+      .head().getInt(0)
+    val qt = queryTokens.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        col(queryTokIdxCol).as("__ti"),
+        transform(col(queryVecCol), _.cast("double")).as("__qv"))
+      .withColumn("__b", bucket(col("__qv"), bits))
+    val bs = qt.select("__b").distinct().collect().map(_.getInt(0)).toSeq
+    val cand = spark.read.parquet(idx.path)
+      .filter(col("__b").isin(bs: _*))
+      .select("__did", "__b")
+      .join(broadcast(qt.select("query_id", "__b").distinct()),
+        Seq("__b"))
+      .select("query_id", "__did").distinct()
+    val dt = spark.read.parquet(idx.path).select("__did", "__dv")
+      .join(broadcast(cand.select("__did").distinct()), Seq("__did"),
+        "left_semi")
+    val scored = cand
+      .join(broadcast(qt.select("query_id", "__ti", "__qv")),
+        Seq("query_id"))
+      .join(dt, Seq("__did"))
+      .withColumn("__cos", cosD(col("__qv"), col("__dv")))
+      .groupBy("query_id", "__did", "__ti")
+      .agg(max(col("__cos")).as("__m"))
+      .groupBy("query_id", "__did")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__ti"), col("__m")))),
+        lit(0.0), (a, x) => a + x("__m")).as("maxsim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("maxsim").desc, col("__did").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("__did").as(docIdCol),
+        col("maxsim"))
+      .orderBy(col("query_id").asc, col("rank").asc)
   }
 
   /** MaxSim top-k. `docTokens` = one row per (doc, token vector);

@@ -53,6 +53,42 @@ class MaxSimSpec extends SparkSpec {
       assert(r.getDouble(3) === fullScores(r.getLong(2))))
   }
 
+  test("persisted token layout: disk == mem, candidate scan prunes " +
+    "to the query buckets' partitions, full candidate token sets " +
+    "keep scores exact") {
+    val dir = java.nio.file.Files.createTempDirectory("maxsim_p")
+      .toString + "/toks"
+    // 8-dim tokens so a 4-bit bucket has all four sign pairs
+    val docs8 = Seq(
+      (1L, Seq(1.0f, 0.0f, 1.0f, 0.0f, 1.0f, 0.0f, 1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f, 1.0f, 0.0f, 1.0f, 0.0f, 1.0f)),
+      (2L, Seq(-1.0f, 0.0f, -1.0f, 0.0f, -1.0f, 0.0f, -1.0f, 0.0f)),
+      (3L, Seq(0.5f, 0.5f, -0.5f, -0.5f, 0.5f, 0.5f, -0.5f, -0.5f))
+    ).toDF("doc_id", "tv")
+    val q8 = Seq(
+      (0L, 0, Seq(1.0f, 0.1f, 1.0f, 0.1f, 1.0f, 0.1f, 1.0f, 0.1f))
+    ).toDF("qid", "ti", "tv")
+    val idx = MaxSim.persistTokens(docs8, "doc_id", "tv", dir, bits = 4)
+    // bucket dirs on disk
+    val bdirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("__b=")).map(_.getName).toSet
+    assert(bdirs.nonEmpty)
+    spark.sharedState.cacheManager.clearCache()
+    val out = MaxSim.topKPersisted(spark, idx, "doc_id", q8, "qid",
+      "ti", "tv", k = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__b"),
+      s"candidate scan must prune by bucket partition:\n" +
+        plan.take(2000))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val mem = key(MaxSim.topK(docs8, "doc_id", "tv", q8, "qid", "ti",
+      "tv", k = 4, bits = 4))
+    assert(key(out) === mem && mem.nonEmpty,
+      "persisted path must equal the in-memory path score for score")
+  }
+
   test("deterministic under repartitioning") {
     def run(df: org.apache.spark.sql.DataFrame) =
       MaxSim.topK(df, "doc_id", "tv", qToks, "qid", "ti", "tv",
