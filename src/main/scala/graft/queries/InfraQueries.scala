@@ -1187,6 +1187,28 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // Recall telemetry for the MaxSim leg: late-interaction answers
+    // scored against exact POOLED-vector cosine on the query sample —
+    // the drift measurement that says how far per-token scoring pulls
+    // the ranking from the single-vector truth (the reranker-review
+    // telemetry every other retrieval leg already carries). Oracle =
+    // the MaxSim replay + the pooled exact side + the recall join.
+    "ann_recall_maxsim" -> ((s, dir) => {
+      import graft.search.MaxSim
+      val e = emb(s, dir).filter(col("embedding").isNotNull)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val queries = e.filter(col("vec_id") < 5)
+      def toks(df: DataFrame) = df
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(7))).as("ti"),
+          col("embedding"))
+        .select(col("vec_id"), col("ti"),
+          slice(col("embedding"), col("ti") * 8 + 1, lit(8)).as("tv"))
+      val ans = MaxSim.topK(toks(corpus), "vec_id", "tv", toks(queries),
+        "vec_id", "ti", "tv", k = 5, bits = 4)
+      Ann.recallAtK(ans, corpus, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, sampleMod = 2L)
+    }),
     // MaxSim THROUGH the persisted bucket-partitioned token layout:
     // candidate generation scans only the query tokens' bucket DIRS
     // (partition pruning at the file listing), the exact stage joins
@@ -4942,6 +4964,49 @@ object InfraQueries {
       ("ann_ivfpq_persisted" -> baseOracleSql("ann_ivfpq_topk")) +
       ("ann_ivfpq_synced" -> baseOracleSql("ann_ivfpq_topk")) +
       ("ann_maxsim_persisted" -> baseOracleSql("ann_maxsim_topk")) +
+      // MaxSim recall: the MaxSim replay's final top-5 becomes the
+      // answer set (sampled queries), joined against the pooled
+      // exact cosine side — the ann_recall_probe tail grafted onto
+      // the token-level chain
+      ("ann_recall_maxsim" -> derivedSql("ann_maxsim_topk",
+        """SELECT query_id, rnk, vec_id FROM (
+          |  SELECT query_id, vec_id,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY s DESC, vec_id) AS BIGINT) AS rnk
+          |  FROM sc)
+          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin ->
+        """, ans AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT query_id, vec_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY s DESC, vec_id) AS rnk
+          |    FROM sc)
+          |  WHERE rnk <= 5 AND query_id % 2 = 0),
+          |pooled AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  WHERE vec_id >= 5 AND embedding IS NOT NULL),
+          |sq AS (
+          |  SELECT vec_id AS query_id, embedding AS pqv
+          |  FROM embeddings
+          |  WHERE vec_id < 5 AND embedding IS NOT NULL
+          |    AND vec_id % 2 = 0),
+          |exact AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT s.query_id, c.vec_id,
+          |      row_number() OVER (PARTITION BY s.query_id
+          |        ORDER BY list_cosine_similarity(c.embedding, s.pqv)
+          |          DESC, c.vec_id) AS rnk
+          |    FROM pooled c CROSS JOIN sq s)
+          |  WHERE rnk <= 5)
+          |SELECT e.query_id,
+          |  CAST(count(*) AS BIGINT) AS n_exact,
+          |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_hit,
+          |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+          |    END) AS DOUBLE) / count(*), 4) AS recall
+          |FROM exact e LEFT JOIN ans a
+          |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin)) +
       ("ann_ivfpq_residual_persisted" ->
         baseOracleSql("ann_ivfpq_residual")) +
       ("ann_ivfpq_residual_synced" ->
