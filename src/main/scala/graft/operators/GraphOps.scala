@@ -200,6 +200,21 @@ object GraphOps {
     val deg = und.select(col("a").as("v"))
       .unionByName(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("degree")).localCheckpoint()
+    val perNode = orientedTriangles(und, deg)
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
+  /** Degree-oriented exact triangle enumeration over an undirected
+    * edge fold `und(a, b)` with degrees `deg(v, degree)` — each
+    * triangle exactly once as `(x, y, z)`; hubs never enumerate
+    * their neighbor pairs (shared by [[triangleCounts]] and
+    * [[kTruss]]'s per-round support). */
+  private def orientedTriangles(und: DataFrame,
+      deg: DataFrame): DataFrame = {
     val fwd = col("__da") < col("__db") ||
       (col("__da") === col("__db") && col("a") < col("b"))
     val arcs = und
@@ -215,16 +230,63 @@ object GraphOps {
         Seq("lo"))
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
-    val tri = wedges
+    wedges
       .join(arcs.select(col("lo").as("v"), col("hi").as("w")),
         Seq("v", "w"))
       .select(col("lo").as("x"), col("v").as("y"), col("w").as("z"))
-    val perNode = tri
-      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
-      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
-    deg.join(perNode, Seq("v"), "left")
-      .select(col("v"), col("degree"),
-        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
+  /** k-truss of the undirected fold — the EDGE decomposition next to
+    * [[coreness]]'s node decomposition (Cohen 2008): the maximal
+    * subgraph in which every edge closes at least k−2 triangles
+    * WITHIN the subgraph. Trusses are the tighter community signal
+    * (every k-truss lives inside the (k−1)-core but not vice versa)
+    * web-graph curation uses to find genuinely interlinked cliques
+    * rather than hub-glued neighborhoods. Iterative edge peeling:
+    * each round recomputes per-edge support with the degree-oriented
+    * triangle enumeration (hub-safe, the [[triangleCounts]]
+    * machinery) and drops edges below k−2; support only shrinks as
+    * edges leave, so the peel cascades to the unique fixpoint.
+    * Per-round cost: the three edge-bounded orientation/wedge/closure
+    * joins + one per-edge rollup; `localCheckpoint` keeps the plan
+    * flat; driver state = one surviving-edge count per round.
+    * Returns the surviving edges `(a, b, converged)`. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 30): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint()
+    var n = e.count()
+    var converged = false
+    var round = 0
+    while (round < maxRounds && !converged && n > 0) {
+      val deg = e.select(col("a").as("v"))
+        .unionByName(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("degree")).localCheckpoint()
+      // per-edge support: triangles exploded into their three edges
+      val sup = orientedTriangles(e, deg)
+        .select(explode(array(
+          struct(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b")),
+          struct(least(col("x"), col("z")).as("a"),
+            greatest(col("x"), col("z")).as("b")),
+          struct(least(col("y"), col("z")).as("a"),
+            greatest(col("y"), col("z")).as("b")))).as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("__s"))
+      val kept = e.join(sup, Seq("a", "b"), "left")
+        .filter(coalesce(col("__s"), lit(0L)) >= k - 2)
+        .select("a", "b").localCheckpoint()
+      val kn = kept.count()
+      converged = kn == n
+      e = kept
+      n = kn
+      round += 1
+    }
+    e.withColumn("converged", lit(converged || n == 0))
   }
 
   /** Coreness (k-core number) of every node — the degeneracy-based

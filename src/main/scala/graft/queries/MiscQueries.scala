@@ -152,6 +152,30 @@ object MiscQueries {
           col("coreness"), col("converged"))
         .orderBy("node")
     }),
+    // k-truss — the EDGE decomposition beside graph_kcores' node
+    // decomposition: iterative support peeling to the maximal
+    // subgraph where every edge closes ≥ k−2 triangles. The fixture
+    // unions a dense 30-node core (even docs) with a sparse 80-node
+    // fringe (odd docs), so k=4 peels a real cascade
+    // (207→51→26→22→21 edges over four effective rounds) and leaves
+    // a non-empty truss. The oracle replays all five rounds as
+    // chained CTEs (common-neighbor support per edge per round).
+    "graph_ktruss" -> ((s, dir) => {
+      import graft.operators.GraphOps
+      val even = pmod(col("doc_id"), lit(2)) === 0
+      val e = t(s, dir, "documents")
+        .select(
+          when(even, pmod(col("doc_id"), lit(30)))
+            .otherwise(pmod(col("doc_id"), lit(80))).as("src"),
+          when(even, pmod((col("doc_id") / lit(7)).cast("long"), lit(30)))
+            .otherwise(pmod((col("doc_id") / lit(3)).cast("long"),
+              lit(80))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      GraphOps.kTruss(e, "src", "dst", k = 4)
+        .select(col("a").cast("long").as("a"),
+          col("b").cast("long").as("b"), col("converged"))
+        .orderBy("a", "b")
+    }),
     "date_funcs" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).as("y"),
@@ -218,7 +242,42 @@ object MiscQueries {
          |  GROUP BY a)""".stripMargin
     }.mkString(",\n")
 
+  /** Chained-CTE replay of `n` k-truss peeling rounds from `e0(a, b)`
+    * at support threshold `thresh` = k−2: per round, symmetric
+    * adjacency, common-neighbor count per surviving edge, HAVING
+    * keeps edges at or above the threshold (edges closing NO
+    * triangle vanish from the aggregate — exactly the peel). Extra
+    * rounds past the fixpoint are no-ops. */
+  private[queries] def ktrussRounds(n: Int, thresh: Int): String =
+    (1 to n).map { i =>
+      s"""sym${i - 1} AS (
+         |  SELECT a, b FROM e${i - 1}
+         |  UNION ALL SELECT b AS a, a AS b FROM e${i - 1}),
+         |e$i AS (
+         |  SELECT e.a, e.b
+         |  FROM e${i - 1} e
+         |  JOIN sym${i - 1} n1 ON n1.a = e.a
+         |  JOIN sym${i - 1} n2 ON n2.a = e.b AND n2.b = n1.b
+         |  GROUP BY e.a, e.b
+         |  HAVING count(*) >= $thresh)""".stripMargin
+    }.mkString(",\n")
+
   val oracleSql: Map[String, String] = Map(
+    // k-truss replay: union edge fold, five peeling rounds (fixpoint
+    // confirmed at round 5), survivors with the convergence pin.
+    "graph_ktruss" ->
+      s"""WITH e0 AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM (
+        |    SELECT CASE WHEN doc_id % 2 = 0 THEN doc_id % 30
+        |                ELSE doc_id % 80 END AS src,
+        |           CASE WHEN doc_id % 2 = 0 THEN (doc_id // 7) % 30
+        |                ELSE (doc_id // 3) % 80 END AS dst
+        |    FROM documents) WHERE src <> dst),
+        |${ktrussRounds(5, 2)}
+        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  true AS converged
+        |FROM e5 ORDER BY a, b""".stripMargin,
     "fmt_roundtrip" ->
       """WITH agg AS (
         |  SELECT l_returnflag, count(*) AS n,

@@ -273,6 +273,35 @@ class GraphOpsSpec extends SparkSpec {
       "the hub's degree dwarfs its coreness")
   }
 
+  test("kTruss: support peeling lands the maximal subgraph where " +
+    "every edge closes k-2 triangles — a side triangle peels at k=4, " +
+    "survives at k=3, and a bare chain peels everywhere") {
+    // K4 {a,b,c,d} (each edge in 2 triangles), a triangle {d,e,f}
+    // glued at d (each edge in 1), a chain f-g (no triangles),
+    // plus a reverse duplicate and a self loop
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("b", "a"), ("c", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("f", "g")
+    ).toDF("src", "dst")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").as[(String, String)].collect().toSet
+    val t4 = GraphOps.kTruss(edges, "src", "dst", k = 4)
+    assert(t4.select("converged").as[Boolean].collect().forall(identity))
+    assert(pairs(t4) === Set(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d")),
+      "k=4 keeps exactly the K4")
+    val t3 = GraphOps.kTruss(edges, "src", "dst", k = 3)
+    assert(pairs(t3) === Set(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"), ("e", "f"), ("d", "f")),
+      "k=3 keeps every edge in at least one triangle; the chain peels")
+    // a fully-peeled graph converges to the empty truss
+    val chain = Seq(("x", "y"), ("y", "z")).toDF("src", "dst")
+    val t = GraphOps.kTruss(chain, "src", "dst", k = 3)
+    assert(t.count() === 0)
+  }
+
   test("triangleCounts: degree-oriented wedge closure counts each " +
     "triangle once at its min-(degree, name) apex; direction, " +
     "duplicates and self loops are ignored; triangle-free nodes " +
