@@ -355,6 +355,60 @@ object GraphOps {
       .withColumn("converged", lit(converged))
   }
 
+  /** Bow-tie decomposition relative to a pivot's SCC (Broder et al.,
+    * "Graph structure in the Web", WWW 2000 — the macro-structure
+    * stat every web-graph release reports): forward-reachable set F
+    * and backward-reachable set B of the pivot by ball growth, then
+    *
+    *   SCC = F ∩ B,  IN = B ∖ SCC,  OUT = F ∖ SCC,
+    *   OTHER = everything else (tendrils/tubes/disconnected folded —
+    *   the refinement needs per-node reach FROM IN/OUT, a second
+    *   pass a release can add per class),
+    *
+    * which is exactly the forward-backward (FW-BW) first step of
+    * distributed SCC. Two BFS from ONE pivot: frontier-edge joins,
+    * known-set anti-joins, `localCheckpoint` per round, early exit
+    * on an empty frontier — node-bounded state, never an O(V²)
+    * closure. Returns `(v, cls)` for every node. */
+  def bowTie(edges: DataFrame, srcCol: String, dstCol: String,
+      pivot: String, maxRounds: Int = 30): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    def reach(fwd: Boolean): DataFrame = {
+      val (from, to) = if (fwd) ("src", "dst") else ("dst", "src")
+      var known = e.sparkSession.range(1)
+        .select(lit(pivot).as("v")).localCheckpoint()
+      var frontier = known
+      var round = 0
+      var exhausted = false
+      while (round < maxRounds && !exhausted) {
+        val next = frontier.join(e, frontier("v") === e(from))
+          .select(col(to).as("v")).distinct()
+          .join(known.withColumnRenamed("v", "__k"),
+            col("v") === col("__k"), "left_anti")
+          .localCheckpoint()
+        if (next.isEmpty) exhausted = true
+        else {
+          known = known.unionByName(next).localCheckpoint()
+          frontier = next
+        }
+        round += 1
+      }
+      known
+    }
+    val f = reach(fwd = true).withColumn("__f", lit(true))
+    val b = reach(fwd = false).withColumn("__b", lit(true))
+    val nodes = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    nodes.join(f, Seq("v"), "left").join(b, Seq("v"), "left")
+      .select(col("v"),
+        when(col("__f") && col("__b"), lit("scc"))
+          .when(col("__b"), lit("in"))
+          .when(col("__f"), lit("out"))
+          .otherwise(lit("other")).as("cls"))
+  }
+
   private def run(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String], iters: Int, damping: Double,
       redistributeDangling: Boolean, collectStats: Boolean,

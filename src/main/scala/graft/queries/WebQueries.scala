@@ -2524,6 +2524,39 @@ object WebQueries {
           col("converged"))
         .orderBy("domain")
     }),
+    // Bow-tie decomposition of the domain graph (Broder et al., WWW
+    // 2000 — THE web macro-structure stat): forward and backward
+    // ball growth from a deterministic pivot (the lexicographically
+    // first crawled domain), SCC = F∩B, IN = B-only, OUT = F-only.
+    // On the fixture the crawled domains dom0-7 interlink into the
+    // SCC and the target-only domains dom8-10 (no out-edges) land in
+    // OUT — the real shape of a crawl frontier. The oracle replays
+    // both reachability closures as recursive CTEs.
+    "web_graph_bowtie" -> ((s, dir) => {
+      val e = domainEdges(s, dir)
+      val pivot = e.agg(min(col("src"))).head().getString(0)
+      GraphOps.bowTie(e, "src", "dst", pivot)
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_domains"),
+          min(col("v")).as("first_domain"))
+        .orderBy("cls")
+    }),
+    // TrustRank over the domain graph: seeded PageRank with the
+    // teleport restricted to the CRAWLED (source) domains — "trust
+    // what we fetched, let link mass propagate outward", the crawl-
+    // prioritization ranking. Dangling targets (dom8-10) return
+    // their mass to the seeds instead of uniformly, so ranks sum to
+    // 1 and stay concentrated on the trusted side. The oracle
+    // replays all three seeded iterations over the link-extracted
+    // edge fold.
+    "web_graph_trustrank" -> ((s, dir) => {
+      val e = domainEdges(s, dir)
+      val seeds = e.select(col("src").as("v")).distinct()
+      GraphOps.pageRankSeeded(e, "src", "dst", seeds, iters = 3,
+          damping = 0.85)
+        .select(col("v").as("domain"), round(col("pr"), 4).as("pr"))
+        .orderBy(col("pr").desc, col("domain"))
+    }),
     // Weakly-connected components of the host graph — the bow-tie /
     // island structure stat beside triangles, harmonic centrality and
     // k-cores. The edge set is the seed-frontier sample (each of the
@@ -3975,6 +4008,107 @@ object WebQueries {
       |  FROM fused)
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** Bow-tie replay: the domain edge fold, forward and backward
+    * recursive reachability closures from min(src), the four-way
+    * classification, per-class rollup. */
+  private lazy val webGraphBowtieSql: String =
+    s"""WITH RECURSIVE $htmlCtes,
+      |$linksCte,
+      |dm AS (
+      |  SELECT doc_id, $domainExpr AS dst
+      |  FROM (SELECT doc_id, string_split($hostExpr, '.') AS parts
+      |        FROM l)),
+      |e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+      |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+      |         WHEN 1 THEN 'org' ELSE 'co.uk' END) AS src, dst
+      |    FROM dm) WHERE src <> dst),
+      |p AS (SELECT min(src) AS pv FROM e),
+      |fwd AS (
+      |  SELECT pv AS v FROM p
+      |  UNION
+      |  SELECT e.dst FROM fwd JOIN e ON e.src = fwd.v),
+      |bwd AS (
+      |  SELECT pv AS v FROM p
+      |  UNION
+      |  SELECT e.src FROM bwd JOIN e ON e.dst = bwd.v),
+      |n AS (SELECT DISTINCT v FROM (
+      |  SELECT src AS v FROM e UNION SELECT dst FROM e)),
+      |cl AS (
+      |  SELECT n.v,
+      |    CASE WHEN f.v IS NOT NULL AND b.v IS NOT NULL THEN 'scc'
+      |         WHEN b.v IS NOT NULL THEN 'in'
+      |         WHEN f.v IS NOT NULL THEN 'out'
+      |         ELSE 'other' END AS cls
+      |  FROM n
+      |  LEFT JOIN (SELECT DISTINCT v FROM fwd) f ON f.v = n.v
+      |  LEFT JOIN (SELECT DISTINCT v FROM bwd) b ON b.v = n.v)
+      |SELECT cls, CAST(count(*) AS BIGINT) AS n_domains,
+      |  min(v) AS first_domain
+      |FROM cl GROUP BY cls ORDER BY cls""".stripMargin
+
+  /** TrustRank replay: the domain edge fold, seed set = distinct
+    * sources, three seeded power iterations (restart AND dangling
+    * redistribution scaled by the seed-masked teleport vector) — the
+    * graph_pagerank_seeded chain over the web fixture. */
+  private lazy val webGraphTrustrankSql: String =
+    s"""WITH $htmlCtes,
+      |$linksCte,
+      |dm AS (
+      |  SELECT doc_id, $domainExpr AS dst
+      |  FROM (SELECT doc_id, string_split($hostExpr, '.') AS parts
+      |        FROM l)),
+      |e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+      |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+      |         WHEN 1 THEN 'org' ELSE 'co.uk' END) AS src, dst
+      |    FROM dm) WHERE src <> dst),
+      |n AS (SELECT DISTINCT v FROM (
+      |  SELECT src AS v FROM e UNION SELECT dst FROM e)),
+      |deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+      |dang AS (SELECT v FROM n WHERE v NOT IN (SELECT src FROM deg)),
+      |sd AS (SELECT DISTINCT src AS v FROM e),
+      |scnt AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM sd),
+      |tv AS (
+      |  SELECT n.v,
+      |    CASE WHEN s2.v IS NOT NULL THEN 1.0 / scnt.ns ELSE 0.0 END AS t
+      |  FROM n CROSS JOIN scnt LEFT JOIN sd s2 ON s2.v = n.v),
+      |r0 AS (SELECT v, t AS pr FROM tv),
+      |d1 AS (SELECT coalesce(sum(r0.pr), 0) AS dm
+      |       FROM r0 JOIN dang USING (v)),
+      |c1 AS (
+      |  SELECT e.dst AS v, sum(r0.pr / deg.od) AS m
+      |  FROM e JOIN r0 ON e.src = r0.v JOIN deg ON e.src = deg.src
+      |  GROUP BY e.dst),
+      |r1 AS (
+      |  SELECT tv.v,
+      |    0.15 * tv.t + 0.85 * (coalesce(c1.m, 0) + d1.dm * tv.t) AS pr
+      |  FROM tv CROSS JOIN d1 LEFT JOIN c1 ON tv.v = c1.v),
+      |d2 AS (SELECT coalesce(sum(r1.pr), 0) AS dm
+      |       FROM r1 JOIN dang USING (v)),
+      |c2 AS (
+      |  SELECT e.dst AS v, sum(r1.pr / deg.od) AS m
+      |  FROM e JOIN r1 ON e.src = r1.v JOIN deg ON e.src = deg.src
+      |  GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT tv.v,
+      |    0.15 * tv.t + 0.85 * (coalesce(c2.m, 0) + d2.dm * tv.t) AS pr
+      |  FROM tv CROSS JOIN d2 LEFT JOIN c2 ON tv.v = c2.v),
+      |d3 AS (SELECT coalesce(sum(r2.pr), 0) AS dm
+      |       FROM r2 JOIN dang USING (v)),
+      |c3 AS (
+      |  SELECT e.dst AS v, sum(r2.pr / deg.od) AS m
+      |  FROM e JOIN r2 ON e.src = r2.v JOIN deg ON e.src = deg.src
+      |  GROUP BY e.dst),
+      |r3 AS (
+      |  SELECT tv.v,
+      |    0.15 * tv.t + 0.85 * (coalesce(c3.m, 0) + d3.dm * tv.t) AS pr
+      |  FROM tv CROSS JOIN d3 LEFT JOIN c3 ON tv.v = c3.v)
+      |SELECT v AS domain, round(pr, 4) AS pr
+      |FROM r3 ORDER BY pr DESC, domain""".stripMargin
+
   /** Components replay: the seed-frontier host edges (first href per
     * page, docs < 25), symmetric closure, then min-reachable-host per
     * node via a recursive-CTE transitive closure (the dedup_groups
@@ -5136,6 +5270,8 @@ object WebQueries {
     "web_graph_triangles" -> webGraphTrianglesSql,
     "web_graph_kcores" -> webGraphKcoresSql,
     "web_graph_components" -> webGraphComponentsSql,
+    "web_graph_bowtie" -> webGraphBowtieSql,
+    "web_graph_trustrank" -> webGraphTrustrankSql,
     "hybrid_bm25f_topk" -> hybridBm25fSql,
     "hybrid_bm25f_rrf" -> hybridBm25fRrfSql,
     // Host-graph replay: link hosts keep their www./a. subdomains

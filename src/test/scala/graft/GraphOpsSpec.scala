@@ -273,6 +273,16 @@ class GraphOpsSpec extends SparkSpec {
       "the hub's degree dwarfs its coreness")
   }
 
+  test("bowTie: pivot FW/BW reachability lands the Broder classes — " +
+    "mutual cycle = SCC, feeders = IN, sinks = OUT, islands = OTHER") {
+    val g = Seq(("a", "b"), ("b", "a"), ("c", "a"), ("b", "d"),
+      ("e", "f")).toDF("src", "dst")
+    val cls = GraphOps.bowTie(g, "src", "dst", pivot = "a")
+      .as[(String, String)].collect().toMap
+    assert(cls === Map("a" -> "scc", "b" -> "scc", "c" -> "in",
+      "d" -> "out", "e" -> "other", "f" -> "other"))
+  }
+
   test("kTruss: support peeling lands the maximal subgraph where " +
     "every edge closes k-2 triangles — a side triangle peels at k=4, " +
     "survives at k=3, and a bare chain peels everywhere") {
