@@ -2405,6 +2405,31 @@ object WebQueries {
         .select(col("query_id"), col("rnk"), col("doc_id"))
         .orderBy("query_id", "rnk")
     }),
+    // BM25F THROUGH the persisted multi-field inverted index: one
+    // term-bucketed layout of per-field postings with FROZEN corpus
+    // statistics (per-field avg lengths, document-level df, N) and
+    // query-time field weights — retuning title-vs-body emphasis
+    // never rebuilds the index, while the query batch's terms prune
+    // the scan to their own buckets. Scores are bit-identical to the
+    // in-memory fold by construction -> shares hybrid_bm25f_topk's
+    // oracle.
+    "hybrid_bm25f_persisted" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.search.Hybrid
+      val (corpus, q) = bm25fParts(s, dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pbm25f/" +
+        dir.replaceAll("[^0-9.]", "")
+      val idx = Hybrid.persistFieldPostings(corpus, "doc_id",
+        Seq("title", "text", "anchor_text"), root, buckets = 32)
+      val scored = Hybrid.bm25fPersisted(s, idx, q, "qid", "qtext",
+        "doc_id", Seq((2.0, 0.5), (1.0, 0.75), (0.5, 0.0)))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("bm25f").desc, col("doc_id").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("doc_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // BM25F as a FUSION LEG: the field-weighted keyword ranking and
     // the exact cosine vector ranking compose through reciprocal-rank
     // fusion — the full web-search hybrid (multi-field keyword
@@ -3390,8 +3415,8 @@ object WebQueries {
     * domain (anchor-spam capping, domain-bounded), query text =
     * "doc <id> ref <first body word>". Used by the top-k cell and
     * the RRF fusion leg. */
-  private def bm25fScores(s: SparkSession, dir: String): DataFrame = {
-    import graft.search.Hybrid
+  private def bm25fParts(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val d = docs(s, dir)
     val anchors = d
       .select(explode(HtmlOps.anchorPairs(htmlCol)).as("a"))
@@ -3413,6 +3438,12 @@ object WebQueries {
         concat(lit("doc "), col("doc_id").cast("string"),
           lit(" ref "),
           element_at(split(trim(col("text")), "\\s+"), 1)).as("qtext"))
+    (corpus, q)
+  }
+
+  private def bm25fScores(s: SparkSession, dir: String): DataFrame = {
+    import graft.search.Hybrid
+    val (corpus, q) = bm25fParts(s, dir)
     Hybrid.bm25f(corpus, q, "qid", "qtext", "doc_id",
       Seq(Hybrid.Bm25Field("title", 2.0, 0.5),
         Hybrid.Bm25Field("text", 1.0, 0.75),
@@ -5274,6 +5305,7 @@ object WebQueries {
     "web_graph_trustrank" -> webGraphTrustrankSql,
     "hybrid_bm25f_topk" -> hybridBm25fSql,
     "hybrid_bm25f_rrf" -> hybridBm25fRrfSql,
+    "hybrid_bm25f_persisted" -> hybridBm25fSql,
     // Host-graph replay: link hosts keep their www./a. subdomains
     // (the linksCte synthesis), edges fold at HOST grain, then roll
     // to the registered target domain.

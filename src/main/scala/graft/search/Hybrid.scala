@@ -169,6 +169,113 @@ object Hybrid {
       .withColumnRenamed("__did", docIdCol)
   }
 
+  /** Handle to a [[persistFieldPostings]] layout. */
+  final case class PersistedFieldPostings(path: String, buckets: Int)
+
+  /** Persist the MULTI-FIELD inverted index behind [[bm25f]]: one
+    * term-bucketed layout of per-field postings
+    * `(term, doc, field, tf, field_len, df)` (df is DOCUMENT-level —
+    * any field — and denormalized at build like [[persistPostings]]),
+    * plus side files freezing the per-field average lengths and the
+    * document count. Field WEIGHTS are deliberately NOT frozen:
+    * w_f/b_f are query-time relevance knobs (retuning title-vs-body
+    * emphasis must not rebuild a 100 TB index), while the corpus
+    * statistics that would cost a full pass are frozen. A query
+    * batch prunes the scan to its own terms' buckets exactly like
+    * the single-field layout. */
+  def persistFieldPostings(corpus: DataFrame, docIdCol: String,
+      fields: Seq[String], path: String,
+      buckets: Int = 64): PersistedFieldPostings = {
+    require(fields.nonEmpty, "at least one field")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val perField = fields.zipWithIndex.map { case (fc, i) =>
+      val ft = corpus
+        .select(col(docIdCol).as("__did"),
+          explode(split(lower(trim(col(fc))), "\\s+")).as("__t"))
+        .filter(col("__t") =!= "")
+      val tf = ft.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
+      val fl = ft.groupBy("__did").agg(count(lit(1)).as("__fl"))
+      (tf.join(fl, "__did").withColumn("__f", lit(i)), fl)
+    }
+    val rows = perField.map(_._1).reduce(_ unionByName _)
+    val dft = rows.select("__did", "__t").distinct()
+      .groupBy("__t").agg(count(lit(1)).as("__df"))
+    rows.join(dft, "__t")
+      .withColumn("__tbucket",
+        pmod(xxhash64(col("__t")), lit(buckets.toLong)).cast("int"))
+      .repartition(col("__tbucket"))
+      .write.mode("overwrite").partitionBy("__tbucket").parquet(path)
+    // frozen stats: per-field avg length (integer sums — exact) and
+    // the doc count over any field
+    val avgs = perField.map(_._2).zipWithIndex.map { case (fl, i) =>
+      (i, fl.agg(avg("__fl")).head().getDouble(0))
+    }
+    val n = rows.select("__did").distinct().count()
+    avgs.toDF("__f", "__avgfl").coalesce(1)
+      .write.mode("overwrite").parquet(path + "_fstats")
+    Seq(n).toDF("__n").coalesce(1)
+      .write.mode("overwrite").parquet(path + "_stats")
+    PersistedFieldPostings(path, buckets)
+  }
+
+  /** BM25F over a [[persistFieldPostings]] layout — bit-identical
+    * scores to [[bm25f]] by construction: the same per-field
+    * weighted tf expression over the frozen tf/fl/avgfl, the same
+    * field-ordered combine and term-ordered score fold; only the
+    * access path changes (term-bucket pruned scan instead of three
+    * corpus tokenize passes). `weights(i) = (w_f, b_f)` for field
+    * index i as persisted. */
+  def bm25fPersisted(spark: SparkSession, idx: PersistedFieldPostings,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      docIdCol: String, weights: Seq[(Double, Double)],
+      k1: Double = 1.2): DataFrame = {
+    import spark.implicits._
+    val qterms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(
+          split(lower(trim(col(queryTextCol))), "\\s+"))).as("__t"))
+      .filter(col("__t") =!= "")
+    val tw = qterms
+      .select(col("__t"), pmod(xxhash64(col("__t")),
+        lit(idx.buckets.toLong)).cast("int").as("__tbucket"))
+      .distinct().collect()
+    val terms = tw.map(_.getString(0)).toSeq
+    val bs = tw.map(_.getInt(1)).distinct.toSeq
+    val fstats = spark.read.parquet(idx.path + "_fstats")
+    val nStats = spark.read.parquet(idx.path + "_stats")
+    val wdf = weights.zipWithIndex
+      .map { case ((w, b), i) => (i, w, b) }
+      .toDF("__f", "__w", "__b")
+    val postings = spark.read.parquet(idx.path)
+      .filter(col("__tbucket").isin(bs: _*) && col("__t").isin(terms: _*))
+    val combined = postings
+      .join(broadcast(fstats), Seq("__f"))
+      .join(broadcast(wdf), Seq("__f"))
+      .withColumn("__wtf",
+        col("__w") * col("__tf") /
+          ((lit(1.0) - col("__b")) +
+            col("__b") * col("__fl") / col("__avgfl")))
+      .groupBy("__did", "__t")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__f"), col("__wtf")))),
+        lit(0.0), (acc, x) => acc + x("__wtf")).as("__ctf"),
+        first(col("__df")).as("__df"))
+    combined.join(broadcast(qterms), "__t")
+      .crossJoin(broadcast(nStats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5))))
+      .withColumn("__contrib",
+        col("__idf") * col("__ctf") * (lit(k1) + lit(1.0)) /
+          (col("__ctf") + lit(k1)))
+      .groupBy(col("query_id"), col("__did"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__t"), col("__contrib")))),
+        lit(0.0), (acc, x) => acc + x("__contrib")).as("bm25f"))
+      .withColumnRenamed("__did", docIdCol)
+  }
+
   // ---------------- persisted inverted index ----------------
 
   /** Handle to a layout persisted by [[persistPostings]]. */

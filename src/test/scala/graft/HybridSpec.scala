@@ -81,6 +81,36 @@ class HybridSpec extends SparkSpec {
       s"single saturation caps the both-fields doc below the sum: $s3")
   }
 
+  test("persisted field postings: bm25f bit-identical to in-memory, " +
+    "field weights retune at query time without a rebuild") {
+    val fielded = Seq(
+      (20L, "migration routes", "birds fly far in autumn skies"),
+      (21L, "journey", "birds migration far in autumn skies always"),
+      (22L, "passage", "the migration begins at dawn today")
+    ).toDF("doc_id", "title", "body")
+    val q = Seq((0L, "migration autumn")).toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("pbm25f")
+      .toString + "/idx"
+    val idx = Hybrid.persistFieldPostings(fielded, "doc_id",
+      Seq("title", "body"), dir, buckets = 8)
+    val fields = Seq(Hybrid.Bm25Field("title", 2.0, 0.5),
+      Hybrid.Bm25Field("body", 1.0, 0.75))
+    val mem = Hybrid.bm25f(fielded, q, "qid", "qtext", "doc_id", fields)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val disk = Hybrid.bm25fPersisted(spark, idx, q, "qid", "qtext",
+        "doc_id", Seq((2.0, 0.5), (1.0, 0.75)))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(disk === mem && mem.nonEmpty,
+      s"persisted scores must be bit-identical: $disk vs $mem")
+    // different weights on the SAME layout: body-only emphasis makes
+    // the title-only doc score strictly lower than before
+    val retuned = Hybrid.bm25fPersisted(spark, idx, q, "qid", "qtext",
+        "doc_id", Seq((0.1, 0.5), (1.0, 0.75)))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(retuned(20L) < disk(20L),
+      "down-weighting the title must lower the title-hit doc's score")
+  }
+
   test("rrf: a doc retrieved by both legs outranks single-leg winners") {
     // query text matches docs 12/13 ("lake"), query vector points at
     // doc 12's direction → doc 12 is in both legs and must fuse first
