@@ -1209,6 +1209,26 @@ object InfraQueries {
       Ann.recallAtK(ans, corpus, queries, "vec_id", "embedding",
         "vec_id", "embedding", k = 5, sampleMod = 2L)
     }),
+    // Rank-aware MaxSim telemetry — nDCG against the pooled exact
+    // order: recall says WHETHER the pooled top-k came back, nDCG
+    // says whether late interaction returned it IN ORDER (a reversed
+    // set scores recall 1.0 but low nDCG — the reranker-drift gauge).
+    "ann_ndcg_maxsim" -> ((s, dir) => {
+      import graft.search.MaxSim
+      val e = emb(s, dir).filter(col("embedding").isNotNull)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val queries = e.filter(col("vec_id") < 5)
+      def toks(df: DataFrame) = df
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(7))).as("ti"),
+          col("embedding"))
+        .select(col("vec_id"), col("ti"),
+          slice(col("embedding"), col("ti") * 8 + 1, lit(8)).as("tv"))
+      val ans = MaxSim.topK(toks(corpus), "vec_id", "tv", toks(queries),
+        "vec_id", "ti", "tv", k = 5, bits = 4)
+      Ann.ndcgAtK(ans, corpus, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, sampleMod = 2L)
+    }),
     // MaxSim THROUGH the persisted bucket-partitioned token layout:
     // candidate generation scans only the query tokens' bucket DIRS
     // (partition pruning at the file listing), the exact stage joins
@@ -4964,6 +4984,57 @@ object InfraQueries {
       ("ann_ivfpq_persisted" -> baseOracleSql("ann_ivfpq_topk")) +
       ("ann_ivfpq_synced" -> baseOracleSql("ann_ivfpq_topk")) +
       ("ann_maxsim_persisted" -> baseOracleSql("ann_maxsim_topk")) +
+      // MaxSim nDCG: the ann_ndcg_probe tail (positional gains 6−rnk,
+      // log2 discounts, rank-ordered DCG folds) grafted onto the
+      // token-level chain against the pooled exact order
+      ("ann_ndcg_maxsim" -> derivedSql("ann_maxsim_topk",
+        """SELECT query_id, rnk, vec_id FROM (
+          |  SELECT query_id, vec_id,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY s DESC, vec_id) AS BIGINT) AS rnk
+          |  FROM sc)
+          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin ->
+        """, ans AS (
+          |  SELECT query_id, vec_id, rnk AS arnk FROM (
+          |    SELECT query_id, vec_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY s DESC, vec_id) AS rnk
+          |    FROM sc)
+          |  WHERE rnk <= 5 AND query_id % 2 = 0),
+          |pooled AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  WHERE vec_id >= 5 AND embedding IS NOT NULL),
+          |sq AS (
+          |  SELECT vec_id AS query_id, embedding AS pqv
+          |  FROM embeddings
+          |  WHERE vec_id < 5 AND embedding IS NOT NULL
+          |    AND vec_id % 2 = 0),
+          |exact AS (
+          |  SELECT query_id, vec_id, rnk FROM (
+          |    SELECT s.query_id, c.vec_id,
+          |      row_number() OVER (PARTITION BY s.query_id
+          |        ORDER BY list_cosine_similarity(c.embedding, s.pqv)
+          |          DESC, c.vec_id) AS rnk
+          |    FROM pooled c CROSS JOIN sq s)
+          |  WHERE rnk <= 5),
+          |gains AS (
+          |  SELECT query_id, vec_id, rnk, CAST(6 - rnk AS DOUBLE) AS g
+          |  FROM exact),
+          |dcg AS (
+          |  SELECT a.query_id,
+          |    list_sum(list(COALESCE(g.g, 0) / log2(a.arnk + 1)
+          |      ORDER BY a.arnk)) AS dcg
+          |  FROM ans a LEFT JOIN gains g
+          |    ON g.query_id = a.query_id AND g.vec_id = a.vec_id
+          |  GROUP BY a.query_id),
+          |idcg AS (
+          |  SELECT query_id,
+          |    list_sum(list(g / log2(rnk + 1) ORDER BY rnk)) AS idcg
+          |  FROM gains GROUP BY query_id)
+          |SELECT i.query_id,
+          |  round(COALESCE(d.dcg, 0) / i.idcg, 4) AS ndcg
+          |FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
+          |ORDER BY i.query_id""".stripMargin)) +
       // MaxSim recall: the MaxSim replay's final top-5 becomes the
       // answer set (sampled queries), joined against the pooled
       // exact cosine side — the ann_recall_probe tail grafted onto

@@ -109,6 +109,15 @@ class HybridSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
     assert(retuned(20L) < disk(20L),
       "down-weighting the title must lower the title-hit doc's score")
+    // the posting scan prunes to the query terms' buckets at the
+    // file listing AND pushes the term filter
+    spark.sharedState.cacheManager.clearCache()
+    val plan = Hybrid.bm25fPersisted(spark, idx, q, "qid", "qtext",
+      "doc_id", Seq((2.0, 0.5), (1.0, 0.75)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("__tbucket"),
+      s"scan must prune by term bucket:\n${plan.take(2000)}")
   }
 
   test("rrf: a doc retrieved by both legs outranks single-leg winners") {
