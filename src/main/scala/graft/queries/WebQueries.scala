@@ -2430,6 +2430,42 @@ object WebQueries {
         .select(col("query_id"), col("rnk"), col("doc_id"))
         .orderBy("query_id", "rnk")
     }),
+    // CDF maintenance of the persisted multi-field index under the
+    // frozen-stats contract: delete ten docs (their postings leave
+    // every touched bucket across all three fields), re-insert them
+    // from source (new rows take the frozen df) — the final layout
+    // must score identically to the never-touched build, so the cell
+    // shares hybrid_bm25f_topk's oracle; the hash check proves the
+    // delete + insert round-trips losslessly through the delta path.
+    "hybrid_bm25f_synced" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.index.ChangeLog
+      import graft.search.Hybrid
+      val (corpus, q) = bm25fParts(s, dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pbm25fs/" +
+        dir.replaceAll("[^0-9.]", "")
+      val flds = Seq("title", "text", "anchor_text")
+      val idx = Hybrid.persistFieldPostings(corpus, "doc_id", flds,
+        root, buckets = 32)
+      val victims = corpus.filter(col("doc_id") >= 10 &&
+        col("doc_id") < 20)
+      Hybrid.syncPersistedFieldPostings(s, idx,
+        victims.withColumn("__op", lit(ChangeLog.OpDelete))
+          .withColumn("__seq", lit(1L)),
+        "doc_id", flds)
+      Hybrid.syncPersistedFieldPostings(s, idx,
+        victims.withColumn("__op", lit(ChangeLog.OpInsert))
+          .withColumn("__seq", lit(2L)),
+        "doc_id", flds)
+      val scored = Hybrid.bm25fPersisted(s, idx, q, "qid", "qtext",
+        "doc_id", Seq((2.0, 0.5), (1.0, 0.75), (0.5, 0.0)))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("bm25f").desc, col("doc_id").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("doc_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // BM25F as a FUSION LEG: the field-weighted keyword ranking and
     // the exact cosine vector ranking compose through reciprocal-rank
     // fusion — the full web-search hybrid (multi-field keyword
@@ -2848,6 +2884,37 @@ object WebQueries {
         }
         Map("fixture" -> fixture, "export" -> export,
           "reassemble" -> reassembleT)
+      }),
+      "hybrid_bm25f_synced" -> ((s, dir) => {
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        import graft.index.ChangeLog
+        import graft.search.Hybrid
+        val (corpus, q) = bm25fParts(s, dir)
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft_pbm25fs_ph/" +
+            dir.replaceAll("[^0-9.]", "")
+        val flds = Seq("title", "text", "anchor_text")
+        val (idx, build) = timed(Hybrid.persistFieldPostings(corpus,
+          "doc_id", flds, root, buckets = 32))
+        val victims = corpus.filter(col("doc_id") >= 10 &&
+          col("doc_id") < 20)
+        val (_, syncT) = timed {
+          Hybrid.syncPersistedFieldPostings(s, idx,
+            victims.withColumn("__op", lit(ChangeLog.OpDelete))
+              .withColumn("__seq", lit(1L)), "doc_id", flds)
+          Hybrid.syncPersistedFieldPostings(s, idx,
+            victims.withColumn("__op", lit(ChangeLog.OpInsert))
+              .withColumn("__seq", lit(2L)), "doc_id", flds)
+        }
+        val (_, score) = timed {
+          Hybrid.bm25fPersisted(s, idx, q, "qid", "qtext", "doc_id",
+            Seq((2.0, 0.5), (1.0, 0.75), (0.5, 0.0))).count()
+        }
+        Map("build" -> build, "sync" -> syncT, "score" -> score)
       }),
       "crawl_lang_budget" -> ((s, dir) => {
         def timed[T](f: => T): (T, Double) = {
@@ -5306,6 +5373,7 @@ object WebQueries {
     "hybrid_bm25f_topk" -> hybridBm25fSql,
     "hybrid_bm25f_rrf" -> hybridBm25fRrfSql,
     "hybrid_bm25f_persisted" -> hybridBm25fSql,
+    "hybrid_bm25f_synced" -> hybridBm25fSql,
     // Host-graph replay: link hosts keep their www./a. subdomains
     // (the linksCte synthesis), edges fold at HOST grain, then roll
     // to the registered target domain.

@@ -206,6 +206,11 @@ object Hybrid {
         pmod(xxhash64(col("__t")), lit(buckets.toLong)).cast("int"))
       .repartition(col("__tbucket"))
       .write.mode("overwrite").partitionBy("__tbucket").parquet(path)
+    // the frozen document-level df as its OWN side file (the
+    // persistPostings discipline): a term whose last posting a sync
+    // deletes keeps its frozen df here, so a later re-insert never
+    // scores with df = 0
+    dft.write.mode("overwrite").parquet(path + "_df")
     // frozen stats: per-field avg length (integer sums — exact) and
     // the doc count over any field
     val avgs = perField.map(_._2).zipWithIndex.map { case (fl, i) =>
@@ -217,6 +222,55 @@ object Hybrid {
     Seq(n).toDF("__n").coalesce(1)
       .write.mode("overwrite").parquet(path + "_stats")
     PersistedFieldPostings(path, buckets)
+  }
+
+  /** CDF-batch maintenance of a [[persistFieldPostings]] layout —
+    * the multi-field [[syncPersistedPostings]]: ALL corpus statistics
+    * stay FROZEN (build-time per-field avg lengths, document-level
+    * df, N — the frozen-centroid contract: adding docs never
+    * re-weights, rebuild to re-train); a changed doc's postings
+    * across EVERY field rewrite together (its old rows anti-joined
+    * out of every touched bucket, its new per-field rows taking
+    * their term's frozen df, 0 for terms unseen at build), so
+    * updates and deletes leave no stale scoring rows. Only touched
+    * term-bucket dirs rewrite. */
+  def syncPersistedFieldPostings(spark: SparkSession,
+      idx: PersistedFieldPostings, changes: DataFrame, docIdCol: String,
+      fields: Seq[String]): Unit = {
+    import graft.index.ChangeLog
+    val layout = spark.read.parquet(idx.path)
+    val latest = ChangeLog.latestPerPk(changes, docIdCol)
+    val upserts = latest.filter(col("__op") =!= ChangeLog.OpDelete)
+      .drop("__op", "__seq")
+    val changedPks = latest.select(col(docIdCol).as("__did"))
+    val frozenDf = spark.read.parquet(idx.path + "_df")
+    val perField = fields.zipWithIndex.map { case (fc, i) =>
+      val ft = upserts
+        .select(col(docIdCol).as("__did"),
+          explode(split(lower(trim(col(fc))), "\\s+")).as("__t"))
+        .filter(col("__t") =!= "")
+      val tf = ft.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
+      val fl = ft.groupBy("__did").agg(count(lit(1)).as("__fl"))
+      tf.join(fl, "__did").withColumn("__f", lit(i))
+    }
+    val newPost = perField.reduce(_ unionByName _)
+      .join(frozenDf, Seq("__t"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(0L)))
+      .withColumn("__tbucket",
+        pmod(xxhash64(col("__t")), lit(idx.buckets.toLong)).cast("int"))
+    // affected buckets: any holding a changed doc's OLD postings plus
+    // every bucket receiving new rows — driver-small (≤ buckets)
+    val affected: Seq[Seq[Any]] = layout
+      .join(changedPks, layout("__did") === changedPks("__did"),
+        "left_semi")
+      .select("__tbucket")
+      .union(newPost.select("__tbucket")).distinct()
+      .collect().map(r => Seq[Any](r.getInt(0)))
+    graft.index.PartitionedLayout.mergeOverwrite(spark, idx.path,
+      Seq("__tbucket"), affected,
+      layout.filter(graft.index.PartitionedLayout
+        .touchedPred(Seq("__tbucket"), affected)),
+      Seq("__did"), changedPks, newPost)
   }
 
   /** BM25F over a [[persistFieldPostings]] layout — bit-identical

@@ -118,6 +118,28 @@ class HybridSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") &&
       plan.contains("__tbucket"),
       s"scan must prune by term bucket:\n${plan.take(2000)}")
+    // delete-only sync removes the doc's postings from EVERY field;
+    // re-inserting from source restores the exact layout (frozen df,
+    // frozen lengths)
+    import graft.index.ChangeLog
+    def snapshot() = spark.read.parquet(dir)
+      .select($"__did", $"__t", $"__f", $"__tf", $"__fl", $"__df")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val before = snapshot()
+    val victim = fielded.filter($"doc_id" === 21L)
+    Hybrid.syncPersistedFieldPostings(spark, idx,
+      victim.withColumn("__op", lit(ChangeLog.OpDelete))
+        .withColumn("__seq", lit(1L)),
+      "doc_id", Seq("title", "body"))
+    assert(!spark.read.parquet(dir).select("__did").as[Long]
+      .collect().contains(21L), "deleted doc's postings must be gone")
+    Hybrid.syncPersistedFieldPostings(spark, idx,
+      victim.withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(2L)),
+      "doc_id", Seq("title", "body"))
+    assert(snapshot() === before,
+      "delete + re-insert must round-trip to the original layout")
   }
 
   test("rrf: a doc retrieved by both legs outranks single-leg winners") {
