@@ -1254,6 +1254,57 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // CDF maintenance of the persisted token layout: build on
+    // [15,∞) with a STALE token bag for 15, then insert [5,15),
+    // replace 15's bag, and delete+reinsert 20 — a doc's tokens
+    // replace atomically (one nested-bag row per doc in the batch).
+    // Sign buckets are a pure per-token function (no trained state),
+    // so the synced layout ≡ a fresh build over the live corpus and
+    // the cell shares ann_maxsim_topk's oracle string. Old token rows
+    // are located via the pk-hash _docs twin (a lookup pruned to the
+    // batch's pk dirs); only touched __b / __dbkt dirs rewrite.
+    "ann_maxsim_synced" -> ((s, dir) => {
+      import graft.search.MaxSim
+      import graft.index.ChangeLog
+      val e = emb(s, dir).filter(col("embedding").isNotNull)
+      def toks(df: DataFrame) = df
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(7))).as("ti"),
+          col("embedding"))
+        .select(col("vec_id"), col("ti"),
+          slice(col("embedding"), col("ti") * 8 + 1, lit(8)).as("tv"))
+      def bags(df: DataFrame) = df
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(7)),
+            i => slice(col("embedding"), i * 8 + 1, lit(8))).as("toks"))
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ptoksync/" +
+        dir.replaceAll("[^0-9.]", "")
+      // build corpus: [15,∞) with vec 15's bag REVERSED (stale)
+      val build = e.filter(col("vec_id") >= 15)
+        .withColumn("embedding",
+          when(col("vec_id") === 15, reverse(col("embedding")))
+            .otherwise(col("embedding")))
+      val idx = MaxSim.persistTokens(toks(build), "vec_id", "tv", root,
+        bits = 4)
+      val changes = bags(e.filter(col("vec_id") >= 5 && col("vec_id") < 15))
+        .withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(1L))
+        .unionByName(bags(e.filter(col("vec_id") === 15))
+          .withColumn("__op", lit(ChangeLog.OpUpdate))
+          .withColumn("__seq", lit(2L)))
+        .unionByName(bags(e.filter(col("vec_id") === 20))
+          .withColumn("__op", lit(ChangeLog.OpDelete))
+          .withColumn("__seq", lit(2L)))
+        .unionByName(bags(e.filter(col("vec_id") === 20))
+          .withColumn("__op", lit(ChangeLog.OpInsert))
+          .withColumn("__seq", lit(3L)))
+      MaxSim.syncPersistedTokens(s, idx, changes, "vec_id", "toks")
+      MaxSim.topKPersisted(s, idx, "vec_id",
+          toks(e.filter(col("vec_id") < 5)), "vec_id", "ti", "tv", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // RESIDUAL IVF-PQ — the FAISS IVFPQ true form: the fine quantizer
     // encodes x − centroid(cell), not x, so the codebook describes
     // the tight within-cell displacement distribution instead of the
@@ -4984,6 +5035,9 @@ object InfraQueries {
       ("ann_ivfpq_persisted" -> baseOracleSql("ann_ivfpq_topk")) +
       ("ann_ivfpq_synced" -> baseOracleSql("ann_ivfpq_topk")) +
       ("ann_maxsim_persisted" -> baseOracleSql("ann_maxsim_topk")) +
+      // synced ≡ fresh build over the live corpus (pure per-token
+      // buckets, no trained state) — the shared string IS the proof
+      ("ann_maxsim_synced" -> baseOracleSql("ann_maxsim_topk")) +
       // MaxSim nDCG: the ann_ndcg_probe tail (positional gains 6−rnk,
       // log2 discounts, rank-ordered DCG folds) grafted onto the
       // token-level chain against the pooled exact order

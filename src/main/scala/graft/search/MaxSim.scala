@@ -30,9 +30,36 @@ import org.apache.spark.sql.functions._
   */
 object MaxSim {
 
+  /** pk-hash dir count of the `_docs` side table [[persistTokens]]
+    * writes — the table that lets [[topKPersisted]]'s exact stage and
+    * [[syncPersistedTokens]]'s old-row lookup open only the candidate
+    * (resp. changed) docs' buckets instead of sweeping the whole
+    * bucket-partitioned token store (the sign-LSH `_docs` /
+    * `IndexKinds` `_corpus` discipline). */
+  private[graft] val docBuckets = 32
+
+  private def docBucketCol(did: Column): Column =
+    pmod(xxhash64(did), lit(docBuckets.toLong)).cast("int")
+
+  /** `bits` sign tests need `2·bits` vector components (bit i reads
+    * the pair (2i, 2i+1)); past the vector length `element_at` is
+    * null, so an over-wide bucket silently degenerates to constant-0
+    * high bits (and throws under ANSI mode). Probed from ONE row —
+    * uniform token dimension is the caller's contract. */
+  private def requireDim(tokens: DataFrame, vecCol: String,
+      bits: Int): Unit =
+    tokens.select(size(col(vecCol)).as("__d")).head(1).foreach { r =>
+      val d = r.getInt(0)
+      require(2 * bits <= d,
+        s"bits=$bits needs 2*bits <= token dimension ($d): each sign " +
+          "test consumes one component pair")
+    }
+
   /** Sign-LSH bucket of a token vector: `bits` sign tests, bit i =
     * sign of the integer-quantized sum of adjacent component pair
-    * (2i, 2i+1) — axis-pair hyperplanes, exact integer arithmetic. */
+    * (2i, 2i+1) — axis-pair hyperplanes, exact integer arithmetic.
+    * Requires `2·bits <=` the token dimension (enforced by the public
+    * entry points via [[requireDim]]). */
   def bucket(vec: Column, bits: Int): Column = {
     val xi = transform(vec,
       x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
@@ -60,18 +87,29 @@ object MaxSim {
     * on-disk PLAID shape: candidate generation reads ONLY the query
     * tokens' bucket DIRECTORIES (partition pruning at the file
     * listing — a query batch touching b of 2^bits buckets never
-    * opens the rest of a 100 TB token store), and the exact stage
-    * reads candidate docs' tokens through a pk semi-join. Bucket
-    * count rides a side file so queries re-derive the same hash. */
+    * opens the rest of a 100 TB token store). A pk-hash-bucketed
+    * `_docs` twin persists beside it (the sign-LSH `_docs` shape): a
+    * doc's tokens SCATTER across sign buckets, so the exact stage
+    * fetches candidate docs' full token sets from `_docs` — opening
+    * only the candidate pks' hash dirs — never by sweeping the
+    * sign-bucketed store. Bucket count rides a side file so queries
+    * re-derive the same hash. */
   def persistTokens(docTokens: DataFrame, docIdCol: String,
       docVecCol: String, path: String, bits: Int = 4): PersistedTokens = {
     require(bits >= 1 && bits <= 16, s"bits in [1, 16], got $bits")
-    val dt = docTokens.filter(col(docVecCol).isNotNull)
+    val dt0 = docTokens.filter(col(docVecCol).isNotNull)
       .select(col(docIdCol).as("__did"),
         transform(col(docVecCol), _.cast("double")).as("__dv"))
-      .withColumn("__b", bucket(col("__dv"), bits))
-    dt.repartition(col("__b"))
-      .write.mode("overwrite").partitionBy("__b").parquet(path)
+    requireDim(dt0, "__dv", bits) // before __b exists: ANSI-safe probe
+    val dt = dt0.withColumn("__b", bucket(col("__dv"), bits))
+    // the two tables land on disjoint paths — write them concurrently
+    graft.index.PartitionedLayout.inParallel(
+      dt.repartition(col("__b"))
+        .write.mode("overwrite").partitionBy("__b").parquet(path),
+      dt.drop("__b").withColumn("__dbkt", docBucketCol(col("__did")))
+        .repartition(col("__dbkt"))
+        .write.mode("overwrite").partitionBy("__dbkt")
+        .parquet(path + "_docs"))
     val spark = docTokens.sparkSession
     import spark.implicits._
     Seq(bits).toDF("__bits").coalesce(1)
@@ -79,12 +117,72 @@ object MaxSim {
     PersistedTokens(path, bits)
   }
 
+  /** CDF-batch maintenance of a [[persistTokens]] layout — the
+    * late-interaction leg's `syncPersistedSignLsh`: last-write-wins
+    * per doc, deletes and empty-bag upserts leave the index. `changes`
+    * carries ONE row per doc with its full token bag nested
+    * (`tokensCol: array<array<float|double>>`) plus the CDF `__op` /
+    * `__seq` pair — a doc's tokens replace ATOMICALLY (never a
+    * half-old half-new bag). Sign buckets are a pure per-token
+    * function of the vector (no trained state), so a synced layout is
+    * IDENTICAL to a fresh build over the live corpus. A changed doc's
+    * OLD sign buckets are located by re-bucketing its stored tokens
+    * from `_docs` (a lookup pruned to the batch's pk-hash dirs); only
+    * touched `__b` dirs of the store and `__dbkt` dirs of `_docs`
+    * rewrite, both driver-bounded by their key spaces (2^bits,
+    * [[docBuckets]]). Idempotent under replay. */
+  def syncPersistedTokens(spark: SparkSession, idx: PersistedTokens,
+      changes: DataFrame, pkCol: String, tokensCol: String): Unit = {
+    import graft.index.{ChangeLog, PartitionedLayout}
+    val bits = spark.read.parquet(idx.path + "_meta").head().getInt(0)
+    val latest = ChangeLog.latestPerPk(changes, pkCol).localCheckpoint(true)
+    val changedPks = latest.select(col(pkCol).as("__did"))
+    val newToks0 = latest.filter(col("__op") =!= ChangeLog.OpDelete)
+      .filter(col(tokensCol).isNotNull)
+      .select(col(pkCol).as("__did"), explode(col(tokensCol)).as("__tv"))
+      .filter(col("__tv").isNotNull)
+      .select(col("__did"),
+        transform(col("__tv"), _.cast("double")).as("__dv"))
+    requireDim(newToks0, "__dv", bits) // before __b: ANSI-safe probe
+    val newToks = newToks0.withColumn("__b", bucket(col("__dv"), bits))
+      .localCheckpoint(true) // affected collect + both merges
+    val dbks = changedPks.select(docBucketCol(col("__did")).as("__dbkt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val docsTable = spark.read.parquet(idx.path + "_docs")
+    val oldToks = docsTable.filter(col("__dbkt").isin(dbks: _*))
+      .join(changedPks, Seq("__did"), "left_semi")
+      .withColumn("__b", bucket(col("__dv"), bits))
+    // ---- sign-bucketed store: rewrite touched __b dirs ----
+    val affected: Seq[Seq[Any]] = oldToks.select("__b")
+      .union(newToks.select("__b")).distinct()
+      .collect().map(r => Seq[Any](r.getInt(0)))
+    if (affected.nonEmpty) {
+      PartitionedLayout.mergeOverwrite(spark, idx.path, Seq("__b"),
+        affected,
+        spark.read.parquet(idx.path)
+          .filter(PartitionedLayout.touchedPred(Seq("__b"), affected)),
+        Seq("__did"), changedPks, newToks)
+    }
+    // ---- _docs: same merge keyed by pk-hash dirs (new rows' pks are
+    // a subset of the changed pks, so their dirs ⊆ dbks) ----
+    PartitionedLayout.mergeOverwrite(spark, idx.path + "_docs",
+      Seq("__dbkt"), dbks.map(Seq[Any](_)),
+      docsTable.filter(col("__dbkt").isin(dbks: _*)),
+      Seq("__did"), changedPks,
+      newToks.drop("__b").withColumn("__dbkt", docBucketCol(col("__did"))))
+  }
+
   /** [[topK]] over a [[persistTokens]] layout — identical scores by
     * construction (same buckets, same exact stage; shares the
     * in-memory oracle). Candidate generation scans only the query
-    * buckets' dirs; the exact MaxSim joins the FULL token sets of
-    * candidate docs back via the pk (so pruning never approximates a
-    * candidate's score, exactly like the in-memory path). */
+    * buckets' dirs of the sign-bucketed store; the exact MaxSim joins
+    * the FULL token sets of candidate docs back from the pk-hash
+    * `_docs` twin (so pruning never approximates a candidate's score,
+    * exactly like the in-memory path) — and because a doc's tokens
+    * live together in its ONE `__dbkt` dir there, candidate fetch
+    * opens only the candidate pks' bucket dirs instead of re-sweeping
+    * the whole token store (the touched-dir collect is bounded by
+    * [[docBuckets]], the layout's key space — never by the corpus). */
   def topKPersisted(spark: SparkSession, idx: PersistedTokens,
       docIdCol: String, queryTokens: DataFrame, queryIdCol: String,
       queryTokIdxCol: String, queryVecCol: String, k: Int): DataFrame = {
@@ -102,7 +200,11 @@ object MaxSim {
       .join(broadcast(qt.select("query_id", "__b").distinct()),
         Seq("__b"))
       .select("query_id", "__did").distinct()
-    val dt = spark.read.parquet(idx.path).select("__did", "__dv")
+    val dbks = cand.select(docBucketCol(col("__did")).as("__dbkt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val dt = spark.read.parquet(idx.path + "_docs")
+      .filter(col("__dbkt").isin(dbks: _*))
+      .select("__did", "__dv")
       .join(broadcast(cand.select("__did").distinct()), Seq("__did"),
         "left_semi")
     val scored = cand
@@ -134,10 +236,11 @@ object MaxSim {
       queryTokens: DataFrame, queryIdCol: String, queryTokIdxCol: String,
       queryVecCol: String, k: Int, bits: Int = 4): DataFrame = {
     require(bits >= 0 && bits <= 16, s"bits in [0, 16], got $bits")
-    val dt = docTokens.filter(col(docVecCol).isNotNull)
+    val dt0 = docTokens.filter(col(docVecCol).isNotNull)
       .select(col(docIdCol).as("__did"),
         transform(col(docVecCol), _.cast("double")).as("__dv"))
-      .withColumn("__b", bucket(col("__dv"), bits))
+    if (bits > 0) requireDim(dt0, "__dv", bits) // ANSI-safe probe
+    val dt = dt0.withColumn("__b", bucket(col("__dv"), bits))
     val qt = queryTokens.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol).as("query_id"),
         col(queryTokIdxCol).as("__ti"),

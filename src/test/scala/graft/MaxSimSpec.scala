@@ -89,6 +89,120 @@ class MaxSimSpec extends SparkSpec {
       "persisted path must equal the in-memory path score for score")
   }
 
+  /** Files actually opened by the (executed) scan of `pathFrag` —
+    * `inputFiles` lists the relation pre-pruning, the scan's numFiles
+    * metric counts what partition pruning left. */
+  private def filesRead(df: org.apache.spark.sql.DataFrame,
+      pathFrag: String): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    df.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString
+        .contains(pathFrag)))
+      .map(_.metrics("numFiles").value).sum
+  }
+
+  // 8-dim fixture: doc 1 is the only doc sharing the query's sign
+  // bucket (doc 2 all-negative, doc 3 alternating pairs)
+  private def docs8 = Seq(
+    (1L, Seq(1.0f, 0.0f, 1.0f, 0.0f, 1.0f, 0.0f, 1.0f, 0.0f)),
+    (1L, Seq(0.0f, 1.0f, 0.0f, 1.0f, 0.0f, 1.0f, 0.0f, 1.0f)),
+    (2L, Seq(-1.0f, 0.0f, -1.0f, 0.0f, -1.0f, 0.0f, -1.0f, 0.0f)),
+    (3L, Seq(0.5f, 0.5f, -0.5f, -0.5f, 0.5f, 0.5f, -0.5f, -0.5f))
+  ).toDF("doc_id", "tv")
+  private def q8 = Seq(
+    (0L, 0, Seq(1.0f, 0.1f, 1.0f, 0.1f, 1.0f, 0.1f, 1.0f, 0.1f))
+  ).toDF("qid", "ti", "tv")
+
+  test("persisted exact stage reads candidate token sets from the " +
+    "pk-hash _docs twin, opening only candidate buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("maxsim_pf")
+      .toString + "/toks"
+    val idx = MaxSim.persistTokens(docs8, "doc_id", "tv", dir, bits = 4)
+    val ddirs = new java.io.File(dir + "_docs").listFiles()
+      .filter(_.getName.startsWith("__dbkt=")).map(_.getName).toSet
+    assert(ddirs.size >= 2, s"pk-hash dirs expected: $ddirs")
+    spark.sharedState.cacheManager.clearCache()
+    // AQE wraps the plan in AdaptiveSparkPlanExec (childless until
+    // final) — flip it off so the scan's numFiles metric is reachable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = MaxSim.topKPersisted(spark, idx, "doc_id", q8, "qid",
+        "ti", "tv", k = 4)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("__dbkt"),
+        s"exact stage must route through _docs:\n${plan.take(3000)}")
+      // only doc 1 shares the query's bucket -> candidate fetch opens
+      // ONE pk-hash dir of the _docs store, never all of them
+      val total = spark.read.parquet(dir + "_docs").inputFiles.length
+      val read = filesRead(out, "toks_docs")
+      assert(read > 0 && read < total,
+        s"candidate fetch read $read of $total _docs files")
+      assert(out.collect().map(_.getLong(2)).toSet === Set(1L))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("syncPersistedTokens: delete + reinsert + update round-trips " +
+    "to the fresh-build layout, tombstones leave both tables") {
+    import graft.index.ChangeLog
+    val dir = java.nio.file.Files.createTempDirectory("maxsim_sync")
+      .toString + "/toks"
+    // build WITHOUT doc 3, WITH a stale doc 1 (wrong vectors) and a
+    // doomed doc 9
+    val stale = Seq(
+      (1L, Seq(-1.0f, -1.0f, -1.0f, -1.0f, -1.0f, -1.0f, -1.0f, -1.0f)),
+      (2L, Seq(-1.0f, 0.0f, -1.0f, 0.0f, -1.0f, 0.0f, -1.0f, 0.0f)),
+      (9L, Seq(1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f))
+    ).toDF("doc_id", "tv")
+    val idx = MaxSim.persistTokens(stale, "doc_id", "tv", dir, bits = 4)
+    // CDF batch: doc 1 replaced with its true 2-token bag, doc 3
+    // inserted, doc 9 deleted — one row per doc, token bag nested
+    val changes = Seq(
+      (1L, Seq(Seq(1.0f, 0.0f, 1.0f, 0.0f, 1.0f, 0.0f, 1.0f, 0.0f),
+        Seq(0.0f, 1.0f, 0.0f, 1.0f, 0.0f, 1.0f, 0.0f, 1.0f)),
+        ChangeLog.OpUpdate, 1L),
+      (3L, Seq(Seq(0.5f, 0.5f, -0.5f, -0.5f, 0.5f, 0.5f, -0.5f, -0.5f)),
+        ChangeLog.OpInsert, 2L),
+      (9L, Seq.empty[Seq[Float]], ChangeLog.OpDelete, 3L)
+    ).toDF("doc_id", "toks", "__op", "__seq")
+    MaxSim.syncPersistedTokens(spark, idx, changes, "doc_id", "toks")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val synced = key(MaxSim.topKPersisted(spark, idx, "doc_id", q8,
+      "qid", "ti", "tv", k = 4))
+    val mem = key(MaxSim.topK(docs8, "doc_id", "tv", q8, "qid", "ti",
+      "tv", k = 4, bits = 4))
+    assert(synced === mem && synced.nonEmpty,
+      "synced layout must equal a fresh build over the live corpus")
+    // the tombstoned doc is gone from BOTH tables
+    assert(spark.read.parquet(dir).filter($"__did" === 9L).isEmpty)
+    assert(spark.read.parquet(dir + "_docs")
+      .filter($"__did" === 9L).isEmpty)
+    // idempotent under replay
+    MaxSim.syncPersistedTokens(spark, idx, changes, "doc_id", "toks")
+    assert(key(MaxSim.topKPersisted(spark, idx, "doc_id", q8, "qid",
+      "ti", "tv", k = 4)) === mem)
+  }
+
+  test("bits wider than the token dimension are rejected, not " +
+    "silently degenerate") {
+    val err = intercept[IllegalArgumentException] {
+      MaxSim.topK(docToks, "doc_id", "tv", qToks, "qid", "ti", "tv",
+        k = 3, bits = 2) // 2-dim tokens: only one sign pair exists
+    }
+    assert(err.getMessage.contains("2*bits"))
+    val dir = java.nio.file.Files.createTempDirectory("maxsim_req")
+      .toString + "/toks"
+    intercept[IllegalArgumentException] {
+      MaxSim.persistTokens(docToks, "doc_id", "tv", dir, bits = 3)
+    }
+  }
+
   test("deterministic under repartitioning") {
     def run(df: org.apache.spark.sql.DataFrame) =
       MaxSim.topK(df, "doc_id", "tv", qToks, "qid", "ti", "tv",
