@@ -410,6 +410,8 @@ object IndexKinds {
       case HybridKind => Map(
         "postings" -> PartitionedLayout.compact(spark, path,
           Seq("__tbucket"), maxFilesPerDir),
+        "docs" -> PartitionedLayout.compact(spark, path + "_docs",
+          Seq("__dbkt"), maxFilesPerDir),
         "corpus" -> PartitionedLayout.compact(spark, path + "_corpus",
           Seq("__cbkt"), maxFilesPerDir))
       case other =>

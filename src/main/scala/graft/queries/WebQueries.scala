@@ -2466,6 +2466,32 @@ object WebQueries {
         .select(col("query_id"), col("rnk"), col("doc_id"))
         .orderBy("query_id", "rnk")
     }),
+    // Per-field corpus telemetry over the persisted BM25F layout —
+    // what a relevance tuner reads BEFORE retuning the query-time
+    // field weights (the frozen-stats contract makes retuning free,
+    // this cell makes it informed): per field, how many docs carry
+    // it, vocabulary size, posting count and total token mass. One
+    // integer-exact rollup over the layout, no corpus re-tokenize.
+    "hybrid_bm25f_stats" -> ((s, dir) => {
+      import graft.search.Hybrid
+      val (corpus, _) = bm25fParts(s, dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pbm25fst/" +
+        dir.replaceAll("[^0-9.]", "")
+      val idx = Hybrid.persistFieldPostings(corpus, "doc_id",
+        Seq("title", "text", "anchor_text"), root, buckets = 32)
+      val lay = s.read.parquet(idx.path)
+      val counts = lay.groupBy("__f").agg(
+        countDistinct(col("__did")).as("n_docs"),
+        countDistinct(col("__t")).as("n_terms"),
+        count(lit(1)).as("n_postings"))
+      // __fl is constant per (field, doc): distinct first, then sum
+      val fls = lay.select("__f", "__did", "__fl").distinct()
+        .groupBy("__f").agg(sum("__fl").as("sum_fl"))
+      counts.join(fls, Seq("__f"))
+        .select(col("__f").cast("int").as("f"), col("n_docs"),
+          col("n_terms"), col("n_postings"), col("sum_fl"))
+        .orderBy("f")
+    }),
     // BM25F as a FUSION LEG: the field-weighted keyword ranking and
     // the exact cosine vector ranking compose through reciprocal-rank
     // fusion — the full web-search hybrid (multi-field keyword
@@ -4063,6 +4089,33 @@ object WebQueries {
       |  FROM sc)
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** Per-field telemetry replay: doc/vocabulary/posting counts and
+    * the integer token-mass sum straight off the three per-field
+    * tokenize CTEs the scoring replay already defines — the layout
+    * rollup must agree with a from-source recount exactly. */
+  private lazy val hybridBm25fStatsSql: String =
+    s"""$bm25fCtes,
+      |st AS (
+      |  SELECT 0 AS f,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM fl0) AS n_docs,
+      |    (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM tf0) AS n_terms,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM tf0) AS n_postings,
+      |    (SELECT CAST(sum(fl) AS BIGINT) FROM fl0) AS sum_fl
+      |  UNION ALL
+      |  SELECT 1,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM fl1),
+      |    (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM tf1),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM tf1),
+      |    (SELECT CAST(sum(fl) AS BIGINT) FROM fl1)
+      |  UNION ALL
+      |  SELECT 2,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM fl2),
+      |    (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM tf2),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM tf2),
+      |    (SELECT CAST(sum(fl) AS BIGINT) FROM fl2))
+      |SELECT CAST(f AS INT) AS f, n_docs, n_terms, n_postings, sum_fl
+      |FROM st ORDER BY f""".stripMargin
+
   /** RRF fusion replay: the shared BM25F chain as the keyword leg,
     * exact cosine over the doc↔embedding join as the vector leg,
     * both top-10, 1/(60+rank) fusion, exact top-5 — the
@@ -5373,6 +5426,7 @@ object WebQueries {
     "hybrid_bm25f_topk" -> hybridBm25fSql,
     "hybrid_bm25f_rrf" -> hybridBm25fRrfSql,
     "hybrid_bm25f_persisted" -> hybridBm25fSql,
+    "hybrid_bm25f_stats" -> hybridBm25fStatsSql,
     "hybrid_bm25f_synced" -> hybridBm25fSql,
     // Host-graph replay: link hosts keep their www./a. subdomains
     // (the linksCte synthesis), edges fold at HOST grain, then roll

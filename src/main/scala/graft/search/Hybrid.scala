@@ -169,6 +169,62 @@ object Hybrid {
       .withColumnRenamed("__did", docIdCol)
   }
 
+  // ---- `_docs` discovery sidecar shared by both postings layouts ----
+
+  /** pk-hash dir count of the `(did, tbucket)` discovery sidecar both
+    * persisted postings layouts write beside themselves — what bounds
+    * a sync's affected-bucket DISCOVERY scan to the changed pks' hash
+    * dirs. Without it, discovery semi-joined the changed pks against
+    * the FULL layout: column-pruned but O(index) bytes per batch — the
+    * read that dominates a small delta batch against a 100 TB index. */
+  private[graft] val postingsDocBuckets = 32
+
+  private def pkBucketCol(did: Column): Column =
+    pmod(xxhash64(did), lit(postingsDocBuckets.toLong)).cast("int")
+
+  /** Write the discovery sidecar from the layout's posting rows (any
+    * relation carrying `__did` and `__tbucket`). */
+  private def writeDocsSidecar(postRows: DataFrame, path: String): Unit =
+    postRows.select(col("__did"), col("__tbucket")).distinct()
+      .withColumn("__dbkt", pkBucketCol(col("__did")))
+      .repartition(col("__dbkt"))
+      .write.mode("overwrite").partitionBy("__dbkt")
+      .parquet(path + "_docs")
+
+  /** One-time migration: a layout persisted before the sidecar existed
+    * derives it from the postings (one column-pruned full scan — the
+    * legacy discovery cost, paid once instead of every batch). */
+  private def ensureDocsSidecar(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path + "_docs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      writeDocsSidecar(spark.read.parquet(path), path)
+  }
+
+  /** The changed pks' OLD term buckets, read from the sidecar pruned
+    * to the batch's pk-hash dirs — O(changed-pk buckets) files.
+    * `changedPks` carries one `__did` column. Exposed for the
+    * HybridSpec file-pruning pin. */
+  private[graft] def oldTermBuckets(spark: SparkSession, path: String,
+      changedPks: DataFrame, dbks: Seq[Int]): DataFrame =
+    spark.read.parquet(path + "_docs")
+      .filter(col("__dbkt").isin(dbks: _*))
+      .join(changedPks, Seq("__did"), "left_semi")
+      .select("__tbucket")
+
+  /** Sidecar maintenance for a sync batch: the same anti-join +
+    * re-add merge as the layout itself, keyed by the changed pks'
+    * hash dirs (new rows' pks ⊆ changed pks, so their dirs ⊆ dbks). */
+  private def mergeDocsSidecar(spark: SparkSession, path: String,
+      changedPks: DataFrame, newPost: DataFrame, dbks: Seq[Int]): Unit =
+    graft.index.PartitionedLayout.mergeOverwrite(spark, path + "_docs",
+      Seq("__dbkt"), dbks.map(Seq[Any](_)),
+      spark.read.parquet(path + "_docs")
+        .filter(col("__dbkt").isin(dbks: _*)),
+      Seq("__did"), changedPks,
+      newPost.select(col("__did"), col("__tbucket")).distinct()
+        .withColumn("__dbkt", pkBucketCol(col("__did"))))
+
   /** Handle to a [[persistFieldPostings]] layout. */
   final case class PersistedFieldPostings(path: String, buckets: Int)
 
@@ -201,20 +257,29 @@ object Hybrid {
     val rows = perField.map(_._1).reduce(_ unionByName _)
     val dft = rows.select("__did", "__t").distinct()
       .groupBy("__t").agg(count(lit(1)).as("__df"))
-    rows.join(dft, "__t")
+    val postRows = rows.join(dft, "__t")
       .withColumn("__tbucket",
         pmod(xxhash64(col("__t")), lit(buckets.toLong)).cast("int"))
+    postRows
       .repartition(col("__tbucket"))
       .write.mode("overwrite").partitionBy("__tbucket").parquet(path)
+    // (did, tbucket) discovery sidecar: what lets a sync locate a
+    // changed doc's old buckets with a pk-pruned lookup instead of a
+    // full-layout semi-join
+    writeDocsSidecar(postRows, path)
     // the frozen document-level df as its OWN side file (the
     // persistPostings discipline): a term whose last posting a sync
     // deletes keeps its frozen df here, so a later re-insert never
     // scores with df = 0
     dft.write.mode("overwrite").parquet(path + "_df")
     // frozen stats: per-field avg length (integer sums — exact) and
-    // the doc count over any field
+    // the doc count over any field. A field with ZERO tokens across
+    // the corpus has a null avg — freeze 1.0 (it has no postings, so
+    // the value never scores; mirrors the b_f = 0 no-normalization
+    // semantics) instead of NPE-ing the build.
     val avgs = perField.map(_._2).zipWithIndex.map { case (fl, i) =>
-      (i, fl.agg(avg("__fl")).head().getDouble(0))
+      val a = fl.agg(avg("__fl")).head()
+      (i, if (a.isNullAt(0)) 1.0 else a.getDouble(0))
     }
     val n = rows.select("__did").distinct().count()
     avgs.toDF("__f", "__avgfl").coalesce(1)
@@ -259,18 +324,22 @@ object Hybrid {
       .withColumn("__tbucket",
         pmod(xxhash64(col("__t")), lit(idx.buckets.toLong)).cast("int"))
     // affected buckets: any holding a changed doc's OLD postings plus
-    // every bucket receiving new rows — driver-small (≤ buckets)
-    val affected: Seq[Seq[Any]] = layout
-      .join(changedPks, layout("__did") === changedPks("__did"),
-        "left_semi")
-      .select("__tbucket")
-      .union(newPost.select("__tbucket")).distinct()
-      .collect().map(r => Seq[Any](r.getInt(0)))
+    // every bucket receiving new rows — driver-small (≤ buckets). Old
+    // buckets come from the (did, tbucket) sidecar pruned to the
+    // batch's pk-hash dirs, never a semi-join against the full layout.
+    ensureDocsSidecar(spark, idx.path)
+    val dbks = changedPks.select(pkBucketCol(col("__did")).as("__dbkt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val affected: Seq[Seq[Any]] =
+      oldTermBuckets(spark, idx.path, changedPks, dbks)
+        .union(newPost.select("__tbucket")).distinct()
+        .collect().map(r => Seq[Any](r.getInt(0)))
     graft.index.PartitionedLayout.mergeOverwrite(spark, idx.path,
       Seq("__tbucket"), affected,
       layout.filter(graft.index.PartitionedLayout
         .touchedPred(Seq("__tbucket"), affected)),
       Seq("__did"), changedPks, newPost)
+    mergeDocsSidecar(spark, idx.path, changedPks, newPost, dbks)
   }
 
   /** BM25F over a [[persistFieldPostings]] layout — bit-identical
@@ -354,12 +423,15 @@ object Hybrid {
     val dl = dterms.groupBy("__did").agg(count(lit(1)).as("__dl"))
     val stats = dl.agg(count(lit(1)).as("__n"), avg("__dl").as("__avgdl"))
     val dft = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
-    tf.join(dft, "__t").join(dl, "__did")
+    val postRows = tf.join(dft, "__t").join(dl, "__did")
       .withColumn("__tbucket",
         pmod(xxhash64(col("__t")), lit(buckets.toLong)).cast("int"))
+    postRows
       // one writer per bucket dir (the persistSignLsh discipline)
       .repartition(col("__tbucket"))
       .write.mode("overwrite").partitionBy("__tbucket").parquet(path)
+    // (did, tbucket) discovery sidecar — pk-pruned old-bucket lookups
+    writeDocsSidecar(postRows, path)
     stats.coalesce(1).write.mode("overwrite").parquet(path + "_stats")
     // the frozen per-term df as its OWN side file: the authority
     // syncPersistedPostings scores new postings with. Recovering df
@@ -406,19 +478,23 @@ object Hybrid {
       .withColumn("__tbucket",
         pmod(xxhash64(col("__t")), lit(idx.buckets.toLong)).cast("int"))
     // affected buckets: any holding a changed doc's OLD postings, plus
-    // every bucket receiving new rows — driver-small (≤ buckets)
-    val affected: Seq[Seq[Any]] = layout
-      .join(changedPks, layout("__did") === changedPks("__did"),
-        "left_semi")
-      .select("__tbucket")
-      .union(newPost.select("__tbucket")).distinct()
-      .collect().map(r => Seq[Any](r.getInt(0)))
+    // every bucket receiving new rows — driver-small (≤ buckets). Old
+    // buckets come from the (did, tbucket) sidecar pruned to the
+    // batch's pk-hash dirs, never a semi-join against the full layout.
+    ensureDocsSidecar(spark, idx.path)
+    val dbks = changedPks.select(pkBucketCol(col("__did")).as("__dbkt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val affected: Seq[Seq[Any]] =
+      oldTermBuckets(spark, idx.path, changedPks, dbks)
+        .union(newPost.select("__tbucket")).distinct()
+        .collect().map(r => Seq[Any](r.getInt(0)))
     // shared merge-overwrite skeleton — graft.index.PartitionedLayout
     graft.index.PartitionedLayout.mergeOverwrite(spark, idx.path,
       Seq("__tbucket"), affected,
       layout.filter(graft.index.PartitionedLayout
         .touchedPred(Seq("__tbucket"), affected)),
       Seq("__did"), changedPks, newPost)
+    mergeDocsSidecar(spark, idx.path, changedPks, newPost, dbks)
   }
 
   /** BM25 over a [[persistPostings]] layout — same output contract and

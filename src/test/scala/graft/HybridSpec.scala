@@ -283,4 +283,89 @@ class HybridSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
     assert(run(corpus) === run(corpus.repartition(7)))
   }
+
+  /** Files actually opened by the (executed) scan of `pathFrag` —
+    * the scan's numFiles metric counts what partition pruning left. */
+  private def filesRead(df: org.apache.spark.sql.DataFrame,
+      pathFrag: String): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    df.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString
+        .contains(pathFrag)))
+      .map(_.metrics("numFiles").value).sum
+  }
+
+  test("sync discovery reads the (did, tbucket) sidecar pruned to the " +
+    "changed pks' hash dirs, never the full layout") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" >= 3 && $"doc_id" < 200)
+      .select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_ppdisc")
+      .toString + "/idx"
+    Hybrid.persistPostings(docs, "doc_id", "text", path, buckets = 32)
+    val ddirs = new java.io.File(path + "_docs").listFiles()
+      .filter(_.getName.startsWith("__dbkt=")).map(_.getName).toSet
+    assert(ddirs.size >= 8, s"pk-hash dirs expected: ${ddirs.size}")
+    spark.sharedState.cacheManager.clearCache()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val changedPks = Seq(5L).toDF("__did")
+      val bkts = spark.range(1)
+        .select(pmod(xxhash64(lit(5L)),
+          lit(Hybrid.postingsDocBuckets.toLong)).cast("int"))
+        .head().getInt(0)
+      val disc = Hybrid.oldTermBuckets(spark, path, changedPks, Seq(bkts))
+      val total = spark.read.parquet(path + "_docs").inputFiles.length
+      val read = filesRead(disc, "idx_docs")
+      assert(read > 0 && read < total,
+        s"discovery read $read of $total sidecar files")
+      // discovery agrees with the legacy full-layout semi-join
+      val expect = spark.read.parquet(path)
+        .join(changedPks, Seq("__did"), "left_semi")
+        .select("__tbucket").distinct()
+        .as[Int].collect().toSet
+      assert(disc.distinct().as[Int].collect().toSet === expect)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("sidecar tracks the layout across syncs and migrates legacy " +
+    "layouts that lack it") {
+    import graft.index.ChangeLog
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val initial = d.filter($"doc_id" >= 10 && $"doc_id" < 120)
+      .select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_ppsc")
+      .toString + "/idx"
+    val idx = Hybrid.persistPostings(initial, "doc_id", "text", path,
+      buckets = 16)
+    // simulate a legacy layout: drop the sidecar; the next sync must
+    // rebuild it (one-time migration) and still locate old buckets
+    val fs = new org.apache.hadoop.fs.Path(path + "_docs")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "_docs"), true)
+    val changes = d.filter($"doc_id" >= 3 && $"doc_id" < 8)
+      .select("doc_id", "text")
+      .withColumn("__op", lit(ChangeLog.OpInsert))
+      .withColumn("__seq", lit(1L))
+      .unionByName(d.filter($"doc_id" === 20).select("doc_id", "text")
+        .withColumn("__op", lit(ChangeLog.OpDelete))
+        .withColumn("__seq", lit(2L)))
+    Hybrid.syncPersistedPostings(spark, idx, changes, "doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"__did", $"__tbucket").distinct()
+        .as[(Long, Int)].collect().toSet
+    val layoutPairs = pairs(spark.read.parquet(path))
+    val sidecarPairs = pairs(spark.read.parquet(path + "_docs"))
+    assert(sidecarPairs === layoutPairs && sidecarPairs.nonEmpty,
+      "sidecar must mirror the layout's (did, tbucket) pairs")
+    assert(!sidecarPairs.exists(_._1 == 20L), "deleted doc left sidecar")
+    // replay: still consistent (idempotent maintenance)
+    Hybrid.syncPersistedPostings(spark, idx, changes, "doc_id", "text")
+    assert(pairs(spark.read.parquet(path + "_docs")) === layoutPairs)
+  }
 }
