@@ -464,11 +464,24 @@ object Dedup {
     * iteration count. Returns `(id, component)` for every id
     * appearing in `pairs`, component = min reachable id. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25): DataFrame =
+    connectedComponentsTyped(
+      pairs.select(col(aCol).cast("long").as(aCol),
+        col(bCol).cast("long").as(bCol)),
+      aCol, bCol, maxIter)
+
+  /** [[connectedComponents]] without the long-id cast: min-label
+    * propagation needs only a TOTAL ORDER on node ids, so string ids
+    * (host names, domain strings) run the closure directly — no
+    * global dense-rank pre-pass (a one-task sort at web scale) to
+    * manufacture numeric ids. Output id/component types follow the
+    * input column type; component = min reachable id under the
+    * column's native ordering. */
+  def connectedComponentsTyped(pairs: DataFrame, aCol: String,
+      bCol: String, maxIter: Int = 25): DataFrame = {
     val edges = pairs
-      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .union(pairs.select(col(bCol).cast("long").as("u"),
-        col(aCol).cast("long").as("v")))
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct().localCheckpoint(true)
     var comp = edges.groupBy("u").agg(min("v").as("mv"))
       .select(col("u").as("id"), least(col("u"), col("mv")).as("c"))

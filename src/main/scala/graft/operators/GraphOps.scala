@@ -35,6 +35,18 @@ import org.apache.spark.sql.DataFrame
   */
 object GraphOps {
 
+  /** Per-round checkpoints in this file flatten STATS as well as
+    * lineage: the plain `localCheckpoint` inherits the origin plan's
+    * estimated sizeInBytes, which multiplies through every join of a
+    * round and compounds geometrically across rounds until Catalyst's
+    * BigInt stats arithmetic dominates the driver (the truss ladder
+    * hit minutes of million-bit multiplications). See
+    * [[org.apache.spark.sql.graft.Bridge.flatCheckpoint]]. */
+  private implicit class FlatCk(private val df: DataFrame) {
+    def flatCk: DataFrame =
+      org.apache.spark.sql.graft.Bridge.flatCheckpoint(df)
+  }
+
   /** Per-iteration convergence telemetry: total rank mass after the
     * iteration (1.0 under redistribution, decaying without) and the
     * L1 delta vs the previous iteration's ranks — the convergence
@@ -59,13 +71,13 @@ object GraphOps {
     var m = edges
       .select(col(srcCol).as("src"), col(dstCol).as("tgt"))
       .groupBy("src").agg(min("tgt").as("tgt"))
-      .localCheckpoint()
+      .flatCk
     for (_ <- 1 to maxRounds) {
       m = m.alias("a")
         .join(m.select(col("src").as("__s"), col("tgt").as("__t"))
           .alias("b"), col("tgt") === col("__s"), "left")
         .select(col("src"), coalesce(col("__t"), col("tgt")).as("tgt"))
-        .localCheckpoint()
+        .flatCk
     }
     val srcs = m.select(col("src").as("__src")).distinct()
     m.join(srcs, col("tgt") === col("__src"), "left")
@@ -148,10 +160,10 @@ object GraphOps {
     require(maxRadius >= 1 && maxRadius <= 4,
       s"maxRadius in 1..4 (12-unit integer arithmetic), got $maxRadius")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      .filter(col("src") =!= col("dst")).distinct().flatCk
     // known(u, v, d): u reaches v, minimal hop count d
     var known = e.select(col("src").as("u"), col("dst").as("v"))
-      .withColumn("d", lit(1)).localCheckpoint()
+      .withColumn("d", lit(1)).flatCk
     var frontier = known
     var t = 2
     var exhausted = false
@@ -163,10 +175,10 @@ object GraphOps {
           col("u") === col("__ku") && col("v") === col("__kv"),
           "left_anti")
         .withColumn("d", lit(t))
-        .localCheckpoint()
+        .flatCk
       if (next.isEmpty) exhausted = true
       else {
-        known = known.unionByName(next).localCheckpoint()
+        known = known.unionByName(next).flatCk
         frontier = next
       }
       t += 1
@@ -196,10 +208,10 @@ object GraphOps {
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().flatCk
     val deg = und.select(col("a").as("v"))
       .unionByName(und.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("degree")).localCheckpoint()
+      .groupBy("v").agg(count(lit(1)).as("degree")).flatCk
     val perNode = orientedTriangles(und, deg)
       .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_triangles"))
@@ -223,7 +235,7 @@ object GraphOps {
       .select(when(fwd, col("a")).otherwise(col("b")).as("lo"),
         when(fwd, col("b")).otherwise(col("a")).as("hi"),
         when(fwd, col("__db")).otherwise(col("__da")).as("hd"))
-      .localCheckpoint()
+      .flatCk
     val wedges = arcs
       .select(col("lo"), col("hi").as("v"), col("hd").as("dv"))
       .join(arcs.select(col("lo"), col("hi").as("w"), col("hd").as("dw")),
@@ -254,18 +266,35 @@ object GraphOps {
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxRounds: Int = 30): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
-    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val e0 = undirectedFold(edges, srcCol, dstCol)
+    val (e, converged) = peelTruss(e0, k, maxRounds)
+    e.withColumn("converged", lit(converged))
+  }
+
+  /** Undirected edge fold shared by the truss ops: self loops out,
+    * parallel/reverse duplicates collapsed, endpoints ordered. */
+  private def undirectedFold(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().flatCk
+
+  /** The k-truss peel cascade from an already-folded edge set: each
+    * round recomputes per-edge support with the degree-oriented
+    * triangle enumeration and drops edges below k−2, to the unique
+    * fixpoint. Returns (survivors, converged). */
+  private def peelTruss(e0: DataFrame, k: Int,
+      maxRounds: Int): (DataFrame, Boolean) = {
+    var e = e0
     var n = e.count()
     var converged = false
     var round = 0
     while (round < maxRounds && !converged && n > 0) {
       val deg = e.select(col("a").as("v"))
         .unionByName(e.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("degree")).localCheckpoint()
+        .groupBy("v").agg(count(lit(1)).as("degree")).flatCk
       // per-edge support: triangles exploded into their three edges
       val sup = orientedTriangles(e, deg)
         .select(explode(array(
@@ -279,14 +308,56 @@ object GraphOps {
         .groupBy("a", "b").agg(count(lit(1)).as("__s"))
       val kept = e.join(sup, Seq("a", "b"), "left")
         .filter(coalesce(col("__s"), lit(0L)) >= k - 2)
-        .select("a", "b").localCheckpoint()
+        .select("a", "b").flatCk
       val kn = kept.count()
       converged = kn == n
       e = kept
       n = kn
       round += 1
     }
-    e.withColumn("converged", lit(converged || n == 0))
+    (e, converged || n == 0)
+  }
+
+  /** Trussness (maximal k) of EVERY edge — the full truss
+    * decomposition next to [[kTruss]]'s single cut, what a curation
+    * pipeline reads to pick its community threshold instead of
+    * guessing k: trussness(e) = max k with e ∈ kTruss(k), and every
+    * edge (triangle-free ones included) is at least a 2-truss member.
+    * Computed by running the peel cascade ONCE upward from k = 3:
+    * each k starts from the previous k's survivors (valid because
+    * kTruss(k) ⊆ kTruss(k−1)), and the edges the level-k peel drops
+    * are exactly those with trussness k−1 — each level's work is
+    * bounded by its own survivor set, so the total is the bounded
+    * re-peel, never |edges| × k_max recomputation from scratch.
+    * `maxK` bounds the ladder (a clique of c nodes has trussness c,
+    * so the bound only bites on near-clique cores); a non-empty
+    * survivor set at the bound keeps trussness = maxK with
+    * `converged = false` marking the truncation, matching the
+    * convergence-pin convention. Returns `(a, b, trussness,
+    * converged)` over the undirected fold. */
+  def trussness(edges: DataFrame, srcCol: String, dstCol: String,
+      maxK: Int = 20, maxRounds: Int = 30): DataFrame = {
+    require(maxK >= 3, s"maxK >= 3, got $maxK")
+    var cur = undirectedFold(edges, srcCol, dstCol)
+    var out: DataFrame = null
+    var k = 3
+    var allConverged = true
+    var nLeft = cur.count()
+    while (k <= maxK && nLeft > 0) {
+      val (surv, conv) = peelTruss(cur, k, maxRounds)
+      if (!conv) allConverged = false
+      val dropped = cur.join(surv, Seq("a", "b"), "left_anti")
+        .withColumn("trussness", lit(k - 1))
+      out = if (out == null) dropped.flatCk
+        else out.unionByName(dropped).flatCk
+      cur = surv.flatCk
+      nLeft = cur.count()
+      k += 1
+    }
+    val tail = cur.withColumn("trussness", lit(maxK))
+    if (nLeft > 0 && k > maxK) allConverged = false
+    val full = if (out == null) tail else out.unionByName(tail)
+    full.withColumn("converged", lit(allConverged))
   }
 
   /** Coreness (k-core number) of every node — the degeneracy-based
@@ -324,9 +395,9 @@ object GraphOps {
       .filter(col("a") =!= col("b"))
     val sym = e0.unionByName(e0.select(col("b").as("a"),
         col("a").as("b")))
-      .distinct().localCheckpoint()
+      .distinct().flatCk
     val deg = sym.groupBy("a").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .flatCk
     var c = deg
     var converged = false
     var round = 0
@@ -339,7 +410,7 @@ object GraphOps {
       val w = Window.partitionBy("a").orderBy(col("v").desc)
       val next = hist.withColumn("__cum", sum(col("cnt")).over(w))
         .groupBy("a").agg(max(least(col("v"), col("__cum"))).as("c"))
-        .localCheckpoint()
+        .flatCk
       // one per-round driver-side scalar (the components/PageRank
       // early-exit discipline): did this round move ANY value?
       val atFixpoint = next.join(c.select(col("a"), col("c").as("__old")),
@@ -355,6 +426,45 @@ object GraphOps {
       .withColumn("converged", lit(converged))
   }
 
+  /** Normalized string edge fold shared by the macro-structure ops:
+    * self loops out, parallel edges collapsed. */
+  private def stringEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().flatCk
+
+  /** Multi-source ball growth over `e(src, dst)` from `start(v)`:
+    * frontier-edge joins, known-set anti-joins, `localCheckpoint` per
+    * round, early exit on an empty frontier — node-bounded state,
+    * never an O(V²) closure. Returns (reached set INCLUDING the
+    * start, exhausted): `exhausted = false` means the round budget
+    * cut the closure short and reachability is TRUNCATED — callers
+    * must surface it (the coreness/kTruss convergence-pin
+    * convention), never classify silently off a partial ball. */
+  private def reachFrom(e: DataFrame, start: DataFrame, fwd: Boolean,
+      maxRounds: Int): (DataFrame, Boolean) = {
+    val (from, to) = if (fwd) ("src", "dst") else ("dst", "src")
+    var known = start.select(col("v")).distinct().flatCk
+    var frontier = known
+    var round = 0
+    var exhausted = false
+    while (round < maxRounds && !exhausted) {
+      val next = frontier.join(e, frontier("v") === e(from))
+        .select(col(to).as("v")).distinct()
+        .join(known.withColumnRenamed("v", "__k"),
+          col("v") === col("__k"), "left_anti")
+        .flatCk
+      if (next.isEmpty) exhausted = true
+      else {
+        known = known.unionByName(next).flatCk
+        frontier = next
+      }
+      round += 1
+    }
+    (known, exhausted)
+  }
+
   /** Bow-tie decomposition relative to a pivot's SCC (Broder et al.,
     * "Graph structure in the Web", WWW 2000 — the macro-structure
     * stat every web-graph release reports): forward-reachable set F
@@ -362,43 +472,23 @@ object GraphOps {
     *
     *   SCC = F ∩ B,  IN = B ∖ SCC,  OUT = F ∖ SCC,
     *   OTHER = everything else (tendrils/tubes/disconnected folded —
-    *   the refinement needs per-node reach FROM IN/OUT, a second
-    *   pass a release can add per class),
+    *   [[bowTieFull]] runs the second pass that splits them),
     *
     * which is exactly the forward-backward (FW-BW) first step of
-    * distributed SCC. Two BFS from ONE pivot: frontier-edge joins,
-    * known-set anti-joins, `localCheckpoint` per round, early exit
-    * on an empty frontier — node-bounded state, never an O(V²)
-    * closure. Returns `(v, cls)` for every node. */
+    * distributed SCC ([[scc]] iterates it to a full labeling).
+    * Returns `(v, cls, converged)`: `converged = false` means a
+    * closure hit `maxRounds` with a live frontier, so reachability —
+    * and therefore every class — may be truncated (e.g. nodes
+    * labeled 'other' that a longer budget would reach); the flag
+    * makes truncation visible instead of silently mislabeling. */
   def bowTie(edges: DataFrame, srcCol: String, dstCol: String,
       pivot: String, maxRounds: Int = 30): DataFrame = {
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
-    def reach(fwd: Boolean): DataFrame = {
-      val (from, to) = if (fwd) ("src", "dst") else ("dst", "src")
-      var known = e.sparkSession.range(1)
-        .select(lit(pivot).as("v")).localCheckpoint()
-      var frontier = known
-      var round = 0
-      var exhausted = false
-      while (round < maxRounds && !exhausted) {
-        val next = frontier.join(e, frontier("v") === e(from))
-          .select(col(to).as("v")).distinct()
-          .join(known.withColumnRenamed("v", "__k"),
-            col("v") === col("__k"), "left_anti")
-          .localCheckpoint()
-        if (next.isEmpty) exhausted = true
-        else {
-          known = known.unionByName(next).localCheckpoint()
-          frontier = next
-        }
-        round += 1
-      }
-      known
-    }
-    val f = reach(fwd = true).withColumn("__f", lit(true))
-    val b = reach(fwd = false).withColumn("__b", lit(true))
+    val e = stringEdges(edges, srcCol, dstCol)
+    val start = e.sparkSession.range(1).select(lit(pivot).as("v"))
+    val (f0, fx) = reachFrom(e, start, fwd = true, maxRounds)
+    val (b0, bx) = reachFrom(e, start, fwd = false, maxRounds)
+    val f = f0.withColumn("__f", lit(true))
+    val b = b0.withColumn("__b", lit(true))
     val nodes = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v"))).distinct()
     nodes.join(f, Seq("v"), "left").join(b, Seq("v"), "left")
@@ -407,6 +497,134 @@ object GraphOps {
           .when(col("__b"), lit("in"))
           .when(col("__f"), lit("out"))
           .otherwise(lit("other")).as("cls"))
+      .withColumn("converged", lit(fx && bx))
+  }
+
+  /** Broder's FULL bow-tie: the second reach pass that splits
+    * [[bowTie]]'s OTHER — forward closure from the whole IN set and
+    * backward closure from the whole OUT set (two more multi-source
+    * ball growths; a non-SCC/IN/OUT node reachable from IN cannot
+    * have been reached THROUGH the SCC, else the pivot would reach
+    * it too, so the plain closures classify correctly):
+    *
+    *   TUBE        = reachable from IN ∧ reaches OUT (an IN→OUT
+    *                 bypass around the core),
+    *   TENDRIL_IN  = reachable from IN only,
+    *   TENDRIL_OUT = reaches OUT only,
+    *   DISCONNECTED = neither.
+    *
+    * Degenerate inputs stay well-defined: an empty IN (or OUT) set
+    * makes its closure empty, so everything unclassified falls
+    * toward tendril_out / disconnected — spec-pinned. Returns
+    * `(v, cls, converged)` with cls ∈ {scc, in, out, tube,
+    * tendril_in, tendril_out, disconnected}. */
+  def bowTieFull(edges: DataFrame, srcCol: String, dstCol: String,
+      pivot: String, maxRounds: Int = 30): DataFrame = {
+    val e = stringEdges(edges, srcCol, dstCol)
+    val base = bowTie(edges, srcCol, dstCol, pivot, maxRounds)
+      .flatCk
+    val (fi0, fix) = reachFrom(e,
+      base.filter(col("cls") === "in").select("v"), fwd = true, maxRounds)
+    val (bo0, box) = reachFrom(e,
+      base.filter(col("cls") === "out").select("v"), fwd = false,
+      maxRounds)
+    val fi = fi0.withColumn("__fi", lit(true))
+    val bo = bo0.withColumn("__bo", lit(true))
+    base.join(fi, Seq("v"), "left").join(bo, Seq("v"), "left")
+      .select(col("v"),
+        when(col("cls") =!= "other", col("cls"))
+          .when(col("__fi") && col("__bo"), lit("tube"))
+          .when(col("__fi"), lit("tendril_in"))
+          .when(col("__bo"), lit("tendril_out"))
+          .otherwise(lit("disconnected")).as("cls"),
+        (col("converged") && lit(fix && box)).as("converged"))
+  }
+
+  /** Full strongly-connected-component labeling by ITERATED FW-BW
+    * (Fleischer/Hendrickson/Pınar 2000 — the distributed SCC
+    * decomposition [[bowTie]] runs one step of): each level picks
+    * the MIN node of every pending cut set as its pivot, grows the
+    * forward and backward balls WITHIN the cut set, extracts
+    * F ∩ B as that pivot's SCC, and recurses on the three remainders
+    * (F ∖ SCC, B ∖ SCC, the rest) — all pending cut sets advance in
+    * ONE DataFrame pass per level (the cut-set id is just a label
+    * column), so the work per level stays edge-bounded regardless of
+    * how many branches the recursion has opened. Expected O(log n)
+    * levels on graphs whose SCC sizes follow a power law (the web
+    * case); `maxLevels` bounds the adversarial chain-of-singletons
+    * worst case, and any cut set still pending at the budget labels
+    * each node as its own singleton SCC with `converged = false`.
+    * Returns `(v, scc, converged)` where `scc` is the MIN node of
+    * the component — the min-label contract shared with the
+    * connected-components closure, so labels are reproducible and
+    * the condensation (distinct scc pairs over the edge set) is a
+    * DAG by construction. */
+  def scc(edges: DataFrame, srcCol: String, dstCol: String,
+      maxLevels: Int = 20, maxRounds: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    val e = stringEdges(edges, srcCol, dstCol)
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    var done = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("v", StringType),
+        StructField("scc", StringType))))
+    var pending = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+      .withColumn("task", lit("")).flatCk
+    var level = 0
+    var truncated = false
+    // constrained multi-source closure: per-task pivot balls that
+    // never leave their own cut set (the semi-join on (task, v))
+    def reachTasks(pivots: DataFrame, fwd: Boolean): DataFrame = {
+      val (from, to) = if (fwd) ("src", "dst") else ("dst", "src")
+      var known = pivots.select(col("task"), col("p").as("v"))
+        .flatCk
+      var frontier = known
+      var round = 0
+      var exhausted = false
+      while (round < maxRounds && !exhausted) {
+        val next = frontier.join(e, frontier("v") === e(from))
+          .select(col("task"), col(to).as("v")).distinct()
+          .join(pending, Seq("task", "v"), "left_semi")
+          .join(known, Seq("task", "v"), "left_anti")
+          .flatCk
+        if (next.isEmpty) exhausted = true
+        else {
+          known = known.unionByName(next).flatCk
+          frontier = next
+        }
+        round += 1
+      }
+      if (!exhausted) truncated = true
+      known
+    }
+    while (level < maxLevels && !pending.isEmpty) {
+      val pivots = pending.groupBy("task").agg(min("v").as("p"))
+        .flatCk
+      val f = reachTasks(pivots, fwd = true).withColumn("__f", lit(true))
+      val b = reachTasks(pivots, fwd = false).withColumn("__b", lit(true))
+      val cls = pending
+        .join(f, Seq("task", "v"), "left")
+        .join(b, Seq("task", "v"), "left")
+        .join(pivots, "task")
+        .select(col("task"), col("v"), col("p"),
+          coalesce(col("__f"), lit(false)).as("inF"),
+          coalesce(col("__b"), lit(false)).as("inB"))
+        .flatCk
+      done = done.unionByName(cls.filter(col("inF") && col("inB"))
+        .select(col("v"), col("p").as("scc"))).flatCk
+      pending = cls.filter(!(col("inF") && col("inB")))
+        .select(col("v"),
+          concat(col("task"),
+            when(col("inF"), lit("F"))
+              .when(col("inB"), lit("B"))
+              .otherwise(lit("O"))).as("task"))
+        .flatCk
+      level += 1
+    }
+    val leftover = !pending.isEmpty
+    val out = done.unionByName(pending.select(col("v"), col("v").as("scc")))
+    out.withColumn("converged", lit(!truncated && !leftover))
   }
 
   private def run(edges: DataFrame, srcCol: String, dstCol: String,
@@ -427,16 +645,16 @@ object GraphOps {
       case None => edges
         .select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .distinct().withColumn("w", lit(1.0))
-    }).localCheckpoint()
+    }).flatCk
     val nodes = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v")))
-      .distinct().localCheckpoint()
+      .distinct().flatCk
     val n = nodes.count()
-    val deg = e.groupBy("src").agg(sum("w").as("od")).localCheckpoint()
+    val deg = e.groupBy("src").agg(sum("w").as("od")).flatCk
     // sinks: appear in the graph but never as a source
     val dangling =
       nodes.join(deg.select(col("src").as("v")), Seq("v"), "left_anti")
-        .localCheckpoint()
+        .flatCk
     // teleport vector: uniform (None) keeps the literal-arithmetic
     // fast path bit-identical to the original oracles; a seed set
     // materializes t(v) as a node-bounded column (1/|S∩nodes| on
@@ -451,7 +669,7 @@ object GraphOps {
       nodes.join(present.withColumn("__s", lit(true)), Seq("v"), "left")
         .select(col("v"),
           when(col("__s"), lit(1.0 / ns)).otherwise(lit(0.0)).as("t"))
-        .localCheckpoint()
+        .flatCk
     }
     var r = tv match {
       case Some(t) => t.select(col("v"), col("t").as("pr"))
@@ -483,7 +701,7 @@ object GraphOps {
             (lit((1 - damping) / n) +
               lit(damping) * (coalesce(col("m"), lit(0.0)) + lit(dm / n)))
               .as("pr"))
-      }).localCheckpoint()
+      }).flatCk
       if (collectStats) {
         val row = next.join(r.select(col("v"), col("pr").as("__prev")), "v")
           .agg(sum("pr"), sum(abs(col("pr") - col("__prev")))).head()

@@ -176,6 +176,59 @@ object MiscQueries {
           col("b").cast("long").as("b"), col("converged"))
         .orderBy("a", "b")
     }),
+    // Trussness — the FULL truss decomposition: every edge's maximal
+    // k, computed by one upward peel ladder over graph_ktruss's
+    // fixture (each k re-peels only the previous k's survivors).
+    // The fixture's ladder: k=3 drops 109 triangle-poor edges
+    // (trussness 2), k=4's five-round cascade drops 77 more
+    // (trussness 3), and the 21-edge dense core dies at k=5
+    // (trussness 4). The oracle replays all three peel cascades as
+    // chained CTEs and differences consecutive survivor sets.
+    "graph_trussness" -> ((s, dir) => {
+      import graft.operators.GraphOps
+      val even = pmod(col("doc_id"), lit(2)) === 0
+      val e = t(s, dir, "documents")
+        .select(
+          when(even, pmod(col("doc_id"), lit(30)))
+            .otherwise(pmod(col("doc_id"), lit(80))).as("src"),
+          when(even, pmod((col("doc_id") / lit(7)).cast("long"), lit(30)))
+            .otherwise(pmod((col("doc_id") / lit(3)).cast("long"),
+              lit(80))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      GraphOps.trussness(e, "src", "dst")
+        .select(col("a").cast("long").as("a"),
+          col("b").cast("long").as("b"), col("trussness"),
+          col("converged"))
+        .orderBy("a", "b")
+    }),
+    // Full SCC labeling by iterated FW-BW over the designed
+    // macro-structure fixture (4-cycle SCC + chains + tendrils +
+    // tube + island): every level extracts each pending cut set's
+    // pivot SCC and recurses on the three remainders, so labels are
+    // the component's MIN node. The oracle is the DEFINITIONAL
+    // replay — mutual reachability over the transitive closure,
+    // min-label per node — engine-independent, so it cannot inherit
+    // a recursion bug from the FW-BW side.
+    "graph_scc" -> ((s, dir) => {
+      import graft.operators.GraphOps
+      GraphOps.scc(macroEdges(s, dir), "src", "dst")
+        .select(col("v").as("node"), col("scc"), col("converged"))
+        .orderBy("node")
+    }),
+    // Broder's FULL bow-tie (6-class) on the same designed fixture —
+    // every class materializes: scc {0,1,2,3}, in {10,11}, out
+    // {20,21}, tendril_in {30}, tendril_out {31}, tube {32},
+    // disconnected {40,41}. The oracle replays all four reachability
+    // closures (pivot fwd/bwd, IN-set fwd, OUT-set bwd) as recursive
+    // CTEs and the two-stage classification.
+    "graph_bowtie_full" -> ((s, dir) => {
+      import graft.operators.GraphOps
+      GraphOps.bowTieFull(macroEdges(s, dir), "src", "dst", "0")
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_nodes"), min(col("v")).as("first_node"),
+          min(col("converged")).as("converged"))
+        .orderBy("cls")
+    }),
     "date_funcs" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).as("y"),
@@ -248,19 +301,55 @@ object MiscQueries {
     * keeps edges at or above the threshold (edges closing NO
     * triangle vanish from the aggregate — exactly the peel). Extra
     * rounds past the fixpoint are no-ops. */
-  private[queries] def ktrussRounds(n: Int, thresh: Int): String =
+  private[queries] def ktrussRounds(n: Int, thresh: Int,
+      base: String = "e", sym: String = "sym"): String =
     (1 to n).map { i =>
-      s"""sym${i - 1} AS (
-         |  SELECT a, b FROM e${i - 1}
-         |  UNION ALL SELECT b AS a, a AS b FROM e${i - 1}),
-         |e$i AS (
+      s"""$sym${i - 1} AS MATERIALIZED (
+         |  SELECT a, b FROM $base${i - 1}
+         |  UNION ALL SELECT b AS a, a AS b FROM $base${i - 1}),
+         |$base$i AS MATERIALIZED (
          |  SELECT e.a, e.b
-         |  FROM e${i - 1} e
-         |  JOIN sym${i - 1} n1 ON n1.a = e.a
-         |  JOIN sym${i - 1} n2 ON n2.a = e.b AND n2.b = n1.b
+         |  FROM $base${i - 1} e
+         |  JOIN $sym${i - 1} n1 ON n1.a = e.a
+         |  JOIN $sym${i - 1} n2 ON n2.a = e.b AND n2.b = n1.b
          |  GROUP BY e.a, e.b
          |  HAVING count(*) >= $thresh)""".stripMargin
     }.mkString(",\n")
+
+  /** The designed macro-structure fixture shared by `graph_scc` and
+    * `graph_bowtie_full`: 13 edges selected by doc_id % 13 (all
+    * residues present at every SF), laying out every Broder class —
+    * a 4-cycle SCC {0,1,2,3}, an in-chain 11→10→0, an out-chain
+    * 2→20→21, a tendril off IN (10→30), a tendril into OUT (31→20),
+    * an IN→OUT tube (10→32→20) and a disconnected pair 40→41. */
+  private val macroSrc = Seq(0, 1, 2, 3, 11, 10, 2, 20, 10, 31, 10, 32, 40)
+  private val macroDst = Seq(1, 2, 3, 0, 10, 0, 20, 21, 30, 20, 32, 20, 41)
+
+  private def macroEdges(s: SparkSession, dir: String): DataFrame = {
+    def mapped(m: Seq[Int]) =
+      m.zipWithIndex.foldLeft(lit(null).cast("long")) {
+        case (acc, (v, i)) => when(col("k") === i, lit(v.toLong))
+          .otherwise(acc)
+      }
+    t(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(13)).cast("int").as("k")).distinct()
+      .select(mapped(macroSrc).as("src"), mapped(macroDst).as("dst"))
+  }
+
+  /** The same 13-edge fixture as a DuckDB CTE pair `ks, e(src, dst)`
+    * (VARCHAR nodes — the engine casts to string too). */
+  private def macroEdgesCte: String = {
+    def cases(m: Seq[Int]) = m.zipWithIndex
+      .map { case (v, i) => s"WHEN $i THEN '$v'" }.mkString(" ")
+    s"""ks AS (SELECT DISTINCT doc_id % 13 AS k FROM documents),
+       |e AS (
+       |  SELECT DISTINCT
+       |    CASE k ${cases(macroSrc)} END AS src,
+       |    CASE k ${cases(macroDst)} END AS dst
+       |  FROM ks),
+       |n AS (SELECT DISTINCT v FROM (
+       |  SELECT src AS v FROM e UNION SELECT dst FROM e))""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     // k-truss replay: union edge fold, five peeling rounds (fixpoint
@@ -278,6 +367,88 @@ object MiscQueries {
         |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
         |  true AS converged
         |FROM e5 ORDER BY a, b""".stripMargin,
+    // Trussness replay: the same edge fold, three peel cascades
+    // (thresholds 1/2/3 = k−2 for k = 3/4/5; round counts 2/5/2
+    // probed to each cascade's fixpoint — extra rounds are no-ops),
+    // consecutive survivor sets differenced into per-edge maximal k.
+    "graph_trussness" ->
+      s"""WITH f30 AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM (
+        |    SELECT CASE WHEN doc_id % 2 = 0 THEN doc_id % 30
+        |                ELSE doc_id % 80 END AS src,
+        |           CASE WHEN doc_id % 2 = 0 THEN (doc_id // 7) % 30
+        |                ELSE (doc_id // 3) % 80 END AS dst
+        |    FROM documents) WHERE src <> dst),
+        |${ktrussRounds(2, 1, base = "f3", sym = "fs3")},
+        |f40 AS MATERIALIZED (SELECT a, b FROM f32),
+        |${ktrussRounds(5, 2, base = "f4", sym = "fs4")},
+        |f50 AS MATERIALIZED (SELECT a, b FROM f45),
+        |${ktrussRounds(2, 3, base = "f5", sym = "fs5")},
+        |tn AS (
+        |  SELECT a, b, 2 AS t FROM
+        |    (SELECT a, b FROM f30 EXCEPT SELECT a, b FROM f32)
+        |  UNION ALL SELECT a, b, 3 FROM
+        |    (SELECT a, b FROM f40 EXCEPT SELECT a, b FROM f45)
+        |  UNION ALL SELECT a, b, 4 FROM
+        |    (SELECT a, b FROM f50 EXCEPT SELECT a, b FROM f52))
+        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  CAST(t AS INT) AS trussness, true AS converged
+        |FROM tn ORDER BY a, b""".stripMargin,
+    // SCC replay — definitional, not a recursion mirror: transitive
+    // closure, mutual-reachability pairs (self included), min-label.
+    "graph_scc" ->
+      s"""WITH RECURSIVE $macroEdgesCte,
+        |tc AS (
+        |  SELECT src AS u, dst AS v FROM e
+        |  UNION
+        |  SELECT tc.u, e.dst FROM tc JOIN e ON e.src = tc.v),
+        |mr AS (
+        |  SELECT v, v AS u FROM n
+        |  UNION
+        |  SELECT t1.v, t1.u FROM tc t1
+        |  JOIN tc t2 ON t2.u = t1.v AND t2.v = t1.u)
+        |SELECT v AS node, min(u) AS scc, true AS converged
+        |FROM mr GROUP BY v ORDER BY node""".stripMargin,
+    // Full bow-tie replay: pivot fwd/bwd closures -> 4-class cut,
+    // then the IN-set forward and OUT-set backward closures split
+    // OTHER into tube / tendril_in / tendril_out / disconnected.
+    "graph_bowtie_full" ->
+      s"""WITH RECURSIVE $macroEdgesCte,
+        |fwd AS (
+        |  SELECT '0' AS v
+        |  UNION SELECT e.dst FROM fwd JOIN e ON e.src = fwd.v),
+        |bwd AS (
+        |  SELECT '0' AS v
+        |  UNION SELECT e.src FROM bwd JOIN e ON e.dst = bwd.v),
+        |cl AS (
+        |  SELECT n.v,
+        |    CASE WHEN f.v IS NOT NULL AND b.v IS NOT NULL THEN 'scc'
+        |         WHEN b.v IS NOT NULL THEN 'in'
+        |         WHEN f.v IS NOT NULL THEN 'out'
+        |         ELSE 'other' END AS cls
+        |  FROM n
+        |  LEFT JOIN (SELECT DISTINCT v FROM fwd) f ON f.v = n.v
+        |  LEFT JOIN (SELECT DISTINCT v FROM bwd) b ON b.v = n.v),
+        |fin AS (
+        |  SELECT v FROM cl WHERE cls = 'in'
+        |  UNION SELECT e.dst FROM fin JOIN e ON e.src = fin.v),
+        |bout AS (
+        |  SELECT v FROM cl WHERE cls = 'out'
+        |  UNION SELECT e.src FROM bout JOIN e ON e.dst = bout.v),
+        |fc AS (
+        |  SELECT cl.v,
+        |    CASE WHEN cls <> 'other' THEN cls
+        |         WHEN fi.v IS NOT NULL AND bo.v IS NOT NULL THEN 'tube'
+        |         WHEN fi.v IS NOT NULL THEN 'tendril_in'
+        |         WHEN bo.v IS NOT NULL THEN 'tendril_out'
+        |         ELSE 'disconnected' END AS cls
+        |  FROM cl
+        |  LEFT JOIN (SELECT DISTINCT v FROM fin) fi ON fi.v = cl.v
+        |  LEFT JOIN (SELECT DISTINCT v FROM bout) bo ON bo.v = cl.v)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  min(v) AS first_node, true AS converged
+        |FROM fc GROUP BY cls ORDER BY cls""".stripMargin,
     "fmt_roundtrip" ->
       """WITH agg AS (
         |  SELECT l_returnflag, count(*) AS n,

@@ -2628,6 +2628,22 @@ object WebQueries {
           min(col("v")).as("first_domain"))
         .orderBy("cls")
     }),
+    // Broder's FULL bow-tie on the domain graph — the two extra
+    // closures (forward from IN, backward from OUT) that split OTHER
+    // into tube / tendrils / disconnected. This fixture is the
+    // DEGENERATE case (IN empty, OTHER empty — a crawl frontier whose
+    // every node interlinks or is a pure target): the classification
+    // must stay well-defined on empty cut sets; the designed
+    // graph_bowtie_full fixture exercises all seven classes.
+    "web_graph_bowtie_full" -> ((s, dir) => {
+      val e = domainEdges(s, dir)
+      val pivot = e.agg(min(col("src"))).head().getString(0)
+      GraphOps.bowTieFull(e, "src", "dst", pivot)
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_domains"),
+          min(col("v")).as("first_domain"))
+        .orderBy("cls")
+    }),
     // TrustRank over the domain graph: seeded PageRank with the
     // teleport restricted to the CRAWLED (source) domains — "trust
     // what we fetched, let link mass propagate outward", the crawl-
@@ -2649,16 +2665,14 @@ object WebQueries {
     // k-cores. The edge set is the seed-frontier sample (each of the
     // first 25 crawled pages contributes its FIRST outlink), which
     // leaves genuinely separate islands: 3 components of 13/11/3
-    // hosts. Hosts are strings, so the composition dense-ranks the
-    // node set (node-bounded sort — host sets are millions at web
-    // scale, never page-bounded) into the long ids the
-    // pointer-jumping min-label closure works over, then maps each
-    // component label back to its lexicographically-first host. The
-    // oracle replays the closure as a recursive-CTE transitive
-    // closure over min(reachable host) — the dedup_groups shape on
-    // the web edge fold.
+    // hosts. Min-label propagation needs only a TOTAL ORDER, so the
+    // pointer-jumping closure runs on the host STRINGS directly —
+    // component = lexicographically-first reachable host, no global
+    // dense-rank pre-pass (a one-task sort over the node set at web
+    // scale). The oracle replays the closure as a recursive-CTE
+    // transitive closure over min(reachable host) — the dedup_groups
+    // shape on the web edge fold.
     "web_graph_components" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       import graft.operators.Dedup
       val he = docs(s, dir)
         .filter(col("doc_id") < 25)
@@ -2666,28 +2680,13 @@ object WebQueries {
           UrlOps.host(element_at(HtmlOps.links(htmlCol), 1)).as("hb"))
         .filter(col("ha") =!= col("hb"))
         .distinct()
-      val nodes = he.select(col("ha").as("host"))
-        .unionByName(he.select(col("hb").as("host"))).distinct()
-        .withColumn("nid",
-          row_number().over(Window.orderBy("host")).cast("long"))
-      val e = he
-        .join(nodes.select(col("host").as("ha"), col("nid").as("u")),
-          "ha")
-        .join(nodes.select(col("host").as("hb"), col("nid").as("v")),
-          "hb")
-        .select("u", "v")
-      val byHost = Dedup.connectedComponents(e, "u", "v")
-        .join(nodes, col("id") === col("nid"))
-        .select(col("host"), col("component"))
-      val roots = nodes.select(col("nid").as("component"),
-        col("host").as("root"))
-      val sizes = byHost.join(roots, "component")
-        .groupBy("root").agg(count(lit(1)).as("n_hosts"))
+      val byHost = Dedup.connectedComponentsTyped(he, "ha", "hb")
+        .select(col("id").as("host"), col("component").as("root"))
+      val sizes = byHost.groupBy("root").agg(count(lit(1)).as("n_hosts"))
       val und = he.select(least(col("ha"), col("hb")).as("x"),
         greatest(col("ha"), col("hb")).as("y")).distinct()
       val edgeCounts = und
         .join(byHost.withColumnRenamed("host", "x"), "x")
-        .join(roots, "component")
         .groupBy("root").agg(count(lit(1)).as("n_edges"))
       sizes.join(edgeCounts, "root").orderBy("root")
     }),
@@ -4159,10 +4158,12 @@ object WebQueries {
       |  FROM fused)
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
-  /** Bow-tie replay: the domain edge fold, forward and backward
-    * recursive reachability closures from min(src), the four-way
-    * classification, per-class rollup. */
-  private lazy val webGraphBowtieSql: String =
+  /** Shared bow-tie CTE chain ending in `cl(v, cls)` — the domain
+    * edge fold, forward and backward recursive reachability closures
+    * from min(src), the four-way classification. The 4-class cell and
+    * the full 6-class cell both build on it, so the replays cannot
+    * drift. */
+  private lazy val webBowtieCtes: String =
     s"""WITH RECURSIVE $htmlCtes,
       |$linksCte,
       |dm AS (
@@ -4194,10 +4195,42 @@ object WebQueries {
       |         ELSE 'other' END AS cls
       |  FROM n
       |  LEFT JOIN (SELECT DISTINCT v FROM fwd) f ON f.v = n.v
-      |  LEFT JOIN (SELECT DISTINCT v FROM bwd) b ON b.v = n.v)
+      |  LEFT JOIN (SELECT DISTINCT v FROM bwd) b ON b.v = n.v)""".stripMargin
+
+  /** Bow-tie replay: the shared chain, per-class rollup. */
+  private lazy val webGraphBowtieSql: String =
+    s"""$webBowtieCtes
       |SELECT cls, CAST(count(*) AS BIGINT) AS n_domains,
       |  min(v) AS first_domain
       |FROM cl GROUP BY cls ORDER BY cls""".stripMargin
+
+  /** Full 6-class replay: the shared chain plus the IN-set forward
+    * and OUT-set backward closures that split OTHER into tube /
+    * tendril_in / tendril_out / disconnected (on this fixture the IN
+    * set is EMPTY and every node lands in scc/out — the degenerate
+    * case the classification must keep well-defined; the designed
+    * graph_bowtie_full fixture exercises every class). */
+  private lazy val webGraphBowtieFullSql: String =
+    s"""$webBowtieCtes,
+      |fin AS (
+      |  SELECT v FROM cl WHERE cls = 'in'
+      |  UNION SELECT e.dst FROM fin JOIN e ON e.src = fin.v),
+      |bout AS (
+      |  SELECT v FROM cl WHERE cls = 'out'
+      |  UNION SELECT e.src FROM bout JOIN e ON e.dst = bout.v),
+      |fc AS (
+      |  SELECT cl.v,
+      |    CASE WHEN cls <> 'other' THEN cls
+      |         WHEN fi.v IS NOT NULL AND bo.v IS NOT NULL THEN 'tube'
+      |         WHEN fi.v IS NOT NULL THEN 'tendril_in'
+      |         WHEN bo.v IS NOT NULL THEN 'tendril_out'
+      |         ELSE 'disconnected' END AS cls
+      |  FROM cl
+      |  LEFT JOIN (SELECT DISTINCT v FROM fin) fi ON fi.v = cl.v
+      |  LEFT JOIN (SELECT DISTINCT v FROM bout) bo ON bo.v = cl.v)
+      |SELECT cls, CAST(count(*) AS BIGINT) AS n_domains,
+      |  min(v) AS first_domain
+      |FROM fc GROUP BY cls ORDER BY cls""".stripMargin
 
   /** TrustRank replay: the domain edge fold, seed set = distinct
     * sources, three seeded power iterations (restart AND dangling
@@ -5422,6 +5455,7 @@ object WebQueries {
     "web_graph_kcores" -> webGraphKcoresSql,
     "web_graph_components" -> webGraphComponentsSql,
     "web_graph_bowtie" -> webGraphBowtieSql,
+    "web_graph_bowtie_full" -> webGraphBowtieFullSql,
     "web_graph_trustrank" -> webGraphTrustrankSql,
     "hybrid_bm25f_topk" -> hybridBm25fSql,
     "hybrid_bm25f_rrf" -> hybridBm25fRrfSql,

@@ -27,6 +27,30 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(classic(spark), plan)
 
+  /** Eager localCheckpoint that DROPS the origin plan's estimated
+    * statistics instead of inheriting them. `Dataset.localCheckpoint`
+    * copies the optimized plan's stats onto its LogicalRDD leaf, and
+    * in an iterated self-join (graph rounds) the estimated
+    * sizeInBytes MULTIPLIES through every join and then SURVIVES each
+    * checkpoint — the BigInt's bit-length compounds geometrically
+    * with the round count until Catalyst spends minutes multiplying
+    * million-bit integers (stats estimation, not data, becomes the
+    * bottleneck; a 9-round truss ladder is already in the death
+    * zone). Rebuilding the leaf without origin stats caps the chain
+    * at ONE round's join factors; AQE re-plans from REAL runtime
+    * sizes at execution, so no planning quality is lost. */
+  def flatCheckpoint(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    val qe = ck.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution
+    qe.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        ofRows(df.sparkSession,
+          lr.copy()(classic(df.sparkSession), None, None))
+      case _ => ck
+    }
+  }
+
   /** Idempotently append a planner strategy to the live session. */
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val exp = classic(spark).experimental

@@ -277,10 +277,121 @@ class GraphOpsSpec extends SparkSpec {
     "mutual cycle = SCC, feeders = IN, sinks = OUT, islands = OTHER") {
     val g = Seq(("a", "b"), ("b", "a"), ("c", "a"), ("b", "d"),
       ("e", "f")).toDF("src", "dst")
-    val cls = GraphOps.bowTie(g, "src", "dst", pivot = "a")
-      .as[(String, String)].collect().toMap
+    val out = GraphOps.bowTie(g, "src", "dst", pivot = "a")
+    val cls = out.select("v", "cls").as[(String, String)]
+      .collect().toMap
     assert(cls === Map("a" -> "scc", "b" -> "scc", "c" -> "in",
       "d" -> "out", "e" -> "other", "f" -> "other"))
+    assert(out.select("converged").as[Boolean].collect()
+      .forall(identity), "exhausted closures report converged")
+  }
+
+  test("bowTie: a round budget that truncates a closure surfaces " +
+    "converged = false instead of silently misclassifying") {
+    // chain of length 4 out of the pivot: one round reaches only b
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("a", "a2"), ("a2", "a")).toDF("src", "dst")
+    val out = GraphOps.bowTie(g, "src", "dst", pivot = "a",
+      maxRounds = 1)
+    assert(out.select("converged").as[Boolean].collect()
+      .forall(_ == false))
+    val full = GraphOps.bowTie(g, "src", "dst", pivot = "a")
+    assert(full.select("converged").as[Boolean].collect()
+      .forall(identity))
+    assert(full.filter($"v" === "e").select("cls").as[String]
+      .head() === "out")
+  }
+
+  test("bowTieFull: tendrils, tube and islands split out of OTHER; " +
+    "empty IN/OUT cut sets stay well-defined") {
+    // scc {a,b}; in {i}; out {o}; tendril off IN (i->ti), tendril
+    // into OUT (to2->o), tube i->tu->o, island {x,y}
+    val g = Seq(("a", "b"), ("b", "a"), ("i", "a"), ("a", "o"),
+      ("i", "ti"), ("to2", "o"), ("i", "tu"), ("tu", "o"),
+      ("x", "y")).toDF("src", "dst")
+    val cls = GraphOps.bowTieFull(g, "src", "dst", pivot = "a")
+      .select("v", "cls").as[(String, String)].collect().toMap
+    assert(cls === Map("a" -> "scc", "b" -> "scc", "i" -> "in",
+      "o" -> "out", "ti" -> "tendril_in", "to2" -> "tendril_out",
+      "tu" -> "tube", "x" -> "disconnected", "y" -> "disconnected"))
+    // degenerate: a pure out-star has NO in set — the IN-forward
+    // closure is empty and unclassified nodes fall to the right side
+    val star = Seq(("p", "q"), ("p", "r"), ("z", "w")).toDF("src", "dst")
+    val c2 = GraphOps.bowTieFull(star, "src", "dst", pivot = "p")
+      .select("v", "cls").as[(String, String)].collect().toMap
+    assert(c2("p") === "scc" && c2("q") === "out" && c2("r") === "out")
+    assert(c2("z") === "disconnected" && c2("w") === "disconnected")
+    // degenerate: no out set either way round
+    val sink = Seq(("u", "p2"), ("v", "p2")).toDF("src", "dst")
+    val c3 = GraphOps.bowTieFull(sink, "src", "dst", pivot = "p2")
+      .select("v", "cls").as[(String, String)].collect().toMap
+    assert(c3 === Map("p2" -> "scc", "u" -> "in", "v" -> "in"))
+  }
+
+  test("scc: iterated FW-BW labels every component with its min " +
+    "node; acyclic graphs are all singletons; the condensation is a " +
+    "DAG; bowTie's SCC class is exactly the pivot's label set") {
+    // two cycles {a,b,c} and {d,e}, a bridge c->d, a pendant f
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"),
+      ("e", "d"), ("c", "d"), ("e", "f")).toDF("src", "dst")
+    val out = GraphOps.scc(g, "src", "dst")
+    val lab = out.select("v", "scc").as[(String, String)]
+      .collect().toMap
+    assert(lab === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d", "f" -> "f"))
+    assert(out.select("converged").as[Boolean].collect()
+      .forall(identity))
+    // acyclic chain: every node its own SCC
+    val chain = Seq(("x", "y"), ("y", "z")).toDF("src", "dst")
+    val singles = GraphOps.scc(chain, "src", "dst")
+      .select("v", "scc").as[(String, String)].collect()
+    assert(singles.forall(p => p._1 === p._2))
+    // condensation is a DAG: contracting labels and re-running SCC
+    // yields only singletons
+    val cond = g.select($"src", $"dst")
+      .join(Seq(("a","a"),("b","a"),("c","a"),("d","d"),("e","d"),
+        ("f","f")).toDF("src", "ls"), "src")
+      .join(Seq(("a","a"),("b","a"),("c","a"),("d","d"),("e","d"),
+        ("f","f")).toDF("dst", "ld"), "dst")
+      .select($"ls".as("src"), $"ld".as("dst"))
+      .filter($"src" =!= $"dst")
+    val condScc = GraphOps.scc(cond, "src", "dst")
+      .select("v", "scc").as[(String, String)].collect()
+    assert(condScc.forall(p => p._1 === p._2), "condensation is a DAG")
+    // agreement with the one-step FW-BW: bowTie's scc class from
+    // pivot 'a' = the nodes labeled 'a'
+    val bt = GraphOps.bowTie(g, "src", "dst", pivot = "a")
+      .filter($"cls" === "scc").select("v").as[String].collect().toSet
+    assert(bt === lab.filter(_._2 == "a").keySet)
+  }
+
+  test("trussness: maximal k per edge — K4 edges are 4-trusses, a " +
+    "glued triangle 3, a bare chain 2; trussness >= k iff the edge " +
+    "survives kTruss(k)") {
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("b", "a"), ("c", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("f", "g")
+    ).toDF("src", "dst")
+    val tn = GraphOps.trussness(edges, "src", "dst")
+    val got = tn.select("a", "b", "trussness")
+      .as[(String, String, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val k4 = Set(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"))
+    k4.foreach(e => assert(got(e) === 4, s"$e in the K4"))
+    Set(("d", "e"), ("e", "f"), ("d", "f"))
+      .foreach(e => assert(got(e) === 3, s"$e in the glued triangle"))
+    assert(got(("f", "g")) === 2, "triangle-free edge is a 2-truss")
+    assert(tn.select("converged").as[Boolean].collect()
+      .forall(identity))
+    // cross-check the defining property against kTruss at every k
+    for (k <- 3 to 5) {
+      val inTruss = GraphOps.kTruss(edges, "src", "dst", k)
+        .select("a", "b").as[(String, String)].collect().toSet
+      assert(got.filter(_._2 >= k).keySet === inTruss,
+        s"trussness >= $k must equal kTruss($k) membership")
+    }
   }
 
   test("kTruss: support peeling lands the maximal subgraph where " +

@@ -435,4 +435,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(offsetsPerCohort.forall(_ >= 2),
       s"every cohort needs >= 2 week offsets, got $rows")
   }
+
+  test("web_graph_components: no window operator at all — the " +
+    "min-label closure runs on host strings directly, never a " +
+    "global dense-rank (one-task sort) over the node set") {
+    val p = plan("web_graph_components")
+    assert(!p.contains("Window"),
+      s"window operator found in the components plan:\n${p.take(3000)}")
+  }
 }
