@@ -1305,6 +1305,76 @@ object InfraQueries {
           col("vec_id"))
         .orderBy("query_id", "rnk")
     }),
+    // MaxSim over REAL multi-token documents: per-doc token vectors
+    // are md5-feature-hash embeddings of the doc's distinct 3-word
+    // shingles (the WordShingles × Md5FeatureHashEmbed chain — both
+    // cross-engine byte-exact), queries are the first five words of
+    // docs 0-2 (3 shingle tokens each), so the sign-LSH stage-1 join
+    // prunes to a few of 16 buckets instead of degenerating the way
+    // uniform embedding slices do. Token order for the score fold is
+    // the shingle's md5 hex (ASCII — identical collation on any
+    // engine). The oracle replays shingling, every per-word hash
+    // contribution, the 16-dim vectors, integer sign buckets,
+    // candidate generation and the exact MaxSim chain.
+    "ann_maxsim_docs" -> ((s, dir) => {
+      import graft.search.MaxSim
+      import graft.functions.TextExpressions
+      val d = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val corpus = d.filter(col("doc_id") >= 3 && col("doc_id") < 120)
+        .select(col("doc_id"), col("text"))
+      val queries = d.filter(col("doc_id") < 3)
+        .select(col("doc_id"),
+          concat_ws(" ",
+            slice(split(trim(col("text")), "\\s+"), 1, 5)).as("text"))
+      def toks(df: DataFrame) = df
+        .select(col("doc_id"),
+          explode(TextExpressions.wordShingles(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("ti"),
+          TextExpressions.md5FeatureEmbed(col("sh"), 16).as("tv"))
+      MaxSim.topK(toks(corpus), "doc_id", "tv", toks(queries),
+          "doc_id", "ti", "tv", k = 5, bits = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("doc_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // Pruning-recall telemetry for the shingle-token MaxSim leg: the
+    // bits=4 bucket-pruned top-5 measured against the bits=0 BRUTE
+    // FORCE MaxSim ground truth on sampled queries — the direct
+    // answer to "does stage-1 pruning hold recall on clustered real
+    // tokens?" (pruning only ever removes candidates; a recall below
+    // 1 means a true top-5 doc shared no sign bucket with any query
+    // token). Both MaxSim chains and the recall join replay in the
+    // oracle.
+    "ann_recall_maxsim_docs" -> ((s, dir) => {
+      import graft.search.MaxSim
+      import graft.functions.TextExpressions
+      val d = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val corpus = d.filter(col("doc_id") >= 3 && col("doc_id") < 120)
+        .select(col("doc_id"), col("text"))
+      val queries = d.filter(col("doc_id") < 3)
+        .select(col("doc_id"),
+          concat_ws(" ",
+            slice(split(trim(col("text")), "\\s+"), 1, 5)).as("text"))
+      def toks(df: DataFrame) = df
+        .select(col("doc_id"),
+          explode(TextExpressions.wordShingles(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("ti"),
+          TextExpressions.md5FeatureEmbed(col("sh"), 16).as("tv"))
+      def leg(bits: Int) = MaxSim.topK(toks(corpus), "doc_id", "tv",
+          toks(queries), "doc_id", "ti", "tv", k = 5, bits = bits)
+        .filter(col("query_id") % 2 === 0)
+        .select(col("query_id"), col("doc_id"))
+      val pruned = leg(4).withColumn("__hit", lit(1))
+      leg(0).join(pruned, Seq("query_id", "doc_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_exact"), 4))
+        .orderBy("query_id")
+    }),
     // RESIDUAL IVF-PQ — the FAISS IVFPQ true form: the fine quantizer
     // encodes x − centroid(cell), not x, so the codebook describes
     // the tight within-cell displacement distribution instead of the
@@ -3053,6 +3123,63 @@ object InfraQueries {
         |      ORDER BY s DESC, vec_id) AS BIGINT) AS rnk
         |  FROM sc)
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // Shingle-token MaxSim replay: distinct 3-word shingles on both
+    // sides (queries = first five words of docs 0-2), per-word md5
+    // byte-7 feature hashing into 16-dim integer vectors, sign-pair
+    // buckets, candidate generation, exact integer-arithmetic
+    // cosines, md5-hex-ordered score folds, top-5.
+    "ann_maxsim_docs" ->
+      s"""WITH $maxsimDocsCtes
+        |SELECT query_id, rnk, did AS doc_id FROM (
+        |  SELECT query_id, did,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ms DESC, did) AS BIGINT) AS rnk
+        |  FROM msc)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // Shingle-token MaxSim pruning-recall replay: the shared pruned
+    // chain's top-5 vs the SAME chain with NO candidate restriction
+    // (bits = 0 brute force — every query × doc pair scored), recall
+    // join on sampled queries.
+    "ann_recall_maxsim_docs" ->
+      s"""WITH $maxsimDocsCtes,
+        |ansr AS (
+        |  SELECT query_id, did FROM (
+        |    SELECT query_id, did,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY ms DESC, did) AS rnk
+        |    FROM msc)
+        |  WHERE rnk <= 5 AND query_id % 2 = 0),
+        |xcos AS (
+        |  SELECT q.query_id, d.did, q.ti,
+        |    max(CASE WHEN list_dot_product(q.tv, q.tv) = 0
+        |          OR list_dot_product(d.tv, d.tv) = 0 THEN 0
+        |        ELSE list_dot_product(q.tv, d.tv)
+        |             / (sqrt(list_dot_product(q.tv, q.tv))
+        |                * sqrt(list_dot_product(d.tv, d.tv))) END) AS m
+        |  FROM mqt q CROSS JOIN mdt d
+        |  WHERE q.query_id % 2 = 0
+        |  GROUP BY q.query_id, d.did, q.ti),
+        |xsc AS (
+        |  SELECT query_id, did,
+        |    list_reduce(list_prepend(0.0, list(m ORDER BY ti)),
+        |      (a, x) -> a + x) AS ms
+        |  FROM xcos GROUP BY query_id, did),
+        |exact AS (
+        |  SELECT query_id, did FROM (
+        |    SELECT query_id, did,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY ms DESC, did) AS rnk
+        |    FROM xsc)
+        |  WHERE rnk <= 5)
+        |SELECT e.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN a.did IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(sum(CASE WHEN a.did IS NOT NULL THEN 1.0 ELSE 0.0 END)
+        |    / count(*), 4) AS recall
+        |FROM exact e
+        |LEFT JOIN ansr a ON a.query_id = e.query_id AND a.did = e.did
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     // Residual IVF-PQ replay: deterministic cells + centroid integer
     // components, INTEGER residuals (xi − centroid xi, exact), first-
     // 32-rows residual codebooks, per-(vec, subspace) argmin encode,
@@ -4934,6 +5061,82 @@ object InfraQueries {
   // replace + require guard): the derived query's semantics differ
   // from the base's by exactly the edits, so the two replays can
   // never drift apart.
+  /** Shared shingle-token MaxSim CTE chain ending in
+    * `msc(query_id, did, ms)` plus the corpus/query text CTEs
+    * (`dcorp`, `qcorp`) the pooled-recall replay reuses: distinct
+    * 3-word shingles, per-word md5 byte-7 ±1 feature hashing into
+    * 16-dim integer vectors, sign-pair buckets, ONE bucket equi-join
+    * for candidates, exact integer-arithmetic cosines, md5-hex-
+    * ordered per-doc score folds. */
+  private lazy val maxsimDocsCtes: String = {
+    val shingles =
+      """list_distinct(list_transform(
+        |    range(1, greatest(len(string_split_regex(trim(text), '\s+'))
+        |      - 1, 1)),
+        |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+2]))""".stripMargin
+    s"""dcorp AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE text IS NOT NULL AND trim(text) <> ''
+      |    AND doc_id >= 3 AND doc_id < 120),
+      |qcorp AS (
+      |  SELECT doc_id, array_to_string(
+      |      string_split_regex(trim(text), '\\s+')[1:5], ' ') AS text
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id < 3),
+      |dsh AS (SELECT doc_id, unnest($shingles) AS sh FROM dcorp),
+      |qsh AS (SELECT doc_id, unnest($shingles) AS sh FROM qcorp),
+      |allsh AS (SELECT DISTINCT sh FROM
+      |  (SELECT sh FROM dsh UNION ALL SELECT sh FROM qsh)),
+      |shw AS (
+      |  SELECT sh, CAST('0x' || substr(md5(w), 15, 2) AS INT) AS hb
+      |  FROM (SELECT sh, unnest(string_split(sh, ' ')) AS w FROM allsh)),
+      |shvd AS (
+      |  SELECT sh, hb % 16 AS d,
+      |    CAST(sum(CASE WHEN (hb // 64) % 2 = 1
+      |      THEN 1 ELSE -1 END) AS DOUBLE) AS v
+      |  FROM shw GROUP BY 1, 2),
+      |shvec AS (
+      |  SELECT sh, list(coalesce(v, 0.0) ORDER BY d) AS tv
+      |  FROM (SELECT a.sh, r.d, shvd.v
+      |        FROM allsh a
+      |        CROSS JOIN (SELECT unnest(range(0, 16)) AS d) r
+      |        LEFT JOIN shvd ON shvd.sh = a.sh AND shvd.d = r.d)
+      |  GROUP BY sh),
+      |shb AS (
+      |  SELECT sh, tv,
+      |    (CASE WHEN tv[1] + tv[2] >= 0 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN tv[3] + tv[4] >= 0 THEN 2 ELSE 0 END) +
+      |    (CASE WHEN tv[5] + tv[6] >= 0 THEN 4 ELSE 0 END) +
+      |    (CASE WHEN tv[7] + tv[8] >= 0 THEN 8 ELSE 0 END) AS b
+      |  FROM shvec),
+      |mdt AS (SELECT d.doc_id AS did, k.tv, k.b
+      |        FROM dsh d JOIN shb k USING (sh)),
+      |mqt AS (SELECT q.doc_id AS query_id, md5(q.sh) AS ti, k.tv, k.b
+      |        FROM qsh q JOIN shb k USING (sh)),
+      |mcand AS (
+      |  SELECT DISTINCT q.query_id, d.did
+      |  FROM (SELECT DISTINCT query_id, b FROM mqt) q
+      |  JOIN (SELECT DISTINCT did, b FROM mdt) d USING (b)),
+      |mcos AS (
+      |  SELECT c.query_id, c.did, q.ti,
+      |    max(CASE WHEN list_dot_product(q.tv, q.tv) = 0
+      |          OR list_dot_product(d.tv, d.tv) = 0 THEN 0
+      |        ELSE list_dot_product(q.tv, d.tv)
+      |             / (sqrt(list_dot_product(q.tv, q.tv))
+      |                * sqrt(list_dot_product(d.tv, d.tv))) END) AS m
+      |  FROM mcand c
+      |  JOIN mqt q ON q.query_id = c.query_id
+      |  JOIN mdt d ON d.did = c.did
+      |  GROUP BY c.query_id, c.did, q.ti),
+      |msc AS (
+      |  SELECT query_id, did,
+      |    list_reduce(list_prepend(0.0, list(m ORDER BY ti)),
+      |      (a, x) -> a + x) AS ms
+      |  FROM mcos GROUP BY query_id, did)""".stripMargin
+  }
+
   private def derivedSql(base: String, edits: (String, String)*): String =
     edits.foldLeft(baseOracleSql(base)) { case (sql, (anchor, repl)) =>
       require(sql.contains(anchor), s"$base anchor '$anchor' moved")
