@@ -503,11 +503,15 @@ object Dedup {
       val prop = comp.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
-      // pointer jumping: map each label through its own current label
-      val jumped = prop.join(prop.toDF("c", "cc"), Seq("c"), "left")
-        .select(col("id"),
-          least(col("c"), coalesce(col("cc"), col("c"))).as("c"))
-        .localCheckpoint(true)
+      // pointer jumping: map each label through its own current label.
+      // The checkpoint flattens STATS as well as lineage: inherited
+      // sizeInBytes estimates compound geometrically across iterated
+      // self-joins (Bridge.flatCheckpoint scaladoc) — bounded here by
+      // the early exit, but a high-diameter graph would hit it.
+      val jumped = org.apache.spark.sql.graft.Bridge.flatCheckpoint(
+        prop.join(prop.toDF("c", "cc"), Seq("c"), "left")
+          .select(col("id"),
+            least(col("c"), coalesce(col("cc"), col("c"))).as("c")))
       comp = jumped
       val cur = checksum(comp)
       done = cur == prev
