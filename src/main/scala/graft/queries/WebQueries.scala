@@ -2644,6 +2644,18 @@ object WebQueries {
           min(col("v")).as("first_domain"))
         .orderBy("cls")
     }),
+    // Full SCC labeling of the domain graph — the bow-tie's SCC class
+    // generalized to EVERY component (iterated FW-BW; label = the
+    // component's min domain). On the fixture the eight crawled
+    // domains interlock into one SCC and the three target-only
+    // domains are singletons — the condensation a crawl scheduler
+    // topologically orders. Definitional oracle: transitive closure +
+    // mutual-reachability min-label over the same edge fold.
+    "web_graph_scc" -> ((s, dir) => {
+      GraphOps.scc(domainEdges(s, dir), "src", "dst")
+        .select(col("v").as("domain"), col("scc"), col("converged"))
+        .orderBy("domain")
+    }),
     // TrustRank over the domain graph: seeded PageRank with the
     // teleport restricted to the CRAWLED (source) domains — "trust
     // what we fetched, let link mass propagate outward", the crawl-
@@ -4197,6 +4209,23 @@ object WebQueries {
       |  LEFT JOIN (SELECT DISTINCT v FROM fwd) f ON f.v = n.v
       |  LEFT JOIN (SELECT DISTINCT v FROM bwd) b ON b.v = n.v)""".stripMargin
 
+  /** Domain-graph SCC replay — definitional (mutual reachability over
+    * the transitive closure, min-label), independent of the engine's
+    * FW-BW recursion; reuses the shared bow-tie edge fold. */
+  private lazy val webGraphSccSql: String =
+    s"""$webBowtieCtes,
+      |tc AS (
+      |  SELECT src AS u, dst AS v FROM e
+      |  UNION
+      |  SELECT tc.u, e2.dst FROM tc JOIN e e2 ON e2.src = tc.v),
+      |mr AS (
+      |  SELECT v, v AS u FROM n
+      |  UNION
+      |  SELECT t1.v, t1.u FROM tc t1
+      |  JOIN tc t2 ON t2.u = t1.v AND t2.v = t1.u)
+      |SELECT v AS domain, min(u) AS scc, true AS converged
+      |FROM mr GROUP BY v ORDER BY domain""".stripMargin
+
   /** Bow-tie replay: the shared chain, per-class rollup. */
   private lazy val webGraphBowtieSql: String =
     s"""$webBowtieCtes
@@ -5456,6 +5485,7 @@ object WebQueries {
     "web_graph_components" -> webGraphComponentsSql,
     "web_graph_bowtie" -> webGraphBowtieSql,
     "web_graph_bowtie_full" -> webGraphBowtieFullSql,
+    "web_graph_scc" -> webGraphSccSql,
     "web_graph_trustrank" -> webGraphTrustrankSql,
     "hybrid_bm25f_topk" -> hybridBm25fSql,
     "hybrid_bm25f_rrf" -> hybridBm25fRrfSql,
