@@ -339,25 +339,25 @@ object GraphOps {
       maxK: Int = 20, maxRounds: Int = 30): DataFrame = {
     require(maxK >= 3, s"maxK >= 3, got $maxK")
     var cur = undirectedFold(edges, srcCol, dstCol)
-    var out: DataFrame = null
+    // per-k dropped sets accumulate as references to anti-joins over
+    // the checkpointed survivor ladders — one union at the end
+    val parts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var k = 3
     var allConverged = true
     var nLeft = cur.count()
     while (k <= maxK && nLeft > 0) {
       val (surv, conv) = peelTruss(cur, k, maxRounds)
       if (!conv) allConverged = false
-      val dropped = cur.join(surv, Seq("a", "b"), "left_anti")
+      parts += cur.join(surv, Seq("a", "b"), "left_anti")
         .withColumn("trussness", lit(k - 1))
-      out = if (out == null) dropped.flatCk
-        else out.unionByName(dropped).flatCk
-      cur = surv.flatCk
+      cur = surv
       nLeft = cur.count()
       k += 1
     }
-    val tail = cur.withColumn("trussness", lit(maxK))
+    parts += cur.withColumn("trussness", lit(maxK))
     if (nLeft > 0 && k > maxK) allConverged = false
-    val full = if (out == null) tail else out.unionByName(tail)
-    full.withColumn("converged", lit(allConverged))
+    parts.reduce(_ unionByName _)
+      .withColumn("converged", lit(allConverged))
   }
 
   /** Coreness (k-core number) of every node — the degeneracy-based
@@ -563,11 +563,10 @@ object GraphOps {
       maxLevels: Int = 20, maxRounds: Int = 30): DataFrame = {
     val spark = edges.sparkSession
     val e = stringEdges(edges, srcCol, dstCol)
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    var done = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("v", StringType),
-        StructField("scc", StringType))))
+    // labeled SCCs accumulate as REFERENCES to the per-level
+    // checkpointed cls tables — one union at the end, never a
+    // re-materialization of all labeled rows per level
+    val doneParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var pending = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v"))).distinct()
       .withColumn("task", lit("")).flatCk
@@ -611,8 +610,8 @@ object GraphOps {
           coalesce(col("__f"), lit(false)).as("inF"),
           coalesce(col("__b"), lit(false)).as("inB"))
         .flatCk
-      done = done.unionByName(cls.filter(col("inF") && col("inB"))
-        .select(col("v"), col("p").as("scc"))).flatCk
+      doneParts += cls.filter(col("inF") && col("inB"))
+        .select(col("v"), col("p").as("scc"))
       pending = cls.filter(!(col("inF") && col("inB")))
         .select(col("v"),
           concat(col("task"),
@@ -623,8 +622,9 @@ object GraphOps {
       level += 1
     }
     val leftover = !pending.isEmpty
-    val out = done.unionByName(pending.select(col("v"), col("v").as("scc")))
-    out.withColumn("converged", lit(!truncated && !leftover))
+    doneParts += pending.select(col("v"), col("v").as("scc"))
+    doneParts.reduce(_ unionByName _)
+      .withColumn("converged", lit(!truncated && !leftover))
   }
 
   private def run(edges: DataFrame, srcCol: String, dstCol: String,

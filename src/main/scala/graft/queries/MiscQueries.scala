@@ -215,6 +215,29 @@ object MiscQueries {
         .select(col("v").as("node"), col("scc"), col("converged"))
         .orderBy("node")
     }),
+    // The CONDENSATION of the SCC labeling — the DAG a scheduler
+    // topologically orders (each node is an SCC, each edge a
+    // between-component dependency): contract every edge to its
+    // endpoints' labels, drop intra-component edges, count the
+    // multiplicity. min-label components make the contraction
+    // deterministic; the oracle recomputes labels definitionally and
+    // contracts the same edge fold.
+    "graph_scc_condensation" -> ((s, dir) => {
+      import graft.operators.GraphOps
+      val e = macroEdges(s, dir)
+        .select(col("src").cast("string").as("src"),
+          col("dst").cast("string").as("dst"))
+      val lab = GraphOps.scc(e, "src", "dst")
+        .select(col("v"), col("scc"))
+      e.join(lab.withColumnRenamed("v", "src")
+          .withColumnRenamed("scc", "ls"), "src")
+        .join(lab.withColumnRenamed("v", "dst")
+          .withColumnRenamed("scc", "ld"), "dst")
+        .filter(col("ls") =!= col("ld"))
+        .groupBy(col("ls").as("from_scc"), col("ld").as("to_scc"))
+        .agg(count(lit(1)).as("n_edges"))
+        .orderBy("from_scc", "to_scc")
+    }),
     // Broder's FULL bow-tie (6-class) on the same designed fixture —
     // every class materializes: scc {0,1,2,3}, in {10,11}, out
     // {20,21}, tendril_in {30}, tendril_out {31}, tube {32},
@@ -410,6 +433,27 @@ object MiscQueries {
         |  JOIN tc t2 ON t2.u = t1.v AND t2.v = t1.u)
         |SELECT v AS node, min(u) AS scc, true AS converged
         |FROM mr GROUP BY v ORDER BY node""".stripMargin,
+    // Condensation replay: definitional labels, edge contraction,
+    // intra-component drop, multiplicity rollup.
+    "graph_scc_condensation" ->
+      s"""WITH RECURSIVE $macroEdgesCte,
+        |tc AS (
+        |  SELECT src AS u, dst AS v FROM e
+        |  UNION
+        |  SELECT tc.u, e2.dst FROM tc JOIN e e2 ON e2.src = tc.v),
+        |mr AS (
+        |  SELECT v, v AS u FROM n
+        |  UNION
+        |  SELECT t1.v, t1.u FROM tc t1
+        |  JOIN tc t2 ON t2.u = t1.v AND t2.v = t1.u),
+        |lab AS (SELECT v, min(u) AS scc FROM mr GROUP BY v)
+        |SELECT ls.scc AS from_scc, ld.scc AS to_scc,
+        |  CAST(count(*) AS BIGINT) AS n_edges
+        |FROM e
+        |JOIN lab ls ON ls.v = e.src
+        |JOIN lab ld ON ld.v = e.dst
+        |WHERE ls.scc <> ld.scc
+        |GROUP BY 1, 2 ORDER BY from_scc, to_scc""".stripMargin,
     // Full bow-tie replay: pivot fwd/bwd closures -> 4-class cut,
     // then the IN-set forward and OUT-set backward closures split
     // OTHER into tube / tendril_in / tendril_out / disconnected.
