@@ -1338,6 +1338,60 @@ object InfraQueries {
           col("doc_id"))
         .orderBy("query_id", "rnk")
     }),
+    // The shingle-token retrieval THROUGH the persisted layout with a
+    // CDF round-trip on top: build WITHOUT docs [3, 10) and with a
+    // STALE bag for doc 10 (its shingles reversed word-wise via a
+    // reversed text), then sync-insert [3, 10) token bags and replace
+    // doc 10's — the final layout must answer exactly like the
+    // in-memory chain over the true corpus, so the cell shares
+    // ann_maxsim_docs' oracle. Clustered real tokens exercise BOTH
+    // new layout paths (pruned candidate fetch via the _docs twin,
+    // bag-atomic sync) where stage-1 pruning is non-degenerate.
+    "ann_maxsim_docs_synced" -> ((s, dir) => {
+      import graft.search.MaxSim
+      import graft.index.ChangeLog
+      import graft.functions.TextExpressions
+      val d = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val corpus = d.filter(col("doc_id") >= 3 && col("doc_id") < 120)
+        .select(col("doc_id"), col("text"))
+      val queries = d.filter(col("doc_id") < 3)
+        .select(col("doc_id"),
+          concat_ws(" ",
+            slice(split(trim(col("text")), "\\s+"), 1, 5)).as("text"))
+      def toks(df: DataFrame) = df
+        .select(col("doc_id"),
+          explode(TextExpressions.wordShingles(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("ti"),
+          TextExpressions.md5FeatureEmbed(col("sh"), 16).as("tv"))
+      def bags(df: DataFrame) = df
+        .select(col("doc_id"),
+          TextExpressions.wordShingles(col("text"), 3).as("shs"))
+        .select(col("doc_id"),
+          transform(col("shs"),
+            sh => TextExpressions.md5FeatureEmbed(sh, 16)).as("toks"))
+      val root = s"${System.getProperty("java.io.tmpdir")}" +
+        "/graft_ptokdocs/" + dir.replaceAll("[^0-9.]", "")
+      val build = corpus.filter(col("doc_id") >= 10)
+        .withColumn("text",
+          when(col("doc_id") === 10,
+            concat_ws(" ", reverse(split(trim(col("text")), "\\s+"))))
+            .otherwise(col("text")))
+      val idx = MaxSim.persistTokens(toks(build), "doc_id", "tv", root,
+        bits = 4)
+      val changes = bags(corpus.filter(col("doc_id") < 10))
+        .withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(1L))
+        .unionByName(bags(corpus.filter(col("doc_id") === 10))
+          .withColumn("__op", lit(ChangeLog.OpUpdate))
+          .withColumn("__seq", lit(2L)))
+      MaxSim.syncPersistedTokens(s, idx, changes, "doc_id", "toks")
+      MaxSim.topKPersisted(s, idx, "doc_id", toks(queries), "doc_id",
+          "ti", "tv", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("doc_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // Pruning-recall telemetry for the shingle-token MaxSim leg: the
     // bits=4 bucket-pruned top-5 measured against the bits=0 BRUTE
     // FORCE MaxSim ground truth on sampled queries — the direct
@@ -5292,6 +5346,9 @@ object InfraQueries {
       // synced ≡ fresh build over the live corpus (pure per-token
       // buckets, no trained state) — the shared string IS the proof
       ("ann_maxsim_synced" -> baseOracleSql("ann_maxsim_topk")) +
+      // shingle-token layout after the CDF round-trip ≡ the in-memory
+      // chain over the true corpus — the shared string IS the proof
+      ("ann_maxsim_docs_synced" -> baseOracleSql("ann_maxsim_docs")) +
       // MaxSim nDCG: the ann_ndcg_probe tail (positional gains 6−rnk,
       // log2 discounts, rank-ordered DCG folds) grafted onto the
       // token-level chain against the pooled exact order
