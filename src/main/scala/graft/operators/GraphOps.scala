@@ -188,6 +188,94 @@ object GraphOps {
         count(lit(1)).as("n_reachable"))
   }
 
+  /** HyperBall register digests (Boldi & Vigna, "In-Core Computation
+    * of Geometric Centralities with HyperBall", 2013 — the production
+    * alternative [[harmonicCentrality]]'s scaladoc points at): each
+    * node carries an m = 2^p register HyperLogLog sketch of the set
+    * of nodes that REACH it, and round r element-wise-maxes every
+    * node's sketch with its in-neighbors' — after round r the sketch
+    * summarizes the radius-r in-ball, so ball SIZES (and from their
+    * deltas, harmonic/closeness centralities) come out of
+    * node-bounded state where the exact closure needs O(V²).
+    *
+    * Everything here is INTEGER-exact and cross-engine replayable
+    * (the pixel-mean micro-unit discipline): register index
+    * j = md5(v)[hex 1-8] mod m, rank ρ = 33 − (floor(log2(w)) + 1)
+    * for w = md5(v)[hex 9-16] (ρ = 33 when w = 0) — md5 is byte-exact
+    * everywhere, log2 of an exact-in-double integer crosses integer
+    * boundaries only at exact powers of two where IEEE log2 is exact.
+    * State is the LONG FORM (v, j, ρ) of nonzero registers (≤ m rows
+    * per node), merged per round with one edge-bounded join + a
+    * (v, j) max rollup — never an array rebuild — and the output per
+    * node per radius is the integer digest
+    *
+    *   (v, r, n_regs, sum_rho, sum_pow),
+    *   sum_pow = Σ_j 2^(33−ρ_j)  (empty registers count ρ = 0)
+    *           = 2^33 · Z  for the standard HLL indicator Z,
+    *
+    * so the float ESTIMATE stays consumer arithmetic
+    * ([[hllEstimate]]) and the oracle hash-checks pure integers.
+    * Rounds are fixed at `maxRadius` (register merges are idempotent
+    * past the fixpoint — extra rounds are no-ops, the kcores replay
+    * property). Scale shape: state ≤ V·m rows, one edge-bounded
+    * shuffle per round, [[FlatCk]] per round, no driver state. */
+  def hyperBallDigests(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRadius: Int, p: Int = 4): DataFrame = {
+    require(maxRadius >= 1 && maxRadius <= 10,
+      s"maxRadius in 1..10, got $maxRadius")
+    require(p >= 2 && p <= 8, s"p in 2..8, got $p")
+    val m = 1 << p
+    val e = stringEdges(edges, srcCol, dstCol)
+    val nodes = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    // own register: j from hex chars 1-8, rank from hex chars 9-16 —
+    // both 32-bit values, positive in a signed long on any engine
+    val h1 = conv(substring(md5(col("v")), 1, 8), 16, 10).cast("long")
+    val w = conv(substring(md5(col("v")), 9, 8), 16, 10).cast("long")
+    var state = nodes
+      .select(col("v"), pmod(h1, lit(m.toLong)).cast("int").as("j"),
+        when(w === 0L, lit(33))
+          .otherwise(lit(32) - floor(log2(w)).cast("int")).as("rho"))
+      .flatCk
+    val parts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def digest(s: DataFrame, r: Int): DataFrame = s.groupBy("v")
+      .agg(count(lit(1)).as("n_regs"), sum(col("rho")).as("sum_rho"),
+        ((lit(m.toLong) - count(lit(1))) * lit(8589934592L) +
+          sum(pow(lit(2.0), lit(33) - col("rho")).cast("long")))
+          .as("sum_pow"))
+      .withColumn("r", lit(r))
+      .select("v", "r", "n_regs", "sum_rho", "sum_pow")
+    for (r <- 1 to maxRadius) {
+      val incoming = e.join(state.withColumnRenamed("v", "__u"),
+          col("src") === col("__u"))
+        .select(col("dst").as("v"), col("j"), col("rho"))
+      state = state.unionByName(incoming)
+        .groupBy("v", "j").agg(max("rho").as("rho"))
+        .flatCk
+      parts += digest(state, r)
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** The HyperLogLog cardinality estimate a consumer derives from a
+    * [[hyperBallDigests]] row — standard Flajolet et al. 2007 form
+    * with the small-range linear-counting correction (the digest
+    * keeps `sum_pow = 2^33 · Z` exactly; `zeros = m − n_regs`). */
+  def hllEstimate(nRegs: Long, sumPow: Long, p: Int): Double = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1 + 1.079 / m)
+    }
+    val z = sumPow.toDouble / 8589934592.0 // 2^33
+    val e = alpha * m * m / z
+    val zeros = m - nRegs
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else e
+  }
+
   /** Exact triangle counting over the UNDIRECTED fold of `edges`
     * (self loops and parallel/reverse duplicates collapse first),
     * with the standard degree orientation: every edge points from

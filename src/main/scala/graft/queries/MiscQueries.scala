@@ -128,6 +128,24 @@ object MiscQueries {
           round(col("pr"), 4).as("pr"))
         .orderBy("node")
     }),
+    // HyperBall register digests (Boldi-Vigna) — the sketch-based
+    // alternative to the exact bounded in-ball: per node per radius,
+    // the INTEGER HLL digest (register count, rank sum, 2^33·Z) of
+    // the set of nodes reaching it, merged along edges one round per
+    // hop. The float cardinality estimate is consumer arithmetic
+    // (GraphOps.hllEstimate); the oracle replays register assignment
+    // (md5 hex arithmetic) and all three merge rounds exactly.
+    "graph_hyperball" -> ((s, dir) => {
+      import graft.operators.GraphOps
+      val e = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(40)).as("src"),
+          pmod((col("doc_id") / lit(7)).cast("long"), lit(40)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      GraphOps.hyperBallDigests(e, "src", "dst", maxRadius = 3, p = 4)
+        .select(col("v").as("node"), col("r"), col("n_regs"),
+          col("sum_rho"), col("sum_pow"))
+        .orderBy("node", "r")
+    }),
     // Coreness (k-core numbers) via the distributed h-index fixpoint
     // on a deterministic doc-derived graph chosen for GRADED cores
     // (the mixed formula yields 3-, 4- and 6-cores, not one uniform
@@ -418,6 +436,52 @@ object MiscQueries {
         |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
         |  CAST(t AS INT) AS trussness, true AS converged
         |FROM tn ORDER BY a, b""".stripMargin,
+    // HyperBall replay: md5-hex register assignment (index from hex
+    // chars 1-8, rank = 33 − bit length of hex chars 9-16), three
+    // long-form merge rounds as materialized chained CTEs, integer
+    // digests per node per radius.
+    "graph_hyperball" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""s$r AS MATERIALIZED (
+           |  SELECT v, j, max(rho) AS rho FROM (
+           |    SELECT v, j, rho FROM s${r - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS v, s.j, s.rho
+           |    FROM s${r - 1} s JOIN e ON e.src = s.v)
+           |  GROUP BY v, j)""".stripMargin
+      }.mkString(",\n")
+      val digests = (1 to 3).map { r =>
+        s"""d$r AS (
+           |  SELECT v, $r AS r, CAST(count(*) AS BIGINT) AS n_regs,
+           |    CAST(sum(rho) AS BIGINT) AS sum_rho,
+           |    CAST((16 - count(*)) * 8589934592 +
+           |      sum(CAST(pow(2, 33 - rho) AS BIGINT)) AS BIGINT)
+           |      AS sum_pow
+           |  FROM s$r GROUP BY v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+        |  SELECT DISTINCT CAST(src AS VARCHAR) AS src,
+        |    CAST(dst AS VARCHAR) AS dst
+        |  FROM (SELECT doc_id % 40 AS src, (doc_id // 7) % 40 AS dst
+        |        FROM documents)
+        |  WHERE src <> dst),
+        |n AS (SELECT DISTINCT v FROM (
+        |  SELECT src AS v FROM e UNION SELECT dst FROM e)),
+        |s0 AS (
+        |  SELECT v, CAST(h1 % 16 AS INT) AS j,
+        |    CAST(CASE WHEN w = 0 THEN 33
+        |      ELSE 32 - CAST(floor(log2(w)) AS INT) END AS INT) AS rho
+        |  FROM (SELECT v,
+        |          CAST('0x' || substr(md5(v), 1, 8) AS BIGINT) AS h1,
+        |          CAST('0x' || substr(md5(v), 9, 8) AS BIGINT) AS w
+        |        FROM n)),
+        |$rounds,
+        |$digests
+        |SELECT v AS node, CAST(r AS INT) AS r, n_regs, sum_rho, sum_pow
+        |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+        |      UNION ALL SELECT * FROM d3)
+        |ORDER BY node, r""".stripMargin
+    },
     // SCC replay — definitional, not a recursion mirror: transitive
     // closure, mutual-reachability pairs (self included), min-label.
     "graph_scc" ->

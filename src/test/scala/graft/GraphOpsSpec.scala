@@ -365,6 +365,44 @@ class GraphOpsSpec extends SparkSpec {
     assert(bt === lab.filter(_._2 == "a").keySet)
   }
 
+  test("hyperBallDigests: sketch estimates track exact in-ball sizes, " +
+    "merges are idempotent past the fixpoint, and state stays " +
+    "register-bounded") {
+    // chain a -> b -> c -> d plus e -> b: exact in-balls (self incl.)
+    // at r=3: a:1, b:3, c:4, d:5, e:1
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("e", "b"))
+      .toDF("src", "dst")
+    val d3 = GraphOps.hyperBallDigests(g, "src", "dst", maxRadius = 3,
+      p = 4)
+    val rows = d3.filter($"r" === 3)
+      .select("v", "n_regs", "sum_pow")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val exact = Map("a" -> 1, "b" -> 3, "c" -> 4, "d" -> 5, "e" -> 1)
+    for ((v, n) <- exact) {
+      val (regs, pow) = rows(v)
+      assert(regs <= n, s"$v: registers cannot exceed ball size")
+      val est = GraphOps.hllEstimate(regs, pow, p = 4)
+      assert(math.abs(est - n) / n <= 0.45,
+        s"$v: estimate $est too far from exact ball $n")
+    }
+    // fixpoint idempotence: radius 5 digests equal radius 3's (the
+    // longest chain is 3 hops — extra merge rounds are no-ops)
+    val d5 = GraphOps.hyperBallDigests(g, "src", "dst", maxRadius = 5,
+      p = 4)
+    def key(df: org.apache.spark.sql.DataFrame, r: Int) =
+      df.filter($"r" === r)
+        .select("v", "n_regs", "sum_rho", "sum_pow")
+        .as[(String, Long, Long, Long)].collect().toSet
+    assert(key(d5, 5) === key(d3, 3))
+    // register-bounded: no node ever holds more than m = 16 rows'
+    // worth of registers
+    assert(d3.groupBy("v", "r").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head()
+      .getLong(0) === 1L)
+    assert(rows.values.forall(_._1 <= 16))
+  }
+
   test("trussness: maximal k per edge — K4 edges are 4-trusses, a " +
     "glued triangle 3, a bare chain 2; trussness >= k iff the edge " +
     "survives kTruss(k)") {
