@@ -2636,6 +2636,19 @@ object WebQueries {
           min(col("v")).as("first_domain"))
         .orderBy("cls")
     }),
+    // HyperBall digests over the domain graph — the sketch the
+    // web-graph releases actually compute geometric centralities
+    // with (web_graph_harmonic is the exact bounded twin): integer
+    // HLL in-ball digests per domain per radius, merged along the
+    // crawl's link edges. Same replay discipline as graph_hyperball
+    // on the html-extracted edge fold.
+    "web_graph_hyperball" -> ((s, dir) => {
+      GraphOps.hyperBallDigests(domainEdges(s, dir), "src", "dst",
+          maxRadius = 3, p = 4)
+        .select(col("v").as("domain"), col("r"), col("n_regs"),
+          col("sum_rho"), col("sum_pow"))
+        .orderBy("domain", "r")
+    }),
     // Full SCC labeling of the domain graph — the bow-tie's SCC class
     // generalized to EVERY component (iterated FW-BW; label = the
     // component's min domain). On the fixture the eight crawled
@@ -4233,6 +4246,46 @@ object WebQueries {
       |SELECT v AS domain, min(u) AS scc, true AS converged
       |FROM mr GROUP BY v ORDER BY domain""".stripMargin
 
+  /** HyperBall replay over the domain edge fold — the
+    * graph_hyperball chain (md5-hex register assignment, three
+    * materialized long-form merge rounds, integer digests) re-rooted
+    * at the shared bow-tie CTEs' `e`/`n`. */
+  private lazy val webGraphHyperballSql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""hs$r AS MATERIALIZED (
+         |  SELECT v, j, max(rho) AS rho FROM (
+         |    SELECT v, j, rho FROM hs${r - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS v, s.j, s.rho
+         |    FROM hs${r - 1} s JOIN e ON e.src = s.v)
+         |  GROUP BY v, j)""".stripMargin
+    }.mkString(",\n")
+    val digests = (1 to 3).map { r =>
+      s"""hd$r AS (
+         |  SELECT v, $r AS r, CAST(count(*) AS BIGINT) AS n_regs,
+         |    CAST(sum(rho) AS BIGINT) AS sum_rho,
+         |    CAST((16 - count(*)) * 8589934592 +
+         |      sum(CAST(pow(2, 33 - rho) AS BIGINT)) AS BIGINT)
+         |      AS sum_pow
+         |  FROM hs$r GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""$webBowtieCtes,
+      |hs0 AS (
+      |  SELECT v, CAST(h1 % 16 AS INT) AS j,
+      |    CAST(CASE WHEN w = 0 THEN 33
+      |      ELSE 32 - CAST(floor(log2(w)) AS INT) END AS INT) AS rho
+      |  FROM (SELECT v,
+      |          CAST('0x' || substr(md5(v), 1, 8) AS BIGINT) AS h1,
+      |          CAST('0x' || substr(md5(v), 9, 8) AS BIGINT) AS w
+      |        FROM n)),
+      |$rounds,
+      |$digests
+      |SELECT v AS domain, CAST(r AS INT) AS r, n_regs, sum_rho, sum_pow
+      |FROM (SELECT * FROM hd1 UNION ALL SELECT * FROM hd2
+      |      UNION ALL SELECT * FROM hd3)
+      |ORDER BY domain, r""".stripMargin
+  }
+
   /** Bow-tie replay: the shared chain, per-class rollup. */
   private lazy val webGraphBowtieSql: String =
     s"""$webBowtieCtes
@@ -5493,6 +5546,7 @@ object WebQueries {
     "web_graph_bowtie" -> webGraphBowtieSql,
     "web_graph_bowtie_full" -> webGraphBowtieFullSql,
     "web_graph_scc" -> webGraphSccSql,
+    "web_graph_hyperball" -> webGraphHyperballSql,
     "web_graph_trustrank" -> webGraphTrustrankSql,
     "hybrid_bm25f_topk" -> hybridBm25fSql,
     "hybrid_bm25f_rrf" -> hybridBm25fRrfSql,
