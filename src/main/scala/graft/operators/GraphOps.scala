@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Iterative graph computation as relational iterations — PageRank as
   * the representative: the pattern (join ranks to edges, aggregate
@@ -274,6 +274,51 @@ object GraphOps {
     val zeros = m - nRegs
     if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
     else e
+  }
+
+  /** Harmonic-centrality ESTIMATES from [[hyperBallDigests]] output —
+    * the consumer composition (Boldi-Vigna's actual use of the
+    * sketch): H(v) ≈ Σ_r (|B_r(v)| − |B_{r−1}(v)|) / r with ball
+    * sizes estimated per radius by [[hllEstimate]] (|B_0| = 1, the
+    * node itself). Deliberately NOT an oracle surface — the estimator
+    * crosses `ln`, whose last-ulp behavior differs between engines —
+    * estimates are spec-verified against [[harmonicCentrality]]'s
+    * exact integers instead. Returns `(v, harmonic_est)`; negative
+    * per-radius deltas (pure estimator noise — true ball sizes are
+    * monotone) clamp to 0 so the estimate stays monotone too. */
+  def harmonicFromDigests(digests: DataFrame, p: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val est = udfFreeEstimate(p)
+    val w = Window.partitionBy("v").orderBy(col("r"))
+    digests
+      .withColumn("__e", est(col("n_regs"), col("sum_pow")))
+      .withColumn("__prev",
+        coalesce(lag(col("__e"), 1).over(w), lit(1.0)))
+      .withColumn("__delta",
+        greatest(col("__e") - col("__prev"), lit(0.0)))
+      .groupBy("v")
+      .agg(sum(col("__delta") / col("r")).as("harmonic_est"))
+  }
+
+  /** [[hllEstimate]] as a Column expression (no UDF — the codegen'd
+    * arithmetic form of the same Flajolet estimator, exactly the
+    * library function's branches). */
+  private def udfFreeEstimate(p: Int): (Column, Column) => Column = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1 + 1.079 / m)
+    }
+    (nRegs, sumPow) => {
+      val z = sumPow.cast("double") / lit(8589934592.0)
+      val e = lit(alpha * m * m) / z
+      val zeros = lit(m.toLong) - nRegs
+      when(e <= lit(2.5 * m) && zeros > 0L,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+        .otherwise(e)
+    }
   }
 
   /** Exact triangle counting over the UNDIRECTED fold of `edges`

@@ -403,6 +403,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(rows.values.forall(_._1 <= 16))
   }
 
+  test("harmonicFromDigests: sketch-estimated harmonic centrality " +
+    "tracks the exact bounded-ball op within HLL error") {
+    // two feeders into a chain: exact H at R=3 — a:0, b:2 (two at
+    // d=1), c:2·1/2+... compute from harmonicCentrality directly
+    val g = Seq(("a", "b"), ("e", "b"), ("b", "c"), ("c", "d"))
+      .toDF("src", "dst")
+    val exact = GraphOps.harmonicCentrality(g, "src", "dst",
+        maxRadius = 3)
+      .select($"v", ($"harmonic_x12" / 12.0).as("h"))
+      .as[(String, Double)].collect().toMap
+    val est = GraphOps.harmonicFromDigests(
+        GraphOps.hyperBallDigests(g, "src", "dst", maxRadius = 3, p = 4),
+        p = 4)
+      .as[(String, Double)].collect().toMap
+    // every node with in-reach appears, ordering preserved within
+    // tolerance: the sink d (largest in-ball) must estimate highest
+    for ((v, h) <- exact) {
+      val e = est(v)
+      assert(math.abs(e - h) <= math.max(0.45 * h, 0.8),
+        s"$v: estimate $e vs exact $h")
+    }
+    assert(est("d") === est.values.max,
+      "the deepest sink has the largest estimated harmonic centrality")
+  }
+
   test("trussness: maximal k per edge — K4 edges are 4-trusses, a " +
     "glued triangle 3, a bare chain 2; trussness >= k iff the edge " +
     "survives kTruss(k)") {
