@@ -245,13 +245,32 @@ object GraphOps {
           .as("sum_pow"))
       .withColumn("r", lit(r))
       .select("v", "r", "n_regs", "sum_rho", "sum_pow")
+    // exact convergence probe: register merges are MONOTONE (a round
+    // only adds register rows or raises ranks), so the pair
+    // (row count, Σρ) strictly increases on any change and a flat
+    // round IS the fixpoint — one scalar agg per round, and remaining
+    // radii reuse the fixpoint state (idempotent merges make their
+    // digests identical by definition, so the output contract — one
+    // digest row per node per radius — is unchanged)
+    def checksum(s: DataFrame): (Long, Long) = {
+      val row = s.agg(count(lit(1)), coalesce(sum(col("rho")), lit(0L)))
+        .head()
+      (row.getLong(0), row.getLong(1))
+    }
+    var prev = checksum(state)
+    var atFixpoint = false
     for (r <- 1 to maxRadius) {
-      val incoming = e.join(state.withColumnRenamed("v", "__u"),
-          col("src") === col("__u"))
-        .select(col("dst").as("v"), col("j"), col("rho"))
-      state = state.unionByName(incoming)
-        .groupBy("v", "j").agg(max("rho").as("rho"))
-        .flatCk
+      if (!atFixpoint) {
+        val incoming = e.join(state.withColumnRenamed("v", "__u"),
+            col("src") === col("__u"))
+          .select(col("dst").as("v"), col("j"), col("rho"))
+        state = state.unionByName(incoming)
+          .groupBy("v", "j").agg(max("rho").as("rho"))
+          .flatCk
+        val cur = checksum(state)
+        atFixpoint = cur == prev
+        prev = cur
+      }
       parts += digest(state, r)
     }
     parts.reduce(_ unionByName _)
