@@ -669,6 +669,31 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Corpus-level kill-rate telemetry for [[duplicateSpans]] — the
+    * number every production ExactSubstr pass (Lee et al. 2022 §4.1)
+    * reports before committing a scrub: how many docs carry a
+    * duplicated span and what fraction of the corpus' tokens the
+    * spans cover. One row:
+    * `(n_docs, docs_hit, total_tokens, dup_tokens, kill_rate)`.
+    * Spans per doc are maximal and disjoint by construction, so
+    * summing their lengths counts each covered token exactly once.
+    * Same shuffle budget as the span pass plus one global fold. */
+  def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val totals = tokenPositions(docs, idCol, textCol)
+      .groupBy(col("__did")).agg(count(lit(1)).as("__nt"))
+    val perDoc = duplicateSpans(docs, idCol, textCol, n, minDocs)
+      .groupBy(col(idCol).as("__did"))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("__dup"))
+    totals.join(perDoc, Seq("__did"), "left")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("docs_hit"),
+        sum(col("__nt")).as("total_tokens"),
+        coalesce(sum(col("__dup")), lit(0L)).as("dup_tokens"))
+      .withColumn("kill_rate",
+        round(col("dup_tokens").cast("double") / col("total_tokens"), 4))
+  }
+
   /** `(doc, pos, token)` rows — split(trim, \s+) convention shared with
     * TextAnalysis so oracles replay with string_split_regex. */
   private def tokenPositions(docs: DataFrame, idCol: String,

@@ -99,6 +99,18 @@ object DedupQueries {
         .filter(col("n_kept") < col("n_tokens"))
         .orderBy("doc_id")
     }),
+    // Corpus-level ExactSubstr kill rate — the go/no-go number a
+    // production scrub reports: docs carrying a duplicated span and
+    // the token fraction the spans cover. Spans are maximal and
+    // disjoint per doc, so the span-length sum counts each covered
+    // token once; the oracle replays the full span chain plus the
+    // corpus fold.
+    "dedup_substring_stats" -> ((s, dir) => {
+      Dedup.duplicateSpanStats(docs(s, dir), "doc_id", "text",
+          n = 8, minDocs = 2)
+        .select(col("n_docs"), col("docs_hit"), col("total_tokens"),
+          col("dup_tokens"), col("kill_rate"))
+    }),
     // Ground-truth n-gram Jaccard pairs on a bounded block (quadratic —
     // the oracle-checkable baseline the LSH path approximates).
     "dedup_jaccard_pairs" -> ((s, dir) => {
@@ -788,6 +800,46 @@ object DedupQueries {
         |GROUP BY a.did
         |HAVING count(k.p) < max(len(a.t))
         |ORDER BY doc_id""".stripMargin,
+    // Same span chain as dedup_substring_spans, folded to the corpus
+    // kill-rate row (spans disjoint per doc -> length sum = coverage).
+    "dedup_substring_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS did, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |pos AS (
+        |  SELECT did, t, unnest(range(0, greatest(len(t) - 7, 0))) AS p
+        |  FROM toks),
+        |grams AS (
+        |  SELECT did, p, array_to_string(list_slice(t, p + 1, p + 8), ' ')
+        |    AS g
+        |  FROM pos),
+        |dup AS (
+        |  SELECT g FROM grams GROUP BY g
+        |  HAVING count(DISTINCT did) >= 2),
+        |hits AS (SELECT did, p FROM grams JOIN dup USING (g)),
+        |isl AS (
+        |  SELECT did, p,
+        |    CASE WHEN lag(p) OVER (PARTITION BY did ORDER BY p) IS NULL
+        |           OR p > lag(p) OVER (PARTITION BY did ORDER BY p) + 8
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM hits),
+        |isl2 AS (
+        |  SELECT did, p, sum(nw) OVER (PARTITION BY did ORDER BY p
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl),
+        |spans AS (
+        |  SELECT did, min(p) AS s, max(p) + 7 AS e
+        |  FROM isl2 GROUP BY did, island),
+        |perdoc AS (SELECT did, sum(e - s + 1) AS dup FROM spans GROUP BY did),
+        |totals AS (SELECT did, len(t) AS nt FROM toks)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN p.dup IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS docs_hit,
+        |  CAST(sum(t.nt) AS BIGINT) AS total_tokens,
+        |  CAST(coalesce(sum(p.dup), 0) AS BIGINT) AS dup_tokens,
+        |  round(CAST(coalesce(sum(p.dup), 0) AS DOUBLE) / sum(t.nt), 4)
+        |    AS kill_rate
+        |FROM totals t LEFT JOIN perdoc p USING (did)""".stripMargin,
     "dedup_jaccard_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(

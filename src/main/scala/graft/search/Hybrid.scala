@@ -212,9 +212,27 @@ object Hybrid {
       .join(changedPks, Seq("__did"), "left_semi")
       .select("__tbucket")
 
-  /** Sidecar maintenance for a sync batch: the same anti-join +
-    * re-add merge as the layout itself, keyed by the changed pks'
-    * hash dirs (new rows' pks ⊆ changed pks, so their dirs ⊆ dbks). */
+  /** Phase-1 ADDITIVE sidecar write of a sync batch — an APPEND of
+    * the batch's new (did, tbucket) pairs BEFORE the postings layout
+    * merges, so a crash at any point leaves the sidecar a SUPERSET of
+    * the live pairs: a later sync's old-bucket discovery can only
+    * list extra affected dirs (harmless rewrites), never miss a dir
+    * holding a changed doc's stale postings. The pre-r19 single
+    * post-merge write had the opposite crash window — a failure
+    * between layout and sidecar left the sidecar missing the batch's
+    * pairs, silently retaining stale postings on the next sync. */
+  private def appendDocsSidecar(newPost: DataFrame, path: String): Unit =
+    newPost.select(col("__did"), col("__tbucket")).distinct()
+      .withColumn("__dbkt", pkBucketCol(col("__did")))
+      .repartition(col("__dbkt"))
+      .write.mode("append").partitionBy("__dbkt")
+      .parquet(path + "_docs")
+
+  /** Phase-3 EXACT sidecar trim (after the layout merge): the same
+    * anti-join + re-add merge as the layout itself, keyed by the
+    * changed pks' hash dirs (new rows' pks ⊆ changed pks, so their
+    * dirs ⊆ dbks). The anti-join also removes [[appendDocsSidecar]]'s
+    * phase-1 duplicates before re-adding each pair once. */
   private def mergeDocsSidecar(spark: SparkSession, path: String,
       changedPks: DataFrame, newPost: DataFrame, dbks: Seq[Int]): Unit =
     graft.index.PartitionedLayout.mergeOverwrite(spark, path + "_docs",
@@ -334,6 +352,7 @@ object Hybrid {
       oldTermBuckets(spark, idx.path, changedPks, dbks)
         .union(newPost.select("__tbucket")).distinct()
         .collect().map(r => Seq[Any](r.getInt(0)))
+    appendDocsSidecar(newPost, idx.path) // phase 1: additive, crash-safe
     graft.index.PartitionedLayout.mergeOverwrite(spark, idx.path,
       Seq("__tbucket"), affected,
       layout.filter(graft.index.PartitionedLayout
@@ -488,6 +507,7 @@ object Hybrid {
       oldTermBuckets(spark, idx.path, changedPks, dbks)
         .union(newPost.select("__tbucket")).distinct()
         .collect().map(r => Seq[Any](r.getInt(0)))
+    appendDocsSidecar(newPost, idx.path) // phase 1: additive, crash-safe
     // shared merge-overwrite skeleton — graft.index.PartitionedLayout
     graft.index.PartitionedLayout.mergeOverwrite(spark, idx.path,
       Seq("__tbucket"), affected,

@@ -30,29 +30,67 @@ import org.apache.spark.sql.functions._
   */
 object MaxSim {
 
-  /** pk-hash dir count of the `_docs` side table [[persistTokens]]
-    * writes — the table that lets [[topKPersisted]]'s exact stage and
-    * [[syncPersistedTokens]]'s old-row lookup open only the candidate
-    * (resp. changed) docs' buckets instead of sweeping the whole
-    * bucket-partitioned token store (the sign-LSH `_docs` /
-    * `IndexKinds` `_corpus` discipline). */
-  private[graft] val docBuckets = 32
+  /** Default pk-hash dir count of the `_docs` side table
+    * [[persistTokens]] writes — the table that lets
+    * [[topKPersisted]]'s exact stage and [[syncPersistedTokens]]'s
+    * old-row lookup open only the candidate (resp. changed) docs'
+    * buckets instead of sweeping the whole bucket-partitioned token
+    * store (the sign-LSH `_docs` / `IndexKinds` `_corpus`
+    * discipline). The ACTIVE count is a build parameter frozen into
+    * the layout's `_meta` (like `bits`): queries and syncs re-derive
+    * the same hash from the side file, so re-sizing the constant here
+    * can never silently mis-prune an existing layout. */
+  private[graft] val defaultDocBuckets = 32
 
-  private def docBucketCol(did: Column): Column =
-    pmod(xxhash64(did), lit(docBuckets.toLong)).cast("int")
+  private def docBucketCol(did: Column, buckets: Int): Column =
+    pmod(xxhash64(did), lit(buckets.toLong)).cast("int")
+
+  /** (bits, docBuckets) frozen at build. Layouts persisted before
+    * docBuckets was a parameter carry a single-column `_meta`; they
+    * were all written with the then-constant 32, which is exactly
+    * [[defaultDocBuckets]]'s value — the fallback is the only hash
+    * those layouts' `_docs` dirs can be correct under. */
+  private def readMeta(spark: SparkSession, path: String): (Int, Int) = {
+    val m = spark.read.parquet(path + "_meta")
+    val bits = m.select("__bits").head().getInt(0)
+    val db =
+      if (m.columns.contains("__dbuckets"))
+        m.select("__dbuckets").head().getInt(0)
+      else defaultDocBuckets
+    (bits, db)
+  }
+
+  /** One-time migration for layouts persisted before the `_docs` twin
+    * existed: derive it from the sign-bucketed store (one full scan —
+    * the legacy candidate-fetch cost, paid once instead of on every
+    * query), so [[topKPersisted]] and [[syncPersistedTokens]] never
+    * fail path-not-found on an old layout. */
+  private def ensureDocsTwin(spark: SparkSession, path: String,
+      docBuckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path + "_docs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.read.parquet(path).select(col("__did"), col("__dv"))
+        .withColumn("__dbkt", docBucketCol(col("__did"), docBuckets))
+        .repartition(col("__dbkt"))
+        .write.mode("overwrite").partitionBy("__dbkt")
+        .parquet(path + "_docs")
+  }
 
   /** `bits` sign tests need `2·bits` vector components (bit i reads
     * the pair (2i, 2i+1)); past the vector length `element_at` is
     * null, so an over-wide bucket silently degenerates to constant-0
     * high bits (and throws under ANSI mode). Probed from ONE row —
-    * uniform token dimension is the caller's contract. */
+    * uniform token dimension is the caller's contract. Applied to
+    * BOTH sides: a narrow QUERY token would lose candidates just as
+    * silently as a narrow doc token. */
   private def requireDim(tokens: DataFrame, vecCol: String,
       bits: Int): Unit =
     tokens.select(size(col(vecCol)).as("__d")).head(1).foreach { r =>
       val d = r.getInt(0)
       require(2 * bits <= d,
-        s"bits=$bits needs 2*bits <= token dimension ($d): each sign " +
-          "test consumes one component pair")
+        s"bits=$bits needs 2*bits <= token dimension ($d) in '$vecCol': " +
+          "each sign test consumes one component pair")
     }
 
   /** Sign-LSH bucket of a token vector: `bits` sign tests, bit i =
@@ -92,11 +130,15 @@ object MaxSim {
     * doc's tokens SCATTER across sign buckets, so the exact stage
     * fetches candidate docs' full token sets from `_docs` — opening
     * only the candidate pks' hash dirs — never by sweeping the
-    * sign-bucketed store. Bucket count rides a side file so queries
-    * re-derive the same hash. */
+    * sign-bucketed store. `bits` AND `docBuckets` ride the `_meta`
+    * side file so queries and syncs re-derive the same hashes; size
+    * `docBuckets` so one pk dir's tokens fit an executor's read —
+    * each dir holds ~1/docBuckets of the token store. */
   def persistTokens(docTokens: DataFrame, docIdCol: String,
-      docVecCol: String, path: String, bits: Int = 4): PersistedTokens = {
+      docVecCol: String, path: String, bits: Int = 4,
+      docBuckets: Int = defaultDocBuckets): PersistedTokens = {
     require(bits >= 1 && bits <= 16, s"bits in [1, 16], got $bits")
+    require(docBuckets >= 1, s"docBuckets >= 1, got $docBuckets")
     val dt0 = docTokens.filter(col(docVecCol).isNotNull)
       .select(col(docIdCol).as("__did"),
         transform(col(docVecCol), _.cast("double")).as("__dv"))
@@ -106,13 +148,14 @@ object MaxSim {
     graft.index.PartitionedLayout.inParallel(
       dt.repartition(col("__b"))
         .write.mode("overwrite").partitionBy("__b").parquet(path),
-      dt.drop("__b").withColumn("__dbkt", docBucketCol(col("__did")))
+      dt.drop("__b")
+        .withColumn("__dbkt", docBucketCol(col("__did"), docBuckets))
         .repartition(col("__dbkt"))
         .write.mode("overwrite").partitionBy("__dbkt")
         .parquet(path + "_docs"))
     val spark = docTokens.sparkSession
     import spark.implicits._
-    Seq(bits).toDF("__bits").coalesce(1)
+    Seq((bits, docBuckets)).toDF("__bits", "__dbuckets").coalesce(1)
       .write.mode("overwrite").parquet(path + "_meta")
     PersistedTokens(path, bits)
   }
@@ -130,11 +173,25 @@ object MaxSim {
     * from `_docs` (a lookup pruned to the batch's pk-hash dirs); only
     * touched `__b` dirs of the store and `__dbkt` dirs of `_docs`
     * rewrite, both driver-bounded by their key spaces (2^bits,
-    * [[docBuckets]]). Idempotent under replay. */
+    * docBuckets from `_meta`).
+    *
+    * Crash contract (idempotent under replay INCLUDING partial
+    * replays): `_docs` is written in two phases around the store
+    * merge — an APPEND of the new token rows first, the exact
+    * anti-join trim last. At any crash point `_docs` therefore holds
+    * a SUPERSET of every changed doc's live tokens, so a replay's
+    * old-bucket discovery (re-bucketing `_docs` rows) can only list
+    * extra affected dirs — harmless rewrites — never miss a dir
+    * holding stale store rows. Were the exact trim written before
+    * the store merge (or the old single write left after it, the
+    * pre-r19 order), a crash between the two writes would desync
+    * them: discovery would miss the changed docs' other-side buckets
+    * and stale postings would survive silently. */
   def syncPersistedTokens(spark: SparkSession, idx: PersistedTokens,
       changes: DataFrame, pkCol: String, tokensCol: String): Unit = {
     import graft.index.{ChangeLog, PartitionedLayout}
-    val bits = spark.read.parquet(idx.path + "_meta").head().getInt(0)
+    val (bits, docBuckets) = readMeta(spark, idx.path)
+    ensureDocsTwin(spark, idx.path, docBuckets)
     val latest = ChangeLog.latestPerPk(changes, pkCol).localCheckpoint(true)
     val changedPks = latest.select(col(pkCol).as("__did"))
     val newToks0 = latest.filter(col("__op") =!= ChangeLog.OpDelete)
@@ -146,16 +203,25 @@ object MaxSim {
     requireDim(newToks0, "__dv", bits) // before __b: ANSI-safe probe
     val newToks = newToks0.withColumn("__b", bucket(col("__dv"), bits))
       .localCheckpoint(true) // affected collect + both merges
-    val dbks = changedPks.select(docBucketCol(col("__did")).as("__dbkt"))
+    val dbks = changedPks
+      .select(docBucketCol(col("__did"), docBuckets).as("__dbkt"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val docsTable = spark.read.parquet(idx.path + "_docs")
-    val oldToks = docsTable.filter(col("__dbkt").isin(dbks: _*))
+    val oldToks = spark.read.parquet(idx.path + "_docs")
+      .filter(col("__dbkt").isin(dbks: _*))
       .join(changedPks, Seq("__did"), "left_semi")
       .withColumn("__b", bucket(col("__dv"), bits))
-    // ---- sign-bucketed store: rewrite touched __b dirs ----
+    // discovery BEFORE any write: old buckets from the pre-batch
+    // _docs, new buckets from the batch itself
     val affected: Seq[Seq[Any]] = oldToks.select("__b")
       .union(newToks.select("__b")).distinct()
       .collect().map(r => Seq[Any](r.getInt(0)))
+    val newDocRows = newToks.drop("__b")
+      .withColumn("__dbkt", docBucketCol(col("__did"), docBuckets))
+    // ---- phase 1: ADDITIVE _docs append (crash ⇒ superset, safe) ----
+    newDocRows.repartition(col("__dbkt"))
+      .write.mode("append").partitionBy("__dbkt")
+      .parquet(idx.path + "_docs")
+    // ---- phase 2: sign-bucketed store — rewrite touched __b dirs ----
     if (affected.nonEmpty) {
       PartitionedLayout.mergeOverwrite(spark, idx.path, Seq("__b"),
         affected,
@@ -163,13 +229,15 @@ object MaxSim {
           .filter(PartitionedLayout.touchedPred(Seq("__b"), affected)),
         Seq("__did"), changedPks, newToks)
     }
-    // ---- _docs: same merge keyed by pk-hash dirs (new rows' pks are
-    // a subset of the changed pks, so their dirs ⊆ dbks) ----
+    // ---- phase 3: exact _docs trim — same merge keyed by pk-hash
+    // dirs (new rows' pks ⊆ changed pks, so their dirs ⊆ dbks); the
+    // anti-join also removes the phase-1 duplicates before re-adding
+    // each new row once ----
     PartitionedLayout.mergeOverwrite(spark, idx.path + "_docs",
       Seq("__dbkt"), dbks.map(Seq[Any](_)),
-      docsTable.filter(col("__dbkt").isin(dbks: _*)),
-      Seq("__did"), changedPks,
-      newToks.drop("__b").withColumn("__dbkt", docBucketCol(col("__did"))))
+      spark.read.parquet(idx.path + "_docs")
+        .filter(col("__dbkt").isin(dbks: _*)),
+      Seq("__did"), changedPks, newDocRows)
   }
 
   /** [[topK]] over a [[persistTokens]] layout — identical scores by
@@ -181,18 +249,23 @@ object MaxSim {
     * exactly like the in-memory path) — and because a doc's tokens
     * live together in its ONE `__dbkt` dir there, candidate fetch
     * opens only the candidate pks' bucket dirs instead of re-sweeping
-    * the whole token store (the touched-dir collect is bounded by
-    * [[docBuckets]], the layout's key space — never by the corpus). */
+    * the whole token store (the touched-dir collect is bounded by the
+    * layout's frozen docBuckets — never by the corpus). The candidate
+    * pk semi-join carries NO broadcast hint: its size is
+    * pruning-selectivity-dependent (≈ corpus on weakly-clustered
+    * tokens), so AQE picks broadcast only when the set is genuinely
+    * small instead of failing outright on the degenerate case. */
   def topKPersisted(spark: SparkSession, idx: PersistedTokens,
       docIdCol: String, queryTokens: DataFrame, queryIdCol: String,
       queryTokIdxCol: String, queryVecCol: String, k: Int): DataFrame = {
-    val bits = spark.read.parquet(idx.path + "_meta")
-      .head().getInt(0)
-    val qt = queryTokens.filter(col(queryVecCol).isNotNull)
+    val (bits, docBuckets) = readMeta(spark, idx.path)
+    ensureDocsTwin(spark, idx.path, docBuckets)
+    val qt0 = queryTokens.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol).as("query_id"),
         col(queryTokIdxCol).as("__ti"),
         transform(col(queryVecCol), _.cast("double")).as("__qv"))
-      .withColumn("__b", bucket(col("__qv"), bits))
+    requireDim(qt0, "__qv", bits) // before __b: ANSI-safe probe
+    val qt = qt0.withColumn("__b", bucket(col("__qv"), bits))
     val bs = qt.select("__b").distinct().collect().map(_.getInt(0)).toSeq
     val cand = spark.read.parquet(idx.path)
       .filter(col("__b").isin(bs: _*))
@@ -200,13 +273,13 @@ object MaxSim {
       .join(broadcast(qt.select("query_id", "__b").distinct()),
         Seq("__b"))
       .select("query_id", "__did").distinct()
-    val dbks = cand.select(docBucketCol(col("__did")).as("__dbkt"))
+    val dbks = cand
+      .select(docBucketCol(col("__did"), docBuckets).as("__dbkt"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val dt = spark.read.parquet(idx.path + "_docs")
       .filter(col("__dbkt").isin(dbks: _*))
       .select("__did", "__dv")
-      .join(broadcast(cand.select("__did").distinct()), Seq("__did"),
-        "left_semi")
+      .join(cand.select("__did").distinct(), Seq("__did"), "left_semi")
     val scored = cand
       .join(broadcast(qt.select("query_id", "__ti", "__qv")),
         Seq("query_id"))
@@ -241,11 +314,12 @@ object MaxSim {
         transform(col(docVecCol), _.cast("double")).as("__dv"))
     if (bits > 0) requireDim(dt0, "__dv", bits) // ANSI-safe probe
     val dt = dt0.withColumn("__b", bucket(col("__dv"), bits))
-    val qt = queryTokens.filter(col(queryVecCol).isNotNull)
+    val qt0 = queryTokens.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol).as("query_id"),
         col(queryTokIdxCol).as("__ti"),
         transform(col(queryVecCol), _.cast("double")).as("__qv"))
-      .withColumn("__b", bucket(col("__qv"), bits))
+    if (bits > 0) requireDim(qt0, "__qv", bits) // ANSI-safe probe
+    val qt = qt0.withColumn("__b", bucket(col("__qv"), bits))
     // stage 1 — candidate generation: ONE equi-join on the bucket
     // key (query side broadcast: queries × tokens is request-sized)
     val cand = dt.select("__did", "__b")

@@ -282,6 +282,63 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ((3L, 3L, "m n o")))
   }
 
+  test("duplicateSpans == brute-force covered-position reference on a " +
+      "collision-rich corpus (islands-of-starts ≡ runs of covered " +
+      "positions)") {
+    // deterministic small-vocab corpus: 12 docs x 30 tokens over 6
+    // words forces many cross-doc n-gram collisions with ragged
+    // overlap patterns (the cases a hand fixture misses)
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    def word(doc: Int, pos: Int): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$doc:$pos".getBytes("UTF-8"))
+      vocab(math.floorMod(h(0).toInt, vocab.length))
+    }
+    val corpus = (0 until 12).map(d =>
+      (d.toLong, (0 until 30).map(p => word(d, p)).mkString(" ")))
+    val n = 3
+    // brute force: position q of doc d is DUPLICATED iff some n-window
+    // covering q has a gram appearing in >= 2 distinct docs; spans are
+    // maximal runs of duplicated positions
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+    val occ = for {
+      (id, ts) <- toks
+      p <- 0 to ts.length - n
+    } yield (id, p, ts.slice(p, p + n).mkString(" "))
+    val dupGrams = occ.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val covered: Map[Long, Set[Int]] = toks.map { case (id, ts) =>
+      id -> occ.filter(o => o._1 == id && dupGrams(o._3))
+        .flatMap(o => o._2 until o._2 + n).toSet
+    }.toMap
+    val expect: Set[(Long, Int, Int)] = covered.flatMap { case (id, ps) =>
+      ps.toSeq.sorted.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.map { case (s, e) => (id, s, e) }
+    }.toSet
+    assert(expect.nonEmpty, "fixture must actually collide")
+    val got = Dedup.duplicateSpans(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", n = n, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got === expect,
+      s"operator spans must equal the brute-force cover:\n" +
+        s"extra=${got -- expect}\nmissing=${expect -- got}")
+  }
+
+  test("duplicateSpanStats: kill rate counts each covered token once") {
+    val d = Seq(
+      (1L, "p q r s t u"),  // span [0,3] -> 4 dup tokens of 6
+      (2L, "z p q r s w"),  // span [1,4] -> 4 dup tokens of 6
+      (3L, "m n o")         // clean, 3 tokens
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicateSpanStats(d, "doc_id", "text",
+      n = 3, minDocs = 2).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 2L, 15L, 8L)))
+    assert(math.abs(r.getDouble(4) - 0.5333) < 1e-9)
+  }
+
   test("span dedup plans: no cartesian, no unpartitioned window — " +
       "every stage is doc-partitioned or an equi-join") {
     val spans = Dedup.duplicateSpans(docs, "doc_id", "text", n = 8)

@@ -203,6 +203,109 @@ class MaxSimSpec extends SparkSpec {
     }
   }
 
+  test("non-default docBuckets round-trips: the count is frozen in " +
+    "_meta and queries + syncs re-derive the same pk hash") {
+    import graft.index.ChangeLog
+    val dir = java.nio.file.Files.createTempDirectory("maxsim_db")
+      .toString + "/toks"
+    val idx = MaxSim.persistTokens(docs8, "doc_id", "tv", dir, bits = 4,
+      docBuckets = 5)
+    val ddirs = new java.io.File(dir + "_docs").listFiles()
+      .filter(_.getName.startsWith("__dbkt=")).map(_.getName).toSet
+    assert(ddirs.nonEmpty && ddirs.size <= 5, s"5 pk dirs max: $ddirs")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val mem = key(MaxSim.topK(docs8, "doc_id", "tv", q8, "qid", "ti",
+      "tv", k = 4, bits = 4))
+    assert(key(MaxSim.topKPersisted(spark, idx, "doc_id", q8, "qid",
+      "ti", "tv", k = 4)) === mem && mem.nonEmpty)
+    // a sync against the 5-bucket layout keeps using the frozen count
+    val changes = Seq(
+      (3L, Seq(Seq(1.0f, 0.0f, 1.0f, 0.0f, 1.0f, 0.0f, 1.0f, 0.0f)),
+        ChangeLog.OpUpdate, 1L)
+    ).toDF("doc_id", "toks", "__op", "__seq")
+    MaxSim.syncPersistedTokens(spark, idx, changes, "doc_id", "toks")
+    val live = docs8.filter($"doc_id" =!= 3L).unionByName(
+      Seq((3L, Seq(1.0f, 0.0f, 1.0f, 0.0f, 1.0f, 0.0f, 1.0f, 0.0f)))
+        .toDF("doc_id", "tv"))
+    assert(key(MaxSim.topKPersisted(spark, idx, "doc_id", q8, "qid",
+      "ti", "tv", k = 4)) ===
+      key(MaxSim.topK(live, "doc_id", "tv", q8, "qid", "ti", "tv",
+        k = 4, bits = 4)))
+  }
+
+  test("candidate fetch carries no forced broadcast: the pk set's " +
+    "size is pruning-dependent, AQE alone decides the join strategy") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val dir = java.nio.file.Files.createTempDirectory("maxsim_nh")
+      .toString + "/toks"
+    val idx = MaxSim.persistTokens(docs8, "doc_id", "tv", dir, bits = 4)
+    val out = MaxSim.topKPersisted(spark, idx, "doc_id", q8, "qid",
+      "ti", "tv", k = 4)
+    val hinted = out.queryExecution.analyzed
+      .collect { case h: ResolvedHint => h.child.toString }
+    // the only hints left are the request-sized query-token sides —
+    // nothing reading the persisted layout may be forced broadcast
+    assert(hinted.nonEmpty, "query-token broadcasts are expected")
+    hinted.foreach(c => assert(!c.toLowerCase.contains("parquet"),
+      s"a layout-reading subtree is force-broadcast:\n$c"))
+  }
+
+  test("pre-_docs layouts migrate: the twin is derived from the " +
+    "store once, then queries and syncs run normally") {
+    import graft.index.ChangeLog
+    val dir = java.nio.file.Files.createTempDirectory("maxsim_mig")
+      .toString + "/toks"
+    MaxSim.persistTokens(docs8, "doc_id", "tv", dir, bits = 4)
+    // simulate a legacy layout: no _docs twin, single-column _meta
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(new java.io.File(dir + "_docs"))
+    Seq(4).toDF("__bits").coalesce(1)
+      .write.mode("overwrite").parquet(dir + "_meta")
+    val idx = MaxSim.PersistedTokens(dir, 4)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val mem = key(MaxSim.topK(docs8, "doc_id", "tv", q8, "qid", "ti",
+      "tv", k = 4, bits = 4))
+    assert(key(MaxSim.topKPersisted(spark, idx, "doc_id", q8, "qid",
+      "ti", "tv", k = 4)) === mem && mem.nonEmpty,
+      "query against a pre-_docs layout must derive the twin and match")
+    assert(new java.io.File(dir + "_docs").exists(), "twin materialized")
+    // and a sync on another migrated layout (twin deleted again)
+    rmrf(new java.io.File(dir + "_docs"))
+    val changes = Seq(
+      (2L, Seq.empty[Seq[Float]], ChangeLog.OpDelete, 1L)
+    ).toDF("doc_id", "toks", "__op", "__seq")
+    MaxSim.syncPersistedTokens(spark, idx, changes, "doc_id", "toks")
+    assert(spark.read.parquet(dir).filter($"__did" === 2L).isEmpty)
+    assert(spark.read.parquet(dir + "_docs")
+      .filter($"__did" === 2L).isEmpty)
+  }
+
+  test("query tokens narrower than 2*bits are rejected too, not " +
+    "silently candidate-losing") {
+    val wideDocs = docs8
+    val narrowQ = Seq((0L, 0, Seq(1.0f, 0.1f))).toDF("qid", "ti", "tv")
+    val err = intercept[IllegalArgumentException] {
+      MaxSim.topK(wideDocs, "doc_id", "tv", narrowQ, "qid", "ti", "tv",
+        k = 3, bits = 4)
+    }
+    assert(err.getMessage.contains("2*bits"))
+    val dir = java.nio.file.Files.createTempDirectory("maxsim_qd")
+      .toString + "/toks"
+    val idx = MaxSim.persistTokens(wideDocs, "doc_id", "tv", dir, bits = 4)
+    val err2 = intercept[IllegalArgumentException] {
+      MaxSim.topKPersisted(spark, idx, "doc_id", narrowQ, "qid", "ti",
+        "tv", k = 3)
+    }
+    assert(err2.getMessage.contains("2*bits"))
+  }
+
   test("deterministic under repartitioning") {
     def run(df: org.apache.spark.sql.DataFrame) =
       MaxSim.topK(df, "doc_id", "tv", qToks, "qid", "ti", "tv",
