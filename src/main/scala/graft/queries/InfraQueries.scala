@@ -1437,6 +1437,114 @@ object InfraQueries {
     // entries as ann_ivfpq_topk). Residuals subtract AFTER integer
     // quantization (exact long arithmetic), the query side residuals
     // against each PROBED cell's centroid, and the same-cell ADC join
+    // Centroid-routed MaxSim — the PLAID form (Santhanam et al., CIKM
+    // 2022): trained IVF centroids over the shingle-token table route
+    // each query token to nProbe=2 of 8 cells; candidates score by
+    // ADC over m=4 × pqK=8 residual codes (matched-token count DESC,
+    // Σ min-ADC ASC); the top k·c survivors get the exact MaxSim
+    // refine. The oracle replays the md5-ordered token sample, both
+    // integer Lloyd iterations, cell assignment, first-8 residual
+    // codebooks, encode, the per-(query-token, cell) residual ADC,
+    // candidate selection and the exact chain.
+    "ann_maxsim_plaid" -> ((s, dir) => {
+      import graft.search.Plaid
+      import graft.functions.TextExpressions
+      val d = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val corpus = d.filter(col("doc_id") >= 3 && col("doc_id") < 120)
+        .select(col("doc_id"), col("text"))
+      val queries = d.filter(col("doc_id") < 3)
+        .select(col("doc_id"),
+          concat_ws(" ",
+            slice(split(trim(col("text")), "\\s+"), 1, 5)).as("text"))
+      def toks(df: DataFrame) = df
+        .select(col("doc_id"),
+          explode(TextExpressions.wordShingles(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("ti"),
+          TextExpressions.md5FeatureEmbed(col("sh"), 16).as("tv"))
+      val idx = Plaid.build(toks(corpus), "doc_id", "ti", "tv",
+        Plaid.Params(cells = 8, nProbe = 2, c = 4, m = 4, pqK = 8,
+          iters = 2, sampleN = 64))
+      Plaid.topK(idx, "doc_id", toks(queries), "doc_id", "ti", "tv",
+          k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("doc_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // The PLAID chain THROUGH the persisted cell-partitioned layout:
+    // stage 1+2 scan only the probed cells' dirs of the coded token
+    // store, the exact refine fetches candidate docs' bags from the
+    // pk-hash _docs twin — identical answers by construction, shares
+    // ann_maxsim_plaid's oracle (PlaidSpec pins the numFiles pruning).
+    "ann_maxsim_plaid_persisted" -> ((s, dir) => {
+      import graft.search.Plaid
+      import graft.functions.TextExpressions
+      val d = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val corpus = d.filter(col("doc_id") >= 3 && col("doc_id") < 120)
+        .select(col("doc_id"), col("text"))
+      val queries = d.filter(col("doc_id") < 3)
+        .select(col("doc_id"),
+          concat_ws(" ",
+            slice(split(trim(col("text")), "\\s+"), 1, 5)).as("text"))
+      def toks(df: DataFrame) = df
+        .select(col("doc_id"),
+          explode(TextExpressions.wordShingles(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("ti"),
+          TextExpressions.md5FeatureEmbed(col("sh"), 16).as("tv"))
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_plaid/" +
+        dir.replaceAll("[^0-9.]", "")
+      val idx = Plaid.build(toks(corpus), "doc_id", "ti", "tv",
+        Plaid.Params(cells = 8, nProbe = 2, c = 4, m = 4, pqK = 8,
+          iters = 2, sampleN = 64))
+      val p = Plaid.persist(idx, root, docBuckets = 8)
+      Plaid.topKPersisted(s, p, "doc_id", toks(queries), "doc_id", "ti",
+          "tv", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("doc_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // Pruning-recall telemetry for the PLAID leg: the routed+ADC
+    // top-5 measured against the bits=0 brute-force exact MaxSim on
+    // sampled queries — the head-to-head that says what the trained
+    // route keeps vs the sign-LSH stage 1 (ann_recall_maxsim_docs) at
+    // the same k. Both chains and the recall join replay.
+    "ann_recall_maxsim_plaid" -> ((s, dir) => {
+      import graft.search.{MaxSim, Plaid}
+      import graft.functions.TextExpressions
+      val d = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val corpus = d.filter(col("doc_id") >= 3 && col("doc_id") < 120)
+        .select(col("doc_id"), col("text"))
+      val queries = d.filter(col("doc_id") < 3)
+        .select(col("doc_id"),
+          concat_ws(" ",
+            slice(split(trim(col("text")), "\\s+"), 1, 5)).as("text"))
+      def toks(df: DataFrame) = df
+        .select(col("doc_id"),
+          explode(TextExpressions.wordShingles(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("ti"),
+          TextExpressions.md5FeatureEmbed(col("sh"), 16).as("tv"))
+      val idx = Plaid.build(toks(corpus), "doc_id", "ti", "tv",
+        Plaid.Params(cells = 8, nProbe = 2, c = 4, m = 4, pqK = 8,
+          iters = 2, sampleN = 64))
+      val pruned = Plaid.topK(idx, "doc_id", toks(queries), "doc_id",
+          "ti", "tv", k = 5)
+        .filter(col("query_id") % 2 === 0)
+        .select(col("query_id"), col("doc_id"))
+        .withColumn("__hit", lit(1))
+      val exact = MaxSim.topK(toks(corpus), "doc_id", "tv",
+          toks(queries), "doc_id", "ti", "tv", k = 5, bits = 0)
+        .filter(col("query_id") % 2 === 0)
+        .select(col("query_id"), col("doc_id"))
+      exact.join(pruned, Seq("query_id", "doc_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_exact"), 4))
+        .orderBy("query_id")
+    }),
     // adds the centroid term back implicitly. The oracle replays cell
     // assignment, integer residuals, residual codebooks, encode, the
     // per-(query, cell) ADC tables and the exact refine.
@@ -3233,6 +3341,61 @@ object InfraQueries {
         |    / count(*), 4) AS recall
         |FROM exact e
         |LEFT JOIN ansr a ON a.query_id = e.query_id AND a.did = e.did
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+    // PLAID replay: the shared shingle-token CTEs + trained token
+    // centroids (md5 sample, two integer Lloyd rounds), assignment,
+    // residual codebooks, encode, query probes, ADC candidate
+    // selection, exact refine — top-5 of the refined scores.
+    "ann_maxsim_plaid" ->
+      s"""WITH $plaidCtes
+        |SELECT query_id, rnk, did AS doc_id FROM (
+        |  SELECT query_id, did,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ms DESC, did) AS BIGINT) AS rnk
+        |  FROM prsc)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // PLAID pruning-recall replay: the routed chain's top-5 vs the
+    // unrestricted exact MaxSim (every query × doc pair scored),
+    // recall join on sampled queries.
+    "ann_recall_maxsim_plaid" ->
+      s"""WITH $plaidCtes,
+        |pansr AS (
+        |  SELECT query_id, did FROM (
+        |    SELECT query_id, did,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY ms DESC, did) AS rnk
+        |    FROM prsc)
+        |  WHERE rnk <= 5 AND query_id % 2 = 0),
+        |pxcos AS (
+        |  SELECT q.query_id, d.did, q.ti,
+        |    max(CASE WHEN list_dot_product(q.tv, q.tv) = 0
+        |          OR list_dot_product(d.tv, d.tv) = 0 THEN 0
+        |        ELSE list_dot_product(q.tv, d.tv)
+        |             / (sqrt(list_dot_product(q.tv, q.tv))
+        |                * sqrt(list_dot_product(d.tv, d.tv))) END) AS m
+        |  FROM mqt q CROSS JOIN mdt d
+        |  WHERE q.query_id % 2 = 0
+        |  GROUP BY q.query_id, d.did, q.ti),
+        |pxsc AS (
+        |  SELECT query_id, did,
+        |    list_reduce(list_prepend(0.0, list(m ORDER BY ti)),
+        |      (a, x) -> a + x) AS ms
+        |  FROM pxcos GROUP BY query_id, did),
+        |pexact AS (
+        |  SELECT query_id, did FROM (
+        |    SELECT query_id, did,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY ms DESC, did) AS rnk
+        |    FROM pxsc)
+        |  WHERE rnk <= 5)
+        |SELECT e.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN a.did IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(sum(CASE WHEN a.did IS NOT NULL THEN 1.0 ELSE 0.0 END)
+        |    / count(*), 4) AS recall
+        |FROM pexact e
+        |LEFT JOIN pansr a ON a.query_id = e.query_id AND a.did = e.did
         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     // Residual IVF-PQ replay: deterministic cells + centroid integer
     // components, INTEGER residuals (xi − centroid xi, exact), first-
@@ -5165,7 +5328,7 @@ object InfraQueries {
       |    (CASE WHEN tv[5] + tv[6] >= 0 THEN 4 ELSE 0 END) +
       |    (CASE WHEN tv[7] + tv[8] >= 0 THEN 8 ELSE 0 END) AS b
       |  FROM shvec),
-      |mdt AS (SELECT d.doc_id AS did, k.tv, k.b
+      |mdt AS (SELECT d.doc_id AS did, md5(d.sh) AS ti, k.tv, k.b
       |        FROM dsh d JOIN shb k USING (sh)),
       |mqt AS (SELECT q.doc_id AS query_id, md5(q.sh) AS ti, k.tv, k.b
       |        FROM qsh q JOIN shb k USING (sh)),
@@ -5190,6 +5353,150 @@ object InfraQueries {
       |      (a, x) -> a + x) AS ms
       |  FROM mcos GROUP BY query_id, did)""".stripMargin
   }
+
+  /** The PLAID replay, built ON TOP of the shingle-token CTEs: token
+    * pk `did:ti`, integer quantization, md5-ordered 64-token sample,
+    * TWO unrolled integer Lloyd iterations → 8 trained centroids,
+    * nearest-cell assignment, first-8-tokens residual codebooks (m=4
+    * subspaces × 4 dims), per-token encode, query probes (nProbe=2),
+    * per-(query token, cell) integer residuals, ADC, candidate
+    * selection by (matched tokens DESC, Σ min-ADC ASC, did), and the
+    * exact MaxSim refine over the 20 survivors — ending at `prsc`
+    * (query_id, did, ms). */
+  private lazy val plaidCtes: String =
+    s"""$maxsimDocsCtes,
+      |pdims AS (SELECT unnest(range(0, 16)) AS d),
+      |dtp AS (
+      |  SELECT did, ti, CAST(did AS VARCHAR) || ':' || ti AS tid, tv
+      |  FROM mdt),
+      |itok AS (
+      |  SELECT tid, dd.d,
+      |    CAST(floor(tv[dd.d + 1] * 1048576) AS BIGINT) AS xi
+      |  FROM dtp, pdims dd),
+      |psamp AS (
+      |  SELECT tid, r FROM (
+      |    SELECT tid, row_number() OVER (ORDER BY md5(tid), tid) - 1
+      |      AS r
+      |    FROM dtp)
+      |  WHERE r < 64),
+      |psp AS (SELECT s.r, i.d, i.xi AS y
+      |        FROM psamp s JOIN itok i USING (tid)),
+      |pc0 AS (SELECT r AS j, d, y FROM psp WHERE r < 8),
+      |pd1 AS (
+      |  SELECT p.r, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+      |  FROM psp p JOIN pc0 c ON c.d = p.d
+      |  GROUP BY p.r, c.j),
+      |pm1 AS (SELECT r, j FROM (
+      |  SELECT r, j, row_number() OVER (PARTITION BY r ORDER BY d2, j)
+      |    AS rn FROM pd1) WHERE rn = 1),
+      |pg1 AS (
+      |  SELECT m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM pm1 m JOIN psp p ON p.r = m.r
+      |  GROUP BY m.j, p.d),
+      |pc1 AS (
+      |  SELECT pc0.j, pc0.d,
+      |    COALESCE(CAST((pg1.sy - (((pg1.sy % pg1.c) + pg1.c) % pg1.c))
+      |      / pg1.c AS BIGINT), pc0.y) AS y
+      |  FROM pc0 LEFT JOIN pg1 ON pg1.j = pc0.j AND pg1.d = pc0.d),
+      |pd2 AS (
+      |  SELECT p.r, c.j, sum((p.y - c.y) * (p.y - c.y)) AS d2
+      |  FROM psp p JOIN pc1 c ON c.d = p.d
+      |  GROUP BY p.r, c.j),
+      |pm2 AS (SELECT r, j FROM (
+      |  SELECT r, j, row_number() OVER (PARTITION BY r ORDER BY d2, j)
+      |    AS rn FROM pd2) WHERE rn = 1),
+      |pg2 AS (
+      |  SELECT m.j, p.d, CAST(sum(p.y) AS BIGINT) AS sy,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM pm2 m JOIN psp p ON p.r = m.r
+      |  GROUP BY m.j, p.d),
+      |pc2 AS (
+      |  SELECT pc1.j, pc1.d,
+      |    COALESCE(CAST((pg2.sy - (((pg2.sy % pg2.c) + pg2.c) % pg2.c))
+      |      / pg2.c AS BIGINT), pc1.y) AS y
+      |  FROM pc1 LEFT JOIN pg2 ON pg2.j = pc1.j AND pg2.d = pc1.d),
+      |pcents AS (
+      |  SELECT CAST(j AS INT) AS cell,
+      |    list(y / 1048576.0 ORDER BY d) AS cvec
+      |  FROM pc2 GROUP BY j),
+      |pci AS (SELECT j AS cell, d, y FROM pc2),
+      |tasg AS (
+      |  SELECT t.tid, c.cell,
+      |    row_number() OVER (PARTITION BY t.tid
+      |      ORDER BY list_distance(t.tv, c.cvec), c.cell) AS rn
+      |  FROM dtp t CROSS JOIN pcents c),
+      |tcell AS (SELECT tid, cell FROM tasg WHERE rn = 1),
+      |rtok AS (
+      |  SELECT i.tid, i.d, i.xi - pci.y AS ri
+      |  FROM itok i JOIN tcell tc ON tc.tid = i.tid
+      |  JOIN pci ON pci.cell = tc.cell AND pci.d = i.d),
+      |pcent AS (SELECT tid, j FROM (
+      |  SELECT tid, row_number() OVER (ORDER BY tid) - 1 AS j FROM dtp)
+      |  WHERE j < 8),
+      |cbk AS (
+      |  SELECT (r.d // 4) AS s, p.j, r.d, r.ri
+      |  FROM rtok r JOIN pcent p USING (tid)),
+      |pcdist AS (
+      |  SELECT r.tid, c.s, c.j,
+      |    sum((r.ri - c.ri) * (r.ri - c.ri)) AS d2
+      |  FROM rtok r JOIN cbk c ON c.d = r.d
+      |  GROUP BY r.tid, c.s, c.j),
+      |pcodes AS (SELECT tid, s, j FROM (
+      |  SELECT tid, s, j,
+      |    row_number() OVER (PARTITION BY tid, s ORDER BY d2, j) AS rn
+      |  FROM pcdist) WHERE rn = 1),
+      |iqq AS (
+      |  SELECT query_id, ti, dd.d,
+      |    CAST(floor(tv[dd.d + 1] * 1048576) AS BIGINT) AS xi
+      |  FROM mqt, pdims dd),
+      |qpr AS (
+      |  SELECT q.query_id, q.ti, c.cell,
+      |    row_number() OVER (PARTITION BY q.query_id, q.ti
+      |      ORDER BY list_distance(q.tv, c.cvec), c.cell) AS pr
+      |  FROM mqt q CROSS JOIN pcents c),
+      |qp AS (SELECT query_id, ti, cell FROM qpr WHERE pr <= 2),
+      |qres AS (
+      |  SELECT p.query_id, p.ti, p.cell, i.d, i.xi - pci.y AS ri
+      |  FROM qp p
+      |  JOIN iqq i ON i.query_id = p.query_id AND i.ti = p.ti
+      |  JOIN pci ON pci.cell = p.cell AND pci.d = i.d),
+      |padc AS (
+      |  SELECT q.query_id, q.ti, t.tid,
+      |    sum((q.ri - cb.ri) * (q.ri - cb.ri)) AS a
+      |  FROM qres q
+      |  JOIN tcell t ON t.cell = q.cell
+      |  JOIN pcodes co ON co.tid = t.tid AND co.s = (q.d // 4)
+      |  JOIN cbk cb ON cb.s = co.s AND cb.j = co.j AND cb.d = q.d
+      |  GROUP BY q.query_id, q.ti, t.tid),
+      |mad AS (
+      |  SELECT a.query_id, a.ti, t.did, min(a.a) AS minadc
+      |  FROM padc a JOIN dtp t USING (tid)
+      |  GROUP BY a.query_id, a.ti, t.did),
+      |ps1 AS (
+      |  SELECT query_id, did, count(*) AS nhit, sum(minadc) AS s1
+      |  FROM mad GROUP BY query_id, did),
+      |pcand AS (SELECT query_id, did FROM (
+      |  SELECT query_id, did,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY nhit DESC, s1 ASC, did ASC) AS cr
+      |  FROM ps1) WHERE cr <= 20),
+      |prcos AS (
+      |  SELECT c.query_id, c.did, q.ti,
+      |    max(CASE WHEN list_dot_product(q.tv, q.tv) = 0
+      |          OR list_dot_product(d.tv, d.tv) = 0 THEN 0
+      |        ELSE list_dot_product(q.tv, d.tv)
+      |             / (sqrt(list_dot_product(q.tv, q.tv))
+      |                * sqrt(list_dot_product(d.tv, d.tv))) END) AS m
+      |  FROM pcand c
+      |  JOIN mqt q ON q.query_id = c.query_id
+      |  JOIN mdt d ON d.did = c.did
+      |  GROUP BY c.query_id, c.did, q.ti),
+      |prsc AS (
+      |  SELECT query_id, did,
+      |    list_reduce(list_prepend(0.0, list(m ORDER BY ti)),
+      |      (a, x) -> a + x) AS ms
+      |  FROM prcos GROUP BY query_id, did)""".stripMargin
 
   private def derivedSql(base: String, edits: (String, String)*): String =
     edits.foldLeft(baseOracleSql(base)) { case (sql, (anchor, repl)) =>
@@ -5443,6 +5750,10 @@ object InfraQueries {
           |FROM exact e LEFT JOIN ans a
           |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
           |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin)) +
+      // the PLAID persisted layout answers exactly like the in-memory
+      // chain (partition-pruned scan of the same coded rows; PlaidSpec
+      // pins disk == mem and the numFiles pruning)
+      ("ann_maxsim_plaid_persisted" -> baseOracleSql("ann_maxsim_plaid")) +
       ("ann_ivfpq_residual_persisted" ->
         baseOracleSql("ann_ivfpq_residual")) +
       ("ann_ivfpq_residual_synced" ->

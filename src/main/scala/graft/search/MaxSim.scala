@@ -108,8 +108,10 @@ object MaxSim {
   }
 
   /** Exact double cosine with the zero-norm → 0 convention shared
-    * with every exact leg (left-to-right folds: order-deterministic). */
-  private def cosD(a: Column, b: Column): Column = {
+    * with every exact leg (left-to-right folds: order-deterministic).
+    * Shared with [[Plaid]]'s exact refine so the two late-interaction
+    * legs can never drift on scoring arithmetic. */
+  private[search] def cosD(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), _ + _)
     val na = dot(a, a)
