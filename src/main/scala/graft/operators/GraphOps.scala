@@ -159,6 +159,21 @@ object GraphOps {
       dstCol: String, maxRadius: Int): DataFrame = {
     require(maxRadius >= 1 && maxRadius <= 4,
       s"maxRadius in 1..4 (12-unit integer arithmetic), got $maxRadius")
+    boundedReach(edges, srcCol, dstCol, maxRadius).groupBy(col("v"))
+      .agg(sum((lit(12) / col("d")).cast("long")).as("harmonic_x12"),
+        count(lit(1)).as("n_reachable"))
+  }
+
+  /** The exact radius-bounded reachability closure shared by
+    * [[harmonicCentrality]], [[closenessCentrality]] and
+    * [[distanceDistribution]]: `(u, v, d)` = u reaches v with minimal
+    * hop count d ≤ maxRadius. BFS levels with an anti-join dedup —
+    * pair-count state, the exact (O(pairs)) twin the HyperBall sketch
+    * approximates in node-bounded state at web scale. */
+  private def boundedReach(edges: DataFrame, srcCol: String,
+      dstCol: String, maxRadius: Int): DataFrame = {
+    require(maxRadius >= 1 && maxRadius <= 10,
+      s"maxRadius in 1..10, got $maxRadius")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct().flatCk
     // known(u, v, d): u reaches v, minimal hop count d
@@ -183,9 +198,122 @@ object GraphOps {
       }
       t += 1
     }
-    known.groupBy(col("v"))
-      .agg(sum((lit(12) / col("d")).cast("long")).as("harmonic_x12"),
-        count(lit(1)).as("n_reachable"))
+    known
+  }
+
+  /** Exact radius-bounded (in-)closeness centrality — the companion
+    * geometric centrality next to [[harmonicCentrality]]: for each
+    * node v, the count of nodes reaching it within `maxRadius` hops
+    * and the SUM of their shortest-path distances;
+    * `closeness = n_reachable / sum_dist` (the classic reachable-set
+    * form; Lin-style (n_reachable²) renormalization is one consumer
+    * multiply away). The ratio divides two exact integers, so unlike
+    * the `ln`-crossing sketch estimator it is bit-identical on any
+    * IEEE engine and safe to oracle. Same closure cost as harmonic
+    * ([[boundedReach]] — pair-bounded; [[closenessFromDigests]] is
+    * the node-bounded sketch path at web scale). */
+  def closenessCentrality(edges: DataFrame, srcCol: String,
+      dstCol: String, maxRadius: Int): DataFrame =
+    boundedReach(edges, srcCol, dstCol, maxRadius).groupBy(col("v"))
+      .agg(count(lit(1)).as("n_reachable"),
+        sum(col("d").cast("long")).as("sum_dist"))
+      .withColumn("closeness",
+        col("n_reachable").cast("double") / col("sum_dist"))
+
+  /** Exact radius-bounded distance distribution (the ANF
+    * "neighbourhood function", Palmer et al. 2002): `(r, nd)` for
+    * r = 0..maxRadius with nd = Σ_v |B_r(v)| — the count of ordered
+    * pairs within distance r, self-pairs included (ND(0) = |V|).
+    * Integer-exact; [[effectiveDiameter]] interpolates it. */
+  def distanceDistribution(edges: DataFrame, srcCol: String,
+      dstCol: String, maxRadius: Int): DataFrame = {
+    val reach = boundedReach(edges, srcCol, dstCol, maxRadius)
+      .flatCk
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val n = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct().count()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val radii = (0 to maxRadius).toDF("r")
+    radii.join(
+        reach.groupBy(col("d")).agg(count(lit(1)).as("__c")),
+        col("d") <= col("r"), "left")
+      .groupBy("r")
+      .agg((lit(n) + coalesce(sum(col("__c")), lit(0L))).as("nd"))
+      .orderBy("r")
+  }
+
+  /** Effective diameter at quantile `q` from a distance distribution
+    * `(r, nd)` — exact ([[distanceDistribution]]) or estimated
+    * ([[neighbourhoodFromDigests]]): the smallest r with
+    * nd(r) ≥ q·nd(max), linearly interpolated between the crossing
+    * radius and its predecessor (the ANF/HyperANF convention).
+    * Distribution size is maxRadius+1 rows — the unpartitioned window
+    * is radius-bounded, never graph-bounded. All arithmetic is IEEE
+    * exact-op (multiply/subtract/divide), so the exact-input form is
+    * oracle-safe. Returns one row `(q, nd_max, eff_diameter)`. */
+  def effectiveDiameter(dist: DataFrame, q: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("r"))
+    val mx = dist.agg(max(col("nd")).cast("double").as("__mx"))
+    dist.select(col("r").cast("double").as("r"),
+        col("nd").cast("double").as("nd"))
+      .withColumn("__pn", lag(col("nd"), 1).over(w))
+      .withColumn("__prr", lag(col("r"), 1).over(w))
+      .crossJoin(mx)
+      .filter(col("nd") >= col("__mx") * q)
+      .orderBy(col("r")).limit(1)
+      .select(lit(q).as("q"), col("__mx").cast("long").as("nd_max"),
+        when(col("__pn").isNull, col("r"))
+          .otherwise(col("__prr") + (col("r") - col("__prr")) *
+            (col("__mx") * q - col("__pn")) / (col("nd") - col("__pn")))
+          .as("eff_diameter"))
+  }
+
+  /** Closeness-centrality ESTIMATES from [[hyperBallDigests]] output —
+    * the second Boldi-Vigna consumer beside [[harmonicFromDigests]],
+    * the same per-radius delta fold: reach ≈ 1 + Σ_r δ_r and
+    * Σdist ≈ Σ_r r·δ_r with δ_r the (clamped-monotone) estimated
+    * ball growth at radius r. Out of oracles like every `ln`-crossing
+    * estimator — spec-verified against [[closenessCentrality]]'s
+    * exact integers. Returns
+    * `(v, reach_est, sum_dist_est, closeness_est)`. */
+  def closenessFromDigests(digests: DataFrame, p: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val est = udfFreeEstimate(p)
+    val w = Window.partitionBy("v").orderBy(col("r"))
+    digests
+      .withColumn("__e", est(col("n_regs"), col("sum_pow")))
+      .withColumn("__prev",
+        coalesce(lag(col("__e"), 1).over(w), lit(1.0)))
+      .withColumn("__delta",
+        greatest(col("__e") - col("__prev"), lit(0.0)))
+      .groupBy("v")
+      .agg(sum(col("__delta")).as("__reach"),
+        sum(col("__delta") * col("r")).as("sum_dist_est"))
+      .select(col("v"), (col("__reach") + 1.0).as("reach_est"),
+        col("sum_dist_est"),
+        when(col("sum_dist_est") > 0.0,
+          col("__reach") / col("sum_dist_est")).otherwise(lit(0.0))
+          .as("closeness_est"))
+  }
+
+  /** Estimated distance distribution from [[hyperBallDigests]] output
+    * — Σ_v of the per-node ball estimates per radius, plus the exact
+    * ND(0) = |V| row. Feed to [[effectiveDiameter]] for the HyperANF
+    * effective-diameter estimate. Out of oracles (ln); spec-verified
+    * against [[distanceDistribution]]. */
+  def neighbourhoodFromDigests(digests: DataFrame, p: Int): DataFrame = {
+    val est = udfFreeEstimate(p)
+    val byR = digests
+      .withColumn("__e", est(col("n_regs"), col("sum_pow")))
+      .groupBy(col("r")).agg(sum(col("__e")).as("nd"))
+    val n0 = digests.select(col("v")).distinct()
+      .agg(count(lit(1)).cast("double").as("nd"))
+      .withColumn("r", lit(0))
+      .select("r", "nd")
+    n0.unionByName(byR).orderBy("r")
   }
 
   /** HyperBall register digests (Boldi & Vigna, "In-Core Computation

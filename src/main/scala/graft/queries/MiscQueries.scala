@@ -146,6 +146,26 @@ object MiscQueries {
           col("sum_rho"), col("sum_pow"))
         .orderBy("node", "r")
     }),
+    // Exact radius-bounded closeness centrality on the hyperball doc
+    // graph — the second geometric centrality (reach / Σ distance,
+    // radius-truncated like every bounded closure, hence the _est
+    // suffix) and the exact twin GraphOpsSpec checks the HyperBall
+    // sketch consumer (closenessFromDigests) against. reach and
+    // sum_dist are pure integers; their ratio divides two exact
+    // integers (IEEE-exact on any engine — unlike the sketch's ln),
+    // so the whole row is oracle-safe. The oracle replays the BFS
+    // closure as a depth-guarded recursive CTE.
+    "graph_closeness_est" -> ((s, dir) => {
+      import graft.operators.GraphOps
+      val e = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(40)).as("src"),
+          pmod((col("doc_id") / lit(7)).cast("long"), lit(40)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      GraphOps.closenessCentrality(e, "src", "dst", maxRadius = 3)
+        .select(col("v").cast("long").as("node"), col("n_reachable"),
+          col("sum_dist"), round(col("closeness"), 4).as("closeness"))
+        .orderBy("node")
+    }),
     // Coreness (k-core numbers) via the distributed h-index fixpoint
     // on a deterministic doc-derived graph chosen for GRADED cores
     // (the mixed formula yields 3-, 4- and 6-cores, not one uniform
@@ -440,6 +460,26 @@ object MiscQueries {
     // chars 1-8, rank = 33 − bit length of hex chars 9-16), three
     // long-form merge rounds as materialized chained CTEs, integer
     // digests per node per radius.
+    // BFS closure to depth 3 (recursive CTE, min-d dedup), then the
+    // per-node reach / distance-sum fold; closeness = the exact
+    // integer ratio.
+    "graph_closeness_est" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT doc_id % 40 AS src, (doc_id // 7) % 40 AS dst
+        |  FROM documents WHERE doc_id % 40 <> (doc_id // 7) % 40),
+        |reach AS (
+        |  SELECT src AS u, dst AS v, 1 AS d FROM e
+        |  UNION
+        |  SELECT r.u, e2.dst, r.d + 1
+        |  FROM reach r JOIN e e2 ON r.v = e2.src
+        |  WHERE r.d < 3),
+        |md AS (
+        |  SELECT u, v, min(d) AS d FROM reach WHERE u <> v
+        |  GROUP BY u, v)
+        |SELECT v AS node, CAST(count(*) AS BIGINT) AS n_reachable,
+        |  CAST(sum(d) AS BIGINT) AS sum_dist,
+        |  round(CAST(count(*) AS DOUBLE) / sum(d), 4) AS closeness
+        |FROM md GROUP BY v ORDER BY node""".stripMargin,
     "graph_hyperball" -> {
       val rounds = (1 to 3).map { r =>
         s"""s$r AS MATERIALIZED (

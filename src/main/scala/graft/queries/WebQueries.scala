@@ -2649,6 +2649,31 @@ object WebQueries {
           col("sum_rho"), col("sum_pow"))
         .orderBy("domain", "r")
     }),
+    // Exact distance distribution of the domain graph — the ANF
+    // neighbourhood function ND(r) = ordered pairs within r hops
+    // (self-pairs included; ND(0) = |V|), the curve every web-graph
+    // release publishes beside its diameter. Pure pair counts from
+    // the bounded BFS closure; the HyperBall consumer
+    // (neighbourhoodFromDigests) estimates the same curve in
+    // node-bounded state and is spec-checked against this.
+    "web_graph_distance_dist" -> ((s, dir) => {
+      GraphOps.distanceDistribution(domainEdges(s, dir), "src", "dst",
+          maxRadius = 4)
+        .select(col("r").cast("long").as("r"), col("nd"))
+        .orderBy("r")
+    }),
+    // Effective diameter at q = 0.9 of the domain graph — the
+    // interpolated radius where 90% of reachable pairs are covered
+    // (the ANF/HyperANF headline stat). Interpolation is pure
+    // multiply/subtract/divide over the exact integer ND curve, so
+    // unlike the sketch estimate (ln) the row is oracle-safe.
+    "web_graph_diameter_est" -> ((s, dir) => {
+      GraphOps.effectiveDiameter(
+          GraphOps.distanceDistribution(domainEdges(s, dir), "src",
+            "dst", maxRadius = 4), q = 0.9)
+        .select(col("q"), col("nd_max"),
+          round(col("eff_diameter"), 4).as("eff_diameter"))
+    }),
     // Full SCC labeling of the domain graph — the bow-tie's SCC class
     // generalized to EVERY component (iterated FW-BW; label = the
     // component's min domain). On the fixture the eight crawled
@@ -3943,6 +3968,66 @@ object WebQueries {
       |  CAST(count(*) AS BIGINT) AS n_reachable
       |FROM md GROUP BY v
       |ORDER BY harmonic_x12 DESC, domain""".stripMargin
+
+  /** Shared depth-4 BFS closure + min-distance fold over the domain
+    * edge synthesis — the prefix of the distance-distribution and
+    * effective-diameter replays (the webGraphHarmonicSql closure with
+    * the node set alongside). */
+  private lazy val webGraphClosureCtes: String =
+    s"""$htmlCtes,
+      |$linksCte,
+      |dm AS (
+      |  SELECT doc_id, $domainExpr AS dst
+      |  FROM (SELECT doc_id, string_split($hostExpr, '.') AS parts
+      |        FROM l)),
+      |e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+      |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+      |         WHEN 1 THEN 'org' ELSE 'co.uk' END) AS src, dst
+      |    FROM dm) WHERE src <> dst),
+      |reach AS (
+      |  SELECT src AS u, dst AS v, 1 AS d FROM e
+      |  UNION
+      |  SELECT r.u, e2.dst, r.d + 1
+      |  FROM reach r JOIN e e2 ON r.v = e2.src
+      |  WHERE r.d < 4),
+      |md AS (
+      |  SELECT u, v, min(d) AS d FROM reach WHERE u <> v
+      |  GROUP BY u, v),
+      |nodes AS (SELECT count(DISTINCT v) AS n FROM (
+      |  SELECT src AS v FROM e UNION SELECT dst FROM e)),
+      |dc AS (SELECT d, count(*) AS c FROM md GROUP BY d),
+      |dist AS (
+      |  SELECT rr.r,
+      |    CAST(nodes.n + coalesce(sum(dc.c), 0) AS BIGINT) AS nd
+      |  FROM (SELECT unnest(range(0, 5)) AS r) rr
+      |  CROSS JOIN nodes
+      |  LEFT JOIN dc ON dc.d <= rr.r
+      |  GROUP BY rr.r, nodes.n)""".stripMargin
+
+  private lazy val webGraphDistanceDistSql: String =
+    s"""WITH RECURSIVE $webGraphClosureCtes
+      |SELECT r, nd FROM dist ORDER BY r""".stripMargin
+
+  /** Effective diameter at 0.9: first radius whose ND crosses
+    * 0.9·ND(max), linearly interpolated — the same IEEE exact-op
+    * arithmetic the library computes, over exact integer counts. */
+  private lazy val webGraphDiameterSql: String =
+    s"""WITH RECURSIVE $webGraphClosureCtes,
+      |mx AS (SELECT CAST(max(nd) AS DOUBLE) AS mx FROM dist),
+      |lg AS (
+      |  SELECT r, nd, lag(nd) OVER (ORDER BY r) AS pn,
+      |    lag(r) OVER (ORDER BY r) AS prr
+      |  FROM dist),
+      |sel AS (
+      |  SELECT * FROM lg, mx WHERE nd >= mx * 0.9
+      |  ORDER BY r LIMIT 1)
+      |SELECT CAST(0.9 AS DOUBLE) AS q, CAST(mx AS BIGINT) AS nd_max,
+      |  round(CASE WHEN pn IS NULL THEN CAST(r AS DOUBLE)
+      |    ELSE prr + (r - prr) * (mx * 0.9 - pn) / (nd - pn) END, 4)
+      |    AS eff_diameter
+      |FROM sel""".stripMargin
 
   /** Triangle replay: the webGraphPipelineSql edge fold, undirected
     * collapse, degree orientation, wedge join, closing-arc join —
@@ -5547,6 +5632,8 @@ object WebQueries {
     "web_graph_bowtie_full" -> webGraphBowtieFullSql,
     "web_graph_scc" -> webGraphSccSql,
     "web_graph_hyperball" -> webGraphHyperballSql,
+    "web_graph_distance_dist" -> webGraphDistanceDistSql,
+    "web_graph_diameter_est" -> webGraphDiameterSql,
     "web_graph_trustrank" -> webGraphTrustrankSql,
     "hybrid_bm25f_topk" -> hybridBm25fSql,
     "hybrid_bm25f_rrf" -> hybridBm25fRrfSql,

@@ -428,6 +428,69 @@ class GraphOpsSpec extends SparkSpec {
       "the deepest sink has the largest estimated harmonic centrality")
   }
 
+  test("closenessCentrality: hand-computed reach/sum on a chain with " +
+    "two feeders; closeness = reach / sum_dist exactly") {
+    // a->b, e->b, b->c, c->d: into d within R=3 arrive b(1 hop? no —
+    // d's in-ball: c at 1, b at 2, a and e at 3) -> reach 4, sum 1+2+3+3
+    val g = Seq(("a", "b"), ("e", "b"), ("b", "c"), ("c", "d"))
+      .toDF("src", "dst")
+    val out = GraphOps.closenessCentrality(g, "src", "dst", maxRadius = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("d") === ((4L, 9L, 4.0 / 9)))
+    assert(out("b") === ((2L, 2L, 1.0)))
+    assert(out("c") === ((3L, 5L, 3.0 / 5)))
+    assert(!out.contains("a") && !out.contains("e"),
+      "nodes nothing reaches have no closeness row")
+  }
+
+  test("distanceDistribution + effectiveDiameter: exact ND(r) on the " +
+    "chain, interpolated diameter crosses where the pairs do") {
+    val g = Seq(("a", "b"), ("e", "b"), ("b", "c"), ("c", "d"))
+      .toDF("src", "dst")
+    val nd = GraphOps.distanceDistribution(g, "src", "dst", maxRadius = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 5 nodes; pairs by distance: d=1: 4 edges; d=2: a->c, e->c, b->d;
+    // d=3: a->d, e->d
+    assert(nd === Map(0 -> 5L, 1 -> 9L, 2 -> 12L, 3 -> 14L))
+    val ed = GraphOps.effectiveDiameter(
+      GraphOps.distanceDistribution(g, "src", "dst", 3), q = 0.9)
+      .collect().head
+    // target 12.6 crosses between r=2 (12) and r=3 (14): 2 + 0.6/2
+    assert(ed.getDouble(0) === 0.9 && ed.getLong(1) === 14L)
+    assert(math.abs(ed.getDouble(2) - 2.3) < 1e-12)
+    // q below ND(0)/ND(max): the diameter collapses to 0 exactly
+    val ed0 = GraphOps.effectiveDiameter(
+      GraphOps.distanceDistribution(g, "src", "dst", 3), q = 0.3)
+      .collect().head
+    assert(ed0.getDouble(2) === 0.0)
+  }
+
+  test("closenessFromDigests + effectiveDiameter(neighbourhood): the " +
+    "sketch consumers track the exact ops within HLL error") {
+    val g = Seq(("a", "b"), ("e", "b"), ("b", "c"), ("c", "d"))
+      .toDF("src", "dst")
+    val digests = GraphOps.hyperBallDigests(g, "src", "dst",
+      maxRadius = 3, p = 4)
+    val exact = GraphOps.closenessCentrality(g, "src", "dst", 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val est = GraphOps.closenessFromDigests(digests, p = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    for ((v, c) <- exact) {
+      assert(est.contains(v), s"$v missing from the sketch closeness")
+      assert(math.abs(est(v) - c) <= math.max(0.45 * c, 0.5),
+        s"$v: estimate ${est(v)} vs exact $c")
+    }
+    val exDiam = GraphOps.effectiveDiameter(
+      GraphOps.distanceDistribution(g, "src", "dst", 3), 0.9)
+      .collect().head.getDouble(2)
+    val estDiam = GraphOps.effectiveDiameter(
+      GraphOps.neighbourhoodFromDigests(digests, p = 4), 0.9)
+      .collect().head.getDouble(2)
+    assert(math.abs(estDiam - exDiam) <= 1.0,
+      s"effective diameter: estimate $estDiam vs exact $exDiam")
+  }
+
   test("trussness: maximal k per edge — K4 edges are 4-trusses, a " +
     "glued triangle 3, a bare chain 2; trussness >= k iff the edge " +
     "survives kTruss(k)") {
