@@ -468,6 +468,57 @@ object GraphOps {
     }
   }
 
+  /** Synchronous min-label LABEL PROPAGATION communities (Raghavan et
+    * al. 2007, the deterministic variant): every node starts labeled
+    * with itself; each round it adopts the most frequent label among
+    * its (undirected) neighbors, ties broken to the LOWEST label —
+    * the tie rule that makes synchronous LPA a pure function of the
+    * graph (the randomized original is not replayable). Densely
+    * interlinked regions flood to one label in a few rounds while
+    * bridges starve, giving the community signal trusses/cores price
+    * by density rather than membership.
+    *
+    * Per-round cost: ONE edge-bounded join + a (node, label) count
+    * rollup + a per-node `min_by` argmax — no per-node neighbor
+    * sorts, hub-safe (partial aggregation absorbs skew). [[FlatCk]]
+    * per round, driver state = one stability scalar per round.
+    * Synchronous LPA can 2-cycle on bipartite-ish structures, so the
+    * loop stops at `maxRounds` with `converged = false` rather than
+    * spinning; a stable round is a fixpoint (recomputing stable
+    * labels returns them), so early exit and a fixed-round replay
+    * agree — the kcores oracle property. Returns
+    * `(v, community, converged)`. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 10): DataFrame = {
+    val dir0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = dir0
+      .unionByName(dir0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().flatCk
+    var labels = und.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v")).flatCk
+    var stable = false
+    var r = 0
+    while (r < maxRounds && !stable) {
+      val next = und
+        .join(labels.select(col("v").as("b"), col("lbl")), Seq("b"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("a"))
+        .agg(min_by(col("lbl"),
+          struct((lit(0L) - col("__c")).as("nc"), col("lbl").as("l")))
+          .as("lbl"))
+        .select(col("a").as("v"), col("lbl"))
+        .flatCk
+      stable = next
+        .join(labels.withColumnRenamed("lbl", "__old"), Seq("v"))
+        .filter(col("lbl") =!= col("__old")).isEmpty
+      labels = next
+      r += 1
+    }
+    labels.select(col("v"), col("lbl").as("community"),
+      lit(stable).as("converged"))
+  }
+
   /** Exact triangle counting over the UNDIRECTED fold of `edges`
     * (self loops and parallel/reverse duplicates collapse first),
     * with the standard degree orientation: every edge points from

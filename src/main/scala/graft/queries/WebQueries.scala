@@ -2649,6 +2649,21 @@ object WebQueries {
           col("sum_rho"), col("sum_pow"))
         .orderBy("domain", "r")
     }),
+    // Label-propagation communities over the domain graph — the
+    // membership-based community signal beside the density-based
+    // cores/trusses: synchronous min-label LPA (deterministic tie
+    // break), each round one edge-bounded join + a per-node argmax.
+    // The oracle replays every round as a chained CTE (the kcores
+    // discipline — stable rounds are idempotent, so the fixed unroll
+    // and the engine's early exit agree) and the converged column
+    // pins that the fixpoint landed inside the round budget.
+    "web_graph_lpa" -> ((s, dir) => {
+      GraphOps.labelPropagation(domainEdges(s, dir), "src", "dst",
+          maxRounds = 6)
+        .select(col("v").as("domain"), col("community"),
+          col("converged"))
+        .orderBy("domain")
+    }),
     // Exact distance distribution of the domain graph — the ANF
     // neighbourhood function ND(r) = ordered pairs within r hops
     // (self-pairs included; ND(0) = |V|), the curve every web-graph
@@ -4005,6 +4020,44 @@ object WebQueries {
       |  CROSS JOIN nodes
       |  LEFT JOIN dc ON dc.d <= rr.r
       |  GROUP BY rr.r, nodes.n)""".stripMargin
+
+  /** Min-label LPA replay: the domain edge synthesis, undirected
+    * fold, then SIX unrolled synchronous rounds (each: neighbor-label
+    * counts → per-node argmax with (count DESC, label ASC) order).
+    * The engine early-exits at stability; stable rounds are
+    * idempotent, so the fixed unroll lands the same labels. */
+  private lazy val webGraphLpaSql: String = {
+    val rounds = (1 to 6).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT v, lbl FROM (
+         |    SELECT v, lbl,
+         |      row_number() OVER (PARTITION BY v
+         |        ORDER BY c DESC, lbl) AS rn
+         |    FROM (SELECT u.a AS v, l.lbl, count(*) AS c
+         |          FROM u0 u JOIN l${i - 1} l ON l.v = u.b
+         |          GROUP BY u.a, l.lbl))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $htmlCtes,
+      |$linksCte,
+      |dm AS (
+      |  SELECT doc_id, $domainExpr AS dst
+      |  FROM (SELECT doc_id, string_split($hostExpr, '.') AS parts
+      |        FROM l)),
+      |e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+      |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+      |         WHEN 1 THEN 'org' ELSE 'co.uk' END) AS src, dst
+      |    FROM dm) WHERE src <> dst),
+      |u0 AS (SELECT DISTINCT a, b FROM (
+      |  SELECT src AS a, dst AS b FROM e
+      |  UNION ALL SELECT dst, src FROM e)),
+      |l0 AS (SELECT v, v AS lbl FROM (SELECT DISTINCT a AS v FROM u0)),
+      |$rounds
+      |SELECT v AS domain, lbl AS community, TRUE AS converged
+      |FROM l6 ORDER BY domain""".stripMargin
+  }
 
   private lazy val webGraphDistanceDistSql: String =
     s"""WITH RECURSIVE $webGraphClosureCtes
@@ -5632,6 +5685,7 @@ object WebQueries {
     "web_graph_bowtie_full" -> webGraphBowtieFullSql,
     "web_graph_scc" -> webGraphSccSql,
     "web_graph_hyperball" -> webGraphHyperballSql,
+    "web_graph_lpa" -> webGraphLpaSql,
     "web_graph_distance_dist" -> webGraphDistanceDistSql,
     "web_graph_diameter_est" -> webGraphDiameterSql,
     "web_graph_trustrank" -> webGraphTrustrankSql,

@@ -491,6 +491,33 @@ class GraphOpsSpec extends SparkSpec {
       s"effective diameter: estimate $estDiam vs exact $exDiam")
   }
 
+  test("labelPropagation: two triangles over one bridge settle into " +
+    "two communities; stable labels report converged") {
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x"))
+      .toDF("src", "dst")
+    val out = GraphOps.labelPropagation(g, "src", "dst", maxRounds = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(out.values.forall(_._2), "fixture must converge")
+    val comms = out.view.mapValues(_._1).toMap
+    assert(Set(comms("a"), comms("b"), comms("c")).size === 1,
+      s"left triangle one community: $comms")
+    assert(Set(comms("x"), comms("y"), comms("z")).size === 1,
+      s"right triangle one community: $comms")
+    assert(comms("a") !== comms("x"),
+      s"the bridge must not merge the triangles: $comms")
+  }
+
+  test("labelPropagation: a 2-cycle (single edge) oscillates — the " +
+    "round guard reports converged = false instead of spinning") {
+    val g = Seq(("p", "q")).toDF("src", "dst")
+    val out = GraphOps.labelPropagation(g, "src", "dst", maxRounds = 4)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(out.size === 2 && out.values.forall(_ === false),
+      s"single-edge swap never stabilizes synchronously: $out")
+  }
+
   test("trussness: maximal k per edge — K4 edges are 4-trusses, a " +
     "glued triangle 3, a bare chain 2; trussness >= k iff the edge " +
     "survives kTruss(k)") {
