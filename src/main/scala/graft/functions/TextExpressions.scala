@@ -436,6 +436,94 @@ case class BpeEncode(child: Expression, merges: Seq[(Int, String)])
   * drop). The expression form keeps compressed-payload decode inside
   * the scan projection (sitemap `.xml.gz` fetches, compressed text
   * blobs) instead of forcing a typed-Dataset detour. */
+/** The deterministic Viterbi segmenter shared by the unigram-LM
+  * trainer's E-step ([[graft.operators.TextAnalysis.unigramTrain]])
+  * and the [[UnigramEncode]] expression — ONE implementation so the
+  * two can never drift. Objective: over all segmentations of `w`
+  * into vocabulary pieces of length ≤ maxPieceLen (single chars
+  * outside the vocabulary are admitted at `unkRank` so every word
+  * segments), minimize (piece count, Σ rank), ties broken to the
+  * LEXICOGRAPHICALLY LARGEST piece-length sequence (longest first
+  * piece, then longest second, …) — the rank analog of unigram-LM
+  * likelihood on the pure-integer grid the DuckDB oracle replays by
+  * full composition enumeration with `ORDER BY k, rsum, parts DESC`.
+  * O(|w|·maxPieceLen) per word. */
+private[graft] object UnigramSeg {
+  def viterbi(w: String, ranks: Map[String, Int], unkRank: Int,
+      maxPieceLen: Int): Seq[String] = {
+    val n = w.length
+    if (n == 0) return Seq.empty
+    val optK = new Array[Int](n + 1)
+    val optR = new Array[Long](n + 1)
+    val choice = new Array[Int](n + 1)
+    var i = n - 1
+    while (i >= 0) {
+      var bk = Int.MaxValue
+      var br = Long.MaxValue
+      var bj = 0
+      var j = 1
+      val jm = math.min(maxPieceLen, n - i)
+      while (j <= jm) {
+        val r = ranks.get(w.substring(i, i + j)) match {
+          case Some(x) => x
+          case None => if (j == 1) unkRank else -1
+        }
+        if (r > 0) {
+          val ck = 1 + optK(i + j)
+          val cr = r + optR(i + j)
+          // min (k, rsum); exact tie -> larger j (suffix opt values
+          // are themselves tie-broken this way, so the walk yields
+          // the parts-lexicographically-largest optimum)
+          if (ck < bk || (ck == bk && (cr < br || (cr == br && j > bj)))) {
+            bk = ck; br = cr; bj = j
+          }
+        }
+        j += 1
+      }
+      optK(i) = bk; optR(i) = br; choice(i) = bj
+      i -= 1
+    }
+    val out = Seq.newBuilder[String]
+    var p = 0
+    while (p < n) {
+      val j = choice(p)
+      out += w.substring(p, p + j)
+      p += j
+    }
+    out.result()
+  }
+}
+
+/** Viterbi unigram-LM segmentation of ONE WORD into vocabulary pieces
+  * ([[UnigramSeg]] semantics) — the SentencePiece-style apply path as
+  * a single expression pass: the trained (piece → rank) table rides
+  * the expression (broadcast with the plan), unknown single chars
+  * segment at rank |vocab|+1 so any input word encodes. Returns the
+  * piece array. */
+case class UnigramEncode(child: Expression, vocab: Seq[(String, Int)],
+    maxPieceLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(maxPieceLen >= 1, "maxPieceLen >= 1")
+  require(vocab.map(_._1).distinct.size == vocab.size,
+    "duplicate piece in vocabulary")
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_encode"
+
+  @transient private lazy val ranks: Map[String, Int] = vocab.toMap
+  @transient private lazy val unkRank: Int = vocab.size + 1
+
+  override def nullSafeEval(input: Any): Any = {
+    val pieces = UnigramSeg.viterbi(input.asInstanceOf[UTF8String].toString,
+      ranks, unkRank, maxPieceLen)
+    new GenericArrayData(
+      pieces.map(p => UTF8String.fromString(p): Any).toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
+}
+
 case class GunzipBytes(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
@@ -456,6 +544,9 @@ object TextExpressions {
     Bridge.column(WordShingles(Bridge.expression(c), n))
   def bpeEncode(c: Column, merges: Seq[(Int, String)]): Column =
     Bridge.column(BpeEncode(Bridge.expression(c), merges))
+  def unigramEncode(c: Column, vocab: Seq[(String, Int)],
+      maxPieceLen: Int = 4): Column =
+    Bridge.column(UnigramEncode(Bridge.expression(c), vocab, maxPieceLen))
   def sortedIntersectSize(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectSize(Bridge.expression(a),
       Bridge.expression(b)))

@@ -324,6 +324,86 @@ object TextAnalysis {
     graft.functions.TextExpressions.bpeEncode(trim(c),
       merges.map { case (r, p, _) => (r, p) })
 
+  /** Unigram-LM (SentencePiece-family) tokenizer trainer — the OTHER
+    * public subword family beside [[bpeTrain]] (Kudo 2018): seed a
+    * bounded candidate vocabulary from ONE corpus word-count pass
+    * (every ≤ maxPieceLen substring, weighted by word frequency, top
+    * `seedSize` plus every single character), then iterate the
+    * hard-EM rounds — Viterbi-segment each distinct word under the
+    * current piece ranks ([[graft.functions.UnigramSeg]] — the shared
+    * segmenter), re-score every piece by its usage mass, and prune to
+    * the `vocabSize` best (single characters never prune, so every
+    * word stays segmentable). The deterministic analog of
+    * SentencePiece's EM: log-likelihoods become the pure-integer
+    * (piece count, rank sum) order, random init becomes the frequency
+    * seed — every round replays in integer SQL (the trained-kmeans
+    * discipline), which full-EM forward-backward posteriors never
+    * could.
+    *
+    * Scale shape (the [[bpeTrain]] contract): the corpus-sized work
+    * is the ONE word-count shuffle; the EM loop runs driver-local
+    * over the bounded distinct-word table (`maxVocab` cap — words
+    * longer than `maxWordLen` are excluded from training, the
+    * SentencePiece max-sentencepiece-length discipline) at
+    * O(words · |w| · maxPieceLen) per round. Returns the final
+    * vocabulary as (piece, score = usage mass, rank). */
+  def unigramTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      vocabSize: Int = 60, seedSize: Int = 120, maxPieceLen: Int = 4,
+      maxWordLen: Int = 12, rounds: Int = 2,
+      maxVocab: Int = 1 << 20): Seq[(String, Long, Int)] = {
+    require(rounds >= 1 && vocabSize >= 1 && seedSize >= vocabSize)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words: Array[(String, Long)] = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")).between(1, maxWordLen))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc).limit(maxVocab)
+      .as[(String, Long)].collect()
+    val seed = scala.collection.mutable.Map.empty[String, Long]
+    for {
+      (w, n) <- words
+      i <- 0 until w.length
+      j <- 1 to math.min(maxPieceLen, w.length - i)
+    } {
+      val s = w.substring(i, i + j)
+      seed.update(s, seed.getOrElse(s, 0L) + n)
+    }
+    // keep = top `top` by (score DESC, piece ASC) plus every single
+    // char, order preserved — position+1 IS the replayed row_number
+    def topPlusChars(cands: Seq[String],
+        score: String => Long, top: Int): Seq[(String, Long)] = {
+      val ordered = cands.map(s => (s, score(s)))
+        .sortBy { case (s, c) => (-c, s) }
+      val keep = ordered.take(top).map(_._1).toSet
+      ordered.filter { case (s, _) => keep(s) || s.length == 1 }
+    }
+    var vocab: Seq[(String, Long)] =
+      topPlusChars(seed.keys.toSeq, seed, seedSize)
+    for (_ <- 1 to rounds) {
+      val ranks = vocab.iterator.zipWithIndex
+        .map { case ((s, _), i) => s -> (i + 1) }.toMap
+      val usage = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, n) <- words)
+        graft.functions.UnigramSeg
+          .viterbi(w, ranks, ranks.size + 1, maxPieceLen)
+          .foreach(p => usage.update(p, usage.getOrElse(p, 0L) + n))
+      vocab = topPlusChars(vocab.map(_._1), usage.getOrElse(_, 0L),
+        vocabSize)
+    }
+    vocab.zipWithIndex.map { case ((s, c), i) => (s, c, i + 1) }
+  }
+
+  /** The trained unigram vocabulary applied to a WORD column — the
+    * [[graft.functions.UnigramEncode]] expression (shared Viterbi,
+    * unknown single chars at rank |vocab|+1). Returns the piece
+    * array. */
+  def unigramApply(c: Column, vocab: Seq[(String, Long, Int)],
+      maxPieceLen: Int = 4): Column =
+    graft.functions.TextExpressions.unigramEncode(c,
+      vocab.map { case (s, _, r) => (s, r) }, maxPieceLen)
+
   /** Deterministic document fingerprint: polynomial rolling hash of the
     * first `maxLen` characters, mod 1e9+7 (stays in BIGINT range on both
     * Spark and the DuckDB oracle). */

@@ -180,6 +180,50 @@ object TextQueries {
           sum("len_enc").as("sum_enc"), sum("len_raw").as("sum_raw"))
         .orderBy("lang")
     }),
+    // Unigram-LM (SentencePiece-family) tokenizer training — the
+    // hard-EM deterministic analog: substring-seeded candidate vocab
+    // (top 120 + every char) from the English word counts, two
+    // Viterbi-EM rounds (segment under current ranks, re-score by
+    // usage mass, prune to 60 + chars). The oracle replays the seed
+    // pass and BOTH rounds — each word's Viterbi via full composition
+    // enumeration ordered (k, rank sum, parts DESC), usage rollup,
+    // prune — in pure integer SQL. Output: the top-40 final pieces.
+    "text_unigram_train" -> ((s, dir) => {
+      val vocab = TextAnalysis.unigramTrain(
+        docs(s, dir).filter(col("lang") === "en"), "text",
+        vocabSize = 60, seedSize = 120, maxPieceLen = 4,
+        maxWordLen = 12, rounds = 2)
+      import s.implicits._
+      vocab.filter(_._3 <= 40)
+        .map { case (p, c, r) => (r.toLong, p, c) }
+        .toDF("rank", "piece", "score")
+        .orderBy("rank")
+    }),
+    // The fit/transform seam for the unigram leg: vocab trained on
+    // English, applied to EVERY lang's words through the production
+    // UnigramEncode expression (shared Viterbi with training; OOV
+    // chars segment at rank |vocab|+1). Per-lang word and piece
+    // masses prove the application end to end — English compresses
+    // most, matching text_bpe_encode's story. Words are capped at
+    // the training maxWordLen so the oracle's composition
+    // enumeration stays bounded.
+    "text_unigram_encode" -> ((s, dir) => {
+      val vocab = TextAnalysis.unigramTrain(
+        docs(s, dir).filter(col("lang") === "en"), "text",
+        vocabSize = 60, seedSize = 120, maxPieceLen = 4,
+        maxWordLen = 12, rounds = 2)
+      docs(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")).between(1, 12))
+        .select(col("lang"),
+          size(TextAnalysis.unigramApply(col("w"), vocab))
+            .cast("long").as("k"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"), sum(col("k")).as("sum_pieces"))
+        .orderBy("lang")
+    }),
     "text_token_stats" -> ((s, dir) => {
       docs(s, dir)
         .groupBy("lang")
@@ -336,7 +380,130 @@ object TextQueries {
     }),
   )
 
+  /** Unigram-LM trainer replay shared by both unigram oracles: the
+    * English word counts (words ≤ 12 chars), the substring seed pass
+    * (top 120 + every char), all compositions with parts ≤ 4 as a
+    * recursive CTE, and TWO unrolled hard-EM rounds — per-word
+    * Viterbi as full composition enumeration ordered
+    * (k, rank sum, parts DESC), usage rollup, prune to 60 + chars —
+    * ending at the final ranked vocabulary `r2 (s, c, rank)` plus the
+    * shared piece-extraction table `segp`. Pure integer arithmetic
+    * throughout (the trained-kmeans replay discipline). Callers must
+    * open with WITH RECURSIVE (the `comp` generator). */
+  private lazy val unigramCtes: String = {
+    def round(i: Int): String = {
+      val (prevRank, segs, best, use, v, r) =
+        (s"r${i - 1}", s"segs$i", s"best$i", s"use$i", s"v$i", s"r$i")
+      s"""$segs AS (
+         |  SELECT p.w, p.n, p.parts, p.k, sum(r.rank) AS rsum
+         |  FROM segp p JOIN $prevRank r ON r.s = p.piece
+         |  GROUP BY p.w, p.n, p.parts, p.k
+         |  HAVING count(*) = p.k),
+         |$best AS (
+         |  SELECT w, n, parts FROM (
+         |    SELECT w, n, parts, row_number() OVER (PARTITION BY w
+         |      ORDER BY k, rsum, parts DESC) AS rn
+         |    FROM $segs) WHERE rn = 1),
+         |$use AS (
+         |  SELECT p.piece AS s, CAST(sum(b.n) AS BIGINT) AS c
+         |  FROM $best b JOIN segp p ON p.w = b.w AND p.parts = b.parts
+         |  GROUP BY p.piece),
+         |$v AS (
+         |  SELECT s, c FROM (
+         |    SELECT v${i - 1}.s, coalesce(u.c, 0) AS c,
+         |      row_number() OVER (ORDER BY coalesce(u.c, 0) DESC,
+         |        v${i - 1}.s) AS rr
+         |    FROM v${i - 1} LEFT JOIN $use u USING (s))
+         |  WHERE rr <= 60 OR len(s) = 1),
+         |$r AS (SELECT s, c,
+         |  row_number() OVER (ORDER BY c DESC, s) AS rank FROM $v)"""
+        .stripMargin
+    }
+    s"""w0 AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+      |    FROM documents
+      |    WHERE lang = 'en' AND text IS NOT NULL AND trim(text) <> '')
+      |  WHERE len(w) BETWEEN 1 AND 12 GROUP BY w),
+      |sub AS (
+      |  SELECT substr(w, CAST(i.i AS INT), CAST(j.j AS INT)) AS s,
+      |    CAST(sum(n) AS BIGINT) AS c
+      |  FROM w0
+      |  , LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) i
+      |  , LATERAL (SELECT unnest(range(1, 5)) AS j) j
+      |  WHERE i.i + j.j - 1 <= len(w)
+      |  GROUP BY 1),
+      |v0 AS (
+      |  SELECT s, c FROM (
+      |    SELECT s, c, row_number() OVER (ORDER BY c DESC, s) AS rr
+      |    FROM sub)
+      |  WHERE rr <= 120 OR len(s) = 1),
+      |r0 AS (SELECT s, c,
+      |  row_number() OVER (ORDER BY c DESC, s) AS rank FROM v0),
+      |comp AS (
+      |  SELECT CAST(0 AS BIGINT) AS tot, CAST([] AS INT[]) AS parts
+      |  UNION ALL
+      |  SELECT c.tot + j.j, list_append(c.parts, j.j)
+      |  FROM comp c, (VALUES (1), (2), (3), (4)) j(j)
+      |  WHERE c.tot + j.j <= 12),
+      |segp AS (
+      |  SELECT w0.w, w0.n, c.parts, len(c.parts) AS k, ix.ix,
+      |    substr(w0.w,
+      |      CAST(1 + coalesce(list_sum(c.parts[1:ix.ix-1]), 0) AS INT),
+      |      CAST(c.parts[ix.ix] AS INT)) AS piece
+      |  FROM w0
+      |  JOIN comp c ON c.tot = len(w0.w)
+      |  , LATERAL (SELECT unnest(range(1, len(c.parts) + 1)) AS ix) ix),
+      |${round(1)},
+      |${round(2)}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "text_unigram_train" ->
+      s"""WITH RECURSIVE $unigramCtes
+        |SELECT CAST(rank AS BIGINT) AS rank, s AS piece, c AS score
+        |FROM r2 WHERE rank <= 40 ORDER BY rank""".stripMargin,
+    // The encode replay: every lang's ≤12-char words, distinct-word
+    // Viterbi by composition enumeration under the final vocab with
+    // OOV single chars at rank |vocab|+1, then the per-lang word and
+    // piece masses.
+    "text_unigram_encode" ->
+      s"""WITH RECURSIVE $unigramCtes,
+        |wa AS (
+        |  SELECT lang, w, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT lang,
+        |      unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND trim(text) <> '')
+        |  WHERE len(w) BETWEEN 1 AND 12 GROUP BY lang, w),
+        |dw AS (SELECT DISTINCT w FROM wa),
+        |vsz AS (SELECT count(*) AS v FROM r2),
+        |esegp AS (
+        |  SELECT dw.w, c.parts, len(c.parts) AS k, ix.ix,
+        |    substr(dw.w,
+        |      CAST(1 + coalesce(list_sum(c.parts[1:ix.ix-1]), 0) AS INT),
+        |      CAST(c.parts[ix.ix] AS INT)) AS piece
+        |  FROM dw
+        |  JOIN comp c ON c.tot = len(dw.w)
+        |  , LATERAL (SELECT unnest(range(1, len(c.parts) + 1)) AS ix)
+        |      ix),
+        |esegs AS (
+        |  SELECT p.w, p.parts, p.k,
+        |    sum(CASE WHEN r.rank IS NOT NULL THEN r.rank
+        |        WHEN len(p.piece) = 1 THEN vsz.v + 1 END) AS rsum
+        |  FROM esegp p LEFT JOIN r2 r ON r.s = p.piece CROSS JOIN vsz
+        |  GROUP BY p.w, p.parts, p.k
+        |  HAVING count(CASE WHEN r.rank IS NOT NULL
+        |    OR len(p.piece) = 1 THEN 1 END) = p.k),
+        |ebest AS (
+        |  SELECT w, k FROM (
+        |    SELECT w, k, row_number() OVER (PARTITION BY w
+        |      ORDER BY k, rsum, parts DESC) AS rn
+        |    FROM esegs) WHERE rn = 1)
+        |SELECT wa.lang, CAST(sum(wa.n) AS BIGINT) AS n_words,
+        |  CAST(sum(wa.n * b.k) AS BIGINT) AS sum_pieces
+        |FROM wa JOIN ebest b USING (w)
+        |GROUP BY wa.lang ORDER BY wa.lang""".stripMargin,
     // Unicode replay: same suffix code points via chr(), DuckDB's own
     // nfc_normalize/strip_accents against the engine's JDK kernels.
     "text_unicode_normalize" ->

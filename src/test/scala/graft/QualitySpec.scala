@@ -371,4 +371,70 @@ class QualitySpec extends SparkSpec {
       .as[(Long, String)].collect().toSet)
     b.unpersist()
   }
+
+  test("UnigramSeg.viterbi == brute-force composition enumeration " +
+    "(min pieces, min rank sum, parts-lexicographically-largest)") {
+    import graft.functions.UnigramSeg
+    // rank map over a collision-rich 3-letter alphabet
+    val pieces = Seq("a", "b", "c", "ab", "ba", "bc", "ca", "abc",
+      "bab", "abca", "bcab")
+    val ranks = pieces.zipWithIndex.map { case (p, i) => p -> (i + 1) }
+      .toMap
+    val unk = ranks.size + 1
+    def compositions(n: Int, maxPart: Int): Seq[Seq[Int]] =
+      if (n == 0) Seq(Seq.empty)
+      else (1 to math.min(maxPart, n)).flatMap(j =>
+        compositions(n - j, maxPart).map(j +: _))
+    def brute(w: String): Seq[String] = {
+      val cands = compositions(w.length, 4).flatMap { parts =>
+        val ps = parts.scanLeft(0)(_ + _).zip(parts)
+          .map { case (off, j) => w.substring(off, off + j) }
+        val rs = ps.map(p => ranks.getOrElse(p,
+          if (p.length == 1) unk else -1))
+        if (rs.contains(-1)) None
+        else Some((ps.length, rs.map(_.toLong).sum, parts, ps))
+      }
+      // min (k, rsum); ties -> parts sequence lexicographically LARGEST
+      implicit val ord: Ordering[Seq[Int]] =
+        Ordering.Implicits.seqOrdering[Seq, Int]
+      val best = cands.minBy { case (k, r, parts, _) =>
+        (k, r, parts.map(-_))
+      }
+      best._4
+    }
+    val words = for {
+      len <- 1 to 9
+      seed <- 0 until 12
+    } yield (0 until len).map(i =>
+      "abc".charAt(math.abs((seed * 31 + i * 17) % 3))).mkString
+    words.distinct.foreach { w =>
+      assert(UnigramSeg.viterbi(w, ranks, unk, 4) === brute(w),
+        s"word '$w' segments differently")
+    }
+  }
+
+  test("unigramTrain: frequent substrings become pieces, chars never " +
+    "prune, encode segments with the trained vocab") {
+    val corpus = Seq.fill(6)("banana band").mkString(" ") + " ban x"
+    val d = Seq(corpus).toDF("text")
+    val vocab = TextAnalysis.unigramTrain(d, "text", vocabSize = 8,
+      seedSize = 20, maxPieceLen = 4, rounds = 2)
+    val byPiece = vocab.map(v => v._1 -> v).toMap
+    // 'ban' mass: banana(6) + band(6) + ban(1) = 13 usages if chosen
+    assert(byPiece.contains("ban") || byPiece.contains("bana"),
+      s"a frequent multi-char piece must survive: $vocab")
+    for (ch <- "bandx")
+      assert(byPiece.contains(ch.toString),
+        s"single char '$ch' must never prune: ${vocab.map(_._1)}")
+    // ranks are 1..n in (score DESC, piece ASC) order
+    assert(vocab.map(_._3) === (1 to vocab.size))
+    assert(vocab.sortBy(v => (-v._2, v._1)).map(_._3) === vocab.map(_._3))
+    val enc = Seq("banana", "qq").toDF("w")
+      .select(TextAnalysis.unigramApply(col("w"), vocab).as("p"))
+      .collect().map(_.getSeq[String](0))
+    assert(enc(0).mkString("") === "banana", "pieces rejoin to the word")
+    assert(enc(0).length < 6, s"trained pieces compress 'banana': ${enc(0)}")
+    assert(enc(1).mkString("") === "qq" && enc(1) === Seq("q", "q"),
+      "OOV chars segment singly at the unk rank")
+  }
 }
