@@ -51,6 +51,22 @@ object InfraQueries {
   /** The read-only deterministic-IVF layout (corpus vec_id >= 5,
     * k = 16) shared by the persisted-IVF query cells that never
     * mutate it — build+persist once per JVM. */
+  /** The true multi-layer HNSW over the [5,1000) corpus: the shared
+    * m=6 layer-0 graph plus two exact m=4 upper graphs over the
+    * md5-geometric level pools (base 5). */
+  private def sharedHnsw(s: SparkSession,
+      dir: String): GraphAnn.HnswGraphs =
+    BuildCache.memo(s"hnsw:b5:l2:$dir") {
+      val uppers = (1 to 2).map { l =>
+        val g = GraphAnn.buildGraphExact(
+          graphCorpus(s, dir)
+            .filter(GraphAnn.hnswLevelGate(col("vec_id"), 5, l)),
+          "embedding", "vec_id", m = 4)
+        GraphAnn.KnnGraph(g.edges.localCheckpoint(true), g.m)
+      }
+      GraphAnn.HnswGraphs(sharedGraphExact(s, dir), uppers, base = 5)
+    }
+
   private def sharedPersistedIvf(s: SparkSession,
       dir: String): Ann.PersistedIvf =
     BuildCache.memo(s"pivf:k16:ge5:$dir") {
@@ -1811,6 +1827,59 @@ object InfraQueries {
     // the layer-0 search. Both layers' graphs, the descent and all
     // layer-0 hops are pure functions of the corpus — the oracle
     // replays the full hierarchy.
+    // TRUE multi-layer HNSW: two upper layers drawn by the md5
+    // geometric gate (base 5 — pools n/5 and n/25, HNSW's level
+    // distribution as a pure function of the id), each layer an exact
+    // m=4 graph walked briefly (beam 3, 2 hops) to hand its best
+    // nodes down, then the full layer-0 search. The top-pool entry
+    // scan touches n/25 rows — base× cheaper than the one-layer
+    // seeded entry at equal navigability. The oracle replays the
+    // level gates, all three graph builds, the top scan and every
+    // hop of all three walks.
+    "ann_graph_hnsw_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      GraphAnn.queryHnsw(sharedHnsw(s, dir), graphCorpus(s, dir),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, entries = 4, beam = 4, hops = 3,
+          metric = Metric.L2, topEntries = 2, upperBeam = 3,
+          upperHops = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // Every layer of the hierarchy on disk as its own bucket-pruned
+    // layout; identical answers by construction (GraphAnnSpec pins
+    // disk == mem) -> shares ann_graph_hnsw_topk's oracle.
+    "ann_graph_hnsw_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_phnsw/" +
+        dir.replaceAll("[^0-9.]", "")
+      val ph = GraphAnn.persistHnsw(sharedHnsw(s, dir), root,
+        buckets = 16)
+      GraphAnn.queryPersistedHnsw(s, ph, graphCorpus(s, dir),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, entries = 4, beam = 4, hops = 3,
+          metric = Metric.L2, topEntries = 2, upperBeam = 3,
+          upperHops = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("vec_id"))
+        .orderBy("query_id", "rnk")
+    }),
+    // Recall telemetry for the multi-layer leg at the SAME k and
+    // sample as ann_recall_graph — the head-to-head that shows what
+    // the geometric hierarchy keeps vs the flat seeded entry.
+    "ann_recall_graph_hnsw" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = graphCorpus(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+      val ans = GraphAnn.queryHnsw(sharedHnsw(s, dir), corpus, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3,
+        entries = 4, beam = 4, hops = 3, metric = Metric.L2,
+        topEntries = 2, upperBeam = 3, upperHops = 2)
+      Ann.recallAtK(ans, corpus, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 3, sampleMod = 2L,
+        metric = Metric.L2)
+    }),
     "ann_graph_layered_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       val corpus = graphCorpus(s, dir)
@@ -3341,6 +3410,35 @@ object InfraQueries {
         |    / count(*), 4) AS recall
         |FROM exact e
         |LEFT JOIN ansr a ON a.query_id = e.query_id AND a.did = e.did
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+    // Multi-layer HNSW replay: md5 level pools, three graph builds,
+    // top-pool scan, both upper walks, three layer-0 hops, top-3.
+    "ann_graph_hnsw_topk" ->
+      s"""WITH $hnswCtes
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // The hierarchy's recall vs exact brute force at k=3 on sampled
+    // queries — the same probe as ann_recall_graph for the flat leg.
+    "ann_recall_graph_hnsw" ->
+      s"""WITH $hnswCtes,
+        |hans AS (
+        |  SELECT query_id, vec_id FROM ranked WHERE rnk <= 3),
+        |sq AS (SELECT query_id, qv FROM qs WHERE query_id % 2 = 0),
+        |hexact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT s.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY s.query_id
+        |        ORDER BY list_distance(c.v, s.qv), c.vec_id) AS rnk
+        |    FROM corpus c CROSS JOIN sq s)
+        |  WHERE rnk <= 3)
+        |SELECT e.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 4) AS recall
+        |FROM hexact e LEFT JOIN hans a
+        |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     // PLAID replay: the shared shingle-token CTEs + trained token
     // centroids (md5 sample, two integer Lloyd rounds), assignment,
@@ -5354,6 +5452,191 @@ object InfraQueries {
       |  FROM mcos GROUP BY query_id, did)""".stripMargin
   }
 
+  /** Multi-layer HNSW replay shared by the topk and recall oracles:
+    * md5-geometric level pools (h = first 15 md5 hex digits of the
+    * id; layer l ⟺ h % 5^l = 0), exact m=6 layer-0 / m=4 upper
+    * graphs, the top-pool 2-entry scan, a beam-3 2-hop walk on each
+    * upper layer handing its best down (2 → layer 1, top-4 → layer
+    * 0), then the standard three beam-4 layer-0 hops — ending at
+    * `ranked (query_id, vec_id, rnk)`. Hop semantics are the
+    * beamSearch contract: frontier = top-beam among not-yet-expanded
+    * candidates, candidates accumulate, final rank over the full
+    * candidate set. */
+  private lazy val hnswCtes: String =
+    """corpus AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE vec_id >= 5 AND vec_id < 1000),
+      |qs AS (
+      |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id < 5),
+      |edges AS (
+      |  SELECT src, dst FROM (
+      |    SELECT a.vec_id AS src, b.vec_id AS dst,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY list_distance(a.v, b.v), b.vec_id) AS rn
+      |    FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id)
+      |  WHERE rn <= 6),
+      |lv AS (
+      |  SELECT vec_id,
+      |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) AS h
+      |  FROM corpus),
+      |p1 AS (SELECT c.vec_id, c.v FROM corpus c
+      |  JOIN lv ON lv.vec_id = c.vec_id WHERE lv.h % 5 = 0),
+      |p2 AS (SELECT c.vec_id, c.v FROM corpus c
+      |  JOIN lv ON lv.vec_id = c.vec_id WHERE lv.h % 25 = 0),
+      |e1 AS (
+      |  SELECT src, dst FROM (
+      |    SELECT a.vec_id AS src, b.vec_id AS dst,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY list_distance(a.v, b.v), b.vec_id) AS rn
+      |    FROM p1 a JOIN p1 b ON a.vec_id <> b.vec_id)
+      |  WHERE rn <= 4),
+      |e2 AS (
+      |  SELECT src, dst FROM (
+      |    SELECT a.vec_id AS src, b.vec_id AS dst,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY list_distance(a.v, b.v), b.vec_id) AS rn
+      |    FROM p2 a JOIN p2 b ON a.vec_id <> b.vec_id)
+      |  WHERE rn <= 4),
+      |s0 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT q.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_distance(c.v, q.qv), c.vec_id) AS r
+      |    FROM p2 c CROSS JOIN qs q)
+      |  WHERE r <= 2),
+      |h1 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT c.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY c.query_id
+      |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+      |    FROM s0 c JOIN corpus v ON v.vec_id = c.vec_id
+      |    JOIN qs q ON q.query_id = c.query_id)
+      |  WHERE r <= 3),
+      |hd1 AS (
+      |  SELECT DISTINCT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id FROM s0
+      |    UNION ALL
+      |    SELECT f.query_id, g.dst AS vec_id
+      |    FROM h1 f JOIN e2 g ON g.src = f.vec_id)),
+      |h2 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT c.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY c.query_id
+      |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+      |    FROM hd1 c JOIN corpus v ON v.vec_id = c.vec_id
+      |    JOIN qs q ON q.query_id = c.query_id
+      |    WHERE NOT EXISTS (SELECT 1 FROM h1 e
+      |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id))
+      |  WHERE r <= 3),
+      |hd2 AS (
+      |  SELECT DISTINCT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id FROM hd1
+      |    UNION ALL
+      |    SELECT f.query_id, g.dst AS vec_id
+      |    FROM h2 f JOIN e2 g ON g.src = f.vec_id)),
+      |s1 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT c.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY c.query_id
+      |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+      |    FROM hd2 c JOIN corpus v ON v.vec_id = c.vec_id
+      |    JOIN qs q ON q.query_id = c.query_id)
+      |  WHERE r <= 2),
+      |g1 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT c.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY c.query_id
+      |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+      |    FROM s1 c JOIN corpus v ON v.vec_id = c.vec_id
+      |    JOIN qs q ON q.query_id = c.query_id)
+      |  WHERE r <= 3),
+      |gd1 AS (
+      |  SELECT DISTINCT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id FROM s1
+      |    UNION ALL
+      |    SELECT f.query_id, g.dst AS vec_id
+      |    FROM g1 f JOIN e1 g ON g.src = f.vec_id)),
+      |g2 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT c.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY c.query_id
+      |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+      |    FROM gd1 c JOIN corpus v ON v.vec_id = c.vec_id
+      |    JOIN qs q ON q.query_id = c.query_id
+      |    WHERE NOT EXISTS (SELECT 1 FROM g1 e
+      |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id))
+      |  WHERE r <= 3),
+      |gd2 AS (
+      |  SELECT DISTINCT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id FROM gd1
+      |    UNION ALL
+      |    SELECT f.query_id, g.dst AS vec_id
+      |    FROM g2 f JOIN e1 g ON g.src = f.vec_id)),
+      |c0 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT c.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY c.query_id
+      |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+      |    FROM gd2 c JOIN corpus v ON v.vec_id = c.vec_id
+      |    JOIN qs q ON q.query_id = c.query_id)
+      |  WHERE r <= 4),
+      |f1 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT c.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY c.query_id
+      |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+      |    FROM c0 c JOIN corpus v ON v.vec_id = c.vec_id
+      |    JOIN qs q ON q.query_id = c.query_id)
+      |  WHERE r <= 4),
+      |c1 AS (
+      |  SELECT DISTINCT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id FROM c0
+      |    UNION ALL
+      |    SELECT f.query_id, g.dst AS vec_id
+      |    FROM f1 f JOIN edges g ON g.src = f.vec_id)),
+      |f2 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT c.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY c.query_id
+      |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+      |    FROM c1 c JOIN corpus v ON v.vec_id = c.vec_id
+      |    JOIN qs q ON q.query_id = c.query_id
+      |    WHERE NOT EXISTS (SELECT 1 FROM f1 e
+      |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id))
+      |  WHERE r <= 4),
+      |c2 AS (
+      |  SELECT DISTINCT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id FROM c1
+      |    UNION ALL
+      |    SELECT f.query_id, g.dst AS vec_id
+      |    FROM f2 f JOIN edges g ON g.src = f.vec_id)),
+      |f3 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT c.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY c.query_id
+      |        ORDER BY list_distance(v.v, q.qv), c.vec_id) AS r
+      |    FROM c2 c JOIN corpus v ON v.vec_id = c.vec_id
+      |    JOIN qs q ON q.query_id = c.query_id
+      |    WHERE NOT EXISTS (SELECT 1 FROM f1 e
+      |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id)
+      |    AND NOT EXISTS (SELECT 1 FROM f2 e
+      |      WHERE e.query_id = c.query_id AND e.vec_id = c.vec_id))
+      |  WHERE r <= 4),
+      |c3 AS (
+      |  SELECT DISTINCT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id FROM c2
+      |    UNION ALL
+      |    SELECT f.query_id, g.dst AS vec_id
+      |    FROM f3 f JOIN edges g ON g.src = f.vec_id)),
+      |ranked AS (
+      |  SELECT c.query_id, c.vec_id,
+      |    row_number() OVER (PARTITION BY c.query_id
+      |      ORDER BY list_distance(v.v, q.qv), c.vec_id) AS rnk
+      |  FROM c3 c JOIN corpus v ON v.vec_id = c.vec_id
+      |  JOIN qs q ON q.query_id = c.query_id)""".stripMargin
+
   /** The PLAID replay, built ON TOP of the shingle-token CTEs: token
     * pk `did:ti`, integer quantization, md5-ordered 64-token sample,
     * TWO unrolled integer Lloyd iterations → 8 trained centroids,
@@ -5754,6 +6037,9 @@ object InfraQueries {
       // chain (partition-pruned scan of the same coded rows; PlaidSpec
       // pins disk == mem and the numFiles pruning)
       ("ann_maxsim_plaid_persisted" -> baseOracleSql("ann_maxsim_plaid")) +
+      // every HNSW layer on disk answers like the in-memory hierarchy
+      // (GraphAnnSpec pins disk == mem)
+      ("ann_graph_hnsw_persisted" -> baseOracleSql("ann_graph_hnsw_topk")) +
       ("ann_ivfpq_residual_persisted" ->
         baseOracleSql("ann_ivfpq_residual")) +
       ("ann_ivfpq_residual_synced" ->

@@ -201,6 +201,155 @@ object GraphAnn {
       seedIds = Some(seeds))
   }
 
+  // ---------------- multi-layer HNSW (md5 level draw) ----------------
+
+  /** The deterministic analog of HNSW's geometric level draw: node
+    * `id` lives on layer ≥ l iff its md5-derived 60-bit draw is
+    * divisible by base^l — P ≈ base^-l per layer, so layer-l pools
+    * shrink geometrically exactly like HNSW's, but membership is a
+    * PURE FUNCTION of the id (DuckDB-replayable, and stable across
+    * rebuilds/syncs where a stored random level would be state). */
+  def hnswLevelGate(id: Column, base: Int, l: Int): Column = {
+    require(base >= 2 && l >= 1 && math.pow(base.toDouble, l) <= (1L << 52),
+      s"base^l must stay exactly representable, got $base^$l")
+    val h = conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    pmod(h, lit(math.pow(base.toDouble, l).toLong)) === 0L
+  }
+
+  /** A multi-layer navigable graph: `layer0` spans the corpus,
+    * `uppers(l-1)` spans the layer-l pool (md5 gate). */
+  final case class HnswGraphs(layer0: KnnGraph, uppers: Seq[KnnGraph],
+      base: Int)
+
+  /** True multi-layer HNSW build — [[queryGraphLayered]]'s 2-layer
+    * entry hierarchy generalized to `levels` upper layers with the
+    * geometric [[hnswLevelGate]] pools (the real HNSW shape, for
+    * corpora where one coarse layer can't cut entry distance enough).
+    * Exact m-NN per layer here (the bounded/oracle path); at 100 TB
+    * swap [[buildGraphLsh]] per layer — pools shrink base× per level,
+    * so all upper layers together cost ≤ 1/(base−1) of layer 0. */
+  def buildHnswExact(corpus: DataFrame, vecCol: String, idCol: String,
+      m: Int, mUpper: Int, base: Int, levels: Int): HnswGraphs = {
+    require(levels >= 1, s"levels >= 1, got $levels")
+    val l0 = buildGraphExact(corpus, vecCol, idCol, m)
+    val uppers = (1 to levels).map { l =>
+      buildGraphExact(corpus.filter(hnswLevelGate(col(idCol), base, l)),
+        vecCol, idCol, mUpper)
+    }
+    HnswGraphs(l0, uppers, base)
+  }
+
+  /** Exact top-`topEntries` scan of the TOP pool — HNSW's global entry
+    * point(s): the layer-L pool is n/base^L rows, so the per-query
+    * scan is the geometric hierarchy's cheap apex. */
+  private def topPoolSeeds(pool: DataFrame, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, corpusPkCol: String,
+      corpusVecCol: String, topEntries: Int, metric: Metric): DataFrame = {
+    val q = queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(Knn.scoreOrder(col("__score"), metric), col("__nid").asc)
+    pool.filter(col(corpusVecCol).isNotNull)
+      .select(col(corpusPkCol).as("__nid"), col(corpusVecCol).as("__nvec"))
+      .crossJoin(broadcast(q))
+      .withColumn("__score",
+        VF.distance(col("__nvec"), col("__qvec"), metric))
+      .withColumn("__rs", row_number().over(w))
+      .filter(col("__rs") <= topEntries)
+      .select("query_id", "__nid")
+  }
+
+  /** Multi-layer HNSW descent: entry = exact scan of the top pool,
+    * then a SHORT beam walk on every upper layer hands its best nodes
+    * down as the next layer's seeds (`topEntries` between upper
+    * layers, `entries` into layer 0), and layer 0 runs the full
+    * search. Every stage is a pure function of the corpus — level
+    * gates, per-layer graphs, walks — so the whole descent replays in
+    * the DuckDB oracle, unlike HNSW's stored random levels. Candidate
+    * state per layer stays O(queries · (seeds + hops·beam·m)),
+    * constant in corpus size. */
+  def queryHnsw(g: HnswGraphs, corpus: DataFrame, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, corpusPkCol: String,
+      corpusVecCol: String, k: Int, entries: Int, beam: Int, hops: Int,
+      metric: Metric = Metric.L2, topEntries: Int = 2,
+      upperBeam: Int = 3, upperHops: Int = 2,
+      statePartitions: Int = 4,
+      materializeCorpus: Boolean = true): DataFrame = {
+    val levels = g.uppers.size
+    def pool(l: Int) = corpus.filter(
+      hnswLevelGate(col(corpusPkCol), g.base, l))
+    var seeds = topPoolSeeds(pool(levels), queries, queryIdCol,
+      queryVecCol, corpusPkCol, corpusVecCol, topEntries, metric)
+    for (l <- levels to 1 by -1) {
+      val e = g.uppers(l - 1).edges.localCheckpoint(true)
+      seeds = beamSearch(pool(l), queries, queryIdCol, queryVecCol,
+          corpusPkCol, corpusVecCol, _ => e,
+          k = if (l == 1) entries else topEntries,
+          entries = 0, beam = upperBeam, hops = upperHops, metric,
+          entryMod = 0L, statePartitions, materializeCorpus,
+          seedIds = Some(seeds))
+        .select(col("query_id"), col(corpusPkCol).as("__nid"))
+    }
+    val e0 = g.layer0.edges.localCheckpoint(true)
+    beamSearch(corpus, queries, queryIdCol, queryVecCol, corpusPkCol,
+      corpusVecCol, _ => e0, k, entries = 0, beam, hops, metric,
+      entryMod = 0L, statePartitions, materializeCorpus,
+      seedIds = Some(seeds))
+  }
+
+  /** Handle to a [[persistHnsw]] layout: layer 0 at `layer0.path`,
+    * upper layer l at `path + "_l" + l` — each its own bucket-pruned
+    * [[PersistedGraph]]. */
+  final case class PersistedHnsw(layer0: PersistedGraph,
+      uppers: Seq[PersistedGraph], base: Int)
+
+  /** Persist every layer of a [[HnswGraphs]] as its own
+    * bucket-partitioned layout: each layer's hops prune to their
+    * frontier's buckets exactly like the flat graph's, and upper
+    * layers (base^l× smaller) stay proportionally cheap on disk. */
+  def persistHnsw(g: HnswGraphs, path: String,
+      buckets: Int = 64): PersistedHnsw = {
+    val l0 = persistGraph(g.layer0, path, buckets)
+    val uppers = g.uppers.zipWithIndex.map { case (ug, i) =>
+      persistGraph(ug, s"${path}_l${i + 1}",
+        math.max(4, buckets >> (2 * (i + 1))))
+    }
+    PersistedHnsw(l0, uppers, g.base)
+  }
+
+  /** [[queryHnsw]] with EVERY layer on disk — identical answers by
+    * construction (each layer's walk is the same search over the same
+    * edges, partition-pruned; shares the in-memory oracle). */
+  def queryPersistedHnsw(spark: SparkSession, ph: PersistedHnsw,
+      corpus: DataFrame, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, corpusPkCol: String, corpusVecCol: String,
+      k: Int, entries: Int, beam: Int, hops: Int,
+      metric: Metric = Metric.L2, topEntries: Int = 2,
+      upperBeam: Int = 3, upperHops: Int = 2,
+      statePartitions: Int = 4,
+      materializeCorpus: Boolean = true): DataFrame = {
+    val levels = ph.uppers.size
+    def pool(l: Int) = corpus.filter(
+      hnswLevelGate(col(corpusPkCol), ph.base, l))
+    var seeds = topPoolSeeds(pool(levels), queries, queryIdCol,
+      queryVecCol, corpusPkCol, corpusVecCol, topEntries, metric)
+    for (l <- levels to 1 by -1) {
+      seeds = queryPersistedGraph(spark, ph.uppers(l - 1), pool(l),
+          queries, queryIdCol, queryVecCol, corpusPkCol, corpusVecCol,
+          k = if (l == 1) entries else topEntries,
+          entries = 0, beam = upperBeam, hops = upperHops, metric,
+          entryMod = 0L, statePartitions, materializeCorpus,
+          seedIds = Some(seeds))
+        .select(col("query_id"), col(corpusPkCol).as("__nid"))
+    }
+    queryPersistedGraph(spark, ph.layer0, corpus, queries, queryIdCol,
+      queryVecCol, corpusPkCol, corpusVecCol, k, entries = 0, beam,
+      hops, metric, entryMod = 0L, statePartitions, materializeCorpus,
+      seedIds = Some(seeds))
+  }
+
   /** The shared best-first loop. `edgesFor(frontier)` supplies the edge
     * rows to expand a frontier through — the in-memory path ignores the
     * frontier (whole edge table, one checkpointed DF); the persisted

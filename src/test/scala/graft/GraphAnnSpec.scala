@@ -86,6 +86,62 @@ class GraphAnnSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  test("md5 level gates: pools shrink geometrically and nest") {
+    val n = corpus.count()
+    val l1 = corpus.filter(GraphAnn.hnswLevelGate($"vec_id", 5, 1))
+      .select("vec_id").as[Long].collect().toSet
+    val l2 = corpus.filter(GraphAnn.hnswLevelGate($"vec_id", 5, 2))
+      .select("vec_id").as[Long].collect().toSet
+    assert(l1.nonEmpty && l2.nonEmpty)
+    assert(l2.subsetOf(l1), "level-2 pool must nest inside level-1")
+    assert(l1.size < n / 2 && l1.size > n / 15,
+      s"level-1 draw ~n/5: ${l1.size} of $n")
+    assert(l2.size * 2 < l1.size,
+      s"level-2 pool must be well under level-1: ${l2.size}/${l1.size}")
+  }
+
+  test("multi-layer HNSW holds the recall bar with a base²-smaller " +
+    "top scan; every layer persisted answers identically") {
+    val g = GraphAnn.buildHnswExact(corpus, "embedding", "vec_id",
+      m = 8, mUpper = 4, base = 5, levels = 2)
+    assert(g.uppers.size === 2)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = df.collect().groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+      val rs = exactTop3.map { case (q, exact) =>
+        r.get(q).map(f => exact.count(f.contains).toDouble / exact.size)
+          .getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val mem = GraphAnn.queryHnsw(g, corpus, queries, "vec_id",
+      "embedding", "vec_id", "embedding", k = 3, entries = 8, beam = 8,
+      hops = 8, Metric.L2, topEntries = 2, upperBeam = 4, upperHops = 2)
+    val memRecall = recallOf(mem)
+    assert(memRecall >= 0.9, s"mean HNSW recall $memRecall too low")
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_p")
+      .toString + "/g"
+    val ph = GraphAnn.persistHnsw(g, dir, buckets = 16)
+    assert(new java.io.File(dir + "_l1").exists()
+      && new java.io.File(dir + "_l2").exists(),
+      "each upper layer persists as its own layout")
+    val disk = GraphAnn.queryPersistedHnsw(spark, ph, corpus, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, entries = 8,
+      beam = 8, hops = 8, Metric.L2, topEntries = 2, upperBeam = 4,
+      upperHops = 2)
+    assert(topkMap(disk) === topkMap(mem),
+      "persisted multi-layer descent must equal the in-memory one")
+  }
+
+  test("multi-layer HNSW is deterministic run to run") {
+    val g = GraphAnn.buildHnswExact(corpus, "embedding", "vec_id",
+      m = 6, mUpper = 4, base = 5, levels = 2)
+    def run() = topkMap(GraphAnn.queryHnsw(g, corpus, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, entries = 4,
+      beam = 4, hops = 3, Metric.L2))
+    assert(run() === run())
+  }
+
   test("beam search is deterministic run to run") {
     val g = GraphAnn.buildGraphExact(corpus, "embedding", "vec_id", m = 6)
     def run() = topkMap(GraphAnn.queryGraph(g, corpus, queries, "vec_id",
