@@ -519,6 +519,52 @@ object GraphOps {
       lit(stable).as("converged"))
   }
 
+  /** Longest-path (topological) DEPTH over a DAG — the dependency
+    * stat a scheduler reads off an SCC condensation (how many
+    * dependency waves before this component can run): depth(v) = the
+    * longest path length from any source into v, sources at 0.
+    * Iterative max-relaxation — each round one edge-bounded join +
+    * a per-node max rollup; depths are monotone nondecreasing and
+    * bounded by the DAG's longest path, so a flat round IS the
+    * fixpoint and a fixed-round oracle replay agrees with the early
+    * exit (the kcores property). On a NON-DAG input depths grow
+    * forever along the cycle; the `maxRounds` guard stops with
+    * `converged = false` instead of spinning — feed condensations,
+    * not raw graphs. `extraNodes` (single column) adds isolated
+    * vertices (e.g. edgeless SCCs) at depth 0. Returns
+    * `(v, depth, converged)`. */
+  def dagDepth(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 30,
+      extraNodes: Option[DataFrame] = None): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v")).distinct().flatCk
+    val nodes = e.select(col("u").as("v"))
+      .unionByName(e.select(col("v")))
+      .unionByName(extraNodes
+        .map(n => n.select(col(n.columns.head).as("v")))
+        .getOrElse(e.limit(0).select(col("v"))))
+      .distinct()
+    var depth = nodes.withColumn("depth", lit(0L)).flatCk
+    var stable = false
+    var r = 0
+    while (r < maxRounds && !stable) {
+      val relaxed = e
+        .join(depth.withColumnRenamed("v", "u"), Seq("u"))
+        .groupBy(col("v")).agg(max(col("depth") + 1L).as("__d"))
+      val next = depth.join(relaxed, Seq("v"), "left")
+        .select(col("v"),
+          greatest(col("depth"), coalesce(col("__d"), lit(0L)))
+            .as("depth"))
+        .flatCk
+      stable = next
+        .join(depth.withColumnRenamed("depth", "__old"), Seq("v"))
+        .filter(col("depth") =!= col("__old")).isEmpty
+      depth = next
+      r += 1
+    }
+    depth.select(col("v"), col("depth"), lit(stable).as("converged"))
+  }
+
   /** Exact triangle counting over the UNDIRECTED fold of `edges`
     * (self loops and parallel/reverse duplicates collapse first),
     * with the standard degree orientation: every edge points from

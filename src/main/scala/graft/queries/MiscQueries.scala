@@ -276,6 +276,32 @@ object MiscQueries {
         .agg(count(lit(1)).as("n_edges"))
         .orderBy("from_scc", "to_scc")
     }),
+    // Dependency DEPTH over the condensation DAG — the longest-path
+    // layering a crawl scheduler reads (how many dependency waves
+    // before each component unblocks): max-relaxation rounds over the
+    // contracted inter-SCC edges, edgeless SCCs (the island) at depth
+    // 0. The oracle recomputes the labels definitionally, contracts
+    // the same edges, and unrolls six relaxation rounds (fixpoint at
+    // 4 on the fixture — extra rounds are no-ops).
+    "graph_condensation_depth" -> ((s, dir) => {
+      import graft.operators.GraphOps
+      val e = macroEdges(s, dir)
+        .select(col("src").cast("string").as("src"),
+          col("dst").cast("string").as("dst"))
+      val lab = GraphOps.scc(e, "src", "dst")
+        .select(col("v"), col("scc"))
+      val ce = e.join(lab.withColumnRenamed("v", "src")
+          .withColumnRenamed("scc", "ls"), "src")
+        .join(lab.withColumnRenamed("v", "dst")
+          .withColumnRenamed("scc", "ld"), "dst")
+        .filter(col("ls") =!= col("ld"))
+        .select(col("ls").as("from_scc"), col("ld").as("to_scc"))
+        .distinct()
+      GraphOps.dagDepth(ce, "from_scc", "to_scc", maxRounds = 10,
+          extraNodes = Some(lab.select(col("scc")).distinct()))
+        .select(col("v").as("scc"), col("depth"), col("converged"))
+        .orderBy("scc")
+    }),
     // Broder's FULL bow-tie (6-class) on the same designed fixture —
     // every class materializes: scc {0,1,2,3}, in {10,11}, out
     // {20,21}, tendril_in {30}, tendril_out {31}, tube {32},
@@ -558,6 +584,41 @@ object MiscQueries {
         |JOIN lab ld ON ld.v = e.dst
         |WHERE ls.scc <> ld.scc
         |GROUP BY 1, 2 ORDER BY from_scc, to_scc""".stripMargin,
+    // Condensation-depth replay: definitional SCC labels, contracted
+    // edge fold, six unrolled max-relaxation rounds (fixpoint at 4;
+    // stable rounds are idempotent), all SCC labels seeded at 0.
+    "graph_condensation_depth" -> {
+      val rounds = (1 to 6).map { i =>
+        s"""dd$i AS MATERIALIZED (
+           |  SELECT d.v, greatest(d.depth, coalesce(m.md, 0)) AS depth
+           |  FROM dd${i - 1} d LEFT JOIN (
+           |    SELECT ce.v, max(dp.depth + 1) AS md
+           |    FROM ce JOIN dd${i - 1} dp ON dp.v = ce.u
+           |    GROUP BY ce.v) m ON m.v = d.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $macroEdgesCte,
+        |tc AS (
+        |  SELECT src AS u, dst AS v FROM e
+        |  UNION
+        |  SELECT tc.u, e2.dst FROM tc JOIN e e2 ON e2.src = tc.v),
+        |mr AS (
+        |  SELECT v, v AS u FROM n
+        |  UNION
+        |  SELECT t1.v, t1.u FROM tc t1
+        |  JOIN tc t2 ON t2.u = t1.v AND t2.v = t1.u),
+        |lab AS (SELECT v, min(u) AS scc FROM mr GROUP BY v),
+        |ce AS (
+        |  SELECT DISTINCT ls.scc AS u, ld.scc AS v
+        |  FROM e
+        |  JOIN lab ls ON ls.v = e.src
+        |  JOIN lab ld ON ld.v = e.dst
+        |  WHERE ls.scc <> ld.scc),
+        |dd0 AS (SELECT DISTINCT scc AS v, 0 AS depth FROM lab),
+        |$rounds
+        |SELECT v AS scc, CAST(depth AS BIGINT) AS depth,
+        |  TRUE AS converged
+        |FROM dd6 ORDER BY scc""".stripMargin
+    },
     // Full bow-tie replay: pivot fwd/bwd closures -> 4-class cut,
     // then the IN-set forward and OUT-set backward closures split
     // OTHER into tube / tendril_in / tendril_out / disconnected.

@@ -509,6 +509,27 @@ class GraphOpsSpec extends SparkSpec {
       s"the bridge must not merge the triangles: $comms")
   }
 
+  test("dagDepth: hand-computed longest-path layering on a diamond + " +
+    "tail, isolated extras at depth 0, cycles report non-convergence") {
+    // a->b, a->c, b->d, c->d, d->e : depths a0 b1 c1 d2 e3
+    val g = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e")).toDF("src", "dst")
+    val extra = Seq("z").toDF("id")
+    val out = GraphOps.dagDepth(g, "src", "dst", maxRounds = 10,
+        extraNodes = Some(extra))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.view.mapValues(_._1).toMap === Map("a" -> 0L, "b" -> 1L,
+      "c" -> 1L, "d" -> 2L, "e" -> 3L, "z" -> 0L))
+    assert(out.values.forall(_._2), "a DAG converges")
+    val cyc = GraphOps.dagDepth(
+      Seq(("p", "q"), ("q", "p")).toDF("src", "dst"), "src", "dst",
+      maxRounds = 4)
+      .collect().map(_.getBoolean(2))
+    assert(cyc.nonEmpty && cyc.forall(_ === false),
+      "a cycle must hit the round guard, not spin")
+  }
+
   test("labelPropagation: a 2-cycle (single edge) oscillates — the " +
     "round guard reports converged = false instead of spinning") {
     val g = Seq(("p", "q")).toDF("src", "dst")
