@@ -1520,6 +1520,67 @@ object InfraQueries {
           col("doc_id"))
         .orderBy("query_id", "rnk")
     }),
+    // CDF maintenance of the PLAID layout under the frozen-quantizer
+    // contract: delete docs [20,40) then reinsert their true bags,
+    // plus a stale-bag update on doc 5 that loses LWW to its true bag
+    // — the synced layout must land exactly the untouched build's
+    // rows (cells and codes are pure functions of the frozen
+    // quantizers), so the cell shares ann_maxsim_plaid's oracle. Old
+    // cells are rediscovered by re-assigning the _docs vectors; only
+    // touched __cell / __dbkt dirs rewrite, _docs in the crash-safe
+    // two-phase protocol.
+    "ann_maxsim_plaid_synced" -> ((s, dir) => {
+      import graft.search.Plaid
+      import graft.index.ChangeLog
+      import graft.functions.TextExpressions
+      val d = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val corpus = d.filter(col("doc_id") >= 3 && col("doc_id") < 120)
+        .select(col("doc_id"), col("text"))
+      val queries = d.filter(col("doc_id") < 3)
+        .select(col("doc_id"),
+          concat_ws(" ",
+            slice(split(trim(col("text")), "\\s+"), 1, 5)).as("text"))
+      def toks(df: DataFrame) = df
+        .select(col("doc_id"),
+          explode(TextExpressions.wordShingles(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("ti"),
+          TextExpressions.md5FeatureEmbed(col("sh"), 16).as("tv"))
+      def bags(df: DataFrame) = df
+        .select(col("doc_id"),
+          TextExpressions.wordShingles(col("text"), 3).as("shs"))
+        .select(col("doc_id"),
+          transform(col("shs"),
+            sh => TextExpressions.md5FeatureEmbed(sh, 16)).as("toks"))
+      val root = s"${System.getProperty("java.io.tmpdir")}" +
+        "/graft_plaidsync/" + dir.replaceAll("[^0-9.]", "")
+      val idx = Plaid.build(toks(corpus), "doc_id", "ti", "tv",
+        Plaid.Params(cells = 8, nProbe = 2, c = 4, m = 4, pqK = 8,
+          iters = 2, sampleN = 64))
+      val p = Plaid.persist(idx, root, docBuckets = 8)
+      val victims = corpus.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+      val staleFive = corpus.filter(col("doc_id") === 5)
+        .withColumn("text",
+          concat_ws(" ", reverse(split(trim(col("text")), "\\s+"))))
+      val changes = bags(victims)
+        .withColumn("__op", lit(ChangeLog.OpDelete))
+        .withColumn("__seq", lit(1L))
+        .unionByName(bags(victims)
+          .withColumn("__op", lit(ChangeLog.OpInsert))
+          .withColumn("__seq", lit(2L)))
+        .unionByName(bags(staleFive)
+          .withColumn("__op", lit(ChangeLog.OpUpdate))
+          .withColumn("__seq", lit(1L)))
+        .unionByName(bags(corpus.filter(col("doc_id") === 5))
+          .withColumn("__op", lit(ChangeLog.OpUpdate))
+          .withColumn("__seq", lit(2L)))
+      Plaid.syncPersisted(s, p, changes, "doc_id", "toks")
+      Plaid.topKPersisted(s, p, "doc_id", toks(queries), "doc_id", "ti",
+          "tv", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("doc_id"))
+        .orderBy("query_id", "rnk")
+    }),
     // Pruning-recall telemetry for the PLAID leg: the routed+ADC
     // top-5 measured against the bits=0 brute-force exact MaxSim on
     // sampled queries — the head-to-head that says what the trained
@@ -6037,6 +6098,9 @@ object InfraQueries {
       // chain (partition-pruned scan of the same coded rows; PlaidSpec
       // pins disk == mem and the numFiles pruning)
       ("ann_maxsim_plaid_persisted" -> baseOracleSql("ann_maxsim_plaid")) +
+      // synced ≡ untouched build under frozen quantizers (delete +
+      // reinsert + LWW round-trip; PlaidSpec pins the semantics)
+      ("ann_maxsim_plaid_synced" -> baseOracleSql("ann_maxsim_plaid")) +
       // every HNSW layer on disk answers like the in-memory hierarchy
       // (GraphAnnSpec pins disk == mem)
       ("ann_graph_hnsw_persisted" -> baseOracleSql("ann_graph_hnsw_topk")) +

@@ -3,7 +3,7 @@ package graft.search
 import graft.functions.{VectorFunctions => VF}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Centroid-routed late-interaction retrieval — the PLAID form of
   * MaxSim (Santhanam et al., "PLAID: An Efficient Engine for Late
@@ -209,21 +209,120 @@ object Plaid {
     * candidate pk semi-join against `_docs` carries no broadcast hint
     * (the [[MaxSim.topKPersisted]] convention: candidate size is
     * selectivity-dependent, AQE decides). */
-  def topKPersisted(spark: SparkSession, idx: Persisted, docIdCol: String,
-      queryTokens: DataFrame, queryIdCol: String, queryTokIdxCol: String,
-      queryVecCol: String, k: Int): DataFrame = {
-    val meta = spark.read.parquet(idx.path + "_meta").head()
-    val (docBuckets, nProbe, c) =
-      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    val cents = spark.read.parquet(idx.path + "_cents")
-    val cbRows = spark.read.parquet(idx.path + "_codebooks")
+  /** Frozen side-file loaders shared by the query and sync paths. */
+  private def loadMeta(spark: SparkSession,
+      path: String): (Int, Int, Int) = {
+    val meta = spark.read.parquet(path + "_meta").head()
+    (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+  }
+
+  private def loadCodebooks(spark: SparkSession,
+      path: String): Pq.Codebooks = {
+    val cbRows = spark.read.parquet(path + "_codebooks")
       .collect().map(r => (r.getInt(0), r.getInt(1),
         r.getSeq[Long](2).toArray))
     val m = cbRows.map(_._1).max + 1
     val kEntries = cbRows.map(_._2).max + 1
     val byKey = cbRows.map(r => (r._1, r._2) -> r._3).toMap
-    val cb = Pq.Codebooks(m, byKey.head._2.length, kEntries,
+    Pq.Codebooks(m, byKey.head._2.length, kEntries,
       Array.tabulate(m, kEntries)((s, j) => byKey((s, j))))
+  }
+
+  /** Nearest frozen centroid as ONE codegen-friendly expression fold —
+    * the row-level form of the build's crossJoin + `min_by` assignment
+    * (same distances, same tie-to-lowest-cell rule; asserted
+    * equivalent by the synced layouts' shared oracles): `cents` is
+    * driver-small by contract, iterated in ascending cell order so a
+    * strict `<` keeps the lowest tying cell. */
+  private def nearestCell(vec: Column,
+      cents: Seq[(Int, Seq[Float])]): Column = {
+    val init = struct(lit(Double.MaxValue).as("d"), lit(-1).as("c"))
+    cents.sortBy(_._1).foldLeft(init) { case (acc, (cell, cv)) =>
+      val d = VF.l2(vec, typedLit(cv))
+      struct(
+        when(d < acc.getField("d"), d).otherwise(acc.getField("d"))
+          .as("d"),
+        when(d < acc.getField("d"), lit(cell)).otherwise(acc.getField("c"))
+          .as("c"))
+    }.getField("c")
+  }
+
+  /** CDF-batch maintenance of a [[persist]] layout — the PLAID leg's
+    * `syncPersistedTokens`, under the frozen-quantizer contract
+    * (build-time centroids and codebooks re-encode the delta; adding
+    * docs never re-trains — rebuild to re-train, like every trained
+    * leg): last-write-wins per doc, whole token bags replace
+    * atomically, deletes leave both tables. A changed doc's OLD cells
+    * are found by re-assigning its stored `_docs` vectors against the
+    * frozen centroids (a pk-pruned lookup); only touched `__cell`
+    * dirs of the store and `__dbkt` dirs of `_docs` rewrite. `_docs`
+    * writes in two phases around the store merge (additive append →
+    * exact trim), so every crash point leaves a superset sidecar and
+    * replays safely — the [[MaxSim.syncPersistedTokens]] protocol. */
+  def syncPersisted(spark: SparkSession, idx: Persisted,
+      changes: DataFrame, pkCol: String, tokensCol: String): Unit = {
+    import graft.index.{ChangeLog, PartitionedLayout}
+    val (docBuckets, _, _) = loadMeta(spark, idx.path)
+    val cb = loadCodebooks(spark, idx.path)
+    val centsDf = spark.read.parquet(idx.path + "_cents")
+    val cents: Seq[(Int, Seq[Float])] = centsDf.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toSeq)).toSeq
+    val latest = ChangeLog.latestPerPk(changes, pkCol)
+      .localCheckpoint(true)
+    val changedPks = latest.select(col(pkCol).as("__did"))
+    val newToks = latest.filter(col("__op") =!= ChangeLog.OpDelete)
+      .filter(col(tokensCol).isNotNull)
+      .select(col(pkCol).as("__did"), explode(col(tokensCol)).as("__tv"))
+      .filter(col("__tv").isNotNull)
+      .select(col("__did"),
+        transform(col("__tv"), _.cast("float")).as("__tvf"))
+      .withColumn("__cell", nearestCell(col("__tvf"), cents))
+      .localCheckpoint(true) // affected collect + both merges
+    val newCoded = newToks.join(broadcast(centsDf), Seq("__cell"))
+      .withColumn("__codes",
+        Pq.encode(Pq.residualInt(col("__tvf"), col("__centroid")), cb))
+      .select("__did", "__codes", "__cell")
+    val newDocs = newToks
+      .withColumn("__dbkt",
+        pmod(xxhash64(col("__did")), lit(docBuckets.toLong)).cast("int"))
+      .select("__did", "__tvf", "__dbkt")
+    val dbks = changedPks
+      .select(pmod(xxhash64(col("__did")), lit(docBuckets.toLong))
+        .cast("int").as("__dbkt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    // discovery BEFORE any write: old cells from the pre-batch _docs
+    val affected: Seq[Seq[Any]] = spark.read.parquet(idx.path + "_docs")
+      .filter(col("__dbkt").isin(dbks: _*))
+      .join(changedPks, Seq("__did"), "left_semi")
+      .select(nearestCell(col("__tvf"), cents).as("__cell"))
+      .union(newToks.select("__cell")).distinct()
+      .collect().map(r => Seq[Any](r.getInt(0)))
+    // phase 1: ADDITIVE _docs append (crash ⇒ superset, safe)
+    newDocs.repartition(col("__dbkt"))
+      .write.mode("append").partitionBy("__dbkt")
+      .parquet(idx.path + "_docs")
+    // phase 2: coded store — rewrite touched cell dirs
+    if (affected.nonEmpty) {
+      PartitionedLayout.mergeOverwrite(spark, idx.path, Seq("__cell"),
+        affected,
+        spark.read.parquet(idx.path)
+          .filter(PartitionedLayout.touchedPred(Seq("__cell"), affected)),
+        Seq("__did"), changedPks, newCoded)
+    }
+    // phase 3: exact _docs trim (also removes the phase-1 duplicates)
+    PartitionedLayout.mergeOverwrite(spark, idx.path + "_docs",
+      Seq("__dbkt"), dbks.map(Seq[Any](_)),
+      spark.read.parquet(idx.path + "_docs")
+        .filter(col("__dbkt").isin(dbks: _*)),
+      Seq("__did"), changedPks, newDocs)
+  }
+
+  def topKPersisted(spark: SparkSession, idx: Persisted, docIdCol: String,
+      queryTokens: DataFrame, queryIdCol: String, queryTokIdxCol: String,
+      queryVecCol: String, k: Int): DataFrame = {
+    val (docBuckets, nProbe, c) = loadMeta(spark, idx.path)
+    val cents = spark.read.parquet(idx.path + "_cents")
+    val cb = loadCodebooks(spark, idx.path)
     val pb = probes(queryTokens, queryIdCol, queryTokIdxCol, queryVecCol,
       cents, nProbe).localCheckpoint(true) // cells collect + 2 joins
     val probedCells = pb.select("__cell").distinct()

@@ -122,6 +122,43 @@ class PlaidSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("syncPersisted: delete + reinsert + LWW update round-trip under " +
+    "frozen quantizers; deletes leave both tables; replay idempotent") {
+    import graft.index.ChangeLog
+    val dir = java.nio.file.Files.createTempDirectory("plaid_sync")
+      .toString + "/toks"
+    val idx = Plaid.build(docToks, "doc_id", "ti", "tv",
+      params(nProbe = 4, c = 8))
+    val p = Plaid.persist(idx, dir, docBuckets = 8)
+    def bag(d: Long): Seq[Seq[Float]] = docToks
+      .filter($"doc_id" === d).orderBy("ti")
+      .collect().map(_.getSeq[Float](2).toSeq).toSeq
+    val stale = Seq.fill(2)(Seq.fill(8)(-9.0f).toSeq)
+    val changes = Seq(
+      (2L, bag(2), ChangeLog.OpDelete, 1L),
+      (2L, bag(2), ChangeLog.OpInsert, 2L),   // delete + reinsert
+      (6L, stale, ChangeLog.OpUpdate, 1L),    // LWW: stale loses...
+      (6L, bag(6), ChangeLog.OpUpdate, 2L),   // ...to the true bag
+      (7L, Seq.empty[Seq[Float]], ChangeLog.OpDelete, 1L)
+    ).toDF("doc_id", "toks", "__op", "__seq")
+    Plaid.syncPersisted(spark, p, changes, "doc_id", "toks")
+    // reference: the SAME frozen quantizers over the live corpus
+    val liveIdx = idx.copy(coded = idx.coded.filter($"__did" =!= 7L))
+    val mem = key(Plaid.topK(liveIdx, "doc_id", qToks, "qid", "ti",
+      "tv", k = 7))
+    val disk = key(Plaid.topKPersisted(spark, p, "doc_id", qToks,
+      "qid", "ti", "tv", k = 7))
+    assert(disk === mem && mem.nonEmpty,
+      s"synced layout must equal the frozen-quantizer live index:\n" +
+        s"extra=${disk -- mem}\nmissing=${mem -- disk}")
+    assert(spark.read.parquet(dir).filter($"__did" === 7L).isEmpty)
+    assert(spark.read.parquet(dir + "_docs")
+      .filter($"__did" === 7L).isEmpty)
+    Plaid.syncPersisted(spark, p, changes, "doc_id", "toks")
+    assert(key(Plaid.topKPersisted(spark, p, "doc_id", qToks, "qid",
+      "ti", "tv", k = 7)) === mem, "replay must be a no-op")
+  }
+
   test("no layout-reading subtree is force-broadcast; deterministic " +
     "under repartitioning") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
