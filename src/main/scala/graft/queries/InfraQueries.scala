@@ -51,6 +51,49 @@ object InfraQueries {
   /** The read-only deterministic-IVF layout (corpus vec_id >= 5,
     * k = 16) shared by the persisted-IVF query cells that never
     * mutate it — build+persist once per JVM. */
+  /** Shingle-token fixture shared by the PLAID cells (the
+    * ann_maxsim_docs construction). */
+  private def shingleToks(s: SparkSession, dir: String,
+      lo: Long, hi: Long, queryWords: Int = 0): DataFrame = {
+    import graft.functions.TextExpressions
+    val d = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+    val base =
+      if (queryWords > 0)
+        d.select(col("doc_id"), concat_ws(" ",
+          slice(split(trim(col("text")), "\\s+"), 1, queryWords))
+          .as("text"))
+      else d.select(col("doc_id"), col("text"))
+    base
+      .select(col("doc_id"),
+        explode(TextExpressions.wordShingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("ti"),
+        TextExpressions.md5FeatureEmbed(col("sh"), 16).as("tv"))
+  }
+
+  /** ONE trained PLAID index (centroids + codebooks + coded tokens,
+    * checkpointed) shared by all four plaid cells, plus the memoized
+    * read-only persisted layout (the synced cell mutates its OWN
+    * root instead). */
+  private def sharedPlaid(s: SparkSession,
+      dir: String): graft.search.Plaid.Index =
+    BuildCache.memo(s"plaid:c8:$dir") {
+      val idx = graft.search.Plaid.build(
+        shingleToks(s, dir, 3L, 120L), "doc_id", "ti", "tv",
+        graft.search.Plaid.Params(cells = 8, nProbe = 2, c = 4, m = 4,
+          pqK = 8, iters = 2, sampleN = 64))
+      idx.copy(coded = idx.coded.localCheckpoint(true))
+    }
+
+  private def sharedPersistedPlaid(s: SparkSession,
+      dir: String): graft.search.Plaid.Persisted =
+    BuildCache.memo(s"pplaid:$dir") {
+      graft.search.Plaid.persist(sharedPlaid(s, dir),
+        s"${System.getProperty("java.io.tmpdir")}/graft_plaid/" +
+          dir.replaceAll("[^0-9.]", ""), docBuckets = 8)
+    }
+
   /** The true multi-layer HNSW over the [5,1000) corpus: the shared
     * m=6 layer-0 graph plus two exact m=4 upper graphs over the
     * md5-geometric level pools (base 5). */
@@ -1464,25 +1507,9 @@ object InfraQueries {
     // candidate selection and the exact chain.
     "ann_maxsim_plaid" -> ((s, dir) => {
       import graft.search.Plaid
-      import graft.functions.TextExpressions
-      val d = Tables.load(s, dir, "documents")
-        .filter(col("text").isNotNull && trim(col("text")) =!= "")
-      val corpus = d.filter(col("doc_id") >= 3 && col("doc_id") < 120)
-        .select(col("doc_id"), col("text"))
-      val queries = d.filter(col("doc_id") < 3)
-        .select(col("doc_id"),
-          concat_ws(" ",
-            slice(split(trim(col("text")), "\\s+"), 1, 5)).as("text"))
-      def toks(df: DataFrame) = df
-        .select(col("doc_id"),
-          explode(TextExpressions.wordShingles(col("text"), 3)).as("sh"))
-        .select(col("doc_id"), md5(col("sh")).as("ti"),
-          TextExpressions.md5FeatureEmbed(col("sh"), 16).as("tv"))
-      val idx = Plaid.build(toks(corpus), "doc_id", "ti", "tv",
-        Plaid.Params(cells = 8, nProbe = 2, c = 4, m = 4, pqK = 8,
-          iters = 2, sampleN = 64))
-      Plaid.topK(idx, "doc_id", toks(queries), "doc_id", "ti", "tv",
-          k = 5)
+      Plaid.topK(sharedPlaid(s, dir), "doc_id",
+          shingleToks(s, dir, 0L, 3L, queryWords = 5), "doc_id", "ti",
+          "tv", k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("doc_id"))
         .orderBy("query_id", "rnk")
@@ -1494,27 +1521,8 @@ object InfraQueries {
     // ann_maxsim_plaid's oracle (PlaidSpec pins the numFiles pruning).
     "ann_maxsim_plaid_persisted" -> ((s, dir) => {
       import graft.search.Plaid
-      import graft.functions.TextExpressions
-      val d = Tables.load(s, dir, "documents")
-        .filter(col("text").isNotNull && trim(col("text")) =!= "")
-      val corpus = d.filter(col("doc_id") >= 3 && col("doc_id") < 120)
-        .select(col("doc_id"), col("text"))
-      val queries = d.filter(col("doc_id") < 3)
-        .select(col("doc_id"),
-          concat_ws(" ",
-            slice(split(trim(col("text")), "\\s+"), 1, 5)).as("text"))
-      def toks(df: DataFrame) = df
-        .select(col("doc_id"),
-          explode(TextExpressions.wordShingles(col("text"), 3)).as("sh"))
-        .select(col("doc_id"), md5(col("sh")).as("ti"),
-          TextExpressions.md5FeatureEmbed(col("sh"), 16).as("tv"))
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_plaid/" +
-        dir.replaceAll("[^0-9.]", "")
-      val idx = Plaid.build(toks(corpus), "doc_id", "ti", "tv",
-        Plaid.Params(cells = 8, nProbe = 2, c = 4, m = 4, pqK = 8,
-          iters = 2, sampleN = 64))
-      val p = Plaid.persist(idx, root, docBuckets = 8)
-      Plaid.topKPersisted(s, p, "doc_id", toks(queries), "doc_id", "ti",
+      Plaid.topKPersisted(s, sharedPersistedPlaid(s, dir), "doc_id",
+          shingleToks(s, dir, 0L, 3L, queryWords = 5), "doc_id", "ti",
           "tv", k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("doc_id"))
@@ -1537,15 +1545,6 @@ object InfraQueries {
         .filter(col("text").isNotNull && trim(col("text")) =!= "")
       val corpus = d.filter(col("doc_id") >= 3 && col("doc_id") < 120)
         .select(col("doc_id"), col("text"))
-      val queries = d.filter(col("doc_id") < 3)
-        .select(col("doc_id"),
-          concat_ws(" ",
-            slice(split(trim(col("text")), "\\s+"), 1, 5)).as("text"))
-      def toks(df: DataFrame) = df
-        .select(col("doc_id"),
-          explode(TextExpressions.wordShingles(col("text"), 3)).as("sh"))
-        .select(col("doc_id"), md5(col("sh")).as("ti"),
-          TextExpressions.md5FeatureEmbed(col("sh"), 16).as("tv"))
       def bags(df: DataFrame) = df
         .select(col("doc_id"),
           TextExpressions.wordShingles(col("text"), 3).as("shs"))
@@ -1554,10 +1553,7 @@ object InfraQueries {
             sh => TextExpressions.md5FeatureEmbed(sh, 16)).as("toks"))
       val root = s"${System.getProperty("java.io.tmpdir")}" +
         "/graft_plaidsync/" + dir.replaceAll("[^0-9.]", "")
-      val idx = Plaid.build(toks(corpus), "doc_id", "ti", "tv",
-        Plaid.Params(cells = 8, nProbe = 2, c = 4, m = 4, pqK = 8,
-          iters = 2, sampleN = 64))
-      val p = Plaid.persist(idx, root, docBuckets = 8)
+      val p = Plaid.persist(sharedPlaid(s, dir), root, docBuckets = 8)
       val victims = corpus.filter(col("doc_id") >= 20 && col("doc_id") < 40)
       val staleFive = corpus.filter(col("doc_id") === 5)
         .withColumn("text",
@@ -1575,7 +1571,8 @@ object InfraQueries {
           .withColumn("__op", lit(ChangeLog.OpUpdate))
           .withColumn("__seq", lit(2L)))
       Plaid.syncPersisted(s, p, changes, "doc_id", "toks")
-      Plaid.topKPersisted(s, p, "doc_id", toks(queries), "doc_id", "ti",
+      Plaid.topKPersisted(s, p, "doc_id",
+          shingleToks(s, dir, 0L, 3L, queryWords = 5), "doc_id", "ti",
           "tv", k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("doc_id"))
@@ -1588,30 +1585,14 @@ object InfraQueries {
     // the same k. Both chains and the recall join replay.
     "ann_recall_maxsim_plaid" -> ((s, dir) => {
       import graft.search.{MaxSim, Plaid}
-      import graft.functions.TextExpressions
-      val d = Tables.load(s, dir, "documents")
-        .filter(col("text").isNotNull && trim(col("text")) =!= "")
-      val corpus = d.filter(col("doc_id") >= 3 && col("doc_id") < 120)
-        .select(col("doc_id"), col("text"))
-      val queries = d.filter(col("doc_id") < 3)
-        .select(col("doc_id"),
-          concat_ws(" ",
-            slice(split(trim(col("text")), "\\s+"), 1, 5)).as("text"))
-      def toks(df: DataFrame) = df
-        .select(col("doc_id"),
-          explode(TextExpressions.wordShingles(col("text"), 3)).as("sh"))
-        .select(col("doc_id"), md5(col("sh")).as("ti"),
-          TextExpressions.md5FeatureEmbed(col("sh"), 16).as("tv"))
-      val idx = Plaid.build(toks(corpus), "doc_id", "ti", "tv",
-        Plaid.Params(cells = 8, nProbe = 2, c = 4, m = 4, pqK = 8,
-          iters = 2, sampleN = 64))
-      val pruned = Plaid.topK(idx, "doc_id", toks(queries), "doc_id",
-          "ti", "tv", k = 5)
+      val qToks = shingleToks(s, dir, 0L, 3L, queryWords = 5)
+      val pruned = Plaid.topK(sharedPlaid(s, dir), "doc_id", qToks,
+          "doc_id", "ti", "tv", k = 5)
         .filter(col("query_id") % 2 === 0)
         .select(col("query_id"), col("doc_id"))
         .withColumn("__hit", lit(1))
-      val exact = MaxSim.topK(toks(corpus), "doc_id", "tv",
-          toks(queries), "doc_id", "ti", "tv", k = 5, bits = 0)
+      val exact = MaxSim.topK(shingleToks(s, dir, 3L, 120L), "doc_id",
+          "tv", qToks, "doc_id", "ti", "tv", k = 5, bits = 0)
         .filter(col("query_id") % 2 === 0)
         .select(col("query_id"), col("doc_id"))
       exact.join(pruned, Seq("query_id", "doc_id"), "left")

@@ -13,6 +13,17 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  /** ONE unigram-LM training (word-count pass + driver EM) shared by
+    * the train and encode cells. */
+  private def sharedUnigramVocab(s: SparkSession,
+      dir: String): Seq[(String, Long, Int)] =
+    BuildCache.memo(s"unigram:v60:$dir") {
+      TextAnalysis.unigramTrain(
+        docs(s, dir).filter(col("lang") === "en"), "text",
+        vocabSize = 60, seedSize = 120, maxPieceLen = 4,
+        maxWordLen = 12, rounds = 2)
+    }
+
   /** Unicode-dirty suffix per doc_id residue — decomposed (e +
     * combining acute, u + diaeresis, A + ring) and precomposed (é)
     * forms plus a non-decomposable ß, so NFC genuinely rewrites and
@@ -189,10 +200,7 @@ object TextQueries {
     // enumeration ordered (k, rank sum, parts DESC), usage rollup,
     // prune — in pure integer SQL. Output: the top-40 final pieces.
     "text_unigram_train" -> ((s, dir) => {
-      val vocab = TextAnalysis.unigramTrain(
-        docs(s, dir).filter(col("lang") === "en"), "text",
-        vocabSize = 60, seedSize = 120, maxPieceLen = 4,
-        maxWordLen = 12, rounds = 2)
+      val vocab = sharedUnigramVocab(s, dir)
       import s.implicits._
       vocab.filter(_._3 <= 40)
         .map { case (p, c, r) => (r.toLong, p, c) }
@@ -208,10 +216,7 @@ object TextQueries {
     // the training maxWordLen so the oracle's composition
     // enumeration stays bounded.
     "text_unigram_encode" -> ((s, dir) => {
-      val vocab = TextAnalysis.unigramTrain(
-        docs(s, dir).filter(col("lang") === "en"), "text",
-        vocabSize = 60, seedSize = 120, maxPieceLen = 4,
-        maxWordLen = 12, rounds = 2)
+      val vocab = sharedUnigramVocab(s, dir)
       docs(s, dir)
         .filter(col("text").isNotNull && trim(col("text")) =!= "")
         .select(col("lang"),
