@@ -248,8 +248,7 @@ object MiscQueries {
     // min-label per node — engine-independent, so it cannot inherit
     // a recursion bug from the FW-BW side.
     "graph_scc" -> ((s, dir) => {
-      import graft.operators.GraphOps
-      GraphOps.scc(macroEdges(s, dir), "src", "dst")
+      sharedMacroScc(s, dir)
         .select(col("v").as("node"), col("scc"), col("converged"))
         .orderBy("node")
     }),
@@ -261,12 +260,10 @@ object MiscQueries {
     // deterministic; the oracle recomputes labels definitionally and
     // contracts the same edge fold.
     "graph_scc_condensation" -> ((s, dir) => {
-      import graft.operators.GraphOps
       val e = macroEdges(s, dir)
         .select(col("src").cast("string").as("src"),
           col("dst").cast("string").as("dst"))
-      val lab = GraphOps.scc(e, "src", "dst")
-        .select(col("v"), col("scc"))
+      val lab = sharedMacroScc(s, dir).select(col("v"), col("scc"))
       e.join(lab.withColumnRenamed("v", "src")
           .withColumnRenamed("scc", "ls"), "src")
         .join(lab.withColumnRenamed("v", "dst")
@@ -288,8 +285,7 @@ object MiscQueries {
       val e = macroEdges(s, dir)
         .select(col("src").cast("string").as("src"),
           col("dst").cast("string").as("dst"))
-      val lab = GraphOps.scc(e, "src", "dst")
-        .select(col("v"), col("scc"))
+      val lab = sharedMacroScc(s, dir).select(col("v"), col("scc"))
       val ce = e.join(lab.withColumnRenamed("v", "src")
           .withColumnRenamed("scc", "ls"), "src")
         .join(lab.withColumnRenamed("v", "dst")
@@ -411,6 +407,16 @@ object MiscQueries {
     * an IN→OUT tube (10→32→20) and a disconnected pair 40→41. */
   private val macroSrc = Seq(0, 1, 2, 3, 11, 10, 2, 20, 10, 31, 10, 32, 40)
   private val macroDst = Seq(1, 2, 3, 0, 10, 0, 20, 21, 30, 20, 32, 20, 41)
+
+  /** ONE FW-BW SCC labeling of the macro fixture (checkpointed),
+    * shared by graph_scc (the absorber), the condensation, and the
+    * condensation-depth cells — the labeling is the dominant cost of
+    * all three (per-level job storm, see the graph_scc bar). */
+  private def sharedMacroScc(s: SparkSession, dir: String): DataFrame =
+    BuildCache.memo(s"macroscc:$dir") {
+      graft.operators.GraphOps.scc(macroEdges(s, dir), "src", "dst")
+        .localCheckpoint(true)
+    }
 
   private def macroEdges(s: SparkSession, dir: String): DataFrame = {
     def mapped(m: Seq[Int]) =

@@ -228,23 +228,22 @@ object Plaid {
       Array.tabulate(m, kEntries)((s, j) => byKey((s, j))))
   }
 
-  /** Nearest frozen centroid as ONE codegen-friendly expression fold —
-    * the row-level form of the build's crossJoin + `min_by` assignment
-    * (same distances, same tie-to-lowest-cell rule; asserted
-    * equivalent by the synced layouts' shared oracles): `cents` is
-    * driver-small by contract, iterated in ascending cell order so a
-    * strict `<` keeps the lowest tying cell. */
+  /** Nearest frozen centroid as ONE linear-size expression — the
+    * row-level form of the build's crossJoin + `min_by` assignment
+    * (same distances, same tie-to-lowest-cell rule): the distance
+    * ARRAY is built in ascending cell order, so `array_position` of
+    * its minimum returns the lowest tying cell. (A when-chain fold
+    * would reference its accumulator twice per level — an expression
+    * tree EXPONENTIAL in the cell count; measured 80× on the sync
+    * path before this form.) `cents` is driver-small by contract. */
   private def nearestCell(vec: Column,
       cents: Seq[(Int, Seq[Float])]): Column = {
-    val init = struct(lit(Double.MaxValue).as("d"), lit(-1).as("c"))
-    cents.sortBy(_._1).foldLeft(init) { case (acc, (cell, cv)) =>
-      val d = VF.l2(vec, typedLit(cv))
-      struct(
-        when(d < acc.getField("d"), d).otherwise(acc.getField("d"))
-          .as("d"),
-        when(d < acc.getField("d"), lit(cell)).otherwise(acc.getField("c"))
-          .as("c"))
-    }.getField("c")
+    val ordered = cents.sortBy(_._1)
+    val dists = array(ordered.map { case (_, cv) =>
+      VF.l2(vec, typedLit(cv)) }: _*)
+    val cellIds = typedLit(ordered.map(_._1))
+    element_at(cellIds,
+      array_position(dists, array_min(dists)).cast("int"))
   }
 
   /** CDF-batch maintenance of a [[persist]] layout — the PLAID leg's
