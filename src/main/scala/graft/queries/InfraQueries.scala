@@ -5856,6 +5856,51 @@ object InfraQueries {
     * design, so a drift triage should read the phase map first. */
   val phases: Map[String, (SparkSession, String) => Map[String, Double]] =
     Map(
+      // the plaid synced cell re-persists the shared index and replays
+      // the CDF batch per run — the phase split separates that
+      // maintenance cost from the routed query itself
+      "ann_maxsim_plaid_synced" -> ((s, dir) => {
+        import graft.search.Plaid
+        import graft.index.ChangeLog
+        import graft.functions.TextExpressions
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val d = Tables.load(s, dir, "documents")
+          .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        val corpus = d.filter(col("doc_id") >= 3 && col("doc_id") < 120)
+          .select(col("doc_id"), col("text"))
+        def bags(df: DataFrame) = df
+          .select(col("doc_id"),
+            TextExpressions.wordShingles(col("text"), 3).as("shs"))
+          .select(col("doc_id"),
+            transform(col("shs"),
+              sh => TextExpressions.md5FeatureEmbed(sh, 16)).as("toks"))
+        val root = s"${System.getProperty("java.io.tmpdir")}" +
+          "/graft_plaidsync_ph/" + dir.replaceAll("[^0-9.]", "")
+        val (p, tb) = timed {
+          Plaid.persist(sharedPlaid(s, dir), root, docBuckets = 8)
+        }
+        val victims = corpus
+          .filter(col("doc_id") >= 20 && col("doc_id") < 40)
+        val changes = bags(victims)
+          .withColumn("__op", lit(ChangeLog.OpDelete))
+          .withColumn("__seq", lit(1L))
+          .unionByName(bags(victims)
+            .withColumn("__op", lit(ChangeLog.OpInsert))
+            .withColumn("__seq", lit(2L)))
+        val (_, ts) = timed {
+          Plaid.syncPersisted(s, p, changes, "doc_id", "toks")
+        }
+        val (_, tq) = timed {
+          Plaid.topKPersisted(s, p, "doc_id",
+            shingleToks(s, dir, 0L, 3L, queryWords = 5), "doc_id",
+            "ti", "tv", k = 5).collect()
+        }
+        Map("persist" -> tb, "sync" -> ts, "search" -> tq)
+      }),
       "ann_graph_sync_delete" -> ((s, dir) => {
         import graft.index.ChangeLog
         def timed[T](f: => T): (T, Double) = {
