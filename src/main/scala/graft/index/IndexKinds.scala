@@ -30,7 +30,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * `layered=true` with `m1`/`entryBuckets`/`l2Entries`/`l1Beam`/
   * `l1Hops` for the two-layer hierarchy (a coarse entry graph over
   * the `pk % entryMod` sample persisted beside the main layout —
-  * HNSW's upper layers, searched and synced together); hybrid
+  * HNSW's upper layers, searched and synced together), or
+  * `layers=N` (N >= 1) for the TRUE multi-layer HNSW with
+  * md5-geometric level pools (`lbase`/`mUpper`/`topEntries`/
+  * `upperBeam`/`upperHops`) — each layer its own bucket-pruned
+  * layout at `path + "_l" + l`, built, searched, synced and
+  * compacted through the same routed calls; hybrid
   * `textCol`/`buckets`/`n`; sq8 `c` (refine multiplier); pq/ivfpq
   * `m`/`codebookK`/`c` (+ivfpq `cells`/`nProbe`, both kinds
   * `trained=true` for k-means codebooks — ivfpq trains centroids
@@ -71,6 +76,19 @@ object IndexKinds {
       m = opt(meta, "m1", 4), buckets = opt(meta, "entryBuckets", 4))
   private def layered(meta: IndexMeta): Boolean =
     meta.options.get("layered").contains("true")
+  /** 0 = not multi-layer; N >= 1 routes the graph kind through the
+    * md5-geometric HNSW hierarchy. Mutually exclusive with `layered`
+    * (the two-layer modulo hierarchy). */
+  private def hnswLevels(meta: IndexMeta): Int = {
+    val n = opt(meta, "layers", 0)
+    require(n == 0 || !layered(meta),
+      "graph options 'layers' and 'layered' are mutually exclusive")
+    n
+  }
+  private def hnswHandleOf(meta: IndexMeta): GraphAnn.PersistedHnsw =
+    GraphAnn.hnswHandle(layoutPath(meta), m = opt(meta, "m", 6),
+      mUpper = opt(meta, "mUpper", 4), buckets = opt(meta, "buckets", 16),
+      base = opt(meta, "lbase", 5), levels = hnswLevels(meta))
   private def isTrained(meta: IndexMeta): Boolean =
     meta.options.get("trained").contains("true")
 
@@ -170,6 +188,15 @@ object IndexKinds {
       Ann.persistSignLsh(Ann.buildSignLsh(source, meta.vecCol,
         opt(meta, "tables", 8), opt(meta, "bits", 4)),
         meta.pkCol, meta.vecCol, layoutPath(meta))
+    case Graph if hnswLevels(meta) > 0 =>
+      // the true multi-layer HNSW configuration: every layer persists
+      // as its own bucket-pruned layout beside the main one
+      GraphAnn.persistHnsw(
+        GraphAnn.buildHnswExact(source, meta.vecCol, meta.pkCol,
+          m = opt(meta, "m", 6), mUpper = opt(meta, "mUpper", 4),
+          base = opt(meta, "lbase", 5), levels = hnswLevels(meta)),
+        layoutPath(meta), buckets = opt(meta, "buckets", 16))
+      writeCorpus(source, meta)
     case Graph =>
       GraphAnn.persistGraph(
         GraphAnn.buildGraphExact(source, meta.vecCol, meta.pkCol,
@@ -230,6 +257,16 @@ object IndexKinds {
           opt(meta, "bits", 4)),
         queries, queryIdCol, queryVecCol, meta.pkCol, meta.vecCol, k,
         metricOf(meta), rowFilter)
+    case Graph if hnswLevels(meta) > 0 =>
+      GraphAnn.queryPersistedHnsw(spark, hnswHandleOf(meta),
+        corpusTable(spark, meta), queries, queryIdCol, queryVecCol,
+        meta.pkCol, meta.vecCol, k, entries = opt(meta, "entries", 4),
+        beam = opt(meta, "beam", 4), hops = opt(meta, "hops", 3),
+        metric = metricOf(meta),
+        topEntries = opt(meta, "topEntries", 2),
+        upperBeam = opt(meta, "upperBeam", 3),
+        upperHops = opt(meta, "upperHops", 2),
+        rowFilter = rowFilter)
     case Graph if layered(meta) =>
       GraphAnn.queryPersistedGraphLayered(spark, graphHandle(meta),
         entryHandle(meta), corpusTable(spark, meta), queries,
@@ -289,7 +326,10 @@ object IndexKinds {
     case Graph =>
       // edge sync reads the PRE-change corpus (its pool), so it runs
       // before the corpus merge rewrites the side table
-      if (layered(meta))
+      if (hnswLevels(meta) > 0)
+        GraphAnn.syncPersistedHnsw(spark, hnswHandleOf(meta),
+          corpusTable(spark, meta), changes, meta.pkCol, meta.vecCol)
+      else if (layered(meta))
         GraphAnn.syncPersistedGraphLayered(spark, graphHandle(meta),
           entryHandle(meta), corpusTable(spark, meta), changes,
           meta.pkCol, meta.vecCol, optL(meta, "entryMod", 5L))
@@ -387,11 +427,23 @@ object IndexKinds {
         "vectors" -> PartitionedLayout.compact(spark, path,
           Seq("__dbkt"), maxFilesPerDir))
       case Graph =>
+        val ph =
+          if (hnswLevels(meta) > 0) Some(hnswHandleOf(meta)) else None
         val pruned =
           if (!reprune) Map.empty[String, Int]
           else {
             val corpus = corpusTable(spark, meta)
-            val entry =
+            val upper = ph.map { h =>
+              // each md5-gated layer re-prunes against its own pool —
+              // the gate is a pure function, so pool membership here
+              // matches build and sync exactly
+              h.uppers.zipWithIndex.map { case (pg, i) =>
+                s"prunedL${i + 1}" -> GraphAnn.repruneBuckets(spark, pg,
+                  corpus.filter(GraphAnn.hnswLevelGate(
+                    col(meta.pkCol), h.base, i + 1)),
+                  meta.pkCol, meta.vecCol)
+              }.toMap
+            }.getOrElse {
               if (layered(meta))
                 Map("entryPruned" -> GraphAnn.repruneBuckets(spark,
                   entryHandle(meta),
@@ -399,10 +451,15 @@ object IndexKinds {
                     col(meta.pkCol) % optL(meta, "entryMod", 5L) === 0),
                   meta.pkCol, meta.vecCol))
               else Map.empty[String, Int]
-            entry + ("pruned" -> GraphAnn.repruneBuckets(spark,
+            }
+            upper + ("pruned" -> GraphAnn.repruneBuckets(spark,
               graphHandle(meta), corpus, meta.pkCol, meta.vecCol))
           }
-        pruned ++ Map(
+        val upperCompact = ph.map(_.uppers.zipWithIndex.map {
+          case (pg, i) => s"edgesL${i + 1}" -> PartitionedLayout.compact(
+            spark, pg.path, Seq("__srcbucket"), maxFilesPerDir)
+        }.toMap).getOrElse(Map.empty[String, Int])
+        pruned ++ upperCompact ++ Map(
           "edges" -> PartitionedLayout.compact(spark, path,
             Seq("__srcbucket"), maxFilesPerDir),
           "corpus" -> PartitionedLayout.compact(spark, path + "_corpus",

@@ -811,26 +811,40 @@ object GraphOps {
         col(dstCol).cast("string").as("dst"))
       .filter(col("src") =!= col("dst")).distinct().flatCk
 
-  /** Multi-source ball growth over `e(src, dst)` from `start(v)`:
+  /** Multi-source ball growth over `e(src, dst)` — a forward closure
+    * from `startF(v)` AND a backward closure from `startB(v)` advanced
+    * in ONE round loop (the frontier carries a direction tag):
     * frontier-edge joins, known-set anti-joins, `localCheckpoint` per
-    * round, early exit on an empty frontier — node-bounded state,
-    * never an O(V²) closure. Returns (reached set INCLUDING the
-    * start, exhausted): `exhausted = false` means the round budget
-    * cut the closure short and reachability is TRUNCATED — callers
-    * must surface it (the coreness/kTruss convergence-pin
-    * convention), never classify silently off a partial ball. */
-  private def reachFrom(e: DataFrame, start: DataFrame, fwd: Boolean,
-      maxRounds: Int): (DataFrame, Boolean) = {
-    val (from, to) = if (fwd) ("src", "dst") else ("dst", "src")
-    var known = start.select(col("v")).distinct().flatCk
+    * round, early exit when both directions drain — node-bounded
+    * state, never an O(V²) closure, and one dedup/anti pass, one
+    * checkpoint and one emptiness probe per round instead of two of
+    * each (the reachTasks merge of [[scc]], for the bow-tie passes);
+    * the total round count is max(F-rounds, B-rounds), not their sum.
+    * An empty seed on either side drains that direction immediately
+    * and costs nothing. Returns ((v, d) with d ∈ {F, B}, both sets
+    * INCLUDING their starts, exhausted-both): `exhausted = false`
+    * means the round budget cut a closure short and reachability is
+    * TRUNCATED — callers must surface it (the coreness/kTruss
+    * convergence-pin convention), never classify silently off a
+    * partial ball. */
+  private def reachPair(e: DataFrame, startF: DataFrame,
+      startB: DataFrame, maxRounds: Int): (DataFrame, Boolean) = {
+    var known = startF.select(col("v")).distinct().withColumn("d", lit("F"))
+      .unionByName(
+        startB.select(col("v")).distinct().withColumn("d", lit("B")))
+      .flatCk
     var frontier = known
     var round = 0
     var exhausted = false
     while (round < maxRounds && !exhausted) {
-      val next = frontier.join(e, frontier("v") === e(from))
-        .select(col(to).as("v")).distinct()
-        .join(known.withColumnRenamed("v", "__k"),
-          col("v") === col("__k"), "left_anti")
+      val nf = frontier.filter(col("d") === "F")
+        .join(e, col("v") === col("src"))
+        .select(col("dst").as("v"), col("d"))
+      val nb = frontier.filter(col("d") === "B")
+        .join(e, col("v") === col("dst"))
+        .select(col("src").as("v"), col("d"))
+      val next = nf.unionByName(nb).distinct()
+        .join(known, Seq("v", "d"), "left_anti")
         .flatCk
       if (next.isEmpty) exhausted = true
       else {
@@ -862,10 +876,11 @@ object GraphOps {
       pivot: String, maxRounds: Int = 30): DataFrame = {
     val e = stringEdges(edges, srcCol, dstCol)
     val start = e.sparkSession.range(1).select(lit(pivot).as("v"))
-    val (f0, fx) = reachFrom(e, start, fwd = true, maxRounds)
-    val (b0, bx) = reachFrom(e, start, fwd = false, maxRounds)
-    val f = f0.withColumn("__f", lit(true))
-    val b = b0.withColumn("__b", lit(true))
+    val (fb0, fbOk) = reachPair(e, start, start, maxRounds)
+    val f = fb0.filter(col("d") === "F").select("v")
+      .withColumn("__f", lit(true))
+    val b = fb0.filter(col("d") === "B").select("v")
+      .withColumn("__b", lit(true))
     val nodes = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v"))).distinct()
     nodes.join(f, Seq("v"), "left").join(b, Seq("v"), "left")
@@ -874,7 +889,7 @@ object GraphOps {
           .when(col("__b"), lit("in"))
           .when(col("__f"), lit("out"))
           .otherwise(lit("other")).as("cls"))
-      .withColumn("converged", lit(fx && bx))
+      .withColumn("converged", lit(fbOk))
   }
 
   /** Broder's FULL bow-tie: the second reach pass that splits
@@ -900,13 +915,13 @@ object GraphOps {
     val e = stringEdges(edges, srcCol, dstCol)
     val base = bowTie(edges, srcCol, dstCol, pivot, maxRounds)
       .flatCk
-    val (fi0, fix) = reachFrom(e,
-      base.filter(col("cls") === "in").select("v"), fwd = true, maxRounds)
-    val (bo0, box) = reachFrom(e,
-      base.filter(col("cls") === "out").select("v"), fwd = false,
-      maxRounds)
-    val fi = fi0.withColumn("__fi", lit(true))
-    val bo = bo0.withColumn("__bo", lit(true))
+    val (fb2, fb2Ok) = reachPair(e,
+      base.filter(col("cls") === "in").select("v"),
+      base.filter(col("cls") === "out").select("v"), maxRounds)
+    val fi = fb2.filter(col("d") === "F").select("v")
+      .withColumn("__fi", lit(true))
+    val bo = fb2.filter(col("d") === "B").select("v")
+      .withColumn("__bo", lit(true))
     base.join(fi, Seq("v"), "left").join(bo, Seq("v"), "left")
       .select(col("v"),
         when(col("cls") =!= "other", col("cls"))
@@ -914,7 +929,7 @@ object GraphOps {
           .when(col("__fi"), lit("tendril_in"))
           .when(col("__bo"), lit("tendril_out"))
           .otherwise(lit("disconnected")).as("cls"),
-        (col("converged") && lit(fix && box)).as("converged"))
+        (col("converged") && lit(fb2Ok)).as("converged"))
   }
 
   /** Full strongly-connected-component labeling by ITERATED FW-BW
@@ -950,19 +965,30 @@ object GraphOps {
     var level = 0
     var truncated = false
     // constrained multi-source closure: per-task pivot balls that
-    // never leave their own cut set (the semi-join on (task, v))
-    def reachTasks(pivots: DataFrame, fwd: Boolean): DataFrame = {
-      val (from, to) = if (fwd) ("src", "dst") else ("dst", "src")
-      var known = pivots.select(col("task"), col("p").as("v"))
-        .flatCk
+    // never leave their own cut set (the semi-join on (task, v)).
+    // BOTH directions advance inside ONE round loop (the frontier
+    // carries a direction tag): one frontier-edge union, one
+    // dedup/semi/anti pass, one checkpoint and one emptiness probe
+    // per round instead of two of each, and the level's round count
+    // is max(F-rounds, B-rounds) rather than their sum — the same
+    // reachability sets with roughly half the per-level job storm.
+    def reachTasks(pivots: DataFrame): DataFrame = {
+      val seed = pivots.select(col("task"), col("p").as("v"))
+      var known = seed.withColumn("d", lit("F"))
+        .unionByName(seed.withColumn("d", lit("B"))).flatCk
       var frontier = known
       var round = 0
       var exhausted = false
       while (round < maxRounds && !exhausted) {
-        val next = frontier.join(e, frontier("v") === e(from))
-          .select(col("task"), col(to).as("v")).distinct()
+        val nf = frontier.filter(col("d") === "F")
+          .join(e, col("v") === col("src"))
+          .select(col("task"), col("dst").as("v"), col("d"))
+        val nb = frontier.filter(col("d") === "B")
+          .join(e, col("v") === col("dst"))
+          .select(col("task"), col("src").as("v"), col("d"))
+        val next = nf.unionByName(nb).distinct()
           .join(pending, Seq("task", "v"), "left_semi")
-          .join(known, Seq("task", "v"), "left_anti")
+          .join(known, Seq("task", "v", "d"), "left_anti")
           .flatCk
         if (next.isEmpty) exhausted = true
         else {
@@ -977,8 +1003,11 @@ object GraphOps {
     while (level < maxLevels && !pending.isEmpty) {
       val pivots = pending.groupBy("task").agg(min("v").as("p"))
         .flatCk
-      val f = reachTasks(pivots, fwd = true).withColumn("__f", lit(true))
-      val b = reachTasks(pivots, fwd = false).withColumn("__b", lit(true))
+      val fb = reachTasks(pivots)
+      val f = fb.filter(col("d") === "F").select("task", "v")
+        .withColumn("__f", lit(true))
+      val b = fb.filter(col("d") === "B").select("task", "v")
+        .withColumn("__b", lit(true))
       val cls = pending
         .join(f, Seq("task", "v"), "left")
         .join(b, Seq("task", "v"), "left")

@@ -139,6 +139,50 @@ object FacadeQueries {
       rankCols(idx.search(e.filter(col("vec_id") < 5),
         "vec_id", "embedding", 3))
     }),
+    // graph kind, layers=2: the TRUE multi-layer HNSW behind the one
+    // entry point — md5-geometric level pools, every layer its own
+    // bucket-pruned layout, the routed call descends top pool → L2
+    // walk → L1 walk → full layer-0 search. Same knobs as the direct
+    // ann_graph_hnsw leg, whose oracle it reuses verbatim.
+    "facade_route_graph_hnsw" -> ((s, dir) => {
+      val vs = new VectorSearch(s, root("ghnsw", dir))
+      vs.createEndpoint("ep")
+      val idx = vs.createDeltaSyncIndex("ep",
+        emb(s, dir).filter(col("vec_id") >= 5 && col("vec_id") < 1000),
+        "facade_ghnsw", "vec_id", "embedding", 64, "graph",
+        Map("layers" -> "2", "lbase" -> "5", "m" -> "6",
+          "mUpper" -> "4", "buckets" -> "16", "entries" -> "4",
+          "beam" -> "4", "hops" -> "3", "topEntries" -> "2",
+          "upperBeam" -> "3", "upperHops" -> "2", "metric" -> "l2"))
+      rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3))
+    }),
+    // multi-layer HNSW SYNCED: create on [15,600), route a CDF insert
+    // batch of [10,15) through the facade sync — none of those ids
+    // pass the md5 level-1 gate (the pure-function membership check),
+    // so the batch lands m-NN + reverse edges on layer 0 while both
+    // upper layouts stay byte-identical; the descent then runs over
+    // the merged corpus. The oracle derives from the hnsw replay with
+    // the corpus swapped to initial ∪ batch and layer-0 edges to
+    // base ∪ the insert replay (the ann_graph_synced pattern).
+    "facade_route_graph_hnsw_synced" -> ((s, dir) => {
+      import graft.index.ChangeLog
+      val e = emb(s, dir)
+      val vs = new VectorSearch(s, root("ghnsw_sync", dir))
+      vs.createEndpoint("ep")
+      val idx = vs.createDeltaSyncIndex("ep",
+        e.filter(col("vec_id") >= 15 && col("vec_id") < 600),
+        "facade_ghnsw_sync", "vec_id", "embedding", 64, "graph",
+        Map("layers" -> "2", "lbase" -> "5", "m" -> "6",
+          "mUpper" -> "4", "buckets" -> "16", "entries" -> "4",
+          "beam" -> "4", "hops" -> "3", "topEntries" -> "2",
+          "upperBeam" -> "3", "upperHops" -> "2", "metric" -> "l2"))
+      idx.sync(e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+        .withColumn("__op", lit(ChangeLog.OpInsert))
+        .withColumn("__seq", lit(1L)))
+      rankCols(idx.search(e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3))
+    }),
     // sq8 kind: the routed call scans the persisted byte-code file and
     // refines the k·c survivors on the full vectors — hash-equal to
     // the direct Sq8.rerankPersisted leg (frozen stats reloaded from
@@ -305,6 +349,52 @@ object FacadeQueries {
             "vec_id", "embedding", 3).count()
         }
         Map("build" -> build, "search" -> search)
+      }),
+      // the hnsw facade cells build a whole 3-layer hierarchy inside
+      // the timed query (the O(n²) exact layer-0 build dominates) —
+      // split build from the routed descent they actually measure
+      "facade_route_graph_hnsw" -> ((s, dir) => {
+        val vs = new VectorSearch(s, root("ghnsw_ph", dir))
+        vs.createEndpoint("ep")
+        val (idx, build) = timedPh {
+          vs.createDeltaSyncIndex("ep",
+            emb(s, dir).filter(col("vec_id") >= 5 && col("vec_id") < 1000),
+            "facade_ghnsw_ph", "vec_id", "embedding", 64, "graph",
+            Map("layers" -> "2", "lbase" -> "5", "m" -> "6",
+              "mUpper" -> "4", "buckets" -> "16", "entries" -> "4",
+              "beam" -> "4", "hops" -> "3", "topEntries" -> "2",
+              "upperBeam" -> "3", "upperHops" -> "2", "metric" -> "l2"))
+        }
+        val (_, search) = timedPh {
+          idx.search(emb(s, dir).filter(col("vec_id") < 5),
+            "vec_id", "embedding", 3).count()
+        }
+        Map("build" -> build, "search" -> search)
+      }),
+      "facade_route_graph_hnsw_synced" -> ((s, dir) => {
+        import graft.index.ChangeLog
+        val e = emb(s, dir)
+        val vs = new VectorSearch(s, root("ghnsw_sync_ph", dir))
+        vs.createEndpoint("ep")
+        val (idx, build) = timedPh {
+          vs.createDeltaSyncIndex("ep",
+            e.filter(col("vec_id") >= 15 && col("vec_id") < 600),
+            "facade_ghnsw_sync_ph", "vec_id", "embedding", 64, "graph",
+            Map("layers" -> "2", "lbase" -> "5", "m" -> "6",
+              "mUpper" -> "4", "buckets" -> "16", "entries" -> "4",
+              "beam" -> "4", "hops" -> "3", "topEntries" -> "2",
+              "upperBeam" -> "3", "upperHops" -> "2", "metric" -> "l2"))
+        }
+        val (_, sync) = timedPh {
+          idx.sync(e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+            .withColumn("__op", lit(ChangeLog.OpInsert))
+            .withColumn("__seq", lit(1L)))
+        }
+        val (_, search) = timedPh {
+          idx.search(e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", 3).count()
+        }
+        Map("build" -> build, "sync" -> sync, "search" -> search)
       }),
       // the synced graph cell is build-dominated by ITS OWN private
       // index (sync mutates, so it can never share a layout) — split
@@ -479,9 +569,69 @@ object FacadeQueries {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Textual derivation with guarded anchors (the InfraQueries
+    * derivedSql discipline): a moved anchor fails loudly instead of
+    * silently yielding the base replay. */
+  private def derived(base: String, edits: (String, String)*): String =
+    edits.foldLeft(base) { case (sql, (anchor, repl)) =>
+      require(sql.contains(anchor), s"oracle anchor '${anchor.take(40)}…' moved")
+      sql.replace(anchor, repl)
+    }
+
+  /** The hnsw replay with the corpus split into initial ∪ insert batch
+    * and layer-0 edges into base ∪ the sync replay (m-NN of each new
+    * node into the post-change pool, plus reverse edges) — the
+    * ann_graph_synced pattern lifted onto the multi-layer descent. The
+    * upper-layer CTEs derive unchanged: no batch id passes the level-1
+    * gate, so the post-sync gated pools equal the build pools. */
+  private lazy val hnswSyncedSql: String = derived(
+    InfraQueries.oracleSql("ann_graph_hnsw_topk"),
+    """corpus AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE vec_id >= 5 AND vec_id < 1000),""".stripMargin ->
+      """initial AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id >= 15 AND vec_id < 600),
+        |newb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id >= 10 AND vec_id < 15),
+        |corpus AS (
+        |  SELECT * FROM initial UNION ALL SELECT * FROM newb),""".stripMargin,
+    """edges AS (
+      |  SELECT src, dst FROM (
+      |    SELECT a.vec_id AS src, b.vec_id AS dst,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY list_distance(a.v, b.v), b.vec_id) AS rn
+      |    FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id)
+      |  WHERE rn <= 6),""".stripMargin ->
+      """base_edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vec_id AS src, b.vec_id AS dst,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_distance(a.v, b.v), b.vec_id) AS rn
+        |    FROM initial a JOIN initial b ON a.vec_id <> b.vec_id)
+        |  WHERE rn <= 6),
+        |new_sel AS (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vec_id AS src, b.vec_id AS dst,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_distance(a.v, b.v), b.vec_id) AS rn
+        |    FROM newb a JOIN corpus b ON a.vec_id <> b.vec_id)
+        |  WHERE rn <= 6),
+        |edges AS (
+        |  SELECT src, dst FROM base_edges
+        |  UNION ALL
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst FROM new_sel
+        |    UNION
+        |    SELECT dst AS src, src AS dst FROM new_sel)),""".stripMargin)
+
   /** Routed results are hash-equal to the direct legs by construction,
     * so every entry reuses the direct leg's oracle verbatim. */
   val oracleSql: Map[String, String] = Map(
+    "facade_route_graph_hnsw" ->
+      InfraQueries.oracleSql("ann_graph_hnsw_topk"),
+    "facade_route_graph_hnsw_synced" -> hnswSyncedSql,
     "facade_route_exact" -> VectorQueries.oracleSql("knn_batch_topk"),
     "facade_route_ivf" -> InfraQueries.oracleSql("ann_ivf_topk"),
     "facade_route_filtered" -> InfraQueries.oracleSql("ann_ivf_filtered"),

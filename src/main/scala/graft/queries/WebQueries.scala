@@ -2747,6 +2747,28 @@ object WebQueries {
         .groupBy("root").agg(count(lit(1)).as("n_edges"))
       sizes.join(edgeCounts, "root").orderBy("root")
     }),
+    // Synchronous LPA on the 3-ISLAND host graph (the components
+    // fixture) — the second LPA fixture, and the documented failure
+    // mode made visible: the seed-frontier edges are near-bipartite
+    // (crawled hosts point at target hosts), so min-label LPA
+    // 2-CYCLES — every node's label alternates with period 2 and the
+    // fixpoint never lands. The engine must run exactly maxRounds
+    // rounds and surface `converged = false` (never spin, never
+    // claim a community assignment it doesn't have); the oracle
+    // replays the same 6 rounds as chained CTEs and pins FALSE.
+    // The dense domain-graph fixture (web_graph_lpa) covers the
+    // converging side of the contract.
+    "web_graph_lpa_hosts" -> ((s, dir) => {
+      val he = docs(s, dir)
+        .filter(col("doc_id") < 25)
+        .select(srcDomainCol.as("ha"),
+          UrlOps.host(element_at(HtmlOps.links(htmlCol), 1)).as("hb"))
+        .filter(col("ha") =!= col("hb"))
+        .distinct()
+      GraphOps.labelPropagation(he, "ha", "hb", maxRounds = 6)
+        .select(col("v").as("host"), col("community"), col("converged"))
+        .orderBy("host")
+    }),
     // Link-rel governance: nofollow links must not count as
     // endorsements in the link graph — per-domain endorsement rollup
     // (total vs followed links).
@@ -4057,6 +4079,45 @@ object WebQueries {
       |$rounds
       |SELECT v AS domain, lbl AS community, TRUE AS converged
       |FROM l6 ORDER BY domain""".stripMargin
+  }
+
+  /** Host-graph LPA replay: the components fixture's first-outlink
+    * edge fold, then the SAME 6 unrolled min-label rounds as
+    * [[webGraphLpaSql]] — but this graph is near-bipartite, so the
+    * rounds 2-CYCLE and the replay pins `converged = FALSE` (the
+    * engine runs exactly maxRounds and reports the miss; labels at
+    * round 6 are still a pure function of the graph). */
+  private lazy val webGraphLpaHostsSql: String = {
+    val rounds = (1 to 6).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT v, lbl FROM (
+         |    SELECT v, lbl,
+         |      row_number() OVER (PARTITION BY v
+         |        ORDER BY c DESC, lbl) AS rn
+         |    FROM (SELECT u.a AS v, l.lbl, count(*) AS c
+         |          FROM u0 u JOIN l${i - 1} l ON l.v = u.b
+         |          GROUP BY u.a, l.lbl))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $htmlCtes,
+      |f AS (
+      |  SELECT doc_id,
+      |    regexp_extract(html, '(?i)href\\s*=\\s*["'']([^"'']+)["'']', 1)
+      |      AS url
+      |  FROM h WHERE doc_id < 25),
+      |hb AS (SELECT doc_id, $hostExpr AS b FROM f),
+      |he AS (
+      |  SELECT DISTINCT a, b FROM (
+      |    SELECT 'dom' || CAST(doc_id % 8 AS VARCHAR) || '.' ||
+      |      (CASE (doc_id % 8) % 3 WHEN 0 THEN 'com'
+      |         WHEN 1 THEN 'org' ELSE 'co.uk' END) AS a, b
+      |    FROM hb) WHERE a <> b),
+      |u0 AS (SELECT DISTINCT a, b FROM (
+      |  SELECT a, b FROM he UNION ALL SELECT b, a FROM he)),
+      |l0 AS (SELECT v, v AS lbl FROM (SELECT DISTINCT a AS v FROM u0)),
+      |$rounds
+      |SELECT v AS host, lbl AS community, FALSE AS converged
+      |FROM l6 ORDER BY host""".stripMargin
   }
 
   private lazy val webGraphDistanceDistSql: String =
@@ -5686,6 +5747,7 @@ object WebQueries {
     "web_graph_scc" -> webGraphSccSql,
     "web_graph_hyperball" -> webGraphHyperballSql,
     "web_graph_lpa" -> webGraphLpaSql,
+    "web_graph_lpa_hosts" -> webGraphLpaHostsSql,
     "web_graph_distance_dist" -> webGraphDistanceDistSql,
     "web_graph_diameter_est" -> webGraphDiameterSql,
     "web_graph_trustrank" -> webGraphTrustrankSql,

@@ -305,6 +305,23 @@ object GraphAnn {
   final case class PersistedHnsw(layer0: PersistedGraph,
       uppers: Seq[PersistedGraph], base: Int)
 
+  /** Bucket count for upper layer `l` of a [[persistHnsw]] layout:
+    * pools shrink `base^l`×, so the bucket fan shrinks 4× per level
+    * (floored at 4 dirs to keep writes parallel). One formula shared
+    * by the writer and [[hnswHandle]] — a reader reconstructing the
+    * handle from parameters can never disagree with the layout. */
+  def hnswUpperBuckets(buckets: Int, l: Int): Int =
+    math.max(4, buckets >> (2 * l))
+
+  /** Reconstruct a [[PersistedHnsw]] handle from the layout's frozen
+    * parameters (the façade's routing path — it stores parameters in
+    * the index meta, not handles). Must mirror [[persistHnsw]]. */
+  def hnswHandle(path: String, m: Int, mUpper: Int, buckets: Int,
+      base: Int, levels: Int): PersistedHnsw =
+    PersistedHnsw(PersistedGraph(path, m, buckets),
+      (1 to levels).map(l => PersistedGraph(s"${path}_l$l", mUpper,
+        hnswUpperBuckets(buckets, l))), base)
+
   /** Persist every layer of a [[HnswGraphs]] as its own
     * bucket-partitioned layout: each layer's hops prune to their
     * frontier's buckets exactly like the flat graph's, and upper
@@ -314,9 +331,31 @@ object GraphAnn {
     val l0 = persistGraph(g.layer0, path, buckets)
     val uppers = g.uppers.zipWithIndex.map { case (ug, i) =>
       persistGraph(ug, s"${path}_l${i + 1}",
-        math.max(4, buckets >> (2 * (i + 1))))
+        hnswUpperBuckets(buckets, i + 1))
     }
     PersistedHnsw(l0, uppers, g.base)
+  }
+
+  /** CDF-batch maintenance for a [[persistHnsw]] hierarchy —
+    * [[syncPersistedGraphLayered]] generalized to the md5-geometric
+    * pools: layer 0 takes the whole batch; upper layer `l` takes the
+    * [[hnswLevelGate]]-passing slice against its own gated pool.
+    * Because level membership is a PURE FUNCTION of the id (not a
+    * stored random draw), the slice a node syncs into is exactly the
+    * slice a fresh build would place it in — no level bookkeeping
+    * travels with the batch, and a node's delete tombstones every
+    * layer it lives on. Per-layer cost shrinks base^l× with the pool,
+    * so the whole hierarchy syncs for ~1/(base−1) over the flat cost. */
+  def syncPersistedHnsw(spark: SparkSession, ph: PersistedHnsw,
+      existing: DataFrame, changes: DataFrame, pkCol: String,
+      vecCol: String): Unit = {
+    syncPersistedGraphChanges(spark, ph.layer0, existing, changes,
+      pkCol, vecCol)
+    ph.uppers.zipWithIndex.foreach { case (pg, i) =>
+      val gate = hnswLevelGate(col(pkCol), ph.base, i + 1)
+      syncPersistedGraphChanges(spark, pg, existing.filter(gate),
+        changes.filter(gate), pkCol, vecCol)
+    }
   }
 
   /** [[queryHnsw]] with EVERY layer on disk — identical answers by
@@ -329,7 +368,8 @@ object GraphAnn {
       metric: Metric = Metric.L2, topEntries: Int = 2,
       upperBeam: Int = 3, upperHops: Int = 2,
       statePartitions: Int = 4,
-      materializeCorpus: Boolean = true): DataFrame = {
+      materializeCorpus: Boolean = true,
+      rowFilter: Option[Column] = None): DataFrame = {
     val levels = ph.uppers.size
     def pool(l: Int) = corpus.filter(
       hnswLevelGate(col(corpusPkCol), ph.base, l))
@@ -344,10 +384,13 @@ object GraphAnn {
           seedIds = Some(seeds))
         .select(col("query_id"), col(corpusPkCol).as("__nid"))
     }
+    // the metadata predicate applies at the layer-0 rank only — upper
+    // walks pick entry points, the walk-unfiltered/rank-filtered
+    // contract shared with queryPersistedGraphLayered
     queryPersistedGraph(spark, ph.layer0, corpus, queries, queryIdCol,
       queryVecCol, corpusPkCol, corpusVecCol, k, entries = 0, beam,
       hops, metric, entryMod = 0L, statePartitions, materializeCorpus,
-      seedIds = Some(seeds))
+      seedIds = Some(seeds), rowFilter = rowFilter)
   }
 
   /** The shared best-first loop. `edgesFor(frontier)` supplies the edge

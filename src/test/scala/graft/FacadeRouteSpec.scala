@@ -117,6 +117,38 @@ class FacadeRouteSpec extends SparkSpec {
         .select("vec_id").as[Long].collect().toSeq)
   }
 
+  test("graph kind with layers=N builds, searches and compacts every " +
+      "md5-gated layer as its own layout behind the routed call") {
+    import graft.search.GraphAnn
+    val idx = mkIndex("plan_hnsw", "graph",
+      Map("layers" -> "2", "lbase" -> "5", "m" -> "6", "mUpper" -> "4",
+        "buckets" -> "16", "entries" -> "4", "beam" -> "4",
+        "hops" -> "3", "topEntries" -> "2", "upperBeam" -> "3",
+        "upperHops" -> "2", "metric" -> "l2"))
+    val path = IndexKinds.layoutPath(idx.meta)
+    assert(new java.io.File(path + "_l1").exists()
+      && new java.io.File(path + "_l2").exists(),
+      "each upper layer persists beside the main layout")
+    val routed = idx.search(queries, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val direct = GraphAnn.queryPersistedHnsw(spark,
+      GraphAnn.hnswHandle(path, m = 6, mUpper = 4, buckets = 16,
+        base = 5, levels = 2),
+      corpus, queries, "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, entries = 4, beam = 4, hops = 3,
+      graft.functions.Metric.L2, topEntries = 2, upperBeam = 3,
+      upperHops = 2)
+      .select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(routed === direct,
+      "the routed descent must equal the direct persisted-hnsw leg")
+    val touched = idx.optimize()
+    assert(Set("edges", "edgesL1", "edgesL2", "corpus")
+      .subsetOf(touched.keySet),
+      s"optimize must compact every layer: $touched")
+  }
+
   test("similaritySearch returns the requested columns plus score on " +
       "a routed kind, ranked like the exact kind") {
     val ivf = mkIndex("cols_ivf", "ivf",

@@ -133,6 +133,70 @@ class GraphAnnSpec extends SparkSpec {
       "persisted multi-layer descent must equal the in-memory one")
   }
 
+  test("syncPersistedHnsw routes the batch per md5-gated layer; " +
+    "deletes tombstone every layer a node lives on") {
+    import graft.index.ChangeLog
+    val initial = corpus.filter($"vec_id" < 440)
+    val batch = emb.filter($"vec_id" >= 440)
+    val gate1 = GraphAnn.hnswLevelGate($"vec_id", 5, 1)
+    val batchL1 = batch.filter(gate1).select("vec_id").as[Long]
+      .collect().toSet
+    assert(batchL1.nonEmpty, "fixture needs gate-passing batch ids")
+    val g = GraphAnn.buildHnswExact(initial, "embedding", "vec_id",
+      m = 6, mUpper = 4, base = 5, levels = 1)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_sync")
+      .toString + "/g"
+    val ph = GraphAnn.persistHnsw(g, dir, buckets = 16)
+    val changes = batch
+      .withColumn("__op", lit(ChangeLog.OpInsert))
+      .withColumn("__seq", lit(1L))
+    GraphAnn.syncPersistedHnsw(spark, ph, initial, changes, "vec_id",
+      "embedding")
+    // layer 0 gained out-edges for EVERY batch id; the upper layout
+    // for exactly the gate-passing slice (membership is a pure
+    // function of the id — same slice a fresh build would draw)
+    val l0Srcs = spark.read.parquet(dir).select("__src").as[Long]
+      .collect().toSet
+    val l1Srcs = spark.read.parquet(dir + "_l1").select("__src")
+      .as[Long].collect().toSet
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
+    assert(batchIds.subsetOf(l0Srcs))
+    assert(batchL1.subsetOf(l1Srcs))
+    assert((batchIds -- batchL1).forall(!l1Srcs.contains(_)),
+      "non-gated batch ids must not reach the upper layout")
+    // the synced persisted descent ≡ the in-memory descent over the
+    // layouts' own (tombstone-filtered) edge sets
+    val merged = emb.filter($"vec_id" >= 10)
+    val memG = GraphAnn.HnswGraphs(
+      GraphAnn.loadGraph(spark, ph.layer0),
+      ph.uppers.map(GraphAnn.loadGraph(spark, _)), ph.base)
+    val disk = GraphAnn.queryPersistedHnsw(spark, ph, merged, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, entries = 4,
+      beam = 4, hops = 3, Metric.L2)
+    val mem = GraphAnn.queryHnsw(memG, merged, queries, "vec_id",
+      "embedding", "vec_id", "embedding", k = 3, entries = 4, beam = 4,
+      hops = 3, Metric.L2)
+    assert(topkMap(disk) === topkMap(mem))
+    // delete a gate-passing id: tombstoned on BOTH layers, gone from
+    // results even off a stale corpus snapshot
+    val victim = batchL1.min
+    GraphAnn.syncPersistedHnsw(spark, ph, merged,
+      emb.filter($"vec_id" === victim)
+        .withColumn("__op", lit(ChangeLog.OpDelete))
+        .withColumn("__seq", lit(2L)),
+      "vec_id", "embedding")
+    Seq(ph.layer0, ph.uppers.head).foreach { pg =>
+      val t = GraphAnn.loadTombstones(spark, pg)
+      assert(t.isDefined &&
+        t.get.filter(col("__id") === victim).count() === 1L,
+        s"victim must tombstone layer at ${pg.path}")
+    }
+    val after = GraphAnn.queryPersistedHnsw(spark, ph, merged, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, entries = 4,
+      beam = 4, hops = 3, Metric.L2)
+    assert(after.filter($"vec_id" === victim).count() === 0L)
+  }
+
   test("multi-layer HNSW is deterministic run to run") {
     val g = GraphAnn.buildHnswExact(corpus, "embedding", "vec_id",
       m = 6, mUpper = 4, base = 5, levels = 2)
