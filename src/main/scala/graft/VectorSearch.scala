@@ -177,7 +177,11 @@ final class Index(spark: SparkSession, underlying: VectorIndex,
     * layout ([[graft.index.IndexKinds]]) — same call, pruned plan. */
   def similaritySearch(columns: Seq[String], queryVector: Seq[Float],
       numResults: Int, filters: Map[String, Any]): DataFrame =
-    if (meta.kind == IndexKinds.Exact)
+    if (IndexKinds.isMultiVector(meta.kind))
+      throw new IllegalArgumentException(
+        s"kind '${meta.kind}' indexes token bags — query through " +
+          "search() with a bag column, not a single query vector")
+    else if (meta.kind == IndexKinds.Exact)
       Knn.singleQuery(
         filterPred(filters).map(underlying.read(spark).filter)
           .getOrElse(underlying.read(spark)),

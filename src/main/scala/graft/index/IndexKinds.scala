@@ -1,7 +1,7 @@
 package graft.index
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import graft.search.{Ann, GraphAnn, Hybrid, Knn, Pq, Sq8}
+import graft.search.{Ann, GraphAnn, Hybrid, Knn, Plaid, Pq, Sq8}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -39,7 +39,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * `textCol`/`buckets`/`n`; sq8 `c` (refine multiplier); pq/ivfpq
   * `m`/`codebookK`/`c` (+ivfpq `cells`/`nProbe`, both kinds
   * `trained=true` for k-means codebooks — ivfpq trains centroids
-  * too). The graph/hybrid `_corpus` side table is pk-hash-bucketed
+  * too); plaid `cells`/`nProbe`/`c`/`m`/`pqK`/`iters`/`sampleN`/
+  * `docBuckets` — the MULTI-VECTOR kind: `vecCol` holds token bags
+  * (`array<array<float>>`), the layout is the centroid-routed PLAID
+  * store ([[graft.search.Plaid]]) and the routed search takes
+  * token-bag queries. The graph/hybrid `_corpus` side table is pk-hash-bucketed
   * (`corpusBuckets`, default 32) so CDF syncs rewrite only touched
   * dirs, never the whole corpus.
   */
@@ -53,8 +57,16 @@ object IndexKinds {
   val Sq8Kind = "sq8"
   val PqKind = "pq"
   val IvfPqKind = "ivfpq"
+  val PlaidKind = "plaid"
   val All: Set[String] =
-    Set(Exact, Ivf, SignLsh, Graph, HybridKind, Sq8Kind, PqKind, IvfPqKind)
+    Set(Exact, Ivf, SignLsh, Graph, HybridKind, Sq8Kind, PqKind, IvfPqKind,
+      PlaidKind)
+
+  /** Multi-vector kinds index TOKEN BAGS (`array<array<float>>` in
+    * `vecCol` — late-interaction retrieval): the exact artifact stores
+    * raw bags instead of a normalized vector copy, and the routed
+    * search takes token-bag queries. */
+  def isMultiVector(kind: String): Boolean = kind == PlaidKind
 
   def layoutPath(meta: IndexMeta): String = s"${meta.path}__${meta.kind}"
 
@@ -85,6 +97,21 @@ object IndexKinds {
       "graph options 'layers' and 'layered' are mutually exclusive")
     n
   }
+  /** Explode a bag table to the PLAID token shape: `(pk, __pi, __tv)`
+    * with `__pi` = the token's POSITION in its bag — an integral,
+    * replayable token index (bags are ordered, so position is a pure
+    * function of the row; no content hash travels with the layout). */
+  private def explodeBags(bags: DataFrame, pkCol: String,
+      vecCol: String): DataFrame =
+    bags.filter(col(vecCol).isNotNull)
+      .select(col(pkCol), posexplode(col(vecCol)).as(Seq("__pi", "__tv")))
+
+  private def plaidParams(meta: IndexMeta): Plaid.Params =
+    Plaid.Params(cells = opt(meta, "cells", 8),
+      nProbe = opt(meta, "nProbe", 2), c = opt(meta, "c", 4),
+      m = opt(meta, "m", 4), pqK = opt(meta, "pqK", 8),
+      iters = opt(meta, "iters", 2), sampleN = opt(meta, "sampleN", 64))
+
   private def hnswHandleOf(meta: IndexMeta): GraphAnn.PersistedHnsw =
     GraphAnn.hnswHandle(layoutPath(meta), m = opt(meta, "m", 6),
       mUpper = opt(meta, "mUpper", 4), buckets = opt(meta, "buckets", 16),
@@ -128,6 +155,10 @@ object IndexKinds {
         spark.read.parquet(layoutPath(meta) + "_corpus").drop("__cbkt")
       case Sq8Kind =>
         spark.read.parquet(layoutPath(meta)).drop("__dbkt")
+      case PlaidKind =>
+        // the bag artifact IS the corpus (the coded store and _docs
+        // twin hold exploded tokens, not rows)
+        spark.read.parquet(meta.path).drop("__norm")
       case PqKind | IvfPqKind =>
         val t = spark.read.parquet(layoutPath(meta))
         t.drop(t.columns.filter(Set("__cell", "__subcell", "__codes")): _*)
@@ -217,6 +248,15 @@ object IndexKinds {
       Hybrid.persistPostings(source, meta.pkCol, textColOf(meta),
         layoutPath(meta), buckets = opt(meta, "buckets", 32))
       writeCorpus(source, meta)
+    case PlaidKind =>
+      // late-interaction kind: the source's vecCol holds TOKEN BAGS;
+      // the build trains token centroids + residual codebooks and
+      // persists the cell-partitioned coded store with its pk-hash
+      // _docs twin (Plaid.persist's frozen-quantizer contract)
+      Plaid.persist(
+        Plaid.build(explodeBags(source, meta.pkCol, meta.vecCol),
+          meta.pkCol, "__pi", "__tv", plaidParams(meta)),
+        layoutPath(meta), docBuckets = opt(meta, "docBuckets", 8))
     case other =>
       throw new IllegalArgumentException(s"unknown index kind '$other'")
   }
@@ -284,6 +324,16 @@ object IndexKinds {
         beam = opt(meta, "beam", 4), hops = opt(meta, "hops", 3),
         metric = metricOf(meta), entryMod = optL(meta, "entryMod", 0L),
         rowFilter = rowFilter)
+    case PlaidKind =>
+      // token-bag queries through the routed call: each query row's
+      // vecCol is a bag; metadata filters don't apply to the
+      // late-interaction legs (no row predicate survives the
+      // token-level candidate generation) — reject loudly
+      require(rowFilter.isEmpty,
+        s"kind '$PlaidKind' does not support metadata filters")
+      Plaid.topKPersisted(spark, Plaid.Persisted(layoutPath(meta)),
+        meta.pkCol, explodeBags(queries, queryIdCol, queryVecCol),
+        queryIdCol, "__pi", "__tv", k)
     case HybridKind =>
       val qText = queryTextCol.getOrElse(
         throw new IllegalArgumentException(
@@ -342,6 +392,12 @@ object IndexKinds {
         Hybrid.PersistedPostings(layoutPath(meta), opt(meta, "buckets", 32)),
         changes, meta.pkCol, textColOf(meta))
       mergeCorpus(spark, layoutPath(meta) + "_corpus", changes, meta)
+    case PlaidKind =>
+      // frozen-quantizer delta: centroids and codebooks reload from
+      // the layout's side files; whole token bags replace atomically
+      // (Plaid.syncPersisted's two-phase _docs protocol)
+      Plaid.syncPersisted(spark, Plaid.Persisted(layoutPath(meta)),
+        changes, meta.pkCol, meta.vecCol)
     case other =>
       throw new IllegalArgumentException(s"unknown index kind '$other'")
   }
@@ -471,6 +527,11 @@ object IndexKinds {
           Seq("__dbkt"), maxFilesPerDir),
         "corpus" -> PartitionedLayout.compact(spark, path + "_corpus",
           Seq("__cbkt"), maxFilesPerDir))
+      case PlaidKind => Map(
+        "store" -> PartitionedLayout.compact(spark, path,
+          Seq("__cell"), maxFilesPerDir),
+        "docs" -> PartitionedLayout.compact(spark, path + "_docs",
+          Seq("__dbkt"), maxFilesPerDir))
       case other =>
         throw new IllegalArgumentException(s"unknown index kind '$other'")
     }

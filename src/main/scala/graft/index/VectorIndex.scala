@@ -42,15 +42,27 @@ final class VectorIndex(val meta: IndexMeta) {
   /** Normalize + filter the source into index shape. Zero-norm vectors are
     * excluded along with nulls and wrong dims: they carry no direction, so
     * no metric can rank them meaningfully, and keeping them would put a
-    * constant-0 score row in every result set. */
-  def prepare(source: DataFrame): DataFrame = {
-    val valid = source.filter(col(meta.vecCol).isNotNull &&
-      size(col(meta.vecCol)) === meta.dim)
-    valid
-      .withColumn("__norm", VF.norm(col(meta.vecCol)))
-      .filter(col("__norm") > 0.0)
-      .withColumn(meta.vecCol, VF.normalize(col(meta.vecCol)))
-  }
+    * constant-0 score row in every result set.
+    *
+    * MULTI-VECTOR kinds ([[IndexKinds.isMultiVector]]) store token BAGS:
+    * malformed tokens (null / wrong dim) are dropped from each bag, rows
+    * whose bag comes up empty leave the index, bags stay RAW (the
+    * late-interaction legs score exact cosines themselves), and `__norm`
+    * carries the bag's token count — the stats analog. */
+  def prepare(source: DataFrame): DataFrame =
+    if (IndexKinds.isMultiVector(meta.kind)) {
+      source.filter(col(meta.vecCol).isNotNull)
+        .withColumn(meta.vecCol, filter(col(meta.vecCol),
+          t => t.isNotNull && size(t) === meta.dim))
+        .filter(size(col(meta.vecCol)) > 0)
+        .withColumn("__norm", size(col(meta.vecCol)).cast("double"))
+    } else {
+      source.filter(col(meta.vecCol).isNotNull &&
+          size(col(meta.vecCol)) === meta.dim)
+        .withColumn("__norm", VF.norm(col(meta.vecCol)))
+        .filter(col("__norm") > 0.0)
+        .withColumn(meta.vecCol, VF.normalize(col(meta.vecCol)))
+    }
 
   /** Full rebuild: recompute from the source table and overwrite the
     * persisted artifact (the TRIGGERED pipeline's batch path). */

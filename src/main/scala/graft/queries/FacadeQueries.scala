@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.VectorSearch
+import graft.{Index, VectorSearch}
 import graft.core.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -315,7 +315,86 @@ object FacadeQueries {
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("doc_id"), col("in_vec"), col("in_kw"))
         .orderBy("query_id", "rnk")
+    }),
+    // plaid kind: the MULTI-VECTOR leg behind the one entry point —
+    // the source's vecCol holds shingle-token BAGS, the build trains
+    // token centroids + residual codebooks into the cell-partitioned
+    // PLAID store, and the routed search takes token-bag queries.
+    // Token ids are bag POSITIONS (posexplode), so the oracle derives
+    // from the direct PLAID replay with positional token ids swapped
+    // into the quantizer-sample and refine orderings.
+    "facade_route_plaid" -> ((s, dir) => {
+      val idx = plaidIndex(s, dir, "plaid")
+      rankDocCols(idx.search(plaidQueryBags(s, dir), "doc_id", "toks", 5))
+    }),
+    // plaid kind SYNCED: build on the FULL corpus (quantizers frozen
+    // there), then route a delete+reinsert batch on [20,40) plus a
+    // stale-loses-LWW update pair on doc 5 through the facade sync —
+    // cells and codes are pure functions of the frozen quantizers, so
+    // the synced layout lands exactly the untouched build's rows and
+    // the cell shares facade_route_plaid's oracle (the
+    // ann_maxsim_plaid_synced discipline through the routed path).
+    "facade_route_plaid_synced" -> ((s, dir) => {
+      import graft.index.ChangeLog
+      val idx = plaidIndex(s, dir, "plaid_sync")
+      val d = plaidDocs(s, dir)
+      val victims = d.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+      val staleFive = d.filter(col("doc_id") === 5)
+        .withColumn("text",
+          concat_ws(" ", reverse(split(trim(col("text")), "\\s+"))))
+      val changes = plaidBags(victims)
+        .withColumn("__op", lit(ChangeLog.OpDelete))
+        .withColumn("__seq", lit(1L))
+        .unionByName(plaidBags(victims)
+          .withColumn("__op", lit(ChangeLog.OpInsert))
+          .withColumn("__seq", lit(2L)))
+        .unionByName(plaidBags(staleFive)
+          .withColumn("__op", lit(ChangeLog.OpUpdate))
+          .withColumn("__seq", lit(1L)))
+        .unionByName(plaidBags(d.filter(col("doc_id") === 5))
+          .withColumn("__op", lit(ChangeLog.OpUpdate))
+          .withColumn("__seq", lit(2L)))
+      idx.sync(changes)
+      rankDocCols(idx.search(plaidQueryBags(s, dir), "doc_id", "toks", 5))
     }))
+
+  // ---- plaid fixture shared by the route + synced cells ----
+
+  private def plaidDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+
+  /** The shingle-token BAG shape of the maxsim/plaid fixtures: one row
+    * per doc, `toks` = md5-feature embeddings of its distinct 3-word
+    * shingles in WordShingles' sorted-set order — so a token's bag
+    * position is a pure, oracle-replayable id (its lexicographic
+    * rank). */
+  private def plaidBags(df: DataFrame): DataFrame = {
+    import graft.functions.TextExpressions
+    df.select(col("doc_id"),
+      transform(TextExpressions.wordShingles(col("text"), 3),
+        sh => TextExpressions.md5FeatureEmbed(sh, 16)).as("toks"))
+  }
+
+  private def plaidIndex(s: SparkSession, dir: String,
+      name: String): Index = {
+    val vs = new VectorSearch(s, root(name, dir))
+    vs.createEndpoint("ep")
+    vs.createDeltaSyncIndex("ep",
+      plaidBags(plaidDocs(s, dir)
+        .filter(col("doc_id") >= 3 && col("doc_id") < 120)),
+      s"facade_$name", "doc_id", "toks", 16, "plaid")
+  }
+
+  private def plaidQueryBags(s: SparkSession, dir: String): DataFrame =
+    plaidBags(plaidDocs(s, dir).filter(col("doc_id") < 3)
+      .select(col("doc_id"), concat_ws(" ",
+        slice(split(trim(col("text")), "\\s+"), 1, 5)).as("text")))
+
+  private def rankDocCols(df: DataFrame): DataFrame = df
+    .select(col("query_id"), col("rank").cast("long").as("rnk"),
+      col("doc_id"))
+    .orderBy("query_id", "rnk")
 
   /** Build-vs-search phase timings for the bench-heaviest routed cell
     * (judge ask r9 #5): the facade queries construct whole indexes
@@ -393,6 +472,47 @@ object FacadeQueries {
         val (_, search) = timedPh {
           idx.search(e.filter(col("vec_id") < 5),
             "vec_id", "embedding", 3).count()
+        }
+        Map("build" -> build, "sync" -> sync, "search" -> search)
+      }),
+      // the plaid facade cells train quantizers + persist the coded
+      // store inside the timed query — split build (and the synced
+      // cell's CDF replay) from the routed late-interaction search
+      "facade_route_plaid" -> ((s, dir) => {
+        val vs = new VectorSearch(s, root("plaid_ph", dir))
+        vs.createEndpoint("ep")
+        val (idx, build) = timedPh {
+          vs.createDeltaSyncIndex("ep",
+            plaidBags(plaidDocs(s, dir)
+              .filter(col("doc_id") >= 3 && col("doc_id") < 120)),
+            "facade_plaid_ph", "doc_id", "toks", 16, "plaid")
+        }
+        val (_, search) = timedPh {
+          idx.search(plaidQueryBags(s, dir), "doc_id", "toks", 5).count()
+        }
+        Map("build" -> build, "search" -> search)
+      }),
+      "facade_route_plaid_synced" -> ((s, dir) => {
+        import graft.index.ChangeLog
+        val vs = new VectorSearch(s, root("plaid_sync_ph", dir))
+        vs.createEndpoint("ep")
+        val d = plaidDocs(s, dir)
+        val (idx, build) = timedPh {
+          vs.createDeltaSyncIndex("ep",
+            plaidBags(d.filter(col("doc_id") >= 3 && col("doc_id") < 120)),
+            "facade_plaid_sync_ph", "doc_id", "toks", 16, "plaid")
+        }
+        val victims = d.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+        val (_, sync) = timedPh {
+          idx.sync(plaidBags(victims)
+            .withColumn("__op", lit(ChangeLog.OpDelete))
+            .withColumn("__seq", lit(1L))
+            .unionByName(plaidBags(victims)
+              .withColumn("__op", lit(ChangeLog.OpInsert))
+              .withColumn("__seq", lit(2L))))
+        }
+        val (_, search) = timedPh {
+          idx.search(plaidQueryBags(s, dir), "doc_id", "toks", 5).count()
         }
         Map("build" -> build, "sync" -> sync, "search" -> search)
       }),
@@ -626,12 +746,55 @@ object FacadeQueries {
         |    UNION
         |    SELECT dst AS src, src AS dst FROM new_sel)),""".stripMargin)
 
+  /** The PLAID replay with POSITIONAL token ids: the facade's bag
+    * contract derives each token's id from its bag position
+    * (posexplode), where the direct leg uses md5(shingle) — the
+    * difference flows through the quantizer-sample order (tid =
+    * 'did:pos'), the ADC groupings, and the refine's token-ordered
+    * IEEE sum, so the oracle swaps the doc/query token CTEs to
+    * positional ids and keeps every other stage of the replay
+    * verbatim. `WordShingles` emits each doc's distinct shingles as a
+    * SORTED set, so a token's bag position is its lexicographic rank
+    * — `row_number() OVER (PARTITION BY doc ORDER BY sh) - 1`
+    * (binary collation ≡ UTF8 byte order on this ASCII fixture). */
+  private lazy val plaidPositionalSql: String =
+    derived(
+      InfraQueries.oracleSql("ann_maxsim_plaid"),
+      """dtp AS (
+        |  SELECT did, ti, CAST(did AS VARCHAR) || ':' || ti AS tid, tv
+        |  FROM mdt),""".stripMargin ->
+        """dshp AS (
+          |  SELECT doc_id, sh,
+          |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sh)
+          |      - 1 AS INT) AS pos
+          |  FROM dsh),
+          |qshp AS (
+          |  SELECT doc_id, sh,
+          |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sh)
+          |      - 1 AS INT) AS pos
+          |  FROM qsh),
+          |mqtp AS (
+          |  SELECT p.doc_id AS query_id, p.pos AS ti, k.tv
+          |  FROM qshp p JOIN shb k USING (sh)),
+          |dtp AS (
+          |  SELECT d.doc_id AS did, d.pos AS ti,
+          |    CAST(d.doc_id AS VARCHAR) || ':' ||
+          |    CAST(d.pos AS VARCHAR) AS tid, k.tv
+          |  FROM dshp d JOIN shb k USING (sh)),""".stripMargin,
+      "FROM mqt, pdims dd)," -> "FROM mqtp, pdims dd),",
+      "FROM mqt q CROSS JOIN pcents c)," ->
+        "FROM mqtp q CROSS JOIN pcents c),",
+      "JOIN mqt q ON q.query_id = c.query_id" ->
+        "JOIN mqtp q ON q.query_id = c.query_id")
+
   /** Routed results are hash-equal to the direct legs by construction,
     * so every entry reuses the direct leg's oracle verbatim. */
   val oracleSql: Map[String, String] = Map(
     "facade_route_graph_hnsw" ->
       InfraQueries.oracleSql("ann_graph_hnsw_topk"),
     "facade_route_graph_hnsw_synced" -> hnswSyncedSql,
+    "facade_route_plaid" -> plaidPositionalSql,
+    "facade_route_plaid_synced" -> plaidPositionalSql,
     "facade_route_exact" -> VectorQueries.oracleSql("knn_batch_topk"),
     "facade_route_ivf" -> InfraQueries.oracleSql("ann_ivf_topk"),
     "facade_route_filtered" -> InfraQueries.oracleSql("ann_ivf_filtered"),

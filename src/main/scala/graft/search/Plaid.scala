@@ -179,16 +179,30 @@ object Plaid {
     require(docBuckets >= 1, s"docBuckets >= 1, got $docBuckets")
     val spark = idx.coded.sparkSession
     import spark.implicits._
+    // ONE evaluation feeds both twins: the quantize/encode lineage runs
+    // once instead of once per write, and the store and `_docs` can
+    // never diverge at write time (they stream from the same
+    // materialized rows)
+    val coded = idx.coded.localCheckpoint(true)
     graft.index.PartitionedLayout.inParallel(
-      idx.coded.select("__did", "__codes", "__cell")
+      coded.select("__did", "__codes", "__cell")
         .repartition(col("__cell"))
         .write.mode("overwrite").partitionBy("__cell").parquet(path),
-      idx.coded.select(col("__did"), col("__tvf"))
+      coded.select(col("__did"), col("__tvf"))
         .withColumn("__dbkt",
           pmod(xxhash64(col("__did")), lit(docBuckets.toLong)).cast("int"))
         .repartition(col("__dbkt"))
         .write.mode("overwrite").partitionBy("__dbkt")
         .parquet(path + "_docs"))
+    // write-fence: the twins hold the same token rows by construction,
+    // so unequal counts mean a write LOST rows (observed once as a
+    // silently-degraded refine under heavy external host load — a torn
+    // twin must fail the build loudly, never serve). Parquet footer
+    // counts only: two metadata-cheap jobs.
+    val ns = spark.read.parquet(path).count()
+    val nd = spark.read.parquet(path + "_docs").count()
+    require(ns == nd,
+      s"plaid persist torn: store=$ns rows, _docs=$nd rows at $path")
     idx.centroids.coalesce(1)
       .write.mode("overwrite").parquet(path + "_cents")
     val cbRows = for {

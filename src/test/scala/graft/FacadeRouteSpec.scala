@@ -149,6 +149,74 @@ class FacadeRouteSpec extends SparkSpec {
       s"optimize must compact every layer: $touched")
   }
 
+  test("plaid kind routes token-bag build/search/sync/optimize; the " +
+      "multi-vector contract rejects single-vector entry points") {
+    import graft.functions.TextExpressions
+    import graft.search.Plaid
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"text".isNotNull && trim($"text") =!= "")
+    def bags(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        transform(TextExpressions.wordShingles(col("text"), 3),
+          sh => TextExpressions.md5FeatureEmbed(sh, 16)).as("toks"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_facade_plaid_spec").toString
+    val vs = new VectorSearch(spark, root)
+    vs.createEndpoint("ep")
+    val idx = vs.createDeltaSyncIndex("ep",
+      bags(d.filter($"doc_id" >= 3 && $"doc_id" < 60)),
+      "spec_plaid", "doc_id", "toks", 16, "plaid")
+    val path = IndexKinds.layoutPath(idx.meta)
+    assert(new java.io.File(path).exists()
+      && new java.io.File(path + "_docs").exists()
+      && new java.io.File(path + "_cents").exists(),
+      "the coded store, _docs twin and centroid side file all persist")
+    val q = bags(d.filter($"doc_id" < 3))
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val routed = ranked(idx.search(q, "doc_id", "toks", 5))
+    assert(routed.nonEmpty)
+    val direct = ranked(Plaid.topKPersisted(spark,
+      Plaid.Persisted(path), "doc_id",
+      q.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("__pi", "__tv"))),
+      "doc_id", "__pi", "__tv", 5))
+    assert(routed === direct,
+      "the routed call must equal the direct persisted PLAID leg")
+    // multi-vector guard: the single-vector similarity_search entry
+    // point must refuse loudly, not feed a vector in as a bag
+    intercept[IllegalArgumentException] {
+      idx.similaritySearch(Seq("doc_id"), Seq.fill(16)(0.1f), 3)
+    }
+    // metadata filters don't survive token-level candidate generation
+    intercept[IllegalArgumentException] {
+      idx.search(q, "doc_id", "toks", 5, filters = Map("lang" -> "en"))
+    }
+    val touched = idx.optimize()
+    assert(Set("store", "docs").subsetOf(touched.keySet),
+      s"optimize must compact the coded store and _docs: $touched")
+    val after = ranked(idx.search(q, "doc_id", "toks", 5))
+    assert(after === routed, "compaction must preserve answers")
+  }
+
+  test("multi-vector prepare drops malformed tokens and empty bags; " +
+      "__norm carries the bag's token count") {
+    import graft.index.{IndexMeta, VectorIndex}
+    import graft.functions.Metric
+    val meta = IndexMeta("mv", "id", "toks", 2, Metric.Cosine,
+      "/tmp/unused_mv", kind = IndexKinds.PlaidKind)
+    val vi = new VectorIndex(meta)
+    val src = Seq(
+      (1L, Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))),
+      (2L, Seq(Seq(1.0f))), // wrong-dim token -> bag empties -> row drops
+      (3L, Seq.empty[Seq[Float]])).toDF("id", "toks")
+    val out = vi.prepare(src).orderBy("id")
+      .select($"id", size($"toks"), $"__norm").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(out.head.getInt(1) === 2 && out.head.getDouble(2) === 2.0)
+  }
+
   test("similaritySearch returns the requested columns plus score on " +
       "a routed kind, ranked like the exact kind") {
     val ivf = mkIndex("cols_ivf", "ivf",
