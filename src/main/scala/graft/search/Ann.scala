@@ -615,6 +615,15 @@ object Ann {
         .repartition(col("__dbkt"))
         .write.mode("overwrite").partitionBy("__dbkt")
         .parquet(path + "_docs"))
+    // write-fence (parquet footer counts): the exploded store holds
+    // exactly `tables` rows per `_docs` row — unequal means a torn
+    // twin; fail the build loudly (the Plaid/MaxSim/Sq8 discipline)
+    val spark = index.corpusCoded.sparkSession
+    val ns = spark.read.parquet(path).count()
+    val nd = spark.read.parquet(path + "_docs").count()
+    require(ns == nd * index.tables,
+      s"signlsh persist torn: store=$ns rows, _docs=$nd × " +
+        s"${index.tables} tables at $path")
     PersistedSignLsh(path, index.tables, index.bits)
   }
 

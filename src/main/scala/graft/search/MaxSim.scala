@@ -145,7 +145,12 @@ object MaxSim {
       .select(col(docIdCol).as("__did"),
         transform(col(docVecCol), _.cast("double")).as("__dv"))
     requireDim(dt0, "__dv", bits) // before __b exists: ANSI-safe probe
+    // ONE evaluation feeds both twins (the caller's token derivation —
+    // shingling, embedding — runs once, not once per write) and the
+    // store and `_docs` can never diverge at write time; the
+    // Plaid.persist discipline
     val dt = dt0.withColumn("__b", bucket(col("__dv"), bits))
+      .localCheckpoint(true)
     // the two tables land on disjoint paths — write them concurrently
     graft.index.PartitionedLayout.inParallel(
       dt.repartition(col("__b"))
@@ -156,6 +161,14 @@ object MaxSim {
         .write.mode("overwrite").partitionBy("__dbkt")
         .parquet(path + "_docs"))
     val spark = docTokens.sparkSession
+    // write-fence (parquet footer counts — two metadata-cheap jobs): the
+    // twins hold the same token rows by construction, so unequal counts
+    // mean a torn write — fail the build loudly, never serve a
+    // silently-degraded refine
+    val ns = spark.read.parquet(path).count()
+    val nd = spark.read.parquet(path + "_docs").count()
+    require(ns == nd,
+      s"maxsim persist torn: store=$ns rows, _docs=$nd rows at $path")
     import spark.implicits._
     Seq((bits, docBuckets)).toDF("__bits", "__dbuckets").coalesce(1)
       .write.mode("overwrite").parquet(path + "_meta")

@@ -198,6 +198,16 @@ object Sq8 {
       withBucket(valid, pkCol)
         .repartition(col("__dbkt"))
         .write.mode("overwrite").partitionBy("__dbkt").parquet(path))
+    // write-fence (parquet footer counts): codes and vectors are the
+    // same row multiset — unequal counts mean a torn twin; fail loudly
+    // at build time (no checkpoint here: `valid` is a plain filter off
+    // the source scan, so the double read is cheaper than materializing
+    // a full corpus copy)
+    val spark = corpus.sparkSession
+    val nc = spark.read.parquet(path + "_codes").count()
+    val nv = spark.read.parquet(path).count()
+    require(nc == nv,
+      s"sq8 persist torn: codes=$nc rows, vectors=$nv rows at $path")
     PersistedSq8(path, stats)
   }
 
