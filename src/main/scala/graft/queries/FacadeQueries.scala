@@ -157,6 +157,26 @@ object FacadeQueries {
       rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
         "vec_id", "embedding", 3))
     }),
+    // multi-layer HNSW + metadata filters: the managed API's `filters`
+    // parameter through the layers=N routing — the walk descends
+    // UNFILTERED (upper layers only pick entry points) and the
+    // predicate lands at the layer-0 rank, the filtered-HNSW contract
+    // shared with the flat and layered graph legs. Oracle = the hnsw
+    // replay with the label predicate applied at the final rank only
+    // (the filteredGraphSql derivation on the multi-layer base).
+    "facade_route_graph_hnsw_filtered" -> ((s, dir) => {
+      val vs = new VectorSearch(s, root("ghnsw_fil", dir))
+      vs.createEndpoint("ep")
+      val idx = vs.createDeltaSyncIndex("ep",
+        emb(s, dir).filter(col("vec_id") >= 5 && col("vec_id") < 1000),
+        "facade_ghnsw_fil", "vec_id", "embedding", 64, "graph",
+        Map("layers" -> "2", "lbase" -> "5", "m" -> "6",
+          "mUpper" -> "4", "buckets" -> "16", "entries" -> "4",
+          "beam" -> "4", "hops" -> "3", "topEntries" -> "2",
+          "upperBeam" -> "3", "upperHops" -> "2", "metric" -> "l2"))
+      rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3, filters = Map("label" -> 1)))
+    }),
     // multi-layer HNSW SYNCED: create on [15,600), route a CDF insert
     // batch of [10,15) through the facade sync — none of those ids
     // pass the md5 level-1 gate (the pure-function membership check),
@@ -447,6 +467,25 @@ object FacadeQueries {
         val (_, search) = timedPh {
           idx.search(emb(s, dir).filter(col("vec_id") < 5),
             "vec_id", "embedding", 3).count()
+        }
+        Map("build" -> build, "search" -> search)
+      }),
+      "facade_route_graph_hnsw_filtered" -> ((s, dir) => {
+        val vs = new VectorSearch(s, root("ghnsw_fil_ph", dir))
+        vs.createEndpoint("ep")
+        val (idx, build) = timedPh {
+          vs.createDeltaSyncIndex("ep",
+            emb(s, dir).filter(col("vec_id") >= 5 && col("vec_id") < 1000),
+            "facade_ghnsw_fil_ph", "vec_id", "embedding", 64, "graph",
+            Map("layers" -> "2", "lbase" -> "5", "m" -> "6",
+              "mUpper" -> "4", "buckets" -> "16", "entries" -> "4",
+              "beam" -> "4", "hops" -> "3", "topEntries" -> "2",
+              "upperBeam" -> "3", "upperHops" -> "2", "metric" -> "l2"))
+        }
+        val (_, search) = timedPh {
+          idx.search(emb(s, dir).filter(col("vec_id") < 5),
+            "vec_id", "embedding", 3,
+            filters = Map("label" -> 1)).count()
         }
         Map("build" -> build, "search" -> search)
       }),
@@ -792,6 +831,16 @@ object FacadeQueries {
   val oracleSql: Map[String, String] = Map(
     "facade_route_graph_hnsw" ->
       InfraQueries.oracleSql("ann_graph_hnsw_topk"),
+    // the label predicate lands at the FINAL rank only — the walk is
+    // unfiltered, matching the routed rowFilter's layer-0 contract
+    "facade_route_graph_hnsw_filtered" -> derived(
+      InfraQueries.oracleSql("ann_graph_hnsw_topk"),
+      "  FROM c3 c JOIN corpus v ON v.vec_id = c.vec_id\n" +
+        "  JOIN qs q ON q.query_id = c.query_id)" ->
+        ("  FROM c3 c JOIN corpus v ON v.vec_id = c.vec_id\n" +
+          "  JOIN qs q ON q.query_id = c.query_id\n" +
+          "  JOIN embeddings le ON le.vec_id = c.vec_id\n" +
+          "  WHERE le.label = 1)")),
     "facade_route_graph_hnsw_synced" -> hnswSyncedSql,
     "facade_route_plaid" -> plaidPositionalSql,
     "facade_route_plaid_synced" -> plaidPositionalSql,
