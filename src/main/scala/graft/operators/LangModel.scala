@@ -163,9 +163,16 @@ object LangModel {
     nbScoreAll(model, docs, idCol, textCol, TextAnalysis.charTrigrams)
 
   private def nbScore(model: NbModel, docs: DataFrame, idCol: String,
-      textCol: String, tokensOf: Column => Column): DataFrame = {
+      textCol: String, tokensOf: Column => Column): DataFrame =
+    argmaxScores(nbScoreAll(model, docs, idCol, textCol, tokensOf),
+      idCol)
+
+  /** The argmax [[langIdScore]] applies over a [[langIdScores]]-shaped
+    * frame `(idCol, lab, score)` — exposed so a consumer holding the
+    * full confidence surface (one scored fold) can derive the argmax
+    * prediction from it instead of re-running the fold. */
+  def argmaxScores(all: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val all = nbScoreAll(model, docs, idCol, textCol, tokensOf)
     val w = Window.partitionBy(idCol)
       .orderBy(col("score").desc, col("lab").asc)
     all.withColumn("__rn", row_number().over(w))

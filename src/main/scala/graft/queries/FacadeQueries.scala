@@ -145,15 +145,7 @@ object FacadeQueries {
     // walk → L1 walk → full layer-0 search. Same knobs as the direct
     // ann_graph_hnsw leg, whose oracle it reuses verbatim.
     "facade_route_graph_hnsw" -> ((s, dir) => {
-      val vs = new VectorSearch(s, root("ghnsw", dir))
-      vs.createEndpoint("ep")
-      val idx = vs.createDeltaSyncIndex("ep",
-        emb(s, dir).filter(col("vec_id") >= 5 && col("vec_id") < 1000),
-        "facade_ghnsw", "vec_id", "embedding", 64, "graph",
-        Map("layers" -> "2", "lbase" -> "5", "m" -> "6",
-          "mUpper" -> "4", "buckets" -> "16", "entries" -> "4",
-          "beam" -> "4", "hops" -> "3", "topEntries" -> "2",
-          "upperBeam" -> "3", "upperHops" -> "2", "metric" -> "l2"))
+      val idx = sharedHnswIndex(s, dir)
       rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
         "vec_id", "embedding", 3))
     }),
@@ -165,15 +157,7 @@ object FacadeQueries {
     // replay with the label predicate applied at the final rank only
     // (the filteredGraphSql derivation on the multi-layer base).
     "facade_route_graph_hnsw_filtered" -> ((s, dir) => {
-      val vs = new VectorSearch(s, root("ghnsw_fil", dir))
-      vs.createEndpoint("ep")
-      val idx = vs.createDeltaSyncIndex("ep",
-        emb(s, dir).filter(col("vec_id") >= 5 && col("vec_id") < 1000),
-        "facade_ghnsw_fil", "vec_id", "embedding", 64, "graph",
-        Map("layers" -> "2", "lbase" -> "5", "m" -> "6",
-          "mUpper" -> "4", "buckets" -> "16", "entries" -> "4",
-          "beam" -> "4", "hops" -> "3", "topEntries" -> "2",
-          "upperBeam" -> "3", "upperHops" -> "2", "metric" -> "l2"))
+      val idx = sharedHnswIndex(s, dir)
       rankCols(idx.search(emb(s, dir).filter(col("vec_id") < 5),
         "vec_id", "embedding", 3, filters = Map("label" -> 1)))
     }),
@@ -377,6 +361,25 @@ object FacadeQueries {
       idx.sync(changes)
       rankDocCols(idx.search(plaidQueryBags(s, dir), "doc_id", "toks", 5))
     }))
+
+  /** The read-only 3-layer HNSW facade index shared by the plain and
+    * filtered routing cells ([[BuildCache]] contract — identical
+    * corpus block and knobs build bit-identical layouts; both cells
+    * only SEARCH it, the synced cell keeps its private mutable
+    * build). The filter lands at the layer-0 rank, so the filtered
+    * cell reads the same layouts as its unfiltered sibling. */
+  private def sharedHnswIndex(s: SparkSession, dir: String): Index =
+    BuildCache.memo(s"facade_ghnsw:l2:m6:$dir") {
+      val vs = new VectorSearch(s, root("ghnsw", dir))
+      vs.createEndpoint("ep")
+      vs.createDeltaSyncIndex("ep",
+        emb(s, dir).filter(col("vec_id") >= 5 && col("vec_id") < 1000),
+        "facade_ghnsw", "vec_id", "embedding", 64, "graph",
+        Map("layers" -> "2", "lbase" -> "5", "m" -> "6",
+          "mUpper" -> "4", "buckets" -> "16", "entries" -> "4",
+          "beam" -> "4", "hops" -> "3", "topEntries" -> "2",
+          "upperBeam" -> "3", "upperHops" -> "2", "metric" -> "l2"))
+    }
 
   // ---- plaid fixture shared by the route + synced cells ----
 

@@ -1857,7 +1857,7 @@ object InfraQueries {
       GraphAnn.queryGraph(graph, corpus, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", "vec_id", "embedding",
           k = 3, entries = 4, beam = 4, hops = 3, metric = Metric.L2,
-          entryMod = 5L)
+          entryMod = 5L, materializeEdges = false)
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("vec_id"))
         .orderBy("query_id", "rnk")
@@ -1884,7 +1884,7 @@ object InfraQueries {
           e.filter(col("vec_id") < 5), "vec_id", "embedding",
           "vec_id", "embedding", k = 3, entries = 4, beam = 4, hops = 3,
           metric = Metric.L2, topEntries = 2, upperBeam = 3,
-          upperHops = 2)
+          upperHops = 2, materializeEdges = false)
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("vec_id"))
         .orderBy("query_id", "rnk")
@@ -1917,7 +1917,8 @@ object InfraQueries {
       val ans = GraphAnn.queryHnsw(sharedHnsw(s, dir), corpus, queries,
         "vec_id", "embedding", "vec_id", "embedding", k = 3,
         entries = 4, beam = 4, hops = 3, metric = Metric.L2,
-        topEntries = 2, upperBeam = 3, upperHops = 2)
+        topEntries = 2, upperBeam = 3, upperHops = 2,
+        materializeEdges = false)
       Ann.recallAtK(ans, corpus, queries, "vec_id", "embedding",
         "vec_id", "embedding", k = 3, sampleMod = 2L,
         metric = Metric.L2)
@@ -1931,7 +1932,8 @@ object InfraQueries {
           e.filter(col("vec_id") < 5), "vec_id", "embedding",
           "vec_id", "embedding", k = 3, entries = 4, beam = 4, hops = 3,
           entryMod = 5L, metric = Metric.L2,
-          l2Entries = 2, l1Beam = 3, l1Hops = 2)
+          l2Entries = 2, l1Beam = 3, l1Hops = 2,
+          materializeEdges = false)
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("vec_id"))
         .orderBy("query_id", "rnk")

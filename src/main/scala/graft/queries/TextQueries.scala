@@ -24,6 +24,23 @@ object TextQueries {
         maxWordLen = 12, rounds = 2)
     }
 
+  /** ONE trained-langid scored fold shared by the argmax-confusion
+    * and margin-gate cells ([[BuildCache]] contract): train on the
+    * even half, score the odd half's FULL class surface once — the
+    * argmax cell derives its prediction from the same surface the
+    * margin cell gates on, exactly like a production scorer that
+    * materializes per-class scores once and serves both reads. */
+  private def sharedLangidScores(s: SparkSession, dir: String): DataFrame =
+    BuildCache.memo(s"text_langid_all:$dir") {
+      import graft.operators.LangModel
+      val d = docs(s, dir)
+      val model = LangModel.langIdTrain(
+        d.filter(col("doc_id") % 2 === 0), "text", "lang")
+      LangModel.langIdScores(model,
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .localCheckpoint(true)
+    }
+
   /** Unicode-dirty suffix per doc_id residue — decomposed (e +
     * combining acute, u + diaeresis, A + ring) and precomposed (é)
     * forms plus a non-decomposable ß, so NFC genuinely rewrites and
@@ -49,19 +66,15 @@ object TextQueries {
           val r = f
           (r, (System.nanoTime() - t0) / 1e9)
         }
-        val d = docs(s, dir)
-        val (m, train) = timed {
-          val m0 = LangModel.langIdTrain(
-            d.filter(col("doc_id") % 2 === 0), "text", "lang")
-          LangModel.NbModel(m0.priors.localCheckpoint(true),
-            m0.loglik.localCheckpoint(true))
-        }
+        // the train+scored-fold is the shared once-per-JVM surface
+        // (sharedLangidScores); the absorber pays it, the argmax
+        // rollup is what the cell's own read costs on top
+        val (all, stage) = timed(sharedLangidScores(s, dir))
         val (_, score) = timed {
-          LangModel.langIdScore(m,
-              d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+          LangModel.argmaxScores(all, "doc_id")
             .groupBy("predicted").agg(count(lit(1))).count()
         }
-        Map("train" -> train, "score" -> score)
+        Map("stage" -> stage, "score" -> score)
       }))
 
   /** The trained-langid replay CTEs (char-trigram extraction, NB
@@ -286,10 +299,7 @@ object TextQueries {
     "text_langid" -> ((s, dir) => {
       import graft.operators.LangModel
       val d = docs(s, dir)
-      val model = LangModel.langIdTrain(
-        d.filter(col("doc_id") % 2 === 0), "text", "lang")
-      LangModel.langIdScore(model,
-          d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      LangModel.argmaxScores(sharedLangidScores(s, dir), "doc_id")
         .join(d.select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("n"))
@@ -304,13 +314,9 @@ object TextQueries {
     // order-free integer math; the oracle replays train, the ordered
     // fold, the top-2 window and the gate.
     "text_langid_margin" -> ((s, dir) => {
-      import graft.operators.LangModel
       import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
-      val model = LangModel.langIdTrain(
-        d.filter(col("doc_id") % 2 === 0), "text", "lang")
-      val all = LangModel.langIdScores(model,
-        d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      val all = sharedLangidScores(s, dir)
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("lab"))
       val per = all.withColumn("rn", row_number().over(w))

@@ -185,16 +185,20 @@ object GraphAnn {
       metric: Metric = Metric.L2,
       l2Entries: Int = 2, l1Beam: Int = 3, l1Hops: Int = 2,
       statePartitions: Int = 4,
-      materializeCorpus: Boolean = true): DataFrame = {
+      materializeCorpus: Boolean = true,
+      materializeEdges: Boolean = true): DataFrame = {
     val l1pool = corpus.filter(col(corpusPkCol) % entryMod === 0)
     val seeds = queryGraph(entryGraph, l1pool, queries, queryIdCol,
         queryVecCol, corpusPkCol, corpusVecCol, k = entries,
         entries = l2Entries, beam = l1Beam, hops = l1Hops, metric,
         entryMod = entryMod * entryMod,
+        materializeEdges = materializeEdges,
         statePartitions = statePartitions,
         materializeCorpus = materializeCorpus)
       .select(col("query_id"), col(corpusPkCol).as("__nid"))
-    val edges = graph.edges.localCheckpoint(true)
+    val edges =
+      if (materializeEdges) graph.edges.localCheckpoint(true)
+      else graph.edges
     beamSearch(corpus, queries, queryIdCol, queryVecCol, corpusPkCol,
       corpusVecCol, _ => edges, k, entries, beam, hops, metric,
       entryMod = 0L, statePartitions, materializeCorpus,
@@ -276,14 +280,21 @@ object GraphAnn {
       metric: Metric = Metric.L2, topEntries: Int = 2,
       upperBeam: Int = 3, upperHops: Int = 2,
       statePartitions: Int = 4,
-      materializeCorpus: Boolean = true): DataFrame = {
+      materializeCorpus: Boolean = true,
+      materializeEdges: Boolean = true): DataFrame = {
     val levels = g.uppers.size
     def pool(l: Int) = corpus.filter(
       hnswLevelGate(col(corpusPkCol), g.base, l))
+    // pass materializeEdges=false when every layer's edge table is
+    // already a cheap scan (memoized checkpointed builds, persisted
+    // layouts): re-checkpointing a checkpoint is one pure extra
+    // materialization job per layer per call
+    def mat(df: DataFrame): DataFrame =
+      if (materializeEdges) df.localCheckpoint(true) else df
     var seeds = topPoolSeeds(pool(levels), queries, queryIdCol,
       queryVecCol, corpusPkCol, corpusVecCol, topEntries, metric)
     for (l <- levels to 1 by -1) {
-      val e = g.uppers(l - 1).edges.localCheckpoint(true)
+      val e = mat(g.uppers(l - 1).edges)
       seeds = beamSearch(pool(l), queries, queryIdCol, queryVecCol,
           corpusPkCol, corpusVecCol, _ => e,
           k = if (l == 1) entries else topEntries,
@@ -292,7 +303,7 @@ object GraphAnn {
           seedIds = Some(seeds))
         .select(col("query_id"), col(corpusPkCol).as("__nid"))
     }
-    val e0 = g.layer0.edges.localCheckpoint(true)
+    val e0 = mat(g.layer0.edges)
     beamSearch(corpus, queries, queryIdCol, queryVecCol, corpusPkCol,
       corpusVecCol, _ => e0, k, entries = 0, beam, hops, metric,
       entryMod = 0L, statePartitions, materializeCorpus,
@@ -482,10 +493,14 @@ object GraphAnn {
       val frontier = cand.filter(!col("__exp") && col("__r") <= beam)
         .select("query_id", "__qvec", "__nid")
       val edges = edgesFor(frontier.select("query_id", "__nid"))
+      // no dropDuplicates here: a node reached from two frontier nodes
+      // yields IDENTICAL (query_id, __qvec, __nid) rows, and the w2
+      // dedup window below keeps exactly one of them anyway — the
+      // explicit dedup was one extra exchange (and one extra job) per
+      // hop for rows the next window already collapses
       val nbrs = edges.join(broadcast(frontier),
           edges("__src") === frontier("__nid"))
         .select(col("query_id"), col("__qvec"), col("__dst").as("__nid"))
-        .dropDuplicates("query_id", "__nid")
       val grown = c.join(broadcast(nbrs), "__nid")
         .withColumn("__score",
           VF.distance(col("__nvec"), col("__qvec"), metric))

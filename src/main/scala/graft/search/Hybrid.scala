@@ -44,8 +44,12 @@ object Hybrid {
       .select(col(docIdCol).as("__did"),
         explode(split(lower(trim(col(docTextCol))), "\\s+")).as("__t"))
       .filter(col("__t") =!= "")
+    // tf materialized once — dl, stats, dft and the final join all
+    // fold over it instead of re-running the corpus tokenize each
     val tf = dterms.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
-    val dl = dterms.groupBy("__did").agg(count(lit(1)).as("__dl"))
+      .localCheckpoint(true)
+    // doc length = Σ_t tf — no second tokenize pass (exact identity)
+    val dl = tf.groupBy("__did").agg(sum("__tf").as("__dl"))
     // doc lengths are integers, so the double sum behind avg() is exact
     // (< 2^53) on every partitioning — avgdl is engine-reproducible
     val stats = dl.agg(count(lit(1)).as("__n"), avg("__dl").as("__avgdl"))
@@ -128,8 +132,13 @@ object Hybrid {
         .select(col(docIdCol).as("__did"),
           explode(split(lower(trim(col(f.textCol))), "\\s+")).as("__t"))
         .filter(col("__t") =!= "")
+      // tf materialized once per field — the length fold, the avg
+      // stat and the join below otherwise each re-run the tokenize
       val tf = ft.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
-      val fl = ft.groupBy("__did").agg(count(lit(1)).as("__fl"))
+        .localCheckpoint(true)
+      // field length = Σ_t tf — derived from tf, not a second
+      // tokenize pass over the field (exact integer identity)
+      val fl = tf.groupBy("__did").agg(sum("__tf").as("__fl"))
       // integer lengths sum exactly (< 2^53): avg is reproducible
       val av = fl.agg(avg("__fl").as("__avgfl"))
       tf.join(fl, "__did").crossJoin(broadcast(av))
@@ -139,12 +148,16 @@ object Hybrid {
               lit(f.b) * col("__fl") / col("__avgfl"))).as("__wtf"))
     }
     // combined pseudo-frequency: fold the ≤ |fields| per-field terms
-    // in FIELD order (not a float sum — shuffle-order-proof)
+    // in FIELD order (not a float sum — shuffle-order-proof).
+    // Materialized once — dft, the N stat and the final score join
+    // all fold over it instead of re-running the three corpus
+    // tokenize passes each.
     val combined = perField.reduce(_ unionByName _)
       .groupBy("__did", "__t")
       .agg(aggregate(
         array_sort(collect_list(struct(col("__f"), col("__wtf")))),
         lit(0.0), (acc, x) => acc + x("__wtf")).as("__ctf"))
+      .localCheckpoint(true)
     val dft = combined.groupBy("__t").agg(count(lit(1)).as("__df"))
     val nStats = combined.select("__did").distinct()
       .agg(count(lit(1)).as("__n"))
@@ -263,16 +276,29 @@ object Hybrid {
     require(fields.nonEmpty, "at least one field")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // ONE corpus pass: the caller's corpus lineage is arbitrarily
+    // expensive (html parse + anchor harvest here), and everything
+    // below re-reads it per field and per derived stat — materialize
+    // the narrow projection once, then tokenize from the checkpoint.
+    val src = corpus
+      .select((col(docIdCol).as("__did") +: fields.map(col)): _*)
+      .localCheckpoint(true)
     val perField = fields.zipWithIndex.map { case (fc, i) =>
-      val ft = corpus
-        .select(col(docIdCol).as("__did"),
+      val ft = src
+        .select(col("__did"),
           explode(split(lower(trim(col(fc))), "\\s+")).as("__t"))
         .filter(col("__t") =!= "")
       val tf = ft.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
-      val fl = ft.groupBy("__did").agg(count(lit(1)).as("__fl"))
-      (tf.join(fl, "__did").withColumn("__f", lit(i)), fl)
+      // field length = Σ_t tf(t,d) — derived from tf instead of a
+      // second tokenize pass over the field (exact integer identity)
+      val fl = tf.groupBy("__did").agg(sum("__tf").as("__fl"))
+      tf.join(fl, "__did").withColumn("__f", lit(i))
     }
-    val rows = perField.map(_._1).reduce(_ unionByName _)
+    // postings materialized ONCE: dft, the df join, the sidecar and
+    // every frozen stat below all fold over this checkpoint instead
+    // of re-tokenizing the corpus per consumer (it is the data being
+    // written anyway, so the materialization is index-sized).
+    val rows = perField.reduce(_ unionByName _).localCheckpoint(true)
     val dft = rows.select("__did", "__t").distinct()
       .groupBy("__t").agg(count(lit(1)).as("__df"))
     val postRows = rows.join(dft, "__t")
@@ -283,22 +309,24 @@ object Hybrid {
       .write.mode("overwrite").partitionBy("__tbucket").parquet(path)
     // (did, tbucket) discovery sidecar: what lets a sync locate a
     // changed doc's old buckets with a pk-pruned lookup instead of a
-    // full-layout semi-join
-    writeDocsSidecar(postRows, path)
+    // full-layout semi-join. Derived from the checkpointed postings
+    // (tbucket is a pure term hash), not the written join output.
+    writeDocsSidecar(rows.withColumn("__tbucket",
+      pmod(xxhash64(col("__t")), lit(buckets.toLong)).cast("int")), path)
     // the frozen document-level df as its OWN side file (the
     // persistPostings discipline): a term whose last posting a sync
     // deletes keeps its frozen df here, so a later re-insert never
     // scores with df = 0
     dft.write.mode("overwrite").parquet(path + "_df")
     // frozen stats: per-field avg length (integer sums — exact) and
-    // the doc count over any field. A field with ZERO tokens across
-    // the corpus has a null avg — freeze 1.0 (it has no postings, so
-    // the value never scores; mirrors the b_f = 0 no-normalization
-    // semantics) instead of NPE-ing the build.
-    val avgs = perField.map(_._2).zipWithIndex.map { case (fl, i) =>
-      val a = fl.agg(avg("__fl")).head()
-      (i, if (a.isNullAt(0)) 1.0 else a.getDouble(0))
-    }
+    // the doc count over any field, both folded from the postings
+    // checkpoint (__fl is constant per (field, doc): distinct first).
+    // A field with ZERO tokens across the corpus has no posting rows
+    // — freeze 1.0 (it never scores; mirrors b_f = 0 semantics).
+    val avgMap = rows.select("__f", "__did", "__fl").distinct()
+      .groupBy("__f").agg(avg("__fl").as("__avgfl"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val avgs = fields.indices.map(i => (i, avgMap.getOrElse(i, 1.0)))
     val n = rows.select("__did").distinct().count()
     avgs.toDF("__f", "__avgfl").coalesce(1)
       .write.mode("overwrite").parquet(path + "_fstats")
@@ -322,7 +350,11 @@ object Hybrid {
       fields: Seq[String]): Unit = {
     import graft.index.ChangeLog
     val layout = spark.read.parquet(idx.path)
+    // the changes lineage is arbitrarily expensive (often a filtered
+    // corpus scan) and is consumed by every step below — materialize
+    // the batch-sized resolved frame once
     val latest = ChangeLog.latestPerPk(changes, docIdCol)
+      .localCheckpoint(true)
     val upserts = latest.filter(col("__op") =!= ChangeLog.OpDelete)
       .drop("__op", "__seq")
     val changedPks = latest.select(col(docIdCol).as("__did"))
@@ -333,14 +365,18 @@ object Hybrid {
           explode(split(lower(trim(col(fc))), "\\s+")).as("__t"))
         .filter(col("__t") =!= "")
       val tf = ft.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
-      val fl = ft.groupBy("__did").agg(count(lit(1)).as("__fl"))
+      // field length = Σ_t tf — no second tokenize pass per field
+      val fl = tf.groupBy("__did").agg(sum("__tf").as("__fl"))
       tf.join(fl, "__did").withColumn("__f", lit(i))
     }
+    // batch-sized; consumed by the affected collect, the sidecar
+    // append and both merges — materialize once
     val newPost = perField.reduce(_ unionByName _)
       .join(frozenDf, Seq("__t"), "left")
       .withColumn("__df", coalesce(col("__df"), lit(0L)))
       .withColumn("__tbucket",
         pmod(xxhash64(col("__t")), lit(idx.buckets.toLong)).cast("int"))
+      .localCheckpoint(true)
     // affected buckets: any holding a changed doc's OLD postings plus
     // every bucket receiving new rows — driver-small (≤ buckets). Old
     // buckets come from the (did, tbucket) sidecar pruned to the
@@ -438,8 +474,13 @@ object Hybrid {
       .select(col(docIdCol).as("__did"),
         explode(split(lower(trim(col(docTextCol))), "\\s+")).as("__t"))
       .filter(col("__t") =!= "")
+    // tf materialized ONCE: dl, stats, dft, the denormalize join and
+    // the sidecar all fold over this checkpoint instead of re-running
+    // the corpus tokenize per consumer
     val tf = dterms.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
-    val dl = dterms.groupBy("__did").agg(count(lit(1)).as("__dl"))
+      .localCheckpoint(true)
+    // doc length = Σ_t tf — no second tokenize pass (exact identity)
+    val dl = tf.groupBy("__did").agg(sum("__tf").as("__dl"))
     val stats = dl.agg(count(lit(1)).as("__n"), avg("__dl").as("__avgdl"))
     val dft = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
     val postRows = tf.join(dft, "__t").join(dl, "__did")
@@ -450,7 +491,9 @@ object Hybrid {
       .repartition(col("__tbucket"))
       .write.mode("overwrite").partitionBy("__tbucket").parquet(path)
     // (did, tbucket) discovery sidecar — pk-pruned old-bucket lookups
-    writeDocsSidecar(postRows, path)
+    // (tbucket is a pure term hash, derivable from tf alone)
+    writeDocsSidecar(tf.withColumn("__tbucket",
+      pmod(xxhash64(col("__t")), lit(buckets.toLong)).cast("int")), path)
     stats.coalesce(1).write.mode("overwrite").parquet(path + "_stats")
     // the frozen per-term df as its OWN side file: the authority
     // syncPersistedPostings scores new postings with. Recovering df
@@ -476,7 +519,11 @@ object Hybrid {
       changes: DataFrame, docIdCol: String, docTextCol: String): Unit = {
     import graft.index.ChangeLog
     val layout = spark.read.parquet(idx.path)
+    // materialize the batch-sized resolved frame once — the changes
+    // lineage (often a filtered corpus scan) otherwise re-runs for
+    // every consumer below
     val latest = ChangeLog.latestPerPk(changes, docIdCol)
+      .localCheckpoint(true)
     val upserts = latest.filter(col("__op") =!= ChangeLog.OpDelete)
       .drop("__op", "__seq").filter(col(docTextCol).isNotNull)
     val changedPks = latest.select(col(docIdCol).as("__did"))
@@ -485,17 +532,21 @@ object Hybrid {
         explode(split(lower(trim(col(docTextCol))), "\\s+")).as("__t"))
       .filter(col("__t") =!= "")
     val tf = dterms.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
-    val dl = dterms.groupBy("__did").agg(count(lit(1)).as("__dl"))
+    // doc length = Σ_t tf — no second tokenize pass
+    val dl = tf.groupBy("__did").agg(sum("__tf").as("__dl"))
     // frozen per-term df from the build-time side file (NOT recovered
     // from the layout: a term whose last posting was deleted by an
     // earlier sync is gone from the layout but keeps its frozen df
     // here); terms unseen at build take df = 0
     val frozenDf = spark.read.parquet(idx.path + "_df")
+    // batch-sized; consumed by the affected collect, the sidecar
+    // append and both merges — materialize once
     val newPost = tf.join(dl, "__did")
       .join(frozenDf, Seq("__t"), "left")
       .withColumn("__df", coalesce(col("__df"), lit(0L)))
       .withColumn("__tbucket",
         pmod(xxhash64(col("__t")), lit(idx.buckets.toLong)).cast("int"))
+      .localCheckpoint(true)
     // affected buckets: any holding a changed doc's OLD postings, plus
     // every bucket receiving new rows — driver-small (≤ buckets). Old
     // buckets come from the (did, tbucket) sidecar pruned to the
