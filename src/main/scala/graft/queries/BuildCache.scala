@@ -29,6 +29,23 @@ object BuildCache {
     }
   }
 
+  /** Clone ONE directory tree verbatim (replacing `dest`) — the
+    * whole-root form of [[cloneLayout]], for facade roots where the
+    * catalog metadata, embedder and every index layout live under one
+    * directory and a maintenance cell re-opens the copy via
+    * `IndexCatalog.open` (the documented cross-session path). */
+  def cloneDir(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, destDir: String): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val src = new Path(srcDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = src.getFileSystem(conf)
+    val dest = new Path(destDir)
+    fs.delete(dest, true)
+    if (!fs.exists(dest.getParent)) fs.mkdirs(dest.getParent)
+    FileUtil.copy(fs, src, fs, dest, false, conf)
+  }
+
   /** Clone a persisted layout AND its sibling side dirs/files (every
     * FS entry in the parent whose name extends the source's last path
     * segment: `layout`, `layout_docs`, `layout_df`, `layout_stats`,

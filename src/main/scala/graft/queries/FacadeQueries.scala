@@ -328,7 +328,7 @@ object FacadeQueries {
     // from the direct PLAID replay with positional token ids swapped
     // into the quantizer-sample and refine orderings.
     "facade_route_plaid" -> ((s, dir) => {
-      val idx = plaidIndex(s, dir, "plaid")
+      val idx = sharedPlaidIndex(s, dir)
       rankDocCols(idx.search(plaidQueryBags(s, dir), "doc_id", "toks", 5))
     }),
     // plaid kind SYNCED: build on the FULL corpus (quantizers frozen
@@ -340,7 +340,14 @@ object FacadeQueries {
     // ann_maxsim_plaid_synced discipline through the routed path).
     "facade_route_plaid_synced" -> ((s, dir) => {
       import graft.index.ChangeLog
-      val idx = plaidIndex(s, dir, "plaid_sync")
+      // clone the shared pristine facade-plaid root (same corpus and
+      // knobs — byte-identical build) and re-open it via the catalog's
+      // documented cross-session path: the cell's claim is the CDF
+      // delete/reinsert/LWW replay, which mutates only the clone
+      sharedPlaidIndex(s, dir)
+      BuildCache.cloneDir(s, root("plaid", dir), root("plaid_sync", dir))
+      val idx = new VectorSearch(s, root("plaid_sync", dir))
+        .getIndex("facade_plaid").get
       val d = plaidDocs(s, dir)
       val victims = d.filter(col("doc_id") >= 20 && col("doc_id") < 40)
       val staleFive = d.filter(col("doc_id") === 5)
@@ -408,6 +415,12 @@ object FacadeQueries {
         .filter(col("doc_id") >= 3 && col("doc_id") < 120)),
       s"facade_$name", "doc_id", "toks", 16, "plaid")
   }
+
+  /** The read-only facade PLAID index shared by the routing cell and
+    * (as a cloned starting point) the synced cell ([[BuildCache]]
+    * contract — one quantizer train + coded persist per JVM). */
+  private def sharedPlaidIndex(s: SparkSession, dir: String): Index =
+    BuildCache.memo(s"facade_plaid:$dir")(plaidIndex(s, dir, "plaid"))
 
   private def plaidQueryBags(s: SparkSession, dir: String): DataFrame =
     plaidBags(plaidDocs(s, dir).filter(col("doc_id") < 3)

@@ -358,19 +358,39 @@ object VectorQueries {
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh replay
-      val idx = Ann.persistSignLsh(
-        Ann.buildSignLsh(e.filter(col("vec_id") >= 300), "embedding",
-          tables = 8, bits = 4),
-        "vec_id", "embedding", s"$root/idx")
-      DedupQueries.appendStamped(fs, e.filter(col("vec_id") < 100),
-        s"$root/journal", 10000L)
-      DedupQueries.appendStamped(fs,
-        e.filter(col("vec_id") >= 100 && col("vec_id") < 200),
-        s"$root/journal", 20000L)
-      DedupQueries.appendStamped(fs,
-        e.filter(col("vec_id") >= 200 && col("vec_id") < 300),
-        s"$root/journal", 30000L)
-      graft.streaming.VecDedupIngest.run(s, idx, s"$root/journal",
+      // shared once-per-JVM seed index (cloned — the drain mutates
+      // its copy) and journal; ckpt/out stay per-run
+      val seed = BuildCache.memo(s"vecseed:t8b4:ge300:$dir") {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_vecseed/" +
+          dir.replaceAll("[^0-9.]", "")
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+        Ann.persistSignLsh(
+          Ann.buildSignLsh(e.filter(col("vec_id") >= 300), "embedding",
+            tables = 8, bits = 4),
+          "vec_id", "embedding", s"$p/idx")
+        s"$p/idx"
+      }
+      BuildCache.cloneLayout(s, seed, root)
+      val idx = Ann.PersistedSignLsh(s"$root/idx", tables = 8, bits = 4)
+      val journal = BuildCache.memo(s"vecjournal:$dir") {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_vecjrn/" +
+          dir.replaceAll("[^0-9.]", "")
+        val hfs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        hfs.delete(new org.apache.hadoop.fs.Path(p), true)
+        DedupQueries.appendStamped(hfs, e.filter(col("vec_id") < 100),
+          s"$p/journal", 10000L)
+        DedupQueries.appendStamped(hfs,
+          e.filter(col("vec_id") >= 100 && col("vec_id") < 200),
+          s"$p/journal", 20000L)
+        DedupQueries.appendStamped(hfs,
+          e.filter(col("vec_id") >= 200 && col("vec_id") < 300),
+          s"$p/journal", 30000L)
+        s"$p/journal"
+      }
+      graft.streaming.VecDedupIngest.run(s, idx, journal,
         e.schema, s"$root/ckpt", "vec_id", "embedding", threshold = 0.3,
         Map("maxFilesPerTrigger" -> "1"))
       s.read.parquet(s"$root/idx_docs")
@@ -396,20 +416,40 @@ object VectorQueries {
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh replay
-      val seed = MediaDedupIngest.decodeFeatures(
-        media.filter(col("media_id") >= 300), "media_id")
-      val idx = Ann.persistSignLsh(
-        Ann.buildSignLsh(seed, "embedding", tables = 8, bits = 4),
-        "media_id", "embedding", s"$root/idx")
-      DedupQueries.appendStamped(fs, media.filter(col("media_id") < 100),
-        s"$root/journal", 10000L)
-      DedupQueries.appendStamped(fs,
-        media.filter(col("media_id") >= 100 && col("media_id") < 200),
-        s"$root/journal", 20000L)
-      DedupQueries.appendStamped(fs,
-        media.filter(col("media_id") >= 200 && col("media_id") < 300),
-        s"$root/journal", 30000L)
-      MediaDedupIngest.run(s, idx, s"$root/journal", media.schema,
+      // shared once-per-JVM seed index over decoded features (cloned
+      // — the drain mutates its copy) and PNG-payload journal
+      val seedPath = BuildCache.memo(s"mediaseed:t8b4:ge300:$dir") {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_medseed/" +
+          dir.replaceAll("[^0-9.]", "")
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+        val seed = MediaDedupIngest.decodeFeatures(
+          media.filter(col("media_id") >= 300), "media_id")
+        Ann.persistSignLsh(
+          Ann.buildSignLsh(seed, "embedding", tables = 8, bits = 4),
+          "media_id", "embedding", s"$p/idx")
+        s"$p/idx"
+      }
+      BuildCache.cloneLayout(s, seedPath, root)
+      val idx = Ann.PersistedSignLsh(s"$root/idx", tables = 8, bits = 4)
+      val journal = BuildCache.memo(s"mediajournal:$dir") {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_medjrn/" +
+          dir.replaceAll("[^0-9.]", "")
+        val hfs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        hfs.delete(new org.apache.hadoop.fs.Path(p), true)
+        DedupQueries.appendStamped(hfs,
+          media.filter(col("media_id") < 100), s"$p/journal", 10000L)
+        DedupQueries.appendStamped(hfs,
+          media.filter(col("media_id") >= 100 && col("media_id") < 200),
+          s"$p/journal", 20000L)
+        DedupQueries.appendStamped(hfs,
+          media.filter(col("media_id") >= 200 && col("media_id") < 300),
+          s"$p/journal", 30000L)
+        s"$p/journal"
+      }
+      MediaDedupIngest.run(s, idx, journal, media.schema,
         s"$root/ckpt", "media_id", threshold = 0.9999,
         Map("maxFilesPerTrigger" -> "1"))
       s.read.parquet(s"$root/idx_docs")
